@@ -1,0 +1,81 @@
+"""Query registry — the single source of truth consumed by the driver contract.
+
+Every implemented operator from SURVEY.md §2 registers here with
+- a Spark callable ``(spark, sf_dir) -> DataFrame``,
+- an optional DuckDB oracle SQL string (ANSI SQL over the same parquet views),
+- a docstring carrying the reference citation and the 100 TB scaling argument.
+
+``__spark_entry__.queries()`` / ``oracle_sql()`` are thin views over this dict.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None = None
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    """Decorator: register a query under ``name`` with its DuckDB oracle SQL."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "", tags=tags)
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Scan one fixture table.
+
+    Parquet scan is the base of every plan: Catalyst pushes filters and prunes
+    columns into this scan (visible as PushedFilters / ReadSchema in
+    ``.explain``), so at 100 TB only the referenced columns and matching
+    row-groups are read.
+    """
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def load_all() -> dict[str, QuerySpec]:
+    """Import every operator module (side effect: registration) and return REGISTRY."""
+    import iceberg_catalog_postgres_spark.operators.tpch  # noqa: F401
+    import iceberg_catalog_postgres_spark.operators.relational  # noqa: F401
+    import iceberg_catalog_postgres_spark.operators.joins  # noqa: F401
+    import iceberg_catalog_postgres_spark.operators.windows  # noqa: F401
+    import iceberg_catalog_postgres_spark.functions.scalar  # noqa: F401
+    import iceberg_catalog_postgres_spark.llm.dedup  # noqa: F401
+    import iceberg_catalog_postgres_spark.llm.similarity  # noqa: F401
+    import iceberg_catalog_postgres_spark.llm.text  # noqa: F401
+    import iceberg_catalog_postgres_spark.llm.multimodal  # noqa: F401
+    import iceberg_catalog_postgres_spark.streaming.windows  # noqa: F401
+    import iceberg_catalog_postgres_spark.catalog.queries  # noqa: F401
+
+    return REGISTRY
