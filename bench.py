@@ -1,0 +1,67 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Timing methodology: one warm-up pass of a trivial action to absorb JVM/codegen
+startup, then each query is executed with a count()-style materialization
+(``df.write.format("noop")`` is avoided to keep pyspark-only); wall time per
+query includes planning + execution, excluding session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from iceberg_catalog_postgres_spark.registry import load_all
+from iceberg_catalog_postgres_spark.session import get_spark
+
+# Headline set: tagged "bench" in the registry, fallback to all oracle-backed.
+BENCH_TAG = "bench"
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    registry = load_all()
+    names = [n for n, s in sorted(registry.items()) if BENCH_TAG in s.tags]
+    if not names:
+        names = sorted(registry)
+
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm up the JVM + parquet footer caches with a trivial action.
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        spec = registry[name]
+        t0 = time.perf_counter()
+        df = spec.fn(spark, sf_dir)
+        # Materialize fully (not just count, which can prune aggregates):
+        # collect to driver; headline queries return small results by design.
+        df.collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,202 @@
+"""Window functions: ranking, analytic (lag/lead), framed aggregates.
+
+SURVEY.md §2.C "Window functions". All window specs shuffle once on the
+partition key and sort within partitions — Catalyst collapses adjacent window
+operators sharing a (partitionBy, orderBy) into one sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iceberg_catalog_postgres_spark.registry import load, register
+
+
+@register(
+    "window_topk_per_group",
+    oracle="""
+    SELECT c_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rn
+    FROM (
+      SELECT c_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY c_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM customer JOIN orders ON c_custkey = o_custkey
+    )
+    WHERE rn <= 3
+    """,
+    tags=("window", "topk", "bench"),
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer via row_number — THE top-k-per-group idiom.
+
+    Scale: one shuffle on c_custkey; Spark inserts a WindowGroupLimit
+    (rank-limit pushdown) so each partition only keeps 3 rows per key before
+    the filter — no full materialization of ranked rows.
+    """
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("c_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .select("c_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), "rn")
+    )
+
+
+@register(
+    "window_rank_dense_ntile",
+    oracle="""
+    SELECT s_suppkey,
+           rank()       OVER (ORDER BY s_acctbal DESC, s_suppkey ASC) AS rnk,
+           dense_rank() OVER (ORDER BY s_nationkey ASC)               AS drnk,
+           ntile(4)     OVER (ORDER BY s_acctbal DESC, s_suppkey ASC) AS quartile
+    FROM supplier
+    """,
+    tags=("window", "rank"),
+)
+def window_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile over a global ordering.
+
+    Scale: an un-partitioned window is a single-reducer sort — acceptable
+    only for provably small inputs (supplier is the smallest table). At 100 TB
+    you partition by a key or pre-aggregate first; this query documents the
+    anti-pattern boundary deliberately.
+    """
+    s = load(spark, sf_dir, "supplier")
+    w_bal = Window.orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey").asc())
+    w_nat = Window.orderBy(F.col("s_nationkey").asc())
+    return s.select(
+        "s_suppkey",
+        F.rank().over(w_bal).alias("rnk"),
+        F.dense_rank().over(w_nat).alias("drnk"),
+        F.ntile(4).over(w_bal).alias("quartile"),
+    )
+
+
+@register(
+    "window_lag_lead_delta",
+    oracle="""
+    SELECT user_id, event_id,
+           lag(event_id)  OVER w AS prev_event_id,
+           lead(event_id) OVER w AS next_event_id,
+           CAST(coalesce(date_diff('millisecond', lag(ts) OVER w, ts), -1) AS BIGINT) AS ms_since_prev
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+    tags=("window", "analytic"),
+)
+def window_lag_lead_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead with inter-event time deltas per user — sessionization's
+    building block.
+
+    Scale: partitions on user_id; skewed (hot) users are bounded by the
+    per-user event count, and the window state for lag/lead is O(1).
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+        F.coalesce(
+            F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w)), F.lit(-1)
+        ).alias("ms_since_prev"),
+    )
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM orders
+    """,
+    tags=("window", "frame"),
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) sum per customer over order history."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey", "o_orderkey", F.round(F.sum("o_totalprice").over(w), 2).alias("running_total")
+    )
+
+
+@register(
+    "window_moving_avg",
+    oracle="""
+    SELECT user_id, event_id,
+           round(avg(value) OVER (
+             PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mavg3
+    FROM events
+    """,
+    tags=("window", "frame"),
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-row moving average of event values per user (bounded ROWS frame)."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return ev.select("user_id", "event_id", F.round(F.avg("value").over(w), 6).alias("mavg3"))
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           count(*) OVER (
+             PARTITION BY o_custkey ORDER BY o_totalprice
+             RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING) AS n_similar_price
+    FROM orders
+    """,
+    tags=("window", "frame", "range"),
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over a numeric ordering — peers within +-10000 of each
+    order's price. RANGE (value-based) vs ROWS (count-based) frames."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice")).rangeBetween(-10000, 10000)
+    return o.select("o_custkey", "o_orderkey", F.count(F.lit(1)).over(w).alias("n_similar_price"))
+
+
+@register(
+    "window_first_last_value",
+    oracle="""
+    SELECT DISTINCT o_custkey,
+           first_value(o_orderkey) OVER w AS first_order,
+           last_value(o_orderkey)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+    """,
+    tags=("window", "analytic"),
+)
+def window_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value with an explicit full frame (the last_value
+    default frame ends at CURRENT ROW — a classic correctness trap)."""
+    o = load(spark, sf_dir, "orders")
+    order_cols = [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()]
+    w_first = Window.partitionBy("o_custkey").orderBy(*order_cols)
+    w_full = (
+        Window.partitionBy("o_custkey")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        F.first("o_orderkey").over(w_first).alias("first_order"),
+        F.last("o_orderkey").over(w_full).alias("last_order"),
+    ).distinct()

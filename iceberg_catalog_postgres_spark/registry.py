@@ -60,8 +60,22 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     columns into this scan (visible as PushedFilters / ReadSchema in
     ``.explain``), so at 100 TB only the referenced columns and matching
     row-groups are read.
+
+    ``events.ts`` is TIMESTAMP(NANOS) in the footer, which Spark's reader
+    rejects; with ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as a
+    nanosecond epoch long and is converted here to TIMESTAMP_NTZ by integer
+    floor-division to microseconds — the same truncation DuckDB applies.
     """
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    if table == "events":
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
+
+        if isinstance(df.schema["ts"].dataType, LongType):
+            # TimestampType (not NTZ) so unix_millis & friends work; session
+            # tz is pinned UTC so the wall-clock matches DuckDB's naive value.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_all() -> dict[str, QuerySpec]:

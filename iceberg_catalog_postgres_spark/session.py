@@ -48,6 +48,10 @@ def get_spark(
         # Small-dim broadcast threshold: nation/region/supplier always fit; at
         # 100 TB, AQE still converts SMJ->BHJ when the built side is < threshold.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # events.parquet carries TIMESTAMP(NANOS) which the vectorized reader
+        # rejects; read as long and convert in registry.load (ns -> us floor
+        # division, matching DuckDB's truncation to microseconds).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
