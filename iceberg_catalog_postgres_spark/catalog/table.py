@@ -1,0 +1,203 @@
+"""Table handle + TableBuilder + snapshot Transaction.
+
+Ports the iceberg-rs surfaces the reference invokes (SURVEY §2.B):
+- ``TableBuilder::new_metastore_table`` + ``builder.commit()``
+  (mod.rs:356, mod.rs:104): stage metadata v1, write it, register pointer.
+- ``Table::new_metastore_table`` (mod.rs:222-228): handle binding
+  identifier + catalog + metadata + current location.
+- ``table.new_transaction()`` / ``transaction.commit()`` (mod.rs:466-467):
+  snapshot-producing write => NEW metadata JSON => catalog CAS
+  (``update_table``), with a bounded retry loop on conflict (the reference
+  errors immediately — SURVEY §5 calls out that its CAS is untested under
+  concurrency; we test it).
+
+Spark integration: ``to_df`` plans a DataFrame over exactly the current
+snapshot's data files — scan planning from metadata, not directory listing
+(SURVEY §4). At 100 TB this is the difference between an O(1) pointer read
+plus a file list, and a multi-minute recursive S3 LIST.
+"""
+
+from __future__ import annotations
+
+import posixpath
+import random
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from iceberg_catalog_postgres_spark.catalog.catalog import (
+    CommitConflictError,
+    PostgresCatalog,
+    TableIdentifier,
+)
+from iceberg_catalog_postgres_spark.catalog.metadata import Snapshot, TableMetadata
+
+
+class TableBuilder:
+    """Staged create (mod.rs:349-357): holds location + schema until
+    ``commit`` writes metadata v1 and registers the pointer."""
+
+    def __init__(
+        self,
+        catalog: PostgresCatalog,
+        identifier: TableIdentifier,
+        location: str,
+        schema: StructType,
+        identifier_field_ids: list[int] | None = None,
+    ):
+        self.catalog = catalog
+        self.identifier = identifier
+        self.location = location
+        self.schema = schema
+        self.identifier_field_ids = identifier_field_ids
+
+    def commit(self) -> "Table":
+        """Write v1 metadata JSON to the warehouse, then register_table
+        (create path E1 in SURVEY §3)."""
+        metadata = TableMetadata.new(self.location, self.schema, self.identifier_field_ids)
+        metadata_location = posixpath.join(
+            self.location, "metadata", f"v1-{uuid.uuid4().hex}.metadata.json"
+        )
+        self.catalog.object_store().put(metadata_location, metadata.to_json().encode())
+        return self.catalog.register_table(self.identifier, metadata_location)
+
+
+class Table:
+    """Table handle bound to its catalog (mod.rs:222-228)."""
+
+    def __init__(
+        self,
+        identifier: TableIdentifier,
+        catalog: PostgresCatalog,
+        metadata: TableMetadata,
+        metadata_location: str,
+    ):
+        self.identifier = identifier
+        self.catalog = catalog
+        self.metadata = metadata
+        self._metadata_location = metadata_location
+
+    def metadata_location(self) -> str:  # mod.rs:464, 469
+        return self._metadata_location
+
+    @property
+    def schema(self) -> StructType:
+        return self.metadata.spark_schema
+
+    def data_files(self, snapshot_id: int | None = None) -> list[str]:
+        store = self.catalog.object_store()
+        if snapshot_id is not None:
+            files = self.metadata.snapshot_by_id(snapshot_id).data_files
+        else:
+            files = self.metadata.current_data_files()
+        return [store.resolve(f) for f in files]
+
+    def to_df(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
+        """DataFrame over the snapshot's file list (time travel via
+        ``snapshot_id``). Empty table => empty DataFrame with the declared
+        schema, so downstream plans always resolve."""
+        files = self.data_files(snapshot_id)
+        if not files:
+            return spark.createDataFrame([], self.schema)
+        return spark.read.schema(self.schema).parquet(*files)
+
+    def new_transaction(self) -> "Transaction":  # mod.rs:466
+        return Transaction(self)
+
+    def refresh(self) -> "Table":
+        return self.catalog.load_table(self.identifier)
+
+
+class Transaction:
+    """Snapshot transaction: stage appended/overwritten files, commit via the
+    catalog CAS with bounded retry.
+
+    Commit algorithm (write path E3 in SURVEY §3):
+      1. next metadata = current.with_snapshot(new snapshot)
+      2. PUT new metadata JSON at a fresh location (never overwrite)
+      3. CAS UPDATE pointer old->new; on conflict: reload, re-apply staged
+         snapshot on the winner's metadata, retry (append commutes; overwrite
+         last-writer-wins) — up to ``max_retries`` with jittered backoff.
+    """
+
+    def __init__(self, table: Table, max_retries: int = 5):
+        self.table = table
+        self.max_retries = max_retries
+        self._operation: str | None = None
+        self._staged_files: list[str] = []
+
+    # -- staging ----------------------------------------------------------
+
+    def append_files(self, files: list[str]) -> "Transaction":
+        if self._operation == "overwrite":
+            raise ValueError("cannot mix append and overwrite in one transaction")
+        self._operation = self._operation or "append"
+        self._staged_files.extend(files)
+        return self
+
+    def overwrite_files(self, files: list[str]) -> "Transaction":
+        self._operation = "overwrite"
+        self._staged_files = list(files)
+        return self
+
+    def append_dataframe(self, df: DataFrame) -> "Transaction":
+        """Write df as parquet under the table location, stage the new files.
+
+        The write is executor-parallel (df.write.parquet); only the file-name
+        listing happens on the driver. Files land in a unique subdir so
+        concurrent writers never collide before their CAS resolves order.
+        """
+        store = self.table.catalog.object_store()
+        rel_dir = posixpath.join(self.table.metadata.location, "data", f"part-{uuid.uuid4().hex}")
+        abs_dir = store.resolve(rel_dir)
+        df.write.mode("overwrite").parquet(abs_dir)
+        import glob as _glob
+        import os as _os
+
+        new_files = [
+            posixpath.join(rel_dir, _os.path.basename(p))
+            for p in sorted(_glob.glob(_os.path.join(abs_dir, "*.parquet")))
+        ]
+        return self.append_files(new_files)
+
+    # -- commit -----------------------------------------------------------
+
+    def commit(self) -> Table:
+        if self._operation is None:
+            return self.table  # empty transaction: no-op
+
+        catalog = self.table.catalog
+        identifier = self.table.identifier
+        store = catalog.object_store()
+        current = self.table  # holds (metadata, metadata_location) we read
+
+        for attempt in range(self.max_retries + 1):
+            snapshot = Snapshot(
+                snapshot_id=int(time.time() * 1000) * 1000 + random.randint(0, 999),
+                timestamp_ms=int(time.time() * 1000),
+                operation=self._operation,
+                data_files=(
+                    self._staged_files
+                    if self._operation == "overwrite"
+                    else [*current.metadata.current_data_files(), *self._staged_files]
+                ),
+                summary={"added-files": str(len(self._staged_files))},
+            )
+            new_metadata = current.metadata.with_snapshot(snapshot)
+            new_location = posixpath.join(
+                new_metadata.location,
+                "metadata",
+                f"v{len(new_metadata.snapshots) + 1}-{uuid.uuid4().hex}.metadata.json",
+            )
+            store.put(new_location, new_metadata.to_json().encode())
+            try:
+                return catalog.update_table(identifier, new_location, current.metadata_location())
+            except CommitConflictError:
+                if attempt == self.max_retries:
+                    raise
+                # Re-read the winner's state and re-apply our staged files.
+                time.sleep(random.uniform(0.01, 0.05) * (attempt + 1))
+                current = catalog.load_table(identifier)
+        raise AssertionError("unreachable")

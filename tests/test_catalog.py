@@ -1,0 +1,156 @@
+"""Catalog tests.
+
+1. The reference's own lifecycle round-trip (mod.rs:397-480) ported:
+   initialize -> create (2-string-col schema, identifier_field_ids=[1,2]) ->
+   exists -> transaction commit changes the metadata pointer -> drop ->
+   not exists.
+2. The concurrent-CAS race the reference leaves untested (SURVEY §5):
+   N threads race commits; with retries all succeed exactly once and every
+   staged file survives.
+3. Spark data round-trip: append a DataFrame, load through the catalog,
+   verify rows + snapshot time travel.
+"""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+from pyspark.sql.types import StringType, StructField, StructType
+
+from iceberg_catalog_postgres_spark.catalog.catalog import (
+    NoSuchTableError,
+    PostgresCatalog,
+    TableAlreadyExistsError,
+    TableIdentifier,
+)
+from iceberg_catalog_postgres_spark.catalog.metadata import FIELD_ID_KEY
+
+SCHEMA = StructType(
+    [
+        StructField("one", StringType(), True, {FIELD_ID_KEY: 1}),
+        StructField("two", StringType(), True, {FIELD_ID_KEY: 2}),
+    ]
+)
+
+
+@pytest.fixture()
+def catalog(tmp_path):
+    cat = PostgresCatalog.connect("test_catalog", None, str(tmp_path / "warehouse"))
+    cat.initialize()
+    return cat
+
+
+def test_lifecycle_create_update_drop(catalog, spark, sf_smoke):
+    ident = TableIdentifier.parse("test.table1")
+
+    table = catalog.create_table(ident, SCHEMA, identifier_field_ids=[1, 2])
+    assert catalog.table_exists(ident)
+    assert [str(t) for t in catalog.list_tables("test")] == ["test.table1"]
+
+    metadata_location = table.metadata_location()
+    assert "metadata" in metadata_location
+
+    # Snapshot commit must CHANGE the metadata pointer (mod.rs:464-471).
+    df = spark.createDataFrame([("a", "b"), ("c", "d")], SCHEMA)
+    table2 = table.new_transaction().append_dataframe(df).commit()
+    assert table2.metadata_location() != metadata_location
+    assert table2.metadata.current_snapshot() is not None
+
+    loaded = catalog.load_table(ident)
+    assert loaded.metadata_location() == table2.metadata_location()
+    assert loaded.to_df(spark).count() == 2
+    assert [f.name for f in loaded.schema.fields] == ["one", "two"]
+    assert loaded.schema.fields[0].metadata[FIELD_ID_KEY] == 1
+
+    catalog.drop_table(ident)
+    assert not catalog.table_exists(ident)
+    with pytest.raises(NoSuchTableError):
+        catalog.load_table(ident)
+
+
+def test_create_duplicate_fails(catalog):
+    ident = TableIdentifier.parse("test.dup")
+    catalog.create_table(ident, SCHEMA)
+    with pytest.raises(TableAlreadyExistsError):
+        catalog.create_table(ident, SCHEMA)
+
+
+def test_register_table_idempotent_conflict(catalog):
+    ident = TableIdentifier.parse("test.reg")
+    t = catalog.create_table(ident, SCHEMA)
+    with pytest.raises(TableAlreadyExistsError):
+        catalog.register_table(ident, t.metadata_location())
+
+
+def test_drop_missing_table_errors(catalog):
+    with pytest.raises(NoSuchTableError):
+        catalog.drop_table(TableIdentifier.parse("test.ghost"))
+
+
+def test_invalidate_table_noop(catalog):
+    assert catalog.invalidate_table(TableIdentifier.parse("test.x")) is None
+
+
+def test_empty_table_reads_empty_df(catalog, spark):
+    ident = TableIdentifier.parse("test.empty")
+    table = catalog.create_table(ident, SCHEMA)
+    df = table.to_df(spark)
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == ["one", "two"]
+
+
+def test_concurrent_cas_commits_all_succeed(catalog, spark):
+    """The race the reference never tests: N writers, one table. With the
+    bounded-retry transaction every writer's snapshot lands; the final
+    metadata contains all files; pointer history is linear."""
+    ident = TableIdentifier.parse("test.race")
+    catalog.create_table(ident, SCHEMA)
+
+    n_writers = 8
+    errors: list[Exception] = []
+
+    def writer(i: int) -> None:
+        try:
+            t = catalog.load_table(ident)
+            t.new_transaction().append_files([f"data/file-{i}.parquet"]).commit()
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(n_writers)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert errors == []
+    final = catalog.load_table(ident)
+    files = final.metadata.current_data_files()
+    assert sorted(files) == sorted(f"data/file-{i}.parquet" for i in range(n_writers))
+    # one snapshot per writer, linear history
+    assert len(final.metadata.snapshots) == n_writers
+
+
+def test_cas_conflict_without_retry_raises(catalog):
+    """Direct update_table with a stale expected pointer must fail with
+    rowcount 0 -> CommitConflictError (mod.rs:342-343)."""
+    from iceberg_catalog_postgres_spark.catalog.catalog import CommitConflictError
+
+    ident = TableIdentifier.parse("test.stale")
+    t = catalog.create_table(ident, SCHEMA)
+    t.new_transaction().append_files(["data/a.parquet"]).commit()
+    with pytest.raises(CommitConflictError):
+        catalog.update_table(ident, "data.db/new.metadata.json", t.metadata_location() + "-stale")
+
+
+def test_snapshot_time_travel(catalog, spark):
+    ident = TableIdentifier.parse("test.travel")
+    table = catalog.create_table(ident, SCHEMA)
+    df1 = spark.createDataFrame([("s1", "x")], SCHEMA)
+    df2 = spark.createDataFrame([("s2", "y")], SCHEMA)
+    t1 = table.new_transaction().append_dataframe(df1).commit()
+    snap1 = t1.metadata.current_snapshot_id
+    t2 = t1.new_transaction().append_dataframe(df2).commit()
+
+    assert t2.to_df(spark).count() == 2
+    assert t2.to_df(spark, snapshot_id=snap1).count() == 1
