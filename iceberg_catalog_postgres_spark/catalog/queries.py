@@ -42,10 +42,10 @@ def catalog_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = os.path.join(_REPO_ROOT, ".tmp", "catalog_roundtrip")
     shutil.rmtree(work, ignore_errors=True)
 
+    os.makedirs(work, exist_ok=True)
     catalog = PostgresCatalog.connect(
         "demo", f"sqlite://{os.path.join(work, 'catalog.db')}", os.path.join(work, "warehouse")
     )
-    os.makedirs(work, exist_ok=True)
     catalog.initialize()
 
     src = load(spark, sf_dir, "nation")
