@@ -1,0 +1,306 @@
+"""Deduplication operators for large-scale training-data pipelines:
+exact (hash groupBy), MinHash+LSH near-dup, blocked n-gram Jaccard, SimHash.
+
+Scale design (the whole point of these operators):
+- NOTHING here is O(n^2) over the corpus. Candidate generation is always a
+  bucket equi-join (LSH band buckets / blocking keys / simhash halves), so
+  the shuffle is keyed and the pair space is bounded by bucket sizes.
+- The only cross-engine-deterministic hash shared with DuckDB is md5, so the
+  oracle-checked MinHash uses *lexicographic min of md5(shingle || seed)* —
+  a valid minhash family (each seed induces an independent pseudo-permutation
+  of the shingle universe). The rows-only variants use xxhash64 (cheaper,
+  JVM-side, but Spark-specific).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_catalog_postgres_spark.registry import load, register
+
+# MinHash configuration: K signatures in BANDS bands of ROWS rows.
+# P(candidate | jaccard s) = 1 - (1 - s^ROWS)^BANDS — with 12/4/3 the curve
+# crosses 50% near s=0.55, which matches the 0.5 output threshold below.
+K = 12
+BANDS = 4
+ROWS = 3
+JACCARD_THRESHOLD = 0.5
+
+
+def _shingle_expr():
+    """3-word shingles as a distinct array; whole text as fallback for
+    ultra-short docs (sequence() would go negative)."""
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    return F.when(
+        n >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - 2), lambda i: F.concat_ws(" ", F.slice(toks, i, 3))
+            )
+        ),
+    ).otherwise(F.array(F.col("text")))
+
+
+_SHINGLE_SQL = """
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(toks) >= 3
+         THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+         ELSE [text] END)) AS sh
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+"""
+
+
+@register(
+    "dedup_exact_hash",
+    oracle="""
+    SELECT content_hash, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+    FROM (SELECT doc_id, md5(text) AS content_hash FROM documents)
+    GROUP BY content_hash
+    HAVING count(*) > 1
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: groupBy(md5(text)), keep the lowest doc_id.
+
+    Scale: shuffles 1 hash + 1 long per row; the text itself never moves.
+    At 100 TB you shuffle ~50 bytes/doc, not documents.
+    """
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5("text").alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+@register(
+    "dedup_exact_keep_first",
+    oracle="""
+    SELECT source, count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique
+    FROM documents
+    GROUP BY source
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication factor (docs vs distinct contents)."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+    )
+
+
+def _minhash_oracle() -> str:
+    sig_cols = ",\n           ".join(f"min(md5(sh || '#{j}')) AS h{j}" for j in range(1, K + 1))
+    band_selects = []
+    for b in range(BANDS):
+        key = " || ".join(f"h{b * ROWS + r}" for r in range(1, ROWS + 1))
+        band_selects.append(f"SELECT doc_id, {b} AS band, {key} AS key FROM sig")
+    bands_sql = "\n      UNION ALL ".join(band_selects)
+    return f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    sig AS (
+      SELECT doc_id,
+           {sig_cols}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {bands_sql}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    shset AS (SELECT doc_id, list(sh) AS s FROM sh GROUP BY doc_id)
+    SELECT doc_a, doc_b,
+           round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(sa.s, sb.s))), 6) AS jaccard
+    FROM cand
+    JOIN shset sa ON sa.doc_id = doc_a
+    JOIN shset sb ON sb.doc_id = doc_b
+    WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+          / len(list_distinct(list_concat(sa.s, sb.s))) >= {JACCARD_THRESHOLD}
+    """
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_oracle(), tags=("llm", "dedup", "lsh", "bench"))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-duplicate detection, verified with exact Jaccard.
+
+    Pipeline: 3-word shingles -> K={K} minhash signatures (lexicographic min
+    of md5(shingle || seed)) -> {BANDS} bands of {ROWS} -> band-bucket
+    equi-join for candidates -> exact shingle-set Jaccard >= {THRESH} on
+    candidates only.
+
+    Scale: the crossJoin-free shape. Candidate generation is a self-join on
+    (band, band_key) — shuffle keyed by band hash; bucket sizes are the skew
+    risk (a viral shingle set), bounded because identical band keys imply
+    near-identical docs. The exact-Jaccard verify joins only candidate pairs
+    (LSH output), typically << n^2. Signature agg is a single groupBy with
+    K min() partial aggregates — map-side combine collapses each partition.
+    """
+    d = load(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(_shingle_expr()).alias("sh"))
+
+    sig = sh.groupBy("doc_id").agg(
+        *[F.min(F.md5(F.concat(F.col("sh"), F.lit(f"#{j}")))).alias(f"h{j}") for j in range(1, K + 1)]
+    )
+    band_frames = []
+    for b in range(BANDS):
+        key = F.concat(*[F.col(f"h{b * ROWS + r}") for r in range(1, ROWS + 1)])
+        band_frames.append(sig.select("doc_id", F.lit(b).alias("band"), key.alias("key")))
+    bands = band_frames[0]
+    for bf in band_frames[1:]:
+        bands = bands.unionByName(bf)
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    shset = sh.groupBy("doc_id").agg(F.collect_set("sh").alias("s"))
+    jac = (
+        F.size(F.array_intersect(F.col("sa.s"), F.col("sb.s"))).cast("double")
+        / F.size(F.array_union(F.col("sa.s"), F.col("sb.s")))
+    )
+    return (
+        cand.join(shset.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(shset.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# keep docstring template honest
+dedup_minhash_lsh.__doc__ = dedup_minhash_lsh.__doc__.replace("{K}", str(K)).replace(
+    "{BANDS}", str(BANDS)
+).replace("{ROWS}", str(ROWS)).replace("{THRESH}", str(JACCARD_THRESHOLD))
+
+
+@register(
+    "dedup_ngram_jaccard_blocked",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, n_chars // 100 AS len_bucket,
+             list_distinct(string_split(text, ' ')) AS s
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+    FROM t a
+    JOIN t b ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked pairwise token-set Jaccard: candidate pairs restricted to the
+    same (lang, length-bucket) block.
+
+    Scale: blocking turns O(n^2) into sum of O(|block|^2); blocks are
+    bounded by construction (language x 100-char band). For corpora where a
+    block could still explode, nest LSH inside the block. Token sets ride
+    the shuffle once as arrays; the Jaccard is computed JVM-side
+    (array_intersect/union), no UDF.
+    """
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / 100).cast("long").alias("len_bucket"),
+        F.array_distinct(F.split("text", " ")).alias("s"),
+    )
+    a, b = t.alias("a"), t.alias("b")
+    jac = (
+        F.size(F.array_intersect(F.col("a.s"), F.col("b.s"))).cast("double")
+        / F.size(F.array_union(F.col("a.s"), F.col("b.s")))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(jac >= 0.8)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )
+
+
+@register("dedup_simhash", oracle=None, tags=("llm", "dedup", "simhash"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 32-bit signature from token xxhash64 bit-votes;
+    candidate pairs share at least one 16-bit half (pigeonhole: hamming
+    distance <= 1 guarantees a shared half). Output: pairs with hamming
+    distance <= 3 among half-collision candidates.
+
+    Rows-only check: xxhash64 is Spark-internal (no DuckDB equivalent), which
+    is exactly why it's the fast path in production — single JVM hash per
+    token vs md5's 4.
+
+    Scale: signature build is explode + groupBy(doc) with 32 conditional-sum
+    partial aggs; candidates via equi-join on half-signature buckets — same
+    crossJoin-free shape as MinHash-LSH.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
+    h = toks.withColumn("hash", F.xxhash64("tok"))
+    # bit votes: +1 if bit set else -1; simhash bit = majority
+    votes = h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("hash"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(32)
+        ]
+    )
+    sig_expr = None
+    for i in range(32):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**i)
+        sig_expr = bit if sig_expr is None else sig_expr + bit
+    sigs = votes.select("doc_id", sig_expr.cast("long").alias("sig"))
+    halves = sigs.select(
+        "doc_id",
+        "sig",
+        (F.col("sig").bitwiseAND(F.lit(0xFFFF))).alias("lo"),
+        F.shiftright(F.col("sig"), 16).bitwiseAND(F.lit(0xFFFF)).alias("hi"),
+    )
+    lo_pairs = (
+        halves.alias("a")
+        .join(halves.alias("b"), (F.col("a.lo") == F.col("b.lo")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+                F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
+    )
+    hi_pairs = (
+        halves.alias("a")
+        .join(halves.alias("b"), (F.col("a.hi") == F.col("b.hi")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+                F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
+    )
+    cand = lo_pairs.unionByName(hi_pairs).distinct()
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )

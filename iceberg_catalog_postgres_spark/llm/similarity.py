@@ -1,0 +1,235 @@
+"""Similarity search over the ``embeddings`` fixture (array<float>, dim=64):
+brute-force cosine top-k (baseline), LSH-bucketed ANN (scale path), blocked
+pair mining, and a distributed k-means/IVF build (rows-only).
+
+Float determinism note: all dot products fold left-to-right in float64 after
+an explicit element cast, so Spark's ``aggregate`` and DuckDB's ``list_sum``
+produce bitwise-identical sums; rankings tie-break on vec_id after rounding,
+making top-k reproducible across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iceberg_catalog_postgres_spark.registry import load, register
+
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+TOP_K = 5
+
+
+def _vec(col: str):
+    return F.transform(F.col(col), lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+_DOT_SQL = "list_sum(list_transform(range(1, 65), i -> qa.e[i] * db.e[i]))"
+_NORM_SQL = "sqrt(list_sum(list_transform({v}.e, x -> x * x)))"
+
+
+@register(
+    "sim_cosine_topk_brute",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    pairs AS (
+      SELECT qa.vec_id AS query_id, db.vec_id AS neighbor_id,
+             round({_DOT_SQL} / ({_NORM_SQL.format(v='qa')} * {_NORM_SQL.format(v='db')}), 6) AS cosine
+      FROM (SELECT * FROM v WHERE vec_id < {N_QUERIES}) qa
+      JOIN v db ON qa.vec_id <> db.vec_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rk
+      FROM pairs
+    )
+    SELECT query_id, neighbor_id, cosine, rk FROM ranked WHERE rk <= {TOP_K}
+    """,
+    tags=("llm", "similarity", "bench"),
+)
+def sim_cosine_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: the exact baseline every ANN variant is
+    measured against.
+
+    Scale: queries (small) are broadcast against the corpus — the corpus is
+    scanned once, never shuffled. Top-k per query via window row_number with
+    rank-limit pushdown. Cost is O(|corpus| * |queries| * dim) FLOPs spread
+    across partitions; for large query sets, switch to the LSH variant.
+    """
+    e = load(spark, sf_dir, "embeddings").select("vec_id", _vec("embedding").alias("e"))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    corpus = e.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ne"))
+    norm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))  # noqa: E731
+    cos = F.round(_dot(F.col("qe"), F.col("ne")) / (norm(F.col("qe")) * norm(F.col("ne"))), 6)
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        F.broadcast(q)
+        .join(corpus, F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+    )
+
+
+def _hyperplane_sign_sql(j: int) -> str:
+    # deterministic pseudo-random +-1 per (plane j, dim i), identical in both
+    # engines: parity of a small integer mix
+    return f"list_sum(list_transform(range(1, 65), i -> v.e[i] * (CAST(((({j} * 31 + i * 7) % 2) * 2 - 1) AS DOUBLE)))) > 0"
+
+
+@register(
+    "sim_ann_lsh_bucketed",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    sig AS (
+      SELECT vec_id, e,
+             {" + ".join(f"(CASE WHEN {_hyperplane_sign_sql(j)} THEN {2**j} ELSE 0 END)" for j in range(4))} AS bucket
+      FROM v
+    ),
+    pairs AS (
+      SELECT qa.vec_id AS query_id, db.vec_id AS neighbor_id,
+             round({_DOT_SQL} / ({_NORM_SQL.format(v='qa')} * {_NORM_SQL.format(v='db')}), 6) AS cosine
+      FROM (SELECT * FROM sig WHERE vec_id < {N_QUERIES}) qa
+      JOIN sig db ON qa.bucket = db.bucket AND qa.vec_id <> db.vec_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rk
+      FROM pairs
+    )
+    SELECT query_id, neighbor_id, cosine, rk FROM ranked WHERE rk <= {TOP_K}
+    """,
+    tags=("llm", "similarity", "lsh"),
+)
+def sim_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane LSH: 4 sign bits -> 16 buckets; candidates
+    only within the query's bucket, then exact cosine re-rank.
+
+    Scale: THE scale path. The corpus is hashed once (map-only), the
+    candidate join is an equi-join on bucket id (keyed shuffle, no broadcast
+    of the corpus), and exact scoring touches ~1/16 of the data per query.
+    Recall tuning = more tables (OR of several band sets) or multi-probe;
+    the hyperplanes here are deterministic integer-parity signs so the DuckDB
+    oracle reproduces them exactly.
+    """
+    e = load(spark, sf_dir, "embeddings").select("vec_id", _vec("embedding").alias("e"))
+
+    def bucket_col():
+        total = F.lit(0)
+        for j in range(4):
+            proj = F.aggregate(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(64)),
+                    lambda i: F.element_at(F.col("e"), i)
+                    * (((F.lit(j) * 31 + i * 7) % 2) * 2 - 1).cast("double"),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            total = total + F.when(proj > 0, F.lit(2**j)).otherwise(F.lit(0))
+        return total
+
+    sig = e.withColumn("bucket", bucket_col())
+    q = sig.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("bucket").alias("qb")
+    )
+    corpus = sig.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ne"), F.col("bucket").alias("nb"))
+    norm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))  # noqa: E731
+    cos = F.round(_dot(F.col("qe"), F.col("ne")) / (norm(F.col("qe")) * norm(F.col("ne"))), 6)
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        q.join(corpus, (F.col("qb") == F.col("nb")) & (F.col("query_id") != F.col("neighbor_id")))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+    )
+
+
+@register(
+    "sim_label_blocked_pairs",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    SELECT qa.label AS label, count(*) AS n_close_pairs
+    FROM v qa JOIN v db ON qa.label = db.label AND qa.vec_id < db.vec_id
+    WHERE {_DOT_SQL} / ({_NORM_SQL.format(v='qa')} * {_NORM_SQL.format(v='db')}) > 0.75
+    GROUP BY qa.label
+    """,
+    tags=("llm", "similarity"),
+)
+def sim_label_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup mining: count high-cosine pairs within each label
+    block (the embedding-cosine near-dup dedup strategy).
+
+    Scale: blocking on label bounds the pair space; within-block pairs
+    shuffle on label so each block's pairs compute co-located.
+    """
+    v = load(spark, sf_dir, "embeddings").select("vec_id", "label", _vec("embedding").alias("e"))
+    a = v.select(F.col("vec_id").alias("va"), F.col("label"), F.col("e").alias("ea"))
+    b = v.select(F.col("vec_id").alias("vb"), F.col("label").alias("lb"), F.col("e").alias("eb"))
+    norm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a_, x: a_ + x))  # noqa: E731
+    cos = _dot(F.col("ea"), F.col("eb")) / (norm(F.col("ea")) * norm(F.col("eb")))
+    return (
+        a.join(b, (F.col("label") == F.col("lb")) & (F.col("va") < F.col("vb")))
+        .filter(cos > 0.75)
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_close_pairs"))
+    )
+
+
+@register("sim_ivf_kmeans_build", oracle=None, tags=("llm", "similarity", "ivf"))
+def sim_ivf_kmeans_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index build: distributed Lloyd's k-means (k=8, 3 iterations,
+    deterministic init = vectors 0..7), returning cluster sizes + mean
+    within-cluster distance — the coarse quantizer an IVF-ANN search probes.
+
+    Rows-only: iterative fixpoint isn't single-statement SQL. Deterministic
+    (fixed init, fp64, fixed iteration order) so row counts are stable.
+
+    Scale: each iteration = one broadcast of k centroids (k*dim doubles, KB)
+    + one map-side argmin + one groupBy(cluster) avg — no corpus shuffle at
+    all until the final small agg. The driver holds only k centroids.
+    """
+    v = load(spark, sf_dir, "embeddings").select("vec_id", _vec("embedding").alias("e"))
+    k = 8
+    centroids = [
+        (r["vec_id"], r["e"]) for r in v.filter(F.col("vec_id") < k).collect()
+    ]  # k rows only — driver state is O(k*dim), not O(n)
+
+    def assign(df: DataFrame, cents: list) -> DataFrame:
+        dist_cols = [
+            F.aggregate(
+                F.zip_with(F.col("e"), F.array(*[F.lit(float(x)) for x in ce]), lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias(f"d{ci}")
+            for ci, (_, ce) in enumerate(cents)
+        ]
+        with_d = df.select("vec_id", "e", *dist_cols)
+        arr = F.array(*[F.col(f"d{ci}") for ci in range(len(cents))])
+        return with_d.withColumn("cluster", F.array_position(arr, F.array_min(arr)) - 1)
+
+    assigned = None
+    for _ in range(3):
+        assigned = assign(v, centroids)
+        new_cents = (
+            assigned.groupBy("cluster")
+            .agg(*[F.avg(F.element_at(F.col("e"), i + 1)).alias(f"c{i}") for i in range(64)])
+            .collect()
+        )
+        centroids = [
+            (int(r["cluster"]), [r[f"c{i}"] for i in range(64)]) for r in sorted(new_cents, key=lambda r: r["cluster"])
+        ]
+
+    arr = F.array(*[F.col(f"d{ci}") for ci in range(len(centroids))])
+    return (
+        assigned.withColumn("min_d", F.array_min(arr))
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg(F.sqrt(F.col("min_d"))), 6).alias("mean_dist"),
+        )
+        .orderBy("cluster")
+    )

@@ -1,0 +1,239 @@
+"""Text-analysis operators: token statistics, quality scoring, n-gram
+language ID, document fingerprinting, token frequency.
+
+All pure built-in-function pipelines (split/explode/regexp/array ops) — the
+hot path stays in whole-stage codegen; nothing leaves the JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_catalog_postgres_spark.registry import load, register
+
+# tiny per-language marker lists for the n-gram/stopword language-ID heuristic
+LANG_MARKERS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "es": ["el", "la", "de", "y", "que"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2"],
+}
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "on", "for"]
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+    SELECT lang,
+           count(*)                                        AS n_docs,
+           round(avg(len(string_split(text, ' '))), 6)     AS avg_tokens,
+           round(avg(n_chars), 6)                          AS avg_chars,
+           max(len(string_split(text, ' ')))               AS max_tokens,
+           round(avg(CAST(n_chars AS DOUBLE) / len(string_split(text, ' '))), 6) AS avg_token_len
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("llm", "text", "bench"),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting + per-language corpus statistics."""
+    d = load(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(n_tok), 6).alias("avg_tokens"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.max(n_tok).alias("max_tokens"),
+        F.round(F.avg(F.col("n_chars").cast("double") / n_tok), 6).alias("avg_token_len"),
+    )
+
+
+@register(
+    "text_bpe_ish_token_count",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' '))                            AS ws_tokens,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS bpe_ish_tokens,
+           CAST(ceil(n_chars / 4.0) AS BIGINT)                     AS byte_estimate
+    FROM documents
+    WHERE doc_id < 100
+    """,
+    tags=("llm", "text"),
+)
+def text_bpe_ish_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace, BPE-ish regex (letter runs /
+    digit runs / single punctuation — the GPT-2 pre-tokenizer shape), and the
+    chars/4 byte heuristic."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), F.lit(0))).alias(
+            "bpe_ish_tokens"
+        ),
+        F.ceil(F.col("n_chars") / 4.0).cast("bigint").alias("byte_estimate"),
+    )
+
+
+def _marker_case_sql() -> str:
+    score = lambda lang: (  # noqa: E731
+        f"len(list_intersect(toks, {LANG_MARKERS[lang]!r}))".replace("'", "'")
+    )
+    scores = ", ".join(f"len(list_intersect(toks, {LANG_MARKERS[l]!r}))" for l in LANG_MARKERS)
+    return scores
+
+
+@register(
+    "text_lang_id_markers",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang AS actual_lang,
+             {", ".join(f"len(list_intersect(toks, {LANG_MARKERS[l]!r})) AS s_{l}" for l in LANG_MARKERS)}
+      FROM (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks FROM documents)
+    ),
+    predicted AS (
+      SELECT doc_id, actual_lang,
+             CASE {" ".join(f"WHEN greatest(s_en, s_es, s_fr, s_de, s_zh) = s_{l} AND s_{l} > 0 THEN '{l}'" for l in LANG_MARKERS)}
+                  ELSE 'unknown' END AS predicted_lang
+      FROM scored
+    )
+    SELECT actual_lang, predicted_lang, count(*) AS n
+    FROM predicted GROUP BY actual_lang, predicted_lang
+    """,
+    tags=("llm", "text", "langid"),
+)
+def text_lang_id_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID with a confusion-matrix output.
+
+    CASE evaluates in declaration order on ties, so both engines pick the
+    same winner deterministically (en > es > fr > de > zh priority).
+
+    Scale: marker lists are literal arrays compiled into the plan — a
+    map-only scoring pass, then a tiny groupBy.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split("text", " "))
+    scored = d.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        *[
+            F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in LANG_MARKERS[l]]))).alias(f"s_{l}")
+            for l in LANG_MARKERS
+        ],
+    )
+    best = F.greatest(*[F.col(f"s_{l}") for l in LANG_MARKERS])
+    pred = F.lit("unknown")
+    # build the CASE in reverse so earlier langs win ties (same as SQL order)
+    for l in reversed(list(LANG_MARKERS)):
+        pred = F.when((best == F.col(f"s_{l}")) & (F.col(f"s_{l}") > 0), F.lit(l)).otherwise(pred)
+    return (
+        scored.withColumn("predicted_lang", pred)
+        .groupBy("actual_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             n_chars,
+             len(list_intersect(list_distinct(string_split(text, ' ')),
+                 ['the','a','of','and','to','in','is','it','on','for'])) AS n_stop,
+             len(list_filter(string_split(text, ' '), t -> length(t) >= 8)) AS n_long
+      FROM documents
+    )
+    SELECT doc_id,
+           round(
+             least(1.0, n_tokens / 200.0) * 0.4
+             + least(1.0, n_stop / 5.0) * 0.3
+             + (1.0 - least(1.0, CAST(n_long AS DOUBLE) / n_tokens)) * 0.3
+           , 6) AS quality,
+           n_tokens, n_stop
+    FROM q
+    ORDER BY quality DESC, doc_id ASC
+    LIMIT 25
+    """,
+    tags=("llm", "text", "quality"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document quality score: length saturation + stopword
+    presence + long-token penalty (the C4/Gopher-style filter family),
+    top-25 deterministic.
+
+    Scale: map-only scoring, TakeOrderedAndProject for the top-k; a real
+    pipeline filters on the score instead (still map-only).
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(s) for s in STOPWORDS])))
+    n_long = F.size(F.filter(toks, lambda t: F.length(t) >= 8))
+    quality = F.round(
+        F.least(F.lit(1.0), n_tokens / 200.0) * 0.4
+        + F.least(F.lit(1.0), n_stop / 5.0) * 0.3
+        + (1.0 - F.least(F.lit(1.0), n_long.cast("double") / n_tokens)) * 0.3,
+        6,
+    )
+    return (
+        d.select("doc_id", quality.alias("quality"), n_tokens.alias("n_tokens"), n_stop.alias("n_stop"))
+        .orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+        .limit(25)
+    )
+
+
+@register(
+    "text_fingerprint_bag",
+    oracle="""
+    SELECT fp, count(*) AS n_docs, min(doc_id) AS first_doc
+    FROM (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+          FROM documents)
+    GROUP BY fp
+    HAVING count(*) > 1
+    """,
+    tags=("llm", "text", "fingerprint"),
+)
+def text_fingerprint_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words fingerprint (md5 of sorted distinct tokens): catches
+    docs that are word-permutations of each other — a cheaper, stricter
+    near-dup signal than MinHash, same groupBy-on-hash scaling."""
+    d = load(spark, sf_dir, "documents")
+    fp = F.md5(F.array_join(F.sort_array(F.array_distinct(F.split("text", " "))), " "))
+    return (
+        d.select("doc_id", fp.alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@register(
+    "text_token_frequency",
+    oracle="""
+    SELECT token, count(*) AS freq, count(DISTINCT doc_id) AS doc_freq
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    ORDER BY freq DESC, token ASC
+    LIMIT 20
+    """,
+    tags=("llm", "text"),
+)
+def text_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequency + document frequency, top 20.
+
+    Scale: explode multiplies rows map-side; the groupBy(token) partial agg
+    collapses before shuffle. Token-skew ("the") is exactly what partial
+    aggregation absorbs — each partition ships one row per hot token.
+    """
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"), F.countDistinct("doc_id").alias("doc_freq"))
+        .orderBy(F.col("freq").desc(), F.col("token").asc())
+        .limit(20)
+    )
