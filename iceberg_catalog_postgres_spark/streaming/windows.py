@@ -1,0 +1,304 @@
+"""Streaming operators on the ``events`` table: tumbling/sliding/session
+windows, watermarked dedup, arbitrary stateful processing.
+
+Strategy (SURVEY §7 phase 4): each window shape is registered twice —
+1. a BATCH DataFrame implementation using the same window functions
+   Structured Streaming executes, oracle-checked against DuckDB
+   (``time_bucket``/sessionization SQL), and
+2. a true ``readStream`` variant (availableNow trigger -> memory sink),
+   rows-only checked, proving the same query shape runs incrementally.
+
+This mirrors the stream/batch-unified model ("one SQL to rule them all",
+PAPERS.md): a batch query is a bounded stream.
+
+Scale: streaming state (window aggregates, dedup keys, session state) is
+keyed by (window/user) and lives in the state store, partitioned like any
+shuffle; the watermark bounds state retention — without it, state grows
+unboundedly at 100 TB/day.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_catalog_postgres_spark.registry import load, register
+
+
+@register(
+    "stream_tumbling_window_agg",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "window"),
+)
+def stream_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation (batch form of the streaming
+    groupBy(window(...))). Window start emitted as string for cross-engine
+    parity."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "stream_sliding_window_agg",
+    oracle="""
+    WITH starts AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) AS s, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' AS s, value FROM events
+    )
+    SELECT strftime(s, '%Y-%m-%d %H:%M:%S') AS window_start,
+           count(*) AS n_events,
+           round(avg(value), 6) AS avg_value
+    FROM starts
+    GROUP BY s
+    """,
+    tags=("streaming", "window"),
+)
+def stream_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 hour, 30-minute slide): every event lands in 2
+    overlapping windows. Oracle reproduces Spark's window assignment by
+    unioning the two bucket offsets.
+
+    Scale: sliding windows multiply state by (length/slide); Spark's
+    window() explodes each row into its windows before the keyed agg — the
+    same partial-agg collapse applies per window.
+    """
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+@register(
+    "stream_session_window_agg",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM ordered
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    tags=("streaming", "window", "session"),
+)
+def stream_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute gap) per user — batch form of
+    ``session_window``. Spark's built-in session_window is used directly;
+    the oracle reconstructs identical sessions via the lag-gap + cumulative
+    sum idiom (they agree because both define a session as a maximal chain
+    of events with gaps <= 30 min).
+
+    Scale: session_window in streaming keeps per-user open-session state,
+    evicted by watermark; in batch it's a shuffle on user_id + sort —
+    identical cost shape to the as-of join.
+    """
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def _stream_source_dir(sf_dir: str) -> str:
+    """The file streaming source requires a *directory*; the fixtures are
+    single files. Stage a symlink under repo-local .tmp/ (fixtures are
+    read-only and must not be modified)."""
+    import os
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    d = os.path.join(repo_root, ".tmp", "stream_src", tag)
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    return d
+
+
+def _read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = spark.readStream.schema(schema).parquet(_stream_source_dir(sf_dir))
+    from pyspark.sql.types import LongType
+
+    if isinstance(raw.schema["ts"].dataType, LongType):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
+
+
+def _run_stream(spark: SparkSession, sf_dir: str, build) -> DataFrame:
+    """Boilerplate: file-source readStream over the events parquet ->
+    transformation ``build(stream_df)`` -> memory sink, availableNow trigger
+    (process-everything-then-stop), return the sink table."""
+    out = build(_read_event_stream(spark, sf_dir))
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if out.isStreaming and _has_agg(out) else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def _has_agg(df: DataFrame) -> bool:
+    # crude but sufficient: aggregated streaming plans need complete mode here
+    return "Aggregate" in df._jdf.queryExecution().analyzed().toString()
+
+
+@register("stream_readstream_tumbling", oracle=None, tags=("streaming", "readstream"))
+def stream_readstream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE Structured Streaming tumbling-window count: readStream(parquet)
+    -> watermark 1h -> window agg -> memory sink, availableNow.
+
+    Rows-only check (sink contents equal the batch query's rows — asserted
+    in tests/test_streaming.py; the driver check just needs schema+rows).
+    """
+
+    def build(s: DataFrame) -> DataFrame:
+        return (
+            s.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+                "event_type",
+                "n_events",
+            )
+        )
+
+    return _run_stream(spark, sf_dir, build)
+
+
+@register("stream_readstream_dedup_watermark", oracle=None, tags=("streaming", "readstream", "dedup"))
+def stream_readstream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup: dropDuplicatesWithinWatermark on
+    (user_id, event_type) with a 2-hour watermark — keeps first occurrence
+    per key within the watermark horizon; state auto-evicted after it.
+
+    Scale: dedup state is one timestamp per key, partitioned by key hash;
+    the watermark bounds total state to keys seen in the horizon.
+    """
+
+    def build(s: DataFrame) -> DataFrame:
+        return (
+            s.withWatermark("ts", "2 hours")
+            .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+            .select("user_id", "event_type", "event_id")
+        )
+
+    return _run_stream(spark, sf_dir, build)
+
+
+@register("stream_stateful_user_counter", oracle=None, tags=("streaming", "stateful"))
+def stream_stateful_user_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful streaming: applyInPandasWithState keeping a
+    per-user running (count, total_value) state across micro-batches.
+
+    Scale: state is per-key (user), Arrow-batched per partition; this is the
+    escape hatch for operators Spark's built-in streaming aggs can't express
+    (custom eviction, session logic, model state).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("total", DoubleType())]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, total = (state.get if state.exists else (0, 0.0))
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 4)]})
+
+    def build(s: DataFrame) -> DataFrame:
+        return (
+            s.withWatermark("ts", "1 hour")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+            )
+        )
+
+    def run(spark_, sf_dir_):
+        out = build(_read_event_stream(spark_, sf_dir_))
+        name = f"sink_{uuid.uuid4().hex[:12]}"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # final state per user = last update emitted
+        sink = spark_.table(name)
+        from pyspark.sql import Window as W
+
+        return sink.groupBy("user_id").agg(
+            F.max("n_events").alias("n_events"), F.max("total_value").alias("total_value")
+        )
+
+    return run(spark, sf_dir)

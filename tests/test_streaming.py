@@ -1,0 +1,40 @@
+"""Streaming-specific assertions beyond the rows-only driver check:
+the incremental (readStream) execution must produce exactly the same rows as
+the batch execution of the same logical query — the stream/batch unification
+contract."""
+
+from __future__ import annotations
+
+from iceberg_catalog_postgres_spark.registry import load_all
+
+REGISTRY = load_all()
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_streaming_tumbling_matches_batch(spark, sf_oracle):
+    batch = REGISTRY["stream_tumbling_window_agg"].fn(spark, sf_oracle)
+    stream = REGISTRY["stream_readstream_tumbling"].fn(spark, sf_oracle)
+    cols = ["window_start", "event_type", "n_events"]
+    assert _rows(stream, cols) == _rows(batch.select(*cols), cols)
+
+
+def test_streaming_dedup_keeps_one_per_key(spark, sf_oracle):
+    out = REGISTRY["stream_readstream_dedup_watermark"].fn(spark, sf_oracle)
+    per_key = out.groupBy("user_id", "event_type").count().filter("count > 1")
+    assert per_key.count() == 0
+
+
+def test_stateful_counter_totals_match_batch(spark, sf_oracle):
+    from iceberg_catalog_postgres_spark.registry import load
+    from pyspark.sql import functions as F
+
+    out = REGISTRY["stream_stateful_user_counter"].fn(spark, sf_oracle)
+    ev = load(spark, sf_oracle, "events")
+    batch = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("total_value")
+    )
+    cols = ["user_id", "n_events", "total_value"]
+    assert _rows(out.select(*cols), cols) == _rows(batch.select(*cols), cols)
