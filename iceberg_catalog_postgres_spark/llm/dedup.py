@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from iceberg_catalog_postgres_spark.registry import load, register
+from iceberg_catalog_postgres_spark.registry import load, load_parallel, register
 
 # MinHash configuration: K signatures in BANDS bands of ROWS rows.
 # P(candidate | jaccard s) = 1 - (1 - s^ROWS)^BANDS — with 12/4/3 the curve
@@ -95,8 +95,15 @@ def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _window_off(j: int) -> int:
+    """Start offset of hash-window j in the 32-hex md5 digest (1-based)."""
+    return 1 + 2 * (j - 1)
+
+
 def _minhash_oracle() -> str:
-    sig_cols = ",\n           ".join(f"min(md5(sh || '#{j}')) AS h{j}" for j in range(1, K + 1))
+    sig_cols = ",\n           ".join(
+        f"min(substr(md5(sh), {_window_off(j)}, 8)) AS h{j}" for j in range(1, K + 1)
+    )
     band_selects = []
     for b in range(BANDS):
         key = " || ".join(f"h{b * ROWS + r}" for r in range(1, ROWS + 1))
@@ -132,52 +139,94 @@ def _minhash_oracle() -> str:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-duplicate detection, verified with exact Jaccard.
 
-    Pipeline: 3-word shingles -> K={K} minhash signatures (lexicographic min
-    of md5(shingle || seed)) -> {BANDS} bands of {ROWS} -> band-bucket
-    equi-join for candidates -> exact shingle-set Jaccard >= {THRESH} on
-    candidates only.
+    Pipeline: 3-word shingles -> ONE md5 per shingle -> K={K} minhash
+    signatures as lexicographic mins over K shifted 8-hex windows of that
+    digest (one-permutation-hashing style: md5 bits are uniform, so each
+    window induces a distinct pseudo-ordering of the shingle universe at
+    1/K the hashing cost) -> {BANDS} bands of {ROWS} -> band-bucket
+    candidates -> exact shingle-set Jaccard >= {THRESH} on candidates only.
 
-    Scale: the crossJoin-free shape. Candidate generation is a self-join on
-    (band, band_key) — shuffle keyed by band hash; bucket sizes are the skew
-    risk (a viral shingle set), bounded because identical band keys imply
-    near-identical docs. The exact-Jaccard verify joins only candidate pairs
-    (LSH output), typically << n^2. Signature agg is a single groupBy with
-    K min() partial aggregates — map-side combine collapses each partition.
+    Scale: the crossJoin-free shape, with a fully MAP-SIDE signature pass —
+    shingles stay an array column and each minhash is array_min(transform(...))
+    so no per-shingle rows ever shuffle. The only wide ops are the tiny band
+    groupBy (BANDS rows/doc of ~100-byte keys) and the candidate distinct.
+    Bucket sizes are the skew risk (a viral shingle set), bounded because
+    identical band keys imply near-identical docs. The exact-Jaccard verify
+    broadcasts the candidate pairs and touches only them, typically << n^2.
     """
-    d = load(spark, sf_dir, "documents")
-    sh = d.select("doc_id", F.explode(_shingle_expr()).alias("sh"))
+    d = load_parallel(spark, sf_dir, "documents")
+    # Per-doc shingle SET as an array column — no explode, so the minhash
+    # signature computes entirely MAP-SIDE below (array_min over transform):
+    # zero shuffles until the tiny band groupBy. At 100 TB this is the
+    # difference between an embarrassingly-parallel signature pass and
+    # shuffling one row per (doc, shingle).
+    base = d.select("doc_id", _shingle_expr().alias("shingles"))
 
-    sig = sh.groupBy("doc_id").agg(
-        *[F.min(F.md5(F.concat(F.col("sh"), F.lit(f"#{j}")))).alias(f"h{j}") for j in range(1, K + 1)]
+    hashed = base.withColumn("hs", F.transform(F.col("shingles"), lambda s: F.md5(s)))
+    sig = hashed.select(
+        "doc_id",
+        *[
+            F.array_min(
+                F.transform(F.col("hs"), lambda h: F.substring(h, _window_off(j), 8))
+            ).alias(f"h{j}")
+            for j in range(1, K + 1)
+        ],
     )
-    band_frames = []
-    for b in range(BANDS):
-        key = F.concat(*[F.col(f"h{b * ROWS + r}") for r in range(1, ROWS + 1)])
-        band_frames.append(sig.select("doc_id", F.lit(b).alias("band"), key.alias("key")))
-    bands = band_frames[0]
-    for bf in band_frames[1:]:
-        bands = bands.unionByName(bf)
+    # One row per (doc, band) via a single explode — NOT a 4-way union,
+    # which would re-evaluate the whole signature pipeline once per branch.
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat(*[F.col(f"h{b * ROWS + r}") for r in range(1, ROWS + 1)]).alias("key"),
+                    )
+                    for b in range(BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # Candidate pairs WITHOUT a self-join: group docs per (band, key) bucket
+    # and emit in-bucket pairs with a higher-order expression. One pass over
+    # the signature pipeline instead of two; bucket sizes are bounded
+    # (identical band keys ~ near-identical docs), so the pair expansion per
+    # bucket is small by construction.
+    ids = F.sort_array(F.collect_set("doc_id"))
+    n = F.size(F.col("ids"))
+    pair_expr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, n),
+                lambda j: F.struct(
+                    F.element_at(F.col("ids"), i).alias("doc_a"),
+                    F.element_at(F.col("ids"), j).alias("doc_b"),
+                ),
+            ),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    cand = (
+        bands.groupBy("band", "key")
+        .agg(ids.alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(pair_expr).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
 
-    shset = sh.groupBy("doc_id").agg(F.collect_set("sh").alias("s"))
+    shset = base.select("doc_id", F.col("shingles").alias("s"))
     jac = (
         F.size(F.array_intersect(F.col("sa.s"), F.col("sb.s"))).cast("double")
         / F.size(F.array_union(F.col("sa.s"), F.col("sb.s")))
     )
+    # cand is tiny relative to the corpus: broadcast it so the verify joins
+    # stream shset once with no shuffle.
     return (
-        cand.join(shset.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
+        F.broadcast(cand)
+        .join(shset.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
         .join(shset.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
@@ -218,7 +267,7 @@ def dedup_ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shuffle once as arrays; the Jaccard is computed JVM-side
     (array_intersect/union), no UDF.
     """
-    d = load(spark, sf_dir, "documents")
+    d = load_parallel(spark, sf_dir, "documents")
     t = d.select(
         "doc_id",
         "lang",
@@ -261,7 +310,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial aggs; candidates via equi-join on half-signature buckets — same
     crossJoin-free shape as MinHash-LSH.
     """
-    d = load(spark, sf_dir, "documents")
+    d = load_parallel(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
     h = toks.withColumn("hash", F.xxhash64("tok"))
     # bit votes: +1 if bit set else -1; simhash bit = majority

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from iceberg_catalog_postgres_spark.registry import load, register
+from iceberg_catalog_postgres_spark.registry import load, load_parallel, register
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 TOP_K = 5
@@ -58,7 +58,7 @@ def sim_cosine_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank-limit pushdown. Cost is O(|corpus| * |queries| * dim) FLOPs spread
     across partitions; for large query sets, switch to the LSH variant.
     """
-    e = load(spark, sf_dir, "embeddings").select("vec_id", _vec("embedding").alias("e"))
+    e = load_parallel(spark, sf_dir, "embeddings").select("vec_id", _vec("embedding").alias("e"))
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
     )
@@ -115,7 +115,7 @@ def sim_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hyperplanes here are deterministic integer-parity signs so the DuckDB
     oracle reproduces them exactly.
     """
-    e = load(spark, sf_dir, "embeddings").select("vec_id", _vec("embedding").alias("e"))
+    e = load_parallel(spark, sf_dir, "embeddings").select("vec_id", _vec("embedding").alias("e"))
 
     def bucket_col():
         total = F.lit(0)
@@ -166,7 +166,7 @@ def sim_label_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: blocking on label bounds the pair space; within-block pairs
     shuffle on label so each block's pairs compute co-located.
     """
-    v = load(spark, sf_dir, "embeddings").select("vec_id", "label", _vec("embedding").alias("e"))
+    v = load_parallel(spark, sf_dir, "embeddings").select("vec_id", "label", _vec("embedding").alias("e"))
     a = v.select(F.col("vec_id").alias("va"), F.col("label"), F.col("e").alias("ea"))
     b = v.select(F.col("vec_id").alias("vb"), F.col("label").alias("lb"), F.col("e").alias("eb"))
     norm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a_, x: a_ + x))  # noqa: E731

@@ -78,6 +78,19 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return df
 
 
+def load_parallel(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Scan + spread across the engine's full parallelism.
+
+    The local fixtures are single-file, single-row-group parquet, so Spark
+    plans ONE input split and any CPU-dense per-row pipeline (hashing,
+    shingling, vector math) runs on one core. A real 100 TB table has
+    thousands of row-groups and needs no such repartition — this trades one
+    small shuffle for full-width map stages on the fixture. Use for
+    compute-bound operators only; scan-bound aggregations stay on `load`.
+    """
+    return load(spark, sf_dir, table).repartition(spark.sparkContext.defaultParallelism)
+
+
 def load_all() -> dict[str, QuerySpec]:
     """Import every operator module (side effect: registration) and return REGISTRY."""
     import iceberg_catalog_postgres_spark.operators.tpch  # noqa: F401
