@@ -93,7 +93,7 @@ def fn_datetime_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_math_family",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           round(l_extendedprice, 1)                    AS rounded,
+           CAST(round(CAST(l_extendedprice AS DECIMAL(30,8)), 1) AS DOUBLE) AS rounded,
            abs(l_discount - 0.05)                       AS absdiff,
            floor(l_quantity)                            AS flr,
            ceil(l_extendedprice / 1000)                 AS price_k,

@@ -1,0 +1,147 @@
+"""Source/sink connectors beyond parquet: CSV, JSON, partitioned parquet
+with pruning, and the catalog pointer table as a database source.
+
+SURVEY.md §2.C "Scans / sources / sinks". Each round-trips fixture data
+through repo-local ``.tmp/`` staging (fixtures are read-only) and is
+oracle-checked against the original table — proving the connector is
+value-preserving, which is the property that matters.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_catalog_postgres_spark.registry import load, register
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _staging(name: str, sf_dir: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(_REPO_ROOT, ".tmp", "sources", tag, name)
+
+
+@register(
+    "source_csv_roundtrip",
+    oracle="SELECT c_custkey, c_name, c_nationkey, round(c_acctbal, 4) AS c_acctbal, c_mktsegment FROM customer",
+    tags=("source", "csv"),
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + source with an EXPLICIT schema (never inference in
+    production — schema inference is a full extra pass over the data and
+    non-deterministic under dirty rows).
+
+    Scale: CSV is a row format — no column pruning, no predicate pushdown,
+    no splittable compression by default; the engine treats it as an ingest
+    format only, converting to parquet (or a catalog table) at the boundary.
+    """
+    path = _staging("customer_csv", sf_dir)
+    src = load(spark, sf_dir, "customer")
+    if not os.path.exists(path):
+        src.write.mode("overwrite").option("header", True).csv(path + ".tmp")
+        os.rename(path + ".tmp", path)
+    schema = "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string"
+    return (
+        spark.read.schema(schema)
+        .option("header", True)
+        .csv(path)
+        .select("c_custkey", "c_name", "c_nationkey", F.round("c_acctbal", 4).alias("c_acctbal"), "c_mktsegment")
+    )
+
+
+@register(
+    "source_json_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    tags=("source", "json"),
+)
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + source with explicit schema.
+
+    Scale: like CSV, a boundary format; unlike CSV it nests. from_json +
+    explicit schema keeps parsing vectorized and errors surface as nulls
+    (inspectable) instead of job failures.
+    """
+    path = _staging("nation_json", sf_dir)
+    src = load(spark, sf_dir, "nation")
+    if not os.path.exists(path):
+        src.write.mode("overwrite").json(path + ".tmp")
+        os.rename(path + ".tmp", path)
+    return (
+        spark.read.schema("n_nationkey int, n_name string, n_regionkey int")
+        .json(path)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
+
+
+@register(
+    "source_partitioned_pruning",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+    FROM orders WHERE o_orderstatus = 'O'
+    """,
+    tags=("source", "partitioning"),
+)
+def source_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned parquet sink + partition-pruned scan: data is
+    written partitionBy(o_orderstatus); the filter on the partition column
+    prunes whole directories at planning time (PartitionFilters in explain,
+    zero I/O for non-matching partitions).
+
+    Scale: THE mechanism for 100 TB tables — partition on the dominant
+    filter dimension (date, normally) and queries touch only matching
+    partitions. Partition count discipline matters: aim for >= 100 MB per
+    partition file, never per-key microfiles.
+    """
+    path = _staging("orders_by_status", sf_dir)
+    src = load(spark, sf_dir, "orders")
+    if not os.path.exists(path):
+        src.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path + ".tmp")
+        os.rename(path + ".tmp", path)
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("o_orderstatus") == "O")
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+
+
+@register("source_catalog_pointer_db", oracle=None, tags=("source", "jdbc"))
+def source_catalog_pointer_db(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The catalog's own pointer table as a database source — the analytic
+    engine reading its metadata plane (the reference's iceberg_tables,
+    mod.rs:365-385).
+
+    In production this is ``spark.read.jdbc(url, "iceberg_tables")`` straight
+    at Postgres (catalog ops are point lookups; an analytic scan of the
+    pointer table is tiny — O(#tables)). No JDBC driver jar ships in this
+    container, so the rows travel via the Python DB-API into
+    ``createDataFrame`` — same source semantics, documented substitution.
+    """
+    work = os.path.join(_REPO_ROOT, ".tmp", "catalog_source_demo")
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work, exist_ok=True)
+
+    from iceberg_catalog_postgres_spark.catalog.catalog import PostgresCatalog, TableIdentifier
+
+    catalog = PostgresCatalog.connect(
+        "demo_src", f"sqlite://{os.path.join(work, 'catalog.db')}", os.path.join(work, "warehouse")
+    )
+    catalog.initialize()
+    for t in ("ns_a.t1", "ns_a.t2", "ns_b.t1"):
+        catalog.create_table(
+            TableIdentifier.parse(t), load(spark, sf_dir, "region").schema
+        )
+
+    rows, _ = catalog.backend.execute(
+        "SELECT catalog_name, table_namespace, table_name, metadata_location FROM iceberg_tables"
+    )
+    df = spark.createDataFrame(
+        rows, "catalog_name string, table_namespace string, table_name string, metadata_location string"
+    )
+    return df.groupBy("catalog_name", "table_namespace").agg(
+        F.count(F.lit(1)).alias("n_tables"),
+        F.count(F.col("metadata_location")).alias("n_with_metadata"),
+    )
