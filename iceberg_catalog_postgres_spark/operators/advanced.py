@@ -1,0 +1,342 @@
+"""Advanced relational patterns: correlated subqueries (decorrelated),
+pivot/unpivot, statistical aggregates, distribution window functions,
+calendar spines, map parsing, SQL-string entry points, sampling.
+
+These complete the SURVEY §2.C inventory beyond the core suites.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iceberg_catalog_postgres_spark.registry import load, register
+
+
+@register(
+    "subq_correlated_scalar_avg",
+    oracle="""
+    SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#11'
+      AND l.l_quantity < (
+        SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+      )
+    """,
+    tags=("advanced", "subquery"),
+)
+def subq_correlated_scalar_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average),
+    manually decorrelated into an aggregate + join — exactly the rewrite
+    Catalyst performs on the SQL form.
+
+    Scale: the naive correlated form is O(n) subquery executions; the
+    decorrelated form is one groupBy(partkey) + one equi-join, both keyed on
+    partkey so AQE can reuse/co-locate the exchanges.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11")
+    per_part = li.groupBy(F.col("l_partkey").alias("ap_key")).agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg_qty")
+    )
+    return (
+        li.join(part, part.p_partkey == li.l_partkey)
+        .join(per_part, F.col("ap_key") == li.l_partkey)
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+    )
+
+
+@register(
+    "subq_min_per_group_joinback",
+    oracle="""
+    SELECT s.s_nationkey, s.s_suppkey, s.s_name, round(s.s_acctbal, 2) AS s_acctbal
+    FROM supplier s
+    WHERE s.s_acctbal = (
+      SELECT min(s2.s_acctbal) FROM supplier s2 WHERE s2.s_nationkey = s.s_nationkey
+    )
+    """,
+    tags=("advanced", "subquery"),
+)
+def subq_min_per_group_joinback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: row(s) achieving the per-group minimum, via
+    aggregate-then-join-back decorrelation.
+
+    Scale: groupBy(nationkey).min + equi-join on (nationkey, acctbal); the
+    aggregated side is tiny (one row per group) so AQE broadcasts it.
+    """
+    s = load(spark, sf_dir, "supplier")
+    mins = s.groupBy(F.col("s_nationkey").alias("mk")).agg(F.min("s_acctbal").alias("min_bal"))
+    return (
+        s.join(mins, (s.s_nationkey == F.col("mk")) & (s.s_acctbal == F.col("min_bal")))
+        .select("s_nationkey", "s_suppkey", "s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+    )
+
+
+@register(
+    "pivot_segment_status",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS status_F,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS status_O,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS status_P
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    """,
+    tags=("advanced", "pivot"),
+)
+def pivot_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts per market segment x order status.
+
+    The pivot values are DECLARED (['F','O','P']) — an undeclared pivot
+    first runs a distinct scan to discover values, an extra full pass at
+    100 TB and a plan that can't be cached across runs.
+    """
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    piv = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return piv.select(
+        "c_mktsegment",
+        F.coalesce("F", F.lit(0)).alias("status_F"),
+        F.coalesce("O", F.lit(0)).alias("status_O"),
+        F.coalesce("P", F.lit(0)).alias("status_P"),
+    )
+
+
+@register(
+    "unpivot_measures_long",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure, round(val, 4) AS val
+    FROM (
+      SELECT l_orderkey, l_linenumber,
+             unnest(['quantity', 'price', 'discount']) AS measure,
+             unnest([l_quantity, l_extendedprice, l_discount]) AS val
+      FROM lineitem WHERE l_orderkey <= 50
+    )
+    """,
+    tags=("advanced", "unpivot"),
+)
+def unpivot_measures_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide measure columns -> long (measure, value) rows —
+    the inverse of pivot, map-side only (no shuffle)."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 50)
+    return (
+        li.unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_extendedprice", "l_discount"],
+            "measure_col",
+            "val",
+        )
+        .withColumn(
+            "measure",
+            F.when(F.col("measure_col") == "l_quantity", "quantity")
+            .when(F.col("measure_col") == "l_extendedprice", "price")
+            .otherwise("discount"),
+        )
+        .select("l_orderkey", "l_linenumber", "measure", F.round("val", 4).alias("val"))
+    )
+
+
+@register(
+    "agg_corr_covar",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6)       AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+           round(regr_slope(l_extendedprice, l_quantity), 6) AS price_per_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("advanced", "statistics"),
+)
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics: correlation, sample covariance, regression
+    slope — single-pass mergeable moment aggregates (partial-agg friendly,
+    unlike rank-based statistics)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("qty_price_covar"),
+        F.round(F.expr("regr_slope(l_extendedprice, l_quantity)"), 6).alias("price_per_qty"),
+    )
+
+
+@register(
+    "window_percent_rank_cume",
+    oracle="""
+    SELECT s_suppkey,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist()    OVER w, 6) AS cume
+    FROM supplier
+    WINDOW w AS (ORDER BY s_acctbal ASC, s_suppkey ASC)
+    """,
+    tags=("advanced", "window"),
+)
+def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist distribution window functions."""
+    s = load(spark, sf_dir, "supplier")
+    w = Window.orderBy(F.col("s_acctbal").asc(), F.col("s_suppkey").asc())
+    return s.select(
+        "s_suppkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
+    "date_spine_monthly",
+    oracle="""
+    WITH spine AS (
+      SELECT unnest(generate_series(TIMESTAMP '1995-01-01', TIMESTAMP '2001-12-01',
+                                    INTERVAL 1 MONTH)) AS month_start
+    )
+    SELECT strftime(month_start, '%Y-%m-%d') AS month_start,
+           coalesce(n_orders, 0) AS n_orders
+    FROM spine
+    LEFT JOIN (
+      SELECT date_trunc('month', o_orderdate) AS m, count(*) AS n_orders
+      FROM orders GROUP BY 1
+    ) o ON o.m = spine.month_start
+    """,
+    tags=("advanced", "calendar"),
+)
+def date_spine_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar spine: generated month sequence LEFT-joined to data so empty
+    months appear as zeros — the gap-filling idiom for time series.
+
+    Scale: the spine is generated (84 rows), broadcast against the
+    aggregated fact side; generation via explode(sequence(...)) costs no I/O.
+    """
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("timestamp"),
+                F.lit("2001-12-01").cast("timestamp"),
+                F.expr("INTERVAL 1 MONTH"),
+            )
+        ).alias("month_start")
+    )
+    o = load(spark, sf_dir, "orders")
+    monthly = o.groupBy(F.date_trunc("month", "o_orderdate").alias("m")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    return (
+        F.broadcast(spine)
+        .join(monthly, monthly.m == spine.month_start, "left_outer")
+        .select(
+            F.date_format("month_start", "yyyy-MM-dd").alias("month_start"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "fn_str_to_map",
+    oracle="""
+    SELECT event_id,
+           regexp_extract(kv, 'type=([^,]*)', 1) AS type_val,
+           regexp_extract(kv, 'val=([^,]*)', 1)  AS val_str
+    FROM (
+      SELECT event_id, 'type=' || event_type || ',val=' || CAST(CAST(trunc(value) AS INT) AS VARCHAR) AS kv
+      FROM events WHERE event_id < 100
+    )
+    """,
+    tags=("advanced", "map"),
+)
+def fn_str_to_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """str_to_map: parse 'k=v,k2=v2' strings into MapType and extract keys
+    (the config-string / query-string parsing idiom). Oracle extracts the
+    same values with regex since DuckDB lacks str_to_map."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 100)
+    kv = F.concat(
+        F.lit("type="), F.col("event_type"), F.lit(",val="), F.col("value").cast("int").cast("string")
+    )
+    m = F.expr("str_to_map(kv, ',', '=')")
+    return (
+        ev.withColumn("kv", kv)
+        .select(
+            "event_id",
+            F.element_at(m, "type").alias("type_val"),
+            F.element_at(m, "val").alias("val_str"),
+        )
+    )
+
+
+@register(
+    "sql_exists_subquery_text",
+    oracle="""
+    SELECT n_name, count(*) AS n_suppliers
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE EXISTS (
+      SELECT 1 FROM customer WHERE c_nationkey = s_nationkey AND c_acctbal > 9000
+    )
+    GROUP BY n_name
+    """,
+    tags=("advanced", "sql"),
+)
+def sql_exists_subquery_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-string entry point (spark.sql) with a correlated EXISTS —
+    Catalyst decorrelates it to a left-semi join automatically; this query
+    exists to prove the SQL surface, not just the DataFrame one.
+    (EXISTS idiom: reference mod.rs:113-128.)"""
+    load(spark, sf_dir, "supplier").createOrReplaceTempView("sqlx_supplier")
+    load(spark, sf_dir, "nation").createOrReplaceTempView("sqlx_nation")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("sqlx_customer")
+    return spark.sql(
+        """
+        SELECT n_name, count(*) AS n_suppliers
+        FROM sqlx_supplier JOIN sqlx_nation ON s_nationkey = n_nationkey
+        WHERE EXISTS (
+          SELECT 1 FROM sqlx_customer WHERE c_nationkey = s_nationkey AND c_acctbal > 9000
+        )
+        GROUP BY n_name
+        """
+    )
+
+
+@register("sample_deterministic_count", oracle=None, tags=("advanced", "sampling"))
+def sample_deterministic_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bernoulli sampling with a fixed seed: sample(0.1, seed=42). The
+    selected rows are engine-specific (Spark's RNG), hence rows-only; the
+    test contract is determinism WITHIN Spark (same seed -> same sample) and
+    a binomially-plausible count.
+
+    Scale: sampling is map-side (each partition samples independently) —
+    the cheap first step of any profiling/sketching pass over 100 TB.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    s = li.sample(fraction=0.1, seed=42)
+    return s.agg(
+        F.count(F.lit(1)).alias("sampled_rows"),
+        F.round(F.avg("l_quantity"), 2).alias("sampled_avg_qty"),
+    )
+
+
+@register(
+    "ids_monotonic_unique",
+    oracle="""
+    SELECT count(*) AS n_rows, count(*) AS n_distinct_ids FROM part
+    """,
+    tags=("advanced", "ids"),
+)
+def ids_monotonic_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """monotonically_increasing_id: distributed unique id assignment with no
+    coordination (partition id in the high bits). The checkable invariant is
+    uniqueness — id VALUES are partition-layout-dependent, so the output is
+    (row count, distinct-id count) which the oracle knows must be equal.
+
+    Scale: this is how you assign ids to 100 TB without a global counter;
+    row_number() over an empty window (the tempting alternative) funnels
+    everything through ONE task.
+    """
+    p = load(spark, sf_dir, "part").withColumn("rid", F.monotonically_increasing_id())
+    return p.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("rid").alias("n_distinct_ids"),
+    )
