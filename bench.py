@@ -40,12 +40,18 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         spec = registry[name]
-        t0 = time.perf_counter()
-        df = spec.fn(spark, sf_dir)
-        # Materialize fully (not just count, which can prune aggregates):
-        # collect to driver; headline queries return small results by design.
-        df.collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # Pass 1 (untimed): JVM JIT + codegen compile + file-footer caches.
+        # Pass 2/3 (timed, best-of-2): steady-state execution; min filters
+        # out scheduler noise on shared hardware.
+        spec.fn(spark, sf_dir).collect()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            # Materialize fully (not just count, which can prune aggregates):
+            # collect to driver; headline queries return small results by design.
+            spec.fn(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
