@@ -106,6 +106,65 @@ class Table:
     def new_transaction(self) -> "Transaction":  # mod.rs:466
         return Transaction(self)
 
+    def commit_schema(self, new_schema: StructType) -> "Table":
+        """Schema evolution: commit a new schema version through the same CAS
+        pointer swap as a data commit. Field ids carried in
+        ``StructField.metadata['iceberg.field-id']`` are preserved; new
+        fields get fresh ids — columns are tracked by ID, not name, which is
+        what makes renames/adds safe across existing data files
+        (reference schema model: mod.rs:431-453, SURVEY §1.2).
+
+        Old data files lack the new columns; ``to_df`` reads with the
+        declared schema so missing parquet columns surface as nulls — the
+        standard additive-evolution contract.
+        """
+        from iceberg_catalog_postgres_spark.catalog.metadata import (
+            FIELD_ID_KEY,
+            TableMetadata,
+            schema_to_iceberg,
+        )
+
+        current_ids = {
+            f.name: f.metadata.get(FIELD_ID_KEY)
+            for f in self.schema.fields
+            if f.metadata and FIELD_ID_KEY in f.metadata
+        }
+        next_id = max(current_ids.values(), default=0)
+        fields = []
+        for f in new_schema.fields:
+            meta = dict(f.metadata or {})
+            if FIELD_ID_KEY not in meta:
+                if f.name in current_ids:  # existing column keeps its id
+                    meta[FIELD_ID_KEY] = current_ids[f.name]
+                else:  # genuinely new column gets a fresh id
+                    next_id += 1
+                    meta[FIELD_ID_KEY] = next_id
+            from pyspark.sql.types import StructField as _SF
+
+            fields.append(_SF(f.name, f.dataType, f.nullable, meta))
+        evolved = StructType(fields)
+
+        md = self.metadata
+        new_md = TableMetadata(
+            table_uuid=md.table_uuid,
+            location=md.location,
+            schema=schema_to_iceberg(evolved),
+            snapshots=list(md.snapshots),
+            current_snapshot_id=md.current_snapshot_id,
+            last_updated_ms=md.last_updated_ms,
+            format_version=md.format_version,
+            properties=dict(md.properties),
+        )
+        import posixpath as _pp
+        import uuid as _uuid
+
+        store = self.catalog.object_store()
+        new_location = _pp.join(
+            md.location, "metadata", f"s{len(md.snapshots)}-{_uuid.uuid4().hex}.metadata.json"
+        )
+        store.put(new_location, new_md.to_json().encode())
+        return self.catalog.update_table(self.identifier, new_location, self._metadata_location)
+
     def refresh(self) -> "Table":
         return self.catalog.load_table(self.identifier)
 

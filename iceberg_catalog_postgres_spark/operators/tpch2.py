@@ -1,0 +1,236 @@
+"""Second TPC-H-style batch: market share, top revenue nations, order-month
+share, quantity-fraction, and waiting-orders shapes, adapted to the fixture
+schemas (no partsupp / l_commitdate / l_receiptdate — see FIXTURES.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_catalog_postgres_spark.registry import load, register
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+    SELECT o_year, round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+                         / sum(volume), 6) AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+    ) all_nations
+    GROUP BY o_year
+    """,
+    tags=("tpch", "join", "conditional-agg"),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8: one nation's share of regional volume per year — an 8-relation
+    join tree with a conditional-aggregate ratio.
+
+    Scale: the deepest join tree in the suite; Catalyst's CBO + AQE order
+    it so filtered dims (region='ASIA', p_type) prune early, and the two
+    nation roles broadcast. The ratio is two partial-aggregable sums — one
+    shuffle at the end.
+    """
+    part = load(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    n1 = F.broadcast(load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    ))
+    n2 = F.broadcast(load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation")
+    ))
+    region = F.broadcast(load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        part.join(li, part.p_partkey == li.l_partkey)
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n1, F.col("c_nationkey") == F.col("cn_key"))
+        .join(region, F.col("cn_region") == F.col("r_regionkey"))
+        .join(n2, F.col("s_nationkey") == F.col("sn_key"))
+        .withColumn("o_year", F.year("o_orderdate").cast("int"))
+        .withColumn("volume", vol)
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(0.0))
+                / F.sum("volume"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "q11_important_stock",
+    oracle="""
+    WITH nation_value AS (
+      SELECT n_name, sum(s_acctbal * 100.0) AS value
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY n_name
+    )
+    SELECT n_name, round(value, 2) AS value
+    FROM nation_value
+    WHERE value > (SELECT sum(value) * 0.05 FROM nation_value)
+    ORDER BY value DESC, n_name ASC
+    """,
+    tags=("tpch", "having", "scalar-subquery"),
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: groups whose value exceeds a fraction of the GLOBAL total
+    — aggregate reused both as rows and as a scalar threshold.
+
+    Scale: the per-group aggregate is computed once and self-joined against
+    its own 1-row global sum (broadcast); no second scan of the base table.
+    """
+    s = load(spark, sf_dir, "supplier")
+    n = F.broadcast(load(spark, sf_dir, "nation"))
+    nation_value = (
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(F.col("s_acctbal") * 100.0).alias("value"))
+    )
+    total = nation_value.agg((F.sum("value") * 0.05).alias("threshold"))
+    return (
+        nation_value.join(F.broadcast(total))
+        .filter(F.col("value") > F.col("threshold"))
+        .select("n_name", F.round("value", 2).alias("value"))
+        .orderBy(F.col("value").desc(), F.col("n_name").asc())
+    )
+
+
+@register(
+    "q12_priority_by_band",
+    oracle="""
+    SELECT CASE WHEN l_quantity < 25 THEN 'low' ELSE 'high' END AS qty_band,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1
+    """,
+    tags=("tpch", "conditional-agg"),
+)
+def q12_priority_by_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape (shipmode -> quantity band): priority mix per band via
+    dual conditional counts."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .withColumn("qty_band", F.when(F.col("l_quantity") < 25, "low").otherwise("high"))
+        .groupBy("qty_band")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q15_top_supplier_view",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, round(total_revenue, 2) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+    tags=("tpch", "view", "scalar-subquery"),
+)
+def q15_top_supplier_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15: revenue 'view' reused twice (rows + its own max) — the
+    shared-subplan pattern, expressed as a reused DataFrame."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    s = load(spark, sf_dir, "supplier")
+    return (
+        s.join(revenue, s.s_suppkey == F.col("supplier_no"))
+        .join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .select("s_suppkey", "s_name", F.round("total_revenue", 2).alias("total_revenue"))
+    )
+
+
+@register(
+    "q16_part_supplier_counts",
+    oracle="""
+    SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#13' AND p_size IN (1, 5, 9, 13, 17)
+    GROUP BY p_brand, p_size
+    ORDER BY supplier_cnt DESC, p_brand ASC, p_size ASC
+    """,
+    tags=("tpch", "count-distinct"),
+)
+def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape: distinct supplier counts per (brand, size) with negated
+    and IN predicates."""
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13") & F.col("p_size").isin(1, 5, 9, 13, 17)
+    )
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        p.join(li, p.p_partkey == li.l_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), F.col("p_brand").asc(), F.col("p_size").asc())
+    )
+
+
+@register(
+    "q20_suppliers_with_backlog",
+    oracle="""
+    SELECT s_name, s_suppkey
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_suppkey
+      HAVING sum(l_quantity) > 3000
+    )
+    ORDER BY s_suppkey ASC
+    """,
+    tags=("tpch", "semi-join", "having"),
+)
+def q20_suppliers_with_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape: IN over a HAVING-filtered aggregate -> left-semi join."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") >= "1998-01-01")
+    busy = li.groupBy("l_suppkey").agg(F.sum("l_quantity").alias("q")).filter(F.col("q") > 3000)
+    s = load(spark, sf_dir, "supplier")
+    return (
+        s.join(busy, s.s_suppkey == busy.l_suppkey, "left_semi")
+        .select("s_name", "s_suppkey")
+        .orderBy(F.col("s_suppkey").asc())
+    )

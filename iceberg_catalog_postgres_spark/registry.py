@@ -94,6 +94,7 @@ def load_parallel(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 def load_all() -> dict[str, QuerySpec]:
     """Import every operator module (side effect: registration) and return REGISTRY."""
     import iceberg_catalog_postgres_spark.operators.tpch  # noqa: F401
+    import iceberg_catalog_postgres_spark.operators.tpch2  # noqa: F401
     import iceberg_catalog_postgres_spark.operators.relational  # noqa: F401
     import iceberg_catalog_postgres_spark.operators.joins  # noqa: F401
     import iceberg_catalog_postgres_spark.operators.advanced  # noqa: F401
@@ -107,5 +108,6 @@ def load_all() -> dict[str, QuerySpec]:
     import iceberg_catalog_postgres_spark.llm.multimodal  # noqa: F401
     import iceberg_catalog_postgres_spark.streaming.windows  # noqa: F401
     import iceberg_catalog_postgres_spark.catalog.queries  # noqa: F401
+    import iceberg_catalog_postgres_spark.catalog.integration  # noqa: F401
 
     return REGISTRY

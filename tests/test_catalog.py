@@ -154,3 +154,36 @@ def test_snapshot_time_travel(catalog, spark):
 
     assert t2.to_df(spark).count() == 2
     assert t2.to_df(spark, snapshot_id=snap1).count() == 1
+
+
+def test_schema_evolution_nulls_for_old_files(catalog, spark, sf_smoke):
+    """Files written under schema v1 must surface the v2 column as null."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    ident = TableIdentifier.parse("test.evolve")
+    v1 = StructType([StructField("id", LongType(), True), StructField("a", StringType(), True)])
+    t = catalog.create_table(ident, v1)
+    t = t.new_transaction().append_dataframe(spark.createDataFrame([(1, "x")], v1)).commit()
+
+    v2 = StructType([*v1.fields, StructField("b", StringType(), True)])
+    t = t.commit_schema(v2)
+    assert [f.name for f in t.schema.fields] == ["id", "a", "b"]
+    # field ids: existing preserved, new one fresh
+    from iceberg_catalog_postgres_spark.catalog.metadata import FIELD_ID_KEY
+
+    ids = [f.metadata[FIELD_ID_KEY] for f in t.schema.fields]
+    assert ids == [1, 2, 3]
+
+    t = t.new_transaction().append_dataframe(spark.createDataFrame([(2, "y", "z")], v2)).commit()
+    rows = {r["id"]: (r["a"], r["b"]) for r in t.to_df(spark).collect()}
+    assert rows == {1: ("x", None), 2: ("y", "z")}
+
+
+def test_stream_sink_batches_are_atomic_commits(catalog, spark, sf_smoke):
+    """foreachBatch append: table row count equals streamed rows and every
+    batch added exactly one snapshot."""
+    from iceberg_catalog_postgres_spark.registry import load_all
+
+    reg = load_all()
+    out = reg["catalog_stream_sink_append"].fn(spark, sf_smoke)
+    assert out.count() == 5  # one row per event_type in the complete-mode agg
