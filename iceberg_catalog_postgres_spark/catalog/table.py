@@ -221,6 +221,13 @@ class Transaction:
         ]
         return self.append_files(new_files)
 
+    def overwrite_dataframe(self, df: DataFrame) -> "Transaction":
+        """Write df as parquet and stage it as a full-table OVERWRITE
+        snapshot (replaces the current file set atomically at commit)."""
+        self.append_dataframe(df)
+        self._operation = "overwrite"
+        return self
+
     # -- commit -----------------------------------------------------------
 
     def commit(self) -> Table:

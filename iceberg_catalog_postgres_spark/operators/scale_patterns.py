@@ -1,0 +1,207 @@
+"""Scale-pattern operators: techniques that exist purely for 100 TB
+behavior, each proven result-identical to its naive form by the oracle.
+
+- Salted aggregation (skew mitigation) — same result as plain groupBy.
+- Two-phase distinct (pre-aggregate before the wide distinct).
+- Multi-resolution time rollup (hour+day in ONE input pass).
+- TF-IDF (explode + doc-frequency join, the classic two-shuffle shape).
+- Rolling-hash document fingerprint (order-sensitive fold).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_catalog_postgres_spark.registry import load, register
+
+SALT_BUCKETS = 8
+
+
+@register(
+    "skew_salted_agg",
+    oracle="""
+    SELECT event_type, count(*) AS n_events, round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("scale", "skew"),
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-stage aggregation: groupBy(key, salt) -> groupBy(key).
+
+    The oracle is the PLAIN groupBy — proving salting is semantically free.
+    Scale: when one key dominates (a viral event_type at 100 TB), the plain
+    plan funnels that key's rows through one reducer; salting spreads each
+    key over SALT_BUCKETS reducers in stage 1, and stage 2 merges only
+    SALT_BUCKETS pre-aggregated rows per key. (For count/sum this is what
+    partial aggregation already does; salting matters for aggregates whose
+    partial state is heavy — collect_list, exact distinct — and for skewed
+    JOIN keys, where AQE skew-split is the automatic variant.)
+    """
+    ev = load(spark, sf_dir, "events")
+    salted = ev.withColumn("salt", F.pmod(F.col("event_id"), F.lit(SALT_BUCKETS)))
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("pn"), F.sum("value").alias("pv")
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n_events"), F.round(F.sum("pv"), 4).alias("total_value")
+    )
+
+
+@register(
+    "twophase_distinct_users",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("scale", "distinct"),
+)
+def twophase_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual two-phase exact distinct: dedupe (key, user) pairs first, then
+    count — the rewrite Catalyst performs for COUNT(DISTINCT); spelled out
+    so the shape is explicit and reusable for multi-column variants the
+    optimizer can't always decompose.
+
+    Scale: the first distinct shuffles (type, user) pairs with map-side
+    dedup; the count then shuffles only |distinct| rows. Never collect a
+    distinct set into one task.
+    """
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@register(
+    "rollup_time_multires",
+    oracle="""
+    SELECT resolution, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           n_events, round(total_value, 4) AS total_value
+    FROM (
+      SELECT 'hour' AS resolution, time_bucket(INTERVAL '1 hour', ts) AS bucket,
+             count(*) AS n_events, sum(value) AS total_value
+      FROM events GROUP BY 2
+      UNION ALL
+      SELECT 'day', time_bucket(INTERVAL '1 day', ts), count(*), sum(value)
+      FROM events GROUP BY 2
+    )
+    """,
+    tags=("scale", "rollup", "timeseries"),
+)
+def rollup_time_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: hourly AND daily aggregates
+    from ONE pass over the input, via an exploded (resolution, bucket) key.
+
+    Scale: the naive form scans the fact table once per resolution; this
+    shape explodes each row into its R resolution buckets (map-side) and
+    aggregates once — input I/O is 1x instead of Rx, shuffle stays
+    proportional to the number of (resolution, bucket) groups. The same
+    pattern extends to week/month and to continuous-aggregate maintenance.
+    """
+    ev = load(spark, sf_dir, "events")
+    keyed = ev.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("hour").alias("resolution"), F.date_trunc("hour", "ts").alias("bucket")),
+                F.struct(F.lit("day").alias("resolution"), F.date_trunc("day", "ts").alias("bucket")),
+            )
+        ).alias("rk"),
+        "value",
+    )
+    return (
+        keyed.groupBy("rk.resolution", "rk.bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            "resolution",
+            F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, token, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY doc_id, token
+    ),
+    df AS (SELECT token, count(*) AS doc_freq FROM tf GROUP BY token),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.token,
+           round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.doc_freq), 6) AS tfidf
+    FROM tf JOIN df USING (token) CROSS JOIN n
+    WHERE tf.doc_id < 10
+    ORDER BY tf.doc_id ASC, tfidf DESC, tf.token ASC
+    """,
+    tags=("scale", "text", "tfidf"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: term frequency per doc x inverse document frequency.
+
+    Scale: two keyed shuffles (tf on (doc, token), df on token) + a join on
+    token; df is orders of magnitude smaller than tf (vocabulary vs corpus)
+    so AQE broadcasts it. The n_docs scalar is a 1-row cross join. The
+    WHERE doc_id < 10 output filter happens AFTER scoring because idf needs
+    the full corpus — a correctness subtlety the plan must respect.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.join(df_, "token")
+        .join(F.broadcast(n))
+        .filter(F.col("doc_id") < 10)
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("doc_freq")), 6
+            ).alias("tfidf"),
+        )
+        .orderBy(F.col("doc_id").asc(), F.col("tfidf").desc(), F.col("token").asc())
+    )
+
+
+@register(
+    "text_rolling_hash_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+             list_transform(string_split(text, ' '),
+                            t -> (length(t) * 7 + ascii(t)) % 1000003),
+             (a, b) -> (a * 31 + b) % 1000003
+           ) AS fingerprint
+    FROM documents
+    WHERE doc_id < 200
+    """,
+    tags=("scale", "text", "fingerprint"),
+)
+def text_rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling hash over the token stream (polynomial hash
+    mod prime) — unlike the bag fingerprint, permutations produce different
+    fingerprints. Pure fold (F.reduce / list_reduce), map-side only.
+
+    Scale: one pass, no shuffle; the mod keeps values bounded so the fold
+    never overflows — the streaming-friendly fingerprint for incremental
+    dedup (extendable to rolling windows for chunk-level dedup).
+    """
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    tok_h = F.transform(
+        F.split("text", " "), lambda t: (F.length(t) * 7 + F.ascii(t)) % 1000003
+    )
+    fp = F.aggregate(
+        tok_h,
+        F.lit(0).cast("int"),
+        lambda acc, x: (acc * 31 + x) % 1000003,
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))

@@ -98,6 +98,7 @@ def load_all() -> dict[str, QuerySpec]:
     import iceberg_catalog_postgres_spark.operators.relational  # noqa: F401
     import iceberg_catalog_postgres_spark.operators.joins  # noqa: F401
     import iceberg_catalog_postgres_spark.operators.advanced  # noqa: F401
+    import iceberg_catalog_postgres_spark.operators.scale_patterns  # noqa: F401
     import iceberg_catalog_postgres_spark.operators.windows  # noqa: F401
     import iceberg_catalog_postgres_spark.functions.scalar  # noqa: F401
     import iceberg_catalog_postgres_spark.functions.udfs  # noqa: F401
@@ -109,5 +110,6 @@ def load_all() -> dict[str, QuerySpec]:
     import iceberg_catalog_postgres_spark.streaming.windows  # noqa: F401
     import iceberg_catalog_postgres_spark.catalog.queries  # noqa: F401
     import iceberg_catalog_postgres_spark.catalog.integration  # noqa: F401
+    import iceberg_catalog_postgres_spark.catalog.maintenance  # noqa: F401
 
     return REGISTRY

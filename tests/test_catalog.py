@@ -187,3 +187,31 @@ def test_stream_sink_batches_are_atomic_commits(catalog, spark, sf_smoke):
     reg = load_all()
     out = reg["catalog_stream_sink_append"].fn(spark, sf_smoke)
     assert out.count() == 5  # one row per event_type in the complete-mode agg
+
+
+def test_compaction_reduces_files_preserves_rows(spark, sf_smoke):
+    from iceberg_catalog_postgres_spark.registry import load_all
+
+    reg = load_all()
+    row = reg["catalog_compaction"].fn(spark, sf_smoke).collect()[0]
+    assert row["files_before"] > row["files_after"]
+    assert row["files_after"] == 1
+    assert row["rows_before"] == row["rows_after"]
+
+
+def test_merge_upsert_replaces_by_key(catalog, spark):
+    from iceberg_catalog_postgres_spark.catalog.maintenance import merge_upsert
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType([StructField("k", LongType(), True), StructField("v", StringType(), True)])
+    ident = TableIdentifier.parse("test.merge")
+    t = catalog.create_table(ident, schema)
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame([(1, "a"), (2, "b")], schema)
+    ).commit()
+    t = merge_upsert(
+        spark, t, spark.createDataFrame([(2, "B"), (3, "c")], schema), ["k"]
+    )
+    rows = {r["k"]: r["v"] for r in t.to_df(spark).collect()}
+    assert rows == {1: "a", 2: "B", 3: "c"}
+    assert t.metadata.current_snapshot().operation == "overwrite"
