@@ -1,0 +1,158 @@
+"""Embedding compression operators: int8 quantization with reconstruction
+error, L2 normalization, and per-label centroid statistics.
+
+All map-side array math (transform/aggregate folds in fp64) — the storage-
+side half of the similarity-search stack: quantize for 4x smaller indexes,
+normalize so cosine becomes dot product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_catalog_postgres_spark.registry import load_parallel, register
+
+
+def _vec(col: str):
+    return F.transform(F.col(col), lambda x: x.cast("double"))
+
+
+def _fold_sum(arr):
+    return F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)
+
+
+@register(
+    "embed_int8_quantize_error",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+             greatest(list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))), 1e-12) AS scale
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, label, e, scale,
+             list_transform(e, x -> round(x / scale * 127.0)) AS qe
+      FROM v
+    )
+    SELECT label,
+           count(*) AS n_vectors,
+           round(avg(sqrt(list_sum(list_transform(range(1, 65),
+                 i -> pow(e[i] - qe[i] * scale / 127.0, 2))) / 64.0)), 9) AS rms_error,
+           round(avg(scale), 6) AS avg_scale
+    FROM q
+    GROUP BY label
+    """,
+    tags=("llm", "embedding", "quantization"),
+)
+def embed_int8_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization (per-vector absmax scale) + RMS
+    reconstruction error per label — the quantize-then-validate pass before
+    shipping a compressed ANN index.
+
+    Scale: pure map-side per-vector math; the only shuffle is the tiny
+    label agg. At 100 TB the quantized vectors (+1 scale float) write back
+    as a new column — 4x less index storage and memory bandwidth at query
+    time. round() half-away matches across engines on the quantized grid.
+    """
+    e = load_parallel(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", "label", _vec("embedding").alias("e"))
+    scale = F.greatest(
+        F.array_max(F.transform(F.col("e"), lambda x: F.abs(x))), F.lit(1e-12)
+    )
+    v = v.withColumn("scale", scale)
+    qe = F.transform(F.col("e"), lambda x: F.round(x / F.col("scale") * 127.0, 0))
+    v = v.withColumn("qe", qe)
+    sq_err = F.aggregate(
+        F.zip_with(
+            F.col("e"),
+            F.col("qe"),
+            lambda x, q: F.pow(x - q * F.col("scale") / 127.0, F.lit(2.0)),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return v.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg(F.sqrt(sq_err / 64.0)), 9).alias("rms_error"),
+        F.round(F.avg("scale"), 6).alias("avg_scale"),
+    )
+
+
+@register(
+    "embed_l2_normalize_check",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v
+    )
+    SELECT count(*) AS n_vectors,
+           round(min(nrm), 6) AS min_norm,
+           round(max(nrm), 6) AS max_norm,
+           count(*) FILTER (WHERE nrm < 1e-9) AS n_degenerate
+    FROM n
+    """,
+    tags=("llm", "embedding"),
+)
+def embed_l2_normalize_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Norm distribution + degenerate-vector detection — the validation gate
+    before normalizing a corpus so cosine reduces to dot product (saving the
+    per-pair norm computations in every subsequent similarity query)."""
+    e = load_parallel(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(_fold_sum(F.transform(_vec("embedding"), lambda x: x * x)))
+    n = e.select(nrm.alias("nrm"))
+    return n.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+        F.count(F.when(F.col("nrm") < 1e-9, 1)).alias("n_degenerate"),
+    )
+
+
+@register(
+    "embed_centroid_spread",
+    oracle="""
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    cent AS (
+      SELECT label, i, avg(val) AS c
+      FROM (SELECT label, generate_subscripts(e, 1) AS i, unnest(e) AS val FROM v)
+      GROUP BY label, i
+    ),
+    dists AS (
+      SELECT v.vec_id, v.label, sqrt(sum(pow(v.e[c.i] - c.c, 2))) AS d
+      FROM v JOIN cent c ON v.label = c.label
+      GROUP BY v.vec_id, v.label
+    )
+    SELECT label, count(*) AS n_vectors,
+           round(avg(d), 6) AS mean_dist_to_centroid
+    FROM dists
+    GROUP BY label
+    """,
+    tags=("llm", "embedding", "statistics"),
+)
+def embed_centroid_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid + mean distance to it (cluster tightness) — the
+    one-iteration building block of the IVF k-means, oracle-checked.
+
+    Scale: centroid = 64 avg() aggregates per label (partial-agg friendly);
+    the distance pass re-joins the broadcast centroids — two passes total,
+    no per-pair work.
+    """
+    e = load_parallel(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", "label", _vec("embedding").alias("e"))
+    cent = v.groupBy(F.col("label").alias("cl")).agg(
+        F.array(*[F.avg(F.element_at(F.col("e"), i + 1)) for i in range(64)]).alias("c")
+    )
+    dist = F.sqrt(
+        _fold_sum(F.zip_with(F.col("e"), F.col("c"), lambda x, c: F.pow(x - c, F.lit(2.0))))
+    )
+    return (
+        v.join(F.broadcast(cent), v.label == F.col("cl"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg(dist), 6).alias("mean_dist_to_centroid"),
+        )
+    )

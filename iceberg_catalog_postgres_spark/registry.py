@@ -66,6 +66,14 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     nanosecond epoch long and is converted here to TIMESTAMP_NTZ by integer
     floor-division to microseconds — the same truncation DuckDB applies.
     """
+    if table == "events":
+        # The driver may hand us a session without these confs; both are
+        # runtime-settable. nanosAsLong is required or the TIMESTAMP(NANOS)
+        # footer fails to read; UTC pins the rendering of the converted
+        # (timezone-aware) ts column so window/date_format output is
+        # deterministic regardless of host timezone.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     if table == "events":
         from pyspark.sql import functions as F
@@ -105,9 +113,11 @@ def load_all() -> dict[str, QuerySpec]:
     import iceberg_catalog_postgres_spark.sources.readers  # noqa: F401
     import iceberg_catalog_postgres_spark.llm.dedup  # noqa: F401
     import iceberg_catalog_postgres_spark.llm.similarity  # noqa: F401
+    import iceberg_catalog_postgres_spark.llm.quantize  # noqa: F401
     import iceberg_catalog_postgres_spark.llm.text  # noqa: F401
     import iceberg_catalog_postgres_spark.llm.multimodal  # noqa: F401
     import iceberg_catalog_postgres_spark.streaming.windows  # noqa: F401
+    import iceberg_catalog_postgres_spark.streaming.joins  # noqa: F401
     import iceberg_catalog_postgres_spark.catalog.queries  # noqa: F401
     import iceberg_catalog_postgres_spark.catalog.integration  # noqa: F401
     import iceberg_catalog_postgres_spark.catalog.maintenance  # noqa: F401

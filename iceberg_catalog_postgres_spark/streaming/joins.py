@@ -1,0 +1,141 @@
+"""Stream-stream joins and funnel analysis on events.
+
+The batch forms are oracle-checked; the true streaming variant
+(watermarked stream-stream interval join) is rows-only with a
+batch-equivalence test in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_catalog_postgres_spark.registry import load, register
+
+
+@register(
+    "funnel_signup_to_purchase",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(ts) FILTER (WHERE event_type = 'signup')   AS first_signup,
+             min(ts) FILTER (WHERE event_type = 'purchase') AS first_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT count(*) FILTER (WHERE first_signup IS NOT NULL)  AS n_signed_up,
+           count(*) FILTER (WHERE first_signup IS NOT NULL
+                            AND first_purchase > first_signup) AS n_converted,
+           round(CAST(count(*) FILTER (WHERE first_signup IS NOT NULL
+                                       AND first_purchase > first_signup) AS DOUBLE)
+                 / count(*) FILTER (WHERE first_signup IS NOT NULL), 6) AS conversion_rate
+    FROM firsts
+    """,
+    tags=("streaming", "funnel"),
+)
+def funnel_signup_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis: users whose first purchase follows their first
+    signup — conditional min aggregates, one shuffle on user_id, then a
+    1-row reduction. The sessionized-event analytics shape.
+    """
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("first_signup"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("first_purchase"),
+    )
+    signed = F.col("first_signup").isNotNull()
+    converted = signed & (F.col("first_purchase") > F.col("first_signup"))
+    return firsts.agg(
+        F.count(F.when(signed, 1)).alias("n_signed_up"),
+        F.count(F.when(converted, 1)).alias("n_converted"),
+        F.round(
+            F.count(F.when(converted, 1)).cast("double") / F.count(F.when(signed, 1)), 6
+        ).alias("conversion_rate"),
+    )
+
+
+@register(
+    "join_event_pairs_interval_batch",
+    oracle="""
+    SELECT e.user_id, count(*) AS n_pairs
+    FROM events e JOIN events p
+      ON e.user_id = p.user_id
+     AND e.event_type = 'error' AND p.event_type = 'purchase'
+     AND p.ts >= e.ts AND p.ts < e.ts + INTERVAL 10 MINUTE
+    GROUP BY e.user_id
+    """,
+    tags=("streaming", "interval-join"),
+)
+def join_event_pairs_interval_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the stream-stream interval join: purchases within 10
+    minutes after an error by the same user.
+
+    Scale: equality on user_id drives the shuffle; the time predicate is a
+    residual — identical shape to the streaming version, where the interval
+    bound + watermark is what lets Spark evict join state.
+    """
+    ev = load(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("eu"), F.col("ts").alias("ets")
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    return (
+        err.join(
+            pur,
+            (F.col("eu") == F.col("pu"))
+            & (F.col("pts") >= F.col("ets"))
+            & (F.col("pts") < F.col("ets") + F.expr("INTERVAL 10 MINUTE")),
+        )
+        .groupBy(F.col("eu").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@register("stream_stream_interval_join", oracle=None, tags=("streaming", "stream-join"))
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE stream-stream join: two watermarked streams (errors, purchases)
+    joined on user_id with a time-interval condition.
+
+    Scale: without the interval bound the join state grows forever; with
+    watermark + bound, each side's state is evicted once the other side's
+    watermark passes ts + 10 minutes. This is THE canonical stateful
+    streaming join; rows must equal the batch form
+    (tests/test_streaming.py::test_stream_stream_join_matches_batch).
+    """
+    from iceberg_catalog_postgres_spark.streaming.windows import _read_event_stream
+
+    s = _read_event_stream(spark, sf_dir)
+    err = (
+        s.filter(F.col("event_type") == "error")
+        .select(F.col("user_id").alias("eu"), F.col("ts").alias("ets"))
+        .withWatermark("ets", "30 minutes")
+    )
+    pur = (
+        s.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("pu"), F.col("ts").alias("pts"))
+        .withWatermark("pts", "30 minutes")
+    )
+    joined = err.join(
+        pur,
+        F.expr(
+            "eu = pu AND pts >= ets AND pts < ets + INTERVAL 10 MINUTE"
+        ),
+    ).select(F.col("eu").alias("user_id"), "ets", "pts")
+
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

@@ -38,3 +38,10 @@ def test_stateful_counter_totals_match_batch(spark, sf_oracle):
     )
     cols = ["user_id", "n_events", "total_value"]
     assert _rows(out.select(*cols), cols) == _rows(batch.select(*cols), cols)
+
+
+def test_stream_stream_join_matches_batch(spark, sf_oracle):
+    stream = REGISTRY["stream_stream_interval_join"].fn(spark, sf_oracle)
+    batch = REGISTRY["join_event_pairs_interval_batch"].fn(spark, sf_oracle)
+    cols = ["user_id", "n_pairs"]
+    assert _rows(stream.select(*cols), cols) == _rows(batch.select(*cols), cols)
