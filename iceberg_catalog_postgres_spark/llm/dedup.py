@@ -55,8 +55,13 @@ _SHINGLE_SQL = """
 @register(
     "dedup_exact_hash",
     oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50
+    )
     SELECT content_hash, min(doc_id) AS keep_doc_id, count(*) AS n_copies
-    FROM (SELECT doc_id, md5(text) AS content_hash FROM documents)
+    FROM (SELECT doc_id, md5(text) AS content_hash FROM corpus)
     GROUP BY content_hash
     HAVING count(*) > 1
     """,
@@ -65,12 +70,21 @@ _SHINGLE_SQL = """
 def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: groupBy(md5(text)), keep the lowest doc_id.
 
+    The fixture corpus has no byte-identical duplicates, so the input is the
+    corpus UNION a re-ingestion of its first 50 docs under new ids (the
+    double-delivery scenario exact dedup exists for) — the operator must
+    find exactly those 50 groups.
+
     Scale: shuffles 1 hash + 1 long per row; the text itself never moves.
     At 100 TB you shuffle ~50 bytes/doc, not documents.
     """
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    reingested = d.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    corpus = d.unionByName(reingested)
     return (
-        d.select("doc_id", F.md5("text").alias("content_hash"))
+        corpus.select("doc_id", F.md5("text").alias("content_hash"))
         .groupBy("content_hash")
         .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
         .filter(F.col("n_copies") > 1)

@@ -154,7 +154,7 @@ def sim_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
     SELECT qa.label AS label, count(*) AS n_close_pairs
     FROM v qa JOIN v db ON qa.label = db.label AND qa.vec_id < db.vec_id
-    WHERE {_DOT_SQL} / ({_NORM_SQL.format(v='qa')} * {_NORM_SQL.format(v='db')}) > 0.75
+    WHERE {_DOT_SQL} / ({_NORM_SQL.format(v='qa')} * {_NORM_SQL.format(v='db')}) > 0.35
     GROUP BY qa.label
     """,
     tags=("llm", "similarity"),
@@ -173,7 +173,7 @@ def sim_label_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = _dot(F.col("ea"), F.col("eb")) / (norm(F.col("ea")) * norm(F.col("eb")))
     return (
         a.join(b, (F.col("label") == F.col("lb")) & (F.col("va") < F.col("vb")))
-        .filter(cos > 0.75)
+        .filter(cos > 0.35)
         .groupBy("label")
         .agg(F.count(F.lit(1)).alias("n_close_pairs"))
     )

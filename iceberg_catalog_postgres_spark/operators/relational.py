@@ -53,14 +53,14 @@ def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p_partkey, p_name
     FROM part
-    WHERE regexp_matches(p_name, '^part_[0-9]*[02468]$')
+    WHERE regexp_matches(p_name, '^(a|b|c).* (anvil|rod|plate)$')
     """,
     tags=("relational", "filter", "regex"),
 )
 def filter_rlike_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regex predicate (rlike) — stays in codegen, no Python round-trip."""
     p = load(spark, sf_dir, "part")
-    return p.filter(F.col("p_name").rlike("^part_[0-9]*[02468]$")).select("p_partkey", "p_name")
+    return p.filter(F.col("p_name").rlike("^(a|b|c).* (anvil|rod|plate)$")).select("p_partkey", "p_name")
 
 
 @register(

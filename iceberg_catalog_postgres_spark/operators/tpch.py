@@ -538,20 +538,22 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_mktsegment, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
     FROM customer
     WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
-      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 250000)
     GROUP BY c_mktsegment
     """,
     tags=("tpch", "anti-join", "scalar-subquery"),
 )
 def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar subquery (global avg) + NOT EXISTS as a left-anti join.
+    """Scalar subquery (global avg) + NOT EXISTS as a left-anti join:
+    above-average-balance customers with no large (>250k) orders.
 
     Scale: the scalar avg is a 1-row broadcast; the anti join shuffles on
     custkey only. This is the reference's `table_exists` negation
     (mod.rs:107-136) at analytic scale.
     """
     cust = load(spark, sf_dir, "customer")
-    orders = load(spark, sf_dir, "orders")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000)
     avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("a"))
     rich = cust.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("a"))
     return (
