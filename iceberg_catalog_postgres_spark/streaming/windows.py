@@ -160,6 +160,9 @@ def _stream_source_dir(sf_dir: str) -> str:
 
 
 def _read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # driver-created sessions may lack these (see registry.load)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = spark.readStream.schema(schema).parquet(_stream_source_dir(sf_dir))
     from pyspark.sql.types import LongType
