@@ -41,11 +41,11 @@ def main() -> None:
     for name in names:
         spec = registry[name]
         # Pass 1 (untimed): JVM JIT + codegen compile + file-footer caches.
-        # Pass 2/3 (timed, best-of-2): steady-state execution; min filters
+        # Passes 2-4 (timed, best-of-3): steady-state execution; min filters
         # out scheduler noise on shared hardware.
         spec.fn(spark, sf_dir).collect()
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             # Materialize fully (not just count, which can prune aggregates):
             # collect to driver; headline queries return small results by design.
