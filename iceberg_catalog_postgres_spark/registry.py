@@ -107,6 +107,7 @@ def load_all() -> dict[str, QuerySpec]:
     import iceberg_catalog_postgres_spark.operators.joins  # noqa: F401
     import iceberg_catalog_postgres_spark.operators.advanced  # noqa: F401
     import iceberg_catalog_postgres_spark.operators.scale_patterns  # noqa: F401
+    import iceberg_catalog_postgres_spark.operators.bucketing  # noqa: F401
     import iceberg_catalog_postgres_spark.operators.windows  # noqa: F401
     import iceberg_catalog_postgres_spark.functions.scalar  # noqa: F401
     import iceberg_catalog_postgres_spark.functions.udfs  # noqa: F401

@@ -50,3 +50,21 @@ def test_brute_topk_broadcasts_queries(spark, sf_oracle):
     shuffles)."""
     f = plan_features(REGISTRY["sim_cosine_topk_brute"].fn(spark, sf_oracle))
     assert f["broadcast_joins"] >= 1
+
+
+def test_bucketed_join_has_no_exchange_on_join_sides(spark, sf_oracle):
+    """Co-bucketed tables must join without shuffling either side: at most
+    the final aggregation exchange appears in the plan."""
+    from iceberg_catalog_postgres_spark.plans.audit import explain_formatted
+
+    df = REGISTRY["bucketed_colocated_join"].fn(spark, sf_oracle)
+    plan = explain_formatted(df)
+    import re
+
+    # exchanges before the SortMergeJoin would mean bucketing didn't engage;
+    # allow only the post-join aggregation exchange
+    join_pos = plan.find("SortMergeJoin")
+    assert join_pos != -1 or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    pre_join = plan[:join_pos] if join_pos != -1 else plan
+    ex_count = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert ex_count <= 1, f"expected <=1 exchange (final agg), got {ex_count}\n{plan[:2000]}"
