@@ -112,6 +112,7 @@ def load_all() -> dict[str, QuerySpec]:
     import iceberg_catalog_postgres_spark.functions.scalar  # noqa: F401
     import iceberg_catalog_postgres_spark.functions.udfs  # noqa: F401
     import iceberg_catalog_postgres_spark.functions.misc  # noqa: F401
+    import iceberg_catalog_postgres_spark.functions.spark4  # noqa: F401
     import iceberg_catalog_postgres_spark.sources.readers  # noqa: F401
     import iceberg_catalog_postgres_spark.llm.dedup  # noqa: F401
     import iceberg_catalog_postgres_spark.llm.similarity  # noqa: F401
