@@ -459,3 +459,43 @@ def orderby_nulls_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("s_acctbal").desc_nulls_last(), F.col("s_suppkey").asc())
         .limit(5)
     )
+
+
+@register(
+    "setop_intersect_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    tags=("relational", "setop"),
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag intersection with multiplicity min()."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersectAll(s)
+
+
+@register(
+    "setop_union_by_name_missing",
+    oracle="""
+    SELECT c_custkey AS entity_id, c_name AS entity_name, c_mktsegment AS segment FROM customer
+    UNION ALL
+    SELECT s_suppkey, s_name, NULL FROM supplier
+    """,
+    tags=("relational", "setop"),
+)
+def setop_union_by_name_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName(allowMissingColumns=True): schema-mediated union where
+    one side lacks a column (filled with nulls) — the multi-source ingest
+    union that positional UNION gets silently wrong."""
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("entity_id"),
+        F.col("c_name").alias("entity_name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("entity_id"), F.col("s_name").alias("entity_name")
+    )
+    return c.unionByName(s, allowMissingColumns=True)
