@@ -1,0 +1,141 @@
+"""ANN quality evaluation: recall of the LSH-bucketed search against the
+brute-force ground truth, per query and overall — the metric that decides
+how many hash tables / probes a production ANN deployment needs.
+
+Both rankings and the recall join are deterministic (fp64 folds, rounded
+tie-breaks), so even this evaluation is oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iceberg_catalog_postgres_spark.llm.similarity import N_QUERIES, TOP_K, _dot, _vec
+from iceberg_catalog_postgres_spark.registry import load_parallel, register
+
+_BRUTE_SQL = f"""
+      SELECT qa.vec_id AS query_id, db.vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY qa.vec_id
+               ORDER BY round(list_sum(list_transform(range(1, 65), i -> qa.e[i] * db.e[i]))
+                 / (sqrt(list_sum(list_transform(qa.e, x -> x * x)))
+                    * sqrt(list_sum(list_transform(db.e, x -> x * x)))), 6) DESC,
+               db.vec_id ASC) AS rk
+      FROM (SELECT * FROM v WHERE vec_id < {N_QUERIES}) qa
+      JOIN v db ON qa.vec_id <> db.vec_id
+"""
+
+
+def _sign_sql(j: int) -> str:
+    return (
+        f"list_sum(list_transform(range(1, 65), i -> e[i] * "
+        f"(CAST(((({j} * 31 + i * 7) % 2) * 2 - 1) AS DOUBLE)))) > 0"
+    )
+
+
+@register(
+    "sim_ann_recall_eval",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    brute AS (
+      SELECT query_id, neighbor_id FROM ({_BRUTE_SQL}) WHERE rk <= {TOP_K}
+    ),
+    sig AS (
+      SELECT vec_id, e,
+             {" + ".join(f"(CASE WHEN {_sign_sql(j)} THEN {2**j} ELSE 0 END)" for j in range(4))} AS bucket
+      FROM v
+    ),
+    lsh AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT qa.vec_id AS query_id, db.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY qa.vec_id
+                 ORDER BY round(list_sum(list_transform(range(1, 65), i -> qa.e[i] * db.e[i]))
+                   / (sqrt(list_sum(list_transform(qa.e, x -> x * x)))
+                      * sqrt(list_sum(list_transform(db.e, x -> x * x)))), 6) DESC,
+                 db.vec_id ASC) AS rk
+        FROM (SELECT * FROM sig WHERE vec_id < {N_QUERIES}) qa
+        JOIN sig db ON qa.bucket = db.bucket AND qa.vec_id <> db.vec_id
+      ) WHERE rk <= {TOP_K}
+    )
+    SELECT b.query_id,
+           count(l.neighbor_id) AS n_hit,
+           {TOP_K} AS k,
+           round(CAST(count(l.neighbor_id) AS DOUBLE) / {TOP_K}, 4) AS recall_at_k
+    FROM brute b
+    LEFT JOIN lsh l ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+    GROUP BY b.query_id
+    """,
+    tags=("llm", "similarity", "evaluation"),
+)
+def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the 16-bucket sign-LSH search vs brute force, per query.
+
+    Scale: the evaluation itself follows ANN economics — brute force runs
+    once over a SAMPLE of queries (here: the 10 query vectors) to calibrate,
+    never over the full corpus. The recall number directly drives the
+    production knob (more tables / multi-probe) documented in
+    ``sim_ann_lsh_bucketed``.
+    """
+    e = load_parallel(spark, sf_dir, "embeddings").select("vec_id", _vec("embedding").alias("e"))
+    norm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))  # noqa: E731
+
+    def topk(corpus_with_bucket: bool) -> DataFrame:
+        if corpus_with_bucket:
+            def bucket_col():
+                total = F.lit(0)
+                for j in range(4):
+                    proj = F.aggregate(
+                        F.transform(
+                            F.sequence(F.lit(1), F.lit(64)),
+                            lambda i: F.element_at(F.col("e"), i)
+                            * (((F.lit(j) * 31 + i * 7) % 2) * 2 - 1).cast("double"),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    total = total + F.when(proj > 0, F.lit(2**j)).otherwise(F.lit(0))
+                return total
+
+            sig = e.withColumn("bucket", bucket_col())
+            q = sig.filter(F.col("vec_id") < N_QUERIES).select(
+                F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("bucket").alias("qb")
+            )
+            corpus = sig.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ne"), F.col("bucket").alias("nb")
+            )
+            joined = q.join(
+                corpus, (F.col("qb") == F.col("nb")) & (F.col("query_id") != F.col("neighbor_id"))
+            )
+        else:
+            q = e.filter(F.col("vec_id") < N_QUERIES).select(
+                F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+            )
+            corpus = e.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ne"))
+            joined = F.broadcast(q).join(corpus, F.col("query_id") != F.col("neighbor_id"))
+
+        cos = F.round(_dot(F.col("qe"), F.col("ne")) / (norm(F.col("qe")) * norm(F.col("ne"))), 6)
+        w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+        return (
+            joined.select("query_id", "neighbor_id", cos.alias("cosine"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= TOP_K)
+            .select("query_id", "neighbor_id")
+        )
+
+    brute = topk(corpus_with_bucket=False)
+    lsh = topk(corpus_with_bucket=True).withColumnRenamed("neighbor_id", "lsh_neighbor_id")
+    return (
+        brute.join(
+            lsh,
+            (brute.query_id == lsh.query_id) & (brute.neighbor_id == lsh.lsh_neighbor_id),
+            "left_outer",
+        )
+        .groupBy(brute.query_id.alias("query_id"))
+        .agg(
+            F.count("lsh_neighbor_id").alias("n_hit"),
+            F.lit(TOP_K).alias("k"),
+            F.round(F.count("lsh_neighbor_id").cast("double") / TOP_K, 4).alias("recall_at_k"),
+        )
+    )
