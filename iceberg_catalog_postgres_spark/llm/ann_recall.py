@@ -27,11 +27,8 @@ _BRUTE_SQL = f"""
 """
 
 
-def _sign_sql(j: int) -> str:
-    return (
-        f"list_sum(list_transform(range(1, 65), i -> e[i] * "
-        f"(CAST(((({j} * 31 + i * 7) % 2) * 2 - 1) AS DOUBLE)))) > 0"
-    )
+from iceberg_catalog_postgres_spark.llm.lsh_planes import bucket_col as _bucket_col
+from iceberg_catalog_postgres_spark.llm.lsh_planes import bucket_sql as _bucket_sql
 
 
 @register(
@@ -43,7 +40,7 @@ def _sign_sql(j: int) -> str:
     ),
     sig AS (
       SELECT vec_id, e,
-             {" + ".join(f"(CASE WHEN {_sign_sql(j)} THEN {2**j} ELSE 0 END)" for j in range(4))} AS bucket
+             {_bucket_sql("e", 0, 4)} AS bucket
       FROM v
     ),
     lsh AS (
@@ -83,22 +80,7 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def topk(corpus_with_bucket: bool) -> DataFrame:
         if corpus_with_bucket:
-            def bucket_col():
-                total = F.lit(0)
-                for j in range(4):
-                    proj = F.aggregate(
-                        F.transform(
-                            F.sequence(F.lit(1), F.lit(64)),
-                            lambda i: F.element_at(F.col("e"), i)
-                            * (((F.lit(j) * 31 + i * 7) % 2) * 2 - 1).cast("double"),
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    )
-                    total = total + F.when(proj > 0, F.lit(2**j)).otherwise(F.lit(0))
-                return total
-
-            sig = e.withColumn("bucket", bucket_col())
+            sig = e.withColumn("bucket", _bucket_col(F.col("e"), 0, 4))
             q = sig.filter(F.col("vec_id") < N_QUERIES).select(
                 F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("bucket").alias("qb")
             )

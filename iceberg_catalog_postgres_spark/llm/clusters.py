@@ -1,0 +1,87 @@
+"""Duplicate-cluster resolution: near-dup PAIRS -> connected components ->
+one keeper per cluster. The step that turns pairwise similarity output into
+an actual deduplicated corpus.
+
+Connected components via iterative min-label propagation (a bounded number
+of large-star rounds), all in DataFrame ops — no driver-side graph.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_catalog_postgres_spark.registry import register
+
+
+def connected_components(edges: DataFrame, max_iters: int = 10) -> DataFrame:
+    """Min-label propagation over undirected edges (doc_a, doc_b) ->
+    (doc_id, component) where component = min doc_id reachable.
+
+    Each round every node adopts the smallest label among itself and its
+    neighbors; converges in O(diameter) rounds (dup clusters are near-
+    cliques, so 2-3 rounds in practice; max_iters bounds pathological
+    chains).
+
+    Scale: each round is one groupBy(node).min(label) over the edge list —
+    a keyed shuffle of |E| rows; no adjacency ever materializes on the
+    driver. localCheckpoint every round truncates the growing lineage so
+    the plan doesn't deepen linearly with iterations (SURVEY §7: avoid
+    driver-side state, keep iterations executor-bound).
+    """
+    sym = edges.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
+        edges.selectExpr("doc_b AS src", "doc_a AS dst")
+    )
+    labels = (
+        sym.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.doc_id)
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left_outer")
+            .select(
+                "doc_id",
+                F.least(F.col("component"), F.coalesce("nbr_min", F.col("component"))).alias("component"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    return labels
+
+
+@register("dedup_cluster_resolution", oracle=None, tags=("llm", "dedup", "clusters"))
+def dedup_cluster_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup resolution: MinHash-LSH pairs -> connected
+    components -> keeper (min doc_id) per cluster -> cluster roster.
+
+    Rows-only (iterative); exact cluster correctness is pinned by
+    tests/test_clusters.py against a pure-Python union-find on the same
+    pairs. Output: one row per cluster with size and members.
+    """
+    from iceberg_catalog_postgres_spark.llm.dedup import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    comps = connected_components(pairs)
+    return (
+        comps.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.array_join(F.sort_array(F.collect_set("doc_id")), ",").alias("members"),
+        )
+        .orderBy("component")
+    )

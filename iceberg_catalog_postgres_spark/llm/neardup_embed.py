@@ -14,11 +14,8 @@ THRESHOLD = 0.40
 N_PLANES = 3  # 8 buckets: coarse enough that near-pairs usually collide
 
 
-def _sign_sql(j: int) -> str:
-    return (
-        f"list_sum(list_transform(range(1, 65), i -> e[i] * "
-        f"(CAST(((({j} * 31 + i * 7) % 2) * 2 - 1) AS DOUBLE)))) > 0"
-    )
+from iceberg_catalog_postgres_spark.llm.lsh_planes import bucket_col as _bucket_col
+from iceberg_catalog_postgres_spark.llm.lsh_planes import bucket_sql as _bucket_sql
 
 
 @register(
@@ -27,7 +24,7 @@ def _sign_sql(j: int) -> str:
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
     sig AS (
       SELECT vec_id, e,
-             {" + ".join(f"(CASE WHEN {_sign_sql(j)} THEN {2**j} ELSE 0 END)" for j in range(N_PLANES))} AS bucket
+             {_bucket_sql("e", 7, N_PLANES)} AS bucket
       FROM v
     ),
     pairs AS (
@@ -55,22 +52,7 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("e")
     )
 
-    def bucket_col():
-        total = F.lit(0)
-        for j in range(N_PLANES):
-            proj = F.aggregate(
-                F.transform(
-                    F.sequence(F.lit(1), F.lit(64)),
-                    lambda i: F.element_at(F.col("e"), i)
-                    * (((F.lit(j) * 31 + i * 7) % 2) * 2 - 1).cast("double"),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            total = total + F.when(proj > 0, F.lit(2**j)).otherwise(F.lit(0))
-        return total
-
-    sig = e.withColumn("bucket", bucket_col())
+    sig = e.withColumn("bucket", _bucket_col(F.col("e"), 7, N_PLANES))
     a = sig.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), F.col("bucket").alias("ba"))
     b = sig.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"), F.col("bucket").alias("bb"))
     dot = F.aggregate(F.zip_with(F.col("ea"), F.col("eb"), lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)

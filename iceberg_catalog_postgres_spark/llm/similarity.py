@@ -75,10 +75,8 @@ def sim_cosine_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hyperplane_sign_sql(j: int) -> str:
-    # deterministic pseudo-random +-1 per (plane j, dim i), identical in both
-    # engines: parity of a small integer mix
-    return f"list_sum(list_transform(range(1, 65), i -> v.e[i] * (CAST(((({j} * 31 + i * 7) % 2) * 2 - 1) AS DOUBLE)))) > 0"
+from iceberg_catalog_postgres_spark.llm.lsh_planes import bucket_col as _bucket_col
+from iceberg_catalog_postgres_spark.llm.lsh_planes import bucket_sql as _bucket_sql
 
 
 @register(
@@ -87,7 +85,7 @@ def _hyperplane_sign_sql(j: int) -> str:
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
     sig AS (
       SELECT vec_id, e,
-             {" + ".join(f"(CASE WHEN {_hyperplane_sign_sql(j)} THEN {2**j} ELSE 0 END)" for j in range(4))} AS bucket
+             {_bucket_sql("v.e", 0, 4)} AS bucket
       FROM v
     ),
     pairs AS (
@@ -112,27 +110,12 @@ def sim_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate join is an equi-join on bucket id (keyed shuffle, no broadcast
     of the corpus), and exact scoring touches ~1/16 of the data per query.
     Recall tuning = more tables (OR of several band sets) or multi-probe;
-    the hyperplanes here are deterministic integer-parity signs so the DuckDB
-    oracle reproduces them exactly.
+    the hyperplanes are md5-derived literal +-1 vectors (lsh_planes.py) so
+    the DuckDB oracle reproduces them exactly and Catalyst constant-folds them.
     """
     e = load_parallel(spark, sf_dir, "embeddings").select("vec_id", _vec("embedding").alias("e"))
 
-    def bucket_col():
-        total = F.lit(0)
-        for j in range(4):
-            proj = F.aggregate(
-                F.transform(
-                    F.sequence(F.lit(1), F.lit(64)),
-                    lambda i: F.element_at(F.col("e"), i)
-                    * (((F.lit(j) * 31 + i * 7) % 2) * 2 - 1).cast("double"),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            total = total + F.when(proj > 0, F.lit(2**j)).otherwise(F.lit(0))
-        return total
-
-    sig = e.withColumn("bucket", bucket_col())
+    sig = e.withColumn("bucket", _bucket_col(F.col("e"), 0, 4))
     q = sig.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("bucket").alias("qb")
     )
