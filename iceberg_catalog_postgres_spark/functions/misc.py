@@ -117,3 +117,33 @@ def fn_arrays_zip_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("pair.y"), 6).alias("y"),
         F.col("pair.i").cast("int").alias("i"),
     )
+
+
+@register(
+    "fn_try_error_safe",
+    oracle="""
+    SELECT event_id,
+           TRY_CAST(props AS INT)                                   AS bad_cast,
+           TRY_CAST(json_extract_string(props, '$.k') AS INT)       AS good_cast,
+           CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) = 0 THEN NULL
+                ELSE CAST(100.0 / nullif(CAST(json_extract_string(props, '$.k') AS INT), 0) AS DOUBLE)
+           END                                                      AS safe_ratio
+    FROM events
+    WHERE event_id < 200
+    """,
+    tags=("functions", "error-handling"),
+)
+def fn_try_error_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe evaluation: try_cast / try_divide return NULL instead of
+    failing the task — at 100 TB one malformed row must never kill a
+    billion-row job. (ANSI mode makes plain cast/divide throw; the try_*
+    family is the per-expression opt-out.)"""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    return ev.select(
+        "event_id",
+        F.expr("try_cast(props AS INT)").alias("bad_cast"),
+        F.expr("try_cast(get_json_object(props, '$.k') AS INT)").alias("good_cast"),
+        F.try_divide(
+            F.lit(100.0), F.nullif(F.expr("try_cast(get_json_object(props, '$.k') AS INT)"), F.lit(0))
+        ).alias("safe_ratio"),
+    )
