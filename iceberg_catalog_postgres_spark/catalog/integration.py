@@ -145,3 +145,35 @@ def catalog_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.groupBy(F.col("lang").isNull().alias("from_v1_files")).agg(
         F.count(F.lit(1)).alias("n_rows")
     )
+
+
+@register("catalog_incremental_read", oracle=None, tags=("catalog", "cdc"))
+def catalog_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-feed read: three append commits, then incremental scans
+    between snapshot pairs — each reads ONLY the files that commit added
+    (planned from metadata, zero scanning of pre-existing data).
+
+    Returns per-interval added-row counts; exact semantics pinned in
+    tests/test_catalog.py::test_incremental_read_returns_only_new_rows.
+    """
+    cat = _fresh_catalog("catalog_incremental_demo")
+    src = load(spark, sf_dir, "customer")
+    ident = TableIdentifier.parse("cdc.customer")
+    table = cat.create_table(ident, src.schema)
+
+    snap_ids = []
+    for i in range(3):
+        table = (
+            table.new_transaction()
+            .append_dataframe(src.filter(F.col("c_custkey") % 3 == i))
+            .commit()
+        )
+        snap_ids.append(table.metadata.current_snapshot_id)
+
+    rows = []
+    for i in range(1, 3):
+        n = table.incremental_df(spark, snap_ids[i - 1], snap_ids[i]).count()
+        rows.append((f"s{i}->s{i+1}", n))
+    total = cat.load_table(ident).to_df(spark).count()
+    rows.append(("full_table", total))
+    return spark.createDataFrame(rows, "interval string, n_rows long")

@@ -215,3 +215,25 @@ def test_merge_upsert_replaces_by_key(catalog, spark):
     rows = {r["k"]: r["v"] for r in t.to_df(spark).collect()}
     assert rows == {1: "a", 2: "B", 3: "c"}
     assert t.metadata.current_snapshot().operation == "overwrite"
+
+
+def test_incremental_read_returns_only_new_rows(catalog, spark):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType([StructField("k", LongType(), True), StructField("v", StringType(), True)])
+    ident = TableIdentifier.parse("test.cdc")
+    t = catalog.create_table(ident, schema)
+    t = t.new_transaction().append_dataframe(spark.createDataFrame([(1, "a"), (2, "b")], schema)).commit()
+    s1 = t.metadata.current_snapshot_id
+    t = t.new_transaction().append_dataframe(spark.createDataFrame([(3, "c")], schema)).commit()
+    s2 = t.metadata.current_snapshot_id
+
+    inc = t.incremental_df(spark, s1, s2)
+    assert [r["k"] for r in inc.collect()] == [3]
+
+    # crossing an overwrite must refuse
+    t = t.new_transaction().overwrite_dataframe(spark.createDataFrame([(9, "z")], schema)).commit()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-append"):
+        t.incremental_df(spark, s1, t.metadata.current_snapshot_id)
