@@ -118,3 +118,59 @@ def catalog_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(files_before, files_after, n_rows, n_rows_after)],
         "files_before int, files_after int, rows_before long, rows_after long",
     )
+
+
+def expire_snapshots(table: Table, keep_last: int = 2) -> Table:
+    """Snapshot expiry + orphan-file cleanup: retain the most recent
+    ``keep_last`` snapshots, commit the pruned metadata via CAS, then
+    physically delete data files referenced ONLY by expired snapshots.
+
+    Ordering is the crux: files are deleted AFTER the pointer swap
+    succeeds, so a reader holding the old pointer during the commit still
+    resolves every file it can reference through surviving snapshots; a
+    reader of an expired snapshot is explicitly out of contract (that is
+    what expiry means). The reference leaves all file deletion as a TODO
+    (mod.rs:164) — this closes the gap.
+
+    Scale: metadata-only decisioning (set difference of file lists), O(1)
+    commit; deletes fan out as independent object-store calls.
+    """
+    import os as _os
+
+    md = table.metadata
+    if len(md.snapshots) <= keep_last:
+        return table
+    kept = md.snapshots[-keep_last:]
+    expired = md.snapshots[: -keep_last]
+
+    from iceberg_catalog_postgres_spark.catalog.metadata import TableMetadata
+
+    new_md = TableMetadata(
+        table_uuid=md.table_uuid,
+        location=md.location,
+        schema=md.schema,
+        snapshots=kept,
+        current_snapshot_id=md.current_snapshot_id,
+        last_updated_ms=md.last_updated_ms,
+        format_version=md.format_version,
+        properties=dict(md.properties),
+    )
+    import posixpath as _pp
+    import uuid as _uuid
+
+    store = table.catalog.object_store()
+    new_location = _pp.join(
+        md.location, "metadata", f"gc-{_uuid.uuid4().hex}.metadata.json"
+    )
+    store.put(new_location, new_md.to_json().encode())
+    committed = table.catalog.update_table(
+        table.identifier, new_location, table.metadata_location()
+    )
+
+    live_files = {f for s in kept for f in s.data_files}
+    orphans = {f for s in expired for f in s.data_files} - live_files
+    for f in orphans:
+        path = store.resolve(f)
+        if _os.path.exists(path):
+            _os.remove(path)
+    return committed

@@ -237,3 +237,46 @@ def test_incremental_read_returns_only_new_rows(catalog, spark):
 
     with _pytest.raises(ValueError, match="non-append"):
         t.incremental_df(spark, s1, t.metadata.current_snapshot_id)
+
+
+def test_expire_snapshots_removes_orphans_keeps_data(catalog, spark):
+    from iceberg_catalog_postgres_spark.catalog.maintenance import expire_snapshots
+    import os
+
+    ident = TableIdentifier.parse("test.expire")
+    t = catalog.create_table(ident, SCHEMA)
+    for i in range(4):
+        t = t.new_transaction().append_dataframe(
+            spark.createDataFrame([(f"r{i}", "x")], SCHEMA)
+        ).commit()
+    assert len(t.metadata.snapshots) == 4
+    all_files_before = [catalog.object_store().resolve(f) for f in t.metadata.snapshots[0].data_files]
+
+    t = expire_snapshots(t, keep_last=2)
+    assert len(t.metadata.snapshots) == 2
+    # current data intact: appends accumulate, so latest snapshot has all 4 rows
+    assert t.to_df(spark).count() == 4
+    # reload through the catalog sees the pruned history
+    assert len(catalog.load_table(ident).metadata.snapshots) == 2
+    # no orphans: appends reference cumulative file lists, so snapshot-1's
+    # files are still live in the kept snapshots and must NOT be deleted
+    for f in all_files_before:
+        assert os.path.exists(f)
+
+
+def test_expire_snapshots_deletes_overwritten_files(catalog, spark):
+    from iceberg_catalog_postgres_spark.catalog.maintenance import expire_snapshots
+    import os
+
+    ident = TableIdentifier.parse("test.expire2")
+    t = catalog.create_table(ident, SCHEMA)
+    t = t.new_transaction().append_dataframe(spark.createDataFrame([("old", "x")], SCHEMA)).commit()
+    old_files = [catalog.object_store().resolve(f) for f in t.metadata.current_data_files()]
+    t = t.new_transaction().overwrite_dataframe(spark.createDataFrame([("new", "y")], SCHEMA)).commit()
+    t = t.new_transaction().append_dataframe(spark.createDataFrame([("new2", "z")], SCHEMA)).commit()
+
+    t = expire_snapshots(t, keep_last=2)
+    # the overwritten (pre-overwrite) files are orphans -> physically deleted
+    for f in old_files:
+        assert not os.path.exists(f)
+    assert t.to_df(spark).count() == 2
