@@ -114,6 +114,7 @@ def load_all() -> dict[str, QuerySpec]:
     import iceberg_catalog_postgres_spark.functions.misc  # noqa: F401
     import iceberg_catalog_postgres_spark.functions.spark4  # noqa: F401
     import iceberg_catalog_postgres_spark.sources.readers  # noqa: F401
+    import iceberg_catalog_postgres_spark.sources.catalog_datasource  # noqa: F401
     import iceberg_catalog_postgres_spark.llm.dedup  # noqa: F401
     import iceberg_catalog_postgres_spark.llm.similarity  # noqa: F401
     import iceberg_catalog_postgres_spark.llm.quantize  # noqa: F401

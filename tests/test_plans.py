@@ -68,3 +68,11 @@ def test_bucketed_join_has_no_exchange_on_join_sides(spark, sf_oracle):
     pre_join = plan[:join_pos] if join_pos != -1 else plan
     ex_count = len(re.findall(r"\(\d+\) Exchange", plan))
     assert ex_count <= 1, f"expected <=1 exchange (final agg), got {ex_count}\n{plan[:2000]}"
+
+
+def test_datasource_api_reads_all_rows_exactly_once(spark, sf_oracle):
+    """Custom DataSource partition bucketing must cover every pointer row
+    exactly once across partitions."""
+    out = REGISTRY["source_datasource_api_pointers"].fn(spark, sf_oracle)
+    rows = {(r["table_namespace"]): (r["n_tables"], r["n_with_metadata"]) for r in out.collect()}
+    assert rows == {"ns_a": (2, 2), "ns_b": (3, 3)}
