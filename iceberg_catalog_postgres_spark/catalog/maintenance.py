@@ -45,12 +45,118 @@ def compact_table(spark: SparkSession, table: Table, target_partitions: int = 1)
     ``target_partitions`` files, commit as an OVERWRITE snapshot. Old files
     stay referenced by older snapshots (time travel intact) until a GC pass.
 
+    Because ``to_df`` applies pending equality deletes and OVERWRITE clears
+    the delete-file list, compaction doubles as the merge-on-read
+    materialization pass (Iceberg's rewrite_data_files + rewrite_position_
+    deletes rolled into one).
+
     Scale: compaction is the antidote to per-micro-batch files from
     streaming commits; target size ~128 MB-1 GB per file keeps scan tasks
     coarse. The rewrite is executor-parallel; only the commit serializes.
     """
     current = table.to_df(spark).coalesce(target_partitions)
     return table.new_transaction().overwrite_dataframe(current).commit()
+
+
+def _file_range_stats(path: str, column: str) -> tuple | None:
+    """(min, max) of ``column`` across a parquet file's row groups, read
+    from the FOOTER only — the local analogue of Iceberg manifest
+    lower/upper bounds. Returns None when stats are absent (then the file
+    must be treated as possibly-matching)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    lo = hi = None
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            if col.path_in_schema == column:
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    return None
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+    if lo is None:
+        return None
+    return lo, hi
+
+
+def delete_where_cow(
+    spark: SparkSession, table: Table, column: str, lo, hi
+) -> tuple[Table, int, int]:
+    """Partition-scoped copy-on-write DELETE of rows with ``column`` in
+    [lo, hi]: prune the file list with parquet-footer min/max stats (the
+    same decision Iceberg makes from manifest bounds), rewrite ONLY the
+    files whose range intersects the predicate, and commit kept+rewritten
+    as one snapshot. Files outside the range are carried over byte-identical
+    — at 100 TB a delete touching one day of a time-partitioned table
+    rewrites that day, not the table.
+
+    Pending equality deletes are preserved (the snapshot inherits them), so
+    merge-on-read and copy-on-write deletes compose.
+
+    Returns (table, files_rewritten, files_kept).
+    """
+    store = table.catalog.object_store()
+    rel_files = table.metadata.current_data_files()
+    kept, to_rewrite = [], []
+    for rel in rel_files:
+        stats = _file_range_stats(store.resolve(rel), column)
+        if stats is not None and (stats[1] < lo or stats[0] > hi):
+            kept.append(rel)  # provably disjoint from the delete range
+        else:
+            to_rewrite.append(rel)
+
+    new_files: list[str] = []
+    if to_rewrite:
+        import glob as _glob
+        import posixpath as _pp
+        import uuid as _uuid
+
+        survivors = (
+            spark.read.schema(table.schema)
+            .parquet(*[store.resolve(f) for f in to_rewrite])
+            .filter(~F.col(column).between(lo, hi))
+        )
+        rel_dir = _pp.join(table.metadata.location, "data", f"cowdel-{_uuid.uuid4().hex}")
+        abs_dir = store.resolve(rel_dir)
+        survivors.write.mode("overwrite").parquet(abs_dir)
+        new_files = [
+            _pp.join(rel_dir, os.path.basename(p))
+            for p in sorted(_glob.glob(os.path.join(abs_dir, "*.parquet")))
+        ]
+
+    # commit kept + rewritten directly (bypasses the append/overwrite staging
+    # since neither matches "replace a subset of files")
+    from iceberg_catalog_postgres_spark.catalog.metadata import Snapshot
+
+    import posixpath as _pp2
+    import time as _time
+    import random as _random
+    import uuid as _uuid2
+
+    snapshot = Snapshot(
+        snapshot_id=int(_time.time() * 1000) * 1000 + _random.randint(0, 999),
+        timestamp_ms=int(_time.time() * 1000),
+        operation="delete",
+        data_files=[*kept, *new_files],
+        delete_files=list(table.metadata.current_delete_files()),
+        summary={
+            "cow-delete-column": column,
+            "files-rewritten": str(len(to_rewrite)),
+            "files-kept": str(len(kept)),
+        },
+    )
+    new_md = table.metadata.with_snapshot(snapshot)
+    new_location = _pp2.join(
+        new_md.location, "metadata", f"v{len(new_md.snapshots) + 1}-{_uuid2.uuid4().hex}.metadata.json"
+    )
+    store.put(new_location, new_md.to_json().encode())
+    committed = table.catalog.update_table(
+        table.identifier, new_location, table.metadata_location()
+    )
+    return committed, len(to_rewrite), len(kept)
 
 
 def _fresh_catalog(name: str) -> PostgresCatalog:
@@ -120,6 +226,82 @@ def catalog_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "catalog_mor_delete",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE c_mktsegment <> 'BUILDING'
+    """,
+    tags=("catalog", "delete", "merge-on-read"),
+)
+def catalog_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE demo: seed customer into a catalog table, then
+    equality-delete every BUILDING-segment key WITHOUT rewriting any data
+    file (asserted: the data-file list is unchanged across the delete
+    commit). The read applies the delete file as a broadcast anti-join;
+    result must equal the oracle's plain filter.
+    """
+    cat = _fresh_catalog("catalog_mor_delete_demo")
+    src = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    table = cat.create_table(TableIdentifier.parse("maint.customer"), src.schema)
+    table = table.new_transaction().append_dataframe(src).commit()
+
+    files_before = list(table.metadata.current_data_files())
+    keys = src.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    table = table.new_transaction().delete_keys_dataframe(keys).commit()
+    assert table.metadata.current_data_files() == files_before, "MOR delete must not rewrite data"
+    return table.to_df(spark)
+
+
+@register(
+    "catalog_cow_delete_pruned",
+    oracle="""
+    WITH b AS (
+      SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi FROM orders
+    )
+    SELECT count(*) AS n_rows,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs
+    FROM orders, b
+    WHERE NOT (o_orderkey >= b.lo + (b.hi - b.lo) // 4
+           AND o_orderkey <  b.lo + (b.hi - b.lo) // 2)
+    """,
+    tags=("catalog", "delete", "copy-on-write"),
+)
+def catalog_cow_delete_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-pruned copy-on-write DELETE demo: orders is loaded as 4
+    range-partitioned files (by o_orderkey quartile), then the second
+    quartile range is deleted. Parquet-footer min/max pruning must keep the
+    3 disjoint files byte-identical and rewrite only the overlapping one —
+    the 100 TB story is "delete one day, rewrite one day". Output is the
+    surviving-row aggregate, oracle-checked against a plain NOT BETWEEN.
+    """
+    cat = _fresh_catalog("catalog_cow_delete_demo")
+    src = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderstatus")
+    lo, hi = src.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    b1 = lo + (hi - lo) // 4
+    b2 = lo + (hi - lo) // 2
+    b3 = lo + 3 * (hi - lo) // 4
+
+    table = cat.create_table(TableIdentifier.parse("maint.orders"), src.schema)
+    for rng_lo, rng_hi in ((lo, b1 - 1), (b1, b2 - 1), (b2, b3 - 1), (b3, hi)):
+        chunk = src.filter(F.col("o_orderkey").between(rng_lo, rng_hi))
+        table = table.new_transaction().append_dataframe(chunk).commit()
+
+    before = set(table.metadata.current_data_files())
+    table, n_rewritten, n_kept = delete_where_cow(spark, table, "o_orderkey", b1, b2 - 1)
+    untouched = set(table.metadata.current_data_files()) & before
+    # quartiles 1, 3, 4 are provably disjoint from [b1, b2): footer pruning
+    # must carry their files over unchanged
+    assert len(untouched) >= n_kept and n_kept >= 1, (n_rewritten, n_kept)
+    return table.to_df(spark).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").alias("key_sum"),
+        F.countDistinct("o_custkey").alias("n_custs"),
+    )
+
+
 def expire_snapshots(table: Table, keep_last: int = 2) -> Table:
     """Snapshot expiry + orphan-file cleanup: retain the most recent
     ``keep_last`` snapshots, commit the pruned metadata via CAS, then
@@ -167,8 +349,8 @@ def expire_snapshots(table: Table, keep_last: int = 2) -> Table:
         table.identifier, new_location, table.metadata_location()
     )
 
-    live_files = {f for s in kept for f in s.data_files}
-    orphans = {f for s in expired for f in s.data_files} - live_files
+    live_files = {f for s in kept for f in [*s.data_files, *s.delete_files]}
+    orphans = {f for s in expired for f in [*s.data_files, *s.delete_files]} - live_files
     for f in orphans:
         path = store.resolve(f)
         if _os.path.exists(path):

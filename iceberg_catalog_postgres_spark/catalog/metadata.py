@@ -116,9 +116,14 @@ def schema_to_spark(iceberg_schema: dict) -> StructType:
 class Snapshot:
     snapshot_id: int
     timestamp_ms: int
-    operation: str  # "append" | "overwrite"
+    operation: str  # "append" | "overwrite" | "delete"
     data_files: list[str]
     summary: dict = field(default_factory=dict)
+    delete_files: list[str] = field(default_factory=list)
+    """Equality-delete files (Iceberg v2 merge-on-read): parquet files whose
+    columns name the equality key; readers anti-join them against data files.
+    Simplification vs full Iceberg (documented): deletes apply to ALL data
+    files of the snapshot rather than being scoped by sequence number."""
 
     def to_json(self) -> dict:
         return {
@@ -126,6 +131,7 @@ class Snapshot:
             "timestamp-ms": self.timestamp_ms,
             "operation": self.operation,
             "data-files": self.data_files,
+            "delete-files": self.delete_files,
             "summary": self.summary,
         }
 
@@ -137,6 +143,7 @@ class Snapshot:
             operation=d["operation"],
             data_files=list(d["data-files"]),
             summary=d.get("summary", {}),
+            delete_files=list(d.get("delete-files", [])),
         )
 
 
@@ -174,6 +181,10 @@ class TableMetadata:
     def current_data_files(self) -> list[str]:
         snap = self.current_snapshot()
         return snap.data_files if snap else []
+
+    def current_delete_files(self) -> list[str]:
+        snap = self.current_snapshot()
+        return snap.delete_files if snap else []
 
     def with_snapshot(self, snapshot: Snapshot) -> "TableMetadata":
         """Functional update: new metadata doc with the snapshot appended and

@@ -94,14 +94,37 @@ class Table:
             files = self.metadata.current_data_files()
         return [store.resolve(f) for f in files]
 
+    def delete_files(self, snapshot_id: int | None = None) -> list[str]:
+        store = self.catalog.object_store()
+        if snapshot_id is not None:
+            files = self.metadata.snapshot_by_id(snapshot_id).delete_files
+        else:
+            files = self.metadata.current_delete_files()
+        return [store.resolve(f) for f in files]
+
     def to_df(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
         """DataFrame over the snapshot's file list (time travel via
         ``snapshot_id``). Empty table => empty DataFrame with the declared
-        schema, so downstream plans always resolve."""
+        schema, so downstream plans always resolve.
+
+        Merge-on-read: if the snapshot carries equality-delete files, the
+        deleted keys are anti-joined out here — the delete side is typically
+        tiny relative to the table, so Spark broadcasts it and the read plan
+        stays a single scan + broadcast anti-join (no shuffle of the 100 TB
+        side). Data files are never rewritten on the delete path; compaction
+        or an overwrite materializes the deletes and clears them.
+        """
         files = self.data_files(snapshot_id)
         if not files:
             return spark.createDataFrame([], self.schema)
-        return spark.read.schema(self.schema).parquet(*files)
+        df = spark.read.schema(self.schema).parquet(*files)
+        dels = self.delete_files(snapshot_id)
+        if dels:
+            from pyspark.sql.functions import broadcast
+
+            keys = spark.read.parquet(*dels)
+            df = df.join(broadcast(keys), on=keys.columns, how="left_anti")
+        return df
 
     def incremental_df(
         self, spark: SparkSession, from_snapshot_id: int, to_snapshot_id: int | None = None
@@ -215,12 +238,13 @@ class Transaction:
         self.max_retries = max_retries
         self._operation: str | None = None
         self._staged_files: list[str] = []
+        self._staged_delete_files: list[str] = []
 
     # -- staging ----------------------------------------------------------
 
     def append_files(self, files: list[str]) -> "Transaction":
-        if self._operation == "overwrite":
-            raise ValueError("cannot mix append and overwrite in one transaction")
+        if self._operation in ("overwrite", "delete"):
+            raise ValueError(f"cannot mix append and {self._operation} in one transaction")
         self._operation = self._operation or "append"
         self._staged_files.extend(files)
         return self
@@ -257,6 +281,32 @@ class Transaction:
         self._operation = "overwrite"
         return self
 
+    def delete_keys_dataframe(self, keys: DataFrame) -> "Transaction":
+        """Merge-on-read DELETE: write ``keys`` (the equality-key columns of
+        the rows to remove) as a delete file and stage a DELETE snapshot.
+        No data file is read or rewritten — the commit is O(delete keys)
+        regardless of table size, which is the whole point at 100 TB: a
+        GDPR-style purge of a few thousand keys costs seconds, and readers
+        apply it as a broadcast anti-join until compaction materializes it.
+        """
+        if self._operation in ("append", "overwrite"):
+            raise ValueError("cannot mix data writes and deletes in one transaction")
+        self._operation = "delete"
+        store = self.table.catalog.object_store()
+        rel_dir = posixpath.join(
+            self.table.metadata.location, "data", f"eqdel-{uuid.uuid4().hex}"
+        )
+        abs_dir = store.resolve(rel_dir)
+        keys.write.mode("overwrite").parquet(abs_dir)
+        import glob as _glob
+        import os as _os
+
+        self._staged_delete_files.extend(
+            posixpath.join(rel_dir, _os.path.basename(p))
+            for p in sorted(_glob.glob(_os.path.join(abs_dir, "*.parquet")))
+        )
+        return self
+
     # -- commit -----------------------------------------------------------
 
     def commit(self) -> Table:
@@ -269,16 +319,31 @@ class Transaction:
         current = self.table  # holds (metadata, metadata_location) we read
 
         for attempt in range(self.max_retries + 1):
+            if self._operation == "overwrite":
+                # full rewrite: replaces the file set AND materializes/clears
+                # any pending equality deletes
+                data_files = list(self._staged_files)
+                delete_files: list[str] = []
+            elif self._operation == "delete":
+                # merge-on-read: data files untouched, delete files accumulate
+                data_files = list(current.metadata.current_data_files())
+                delete_files = [
+                    *current.metadata.current_delete_files(),
+                    *self._staged_delete_files,
+                ]
+            else:  # append: new data inherits pending deletes unchanged
+                data_files = [*current.metadata.current_data_files(), *self._staged_files]
+                delete_files = list(current.metadata.current_delete_files())
             snapshot = Snapshot(
                 snapshot_id=int(time.time() * 1000) * 1000 + random.randint(0, 999),
                 timestamp_ms=int(time.time() * 1000),
                 operation=self._operation,
-                data_files=(
-                    self._staged_files
-                    if self._operation == "overwrite"
-                    else [*current.metadata.current_data_files(), *self._staged_files]
-                ),
-                summary={"added-files": str(len(self._staged_files))},
+                data_files=data_files,
+                delete_files=delete_files,
+                summary={
+                    "added-files": str(len(self._staged_files)),
+                    "added-delete-files": str(len(self._staged_delete_files)),
+                },
             )
             new_metadata = current.metadata.with_snapshot(snapshot)
             new_location = posixpath.join(

@@ -280,3 +280,115 @@ def test_expire_snapshots_deletes_overwritten_files(catalog, spark):
     for f in old_files:
         assert not os.path.exists(f)
     assert t.to_df(spark).count() == 2
+
+
+def test_mor_delete_no_rewrite_time_travel_and_inheritance(catalog, spark):
+    """Equality deletes: no data-file rewrite, pre-delete snapshot still
+    sees deleted rows, appends inherit pending deletes, overwrite clears."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType([StructField("k", LongType(), True), StructField("v", StringType(), True)])
+    ident = TableIdentifier.parse("test.mor")
+    t = catalog.create_table(ident, schema)
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], schema)
+    ).commit()
+    pre_delete = t.metadata.current_snapshot_id
+    files_before = list(t.metadata.current_data_files())
+
+    keys = spark.createDataFrame([(2,)], "k long")
+    t = t.new_transaction().delete_keys_dataframe(keys).commit()
+    assert t.metadata.current_data_files() == files_before
+    assert len(t.metadata.current_delete_files()) >= 1
+    assert t.metadata.current_snapshot().operation == "delete"
+    assert sorted(r["k"] for r in t.to_df(spark).collect()) == [1, 3]
+    # time travel to the pre-delete snapshot still sees k=2
+    assert sorted(r["k"] for r in t.to_df(spark, pre_delete).collect()) == [1, 2, 3]
+
+    # append inherits the pending delete
+    t = t.new_transaction().append_dataframe(spark.createDataFrame([(4, "d")], schema)).commit()
+    assert len(t.metadata.current_delete_files()) >= 1
+    assert sorted(r["k"] for r in t.to_df(spark).collect()) == [1, 3, 4]
+
+    # a second delete accumulates
+    t = t.new_transaction().delete_keys_dataframe(spark.createDataFrame([(1,)], "k long")).commit()
+    assert sorted(r["k"] for r in t.to_df(spark).collect()) == [3, 4]
+
+    # compaction (overwrite) materializes and clears delete files
+    from iceberg_catalog_postgres_spark.catalog.maintenance import compact_table
+
+    t = compact_table(spark, t, target_partitions=1)
+    assert t.metadata.current_delete_files() == []
+    assert sorted(r["k"] for r in t.to_df(spark).collect()) == [3, 4]
+
+
+def test_mor_delete_cannot_mix_with_writes(catalog, spark):
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([StructField("k", LongType(), True)])
+    t = catalog.create_table(TableIdentifier.parse("test.mormix"), schema)
+    df = spark.createDataFrame([(1,)], schema)
+    txn = t.new_transaction().append_dataframe(df)
+    with pytest.raises(ValueError, match="mix"):
+        txn.delete_keys_dataframe(df)
+    txn2 = t.new_transaction().delete_keys_dataframe(df)
+    with pytest.raises(ValueError, match="mix"):
+        txn2.append_dataframe(df)
+
+
+def test_cow_delete_rewrites_only_overlapping_files(catalog, spark):
+    """Footer-stats pruning: disjoint files carried over byte-identical."""
+    from iceberg_catalog_postgres_spark.catalog.maintenance import delete_where_cow
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType([StructField("k", LongType(), True), StructField("v", StringType(), True)])
+    t = catalog.create_table(TableIdentifier.parse("test.cow"), schema)
+    for batch in ([(1, "a"), (5, "b")], [(10, "c"), (15, "d")], [(20, "e"), (25, "f")]):
+        t = t.new_transaction().append_dataframe(
+            spark.createDataFrame(batch, schema).coalesce(1)
+        ).commit()
+    before = set(t.metadata.current_data_files())
+    assert len(before) == 3
+
+    t, n_rewritten, n_kept = delete_where_cow(spark, t, "k", 10, 15)
+    assert (n_rewritten, n_kept) == (1, 2)
+    # the two disjoint files survive with identical paths (no rewrite)
+    assert len(set(t.metadata.current_data_files()) & before) == 2
+    assert sorted(r["k"] for r in t.to_df(spark).collect()) == [1, 5, 20, 25]
+    assert t.metadata.current_snapshot().summary["files-kept"] == "2"
+
+
+def test_cow_delete_composes_with_pending_mor_deletes(catalog, spark):
+    from iceberg_catalog_postgres_spark.catalog.maintenance import delete_where_cow
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([StructField("k", LongType(), True)])
+    t = catalog.create_table(TableIdentifier.parse("test.cowmor"), schema)
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame([(i,) for i in range(10)], schema)
+    ).commit()
+    t = t.new_transaction().delete_keys_dataframe(spark.createDataFrame([(0,)], "k long")).commit()
+    t, _, _ = delete_where_cow(spark, t, "k", 7, 9)
+    # equality delete (k=0) preserved across the cow commit
+    assert len(t.metadata.current_delete_files()) >= 1
+    assert sorted(r["k"] for r in t.to_df(spark).collect()) == [1, 2, 3, 4, 5, 6]
+
+
+def test_expire_snapshots_gc_includes_delete_files(catalog, spark):
+    import os
+    from iceberg_catalog_postgres_spark.catalog.maintenance import compact_table, expire_snapshots
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([StructField("k", LongType(), True)])
+    t = catalog.create_table(TableIdentifier.parse("test.gcdel"), schema)
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame([(1,), (2,)], schema)
+    ).commit()
+    t = t.new_transaction().delete_keys_dataframe(spark.createDataFrame([(1,)], "k long")).commit()
+    del_files = [catalog.object_store().resolve(f) for f in t.metadata.current_delete_files()]
+    t = compact_table(spark, t)  # materializes; delete file now only in history
+    t = t.new_transaction().append_dataframe(spark.createDataFrame([(3,)], schema)).commit()
+    t = expire_snapshots(t, keep_last=2)
+    for f in del_files:  # expired-only delete files are GC'd
+        assert not os.path.exists(f)
+    assert sorted(r["k"] for r in t.to_df(spark).collect()) == [2, 3]
