@@ -82,6 +82,30 @@ def _file_range_stats(path: str, column: str) -> tuple | None:
     return lo, hi
 
 
+def delete_where_mor(spark: SparkSession, table: Table, condition) -> Table:
+    """Arbitrary-predicate merge-on-read DELETE: scan once (predicate pushed
+    to the parquet reader), capture the matched rows' scan identity
+    (``_metadata.file_path``, ``_metadata.row_index``), and commit them as a
+    positional-delete file. Cost is O(matched rows) — the 100 TB DELETE
+    WHERE runs as one pruned scan plus a kilobyte-scale commit, and readers
+    apply it as a broadcast anti-join until compaction materializes it.
+    """
+    store = table.catalog.object_store()
+    files = [store.resolve(f) for f in table.metadata.current_data_files()]
+    if not files:
+        return table
+    positions = (
+        spark.read.schema(table.schema)
+        .parquet(*files)
+        .filter(condition)
+        .select(
+            F.col("_metadata.file_path").alias("file_path"),
+            F.col("_metadata.row_index").alias("row_index"),
+        )
+    )
+    return table.new_transaction().delete_positions_dataframe(positions).commit()
+
+
 def delete_where_cow(
     spark: SparkSession, table: Table, column: str, lo, hi
 ) -> tuple[Table, int, int]:
@@ -119,6 +143,25 @@ def delete_where_cow(
             .parquet(*[store.resolve(f) for f in to_rewrite])
             .filter(~F.col(column).between(lo, hi))
         )
+        # rows positionally deleted in a rewritten file would otherwise be
+        # resurrected under the new path — apply pending positional deletes
+        # to the rewrite set (entries for old paths dangle harmlessly after)
+        pos_dels = table.position_delete_files()
+        if pos_dels:
+            pd_df = spark.read.parquet(*pos_dels).withColumnsRenamed(
+                {"file_path": "__del_file", "row_index": "__del_pos"}
+            )
+            survivors = (
+                survivors.withColumn("__file", F.col("_metadata.file_path"))
+                .withColumn("__pos", F.col("_metadata.row_index"))
+                .join(
+                    F.broadcast(pd_df),
+                    (F.col("__file") == F.col("__del_file"))
+                    & (F.col("__pos") == F.col("__del_pos")),
+                    "left_anti",
+                )
+                .drop("__file", "__pos")
+            )
         rel_dir = _pp.join(table.metadata.location, "data", f"cowdel-{_uuid.uuid4().hex}")
         abs_dir = store.resolve(rel_dir)
         survivors.write.mode("overwrite").parquet(abs_dir)
@@ -142,6 +185,7 @@ def delete_where_cow(
         operation="delete",
         data_files=[*kept, *new_files],
         delete_files=list(table.metadata.current_delete_files()),
+        position_delete_files=list(table.metadata.current_position_delete_files()),
         summary={
             "cow-delete-column": column,
             "files-rewritten": str(len(to_rewrite)),
@@ -255,6 +299,36 @@ def catalog_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "catalog_positional_delete",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_orderpriority
+    FROM orders
+    WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 3 = 0)
+    """,
+    tags=("catalog", "delete", "merge-on-read", "positional"),
+)
+def catalog_positional_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional merge-on-read DELETE demo: an arbitrary predicate (not an
+    equality key) deletes rows by their (file_path, row_index) scan
+    identity. Data files are unchanged across the commit (asserted); the
+    read anti-joins the positional file; result equals the oracle's inverse
+    filter.
+    """
+    cat = _fresh_catalog("catalog_posdel_demo")
+    src = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_orderpriority")
+    table = cat.create_table(TableIdentifier.parse("maint.orders_pos"), src.schema)
+    table = table.new_transaction().append_dataframe(src).commit()
+
+    files_before = list(table.metadata.current_data_files())
+    table = delete_where_mor(
+        spark, table, (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 3 == 0)
+    )
+    assert table.metadata.current_data_files() == files_before, "MOR delete must not rewrite data"
+    assert len(table.metadata.current_position_delete_files()) >= 1
+    return table.to_df(spark)
+
+
+@register(
     "catalog_cow_delete_pruned",
     oracle="""
     WITH b AS (
@@ -349,8 +423,12 @@ def expire_snapshots(table: Table, keep_last: int = 2) -> Table:
         table.identifier, new_location, table.metadata_location()
     )
 
-    live_files = {f for s in kept for f in [*s.data_files, *s.delete_files]}
-    orphans = {f for s in expired for f in [*s.data_files, *s.delete_files]} - live_files
+    live_files = {
+        f for s in kept for f in [*s.data_files, *s.delete_files, *s.position_delete_files]
+    }
+    orphans = {
+        f for s in expired for f in [*s.data_files, *s.delete_files, *s.position_delete_files]
+    } - live_files
     for f in orphans:
         path = store.resolve(f)
         if _os.path.exists(path):

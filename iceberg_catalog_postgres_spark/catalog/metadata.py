@@ -124,6 +124,11 @@ class Snapshot:
     columns name the equality key; readers anti-join them against data files.
     Simplification vs full Iceberg (documented): deletes apply to ALL data
     files of the snapshot rather than being scoped by sequence number."""
+    position_delete_files: list[str] = field(default_factory=list)
+    """Positional-delete files (Iceberg v2): parquet files of
+    (file_path, row_index) pairs; readers anti-join them against the scan's
+    ``_metadata`` columns, so an arbitrary-predicate DELETE commits
+    O(matched rows) without touching any data file."""
 
     def to_json(self) -> dict:
         return {
@@ -132,6 +137,7 @@ class Snapshot:
             "operation": self.operation,
             "data-files": self.data_files,
             "delete-files": self.delete_files,
+            "position-delete-files": self.position_delete_files,
             "summary": self.summary,
         }
 
@@ -144,6 +150,7 @@ class Snapshot:
             data_files=list(d["data-files"]),
             summary=d.get("summary", {}),
             delete_files=list(d.get("delete-files", [])),
+            position_delete_files=list(d.get("position-delete-files", [])),
         )
 
 
@@ -185,6 +192,10 @@ class TableMetadata:
     def current_delete_files(self) -> list[str]:
         snap = self.current_snapshot()
         return snap.delete_files if snap else []
+
+    def current_position_delete_files(self) -> list[str]:
+        snap = self.current_snapshot()
+        return snap.position_delete_files if snap else []
 
     def with_snapshot(self, snapshot: Snapshot) -> "TableMetadata":
         """Functional update: new metadata doc with the snapshot appended and

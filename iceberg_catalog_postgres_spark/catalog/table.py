@@ -102,6 +102,14 @@ class Table:
             files = self.metadata.current_delete_files()
         return [store.resolve(f) for f in files]
 
+    def position_delete_files(self, snapshot_id: int | None = None) -> list[str]:
+        store = self.catalog.object_store()
+        if snapshot_id is not None:
+            files = self.metadata.snapshot_by_id(snapshot_id).position_delete_files
+        else:
+            files = self.metadata.current_position_delete_files()
+        return [store.resolve(f) for f in files]
+
     def to_df(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
         """DataFrame over the snapshot's file list (time travel via
         ``snapshot_id``). Empty table => empty DataFrame with the declared
@@ -118,6 +126,23 @@ class Table:
         if not files:
             return spark.createDataFrame([], self.schema)
         df = spark.read.schema(self.schema).parquet(*files)
+        pos_dels = self.position_delete_files(snapshot_id)
+        if pos_dels:
+            from pyspark.sql.functions import broadcast, col
+
+            pd_df = spark.read.parquet(*pos_dels).withColumnsRenamed(
+                {"file_path": "__del_file", "row_index": "__del_pos"}
+            )
+            df = (
+                df.withColumn("__file", col("_metadata.file_path"))
+                .withColumn("__pos", col("_metadata.row_index"))
+                .join(
+                    broadcast(pd_df),
+                    (col("__file") == col("__del_file")) & (col("__pos") == col("__del_pos")),
+                    "left_anti",
+                )
+                .drop("__file", "__pos")
+            )
         dels = self.delete_files(snapshot_id)
         if dels:
             from pyspark.sql.functions import broadcast
@@ -239,6 +264,7 @@ class Transaction:
         self._operation: str | None = None
         self._staged_files: list[str] = []
         self._staged_delete_files: list[str] = []
+        self._staged_pos_delete_files: list[str] = []
 
     # -- staging ----------------------------------------------------------
 
@@ -307,6 +333,34 @@ class Transaction:
         )
         return self
 
+    def delete_positions_dataframe(self, positions: DataFrame) -> "Transaction":
+        """Merge-on-read positional DELETE: ``positions`` must have exactly
+        the columns (file_path string, row_index long) — the scan-provided
+        ``_metadata`` identity of the rows to remove. Commits O(matched
+        rows); no data file is rewritten. This is the arbitrary-predicate
+        counterpart to equality deletes: filter the table WITH its metadata
+        columns, keep (file_path, row_index), stage them here.
+        """
+        if self._operation in ("append", "overwrite"):
+            raise ValueError("cannot mix data writes and deletes in one transaction")
+        if set(positions.columns) != {"file_path", "row_index"}:
+            raise ValueError(f"positions must be (file_path, row_index), got {positions.columns}")
+        self._operation = "delete"
+        store = self.table.catalog.object_store()
+        rel_dir = posixpath.join(
+            self.table.metadata.location, "data", f"posdel-{uuid.uuid4().hex}"
+        )
+        abs_dir = store.resolve(rel_dir)
+        positions.write.mode("overwrite").parquet(abs_dir)
+        import glob as _glob
+        import os as _os
+
+        self._staged_pos_delete_files.extend(
+            posixpath.join(rel_dir, _os.path.basename(p))
+            for p in sorted(_glob.glob(_os.path.join(abs_dir, "*.parquet")))
+        )
+        return self
+
     # -- commit -----------------------------------------------------------
 
     def commit(self) -> Table:
@@ -321,9 +375,10 @@ class Transaction:
         for attempt in range(self.max_retries + 1):
             if self._operation == "overwrite":
                 # full rewrite: replaces the file set AND materializes/clears
-                # any pending equality deletes
+                # any pending deletes (both flavors)
                 data_files = list(self._staged_files)
                 delete_files: list[str] = []
+                pos_delete_files: list[str] = []
             elif self._operation == "delete":
                 # merge-on-read: data files untouched, delete files accumulate
                 data_files = list(current.metadata.current_data_files())
@@ -331,18 +386,26 @@ class Transaction:
                     *current.metadata.current_delete_files(),
                     *self._staged_delete_files,
                 ]
+                pos_delete_files = [
+                    *current.metadata.current_position_delete_files(),
+                    *self._staged_pos_delete_files,
+                ]
             else:  # append: new data inherits pending deletes unchanged
                 data_files = [*current.metadata.current_data_files(), *self._staged_files]
                 delete_files = list(current.metadata.current_delete_files())
+                pos_delete_files = list(current.metadata.current_position_delete_files())
             snapshot = Snapshot(
                 snapshot_id=int(time.time() * 1000) * 1000 + random.randint(0, 999),
                 timestamp_ms=int(time.time() * 1000),
                 operation=self._operation,
                 data_files=data_files,
                 delete_files=delete_files,
+                position_delete_files=pos_delete_files,
                 summary={
                     "added-files": str(len(self._staged_files)),
-                    "added-delete-files": str(len(self._staged_delete_files)),
+                    "added-delete-files": str(
+                        len(self._staged_delete_files) + len(self._staged_pos_delete_files)
+                    ),
                 },
             )
             new_metadata = current.metadata.with_snapshot(snapshot)

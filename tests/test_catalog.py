@@ -392,3 +392,75 @@ def test_expire_snapshots_gc_includes_delete_files(catalog, spark):
     for f in del_files:  # expired-only delete files are GC'd
         assert not os.path.exists(f)
     assert sorted(r["k"] for r in t.to_df(spark).collect()) == [2, 3]
+
+
+def test_positional_delete_arbitrary_predicate(catalog, spark):
+    """Positional deletes: arbitrary-predicate delete without rewrite,
+    time travel intact, compaction materializes, composes with cow."""
+    from iceberg_catalog_postgres_spark.catalog.maintenance import (
+        compact_table,
+        delete_where_mor,
+    )
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType([StructField("k", LongType(), True), StructField("v", StringType(), True)])
+    t = catalog.create_table(TableIdentifier.parse("test.posdel"), schema)
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame([(i, "ab"[i % 2]) for i in range(8)], schema)
+    ).commit()
+    pre = t.metadata.current_snapshot_id
+    files_before = list(t.metadata.current_data_files())
+
+    # delete odd keys with v='b' (predicate, not a key list)
+    t = delete_where_mor(spark, t, (F.col("v") == "b") & (F.col("k") > 2))
+    assert t.metadata.current_data_files() == files_before
+    assert sorted(r["k"] for r in t.to_df(spark).collect()) == [0, 1, 2, 4, 6]
+    assert sorted(r["k"] for r in t.to_df(spark, pre).collect()) == list(range(8))
+
+    # composes with an equality delete on top
+    t = t.new_transaction().delete_keys_dataframe(spark.createDataFrame([(4,)], "k long")).commit()
+    assert sorted(r["k"] for r in t.to_df(spark).collect()) == [0, 1, 2, 6]
+
+    # compaction materializes both delete flavors and clears them
+    t = compact_table(spark, t)
+    assert t.metadata.current_position_delete_files() == []
+    assert t.metadata.current_delete_files() == []
+    assert sorted(r["k"] for r in t.to_df(spark).collect()) == [0, 1, 2, 6]
+
+
+def test_cow_rewrite_does_not_resurrect_positional_deletes(catalog, spark):
+    from iceberg_catalog_postgres_spark.catalog.maintenance import (
+        delete_where_cow,
+        delete_where_mor,
+    )
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([StructField("k", LongType(), True)])
+    t = catalog.create_table(TableIdentifier.parse("test.cowres"), schema)
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame([(i,) for i in range(10)], schema).coalesce(1)
+    ).commit()
+    t = delete_where_mor(spark, t, F.col("k") == 1)  # positional delete of k=1
+    # cow-delete [8,9] forces a rewrite of the single file; k=1 must NOT
+    # come back under the new file path
+    t, n_rewritten, _ = delete_where_cow(spark, t, "k", 8, 9)
+    assert n_rewritten == 1
+    assert sorted(r["k"] for r in t.to_df(spark).collect()) == [0, 2, 3, 4, 5, 6, 7]
+
+
+def test_mor_read_plan_is_broadcast_anti_join(catalog, spark):
+    """The merge-on-read read path must not shuffle the data side: delete
+    files apply as a BroadcastHashJoin LeftAnti."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([StructField("k", LongType(), True)])
+    t = catalog.create_table(TableIdentifier.parse("test.morplan"), schema)
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame([(i,) for i in range(20)], schema)
+    ).commit()
+    t = t.new_transaction().delete_keys_dataframe(spark.createDataFrame([(5,)], "k long")).commit()
+    plan = t.to_df(spark)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:1500]
+    assert "SortMergeJoin" not in plan, plan[:1500]
