@@ -58,28 +58,8 @@ def compact_table(spark: SparkSession, table: Table, target_partitions: int = 1)
     return table.new_transaction().overwrite_dataframe(current).commit()
 
 
-def _file_range_stats(path: str, column: str) -> tuple | None:
-    """(min, max) of ``column`` across a parquet file's row groups, read
-    from the FOOTER only — the local analogue of Iceberg manifest
-    lower/upper bounds. Returns None when stats are absent (then the file
-    must be treated as possibly-matching)."""
-    import pyarrow.parquet as pq
-
-    md = pq.ParquetFile(path).metadata
-    lo = hi = None
-    for rg in range(md.num_row_groups):
-        row_group = md.row_group(rg)
-        for ci in range(row_group.num_columns):
-            col = row_group.column(ci)
-            if col.path_in_schema == column:
-                st = col.statistics
-                if st is None or not st.has_min_max:
-                    return None
-                lo = st.min if lo is None else min(lo, st.min)
-                hi = st.max if hi is None else max(hi, st.max)
-    if lo is None:
-        return None
-    return lo, hi
+# shared with Table.to_df's prune path
+from iceberg_catalog_postgres_spark.catalog.table import _file_range_stats  # noqa: E402
 
 
 def delete_where_mor(spark: SparkSession, table: Table, condition) -> Table:
@@ -373,6 +353,57 @@ def catalog_cow_delete_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("o_orderkey").alias("key_sum"),
         F.countDistinct("o_custkey").alias("n_custs"),
+    )
+
+
+@register(
+    "catalog_pruned_scan",
+    oracle="""
+    WITH b AS (
+      SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi FROM orders
+    )
+    SELECT o_orderstatus,
+           count(*) AS n_rows,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders, b
+    WHERE o_orderkey >= b.lo + (b.hi - b.lo) // 2
+      AND o_orderkey <  b.lo + 3 * (b.hi - b.lo) // 4
+    GROUP BY o_orderstatus
+    """,
+    tags=("catalog", "scan-planning", "pruning"),
+)
+def catalog_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-driven scan pruning demo: orders lands as 4 range-
+    partitioned files; a third-quartile range query plans via footer
+    min/max and must read ONLY the intersecting file (asserted:
+    planned < total). The row-level filter still applies on top — pruning
+    is a superset guarantee. Result equals the oracle's plain range filter.
+    """
+    cat = _fresh_catalog("catalog_pruned_scan_demo")
+    src = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderstatus")
+    lo, hi = src.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    b1 = lo + (hi - lo) // 4
+    b2 = lo + (hi - lo) // 2
+    b3 = lo + 3 * (hi - lo) // 4
+
+    table = cat.create_table(TableIdentifier.parse("maint.orders_scan"), src.schema)
+    for rng_lo, rng_hi in ((lo, b1 - 1), (b1, b2 - 1), (b2, b3 - 1), (b3, hi)):
+        chunk = src.filter(F.col("o_orderkey").between(rng_lo, rng_hi))
+        table = table.new_transaction().append_dataframe(chunk).commit()
+
+    planned = table.planned_files("o_orderkey", b2, b3 - 1)
+    assert 0 < len(planned) < len(table.metadata.current_data_files()), (
+        len(planned),
+        len(table.metadata.current_data_files()),
+    )
+    return (
+        table.to_df(spark, prune=("o_orderkey", b2, b3 - 1))
+        .filter(F.col("o_orderkey").between(b2, b3 - 1))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").alias("key_sum"),
+        )
     )
 
 

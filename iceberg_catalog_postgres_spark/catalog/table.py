@@ -35,6 +35,30 @@ from iceberg_catalog_postgres_spark.catalog.catalog import (
 from iceberg_catalog_postgres_spark.catalog.metadata import Snapshot, TableMetadata
 
 
+def _file_range_stats(path: str, column: str) -> tuple | None:
+    """(min, max) of ``column`` across a parquet file's row groups, read
+    from the FOOTER only — the local analogue of Iceberg manifest
+    lower/upper bounds. Returns None when stats are absent (then the file
+    must be treated as possibly-matching)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    lo = hi = None
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            if col.path_in_schema == column:
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    return None
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+    if lo is None:
+        return None
+    return lo, hi
+
+
 class TableBuilder:
     """Staged create (mod.rs:349-357): holds location + schema until
     ``commit`` writes metadata v1 and registers the pointer."""
@@ -110,10 +134,38 @@ class Table:
             files = self.metadata.current_position_delete_files()
         return [store.resolve(f) for f in files]
 
-    def to_df(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
+    def planned_files(
+        self, column: str, lo, hi, snapshot_id: int | None = None
+    ) -> list[str]:
+        """Metadata-driven scan planning: the snapshot's data files whose
+        footer [min, max] for ``column`` intersects [lo, hi] (files without
+        stats are kept — they might match). This is the Iceberg
+        manifest-bounds prune expressed over parquet footers: at 100 TB a
+        time-range query over a range-partitioned table plans the handful of
+        matching files from metadata alone, never listing or opening the
+        rest."""
+        out = []
+        for path in self.data_files(snapshot_id):
+            stats = _file_range_stats(path, column)
+            if stats is None or not (stats[1] < lo or stats[0] > hi):
+                out.append(path)
+        return out
+
+    def to_df(
+        self,
+        spark: SparkSession,
+        snapshot_id: int | None = None,
+        prune: tuple | None = None,
+    ) -> DataFrame:
         """DataFrame over the snapshot's file list (time travel via
         ``snapshot_id``). Empty table => empty DataFrame with the declared
         schema, so downstream plans always resolve.
+
+        ``prune=(column, lo, hi)`` narrows the planned file list via
+        ``planned_files`` BEFORE Spark sees it — file-level skipping on top
+        of Spark's own row-group pushdown. The caller still applies the
+        row-level filter; pruning only guarantees no matching row is lost,
+        not that every surviving row matches.
 
         Merge-on-read: if the snapshot carries equality-delete files, the
         deleted keys are anti-joined out here — the delete side is typically
@@ -122,7 +174,10 @@ class Table:
         side). Data files are never rewritten on the delete path; compaction
         or an overwrite materializes the deletes and clears them.
         """
-        files = self.data_files(snapshot_id)
+        if prune is not None:
+            files = self.planned_files(*prune, snapshot_id=snapshot_id)
+        else:
+            files = self.data_files(snapshot_id)
         if not files:
             return spark.createDataFrame([], self.schema)
         df = spark.read.schema(self.schema).parquet(*files)

@@ -464,3 +464,39 @@ def test_mor_read_plan_is_broadcast_anti_join(catalog, spark):
     plan = t.to_df(spark)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:1500]
     assert "SortMergeJoin" not in plan, plan[:1500]
+
+
+def test_planned_files_prune_is_superset_safe(catalog, spark):
+    """Pruned scan must equal full scan + filter; planning skips disjoint
+    files but never loses a matching row."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([StructField("k", LongType(), True)])
+    t = catalog.create_table(TableIdentifier.parse("test.prune"), schema)
+    for batch in ([(1,), (5,)], [(10,), (15,)], [(20,), (25,)]):
+        t = t.new_transaction().append_dataframe(
+            spark.createDataFrame(batch, schema).coalesce(1)
+        ).commit()
+
+    assert len(t.planned_files("k", 10, 15)) == 1
+    assert len(t.planned_files("k", 5, 10)) == 2  # straddles two files
+    assert len(t.planned_files("k", 100, 200)) == 0
+    full = sorted(
+        r["k"] for r in t.to_df(spark).filter(F.col("k").between(10, 15)).collect()
+    )
+    pruned = sorted(
+        r["k"]
+        for r in t.to_df(spark, prune=("k", 10, 15))
+        .filter(F.col("k").between(10, 15))
+        .collect()
+    )
+    assert pruned == full == [10, 15]
+    # pruning composes with merge-on-read deletes
+    t = t.new_transaction().delete_keys_dataframe(spark.createDataFrame([(10,)], "k long")).commit()
+    assert sorted(
+        r["k"]
+        for r in t.to_df(spark, prune=("k", 10, 15))
+        .filter(F.col("k").between(10, 15))
+        .collect()
+    ) == [15]
