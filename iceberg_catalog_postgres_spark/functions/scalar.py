@@ -95,14 +95,14 @@ def fn_datetime_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey, l_linenumber,
            CAST(round(CAST(l_extendedprice AS DECIMAL(30,8)), 1) AS DOUBLE) AS rounded,
            abs(l_discount - 0.05)                       AS absdiff,
-           floor(l_quantity)                            AS flr,
-           ceil(l_extendedprice / 1000)                 AS price_k,
+           CAST(floor(l_quantity) AS BIGINT)            AS flr,
+           CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS price_k,
            round(sqrt(l_quantity), 6)                   AS sqrt_qty,
            round(pow(1 + l_tax, 2), 6)                  AS tax_sq,
            round(ln(l_extendedprice), 6)                AS ln_price,
            round(log10(l_extendedprice), 6)             AS log10_price,
            CAST(l_orderkey % 7 AS BIGINT)               AS mod7,
-           sign(l_discount - 0.05)                      AS sgn
+           CAST(sign(l_discount - 0.05) AS DOUBLE)      AS sgn
     FROM lineitem
     WHERE l_orderkey <= 300
     """,

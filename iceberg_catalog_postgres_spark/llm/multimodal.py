@@ -24,7 +24,7 @@ from iceberg_catalog_postgres_spark.registry import load, register
     oracle="""
     SELECT source,
            count(*)                                   AS n_items,
-           sum(octet_length(encode(text)))            AS total_bytes,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
            count(DISTINCT md5(text))                  AS n_distinct_payloads,
            max(octet_length(encode(text)))            AS max_bytes
     FROM documents

@@ -100,6 +100,45 @@ class CompareResult:
     detail: str = ""
 
 
+def _dtype_class(series: pd.Series) -> str:
+    """Coarse dtype class for cross-engine comparison: 'int' | 'float' | 'other'.
+
+    The driver's value-hash distinguishes ``1821`` (int64) from ``1821.0``
+    (float64) even though our ``%.12g`` canonicalizer collapses them — DuckDB
+    returns HUGEINT for ``sum()`` over integers, which pandas widens to
+    float64/object while Spark yields int64 (bit us on q12 in round 1). Treat
+    an int-vs-float column pair as a failure so the local gate is at least as
+    strict as the driver's.
+    """
+    kind = series.dtype.kind
+    if kind in "iu":
+        return "int"
+    if kind == "f":
+        return "float"
+    if kind == "O":
+        for v in series:
+            v = _from_numpy(v)
+            if v is None:
+                continue
+            if isinstance(v, bool):
+                return "other"
+            if isinstance(v, int):
+                return "int"
+            if isinstance(v, float):
+                return "float"
+            return "other"
+    return "other"
+
+
+def _dtype_mismatches(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
+    bad = []
+    for col in spark_pdf.columns:
+        cs, co = _dtype_class(spark_pdf[col]), _dtype_class(oracle_pdf[col])
+        if {cs, co} == {"int", "float"}:
+            bad.append(f"{col}: spark={cs} oracle={co}")
+    return bad
+
+
 def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> CompareResult:
     cols_s = sorted(spark_pdf.columns)
     cols_o = sorted(oracle_pdf.columns)
@@ -108,9 +147,12 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> Com
     hash_match = False
     detail = ""
     if schema_match and rows_match:
+        dtype_bad = _dtype_mismatches(spark_pdf, oracle_pdf)
         hs, ho = value_hash(spark_pdf), value_hash(oracle_pdf)
-        hash_match = hs == ho
-        if not hash_match:
+        hash_match = hs == ho and not dtype_bad
+        if dtype_bad:
+            detail = f"dtype-class mismatch: {dtype_bad}"
+        elif not hash_match:
             _, rs = canonicalize(spark_pdf)
             _, ro = canonicalize(oracle_pdf)
             diff = [(a, b) for a, b in zip(rs, ro) if a != b][:3]

@@ -37,3 +37,30 @@ def test_rows_only(spark, sf_oracle, name):
     n = df.count()
     assert n >= 0
     assert df.schema is not None
+
+
+def test_compare_rejects_int_vs_float_column():
+    """Round-1 driver failure mode (q12): identical values, int64 on the Spark
+    side vs DuckDB HUGEINT→float64 on the oracle side. Our %.12g canonicalizer
+    collapses 1821 and 1821.0, the driver's hash does not — the local gate must
+    be at least as strict."""
+    import pandas as pd
+
+    spark_pdf = pd.DataFrame({"band": ["low", "high"], "cnt": pd.Series([1821, 402], dtype="int64")})
+    oracle_pdf = pd.DataFrame({"band": ["low", "high"], "cnt": [1821.0, 402.0]})
+    res = compare("synthetic_sum_case", spark_pdf, oracle_pdf)
+    assert not res.ok
+    assert "dtype-class mismatch" in res.detail
+    # same frames with matching dtype classes pass
+    ok = compare("synthetic_ok", spark_pdf, spark_pdf.copy())
+    assert ok.ok
+
+
+def test_compare_accepts_object_int_vs_int64():
+    """DuckDB HUGEINT sometimes lands as an object column of Python ints —
+    values stringify identically, so this must NOT fail."""
+    import pandas as pd
+
+    a = pd.DataFrame({"n": pd.Series([7, 9], dtype="int64")})
+    b = pd.DataFrame({"n": pd.Series([7, 9], dtype="object")})
+    assert compare("obj_int", a, b).ok
