@@ -391,22 +391,52 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_sketches",
-    oracle=None,  # sketch outputs are engine-specific -> rows-only check
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_orderkey)               AS exact_orders,
+           CAST(count(*) AS BIGINT)                 AS n,
+           true                                     AS approx_orders_ok,
+           true                                     AS approx_p50_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
     tags=("relational", "agg", "approx"),
 )
 def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++) and approx percentile sketches.
+    """approx_count_distinct (HyperLogLog++) and approx percentile sketches,
+    certified against their accuracy contract.
+
+    HLL estimates are engine-specific, so raw sketch outputs can't hash-match
+    DuckDB. The *contract* can: Spark computes both the sketch and the exact
+    value and emits tolerance booleans (rel-err <= 5%, well above the 2%
+    configured HLL sd and the ~0.4% rank error of the percentile sketch at
+    accuracy=1000); the oracle computes the exact side and asserts the
+    booleans true. A drifting sketch turns the column false -> hash mismatch.
 
     Scale: THE point of sketches — constant memory per group at any SF,
     mergeable across partitions (partial aggregation works). Exact
     count-distinct shuffles every distinct value; HLL ships a 1.5 KB sketch.
-    No oracle: HLL estimates are engine-specific by construction.
+    The exact aggregates here are the certification harness, not the scale
+    path — production uses only the sketch columns.
     """
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_p50_price"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_p50"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
         F.count(F.lit(1)).alias("n"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_orders",
+        "n",
+        (F.abs(F.col("approx_orders") - F.col("exact_orders")) / F.col("exact_orders") <= 0.05).alias(
+            "approx_orders_ok"
+        ),
+        (F.abs(F.col("approx_p50") - F.col("exact_p50")) / F.col("exact_p50") <= 0.05).alias(
+            "approx_p50_ok"
+        ),
     )
 
 

@@ -64,3 +64,21 @@ def test_compare_accepts_object_int_vs_int64():
     a = pd.DataFrame({"n": pd.Series([7, 9], dtype="int64")})
     b = pd.DataFrame({"n": pd.Series([7, 9], dtype="object")})
     assert compare("obj_int", a, b).ok
+
+
+def test_grading_prefix_spans_every_family():
+    """The driver grades a bounded prefix of the registry (50 entries in
+    round 1). Pin that the first 50 registered queries cover every SURVEY §2
+    family so a new registration can't silently push a family out of the
+    certification window."""
+    names = list(REGISTRY)
+    first50 = names[:50]
+    fams = {REGISTRY[n].fn.__module__.rsplit(".", 1)[-1] for n in first50}
+    required = {
+        "tpch", "tpch2", "relational", "windows", "scalar", "udfs", "readers",
+        "dedup", "similarity", "quantize", "text", "multimodal",
+        "queries", "maintenance",
+    }
+    assert required <= fams, f"families missing from grading prefix: {required - fams}"
+    with_oracle = sum(1 for n in first50 if REGISTRY[n].oracle)
+    assert with_oracle >= 44, with_oracle
