@@ -117,31 +117,59 @@ def delete_where_cow(
         import glob as _glob
         import posixpath as _pp
         import uuid as _uuid
+        from functools import reduce as _reduce
 
-        survivors = (
-            spark.read.schema(table.schema)
-            .parquet(*[store.resolve(f) for f in to_rewrite])
-            .filter(~F.col(column).between(lo, hi))
-        )
-        # rows positionally deleted in a rewritten file would otherwise be
-        # resurrected under the new path — apply pending positional deletes
-        # to the rewrite set (entries for old paths dangle harmlessly after)
+        # Rewritten files are committed at the NEW sequence number, which
+        # moves them past any pending equality-delete files — so those
+        # deletes must be materialized into the rewrite, scoped per source
+        # file exactly as a read would (delete seq > data-file seq),
+        # or deleted rows would resurrect. Positional deletes likewise:
+        # entries target the OLD path, which the rewrite invalidates.
+        seqs = table.metadata.current_file_seqs()
+        eq_dels = table.metadata.current_delete_files()
         pos_dels = table.position_delete_files()
-        if pos_dels:
-            pd_df = spark.read.parquet(*pos_dels).withColumnsRenamed(
-                {"file_path": "__del_file", "row_index": "__del_pos"}
+        cohorts: dict[tuple[str, ...], list[str]] = {}
+        for rel in to_rewrite:
+            applicable = tuple(
+                d for d in eq_dels if seqs.get(d, 0) > seqs.get(rel, 0)
             )
-            survivors = (
-                survivors.withColumn("__file", F.col("_metadata.file_path"))
-                .withColumn("__pos", F.col("_metadata.row_index"))
-                .join(
-                    F.broadcast(pd_df),
-                    (F.col("__file") == F.col("__del_file"))
-                    & (F.col("__pos") == F.col("__del_pos")),
-                    "left_anti",
+            cohorts.setdefault(applicable, []).append(rel)
+        parts = []
+        for applicable, members in cohorts.items():
+            part = (
+                spark.read.schema(table.schema)
+                .parquet(*[store.resolve(f) for f in members])
+                .filter(~F.col(column).between(lo, hi))
+            )
+            if pos_dels:
+                pd_df = spark.read.parquet(*pos_dels).withColumnsRenamed(
+                    {"file_path": "__del_file", "row_index": "__del_pos"}
                 )
-                .drop("__file", "__pos")
-            )
+                part = (
+                    part.withColumn("__file", F.col("_metadata.file_path"))
+                    .withColumn("__pos", F.col("_metadata.row_index"))
+                    .join(
+                        F.broadcast(pd_df),
+                        (F.col("__file") == F.col("__del_file"))
+                        & (F.col("__pos") == F.col("__del_pos")),
+                        "left_anti",
+                    )
+                    .drop("__file", "__pos")
+                )
+            if applicable:
+                keys = spark.read.parquet(*[store.resolve(d) for d in applicable])
+                aliased = keys.select(
+                    [F.col(c).alias(f"__k_{c}") for c in keys.columns]
+                )
+                cond = _reduce(
+                    lambda a, b: a & b,
+                    [part[c].eqNullSafe(F.col(f"__k_{c}")) for c in keys.columns],
+                )
+                part = part.join(F.broadcast(aliased), cond, "left_anti")
+            parts.append(part)
+        survivors = parts[0]
+        for p in parts[1:]:
+            survivors = survivors.unionByName(p)
         rel_dir = _pp.join(table.metadata.location, "data", f"cowdel-{_uuid.uuid4().hex}")
         abs_dir = store.resolve(rel_dir)
         survivors.write.mode("overwrite").parquet(abs_dir)
@@ -152,20 +180,23 @@ def delete_where_cow(
 
     # commit kept + rewritten directly (bypasses the append/overwrite staging
     # since neither matches "replace a subset of files")
-    from iceberg_catalog_postgres_spark.catalog.metadata import Snapshot
+    from iceberg_catalog_postgres_spark.catalog.metadata import Snapshot, new_snapshot_id
 
     import posixpath as _pp2
     import time as _time
-    import random as _random
     import uuid as _uuid2
 
+    next_seq = table.metadata.next_sequence_number()
+    inherited_seqs = table.metadata.current_file_seqs()
     snapshot = Snapshot(
-        snapshot_id=int(_time.time() * 1000) * 1000 + _random.randint(0, 999),
+        snapshot_id=new_snapshot_id(table.metadata.snapshot_ids()),
         timestamp_ms=int(_time.time() * 1000),
         operation="delete",
         data_files=[*kept, *new_files],
         delete_files=list(table.metadata.current_delete_files()),
         position_delete_files=list(table.metadata.current_position_delete_files()),
+        sequence_number=next_seq,
+        file_seqs={**inherited_seqs, **{f: next_seq for f in new_files}},
         summary={
             "cow-delete-column": column,
             "files-rewritten": str(len(to_rewrite)),

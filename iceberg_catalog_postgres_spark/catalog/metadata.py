@@ -112,6 +112,19 @@ def schema_to_spark(iceberg_schema: dict) -> StructType:
     return StructType([_field_to_spark(f) for f in iceberg_schema["fields"]])
 
 
+def new_snapshot_id(existing: set[int] | None = None) -> int:
+    """Collision-safe snapshot id: uuid4 entropy masked to 63 bits (Iceberg
+    ids are positive int64), re-rolled against ``existing``. Epoch-ms-based
+    ids (the round-1 scheme) collide for commits landing in the same
+    millisecond, and snapshot_by_id/time-travel resolve by first match — a
+    collision silently returns the wrong snapshot."""
+    existing = existing or set()
+    while True:
+        sid = uuid.uuid4().int & ((1 << 63) - 1)
+        if sid and sid not in existing:
+            return sid
+
+
 @dataclass
 class Snapshot:
     snapshot_id: int
@@ -121,14 +134,20 @@ class Snapshot:
     summary: dict = field(default_factory=dict)
     delete_files: list[str] = field(default_factory=list)
     """Equality-delete files (Iceberg v2 merge-on-read): parquet files whose
-    columns name the equality key; readers anti-join them against data files.
-    Simplification vs full Iceberg (documented): deletes apply to ALL data
-    files of the snapshot rather than being scoped by sequence number."""
+    columns name the equality key; readers anti-join them against data files
+    whose sequence number is LOWER than the delete file's (``file_seqs``) —
+    v2 scoping, so a key re-inserted after the delete is not masked."""
     position_delete_files: list[str] = field(default_factory=list)
     """Positional-delete files (Iceberg v2): parquet files of
     (file_path, row_index) pairs; readers anti-join them against the scan's
     ``_metadata`` columns, so an arbitrary-predicate DELETE commits
-    O(matched rows) without touching any data file."""
+    O(matched rows) without touching any data file. Positional deletes name
+    their target file explicitly, so no sequence scoping is needed."""
+    sequence_number: int = 0
+    """Commit order of this snapshot (Iceberg v2 data sequence number)."""
+    file_seqs: dict = field(default_factory=dict)
+    """path -> sequence number at which the file (data or delete) was added.
+    Carried forward commit-to-commit; the basis for delete scoping."""
 
     def to_json(self) -> dict:
         return {
@@ -138,6 +157,8 @@ class Snapshot:
             "data-files": self.data_files,
             "delete-files": self.delete_files,
             "position-delete-files": self.position_delete_files,
+            "sequence-number": self.sequence_number,
+            "file-seqs": self.file_seqs,
             "summary": self.summary,
         }
 
@@ -151,6 +172,8 @@ class Snapshot:
             summary=d.get("summary", {}),
             delete_files=list(d.get("delete-files", [])),
             position_delete_files=list(d.get("position-delete-files", [])),
+            sequence_number=d.get("sequence-number", 0),
+            file_seqs=dict(d.get("file-seqs", {})),
         )
 
 
@@ -196,6 +219,16 @@ class TableMetadata:
     def current_position_delete_files(self) -> list[str]:
         snap = self.current_snapshot()
         return snap.position_delete_files if snap else []
+
+    def current_file_seqs(self) -> dict:
+        snap = self.current_snapshot()
+        return dict(snap.file_seqs) if snap else {}
+
+    def next_sequence_number(self) -> int:
+        return max((s.sequence_number for s in self.snapshots), default=0) + 1
+
+    def snapshot_ids(self) -> set[int]:
+        return {s.snapshot_id for s in self.snapshots}
 
     def with_snapshot(self, snapshot: Snapshot) -> "TableMetadata":
         """Functional update: new metadata doc with the snapshot appended and

@@ -32,7 +32,11 @@ from iceberg_catalog_postgres_spark.catalog.catalog import (
     PostgresCatalog,
     TableIdentifier,
 )
-from iceberg_catalog_postgres_spark.catalog.metadata import Snapshot, TableMetadata
+from iceberg_catalog_postgres_spark.catalog.metadata import (
+    Snapshot,
+    TableMetadata,
+    new_snapshot_id,
+)
 
 
 def _file_range_stats(path: str, column: str) -> tuple | None:
@@ -171,25 +175,44 @@ class Table:
         deleted keys are anti-joined out here — the delete side is typically
         tiny relative to the table, so Spark broadcasts it and the read plan
         stays a single scan + broadcast anti-join (no shuffle of the 100 TB
-        side). Data files are never rewritten on the delete path; compaction
-        or an overwrite materializes the deletes and clears them.
+        side). Deletes are sequence-scoped (Iceberg v2): an equality delete
+        applies only to data files committed BEFORE it, so a key re-inserted
+        after the delete survives the read. Key comparison is null-safe
+        (``<=>``) — a delete key with NULL in a column removes rows with the
+        same NULL, matching Iceberg equality-delete semantics. Data files are
+        never rewritten on the delete path; compaction or an overwrite
+        materializes the deletes and clears them.
         """
+        snap = (
+            self.metadata.snapshot_by_id(snapshot_id)
+            if snapshot_id is not None
+            else self.metadata.current_snapshot()
+        )
         if prune is not None:
             files = self.planned_files(*prune, snapshot_id=snapshot_id)
         else:
             files = self.data_files(snapshot_id)
         if not files:
             return spark.createDataFrame([], self.schema)
-        df = spark.read.schema(self.schema).parquet(*files)
         pos_dels = self.position_delete_files(snapshot_id)
-        if pos_dels:
+        dels = self.delete_files(snapshot_id)
+        store = self.catalog.object_store()
+        seqs = dict(snap.file_seqs) if snap else {}
+
+        def _seq(abs_or_rel: str) -> int:
+            # file_seqs is keyed by table-relative path; fall back to 0
+            # (pre-sequence metadata => deletes apply to everything, the
+            # round-1 behavior) when the map is empty.
+            return seqs.get(abs_or_rel, 0)
+
+        def _apply_pos_dels(part: DataFrame) -> DataFrame:
             from pyspark.sql.functions import broadcast, col
 
             pd_df = spark.read.parquet(*pos_dels).withColumnsRenamed(
                 {"file_path": "__del_file", "row_index": "__del_pos"}
             )
-            df = (
-                df.withColumn("__file", col("_metadata.file_path"))
+            return (
+                part.withColumn("__file", col("_metadata.file_path"))
                 .withColumn("__pos", col("_metadata.row_index"))
                 .join(
                     broadcast(pd_df),
@@ -198,12 +221,56 @@ class Table:
                 )
                 .drop("__file", "__pos")
             )
-        dels = self.delete_files(snapshot_id)
-        if dels:
-            from pyspark.sql.functions import broadcast
 
-            keys = spark.read.parquet(*dels)
-            df = df.join(broadcast(keys), on=keys.columns, how="left_anti")
+        def _apply_eq_dels(part: DataFrame, del_files: list[str]) -> DataFrame:
+            from functools import reduce
+
+            from pyspark.sql.functions import broadcast, col
+
+            keys = spark.read.parquet(*[store.resolve(f) for f in del_files])
+            aliased = keys.select([col(c).alias(f"__k_{c}") for c in keys.columns])
+            cond = reduce(
+                lambda a, b: a & b,
+                [part[c].eqNullSafe(col(f"__k_{c}")) for c in keys.columns],
+            )
+            return part.join(broadcast(aliased), cond, "left_anti")
+
+        if not dels or not seqs:
+            # no equality deletes, or pre-sequence metadata: single cohort
+            df = spark.read.schema(self.schema).parquet(*files)
+            if pos_dels:
+                df = _apply_pos_dels(df)
+            if dels:
+                df = _apply_eq_dels(df, snap.delete_files)
+            return df
+
+        # Sequence-scoped read: group data files into cohorts by which delete
+        # files apply to them (delete seq > data seq). In steady state this is
+        # two cohorts — "old files, all deletes apply" and "files appended
+        # after the last delete, none apply" — so the plan stays scan +
+        # broadcast anti-join per cohort, unioned; no shuffle of the big side.
+        rel_data = snap.data_files
+        if prune is not None:
+            pruned = set(files)
+            rel_data = [f for f in rel_data if store.resolve(f) in pruned]
+        rel_dels = snap.delete_files
+        cohorts: dict[tuple[str, ...], list[str]] = {}
+        for f in rel_data:
+            applicable = tuple(d for d in rel_dels if _seq(d) > _seq(f))
+            cohorts.setdefault(applicable, []).append(f)
+        parts = []
+        for applicable, members in cohorts.items():
+            part = spark.read.schema(self.schema).parquet(
+                *[store.resolve(f) for f in members]
+            )
+            if pos_dels:
+                part = _apply_pos_dels(part)
+            if applicable:
+                part = _apply_eq_dels(part, list(applicable))
+            parts.append(part)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
         return df
 
     def incremental_df(
@@ -320,6 +387,14 @@ class Transaction:
         self._staged_files: list[str] = []
         self._staged_delete_files: list[str] = []
         self._staged_pos_delete_files: list[str] = []
+        # Base file set this transaction was computed against — used to
+        # validate overwrite retries (Iceberg's validateNoNewFiles): an
+        # overwrite's output was derived from these files, so if a concurrent
+        # commit changed the set, blindly re-applying would drop the winner's
+        # rows (e.g. compaction racing a streaming append).
+        self._base_data_files: frozenset[str] = frozenset(
+            table.metadata.current_data_files()
+        )
 
     # -- staging ----------------------------------------------------------
 
@@ -428,12 +503,28 @@ class Transaction:
         current = self.table  # holds (metadata, metadata_location) we read
 
         for attempt in range(self.max_retries + 1):
+            if attempt > 0 and self._operation == "overwrite":
+                # validateNoNewFiles: the staged overwrite (compaction, merge
+                # upsert, CoW rewrite) was computed from the base file set; a
+                # concurrent commit that changed it (e.g. an append that won
+                # the race) would be silently dropped by re-applying. Appends
+                # and MOR deletes commute and retry blindly; overwrites fail.
+                winner_files = frozenset(current.metadata.current_data_files())
+                if winner_files != self._base_data_files:
+                    raise CommitConflictError(
+                        f"{self.table.identifier}: concurrent commit changed the "
+                        "data-file set during an overwrite transaction; recompute "
+                        "the overwrite from the current snapshot and retry"
+                    )
+            next_seq = current.metadata.next_sequence_number()
+            inherited_seqs = current.metadata.current_file_seqs()
             if self._operation == "overwrite":
                 # full rewrite: replaces the file set AND materializes/clears
                 # any pending deletes (both flavors)
                 data_files = list(self._staged_files)
                 delete_files: list[str] = []
                 pos_delete_files: list[str] = []
+                file_seqs = {f: next_seq for f in data_files}
             elif self._operation == "delete":
                 # merge-on-read: data files untouched, delete files accumulate
                 data_files = list(current.metadata.current_data_files())
@@ -445,17 +536,30 @@ class Transaction:
                     *current.metadata.current_position_delete_files(),
                     *self._staged_pos_delete_files,
                 ]
+                file_seqs = {
+                    **inherited_seqs,
+                    **{
+                        f: next_seq
+                        for f in (*self._staged_delete_files, *self._staged_pos_delete_files)
+                    },
+                }
             else:  # append: new data inherits pending deletes unchanged
                 data_files = [*current.metadata.current_data_files(), *self._staged_files]
                 delete_files = list(current.metadata.current_delete_files())
                 pos_delete_files = list(current.metadata.current_position_delete_files())
+                file_seqs = {
+                    **inherited_seqs,
+                    **{f: next_seq for f in self._staged_files},
+                }
             snapshot = Snapshot(
-                snapshot_id=int(time.time() * 1000) * 1000 + random.randint(0, 999),
+                snapshot_id=new_snapshot_id(current.metadata.snapshot_ids()),
                 timestamp_ms=int(time.time() * 1000),
                 operation=self._operation,
                 data_files=data_files,
                 delete_files=delete_files,
                 position_delete_files=pos_delete_files,
+                sequence_number=next_seq,
+                file_seqs=file_seqs,
                 summary={
                     "added-files": str(len(self._staged_files)),
                     "added-delete-files": str(

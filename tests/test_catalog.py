@@ -500,3 +500,102 @@ def test_planned_files_prune_is_superset_safe(catalog, spark):
         .filter(F.col("k").between(10, 15))
         .collect()
     ) == [15]
+
+
+def test_equality_delete_reinsert_not_masked(catalog, spark):
+    """Iceberg v2 sequence scoping: a key deleted and then re-inserted (the
+    standard CDC delete-then-reinsert pattern) must be visible — the pending
+    equality delete applies only to data files with a LOWER sequence number
+    than the delete file (round-2 fix; round 1 masked the re-insert)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType([StructField("k", LongType(), True), StructField("v", StringType(), True)])
+    t = catalog.create_table(TableIdentifier.parse("test.reinsert"), schema)
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame([(1, "a"), (2, "b")], schema)
+    ).commit()
+    t = t.new_transaction().delete_keys_dataframe(
+        spark.createDataFrame([(2,)], "k long")
+    ).commit()
+    assert sorted(r["k"] for r in t.to_df(spark).collect()) == [1]
+    # re-insert the deleted key AFTER the delete commit
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame([(2, "b2")], schema)
+    ).commit()
+    rows = {(r["k"], r["v"]) for r in t.to_df(spark).collect()}
+    assert rows == {(1, "a"), (2, "b2")}
+    # and a later delete still removes both old and re-inserted generations
+    t = t.new_transaction().delete_keys_dataframe(
+        spark.createDataFrame([(1,)], "k long")
+    ).commit()
+    assert {(r["k"], r["v"]) for r in t.to_df(spark).collect()} == {(2, "b2")}
+
+
+def test_equality_delete_null_key_is_null_safe(catalog, spark):
+    """Iceberg equality deletes treat NULL as equal to NULL; the anti-join
+    must use <=> (round-2 fix; a plain equi-join never matches NULL keys)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType([StructField("k", LongType(), True), StructField("v", StringType(), True)])
+    t = catalog.create_table(TableIdentifier.parse("test.nullkey"), schema)
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame([(None, "x"), (1, "a")], schema)
+    ).commit()
+    t = t.new_transaction().delete_keys_dataframe(
+        spark.createDataFrame([(None,)], "k long")
+    ).commit()
+    rows = {(r["k"], r["v"]) for r in t.to_df(spark).collect()}
+    assert rows == {(1, "a")}
+
+
+def test_overwrite_retry_validates_no_new_files(catalog, spark):
+    """validateNoNewFiles: an overwrite (compaction/merge) computed against a
+    base snapshot must NOT clobber a concurrent append on retry — round 1
+    silently dropped the appended rows (last-writer-wins)."""
+    from iceberg_catalog_postgres_spark.catalog.catalog import CommitConflictError
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([StructField("k", LongType(), True)])
+    ident = TableIdentifier.parse("test.owvalidate")
+    t = catalog.create_table(ident, schema)
+    t = t.new_transaction().append_dataframe(spark.createDataFrame([(1,)], schema)).commit()
+
+    # stage an overwrite against the current state
+    txn = t.new_transaction().overwrite_dataframe(spark.createDataFrame([(10,)], schema))
+    # a concurrent writer appends and wins the race
+    other = catalog.load_table(ident)
+    other = other.new_transaction().append_dataframe(
+        spark.createDataFrame([(2,)], schema)
+    ).commit()
+    with pytest.raises(CommitConflictError, match="recompute"):
+        txn.commit()
+    # the winner's append is intact
+    assert sorted(r["k"] for r in catalog.load_table(ident).to_df(spark).collect()) == [1, 2]
+
+    # an APPEND staged against stale state still retries blindly and succeeds
+    stale = catalog.load_table(ident)
+    third = catalog.load_table(ident)
+    third.new_transaction().append_dataframe(spark.createDataFrame([(3,)], schema)).commit()
+    stale.new_transaction().append_dataframe(spark.createDataFrame([(4,)], schema)).commit()
+    assert sorted(
+        r["k"] for r in catalog.load_table(ident).to_df(spark).collect()
+    ) == [1, 2, 3, 4]
+
+
+def test_snapshot_ids_collision_free_and_in_range(catalog, spark):
+    """Snapshot ids come from uuid4 entropy masked to 63 bits (positive
+    int64), re-rolled against existing ids — epoch-ms ids collided for
+    commits in the same millisecond and time-travel resolved the wrong one."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([StructField("k", LongType(), True)])
+    t = catalog.create_table(TableIdentifier.parse("test.snapids"), schema)
+    for i in range(5):  # rapid commits, same millisecond likely
+        t = t.new_transaction().append_dataframe(
+            spark.createDataFrame([(i,)], schema)
+        ).commit()
+    ids = [s.snapshot_id for s in t.metadata.snapshots]
+    assert len(ids) == len(set(ids)) == 5
+    assert all(0 < i < 2**63 for i in ids)
+    seqs = [s.sequence_number for s in t.metadata.snapshots]
+    assert seqs == [1, 2, 3, 4, 5]
