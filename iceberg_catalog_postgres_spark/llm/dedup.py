@@ -26,6 +26,55 @@ K = 12
 BANDS = 4
 ROWS = 3
 JACCARD_THRESHOLD = 0.5
+# In-bucket pair expansion is O(|bucket|^2); a pathological bucket (site
+# boilerplate, empty-ish docs all sharing one band key) would go quadratic
+# inside one task. Buckets above this cap are dropped from candidate
+# generation (their members are near-identical boilerplate reachable through
+# other bands, and a 100 TB run surfaces them via `oversized_buckets` for a
+# dedicated exact-group pass instead of a pair explosion).
+MAX_BUCKET = 1000
+
+
+def bucket_candidate_pairs(bands: DataFrame, max_bucket: int = MAX_BUCKET) -> DataFrame:
+    """(doc_id, band, key) -> distinct candidate (doc_a, doc_b) pairs from
+    same-bucket co-occurrence, skipping buckets larger than ``max_bucket``.
+
+    Pairs are emitted with a higher-order expression over the collected
+    bucket (no self-join), so each bucket expands in one task; the cap
+    bounds that task at max_bucket^2/2 pairs."""
+    ids = F.sort_array(F.collect_set("doc_id"))
+    n = F.size(F.col("ids"))
+    pair_expr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, n),
+                lambda j: F.struct(
+                    F.element_at(F.col("ids"), i).alias("doc_a"),
+                    F.element_at(F.col("ids"), j).alias("doc_b"),
+                ),
+            ),
+        )
+    )
+    return (
+        bands.groupBy("band", "key")
+        .agg(ids.alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+        .select(F.explode(pair_expr).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .distinct()
+    )
+
+
+def oversized_buckets(bands: DataFrame, max_bucket: int = MAX_BUCKET) -> DataFrame:
+    """Overflow accounting for the cap above: the (band, key, n_docs) buckets
+    that candidate generation skipped. At scale this feeds a boilerplate
+    triage pass (exact-hash grouping within the bucket is O(n), not O(n^2))."""
+    return (
+        bands.groupBy("band", "key")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") > max_bucket)
+    )
 
 
 def _shingle_expr():
@@ -133,9 +182,13 @@ def _minhash_oracle() -> str:
     bands AS (
       {bands_sql}
     ),
+    bucket_sizes AS (
+      SELECT band, key, count(DISTINCT doc_id) AS n_docs FROM bands GROUP BY band, key
+    ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+      JOIN bucket_sizes c ON c.band = a.band AND c.key = a.key AND c.n_docs <= {MAX_BUCKET}
     ),
     shset AS (SELECT doc_id, list(sh) AS s FROM sh GROUP BY doc_id)
     SELECT doc_a, doc_b,
@@ -204,32 +257,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
     # Candidate pairs WITHOUT a self-join: group docs per (band, key) bucket
-    # and emit in-bucket pairs with a higher-order expression. One pass over
-    # the signature pipeline instead of two; bucket sizes are bounded
-    # (identical band keys ~ near-identical docs), so the pair expansion per
-    # bucket is small by construction.
-    ids = F.sort_array(F.collect_set("doc_id"))
-    n = F.size(F.col("ids"))
-    pair_expr = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.transform(
-                F.sequence(i + 1, n),
-                lambda j: F.struct(
-                    F.element_at(F.col("ids"), i).alias("doc_a"),
-                    F.element_at(F.col("ids"), j).alias("doc_b"),
-                ),
-            ),
-        )
-    )
-    cand = (
-        bands.groupBy("band", "key")
-        .agg(ids.alias("ids"))
-        .filter(F.size("ids") > 1)
-        .select(F.explode(pair_expr).alias("p"))
-        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-        .distinct()
-    )
+    # and emit in-bucket pairs with a higher-order expression (see
+    # bucket_candidate_pairs). Buckets above MAX_BUCKET are skipped — the
+    # boilerplate guard that keeps a viral band key from going quadratic
+    # inside one task.
+    cand = bucket_candidate_pairs(bands, MAX_BUCKET)
 
     shset = base.select("doc_id", F.col("shingles").alias("s"))
     jac = (

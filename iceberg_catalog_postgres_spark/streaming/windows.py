@@ -296,12 +296,21 @@ def stream_stateful_user_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination(120)
-        # final state per user = last update emitted
+        # Final state per user = the LAST update emitted. n_events is a
+        # monotone per-key counter (each emission follows >=1 new row), so
+        # the struct-max picks the latest row and takes total_value FROM that
+        # row — an independent max(total_value) would be wrong whenever event
+        # values can be negative (the running total is not monotone).
         sink = spark_.table(name)
-        from pyspark.sql import Window as W
-
-        return sink.groupBy("user_id").agg(
-            F.max("n_events").alias("n_events"), F.max("total_value").alias("total_value")
+        latest = F.max(F.struct("n_events", "total_value")).alias("s")
+        return (
+            sink.groupBy("user_id")
+            .agg(latest)
+            .select(
+                "user_id",
+                F.col("s.n_events").alias("n_events"),
+                F.col("s.total_value").alias("total_value"),
+            )
         )
 
     return run(spark, sf_dir)
