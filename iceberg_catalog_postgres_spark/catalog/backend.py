@@ -12,6 +12,18 @@ Both dialects support the exact semantics the catalog needs:
 - ``INSERT ... ON CONFLICT DO NOTHING`` (mod.rs:252-278)
 - conditional ``UPDATE ... WHERE metadata_location = ?`` CAS (mod.rs:309-335)
   with affected-rowcount reporting.
+
+Dialect deltas (the complete list for the statements this catalog emits —
+pinned as golden strings in ``tests/test_postgres_dialect.py``):
+- **Placeholders**: SQLite uses ``?``, psycopg2 uses ``%s`` — handled by
+  ``sql()`` below; no other token differs between the renderings.
+- **Types**: ``VARCHAR(n)`` is a real length constraint on Postgres but
+  advisory on SQLite (affinity TEXT). Identical DDL text is valid on both.
+- **ON CONFLICT**: both accept the column-list form used here; SQLite
+  requires a unique index on the columns (the PRIMARY KEY provides it).
+- **rowcount**: both report affected rows for UPDATE/DELETE/INSERT as the
+  CAS protocol requires; SQLite needs ``isolation_level=None`` +
+  connection-level locking (below) to make them serializable.
 """
 
 from __future__ import annotations

@@ -220,7 +220,9 @@ class PostgresCatalog:
             raise CorruptCatalogError(f"Multiple rows for {identifier}.")  # mod.rs:233-235
         metadata_location = rows[0][0]
         raw = self._object_store.get(metadata_location)  # mod.rs:209-216
-        metadata = TableMetadata.from_json(raw.decode("utf-8"))  # mod.rs:217-220
+        metadata = TableMetadata.from_json(
+            raw.decode("utf-8"), store=self._object_store
+        )  # mod.rs:217-220 (store inflates manifest-backed snapshots)
         return Table(identifier, self, metadata, metadata_location)  # mod.rs:222-228
 
     # -- §2.A#9 update_table (mod.rs:296-347) — THE CAS commit ------------

@@ -180,7 +180,11 @@ def delete_where_cow(
 
     # commit kept + rewritten directly (bypasses the append/overwrite staging
     # since neither matches "replace a subset of files")
-    from iceberg_catalog_postgres_spark.catalog.metadata import Snapshot, new_snapshot_id
+    from iceberg_catalog_postgres_spark.catalog.metadata import (
+        Snapshot,
+        new_snapshot_id,
+        plan_manifests,
+    )
 
     import posixpath as _pp2
     import time as _time
@@ -202,6 +206,11 @@ def delete_where_cow(
             "files-rewritten": str(len(to_rewrite)),
             "files-kept": str(len(kept)),
         },
+    )
+    # CoW removes files from the set (non-additive) -> full manifest rewrite
+    # when above the spill threshold.
+    plan_manifests(
+        store, table.metadata.location, "overwrite", None, None, snapshot
     )
     new_md = table.metadata.with_snapshot(snapshot)
     new_location = _pp2.join(
@@ -487,10 +496,15 @@ def expire_snapshots(table: Table, keep_last: int = 2) -> Table:
 
     live_files = {
         f for s in kept for f in [*s.data_files, *s.delete_files, *s.position_delete_files]
-    }
-    orphans = {
-        f for s in expired for f in [*s.data_files, *s.delete_files, *s.position_delete_files]
-    } - live_files
+    } | {m for s in kept if s.manifests for m in s.manifests}
+    orphans = (
+        {
+            f
+            for s in expired
+            for f in [*s.data_files, *s.delete_files, *s.position_delete_files]
+        }
+        | {m for s in expired if s.manifests for m in s.manifests}
+    ) - live_files
     for f in orphans:
         path = store.resolve(f)
         if _os.path.exists(path):

@@ -8,16 +8,19 @@ stable integer field ids (``mod.rs:431-453``). The schema codec maps Iceberg
 fields <-> Spark ``StructType``, keeping the field id in
 ``StructField.metadata["iceberg.field-id"]`` (SURVEY §1.3).
 
-Simplification vs full Iceberg (documented, deliberate): snapshots embed
-their data-file list directly instead of via manifest/manifest-list
-indirection — the pointer-swap commit protocol (the part the reference
-actually implements) is identical either way. At 100 TB the file list per
-snapshot would move to manifest files; the CAS commit below is unchanged.
+Snapshots up to MANIFEST_THRESHOLD file entries embed their file lists
+directly; beyond that they spill to content-addressed manifest chunk files
+(Iceberg's manifest-list indirection), with additive commits reusing the
+parent's chunks plus one delta chunk — metadata JSON stays O(snapshots) and
+commit cost O(delta) at any file count. The pointer-swap commit protocol
+(the part the reference actually implements) is identical either way.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
+import posixpath
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -112,6 +115,74 @@ def schema_to_spark(iceberg_schema: dict) -> StructType:
     return StructType([_field_to_spark(f) for f in iceberg_schema["fields"]])
 
 
+# Snapshots whose total file-entry count exceeds this spill their file lists
+# to separate manifest JSON files (Iceberg's manifest-list indirection): the
+# metadata document stays O(snapshots), not O(snapshots x files), so a
+# 10^7-file table's pointer swap still reads/writes a small JSON. Additive
+# commits (append, MOR delete) REUSE the parent snapshot's chunks and add one
+# delta chunk — O(delta) write cost per commit, like Iceberg's manifest reuse.
+MANIFEST_THRESHOLD = 100
+
+
+def write_manifest(store, table_location: str, entries: list[dict]) -> str:
+    """Write one manifest chunk ({"entries": [{path, kind, seq}]}) under
+    ``<location>/metadata/``, content-addressed so identical chunks are
+    written once and shared across snapshots."""
+    payload = json.dumps({"entries": entries}).encode()
+    digest = hashlib.sha256(payload).hexdigest()[:20]
+    rel = posixpath.join(table_location, "metadata", f"manifest-{digest}.json")
+    if not store.exists(rel):
+        store.put(rel, payload)
+    return rel
+
+
+def snapshot_entries(snapshot: "Snapshot") -> list[dict]:
+    """Flatten a snapshot's file lists into manifest entries."""
+    out = []
+    for path in snapshot.data_files:
+        out.append({"path": path, "kind": "data", "seq": snapshot.file_seqs.get(path, 0)})
+    for path in snapshot.delete_files:
+        out.append({"path": path, "kind": "eq-delete", "seq": snapshot.file_seqs.get(path, 0)})
+    for path in snapshot.position_delete_files:
+        out.append({"path": path, "kind": "pos-delete", "seq": snapshot.file_seqs.get(path, 0)})
+    return out
+
+
+def plan_manifests(
+    store,
+    table_location: str,
+    operation: str,
+    prev_snapshot: "Snapshot | None",
+    staged_entries: list[dict] | None,
+    snapshot: "Snapshot",
+    threshold: int | None = None,
+) -> None:
+    """Decide the manifest layout for ``snapshot`` (mutates
+    ``snapshot.manifests``): inline below the threshold; above it, reuse the
+    parent's chunks plus one delta chunk for additive operations
+    (append / MOR delete with ``staged_entries``), else one full rewrite."""
+    threshold = MANIFEST_THRESHOLD if threshold is None else threshold
+    total = (
+        len(snapshot.data_files)
+        + len(snapshot.delete_files)
+        + len(snapshot.position_delete_files)
+    )
+    if total <= threshold:
+        snapshot.manifests = None
+        return
+    additive = (
+        operation in ("append", "delete")
+        and staged_entries is not None
+        and prev_snapshot is not None
+        and prev_snapshot.manifests
+    )
+    if additive:
+        chunk = write_manifest(store, table_location, staged_entries)
+        snapshot.manifests = [*prev_snapshot.manifests, chunk]
+    else:
+        snapshot.manifests = [write_manifest(store, table_location, snapshot_entries(snapshot))]
+
+
 def new_snapshot_id(existing: set[int] | None = None) -> int:
     """Collision-safe snapshot id: uuid4 entropy masked to 63 bits (Iceberg
     ids are positive int64), re-rolled against ``existing``. Epoch-ms-based
@@ -148,22 +219,64 @@ class Snapshot:
     file_seqs: dict = field(default_factory=dict)
     """path -> sequence number at which the file (data or delete) was added.
     Carried forward commit-to-commit; the basis for delete scoping."""
+    manifests: list | None = None
+    """When set, this snapshot's file lists are backed by these manifest
+    chunk files instead of being inlined in the metadata JSON (set by
+    ``plan_manifests`` above the MANIFEST_THRESHOLD). The in-memory lists
+    are always fully inflated; ``manifests`` records the serialized form."""
 
     def to_json(self) -> dict:
-        return {
+        common = {
             "snapshot-id": self.snapshot_id,
             "timestamp-ms": self.timestamp_ms,
             "operation": self.operation,
+            "sequence-number": self.sequence_number,
+            "summary": self.summary,
+        }
+        if self.manifests is not None:
+            return {**common, "manifests": list(self.manifests)}
+        return {
+            **common,
             "data-files": self.data_files,
             "delete-files": self.delete_files,
             "position-delete-files": self.position_delete_files,
-            "sequence-number": self.sequence_number,
             "file-seqs": self.file_seqs,
-            "summary": self.summary,
         }
 
     @staticmethod
-    def from_json(d: dict) -> "Snapshot":
+    def from_json(d: dict, store=None) -> "Snapshot":
+        if "manifests" in d:
+            if store is None:
+                raise ValueError(
+                    "manifest-backed snapshot requires an object store to load"
+                )
+            data: list[str] = []
+            dels: list[str] = []
+            pos: list[str] = []
+            seqs: dict = {}
+            for m in d["manifests"]:
+                doc = json.loads(store.get(m).decode("utf-8"))
+                for e in doc["entries"]:
+                    kind, path = e["kind"], e["path"]
+                    if kind == "data":
+                        data.append(path)
+                    elif kind == "eq-delete":
+                        dels.append(path)
+                    else:
+                        pos.append(path)
+                    seqs[path] = e.get("seq", 0)
+            return Snapshot(
+                snapshot_id=d["snapshot-id"],
+                timestamp_ms=d["timestamp-ms"],
+                operation=d["operation"],
+                data_files=data,
+                summary=d.get("summary", {}),
+                delete_files=dels,
+                position_delete_files=pos,
+                sequence_number=d.get("sequence-number", 0),
+                file_seqs=seqs,
+                manifests=list(d["manifests"]),
+            )
         return Snapshot(
             snapshot_id=d["snapshot-id"],
             timestamp_ms=d["timestamp-ms"],
@@ -264,13 +377,13 @@ class TableMetadata:
         )
 
     @staticmethod
-    def from_json(text: str) -> "TableMetadata":
+    def from_json(text: str, store=None) -> "TableMetadata":
         d = json.loads(text)
         return TableMetadata(
             table_uuid=d["table-uuid"],
             location=d["location"],
             schema=d["schema"],
-            snapshots=[Snapshot.from_json(s) for s in d.get("snapshots", [])],
+            snapshots=[Snapshot.from_json(s, store=store) for s in d.get("snapshots", [])],
             current_snapshot_id=d.get("current-snapshot-id"),
             last_updated_ms=d.get("last-updated-ms", 0),
             format_version=d.get("format-version", 1),

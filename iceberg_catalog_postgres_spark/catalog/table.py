@@ -36,6 +36,7 @@ from iceberg_catalog_postgres_spark.catalog.metadata import (
     Snapshot,
     TableMetadata,
     new_snapshot_id,
+    plan_manifests,
 )
 
 
@@ -566,6 +567,30 @@ class Transaction:
                         len(self._staged_delete_files) + len(self._staged_pos_delete_files)
                     ),
                 },
+            )
+            # Spill large file lists to manifest chunks; appends and MOR
+            # deletes are additive, so they reuse the parent's chunks and
+            # write only an O(delta) chunk.
+            staged_entries = None
+            if self._operation == "append":
+                staged_entries = [
+                    {"path": f, "kind": "data", "seq": next_seq} for f in self._staged_files
+                ]
+            elif self._operation == "delete":
+                staged_entries = [
+                    {"path": f, "kind": "eq-delete", "seq": next_seq}
+                    for f in self._staged_delete_files
+                ] + [
+                    {"path": f, "kind": "pos-delete", "seq": next_seq}
+                    for f in self._staged_pos_delete_files
+                ]
+            plan_manifests(
+                store,
+                current.metadata.location,
+                self._operation,
+                current.metadata.current_snapshot(),
+                staged_entries,
+                snapshot,
             )
             new_metadata = current.metadata.with_snapshot(snapshot)
             new_location = posixpath.join(

@@ -599,3 +599,70 @@ def test_snapshot_ids_collision_free_and_in_range(catalog, spark):
     assert all(0 < i < 2**63 for i in ids)
     seqs = [s.sequence_number for s in t.metadata.snapshots]
     assert seqs == [1, 2, 3, 4, 5]
+
+
+def test_manifest_spill_reuse_reads_and_gc(catalog, spark, monkeypatch):
+    """Manifest-list indirection: above the threshold, snapshots spill file
+    lists to content-addressed manifest chunks; additive commits reuse the
+    parent's chunks + one delta chunk; reads (current, time-travel,
+    incremental, pruned) are unaffected; expiry GCs orphaned chunks."""
+    import json as _json
+
+    from iceberg_catalog_postgres_spark.catalog import metadata as md_mod
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    monkeypatch.setattr(md_mod, "MANIFEST_THRESHOLD", 4)
+    schema = StructType([StructField("k", LongType(), True)])
+    ident = TableIdentifier.parse("test.manifested")
+    t = catalog.create_table(ident, schema)
+
+    snap_of = []
+    for i in range(7):
+        t = t.new_transaction().append_dataframe(
+            spark.createDataFrame([(i,)], schema).coalesce(1)
+        ).commit()
+        snap_of.append(t.metadata.current_snapshot_id)
+
+    snaps = t.metadata.snapshots
+    # first 4 commits inline (<= threshold of 4 files), later ones spilled
+    assert snaps[3].manifests is None
+    assert snaps[4].manifests is not None
+    # additive reuse: each append adds exactly one delta chunk on top of the
+    # parent's chunks, sharing the prefix
+    assert len(snaps[5].manifests) == len(snaps[4].manifests) + 1
+    assert snaps[5].manifests[: len(snaps[4].manifests)] == snaps[4].manifests
+    assert snaps[6].manifests[: len(snaps[5].manifests)] == snaps[5].manifests
+
+    # the serialized metadata holds pointers, not file lists, for spilled snaps
+    raw = _json.loads(catalog.object_store().get(t.metadata_location()).decode())
+    spilled = [s for s in raw["snapshots"] if "manifests" in s]
+    assert len(spilled) == 3
+    assert all("data-files" not in s for s in spilled)
+
+    # a fresh load through the catalog inflates everything
+    t2 = catalog.load_table(ident)
+    assert sorted(r["k"] for r in t2.to_df(spark).collect()) == list(range(7))
+    # time travel to a spilled snapshot
+    assert sorted(r["k"] for r in t2.to_df(spark, snap_of[4]).collect()) == list(range(5))
+    # incremental read across the spill boundary
+    inc = t2.incremental_df(spark, snap_of[3], snap_of[6])
+    assert sorted(r["k"] for r in inc.collect()) == [4, 5, 6]
+    # pruned scan still plans from (inflated) metadata
+    assert sorted(
+        r["k"] for r in t2.to_df(spark, prune=("k", 5, 6)).filter("k >= 5").collect()
+    ) == [5, 6]
+
+    # overwrite rewrites manifests fresh; expiry GCs the orphaned chunks
+    old_chunks = {m for s in snaps if s.manifests for m in s.manifests}
+    big = spark.createDataFrame([(i,) for i in range(10)], schema).repartition(6)
+    t2 = t2.new_transaction().overwrite_dataframe(big).commit()
+    from iceberg_catalog_postgres_spark.catalog.maintenance import expire_snapshots
+
+    t3 = expire_snapshots(t2, keep_last=1)
+    store = catalog.object_store()
+    assert all(not store.exists(m) for m in old_chunks), "orphan chunks not GC'd"
+    live_chunks = t3.metadata.current_snapshot().manifests
+    assert live_chunks and all(store.exists(m) for m in live_chunks)
+    assert sorted(r["k"] for r in catalog.load_table(ident).to_df(spark).collect()) == list(
+        range(10)
+    )

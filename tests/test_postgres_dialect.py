@@ -1,0 +1,139 @@
+"""Postgres dialect certification without a server.
+
+The sandbox has no Postgres (the catalog runs on SQLite), so the
+PostgresBackend code path never executes. This test pins EVERY SQL statement
+the catalog can emit, rendered in the Postgres paramstyle, as golden strings
+— asserting they are the statements a live Postgres would receive and that
+they stay dialect-clean (no '?' placeholders, no SQLite-isms), matching the
+reference DDL and CAS shapes (mod.rs:365-385 CREATE, mod.rs:252-278 INSERT
+ON CONFLICT, mod.rs:309-335 conditional UPDATE).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from iceberg_catalog_postgres_spark.catalog.backend import SqlBackend
+from iceberg_catalog_postgres_spark.catalog.catalog import (
+    CommitConflictError,
+    NoSuchTableError,
+    ObjectStore,
+    PostgresCatalog,
+    TableIdentifier,
+)
+
+
+class RecordingPostgresBackend(SqlBackend):
+    """Renders templates exactly like PostgresBackend (paramstyle %s) but
+    records statements instead of needing a server; returns scripted rows."""
+
+    paramstyle = "%s"
+
+    def __init__(self):
+        self.statements: list[tuple[str, tuple]] = []
+        self.script: list[tuple[list[tuple], int]] = []
+
+    def execute(self, sql, params=()):
+        self.statements.append((sql, params))
+        if self.script:
+            return self.script.pop(0)
+        return [(0,)], 1  # default: one scalar row (EXISTS-style), rowcount 1
+
+    def close(self):
+        pass
+
+
+def norm(sql: str) -> str:
+    return re.sub(r"\s+", " ", sql).strip()
+
+
+@pytest.fixture()
+def recording(tmp_path):
+    backend = RecordingPostgresBackend()
+    cat = PostgresCatalog("prod", backend, ObjectStore(str(tmp_path / "wh")))
+    return cat, backend
+
+
+def test_every_statement_matches_postgres_golden(recording, tmp_path):
+    cat, backend = recording
+    ident = TableIdentifier.parse("ns.t1")
+
+    cat.initialize()
+    cat.table_exists(ident)  # scripted default row
+    backend.script = [([("ns", "t1")], 1)]
+    cat.list_tables("ns")
+    # register: INSERT rowcount 1, then load_table SELECT returns the pointer
+    meta_loc = "data.db/ns/t1/metadata/v1-abc.metadata.json"
+    cat.object_store().put(meta_loc, _metadata_json().encode())
+    backend.script = [([], 1), ([(meta_loc,)], 1)]
+    cat.register_table(ident, meta_loc)
+    # CAS update: rowcount 1, then reload
+    new_loc = "data.db/ns/t1/metadata/v2-def.metadata.json"
+    cat.object_store().put(new_loc, _metadata_json().encode())
+    backend.script = [([], 1), ([(new_loc,)], 1)]
+    cat.update_table(ident, new_loc, meta_loc)
+    cat.drop_table(ident)
+
+    got = [norm(s) for s, _ in backend.statements]
+    golden = [
+        # initialize (mod.rs:365-385; Iceberg official JDBC-catalog shape)
+        "CREATE TABLE IF NOT EXISTS iceberg_tables ( catalog_name VARCHAR(255) NOT NULL, "
+        "table_namespace VARCHAR(255) NOT NULL, table_name VARCHAR(255) NOT NULL, "
+        "metadata_location VARCHAR(5500), previous_metadata_location VARCHAR(5500), "
+        "PRIMARY KEY (catalog_name, table_namespace, table_name) )",
+        # table_exists (mod.rs:107-136)
+        "SELECT EXISTS (SELECT 1 FROM iceberg_tables WHERE catalog_name = %s AND "
+        "table_namespace = %s AND table_name = %s)",
+        # list_tables (mod.rs:56-96)
+        "SELECT table_namespace, table_name FROM iceberg_tables WHERE catalog_name = %s "
+        "AND table_namespace = %s",
+        # register_table (mod.rs:242-294)
+        "INSERT INTO iceberg_tables (catalog_name, table_namespace, table_name, "
+        "metadata_location, previous_metadata_location) VALUES (%s, %s, %s, %s, NULL) "
+        "ON CONFLICT (catalog_name, table_namespace, table_name) DO NOTHING",
+        # load_table after register (mod.rs:177-236)
+        "SELECT metadata_location FROM iceberg_tables WHERE catalog_name = %s AND "
+        "table_namespace = %s AND table_name = %s",
+        # update_table CAS (mod.rs:309-335)
+        "UPDATE iceberg_tables SET metadata_location = %s, previous_metadata_location = %s "
+        "WHERE catalog_name = %s AND table_namespace = %s AND table_name = %s AND "
+        "metadata_location = %s",
+        # load_table after CAS
+        "SELECT metadata_location FROM iceberg_tables WHERE catalog_name = %s AND "
+        "table_namespace = %s AND table_name = %s",
+        # drop_table (mod.rs:138-175)
+        "DELETE FROM iceberg_tables WHERE catalog_name = %s AND table_namespace = %s "
+        "AND table_name = %s",
+    ]
+    assert got == golden
+
+
+def test_postgres_rendering_is_dialect_clean(recording, tmp_path):
+    cat, backend = recording
+    ident = TableIdentifier.parse("ns.t2")
+    cat.initialize()
+    cat.table_exists(ident)
+    with pytest.raises(NoSuchTableError):
+        backend.script = [([], 0)]
+        cat.drop_table(ident)
+    with pytest.raises(CommitConflictError):
+        backend.script = [([], 0)]
+        cat.update_table(ident, "a", "b")
+    for sql, params in backend.statements:
+        assert "?" not in sql, f"unrendered placeholder in {sql!r}"
+        # SQLite-only constructs must never leak into the Postgres rendering
+        for bad in ("AUTOINCREMENT", "WITHOUT ROWID", "PRAGMA", "||"):
+            assert bad not in sql.upper()
+        assert sql.count("%s") == len(params)
+
+
+def _metadata_json() -> str:
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from iceberg_catalog_postgres_spark.catalog.metadata import TableMetadata
+
+    return TableMetadata.new(
+        "data.db/ns/t1", StructType([StructField("k", LongType(), True)])
+    ).to_json()
