@@ -114,14 +114,28 @@ def catalog_stream_sink_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cat.load_table(ident).to_df(spark).orderBy("event_type")
 
 
-@register("catalog_schema_evolution", oracle=None, tags=("catalog", "schema-evolution"))
+@register(
+    "catalog_schema_evolution",
+    oracle="""
+    SELECT null_lang, CAST(count(*) AS BIGINT) AS n_rows
+    FROM (
+      SELECT true AS null_lang FROM documents WHERE doc_id < 100
+      UNION ALL
+      SELECT lang IS NULL AS null_lang FROM documents WHERE doc_id < 50
+    )
+    GROUP BY null_lang
+    """,
+    tags=("catalog", "schema-evolution"),
+)
 def catalog_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Additive schema evolution: append under schema v1, commit a widened
     schema (new column, fresh field id) through the CAS, append under v2,
     read the union — old files surface the new column as null.
 
-    Returns per-schema-era row counts; rows-only check (paths are dynamic),
-    with exact assertions in tests/test_catalog.py.
+    Returns row counts by lang-is-null: v1-era rows are ALL null-lang (the
+    column didn't exist in their files), v2-era rows carry the source value.
+    The oracle reproduces exactly that from the source table — a real
+    value-level check that old files surface the new column as null.
     """
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
@@ -131,29 +145,47 @@ def catalog_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = cat.create_table(ident, v1)
 
     src = load(spark, sf_dir, "documents")
-    table = table.new_transaction().append_dataframe(src.select("doc_id", "text").limit(100)).commit()
+    table = (
+        table.new_transaction()
+        .append_dataframe(src.filter(F.col("doc_id") < 100).select("doc_id", "text"))
+        .commit()
+    )
 
     v2 = StructType([*v1.fields, StructField("lang", StringType(), True)])
     table = table.commit_schema(v2)
     table = (
         table.new_transaction()
-        .append_dataframe(src.select("doc_id", "text", "lang").limit(50))
+        .append_dataframe(src.filter(F.col("doc_id") < 50).select("doc_id", "text", "lang"))
         .commit()
     )
 
     df = cat.load_table(ident).to_df(spark)
-    return df.groupBy(F.col("lang").isNull().alias("from_v1_files")).agg(
+    return df.groupBy(F.col("lang").isNull().alias("null_lang")).agg(
         F.count(F.lit(1)).alias("n_rows")
     )
 
 
-@register("catalog_incremental_read", oracle=None, tags=("catalog", "cdc"))
+@register(
+    "catalog_incremental_read",
+    oracle="""
+    SELECT 's1->s2' AS interval, CAST(count(*) AS BIGINT) AS n_rows
+    FROM customer WHERE c_custkey % 3 = 1
+    UNION ALL
+    SELECT 's2->s3', CAST(count(*) AS BIGINT) FROM customer WHERE c_custkey % 3 = 2
+    UNION ALL
+    SELECT 'full_table', CAST(count(*) AS BIGINT) FROM customer
+    """,
+    tags=("catalog", "cdc"),
+)
 def catalog_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-feed read: three append commits, then incremental scans
     between snapshot pairs — each reads ONLY the files that commit added
     (planned from metadata, zero scanning of pre-existing data).
 
-    Returns per-interval added-row counts; exact semantics pinned in
+    Returns per-interval added-row counts; the oracle reproduces them from
+    the source partitioning (c_custkey % 3 cohorts), so an incremental read
+    that leaked pre-existing files would over-count and go red. Exact
+    row-level semantics additionally pinned in
     tests/test_catalog.py::test_incremental_read_returns_only_new_rows.
     """
     cat = _fresh_catalog("catalog_incremental_demo")

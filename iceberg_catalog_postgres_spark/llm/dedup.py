@@ -357,8 +357,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     crossJoin-free shape as MinHash-LSH.
     """
     d = load_parallel(spark, sf_dir, "documents")
+    return _simhash_pairs(d, F.xxhash64("tok"))
+
+
+def _simhash_pairs(d: DataFrame, hash_expr) -> DataFrame:
+    """Shared SimHash pipeline: 32-bit signature from per-token ``hash_expr``
+    bit-votes, candidate pairs via 16-bit half-signature buckets, hamming
+    filter. ``hash_expr`` is evaluated over the exploded token column."""
     toks = d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
-    h = toks.withColumn("hash", F.xxhash64("tok"))
+    h = toks.withColumn("hash", hash_expr)
     # bit votes: +1 if bit set else -1; simhash bit = majority
     votes = h.groupBy("doc_id").agg(
         *[
@@ -394,8 +401,62 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = lo_pairs.unionByName(hi_pairs).distinct()
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (
-        cand.withColumn("hamming", hamming)
+        cand.withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= 3)
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
     )
+
+
+def _simhash_md5_oracle() -> str:
+    """DuckDB twin of the md5-bit SimHash: 32 bit-votes from md5 nibbles.
+    Bit i (LSB-0) of the 32-bit value = bit (i % 4) of the hex nibble at
+    1-based char position 8 - i // 4 in the first 8 md5 hex chars."""
+    votes = ",\n        ".join(
+        f"sum(CASE WHEN ((strpos('0123456789abcdef', substr(md5(tok), {8 - i // 4}, 1)) - 1)"
+        f" >> {i % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(32)
+    )
+    sig = " + ".join(f"(CASE WHEN v{i} > 0 THEN {2**i} ELSE 0 END)" for i in range(32))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents
+    ),
+    votes AS (
+      SELECT doc_id,
+        {votes}
+      FROM toks GROUP BY doc_id
+    ),
+    sigs AS (SELECT doc_id, CAST({sig} AS BIGINT) AS sig FROM votes),
+    halves AS (
+      SELECT doc_id, sig, sig & 65535 AS lo, (sig >> 16) & 65535 AS hi FROM sigs
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
+      FROM halves a JOIN halves b ON a.lo = b.lo AND a.doc_id < b.doc_id
+      UNION
+      SELECT a.doc_id, b.doc_id, a.sig, b.sig
+      FROM halves a JOIN halves b ON a.hi = b.hi AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sig_a, sig_b)) <= 3
+    ORDER BY doc_a, doc_b
+    """
+
+
+@register("dedup_simhash_md5", oracle=_simhash_md5_oracle(), tags=("llm", "dedup", "simhash"))
+def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup with the 32-bit token hash drawn from the first 8 hex
+    chars of md5 — the cross-engine-deterministic twin of ``dedup_simhash``,
+    value-checked against a full SQL reimplementation in DuckDB (bit votes,
+    signature, half-signature buckets, hamming filter).
+
+    Production uses the xxhash64 variant (one JVM hash per token); this
+    variant exists so the SimHash *algorithm* — not just its row count — is
+    oracle-certified. Same crossJoin-free scale shape: explode + 32
+    conditional-sum partial aggs, candidates via half-signature equi-join.
+    """
+    d = load_parallel(spark, sf_dir, "documents")
+    hash32 = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    return _simhash_pairs(d, hash32)

@@ -152,7 +152,7 @@ PRIORITY: tuple[str, ...] = (
     "dedup_exact_hash",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard_blocked",
-    "dedup_simhash",
+    "dedup_simhash_md5",
     "dedup_embedding_cosine_pairs",
     "dedup_cluster_resolution",
     # LLM pipeline: similarity / embeddings
@@ -203,6 +203,9 @@ PRIORITY: tuple[str, ...] = (
     "stream_stream_interval_join",
     "sim_ann_multitable_lsh",
     "text_token_frequency",
+    "dedup_simhash",
+    "catalog_schema_evolution",
+    "catalog_incremental_read",
 )
 
 
