@@ -264,18 +264,26 @@ def catalog_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.to_df(spark).select("n_nationkey", "n_name", "n_regionkey")
 
 
-@register("catalog_compaction", oracle=None, tags=("catalog", "compaction"))
+@register(
+    "catalog_compaction",
+    oracle="""
+    SELECT CAST(5 AS INTEGER) AS files_before, CAST(1 AS INTEGER) AS files_after,
+           CAST(count(*) AS BIGINT) AS rows_before, CAST(count(*) AS BIGINT) AS rows_after
+    FROM supplier
+    """,
+    tags=("catalog", "compaction"),
+)
 def catalog_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Compaction demo: 5 small append commits (simulated streaming) then
-    one compaction; returns (files_before, files_after, n_rows) — rows-only
-    check here, exact assertions in tests/test_catalog.py.
+    """Compaction demo: 5 small append commits (simulated streaming, one file
+    each) then one compaction to a single file; the oracle pins the file
+    counts and checks no row was lost or duplicated against the source.
     """
     cat = _fresh_catalog("catalog_compact_demo")
     src = load(spark, sf_dir, "supplier")
     ident = TableIdentifier.parse("maint.supplier")
     table = cat.create_table(ident, src.schema)
     for i in range(5):
-        batch = src.filter(F.col("s_suppkey") % 5 == i)
+        batch = src.filter(F.col("s_suppkey") % 5 == i).coalesce(1)
         table = table.new_transaction().append_dataframe(batch).commit()
 
     files_before = len(table.metadata.current_data_files())

@@ -1,8 +1,11 @@
 """Spark 4.x API surface: observation metrics and the VARIANT type.
 
-Both rows-only: observe() metrics are a side channel, and VariantType has no
-DuckDB analogue — but both matter for a production pipeline (in-flight data
-quality counters without a second pass; schema-flexible JSON ingestion).
+Both matter for a production pipeline (in-flight data-quality counters
+without a second pass; schema-flexible JSON ingestion), and both are
+oracle-checked on their VALUES: the observed counters and the
+variant-extracted aggregates are deterministic, so DuckDB recomputes them
+from the raw table even though the observe()/VARIANT machinery itself is
+Spark-specific.
 """
 
 from __future__ import annotations
@@ -13,7 +16,21 @@ from pyspark.sql import functions as F
 from iceberg_catalog_postgres_spark.registry import load, register
 
 
-@register("observe_quality_metrics", oracle=None, tags=("spark4", "observability"))
+@register(
+    "observe_quality_metrics",
+    oracle="""
+    SELECT e.event_type, CAST(e.n AS BIGINT) AS n,
+           m.n_rows, m.n_negative, m.n_null_props
+    FROM (SELECT event_type, count(*) AS n FROM events GROUP BY event_type) e
+    CROSS JOIN (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(CASE WHEN value < 0 THEN 1 END) AS BIGINT) AS n_negative,
+             CAST(count(CASE WHEN props IS NULL THEN 1 END) AS BIGINT) AS n_null_props
+      FROM events
+    ) m
+    """,
+    tags=("spark4", "observability"),
+)
 def observe_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """df.observe(): data-quality counters (null rate, negative values,
     row count) collected DURING the main query's single pass — no second
@@ -41,7 +58,20 @@ def observe_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.crossJoin(F.broadcast(summary))
 
 
-@register("variant_json_ingest", oracle=None, tags=("spark4", "variant"))
+@register(
+    "variant_json_ingest",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           round(avg(k_val), 6) AS avg_k,
+           min(k_val) AS min_k,
+           max(k_val) AS max_k
+    FROM (
+      SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+      FROM events WHERE event_id < 500
+    )
+    """,
+    tags=("spark4", "variant"),
+)
 def variant_json_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VARIANT ingestion: parse_json into Spark 4's schema-flexible binary
     JSON type, then typed extraction with variant_get — the

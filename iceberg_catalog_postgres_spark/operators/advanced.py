@@ -300,21 +300,40 @@ def sql_exists_subquery_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sample_deterministic_count", oracle=None, tags=("advanced", "sampling"))
+@register(
+    "sample_deterministic_count",
+    oracle="""
+    SELECT true AS count_in_range, true AS avg_close
+    FROM lineitem LIMIT 1
+    """,
+    tags=("advanced", "sampling"),
+)
 def sample_deterministic_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bernoulli sampling with a fixed seed: sample(0.1, seed=42). The
-    selected rows are engine-specific (Spark's RNG), hence rows-only; the
-    test contract is determinism WITHIN Spark (same seed -> same sample) and
-    a binomially-plausible count.
+    selected rows are engine-specific (Spark's RNG), so the oracle checks the
+    sampling CONTRACT instead of row identity: the sampled count within 1%
+    absolute of fraction*N (~8 binomial sd at sf0.01), and the sampled mean
+    within 5% of the population mean. A broken sampler (wrong fraction,
+    skewed selection) flips a boolean and goes red.
 
     Scale: sampling is map-side (each partition samples independently) —
     the cheap first step of any profiling/sketching pass over 100 TB.
     """
     li = load(spark, sf_dir, "lineitem")
     s = li.sample(fraction=0.1, seed=42)
-    return s.agg(
-        F.count(F.lit(1)).alias("sampled_rows"),
-        F.round(F.avg("l_quantity"), 2).alias("sampled_avg_qty"),
+    stats = li.agg(
+        F.count(F.lit(1)).alias("n_total"), F.avg("l_quantity").alias("pop_avg")
+    )
+    sampled = s.agg(
+        F.count(F.lit(1)).alias("sampled_rows"), F.avg("l_quantity").alias("samp_avg")
+    )
+    return sampled.crossJoin(F.broadcast(stats)).select(
+        (
+            F.abs(F.col("sampled_rows") - 0.1 * F.col("n_total")) / F.col("n_total") <= 0.01
+        ).alias("count_in_range"),
+        (
+            F.abs(F.col("samp_avg") - F.col("pop_avg")) / F.col("pop_avg") <= 0.05
+        ).alias("avg_close"),
     )
 
 

@@ -79,7 +79,12 @@ class IcebergPointersDataSource(DataSource):
 
 @register(
     "source_datasource_api_pointers",
-    oracle=None,
+    oracle="""
+    SELECT * FROM (VALUES
+      ('ds_demo', 'ns_a', CAST(2 AS BIGINT), CAST(2 AS BIGINT)),
+      ('ds_demo', 'ns_b', CAST(3 AS BIGINT), CAST(3 AS BIGINT))
+    ) AS t(catalog_name, table_namespace, n_tables, n_with_metadata)
+    """,
     tags=("source", "datasource-api"),
 )
 def source_datasource_api_pointers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -87,8 +92,10 @@ def source_datasource_api_pointers(spark: SparkSession, sf_dir: str) -> DataFram
     DataSource — schema resolution, partition planning (2 hash buckets),
     and executor-side sqlite readers all exercised.
 
-    Rows-only (pointer paths are run-dependent); the output aggregates to
-    namespace counts which tests can pin.
+    The pointer paths are run-dependent, so the output aggregates to
+    namespace counts, which the oracle pins exactly (5 tables created in a
+    fixed layout; every one must surface through the DataSource with a
+    metadata pointer set).
     """
     import os
     import shutil

@@ -108,7 +108,16 @@ def source_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("source_catalog_pointer_db", oracle=None, tags=("source", "jdbc"))
+@register(
+    "source_catalog_pointer_db",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('demo_src', 'ns_a', CAST(2 AS BIGINT), CAST(2 AS BIGINT)),
+      ('demo_src', 'ns_b', CAST(1 AS BIGINT), CAST(1 AS BIGINT))
+    ) AS t(catalog_name, table_namespace, n_tables, n_with_metadata)
+    """,
+    tags=("source", "jdbc"),
+)
 def source_catalog_pointer_db(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The catalog's own pointer table as a database source — the analytic
     engine reading its metadata plane (the reference's iceberg_tables,
