@@ -74,12 +74,28 @@ def catalog_sql_join_over_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("catalog_stream_sink_append", oracle=None, tags=("catalog", "streaming"))
+@register(
+    "catalog_stream_sink_append",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("catalog", "streaming"),
+)
 def catalog_stream_sink_append(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Structured Streaming -> catalog table: foreachBatch appends each
+    """Structured Streaming -> catalog table: foreachBatch commits each
     micro-batch through a snapshot Transaction, so every batch is one atomic
     CAS commit (readers see batch boundaries, never partial files) — the
     reference's E3 write path (mod.rs:454-471) driven by a stream.
+
+    This query runs a COMPLETE-mode aggregation, so each batch's output is
+    the full refreshed state and the sink commits it as an OVERWRITE
+    snapshot (append would duplicate prior generations when more than one
+    micro-batch fires); an append-mode stream would call append_dataframe
+    in the same place. Final table state therefore equals the batch
+    aggregation whatever the batch count — which is exactly what the
+    oracle checks.
 
     Scale: commit cost is O(1) per micro-batch (one metadata write + one
     CAS row update) regardless of batch size; data files are written
@@ -100,7 +116,7 @@ def catalog_stream_sink_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
         t = cat.load_table(ident)
-        t.new_transaction().append_dataframe(batch_df).commit()
+        t.new_transaction().overwrite_dataframe(batch_df).commit()
 
     q = (
         stream.groupBy("event_type")

@@ -156,3 +156,45 @@ def embed_centroid_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(dist), 6).alias("mean_dist_to_centroid"),
         )
     )
+
+
+@register(
+    "embed_dim_stats",
+    oracle="""
+    SELECT i AS dim,
+           round(avg(e[i]), 6)                    AS dim_mean,
+           round(avg(e[i] * e[i]) - avg(e[i]) * avg(e[i]), 6) AS dim_var,
+           round(min(e[i]), 6)                    AS dim_min,
+           round(max(e[i]), 6)                    AS dim_max
+    FROM (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         range(1, 65) t(i)
+    GROUP BY i
+    ORDER BY i
+    """,
+    tags=("llm", "embedding", "stats"),
+)
+def embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding health stats (mean / variance / range) — the
+    feature-drift check a production embedding pipeline runs per batch: a
+    collapsed dimension (var ~ 0) or a runaway range flags a bad encoder
+    checkpoint before anything downstream trains on it.
+
+    Scale: posexplode is a map-side row multiplier (n x dim rows of 12
+    bytes), then one keyed agg on 64 groups — partial aggregation collapses
+    each partition to 64 rows before the shuffle, so the exchange carries
+    O(partitions x dims), not O(n x dims). Variance via E[x^2]-E[x]^2 keeps
+    both moments in the same single-pass partial agg (matching the oracle's
+    formula exactly rather than Spark's var_pop Welford form).
+    """
+    v = load_parallel(spark, sf_dir, "embeddings").select(_vec("embedding").alias("e"))
+    exploded = v.select(F.posexplode("e").alias("pos", "x"))
+    return (
+        exploded.groupBy((F.col("pos") + 1).alias("dim"))
+        .agg(
+            F.round(F.avg("x"), 6).alias("dim_mean"),
+            F.round(F.avg(F.col("x") * F.col("x")) - F.avg("x") * F.avg("x"), 6).alias("dim_var"),
+            F.round(F.min("x"), 6).alias("dim_min"),
+            F.round(F.max("x"), 6).alias("dim_max"),
+        )
+        .orderBy("dim")
+    )

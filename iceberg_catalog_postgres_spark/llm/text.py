@@ -237,3 +237,65 @@ def text_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("freq").desc(), F.col("token").asc())
         .limit(20)
     )
+
+
+@register(
+    "text_gopher_quality_rules",
+    oracle="""
+    WITH per_doc AS (
+      SELECT source,
+             len(string_split(text, ' ')) AS n_words,
+             list_avg(list_transform(string_split(text, ' '), t -> CAST(length(t) AS DOUBLE))) AS mean_wlen,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS frac_distinct
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_words BETWEEN 10 AND 10000
+                          AND mean_wlen BETWEEN 2 AND 12
+                          AND frac_distinct >= 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           round(avg(frac_distinct), 6) AS avg_frac_distinct,
+           round(avg(mean_wlen), 6)     AS avg_mean_wlen
+    FROM per_doc
+    GROUP BY source
+    """,
+    tags=("llm", "text", "quality"),
+)
+def text_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality rules (the filter battery every
+    large-scale pretraining corpus pass applies): word-count bounds, mean
+    word length bounds, and a repetition bound expressed as the distinct-token
+    fraction (1 - this is the repeated-token ratio). Returns per-source pass
+    counts and the two continuous signals.
+
+    Scale: all three signals are per-row array expressions over the token
+    split — map-side, whole-stage codegen, no UDF; the only shuffle is the
+    final tiny per-source agg. At 100 TB this runs at scan speed.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_words = F.size(toks)
+    mean_wlen = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / n_words
+    frac_distinct = F.size(F.array_distinct(toks)).cast("double") / n_words
+    per_doc = d.select(
+        "source",
+        n_words.alias("n_words"),
+        mean_wlen.alias("mean_wlen"),
+        frac_distinct.alias("frac_distinct"),
+    )
+    passes = (
+        F.col("n_words").between(10, 10000)
+        & F.col("mean_wlen").between(2, 12)
+        & (F.col("frac_distinct") >= 0.1)
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(passes.cast("long")).alias("n_pass"),
+        F.round(F.avg("frac_distinct"), 6).alias("avg_frac_distinct"),
+        F.round(F.avg("mean_wlen"), 6).alias("avg_mean_wlen"),
+    )

@@ -666,3 +666,28 @@ def test_manifest_spill_reuse_reads_and_gc(catalog, spark, monkeypatch):
     assert sorted(r["k"] for r in catalog.load_table(ident).to_df(spark).collect()) == list(
         range(10)
     )
+
+
+def test_seq_scoped_mor_read_plan_two_cohorts(catalog, spark):
+    """After append -> delete -> append, the read splits into two seq
+    cohorts: pre-delete files behind a BroadcastHashJoin LeftAnti, the
+    post-delete file scanned clean, unioned — still no shuffle or sort-merge
+    of the data side, and the re-inserted key must survive."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([StructField("k", LongType(), True)])
+    t = catalog.create_table(TableIdentifier.parse("test.morplan2"), schema)
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame([(i,) for i in range(20)], schema)
+    ).commit()
+    t = t.new_transaction().delete_keys_dataframe(spark.createDataFrame([(5,)], "k long")).commit()
+    t = t.new_transaction().append_dataframe(spark.createDataFrame([(5,)], schema)).commit()
+
+    df = t.to_df(spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:1500]
+    assert "Union" in plan, plan[:1500]
+    assert "SortMergeJoin" not in plan, plan[:1500]
+    assert "Exchange hashpartitioning" not in plan, plan[:1500]
+    ks = sorted(r["k"] for r in df.collect())
+    assert ks == [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 19]
