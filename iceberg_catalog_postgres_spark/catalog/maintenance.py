@@ -518,3 +518,61 @@ def expire_snapshots(table: Table, keep_last: int = 2) -> Table:
         if _os.path.exists(path):
             _os.remove(path)
     return committed
+
+
+def rewrite_manifests(table: Table, max_chunks: int = 8) -> Table:
+    """Manifest compaction: a long append chain accumulates one delta chunk
+    per commit (O(commits) chunks to read at plan time); when the current
+    snapshot references more than ``max_chunks``, consolidate them into one
+    content-addressed chunk and commit the slimmed metadata through the same
+    CAS. Data files, snapshot ids, and history are untouched — older
+    snapshots keep referencing the old chunks until expiry GCs them.
+
+    Scale: planning cost returns to O(1) object-store reads per scan; the
+    rewrite itself is O(current file count) metadata-only — no data moves.
+    """
+    import posixpath as _pp
+    import uuid as _uuid
+    from dataclasses import replace as _replace
+
+    from iceberg_catalog_postgres_spark.catalog.metadata import (
+        TableMetadata,
+        snapshot_entries,
+        write_manifest,
+    )
+
+    md = table.metadata
+    snap = md.current_snapshot()
+    if snap is None or not snap.manifests or len(snap.manifests) <= max_chunks:
+        return table
+    store = table.catalog.object_store()
+    consolidated = write_manifest(store, md.location, snapshot_entries(snap))
+    new_snap = _replace(snap, manifests=[consolidated])
+    new_md = TableMetadata(
+        table_uuid=md.table_uuid,
+        location=md.location,
+        schema=md.schema,
+        snapshots=[new_snap if s.snapshot_id == snap.snapshot_id else s for s in md.snapshots],
+        current_snapshot_id=md.current_snapshot_id,
+        last_updated_ms=md.last_updated_ms,
+        format_version=md.format_version,
+        properties=dict(md.properties),
+    )
+    new_location = _pp.join(
+        md.location, "metadata", f"rm-{_uuid.uuid4().hex}.metadata.json"
+    )
+    store.put(new_location, new_md.to_json().encode())
+    committed = table.catalog.update_table(
+        table.identifier, new_location, table.metadata_location()
+    )
+    # GC superseded chunks no snapshot references anymore (chunks shared with
+    # older snapshots survive until those snapshots expire). Deleted AFTER the
+    # CAS, so readers of the committed history always resolve their chunks.
+    still_referenced = {
+        m for s in new_md.snapshots if s.manifests for m in s.manifests
+    }
+    for m in set(snap.manifests) - still_referenced:
+        path = store.resolve(m)
+        if os.path.exists(path):
+            os.remove(path)
+    return committed

@@ -691,3 +691,45 @@ def test_seq_scoped_mor_read_plan_two_cohorts(catalog, spark):
     assert "Exchange hashpartitioning" not in plan, plan[:1500]
     ks = sorted(r["k"] for r in df.collect())
     assert ks == [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 19]
+
+
+def test_rewrite_manifests_consolidates_chunks(catalog, spark, monkeypatch):
+    """Manifest compaction: a long append chain's delta chunks consolidate to
+    one; reads and history unchanged; expiry GCs the superseded chunks."""
+    from iceberg_catalog_postgres_spark.catalog import metadata as md_mod
+    from iceberg_catalog_postgres_spark.catalog.maintenance import (
+        expire_snapshots,
+        rewrite_manifests,
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    monkeypatch.setattr(md_mod, "MANIFEST_THRESHOLD", 2)
+    schema = StructType([StructField("k", LongType(), True)])
+    ident = TableIdentifier.parse("test.manifestcompact")
+    t = catalog.create_table(ident, schema)
+    for i in range(8):
+        t = t.new_transaction().append_dataframe(
+            spark.createDataFrame([(i,)], schema).coalesce(1)
+        ).commit()
+    assert len(t.metadata.current_snapshot().manifests) > 3
+    old_chunks = set(t.metadata.current_snapshot().manifests)
+    before_ids = [s.snapshot_id for s in t.metadata.snapshots]
+
+    t = rewrite_manifests(t, max_chunks=3)
+    assert len(t.metadata.current_snapshot().manifests) == 1
+    assert [s.snapshot_id for s in t.metadata.snapshots] == before_ids  # history intact
+    assert sorted(r["k"] for r in t.to_df(spark).collect()) == list(range(8))
+    # a fresh catalog load sees the consolidated form
+    t2 = catalog.load_table(ident)
+    assert len(t2.metadata.current_snapshot().manifests) == 1
+    # chunks still referenced by prior snapshots survive the rewrite; the
+    # superseded final delta chunk (referenced by nothing) is GC'd at once
+    store = catalog.object_store()
+    referenced = {m for s in t2.metadata.snapshots[:-1] if s.manifests for m in s.manifests}
+    assert referenced and all(store.exists(m) for m in referenced)
+    assert all(not store.exists(m) for m in old_chunks - referenced)
+    # expiry then GCs the rest of the history's chunks
+    t3 = expire_snapshots(t2, keep_last=1)
+    live = set(t3.metadata.current_snapshot().manifests)
+    assert all(not store.exists(m) for m in old_chunks - live)
+    assert sorted(r["k"] for r in t3.to_df(spark).collect()) == list(range(8))
