@@ -172,17 +172,24 @@ class PostgresCatalog:
         return bool(rows[0][0])
 
     # -- §2.A#6 build_table (mod.rs:349-357) ------------------------------
-    def build_table(self, identifier: TableIdentifier, schema, identifier_field_ids=None):
-        """Stage a table: location = 'data.db/' + ns/name (mod.rs:355)."""
+    def build_table(
+        self, identifier: TableIdentifier, schema, identifier_field_ids=None, partition_by=None
+    ):
+        """Stage a table: location = 'data.db/' + ns/name (mod.rs:355).
+        ``partition_by`` declares identity-transform partition columns."""
         from iceberg_catalog_postgres_spark.catalog.table import TableBuilder
 
         location = posixpath.join("data.db", *identifier.namespace, identifier.name)
-        return TableBuilder(self, identifier, location, schema, identifier_field_ids)
+        return TableBuilder(
+            self, identifier, location, schema, identifier_field_ids, partition_by
+        )
 
     # -- §2.A#5 create_table (mod.rs:98-105) ------------------------------
-    def create_table(self, identifier: TableIdentifier, schema, identifier_field_ids=None):
+    def create_table(
+        self, identifier: TableIdentifier, schema, identifier_field_ids=None, partition_by=None
+    ):
         """build_table + builder.commit() — exactly the reference composition."""
-        return self.build_table(identifier, schema, identifier_field_ids).commit()
+        return self.build_table(identifier, schema, identifier_field_ids, partition_by).commit()
 
     # -- §2.A#7 register_table (mod.rs:242-294) ---------------------------
     def register_table(self, identifier: TableIdentifier, metadata_file_location: str):

@@ -192,6 +192,7 @@ def delete_where_cow(
 
     next_seq = table.metadata.next_sequence_number()
     inherited_seqs = table.metadata.current_file_seqs()
+    inherited_parts = table.metadata.current_file_partitions()
     snapshot = Snapshot(
         snapshot_id=new_snapshot_id(table.metadata.snapshot_ids()),
         timestamp_ms=int(_time.time() * 1000),
@@ -201,6 +202,9 @@ def delete_where_cow(
         position_delete_files=list(table.metadata.current_position_delete_files()),
         sequence_number=next_seq,
         file_seqs={**inherited_seqs, **{f: next_seq for f in new_files}},
+        # kept files retain their partition tuples; the (non-partition-aware)
+        # rewrite output carries none and stays superset-safe in pruning
+        file_partitions={f: inherited_parts[f] for f in kept if f in inherited_parts},
         summary={
             "cow-delete-column": column,
             "files-rewritten": str(len(to_rewrite)),
@@ -489,6 +493,7 @@ def expire_snapshots(table: Table, keep_last: int = 2) -> Table:
         last_updated_ms=md.last_updated_ms,
         format_version=md.format_version,
         properties=dict(md.properties),
+        partition_spec=list(md.partition_spec),
     )
     import posixpath as _pp
     import uuid as _uuid
@@ -557,6 +562,7 @@ def rewrite_manifests(table: Table, max_chunks: int = 8) -> Table:
         last_updated_ms=md.last_updated_ms,
         format_version=md.format_version,
         properties=dict(md.properties),
+        partition_spec=list(md.partition_spec),
     )
     new_location = _pp.join(
         md.location, "metadata", f"rm-{_uuid.uuid4().hex}.metadata.json"
@@ -576,3 +582,48 @@ def rewrite_manifests(table: Table, max_chunks: int = 8) -> Table:
         if os.path.exists(path):
             os.remove(path)
     return committed
+
+
+@register(
+    "catalog_partitioned_scan",
+    oracle="""
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY o_orderstatus
+    """,
+    tags=("catalog", "partitioning"),
+)
+def catalog_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identity-partitioned catalog table: create with
+    partition_by=['o_orderstatus'], append (the write fans out hive-style and
+    each file's partition tuple is recorded in the snapshot), then scan ONE
+    partition via `to_df(partition_filter=...)` — the file list is pruned
+    from metadata alone, no footers opened, no directory listed.
+
+    The function asserts the plan really pruned (planned < total files); the
+    oracle checks the partition's values against the raw table.
+
+    Scale: this is THE 100 TB primitive — a day-partitioned events table at
+    10^7 files plans a day's query from a metadata dictionary scan; footer
+    stats then refine WITHIN the partition (both compose here).
+    """
+    cat = _fresh_catalog("catalog_partitioned_demo")
+    src = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    ident = TableIdentifier.parse("maint.orders_part")
+    table = cat.create_table(ident, src.schema, partition_by=["o_orderstatus"])
+    table = table.new_transaction().append_dataframe(src).commit()
+
+    planned = table.planned_files_partition({"o_orderstatus": "F"})
+    total = table.metadata.current_data_files()
+    assert 0 < len(planned) < len(total), (len(planned), len(total))
+
+    return (
+        table.to_df(spark, partition_filter={"o_orderstatus": "F"})
+        .filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").alias("key_sum"),
+        )
+    )

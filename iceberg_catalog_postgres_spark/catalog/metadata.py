@@ -140,7 +140,10 @@ def snapshot_entries(snapshot: "Snapshot") -> list[dict]:
     """Flatten a snapshot's file lists into manifest entries."""
     out = []
     for path in snapshot.data_files:
-        out.append({"path": path, "kind": "data", "seq": snapshot.file_seqs.get(path, 0)})
+        entry = {"path": path, "kind": "data", "seq": snapshot.file_seqs.get(path, 0)}
+        if path in snapshot.file_partitions:
+            entry["partition"] = snapshot.file_partitions[path]
+        out.append(entry)
     for path in snapshot.delete_files:
         out.append({"path": path, "kind": "eq-delete", "seq": snapshot.file_seqs.get(path, 0)})
     for path in snapshot.position_delete_files:
@@ -224,6 +227,10 @@ class Snapshot:
     chunk files instead of being inlined in the metadata JSON (set by
     ``plan_manifests`` above the MANIFEST_THRESHOLD). The in-memory lists
     are always fully inflated; ``manifests`` records the serialized form."""
+    file_partitions: dict = field(default_factory=dict)
+    """path -> {column: string value} partition tuple for tables with a
+    partition spec (Iceberg manifest partition summaries): scan planning
+    prunes on these from metadata alone — no footer reads, no listing."""
 
     def to_json(self) -> dict:
         common = {
@@ -241,6 +248,7 @@ class Snapshot:
             "delete-files": self.delete_files,
             "position-delete-files": self.position_delete_files,
             "file-seqs": self.file_seqs,
+            "file-partitions": self.file_partitions,
         }
 
     @staticmethod
@@ -254,6 +262,7 @@ class Snapshot:
             dels: list[str] = []
             pos: list[str] = []
             seqs: dict = {}
+            parts: dict = {}
             for m in d["manifests"]:
                 doc = json.loads(store.get(m).decode("utf-8"))
                 for e in doc["entries"]:
@@ -265,6 +274,8 @@ class Snapshot:
                     else:
                         pos.append(path)
                     seqs[path] = e.get("seq", 0)
+                    if e.get("partition") is not None:
+                        parts[path] = e["partition"]
             return Snapshot(
                 snapshot_id=d["snapshot-id"],
                 timestamp_ms=d["timestamp-ms"],
@@ -276,6 +287,7 @@ class Snapshot:
                 sequence_number=d.get("sequence-number", 0),
                 file_seqs=seqs,
                 manifests=list(d["manifests"]),
+                file_partitions=parts,
             )
         return Snapshot(
             snapshot_id=d["snapshot-id"],
@@ -287,6 +299,7 @@ class Snapshot:
             position_delete_files=list(d.get("position-delete-files", [])),
             sequence_number=d.get("sequence-number", 0),
             file_seqs=dict(d.get("file-seqs", {})),
+            file_partitions=dict(d.get("file-partitions", {})),
         )
 
 
@@ -302,14 +315,24 @@ class TableMetadata:
     last_updated_ms: int = 0
     format_version: int = 1
     properties: dict = field(default_factory=dict)
+    partition_spec: list = field(default_factory=list)
+    """Identity-transform partition columns (Iceberg PartitionSpec, identity
+    only): data files record their tuple in ``Snapshot.file_partitions`` and
+    scans prune on it from metadata alone."""
 
     @staticmethod
-    def new(location: str, schema: StructType, identifier_field_ids: list[int] | None = None) -> "TableMetadata":
+    def new(
+        location: str,
+        schema: StructType,
+        identifier_field_ids: list[int] | None = None,
+        partition_spec: list | None = None,
+    ) -> "TableMetadata":
         return TableMetadata(
             table_uuid=str(uuid.uuid4()),
             location=location,
             schema=schema_to_iceberg(schema, identifier_field_ids=identifier_field_ids),
             last_updated_ms=int(time.time() * 1000),
+            partition_spec=list(partition_spec or []),
         )
 
     @property
@@ -337,6 +360,10 @@ class TableMetadata:
         snap = self.current_snapshot()
         return dict(snap.file_seqs) if snap else {}
 
+    def current_file_partitions(self) -> dict:
+        snap = self.current_snapshot()
+        return dict(snap.file_partitions) if snap else {}
+
     def next_sequence_number(self) -> int:
         return max((s.sequence_number for s in self.snapshots), default=0) + 1
 
@@ -355,6 +382,7 @@ class TableMetadata:
             last_updated_ms=int(time.time() * 1000),
             format_version=self.format_version,
             properties=dict(self.properties),
+            partition_spec=list(self.partition_spec),
         )
 
     def snapshot_by_id(self, snapshot_id: int) -> Snapshot:
@@ -370,6 +398,7 @@ class TableMetadata:
                 "schema": self.schema,
                 "schemas": [self.schema],
                 "current-snapshot-id": self.current_snapshot_id,
+                "partition-spec": self.partition_spec,
                 "snapshots": [s.to_json() for s in self.snapshots],
                 "properties": self.properties,
             },
@@ -388,4 +417,5 @@ class TableMetadata:
             last_updated_ms=d.get("last-updated-ms", 0),
             format_version=d.get("format-version", 1),
             properties=d.get("properties", {}),
+            partition_spec=list(d.get("partition-spec", [])),
         )

@@ -75,17 +75,28 @@ class TableBuilder:
         location: str,
         schema: StructType,
         identifier_field_ids: list[int] | None = None,
+        partition_by: list[str] | None = None,
     ):
         self.catalog = catalog
         self.identifier = identifier
         self.location = location
         self.schema = schema
         self.identifier_field_ids = identifier_field_ids
+        if partition_by:
+            missing = [c for c in partition_by if c not in schema.fieldNames()]
+            if missing:
+                raise ValueError(f"partition columns not in schema: {missing}")
+        self.partition_by = list(partition_by or [])
 
     def commit(self) -> "Table":
         """Write v1 metadata JSON to the warehouse, then register_table
         (create path E1 in SURVEY §3)."""
-        metadata = TableMetadata.new(self.location, self.schema, self.identifier_field_ids)
+        metadata = TableMetadata.new(
+            self.location,
+            self.schema,
+            self.identifier_field_ids,
+            partition_spec=self.partition_by,
+        )
         metadata_location = posixpath.join(
             self.location, "metadata", f"v1-{uuid.uuid4().hex}.metadata.json"
         )
@@ -156,11 +167,40 @@ class Table:
                 out.append(path)
         return out
 
+    def planned_files_partition(
+        self, filters: dict, snapshot_id: int | None = None
+    ) -> list[str]:
+        """Partition pruning from METADATA ALONE (Iceberg manifest partition
+        summaries): keep data files whose recorded identity-partition tuple
+        matches every ``{column: value}`` filter. Unlike ``planned_files``
+        (footer stats), this opens zero files — at 10^7 files the plan is a
+        dictionary scan, which is why identity/time partitioning is the first
+        line of defense at 100 TB. Files without a recorded tuple are kept
+        (superset-safe)."""
+        snap = (
+            self.metadata.snapshot_by_id(snapshot_id)
+            if snapshot_id is not None
+            else self.metadata.current_snapshot()
+        )
+        if snap is None:
+            return []
+        store = self.catalog.object_store()
+        out = []
+        for f in snap.data_files:
+            tup = snap.file_partitions.get(f)
+            if tup is None or all(
+                col in tup and tup[col] == (None if v is None else str(v))
+                for col, v in filters.items()
+            ):
+                out.append(store.resolve(f))
+        return out
+
     def to_df(
         self,
         spark: SparkSession,
         snapshot_id: int | None = None,
         prune: tuple | None = None,
+        partition_filter: dict | None = None,
     ) -> DataFrame:
         """DataFrame over the snapshot's file list (time travel via
         ``snapshot_id``). Empty table => empty DataFrame with the declared
@@ -193,6 +233,11 @@ class Table:
             files = self.planned_files(*prune, snapshot_id=snapshot_id)
         else:
             files = self.data_files(snapshot_id)
+        if partition_filter is not None:
+            part_files = set(
+                self.planned_files_partition(partition_filter, snapshot_id=snapshot_id)
+            )
+            files = [f for f in files if f in part_files]
         if not files:
             return spark.createDataFrame([], self.schema)
         pos_dels = self.position_delete_files(snapshot_id)
@@ -251,7 +296,7 @@ class Table:
         # after the last delete, none apply" — so the plan stays scan +
         # broadcast anti-join per cohort, unioned; no shuffle of the big side.
         rel_data = snap.data_files
-        if prune is not None:
+        if prune is not None or partition_filter is not None:
             pruned = set(files)
             rel_data = [f for f in rel_data if store.resolve(f) in pruned]
         rel_dels = snap.delete_files
@@ -354,6 +399,7 @@ class Table:
             last_updated_ms=md.last_updated_ms,
             format_version=md.format_version,
             properties=dict(md.properties),
+            partition_spec=list(md.partition_spec),
         )
         import posixpath as _pp
         import uuid as _uuid
@@ -388,6 +434,7 @@ class Transaction:
         self._staged_files: list[str] = []
         self._staged_delete_files: list[str] = []
         self._staged_pos_delete_files: list[str] = []
+        self._staged_partitions: dict[str, dict] = {}
         # Base file set this transaction was computed against — used to
         # validate overwrite retries (Iceberg's validateNoNewFiles): an
         # overwrite's output was derived from these files, so if a concurrent
@@ -417,18 +464,48 @@ class Transaction:
         The write is executor-parallel (df.write.parquet); only the file-name
         listing happens on the driver. Files land in a unique subdir so
         concurrent writers never collide before their CAS resolves order.
+
+        If the table declares a partition spec (identity columns), the write
+        partitions by shadow copies of those columns (``__p_<col>``) so the
+        DATA files keep the full schema (reads are unchanged) while each
+        file's hive-style path yields its partition tuple, which is recorded
+        in the snapshot metadata for metadata-only scan pruning.
         """
         store = self.table.catalog.object_store()
         rel_dir = posixpath.join(self.table.metadata.location, "data", f"part-{uuid.uuid4().hex}")
         abs_dir = store.resolve(rel_dir)
-        df.write.mode("overwrite").parquet(abs_dir)
         import glob as _glob
         import os as _os
+        import urllib.parse as _up
 
-        new_files = [
-            posixpath.join(rel_dir, _os.path.basename(p))
-            for p in sorted(_glob.glob(_os.path.join(abs_dir, "*.parquet")))
-        ]
+        spec = self.table.metadata.partition_spec
+        if spec:
+            from pyspark.sql import functions as _F
+
+            shadow = [f"__p_{c}" for c in spec]
+            aug = df
+            for c, sc in zip(spec, shadow):
+                aug = aug.withColumn(sc, _F.col(c).cast("string"))
+            aug.write.mode("overwrite").partitionBy(*shadow).parquet(abs_dir)
+            new_files = []
+            for p in sorted(
+                _glob.glob(_os.path.join(abs_dir, *["*"] * len(spec), "*.parquet"))
+            ):
+                rel = posixpath.join(rel_dir, _os.path.relpath(p, abs_dir))
+                tuple_vals = {}
+                for seg in _os.path.relpath(p, abs_dir).split(_os.sep)[:-1]:
+                    k, _, v = seg.partition("=")
+                    col = k[len("__p_"):] if k.startswith("__p_") else k
+                    val = _up.unquote(v)
+                    tuple_vals[col] = None if val == "__HIVE_DEFAULT_PARTITION__" else val
+                self._staged_partitions[rel] = tuple_vals
+                new_files.append(rel)
+        else:
+            df.write.mode("overwrite").parquet(abs_dir)
+            new_files = [
+                posixpath.join(rel_dir, _os.path.basename(p))
+                for p in sorted(_glob.glob(_os.path.join(abs_dir, "*.parquet")))
+            ]
         return self.append_files(new_files)
 
     def overwrite_dataframe(self, df: DataFrame) -> "Transaction":
@@ -519,6 +596,7 @@ class Transaction:
                     )
             next_seq = current.metadata.next_sequence_number()
             inherited_seqs = current.metadata.current_file_seqs()
+            inherited_parts = current.metadata.current_file_partitions()
             if self._operation == "overwrite":
                 # full rewrite: replaces the file set AND materializes/clears
                 # any pending deletes (both flavors)
@@ -526,6 +604,7 @@ class Transaction:
                 delete_files: list[str] = []
                 pos_delete_files: list[str] = []
                 file_seqs = {f: next_seq for f in data_files}
+                file_partitions = dict(self._staged_partitions)
             elif self._operation == "delete":
                 # merge-on-read: data files untouched, delete files accumulate
                 data_files = list(current.metadata.current_data_files())
@@ -544,6 +623,7 @@ class Transaction:
                         for f in (*self._staged_delete_files, *self._staged_pos_delete_files)
                     },
                 }
+                file_partitions = inherited_parts
             else:  # append: new data inherits pending deletes unchanged
                 data_files = [*current.metadata.current_data_files(), *self._staged_files]
                 delete_files = list(current.metadata.current_delete_files())
@@ -552,6 +632,7 @@ class Transaction:
                     **inherited_seqs,
                     **{f: next_seq for f in self._staged_files},
                 }
+                file_partitions = {**inherited_parts, **self._staged_partitions}
             snapshot = Snapshot(
                 snapshot_id=new_snapshot_id(current.metadata.snapshot_ids()),
                 timestamp_ms=int(time.time() * 1000),
@@ -561,6 +642,7 @@ class Transaction:
                 position_delete_files=pos_delete_files,
                 sequence_number=next_seq,
                 file_seqs=file_seqs,
+                file_partitions=file_partitions,
                 summary={
                     "added-files": str(len(self._staged_files)),
                     "added-delete-files": str(

@@ -733,3 +733,61 @@ def test_rewrite_manifests_consolidates_chunks(catalog, spark, monkeypatch):
     live = set(t3.metadata.current_snapshot().manifests)
     assert all(not store.exists(m) for m in old_chunks - live)
     assert sorted(r["k"] for r in t3.to_df(spark).collect()) == list(range(8))
+
+
+def test_partitioned_table_tuples_pruning_and_composition(catalog, spark):
+    """Identity partition spec: appends record per-file partition tuples;
+    planned_files_partition prunes from metadata alone; pruning composes
+    with MOR deletes and survives compaction; null partitions round-trip."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from iceberg_catalog_postgres_spark.catalog.maintenance import compact_table
+
+    schema = StructType(
+        [StructField("k", LongType(), True), StructField("cat", StringType(), True)]
+    )
+    ident = TableIdentifier.parse("test.partitioned")
+    t = catalog.create_table(ident, schema, partition_by=["cat"])
+    rows = [(1, "a"), (2, "a"), (3, "b"), (4, "b"), (5, None)]
+    t = t.new_transaction().append_dataframe(spark.createDataFrame(rows, schema)).commit()
+
+    snap = t.metadata.current_snapshot()
+    tuples = set()
+    for f in snap.data_files:
+        assert f in snap.file_partitions, f
+        tuples.add(snap.file_partitions[f]["cat"])
+    assert tuples == {"a", "b", None}
+
+    # metadata-only pruning: only partition-a files planned
+    a_files = t.planned_files_partition({"cat": "a"})
+    assert 0 < len(a_files) < len(snap.data_files)
+    got = sorted(r["k"] for r in t.to_df(spark, partition_filter={"cat": "a"}).collect())
+    assert got == [1, 2]
+    # null partition round-trips through the hive default marker
+    got_null = sorted(
+        r["k"] for r in t.to_df(spark, partition_filter={"cat": None}).collect()
+    )
+    assert got_null == [5]
+
+    # MOR delete composes with partition pruning (delete k=2 from partition a)
+    t = t.new_transaction().delete_keys_dataframe(
+        spark.createDataFrame([(2,)], "k long")
+    ).commit()
+    got = sorted(r["k"] for r in t.to_df(spark, partition_filter={"cat": "a"}).collect())
+    assert got == [1]
+
+    # a fresh load keeps tuples (inline or manifest-backed serialization)
+    t2 = catalog.load_table(ident)
+    assert t2.metadata.partition_spec == ["cat"]
+    reloaded_parts = t2.metadata.current_snapshot().file_partitions
+    assert len(reloaded_parts) == len(snap.data_files)
+    assert {tup["cat"] for tup in reloaded_parts.values()} == {"a", "b", None}
+
+    # compaction rewrites through the partitioned writer: tuples re-recorded
+    t3 = compact_table(spark, t2, target_partitions=1)
+    snap3 = t3.metadata.current_snapshot()
+    assert snap3.file_partitions and all(
+        "cat" in tup for tup in snap3.file_partitions.values()
+    )
+    got = sorted(r["k"] for r in t3.to_df(spark, partition_filter={"cat": "b"}).collect())
+    assert got == [3, 4]
