@@ -225,3 +225,48 @@ def catalog_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = cat.load_table(ident).to_df(spark).count()
     rows.append(("full_table", total))
     return spark.createDataFrame(rows, "interval string, n_rows long")
+
+
+def sql_delete(
+    spark: SparkSession, catalog: PostgresCatalog, ident: TableIdentifier, where_sql: str
+):
+    """SQL ``DELETE FROM <table> WHERE <predicate>`` over a catalog table,
+    routed through the merge-on-read positional-delete path: the predicate
+    is parsed by Spark (F.expr), pushed into one scan, and the matched rows'
+    scan identities commit as a positional-delete file — O(matched rows),
+    no data file rewritten, atomic CAS publish.
+
+    This is the DML verb the attach layer (temp views) can't express —
+    Spark temp views are read-only, so DELETE routes to the table handle.
+    """
+    from iceberg_catalog_postgres_spark.catalog.maintenance import delete_where_mor
+
+    table = catalog.load_table(ident)
+    return delete_where_mor(spark, table, F.expr(where_sql))
+
+
+def sql_update(
+    spark: SparkSession,
+    catalog: PostgresCatalog,
+    ident: TableIdentifier,
+    set_exprs: dict[str, str],
+    where_sql: str,
+    key_cols: list[str],
+):
+    """SQL ``UPDATE <table> SET col = expr, ... WHERE <predicate>`` via
+    MERGE: build the updated rows with one pruned scan (predicate pushed),
+    then merge_upsert replaces them by key in a single OVERWRITE commit —
+    readers see pre- or post-update state, never a mix.
+
+    Scale: the scan half is predicate-pushed and column-pruned; the merge
+    half shuffles on the key exactly once. A partition-scoped refinement
+    (rewrite only affected partitions) drops in via the partition spec when
+    the table declares one.
+    """
+    from iceberg_catalog_postgres_spark.catalog.maintenance import merge_upsert
+
+    table = catalog.load_table(ident)
+    updated = table.to_df(spark).filter(F.expr(where_sql))
+    for col_name, expr_sql in set_exprs.items():
+        updated = updated.withColumn(col_name, F.expr(expr_sql))
+    return merge_upsert(spark, table, updated, key_cols)

@@ -791,3 +791,32 @@ def test_partitioned_table_tuples_pruning_and_composition(catalog, spark):
     )
     got = sorted(r["k"] for r in t3.to_df(spark, partition_filter={"cat": "b"}).collect())
     assert got == [3, 4]
+
+
+def test_sql_delete_and_update_dml(catalog, spark):
+    """SQL DML over catalog tables: DELETE routes through positional MOR
+    (no data-file rewrite), UPDATE through MERGE overwrite; both atomic."""
+    from iceberg_catalog_postgres_spark.catalog.integration import sql_delete, sql_update
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField("k", LongType(), True), StructField("v", DoubleType(), True)]
+    )
+    ident = TableIdentifier.parse("test.dml")
+    t = catalog.create_table(ident, schema)
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame([(i, float(i)) for i in range(10)], schema)
+    ).commit()
+    files_before = list(t.metadata.current_data_files())
+
+    t = sql_delete(spark, catalog, ident, "k >= 8")
+    assert sorted(r["k"] for r in t.to_df(spark).collect()) == list(range(8))
+    # MOR: no data file rewritten, positional-delete files added
+    assert t.metadata.current_data_files() == files_before
+    assert len(t.metadata.current_position_delete_files()) >= 1
+
+    t = sql_update(
+        spark, catalog, ident, {"v": "v * 10"}, "k < 2", key_cols=["k"]
+    )
+    rows = {r["k"]: r["v"] for r in t.to_df(spark).collect()}
+    assert rows == {0: 0.0, 1: 10.0, **{i: float(i) for i in range(2, 8)}}
