@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from iceberg_catalog_postgres_spark.registry import load, register
+from iceberg_catalog_postgres_spark.registry import load, load_parallel, register
 
 # tiny per-language marker lists for the n-gram/stopword language-ID heuristic
 LANG_MARKERS = {
@@ -298,4 +298,63 @@ def text_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(passes.cast("long")).alias("n_pass"),
         F.round(F.avg("frac_distinct"), 6).alias("avg_frac_distinct"),
         F.round(F.avg("mean_wlen"), 6).alias("avg_mean_wlen"),
+    )
+
+
+@register(
+    "llm_corpus_pipeline",
+    oracle="""
+    WITH quality AS (
+      SELECT doc_id, text, lang, source
+      FROM documents
+      WHERE len(string_split(text, ' ')) BETWEEN 10 AND 10000
+        AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+            / len(string_split(text, ' ')) >= 0.1
+    ),
+    exact AS (
+      SELECT h, lang, min(doc_id) AS keep_id
+      FROM (SELECT doc_id, lang, md5(text) AS h FROM quality)
+      GROUP BY h, lang
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs_kept,
+           CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs_in,
+           CAST((SELECT count(*) FROM quality) AS BIGINT) AS n_after_quality
+    FROM exact
+    GROUP BY lang
+    """,
+    tags=("llm", "pipeline", "bench"),
+)
+def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-corpus pass a user of this engine actually
+    runs: quality-rule filter -> exact dedup (md5 groupBy, keep lowest id)
+    -> per-language survivor counts with stage attrition. One DataFrame
+    chain, one job — filters and the hash projection fuse into the scan
+    stage, so the corpus is read ONCE; only (hash, id, lang) shuffles for
+    the dedup.
+
+    Scale: stage attrition is the operating metric of a 100 TB corpus
+    build (how many docs survived each gate); computing it inline via
+    count aggregates keeps it one pass instead of one job per stage.
+    """
+    d = load_parallel(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_words = F.size(toks)
+    frac_distinct = F.size(F.array_distinct(toks)).cast("double") / n_words
+    quality = d.filter(n_words.between(10, 10000) & (frac_distinct >= 0.1))
+    # groupBy (hash, lang) rather than hash + min(lang): a string-typed agg
+    # buffer forces SortAggregate; grouping on it keeps the dedup a pure
+    # HashAggregate (per-language dedup semantics — duplicate texts never
+    # cross languages in a sane corpus, and if they did you'd want both).
+    exact = (
+        quality.select("doc_id", "lang", F.md5("text").alias("h"))
+        .groupBy("h", "lang")
+        .agg(F.min("doc_id").alias("keep_id"))
+    )
+    n_in = d.count()
+    n_quality = quality.count()
+    return exact.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.lit(n_in).alias("n_docs_in"),
+        F.lit(n_quality).alias("n_after_quality"),
     )
