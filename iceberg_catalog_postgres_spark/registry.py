@@ -242,6 +242,8 @@ def load_all() -> dict[str, QuerySpec]:
     import iceberg_catalog_postgres_spark.llm.ann_multitable  # noqa: F401
     import iceberg_catalog_postgres_spark.llm.clusters  # noqa: F401
     import iceberg_catalog_postgres_spark.llm.text  # noqa: F401
+    import iceberg_catalog_postgres_spark.llm.curation  # noqa: F401
+    import iceberg_catalog_postgres_spark.operators.sessions  # noqa: F401
     import iceberg_catalog_postgres_spark.llm.multimodal  # noqa: F401
     import iceberg_catalog_postgres_spark.streaming.windows  # noqa: F401
     import iceberg_catalog_postgres_spark.streaming.joins  # noqa: F401
