@@ -270,3 +270,70 @@ def sql_update(
     for col_name, expr_sql in set_exprs.items():
         updated = updated.withColumn(col_name, F.expr(expr_sql))
     return merge_upsert(spark, table, updated, key_cols)
+
+
+@register(
+    "catalog_incremental_dedup",
+    oracle="""
+    WITH existing AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id < 300
+    ), incoming AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id >= 300
+    ), first_in AS (
+      SELECT h, min(doc_id) AS doc_id FROM incoming GROUP BY h
+    ), novel AS (
+      SELECT * FROM first_in WHERE h NOT IN (SELECT h FROM existing)
+    )
+    SELECT CAST((SELECT count(*) FROM existing) + (SELECT count(*) FROM novel) AS BIGINT) AS n_final,
+           CAST((SELECT count(*) FROM incoming) AS BIGINT)                                AS n_incoming,
+           CAST((SELECT count(*) FROM incoming) - (SELECT count(*) FROM novel) AS BIGINT) AS n_rejected,
+           CAST((SELECT count(DISTINCT h) FROM (SELECT h FROM existing
+                                                UNION ALL SELECT h FROM novel)) AS BIGINT) AS n_distinct_final
+    """,
+    tags=("catalog", "llm", "dedup"),
+)
+def catalog_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot incremental dedup: an incoming document batch is deduped
+    against the *committed* corpus via the table's stored content-hash column,
+    then only novel docs are appended in one CAS commit.
+
+    This is the production shape for continuous corpus ingestion: the catalog
+    table doubles as the dedup index. The anti-join reads ONLY the hash column
+    of the existing corpus (parquet column pruning — the 100 TB of text is
+    never rescanned), and the incoming side is first collapsed to one row per
+    hash map-side. Both sides shuffle ~(16-byte hash + id) per doc; at 100 TB
+    the existing-hash side can further prune to recent partitions when
+    ingestion guarantees no dups beyond a horizon.
+
+    Reference anchor: load_table + transaction commit (mod.rs:217-220,
+    mod.rs:454-471) composed with the engine-side dedup the reference
+    delegates (mod.rs:359-361).
+    """
+    cat = _fresh_catalog("catalog_incr_dedup")
+    ident = TableIdentifier.parse("corpus.docs")
+    d = load(spark, sf_dir, "documents").withColumn("content_hash", F.md5("text"))
+    existing = d.where(F.col("doc_id") < 300)
+    table = cat.create_table(ident, existing.schema)
+    table.new_transaction().append_dataframe(existing).commit()
+    n_existing = cat.load_table(ident).to_df(spark).count()
+
+    incoming = d.where(F.col("doc_id") >= 300)
+    n_incoming = incoming.count()
+    # collapse incoming to first-doc-per-hash (map-side partial agg), then
+    # anti-join against the committed table's hash column (pruned scan).
+    first_in = (
+        incoming.groupBy("content_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .join(incoming.select("doc_id", "text", "lang", "source", "n_chars"), "doc_id")
+    )
+    known = cat.load_table(ident).to_df(spark).select("content_hash")
+    novel = first_in.join(known, "content_hash", "left_anti").select(existing.columns)
+    cat.load_table(ident).new_transaction().append_dataframe(novel).commit()
+
+    final = cat.load_table(ident).to_df(spark)
+    return final.agg(
+        F.count(F.lit(1)).alias("n_final"),
+        F.lit(n_incoming).cast("long").alias("n_incoming"),
+        (F.lit(n_incoming) - (F.count(F.lit(1)) - F.lit(n_existing))).cast("long").alias("n_rejected"),
+        F.countDistinct("content_hash").alias("n_distinct_final"),
+    )
