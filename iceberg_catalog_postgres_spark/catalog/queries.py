@@ -57,3 +57,101 @@ def catalog_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return loaded.to_df(spark).select(
         F.col("n_nationkey"), F.col("n_name"), F.col("n_regionkey")
     )
+
+
+def _fresh(name: str) -> PostgresCatalog:
+    work = os.path.join(_REPO_ROOT, ".tmp", name)
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work, exist_ok=True)
+    cat = PostgresCatalog.connect(
+        name, f"sqlite://{os.path.join(work, 'catalog.db')}", os.path.join(work, "warehouse")
+    )
+    cat.initialize()
+    return cat
+
+
+@register(
+    "catalog_time_travel",
+    oracle="""
+    SELECT CAST((SELECT count(*) FROM nation) AS BIGINT)  AS n_v1,
+           CAST((SELECT count(*) FROM nation) +
+                (SELECT count(*) FROM nation WHERE n_regionkey = 0) AS BIGINT) AS n_current,
+           CAST((SELECT count(*) FROM nation WHERE n_regionkey = 0) AS BIGINT) AS n_incremental
+    """,
+    tags=("catalog", "timetravel"),
+)
+def catalog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel + incremental read over the snapshot lineage: commit v1
+    (full nation), commit v2 (append the region-0 rows again), then read (a)
+    the table AS OF snapshot v1, (b) the current snapshot, (c) the v1→v2
+    incremental delta — the reference's metadata tree (iceberg-rs snapshots,
+    mod.rs:217-220) driving three distinct scans of the same table.
+
+    Scale: time travel is a metadata choice — both reads plan file lists from
+    their snapshot's manifest, no copy-on-read; the incremental read plans
+    ONLY the delta files (O(delta), not O(table)), which is what makes
+    snapshot-chained CDC consumers cheap at 100 TB.
+    """
+    cat = _fresh("catalog_time_travel")
+    src = load(spark, sf_dir, "nation")
+    ident = TableIdentifier.parse("tt.nation")
+    table = cat.create_table(ident, src.schema)
+    table.new_transaction().append_dataframe(src).commit()
+    v1 = cat.load_table(ident)
+    snap1 = v1.metadata.current_snapshot().snapshot_id
+    v1.new_transaction().append_dataframe(src.where(F.col("n_regionkey") == 0)).commit()
+
+    t = cat.load_table(ident)
+    df_v1 = t.to_df(spark, snapshot_id=snap1)
+    df_cur = t.to_df(spark)
+    snap2 = t.metadata.current_snapshot().snapshot_id
+    df_delta = t.incremental_df(spark, from_snapshot_id=snap1, to_snapshot_id=snap2)
+    return (
+        df_v1.agg(F.count(F.lit(1)).alias("n_v1"))
+        .crossJoin(F.broadcast(df_cur.agg(F.count(F.lit(1)).alias("n_current"))))
+        .crossJoin(F.broadcast(df_delta.agg(F.count(F.lit(1)).alias("n_incremental"))))
+    )
+
+
+@register(
+    "catalog_snapshot_history",
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), 'append',    CAST(25 AS BIGINT)),
+      (CAST(2 AS BIGINT), 'append',    CAST(30 AS BIGINT)),
+      (CAST(3 AS BIGINT), 'overwrite', CAST(5 AS BIGINT))
+    ) AS t(sequence_number, operation, n_rows)
+    """,
+    tags=("catalog", "metadata"),
+)
+def catalog_snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``snapshots`` metadata table (Iceberg's ``table$snapshots``):
+    one row per snapshot with sequence number, operation, and the row count
+    AS OF that snapshot — lineage: append 25 → append 5 more → overwrite
+    down to the region-0 rows.
+
+    Scale: row counts here are computed by scanning each snapshot (fixture
+    scale); a production metadata table serves them from manifest summary
+    counts without touching data — the query shape (createDataFrame over
+    metadata) is the same either way. Non-deterministic fields (snapshot ids,
+    wall-clock timestamps) are deliberately excluded so the contract is
+    checkable; they exist on the Snapshot objects.
+    """
+    cat = _fresh("catalog_snapshot_history")
+    src = load(spark, sf_dir, "nation")
+    ident = TableIdentifier.parse("meta.nation")
+    table = cat.create_table(ident, src.schema)
+    table.new_transaction().append_dataframe(src).commit()
+    t = cat.load_table(ident)
+    t.new_transaction().append_dataframe(src.where(F.col("n_regionkey") == 0)).commit()
+    t = cat.load_table(ident)
+    t.new_transaction().overwrite_dataframe(
+        src.where(F.col("n_regionkey") == 0)
+    ).commit()
+
+    t = cat.load_table(ident)
+    rows = []
+    for snap in sorted(t.metadata.snapshots, key=lambda s: s.sequence_number):
+        n = t.to_df(spark, snapshot_id=snap.snapshot_id).count()
+        rows.append((snap.sequence_number, snap.operation, n))
+    return spark.createDataFrame(rows, "sequence_number long, operation string, n_rows long")

@@ -178,7 +178,7 @@ def sample_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_kept"))
     )
     return (
-        rates.join(kept, "lang", "left")
+        rates.join(F.broadcast(kept), "lang", "left")
         .select(
             "lang",
             F.col("n_total"),
