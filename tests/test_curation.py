@@ -1,0 +1,105 @@
+"""Invariant tests for the curation / layout / session operators — properties
+the DuckDB oracle can't express (cross-engine equality says both engines agree,
+these say the *semantics* are right)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from iceberg_catalog_postgres_spark.operators.scale_patterns import _z_value
+from iceberg_catalog_postgres_spark.registry import load, load_all
+
+REGISTRY = load_all()
+
+
+def _py_zvalue(x: int, y: int, bits: int = 11) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2047), st.integers(0, 2047)),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_zvalue_matches_python_reference(spark, pairs):
+    """The JVM bit-op z-value must equal the reference Morton interleave."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(pairs, "x long, y long")
+    got = [r.z for r in df.select(_z_value(F.col("x"), F.col("y")).alias("z")).collect()]
+    assert got == [_py_zvalue(x, y) for x, y in pairs]
+
+
+def test_pack_bins_are_contiguous_doc_ranges(spark, sf_oracle):
+    """Within a language, packed bins must cover disjoint, increasing doc-id
+    ranges (a doc never jumps bins; bins are filled in doc order)."""
+    pdf = REGISTRY["pack_token_budget"].fn(spark, sf_oracle).toPandas()
+    for lang, g in pdf.groupby("lang"):
+        g = g.sort_values("seq_bin")
+        assert list(g.seq_bin) == sorted(set(g.seq_bin)), lang
+        prev_last = -1
+        for _, row in g.iterrows():
+            assert row.first_doc > prev_last, (lang, row.seq_bin)
+            assert row.last_doc >= row.first_doc
+            prev_last = row.last_doc
+
+
+def test_pack_conserves_tokens(spark, sf_oracle):
+    """Sum of per-bin token counts equals the corpus total (nothing dropped)."""
+    from pyspark.sql import functions as F
+
+    pdf = REGISTRY["pack_token_budget"].fn(spark, sf_oracle).toPandas()
+    total = (
+        load(spark, sf_oracle, "documents")
+        .select(F.sum(F.size(F.split("text", " "))).alias("n"))
+        .collect()[0].n
+    )
+    assert int(pdf.sum_tokens.sum()) == total
+
+
+def test_mixture_sampling_bounds(spark, sf_oracle):
+    """Every language keeps <= its total; the smallest language keeps all
+    (rate 1.0); kept fraction is within 15% of the target rate."""
+    pdf = REGISTRY["sample_domain_mixture"].fn(spark, sf_oracle).toPandas()
+    assert (pdf.n_kept <= pdf.n_total).all()
+    smallest = pdf.loc[pdf.n_total.idxmin()]
+    assert smallest.n_kept == smallest.n_total
+    for _, r in pdf.iterrows():
+        assert abs(r.n_kept / r.n_total - r.rate) <= 0.15, r.lang
+
+
+def test_sessionize_partitions_user_events(spark, sf_oracle):
+    """Per-user session event counts must sum to the user's event count, and
+    session_seq must be 1..n_sessions dense."""
+    from pyspark.sql import functions as F
+
+    pdf = REGISTRY["sessionize_gap_lag"].fn(spark, sf_oracle).toPandas()
+    ev = (
+        load(spark, sf_oracle, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .toPandas()
+        .set_index("user_id")["n"]
+    )
+    got = pdf.groupby("user_id").n_events.sum()
+    assert got.to_dict() == ev.to_dict()
+    for uid, g in pdf.groupby("user_id"):
+        seqs = sorted(g.session_seq)
+        assert seqs == list(range(1, len(seqs) + 1)), uid
+    assert (pdf.dur_ms >= 0).all()
+
+
+def test_decontamination_never_flags_eval_docs(spark, sf_oracle):
+    """The contamination report must only contain training docs."""
+    pdf = REGISTRY["decon_ngram_overlap"].fn(spark, sf_oracle).toPandas()
+    assert len(pdf) > 0
+    assert (pdf.doc_id % 97 != 0).all()
+    assert (pdf.n_shingles_hit >= 1).all() and (pdf.n_eval_docs >= 1).all()
