@@ -627,3 +627,45 @@ def catalog_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("o_orderkey").alias("key_sum"),
         )
     )
+
+
+@register(
+    "catalog_expire_snapshots",
+    oracle="""
+    SELECT CAST(3 AS BIGINT) AS n_snapshots_before,
+           CAST(2 AS BIGINT) AS n_snapshots_after,
+           CAST((SELECT count(*) FROM nation) +
+                (SELECT count(*) FROM nation WHERE n_regionkey = 0) AS BIGINT) AS n_rows_current
+    """,
+    tags=("catalog", "maintenance"),
+)
+def catalog_expire_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot expiry as a registered contract row: three commits, expire to
+    the last two, current data unaffected — the retention operation the
+    reference leaves as a TODO (mod.rs:164 'file cleanup') made real, with
+    orphan data/manifest files GC'd only AFTER the pointer swap commits.
+
+    Scale: expiry cost is O(expired metadata), never O(data) — it deletes
+    files no live snapshot references and touches no current-file bytes; the
+    CAS commit makes retention safe to run concurrently with readers on any
+    snapshot still retained.
+    """
+    cat = _fresh_catalog("catalog_expire")
+    src = load(spark, sf_dir, "nation")
+    ident = TableIdentifier.parse("mx.nation")
+    t = cat.create_table(ident, src.schema)
+    t.new_transaction().append_dataframe(src).commit()
+    t = cat.load_table(ident)
+    t.new_transaction().append_dataframe(src.where(F.col("n_regionkey") == 0)).commit()
+    t = cat.load_table(ident)
+    t.new_transaction().append_dataframe(src.where(F.col("n_regionkey") == 99)).commit()  # empty append
+    t = cat.load_table(ident)
+    n_before = len(t.metadata.snapshots)
+    t = expire_snapshots(t, keep_last=2)
+    t = cat.load_table(ident)
+    n_after = len(t.metadata.snapshots)
+    n_rows = t.to_df(spark).count()
+    return spark.createDataFrame(
+        [(n_before, n_after, n_rows)],
+        "n_snapshots_before long, n_snapshots_after long, n_rows_current long",
+    )

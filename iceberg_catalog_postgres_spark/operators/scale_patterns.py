@@ -301,3 +301,94 @@ def layout_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(overlap.cast("long")).alias("n_scanned"),
         F.round(F.sum(overlap.cast("long")).cast("double") / F.count(F.lit(1)), 6).alias("frac_scanned"),
     )
+
+
+@register(
+    "skew_salted_join",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    tags=("scale", "skew", "join"),
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted big-big join: the fact side adds a salt bucket from its join
+    key, the dim side is replicated once per salt value, and the join runs on
+    (key, salt) — splitting any hot key across N reducers.
+
+    The oracle is the PLAIN join: salting must be result-invariant (it only
+    changes partitioning). The salt uses xxhash64 (Spark-side only, no
+    cross-engine constraint for exactly this reason).
+
+    Scale: this is the manual fix when one key holds a double-digit share of
+    a 100 TB fact table and AQE skew-split (which handles moderate skew
+    automatically) isn't enough; replication factor N trades dim-side volume
+    (N×) for an N-way split of the hottest reducer.
+    """
+    n_salt = 8
+    fact = load(spark, sf_dir, "lineitem").withColumn(
+        "salt", F.pmod(F.xxhash64("l_orderkey"), F.lit(n_salt))
+    )
+    dim = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
+        .withColumn("salt", F.col("salt").cast("long"))
+    )
+    return (
+        fact.join(dim, (fact.l_orderkey == dim.o_orderkey) & (fact.salt == dim.salt))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "agg_hll_partitioned_union",
+    oracle="""
+    SELECT lang AS scope, true AS within_tol FROM documents GROUP BY lang
+    UNION ALL
+    SELECT 'ALL' AS scope, true AS within_tol
+    ORDER BY scope
+    """,
+    tags=("scale", "sketch", "agg"),
+)
+def agg_hll_partitioned_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches: per-language DataSketches HLL of document
+    hashes, then a UNION of the per-language sketches estimates the global
+    distinct count — without re-touching the data. Emitted as tolerance
+    booleans (|estimate - exact| / exact <= 5%) so DuckDB can certify the
+    contract (the sketch bytes themselves are engine-specific).
+
+    Scale: sketch mergeability is the whole point — at 100 TB, per-partition
+    sketches are built map-side (fixed bytes per partition), unioned in a
+    tiny reduce, and can be stored per-snapshot and merged incrementally on
+    every append instead of rescanning history for exact distinct counts.
+    """
+    d = load(spark, sf_dir, "documents").select("lang", F.md5("text").alias("h"))
+    per = d.groupBy("lang").agg(
+        F.hll_sketch_agg("h").alias("sk"),
+        F.countDistinct("h").alias("exact"),
+    )
+    per_lang = per.select(
+        F.col("lang").alias("scope"),
+        (
+            F.abs(F.hll_sketch_estimate("sk") - F.col("exact")) / F.col("exact") <= 0.05
+        ).alias("within_tol"),
+    )
+    glob = (
+        per.agg(F.hll_union_agg("sk").alias("sk"))
+        .crossJoin(F.broadcast(d.agg(F.countDistinct("h").alias("exact"))))
+        .select(
+            F.lit("ALL").alias("scope"),
+            (
+                F.abs(F.hll_sketch_estimate("sk") - F.col("exact")) / F.col("exact") <= 0.05
+            ).alias("within_tol"),
+        )
+    )
+    return per_lang.unionByName(glob).orderBy("scope")

@@ -244,6 +244,7 @@ def load_all() -> dict[str, QuerySpec]:
     import iceberg_catalog_postgres_spark.llm.text  # noqa: F401
     import iceberg_catalog_postgres_spark.llm.curation  # noqa: F401
     import iceberg_catalog_postgres_spark.operators.sessions  # noqa: F401
+    import iceberg_catalog_postgres_spark.operators.quality  # noqa: F401
     import iceberg_catalog_postgres_spark.llm.multimodal  # noqa: F401
     import iceberg_catalog_postgres_spark.streaming.windows  # noqa: F401
     import iceberg_catalog_postgres_spark.streaming.joins  # noqa: F401
