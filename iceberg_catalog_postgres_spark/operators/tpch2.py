@@ -234,3 +234,114 @@ def q20_suppliers_with_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "s_suppkey")
         .orderBy(F.col("s_suppkey").asc())
     )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#1' AND p_size < 15
+      AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+    tags=("tpch",),
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue), adapted: the fixture part
+    table has no p_container, so the second part predicate is p_size < 15.
+    The correlated avg-quantity subquery becomes a window average over
+    l_partkey AFTER the part semi-join — identical semantics (the subquery
+    averages every lineitem of the part, and the join keeps every lineitem
+    of the selected parts).
+
+    Scale: the brand filter cuts part to a sliver → broadcast semi-join, so
+    the 100 TB lineitem side never shuffles for the join; the only exchange
+    is the window's l_partkey hash — and only over lineitems of selected
+    parts (pushdown does the heavy pruning first).
+    """
+    from pyspark.sql import Window
+
+    part_f = (
+        load(spark, sf_dir, "part")
+        .where((F.col("p_brand") == "Brand#1") & (F.col("p_size") < 15))
+        .select("p_partkey")
+    )
+    li = load(spark, sf_dir, "lineitem").join(
+        F.broadcast(part_f), F.col("l_partkey") == F.col("p_partkey")
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        li.withColumn("qty_lim", 0.2 * F.avg("l_quantity").over(w))
+        .where(F.col("l_quantity") < F.col("qty_lim"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+    )
+
+
+@register(
+    "q21_single_blame_supplier",
+    oracle="""
+    SELECT s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders o    ON o_orderkey = l1.l_orderkey
+    JOIN nation n    ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R' AND n_name = 'NATION_0'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+    tags=("tpch",),
+)
+def q21_single_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting), adapted: the fixture
+    lineitem has no l_commitdate/l_receiptdate, so the 'late' marker is
+    l_returnflag = 'R' — the query keeps Q21's defining structure: a
+    correlated EXISTS (another supplier in the order) AND NOT EXISTS (no
+    OTHER supplier also failed), i.e. the sole-blame double subquery.
+
+    Scale: EXISTS/NOT EXISTS compile to left-semi / left-anti joins on
+    l_orderkey with the <> suppkey residual as a join filter — both shuffle
+    keyed on orderkey (no row explosion); nation+supplier are broadcast;
+    TakeOrderedAndProject caps the result, no global sort.
+    """
+    nation1 = load(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_0")
+    sup = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation1), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+    orders_f = (
+        load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F").select("o_orderkey")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    l1 = (
+        li.where(F.col("l_returnflag") == "R")
+        .join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("l_orderkey", "l_suppkey", "s_name")
+    )
+    others = li.select(F.col("l_orderkey").alias("o_ok"), F.col("l_suppkey").alias("o_sk"), "l_returnflag")
+    with_other = l1.join(
+        others,
+        (F.col("l_orderkey") == F.col("o_ok")) & (F.col("l_suppkey") != F.col("o_sk")),
+        "left_semi",
+    )
+    sole_blame = with_other.join(
+        others.where(F.col("l_returnflag") == "R"),
+        (F.col("l_orderkey") == F.col("o_ok")) & (F.col("l_suppkey") != F.col("o_sk")),
+        "left_anti",
+    )
+    return (
+        sole_blame.groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(20)
+    )

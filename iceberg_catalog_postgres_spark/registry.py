@@ -121,10 +121,11 @@ PRIORITY: tuple[str, ...] = (
     "q8_market_share",
     # approx sketches (round-1 err row, now tolerance-boolean oracle)
     "agg_approx_sketches",
-    # window family
+    # window family (range-frame rep swapped out for z-order layout in r2;
+    # framed aggs stay locally certified via window_running_sum/moving_avg)
     "window_rank_dense_ntile",
     "window_lag_lead_delta",
-    "window_range_frame",
+    "layout_zorder_pruning",
     # scalar function families (one per SURVEY §2 row)
     "fn_string_family",
     "fn_datetime_family",
@@ -144,8 +145,8 @@ PRIORITY: tuple[str, ...] = (
     "source_partitioned_pruning",
     # streaming (batch-equivalent windows + real readStream forms)
     "stream_tumbling_window_agg",
-    "stream_sliding_window_agg",
     "stream_session_window_agg",
+    "decon_ngram_overlap",
     "stream_readstream_dedup_watermark",
     "stream_stateful_user_counter",
     # LLM pipeline: dedup
@@ -166,7 +167,7 @@ PRIORITY: tuple[str, ...] = (
     "text_bpe_ish_token_count",
     "text_lang_id_markers",
     "text_quality_score",
-    "text_fingerprint_bag",
+    "catalog_incremental_dedup",
     "tfidf_top_terms",
     # LLM pipeline: multimodal
     "mm_binary_metadata",
@@ -176,6 +177,11 @@ PRIORITY: tuple[str, ...] = (
     "catalog_merge_upsert",
     "catalog_mor_delete",
     # --- end of 50-entry certification prefix ---
+    # swapped out of the r2 prefix (still locally certified; re-certified
+    # first if the window widens)
+    "window_range_frame",
+    "stream_sliding_window_agg",
+    "text_fingerprint_bag",
     # round-1-certified families next (re-certified if the window widens)
     "q4_order_priority",
     "q6_forecast_revenue",
