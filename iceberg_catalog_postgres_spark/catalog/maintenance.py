@@ -479,22 +479,18 @@ def expire_snapshots(table: Table, keep_last: int = 2) -> Table:
     md = table.metadata
     if len(md.snapshots) <= keep_last:
         return table
-    kept = md.snapshots[-keep_last:]
-    expired = md.snapshots[: -keep_last]
+    # tag/branch refs pin their snapshots through expiry (Iceberg semantics:
+    # a tagged corpus version stays reproducible until the tag is dropped)
+    pinned = {r.get("snapshot-id") for r in md.refs.values()}
+    kept_ids = {s.snapshot_id for s in md.snapshots[-keep_last:]} | pinned
+    kept = [s for s in md.snapshots if s.snapshot_id in kept_ids]
+    expired = [s for s in md.snapshots if s.snapshot_id not in kept_ids]
+    if not expired:
+        return table
 
-    from iceberg_catalog_postgres_spark.catalog.metadata import TableMetadata
+    from dataclasses import replace as _dc_replace
 
-    new_md = TableMetadata(
-        table_uuid=md.table_uuid,
-        location=md.location,
-        schema=md.schema,
-        snapshots=kept,
-        current_snapshot_id=md.current_snapshot_id,
-        last_updated_ms=md.last_updated_ms,
-        format_version=md.format_version,
-        properties=dict(md.properties),
-        partition_spec=list(md.partition_spec),
-    )
+    new_md = _dc_replace(md, snapshots=kept)
     import posixpath as _pp
     import uuid as _uuid
 
@@ -553,16 +549,9 @@ def rewrite_manifests(table: Table, max_chunks: int = 8) -> Table:
     store = table.catalog.object_store()
     consolidated = write_manifest(store, md.location, snapshot_entries(snap))
     new_snap = _replace(snap, manifests=[consolidated])
-    new_md = TableMetadata(
-        table_uuid=md.table_uuid,
-        location=md.location,
-        schema=md.schema,
+    new_md = _replace(
+        md,
         snapshots=[new_snap if s.snapshot_id == snap.snapshot_id else s for s in md.snapshots],
-        current_snapshot_id=md.current_snapshot_id,
-        last_updated_ms=md.last_updated_ms,
-        format_version=md.format_version,
-        properties=dict(md.properties),
-        partition_spec=list(md.partition_spec),
     )
     new_location = _pp.join(
         md.location, "metadata", f"rm-{_uuid.uuid4().hex}.metadata.json"

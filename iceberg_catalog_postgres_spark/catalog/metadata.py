@@ -319,6 +319,12 @@ class TableMetadata:
     """Identity-transform partition columns (Iceberg PartitionSpec, identity
     only): data files record their tuple in ``Snapshot.file_partitions`` and
     scans prune on it from metadata alone."""
+    refs: dict = field(default_factory=dict)
+    """Named snapshot refs (Iceberg branches/tags): name -> {"snapshot-id",
+    "type": "tag" | "branch"}. Tags pin a snapshot forever (reproducible
+    reads — e.g. the exact corpus version a training run used); the "main"
+    branch is implicit (current_snapshot_id). Carried through every commit
+    unchanged; tags survive expire_snapshots (their snapshots are retained)."""
 
     @staticmethod
     def new(
@@ -373,16 +379,16 @@ class TableMetadata:
     def with_snapshot(self, snapshot: Snapshot) -> "TableMetadata":
         """Functional update: new metadata doc with the snapshot appended and
         made current. Old doc is never mutated — time travel stays possible."""
-        return TableMetadata(
-            table_uuid=self.table_uuid,
-            location=self.location,
-            schema=self.schema,
+        from dataclasses import replace as _dc_replace
+
+        return _dc_replace(
+            self,
             snapshots=[*self.snapshots, snapshot],
             current_snapshot_id=snapshot.snapshot_id,
             last_updated_ms=int(time.time() * 1000),
-            format_version=self.format_version,
             properties=dict(self.properties),
             partition_spec=list(self.partition_spec),
+            refs=dict(self.refs),
         )
 
     def snapshot_by_id(self, snapshot_id: int) -> Snapshot:
@@ -401,6 +407,7 @@ class TableMetadata:
                 "partition-spec": self.partition_spec,
                 "snapshots": [s.to_json() for s in self.snapshots],
                 "properties": self.properties,
+                "refs": self.refs,
             },
             indent=2,
         )
@@ -418,4 +425,5 @@ class TableMetadata:
             format_version=d.get("format-version", 1),
             properties=d.get("properties", {}),
             partition_spec=list(d.get("partition-spec", [])),
+            refs=dict(d.get("refs", {})),
         )

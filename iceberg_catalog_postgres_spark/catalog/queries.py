@@ -155,3 +155,46 @@ def catalog_snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         n = t.to_df(spark, snapshot_id=snap.snapshot_id).count()
         rows.append((snap.sequence_number, snap.operation, n))
     return spark.createDataFrame(rows, "sequence_number long, operation string, n_rows long")
+
+
+@register(
+    "catalog_tag_reproducible_read",
+    oracle="""
+    SELECT CAST((SELECT count(*) FROM nation) AS BIGINT) AS n_tagged,
+           CAST((SELECT count(*) FROM nation) +
+                (SELECT count(*) FROM nation WHERE n_regionkey < 2) AS BIGINT) AS n_main,
+           CAST(1 AS BIGINT) AS n_refs
+    """,
+    tags=("catalog", "refs"),
+)
+def catalog_tag_reproducible_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot tags (Iceberg refs): tag the first commit as ``train-v1``,
+    keep committing, then read BY NAME — the tagged read returns the exact
+    corpus version a training run consumed, regardless of later appends, and
+    ``expire_snapshots`` retains tag-pinned snapshots so the name stays
+    resolvable.
+
+    Scale: a tag is one metadata-dict entry committed through the CAS swap —
+    O(1) regardless of table size; reproducible-corpus guarantees cost no
+    data copies.
+    """
+    cat = _fresh("catalog_tags")
+    src = load(spark, sf_dir, "nation")
+    ident = TableIdentifier.parse("refs.nation")
+    t = cat.create_table(ident, src.schema)
+    t.new_transaction().append_dataframe(src).commit()
+    t = cat.load_table(ident)
+    t = t.set_ref("train-v1")  # tag the v1 snapshot
+    t.new_transaction().append_dataframe(src.where(F.col("n_regionkey") < 2)).commit()
+
+    t = cat.load_table(ident)
+    from iceberg_catalog_postgres_spark.catalog.maintenance import expire_snapshots
+
+    t = expire_snapshots(t, keep_last=1)  # would drop v1 were it not tagged
+    t = cat.load_table(ident)
+    n_tagged = t.to_df(spark, ref="train-v1").count()
+    n_main = t.to_df(spark).count()
+    return spark.createDataFrame(
+        [(n_tagged, n_main, len(t.metadata.refs))],
+        "n_tagged long, n_main long, n_refs long",
+    )

@@ -195,12 +195,60 @@ class Table:
                 out.append(store.resolve(f))
         return out
 
+    def set_ref(self, name: str, snapshot_id: int | None = None, ref_type: str = "tag") -> "Table":
+        """Create/move a named snapshot ref (Iceberg tag/branch): pins
+        ``snapshot_id`` (default: current) under ``name`` via the same CAS
+        metadata commit as any other change. Tags make a corpus version
+        reproducible by name — ``to_df(ref='train-v1')`` reads the exact
+        files of that commit forever (expire_snapshots retains pinned
+        snapshots). Cost is O(1) metadata, no data movement."""
+        from dataclasses import replace as _dc_replace
+
+        import posixpath as _pp
+        import uuid as _uuid
+
+        if ref_type not in ("tag", "branch"):
+            raise ValueError(f"ref_type must be tag|branch, got {ref_type}")
+        md = self.metadata
+        sid = snapshot_id if snapshot_id is not None else md.current_snapshot_id
+        if sid is None or sid not in md.snapshot_ids():
+            raise ValueError(f"unknown snapshot for ref {name!r}: {sid}")
+        new_md = _dc_replace(
+            md, refs={**md.refs, name: {"snapshot-id": sid, "type": ref_type}}
+        )
+        store = self.catalog.object_store()
+        new_location = _pp.join(
+            md.location, "metadata", f"ref-{_uuid.uuid4().hex}.metadata.json"
+        )
+        store.put(new_location, new_md.to_json().encode())
+        return self.catalog.update_table(self.identifier, new_location, self._metadata_location)
+
+    def drop_ref(self, name: str) -> "Table":
+        """Remove a named ref (its snapshot becomes expirable again)."""
+        from dataclasses import replace as _dc_replace
+
+        import posixpath as _pp
+        import uuid as _uuid
+
+        md = self.metadata
+        if name not in md.refs:
+            raise ValueError(f"no such ref: {name}")
+        refs = {k: v for k, v in md.refs.items() if k != name}
+        new_md = _dc_replace(md, refs=refs)
+        store = self.catalog.object_store()
+        new_location = _pp.join(
+            md.location, "metadata", f"ref-{_uuid.uuid4().hex}.metadata.json"
+        )
+        store.put(new_location, new_md.to_json().encode())
+        return self.catalog.update_table(self.identifier, new_location, self._metadata_location)
+
     def to_df(
         self,
         spark: SparkSession,
         snapshot_id: int | None = None,
         prune: tuple | None = None,
         partition_filter: dict | None = None,
+        ref: str | None = None,
     ) -> DataFrame:
         """DataFrame over the snapshot's file list (time travel via
         ``snapshot_id``). Empty table => empty DataFrame with the declared
@@ -224,6 +272,12 @@ class Table:
         never rewritten on the delete path; compaction or an overwrite
         materializes the deletes and clears them.
         """
+        if ref is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass either ref or snapshot_id, not both")
+            if ref not in self.metadata.refs:
+                raise ValueError(f"no such ref: {ref}")
+            snapshot_id = self.metadata.refs[ref]["snapshot-id"]
         snap = (
             self.metadata.snapshot_by_id(snapshot_id)
             if snapshot_id is not None
@@ -389,18 +443,10 @@ class Table:
             fields.append(_SF(f.name, f.dataType, f.nullable, meta))
         evolved = StructType(fields)
 
+        from dataclasses import replace as _dc_replace
+
         md = self.metadata
-        new_md = TableMetadata(
-            table_uuid=md.table_uuid,
-            location=md.location,
-            schema=schema_to_iceberg(evolved),
-            snapshots=list(md.snapshots),
-            current_snapshot_id=md.current_snapshot_id,
-            last_updated_ms=md.last_updated_ms,
-            format_version=md.format_version,
-            properties=dict(md.properties),
-            partition_spec=list(md.partition_spec),
-        )
+        new_md = _dc_replace(md, schema=schema_to_iceberg(evolved))
         import posixpath as _pp
         import uuid as _uuid
 

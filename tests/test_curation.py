@@ -103,3 +103,38 @@ def test_decontamination_never_flags_eval_docs(spark, sf_oracle):
     assert len(pdf) > 0
     assert (pdf.doc_id % 97 != 0).all()
     assert (pdf.n_shingles_hit >= 1).all() and (pdf.n_eval_docs >= 1).all()
+
+
+def test_tag_pins_snapshot_through_expiry(spark, sf_smoke):
+    """set_ref/drop_ref lifecycle: a tag survives expire_snapshots; dropping
+    it makes the snapshot expirable; reading a dropped ref raises."""
+    import pytest as _pytest
+
+    from iceberg_catalog_postgres_spark.catalog.integration import _fresh_catalog
+    from iceberg_catalog_postgres_spark.catalog.catalog import TableIdentifier
+    from iceberg_catalog_postgres_spark.catalog.maintenance import expire_snapshots
+
+    cat = _fresh_catalog("tag_lifecycle")
+    src = load(spark, sf_smoke, "region")
+    ident = TableIdentifier.parse("t.region")
+    t = cat.create_table(ident, src.schema)
+    t.new_transaction().append_dataframe(src).commit()
+    t = cat.load_table(ident)
+    v1 = t.metadata.current_snapshot().snapshot_id
+    t = t.set_ref("v1")
+    t.new_transaction().append_dataframe(src).commit()
+    t = cat.load_table(ident)
+    t.new_transaction().append_dataframe(src).commit()
+
+    t = expire_snapshots(cat.load_table(ident), keep_last=1)
+    t = cat.load_table(ident)
+    assert v1 in t.metadata.snapshot_ids()  # pinned by tag
+    assert t.to_df(spark, ref="v1").count() == src.count()
+
+    t = t.drop_ref("v1")
+    t = cat.load_table(ident)
+    t = expire_snapshots(t, keep_last=1)
+    t = cat.load_table(ident)
+    assert v1 not in t.metadata.snapshot_ids()  # expirable once untagged
+    with _pytest.raises(ValueError):
+        t.to_df(spark, ref="v1")
