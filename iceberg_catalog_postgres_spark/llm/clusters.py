@@ -63,14 +63,44 @@ def connected_components(edges: DataFrame, max_iters: int = 10) -> DataFrame:
     return labels
 
 
-@register("dedup_cluster_resolution", oracle=None, tags=("llm", "dedup", "clusters"))
+def _cluster_oracle() -> str:
+    """DuckDB twin: the SAME MinHash pair SQL feeds a recursive-CTE
+    transitive closure; component = min reachable doc_id — exactly what
+    min-label propagation converges to. (Closure is O(n·|component|) rows —
+    fine for an oracle at sf0.01; the Spark side stays iterative/bounded.)"""
+    from iceberg_catalog_postgres_spark.llm.dedup import _minhash_oracle
+
+    return f"""
+    WITH RECURSIVE pairs AS (
+      {_minhash_oracle()}
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach AS (
+      SELECT src, src AS dst FROM (SELECT DISTINCT src FROM edges)
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    labels AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src)
+    SELECT CAST(component AS BIGINT)  AS component,
+           count(*)                   AS cluster_size,
+           min(doc_id)                AS keeper_doc_id,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS members
+    FROM labels GROUP BY component
+    """
+
+
+@register("dedup_cluster_resolution", oracle=_cluster_oracle(), tags=("llm", "dedup", "clusters"))
 def dedup_cluster_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dup resolution: MinHash-LSH pairs -> connected
     components -> keeper (min doc_id) per cluster -> cluster roster.
 
-    Rows-only (iterative); exact cluster correctness is pinned by
-    tests/test_clusters.py against a pure-Python union-find on the same
-    pairs. Output: one row per cluster with size and members.
+    Oracle-checked (round-2 upgrade from rows-only): DuckDB recomputes the
+    identical pair set and resolves components via recursive-CTE transitive
+    closure; additionally pinned by tests/test_clusters.py against a
+    pure-Python union-find. Output: one row per cluster with size/members.
     """
     from iceberg_catalog_postgres_spark.llm.dedup import dedup_minhash_lsh
 
