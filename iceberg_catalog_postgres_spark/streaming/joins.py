@@ -94,16 +94,32 @@ def join_event_pairs_interval_batch(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
-@register("stream_stream_interval_join", oracle=None, tags=("streaming", "stream-join"))
+@register(
+    "stream_stream_interval_join",
+    oracle="""
+    SELECT e.user_id, count(*) AS n_pairs
+    FROM events e JOIN events p
+      ON e.user_id = p.user_id
+     AND e.event_type = 'error' AND p.event_type = 'purchase'
+     AND p.ts >= e.ts AND p.ts < e.ts + INTERVAL 10 MINUTE
+    GROUP BY e.user_id
+    """,
+    tags=("streaming", "stream-join"),
+)
 def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUE stream-stream join: two watermarked streams (errors, purchases)
     joined on user_id with a time-interval condition.
 
+    Oracle-checked (round-2 upgrade from rows-only): with availableNow the
+    bounded input joins completely (no late-arrival loss), so the sink's
+    per-user match counts equal the batch interval join. The sink stores
+    epoch-ms BIGINTs (cheaper state than timestamps, canonicalization-safe).
+    Also asserted stream==batch in tests/test_streaming.py.
+
     Scale: without the interval bound the join state grows forever; with
     watermark + bound, each side's state is evicted once the other side's
     watermark passes ts + 10 minutes. This is THE canonical stateful
-    streaming join; rows must equal the batch form
-    (tests/test_streaming.py::test_stream_stream_join_matches_batch).
+    streaming join.
     """
     from iceberg_catalog_postgres_spark.streaming.windows import _read_event_stream
 
@@ -123,7 +139,11 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "eu = pu AND pts >= ets AND pts < ets + INTERVAL 10 MINUTE"
         ),
-    ).select(F.col("eu").alias("user_id"), "ets", "pts")
+    ).select(
+        F.col("eu").alias("user_id"),
+        F.unix_millis("ets").alias("ets_ms"),
+        F.unix_millis("pts").alias("pts_ms"),
+    )
 
     name = f"sink_{uuid.uuid4().hex[:12]}"
     q = (

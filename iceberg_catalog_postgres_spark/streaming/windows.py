@@ -194,13 +194,26 @@ def _has_agg(df: DataFrame) -> bool:
     return "Aggregate" in df._jdf.queryExecution().analyzed().toString()
 
 
-@register("stream_readstream_tumbling", oracle=None, tags=("streaming", "readstream"))
+@register(
+    "stream_readstream_tumbling",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n_events
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("streaming", "readstream"),
+)
 def stream_readstream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUE Structured Streaming tumbling-window count: readStream(parquet)
     -> watermark 1h -> window agg -> memory sink, availableNow.
 
-    Rows-only check (sink contents equal the batch query's rows — asserted
-    in tests/test_streaming.py; the driver check just needs schema+rows).
+    Oracle-checked (round-2 upgrade from rows-only): ``window('ts','1
+    hour')`` aligns to epoch hours, so the sink contents equal a batch
+    date_trunc('hour') aggregation — with availableNow the whole bounded
+    input processes before the final watermark, so complete-mode output is
+    exactly the batch answer (also asserted stream==batch in
+    tests/test_streaming.py).
     """
 
     def build(s: DataFrame) -> DataFrame:
