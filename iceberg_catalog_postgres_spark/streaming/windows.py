@@ -231,7 +231,11 @@ def stream_readstream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_stream(spark, sf_dir, build)
 
 
-@register("stream_readstream_dedup_watermark", oracle=None, tags=("streaming", "readstream", "dedup"))
+@register(
+    "stream_readstream_dedup_watermark",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    tags=("streaming", "readstream", "dedup"),
+)
 def stream_readstream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming dedup: dropDuplicatesWithinWatermark on
     (user_id, event_type) with a 2-hour watermark — keeps first occurrence
@@ -242,19 +246,36 @@ def stream_readstream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataF
     """
 
     def build(s: DataFrame) -> DataFrame:
+        # Emit only the KEY of each kept row: which physical row survives is
+        # an arrival-order artifact (not contractual), but the surviving key
+        # set is deterministic — one emission per key with the bounded
+        # availableNow input (state can't evict mid-batch), which is what the
+        # oracle checks.
         return (
             s.withWatermark("ts", "2 hours")
             .dropDuplicatesWithinWatermark(["user_id", "event_type"])
-            .select("user_id", "event_type", "event_id")
+            .select("user_id", "event_type")
         )
 
     return _run_stream(spark, sf_dir, build)
 
 
-@register("stream_stateful_user_counter", oracle=None, tags=("streaming", "stateful"))
+@register(
+    "stream_stateful_user_counter",
+    oracle="""
+    SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS total_value
+    FROM events GROUP BY user_id
+    """,
+    tags=("streaming", "stateful"),
+)
 def stream_stateful_user_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary stateful streaming: applyInPandasWithState keeping a
     per-user running (count, total_value) state across micro-batches.
+
+    Oracle-checked (round-2 upgrade from rows-only): the recovered final
+    state per user must equal the batch aggregation — count is exact;
+    total_value rounds at 4dp, far above fp summation-order noise for
+    per-user event counts. Also asserted ==batch in tests/test_streaming.py.
 
     Scale: state is per-key (user), Arrow-batched per partition; this is the
     escape hatch for operators Spark's built-in streaming aggs can't express
