@@ -198,3 +198,60 @@ def catalog_tag_reproducible_read(spark: SparkSession, sf_dir: str) -> DataFrame
         [(n_tagged, n_main, len(t.metadata.refs))],
         "n_tagged long, n_main long, n_refs long",
     )
+
+
+@register(
+    "catalog_wap_publish",
+    oracle="""
+    SELECT CAST((SELECT count(*) FROM nation) AS BIGINT) AS n_main_before,
+           CAST((SELECT count(*) FROM nation) +
+                (SELECT count(*) FROM nation WHERE n_regionkey = 0) AS BIGINT) AS n_branch,
+           CAST((SELECT count(*) FROM nation) AS BIGINT) AS n_main_during_audit,
+           CAST((SELECT count(*) FROM nation) +
+                (SELECT count(*) FROM nation WHERE n_regionkey = 0) AS BIGINT) AS n_main_published,
+           CAST(0 AS BIGINT) AS n_refs_after
+    """,
+    tags=("catalog", "wap", "refs"),
+)
+def catalog_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish (WAP): new data commits to a staging BRANCH (main
+    unmoved), a data-quality audit runs against the branch read, and only on
+    a clean audit does ``publish_branch`` fast-forward main — the pattern
+    that keeps bad batches out of a production table without blocking
+    ingestion. Composes branch transactions (append-only staging), read-by-
+    ref, a DQ gate, and an atomic O(1) publish commit.
+
+    Scale: the audit reads only the branch delta's files plus whatever the
+    checks need; publish is one CAS metadata swap — no copy, no rewrite, and
+    a failed audit is just drop_ref (the staged snapshot expires later).
+    """
+    cat = _fresh("catalog_wap")
+    src = load(spark, sf_dir, "nation")
+    ident = TableIdentifier.parse("wap.nation")
+    t = cat.create_table(ident, src.schema)
+    t.new_transaction().append_dataframe(src).commit()
+    t = cat.load_table(ident)
+    n_main_before = t.to_df(spark).count()
+
+    # WRITE: stage the new batch on a branch; main is untouched
+    t.new_transaction(branch="audit").append_dataframe(
+        src.where(F.col("n_regionkey") == 0)
+    ).commit()
+    t = cat.load_table(ident)
+    branch_df = t.to_df(spark, ref="audit")
+    n_branch = branch_df.count()
+    n_main_during = t.to_df(spark).count()
+
+    # AUDIT: DQ gate on the branch read (null keys would block publish)
+    n_bad = branch_df.where(F.col("n_nationkey").isNull()).count()
+    assert n_bad == 0, "audit failed; would drop_ref instead of publishing"
+
+    # PUBLISH: fast-forward main to the audited branch head
+    t = t.publish_branch("audit")
+    t = cat.load_table(ident)
+    n_published = t.to_df(spark).count()
+    return spark.createDataFrame(
+        [(n_main_before, n_branch, n_main_during, n_published, len(t.metadata.refs))],
+        "n_main_before long, n_branch long, n_main_during_audit long, "
+        "n_main_published long, n_refs_after long",
+    )

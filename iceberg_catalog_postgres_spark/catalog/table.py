@@ -402,8 +402,35 @@ class Table:
             return spark.createDataFrame([], self.schema)
         return spark.read.schema(self.schema).parquet(*[store.resolve(f) for f in new_files])
 
-    def new_transaction(self) -> "Transaction":  # mod.rs:466
-        return Transaction(self)
+    def new_transaction(self, branch: str = "main") -> "Transaction":  # mod.rs:466
+        """``branch="main"`` commits advance the table head (reference
+        behavior). A non-main branch stages append commits on a named branch
+        ref WITHOUT moving main — the write half of write-audit-publish
+        (WAP): readers of the table see nothing until ``publish_branch``."""
+        return Transaction(self, branch=branch)
+
+    def publish_branch(self, name: str, drop: bool = True) -> "Table":
+        """Fast-forward main to a branch head (the WAP publish step): one
+        CAS metadata commit flips current_snapshot_id to the audited branch
+        snapshot — atomic, O(1), no data movement. ``drop`` removes the
+        branch ref after publishing."""
+        from dataclasses import replace as _dc_replace
+
+        import posixpath as _pp
+        import uuid as _uuid
+
+        md = self.metadata
+        if name not in md.refs:
+            raise ValueError(f"no such branch: {name}")
+        head = md.refs[name]["snapshot-id"]
+        refs = {k: v for k, v in md.refs.items() if not (drop and k == name)}
+        new_md = _dc_replace(md, current_snapshot_id=head, refs=refs)
+        store = self.catalog.object_store()
+        new_location = _pp.join(
+            md.location, "metadata", f"pub-{_uuid.uuid4().hex}.metadata.json"
+        )
+        store.put(new_location, new_md.to_json().encode())
+        return self.catalog.update_table(self.identifier, new_location, self._metadata_location)
 
     def commit_schema(self, new_schema: StructType) -> "Table":
         """Schema evolution: commit a new schema version through the same CAS
@@ -473,9 +500,10 @@ class Transaction:
          last-writer-wins) — up to ``max_retries`` with jittered backoff.
     """
 
-    def __init__(self, table: Table, max_retries: int = 5):
+    def __init__(self, table: Table, max_retries: int = 5, branch: str = "main"):
         self.table = table
         self.max_retries = max_retries
+        self.branch = branch
         self._operation: str | None = None
         self._staged_files: list[str] = []
         self._staged_delete_files: list[str] = []
@@ -620,6 +648,11 @@ class Transaction:
     def commit(self) -> Table:
         if self._operation is None:
             return self.table  # empty transaction: no-op
+        if self.branch != "main" and self._operation != "append":
+            # Branch staging is append-only: WAP stages new data for audit;
+            # overwrite/delete on a branch would need branch-scoped conflict
+            # rules main commits don't see. Explicit > silently wrong.
+            raise ValueError(f"branch commits are append-only, got {self._operation}")
 
         catalog = self.table.catalog
         identifier = self.table.identifier
@@ -640,9 +673,20 @@ class Transaction:
                         "data-file set during an overwrite transaction; recompute "
                         "the overwrite from the current snapshot and retry"
                     )
+            # Branch commits chain on the BRANCH head (if any), not main:
+            # a metadata view with current_snapshot_id repointed makes every
+            # current_* read below branch-aware with one switch.
+            base_md = current.metadata
+            if self.branch != "main" and self.branch in base_md.refs:
+                from dataclasses import replace as _dc_replace
+
+                base_md = _dc_replace(
+                    base_md,
+                    current_snapshot_id=base_md.refs[self.branch]["snapshot-id"],
+                )
             next_seq = current.metadata.next_sequence_number()
-            inherited_seqs = current.metadata.current_file_seqs()
-            inherited_parts = current.metadata.current_file_partitions()
+            inherited_seqs = base_md.current_file_seqs()
+            inherited_parts = base_md.current_file_partitions()
             if self._operation == "overwrite":
                 # full rewrite: replaces the file set AND materializes/clears
                 # any pending deletes (both flavors)
@@ -671,9 +715,9 @@ class Transaction:
                 }
                 file_partitions = inherited_parts
             else:  # append: new data inherits pending deletes unchanged
-                data_files = [*current.metadata.current_data_files(), *self._staged_files]
-                delete_files = list(current.metadata.current_delete_files())
-                pos_delete_files = list(current.metadata.current_position_delete_files())
+                data_files = [*base_md.current_data_files(), *self._staged_files]
+                delete_files = list(base_md.current_delete_files())
+                pos_delete_files = list(base_md.current_position_delete_files())
                 file_seqs = {
                     **inherited_seqs,
                     **{f: next_seq for f in self._staged_files},
@@ -716,11 +760,30 @@ class Transaction:
                 store,
                 current.metadata.location,
                 self._operation,
-                current.metadata.current_snapshot(),
+                base_md.current_snapshot(),
                 staged_entries,
                 snapshot,
             )
-            new_metadata = current.metadata.with_snapshot(snapshot)
+            if self.branch == "main":
+                new_metadata = current.metadata.with_snapshot(snapshot)
+            else:
+                # branch commit: snapshot joins the lineage, the branch ref
+                # moves, main's head does NOT — readers see nothing until
+                # publish_branch fast-forwards.
+                from dataclasses import replace as _dc_replace
+
+                new_metadata = _dc_replace(
+                    current.metadata,
+                    snapshots=[*current.metadata.snapshots, snapshot],
+                    refs={
+                        **current.metadata.refs,
+                        self.branch: {
+                            "snapshot-id": snapshot.snapshot_id,
+                            "type": "branch",
+                        },
+                    },
+                    last_updated_ms=int(time.time() * 1000),
+                )
             new_location = posixpath.join(
                 new_metadata.location,
                 "metadata",

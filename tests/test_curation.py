@@ -138,3 +138,36 @@ def test_tag_pins_snapshot_through_expiry(spark, sf_smoke):
     assert v1 not in t.metadata.snapshot_ids()  # expirable once untagged
     with _pytest.raises(ValueError):
         t.to_df(spark, ref="v1")
+
+
+def test_branch_chain_and_failed_audit_rollback(spark, sf_smoke):
+    """Two appends chained on one branch both land in the branch head; a
+    failed audit (drop_ref without publish) leaves main exactly as before;
+    non-append branch commits are rejected."""
+    import pytest as _pytest
+
+    from iceberg_catalog_postgres_spark.catalog.integration import _fresh_catalog
+    from iceberg_catalog_postgres_spark.catalog.catalog import TableIdentifier
+
+    cat = _fresh_catalog("wap_lifecycle")
+    src = load(spark, sf_smoke, "region")
+    n = src.count()
+    ident = TableIdentifier.parse("w.region")
+    t = cat.create_table(ident, src.schema)
+    t.new_transaction().append_dataframe(src).commit()
+
+    t = cat.load_table(ident)
+    t.new_transaction(branch="stage").append_dataframe(src).commit()
+    t = cat.load_table(ident)
+    t.new_transaction(branch="stage").append_dataframe(src).commit()
+    t = cat.load_table(ident)
+    assert t.to_df(spark, ref="stage").count() == 3 * n  # chained on branch
+    assert t.to_df(spark).count() == n  # main untouched
+
+    with _pytest.raises(ValueError):
+        t.new_transaction(branch="stage").overwrite_dataframe(src).commit()
+
+    t = t.drop_ref("stage")  # failed audit: discard staging
+    t = cat.load_table(ident)
+    assert t.to_df(spark).count() == n
+    assert "stage" not in t.metadata.refs
