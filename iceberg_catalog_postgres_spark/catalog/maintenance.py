@@ -658,3 +658,45 @@ def catalog_expire_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_before, n_after, n_rows)],
         "n_snapshots_before long, n_snapshots_after long, n_rows_current long",
     )
+
+
+@register(
+    "catalog_files_metadata",
+    oracle="""
+    SELECT CAST(n_regionkey AS VARCHAR) AS partition_value,
+           CAST(1 AS BIGINT)            AS n_files,
+           count(*)                     AS n_rows
+    FROM nation GROUP BY n_regionkey
+    """,
+    tags=("catalog", "metadata"),
+)
+def catalog_files_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``files`` metadata table (Iceberg's ``table$files``), rolled up
+    per partition: file counts come from the snapshot's recorded partition
+    tuples (METADATA ONLY — zero data files opened for that column), row
+    counts from one pruned scan. A single-task append writes exactly one
+    file per partition value, which the oracle pins.
+
+    Scale: per-partition file counts are the small-file early-warning signal
+    (streaming commits × partitions); serving them from manifest metadata
+    instead of listing 10^7 files is the point of the metadata tree.
+    """
+    cat = _fresh_catalog("catalog_files_meta")
+    src = load(spark, sf_dir, "nation").coalesce(1)
+    ident = TableIdentifier.parse("meta.nation_part")
+    table = cat.create_table(ident, src.schema, partition_by=["n_regionkey"])
+    table = table.new_transaction().append_dataframe(src).commit()
+
+    parts = table.metadata.current_file_partitions()
+    rows = [(tup["n_regionkey"],) for tup in parts.values()]
+    files_df = (
+        spark.createDataFrame(rows, "partition_value string")
+        .groupBy("partition_value")
+        .agg(F.count(F.lit(1)).alias("n_files"))
+    )
+    counts = (
+        table.to_df(spark)
+        .groupBy(F.col("n_regionkey").cast("string").alias("partition_value"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    return files_df.join(counts, "partition_value")
