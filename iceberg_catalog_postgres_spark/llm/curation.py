@@ -293,3 +293,46 @@ def pii_redact_contacts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_phones").alias("n_phones"),
         F.sum((~F.col("redacted").rlike("[0-9]")).cast("long")).alias("n_digit_free"),
     )
+
+
+@register(
+    "split_train_val_test",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT lang,
+             CASE WHEN frac < 0.8 THEN 'train'
+                  WHEN frac < 0.9 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT lang,
+               CAST((doc_id * {KNUTH}) % {MOD32} AS DOUBLE) / {MOD32} AS frac
+        FROM documents
+      )
+    )
+    SELECT lang, split, count(*) AS n_docs
+    FROM assigned GROUP BY lang, split
+    """,
+    tags=("llm", "curation", "split"),
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split: each doc's split is a
+    pure function of its id (Knuth-hash fraction), so the split is stable
+    across reruns, machines, and engine versions — no RNG state, no seed
+    file; membership is re-derivable for any doc at any time. Per-language
+    counts verify the stratification.
+
+    Scale: map-only (one expression per row, no shuffle except the count
+    rollup); at 100 TB the same predicate pushes into any engine that can
+    evaluate integer arithmetic, and the split never needs to be stored —
+    it IS the hash.
+    """
+    d = load(spark, sf_dir, "documents")
+    frac = ((F.col("doc_id") * F.lit(KNUTH)) % F.lit(MOD32)).cast("double") / F.lit(MOD32)
+    split = (
+        F.when(frac < 0.8, F.lit("train")).when(frac < 0.9, F.lit("val")).otherwise(F.lit("test"))
+    )
+    return (
+        d.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
