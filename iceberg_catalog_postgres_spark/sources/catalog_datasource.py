@@ -150,6 +150,7 @@ class CatalogCommitsStreamReader:
         self.db = options["db"]
         self.warehouse = options["warehouse"]
         self.ident = options["ident"]
+        self.catalog_name = options.get("catalog", "tail")
 
     def initialOffset(self) -> dict:
         return {"n_snapshots": 0}
@@ -160,7 +161,9 @@ class CatalogCommitsStreamReader:
             TableIdentifier,
         )
 
-        cat = PostgresCatalog.connect("tail", f"sqlite://{self.db}", self.warehouse)
+        cat = PostgresCatalog.connect(
+            self.catalog_name, f"sqlite://{self.db}", self.warehouse
+        )
         t = cat.load_table(TableIdentifier.parse(self.ident))
         snaps = sorted(t.metadata.snapshots, key=lambda s: s.sequence_number)
         store = cat.object_store()

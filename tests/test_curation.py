@@ -171,3 +171,42 @@ def test_branch_chain_and_failed_audit_rollback(spark, sf_smoke):
     t = cat.load_table(ident)
     assert t.to_df(spark).count() == n
     assert "stage" not in t.metadata.refs
+
+
+def test_catalog_tail_replay_is_deterministic(spark, sf_smoke):
+    """The streaming tail's readBetweenOffsets (crash-recovery replay) must
+    return exactly the rows the original read returned, and offsets must
+    advance with new commits."""
+    import os
+    import shutil
+
+    from iceberg_catalog_postgres_spark.catalog.catalog import PostgresCatalog, TableIdentifier
+    from iceberg_catalog_postgres_spark.sources.catalog_datasource import (
+        CatalogCommitsStreamReader,
+    )
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    work = os.path.join(repo_root, ".tmp", "tail_replay")
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work, exist_ok=True)
+    db, wh = os.path.join(work, "catalog.db"), os.path.join(work, "wh")
+    cat = PostgresCatalog.connect("tr", f"sqlite://{db}", wh)
+    cat.initialize()
+    src = load(spark, sf_smoke, "region")
+    ident = TableIdentifier.parse("tr.region")
+    t = cat.create_table(ident, src.schema)
+    t.new_transaction().append_dataframe(src).commit()
+
+    reader = CatalogCommitsStreamReader(
+        {"db": db, "warehouse": wh, "ident": "tr.region", "catalog": "tr"}
+    )
+    start = reader.initialOffset()
+    rows1, end1 = reader.read(start)
+    rows1 = list(rows1)
+    assert end1 == {"n_snapshots": 1} and len(rows1) == src.count()
+    assert sorted(reader.readBetweenOffsets(start, end1)) == sorted(rows1)  # replay
+
+    cat.load_table(ident).new_transaction().append_dataframe(src).commit()
+    rows2, end2 = reader.read(end1)
+    assert end2 == {"n_snapshots": 2}
+    assert len(list(rows2)) == src.count()  # only the delta
