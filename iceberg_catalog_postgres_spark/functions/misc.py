@@ -147,3 +147,38 @@ def fn_try_error_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(100.0), F.nullif(F.expr("try_cast(get_json_object(props, '$.k') AS INT)"), F.lit(0))
         ).alias("safe_ratio"),
     )
+
+
+@register(
+    "agg_bitwise_family",
+    oracle="""
+    SELECT o_orderpriority,
+           bit_and(o_orderkey) AS key_and,
+           bit_or(o_orderkey)  AS key_or,
+           bit_xor(o_orderkey) AS key_xor,
+           CAST(bit_or(1 << (o_custkey % 60)) AS BIGINT) AS custkey_bitmap60
+    FROM orders WHERE o_orderkey < 1000
+    GROUP BY o_orderpriority
+    """,
+    tags=("functions", "bitwise"),
+)
+def agg_bitwise_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates (bit_and/bit_or/bit_xor) plus a poor-man's bitmap
+    index: OR-ing single-bit masks of ``o_custkey % 60`` per group packs set
+    membership into one BIGINT — the building block of bitmap-accelerated
+    distinct counting and semi-join pruning.
+
+    Scale: all four are associative single-value aggregates — perfect
+    map-side partial aggregation, constant state per group; a 64-bit bitmap
+    per group replaces a collect_set for small domains.
+    """
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderkey") < 1000)
+    # shiftleft()'s numBits arg must be a literal in the Python API; the SQL
+    # form takes a column expression.
+    mask = F.expr("shiftleft(1L, cast(o_custkey % 60 AS int))")
+    return o.groupBy("o_orderpriority").agg(
+        F.bit_and("o_orderkey").alias("key_and"),
+        F.bit_or("o_orderkey").alias("key_or"),
+        F.bit_xor("o_orderkey").alias("key_xor"),
+        F.bit_or(mask).alias("custkey_bitmap60"),
+    )
