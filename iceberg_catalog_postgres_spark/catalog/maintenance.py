@@ -700,3 +700,64 @@ def catalog_files_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
     return files_df.join(counts, "partition_value")
+
+
+@register(
+    "catalog_partition_evolution",
+    oracle="""
+    SELECT CAST((SELECT count(*) FROM orders WHERE o_orderkey < 2000
+                 AND o_orderstatus = 'F') +
+                (SELECT count(*) FROM orders WHERE o_orderkey >= 2000 AND o_orderkey < 4000
+                 AND o_orderstatus = 'F') AS BIGINT) AS n_f_rows,
+           true AS old_files_kept_superset_safe,
+           true AS new_files_pruned
+    """,
+    tags=("catalog", "partition", "evolution"),
+)
+def catalog_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec evolution: append unpartitioned, evolve the spec to
+    partition_by o_orderstatus (metadata-only commit — zero data rewritten),
+    append again under the new spec, then run one partition-filtered scan
+    over the MIXED table: new-spec files prune by their recorded tuples,
+    old-spec files (no tuple) are kept superset-safely, and the row-level
+    filter makes the result exact.
+
+    Scale: this is how a 100 TB table adopts better partitioning without a
+    rewrite — old data keeps working, new data gets the pruning, and
+    backfills can rewrite old partitions incrementally if ever needed.
+    """
+    cat = _fresh_catalog("catalog_spec_evo")
+    src = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    ident = TableIdentifier.parse("evo.orders")
+    table = cat.create_table(ident, src.schema)  # unpartitioned
+    table = (
+        table.new_transaction()
+        .append_dataframe(src.where(F.col("o_orderkey") < 2000).coalesce(1))
+        .commit()
+    )
+    n_old_files = len(table.metadata.current_data_files())
+
+    table = table.commit_partition_spec(["o_orderstatus"])
+    table = (
+        table.new_transaction()
+        .append_dataframe(
+            src.where((F.col("o_orderkey") >= 2000) & (F.col("o_orderkey") < 4000)).coalesce(1)
+        )
+        .commit()
+    )
+    total_files = table.metadata.current_data_files()
+    planned = table.planned_files_partition({"o_orderstatus": "F"})
+    n_new_files = len(total_files) - n_old_files
+    # superset-safe: every old-spec file planned; pruned: not every new file
+    old_kept = len(planned) >= n_old_files
+    new_pruned = len(planned) < len(total_files)
+
+    n_f = (
+        table.to_df(spark, partition_filter={"o_orderstatus": "F"})
+        .filter(F.col("o_orderstatus") == "F")
+        .count()
+    )
+    return spark.createDataFrame(
+        [(n_f, old_kept, new_pruned)],
+        "n_f_rows long, old_files_kept_superset_safe boolean, new_files_pruned boolean",
+    )

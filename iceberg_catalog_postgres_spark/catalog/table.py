@@ -484,6 +484,32 @@ class Table:
         store.put(new_location, new_md.to_json().encode())
         return self.catalog.update_table(self.identifier, new_location, self._metadata_location)
 
+    def commit_partition_spec(self, partition_by: list[str]) -> "Table":
+        """Partition-spec evolution (Iceberg spec evolution): change the
+        identity-partition columns with a metadata-only CAS commit. Existing
+        data files keep the tuples they were written with; future appends
+        record tuples under the new spec. ``planned_files_partition`` keeps
+        files without a matching recorded tuple (superset-safe), so
+        mixed-spec tables prune newly-written files by the new columns while
+        never losing old-spec rows — exactly Iceberg's evolution contract
+        (no data rewrite, ever).
+        """
+        from dataclasses import replace as _dc_replace
+
+        import posixpath as _pp
+        import uuid as _uuid
+
+        for c in partition_by:
+            if c not in [f.name for f in self.schema.fields]:
+                raise ValueError(f"unknown partition column: {c}")
+        new_md = _dc_replace(self.metadata, partition_spec=list(partition_by))
+        store = self.catalog.object_store()
+        new_location = _pp.join(
+            self.metadata.location, "metadata", f"spec-{_uuid.uuid4().hex}.metadata.json"
+        )
+        store.put(new_location, new_md.to_json().encode())
+        return self.catalog.update_table(self.identifier, new_location, self._metadata_location)
+
     def refresh(self) -> "Table":
         return self.catalog.load_table(self.identifier)
 
