@@ -177,8 +177,32 @@ PRIORITY: tuple[str, ...] = (
     "catalog_merge_upsert",
     "catalog_mor_delete",
     # --- end of 50-entry certification prefix ---
+    # strongest late-r2 additions first: certified next if the window widens
+    "catalog_wap_publish",
+    "catalog_time_travel",
+    "catalog_tag_reproducible_read",
+    "catalog_stream_upsert",
+    "catalog_stream_source_tail",
+    "catalog_partition_evolution",
+    "catalog_files_metadata",
+    "catalog_snapshot_history",
+    "catalog_expire_snapshots",
+    "split_train_val_test",
+    "pack_token_budget",
+    "sample_domain_mixture",
+    "text_repetition_bigrams",
+    "pii_redact_contacts",
+    "retention_cohorts",
+    "sessionize_gap_lag",
+    "skew_salted_join",
+    "agg_hll_partitioned_union",
+    "dq_expectations",
+    "dedup_cluster_resolution",
+    "q17_small_quantity_revenue",
+    "q21_single_blame_supplier",
+    "agg_bitwise_family",
     # swapped out of the r2 prefix (still locally certified; re-certified
-    # first if the window widens)
+    # next if the window widens)
     "window_range_frame",
     "stream_sliding_window_agg",
     "text_fingerprint_bag",
