@@ -195,6 +195,39 @@ class Table:
                 out.append(store.resolve(f))
         return out
 
+    def _commit_metadata_edit(self, edit_fn, label: str, max_retries: int = 5) -> "Table":
+        """Commit a metadata-only edit (refs, partition spec, schema) via the
+        CAS swap, with bounded retry: on conflict, reload the winner's
+        metadata and re-apply the edit to it. These edits commute with data
+        commits (they touch disjoint metadata fields), so blind re-apply is
+        safe — unlike an overwrite transaction, nothing computed from the
+        file set is being replayed."""
+        import posixpath as _pp
+        import random as _random
+        import time as _time
+        import uuid as _uuid
+
+        current = self
+        for attempt in range(max_retries + 1):
+            new_md = edit_fn(current.metadata)
+            store = current.catalog.object_store()
+            new_location = _pp.join(
+                current.metadata.location,
+                "metadata",
+                f"{label}-{_uuid.uuid4().hex}.metadata.json",
+            )
+            store.put(new_location, new_md.to_json().encode())
+            try:
+                return current.catalog.update_table(
+                    current.identifier, new_location, current._metadata_location
+                )
+            except CommitConflictError:
+                if attempt == max_retries:
+                    raise
+                _time.sleep(_random.uniform(0.01, 0.05) * (attempt + 1))
+                current = current.catalog.load_table(current.identifier)
+        raise AssertionError("unreachable")
+
     def set_ref(self, name: str, snapshot_id: int | None = None, ref_type: str = "tag") -> "Table":
         """Create/move a named snapshot ref (Iceberg tag/branch): pins
         ``snapshot_id`` (default: current) under ``name`` via the same CAS
@@ -204,43 +237,32 @@ class Table:
         snapshots). Cost is O(1) metadata, no data movement."""
         from dataclasses import replace as _dc_replace
 
-        import posixpath as _pp
-        import uuid as _uuid
-
         if ref_type not in ("tag", "branch"):
             raise ValueError(f"ref_type must be tag|branch, got {ref_type}")
-        md = self.metadata
-        sid = snapshot_id if snapshot_id is not None else md.current_snapshot_id
-        if sid is None or sid not in md.snapshot_ids():
+        sid = snapshot_id if snapshot_id is not None else self.metadata.current_snapshot_id
+        if sid is None or sid not in self.metadata.snapshot_ids():
             raise ValueError(f"unknown snapshot for ref {name!r}: {sid}")
-        new_md = _dc_replace(
-            md, refs={**md.refs, name: {"snapshot-id": sid, "type": ref_type}}
-        )
-        store = self.catalog.object_store()
-        new_location = _pp.join(
-            md.location, "metadata", f"ref-{_uuid.uuid4().hex}.metadata.json"
-        )
-        store.put(new_location, new_md.to_json().encode())
-        return self.catalog.update_table(self.identifier, new_location, self._metadata_location)
+
+        def edit(md):
+            if sid not in md.snapshot_ids():
+                raise ValueError(f"snapshot for ref {name!r} expired during retry: {sid}")
+            return _dc_replace(
+                md, refs={**md.refs, name: {"snapshot-id": sid, "type": ref_type}}
+            )
+
+        return self._commit_metadata_edit(edit, "ref")
 
     def drop_ref(self, name: str) -> "Table":
         """Remove a named ref (its snapshot becomes expirable again)."""
         from dataclasses import replace as _dc_replace
 
-        import posixpath as _pp
-        import uuid as _uuid
-
-        md = self.metadata
-        if name not in md.refs:
+        if name not in self.metadata.refs:
             raise ValueError(f"no such ref: {name}")
-        refs = {k: v for k, v in md.refs.items() if k != name}
-        new_md = _dc_replace(md, refs=refs)
-        store = self.catalog.object_store()
-        new_location = _pp.join(
-            md.location, "metadata", f"ref-{_uuid.uuid4().hex}.metadata.json"
-        )
-        store.put(new_location, new_md.to_json().encode())
-        return self.catalog.update_table(self.identifier, new_location, self._metadata_location)
+
+        def edit(md):
+            return _dc_replace(md, refs={k: v for k, v in md.refs.items() if k != name})
+
+        return self._commit_metadata_edit(edit, "ref")
 
     def to_df(
         self,
@@ -416,21 +438,17 @@ class Table:
         branch ref after publishing."""
         from dataclasses import replace as _dc_replace
 
-        import posixpath as _pp
-        import uuid as _uuid
-
-        md = self.metadata
-        if name not in md.refs:
+        if name not in self.metadata.refs:
             raise ValueError(f"no such branch: {name}")
-        head = md.refs[name]["snapshot-id"]
-        refs = {k: v for k, v in md.refs.items() if not (drop and k == name)}
-        new_md = _dc_replace(md, current_snapshot_id=head, refs=refs)
-        store = self.catalog.object_store()
-        new_location = _pp.join(
-            md.location, "metadata", f"pub-{_uuid.uuid4().hex}.metadata.json"
-        )
-        store.put(new_location, new_md.to_json().encode())
-        return self.catalog.update_table(self.identifier, new_location, self._metadata_location)
+
+        def edit(md):
+            if name not in md.refs:
+                raise ValueError(f"branch {name} disappeared during retry")
+            head = md.refs[name]["snapshot-id"]
+            refs = {k: v for k, v in md.refs.items() if not (drop and k == name)}
+            return _dc_replace(md, current_snapshot_id=head, refs=refs)
+
+        return self._commit_metadata_edit(edit, "pub")
 
     def commit_schema(self, new_schema: StructType) -> "Table":
         """Schema evolution: commit a new schema version through the same CAS
@@ -496,19 +514,14 @@ class Table:
         """
         from dataclasses import replace as _dc_replace
 
-        import posixpath as _pp
-        import uuid as _uuid
-
         for c in partition_by:
             if c not in [f.name for f in self.schema.fields]:
                 raise ValueError(f"unknown partition column: {c}")
-        new_md = _dc_replace(self.metadata, partition_spec=list(partition_by))
-        store = self.catalog.object_store()
-        new_location = _pp.join(
-            self.metadata.location, "metadata", f"spec-{_uuid.uuid4().hex}.metadata.json"
-        )
-        store.put(new_location, new_md.to_json().encode())
-        return self.catalog.update_table(self.identifier, new_location, self._metadata_location)
+
+        def edit(md):
+            return _dc_replace(md, partition_spec=list(partition_by))
+
+        return self._commit_metadata_edit(edit, "spec")
 
     def refresh(self) -> "Table":
         return self.catalog.load_table(self.identifier)

@@ -210,3 +210,27 @@ def test_catalog_tail_replay_is_deterministic(spark, sf_smoke):
     rows2, end2 = reader.read(end1)
     assert end2 == {"n_snapshots": 2}
     assert len(list(rows2)) == src.count()  # only the delta
+
+
+def test_metadata_edit_retries_past_concurrent_commit(spark, sf_smoke):
+    """set_ref from a STALE table handle must survive a concurrent data
+    commit via CAS retry (metadata edits commute with data commits)."""
+    from iceberg_catalog_postgres_spark.catalog.integration import _fresh_catalog
+    from iceberg_catalog_postgres_spark.catalog.catalog import TableIdentifier
+
+    cat = _fresh_catalog("ref_race")
+    src = load(spark, sf_smoke, "region")
+    ident = TableIdentifier.parse("r.region")
+    t = cat.create_table(ident, src.schema)
+    t.new_transaction().append_dataframe(src).commit()
+
+    stale = cat.load_table(ident)
+    v1 = stale.metadata.current_snapshot().snapshot_id
+    # concurrent writer commits AFTER `stale` was loaded
+    cat.load_table(ident).new_transaction().append_dataframe(src).commit()
+
+    t2 = stale.set_ref("pin-v1", snapshot_id=v1)  # stale CAS -> retry -> ok
+    t2 = cat.load_table(ident)
+    assert t2.metadata.refs["pin-v1"]["snapshot-id"] == v1
+    assert t2.to_df(spark).count() == 2 * src.count()  # concurrent commit kept
+    assert t2.to_df(spark, ref="pin-v1").count() == src.count()
