@@ -345,3 +345,138 @@ def q21_single_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
         .limit(20)
     )
+
+
+# Deterministic pseudo supply-cost: the fixture set has no partsupp table, so
+# q2/q9 derive a partsupp-like relation IN-QUERY from the (l_partkey,
+# l_suppkey) pairs present in lineitem, with a cost that is a pure integer-
+# arithmetic function of the pair — bit-identical in Spark and DuckDB.
+_PS_COST = "(0.5 + ((l_partkey * 7 + l_suppkey * 13) % 100) / 1000.0)"
+
+
+@register(
+    "q9_product_type_profit",
+    oracle="""
+    SELECT n_name AS nation,
+           CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+           round(sum(l_extendedprice * (1 - l_discount)
+                     - p_retailprice * (0.5 + ((l_partkey*7 + l_suppkey*13) % 100) / 1000.0)
+                       * l_quantity), 4) AS sum_profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, o_year
+    """,
+    tags=("tpch",),
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit), adapted: no partsupp fixture, so
+    ps_supplycost is the deterministic pseudo-cost above (derived from the
+    join keys; documented, reproduced exactly by the oracle). The defining
+    shape is intact: 5-way join, profit expression, (nation, year) rollup.
+
+    Scale: part is filtered (LIKE) then broadcast; supplier+nation broadcast;
+    the only big-big join is lineitem⋈orders on orderkey — one keyed shuffle;
+    the (nation, year) agg is low-cardinality with map-side partials.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    part_f = load(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    sup = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    cost = F.col("p_retailprice") * F.expr(_PS_COST)
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - cost * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part_f), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.round(F.sum(amount), 4).alias("sum_profit"))
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+      SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey FROM lineitem
+    ), cost AS (
+      SELECT ps_partkey, ps_suppkey,
+             p_retailprice * (0.5 + ((ps_partkey*7 + ps_suppkey*13) % 100) / 1000.0) AS ps_cost
+      FROM ps JOIN part ON p_partkey = ps_partkey
+    ), eligible AS (
+      SELECT c.*, s_acctbal, s_name, n_name
+      FROM cost c
+      JOIN supplier ON s_suppkey = ps_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, n_name, e.ps_partkey AS p_partkey
+    FROM eligible e
+    JOIN part ON p_partkey = e.ps_partkey
+    WHERE p_size = 15 AND p_type = 'SMALL'
+      AND ps_cost = (SELECT min(ps_cost) FROM eligible e2
+                     WHERE e2.ps_partkey = e.ps_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    tags=("tpch",),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier), adapted with the same pseudo
+    supply-cost as q9 (no partsupp fixture). The defining structure is
+    intact: a correlated min-cost-per-part subquery over region-restricted
+    suppliers, expressed as a window min + filter (identical semantics, one
+    pass instead of a rescan per row).
+
+    Scale: part and the region-restricted supplier dim broadcast; the
+    pseudo-partsupp distinct is one keyed shuffle; the correlated min is a
+    window over ps_partkey (co-partitioned with the distinct, no extra
+    exchange); TakeOrderedAndProject caps the output.
+    """
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).distinct()
+    part = load(spark, sf_dir, "part")
+    cost_expr = F.col("p_retailprice") * (
+        0.5 + ((F.col("ps_partkey") * 7 + F.col("ps_suppkey") * 13) % 100) / 1000.0
+    )
+    cost = ps.join(
+        F.broadcast(part.select("p_partkey", "p_retailprice")),
+        F.col("p_partkey") == F.col("ps_partkey"),
+    ).select("ps_partkey", "ps_suppkey", cost_expr.alias("ps_cost"))
+    sup_dim = (
+        load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(load(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    eligible = cost.join(F.broadcast(sup_dim), F.col("ps_suppkey") == F.col("s_suppkey"))
+    w = Window.partitionBy("ps_partkey")
+    best = eligible.withColumn("min_cost", F.min("ps_cost").over(w)).where(
+        F.col("ps_cost") == F.col("min_cost")
+    )
+    part_f = part.where((F.col("p_size") == 15) & (F.col("p_type") == "SMALL")).select("p_partkey")
+    return (
+        best.join(F.broadcast(part_f), F.col("p_partkey") == F.col("ps_partkey"))
+        .select("s_acctbal", "s_name", "n_name", F.col("ps_partkey").alias("p_partkey"))
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )

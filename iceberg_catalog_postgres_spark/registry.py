@@ -200,6 +200,8 @@ PRIORITY: tuple[str, ...] = (
     "dedup_cluster_resolution",
     "q17_small_quantity_revenue",
     "q21_single_blame_supplier",
+    "q9_product_type_profit",
+    "q2_min_cost_supplier",
     "agg_bitwise_family",
     # swapped out of the r2 prefix (still locally certified; re-certified
     # next if the window widens)
