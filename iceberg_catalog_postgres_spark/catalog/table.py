@@ -444,9 +444,19 @@ class Table:
         def edit(md):
             if name not in md.refs:
                 raise ValueError(f"branch {name} disappeared during retry")
-            head = md.refs[name]["snapshot-id"]
+            ref = md.refs[name]
+            base = ref.get("base-snapshot-id")
+            if base is not None and md.current_snapshot_id != base:
+                # Fast-forward requires main to be where the branch forked;
+                # a concurrent main commit would be silently orphaned by
+                # flipping the head. Caller must re-stage on the new main.
+                raise CommitConflictError(
+                    f"{self.identifier}: main advanced past branch {name!r}'s "
+                    "base; re-stage the branch from the current head before "
+                    "publishing"
+                )
             refs = {k: v for k, v in md.refs.items() if not (drop and k == name)}
-            return _dc_replace(md, current_snapshot_id=head, refs=refs)
+            return _dc_replace(md, current_snapshot_id=ref["snapshot-id"], refs=refs)
 
         return self._commit_metadata_edit(edit, "pub")
 
@@ -811,6 +821,14 @@ class Transaction:
                 # publish_branch fast-forwards.
                 from dataclasses import replace as _dc_replace
 
+                # First commit to a branch records main's head as the branch
+                # BASE; chained commits carry it forward. publish_branch
+                # validates main is still at the base before fast-forwarding,
+                # so a concurrent main commit can never be silently dropped.
+                prior = current.metadata.refs.get(self.branch, {})
+                base = prior.get(
+                    "base-snapshot-id", current.metadata.current_snapshot_id
+                )
                 new_metadata = _dc_replace(
                     current.metadata,
                     snapshots=[*current.metadata.snapshots, snapshot],
@@ -819,6 +837,7 @@ class Transaction:
                         self.branch: {
                             "snapshot-id": snapshot.snapshot_id,
                             "type": "branch",
+                            "base-snapshot-id": base,
                         },
                     },
                     last_updated_ms=int(time.time() * 1000),

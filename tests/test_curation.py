@@ -234,3 +234,31 @@ def test_metadata_edit_retries_past_concurrent_commit(spark, sf_smoke):
     assert t2.metadata.refs["pin-v1"]["snapshot-id"] == v1
     assert t2.to_df(spark).count() == 2 * src.count()  # concurrent commit kept
     assert t2.to_df(spark, ref="pin-v1").count() == src.count()
+
+
+def test_publish_refuses_when_main_advanced(spark, sf_smoke):
+    """Fast-forward publish must refuse if main advanced past the branch
+    base — otherwise the concurrent main commit would be silently orphaned."""
+    import pytest as _pytest
+
+    from iceberg_catalog_postgres_spark.catalog.integration import _fresh_catalog
+    from iceberg_catalog_postgres_spark.catalog.catalog import TableIdentifier
+    from iceberg_catalog_postgres_spark.catalog.table import CommitConflictError
+
+    cat = _fresh_catalog("wap_race")
+    src = load(spark, sf_smoke, "region")
+    ident = TableIdentifier.parse("wr.region")
+    t = cat.create_table(ident, src.schema)
+    t.new_transaction().append_dataframe(src).commit()
+
+    t = cat.load_table(ident)
+    t.new_transaction(branch="stage").append_dataframe(src).commit()
+    # concurrent writer advances MAIN after the branch was staged
+    cat.load_table(ident).new_transaction().append_dataframe(src).commit()
+
+    t = cat.load_table(ident)
+    with _pytest.raises(CommitConflictError):
+        t.publish_branch("stage")
+    t = cat.load_table(ident)
+    assert t.to_df(spark).count() == 2 * src.count()  # main intact
+    assert "stage" in t.metadata.refs  # branch preserved for re-staging
