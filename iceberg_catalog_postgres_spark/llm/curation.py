@@ -336,3 +336,48 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "split")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@register(
+    "text_unigram_surprisal",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), freq AS (
+      SELECT tok, count(*) AS n FROM toks GROUP BY tok
+    ), total AS (SELECT sum(n) AS t FROM freq)
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           round(avg(-log2(CAST(n AS DOUBLE) / (SELECT t FROM total))), 6) AS avg_surprisal
+    FROM toks JOIN freq USING (tok)
+    WHERE doc_id < 150
+    GROUP BY doc_id
+    """,
+    tags=("llm", "curation", "quality"),
+)
+def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM surprisal scoring: corpus token frequencies become a
+    unigram language model; each document scores as the mean -log2
+    probability of its tokens — the cheap, engine-native twin of the
+    perplexity filtering CCNet-style pipelines run with a KenLM model
+    (high surprisal = gibberish/rare-token soup, low = boilerplate).
+
+    Scale: one token-frequency aggregation (keyed shuffle with map-side
+    partials), then the frequency table BROADCASTS (a 100k-row vocab with an
+    OOV floor at production scale) and scoring is a map-only join + per-doc
+    average — the corpus text streams through once per pass.
+    """
+    d = load_parallel(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    total = freq.agg(F.sum("n").alias("t"))
+    p = F.col("n").cast("double") / F.col("t")
+    return (
+        toks.where(F.col("doc_id") < 150)
+        .join(F.broadcast(freq.crossJoin(total)), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(-F.log2(p)), 6).alias("avg_surprisal"),
+        )
+    )

@@ -191,6 +191,7 @@ PRIORITY: tuple[str, ...] = (
     "pack_token_budget",
     "sample_domain_mixture",
     "text_repetition_bigrams",
+    "text_unigram_surprisal",
     "pii_redact_contacts",
     "retention_cohorts",
     "sessionize_gap_lag",
