@@ -198,7 +198,6 @@ PRIORITY: tuple[str, ...] = (
     "skew_salted_join",
     "agg_hll_partitioned_union",
     "dq_expectations",
-    "dedup_cluster_resolution",
     "q17_small_quantity_revenue",
     "q21_single_blame_supplier",
     "q9_product_type_profit",
