@@ -188,6 +188,7 @@ PRIORITY: tuple[str, ...] = (
     "catalog_snapshot_history",
     "catalog_expire_snapshots",
     "split_train_val_test",
+    "source_orc_roundtrip",
     "pack_token_budget",
     "sample_domain_mixture",
     "text_repetition_bigrams",

@@ -154,3 +154,30 @@ def source_catalog_pointer_db(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_tables"),
         F.count(F.col("metadata_location")).alias("n_with_metadata"),
     )
+
+
+@register(
+    "source_orc_roundtrip",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal, 4) AS s_acctbal
+    FROM supplier
+    """,
+    tags=("source", "orc"),
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source: the other columnar format Spark ships natively.
+    Value-preservation across the round-trip is the contract.
+
+    Scale: ORC, like parquet, supports column pruning and predicate pushdown
+    from Catalyst (stripe/row-group statistics), so the scan-side story of
+    every parquet query here carries over; choose by ecosystem, not by
+    engine capability.
+    """
+    path = _staging("supplier_orc", sf_dir)
+    src = load(spark, sf_dir, "supplier")
+    if not os.path.exists(path):
+        src.write.mode("overwrite").orc(path + ".tmp")
+        os.rename(path + ".tmp", path)
+    return spark.read.orc(path).select(
+        "s_suppkey", "s_name", "s_nationkey", F.round("s_acctbal", 4).alias("s_acctbal")
+    )
