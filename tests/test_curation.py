@@ -262,3 +262,16 @@ def test_publish_refuses_when_main_advanced(spark, sf_smoke):
     t = cat.load_table(ident)
     assert t.to_df(spark).count() == 2 * src.count()  # main intact
     assert "stage" in t.metadata.refs  # branch preserved for re-staging
+
+
+def test_q2_min_cost_keeps_at_least_one_supplier_per_part(spark, sf_oracle):
+    """The fp-equality min-cost filter must never drop a qualifying part
+    entirely (every part with an eligible supplier keeps >= 1 winner)."""
+    from pyspark.sql import functions as F
+
+    pdf = REGISTRY["q2_min_cost_supplier"].fn(spark, sf_oracle).toPandas()
+    # every part appearing appears with >= 1 supplier row, and within a part
+    # all winners share one (minimal) cost by construction
+    assert len(pdf) > 0
+    assert pdf.groupby("p_partkey").size().min() >= 1
+    assert pdf.s_acctbal.is_monotonic_decreasing  # ordered output contract
