@@ -61,10 +61,14 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     ``.explain``), so at 100 TB only the referenced columns and matching
     row-groups are read.
 
-    ``events.ts`` is TIMESTAMP(NANOS) in the footer, which Spark's reader
-    rejects; with ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as a
-    nanosecond epoch long and is converted here to TIMESTAMP_NTZ by integer
-    floor-division to microseconds — the same truncation DuckDB applies.
+    ``events.ts`` is TIMESTAMP(NANOS) in the footer. Depending on the Spark
+    build this arrives either as a nanosecond epoch long (older readers with
+    ``spark.sql.legacy.parquet.nanosAsLong``) or natively as TIMESTAMP_NTZ
+    truncated to microseconds (Spark 4.1+ ignores the legacy conf). Both
+    shapes normalize here to session-timezone TIMESTAMP (session tz pinned
+    UTC), so every downstream expression — ``unix_millis``, ``window``,
+    ``date_format`` — sees one stable type whose wall-clock matches DuckDB's
+    naive microsecond truncation.
     """
     if table == "events":
         # The driver may hand us a session without these confs; both are
@@ -76,13 +80,27 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     if table == "events":
-        from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
+        df = normalize_events_ts(df)
+    return df
 
-        if isinstance(df.schema["ts"].dataType, LongType):
-            # TimestampType (not NTZ) so unix_millis & friends work; session
-            # tz is pinned UTC so the wall-clock matches DuckDB's naive value.
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to session-timezone TIMESTAMP
+    regardless of how the reader surfaced the parquet TIMESTAMP(NANOS)
+    column: nanosecond epoch long (legacy nanosAsLong readers) or
+    TIMESTAMP_NTZ (Spark 4.1+ native nanos support, micros truncation).
+    With the session tz pinned to UTC the NTZ->TIMESTAMP cast preserves the
+    wall-clock, so both paths yield the same instants DuckDB computes."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, LongType):
+        # TimestampType (not NTZ) so unix_millis & friends work; session
+        # tz is pinned UTC so the wall-clock matches DuckDB's naive value.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(dt, TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
@@ -187,6 +205,7 @@ PRIORITY: tuple[str, ...] = (
     "catalog_files_metadata",
     "catalog_snapshot_history",
     "catalog_expire_snapshots",
+    "catalog_remove_orphans",
     "split_train_val_test",
     "source_orc_roundtrip",
     "pack_token_budget",
@@ -236,7 +255,6 @@ PRIORITY: tuple[str, ...] = (
     "stream_stream_interval_join",
     "sim_ann_multitable_lsh",
     "text_token_frequency",
-    "dedup_simhash",
     "catalog_schema_evolution",
     "catalog_incremental_read",
 )

@@ -163,13 +163,11 @@ def _read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver-created sessions may lack these (see registry.load)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from iceberg_catalog_postgres_spark.registry import normalize_events_ts
+
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = spark.readStream.schema(schema).parquet(_stream_source_dir(sf_dir))
-    from pyspark.sql.types import LongType
-
-    if isinstance(raw.schema["ts"].dataType, LongType):
-        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return raw
+    return normalize_events_ts(raw)
 
 
 def _run_stream(spark: SparkSession, sf_dir: str, build) -> DataFrame:
