@@ -57,8 +57,15 @@ def sim_cosine_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     scanned once, never shuffled. Top-k per query via window row_number with
     rank-limit pushdown. Cost is O(|corpus| * |queries| * dim) FLOPs spread
     across partitions; for large query sets, switch to the LSH variant.
+
+    Uses plain ``load`` (no fixture repartition): the per-pair math is tiny
+    at bench scale, so the repartition shuffle cost exceeded its parallelism
+    gain (r2 bench regression, measured 6-rep: ~1.2-6.5 s with repartition
+    vs a stable ~0.9-1.1 s without). At 100 TB the scan parallelism comes
+    from row-group splits for free — the repartition was never the scale
+    path.
     """
-    e = load_parallel(spark, sf_dir, "embeddings").select("vec_id", _vec("embedding").alias("e"))
+    e = load(spark, sf_dir, "embeddings").select("vec_id", _vec("embedding").alias("e"))
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
     )
@@ -162,23 +169,81 @@ def sim_label_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_ivf_kmeans_build", oracle=None, tags=("llm", "similarity", "ivf"))
+_IVF_K = 8
+_IVF_DIM = 64
+_IVF_DIST_SQL = (
+    f"list_sum(list_transform(range(1, {_IVF_DIM + 1}), i -> (v.e[i] - c.c[i]) * (v.e[i] - c.c[i])))"
+)
+
+
+def _ivf_iter_ctes(it: int, prev_c: str) -> str:
+    """One unrolled Lloyd iteration as DuckDB CTEs: assign (argmin with the
+    same dist-asc, cluster-asc tie-break Spark's array_position gives), then
+    per-dim mean rounded to 6 decimals (matching the Spark side's rounding),
+    then dense-renumber clusters exactly as the Spark side's sorted-list
+    re-index does."""
+    return f"""
+    d{it} AS (
+      SELECT v.vec_id, c.cluster, {_IVF_DIST_SQL} AS dist FROM v, {prev_c} c
+    ),
+    a{it} AS (
+      SELECT vec_id, cluster, dist FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cluster ASC) AS rn
+        FROM d{it}
+      ) WHERE rn = 1
+    ),
+    m{it} AS (
+      SELECT a.cluster, t.dim, round(avg(v.e[t.dim]), 6) AS mval
+      FROM a{it} a JOIN v USING (vec_id) CROSS JOIN range(1, {_IVF_DIM + 1}) t(dim)
+      GROUP BY a.cluster, t.dim
+    ),
+    g{it} AS (SELECT cluster, list(mval ORDER BY dim) AS c FROM m{it} GROUP BY cluster),
+    c{it} AS (SELECT CAST(dense_rank() OVER (ORDER BY cluster) - 1 AS INT) AS cluster, c FROM g{it})"""
+
+
+_IVF_ORACLE = f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    c0 AS (SELECT CAST(vec_id AS INT) AS cluster, e AS c FROM v WHERE vec_id < {_IVF_K}),
+    {_ivf_iter_ctes(1, 'c0')},
+    {_ivf_iter_ctes(2, 'c1')},
+    d3 AS (
+      SELECT v.vec_id, c.cluster, {_IVF_DIST_SQL} AS dist FROM v, c2 c
+    ),
+    a3 AS (
+      SELECT vec_id, cluster, dist FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cluster ASC) AS rn
+        FROM d3
+      ) WHERE rn = 1
+    )
+    SELECT CAST(cluster AS BIGINT) AS cluster,
+           count(*) AS n_vectors,
+           round(avg(sqrt(dist)), 6) AS mean_dist
+    FROM a3 GROUP BY cluster ORDER BY cluster
+"""
+
+
+@register("sim_ivf_kmeans_build", oracle=_IVF_ORACLE, tags=("llm", "similarity", "ivf"))
 def sim_ivf_kmeans_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF index build: distributed Lloyd's k-means (k=8, 3 iterations,
     deterministic init = vectors 0..7), returning cluster sizes + mean
     within-cluster distance — the coarse quantizer an IVF-ANN search probes.
 
-    Rows-only: iterative fixpoint isn't single-statement SQL. Deterministic
-    (fixed init, fp64, fixed iteration order) so row counts are stable.
+    Oracle: the 3 deterministic Lloyd iterations unroll into DuckDB CTE
+    stages (assign = row_number argmin over the per-centroid distances with
+    the same tie-break, update = per-dim AVG). Cross-engine fp determinism is
+    pinned by (a) folding every distance left-to-right in fp64 on both sides
+    (Spark ``aggregate`` ≡ DuckDB ``list_sum``, same trick the cosine oracles
+    use) and (b) rounding each updated centroid coordinate to 6 decimals on
+    BOTH sides, which absorbs the engines' differing partial-agg summation
+    orders (~1e-13 relative drift) before it can perturb the next assignment.
 
     Scale: each iteration = one broadcast of k centroids (k*dim doubles, KB)
     + one map-side argmin + one groupBy(cluster) avg — no corpus shuffle at
     all until the final small agg. The driver holds only k centroids.
     """
     v = load(spark, sf_dir, "embeddings").select("vec_id", _vec("embedding").alias("e"))
-    k = 8
     centroids = [
-        (r["vec_id"], r["e"]) for r in v.filter(F.col("vec_id") < k).collect()
+        (r["vec_id"], r["e"]) for r in v.filter(F.col("vec_id") < _IVF_K).collect()
     ]  # k rows only — driver state is O(k*dim), not O(n)
 
     def assign(df: DataFrame, cents: list) -> DataFrame:
@@ -194,17 +259,20 @@ def sim_ivf_kmeans_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         arr = F.array(*[F.col(f"d{ci}") for ci in range(len(cents))])
         return with_d.withColumn("cluster", F.array_position(arr, F.array_min(arr)) - 1)
 
-    assigned = None
-    for _ in range(3):
+    for _ in range(2):  # 2 centroid updates; the 3rd iteration only re-assigns
         assigned = assign(v, centroids)
         new_cents = (
             assigned.groupBy("cluster")
-            .agg(*[F.avg(F.element_at(F.col("e"), i + 1)).alias(f"c{i}") for i in range(64)])
+            # round(…, 6) pins the coordinate to the same decimal DuckDB's
+            # round(avg(…), 6) lands on, absorbing partial-agg order drift
+            .agg(*[F.round(F.avg(F.element_at(F.col("e"), i + 1)), 6).alias(f"c{i}") for i in range(_IVF_DIM)])
             .collect()
         )
         centroids = [
-            (int(r["cluster"]), [r[f"c{i}"] for i in range(64)]) for r in sorted(new_cents, key=lambda r: r["cluster"])
+            (int(r["cluster"]), [r[f"c{i}"] for i in range(_IVF_DIM)])
+            for r in sorted(new_cents, key=lambda r: r["cluster"])
         ]
+    assigned = assign(v, centroids)
 
     arr = F.array(*[F.col(f"d{ci}") for ci in range(len(centroids))])
     return (
