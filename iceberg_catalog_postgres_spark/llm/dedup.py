@@ -341,16 +341,20 @@ def dedup_ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_simhash", oracle=None, tags=("llm", "dedup", "simhash"))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 32-bit signature from token xxhash64 bit-votes;
+    """PRODUCTION SimHash variant (library function, deliberately NOT a
+    registered query): 32-bit signature from token xxhash64 bit-votes;
     candidate pairs share at least one 16-bit half (pigeonhole: hamming
     distance <= 1 guarantees a shared half). Output: pairs with hamming
     distance <= 3 among half-collision candidates.
 
-    Rows-only check: xxhash64 is Spark-internal (no DuckDB equivalent), which
-    is exactly why it's the fast path in production — single JVM hash per
-    token vs md5's 4.
+    xxhash64 is Spark-internal (no DuckDB equivalent), so this variant can't
+    be value-checked against an oracle — which is exactly why it's the fast
+    path in production (single JVM hash per token vs md5's 4). The SimHash
+    *algorithm* is oracle-certified through ``dedup_simhash_md5``, which runs
+    the identical ``_simhash_pairs`` pipeline with the hash swapped; this
+    wrapper is certified by proxy (tests/test_dedup.py pins both variants to
+    the same pipeline shape).
 
     Scale: signature build is explode + groupBy(doc) with 32 conditional-sum
     partial aggs; candidates via equi-join on half-signature buckets — same
@@ -386,19 +390,56 @@ def _simhash_pairs(d: DataFrame, hash_expr) -> DataFrame:
         (F.col("sig").bitwiseAND(F.lit(0xFFFF))).alias("lo"),
         F.shiftright(F.col("sig"), 16).bitwiseAND(F.lit(0xFFFF)).alias("hi"),
     )
-    lo_pairs = (
-        halves.alias("a")
-        .join(halves.alias("b"), (F.col("a.lo") == F.col("b.lo")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
-                F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
+    # Candidate stage with ZERO self-joins: explode each doc into
+    # (half_idx, key) bucket rows — the MinHash band-bucket pattern — then
+    # collect each bucket's (doc_id, sig) members and pair-expand in place
+    # with a higher-order expression, exactly like bucket_candidate_pairs.
+    # The r2 union-of-two-self-joins form evaluated the whole signature
+    # pipeline once per join side per half (4 document scans, 18 exchanges
+    # in PLANS.md); this shape scans documents ONCE. Buckets above
+    # MAX_BUCKET are dropped for the same quadratic-task-bound reason as
+    # MinHash banding (their members are boilerplate reachable through the
+    # other half / an exact-hash pass).
+    keys = halves.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("half_idx"), F.col("lo").alias("key")),
+                F.struct(F.lit(1).alias("half_idx"), F.col("hi").alias("key")),
+            )
+        ).alias("hk"),
+    ).select("doc_id", "sig", F.col("hk.half_idx").alias("half_idx"), F.col("hk.key").alias("key"))
+    buckets = (
+        keys.groupBy("half_idx", "key")
+        .agg(F.sort_array(F.collect_set(F.struct("doc_id", "sig"))).alias("members"))
+        .filter((F.size("members") > 1) & (F.size("members") <= MAX_BUCKET))
     )
-    hi_pairs = (
-        halves.alias("a")
-        .join(halves.alias("b"), (F.col("a.hi") == F.col("b.hi")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
-                F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
+    n = F.size(F.col("members"))
+    pair_expr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, n),
+                lambda j: F.struct(
+                    F.element_at(F.col("members"), i)["doc_id"].alias("doc_a"),
+                    F.element_at(F.col("members"), j)["doc_id"].alias("doc_b"),
+                    F.element_at(F.col("members"), i)["sig"].alias("sig_a"),
+                    F.element_at(F.col("members"), j)["sig"].alias("sig_b"),
+                ),
+            ),
+        )
     )
-    cand = lo_pairs.unionByName(hi_pairs).distinct()
+    cand = (
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select(
+            F.col("p.doc_a").alias("doc_a"),
+            F.col("p.doc_b").alias("doc_b"),
+            F.col("p.sig_a").alias("sig_a"),
+            F.col("p.sig_b").alias("sig_b"),
+        )
+        .distinct()
+    )
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (
         cand.withColumn("hamming", hamming.cast("int"))
