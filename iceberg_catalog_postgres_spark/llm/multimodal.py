@@ -1,11 +1,12 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata,
 decode / feature-extract as Arrow-batched Pandas UDFs over mapInPandas.
 
-The image/audio decode libraries are not in this container, so the decode
-step is STUBBED behind an import-try (deterministic fake features when PIL is
-absent, NotImplementedError raised only inside the real-decode branch); the
-Spark-side plumbing — binary schema, metadata struct, batch iteration shape,
-partitioning — is real and tested.
+The image/audio codec libraries are not in this container, so the "decode"
+step computes deterministic byte-level features (length, magic-byte format
+sniffing, byte histogram buckets) that a DuckDB oracle recomputes from the
+same bytes — a real pipeline swaps the feature block for the codec call; the
+Spark-side plumbing — binary schema, metadata struct, Arrow batch iteration
+shape, partitioning — is identical either way and is what's under test.
 """
 
 from __future__ import annotations
@@ -52,40 +53,88 @@ def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _decode_batch(batch: pd.DataFrame) -> pd.DataFrame:
-    """Decode stub: real branch needs PIL (absent here); fake branch derives
-    deterministic "features" from payload bytes so tests are stable."""
-    try:  # pragma: no cover - PIL not installed in this container
-        import PIL.Image  # noqa: F401
+# Magic-byte prefixes for container-format sniffing. The fixture payloads are
+# utf-8 text so every row lands on the 'raw-text' fallback — the detection
+# branches are certified separately with synthetic payloads in
+# tests/test_multimodal.py (codec libs aren't in this container; a real
+# pipeline would dispatch each fmt to its decoder after this step).
+_MAGIC = (
+    (b"\xff\xd8\xff", "jpeg"),
+    (b"\x89PNG\r\n\x1a\n", "png"),
+    (b"GIF8", "gif"),
+    (b"RIFF", "riff"),
+    (b"%PDF", "pdf"),
+)
 
-        raise NotImplementedError(
-            "real image decode requires fixture image bytes; wire PIL.Image.open here"
-        )
-    except ImportError:
-        pass
+
+def _sniff_format(b: bytes) -> str:
+    for magic, name in _MAGIC:
+        if b.startswith(magic):
+            return name
+    return "raw-text"
+
+
+def _decode_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic pure-Arrow byte features over the binary payload:
+    length, magic-byte format, first/last byte, mean byte, space and
+    lowercase-alpha histogram buckets — all recomputable by the DuckDB
+    oracle from the same bytes (fixture text is pure ASCII, so byte values
+    equal code points)."""
+    import numpy as np
+
     payloads = batch["payload"]
+    arrs = [np.frombuffer(b, dtype=np.uint8) for b in payloads]
     return pd.DataFrame(
         {
             "doc_id": batch["doc_id"],
-            "n_bytes": payloads.map(len).astype("int64"),
-            # fake 'width/height': stable functions of content
-            "width": payloads.map(lambda b: 1 + (b[0] if len(b) else 0) % 64).astype("int32"),
-            "height": payloads.map(lambda b: 1 + (b[-1] if len(b) else 0) % 64).astype("int32"),
-            "mean_byte": payloads.map(lambda b: float(sum(b)) / max(len(b), 1)),
+            "n_bytes": pd.Series([a.size for a in arrs], dtype="int64"),
+            "fmt": pd.Series([_sniff_format(bytes(b[:8])) for b in payloads], dtype="object"),
+            "first_byte": pd.Series([int(a[0]) if a.size else -1 for a in arrs], dtype="int32"),
+            "last_byte": pd.Series([int(a[-1]) if a.size else -1 for a in arrs], dtype="int32"),
+            "mean_byte": pd.Series(
+                [round(float(a.sum(dtype="int64")) / a.size, 6) if a.size else 0.0 for a in arrs],
+                dtype="float64",
+            ),
+            "n_spaces": pd.Series([int((a == 32).sum()) for a in arrs], dtype="int64"),
+            "n_alpha": pd.Series([int(((a >= 97) & (a <= 122)).sum()) for a in arrs], dtype="int64"),
         }
     )
 
 
-@register("mm_decode_features", oracle=None, tags=("llm", "multimodal", "udf"))
+@register(
+    "mm_decode_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           'raw-text' AS fmt,
+           CAST(unicode(substr(text, 1, 1)) AS INT) AS first_byte,
+           CAST(unicode(substr(text, length(text), 1)) AS INT) AS last_byte,
+           round(list_sum(list_transform(range(1, length(text) + 1),
+                                         i -> unicode(substr(text, i, 1)))) * 1.0
+                 / length(text), 6) AS mean_byte,
+           CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces,
+           CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha
+    FROM documents ORDER BY doc_id
+    """,
+    tags=("llm", "multimodal", "udf"),
+)
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas decode/feature-extract over binary payloads: Arrow-batched
     (one pandas DataFrame per partition chunk), the canonical shape for
     CPU-bound media decode.
 
+    Oracle-backed (round-3 upgrade from rows-only): the features are
+    deterministic byte-level statistics (length, magic-byte format,
+    first/last/mean byte, space/alpha histogram buckets) that DuckDB
+    recomputes from the same payload bytes — the fixture text is pure ASCII,
+    so per-byte values equal per-char code points. Real image/audio decode
+    would replace `_decode_batch`'s feature block with the codec call; the
+    Spark-side plumbing (binary column, Arrow batching, schema, partition
+    parallelism) is exactly what that production path uses.
+
     Scale: decode parallelism == partition count; payloads never gather to
     the driver. ``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds batch
-    memory for fat rows (real images). Rows-only check: feature values are
-    stub-derived, but schema/shape/determinism are contract-tested.
+    memory for fat rows (real images).
     """
     d = load(spark, sf_dir, "documents")
     src = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload")).repartition(8)
@@ -95,7 +144,9 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield _decode_batch(batch)
 
     out = src.mapInPandas(
-        gen, "doc_id long, n_bytes long, width int, height int, mean_byte double"
+        gen,
+        "doc_id long, n_bytes long, fmt string, first_byte int, last_byte int, "
+        "mean_byte double, n_spaces long, n_alpha long",
     )
     return out.orderBy("doc_id")
 
