@@ -820,3 +820,49 @@ def test_sql_delete_and_update_dml(catalog, spark):
     )
     rows = {r["k"]: r["v"] for r in t.to_df(spark).collect()}
     assert rows == {0: 0.0, 1: 10.0, **{i: float(i) for i in range(2, 8)}}
+
+
+def test_remove_orphan_files_planted_and_time_travel_safe(catalog, spark):
+    """remove_orphan_files must delete planted strays, respect the age gate,
+    and NEVER touch a file referenced only by an older (retained) snapshot —
+    time travel must keep working after GC."""
+    import os
+    import posixpath
+
+    from iceberg_catalog_postgres_spark.catalog.catalog import TableIdentifier
+    from iceberg_catalog_postgres_spark.catalog.maintenance import remove_orphan_files
+
+    ident = TableIdentifier.parse("gc.t")
+    df1 = spark.createDataFrame([("a", "1"), ("b", "2")], ["one", "two"])
+    df2 = spark.createDataFrame([("c", "3")], ["one", "two"])
+    t = catalog.create_table(ident, df1.schema)
+    t = t.new_transaction().append_dataframe(df1).commit()
+    t = catalog.load_table(ident)
+    # overwrite: snapshot 2 references NEW files; snapshot 1's files become
+    # history-only but stay live (time travel)
+    t = t.new_transaction().overwrite_dataframe(df2).commit()
+    t = catalog.load_table(ident)
+
+    snap1 = t.metadata.snapshots[0]
+    old_files = [catalog.object_store().resolve(f) for f in snap1.data_files]
+    assert old_files and all(os.path.exists(p) for p in old_files)
+
+    store = catalog.object_store()
+    data_dir = store.resolve(posixpath.join(t.metadata.location, "data"))
+    stray = os.path.join(data_dir, "stray.parquet")
+    with open(stray, "wb") as f:
+        f.write(b"junk")
+
+    gated = remove_orphan_files(t, older_than_s=3600.0)
+    assert gated["n_orphans_deleted"] == 0
+    assert os.path.exists(stray)
+
+    res = remove_orphan_files(t, older_than_s=0.0)
+    assert res["n_orphans_deleted"] >= 1
+    assert not os.path.exists(stray)
+    # history-only files survive: time travel to snapshot 1 still reads
+    assert all(os.path.exists(p) for p in old_files)
+    tt = t.to_df(spark, snapshot_id=snap1.snapshot_id)
+    assert sorted(r["one"] for r in tt.collect()) == ["a", "b"]
+    # current read unaffected
+    assert sorted(r["one"] for r in t.to_df(spark).collect()) == ["c"]
