@@ -1,7 +1,7 @@
 """Postgres dialect certification without a server.
 
-The sandbox has no Postgres (the catalog runs on SQLite), so the
-PostgresBackend code path never executes. This test pins EVERY SQL statement
+Complement to tests/test_postgres_live.py (which runs a real PostgreSQL 15
+instance): this file pins EVERY SQL statement
 the catalog can emit, rendered in the Postgres paramstyle, as golden strings
 — asserting they are the statements a live Postgres would receive and that
 they stay dialect-clean (no '?' placeholders, no SQLite-isms), matching the
@@ -137,3 +137,20 @@ def _metadata_json() -> str:
     return TableMetadata.new(
         "data.db/ns/t1", StructType([StructField("k", LongType(), True)])
     ).to_json()
+
+
+def test_wire_paramstyle_numbered_rendering():
+    """The driverless wire client binds parameters by position, so '?'
+    templates must render to numbered $1..$n exactly once each, in order;
+    psycopg2 keeps the positional %s rendering."""
+    from iceberg_catalog_postgres_spark.catalog.backend import PostgresBackend
+
+    b = PostgresBackend.__new__(PostgresBackend)  # no server needed
+    b.paramstyle = "$n"
+    assert (
+        b.sql("SELECT x FROM t WHERE a = ? AND b = ? AND c = ?")
+        == "SELECT x FROM t WHERE a = $1 AND b = $2 AND c = $3"
+    )
+    assert b.sql("no placeholders") == "no placeholders"
+    b.paramstyle = "%s"
+    assert b.sql("a = ? AND b = ?") == "a = %s AND b = %s"
