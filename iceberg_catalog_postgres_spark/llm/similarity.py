@@ -284,3 +284,63 @@ def sim_ivf_kmeans_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+@register(
+    "embed_diversity_label",
+    oracle="""
+    WITH v AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    u AS (
+      SELECT label,
+             list_transform(e, x -> x / sqrt(list_sum(list_transform(e, y -> y * y)))) AS ue
+      FROM v
+    ),
+    ex AS (
+      SELECT label, t.dim, ue[t.dim] AS val
+      FROM u CROSS JOIN range(1, 65) t(dim)
+    ),
+    s AS (SELECT label, dim, sum(val) AS sv FROM ex GROUP BY label, dim),
+    agg AS (SELECT label, sum(sv * sv) AS sumsq FROM s GROUP BY label),
+    n AS (SELECT label, count(*) AS n_vectors FROM v GROUP BY label)
+    SELECT label, n_vectors,
+           round((sumsq - n_vectors) / (n_vectors * (n_vectors - 1.0)), 6) AS mean_pairwise_cosine
+    FROM agg JOIN n USING (label) ORDER BY label
+    """,
+    tags=("llm", "similarity", "diversity"),
+)
+def embed_diversity_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus diversity metric: mean pairwise cosine similarity within each
+    label block, in O(n·dim) instead of O(n²·dim).
+
+    The identity: for unit vectors u_i, sum over all ordered pairs i≠j of
+    cos(u_i,u_j) equals ||Σu_i||² − n, so the mean pairwise cosine is
+    (||Σu||² − n) / (n(n−1)). High values flag near-duplicate-dense or
+    mode-collapsed slices of a training corpus without enumerating pairs.
+
+    Scale: THE reason this operator exists — the naive pairwise form is a
+    within-label self-join (O(n²) rows); this form is one posexplode + two
+    keyed aggregations (shuffle on (label, dim) then label), linear in the
+    corpus and embarrassingly partial-aggregable. fp determinism vs the
+    oracle: per-row normalization folds identically on both engines; the
+    cross-row sums commute up to ~1e-13, absorbed by round(…, 6).
+    """
+    v = load(spark, sf_dir, "embeddings").select("label", _vec("embedding").alias("e"))
+    norm_sq = F.aggregate(F.transform(F.col("e"), lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    u = v.select("label", F.transform(F.col("e"), lambda x: x / F.sqrt(norm_sq)).alias("ue"))
+    ex = u.select("label", F.posexplode("ue").alias("dim", "val"))
+    s = ex.groupBy("label", "dim").agg(F.sum("val").alias("sv"))
+    agg = s.groupBy("label").agg(F.sum(F.col("sv") * F.col("sv")).alias("sumsq"))
+    n = v.groupBy("label").agg(F.count(F.lit(1)).alias("n_vectors"))
+    return (
+        agg.join(n, "label")
+        .select(
+            "label",
+            "n_vectors",
+            F.round(
+                (F.col("sumsq") - F.col("n_vectors"))
+                / (F.col("n_vectors") * (F.col("n_vectors") - F.lit(1.0))),
+                6,
+            ).alias("mean_pairwise_cosine"),
+        )
+        .orderBy("label")
+    )

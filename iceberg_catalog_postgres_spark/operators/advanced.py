@@ -359,3 +359,62 @@ def ids_monotonic_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("rid").alias("n_distinct_ids"),
     )
+
+
+@register(
+    "recursive_cte_month_series",
+    oracle="""
+    WITH RECURSIVE bounds AS (
+      SELECT date_trunc('month', min(o_orderdate)) AS lo,
+             date_trunc('month', max(o_orderdate)) AS hi
+      FROM orders
+    ),
+    months(m) AS (
+      SELECT lo FROM bounds
+      UNION ALL
+      SELECT m + INTERVAL 1 MONTH FROM months WHERE m < (SELECT hi FROM bounds)
+    )
+    SELECT strftime(m, '%Y-%m') AS month_start,
+           count(o.o_orderkey) AS n_orders,
+           round(coalesce(sum(o.o_totalprice), 0), 4) AS revenue
+    FROM months LEFT JOIN orders o ON date_trunc('month', o.o_orderdate) = m
+    GROUP BY m ORDER BY month_start
+    """,
+    tags=("advanced", "recursive", "spark4"),
+)
+def recursive_cte_month_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4.1 `WITH RECURSIVE`) calendar gap-fill: generate
+    every month between the first and last order date, then left-join order
+    counts/revenue so empty months surface as zero rows — the standard
+    time-series densification an analytics engine needs.
+
+    Spark's recursive CTEs support UNION ALL only (no UNION-distinct), so
+    this uses a strictly monotone recursion (month + 1) that terminates by
+    construction; cyclic closures stay on the iterative DataFrame path
+    (`llm/clusters.py::connected_components`).
+
+    Scale: the recursion materializes one row per month (tiny); the
+    left join broadcasts the month spine against the fact table, so the
+    fact scan stays single-pass with its aggregation pushed partial.
+    """
+    import uuid as _uuid
+
+    view = f"orders_rec_{_uuid.uuid4().hex[:8]}"
+    load(spark, sf_dir, "orders").createOrReplaceTempView(view)
+    return spark.sql(f"""
+        WITH RECURSIVE bounds AS (
+          SELECT date_trunc('month', min(o_orderdate)) AS lo,
+                 date_trunc('month', max(o_orderdate)) AS hi
+          FROM {view}
+        ),
+        months (m) AS (
+          SELECT lo FROM bounds
+          UNION ALL
+          SELECT m + INTERVAL '1' MONTH FROM months WHERE m < (SELECT hi FROM bounds)
+        )
+        SELECT date_format(m, 'yyyy-MM') AS month_start,
+               count(o.o_orderkey) AS n_orders,
+               round(coalesce(sum(o.o_totalprice), 0), 4) AS revenue
+        FROM months LEFT JOIN {view} o ON date_trunc('month', o.o_orderdate) = m
+        GROUP BY m ORDER BY month_start
+    """)

@@ -206,6 +206,8 @@ PRIORITY: tuple[str, ...] = (
     "catalog_snapshot_history",
     "catalog_expire_snapshots",
     "catalog_remove_orphans",
+    "recursive_cte_month_series",
+    "embed_diversity_label",
     "split_train_val_test",
     "source_orc_roundtrip",
     "pack_token_budget",

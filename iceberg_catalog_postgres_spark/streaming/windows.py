@@ -346,3 +346,111 @@ def stream_stateful_user_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return run(spark, sf_dir)
+
+
+def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful processing on the Spark 4 `transformWithState`
+    API (StatefulProcessor + typed state handles) — the successor to
+    `applyInPandasWithState` (kept as `stream_stateful_user_counter` for the
+    legacy surface): per-user running (count, total, max) over the event
+    stream, recovered from the update-mode sink by the same monotone-counter
+    struct-max rule.
+
+    LIBRARY FUNCTION, not a registered query: transformWithState's Python
+    state server speaks protobuf, and this container's google.protobuf is
+    broken (ImportError at runtime), so the API cannot execute here. The
+    equivalence to the batch aggregation is pinned by a live test
+    (tests/test_streaming.py::test_transform_with_state_matches_batch) that
+    runs wherever protobuf works and skips cleanly here; the certified
+    stateful surface in THIS environment is `stream_stateful_user_counter`.
+
+    Expected output contract (count exact; sums/max rounded at 4dp):
+    ``SELECT user_id, count(*), round(sum(value),4), round(max(value),4)
+    FROM events GROUP BY user_id``.
+
+    Scale: state lives per key in the state store (RocksDB-backed on a real
+    cluster), Arrow batches per partition; ValueState reads/writes are
+    O(keys touched per batch), and the API adds timers/TTL + list/map state
+    the old API lacked — the escape hatch for custom eviction and
+    session-model logic.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+            StructField("max_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("total", DoubleType()),
+            StructField("mx", DoubleType()),
+        ]
+    )
+
+    class RunningCounter(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("counter", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            prev = self._state.get() if self._state.exists() else None
+            n, total, mx = prev if prev is not None else (0, 0.0, float("-inf"))
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                mx = max(mx, float(pdf["value"].max()))
+            self._state.update((n, total, mx))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 4)],
+                    "max_value": [round(mx, 4)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    def build(s: DataFrame) -> DataFrame:
+        return s.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=RunningCounter(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+
+    out = build(_read_event_stream(spark, sf_dir))
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # n_events is a monotone per-key counter, so struct-max selects each
+    # user's LAST emission and takes the totals from that same row (an
+    # independent max(total_value) would break on negative event values).
+    sink = spark.table(name)
+    latest = F.max(F.struct("n_events", "total_value", "max_value")).alias("s")
+    return (
+        sink.groupBy("user_id")
+        .agg(latest)
+        .select(
+            "user_id",
+            F.col("s.n_events").alias("n_events"),
+            F.col("s.total_value").alias("total_value"),
+            F.col("s.max_value").alias("max_value"),
+        )
+    )

@@ -45,3 +45,38 @@ def test_stream_stream_join_matches_batch(spark, sf_oracle):
     batch = REGISTRY["join_event_pairs_interval_batch"].fn(spark, sf_oracle)
     cols = ["user_id", "n_pairs"]
     assert _rows(stream.select(*cols), cols) == _rows(batch.select(*cols), cols)
+
+
+def test_transform_with_state_matches_batch(spark, sf_smoke):
+    """Spark 4 transformWithState running counter == batch aggregation.
+    The API's Python state server needs protobuf; skip where it's broken
+    (this container) — the legacy applyInPandasWithState surface stays
+    certified either way."""
+    import pytest as _pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        _pytest.skip("google.protobuf broken: transformWithState state server cannot start")
+
+    from pyspark.sql import functions as F
+
+    from iceberg_catalog_postgres_spark.registry import load
+    from iceberg_catalog_postgres_spark.streaming.windows import stream_transform_with_state
+
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"], r["max_value"])
+        for r in stream_transform_with_state(spark, sf_smoke).collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], r["t"], r["m"])
+        for r in load(spark, sf_smoke, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("t"),
+            F.round(F.max("value"), 4).alias("m"),
+        )
+        .collect()
+    }
+    assert got == want
