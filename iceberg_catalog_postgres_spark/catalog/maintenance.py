@@ -874,3 +874,51 @@ def catalog_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_f, old_kept, new_pruned)],
         "n_f_rows long, old_files_kept_superset_safe boolean, new_files_pruned boolean",
     )
+
+
+@register(
+    "catalog_manifest_rewrite",
+    oracle="""
+    SELECT CAST(5 AS BIGINT) AS n_commits,
+           true AS spilled_to_manifests,
+           true AS manifests_consolidated,
+           CAST(5 * (SELECT count(*) FROM orders) AS BIGINT) AS n_rows_after
+    """,
+    tags=("catalog", "maintenance", "manifests"),
+)
+def catalog_manifest_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest compaction as a registered contract row: five wide appends
+    (30 files each) cross MANIFEST_THRESHOLD=100 at commit 4 (full spill to
+    one chunk) and extend additively at commit 5 (parent chunks + one delta
+    chunk — the O(delta) commit path); rewrite_manifests then consolidates
+    the chunk chain into a single chunk through the CAS, leaving data
+    files, history, and row counts untouched.
+
+    Scale: THE metadata-scaling primitive — a table taking streaming
+    commits accumulates O(commits) manifest chunks, so scan planning reads
+    O(commits) objects; consolidation restores O(1) planning reads without
+    moving a byte of data.
+    """
+    from iceberg_catalog_postgres_spark.catalog.maintenance import rewrite_manifests
+
+    cat = _fresh_catalog("catalog_manifest_rw")
+    src = load(spark, sf_dir, "orders")
+    ident = TableIdentifier.parse("mx.orders_manifests")
+    t = cat.create_table(ident, src.schema)
+    n_commits = 5
+    for _ in range(n_commits):
+        t = cat.load_table(ident)
+        t.new_transaction().append_dataframe(src.repartition(30)).commit()
+    t = cat.load_table(ident)
+    before = t.metadata.current_snapshot().manifests
+    spilled = before is not None and len(before) >= 2
+    t = rewrite_manifests(t, max_chunks=1)
+    t = cat.load_table(ident)
+    after = t.metadata.current_snapshot().manifests
+    consolidated = after is not None and len(after) == 1
+    n_rows = t.to_df(spark).count()
+    return spark.createDataFrame(
+        [(n_commits, spilled, consolidated, n_rows)],
+        "n_commits long, spilled_to_manifests boolean, "
+        "manifests_consolidated boolean, n_rows_after long",
+    )

@@ -381,3 +381,58 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(-F.log2(p)), 6).alias("avg_surprisal"),
         )
     )
+
+
+@register(
+    "sample_cap_per_stratum",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    ),
+    kept AS (SELECT source, doc_id FROM ranked WHERE rn <= 30),
+    t AS (SELECT source, count(*) AS n_total FROM documents GROUP BY source)
+    SELECT t.source,
+           CAST(t.n_total AS BIGINT) AS n_total,
+           CAST(count(kept.doc_id) AS BIGINT) AS n_kept,
+           CAST(coalesce(sum(kept.doc_id), 0) AS BIGINT) AS kept_id_sum
+    FROM t LEFT JOIN kept ON t.source = kept.source
+    GROUP BY t.source, t.n_total
+    """,
+    tags=("llm", "curation", "sampling"),
+)
+def sample_cap_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum cap sampling: keep at most K=30 documents per source,
+    chosen by a deterministic md5 shuffle — the "cap documents per domain"
+    step that stops a handful of giant domains from dominating a training
+    mixture. kept_id_sum certifies WHICH docs were kept, not just how many.
+
+    Scale: one shuffle on the stratum key; rank-limit (row_number <= K)
+    prunes within each partition, so no stratum ever materializes more than
+    its own rows and the output is reproducible across reruns/engines (md5
+    order is engine-independent, unlike RNG sampling).
+    """
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    kept = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 30)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").alias("kept_id_sum"),
+        )
+    )
+    totals = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    return totals.join(kept, "source", "left").select(
+        "source",
+        "n_total",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce("kept_id_sum", F.lit(0)).cast("long").alias("kept_id_sum"),
+    )

@@ -208,6 +208,8 @@ PRIORITY: tuple[str, ...] = (
     "catalog_remove_orphans",
     "recursive_cte_month_series",
     "embed_diversity_label",
+    "sample_cap_per_stratum",
+    "catalog_manifest_rewrite",
     "split_train_val_test",
     "source_orc_roundtrip",
     "pack_token_budget",
