@@ -522,7 +522,7 @@ def expire_snapshots(table: Table, keep_last: int = 2) -> Table:
     return committed
 
 
-def remove_orphan_files(table: Table, older_than_s: float = 0.0) -> dict:
+def remove_orphan_files(table: Table, older_than_s: float = 3 * 86400.0) -> dict:
     """Orphan-file GC: physically delete files under the table location that
     NO snapshot in the current metadata references — the other half of the
     reference's acknowledged TODO (mod.rs:164: drop/delete never removes
@@ -538,8 +538,11 @@ def remove_orphan_files(table: Table, older_than_s: float = 0.0) -> dict:
     - a file referenced by ANY snapshot (not just the current one) is live:
       time travel to retained history must keep working;
     - ``older_than_s`` age-gates deletion (mtime), so in-flight writers that
-      staged a file but have not yet committed are not clobbered — at scale
-      this is typically 3 days.
+      staged a file but have not yet committed are not clobbered. The
+      default is Iceberg's removeOrphanFiles default of 3 days; pass 0.0
+      explicitly (tests do) to opt out. Note the gate keys on mtime, which
+      an object-store copy can reset — treat the age as advisory and keep
+      it comfortably above the longest plausible write-stage duration.
 
     Scale: the live set is metadata-only (union of file lists over
     snapshots, O(total files) strings on the driver — the same order as one

@@ -8,20 +8,25 @@ just enough of the public, documented frontend/backend protocol
 (https://www.postgresql.org/docs/current/protocol.html) to run the catalog's
 five statements with real server-side parameters:
 
-- startup + trust / cleartext / md5 authentication
+- startup + trust / cleartext / md5 / SCRAM-SHA-256 authentication
+  (SCRAM is PostgreSQL's default since v14; implemented per RFC 5802 with
+  hashlib.pbkdf2_hmac + hmac — channel binding not offered, matching a
+  non-SSL libpq connection)
 - the extended-query flow (Parse -> Bind -> Describe -> Execute -> Sync) so
   every statement is PARAMETERIZED at the protocol level ($1..$n), fixing
   the reference's injection-prone string concatenation (mod.rs:60-80)
 - text-format results (the catalog's columns are all VARCHAR)
 - CommandComplete tag parsing for the CAS protocol's affected-rowcount check
 
-Not implemented (not needed by the catalog): SCRAM auth, binary formats,
-COPY, notifications, SSL negotiation, pipelining.
+Not implemented (not needed by the catalog): binary formats, COPY,
+notifications, SSL negotiation, pipelining.
 """
 
 from __future__ import annotations
 
+import base64
 import hashlib
+import hmac
 import os
 import socket
 import struct
@@ -70,6 +75,44 @@ def _decode(raw: bytes, oid: int):
     if oid in _OID_FLOATS:
         return float(text)
     return text
+
+
+class _ScramClient:
+    """SCRAM-SHA-256 client state machine (RFC 5802 / RFC 7677), the subset
+    PostgreSQL's AuthenticationSASL flow exercises. Channel binding is not
+    offered (gs2 header ``n,,``) — the same posture as libpq on a non-SSL
+    connection. Pure hashlib/hmac; no dependencies."""
+
+    def __init__(self, password: str, nonce: str | None = None):
+        self._password = password.encode()
+        self._nonce = nonce or base64.b64encode(os.urandom(18)).decode()
+        self._client_first_bare = f"n={''},r={self._nonce}".encode()
+        self._auth_message: bytes | None = None
+        self._salted: bytes | None = None
+
+    def client_first(self) -> bytes:
+        return b"n,," + self._client_first_bare
+
+    def client_final(self, server_first: bytes) -> bytes:
+        attrs = dict(kv.split(b"=", 1) for kv in server_first.split(b","))
+        combined_nonce, salt, iters = attrs[b"r"], base64.b64decode(attrs[b"s"]), int(attrs[b"i"])
+        if not combined_nonce.startswith(self._nonce.encode()):
+            raise PgError({"S": "FATAL", "M": "SCRAM server nonce does not extend client nonce"})
+        self._salted = hashlib.pbkdf2_hmac("sha256", self._password, salt, iters)
+        client_key = hmac.new(self._salted, b"Client Key", hashlib.sha256).digest()
+        stored_key = hashlib.sha256(client_key).digest()
+        without_proof = b"c=" + base64.b64encode(b"n,,") + b",r=" + combined_nonce
+        self._auth_message = b",".join((self._client_first_bare, server_first, without_proof))
+        signature = hmac.new(stored_key, self._auth_message, hashlib.sha256).digest()
+        proof = bytes(a ^ b for a, b in zip(client_key, signature))
+        return without_proof + b",p=" + base64.b64encode(proof)
+
+    def verify_server_final(self, server_final: bytes) -> None:
+        attrs = dict(kv.split(b"=", 1) for kv in server_final.split(b","))
+        server_key = hmac.new(self._salted, b"Server Key", hashlib.sha256).digest()
+        expected = hmac.new(server_key, self._auth_message, hashlib.sha256).digest()
+        if base64.b64decode(attrs.get(b"v", b"")) != expected:
+            raise PgError({"S": "FATAL", "M": "SCRAM server signature verification failed"})
 
 
 class PgWireConnection:
@@ -131,6 +174,23 @@ class PgWireConnection:
                     inner = hashlib.md5((cfg["password"] + cfg["user"]).encode()).hexdigest()
                     outer = hashlib.md5(inner.encode() + salt).hexdigest()
                     self._send(b"p", self._cstr(b"md5" + outer.encode()))
+                elif code == 10:  # AuthenticationSASL: mechanism list follows
+                    mechs = [m.decode() for m in body[4:].split(b"\x00") if m]
+                    if "SCRAM-SHA-256" not in mechs:
+                        raise PgError(
+                            {"S": "FATAL", "M": f"no supported SASL mechanism in {mechs} "
+                             "(only SCRAM-SHA-256 without channel binding is implemented)"}
+                        )
+                    self._scram = _ScramClient(cfg["password"])
+                    first = self._scram.client_first()
+                    self._send(
+                        b"p",
+                        self._cstr(b"SCRAM-SHA-256") + struct.pack("!I", len(first)) + first,
+                    )
+                elif code == 11:  # AuthenticationSASLContinue: server-first-message
+                    self._send(b"p", self._scram.client_final(body[4:]))
+                elif code == 12:  # AuthenticationSASLFinal: verify server signature
+                    self._scram.verify_server_final(body[4:])
                 else:
                     raise PgError({"S": "FATAL", "M": f"unsupported auth method {code}"})
             elif t == b"E":
@@ -153,15 +213,29 @@ class PgWireConnection:
         """Parameterized statement via the extended-query protocol; returns
         (rows, affected_rowcount) like the DB-API facade expects. Parameters
         travel as protocol-level Bind values — never spliced into SQL."""
+        # Validate/serialize parameters BEFORE the first byte goes out, so a
+        # rejected call leaves no half-sent extended-query state behind.
+        wire_params: list[bytes] = []
+        for p in params:
+            if p is None:
+                wire_params.append(struct.pack("!i", -1))
+            elif isinstance(p, (str, int, float, bool)):
+                # text-format Bind: Postgres parses the literal by the
+                # statement's inferred type; str/int/float/bool all render
+                # unambiguously. Anything else (bytes would serialize as
+                # "b'...'" and silently corrupt) is rejected loudly.
+                v = str(p).encode()
+                wire_params.append(struct.pack("!I", len(v)) + v)
+            else:
+                raise TypeError(
+                    f"unsupported parameter type {type(p).__name__!r}: the text-format "
+                    "wire client binds str/int/float/bool/None only (bytea would need "
+                    "binary-format Bind, which this client does not implement)"
+                )
         self._send(b"P", self._cstr(b"") + self._cstr(sql.encode()) + struct.pack("!H", 0))
         bind = [self._cstr(b""), self._cstr(b""), struct.pack("!HH", 1, 0)]
         bind.append(struct.pack("!H", len(params)))
-        for p in params:
-            if p is None:
-                bind.append(struct.pack("!i", -1))
-            else:
-                v = str(p).encode()
-                bind.append(struct.pack("!I", len(v)) + v)
+        bind.extend(wire_params)
         bind.append(struct.pack("!HH", 1, 0))  # all results in text format
         self._send(b"B", b"".join(bind))
         self._send(b"D", b"P" + self._cstr(b""))

@@ -452,7 +452,13 @@ def _simhash_pairs(d: DataFrame, hash_expr) -> DataFrame:
 def _simhash_md5_oracle() -> str:
     """DuckDB twin of the md5-bit SimHash: 32 bit-votes from md5 nibbles.
     Bit i (LSB-0) of the 32-bit value = bit (i % 4) of the hex nibble at
-    1-based char position 8 - i // 4 in the first 8 md5 hex chars."""
+    1-based char position 8 - i // 4 in the first 8 md5 hex chars.
+
+    The MAX_BUCKET cap is mirrored (lo_sizes/hi_sizes CTEs, as the minhash
+    oracle does) so the certified query and its oracle agree even on a
+    corpus where a 16-bit half-bucket exceeds the cap — without this, the
+    Spark side would drop the bucket's pairs and the oracle would keep
+    them."""
     votes = ",\n        ".join(
         f"sum(CASE WHEN ((strpos('0123456789abcdef', substr(md5(tok), {8 - i // 4}, 1)) - 1)"
         f" >> {i % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
@@ -472,12 +478,16 @@ def _simhash_md5_oracle() -> str:
     halves AS (
       SELECT doc_id, sig, sig & 65535 AS lo, (sig >> 16) & 65535 AS hi FROM sigs
     ),
+    lo_sizes AS (SELECT lo AS key, count(DISTINCT doc_id) AS n_docs FROM halves GROUP BY lo),
+    hi_sizes AS (SELECT hi AS key, count(DISTINCT doc_id) AS n_docs FROM halves GROUP BY hi),
     cand AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
       FROM halves a JOIN halves b ON a.lo = b.lo AND a.doc_id < b.doc_id
+      JOIN lo_sizes s ON s.key = a.lo AND s.n_docs <= {MAX_BUCKET}
       UNION
       SELECT a.doc_id, b.doc_id, a.sig, b.sig
       FROM halves a JOIN halves b ON a.hi = b.hi AND a.doc_id < b.doc_id
+      JOIN hi_sizes s ON s.key = a.hi AND s.n_docs <= {MAX_BUCKET}
     )
     SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
     FROM cand

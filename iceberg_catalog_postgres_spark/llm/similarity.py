@@ -242,9 +242,13 @@ def sim_ivf_kmeans_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     all until the final small agg. The driver holds only k centroids.
     """
     v = load(spark, sf_dir, "embeddings").select("vec_id", _vec("embedding").alias("e"))
-    centroids = [
+    # k rows only — driver state is O(k*dim), not O(n). Sorted by vec_id:
+    # collect() order is partition/row order, not guaranteed id-ascending,
+    # and cluster ids are positional in this list — an unsorted read order
+    # would silently permute cluster identity vs the oracle's c0 = vec_id.
+    centroids = sorted(
         (r["vec_id"], r["e"]) for r in v.filter(F.col("vec_id") < _IVF_K).collect()
-    ]  # k rows only — driver state is O(k*dim), not O(n)
+    )
 
     def assign(df: DataFrame, cents: list) -> DataFrame:
         dist_cols = [

@@ -328,33 +328,53 @@ def text_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-corpus pass a user of this engine actually
     runs: quality-rule filter -> exact dedup (md5 groupBy, keep lowest id)
-    -> per-language survivor counts with stage attrition. One DataFrame
-    chain, one job — filters and the hash projection fuse into the scan
-    stage, so the corpus is read ONCE; only (hash, id, lang) shuffles for
-    the dedup.
+    -> per-language survivor counts with stage attrition. The corpus is
+    scanned ONCE: instead of filtering (which would need separate eager
+    counts for the attrition columns, i.e. extra full scans), the quality
+    gate conditionally NULLs the dedup hash. One groupBy(h, lang) then
+    carries all three stage metrics — NULL-hash groups are the quality
+    rejects, non-NULL groups are the dedup survivors — and the per-lang /
+    global rollups aggregate that already-tiny grouped output, sharing its
+    shuffle via ReuseExchange rather than rereading documents.
 
     Scale: stage attrition is the operating metric of a 100 TB corpus
-    build (how many docs survived each gate); computing it inline via
-    count aggregates keeps it one pass instead of one job per stage.
+    build (how many docs survived each gate); at 100 TB the difference
+    between this shape and per-stage .count() calls is two extra full
+    corpus scans per run. Only (hash, lang) shuffles; text never moves.
     """
     d = load_parallel(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     n_words = F.size(toks)
     frac_distinct = F.size(F.array_distinct(toks)).cast("double") / n_words
-    quality = d.filter(n_words.between(10, 10000) & (frac_distinct >= 0.1))
+    passes = n_words.between(10, 10000) & (frac_distinct >= 0.1)
     # groupBy (hash, lang) rather than hash + min(lang): a string-typed agg
     # buffer forces SortAggregate; grouping on it keeps the dedup a pure
     # HashAggregate (per-language dedup semantics — duplicate texts never
     # cross languages in a sane corpus, and if they did you'd want both).
-    exact = (
-        quality.select("doc_id", "lang", F.md5("text").alias("h"))
+    groups = (
+        d.select("lang", F.when(passes, F.md5("text")).alias("h"))
         .groupBy("h", "lang")
-        .agg(F.min("doc_id").alias("keep_id"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
     )
-    n_in = d.count()
-    n_quality = quality.count()
-    return exact.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs_kept"),
-        F.lit(n_in).alias("n_docs_in"),
-        F.lit(n_quality).alias("n_after_quality"),
+    per_lang = groups.groupBy("lang").agg(
+        # count(h) skips NULLs: distinct surviving texts per language
+        F.count("h").alias("n_docs_kept"),
+        F.sum("n_rows").alias("lang_total"),
+        F.sum(F.when(F.col("h").isNotNull(), F.col("n_rows")).otherwise(F.lit(0))).alias(
+            "lang_quality"
+        ),
+    )
+    # Global attrition totals via a whole-frame window over the per-lang
+    # rollup (a handful of rows — one per language — so the single-partition
+    # window is free). This keeps the query ONE linear pipeline with ONE
+    # FileScan in the plan, rather than two branches sharing a scan through
+    # runtime exchange reuse.
+    from pyspark.sql.window import Window
+
+    everything = Window.partitionBy()
+    return per_lang.select(
+        "lang",
+        "n_docs_kept",
+        F.sum("lang_total").over(everything).alias("n_docs_in"),
+        F.sum("lang_quality").over(everything).alias("n_after_quality"),
     )

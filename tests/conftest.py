@@ -20,6 +20,62 @@ def spark():
     s.stop()
 
 
+PG_BIN = "/usr/lib/postgresql/15/bin"
+PG_DIR = "/tmp/spark_graft_pg_test"
+PG_PORT = 5499
+
+
+@pytest.fixture(scope="session")
+def pg_url():
+    """Boot a private PostgreSQL 15 instance (trust auth, unix socket only)
+    once per session; the whole catalog matrix and the live-wire tests share
+    it. Skips cleanly where the server binaries are unavailable."""
+    import shutil
+    import subprocess
+
+    def _run(cmd):
+        return subprocess.run(cmd, capture_output=True, text=True, timeout=60)
+
+    if not os.path.exists(f"{PG_BIN}/initdb") or not shutil.which("runuser"):
+        pytest.skip("no PostgreSQL server binaries in this environment")
+    shutil.rmtree(PG_DIR, ignore_errors=True)
+    os.makedirs(PG_DIR, exist_ok=True)
+    shutil.chown(PG_DIR, "postgres", "postgres")
+    init = _run(
+        ["runuser", "-u", "postgres", "--", f"{PG_BIN}/initdb",
+         "-D", f"{PG_DIR}/data", "-A", "trust", "-U", "postgres"]
+    )
+    if init.returncode != 0:
+        pytest.skip(f"initdb failed: {init.stderr[-200:]}")
+    # Auth-matrix entries ahead of the default trust lines: the wire client's
+    # md5 and SCRAM-SHA-256 negotiation paths are exercised against real
+    # server-side auth (pg_hba first-match wins).
+    hba = f"{PG_DIR}/data/pg_hba.conf"
+    with open(hba) as f:
+        default_hba = f.read()
+    with open(hba, "w") as f:
+        f.write(
+            "local all scram_user scram-sha-256\n"
+            "local all md5_user md5\n"
+            "local all clear_user password\n" + default_hba
+        )
+    start = _run(
+        ["runuser", "-u", "postgres", "--", f"{PG_BIN}/pg_ctl", "-D", f"{PG_DIR}/data",
+         "-o", f"-c listen_addresses='' -c unix_socket_directories={PG_DIR} -c port={PG_PORT}",
+         "-l", f"{PG_DIR}/log", "-w", "start"]
+    )
+    if start.returncode != 0:
+        pytest.skip(f"pg_ctl start failed: {start.stderr[-200:]}")
+    try:
+        yield f"postgres://postgres@localhost:{PG_PORT}/postgres?host={PG_DIR}"
+    finally:
+        _run(
+            ["runuser", "-u", "postgres", "--", f"{PG_BIN}/pg_ctl",
+             "-D", f"{PG_DIR}/data", "-m", "immediate", "stop"]
+        )
+        shutil.rmtree(PG_DIR, ignore_errors=True)
+
+
 @pytest.fixture(scope="session")
 def sf_smoke() -> str:
     return SF_SMOKE

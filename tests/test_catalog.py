@@ -34,11 +34,26 @@ SCHEMA = StructType(
 )
 
 
-@pytest.fixture()
-def catalog(tmp_path):
-    cat = PostgresCatalog.connect("test_catalog", None, str(tmp_path / "warehouse"))
+@pytest.fixture(params=["sqlite", "postgres"])
+def catalog(request, tmp_path):
+    """Every catalog test runs against BOTH backends: SQLite (the in-process
+    default) and a live PostgreSQL 15 via the pure-Python wire client — the
+    reference's actual deployment shape (mod.rs:414-415). The PG variant
+    shares the session-scoped private server and isolates tests by unique
+    catalog_name (rows are keyed by it); it skips cleanly where the server
+    binaries are absent."""
+    if request.param == "postgres":
+        import uuid as _uuid
+
+        url = request.getfixturevalue("pg_url")
+        cat = PostgresCatalog.connect(
+            f"test_{_uuid.uuid4().hex[:10]}", url, str(tmp_path / "warehouse")
+        )
+    else:
+        cat = PostgresCatalog.connect("test_catalog", None, str(tmp_path / "warehouse"))
     cat.initialize()
-    return cat
+    yield cat
+    cat.backend.close()
 
 
 def test_lifecycle_create_update_drop(catalog, spark, sf_smoke):
