@@ -38,20 +38,25 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
     timings: dict[str, float] = {}
+    reps: dict[str, list[float]] = {}
     for name in names:
         spec = registry[name]
         # Pass 1 (untimed): JVM JIT + codegen compile + file-footer caches.
         # Passes 2-4 (timed, best-of-3): steady-state execution; min filters
-        # out scheduler noise on shared hardware.
+        # out scheduler noise on shared hardware. Per-rep times are emitted
+        # too, so a round-over-round drift in the best can be attributed
+        # (host-load jitter shows as rep spread; a plan change shows as a
+        # shifted floor across all reps).
         spec.fn(spark, sf_dir).collect()
-        best = float("inf")
+        rep_times: list[float] = []
         for _ in range(3):
             t0 = time.perf_counter()
             # Materialize fully (not just count, which can prune aggregates):
             # collect to driver; headline queries return small results by design.
             spec.fn(spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            rep_times.append(round(time.perf_counter() - t0, 3))
+        reps[name] = rep_times
+        timings[name] = min(rep_times)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -62,6 +67,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "reps": reps,
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
             }
         )

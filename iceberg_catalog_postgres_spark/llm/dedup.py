@@ -202,6 +202,37 @@ def _minhash_oracle() -> str:
     """
 
 
+def _minhash_bands(base: DataFrame) -> DataFrame:
+    """(doc_id, shingles) -> one (doc_id, band, key) row per band. The
+    signature is fully map-side (array_min over transform — no per-shingle
+    rows ever exist); banding is a single explode, NOT a BANDS-way union,
+    which would re-evaluate the signature pipeline once per branch."""
+    hashed = base.withColumn("hs", F.transform(F.col("shingles"), lambda s: F.md5(s)))
+    sig = hashed.select(
+        "doc_id",
+        *[
+            F.array_min(
+                F.transform(F.col("hs"), lambda h: F.substring(h, _window_off(j), 8))
+            ).alias(f"h{j}")
+            for j in range(1, K + 1)
+        ],
+    )
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat(*[F.col(f"h{b * ROWS + r}") for r in range(1, ROWS + 1)]).alias("key"),
+                    )
+                    for b in range(BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
 @register("dedup_minhash_lsh", oracle=_minhash_oracle(), tags=("llm", "dedup", "lsh", "bench"))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-duplicate detection, verified with exact Jaccard.
@@ -228,33 +259,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # difference between an embarrassingly-parallel signature pass and
     # shuffling one row per (doc, shingle).
     base = d.select("doc_id", _shingle_expr().alias("shingles"))
-
-    hashed = base.withColumn("hs", F.transform(F.col("shingles"), lambda s: F.md5(s)))
-    sig = hashed.select(
-        "doc_id",
-        *[
-            F.array_min(
-                F.transform(F.col("hs"), lambda h: F.substring(h, _window_off(j), 8))
-            ).alias(f"h{j}")
-            for j in range(1, K + 1)
-        ],
-    )
-    # One row per (doc, band) via a single explode — NOT a 4-way union,
-    # which would re-evaluate the whole signature pipeline once per branch.
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat(*[F.col(f"h{b * ROWS + r}") for r in range(1, ROWS + 1)]).alias("key"),
-                    )
-                    for b in range(BANDS)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    bands = _minhash_bands(base)
 
     # Candidate pairs WITHOUT a self-join: group docs per (band, key) bucket
     # and emit in-bucket pairs with a higher-order expression (see
@@ -511,3 +516,161 @@ def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_parallel(spark, sf_dir, "documents")
     hash32 = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
     return _simhash_pairs(d, hash32)
+
+
+# Audit cap deliberately far below the production MAX_BUCKET so the fixture
+# corpus (max bucket size 3 at sf0.01) exercises the nonzero-drop path —
+# what gets certified is the accounting mechanism, not the production value.
+AUDIT_CAP = 2
+
+
+def _bucket_audit_oracle() -> str:
+    sig_cols = ",\n           ".join(
+        f"min(substr(md5(sh), {_window_off(j)}, 8)) AS h{j}" for j in range(1, K + 1)
+    )
+    band_selects = []
+    for b in range(BANDS):
+        key = " || ".join(f"h{b * ROWS + r}" for r in range(1, ROWS + 1))
+        band_selects.append(f"SELECT doc_id, {b} AS band, {key} AS key FROM sig")
+    bands_sql = "\n      UNION ALL ".join(band_selects)
+    return f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    sig AS (
+      SELECT doc_id,
+           {sig_cols}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {bands_sql}
+    ),
+    dropped AS (
+      SELECT band, key, count(DISTINCT doc_id) AS n_docs
+      FROM bands GROUP BY band, key
+      HAVING count(DISTINCT doc_id) > {AUDIT_CAP}
+    )
+    SELECT CAST((SELECT count(*) FROM dropped) AS BIGINT) AS n_buckets_dropped,
+           CAST((SELECT coalesce(max(n_docs), 0) FROM dropped) AS BIGINT) AS max_bucket_size,
+           CAST((SELECT count(DISTINCT b.doc_id)
+                 FROM bands b JOIN dropped d ON b.band = d.band AND b.key = d.key)
+                AS BIGINT) AS n_docs_affected
+    """
+
+
+@register("dedup_minhash_bucket_audit", oracle=_bucket_audit_oracle(), tags=("llm", "dedup", "lsh"))
+def dedup_minhash_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dropped-work accounting for MinHash-LSH's bucket cap: one row of
+    (n_buckets_dropped, max_bucket_size, n_docs_affected) for band buckets
+    above the cap — the buckets ``bucket_candidate_pairs`` would skip.
+
+    ``dedup_minhash_lsh`` documents its recall trade (oversized buckets are
+    dropped from candidate generation); this query MEASURES it, so a 100 TB
+    run reports how much near-dup work the cap deferred to the boilerplate
+    triage pass instead of silently under-counting duplicates. Runs the
+    identical map-side signature + banding pipeline (`_minhash_bands`), so
+    the audit certifies the same code path the dedup uses.
+
+    Scale: same single-scan shape as the dedup itself — the audit adds one
+    tiny groupBy(band, key) count and a broadcast join of the (rare)
+    oversized keys back onto the band rows; no pair expansion happens at
+    all. The production cap is MAX_BUCKET={MAX_BUCKET}; the registered
+    audit uses AUDIT_CAP={AUDIT_CAP} so the fixture corpus exercises a
+    nonzero drop (largest fixture bucket = 3 docs).
+    """
+    d = load_parallel(spark, sf_dir, "documents")
+    base = d.select("doc_id", _shingle_expr().alias("shingles"))
+    bands = _minhash_bands(base)
+    # (band, key, n_docs) of oversized buckets — rare by construction, so
+    # broadcasting them back onto the band rows costs one map-side probe.
+    dropped = oversized_buckets(bands, AUDIT_CAP)
+    joined = bands.join(F.broadcast(dropped), ["band", "key"])
+    return joined.agg(
+        F.countDistinct("band", "key").alias("n_buckets_dropped"),
+        F.coalesce(F.max("n_docs"), F.lit(0).cast("long")).alias("max_bucket_size"),
+        F.countDistinct("doc_id").alias("n_docs_affected"),
+    )
+
+
+dedup_minhash_bucket_audit.__doc__ = dedup_minhash_bucket_audit.__doc__.replace(
+    "{MAX_BUCKET}", str(MAX_BUCKET)
+).replace("{AUDIT_CAP}", str(AUDIT_CAP))
+
+
+def _triage_oracle() -> str:
+    sig_cols = ",\n           ".join(
+        f"min(substr(md5(sh), {_window_off(j)}, 8)) AS h{j}" for j in range(1, K + 1)
+    )
+    band_selects = []
+    for b in range(BANDS):
+        key = " || ".join(f"h{b * ROWS + r}" for r in range(1, ROWS + 1))
+        band_selects.append(f"SELECT doc_id, {b} AS band, {key} AS key FROM sig")
+    bands_sql = "\n      UNION ALL ".join(band_selects)
+    return f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    sig AS (
+      SELECT doc_id,
+           {sig_cols}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {bands_sql}
+    ),
+    dropped AS (
+      SELECT band, key
+      FROM bands GROUP BY band, key
+      HAVING count(DISTINCT doc_id) > {AUDIT_CAP}
+    ),
+    members AS (
+      SELECT DISTINCT b.doc_id, b.band, b.key
+      FROM bands b JOIN dropped d ON b.band = d.band AND b.key = d.key
+    ),
+    g AS (
+      SELECT m.band, m.key, md5(doc.text) AS h, count(*) AS n
+      FROM members m JOIN documents doc ON doc.doc_id = m.doc_id
+      GROUP BY m.band, m.key, md5(doc.text)
+    )
+    SELECT band, key,
+           CAST(sum(n) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_distinct_contents,
+           CAST(max(n) AS BIGINT) AS largest_content_group
+    FROM g GROUP BY band, key
+    """
+
+
+@register("dedup_lsh_oversized_triage", oracle=_triage_oracle(), tags=("llm", "dedup", "lsh"))
+def dedup_lsh_oversized_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The O(n) triage pass the bucket cap defers to: for each band bucket
+    above the cap (the ones ``bucket_candidate_pairs`` skips), group its
+    members by exact content hash — boilerplate buckets collapse to a few
+    md5 groups without ever expanding pairs. Output per oversized bucket:
+    (n_docs, n_distinct_contents, largest_content_group); a bucket whose
+    largest group ~= n_docs is confirmed boilerplate (dedup by exact hash),
+    while one with all-distinct contents needs a nested-LSH re-pass.
+
+    Completes the capped-bucket story: ``dedup_minhash_lsh`` drops the
+    bucket, ``dedup_minhash_bucket_audit`` measures the drop, this query
+    HANDLES it — in O(bucket size), not O(bucket size^2).
+
+    Scale: the oversized key list is tiny (it is the skew tail) and rides a
+    broadcast; content hashes come from one documents scan; both groupBys
+    are keyed map-side-combinable aggs. Uses AUDIT_CAP={AUDIT_CAP} (not the
+    production MAX_BUCKET={MAX_BUCKET}) so the fixture corpus exercises
+    nonempty output, same as the audit query.
+    """
+    d = load_parallel(spark, sf_dir, "documents")
+    base = d.select("doc_id", _shingle_expr().alias("shingles"))
+    bands = _minhash_bands(base)
+    dropped = oversized_buckets(bands, AUDIT_CAP).select("band", "key")
+    # (doc_id, band, key) members of oversized buckets: small by definition
+    # of being a capped tail, so it broadcasts onto the documents scan.
+    members = bands.join(F.broadcast(dropped), ["band", "key"]).distinct()
+    hashed = d.select("doc_id", F.md5("text").alias("h"))
+    g = (
+        hashed.join(F.broadcast(members), "doc_id")
+        .groupBy("band", "key", "h")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return g.groupBy("band", "key").agg(
+        F.sum("n").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_distinct_contents"),
+        F.max("n").alias("largest_content_group"),
+    )

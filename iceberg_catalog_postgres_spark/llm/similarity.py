@@ -138,31 +138,59 @@ def sim_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LABEL_LSH_TABLE = 9
+_LABEL_LSH_PLANES = 2
+
+
 @register(
     "sim_label_blocked_pairs",
     oracle=f"""
-    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    sig AS (
+      SELECT vec_id, label, e,
+             {_bucket_sql("e", _LABEL_LSH_TABLE, _LABEL_LSH_PLANES)} AS bucket
+      FROM v
+    )
     SELECT qa.label AS label, count(*) AS n_close_pairs
-    FROM v qa JOIN v db ON qa.label = db.label AND qa.vec_id < db.vec_id
+    FROM sig qa JOIN sig db
+      ON qa.label = db.label AND qa.bucket = db.bucket AND qa.vec_id < db.vec_id
     WHERE {_DOT_SQL} / ({_NORM_SQL.format(v='qa')} * {_NORM_SQL.format(v='db')}) > 0.35
     GROUP BY qa.label
     """,
     tags=("llm", "similarity"),
 )
 def sim_label_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup mining: count high-cosine pairs within each label
-    block (the embedding-cosine near-dup dedup strategy).
+    """Embedding near-dup mining: count high-cosine pairs within each
+    (label, sign-LSH bucket) block — the embedding-cosine near-dup dedup
+    strategy with LSH nested INSIDE the label block.
 
-    Scale: blocking on label bounds the pair space; within-block pairs
-    shuffle on label so each block's pairs compute co-located.
+    Scale: label alone has small constant cardinality, so label-only
+    blocking is still O(n^2 / L) — quadratic in corpus size. Nesting the
+    deterministic sign-LSH bucket (same md5-derived hyperplanes as the
+    other LSH operators, table 9, 2 planes = 4 buckets) into the join key
+    divides the pair space by another ~4x and keeps dividing as planes are
+    added — that, not the label, is what bounds the join at 100 TB. Recall
+    trade: a high-cosine pair whose signs split across a plane is missed
+    (collision probability (1 - theta/pi)^planes); production recovers
+    recall with multiple OR'd hash tables — same plan shape, one union
+    (see ``sim_ann_multitable_lsh``). The oracle mirrors the bucket
+    exactly, so the nested blocking itself is what gets certified.
     """
     v = load_parallel(spark, sf_dir, "embeddings").select("vec_id", "label", _vec("embedding").alias("e"))
-    a = v.select(F.col("vec_id").alias("va"), F.col("label"), F.col("e").alias("ea"))
-    b = v.select(F.col("vec_id").alias("vb"), F.col("label").alias("lb"), F.col("e").alias("eb"))
+    sig = v.withColumn("bucket", _bucket_col(F.col("e"), _LABEL_LSH_TABLE, _LABEL_LSH_PLANES))
+    a = sig.select(
+        F.col("vec_id").alias("va"), F.col("label"), F.col("e").alias("ea"), F.col("bucket").alias("ba")
+    )
+    b = sig.select(
+        F.col("vec_id").alias("vb"), F.col("label").alias("lb"), F.col("e").alias("eb"), F.col("bucket").alias("bb")
+    )
     norm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a_, x: a_ + x))  # noqa: E731
     cos = _dot(F.col("ea"), F.col("eb")) / (norm(F.col("ea")) * norm(F.col("eb")))
     return (
-        a.join(b, (F.col("label") == F.col("lb")) & (F.col("va") < F.col("vb")))
+        a.join(
+            b,
+            (F.col("label") == F.col("lb")) & (F.col("ba") == F.col("bb")) & (F.col("va") < F.col("vb")),
+        )
         .filter(cos > 0.35)
         .groupBy("label")
         .agg(F.count(F.lit(1)).alias("n_close_pairs"))
@@ -222,6 +250,50 @@ _IVF_ORACLE = f"""
 """
 
 
+def _ivf_assign(df: DataFrame, cents: list) -> DataFrame:
+    """Map-side cluster assignment: per-centroid squared distances as
+    literal-array folds (d0..d{k-1} columns) + argmin. No shuffle; the
+    centroids travel inside the plan as constants (k*dim doubles)."""
+    dist_cols = [
+        F.aggregate(
+            F.zip_with(F.col("e"), F.array(*[F.lit(float(x)) for x in ce]), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias(f"d{ci}")
+        for ci, (_, ce) in enumerate(cents)
+    ]
+    with_d = df.select("vec_id", "e", *dist_cols)
+    arr = F.array(*[F.col(f"d{ci}") for ci in range(len(cents))])
+    return with_d.withColumn("cluster", F.array_position(arr, F.array_min(arr)) - 1)
+
+
+def _ivf_final_centroids(v: DataFrame) -> list:
+    """The deterministic 2-update Lloyd's loop shared by the IVF build and
+    the IVF probe search (both must agree with the same unrolled oracle
+    CTEs). Driver state is O(k*dim) only."""
+    # k rows only — sorted by vec_id: collect() order is partition/row
+    # order, not guaranteed id-ascending, and cluster ids are positional in
+    # this list — an unsorted read order would silently permute cluster
+    # identity vs the oracle's c0 = vec_id.
+    centroids = sorted(
+        (r["vec_id"], r["e"]) for r in v.filter(F.col("vec_id") < _IVF_K).collect()
+    )
+    for _ in range(2):  # 2 centroid updates; the 3rd iteration only re-assigns
+        assigned = _ivf_assign(v, centroids)
+        new_cents = (
+            assigned.groupBy("cluster")
+            # round(…, 6) pins the coordinate to the same decimal DuckDB's
+            # round(avg(…), 6) lands on, absorbing partial-agg order drift
+            .agg(*[F.round(F.avg(F.element_at(F.col("e"), i + 1)), 6).alias(f"c{i}") for i in range(_IVF_DIM)])
+            .collect()
+        )
+        centroids = [
+            (int(r["cluster"]), [r[f"c{i}"] for i in range(_IVF_DIM)])
+            for r in sorted(new_cents, key=lambda r: r["cluster"])
+        ]
+    return centroids
+
+
 @register("sim_ivf_kmeans_build", oracle=_IVF_ORACLE, tags=("llm", "similarity", "ivf"))
 def sim_ivf_kmeans_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF index build: distributed Lloyd's k-means (k=8, 3 iterations,
@@ -242,41 +314,8 @@ def sim_ivf_kmeans_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     all until the final small agg. The driver holds only k centroids.
     """
     v = load(spark, sf_dir, "embeddings").select("vec_id", _vec("embedding").alias("e"))
-    # k rows only — driver state is O(k*dim), not O(n). Sorted by vec_id:
-    # collect() order is partition/row order, not guaranteed id-ascending,
-    # and cluster ids are positional in this list — an unsorted read order
-    # would silently permute cluster identity vs the oracle's c0 = vec_id.
-    centroids = sorted(
-        (r["vec_id"], r["e"]) for r in v.filter(F.col("vec_id") < _IVF_K).collect()
-    )
-
-    def assign(df: DataFrame, cents: list) -> DataFrame:
-        dist_cols = [
-            F.aggregate(
-                F.zip_with(F.col("e"), F.array(*[F.lit(float(x)) for x in ce]), lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias(f"d{ci}")
-            for ci, (_, ce) in enumerate(cents)
-        ]
-        with_d = df.select("vec_id", "e", *dist_cols)
-        arr = F.array(*[F.col(f"d{ci}") for ci in range(len(cents))])
-        return with_d.withColumn("cluster", F.array_position(arr, F.array_min(arr)) - 1)
-
-    for _ in range(2):  # 2 centroid updates; the 3rd iteration only re-assigns
-        assigned = assign(v, centroids)
-        new_cents = (
-            assigned.groupBy("cluster")
-            # round(…, 6) pins the coordinate to the same decimal DuckDB's
-            # round(avg(…), 6) lands on, absorbing partial-agg order drift
-            .agg(*[F.round(F.avg(F.element_at(F.col("e"), i + 1)), 6).alias(f"c{i}") for i in range(_IVF_DIM)])
-            .collect()
-        )
-        centroids = [
-            (int(r["cluster"]), [r[f"c{i}"] for i in range(_IVF_DIM)])
-            for r in sorted(new_cents, key=lambda r: r["cluster"])
-        ]
-    assigned = assign(v, centroids)
+    centroids = _ivf_final_centroids(v)
+    assigned = _ivf_assign(v, centroids)
 
     arr = F.array(*[F.col(f"d{ci}") for ci in range(len(centroids))])
     return (
@@ -288,6 +327,105 @@ def sim_ivf_kmeans_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+_NPROBE = 2
+
+_IVF_PROBE_ORACLE = f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    c0 AS (SELECT CAST(vec_id AS INT) AS cluster, e AS c FROM v WHERE vec_id < {_IVF_K}),
+    {_ivf_iter_ctes(1, 'c0')},
+    {_ivf_iter_ctes(2, 'c1')},
+    d3 AS (
+      SELECT v.vec_id, c.cluster, {_IVF_DIST_SQL} AS dist FROM v, c2 c
+    ),
+    a3 AS (
+      SELECT vec_id, cluster FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cluster ASC) AS rn
+        FROM d3
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cluster FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cluster ASC) AS rn
+        FROM d3 WHERE vec_id < {N_QUERIES}
+      ) WHERE rn <= {_NPROBE}
+    ),
+    pairs AS (
+      SELECT p.query_id, db.vec_id AS neighbor_id,
+             round({_DOT_SQL} / ({_NORM_SQL.format(v='qa')} * {_NORM_SQL.format(v='db')}), 6) AS cosine
+      FROM probes p
+      JOIN a3 a ON a.cluster = p.cluster AND a.vec_id <> p.query_id
+      JOIN v qa ON qa.vec_id = p.query_id
+      JOIN v db ON db.vec_id = a.vec_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rk
+      FROM pairs
+    )
+    SELECT query_id, neighbor_id, cosine, rk FROM ranked WHERE rk <= {TOP_K}
+"""
+
+
+@register("sim_ann_ivf_probe", oracle=_IVF_PROBE_ORACLE, tags=("llm", "similarity", "ivf"))
+def sim_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe search — the SEARCH half of the IVF index whose build is
+    ``sim_ivf_kmeans_build``: each query probes its nprobe={_NPROBE} nearest
+    coarse centroids and scores exact cosine only against corpus vectors
+    ASSIGNED to those clusters, then top-{TOP_K} re-rank. This is the
+    standard IVF-flat ANN query path (coarse quantize -> probe -> re-rank).
+
+    Oracle: the same unrolled 3-iteration Lloyd CTEs as the build (identical
+    fp pinning), then probe selection and candidate scoring replayed in SQL
+    — so the certified artifact is the full build+search pipeline.
+
+    Scale: centroids are plan literals (k*dim doubles); probe selection is
+    a map-side sort of k distances per query; the candidate join is an
+    equi-join on cluster id — a keyed shuffle touching ~nprobe/k of the
+    corpus per query, the IVF speedup. Driver state stays O(k*dim). At
+    production scale the assigned corpus is WRITTEN PARTITIONED BY cluster
+    (the inverted file), turning the probe join into partition pruning.
+    """
+    v = load(spark, sf_dir, "embeddings").select("vec_id", _vec("embedding").alias("e"))
+    cents = _ivf_final_centroids(v)
+    assigned = _ivf_assign(v, cents).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ne"), "cluster"
+    )
+
+    qd = _ivf_assign(v.filter(F.col("vec_id") < N_QUERIES), cents)
+    # nprobe nearest centroids per query: array_sort over (dist, cluster)
+    # structs sorts by dist then cluster — the same asc/asc tie-break the
+    # oracle's row_number uses, on bitwise-identical distances.
+    dist_structs = F.array(
+        *[
+            F.struct(F.col(f"d{ci}").alias("dist"), F.lit(ci).alias("cluster"))
+            for ci in range(len(cents))
+        ]
+    )
+    q = qd.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.explode(F.slice(F.array_sort(dist_structs), 1, _NPROBE)).alias("p"),
+    ).select("query_id", "qe", F.col("p.cluster").alias("probe_cluster"))
+
+    norm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))  # noqa: E731
+    cos = F.round(_dot(F.col("qe"), F.col("ne")) / (norm(F.col("qe")) * norm(F.col("ne"))), 6)
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        F.broadcast(q)
+        .join(
+            assigned,
+            (F.col("probe_cluster") == F.col("cluster")) & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+    )
+
+
+sim_ann_ivf_probe.__doc__ = sim_ann_ivf_probe.__doc__.replace("{_NPROBE}", str(_NPROBE)).replace(
+    "{TOP_K}", str(TOP_K)
+)
 
 
 @register(

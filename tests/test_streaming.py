@@ -80,3 +80,21 @@ def test_transform_with_state_matches_batch(spark, sf_smoke):
         .collect()
     }
     assert got == want
+
+
+def test_stateful_counter_falls_back_when_tws_fails(spark, sf_smoke, monkeypatch):
+    """The registered stateful query auto-swaps to transformWithState when
+    the runtime gate opens; if that path then fails (half-healed protobuf,
+    state-server startup error), the legacy applyInPandasWithState fallback
+    must still serve the identical oracle contract."""
+    from iceberg_catalog_postgres_spark.streaming import windows as W
+
+    monkeypatch.setattr(W, "transform_with_state_available", lambda: True)
+
+    def boom(spark_, sf_dir_):
+        raise RuntimeError("simulated state-server failure")
+
+    monkeypatch.setattr(W, "stream_transform_with_state", boom)
+    df = W.stream_stateful_user_counter(spark, sf_smoke)
+    assert df.columns == ["user_id", "n_events", "total_value"]
+    assert df.count() > 0
