@@ -121,3 +121,92 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("lsh_neighbor_id").cast("double") / TOP_K, 4).alias("recall_at_k"),
         )
     )
+
+
+_TRUNC_DIM = 16
+
+_TRUNC_SQL = f"""
+      SELECT qa.vec_id AS query_id, db.vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY qa.vec_id
+               ORDER BY round(list_sum(list_transform(range(1, {_TRUNC_DIM + 1}), i -> qa.e[i] * db.e[i]))
+                 / (sqrt(list_sum(list_transform(qa.e[1:{_TRUNC_DIM}], x -> x * x)))
+                    * sqrt(list_sum(list_transform(db.e[1:{_TRUNC_DIM}], x -> x * x)))), 6) DESC,
+               db.vec_id ASC) AS rk
+      FROM (SELECT * FROM v WHERE vec_id < {N_QUERIES}) qa
+      JOIN v db ON qa.vec_id <> db.vec_id
+"""
+
+
+@register(
+    "embed_truncate_recall",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    brute AS (
+      SELECT query_id, neighbor_id FROM ({_BRUTE_SQL}) WHERE rk <= {TOP_K}
+    ),
+    trunc AS (
+      SELECT query_id, neighbor_id FROM ({_TRUNC_SQL}) WHERE rk <= {TOP_K}
+    )
+    SELECT b.query_id,
+           count(t.neighbor_id) AS n_hit,
+           {TOP_K} AS k,
+           round(CAST(count(t.neighbor_id) AS DOUBLE) / {TOP_K}, 4) AS recall_at_k
+    FROM brute b
+    LEFT JOIN trunc t ON b.query_id = t.query_id AND b.neighbor_id = t.neighbor_id
+    GROUP BY b.query_id
+    """,
+    tags=("llm", "similarity", "evaluation"),
+)
+def embed_truncate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-truncation recall: top-k under the first {D} of 64 dims vs
+    the full-dim ground truth — the ablation a training pipeline runs before
+    committing to matryoshka-style truncated embeddings (store/search fewer
+    dims, re-rank survivors at full width). recall@k per query quantifies
+    what the 4x footprint cut costs.
+
+    Scale: same economics as ``sim_ann_recall_eval`` — both rankings run
+    over the sampled query set only, never all-pairs over the corpus; the
+    truncated ranking reads {D}/64 of each vector (at rest that is a
+    column-pruned scan when dims are stored as split prefix columns).
+    """
+    e = load_parallel(spark, sf_dir, "embeddings").select("vec_id", _vec("embedding").alias("e"))
+    norm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))  # noqa: E731
+
+    def brute_topk(prefix_dim: int | None) -> DataFrame:
+        q = e.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+        )
+        corpus = e.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ne"))
+        qe, ne = F.col("qe"), F.col("ne")
+        if prefix_dim is not None:
+            qe, ne = F.slice(qe, 1, prefix_dim), F.slice(ne, 1, prefix_dim)
+        cos = F.round(_dot(qe, ne) / (norm(qe) * norm(ne)), 6)
+        w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+        return (
+            F.broadcast(q)
+            .join(corpus, F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id", cos.alias("cosine"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= TOP_K)
+            .select("query_id", "neighbor_id")
+        )
+
+    brute = brute_topk(None)
+    trunc = brute_topk(_TRUNC_DIM).withColumnRenamed("neighbor_id", "t_neighbor_id")
+    return (
+        brute.join(
+            trunc,
+            (brute.query_id == trunc.query_id) & (brute.neighbor_id == trunc.t_neighbor_id),
+            "left_outer",
+        )
+        .groupBy(brute.query_id.alias("query_id"))
+        .agg(
+            F.count("t_neighbor_id").alias("n_hit"),
+            F.lit(TOP_K).alias("k"),
+            F.round(F.count("t_neighbor_id").cast("double") / TOP_K, 4).alias("recall_at_k"),
+        )
+    )
+
+
+embed_truncate_recall.__doc__ = embed_truncate_recall.__doc__.replace("{D}", str(_TRUNC_DIM))

@@ -202,14 +202,17 @@ def _minhash_oracle() -> str:
     """
 
 
-def _minhash_bands(base: DataFrame) -> DataFrame:
+def _minhash_bands(base: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     """(doc_id, shingles) -> one (doc_id, band, key) row per band. The
     signature is fully map-side (array_min over transform — no per-shingle
     rows ever exist); banding is a single explode, NOT a BANDS-way union,
-    which would re-evaluate the signature pipeline once per branch."""
+    which would re-evaluate the signature pipeline once per branch.
+    ``carry`` names extra columns of ``base`` to thread through (e.g. a
+    content hash, so a downstream pass avoids a second corpus scan)."""
     hashed = base.withColumn("hs", F.transform(F.col("shingles"), lambda s: F.md5(s)))
     sig = hashed.select(
         "doc_id",
+        *carry,
         *[
             F.array_min(
                 F.transform(F.col("hs"), lambda h: F.substring(h, _window_off(j), 8))
@@ -219,6 +222,7 @@ def _minhash_bands(base: DataFrame) -> DataFrame:
     )
     return sig.select(
         "doc_id",
+        *carry,
         F.explode(
             F.array(
                 *[
@@ -230,7 +234,7 @@ def _minhash_bands(base: DataFrame) -> DataFrame:
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    ).select("doc_id", *carry, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
 
 @register("dedup_minhash_lsh", oracle=_minhash_oracle(), tags=("llm", "dedup", "lsh", "bench"))
@@ -657,18 +661,15 @@ def dedup_lsh_oversized_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
     nonempty output, same as the audit query.
     """
     d = load_parallel(spark, sf_dir, "documents")
-    base = d.select("doc_id", _shingle_expr().alias("shingles"))
-    bands = _minhash_bands(base)
+    # Content hash rides the band rows (carry=), so the whole triage is ONE
+    # documents scan — no second join back to the corpus for the text.
+    base = d.select("doc_id", _shingle_expr().alias("shingles"), F.md5("text").alias("h"))
+    bands = _minhash_bands(base, carry=("h",))
     dropped = oversized_buckets(bands, AUDIT_CAP).select("band", "key")
-    # (doc_id, band, key) members of oversized buckets: small by definition
-    # of being a capped tail, so it broadcasts onto the documents scan.
+    # oversized keys are the (rare) skew tail: broadcast them onto the
+    # band rows; only members of dropped buckets survive the probe.
     members = bands.join(F.broadcast(dropped), ["band", "key"]).distinct()
-    hashed = d.select("doc_id", F.md5("text").alias("h"))
-    g = (
-        hashed.join(F.broadcast(members), "doc_id")
-        .groupBy("band", "key", "h")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    g = members.groupBy("band", "key", "h").agg(F.count(F.lit(1)).alias("n"))
     return g.groupBy("band", "key").agg(
         F.sum("n").alias("n_docs"),
         F.count(F.lit(1)).alias("n_distinct_contents"),

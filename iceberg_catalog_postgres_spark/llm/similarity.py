@@ -138,6 +138,69 @@ def sim_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROBE_MASKS = (0, 1, 2, 4, 8)  # own bucket + each single-bit flip (4 planes)
+
+
+@register(
+    "sim_ann_lsh_multiprobe",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    sig AS (
+      SELECT vec_id, e,
+             {_bucket_sql("v.e", 0, 4)} AS bucket
+      FROM v
+    ),
+    pairs AS (
+      SELECT qa.vec_id AS query_id, db.vec_id AS neighbor_id,
+             round({_DOT_SQL} / ({_NORM_SQL.format(v='qa')} * {_NORM_SQL.format(v='db')}), 6) AS cosine
+      FROM (SELECT * FROM sig WHERE vec_id < {N_QUERIES}) qa
+      JOIN sig db
+        ON bit_count(xor(qa.bucket, db.bucket)) <= 1 AND qa.vec_id <> db.vec_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rk
+      FROM pairs
+    )
+    SELECT query_id, neighbor_id, cosine, rk FROM ranked WHERE rk <= {TOP_K}
+    """,
+    tags=("llm", "similarity", "lsh"),
+)
+def sim_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe sign-LSH ANN: each query searches its own bucket PLUS the
+    4 buckets one bit-flip away (the most likely homes of a near neighbor
+    that fell on the other side of exactly one hyperplane). Probing 5/16
+    buckets recovers most of the recall that multiple independent hash
+    tables buy, without building or storing extra tables.
+
+    Scale: the corpus is hashed and stored ONCE (vs ``sim_ann_multitable_lsh``
+    which materializes 4 signatures); only the query side fans out 5x, and
+    queries are the small side. The probe fan-out is an explode of literal
+    XOR masks, so the candidate join stays a pure equi-join on bucket id —
+    the oracle's bit_count(xor) <= 1 theta-join is the same predicate, but
+    expressing it as the probe-explode equi-join is exactly the rewrite that
+    keeps the Spark plan shuffle-keyed (a theta-join would be BNLJ).
+    """
+    e = load(spark, sf_dir, "embeddings").select("vec_id", _vec("embedding").alias("e"))
+    sig = e.withColumn("bucket", _bucket_col(F.col("e"), 0, 4))
+    q = sig.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.explode(
+            F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in _PROBE_MASKS])
+        ).alias("pb"),
+    )
+    corpus = sig.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ne"), F.col("bucket").alias("nb"))
+    norm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))  # noqa: E731
+    cos = F.round(_dot(F.col("qe"), F.col("ne")) / (norm(F.col("qe")) * norm(F.col("ne"))), 6)
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        q.join(corpus, (F.col("pb") == F.col("nb")) & (F.col("query_id") != F.col("neighbor_id")))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+    )
+
+
 _LABEL_LSH_TABLE = 9
 _LABEL_LSH_PLANES = 2
 

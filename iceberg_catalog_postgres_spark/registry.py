@@ -209,6 +209,8 @@ PRIORITY: tuple[str, ...] = (
     "dedup_minhash_bucket_audit",
     "dedup_lsh_oversized_triage",
     "sim_ann_ivf_probe",
+    "sim_ann_lsh_multiprobe",
+    "embed_truncate_recall",
     "recursive_cte_month_series",
     "embed_diversity_label",
     "sample_cap_per_stratum",
