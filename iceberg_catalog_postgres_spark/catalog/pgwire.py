@@ -83,10 +83,13 @@ class _ScramClient:
     offered (gs2 header ``n,,``) — the same posture as libpq on a non-SSL
     connection. Pure hashlib/hmac; no dependencies."""
 
-    def __init__(self, password: str, nonce: str | None = None):
+    def __init__(self, password: str, nonce: str | None = None, username: str = ""):
+        # username stays empty against PostgreSQL (the server takes it from
+        # the startup packet and ignores the SCRAM n= field); it is a
+        # parameter so the RFC 7677 test vector can drive this class as-is.
         self._password = password.encode()
         self._nonce = nonce or base64.b64encode(os.urandom(18)).decode()
-        self._client_first_bare = f"n={''},r={self._nonce}".encode()
+        self._client_first_bare = f"n={username},r={self._nonce}".encode()
         self._auth_message: bytes | None = None
         self._salted: bytes | None = None
 
@@ -155,6 +158,7 @@ class PgWireConnection:
     # -- startup / auth ------------------------------------------------------
 
     def _startup(self, cfg: dict) -> None:
+        self._scram: _ScramClient | None = None
         params = b"".join(
             self._cstr(k.encode()) + self._cstr(v.encode())
             for k, v in (("user", cfg["user"]), ("database", cfg["database"]))
@@ -187,10 +191,15 @@ class PgWireConnection:
                         b"p",
                         self._cstr(b"SCRAM-SHA-256") + struct.pack("!I", len(first)) + first,
                     )
-                elif code == 11:  # AuthenticationSASLContinue: server-first-message
-                    self._send(b"p", self._scram.client_final(body[4:]))
-                elif code == 12:  # AuthenticationSASLFinal: verify server signature
-                    self._scram.verify_server_final(body[4:])
+                elif code in (11, 12):  # SASLContinue / SASLFinal
+                    if self._scram is None:
+                        raise PgError(
+                            {"S": "FATAL", "M": f"SASL message (code {code}) before SASL negotiation"}
+                        )
+                    if code == 11:
+                        self._send(b"p", self._scram.client_final(body[4:]))
+                    else:
+                        self._scram.verify_server_final(body[4:])
                 else:
                     raise PgError({"S": "FATAL", "M": f"unsupported auth method {code}"})
             elif t == b"E":

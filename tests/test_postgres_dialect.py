@@ -154,3 +154,40 @@ def test_wire_paramstyle_numbered_rendering():
     assert b.sql("no placeholders") == "no placeholders"
     b.paramstyle = "%s"
     assert b.sql("a = ? AND b = ?") == "a = %s AND b = %s"
+
+
+def test_scram_client_rfc7677_vector():
+    """_ScramClient reproduces the published SCRAM-SHA-256 test vector
+    (RFC 7677 §3: user 'user', password 'pencil') byte for byte, and rejects
+    a forged server signature."""
+    import pytest
+
+    from iceberg_catalog_postgres_spark.catalog.pgwire import PgError, _ScramClient
+
+    c = _ScramClient("pencil", nonce="rOprNGfwEbeRWgbNEkqO", username="user")
+    assert c.client_first() == b"n,,n=user,r=rOprNGfwEbeRWgbNEkqO"
+
+    server_first = (
+        b"r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0,"
+        b"s=W22ZaJ0SNY7soEsUEjb6gQ==,i=4096"
+    )
+    assert c.client_final(server_first) == (
+        b"c=biws,r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0,"
+        b"p=dHzbZapWIk4jUhN+Ute9ytag9zjfMHgsqmmiz7AndVQ="
+    )
+    # correct server signature verifies silently
+    c.verify_server_final(b"v=6rriTRBi23WpRR/wtup+mMhUZUn/dB5nLTJRsjl95G4=")
+    # forged signature must raise
+    with pytest.raises(PgError, match="server signature"):
+        c.verify_server_final(b"v=AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA=")
+
+
+def test_scram_client_rejects_nonce_truncation():
+    """A MITM that truncates/replaces the combined nonce must be caught."""
+    import pytest
+
+    from iceberg_catalog_postgres_spark.catalog.pgwire import PgError, _ScramClient
+
+    c = _ScramClient("pw", nonce="clientnonce")
+    with pytest.raises(PgError, match="nonce"):
+        c.client_final(b"r=evilnonce,s=W22ZaJ0SNY7soEsUEjb6gQ==,i=4096")
