@@ -176,3 +176,71 @@ def udf_sql_registered(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT p_partkey, brand_type_py(p_brand, p_type) AS brand_type "
         "FROM udf_part_src WHERE p_partkey <= 300"
     )
+
+
+@register(
+    "udf_map_in_arrow_netprice",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 10000 + 0.5) / 10000
+             AS net_price
+    FROM lineitem WHERE l_orderkey <= 1000
+    """,
+    tags=("udf", "arrow"),
+)
+def udf_map_in_arrow_netprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: the Arrow-NATIVE batch transform (Spark 3.3+) — Python
+    receives pyarrow RecordBatches directly, with no pandas conversion on
+    either side. The cheapest possible Python interchange; the right tool
+    when the Python side is itself Arrow-computed (pyarrow.compute, polars,
+    DuckDB) rather than pandas.
+
+    Completes the Python-interchange family next to pandas-scalar,
+    grouped-agg, grouped-map (applyInPandas), mapInPandas (multimodal
+    decode), and UDTF. The computation (net price per line item) is
+    per-row deterministic, so the DuckDB oracle recomputes it exactly.
+
+    Scale: zero-copy Arrow batches per partition; pyarrow.compute kernels
+    are vectorized C++, so the per-batch Python overhead is a constant
+    dispatch cost, not per-row work. Still prefer built-in JVM expressions
+    (the oracle's form) when they can express the op — this exists for the
+    cases they can't.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def net_price(batches):
+        for batch in batches:
+            ep, disc, tax = (
+                batch.column("l_extendedprice"),
+                batch.column("l_discount"),
+                batch.column("l_tax"),
+            )
+            # raw product only — rounding happens outside the Arrow stage,
+            # as an explicit floor(x*1e4 + 0.5)/1e4 mirrored in the oracle:
+            # pyarrow rounds half-to-even, Spark's round() goes through
+            # BigDecimal's shortest-decimal repr, and DuckDB rounds the
+            # binary value — three half-up definitions that disagree by 1 ulp
+            # at knife-edge values (measured on this fixture). The floor
+            # form is pure fp64 arithmetic, bit-identical on both engines.
+            net = pc.multiply(
+                pc.multiply(ep, pc.subtract(pa.scalar(1.0), disc)),
+                pc.add(pa.scalar(1.0), tax),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("l_orderkey"), batch.column("l_linenumber"), net],
+                names=["l_orderkey", "l_linenumber", "net_price_raw"],
+            )
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 1000)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax")
+    )
+    return li.mapInArrow(
+        net_price, "l_orderkey bigint, l_linenumber int, net_price_raw double"
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.floor(F.col("net_price_raw") * 10000 + 0.5) / 10000).alias("net_price"),
+    )
