@@ -76,3 +76,47 @@ def test_datasource_api_reads_all_rows_exactly_once(spark, sf_oracle):
     out = REGISTRY["source_datasource_api_pointers"].fn(spark, sf_oracle)
     rows = {(r["table_namespace"]): (r["n_tables"], r["n_with_metadata"]) for r in out.collect()}
     assert rows == {"ns_a": (2, 2), "ns_b": (3, 3)}
+
+
+def test_multiprobe_lsh_is_equi_join(spark, sf_oracle):
+    """Multi-probe's bit_count(xor)<=1 predicate must plan as the probe-
+    explode EQUI-join (keyed shuffle or broadcast), never a BNLJ/cartesian:
+    that rewrite is the entire scale argument of the operator."""
+    f = plan_features(REGISTRY["sim_ann_lsh_multiprobe"].fn(spark, sf_oracle))
+    assert f["cartesian_products"] == 0
+
+
+def test_ivf_probe_broadcasts_queries_no_cartesian(spark, sf_oracle):
+    """IVF probe search: the probe side (queries x nprobe rows) broadcasts;
+    the assigned corpus is scanned, never crossed."""
+    f = plan_features(REGISTRY["sim_ann_ivf_probe"].fn(spark, sf_oracle))
+    assert f["broadcast_joins"] >= 1
+    assert f["cartesian_products"] == 0
+
+
+def test_corpus_pipeline_single_scan(spark, sf_oracle):
+    """The fused corpus pipeline must read documents exactly ONCE in the
+    static plan (the round-3 verdict's triple-scan defect, fixed by gating
+    the dedup hash instead of filtering + eager counts)."""
+    from iceberg_catalog_postgres_spark.plans.audit import explain_formatted
+
+    df = REGISTRY["llm_corpus_pipeline"].fn(spark, sf_oracle)
+    tree = explain_formatted(df).split("\n\n", 1)[0]  # operator tree only
+    assert tree.count("Scan parquet") == 1, f"documents must be scanned exactly once\n{tree}"
+
+
+def test_oversized_triage_single_scan_and_broadcast(spark, sf_oracle):
+    """Bucket triage: one documents scan (content hash rides the band rows)
+    and the oversized-key probe is a broadcast join."""
+    from iceberg_catalog_postgres_spark.plans.audit import explain_formatted
+
+    df = REGISTRY["dedup_lsh_oversized_triage"].fn(spark, sf_oracle)
+    f = plan_features(df)
+    assert f["broadcast_joins"] >= 1
+    assert f["cartesian_products"] == 0
+    # the scan subtree may appear twice pre-AQE (bands + oversized keys both
+    # derive from it) but both branches hang off the same repartition
+    # exchange, so runtime reuses it; what must NOT appear is a third read
+    # for the content hashes (the pre-fix shape).
+    tree = explain_formatted(df).split("\n\n", 1)[0]  # operator tree only
+    assert tree.count("Scan parquet") <= 2, tree
