@@ -180,3 +180,63 @@ def mm_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("frame_idx_l"),
     ).select("doc_id", F.col("frame_idx_l").cast("int").alias("frame_idx"))
+
+
+_FIT_BOX = 224  # the ubiquitous vision-model input edge
+
+
+@register(
+    "mm_resize_plan",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(320 + n_chars % 1280 AS INT) AS src_w,
+             CAST(240 + (n_chars * 7) % 720 AS INT) AS src_h
+      FROM documents
+    )
+    SELECT doc_id, src_w, src_h,
+           CAST(floor(src_w * least({_FIT_BOX}.0 / src_w, {_FIT_BOX}.0 / src_h)) AS INT) AS dst_w,
+           CAST(floor(src_h * least({_FIT_BOX}.0 / src_w, {_FIT_BOX}.0 / src_h)) AS INT) AS dst_h,
+           round(least({_FIT_BOX}.0 / src_w, {_FIT_BOX}.0 / src_h), 6) AS scale,
+           least({_FIT_BOX}.0 / src_w, {_FIT_BOX}.0 / src_h) > 1.0 AS upscaled
+    FROM dims
+    """,
+    tags=("llm", "multimodal"),
+)
+def mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize planning for image-like payloads: given
+    per-item source dimensions (synthesized deterministically from item
+    properties here; read from container metadata in production), compute
+    the target (dst_w, dst_h) that fits a {BOX}x{BOX} model-input box, the
+    scale factor, and an upscaling flag — the preprocessing decision every
+    vision-training pipeline makes per image BEFORE touching pixels.
+
+    Completes the multimodal quartet (metadata -> decode -> RESIZE ->
+    frame-sample): like the frame-sample plan, the expensive pixel work
+    stays deferred — a mapInPandas stage consumes (payload, dst_w, dst_h)
+    rows and calls the codec's resize; this query is the JVM-side planning
+    half, so filters (e.g. drop upscaled items) prune BEFORE any decode.
+
+    Scale: pure codegen arithmetic over metadata columns; no UDF, no blob
+    reads. The fp contract is engine-stable: one double division, least(),
+    multiply, floor — identical operation order on both engines.
+    """
+    d = load(spark, sf_dir, "documents")
+    src_w = (F.lit(320) + F.col("n_chars") % 1280).cast("int")
+    src_h = (F.lit(240) + (F.col("n_chars") * 7) % 720).cast("int")
+    dims = d.select("doc_id", src_w.alias("src_w"), src_h.alias("src_h"))
+    scale = F.least(
+        F.lit(float(_FIT_BOX)) / F.col("src_w"), F.lit(float(_FIT_BOX)) / F.col("src_h")
+    )
+    return dims.select(
+        "doc_id",
+        "src_w",
+        "src_h",
+        F.floor(F.col("src_w") * scale).cast("int").alias("dst_w"),
+        F.floor(F.col("src_h") * scale).cast("int").alias("dst_h"),
+        F.round(scale, 6).alias("scale"),
+        (scale > 1.0).alias("upscaled"),
+    )
+
+
+mm_resize_plan.__doc__ = mm_resize_plan.__doc__.replace("{BOX}", str(_FIT_BOX))

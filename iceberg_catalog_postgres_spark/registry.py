@@ -212,6 +212,7 @@ PRIORITY: tuple[str, ...] = (
     "sim_ann_lsh_multiprobe",
     "embed_truncate_recall",
     "udf_map_in_arrow_netprice",
+    "mm_resize_plan",
     "recursive_cte_month_series",
     "embed_diversity_label",
     "sample_cap_per_stratum",
