@@ -373,10 +373,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _simhash_pairs(d, F.xxhash64("tok"))
 
 
-def _simhash_pairs(d: DataFrame, hash_expr) -> DataFrame:
+def _simhash_pairs(d: DataFrame, hash_expr, max_bucket: int = MAX_BUCKET) -> DataFrame:
     """Shared SimHash pipeline: 32-bit signature from per-token ``hash_expr``
     bit-votes, candidate pairs via 16-bit half-signature buckets, hamming
-    filter. ``hash_expr`` is evaluated over the exploded token column."""
+    filter. ``hash_expr`` is evaluated over the exploded token column.
+    ``max_bucket`` parameterizes the half-bucket cap (tests drive it low to
+    certify the capped path against a same-cap oracle; see
+    tests/test_dedup_bucket_cap.py)."""
     toks = d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
     h = toks.withColumn("hash", hash_expr)
     # bit votes: +1 if bit set else -1; simhash bit = majority
@@ -422,7 +425,7 @@ def _simhash_pairs(d: DataFrame, hash_expr) -> DataFrame:
     buckets = (
         keys.groupBy("half_idx", "key")
         .agg(F.sort_array(F.collect_set(F.struct("doc_id", "sig"))).alias("members"))
-        .filter((F.size("members") > 1) & (F.size("members") <= MAX_BUCKET))
+        .filter((F.size("members") > 1) & (F.size("members") <= max_bucket))
     )
     n = F.size(F.col("members"))
     pair_expr = F.flatten(
@@ -458,7 +461,7 @@ def _simhash_pairs(d: DataFrame, hash_expr) -> DataFrame:
     )
 
 
-def _simhash_md5_oracle() -> str:
+def _simhash_md5_oracle(max_bucket: int = MAX_BUCKET) -> str:
     """DuckDB twin of the md5-bit SimHash: 32 bit-votes from md5 nibbles.
     Bit i (LSB-0) of the 32-bit value = bit (i % 4) of the hex nibble at
     1-based char position 8 - i // 4 in the first 8 md5 hex chars.
@@ -492,11 +495,11 @@ def _simhash_md5_oracle() -> str:
     cand AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
       FROM halves a JOIN halves b ON a.lo = b.lo AND a.doc_id < b.doc_id
-      JOIN lo_sizes s ON s.key = a.lo AND s.n_docs <= {MAX_BUCKET}
+      JOIN lo_sizes s ON s.key = a.lo AND s.n_docs <= {max_bucket}
       UNION
       SELECT a.doc_id, b.doc_id, a.sig, b.sig
       FROM halves a JOIN halves b ON a.hi = b.hi AND a.doc_id < b.doc_id
-      JOIN hi_sizes s ON s.key = a.hi AND s.n_docs <= {MAX_BUCKET}
+      JOIN hi_sizes s ON s.key = a.hi AND s.n_docs <= {max_bucket}
     )
     SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
     FROM cand
