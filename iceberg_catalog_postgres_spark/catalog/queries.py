@@ -255,3 +255,57 @@ def catalog_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_main_before long, n_branch long, n_main_during_audit long, "
         "n_main_published long, n_refs_after long",
     )
+
+
+@register(
+    "catalog_rollback_snapshot",
+    oracle="""
+    SELECT CAST((SELECT count(*) FROM nation) AS BIGINT) AS n_v1,
+           CAST((SELECT count(*) FROM nation) +
+                (SELECT count(*) FROM nation WHERE n_regionkey = 0) AS BIGINT) AS n_v2,
+           CAST((SELECT count(*) FROM nation) AS BIGINT) AS n_after_rollback,
+           CAST((SELECT count(*) FROM nation) +
+                (SELECT count(*) FROM nation WHERE n_regionkey = 1) AS BIGINT) AS n_final,
+           CAST(3 AS BIGINT) AS n_snapshots
+    """,
+    tags=("catalog", "timetravel"),
+)
+def catalog_rollback_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot rollback (Iceberg's rollback_to_snapshot): commit v1 (full
+    nation), commit v2 (append the region-0 rows — the "bad" commit), roll
+    the table back to v1 in one O(1) metadata CAS, then commit a corrected
+    append (region-1 rows) on top of the restored state. The contract checks
+    all four lineage states: v1 count, v2 count, the post-rollback count
+    (== v1 — the bad rows are gone from the main lineage), the final count
+    (v1 + correction), and that all three data snapshots remain in history
+    (rollback moves the pointer, adds no snapshot, deletes none) — the undo
+    is an audit-preserving commit, not a destructive reset.
+
+    Scale: rollback moves one pointer in the metadata JSON regardless of
+    table size; the discarded commit's files are untouched (time travel to
+    v2 still works) and are reclaimed later by snapshot expiry, never by the
+    rollback itself.
+    """
+    cat = _fresh("catalog_rollback_snapshot")
+    src = load(spark, sf_dir, "nation")
+    ident = TableIdentifier.parse("rb.nation")
+    table = cat.create_table(ident, src.schema)
+    table.new_transaction().append_dataframe(src).commit()
+    v1 = cat.load_table(ident)
+    snap1 = v1.metadata.current_snapshot().snapshot_id
+    n_v1 = v1.to_df(spark).count()
+
+    v2 = v1.new_transaction().append_dataframe(src.where(F.col("n_regionkey") == 0)).commit()
+    n_v2 = v2.to_df(spark).count()
+
+    rolled = v2.rollback_to(snap1)
+    n_after = rolled.to_df(spark).count()
+
+    final = rolled.new_transaction().append_dataframe(src.where(F.col("n_regionkey") == 1)).commit()
+    n_final = final.to_df(spark).count()
+    n_snaps = len(final.metadata.snapshots)
+
+    return spark.createDataFrame(
+        [(n_v1, n_v2, n_after, n_final, n_snaps)],
+        "n_v1 long, n_v2 long, n_after_rollback long, n_final long, n_snapshots long",
+    )

@@ -264,6 +264,33 @@ class Table:
 
         return self._commit_metadata_edit(edit, "ref")
 
+    def rollback_to(self, snapshot_id: int) -> "Table":
+        """Iceberg's rollback_to_snapshot: point ``current_snapshot_id``
+        back to an earlier RETAINED snapshot via a metadata-only CAS commit.
+        Nothing is deleted — the rolled-past snapshots stay in history (and
+        remain time-travelable until expiry), so a bad commit is undone in
+        O(1) metadata with a preserved audit trail; the next data commit
+        chains from the restored state.
+
+        Unlike refs/spec edits, rollback does NOT commute with concurrent
+        data commits — it deliberately discards them from the main lineage.
+        The CAS retry therefore re-applies the rollback over any concurrent
+        winner (rollback-wins semantics, matching Iceberg where rollback is
+        itself just a commit); callers who want fail-on-concurrent-write
+        should check the pointer afterwards.
+        """
+        from dataclasses import replace as _dc_replace
+
+        if snapshot_id not in self.metadata.snapshot_ids():
+            raise ValueError(f"cannot roll back to unknown snapshot {snapshot_id}")
+
+        def edit(md):
+            if snapshot_id not in md.snapshot_ids():
+                raise ValueError(f"snapshot {snapshot_id} expired during rollback retry")
+            return _dc_replace(md, current_snapshot_id=snapshot_id)
+
+        return self._commit_metadata_edit(edit, "rollback")
+
     def to_df(
         self,
         spark: SparkSession,

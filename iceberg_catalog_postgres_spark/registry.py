@@ -214,6 +214,7 @@ PRIORITY: tuple[str, ...] = (
     "udf_map_in_arrow_netprice",
     "mm_resize_plan",
     "sim_ann_multiprobe_recall",
+    "catalog_rollback_snapshot",
     "recursive_cte_month_series",
     "embed_diversity_label",
     "sample_cap_per_stratum",

@@ -881,3 +881,36 @@ def test_remove_orphan_files_planted_and_time_travel_safe(catalog, spark):
     assert sorted(r["one"] for r in tt.collect()) == ["a", "b"]
     # current read unaffected
     assert sorted(r["one"] for r in t.to_df(spark).collect()) == ["c"]
+
+
+def test_rollback_to_snapshot_preserves_history(catalog, spark):
+    """rollback_to: pointer returns to the old snapshot, the rolled-past
+    snapshot stays time-travelable, the next commit chains from the restored
+    state, and unknown ids are rejected."""
+    ident = TableIdentifier.parse("test.rollback")
+    t = catalog.create_table(ident, SCHEMA)
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame([("a", "1"), ("b", "2")], SCHEMA)
+    ).commit()
+    snap1 = t.metadata.current_snapshot().snapshot_id
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame([("bad", "x")], SCHEMA)
+    ).commit()
+    snap2 = t.metadata.current_snapshot().snapshot_id
+    assert t.to_df(spark).count() == 3
+
+    rolled = t.rollback_to(snap1)
+    assert rolled.metadata.current_snapshot().snapshot_id == snap1
+    assert rolled.to_df(spark).count() == 2
+    # the bad commit is still reachable by explicit time travel
+    assert rolled.to_df(spark, snapshot_id=snap2).count() == 3
+
+    fixed = rolled.new_transaction().append_dataframe(
+        spark.createDataFrame([("c", "3")], SCHEMA)
+    ).commit()
+    assert fixed.to_df(spark).count() == 3
+    assert sorted(r["one"] for r in fixed.to_df(spark).collect()) == ["a", "b", "c"]
+    assert len(fixed.metadata.snapshots) == 3  # nothing deleted
+
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        fixed.rollback_to(999999)
