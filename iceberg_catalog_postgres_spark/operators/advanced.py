@@ -190,6 +190,45 @@ def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_nth_first_last",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           first_value(o_totalprice) OVER w AS first_price,
+           nth_value(o_totalprice, 2) OVER w AS second_price,
+           last_value(o_totalprice) OVER w AS latest_price
+    FROM orders
+    WHERE o_custkey <= 200
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("advanced", "window"),
+)
+def window_nth_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / nth_value / last_value navigation window functions over
+    an explicit whole-partition frame: per customer, the first order's
+    price, the second's (NULL for single-order customers), and the latest's.
+    The explicit UNBOUNDED..UNBOUNDED frame matters — last_value under the
+    default frame (..CURRENT ROW) is a classic silent-wrong-answer.
+
+    Scale: one shuffle on o_custkey serves all three functions; navigation
+    functions add no extra pass over the sorted partition.
+    """
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 200)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+        F.last("o_totalprice").over(w).alias("latest_price"),
+    )
+
+
+@register(
     "date_spine_monthly",
     oracle="""
     WITH spine AS (

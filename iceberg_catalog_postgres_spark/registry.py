@@ -215,6 +215,7 @@ PRIORITY: tuple[str, ...] = (
     "mm_resize_plan",
     "sim_ann_multiprobe_recall",
     "catalog_rollback_snapshot",
+    "window_nth_first_last",
     "recursive_cte_month_series",
     "embed_diversity_label",
     "sample_cap_per_stratum",
