@@ -30,6 +30,7 @@ import hmac
 import os
 import socket
 import struct
+import unicodedata
 import urllib.parse as _up
 
 
@@ -77,6 +78,50 @@ def _decode(raw: bytes, oid: int):
     return text
 
 
+#: RFC 3454 table B.1 "commonly mapped to nothing" — SASLprep drops these
+#: before normalization (soft hyphen, zero-widths, variation selectors, BOM).
+_SASLPREP_MAP_TO_NOTHING = frozenset(
+    "\u00ad\u034f\u1806\u180b\u180c\u180d\u200b\u200c\u200d\u2060\ufeff"
+    + "".join(chr(c) for c in range(0xFE00, 0xFE10))  # variation selectors
+)
+
+
+def _saslprep(s: str) -> str:
+    """RFC 4013 SASLprep, which RFC 5802 §2.2 mandates for SCRAM passwords.
+
+    Printable ASCII (the overwhelmingly common case) is the identity under
+    the profile and passes through untouched. Otherwise: map non-ASCII
+    spaces to SPACE and drop map-to-nothing code points (§2.1), NFKC
+    normalize (§2.2), then reject prohibited output — control, private-use,
+    surrogate, non-character, and unassigned code points (§2.3/§2.5) — and
+    strings that violate the bidi rules (§2.4). Raises PgError so a bad
+    password surfaces through the same channel as a server auth failure.
+    """
+    if all(0x20 <= ord(c) <= 0x7E for c in s):
+        return s
+    mapped = "".join(
+        " " if unicodedata.category(ch) == "Zs" else ch
+        for ch in s
+        if ch not in _SASLPREP_MAP_TO_NOTHING
+    )
+    out = unicodedata.normalize("NFKC", mapped)
+    for ch in out:
+        cp = ord(ch)
+        if (
+            unicodedata.category(ch) in ("Cc", "Cf", "Co", "Cs", "Cn")
+            or 0xFDD0 <= cp <= 0xFDEF
+            or (cp & 0xFFFE) == 0xFFFE
+        ):
+            raise PgError(
+                {"S": "FATAL", "M": f"SASLprep: prohibited code point U+{cp:04X} in password"}
+            )
+    bidi = [unicodedata.bidirectional(ch) for ch in out]
+    if any(b in ("R", "AL") for b in bidi):
+        if any(b == "L" for b in bidi) or bidi[0] not in ("R", "AL") or bidi[-1] not in ("R", "AL"):
+            raise PgError({"S": "FATAL", "M": "SASLprep: bidi rule violation in password"})
+    return out
+
+
 class _ScramClient:
     """SCRAM-SHA-256 client state machine (RFC 5802 / RFC 7677), the subset
     PostgreSQL's AuthenticationSASL flow exercises. Channel binding is not
@@ -87,7 +132,7 @@ class _ScramClient:
         # username stays empty against PostgreSQL (the server takes it from
         # the startup packet and ignores the SCRAM n= field); it is a
         # parameter so the RFC 7677 test vector can drive this class as-is.
-        self._password = password.encode()
+        self._password = _saslprep(password).encode()
         self._nonce = nonce or base64.b64encode(os.urandom(18)).decode()
         self._client_first_bare = f"n={username},r={self._nonce}".encode()
         self._auth_message: bytes | None = None
@@ -112,6 +157,15 @@ class _ScramClient:
 
     def verify_server_final(self, server_final: bytes) -> None:
         attrs = dict(kv.split(b"=", 1) for kv in server_final.split(b","))
+        # RFC 5802 §7: server-final-message is either v=<signature> or
+        # e=<server-error-value>. Surface the server's own error text rather
+        # than reporting it as a signature mismatch.
+        if b"e" in attrs:
+            raise PgError({"S": "FATAL", "M": f"SCRAM server error: {attrs[b'e'].decode()}"})
+        if self._salted is None or self._auth_message is None:
+            raise PgError(
+                {"S": "FATAL", "M": "SCRAM server-final received before server-first exchange"}
+            )
         server_key = hmac.new(self._salted, b"Server Key", hashlib.sha256).digest()
         expected = hmac.new(server_key, self._auth_message, hashlib.sha256).digest()
         if base64.b64decode(attrs.get(b"v", b"")) != expected:

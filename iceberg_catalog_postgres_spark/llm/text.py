@@ -372,9 +372,15 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     everything = Window.partitionBy()
+    # Languages whose every doc failed the quality gate contribute only a
+    # NULL-hash group; they must still feed the global attrition totals
+    # (n_docs_in) but emit NO output row — matching the filter-then-dedup
+    # contract (and the oracle). The filter sits ABOVE the window (it is not
+    # on a partition key, so Catalyst cannot push it below), so totals are
+    # computed over all languages before zero-kept rows are dropped.
     return per_lang.select(
         "lang",
         "n_docs_kept",
         F.sum("lang_total").over(everything).alias("n_docs_in"),
         F.sum("lang_quality").over(everything).alias("n_after_quality"),
-    )
+    ).where(F.col("n_docs_kept") > 0)

@@ -23,6 +23,7 @@ from iceberg_catalog_postgres_spark.catalog.catalog import (
     TableIdentifier,
 )
 from iceberg_catalog_postgres_spark.catalog.metadata import FIELD_ID_KEY
+from iceberg_catalog_postgres_spark.catalog.pgwire import PgError
 
 from conftest import PG_BIN, PG_DIR
 
@@ -251,8 +252,10 @@ def test_wire_server_restart_mid_cas(pg_url, tmp_path):
     assert res.returncode == 0, res.stderr[-200:]
 
     # The stale connection must surface a hard error — not hang, not
-    # fabricate a rowcount the CAS gate would misread as committed.
-    with pytest.raises((ConnectionError, OSError, Exception)):
+    # fabricate a rowcount the CAS gate would misread as committed. Only the
+    # wire-level failure modes are acceptable: PgError (server noticed the
+    # half-open session), ConnectionError/OSError (socket reset/EPIPE).
+    with pytest.raises((PgError, ConnectionError, OSError)):
         t.new_transaction().append_files(["data/after-restart.parquet"]).commit()
     cat.backend.close()
 
