@@ -59,10 +59,6 @@ def compact_table(spark: SparkSession, table: Table, target_partitions: int = 1)
     return table.new_transaction().overwrite_dataframe(current).commit()
 
 
-# shared with Table.to_df's prune path
-from iceberg_catalog_postgres_spark.catalog.table import _file_range_stats  # noqa: E402
-
-
 def delete_where_mor(spark: SparkSession, table: Table, condition) -> Table:
     """Arbitrary-predicate merge-on-read DELETE: scan once (predicate pushed
     to the parquet reader), capture the matched rows' scan identity
@@ -91,12 +87,13 @@ def delete_where_cow(
     spark: SparkSession, table: Table, column: str, lo, hi
 ) -> tuple[Table, int, int]:
     """Partition-scoped copy-on-write DELETE of rows with ``column`` in
-    [lo, hi]: prune the file list with parquet-footer min/max stats (the
-    same decision Iceberg makes from manifest bounds), rewrite ONLY the
-    files whose range intersects the predicate, and commit kept+rewritten
-    as one snapshot. Files outside the range are carried over byte-identical
-    — at 100 TB a delete touching one day of a time-partitioned table
-    rewrites that day, not the table.
+    [lo, hi]: prune the file list with manifest min/max bounds (written at
+    commit time; parquet-footer fallback for statless legacy files), rewrite
+    ONLY the files whose range intersects the predicate, and commit
+    kept+rewritten as one snapshot. Files outside the range are carried over
+    byte-identical — at 100 TB a delete touching one day of a
+    time-partitioned table rewrites that day, not the table, and DECIDING
+    which files to touch reads zero footers.
 
     Pending equality deletes are preserved (the snapshot inherits them), so
     merge-on-read and copy-on-write deletes compose.
@@ -107,8 +104,10 @@ def delete_where_cow(
     rel_files = table.metadata.current_data_files()
     kept, to_rewrite = [], []
     for rel in rel_files:
-        stats = _file_range_stats(store.resolve(rel), column)
-        if stats is not None and (stats[1] < lo or stats[0] > hi):
+        stats = table.file_bounds(rel, column)
+        if stats is not None and (
+            (stats[1] is not None and stats[1] < lo) or stats[0] > hi
+        ):
             kept.append(rel)  # provably disjoint from the delete range
         else:
             to_rewrite.append(rel)
@@ -194,6 +193,12 @@ def delete_where_cow(
     next_seq = table.metadata.next_sequence_number()
     inherited_seqs = table.metadata.current_file_seqs()
     inherited_parts = table.metadata.current_file_partitions()
+    inherited_stats = table.metadata.current_file_stats()
+    from iceberg_catalog_postgres_spark.catalog.table import collect_file_stats
+
+    new_stats = {
+        rel: collect_file_stats(store.resolve(rel)) for rel in new_files
+    }
     snapshot = Snapshot(
         snapshot_id=new_snapshot_id(table.metadata.snapshot_ids()),
         timestamp_ms=int(_time.time() * 1000),
@@ -206,6 +211,12 @@ def delete_where_cow(
         # kept files retain their partition tuples; the (non-partition-aware)
         # rewrite output carries none and stays superset-safe in pruning
         file_partitions={f: inherited_parts[f] for f in kept if f in inherited_parts},
+        # kept files retain their stats; rewritten files get fresh ones from
+        # the footers this writer just produced (same cost model as append)
+        file_stats={
+            **{f: inherited_stats[f] for f in [*kept, *table.metadata.current_delete_files(), *table.metadata.current_position_delete_files()] if f in inherited_stats},
+            **new_stats,
+        },
         summary={
             "cow-delete-column": column,
             "files-rewritten": str(len(to_rewrite)),
@@ -457,6 +468,105 @@ def catalog_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
             F.sum("o_orderkey").alias("key_sum"),
         )
+    )
+
+
+@register(
+    "catalog_stats_pruned_scan",
+    oracle="""
+    WITH b AS (
+      SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi FROM orders
+    ),
+    f AS (
+      SELECT o_orderkey FROM orders, b
+      WHERE o_orderkey >= b.lo + (b.hi - b.lo) // 2
+        AND o_orderkey <  b.lo + 3 * (b.hi - b.lo) // 4
+    )
+    SELECT CAST(count(*) AS BIGINT)        AS n_rows_stats_pruned,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum_stats_pruned,
+           CAST(count(*) AS BIGINT)        AS n_rows_full_filter,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum_full_filter,
+           true                            AS footer_plan_parity,
+           CAST((SELECT count(*) FROM orders) AS BIGINT) AS manifest_total,
+           CAST((SELECT count(*) FROM orders) AS BIGINT) AS scan_total
+    FROM f
+    """,
+    tags=("catalog", "scan-planning", "pruning", "stats"),
+)
+def catalog_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certification of manifest-statistics planning (r5, the scan-based
+    cross-check the metadata-only queries point at): orders lands as 4
+    range-partitioned files whose stats were written into the snapshot at
+    commit; a third-quartile range query then
+
+    1. plans via MANIFEST bounds with ``require_stats=True`` and asserts the
+       footer-read counter did not move — pure-metadata planning, zero opens;
+    2. asserts the planned set equals the r4 footer-pruned set (plan parity,
+       reported as a certified boolean column);
+    3. scans the stats-planned files and compares against the full-scan
+       filter — the oracle pins both to the same values (three-way row
+       parity: stats-pruned == footer-pruned == full-scan filter);
+    4. cross-checks the manifest ``record_count`` total against a real
+       ``count(*)`` scan (``manifest_total`` / ``scan_total`` columns).
+
+    Scale: at 10^7 files the r4 shape opened every footer on the driver
+    before the query could start (hours on object storage); this plans from
+    the metadata JSON in one dict scan. The data scans here exist only to
+    certify the plan's correctness at fixture scale.
+    """
+    import iceberg_catalog_postgres_spark.catalog.table as _tm
+    from iceberg_catalog_postgres_spark.catalog.table import _file_range_stats
+
+    cat = _fresh_catalog("catalog_stats_pruned_scan_demo")
+    src = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderstatus")
+    lo, hi = src.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    b2 = lo + (hi - lo) // 2
+    b3 = lo + 3 * (hi - lo) // 4
+    b1 = lo + (hi - lo) // 4
+
+    table = cat.create_table(TableIdentifier.parse("maint.orders_stats"), src.schema)
+    for rng_lo, rng_hi in ((lo, b1 - 1), (b1, b2 - 1), (b2, b3 - 1), (b3, hi)):
+        chunk = src.filter(F.col("o_orderkey").between(rng_lo, rng_hi))
+        table = table.new_transaction().append_dataframe(chunk).commit()
+
+    before = _tm.PLANNING_FOOTER_READS
+    planned_stats = table.planned_files("o_orderkey", b2, b3 - 1, require_stats=True)
+    manifest_total = table.record_count()
+    assert _tm.PLANNING_FOOTER_READS == before, "stats planning opened a footer"
+    assert 0 < len(planned_stats) < len(table.metadata.current_data_files())
+
+    # r4 footer-pruned plan, reproduced for the parity check
+    store = cat.object_store()
+    planned_footer = []
+    for rel in table.metadata.current_data_files():
+        st = _file_range_stats(store.resolve(rel), "o_orderkey")
+        if st is None or not (st[1] < b2 or st[0] > b3 - 1):
+            planned_footer.append(store.resolve(rel))
+    parity = sorted(planned_stats) == sorted(planned_footer)
+
+    pruned = (
+        spark.read.schema(table.schema)
+        .parquet(*planned_stats)
+        .filter(F.col("o_orderkey").between(b2, b3 - 1))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows_stats_pruned"),
+            F.sum("o_orderkey").alias("key_sum_stats_pruned"),
+        )
+    )
+    full = (
+        table.to_df(spark)
+        .filter(F.col("o_orderkey").between(b2, b3 - 1))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows_full_filter"),
+            F.sum("o_orderkey").alias("key_sum_full_filter"),
+        )
+    )
+    scan_total = table.to_df(spark).count()
+    return (
+        pruned.crossJoin(F.broadcast(full))
+        .withColumn("footer_plan_parity", F.lit(parity))
+        .withColumn("manifest_total", F.lit(manifest_total).cast("long"))
+        .withColumn("scan_total", F.lit(scan_total).cast("long"))
     )
 
 
@@ -788,15 +898,21 @@ def catalog_expire_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def catalog_files_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ``files`` metadata table (Iceberg's ``table$files``), rolled up
-    per partition: file counts come from the snapshot's recorded partition
-    tuples (METADATA ONLY — zero data files opened for that column), row
-    counts from one pruned scan. A single-task append writes exactly one
-    file per partition value, which the oracle pins.
+    per partition: file counts from the snapshot's recorded partition tuples
+    AND row counts from the per-file manifest ``record_count`` (r5) —
+    METADATA ONLY, zero data files opened (asserted via the footer-read
+    counter; the plan is a LocalTableScan over driver-built rows). A
+    single-task append writes exactly one file per partition value, which
+    the oracle pins; per-partition row counts must still equal the source's
+    ``count(*) GROUP BY``.
 
     Scale: per-partition file counts are the small-file early-warning signal
-    (streaming commits × partitions); serving them from manifest metadata
-    instead of listing 10^7 files is the point of the metadata tree.
+    (streaming commits × partitions); serving counts from manifest metadata
+    instead of listing + scanning 10^7 files is the point of the metadata
+    tree.
     """
+    import iceberg_catalog_postgres_spark.catalog.table as _tm
+
     cat = _fresh_catalog("catalog_files_meta")
     src = load(spark, sf_dir, "nation").coalesce(1)
     ident = TableIdentifier.parse("meta.nation_part")
@@ -804,18 +920,18 @@ def catalog_files_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = table.new_transaction().append_dataframe(src).commit()
 
     parts = table.metadata.current_file_partitions()
-    rows = [(tup["n_regionkey"],) for tup in parts.values()]
-    files_df = (
-        spark.createDataFrame(rows, "partition_value string")
+    stats = table.metadata.current_file_stats()
+    before = _tm.PLANNING_FOOTER_READS
+    rows = [
+        (parts[f]["n_regionkey"], stats[f]["record_count"])
+        for f in table.metadata.current_data_files()
+    ]
+    assert _tm.PLANNING_FOOTER_READS == before, "metadata rollup opened a footer"
+    return (
+        spark.createDataFrame(rows, "partition_value string, rc long")
         .groupBy("partition_value")
-        .agg(F.count(F.lit(1)).alias("n_files"))
+        .agg(F.count(F.lit(1)).alias("n_files"), F.sum("rc").alias("n_rows"))
     )
-    counts = (
-        table.to_df(spark)
-        .groupBy(F.col("n_regionkey").cast("string").alias("partition_value"))
-        .agg(F.count(F.lit(1)).alias("n_rows"))
-    )
-    return files_df.join(counts, "partition_value")
 
 
 @register(

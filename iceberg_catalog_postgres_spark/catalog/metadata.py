@@ -44,6 +44,34 @@ from pyspark.sql.types import (
 
 FIELD_ID_KEY = "iceberg.field-id"
 
+
+def encode_bound(v):
+    """JSON-safe encoding of a column bound value (Iceberg manifests store
+    lower/upper bounds as typed binary; JSON metadata stores them with a type
+    tag instead). Returns None for types we don't carry bounds for (binary,
+    decimal, nested) — the column then simply has no manifest bound and scan
+    planning falls back to the footer for it."""
+    import datetime as _dt
+
+    if isinstance(v, (bool, int, float, str)):
+        return v
+    if isinstance(v, _dt.datetime):
+        return {"$t": "ts", "v": v.isoformat()}
+    if isinstance(v, _dt.date):
+        return {"$t": "date", "v": v.isoformat()}
+    return None
+
+
+def decode_bound(v):
+    import datetime as _dt
+
+    if isinstance(v, dict):
+        if v.get("$t") == "ts":
+            return _dt.datetime.fromisoformat(v["v"])
+        if v.get("$t") == "date":
+            return _dt.date.fromisoformat(v["v"])
+    return v
+
 _PRIMITIVES: dict[str, DataType] = {
     "boolean": BooleanType(),
     "int": IntegerType(),
@@ -143,11 +171,19 @@ def snapshot_entries(snapshot: "Snapshot") -> list[dict]:
         entry = {"path": path, "kind": "data", "seq": snapshot.file_seqs.get(path, 0)}
         if path in snapshot.file_partitions:
             entry["partition"] = snapshot.file_partitions[path]
+        if path in snapshot.file_stats:
+            entry["stats"] = snapshot.file_stats[path]
         out.append(entry)
     for path in snapshot.delete_files:
-        out.append({"path": path, "kind": "eq-delete", "seq": snapshot.file_seqs.get(path, 0)})
+        entry = {"path": path, "kind": "eq-delete", "seq": snapshot.file_seqs.get(path, 0)}
+        if path in snapshot.file_stats:
+            entry["stats"] = snapshot.file_stats[path]
+        out.append(entry)
     for path in snapshot.position_delete_files:
-        out.append({"path": path, "kind": "pos-delete", "seq": snapshot.file_seqs.get(path, 0)})
+        entry = {"path": path, "kind": "pos-delete", "seq": snapshot.file_seqs.get(path, 0)}
+        if path in snapshot.file_stats:
+            entry["stats"] = snapshot.file_stats[path]
+        out.append(entry)
     return out
 
 
@@ -231,6 +267,16 @@ class Snapshot:
     """path -> {column: string value} partition tuple for tables with a
     partition spec (Iceberg manifest partition summaries): scan planning
     prunes on these from metadata alone — no footer reads, no listing."""
+    file_stats: dict = field(default_factory=dict)
+    """path -> {"record_count": int, "bounds": {col: [lo, hi]}} — the Iceberg
+    manifest file-statistics model (record_count + lower_bounds/upper_bounds
+    per the public spec). Written at commit time from footers the writer
+    already has in hand; read-side scan planning and row counts answer from
+    these with ZERO file opens. Bounds are encode_bound-tagged JSON values;
+    string bounds are truncated Iceberg-style (lower = prefix, upper = prefix
+    with last code point incremented, or null when un-incrementable). Files
+    committed before this field existed simply have no entry — readers fall
+    back to the footer for those (statless-legacy path)."""
 
     def to_json(self) -> dict:
         common = {
@@ -249,6 +295,7 @@ class Snapshot:
             "position-delete-files": self.position_delete_files,
             "file-seqs": self.file_seqs,
             "file-partitions": self.file_partitions,
+            "file-stats": self.file_stats,
         }
 
     @staticmethod
@@ -263,6 +310,7 @@ class Snapshot:
             pos: list[str] = []
             seqs: dict = {}
             parts: dict = {}
+            stats: dict = {}
             for m in d["manifests"]:
                 doc = json.loads(store.get(m).decode("utf-8"))
                 for e in doc["entries"]:
@@ -276,6 +324,8 @@ class Snapshot:
                     seqs[path] = e.get("seq", 0)
                     if e.get("partition") is not None:
                         parts[path] = e["partition"]
+                    if e.get("stats") is not None:
+                        stats[path] = e["stats"]
             return Snapshot(
                 snapshot_id=d["snapshot-id"],
                 timestamp_ms=d["timestamp-ms"],
@@ -288,6 +338,7 @@ class Snapshot:
                 file_seqs=seqs,
                 manifests=list(d["manifests"]),
                 file_partitions=parts,
+                file_stats=stats,
             )
         return Snapshot(
             snapshot_id=d["snapshot-id"],
@@ -300,6 +351,7 @@ class Snapshot:
             sequence_number=d.get("sequence-number", 0),
             file_seqs=dict(d.get("file-seqs", {})),
             file_partitions=dict(d.get("file-partitions", {})),
+            file_stats=dict(d.get("file-stats", {})),
         )
 
 
@@ -369,6 +421,10 @@ class TableMetadata:
     def current_file_partitions(self) -> dict:
         snap = self.current_snapshot()
         return dict(snap.file_partitions) if snap else {}
+
+    def current_file_stats(self) -> dict:
+        snap = self.current_snapshot()
+        return dict(snap.file_stats) if snap else {}
 
     def next_sequence_number(self) -> int:
         return max((s.sequence_number for s in self.snapshots), default=0) + 1

@@ -81,17 +81,24 @@ def _fresh(name: str) -> PostgresCatalog:
     tags=("catalog", "timetravel"),
 )
 def catalog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time travel + incremental read over the snapshot lineage: commit v1
-    (full nation), commit v2 (append the region-0 rows again), then read (a)
-    the table AS OF snapshot v1, (b) the current snapshot, (c) the v1→v2
-    incremental delta — the reference's metadata tree (iceberg-rs snapshots,
-    mod.rs:217-220) driving three distinct scans of the same table.
+    """Time travel + incremental row counts over the snapshot lineage:
+    commit v1 (full nation), commit v2 (append the region-0 rows again),
+    then answer (a) the row count AS OF snapshot v1, (b) the current count,
+    (c) the v1→v2 incremental delta count — ALL from manifest
+    ``record_count`` sums (r5: stats are written into the snapshot at commit
+    time), exactly how Iceberg serves ``total-records``. The reference's
+    metadata tree (iceberg-rs snapshots, mod.rs:217-220) is walked three
+    ways; ZERO data files are opened (asserted via the footer-read counter —
+    the plan has no FileScan at all).
 
-    Scale: time travel is a metadata choice — both reads plan file lists from
-    their snapshot's manifest, no copy-on-read; the incremental read plans
-    ONLY the delta files (O(delta), not O(table)), which is what makes
-    snapshot-chained CDC consumers cheap at 100 TB.
+    Scale: at 100 TB × 1,000 snapshots this is the difference between three
+    O(#files) dict folds and three full-table scans. The incremental count
+    folds ONLY the delta files' stats (O(delta), not O(table)). The
+    scan-based cross-check lives in ``catalog_stats_pruned_scan``'s
+    oracle-certified parity row.
     """
+    import iceberg_catalog_postgres_spark.catalog.table as _tm
+
     cat = _fresh("catalog_time_travel")
     src = load(spark, sf_dir, "nation")
     ident = TableIdentifier.parse("tt.nation")
@@ -102,14 +109,17 @@ def catalog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     v1.new_transaction().append_dataframe(src.where(F.col("n_regionkey") == 0)).commit()
 
     t = cat.load_table(ident)
-    df_v1 = t.to_df(spark, snapshot_id=snap1)
-    df_cur = t.to_df(spark)
     snap2 = t.metadata.current_snapshot().snapshot_id
-    df_delta = t.incremental_df(spark, from_snapshot_id=snap1, to_snapshot_id=snap2)
-    return (
-        df_v1.agg(F.count(F.lit(1)).alias("n_v1"))
-        .crossJoin(F.broadcast(df_cur.agg(F.count(F.lit(1)).alias("n_current"))))
-        .crossJoin(F.broadcast(df_delta.agg(F.count(F.lit(1)).alias("n_incremental"))))
+    old_files = set(t.metadata.snapshot_by_id(snap1).data_files)
+    delta = [f for f in t.metadata.snapshot_by_id(snap2).data_files if f not in old_files]
+    before = _tm.PLANNING_FOOTER_READS
+    n_v1 = t.record_count(snapshot_id=snap1)
+    n_current = t.record_count()
+    n_incremental = t.record_count(snapshot_id=snap2, files=delta)
+    assert _tm.PLANNING_FOOTER_READS == before, "metadata count opened a footer"
+    return spark.createDataFrame(
+        [(n_v1, n_current, n_incremental)],
+        "n_v1 long, n_current long, n_incremental long",
     )
 
 
@@ -130,13 +140,18 @@ def catalog_snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     AS OF that snapshot — lineage: append 25 → append 5 more → overwrite
     down to the region-0 rows.
 
-    Scale: row counts here are computed by scanning each snapshot (fixture
-    scale); a production metadata table serves them from manifest summary
-    counts without touching data — the query shape (createDataFrame over
-    metadata) is the same either way. Non-deterministic fields (snapshot ids,
-    wall-clock timestamps) are deliberately excluded so the contract is
-    checkable; they exist on the Snapshot objects.
+    Scale: row counts are MANIFEST ``record_count`` folds (r5) — every
+    snapshot's count is O(its #files) metadata, zero data reads, exactly how
+    Iceberg's ``table$snapshots`` serves ``total-records``. At 100 TB ×
+    1,000 snapshots the pre-r5 shape (one scan per snapshot) read the table
+    once per history row; this reads nothing (asserted via the footer-read
+    counter — the plan is a LocalTableScan over driver-built metadata rows).
+    Non-deterministic fields (snapshot ids, wall-clock timestamps) are
+    deliberately excluded so the contract is checkable; they exist on the
+    Snapshot objects.
     """
+    import iceberg_catalog_postgres_spark.catalog.table as _tm
+
     cat = _fresh("catalog_snapshot_history")
     src = load(spark, sf_dir, "nation")
     ident = TableIdentifier.parse("meta.nation")
@@ -150,10 +165,12 @@ def catalog_snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).commit()
 
     t = cat.load_table(ident)
+    before = _tm.PLANNING_FOOTER_READS
     rows = []
     for snap in sorted(t.metadata.snapshots, key=lambda s: s.sequence_number):
-        n = t.to_df(spark, snapshot_id=snap.snapshot_id).count()
+        n = t.record_count(snapshot_id=snap.snapshot_id)
         rows.append((snap.sequence_number, snap.operation, n))
+    assert _tm.PLANNING_FOOTER_READS == before, "metadata count opened a footer"
     return spark.createDataFrame(rows, "sequence_number long, operation string, n_rows long")
 
 

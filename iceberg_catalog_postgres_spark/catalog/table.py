@@ -35,18 +35,103 @@ from iceberg_catalog_postgres_spark.catalog.catalog import (
 from iceberg_catalog_postgres_spark.catalog.metadata import (
     Snapshot,
     TableMetadata,
+    decode_bound,
+    encode_bound,
     new_snapshot_id,
     plan_manifests,
 )
+
+
+#: Iceberg's write.metadata.metrics default truncates string bounds to 16
+#: chars so wide text columns don't bloat the manifest.
+BOUND_TRUNCATE_LENGTH = 16
+
+#: Footer opens performed by the read/plan path (NOT the write path — writers
+#: legitimately read their own freshly-written footers once at commit). Lets
+#: tests and registered queries assert that stats-backed planning opened
+#: ZERO files.
+PLANNING_FOOTER_READS = 0
+
+
+def _truncate_string_bounds(lo: str, hi: str, length: int = BOUND_TRUNCATE_LENGTH):
+    """Iceberg-style string-bound truncation: the lower bound's prefix is
+    still a valid lower bound; the upper bound's prefix has its last code
+    point incremented (skipping the surrogate range) to stay a valid upper
+    bound. Returns (lo, hi) with hi=None when no prefix char is
+    incrementable — pruning then has no upper bound for the file."""
+    lo_t = lo[:length]
+    if len(hi) <= length:
+        return lo_t, hi
+    prefix = hi[:length]
+    for i in range(length - 1, -1, -1):
+        nxt = ord(prefix[i]) + 1
+        if 0xD800 <= nxt <= 0xDFFF:
+            nxt = 0xE000
+        if nxt <= 0x10FFFF:
+            return lo_t, prefix[:i] + chr(nxt)
+    return lo_t, None
+
+
+def collect_file_stats(path: str) -> dict:
+    """Per-file statistics for a manifest entry, read ONCE from the footer
+    the writer just produced (page-cache warm; on a real cluster the write
+    tasks would report these with the task result — either way the cost is
+    O(files written this commit), paid at write time, never at read time).
+
+    Returns ``{"record_count": n, "bounds": {col: [lo, hi]}}`` — the Iceberg
+    manifest model: ``record_count`` plus ``lower_bounds``/``upper_bounds``
+    per top-level primitive column (nested/binary columns and columns with
+    any statless row group are omitted; readers fall back to the footer for
+    those)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    agg: dict = {}
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            name = col.path_in_schema
+            if "." in name:
+                continue  # nested field: no top-level bound
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                agg[name] = None  # one statless row group poisons the column
+                continue
+            if name in agg and agg[name] is None:
+                continue
+            lo, hi = st.min, st.max
+            if name in agg:
+                prev_lo, prev_hi = agg[name]
+                lo, hi = min(prev_lo, lo), max(prev_hi, hi)
+            agg[name] = (lo, hi)
+    bounds = {}
+    for name, v in agg.items():
+        if v is None:
+            continue
+        lo, hi = v
+        if isinstance(lo, str) and isinstance(hi, str):
+            lo, hi = _truncate_string_bounds(lo, hi)
+        lo_e = encode_bound(lo)
+        hi_e = None if hi is None else encode_bound(hi)
+        if lo_e is None:
+            continue  # unsupported bound type (bytes, decimal, ...)
+        bounds[name] = [lo_e, hi_e]
+    return {"record_count": md.num_rows, "bounds": bounds}
 
 
 def _file_range_stats(path: str, column: str) -> tuple | None:
     """(min, max) of ``column`` across a parquet file's row groups, read
     from the FOOTER only — the local analogue of Iceberg manifest
     lower/upper bounds. Returns None when stats are absent (then the file
-    must be treated as possibly-matching)."""
+    must be treated as possibly-matching). Since round 5 this is the
+    FALLBACK for statless legacy files; freshly-committed files answer from
+    manifest stats with zero opens (``PLANNING_FOOTER_READS`` counts the
+    fallback hits so tests can pin the zero)."""
     import pyarrow.parquet as pq
 
+    global PLANNING_FOOTER_READS
+    PLANNING_FOOTER_READS += 1
     md = pq.ParquetFile(path).metadata
     lo = hi = None
     for rg in range(md.num_row_groups):
@@ -150,22 +235,106 @@ class Table:
             files = self.metadata.current_position_delete_files()
         return [store.resolve(f) for f in files]
 
+    def file_bounds(
+        self, rel_path: str, column: str, snapshot_id: int | None = None
+    ) -> tuple | None:
+        """Decoded (lo, hi) bound for ``column`` of one data file: manifest
+        stats first (zero I/O), parquet footer as the statless-legacy
+        fallback. ``hi`` may be None (truncated un-incrementable string upper
+        bound) — callers may then prune only on the lower side. Returns None
+        when no bound exists anywhere (file must be treated as
+        possibly-matching)."""
+        snap = (
+            self.metadata.snapshot_by_id(snapshot_id)
+            if snapshot_id is not None
+            else self.metadata.current_snapshot()
+        )
+        b = ((snap.file_stats.get(rel_path) or {}).get("bounds") or {}).get(column) if snap else None
+        if b is not None:
+            return decode_bound(b[0]), (None if b[1] is None else decode_bound(b[1]))
+        return _file_range_stats(self.catalog.object_store().resolve(rel_path), column)
+
     def planned_files(
-        self, column: str, lo, hi, snapshot_id: int | None = None
+        self, column: str, lo, hi, snapshot_id: int | None = None, require_stats: bool = False
     ) -> list[str]:
         """Metadata-driven scan planning: the snapshot's data files whose
-        footer [min, max] for ``column`` intersects [lo, hi] (files without
-        stats are kept — they might match). This is the Iceberg
-        manifest-bounds prune expressed over parquet footers: at 100 TB a
-        time-range query over a range-partitioned table plans the handful of
-        matching files from metadata alone, never listing or opening the
-        rest."""
+        manifest [min, max] for ``column`` intersects [lo, hi] (files without
+        any bound are kept — they might match). This is the Iceberg
+        manifest-bounds prune: stats were written into the snapshot at commit
+        time, so at 100 TB a time-range query over a range-partitioned table
+        plans the handful of matching files from the metadata JSON alone —
+        zero file opens, no listing. Files committed before stats existed
+        (or via raw ``append_files``) fall back to one footer read each;
+        ``require_stats=True`` turns that fallback into an error so tests
+        can certify the pure-metadata path."""
+        snap = (
+            self.metadata.snapshot_by_id(snapshot_id)
+            if snapshot_id is not None
+            else self.metadata.current_snapshot()
+        )
+        if snap is None:
+            return []
+        store = self.catalog.object_store()
         out = []
-        for path in self.data_files(snapshot_id):
-            stats = _file_range_stats(path, column)
+        for rel in snap.data_files:
+            b = ((snap.file_stats.get(rel) or {}).get("bounds") or {}).get(column)
+            if b is not None:
+                f_lo = decode_bound(b[0])
+                f_hi = None if b[1] is None else decode_bound(b[1])
+                if (f_hi is not None and f_hi < lo) or f_lo > hi:
+                    continue  # provably disjoint, pruned from metadata alone
+                out.append(store.resolve(rel))
+                continue
+            if require_stats:
+                raise ValueError(f"no manifest bounds for column {column!r} on {rel}")
+            stats = _file_range_stats(store.resolve(rel), column)
             if stats is None or not (stats[1] < lo or stats[0] > hi):
-                out.append(path)
+                out.append(store.resolve(rel))
         return out
+
+    def record_count(
+        self, snapshot_id: int | None = None, files: list[str] | None = None, kind: str = "data"
+    ) -> int:
+        """Row count from manifest ``record_count`` sums — O(#files) metadata
+        fold, ZERO data reads (Iceberg serves ``table$snapshots`` /
+        ``total-records`` exactly this way). ``kind`` selects which file list
+        to fold: "data", "eq-delete", or "pos-delete" (the delete-file counts
+        are what lets a MOR read report how many delete entries apply without
+        re-scanning the delete files). ``files`` restricts the fold to a
+        subset (table-relative paths) — the incremental-read delta count.
+        Statless legacy files cost one footer ``num_rows`` read each (still
+        metadata I/O, never a data scan).
+
+        Note: like Iceberg's ``total-records`` summary this counts rows IN
+        the data files; it does not net out merge-on-read deletes (use
+        ``kind="eq-delete"``/``"pos-delete"`` to see the pending delete
+        volume)."""
+        snap = (
+            self.metadata.snapshot_by_id(snapshot_id)
+            if snapshot_id is not None
+            else self.metadata.current_snapshot()
+        )
+        if snap is None:
+            return 0
+        if files is None:
+            files = {
+                "data": snap.data_files,
+                "eq-delete": snap.delete_files,
+                "pos-delete": snap.position_delete_files,
+            }[kind]
+        store = self.catalog.object_store()
+        total = 0
+        for rel in files:
+            st = snap.file_stats.get(rel)
+            if st is not None and "record_count" in st:
+                total += st["record_count"]
+            else:
+                import pyarrow.parquet as pq
+
+                global PLANNING_FOOTER_READS
+                PLANNING_FOOTER_READS += 1
+                total += pq.ParquetFile(store.resolve(rel)).metadata.num_rows
+        return total
 
     def planned_files_partition(
         self, filters: dict, snapshot_id: int | None = None
@@ -585,6 +754,10 @@ class Transaction:
         self._staged_delete_files: list[str] = []
         self._staged_pos_delete_files: list[str] = []
         self._staged_partitions: dict[str, dict] = {}
+        # rel path -> {"record_count", "bounds"} collected from the writer's
+        # own footers at staging time; committed into the snapshot's
+        # file_stats so reads never open footers (Iceberg manifest metrics).
+        self._staged_stats: dict[str, dict] = {}
         # Base file set this transaction was computed against — used to
         # validate overwrite retries (Iceberg's validateNoNewFiles): an
         # overwrite's output was derived from these files, so if a concurrent
@@ -649,13 +822,15 @@ class Transaction:
                     val = _up.unquote(v)
                     tuple_vals[col] = None if val == "__HIVE_DEFAULT_PARTITION__" else val
                 self._staged_partitions[rel] = tuple_vals
+                self._staged_stats[rel] = collect_file_stats(p)
                 new_files.append(rel)
         else:
             df.write.mode("overwrite").parquet(abs_dir)
-            new_files = [
-                posixpath.join(rel_dir, _os.path.basename(p))
-                for p in sorted(_glob.glob(_os.path.join(abs_dir, "*.parquet")))
-            ]
+            new_files = []
+            for p in sorted(_glob.glob(_os.path.join(abs_dir, "*.parquet"))):
+                rel = posixpath.join(rel_dir, _os.path.basename(p))
+                self._staged_stats[rel] = collect_file_stats(p)
+                new_files.append(rel)
         return self.append_files(new_files)
 
     def overwrite_dataframe(self, df: DataFrame) -> "Transaction":
@@ -685,10 +860,10 @@ class Transaction:
         import glob as _glob
         import os as _os
 
-        self._staged_delete_files.extend(
-            posixpath.join(rel_dir, _os.path.basename(p))
-            for p in sorted(_glob.glob(_os.path.join(abs_dir, "*.parquet")))
-        )
+        for p in sorted(_glob.glob(_os.path.join(abs_dir, "*.parquet"))):
+            rel = posixpath.join(rel_dir, _os.path.basename(p))
+            self._staged_stats[rel] = collect_file_stats(p)
+            self._staged_delete_files.append(rel)
         return self
 
     def delete_positions_dataframe(self, positions: DataFrame) -> "Transaction":
@@ -713,10 +888,10 @@ class Transaction:
         import glob as _glob
         import os as _os
 
-        self._staged_pos_delete_files.extend(
-            posixpath.join(rel_dir, _os.path.basename(p))
-            for p in sorted(_glob.glob(_os.path.join(abs_dir, "*.parquet")))
-        )
+        for p in sorted(_glob.glob(_os.path.join(abs_dir, "*.parquet"))):
+            rel = posixpath.join(rel_dir, _os.path.basename(p))
+            self._staged_stats[rel] = collect_file_stats(p)
+            self._staged_pos_delete_files.append(rel)
         return self
 
     # -- commit -----------------------------------------------------------
@@ -763,6 +938,7 @@ class Transaction:
             next_seq = current.metadata.next_sequence_number()
             inherited_seqs = base_md.current_file_seqs()
             inherited_parts = base_md.current_file_partitions()
+            inherited_stats = base_md.current_file_stats()
             if self._operation == "overwrite":
                 # full rewrite: replaces the file set AND materializes/clears
                 # any pending deletes (both flavors)
@@ -771,6 +947,14 @@ class Transaction:
                 pos_delete_files: list[str] = []
                 file_seqs = {f: next_seq for f in data_files}
                 file_partitions = dict(self._staged_partitions)
+                # overwrite_files-style commits can carry over untouched files
+                # (CoW delete keeps pruned-out files byte-identical); those
+                # keep their inherited stats — only genuinely new files need
+                # the writer-collected ones.
+                file_stats = {
+                    **{f: inherited_stats[f] for f in data_files if f in inherited_stats},
+                    **self._staged_stats,
+                }
             elif self._operation == "delete":
                 # merge-on-read: data files untouched, delete files accumulate
                 data_files = list(current.metadata.current_data_files())
@@ -790,6 +974,7 @@ class Transaction:
                     },
                 }
                 file_partitions = inherited_parts
+                file_stats = {**inherited_stats, **self._staged_stats}
             else:  # append: new data inherits pending deletes unchanged
                 data_files = [*base_md.current_data_files(), *self._staged_files]
                 delete_files = list(base_md.current_delete_files())
@@ -799,6 +984,7 @@ class Transaction:
                     **{f: next_seq for f in self._staged_files},
                 }
                 file_partitions = {**inherited_parts, **self._staged_partitions}
+                file_stats = {**inherited_stats, **self._staged_stats}
             snapshot = Snapshot(
                 snapshot_id=new_snapshot_id(current.metadata.snapshot_ids()),
                 timestamp_ms=int(time.time() * 1000),
@@ -809,10 +995,17 @@ class Transaction:
                 sequence_number=next_seq,
                 file_seqs=file_seqs,
                 file_partitions=file_partitions,
+                file_stats=file_stats,
                 summary={
                     "added-files": str(len(self._staged_files)),
                     "added-delete-files": str(
                         len(self._staged_delete_files) + len(self._staged_pos_delete_files)
+                    ),
+                    "added-records": str(
+                        sum(
+                            self._staged_stats.get(f, {}).get("record_count", 0)
+                            for f in self._staged_files
+                        )
                     ),
                 },
             )
@@ -832,6 +1025,12 @@ class Transaction:
                     {"path": f, "kind": "pos-delete", "seq": next_seq}
                     for f in self._staged_pos_delete_files
                 ]
+            if staged_entries is not None:
+                for e in staged_entries:
+                    if e["path"] in self._staged_partitions:
+                        e["partition"] = self._staged_partitions[e["path"]]
+                    if e["path"] in self._staged_stats:
+                        e["stats"] = self._staged_stats[e["path"]]
             plan_manifests(
                 store,
                 current.metadata.location,

@@ -262,12 +262,14 @@ PRIORITY: tuple[str, ...] = (
     # remaining catalog + streaming + misc oracle-backed entries
     "catalog_sql_join_over_tables",
     "catalog_pruned_scan",
+    "catalog_stats_pruned_scan",
     "catalog_positional_delete",
     "catalog_cow_delete_pruned",
     "window_topk_per_group",
     "udf_apply_in_pandas_zscore",
     "stream_stream_interval_join",
     "sim_ann_multitable_lsh",
+    "sim_ann_combined_recall",
     "text_token_frequency",
     "catalog_schema_evolution",
     "catalog_incremental_read",
