@@ -334,6 +334,19 @@ class PgWireConnection:
                 tag = body.rstrip(b"\x00").decode().split()
                 if tag and tag[-1].isdigit():
                     rowcount = int(tag[-1])
+            elif t == b"G":
+                # CopyInResponse: this client does not speak COPY-in. Fail
+                # the copy loudly (CopyFail) instead of deadlocking — the
+                # server would wait for CopyData while we wait for its next
+                # message. A FRESH Sync must follow: the backend ignores
+                # Sync while in copy-in mode (so our pipelined one is
+                # already consumed), and after the CopyFail error it
+                # discards messages UNTIL a Sync — without this the session
+                # deadlocks (found by the mid-COPY fault test). The error
+                # then surfaces as PgError at ReadyForQuery below; the
+                # connection stays usable.
+                self._send(b"f", self._cstr(b"COPY FROM STDIN is not supported by this client"))
+                self._send(b"S", b"")
             elif t == b"E":
                 error = PgError(self._error_fields(body))
             elif t == b"Z":
@@ -341,7 +354,10 @@ class PgWireConnection:
                     raise error
                 return rows, rowcount
             # '1' ParseComplete, '2' BindComplete, 'T' RowDescription,
-            # 'n' NoData, 'N' Notice, 'S' ParameterStatus: no action needed
+            # 'n' NoData, 'N' Notice, 'S' ParameterStatus: no action needed.
+            # COPY-out ('H' CopyOutResponse, 'd' CopyData, 'c' CopyDone)
+            # likewise drains harmlessly — the data is discarded and the
+            # CommandComplete tag still yields the rowcount.
 
     def close(self) -> None:
         try:

@@ -191,3 +191,94 @@ def test_scram_client_rejects_nonce_truncation():
     c = _ScramClient("pw", nonce="clientnonce")
     with pytest.raises(PgError, match="nonce"):
         c.client_final(b"r=evilnonce,s=W22ZaJ0SNY7soEsUEjb6gQ==,i=4096")
+
+
+def _fake_sasl_server(mechanisms: list[str]) -> int:
+    """Minimal scripted backend: accepts one connection, reads the startup
+    packet, answers AuthenticationSASL advertising ``mechanisms``, then
+    closes. Enough to drive the client's mechanism-selection branch."""
+    import socket
+    import struct
+    import threading
+
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def run():
+        conn, _ = srv.accept()
+        (ln,) = struct.unpack("!I", conn.recv(4))
+        conn.recv(ln - 4)  # startup payload, discarded
+        payload = (
+            struct.pack("!I", 10)
+            + b"".join(m.encode() + b"\x00" for m in mechanisms)
+            + b"\x00"
+        )
+        conn.sendall(b"R" + struct.pack("!I", len(payload) + 4) + payload)
+        try:
+            conn.recv(65536)
+        except OSError:
+            pass
+        conn.close()
+        srv.close()
+
+    threading.Thread(target=run, daemon=True).start()
+    return port
+
+
+def test_channel_binding_only_server_refused_cleanly():
+    """r4 brief item 7: a server offering ONLY SCRAM-SHA-256-PLUS (channel
+    binding required) must be refused with a clear PgError naming the
+    mechanism gap — not a crash, not an attempted -PLUS handshake this
+    non-SSL client cannot complete (gs2 header is 'n,,')."""
+    import pytest
+
+    from iceberg_catalog_postgres_spark.catalog.pgwire import PgError, PgWireConnection
+
+    port = _fake_sasl_server(["SCRAM-SHA-256-PLUS"])
+    with pytest.raises(PgError, match="SCRAM-SHA-256-PLUS"):
+        PgWireConnection(f"postgres://u:pw@127.0.0.1:{port}/db")
+
+
+def test_plain_scram_still_selected_when_both_offered():
+    """When the server offers both -PLUS and plain SCRAM-SHA-256 (the normal
+    non-SSL PostgreSQL posture), negotiation proceeds with the plain
+    mechanism: the client's SASLInitialResponse names SCRAM-SHA-256."""
+    import socket
+    import struct
+    import threading
+
+    import pytest
+
+    from iceberg_catalog_postgres_spark.catalog.pgwire import PgWireConnection
+
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    seen: dict = {}
+
+    def run():
+        conn, _ = srv.accept()
+        (ln,) = struct.unpack("!I", conn.recv(4))
+        conn.recv(ln - 4)
+        payload = (
+            struct.pack("!I", 10) + b"SCRAM-SHA-256-PLUS\x00SCRAM-SHA-256\x00\x00"
+        )
+        conn.sendall(b"R" + struct.pack("!I", len(payload) + 4) + payload)
+        head = conn.recv(5)
+        (mlen,) = struct.unpack("!I", head[1:5])
+        body = b""
+        while len(body) < mlen - 4:
+            body += conn.recv(mlen - 4 - len(body))
+        seen["type"] = head[:1]
+        seen["mech"] = body.split(b"\x00", 1)[0]
+        conn.close()
+        srv.close()
+
+    threading.Thread(target=run, daemon=True).start()
+    with pytest.raises(ConnectionError):
+        PgWireConnection(f"postgres://u:pw@127.0.0.1:{port}/db")
+    assert seen["type"] == b"p"  # SASLInitialResponse
+    assert seen["mech"] == b"SCRAM-SHA-256"  # plain, never -PLUS

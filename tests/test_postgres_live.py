@@ -230,6 +230,42 @@ def test_wire_auth_matrix(pg_url):
         _wire(f"postgres://md5_user:wrong@{base}")
 
 
+def test_wire_notice_messages_tolerated(pg_url):
+    """NoticeResponse ('N') mid-statement must not disturb the extended-query
+    state machine: rows, rowcount, and the NEXT statement all stay correct
+    (r4 brief item 7 — a message type the machine had not seen under fault)."""
+    conn = _wire(pg_url)
+    try:
+        _, n = conn.execute(
+            "DO $$ BEGIN RAISE NOTICE 'one'; RAISE NOTICE 'two'; END $$"
+        )
+        rows, _ = conn.execute("SELECT $1::int + 1", (41,))
+        assert rows == [(42,)]
+    finally:
+        conn.close()
+
+
+def test_wire_copy_out_drains_copy_in_fails_cleanly(pg_url):
+    """COPY under fault (r4 brief item 7): COPY TO STDOUT ('H'/'d'/'c')
+    drains harmlessly with the tag rowcount intact; COPY FROM STDIN ('G')
+    must NOT deadlock — the client answers CopyFail, the server's error
+    surfaces as PgError, and the connection stays usable."""
+    from iceberg_catalog_postgres_spark.catalog.pgwire import PgError
+
+    conn = _wire(pg_url)
+    try:
+        rows, n = conn.execute("COPY (SELECT generate_series(1, 3)) TO STDOUT")
+        assert rows == []  # copy data is discarded, not row-decoded
+        assert n == 3  # CommandComplete tag still parsed
+        conn.execute("CREATE TEMP TABLE copy_in_t (x int)")
+        with pytest.raises(PgError, match="COPY FROM STDIN is not supported"):
+            conn.execute("COPY copy_in_t FROM STDIN")
+        rows, _ = conn.execute("SELECT count(*) FROM copy_in_t")
+        assert rows == [(0,)]  # failed copy landed nothing; connection fine
+    finally:
+        conn.close()
+
+
 def test_wire_server_restart_mid_cas(pg_url, tmp_path):
     """Server restart between load and commit: the stale connection fails
     loudly (no silent lost update), a fresh connection sees consistent
