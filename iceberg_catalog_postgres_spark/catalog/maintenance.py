@@ -59,6 +59,128 @@ def compact_table(spark: SparkSession, table: Table, target_partitions: int = 1)
     return table.new_transaction().overwrite_dataframe(current).commit()
 
 
+def rewrite_small_files(
+    spark: SparkSession,
+    table: Table,
+    target_rows: int,
+    small_threshold: int | None = None,
+) -> tuple[Table, int, int, int]:
+    """Stats-driven BIN-PACKING compaction (Iceberg ``rewrite_data_files``
+    with its min-input-size candidate filter): rewrite ONLY files whose
+    manifest ``record_count`` is below ``small_threshold`` (default 3/4 of
+    ``target_rows``, Iceberg's candidate rule), binned per partition tuple
+    so pruning metadata survives; every large file is carried over
+    byte-identical. Candidate SELECTION is a pure metadata fold — zero file
+    opens — which is the entire point at 100 TB: you never compact the
+    table, you compact the streaming dribble, and deciding what to compact
+    must not itself read 10^7 footers.
+
+    Merge-on-read composition mirrors ``delete_where_cow``: the rewrite
+    reads its input through ``to_df(file_subset=...)`` so sequence-scoped
+    equality/positional deletes are MATERIALIZED into the rewritten rows;
+    the commit keeps the delete files (they still apply to the untouched
+    large files at their old sequence numbers) and the rewritten output's
+    NEW sequence number moves it past them.
+
+    Returns (table, n_small_rewritten, n_large_kept, n_new_files).
+    """
+    import math as _math
+
+    store = table.catalog.object_store()
+    snap = table.metadata.current_snapshot()
+    if snap is None:
+        return table, 0, 0, 0
+    threshold = small_threshold if small_threshold is not None else target_rows * 3 // 4
+    counts = {rel: table.record_count(files=[rel]) for rel in snap.data_files}
+    small = [rel for rel in snap.data_files if counts[rel] < threshold]
+    kept = [rel for rel in snap.data_files if counts[rel] >= threshold]
+    if len(small) < 2:
+        return table, 0, len(kept), 0  # nothing worth packing
+
+    # Bin per partition tuple: rewritten files must stay prunable.
+    groups: dict[tuple, list[str]] = {}
+    for rel in small:
+        tup = snap.file_partitions.get(rel)
+        key = tuple(sorted(tup.items())) if tup is not None else ()
+        groups.setdefault(key, []).append(rel)
+
+    import posixpath as _pp
+    import uuid as _uuid
+
+    new_files: list[str] = []
+    new_parts: dict[str, dict] = {}
+    for key, members in sorted(groups.items()):
+        total = sum(counts[rel] for rel in members)
+        n_out = max(1, _math.ceil(total / target_rows))
+        out_df = table.to_df(spark, file_subset=members).coalesce(n_out)
+        rel_dir = _pp.join(table.metadata.location, "data", f"binpack-{_uuid.uuid4().hex}")
+        abs_dir = store.resolve(rel_dir)
+        out_df.write.mode("overwrite").parquet(abs_dir)
+        import glob as _glob
+
+        for p in sorted(_glob.glob(os.path.join(abs_dir, "*.parquet"))):
+            rel = _pp.join(rel_dir, os.path.basename(p))
+            new_files.append(rel)
+            if key:
+                new_parts[rel] = dict(key)
+
+    from iceberg_catalog_postgres_spark.catalog.metadata import (
+        Snapshot,
+        new_snapshot_id,
+        plan_manifests,
+    )
+    from iceberg_catalog_postgres_spark.catalog.table import collect_file_stats_many
+
+    import time as _time
+
+    new_stats = collect_file_stats_many({rel: store.resolve(rel) for rel in new_files})
+    next_seq = table.metadata.next_sequence_number()
+    inherited_seqs = table.metadata.current_file_seqs()
+    inherited_parts = table.metadata.current_file_partitions()
+    inherited_stats = table.metadata.current_file_stats()
+    carried = [
+        *kept,
+        *table.metadata.current_delete_files(),
+        *table.metadata.current_position_delete_files(),
+    ]
+    snapshot = Snapshot(
+        snapshot_id=new_snapshot_id(table.metadata.snapshot_ids()),
+        timestamp_ms=int(_time.time() * 1000),
+        operation="delete",  # subset replace: non-additive, like CoW delete
+        data_files=[*kept, *new_files],
+        delete_files=list(table.metadata.current_delete_files()),
+        position_delete_files=list(table.metadata.current_position_delete_files()),
+        sequence_number=next_seq,
+        file_seqs={**inherited_seqs, **{f: next_seq for f in new_files}},
+        file_partitions={
+            **{f: inherited_parts[f] for f in kept if f in inherited_parts},
+            **new_parts,
+        },
+        file_stats={
+            **{f: inherited_stats[f] for f in carried if f in inherited_stats},
+            **new_stats,
+        },
+        summary={
+            "operation-detail": "rewrite-small-files",
+            "files-rewritten": str(len(small)),
+            "files-kept": str(len(kept)),
+            "files-written": str(len(new_files)),
+        },
+    )
+    plan_manifests(store, table.metadata.location, "overwrite", snap, None, snapshot)
+    new_metadata = table.metadata.with_snapshot(snapshot)
+    new_location = _pp.join(
+        new_metadata.location,
+        "metadata",
+        f"v{len(new_metadata.snapshots) + 1}-{_uuid.uuid4().hex}.metadata.json",
+    )
+    store.put(new_location, new_metadata.to_json().encode())
+    committed = table.catalog.update_table(
+        table.identifier, new_location, table.metadata_location()
+    )
+    return committed, len(small), len(kept), len(new_files)
+
+
 def delete_where_mor(spark: SparkSession, table: Table, condition) -> Table:
     """Arbitrary-predicate merge-on-read DELETE: scan once (predicate pushed
     to the parquet reader), capture the matched rows' scan identity
@@ -194,11 +316,9 @@ def delete_where_cow(
     inherited_seqs = table.metadata.current_file_seqs()
     inherited_parts = table.metadata.current_file_partitions()
     inherited_stats = table.metadata.current_file_stats()
-    from iceberg_catalog_postgres_spark.catalog.table import collect_file_stats
+    from iceberg_catalog_postgres_spark.catalog.table import collect_file_stats_many
 
-    new_stats = {
-        rel: collect_file_stats(store.resolve(rel)) for rel in new_files
-    }
+    new_stats = collect_file_stats_many({rel: store.resolve(rel) for rel in new_files})
     snapshot = Snapshot(
         snapshot_id=new_snapshot_id(table.metadata.snapshot_ids()),
         timestamp_ms=int(_time.time() * 1000),
@@ -567,6 +687,170 @@ def catalog_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("footer_plan_parity", F.lit(parity))
         .withColumn("manifest_total", F.lit(manifest_total).cast("long"))
         .withColumn("scan_total", F.lit(scan_total).cast("long"))
+    )
+
+
+@register(
+    "catalog_compact_small_files",
+    oracle="""
+    SELECT CAST(6 AS BIGINT) AS n_files_before,
+           CAST(2 AS BIGINT) AS n_files_after,
+           CAST(5 AS BIGINT) AS n_small_rewritten,
+           CAST(1 AS BIGINT) AS n_new_files,
+           true              AS big_file_untouched,
+           CAST(count(*) AS BIGINT)        AS n_rows,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders
+    """,
+    tags=("catalog", "maintenance", "compaction", "stats"),
+)
+def catalog_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-driven bin-packing compaction (r5): five ~1% streaming-dribble
+    appends plus one large append; ``rewrite_small_files`` selects the five
+    small files from manifest ``record_count`` ALONE (zero footer opens,
+    asserted), packs them into one new file, and carries the large file
+    over byte-identical (path equality asserted, reported as a certified
+    boolean). The oracle pins the file arithmetic and full row/sum parity —
+    compaction must be invisible to readers.
+
+    Scale: this is the maintenance op a 100 TB streaming table actually
+    runs — compact the micro-batch dribble, never the table. Selection is
+    an O(#files) metadata fold; the rewrite reads only the small files
+    (here ~5% of rows); the commit is one CAS. Iceberg's rewrite_data_files
+    candidate rule (files under 3/4 of target) is the default threshold.
+    """
+    import iceberg_catalog_postgres_spark.catalog.table as _tm
+
+    cat = _fresh_catalog("catalog_compact_small")
+    src = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    table = cat.create_table(TableIdentifier.parse("maint.orders_binpack"), src.schema)
+    k = F.col("o_orderkey")
+    for i in range(5):  # the streaming dribble: ~1% of rows each
+        chunk = src.where(k % 100 == i).coalesce(1)
+        table = table.new_transaction().append_dataframe(chunk).commit()
+    big = src.where(k % 100 >= 5).coalesce(1)
+    table = table.new_transaction().append_dataframe(big).commit()
+    files_before = list(table.metadata.current_data_files())
+    n_small_rows = table.to_df(spark, file_subset=files_before[:5]).count()
+    n_big_rows = table.record_count(files=[files_before[5]])
+
+    before = _tm.PLANNING_FOOTER_READS
+    table, n_rewritten, n_kept, n_new = rewrite_small_files(
+        spark, table, target_rows=max(1, n_small_rows), small_threshold=n_big_rows
+    )
+    assert _tm.PLANNING_FOOTER_READS == before, "candidate selection opened a footer"
+    files_after = table.metadata.current_data_files()
+    big_untouched = files_before[5] in files_after
+
+    return (
+        table.to_df(spark)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").alias("key_sum"),
+        )
+        .withColumn("n_files_before", F.lit(len(files_before)).cast("long"))
+        .withColumn("n_files_after", F.lit(len(files_after)).cast("long"))
+        .withColumn("n_small_rewritten", F.lit(n_rewritten).cast("long"))
+        .withColumn("n_new_files", F.lit(n_new).cast("long"))
+        .withColumn("big_file_untouched", F.lit(big_untouched))
+        .select(
+            "n_files_before",
+            "n_files_after",
+            "n_small_rewritten",
+            "n_new_files",
+            "big_file_untouched",
+            "n_rows",
+            "key_sum",
+        )
+    )
+
+
+@register(
+    "catalog_null_pruned_scan",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                  WHEN o_orderkey % 3 = 1 THEN
+                    CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE o_totalprice END
+                  ELSE o_totalprice END AS d
+      FROM orders
+    )
+    SELECT CAST(3 AS BIGINT)                    AS n_files,
+           CAST(2 AS BIGINT)                    AS n_planned_not_null,
+           CAST(2 AS BIGINT)                    AS n_planned_null,
+           CAST(count(d) AS BIGINT)             AS n_rows_not_null,
+           CAST(count(*) - count(d) AS BIGINT)  AS n_rows_null,
+           round(sum(d), 2)                     AS sum_not_null
+    FROM base
+    """,
+    tags=("catalog", "scan-planning", "pruning", "stats"),
+)
+def catalog_null_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-aware scan planning from manifest ``null_value_counts`` (r5):
+    three files land with an all-NULL, a mixed, and a never-NULL derived
+    column; ``IS NOT NULL`` planning prunes the all-NULL file and ``IS
+    NULL`` planning prunes the never-NULL file — both decisions from the
+    metadata JSON with ZERO file opens (asserted via the footer-read
+    counter). Row-level filters still apply on top (the mixed file needs
+    them), and the oracle pins the planned-file counts AND the row/sum
+    parity of both scans.
+
+    Scale: the 100 TB shape is a completeness DQ pass or a backfilled
+    column — `WHERE col IS NOT NULL` should skip every pre-backfill file
+    from metadata, not open 10^7 footers to discover they are all null.
+    """
+    import iceberg_catalog_postgres_spark.catalog.table as _tm
+
+    cat = _fresh_catalog("catalog_null_pruned_scan_demo")
+    src = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    d_mixed = F.when(k % 2 == 0, F.lit(None).cast("double")).otherwise(F.col("o_totalprice"))
+    chunks = (
+        src.where(k % 3 == 0).withColumn("d", F.lit(None).cast("double")),  # all null
+        src.where(k % 3 == 1).withColumn("d", d_mixed),  # mixed
+        src.where(k % 3 == 2).withColumn("d", F.col("o_totalprice")),  # no nulls
+    )
+    table = cat.create_table(
+        TableIdentifier.parse("maint.orders_nulls"), chunks[0].schema
+    )
+    for chunk in chunks:
+        table = table.new_transaction().append_dataframe(chunk.coalesce(1)).commit()
+
+    before = _tm.PLANNING_FOOTER_READS
+    not_null_files = table.planned_files_nullness("d", want_null=False)
+    null_files = table.planned_files_nullness("d", want_null=True)
+    assert _tm.PLANNING_FOOTER_READS == before, "null planning opened a footer"
+    n_files = len(table.metadata.current_data_files())
+
+    not_null_scan = (
+        spark.read.schema(table.schema)
+        .parquet(*not_null_files)
+        .filter(F.col("d").isNotNull())
+        .agg(
+            F.count(F.lit(1)).alias("n_rows_not_null"),
+            F.round(F.sum("d"), 2).alias("sum_not_null"),
+        )
+    )
+    null_scan = (
+        spark.read.schema(table.schema)
+        .parquet(*null_files)
+        .filter(F.col("d").isNull())
+        .agg(F.count(F.lit(1)).alias("n_rows_null"))
+    )
+    return (
+        not_null_scan.crossJoin(F.broadcast(null_scan))
+        .withColumn("n_files", F.lit(n_files).cast("long"))
+        .withColumn("n_planned_not_null", F.lit(len(not_null_files)).cast("long"))
+        .withColumn("n_planned_null", F.lit(len(null_files)).cast("long"))
+        .select(
+            "n_files",
+            "n_planned_not_null",
+            "n_planned_null",
+            "n_rows_not_null",
+            "n_rows_null",
+            "sum_not_null",
+        )
     )
 
 

@@ -72,21 +72,45 @@ def _truncate_string_bounds(lo: str, hi: str, length: int = BOUND_TRUNCATE_LENGT
     return lo_t, None
 
 
+def collect_file_stats_many(paths_by_rel: dict[str, str]) -> dict[str, dict]:
+    """Collect stats for many freshly-written files concurrently (footer
+    reads are I/O-bound; on object storage the serial loop would add a
+    round-trip per file to every commit). rel path -> stats dict. In a real
+    cluster deployment the write TASKS would report these with their task
+    results — this threaded driver-side collection is the local analogue
+    with the same O(files-written) cost model."""
+    if not paths_by_rel:
+        return {}
+    if len(paths_by_rel) == 1:
+        rel, p = next(iter(paths_by_rel.items()))
+        return {rel: collect_file_stats(p)}
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(16, len(paths_by_rel))) as ex:
+        futs = {rel: ex.submit(collect_file_stats, p) for rel, p in paths_by_rel.items()}
+        return {rel: f.result() for rel, f in futs.items()}
+
+
 def collect_file_stats(path: str) -> dict:
     """Per-file statistics for a manifest entry, read ONCE from the footer
     the writer just produced (page-cache warm; on a real cluster the write
     tasks would report these with the task result — either way the cost is
     O(files written this commit), paid at write time, never at read time).
 
-    Returns ``{"record_count": n, "bounds": {col: [lo, hi]}}`` — the Iceberg
-    manifest model: ``record_count`` plus ``lower_bounds``/``upper_bounds``
-    per top-level primitive column (nested/binary columns and columns with
-    any statless row group are omitted; readers fall back to the footer for
-    those)."""
+    Returns ``{"record_count": n, "bounds": {col: [lo, hi]},
+    "null_counts": {col: n}}`` — the Iceberg manifest model:
+    ``record_count`` plus ``lower_bounds``/``upper_bounds`` plus
+    ``null_value_counts`` per top-level primitive column (nested/binary
+    columns and columns with any statless row group are omitted; readers
+    fall back to the footer for those). An all-NULL column has min/max
+    absent in the footer but a valid null count, so it appears in
+    ``null_counts`` without a ``bounds`` entry — exactly what IS NOT NULL
+    pruning needs."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
     agg: dict = {}
+    nulls: dict = {}
     for rg in range(md.num_row_groups):
         row_group = md.row_group(rg)
         for ci in range(row_group.num_columns):
@@ -95,13 +119,21 @@ def collect_file_stats(path: str) -> dict:
             if "." in name:
                 continue  # nested field: no top-level bound
             st = col.statistics
+            if st is None or st.null_count is None or nulls.get(name, 0) is None:
+                nulls[name] = None  # unknown in one row group => unknown
+            else:
+                nulls[name] = nulls.get(name, 0) + st.null_count
             if st is None or not st.has_min_max:
-                agg[name] = None  # one statless row group poisons the column
+                # one statless row group poisons the column's bounds — but an
+                # all-NULL row group legitimately has no min/max and must NOT
+                # poison (its rows constrain nothing).
+                if not (st is not None and st.null_count == row_group.num_rows):
+                    agg[name] = None
                 continue
             if name in agg and agg[name] is None:
                 continue
             lo, hi = st.min, st.max
-            if name in agg:
+            if name in agg and agg[name] is not None:
                 prev_lo, prev_hi = agg[name]
                 lo, hi = min(prev_lo, lo), max(prev_hi, hi)
             agg[name] = (lo, hi)
@@ -117,7 +149,11 @@ def collect_file_stats(path: str) -> dict:
         if lo_e is None:
             continue  # unsupported bound type (bytes, decimal, ...)
         bounds[name] = [lo_e, hi_e]
-    return {"record_count": md.num_rows, "bounds": bounds}
+    return {
+        "record_count": md.num_rows,
+        "bounds": bounds,
+        "null_counts": {k: v for k, v in nulls.items() if v is not None},
+    }
 
 
 def _file_range_stats(path: str, column: str) -> tuple | None:
@@ -290,6 +326,38 @@ class Table:
             stats = _file_range_stats(store.resolve(rel), column)
             if stats is None or not (stats[1] < lo or stats[0] > hi):
                 out.append(store.resolve(rel))
+        return out
+
+    def planned_files_nullness(
+        self, column: str, want_null: bool, snapshot_id: int | None = None
+    ) -> list[str]:
+        """IS NULL / IS NOT NULL scan planning from manifest null counts
+        (Iceberg ``null_value_counts``), zero file opens: for ``IS NOT
+        NULL`` a file whose ``null_count == record_count`` (every row null)
+        provably matches nothing and is pruned; for ``IS NULL`` a file with
+        ``null_count == 0`` is pruned. Files without a recorded null count
+        are kept (superset-safe). At 100 TB this is what makes
+        completeness-style DQ scans (``WHERE col IS NOT NULL``) skip the
+        legacy files written before a column was backfilled."""
+        snap = (
+            self.metadata.snapshot_by_id(snapshot_id)
+            if snapshot_id is not None
+            else self.metadata.current_snapshot()
+        )
+        if snap is None:
+            return []
+        store = self.catalog.object_store()
+        out = []
+        for rel in snap.data_files:
+            st = snap.file_stats.get(rel) or {}
+            nc = (st.get("null_counts") or {}).get(column)
+            rc = st.get("record_count")
+            if nc is not None:
+                if want_null and nc == 0:
+                    continue  # no nulls in this file: IS NULL matches nothing
+                if not want_null and rc is not None and nc == rc:
+                    continue  # all rows null: IS NOT NULL matches nothing
+            out.append(store.resolve(rel))
         return out
 
     def record_count(
@@ -467,6 +535,7 @@ class Table:
         prune: tuple | None = None,
         partition_filter: dict | None = None,
         ref: str | None = None,
+        file_subset: list[str] | None = None,
     ) -> DataFrame:
         """DataFrame over the snapshot's file list (time travel via
         ``snapshot_id``). Empty table => empty DataFrame with the declared
@@ -510,6 +579,13 @@ class Table:
                 self.planned_files_partition(partition_filter, snapshot_id=snapshot_id)
             )
             files = [f for f in files if f in part_files]
+        if file_subset is not None:
+            # caller-chosen slice of the snapshot (table-relative paths) —
+            # used by maintenance rewrites so the read still applies
+            # sequence-scoped MOR deletes to exactly the right cohorts
+            store_ = self.catalog.object_store()
+            subset_abs = {store_.resolve(f) for f in file_subset}
+            files = [f for f in files if f in subset_abs]
         if not files:
             return spark.createDataFrame([], self.schema)
         pos_dels = self.position_delete_files(snapshot_id)
@@ -568,7 +644,7 @@ class Table:
         # after the last delete, none apply" — so the plan stays scan +
         # broadcast anti-join per cohort, unioned; no shuffle of the big side.
         rel_data = snap.data_files
-        if prune is not None or partition_filter is not None:
+        if prune is not None or partition_filter is not None or file_subset is not None:
             pruned = set(files)
             rel_data = [f for f in rel_data if store.resolve(f) in pruned]
         rel_dels = snap.delete_files
@@ -811,6 +887,7 @@ class Transaction:
                 aug = aug.withColumn(sc, _F.col(c).cast("string"))
             aug.write.mode("overwrite").partitionBy(*shadow).parquet(abs_dir)
             new_files = []
+            abs_by_rel = {}
             for p in sorted(
                 _glob.glob(_os.path.join(abs_dir, *["*"] * len(spec), "*.parquet"))
             ):
@@ -822,15 +899,17 @@ class Transaction:
                     val = _up.unquote(v)
                     tuple_vals[col] = None if val == "__HIVE_DEFAULT_PARTITION__" else val
                 self._staged_partitions[rel] = tuple_vals
-                self._staged_stats[rel] = collect_file_stats(p)
+                abs_by_rel[rel] = p
                 new_files.append(rel)
         else:
             df.write.mode("overwrite").parquet(abs_dir)
             new_files = []
+            abs_by_rel = {}
             for p in sorted(_glob.glob(_os.path.join(abs_dir, "*.parquet"))):
                 rel = posixpath.join(rel_dir, _os.path.basename(p))
-                self._staged_stats[rel] = collect_file_stats(p)
+                abs_by_rel[rel] = p
                 new_files.append(rel)
+        self._staged_stats.update(collect_file_stats_many(abs_by_rel))
         return self.append_files(new_files)
 
     def overwrite_dataframe(self, df: DataFrame) -> "Transaction":
@@ -860,10 +939,12 @@ class Transaction:
         import glob as _glob
         import os as _os
 
+        abs_by_rel = {}
         for p in sorted(_glob.glob(_os.path.join(abs_dir, "*.parquet"))):
             rel = posixpath.join(rel_dir, _os.path.basename(p))
-            self._staged_stats[rel] = collect_file_stats(p)
+            abs_by_rel[rel] = p
             self._staged_delete_files.append(rel)
+        self._staged_stats.update(collect_file_stats_many(abs_by_rel))
         return self
 
     def delete_positions_dataframe(self, positions: DataFrame) -> "Transaction":
@@ -888,10 +969,12 @@ class Transaction:
         import glob as _glob
         import os as _os
 
+        abs_by_rel = {}
         for p in sorted(_glob.glob(_os.path.join(abs_dir, "*.parquet"))):
             rel = posixpath.join(rel_dir, _os.path.basename(p))
-            self._staged_stats[rel] = collect_file_stats(p)
+            abs_by_rel[rel] = p
             self._staged_pos_delete_files.append(rel)
+        self._staged_stats.update(collect_file_stats_many(abs_by_rel))
         return self
 
     # -- commit -----------------------------------------------------------
@@ -1006,6 +1089,24 @@ class Transaction:
                             self._staged_stats.get(f, {}).get("record_count", 0)
                             for f in self._staged_files
                         )
+                    ),
+                    # Iceberg snapshot-summary totals: an in-memory fold over
+                    # the stats already in hand (no I/O). total-records is
+                    # data-file rows (pre-MOR-delete, like Iceberg); omitted
+                    # when any file is statless (raw append_files) rather
+                    # than reported wrong — Table.record_count() still
+                    # answers via the footer fallback.
+                    "total-data-files": str(len(data_files)),
+                    **(
+                        {
+                            "total-records": str(
+                                sum(file_stats[f]["record_count"] for f in data_files)
+                            )
+                        }
+                        if all(
+                            "record_count" in file_stats.get(f, {}) for f in data_files
+                        )
+                        else {}
                     ),
                 },
             )

@@ -263,6 +263,8 @@ PRIORITY: tuple[str, ...] = (
     "catalog_sql_join_over_tables",
     "catalog_pruned_scan",
     "catalog_stats_pruned_scan",
+    "catalog_null_pruned_scan",
+    "catalog_compact_small_files",
     "catalog_positional_delete",
     "catalog_cow_delete_pruned",
     "window_topk_per_group",

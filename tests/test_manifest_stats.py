@@ -209,6 +209,130 @@ def test_cow_delete_keeps_stats_for_kept_files(catalog, spark):
     assert _footer_reads() == before
 
 
+def test_null_counts_and_nullness_planning(catalog, spark):
+    """Iceberg null_value_counts: all-NULL / mixed / no-NULL files; IS NOT
+    NULL planning prunes the all-NULL file, IS NULL planning prunes the
+    no-NULL file, both from metadata alone."""
+    rows_all_null = [(i, None) for i in range(10)]
+    rows_mixed = [(i, float(i) if i % 2 else None) for i in range(10, 20)]
+    rows_no_null = [(i, float(i)) for i in range(20, 30)]
+    t = catalog.create_table(
+        TableIdentifier.parse("s.t10"),
+        spark.createDataFrame(rows_no_null, "k long, v double").schema,
+    )
+    for rows in (rows_all_null, rows_mixed, rows_no_null):
+        df = spark.createDataFrame(rows, "k long, v double").coalesce(1)
+        t = t.new_transaction().append_dataframe(df).commit()
+    snap = t.metadata.current_snapshot()
+    ncs = sorted(
+        snap.file_stats[f]["null_counts"]["v"] for f in snap.data_files
+    )
+    assert ncs == [0, 5, 10]
+    # the all-NULL file has a null count but (correctly) no v bounds
+    all_null_file = next(
+        f for f in snap.data_files if snap.file_stats[f]["null_counts"]["v"] == 10
+    )
+    assert "v" not in snap.file_stats[all_null_file]["bounds"]
+    before = _footer_reads()
+    assert len(t.planned_files_nullness("v", want_null=False)) == 2
+    assert len(t.planned_files_nullness("v", want_null=True)) == 2
+    assert _footer_reads() == before
+    # k has no nulls anywhere: IS NULL plans nothing, IS NOT NULL everything
+    assert len(t.planned_files_nullness("k", want_null=True)) == 0
+    assert len(t.planned_files_nullness("k", want_null=False)) == 3
+
+
+def test_summary_totals_recorded(catalog, spark):
+    mk = lambda n: spark.createDataFrame([(i,) for i in range(n)], "k long").coalesce(1)
+    t = catalog.create_table(TableIdentifier.parse("s.t11"), mk(1).schema)
+    t = t.new_transaction().append_dataframe(mk(10)).commit()
+    t = t.new_transaction().append_dataframe(mk(5)).commit()
+    s = t.metadata.current_snapshot().summary
+    assert s["total-records"] == "15"
+    assert s["total-data-files"] == "2"
+    assert s["added-records"] == "5"
+
+
+def test_rewrite_small_files_packs_and_keeps_big(catalog, spark):
+    from iceberg_catalog_postgres_spark.catalog.maintenance import rewrite_small_files
+
+    mk = lambda lo, n: spark.createDataFrame(
+        [(lo + i,) for i in range(n)], "k long"
+    ).coalesce(1)
+    t = catalog.create_table(TableIdentifier.parse("s.t12"), mk(0, 1).schema)
+    for j in range(4):  # 4 small files of 10 rows
+        t = t.new_transaction().append_dataframe(mk(j * 10, 10)).commit()
+    t = t.new_transaction().append_dataframe(mk(1000, 500)).commit()  # big
+    big_rel = t.metadata.current_data_files()[-1]
+    before = _footer_reads()
+    t, n_rewritten, n_kept, n_new = rewrite_small_files(spark, t, target_rows=100)
+    assert _footer_reads() == before  # selection is metadata-only
+    assert (n_rewritten, n_kept, n_new) == (4, 1, 1)
+    assert big_rel in t.metadata.current_data_files()  # byte-identical carry
+    assert t.record_count() == 540
+    assert t.to_df(spark).count() == 540
+    # rewritten file has stats + sane bounds over the packed range
+    snap = t.metadata.current_snapshot()
+    new_rel = next(f for f in snap.data_files if f != big_rel)
+    b = snap.file_stats[new_rel]["bounds"]["k"]
+    assert (b[0], b[1]) == (0, 39)
+
+
+def test_rewrite_small_files_materializes_mor_deletes(catalog, spark):
+    """Pending equality deletes: the rewrite materializes them into the
+    packed output (new seq > delete seq), while kept files still honor the
+    delete at read time — total row counts stay consistent throughout."""
+    from iceberg_catalog_postgres_spark.catalog.maintenance import rewrite_small_files
+
+    mk = lambda lo, n: spark.createDataFrame(
+        [(lo + i,) for i in range(n)], "k long"
+    ).coalesce(1)
+    t = catalog.create_table(TableIdentifier.parse("s.t13"), mk(0, 1).schema)
+    for j in range(3):
+        t = t.new_transaction().append_dataframe(mk(j * 10, 10)).commit()
+    t = t.new_transaction().append_dataframe(mk(1000, 400)).commit()  # big
+    # delete k=5 (lives in a small file) and k=1005 (lives in the big file)
+    keys = spark.createDataFrame([(5,), (1005,)], "k long").coalesce(1)
+    t = t.new_transaction().delete_keys_dataframe(keys).commit()
+    assert t.to_df(spark).count() == 428
+    t, n_rewritten, n_kept, n_new = rewrite_small_files(spark, t, target_rows=100)
+    assert (n_rewritten, n_kept) == (3, 1)
+    assert t.metadata.current_delete_files(), "delete files must be carried"
+    # k=5 is PHYSICALLY gone from the packed file (materialized, and the new
+    # seq moves it past the delete); k=1005 still masked at read time
+    assert t.to_df(spark).count() == 428
+    packed = [f for f in t.metadata.current_snapshot().data_files if "binpack" in f]
+    packed_rows = t.to_df(spark, file_subset=packed).count()
+    assert packed_rows == 29  # 30 - the materialized k=5
+    assert t.record_count() == 429  # physical rows: 29 + 400 (k=1005 masked)
+
+
+def test_rewrite_small_files_respects_partitions(catalog, spark):
+    from iceberg_catalog_postgres_spark.catalog.maintenance import rewrite_small_files
+
+    def mk(lo, n, cat_val):
+        return spark.createDataFrame(
+            [(lo + i, cat_val) for i in range(n)], "k long, cat string"
+        ).coalesce(1)
+
+    t = catalog.create_table(
+        TableIdentifier.parse("s.t14"), mk(0, 1, "a").schema, partition_by=["cat"]
+    )
+    for j in range(2):
+        t = t.new_transaction().append_dataframe(mk(j * 10, 10, "a")).commit()
+        t = t.new_transaction().append_dataframe(mk(100 + j * 10, 10, "b")).commit()
+    t, n_rewritten, n_kept, n_new = rewrite_small_files(spark, t, target_rows=100)
+    assert (n_rewritten, n_new) == (4, 2)  # one packed file PER partition
+    snap = t.metadata.current_snapshot()
+    assert set(snap.file_partitions) == set(snap.data_files)
+    a_files = t.planned_files_partition({"cat": "a"})
+    assert len(a_files) == 1  # pruning still works post-compaction
+    import pandas as pd
+
+    got = t.to_df(spark, partition_filter={"cat": "a"}).toPandas()
+    assert sorted(got["k"]) == sorted(range(10)) + sorted(range(10, 20))
+
+
 def test_string_bound_truncation():
     lo, hi = _truncate_string_bounds("a" * 40, "b" * 40)
     assert lo == "a" * 16
