@@ -766,6 +766,83 @@ def catalog_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "catalog_sorted_write_pruning",
+    oracle="""
+    WITH b AS (
+      SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi FROM orders
+    ),
+    f AS (
+      SELECT o_orderkey FROM orders, b
+      WHERE o_orderkey >= b.lo + 55 * (b.hi - b.lo) // 100
+        AND o_orderkey <  b.lo + 65 * (b.hi - b.lo) // 100
+    )
+    SELECT true AS sorted_write_prunes,
+           true AS unsorted_reads_all,
+           CAST(count(*) AS BIGINT)        AS n_rows,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM f
+    """,
+    tags=("catalog", "scan-planning", "layout", "stats"),
+)
+def catalog_sorted_write_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range write-distribution (Iceberg ``write.distribution-mode=range`` +
+    sort order): the SAME rows land once hash-distributed (4 files, each
+    spanning ~the whole key range) and once range-sorted
+    (``append_dataframe(sort_by=['o_orderkey'], n_files=4)`` — each file a
+    disjoint key slice). A 10%-of-range query then plans ≤2 of 4 files on
+    the sorted table and all 4 on the unsorted one — SAME manifest-stats
+    machinery, wildly different selectivity, proving layout (not just
+    stats) is what buys pruning. Planning is pure metadata (footer counter
+    pinned); the oracle certifies both planning booleans and the pruned
+    scan's row/sum parity.
+
+    Scale: at 100 TB sortedness is the difference between a time-range
+    query reading one day's files and reading the fleet. The write-side
+    cost is one range shuffle — paid once, amortized over every read.
+    """
+    import iceberg_catalog_postgres_spark.catalog.table as _tm
+
+    cat = _fresh_catalog("catalog_sorted_write")
+    src = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    lo, hi = src.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    q_lo = lo + 55 * (hi - lo) // 100
+    q_hi = lo + 65 * (hi - lo) // 100  # exclusive
+
+    unsorted = cat.create_table(TableIdentifier.parse("layout.orders_hash"), src.schema)
+    unsorted = (
+        unsorted.new_transaction().append_dataframe(src.repartition(4)).commit()
+    )
+    srt = cat.create_table(TableIdentifier.parse("layout.orders_range"), src.schema)
+    srt = (
+        srt.new_transaction()
+        .append_dataframe(src, sort_by=["o_orderkey"], n_files=4)
+        .commit()
+    )
+
+    before = _tm.PLANNING_FOOTER_READS
+    planned_unsorted = unsorted.planned_files(
+        "o_orderkey", q_lo, q_hi - 1, require_stats=True
+    )
+    planned_sorted = srt.planned_files("o_orderkey", q_lo, q_hi - 1, require_stats=True)
+    assert _tm.PLANNING_FOOTER_READS == before, "planning opened a footer"
+
+    agg = (
+        srt.to_df(spark, prune=("o_orderkey", q_lo, q_hi - 1))
+        .filter(F.col("o_orderkey").between(q_lo, q_hi - 1))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").alias("key_sum"),
+        )
+    )
+    return agg.select(
+        F.lit(len(planned_sorted) <= 2).alias("sorted_write_prunes"),
+        F.lit(len(planned_unsorted) == 4).alias("unsorted_reads_all"),
+        "n_rows",
+        "key_sum",
+    )
+
+
+@register(
     "catalog_null_pruned_scan",
     oracle="""
     WITH base AS (

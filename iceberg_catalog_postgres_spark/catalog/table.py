@@ -857,7 +857,9 @@ class Transaction:
         self._staged_files = list(files)
         return self
 
-    def append_dataframe(self, df: DataFrame) -> "Transaction":
+    def append_dataframe(
+        self, df: DataFrame, sort_by: list[str] | None = None, n_files: int | None = None
+    ) -> "Transaction":
         """Write df as parquet under the table location, stage the new files.
 
         The write is executor-parallel (df.write.parquet); only the file-name
@@ -869,6 +871,14 @@ class Transaction:
         DATA files keep the full schema (reads are unchanged) while each
         file's hive-style path yields its partition tuple, which is recorded
         in the snapshot metadata for metadata-only scan pruning.
+
+        ``sort_by`` is Iceberg's range write-distribution: rows are
+        range-repartitioned on the given columns (``n_files`` output files,
+        default the session parallelism) and sorted within each file, so
+        every file covers a DISJOINT slice of the sort key and the manifest
+        bounds written at commit become maximally selective — the difference
+        between a range query planning 1 file and planning all of them.
+        This is a write-side knob; reads are unchanged.
         """
         store = self.table.catalog.object_store()
         rel_dir = posixpath.join(self.table.metadata.location, "data", f"part-{uuid.uuid4().hex}")
@@ -877,6 +887,13 @@ class Transaction:
         import os as _os
         import urllib.parse as _up
 
+        if sort_by:
+            from pyspark.sql import functions as _F
+
+            width = n_files or df.sparkSession.sparkContext.defaultParallelism
+            df = df.repartitionByRange(width, *[_F.col(c) for c in sort_by]).sortWithinPartitions(
+                *sort_by
+            )
         spec = self.table.metadata.partition_spec
         if spec:
             from pyspark.sql import functions as _F

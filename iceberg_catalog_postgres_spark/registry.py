@@ -265,6 +265,7 @@ PRIORITY: tuple[str, ...] = (
     "catalog_stats_pruned_scan",
     "catalog_null_pruned_scan",
     "catalog_compact_small_files",
+    "catalog_sorted_write_pruning",
     "catalog_positional_delete",
     "catalog_cow_delete_pruned",
     "window_topk_per_group",

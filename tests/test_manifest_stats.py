@@ -333,6 +333,80 @@ def test_rewrite_small_files_respects_partitions(catalog, spark):
     assert sorted(got["k"]) == sorted(range(10)) + sorted(range(10, 20))
 
 
+def test_sorted_write_disjoint_bounds(catalog, spark):
+    """sort_by range-distributes the write: files cover disjoint key slices
+    and the manifest bounds reflect it (pruning becomes maximally
+    selective)."""
+    df = spark.createDataFrame([(i,) for i in range(1000)], "k long")
+    t = catalog.create_table(TableIdentifier.parse("s.t15"), df.schema)
+    t = t.new_transaction().append_dataframe(df, sort_by=["k"], n_files=4).commit()
+    snap = t.metadata.current_snapshot()
+    assert len(snap.data_files) == 4
+    ranges = sorted(
+        (
+            decode_bound(snap.file_stats[f]["bounds"]["k"][0]),
+            decode_bound(snap.file_stats[f]["bounds"]["k"][1]),
+        )
+        for f in snap.data_files
+    )
+    for (lo1, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"file ranges overlap: {ranges}"
+    # a narrow range query plans exactly one file, from metadata alone
+    mid = (ranges[1][0] + ranges[1][1]) // 2
+    assert len(t.planned_files("k", mid, mid + 1, require_stats=True)) == 1
+
+
+def test_pruning_superset_safety_property(catalog, spark):
+    """Property (hypothesis): for arbitrary per-file integer contents and an
+    arbitrary query range, stats-planned files always include every file
+    holding a matching row, and the pruned scan equals the full filter."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    counter = iter(range(1000))
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        files=st.lists(
+            st.lists(st.integers(-100, 100), min_size=1, max_size=5),
+            min_size=1,
+            max_size=4,
+        ),
+        bounds=st.tuples(st.integers(-120, 120), st.integers(-120, 120)),
+    )
+    def prop(files, bounds):
+        lo, hi = min(bounds), max(bounds)
+        ident = TableIdentifier.parse(f"prop.t{next(counter)}")
+        t = catalog.create_table(
+            ident, spark.createDataFrame([(0,)], "k long").schema
+        )
+        for vals in files:
+            df = spark.createDataFrame([(v,) for v in vals], "k long").coalesce(1)
+            t = t.new_transaction().append_dataframe(df).commit()
+        planned = set(t.planned_files("k", lo, hi, require_stats=True))
+        snap = t.metadata.current_snapshot()
+        store = catalog.object_store()
+        # every file with a matching row must be planned
+        for rel, vals in zip(snap.data_files, files):
+            if any(lo <= v <= hi for v in vals):
+                assert store.resolve(rel) in planned, (vals, lo, hi)
+        # and the pruned scan equals the brute-force filter
+        got = sorted(
+            r.k
+            for r in t.to_df(spark, prune=("k", lo, hi))
+            .filter(F.col("k").between(lo, hi))
+            .collect()
+        )
+        want = sorted(v for vals in files for v in vals if lo <= v <= hi)
+        assert got == want
+
+    prop()
+
+
 def test_string_bound_truncation():
     lo, hi = _truncate_string_bounds("a" * 40, "b" * 40)
     assert lo == "a" * 16
