@@ -239,59 +239,18 @@ def delete_where_cow(
         import glob as _glob
         import posixpath as _pp
         import uuid as _uuid
-        from functools import reduce as _reduce
 
         # Rewritten files are committed at the NEW sequence number, which
         # moves them past any pending equality-delete files — so those
         # deletes must be materialized into the rewrite, scoped per source
-        # file exactly as a read would (delete seq > data-file seq),
-        # or deleted rows would resurrect. Positional deletes likewise:
-        # entries target the OLD path, which the rewrite invalidates.
-        seqs = table.metadata.current_file_seqs()
-        eq_dels = table.metadata.current_delete_files()
-        pos_dels = table.position_delete_files()
-        cohorts: dict[tuple[str, ...], list[str]] = {}
-        for rel in to_rewrite:
-            applicable = tuple(
-                d for d in eq_dels if seqs.get(d, 0) > seqs.get(rel, 0)
-            )
-            cohorts.setdefault(applicable, []).append(rel)
-        parts = []
-        for applicable, members in cohorts.items():
-            part = (
-                spark.read.schema(table.schema)
-                .parquet(*[store.resolve(f) for f in members])
-                .filter(~F.col(column).between(lo, hi))
-            )
-            if pos_dels:
-                pd_df = spark.read.parquet(*pos_dels).withColumnsRenamed(
-                    {"file_path": "__del_file", "row_index": "__del_pos"}
-                )
-                part = (
-                    part.withColumn("__file", F.col("_metadata.file_path"))
-                    .withColumn("__pos", F.col("_metadata.row_index"))
-                    .join(
-                        F.broadcast(pd_df),
-                        (F.col("__file") == F.col("__del_file"))
-                        & (F.col("__pos") == F.col("__del_pos")),
-                        "left_anti",
-                    )
-                    .drop("__file", "__pos")
-                )
-            if applicable:
-                keys = spark.read.parquet(*[store.resolve(d) for d in applicable])
-                aliased = keys.select(
-                    [F.col(c).alias(f"__k_{c}") for c in keys.columns]
-                )
-                cond = _reduce(
-                    lambda a, b: a & b,
-                    [part[c].eqNullSafe(F.col(f"__k_{c}")) for c in keys.columns],
-                )
-                part = part.join(F.broadcast(aliased), cond, "left_anti")
-            parts.append(part)
-        survivors = parts[0]
-        for p in parts[1:]:
-            survivors = survivors.unionByName(p)
+        # file exactly as a read would (delete seq > data-file seq), or
+        # deleted rows would resurrect; positional deletes target the OLD
+        # path, which the rewrite invalidates. to_df(file_subset=...) IS
+        # that read (same cohort logic, rename-aware) — r5 replaced the
+        # hand-rolled copy of it here.
+        survivors = table.to_df(spark, file_subset=to_rewrite).filter(
+            ~F.col(column).between(lo, hi)
+        )
         rel_dir = _pp.join(table.metadata.location, "data", f"cowdel-{_uuid.uuid4().hex}")
         abs_dir = store.resolve(rel_dir)
         survivors.write.mode("overwrite").parquet(abs_dir)

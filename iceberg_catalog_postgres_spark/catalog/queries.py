@@ -175,6 +175,62 @@ def catalog_snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "catalog_schema_rename_read",
+    oracle="""
+    SELECT CAST((SELECT count(*) FROM nation) +
+                (SELECT count(*) FROM nation WHERE n_regionkey = 0) AS BIGINT) AS n_rows,
+           CAST((SELECT count(*) FROM nation) +
+                (SELECT count(*) FROM nation WHERE n_regionkey = 0) AS BIGINT) AS n_names_nonnull,
+           CAST((SELECT count(DISTINCT n_name) FROM nation) AS BIGINT) AS n_distinct_names
+    """,
+    tags=("catalog", "schema-evolution", "rename"),
+)
+def catalog_schema_rename_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column rename over unrewritten files (r5): append nation, rename
+    ``n_name`` -> ``nation_name`` (same field id — id-based evolution,
+    mod.rs:431-453), append the region-0 rows under the NEW name, then read
+    the mixed table. ``n_names_nonnull`` must equal ``n_rows``: before r5's
+    seq-scoped rename log the pre-rename files read the renamed column as
+    all-NULL (silent data loss this oracle row now guards forever).
+
+    Scale: the whole point of id-based renames is zero data movement — a
+    100 TB table renames a column in one metadata CAS; reads group files
+    by their physical name epoch (one extra union branch per epoch, not
+    per file) and every cohort stays a plain columnar scan.
+    """
+    from pyspark.sql.types import StructField, StructType
+
+    cat = _fresh("catalog_schema_rename")
+    src = load(spark, sf_dir, "nation")
+    ident = TableIdentifier.parse("rn.nation")
+    t = cat.create_table(ident, src.schema)
+    t = t.new_transaction().append_dataframe(src).commit()
+
+    renamed = StructType(
+        [
+            StructField(
+                "nation_name" if f.name == "n_name" else f.name,
+                f.dataType,
+                f.nullable,
+                f.metadata,
+            )
+            for f in t.schema.fields
+        ]
+    )
+    t = t.commit_schema(renamed)
+    t = cat.load_table(ident)
+    new_rows = src.where(F.col("n_regionkey") == 0).withColumnRenamed(
+        "n_name", "nation_name"
+    )
+    t = t.new_transaction().append_dataframe(new_rows).commit()
+    return t.to_df(spark).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("nation_name").alias("n_names_nonnull"),
+        F.countDistinct("nation_name").alias("n_distinct_names"),
+    )
+
+
+@register(
     "catalog_tag_reproducible_read",
     oracle="""
     SELECT CAST((SELECT count(*) FROM nation) AS BIGINT) AS n_tagged,

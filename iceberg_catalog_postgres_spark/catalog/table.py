@@ -271,6 +271,71 @@ class Table:
             files = self.metadata.current_position_delete_files()
         return [store.resolve(f) for f in files]
 
+    def column_renames(self) -> list[dict]:
+        """Chronological rename log: ``{"field-id", "from", "to",
+        "as-of-seq"}`` per rename, recorded by ``commit_schema`` when a
+        field keeps its id but changes name. Files whose sequence number
+        predates a rename's ``as-of-seq`` physically carry the old name."""
+        return list(self.metadata.properties.get("column-renames", []))
+
+    def physical_name(self, column: str, file_seq: int) -> str:
+        """The name ``column`` (a CURRENT logical name) had when a file at
+        ``file_seq`` was written — walk the rename log backwards through
+        every rename that happened after the file. Chained renames a→b→c
+        compose."""
+        name = column
+        for r in reversed(self.column_renames()):
+            if r["to"] == name and file_seq < r["as-of-seq"]:
+                name = r["from"]
+        return name
+
+    def current_name(self, written_name: str, file_seq: int) -> str:
+        """Forward mapping: the current logical name of a column that was
+        written as ``written_name`` in a file at ``file_seq``."""
+        name = written_name
+        for r in self.column_renames():
+            if r["from"] == name and file_seq < r["as-of-seq"]:
+                name = r["to"]
+        return name
+
+    def _read_data_files(self, spark: SparkSession, rel_files: list[str], seqs: dict) -> DataFrame:
+        """Read data files with rename awareness: group files by the
+        PHYSICAL column names they were written with (a function of their
+        sequence number and the rename log), read each group with that
+        physical schema, rename to the current logical names, and union.
+        With no renames this is exactly one ``spark.read.schema(...)`` —
+        zero overhead on the common path. This is how column-id-based
+        evolution (mod.rs:431-453 — fields tracked by id, not name) stays
+        correct over name-based parquet files without rewriting them."""
+        from pyspark.sql.types import StructField as _SF
+        from pyspark.sql.types import StructType as _ST
+
+        store = self.catalog.object_store()
+        fields = self.schema.fields
+        logical = [f.name for f in fields]
+        groups: dict[tuple, list[str]] = {}
+        for rel in rel_files:
+            s = seqs.get(rel, 0)
+            names = tuple(self.physical_name(n, s) for n in logical)
+            groups.setdefault(names, []).append(rel)
+        parts = []
+        for names, members in sorted(groups.items()):
+            phys = _ST(
+                [
+                    _SF(n, f.dataType, f.nullable, f.metadata)
+                    for n, f in zip(names, fields)
+                ]
+            )
+            p = spark.read.schema(phys).parquet(*[store.resolve(f) for f in members])
+            remap = {o: n for o, n in zip(names, logical) if o != n}
+            if remap:
+                p = p.withColumnsRenamed(remap)
+            parts.append(p)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
+
     def file_bounds(
         self, rel_path: str, column: str, snapshot_id: int | None = None
     ) -> tuple | None:
@@ -285,10 +350,13 @@ class Table:
             if snapshot_id is not None
             else self.metadata.current_snapshot()
         )
-        b = ((snap.file_stats.get(rel_path) or {}).get("bounds") or {}).get(column) if snap else None
+        if snap is None:
+            return None
+        phys = self.physical_name(column, snap.file_seqs.get(rel_path, 0))
+        b = ((snap.file_stats.get(rel_path) or {}).get("bounds") or {}).get(phys)
         if b is not None:
             return decode_bound(b[0]), (None if b[1] is None else decode_bound(b[1]))
-        return _file_range_stats(self.catalog.object_store().resolve(rel_path), column)
+        return _file_range_stats(self.catalog.object_store().resolve(rel_path), phys)
 
     def planned_files(
         self, column: str, lo, hi, snapshot_id: int | None = None, require_stats: bool = False
@@ -313,7 +381,8 @@ class Table:
         store = self.catalog.object_store()
         out = []
         for rel in snap.data_files:
-            b = ((snap.file_stats.get(rel) or {}).get("bounds") or {}).get(column)
+            phys = self.physical_name(column, snap.file_seqs.get(rel, 0))
+            b = ((snap.file_stats.get(rel) or {}).get("bounds") or {}).get(phys)
             if b is not None:
                 f_lo = decode_bound(b[0])
                 f_hi = None if b[1] is None else decode_bound(b[1])
@@ -323,7 +392,7 @@ class Table:
                 continue
             if require_stats:
                 raise ValueError(f"no manifest bounds for column {column!r} on {rel}")
-            stats = _file_range_stats(store.resolve(rel), column)
+            stats = _file_range_stats(store.resolve(rel), phys)
             if stats is None or not (stats[1] < lo or stats[0] > hi):
                 out.append(store.resolve(rel))
         return out
@@ -350,7 +419,8 @@ class Table:
         out = []
         for rel in snap.data_files:
             st = snap.file_stats.get(rel) or {}
-            nc = (st.get("null_counts") or {}).get(column)
+            phys = self.physical_name(column, snap.file_seqs.get(rel, 0))
+            nc = (st.get("null_counts") or {}).get(phys)
             rc = st.get("record_count")
             if nc is not None:
                 if want_null and nc == 0:
@@ -621,17 +691,42 @@ class Table:
 
             from pyspark.sql.functions import broadcast, col
 
-            keys = spark.read.parquet(*[store.resolve(f) for f in del_files])
-            aliased = keys.select([col(c).alias(f"__k_{c}") for c in keys.columns])
+            # Delete files were written with the LOGICAL key names of their
+            # commit time; map each file's columns forward through any later
+            # renames so the anti-join compares current names. Grouped by
+            # resulting signature — one tiny read per group, one union.
+            by_sig: dict[tuple, list[str]] = {}
+            for f in del_files:
+                k = spark.read.parquet(store.resolve(f)).columns
+                sig = tuple(self.current_name(c, _seq(f)) for c in k)
+                by_sig.setdefault((tuple(k), sig), []).append(f)
+            keyframes = []
+            key_cols: list[str] = []
+            for (written, sig), members in sorted(by_sig.items()):
+                kf = spark.read.parquet(*[store.resolve(f) for f in members])
+                remap = {o: n for o, n in zip(written, sig) if o != n}
+                if remap:
+                    kf = kf.withColumnsRenamed(remap)
+                keyframes.append(kf)
+                key_cols = list(sig)
+            keys = keyframes[0]
+            for kf in keyframes[1:]:
+                keys = keys.unionByName(kf)
+            aliased = keys.select([col(c).alias(f"__k_{c}") for c in key_cols])
             cond = reduce(
                 lambda a, b: a & b,
-                [part[c].eqNullSafe(col(f"__k_{c}")) for c in keys.columns],
+                [part[c].eqNullSafe(col(f"__k_{c}")) for c in key_cols],
             )
             return part.join(broadcast(aliased), cond, "left_anti")
 
+        # rel-path view of the (possibly pruned) plan, for cohorting + seqs
+        planned = set(files)
+        rel_data = [f for f in snap.data_files if store.resolve(f) in planned]
+
         if not dels or not seqs:
             # no equality deletes, or pre-sequence metadata: single cohort
-            df = spark.read.schema(self.schema).parquet(*files)
+            # (the rename-aware reader regroups internally if needed)
+            df = self._read_data_files(spark, rel_data, seqs)
             if pos_dels:
                 df = _apply_pos_dels(df)
             if dels:
@@ -643,10 +738,6 @@ class Table:
         # two cohorts — "old files, all deletes apply" and "files appended
         # after the last delete, none apply" — so the plan stays scan +
         # broadcast anti-join per cohort, unioned; no shuffle of the big side.
-        rel_data = snap.data_files
-        if prune is not None or partition_filter is not None or file_subset is not None:
-            pruned = set(files)
-            rel_data = [f for f in rel_data if store.resolve(f) in pruned]
         rel_dels = snap.delete_files
         cohorts: dict[tuple[str, ...], list[str]] = {}
         for f in rel_data:
@@ -654,9 +745,7 @@ class Table:
             cohorts.setdefault(applicable, []).append(f)
         parts = []
         for applicable, members in cohorts.items():
-            part = spark.read.schema(self.schema).parquet(
-                *[store.resolve(f) for f in members]
-            )
+            part = self._read_data_files(spark, members, seqs)
             if pos_dels:
                 part = _apply_pos_dels(part)
             if applicable:
@@ -687,14 +776,12 @@ class Table:
                 raise ValueError(
                     f"incremental read crosses non-append snapshot {s.snapshot_id} ({s.operation})"
                 )
+        to_snap = self.metadata.snapshot_by_id(to_id)
         old_files = set(self.metadata.snapshot_by_id(from_snapshot_id).data_files)
-        new_files = [
-            f for f in self.metadata.snapshot_by_id(to_id).data_files if f not in old_files
-        ]
-        store = self.catalog.object_store()
+        new_files = [f for f in to_snap.data_files if f not in old_files]
         if not new_files:
             return spark.createDataFrame([], self.schema)
-        return spark.read.schema(self.schema).parquet(*[store.resolve(f) for f in new_files])
+        return self._read_data_files(spark, new_files, dict(to_snap.file_seqs))
 
     def new_transaction(self, branch: str = "main") -> "Transaction":  # mod.rs:466
         """``branch="main"`` commits advance the table head (reference
@@ -743,6 +830,14 @@ class Table:
         Old data files lack the new columns; ``to_df`` reads with the
         declared schema so missing parquet columns surface as nulls — the
         standard additive-evolution contract.
+
+        RENAMES (same field id, new name) are recorded in the metadata's
+        ``column-renames`` log with the sequence number they take effect at;
+        reads resolve each file's PHYSICAL column names through the log
+        (``physical_name``/``_read_data_files``), so data written under the
+        old name keeps its values after the rename — no file rewrite, which
+        is the entire point of id-based evolution at 100 TB. Stats pruning
+        and equality-delete keys go through the same mapping.
         """
         from iceberg_catalog_postgres_spark.catalog.metadata import (
             FIELD_ID_KEY,
@@ -773,7 +868,31 @@ class Table:
         from dataclasses import replace as _dc_replace
 
         md = self.metadata
-        new_md = _dc_replace(md, schema=schema_to_iceberg(evolved))
+        # Detect renames: same field id, different name. Record them with
+        # the NEXT sequence number — every existing file's seq is below it,
+        # every future file's at-or-above, which is exactly the cohort
+        # boundary reads need.
+        old_names_by_id = {
+            f.metadata[FIELD_ID_KEY]: f.name
+            for f in self.schema.fields
+            if f.metadata and FIELD_ID_KEY in f.metadata
+        }
+        renames = []
+        for f in evolved.fields:
+            fid = f.metadata[FIELD_ID_KEY]
+            if fid in old_names_by_id and old_names_by_id[fid] != f.name:
+                renames.append(
+                    {
+                        "field-id": fid,
+                        "from": old_names_by_id[fid],
+                        "to": f.name,
+                        "as-of-seq": md.next_sequence_number(),
+                    }
+                )
+        props = dict(md.properties)
+        if renames:
+            props["column-renames"] = [*props.get("column-renames", []), *renames]
+        new_md = _dc_replace(md, schema=schema_to_iceberg(evolved), properties=props)
         import posixpath as _pp
         import uuid as _uuid
 

@@ -1,0 +1,141 @@
+"""Column renames over unrewritten data files (r5): commit_schema records a
+seq-scoped rename log; reads resolve each file's PHYSICAL names through it,
+so id-based evolution (mod.rs:431-453 — columns tracked by id, not name)
+stays correct without rewriting a byte. Before r5 a renamed column silently
+read NULL from pre-rename files."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from iceberg_catalog_postgres_spark.catalog.catalog import PostgresCatalog, TableIdentifier
+from iceberg_catalog_postgres_spark.catalog.metadata import FIELD_ID_KEY
+
+
+@pytest.fixture
+def catalog(tmp_path):
+    cat = PostgresCatalog.connect("rename_cat", None, str(tmp_path / "warehouse"))
+    cat.initialize()
+    yield cat
+    cat.backend.close()
+
+
+def _schema(names: list[str]) -> StructType:
+    return StructType(
+        [
+            StructField(n, LongType(), True, {FIELD_ID_KEY: i + 1})
+            for i, n in enumerate(names)
+        ]
+    )
+
+
+def test_rename_preserves_old_file_values(catalog, spark):
+    df = spark.createDataFrame([(1, 10), (2, 20)], _schema(["id", "amount"]))
+    t = catalog.create_table(TableIdentifier.parse("rn.t1"), df.schema)
+    t = t.new_transaction().append_dataframe(df).commit()
+    t = t.commit_schema(_schema(["id", "amount_usd"]))
+    t = catalog.load_table(TableIdentifier.parse("rn.t1"))
+    got = {r.id: r.amount_usd for r in t.to_df(spark).collect()}
+    assert got == {1: 10, 2: 20}, "pre-rename file values lost"
+
+
+def test_mixed_cohorts_old_and_new_names(catalog, spark):
+    """Files written before AND after the rename read as one logical table."""
+    old = spark.createDataFrame([(1, 10)], _schema(["id", "amount"]))
+    t = catalog.create_table(TableIdentifier.parse("rn.t2"), old.schema)
+    t = t.new_transaction().append_dataframe(old).commit()
+    t = t.commit_schema(_schema(["id", "amount_usd"]))
+    new = spark.createDataFrame([(2, 20)], _schema(["id", "amount_usd"]))
+    t = t.new_transaction().append_dataframe(new).commit()
+    got = {r.id: r.amount_usd for r in t.to_df(spark).collect()}
+    assert got == {1: 10, 2: 20}
+    # incremental read across the rename boundary resolves names too
+    snaps = t.metadata.snapshots
+    inc = t.incremental_df(
+        spark, from_snapshot_id=snaps[0].snapshot_id, to_snapshot_id=snaps[1].snapshot_id
+    )
+    assert [(r.id, r.amount_usd) for r in inc.collect()] == [(2, 20)]
+
+
+def test_chained_renames_compose(catalog, spark):
+    t = catalog.create_table(
+        TableIdentifier.parse("rn.t3"),
+        _schema(["id", "a"]),
+    )
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame([(1, 100)], _schema(["id", "a"]))
+    ).commit()
+    t = t.commit_schema(_schema(["id", "b"]))
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame([(2, 200)], _schema(["id", "b"]))
+    ).commit()
+    t = t.commit_schema(_schema(["id", "c"]))
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame([(3, 300)], _schema(["id", "c"]))
+    ).commit()
+    got = {r.id: r.c for r in t.to_df(spark).collect()}
+    assert got == {1: 100, 2: 200, 3: 300}
+    # the log records both renames with distinct effective seqs
+    log = t.column_renames()
+    assert [(r["from"], r["to"]) for r in log] == [("a", "b"), ("b", "c")]
+
+
+def test_stats_pruning_follows_rename(catalog, spark):
+    """Manifest bounds were written under the OLD physical name; planning on
+    the new logical name must still prune (and still open zero footers)."""
+    import iceberg_catalog_postgres_spark.catalog.table as _tm
+
+    t = catalog.create_table(TableIdentifier.parse("rn.t4"), _schema(["id", "k"]))
+    for lo in (0, 100):
+        df = spark.createDataFrame(
+            [(i, lo + i) for i in range(50)], _schema(["id", "k"])
+        ).coalesce(1)
+        t = t.new_transaction().append_dataframe(df).commit()
+    t = t.commit_schema(_schema(["id", "key"]))
+    before = _tm.PLANNING_FOOTER_READS
+    planned = t.planned_files("key", 120, 130, require_stats=True)
+    assert _tm.PLANNING_FOOTER_READS == before
+    assert len(planned) == 1
+    rows = (
+        t.to_df(spark, prune=("key", 120, 130))
+        .filter(F.col("key").between(120, 130))
+        .count()
+    )
+    assert rows == 11
+
+
+def test_eq_delete_staged_before_rename_still_applies(catalog, spark):
+    """An equality delete written under the old key name must keep masking
+    rows after the rename (its key columns map forward through the log)."""
+    t = catalog.create_table(TableIdentifier.parse("rn.t5"), _schema(["id", "amount"]))
+    df = spark.createDataFrame([(i, i * 10) for i in range(5)], _schema(["id", "amount"]))
+    t = t.new_transaction().append_dataframe(df).commit()
+    keys = spark.createDataFrame([(30,)], "amount long").coalesce(1)
+    t = t.new_transaction().delete_keys_dataframe(keys).commit()
+    assert t.to_df(spark).count() == 4
+    t = t.commit_schema(_schema(["id", "amount_usd"]))
+    t = catalog.load_table(TableIdentifier.parse("rn.t5"))
+    got = sorted(r.amount_usd for r in t.to_df(spark).collect())
+    assert got == [0, 10, 20, 40], "pre-rename delete key stopped applying"
+
+
+def test_cow_delete_after_rename(catalog, spark):
+    """delete_where_cow on the renamed column: pruning maps the name per
+    file, the rewrite reads through to_df (rename-aware), and the result
+    carries only current-name files."""
+    from iceberg_catalog_postgres_spark.catalog.maintenance import delete_where_cow
+
+    t = catalog.create_table(TableIdentifier.parse("rn.t6"), _schema(["id", "k"]))
+    for lo in (0, 100):
+        df = spark.createDataFrame(
+            [(i, lo + i) for i in range(50)], _schema(["id", "k"])
+        ).coalesce(1)
+        t = t.new_transaction().append_dataframe(df).commit()
+    t = t.commit_schema(_schema(["id", "key"]))
+    t = catalog.load_table(TableIdentifier.parse("rn.t6"))
+    t, n_rewritten, n_kept = delete_where_cow(spark, t, "key", 120, 130)
+    assert (n_rewritten, n_kept) == (1, 1)
+    assert t.to_df(spark).count() == 89
+    assert t.to_df(spark).filter(F.col("key").between(120, 130)).count() == 0
