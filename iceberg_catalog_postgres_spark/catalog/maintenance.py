@@ -115,6 +115,9 @@ def rewrite_small_files(
         out_df = table.to_df(spark, file_subset=members).coalesce(n_out)
         rel_dir = _pp.join(table.metadata.location, "data", f"binpack-{_uuid.uuid4().hex}")
         abs_dir = store.resolve(rel_dir)
+        from iceberg_catalog_postgres_spark.catalog.table import _ensure_stats_friendly_writes
+
+        _ensure_stats_friendly_writes(spark)
         out_df.write.mode("overwrite").parquet(abs_dir)
         import glob as _glob
 
@@ -253,6 +256,9 @@ def delete_where_cow(
         )
         rel_dir = _pp.join(table.metadata.location, "data", f"cowdel-{_uuid.uuid4().hex}")
         abs_dir = store.resolve(rel_dir)
+        from iceberg_catalog_postgres_spark.catalog.table import _ensure_stats_friendly_writes
+
+        _ensure_stats_friendly_writes(spark)
         survivors.write.mode("overwrite").parquet(abs_dir)
         new_files = [
             _pp.join(rel_dir, os.path.basename(p))
@@ -798,6 +804,66 @@ def catalog_sorted_write_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(len(planned_unsorted) == 4).alias("unsorted_reads_all"),
         "n_rows",
         "key_sum",
+    )
+
+
+@register(
+    "catalog_ts_pruned_scan",
+    oracle="""
+    SELECT true AS ts_prunes,
+           CAST(count(*) AS BIGINT)              AS n_rows,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-13 00:00:00'
+    """,
+    tags=("catalog", "scan-planning", "pruning", "stats", "timestamp"),
+)
+def catalog_ts_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMP manifest bounds end to end (r5): events lands range-sorted
+    on ``ts`` (``sort_by=['ts']``, 6 files ≈ 5 days each), so every file's
+    manifest carries type-tagged timestamp bounds; a 3-day query then plans
+    ≤2 of 6 files from the metadata JSON — datetime comparisons on decoded
+    bounds, zero footer opens (counter pinned) — and the pruned scan's
+    row/user counts match the oracle's plain range filter.
+
+    Scale: THE canonical 100 TB access pattern — time-range over an
+    event log. Range-sorted writes + timestamp bounds in manifests =
+    a day's query reads a day's files; this row certifies the whole
+    chain (encode → JSON roundtrip → decode → compare → prune → scan).
+    """
+    import datetime as _dt
+
+    import iceberg_catalog_postgres_spark.catalog.table as _tm
+
+    cat = _fresh_catalog("catalog_ts_pruned")
+    src = load(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    table = cat.create_table(TableIdentifier.parse("maint.events_ts"), src.schema)
+    table = (
+        table.new_transaction().append_dataframe(src, sort_by=["ts"], n_files=6).commit()
+    )
+    lo = _dt.datetime(2024, 1, 10)
+    hi = _dt.datetime(2024, 1, 13)  # exclusive
+
+    before = _tm.PLANNING_FOOTER_READS
+    planned = table.planned_files(
+        "ts", lo, hi - _dt.timedelta(microseconds=1), require_stats=True
+    )
+    assert _tm.PLANNING_FOOTER_READS == before, "ts planning opened a footer"
+    n_total = len(table.metadata.current_data_files())
+
+    return (
+        table.to_df(spark, prune=("ts", lo, hi - _dt.timedelta(microseconds=1)))
+        .filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.lit(0 < len(planned) <= 2).alias("ts_prunes"),
+            "n_rows",
+            "n_users",
+        )
     )
 
 

@@ -56,6 +56,12 @@ def encode_bound(v):
     if isinstance(v, (bool, int, float, str)):
         return v
     if isinstance(v, _dt.datetime):
+        # Canonical form: UTC wall-clock, NAIVE (Iceberg stores micros since
+        # epoch UTC). Footer stats for timestamptz columns arrive tz-aware;
+        # TIMESTAMP_NTZ arrives naive — normalizing here makes bound
+        # comparisons uniform for callers passing naive UTC datetimes.
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
         return {"$t": "ts", "v": v.isoformat()}
     if isinstance(v, _dt.date):
         return {"$t": "date", "v": v.isoformat()}

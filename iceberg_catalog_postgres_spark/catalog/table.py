@@ -182,7 +182,25 @@ def _file_range_stats(path: str, column: str) -> tuple | None:
                 hi = st.max if hi is None else max(hi, st.max)
     if lo is None:
         return None
-    return lo, hi
+    import datetime as _dt
+
+    def _norm(v):
+        # same canonicalization as encode_bound: naive UTC wall-clock
+        if isinstance(v, _dt.datetime) and v.tzinfo is not None:
+            return v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return v
+
+    return _norm(lo), _norm(hi)
+
+
+def _ensure_stats_friendly_writes(spark: SparkSession) -> None:
+    """Spark's default parquet timestamp encoding is the deprecated INT96,
+    which carries NO column statistics — a timestamp column written that
+    way can never be manifest- or footer-pruned. Pin TIMESTAMP_MICROS (the
+    standard parquet logical type; every modern reader handles it) before
+    any catalog write so time-range pruning works. Runtime-settable, so
+    this also covers vanilla driver-provided sessions."""
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
 
 
 class TableBuilder:
@@ -1006,6 +1024,7 @@ class Transaction:
         import os as _os
         import urllib.parse as _up
 
+        _ensure_stats_friendly_writes(df.sparkSession)
         if sort_by:
             from pyspark.sql import functions as _F
 
@@ -1071,6 +1090,7 @@ class Transaction:
             self.table.metadata.location, "data", f"eqdel-{uuid.uuid4().hex}"
         )
         abs_dir = store.resolve(rel_dir)
+        _ensure_stats_friendly_writes(keys.sparkSession)
         keys.write.mode("overwrite").parquet(abs_dir)
         import glob as _glob
         import os as _os
@@ -1101,6 +1121,7 @@ class Transaction:
             self.table.metadata.location, "data", f"posdel-{uuid.uuid4().hex}"
         )
         abs_dir = store.resolve(rel_dir)
+        _ensure_stats_friendly_writes(positions.sparkSession)
         positions.write.mode("overwrite").parquet(abs_dir)
         import glob as _glob
         import os as _os

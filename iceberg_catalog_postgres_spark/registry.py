@@ -267,6 +267,7 @@ PRIORITY: tuple[str, ...] = (
     "catalog_compact_small_files",
     "catalog_sorted_write_pruning",
     "catalog_schema_rename_read",
+    "catalog_ts_pruned_scan",
     "catalog_positional_delete",
     "catalog_cow_delete_pruned",
     "window_topk_per_group",
