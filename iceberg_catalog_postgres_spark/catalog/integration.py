@@ -403,3 +403,241 @@ def catalog_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(120)
     return cat.load_table(ident).to_df(spark)
+
+
+@register(
+    "catalog_ann_ivf_partitioned_probe",
+    oracle=None,  # set below: reuses the IVF probe oracle verbatim
+    tags=("catalog", "llm", "similarity", "ivf", "partition"),
+)
+def catalog_ann_ivf_partitioned_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INVERTED FILE, literally: the IVF-assigned corpus is WRITTEN into
+    a catalog table ``PARTITIONED BY cluster`` (what ``sim_ann_ivf_probe``'s
+    docstring names as the production layout), and the probe search then
+    reads ONLY the probed clusters' files via metadata partition pruning —
+    zero footer opens (counter pinned), files asserted == exactly the
+    probed partitions' files. Same centroids, probes, scoring, and ORACLE
+    as ``sim_ann_ivf_probe``, so the certified statement is: the
+    partition-pruned inverted-file layout returns bit-identical results to
+    the cluster-equi-join plan.
+
+    Scale: this is the composition that makes IVF-ANN an O(nprobe/k) READ
+    at 100 TB — the candidate set is selected by the catalog's partition
+    metadata before Spark plans a single task, instead of scanning the
+    corpus to filter on cluster id. Writing the assignment once costs one
+    partitioned write; every subsequent query amortizes it.
+    """
+    from iceberg_catalog_postgres_spark.llm.similarity import (
+        N_QUERIES,
+        TOP_K,
+        _dot,
+        _ivf_assign,
+        _ivf_final_centroids,
+        _vec,
+    )
+    import iceberg_catalog_postgres_spark.catalog.table as _tm
+    from pyspark.sql import Window
+
+    cat = _fresh_catalog("catalog_ann_ivf")
+    v = load(spark, sf_dir, "embeddings").select("vec_id", _vec("embedding").alias("e"))
+    cents = _ivf_final_centroids(v)
+    assigned = _ivf_assign(v, cents).select("vec_id", "e", "cluster")
+
+    ident = TableIdentifier.parse("ann.ivf_corpus")
+    t = cat.create_table(ident, assigned.schema, partition_by=["cluster"])
+    t = t.new_transaction().append_dataframe(assigned).commit()
+
+    # probe selection (identical to sim_ann_ivf_probe)
+    qd = _ivf_assign(v.filter(F.col("vec_id") < N_QUERIES), cents)
+    dist_structs = F.array(
+        *[
+            F.struct(F.col(f"d{ci}").alias("dist"), F.lit(ci).alias("cluster"))
+            for ci in range(len(cents))
+        ]
+    )
+    from iceberg_catalog_postgres_spark.llm.similarity import _NPROBE
+
+    q = qd.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.explode(F.slice(F.array_sort(dist_structs), 1, _NPROBE)).alias("p"),
+    ).select("query_id", "qe", F.col("p.cluster").alias("probe_cluster"))
+
+    # the probed clusters (<= k distinct values — bounded driver pull, like
+    # the centroids themselves)
+    probed = sorted(r[0] for r in q.select("probe_cluster").distinct().collect())
+
+    # partition pruning from METADATA: the probed clusters' files only
+    snap = t.metadata.current_snapshot()
+    before = _tm.PLANNING_FOOTER_READS
+    rels = [
+        rel
+        for rel in snap.data_files
+        if int(snap.file_partitions[rel]["cluster"]) in set(probed)
+    ]
+    planned = set()
+    for c in probed:
+        planned.update(t.planned_files_partition({"cluster": c}))
+    store = cat.object_store()
+    assert planned == {store.resolve(r) for r in rels}, "partition plan mismatch"
+    assert _tm.PLANNING_FOOTER_READS == before, "partition planning opened a footer"
+    corpus = t.to_df(spark, file_subset=rels).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ne"), "cluster"
+    )
+
+    norm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))  # noqa: E731
+    cos = F.round(_dot(F.col("qe"), F.col("ne")) / (norm(F.col("qe")) * norm(F.col("ne"))), 6)
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        F.broadcast(q)
+        .join(
+            corpus,
+            (F.col("probe_cluster") == F.col("cluster"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+    )
+
+
+# Reuse the IVF probe oracle VERBATIM: identical semantics, different
+# physical path (partition pruning vs equi-join) — the strongest possible
+# equivalence statement the gate can make.
+from iceberg_catalog_postgres_spark.llm.similarity import _IVF_PROBE_ORACLE  # noqa: E402
+from iceberg_catalog_postgres_spark.registry import REGISTRY as _REG  # noqa: E402
+
+_REG["catalog_ann_ivf_partitioned_probe"].oracle = _IVF_PROBE_ORACLE
+
+
+def _neardup_oracle() -> str:
+    from iceberg_catalog_postgres_spark.llm.dedup import (
+        BANDS,
+        JACCARD_THRESHOLD,
+        K,
+        ROWS,
+        _window_off,
+    )
+
+    sig_cols = ",\n           ".join(
+        f"min(substr(md5(sh), {_window_off(j)}, 8)) AS h{j}" for j in range(1, K + 1)
+    )
+
+    def shingles(src: str) -> str:
+        return f"""
+      SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(toks) >= 3
+             THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+             ELSE [text] END)) AS sh
+      FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM {src})
+        """
+
+    def bands(sig: str) -> str:
+        selects = []
+        for b in range(BANDS):
+            key = " || ".join(f"h{b * ROWS + r}" for r in range(1, ROWS + 1))
+            selects.append(f"SELECT doc_id, {b} AS band, {key} AS key FROM {sig}")
+        return "\n      UNION ALL ".join(selects)
+
+    jac = (
+        "CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)"
+        " / len(list_distinct(list_concat(sa.s, sb.s)))"
+    )
+    return f"""
+    WITH corpus AS (SELECT doc_id, text FROM documents),
+    batch AS (SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id < 30),
+    sh_c AS ({shingles("corpus")}),
+    sh_b AS ({shingles("batch")}),
+    sig_c AS (SELECT doc_id, {sig_cols} FROM sh_c GROUP BY doc_id),
+    sig_b AS (SELECT doc_id, {sig_cols} FROM sh_b GROUP BY doc_id),
+    bands_c AS ({bands("sig_c")}),
+    bands_b AS ({bands("sig_b")}),
+    cand AS (
+      SELECT DISTINCT c.doc_id AS corpus_doc, b.doc_id AS batch_doc
+      FROM bands_c c JOIN bands_b b ON c.band = b.band AND c.key = b.key
+    ),
+    shset_c AS (SELECT doc_id, list(sh) AS s FROM sh_c GROUP BY doc_id),
+    shset_b AS (SELECT doc_id, list(sh) AS s FROM sh_b GROUP BY doc_id),
+    scored AS (
+      SELECT batch_doc, corpus_doc, {jac} AS j
+      FROM cand
+      JOIN shset_c sa ON sa.doc_id = corpus_doc
+      JOIN shset_b sb ON sb.doc_id = batch_doc
+      WHERE {jac} >= {JACCARD_THRESHOLD}
+    )
+    SELECT batch_doc,
+           CAST(count(*) AS BIGINT) AS n_matches,
+           round(max(j), 6)         AS best_jaccard,
+           CAST(min(corpus_doc) AS BIGINT) AS first_match
+    FROM scored GROUP BY batch_doc
+    """
+
+
+@register(
+    "catalog_incremental_neardup",
+    oracle=_neardup_oracle(),
+    tags=("catalog", "llm", "dedup", "lsh", "incremental"),
+)
+def catalog_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup dedup with the catalog as the signature index
+    (the MinHash counterpart of ``catalog_incremental_dedup``'s exact-hash
+    pattern): the committed corpus's LSH band rows (doc_id, band, key) live
+    in a catalog table written ONCE; an incoming batch computes its own
+    band rows map-side and equi-joins the INDEX — the corpus text is never
+    re-shingled, never re-hashed, never re-scanned for candidate
+    generation. Candidates verify with exact shingle-set Jaccard against
+    only the matched corpus docs (a semi-join-pruned slice).
+
+    Scale: per ingested batch the work is O(batch) signatures + one keyed
+    join against an index that is ~50 bytes x BANDS per corpus doc — the
+    difference between deduping a 100 TB corpus per batch and deduping
+    against it. In production each accepted batch APPENDS its band rows to
+    the same index table (one snapshot commit, like the stream-upsert
+    pattern), so the index tracks the corpus exactly.
+    """
+    from iceberg_catalog_postgres_spark.llm.dedup import (
+        JACCARD_THRESHOLD,
+        _minhash_bands,
+        _shingle_expr,
+    )
+
+    cat = _fresh_catalog("catalog_incr_neardup")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.withColumn("shingles", _shingle_expr())
+    bands_c = _minhash_bands(corpus.select("doc_id", "shingles"))
+
+    ident = TableIdentifier.parse("dedup.minhash_index")
+    t = cat.create_table(ident, bands_c.schema)
+    t = t.new_transaction().append_dataframe(bands_c).commit()
+
+    batch = docs.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+    ).withColumn("shingles", _shingle_expr())
+    bands_b = _minhash_bands(batch.select("doc_id", "shingles")).select(
+        F.col("doc_id").alias("batch_doc"), "band", "key"
+    )
+
+    index = t.to_df(spark).select(F.col("doc_id").alias("corpus_doc"), "band", "key")
+    cand = (
+        bands_b.join(index, ["band", "key"])
+        .select("corpus_doc", "batch_doc")
+        .distinct()
+    )
+
+    sa = corpus.select(F.col("doc_id").alias("corpus_doc"), F.col("shingles").alias("sa"))
+    sb = batch.select(F.col("doc_id").alias("batch_doc"), F.col("shingles").alias("sb"))
+    jac = F.size(F.array_intersect("sa", "sb")).cast("double") / F.size(
+        F.array_union("sa", "sb")
+    )
+    return (
+        cand.join(sa, "corpus_doc")
+        .join(sb, "batch_doc")
+        .withColumn("j", jac)
+        .filter(F.col("j") >= JACCARD_THRESHOLD)
+        .groupBy("batch_doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.round(F.max("j"), 6).alias("best_jaccard"),
+            F.min("corpus_doc").alias("first_match"),
+        )
+    )

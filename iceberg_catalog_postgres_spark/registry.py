@@ -268,6 +268,8 @@ PRIORITY: tuple[str, ...] = (
     "catalog_sorted_write_pruning",
     "catalog_schema_rename_read",
     "catalog_ts_pruned_scan",
+    "catalog_ann_ivf_partitioned_probe",
+    "catalog_incremental_neardup",
     "catalog_positional_delete",
     "catalog_cow_delete_pruned",
     "window_topk_per_group",
