@@ -407,6 +407,58 @@ def test_pruning_superset_safety_property(catalog, spark):
     prop()
 
 
+def test_stats_survive_cas_retry(catalog, spark):
+    """Two transactions staged from the SAME base: the loser's CAS retry
+    re-applies its staged files onto the winner's metadata — the final
+    snapshot must carry stats for BOTH commits' files (metadata counts stay
+    exact under contention)."""
+    mk = lambda lo: spark.createDataFrame([(lo + i,) for i in range(10)], "k long").coalesce(1)
+    t = catalog.create_table(TableIdentifier.parse("s.t16"), mk(0).schema)
+    t = t.new_transaction().append_dataframe(mk(0)).commit()
+    base = catalog.load_table(TableIdentifier.parse("s.t16"))
+    tx1 = base.new_transaction().append_dataframe(mk(100))
+    tx2 = base.new_transaction().append_dataframe(mk(200))  # same base -> conflict
+    tx1.commit()
+    t = tx2.commit()  # retries internally, re-applies staged files
+    snap = t.metadata.current_snapshot()
+    assert len(snap.data_files) == 3
+    assert set(snap.file_stats) == set(snap.data_files)
+    before = _footer_reads()
+    assert t.record_count() == 30
+    assert _footer_reads() == before
+
+
+def test_streaming_sink_commits_carry_stats(catalog, spark, tmp_path):
+    """foreachBatch commits go through append_dataframe -> every
+    micro-batch's files land with stats; record_count is metadata-only on a
+    stream-built table."""
+    src_dir = str(tmp_path / "stream_src")
+    df = spark.createDataFrame([(i, float(i)) for i in range(40)], "k long, v double")
+    df.coalesce(2).write.json(src_dir)
+    t = catalog.create_table(TableIdentifier.parse("s.t17"), df.schema)
+
+    stream = spark.readStream.schema(df.schema).json(src_dir)
+
+    def commit_batch(batch_df, batch_id):
+        tbl = catalog.load_table(TableIdentifier.parse("s.t17"))
+        tbl.new_transaction().append_dataframe(batch_df).commit()
+
+    q = (
+        stream.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    t = catalog.load_table(TableIdentifier.parse("s.t17"))
+    snap = t.metadata.current_snapshot()
+    assert snap is not None and snap.data_files
+    assert set(snap.file_stats) == set(snap.data_files)
+    before = _footer_reads()
+    assert t.record_count() == 40
+    assert _footer_reads() == before
+
+
 def test_string_bound_truncation():
     lo, hi = _truncate_string_bounds("a" * 40, "b" * 40)
     assert lo == "a" * 16
