@@ -158,6 +158,12 @@ def schema_to_spark(iceberg_schema: dict) -> StructType:
 MANIFEST_THRESHOLD = 100
 
 
+MANIFEST_CHUNK_READS = 0
+"""Diagnostic: number of manifest chunk files fetched from the object store.
+Tests assert planning reads only the chunks whose manifest-list summary
+intersects the predicate (Iceberg's two-level pruning)."""
+
+
 def write_manifest(store, table_location: str, entries: list[dict]) -> str:
     """Write one manifest chunk ({"entries": [{path, kind, seq}]}) under
     ``<location>/metadata/``, content-addressed so identical chunks are
@@ -168,6 +174,100 @@ def write_manifest(store, table_location: str, entries: list[dict]) -> str:
     if not store.exists(rel):
         store.put(rel, payload)
     return rel
+
+
+def load_chunk(store, rel: str) -> dict:
+    """Fetch + parse one manifest chunk, counting the read (the unit of
+    metadata I/O that two-level pruning exists to avoid)."""
+    global MANIFEST_CHUNK_READS
+    MANIFEST_CHUNK_READS += 1
+    return json.loads(store.get(rel).decode("utf-8"))
+
+
+def chunk_path(c) -> str:
+    """Chunk ref -> path. Refs are dicts ``{"path", "summary"}`` since r5;
+    plain strings are the pre-summary legacy form (still readable)."""
+    return c["path"] if isinstance(c, dict) else c
+
+
+def chunk_summary(entries: list[dict]) -> dict:
+    """Manifest-LIST summary of one chunk (Iceberg's ``manifest_file``
+    struct: partition summaries + counts), computed once at write time from
+    the entries the writer already holds. Planning consults these to skip
+    whole chunks without fetching them — at 10^7 files in 10^4 chunks a
+    selective query touches O(matching chunks) of metadata, not all of it.
+
+    - ``counts``: entries per kind (data / eq-delete / pos-delete).
+    - ``records``: record_count totals per kind; None when any entry of
+      that kind lacks a count (fold must then load chunks).
+    - ``bounds``: per PHYSICAL column ``{"lo", "hi", "n"}`` — the merged
+      [min, max] over the chunk's data entries plus how many entries carry
+      a bound for that name. A chunk is range-skippable only when every
+      data entry is covered (n sums to the data count) and the merged
+      range is provably disjoint. ``hi`` None = truncated string upper
+      (lower-side pruning only).
+    - ``partitions``: per partition column ``{"values", "n"}`` — distinct
+      identity-partition values (capped at 16 distinct; larger cardinality
+      is omitted and the chunk is never partition-skipped).
+    """
+    counts = {"data": 0, "eq-delete": 0, "pos-delete": 0}
+    records = {"data": 0, "eq-delete": 0, "pos-delete": 0}
+    rec_ok = {"data": True, "eq-delete": True, "pos-delete": True}
+    bounds: dict = {}
+    part_vals: dict = {}
+    part_counts: dict = {}
+    for e in entries:
+        kind = e["kind"]
+        counts[kind] += 1
+        st = e.get("stats") or {}
+        rc = st.get("record_count")
+        if rc is None:
+            rec_ok[kind] = False
+        else:
+            records[kind] += rc
+        if kind != "data":
+            continue
+        for col, b in (st.get("bounds") or {}).items():
+            lo = decode_bound(b[0])
+            hi = None if b[1] is None else decode_bound(b[1])
+            cur = bounds.get(col)
+            if cur is None:
+                bounds[col] = [lo, hi, 1]
+            else:
+                cur[0] = min(cur[0], lo)
+                cur[1] = None if (cur[1] is None or hi is None) else max(cur[1], hi)
+                cur[2] += 1
+        for col, v in (e.get("partition") or {}).items():
+            part_vals.setdefault(col, set()).add(v)
+            part_counts[col] = part_counts.get(col, 0) + 1
+    return {
+        "counts": counts,
+        "records": {k: (records[k] if rec_ok[k] else None) for k in counts},
+        "bounds": {
+            col: {
+                "lo": encode_bound(b[0]),
+                "hi": None if b[1] is None else encode_bound(b[1]),
+                "n": b[2],
+            }
+            for col, b in bounds.items()
+        },
+        "partitions": {
+            col: {
+                "values": sorted(vs, key=lambda x: (x is None, x)),
+                "n": part_counts[col],
+            }
+            for col, vs in part_vals.items()
+            if len(vs) <= 16
+        },
+    }
+
+
+def make_chunk(store, table_location: str, entries: list[dict]) -> dict:
+    """Write a chunk and return its manifest-list ref (path + summary)."""
+    return {
+        "path": write_manifest(store, table_location, entries),
+        "summary": chunk_summary(entries),
+    }
 
 
 def snapshot_entries(snapshot: "Snapshot") -> list[dict]:
@@ -222,10 +322,10 @@ def plan_manifests(
         and prev_snapshot.manifests
     )
     if additive:
-        chunk = write_manifest(store, table_location, staged_entries)
+        chunk = make_chunk(store, table_location, staged_entries)
         snapshot.manifests = [*prev_snapshot.manifests, chunk]
     else:
-        snapshot.manifests = [write_manifest(store, table_location, snapshot_entries(snapshot))]
+        snapshot.manifests = [make_chunk(store, table_location, snapshot_entries(snapshot))]
 
 
 def new_snapshot_id(existing: set[int] | None = None) -> int:
@@ -241,48 +341,146 @@ def new_snapshot_id(existing: set[int] | None = None) -> int:
             return sid
 
 
-@dataclass
 class Snapshot:
-    snapshot_id: int
-    timestamp_ms: int
-    operation: str  # "append" | "overwrite" | "delete"
-    data_files: list[str]
-    summary: dict = field(default_factory=dict)
-    delete_files: list[str] = field(default_factory=list)
-    """Equality-delete files (Iceberg v2 merge-on-read): parquet files whose
-    columns name the equality key; readers anti-join them against data files
-    whose sequence number is LOWER than the delete file's (``file_seqs``) —
-    v2 scoping, so a key re-inserted after the delete is not masked."""
-    position_delete_files: list[str] = field(default_factory=list)
-    """Positional-delete files (Iceberg v2): parquet files of
-    (file_path, row_index) pairs; readers anti-join them against the scan's
-    ``_metadata`` columns, so an arbitrary-predicate DELETE commits
-    O(matched rows) without touching any data file. Positional deletes name
-    their target file explicitly, so no sequence scoping is needed."""
-    sequence_number: int = 0
-    """Commit order of this snapshot (Iceberg v2 data sequence number)."""
-    file_seqs: dict = field(default_factory=dict)
-    """path -> sequence number at which the file (data or delete) was added.
-    Carried forward commit-to-commit; the basis for delete scoping."""
-    manifests: list | None = None
-    """When set, this snapshot's file lists are backed by these manifest
-    chunk files instead of being inlined in the metadata JSON (set by
-    ``plan_manifests`` above the MANIFEST_THRESHOLD). The in-memory lists
-    are always fully inflated; ``manifests`` records the serialized form."""
-    file_partitions: dict = field(default_factory=dict)
-    """path -> {column: string value} partition tuple for tables with a
-    partition spec (Iceberg manifest partition summaries): scan planning
-    prunes on these from metadata alone — no footer reads, no listing."""
-    file_stats: dict = field(default_factory=dict)
-    """path -> {"record_count": int, "bounds": {col: [lo, hi]}} — the Iceberg
-    manifest file-statistics model (record_count + lower_bounds/upper_bounds
-    per the public spec). Written at commit time from footers the writer
-    already has in hand; read-side scan planning and row counts answer from
-    these with ZERO file opens. Bounds are encode_bound-tagged JSON values;
-    string bounds are truncated Iceberg-style (lower = prefix, upper = prefix
-    with last code point incremented, or null when un-incrementable). Files
-    committed before this field existed simply have no entry — readers fall
-    back to the footer for those (statless-legacy path)."""
+    """One table version. Small snapshots inline their file lists in the
+    metadata JSON; manifest-backed snapshots (``manifests`` set) keep only
+    chunk refs there and inflate the lists LAZILY — loading a 10^7-file
+    snapshot reads zero chunks until something actually needs the full file
+    list, and the chunk-summary planning paths (``Table.planned_files`` /
+    ``record_count``) never do. Field semantics:
+
+    - ``data_files``: table-relative parquet paths.
+    - ``delete_files``: equality-delete files (Iceberg v2 merge-on-read) —
+      readers anti-join them against data files whose sequence number is
+      LOWER than the delete file's (v2 scoping, so a key re-inserted after
+      the delete is not masked).
+    - ``position_delete_files``: (file_path, row_index) pair files;
+      anti-joined against the scan's ``_metadata`` columns, so an
+      arbitrary-predicate DELETE commits O(matched rows).
+    - ``sequence_number``: commit order (Iceberg v2 data sequence number).
+    - ``file_seqs``: path -> sequence number at which the file was added;
+      the basis for delete scoping and rename resolution.
+    - ``manifests``: chunk refs ``{"path", "summary"}`` (legacy: plain
+      path strings, no summary) when the file lists spilled out of the
+      metadata JSON (``plan_manifests``).
+    - ``file_partitions``: path -> {column: string value} identity-partition
+      tuple; scan planning prunes on these from metadata alone.
+    - ``file_stats``: path -> {"record_count", "bounds", "null_counts"} —
+      the Iceberg manifest metrics model, written at commit time from
+      footers the writer already has in hand. Bounds are
+      encode_bound-tagged; string bounds are truncated Iceberg-style
+      (upper = prefix with last code point incremented, or null when
+      un-incrementable). Statless legacy files simply have no entry.
+    """
+
+    def __init__(
+        self,
+        snapshot_id: int,
+        timestamp_ms: int,
+        operation: str,  # "append" | "overwrite" | "delete"
+        data_files: list[str] | None = None,
+        summary: dict | None = None,
+        delete_files: list[str] | None = None,
+        position_delete_files: list[str] | None = None,
+        sequence_number: int = 0,
+        file_seqs: dict | None = None,
+        manifests: list | None = None,
+        file_partitions: dict | None = None,
+        file_stats: dict | None = None,
+        store=None,
+        deferred: bool = False,
+    ):
+        self.snapshot_id = snapshot_id
+        self.timestamp_ms = timestamp_ms
+        self.operation = operation
+        self.summary = summary or {}
+        self.sequence_number = sequence_number
+        self.manifests = manifests
+        self._data_files = list(data_files or [])
+        self._delete_files = list(delete_files or [])
+        self._position_delete_files = list(position_delete_files or [])
+        self._file_seqs = dict(file_seqs or {})
+        self._file_partitions = dict(file_partitions or {})
+        self._file_stats = dict(file_stats or {})
+        self._store = store
+        self._inflated = not deferred
+        if deferred and store is None:
+            raise ValueError("deferred snapshot requires an object store to load")
+
+    def _ensure_inflated(self) -> None:
+        if self._inflated:
+            return
+        for c in self.manifests or []:
+            doc = load_chunk(self._store, chunk_path(c))
+            for e in doc["entries"]:
+                kind, path = e["kind"], e["path"]
+                if kind == "data":
+                    self._data_files.append(path)
+                elif kind == "eq-delete":
+                    self._delete_files.append(path)
+                else:
+                    self._position_delete_files.append(path)
+                self._file_seqs[path] = e.get("seq", 0)
+                if e.get("partition") is not None:
+                    self._file_partitions[path] = e["partition"]
+                if e.get("stats") is not None:
+                    self._file_stats[path] = e["stats"]
+        self._inflated = True
+
+    @property
+    def data_files(self) -> list[str]:
+        self._ensure_inflated()
+        return self._data_files
+
+    @property
+    def delete_files(self) -> list[str]:
+        self._ensure_inflated()
+        return self._delete_files
+
+    @property
+    def position_delete_files(self) -> list[str]:
+        self._ensure_inflated()
+        return self._position_delete_files
+
+    @property
+    def file_seqs(self) -> dict:
+        self._ensure_inflated()
+        return self._file_seqs
+
+    @property
+    def file_partitions(self) -> dict:
+        self._ensure_inflated()
+        return self._file_partitions
+
+    @property
+    def file_stats(self) -> dict:
+        self._ensure_inflated()
+        return self._file_stats
+
+    def chunk_refs(self) -> list[dict] | None:
+        """Manifest-list refs WITH summaries, or None when the snapshot is
+        inline / legacy (some chunk lacks a summary) — callers then use the
+        inflated per-file dicts instead. The planning paths check this
+        first: a non-None return means two-level pruning is available."""
+        if not self.manifests:
+            return None
+        refs = [c for c in self.manifests if isinstance(c, dict) and c.get("summary")]
+        return refs if len(refs) == len(self.manifests) else None
+
+    def chunk_records(self, kind: str = "data") -> int | None:
+        """Snapshot record count folded from manifest-list summaries —
+        O(#chunks), ZERO chunk reads. None when unavailable (inline or
+        legacy snapshot, or a chunk whose entries lacked counts)."""
+        refs = self.chunk_refs()
+        if refs is None:
+            return None
+        total = 0
+        for c in refs:
+            r = c["summary"]["records"].get(kind)
+            if r is None:
+                return None
+            total += r
+        return total
 
     def to_json(self) -> dict:
         common = {
@@ -307,44 +505,18 @@ class Snapshot:
     @staticmethod
     def from_json(d: dict, store=None) -> "Snapshot":
         if "manifests" in d:
-            if store is None:
-                raise ValueError(
-                    "manifest-backed snapshot requires an object store to load"
-                )
-            data: list[str] = []
-            dels: list[str] = []
-            pos: list[str] = []
-            seqs: dict = {}
-            parts: dict = {}
-            stats: dict = {}
-            for m in d["manifests"]:
-                doc = json.loads(store.get(m).decode("utf-8"))
-                for e in doc["entries"]:
-                    kind, path = e["kind"], e["path"]
-                    if kind == "data":
-                        data.append(path)
-                    elif kind == "eq-delete":
-                        dels.append(path)
-                    else:
-                        pos.append(path)
-                    seqs[path] = e.get("seq", 0)
-                    if e.get("partition") is not None:
-                        parts[path] = e["partition"]
-                    if e.get("stats") is not None:
-                        stats[path] = e["stats"]
+            # Deferred: chunk refs only — no chunk is fetched until a caller
+            # actually needs the inflated file lists. Summary-driven paths
+            # (planned_files / record_count) never do.
             return Snapshot(
                 snapshot_id=d["snapshot-id"],
                 timestamp_ms=d["timestamp-ms"],
                 operation=d["operation"],
-                data_files=data,
                 summary=d.get("summary", {}),
-                delete_files=dels,
-                position_delete_files=pos,
                 sequence_number=d.get("sequence-number", 0),
-                file_seqs=seqs,
                 manifests=list(d["manifests"]),
-                file_partitions=parts,
-                file_stats=stats,
+                store=store,
+                deferred=True,
             )
         return Snapshot(
             snapshot_id=d["snapshot-id"],

@@ -37,6 +37,7 @@ from iceberg_catalog_postgres_spark.catalog.metadata import (
     TableMetadata,
     decode_bound,
     encode_bound,
+    load_chunk,
     new_snapshot_id,
     plan_manifests,
 )
@@ -397,6 +398,48 @@ class Table:
         if snap is None:
             return []
         store = self.catalog.object_store()
+        refs = snap.chunk_refs()
+        if refs is not None and not self.column_renames():
+            # Two-level prune (Iceberg manifest-list model): a chunk whose
+            # SUMMARY bounds cover every data entry and are provably
+            # disjoint from [lo, hi] is skipped without being fetched —
+            # planning cost is O(matching chunks), not O(all files). Gated
+            # on an empty rename log so the summary's physical column names
+            # are exactly the logical ones; renamed tables fall through to
+            # the per-entry path below, which resolves names per file seq.
+            out = []
+            for c in refs:
+                s = c["summary"]
+                nd = s["counts"]["data"]
+                if nd == 0:
+                    continue
+                cb = s["bounds"].get(column)
+                if cb is not None and cb["n"] == nd:
+                    c_lo = decode_bound(cb["lo"])
+                    c_hi = None if cb["hi"] is None else decode_bound(cb["hi"])
+                    if (c_hi is not None and c_hi < lo) or c_lo > hi:
+                        continue  # whole chunk disjoint — never fetched
+                doc = load_chunk(store, c["path"])
+                for e in doc["entries"]:
+                    if e["kind"] != "data":
+                        continue
+                    rel = e["path"]
+                    b = ((e.get("stats") or {}).get("bounds") or {}).get(column)
+                    if b is not None:
+                        f_lo = decode_bound(b[0])
+                        f_hi = None if b[1] is None else decode_bound(b[1])
+                        if (f_hi is not None and f_hi < lo) or f_lo > hi:
+                            continue
+                        out.append(store.resolve(rel))
+                        continue
+                    if require_stats:
+                        raise ValueError(
+                            f"no manifest bounds for column {column!r} on {rel}"
+                        )
+                    stats = _file_range_stats(store.resolve(rel), column)
+                    if stats is None or not (stats[1] < lo or stats[0] > hi):
+                        out.append(store.resolve(rel))
+            return out
         out = []
         for rel in snap.data_files:
             phys = self.physical_name(column, snap.file_seqs.get(rel, 0))
@@ -473,6 +516,13 @@ class Table:
         if snap is None:
             return 0
         if files is None:
+            # Manifest-list fold first: O(#chunks) over the summaries, zero
+            # chunk fetches (Iceberg's total-records summary) — at 10^7
+            # files the count comes from a few thousand summary dicts
+            # already in the metadata JSON.
+            folded = snap.chunk_records(kind)
+            if folded is not None:
+                return folded
             files = {
                 "data": snap.data_files,
                 "eq-delete": snap.delete_files,
@@ -510,6 +560,35 @@ class Table:
         if snap is None:
             return []
         store = self.catalog.object_store()
+        refs = snap.chunk_refs()
+        if refs is not None:
+            # Two-level partition prune: a chunk whose summary's distinct
+            # partition values cover every data entry and exclude the
+            # filter value is skipped without being fetched.
+            svals = {col: (None if v is None else str(v)) for col, v in filters.items()}
+            out = []
+            for c in refs:
+                s = c["summary"]
+                nd = s["counts"]["data"]
+                if nd == 0:
+                    continue
+                parts = s.get("partitions", {})
+                if any(
+                    (p := parts.get(col)) is not None
+                    and p["n"] == nd
+                    and sv not in p["values"]
+                    for col, sv in svals.items()
+                ):
+                    continue  # whole chunk excluded — never fetched
+                for e in load_chunk(store, c["path"])["entries"]:
+                    if e["kind"] != "data":
+                        continue
+                    tup = e.get("partition")
+                    if tup is None or all(
+                        col in tup and tup[col] == sv for col, sv in svals.items()
+                    ):
+                        out.append(store.resolve(e["path"]))
+            return out
         out = []
         for f in snap.data_files:
             tup = snap.file_partitions.get(f)
@@ -676,6 +755,23 @@ class Table:
             files = [f for f in files if f in subset_abs]
         if not files:
             return spark.createDataFrame([], self.schema)
+        snap_refs = snap.chunk_refs() if snap is not None else None
+        if (
+            snap_refs is not None
+            and not self.column_renames()
+            and all(
+                c["summary"]["counts"]["eq-delete"] == 0
+                and c["summary"]["counts"]["pos-delete"] == 0
+                for c in snap_refs
+            )
+        ):
+            # Manifest-list fast path: the chunk summaries PROVE there are no
+            # deletes to apply and the rename log is empty, so the (possibly
+            # chunk-pruned) file list is read directly with the declared
+            # schema. Combined with summary-driven planned_files this makes a
+            # pruned scan of an append-only table O(matching chunks) in
+            # metadata I/O end to end — the snapshot is never inflated.
+            return spark.read.schema(self.schema).parquet(*files)
         pos_dels = self.position_delete_files(snapshot_id)
         dels = self.delete_files(snapshot_id)
         store = self.catalog.object_store()

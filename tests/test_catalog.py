@@ -668,7 +668,7 @@ def test_manifest_spill_reuse_reads_and_gc(catalog, spark, monkeypatch):
     ) == [5, 6]
 
     # overwrite rewrites manifests fresh; expiry GCs the orphaned chunks
-    old_chunks = {m for s in snaps if s.manifests for m in s.manifests}
+    old_chunks = {md_mod.chunk_path(m) for s in snaps if s.manifests for m in s.manifests}
     big = spark.createDataFrame([(i,) for i in range(10)], schema).repartition(6)
     t2 = t2.new_transaction().overwrite_dataframe(big).commit()
     from iceberg_catalog_postgres_spark.catalog.maintenance import expire_snapshots
@@ -676,7 +676,7 @@ def test_manifest_spill_reuse_reads_and_gc(catalog, spark, monkeypatch):
     t3 = expire_snapshots(t2, keep_last=1)
     store = catalog.object_store()
     assert all(not store.exists(m) for m in old_chunks), "orphan chunks not GC'd"
-    live_chunks = t3.metadata.current_snapshot().manifests
+    live_chunks = [md_mod.chunk_path(m) for m in t3.metadata.current_snapshot().manifests]
     assert live_chunks and all(store.exists(m) for m in live_chunks)
     assert sorted(r["k"] for r in catalog.load_table(ident).to_df(spark).collect()) == list(
         range(10)
@@ -727,7 +727,7 @@ def test_rewrite_manifests_consolidates_chunks(catalog, spark, monkeypatch):
             spark.createDataFrame([(i,)], schema).coalesce(1)
         ).commit()
     assert len(t.metadata.current_snapshot().manifests) > 3
-    old_chunks = set(t.metadata.current_snapshot().manifests)
+    old_chunks = {md_mod.chunk_path(m) for m in t.metadata.current_snapshot().manifests}
     before_ids = [s.snapshot_id for s in t.metadata.snapshots]
 
     t = rewrite_manifests(t, max_chunks=3)
@@ -740,12 +740,17 @@ def test_rewrite_manifests_consolidates_chunks(catalog, spark, monkeypatch):
     # chunks still referenced by prior snapshots survive the rewrite; the
     # superseded final delta chunk (referenced by nothing) is GC'd at once
     store = catalog.object_store()
-    referenced = {m for s in t2.metadata.snapshots[:-1] if s.manifests for m in s.manifests}
+    referenced = {
+        md_mod.chunk_path(m)
+        for s in t2.metadata.snapshots[:-1]
+        if s.manifests
+        for m in s.manifests
+    }
     assert referenced and all(store.exists(m) for m in referenced)
     assert all(not store.exists(m) for m in old_chunks - referenced)
     # expiry then GCs the rest of the history's chunks
     t3 = expire_snapshots(t2, keep_last=1)
-    live = set(t3.metadata.current_snapshot().manifests)
+    live = {md_mod.chunk_path(m) for m in t3.metadata.current_snapshot().manifests}
     assert all(not store.exists(m) for m in old_chunks - live)
     assert sorted(r["k"] for r in t3.to_df(spark).collect()) == list(range(8))
 

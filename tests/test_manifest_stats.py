@@ -498,3 +498,169 @@ def test_bound_encoding_roundtrip(tmp_path):
 
     json.dumps(st)
     assert decode_bound(encode_bound(dt.date(2020, 1, 1))) == dt.date(2020, 1, 1)
+
+
+# ---------------------------------------------------------------------------
+# Two-level pruning (r5 second pass): manifest-LIST summaries let planning
+# skip whole chunks without fetching them, and loading a snapshot no longer
+# inflates its chunks at all until something needs the full file list.
+# ---------------------------------------------------------------------------
+
+
+def _chunk_reads():
+    import iceberg_catalog_postgres_spark.catalog.metadata as md_mod
+
+    return md_mod.MANIFEST_CHUNK_READS
+
+
+def _spilled_range_table(catalog, spark, monkeypatch, name="s.twolevel", n_chunks=6):
+    """One append per disjoint k-range, threshold 1 so EVERY append spills to
+    its own delta chunk -> n_chunks chunks with disjoint summary bounds."""
+    import iceberg_catalog_postgres_spark.catalog.metadata as md_mod
+
+    monkeypatch.setattr(md_mod, "MANIFEST_THRESHOLD", 1)
+    df0 = spark.createDataFrame([(0, "p0")], "k long, p string")
+    t = catalog.create_table(TableIdentifier.parse(name), df0.schema)
+    for c in range(n_chunks):
+        chunk = spark.createDataFrame(
+            [(c * 100 + i, f"p{c}") for i in range(10)], "k long, p string"
+        ).coalesce(1)
+        t = t.new_transaction().append_dataframe(chunk).commit()
+    return t
+
+
+def test_snapshot_load_is_lazy(catalog, spark, monkeypatch):
+    """Loading a manifest-backed table reads ZERO chunks; the first access to
+    the file list inflates once."""
+    t = _spilled_range_table(catalog, spark, monkeypatch, "s.lazy1")
+    before = _chunk_reads()
+    reloaded = catalog.load_table(TableIdentifier.parse("s.lazy1"))
+    snap = reloaded.metadata.current_snapshot()
+    assert _chunk_reads() == before, "catalog load fetched manifest chunks"
+    n_chunks = len(snap.manifests)
+    assert len(snap.data_files) == 6  # property access inflates
+    assert _chunk_reads() == before + n_chunks
+    assert len(snap.data_files) == 6  # cached: no second read
+    assert _chunk_reads() == before + n_chunks
+
+
+def test_record_count_zero_chunk_reads(catalog, spark, monkeypatch):
+    """Snapshot row counts fold manifest-list summaries: zero chunk fetches,
+    zero footer opens — the O(#chunks) metadata answer at any file count."""
+    t = _spilled_range_table(catalog, spark, monkeypatch, "s.lazy2")
+    reloaded = catalog.load_table(TableIdentifier.parse("s.lazy2"))
+    before_c, before_f = _chunk_reads(), _footer_reads()
+    assert reloaded.record_count() == 60
+    assert reloaded.record_count(kind="eq-delete") == 0
+    assert _chunk_reads() == before_c
+    assert _footer_reads() == before_f
+
+
+def test_planned_files_skips_whole_chunks(catalog, spark, monkeypatch):
+    """A selective range query fetches ONLY the chunks whose summary bounds
+    intersect; disjoint chunks are skipped without a read."""
+    t = _spilled_range_table(catalog, spark, monkeypatch, "s.lazy3")
+    reloaded = catalog.load_table(TableIdentifier.parse("s.lazy3"))
+    before_c, before_f = _chunk_reads(), _footer_reads()
+    planned = reloaded.planned_files("k", 200, 209, require_stats=True)
+    assert len(planned) == 1
+    assert _chunk_reads() == before_c + 1, "should fetch exactly the matching chunk"
+    assert _footer_reads() == before_f
+    # full-range query touches all chunks but still zero footers
+    assert len(reloaded.planned_files("k", 0, 10_000, require_stats=True)) == 6
+
+
+def test_partition_planning_skips_whole_chunks(catalog, spark, monkeypatch):
+    """Identity-partition planning skips chunks whose summary's distinct
+    partition values exclude the filter."""
+    import iceberg_catalog_postgres_spark.catalog.metadata as md_mod
+
+    monkeypatch.setattr(md_mod, "MANIFEST_THRESHOLD", 1)
+    df0 = spark.createDataFrame([(0, "c0")], "k long, cat string")
+    t = catalog.create_table(
+        TableIdentifier.parse("s.lazy4"), df0.schema, partition_by=["cat"]
+    )
+    for c in range(4):
+        chunk = spark.createDataFrame(
+            [(c * 10 + i, f"c{c}") for i in range(5)], "k long, cat string"
+        ).coalesce(1)
+        t = t.new_transaction().append_dataframe(chunk).commit()
+    reloaded = catalog.load_table(TableIdentifier.parse("s.lazy4"))
+    before = _chunk_reads()
+    files = reloaded.planned_files_partition({"cat": "c2"})
+    assert len(files) == 1
+    assert _chunk_reads() == before + 1
+    rows = spark.read.schema(reloaded.schema).parquet(*files).collect()
+    assert sorted(r["k"] for r in rows) == [20, 21, 22, 23, 24]
+
+
+def test_to_df_pruned_read_never_inflates(catalog, spark, monkeypatch):
+    """End to end: a pruned read of an append-only spilled table fetches only
+    the matching chunk and never inflates the snapshot (the summaries prove
+    no deletes / no renames)."""
+    t = _spilled_range_table(catalog, spark, monkeypatch, "s.lazy5")
+    reloaded = catalog.load_table(TableIdentifier.parse("s.lazy5"))
+    before = _chunk_reads()
+    df = reloaded.to_df(spark, prune=("k", 300, 309)).filter("k between 300 and 309")
+    assert sorted(r["k"] for r in df.collect()) == list(range(300, 310))
+    assert _chunk_reads() == before + 1
+    assert not reloaded.metadata.current_snapshot()._inflated
+
+
+def test_two_level_parity_with_deletes_and_renames(catalog, spark, monkeypatch):
+    """Snapshots with MOR deletes or renames fall back to exact per-entry
+    planning — results identical to the inflated path."""
+    import iceberg_catalog_postgres_spark.catalog.metadata as md_mod
+
+    monkeypatch.setattr(md_mod, "MANIFEST_THRESHOLD", 1)
+    df0 = spark.createDataFrame([(0,)], "k long")
+    t = catalog.create_table(TableIdentifier.parse("s.lazy6"), df0.schema)
+    for c in range(3):
+        chunk = spark.createDataFrame([(c * 10 + i,) for i in range(5)], "k long").coalesce(1)
+        t = t.new_transaction().append_dataframe(chunk).commit()
+    t = t.new_transaction().delete_keys_dataframe(spark.createDataFrame([(11,)], "k long")).commit()
+    reloaded = catalog.load_table(TableIdentifier.parse("s.lazy6"))
+    got = sorted(r["k"] for r in reloaded.to_df(spark, prune=("k", 10, 14)).filter(
+        "k between 10 and 14").collect())
+    assert got == [10, 12, 13, 14]  # 11 deleted, fast path must NOT engage
+    # rename then read back: rename log disables the summary prune, per-seq
+    # physical names stay correct
+    from pyspark.sql.types import StructField, StructType
+
+    renamed = StructType(
+        [
+            StructField("key" if f.name == "k" else f.name, f.dataType, f.nullable, f.metadata)
+            for f in reloaded.schema.fields
+        ]
+    )
+    t2 = reloaded.commit_schema(renamed)
+    got2 = sorted(r["key"] for r in t2.to_df(spark, prune=("key", 10, 14)).filter(
+        "key between 10 and 14").collect())
+    assert got2 == [10, 12, 13, 14]
+
+
+def test_legacy_string_chunk_refs_still_read(catalog, spark, monkeypatch):
+    """Pre-summary metadata (manifests as plain path strings) must load,
+    count, plan, and read correctly via the inflate fallback."""
+    import json as _json
+
+    import iceberg_catalog_postgres_spark.catalog.metadata as md_mod
+
+    t = _spilled_range_table(catalog, spark, monkeypatch, "s.lazy7", n_chunks=3)
+    store = catalog.object_store()
+    loc = t.metadata_location()
+    raw = _json.loads(store.get(loc).decode())
+    for s in raw["snapshots"]:
+        if "manifests" in s:
+            s["manifests"] = [md_mod.chunk_path(c) for c in s["manifests"]]
+    store.put(loc, _json.dumps(raw).encode())
+    reloaded = catalog.load_table(TableIdentifier.parse("s.lazy7"))
+    snap = reloaded.metadata.current_snapshot()
+    assert snap.chunk_refs() is None  # no summaries -> no two-level pruning
+    assert reloaded.record_count() == 30
+    planned = reloaded.planned_files("k", 100, 109, require_stats=True)
+    assert len(planned) == 1
+    assert sorted(
+        r["k"] for r in reloaded.to_df(spark, prune=("k", 100, 109)).filter(
+            "k between 100 and 109").collect()
+    ) == list(range(100, 110))
