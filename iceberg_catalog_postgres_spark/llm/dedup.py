@@ -678,3 +678,133 @@ def dedup_lsh_oversized_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_distinct_contents"),
         F.max("n").alias("largest_content_group"),
     )
+
+
+# Exact substring-span dedup (Lee et al., "Deduplicating Training Data Makes
+# Language Models Better"): find token windows of length SPAN_W shared
+# verbatim across >=2 documents and measure, per document, how much of it is
+# covered by such duplicated spans. SPAN_W=8 is the fixture-scale stand-in
+# for the paper's ~50-token threshold; the plan shape is W-independent.
+SPAN_W = 8
+
+
+def _substring_spans_oracle() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    w0 AS (
+      SELECT doc_id, t, unnest(range(0, len(t) - {SPAN_W} + 1)) AS pos
+      FROM toks WHERE len(t) >= {SPAN_W}
+    ),
+    w AS (
+      SELECT doc_id, pos,
+             md5(array_to_string(list_slice(t, pos + 1, pos + {SPAN_W}), ' ')) AS h
+      FROM w0
+    ),
+    dup AS (
+      SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ),
+    dw AS (
+      SELECT w.doc_id, w.pos FROM w JOIN dup USING (h)
+    ),
+    gaps AS (
+      SELECT doc_id, pos,
+             lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      FROM dw
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_dup_windows,
+             CAST(sum(CASE WHEN prev IS NULL OR pos - prev >= {SPAN_W}
+                           THEN {SPAN_W} ELSE pos - prev END) AS BIGINT)
+               AS covered_tokens
+      FROM gaps GROUP BY doc_id
+    )
+    SELECT p.doc_id,
+           p.n_dup_windows,
+           p.covered_tokens,
+           CAST(len(t.t) AS BIGINT) AS total_tokens,
+           ROUND(p.covered_tokens * 1.0 / len(t.t), 4) AS dup_frac
+    FROM per_doc p JOIN toks t USING (doc_id)
+    """
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=_substring_spans_oracle(),
+    tags=("llm", "dedup", "substring"),
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup, the suffix-array result re-expressed as a
+    distributed rolling-window hash (Lee et al. 2022 find duplicated >=50
+    token spans with a suffix array — single-machine, memory-bound; the
+    SPARK formulation below gets the identical span set from keyed shuffles
+    only):
+
+    1. tokenize once; every W-token window becomes md5(window) via a
+       map-side ``transform(sequence(...))`` — no shuffle, no explosion
+       beyond ~1 row per token;
+    2. ONE groupBy(hash) finds windows seen in >=2 distinct docs (the only
+       corpus-wide shuffle, map-side combinable);
+    3. join back (co-partitioned on the hash — no extra exchange) and
+       merge overlapping fixed-length windows per doc with a lag() window:
+       union length of [pos, pos+W) intervals = W per span start plus the
+       gap-capped increments — EXACT duplicated-token coverage, no
+       interval list materialized.
+
+    Output per affected doc: duplicated-window count, exact covered-token
+    count, total tokens, coverage fraction — the per-doc signal a curation
+    pipeline thresholds on (the paper removes spans; the coverage fraction
+    is what decides drop-vs-trim).
+
+    Scale: at 100 TB, windows-per-token is constant (~1) and the hash
+    groupBy is the same shape as exact dedup — bounded, keyed, skew-free
+    (md5 keys are uniform). A production run widens W to ~50 and swaps md5
+    for xxhash64 (8-byte keys, JVM-side) exactly like the other certified
+    dedup twins; md5 here keeps the DuckDB oracle bit-identical.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= SPAN_W
+    )
+    win = toks.select(
+        "doc_id",
+        F.size("t").alias("total_tokens"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(t) - {SPAN_W}),"
+                f" i -> md5(concat_ws(' ', slice(t, i + 1, {SPAN_W}))))"
+            )
+        ).alias("pos", "h"),
+    )
+    dup = (
+        win.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    dw = win.join(dup, "h").select("doc_id", "total_tokens", "pos")
+    gaps = dw.withColumn(
+        "prev", F.lag("pos").over(Window.partitionBy("doc_id").orderBy("pos"))
+    )
+    contrib = F.when(
+        F.col("prev").isNull() | (F.col("pos") - F.col("prev") >= SPAN_W),
+        F.lit(SPAN_W),
+    ).otherwise(F.col("pos") - F.col("prev"))
+    return (
+        gaps.groupBy("doc_id", "total_tokens")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_windows"),
+            F.sum(contrib).alias("covered_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_dup_windows",
+            "covered_tokens",
+            F.col("total_tokens").cast("long").alias("total_tokens"),
+            F.round(F.col("covered_tokens") / F.col("total_tokens"), 4).alias("dup_frac"),
+        )
+    )

@@ -159,3 +159,108 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+@register(
+    "stream_stream_left_outer_join",
+    oracle="""
+    WITH m AS (
+      SELECT least(
+        (SELECT max(ts) FROM events WHERE event_type = 'error'),
+        (SELECT max(ts) FROM events WHERE event_type = 'purchase')
+      ) AS mx
+    ),
+    e AS (
+      SELECT user_id, ts FROM events, m
+      WHERE event_type = 'error' AND ts < mx - INTERVAL 45 MINUTE
+    ),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT e.user_id,
+           count(*)                 AS n_rows,
+           count(p.ts)              AS n_matched,
+           count(*) - count(p.ts)   AS n_unmatched
+    FROM e LEFT JOIN p
+      ON e.user_id = p.user_id
+     AND p.ts >= e.ts AND p.ts < e.ts + INTERVAL 10 MINUTE
+    GROUP BY e.user_id
+    """,
+    tags=("streaming", "stream-join", "outer"),
+)
+def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every error row emits — with
+    its matching purchases inside [ts, ts+10min), or once with NULLs if no
+    purchase ever arrives. The outer side is what makes this genuinely
+    stateful: an unmatched left row can only be emitted when the RIGHT
+    side's watermark proves no match can still arrive (watermark 30min +
+    interval 10min past the row's timestamp), so emission is tied to state
+    eviction, not arrival.
+
+    Certification subtlety (and why the oracle has a horizon): at the end
+    of an availableNow run the final watermark is max(event time) - 30min,
+    so unmatched errors inside the last ~40 minutes are still legitimately
+    held in state — Spark has not yet proven they will never match. Both
+    the query and the oracle therefore exclude errors within 45 minutes of
+    the earlier side's end (the global watermark is the MIN over both
+    inputs); inside that horizon stream == batch EXACTLY (matched rows
+    emit immediately; unmatched rows emit on eviction).
+
+    Scale: state per key is bounded by the watermark + interval — the same
+    eviction math as the inner join, plus a tombstone pass for the
+    unmatched emissions. Without the interval bound this join cannot run
+    at 100 TB; with it, state is O(events in the 40-minute window).
+    """
+    from iceberg_catalog_postgres_spark.streaming.windows import _read_event_stream
+
+    # The outer join's global watermark is the MIN over both inputs'
+    # watermarks, so the certified horizon keys on the earlier of the two
+    # sides' max event times — exactly mirrored in the oracle.
+    ev = load(spark, sf_dir, "events")
+    mx = (
+        ev.filter(F.col("event_type").isin("error", "purchase"))
+        .groupBy("event_type")
+        .agg(F.max("ts").alias("m"))
+        .agg(F.min("m"))
+        .first()[0]
+    )
+    cutoff_ms = int(mx.timestamp() * 1000) - 45 * 60 * 1000
+
+    s = _read_event_stream(spark, sf_dir)
+    err = (
+        s.filter(F.col("event_type") == "error")
+        .select(F.col("user_id").alias("eu"), F.col("ts").alias("ets"))
+        .withWatermark("ets", "30 minutes")
+    )
+    pur = (
+        s.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("pu"), F.col("ts").alias("pts"))
+        .withWatermark("pts", "30 minutes")
+    )
+    joined = err.join(
+        pur,
+        F.expr("eu = pu AND pts >= ets AND pts < ets + INTERVAL 10 MINUTE"),
+        "leftOuter",
+    ).select(
+        F.col("eu").alias("user_id"),
+        F.unix_millis("ets").alias("ets_ms"),
+        F.unix_millis("pts").alias("pts_ms"),
+    )
+
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return (
+        spark.table(name)
+        .filter(F.col("ets_ms") < F.lit(cutoff_ms))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("pts_ms").alias("n_matched"),
+            (F.count(F.lit(1)) - F.count("pts_ms")).alias("n_unmatched"),
+        )
+    )
