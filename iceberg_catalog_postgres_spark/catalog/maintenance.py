@@ -1074,6 +1074,236 @@ def catalog_manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rewrite_equality_deletes(spark: SparkSession, table: Table) -> Table:
+    """Materialize equality-delete files into positional-delete files
+    (Iceberg's ``rewrite_position_delete_files`` direction of convert):
+    after this, readers apply ONE broadcast anti-join on the scan's
+    ``_metadata`` identity instead of a per-cohort key anti-join — no key
+    comparison, no sequence scoping, and the equality-delete files stop
+    gating every read.
+
+    Plan: group data files into the same sequence cohorts the read path
+    uses (delete seq > data seq), scan each cohort ONCE with its metadata
+    columns, broadcast-semi-join the (null-safe, rename-mapped) delete
+    keys to find the doomed rows' (file_path, row_index) pairs, and write
+    them as positional-delete files. Data files are NOT touched — the
+    commit swaps delete representations only, so it is O(matched rows)
+    like the original MOR delete, and a re-inserted key (data seq > delete
+    seq) is never targeted because its cohort has no applicable deletes.
+
+    Scale: the scan is pruned to cohort members (the pre-delete files), the
+    key side is broadcast, and the output is kilobytes per thousand matched
+    rows. This is the maintenance step between "MOR delete committed in
+    seconds" and "compaction rewrote the data files": reads get cheap now,
+    rewrite happens later.
+    """
+    import glob as _glob
+    import time as _time
+    import uuid as _uuid
+    from functools import reduce
+
+    from iceberg_catalog_postgres_spark.catalog.metadata import (
+        Snapshot,
+        new_snapshot_id,
+        plan_manifests,
+    )
+    from iceberg_catalog_postgres_spark.catalog.table import collect_file_stats_many
+
+    snap = table.metadata.current_snapshot()
+    if snap is None or not snap.delete_files:
+        return table
+    store = table.catalog.object_store()
+    seqs = snap.file_seqs
+
+    def _seq(rel: str) -> int:
+        return seqs.get(rel, 0)
+
+    cohorts: dict[tuple, list[str]] = {}
+    for f in snap.data_files:
+        applicable = tuple(d for d in snap.delete_files if _seq(d) > _seq(f))
+        if applicable:
+            cohorts.setdefault(applicable, []).append(f)
+
+    pos_parts = []
+    for applicable, members in cohorts.items():
+        part = table._read_data_files(spark, members, seqs)
+        part = part.withColumn("__file", F.col("_metadata.file_path")).withColumn(
+            "__pos", F.col("_metadata.row_index")
+        )
+        # Delete keys were written with the logical names of their commit
+        # time; map forward through later renames (same as the read path).
+        by_sig: dict[tuple, list[str]] = {}
+        for d in applicable:
+            written = spark.read.parquet(store.resolve(d)).columns
+            sig = tuple(table.current_name(c, _seq(d)) for c in written)
+            by_sig.setdefault((tuple(written), sig), []).append(d)
+        keyframes = []
+        key_cols: list[str] = []
+        for (written, sig), dels in sorted(by_sig.items()):
+            kf = spark.read.parquet(*[store.resolve(d) for d in dels])
+            remap = {o: n for o, n in zip(written, sig) if o != n}
+            if remap:
+                kf = kf.withColumnsRenamed(remap)
+            keyframes.append(kf)
+            key_cols = list(sig)
+        keys = keyframes[0]
+        for kf in keyframes[1:]:
+            keys = keys.unionByName(kf)
+        aliased = keys.select([F.col(c).alias(f"__k_{c}") for c in key_cols])
+        cond = reduce(
+            lambda a, b: a & b,
+            [part[c].eqNullSafe(F.col(f"__k_{c}")) for c in key_cols],
+        )
+        doomed = part.join(F.broadcast(aliased), cond, "left_semi").select(
+            F.col("__file").alias("file_path"), F.col("__pos").alias("row_index")
+        )
+        pos_parts.append(doomed)
+
+    positions = pos_parts[0]
+    for p in pos_parts[1:]:
+        positions = positions.unionByName(p)
+
+    rel_dir = posixpath.join(
+        table.metadata.location, "data", f"posdel-rw-{_uuid.uuid4().hex}"
+    )
+    abs_dir = store.resolve(rel_dir)
+    positions.coalesce(1).write.mode("overwrite").parquet(abs_dir)
+    new_pos = []
+    abs_by_rel = {}
+    for p in sorted(_glob.glob(os.path.join(abs_dir, "*.parquet"))):
+        rel = posixpath.join(rel_dir, os.path.basename(p))
+        new_pos.append(rel)
+        abs_by_rel[rel] = p
+
+    next_seq = table.metadata.next_sequence_number()
+    inherited_stats = table.metadata.current_file_stats()
+    carried = [*snap.data_files, *snap.position_delete_files]
+    snapshot = Snapshot(
+        snapshot_id=new_snapshot_id(table.metadata.snapshot_ids()),
+        timestamp_ms=int(_time.time() * 1000),
+        operation="delete",
+        data_files=list(snap.data_files),
+        delete_files=[],  # materialized into positions below
+        position_delete_files=[*snap.position_delete_files, *new_pos],
+        sequence_number=next_seq,
+        file_seqs={
+            **{f: _seq(f) for f in carried},
+            **{f: next_seq for f in new_pos},
+        },
+        file_partitions=dict(snap.file_partitions),
+        file_stats={
+            **{f: inherited_stats[f] for f in carried if f in inherited_stats},
+            **collect_file_stats_many(abs_by_rel),
+        },
+        summary={
+            "operation-detail": "rewrite-equality-deletes",
+            "eq-delete-files-removed": str(len(snap.delete_files)),
+            "pos-delete-files-written": str(len(new_pos)),
+        },
+    )
+    plan_manifests(store, table.metadata.location, "overwrite", snap, None, snapshot)
+    new_metadata = table.metadata.with_snapshot(snapshot)
+    new_location = posixpath.join(
+        new_metadata.location,
+        "metadata",
+        f"rweq-{_uuid.uuid4().hex}.metadata.json",
+    )
+    store.put(new_location, new_metadata.to_json().encode())
+    return table.catalog.update_table(
+        table.identifier, new_location, table.metadata_location()
+    )
+
+
+@register(
+    "catalog_rewrite_eq_deletes",
+    oracle="""
+    WITH keys AS (
+      SELECT o_orderkey FROM orders WHERE o_orderkey % 7 = 3
+    ),
+    kept AS (
+      SELECT o.o_orderkey FROM orders o
+      WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM keys)
+    )
+    SELECT CAST((SELECT count(*) FROM kept) + 1 AS BIGINT)        AS n_rows_after,
+           CAST((SELECT sum(o_orderkey) FROM kept)
+                + (SELECT min(o_orderkey) FROM keys) AS BIGINT)    AS key_sum_after,
+           true AS parity_with_mor_read,
+           true AS eq_deletes_cleared,
+           true AS pos_deletes_written,
+           true AS data_files_untouched,
+           CAST((SELECT count(*) FROM keys) AS BIGINT)             AS n_keys_deleted
+    FROM (SELECT 1)
+    """,
+    tags=("catalog", "maintenance", "mor", "delete-compaction"),
+)
+def catalog_rewrite_eq_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality-delete -> positional-delete rewrite, certified end to end:
+
+    1. append orders; MOR-delete every key ===3 (mod 7) as an EQUALITY
+       delete (O(keys) commit, no data read);
+    2. re-insert the smallest deleted key AFTER the delete — sequence
+       scoping must keep it alive through both representations;
+    3. ``rewrite_equality_deletes`` converts: eq-delete list empties,
+       positional files appear, data files stay byte-identical (path-set
+       equality asserted);
+    4. the post-rewrite read equals the pre-rewrite MOR read row-for-row
+       (certified boolean) and the oracle pins the final row count / key
+       sum including the re-inserted row.
+
+    Scale: this is the read-cost cliff-fixer for delete-heavy tables — a
+    week of GDPR purges leaves hundreds of equality-delete files that every
+    read must key-anti-join per cohort; one rewrite pass turns them into a
+    single positional anti-join on scan identity.
+    """
+    cat = _fresh_catalog("catalog_rewrite_eqdel_demo")
+    src = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    ident = TableIdentifier.parse("maint.orders_eqdel")
+    table = cat.create_table(ident, src.schema)
+    table = table.new_transaction().append_dataframe(src).commit()
+
+    keys = src.filter(F.col("o_orderkey") % 7 == 3).select("o_orderkey")
+    n_keys = keys.count()
+    reinsert_key = keys.agg(F.min("o_orderkey")).first()[0]
+    table = table.new_transaction().delete_keys_dataframe(keys).commit()
+    table = (
+        table.new_transaction()
+        .append_dataframe(
+            src.filter(F.col("o_orderkey") == reinsert_key).coalesce(1)
+        )
+        .commit()
+    )
+
+    before_rows = {
+        (r["o_orderkey"], r["o_orderstatus"]) for r in table.to_df(spark).collect()
+    }
+    data_before = sorted(table.metadata.current_data_files())
+
+    table = rewrite_equality_deletes(spark, table)
+    snap = table.metadata.current_snapshot()
+    eq_deletes_cleared = not snap.delete_files
+    pos_deletes_written = len(snap.position_delete_files) > 0
+    data_files_untouched = sorted(snap.data_files) == data_before
+
+    after_df = table.to_df(spark)
+    after_rows = {
+        (r["o_orderkey"], r["o_orderstatus"]) for r in after_df.collect()
+    }
+    parity = after_rows == before_rows
+
+    return after_df.agg(
+        F.count(F.lit(1)).alias("n_rows_after"),
+        F.sum("o_orderkey").alias("key_sum_after"),
+    ).select(
+        "n_rows_after",
+        "key_sum_after",
+        F.lit(parity).alias("parity_with_mor_read"),
+        F.lit(eq_deletes_cleared).alias("eq_deletes_cleared"),
+        F.lit(pos_deletes_written).alias("pos_deletes_written"),
+        F.lit(data_files_untouched).alias("data_files_untouched"),
+        F.lit(n_keys).cast("long").alias("n_keys_deleted"),
+    )
+
+
 def expire_snapshots(table: Table, keep_last: int = 2) -> Table:
     """Snapshot expiry + orphan-file cleanup: retain the most recent
     ``keep_last`` snapshots, commit the pruned metadata via CAS, then
