@@ -1,0 +1,71 @@
+"""Incremental column-NDV sketches (Puffin/ANALYZE model): delta-only
+updates, overwrite reset, metadata-only reads."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql.types import LongType, StructField, StructType
+
+from iceberg_catalog_postgres_spark.catalog.catalog import PostgresCatalog, TableIdentifier
+from iceberg_catalog_postgres_spark.catalog.maintenance import column_ndv, update_column_ndv
+
+
+@pytest.fixture
+def catalog(tmp_path):
+    cat = PostgresCatalog.connect("ndv_cat", None, str(tmp_path / "warehouse"))
+    cat.initialize()
+    yield cat
+    cat.backend.close()
+
+
+S = StructType([StructField("k", LongType(), True)])
+
+
+def test_incremental_update_covers_only_delta(catalog, spark):
+    t = catalog.create_table(TableIdentifier.parse("ndv.t1"), S)
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame([(i,) for i in range(100)], S).coalesce(1)
+    ).commit()
+    t = update_column_ndv(spark, t, ["k"])
+    est1 = column_ndv(t, "k")
+    assert abs(est1 - 100) / 100 <= 0.05
+    c1 = list(t.metadata.properties["ndv.covered-files"])
+
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame([(i,) for i in range(100, 150)], S).coalesce(1)
+    ).commit()
+    t = update_column_ndv(spark, t, ["k"])
+    c2 = t.metadata.properties["ndv.covered-files"]
+    assert c2[: len(c1)] == c1 and len(c2) == len(t.metadata.current_data_files())
+    assert abs(column_ndv(t, "k") - 150) / 150 <= 0.05
+    # idempotent: no new files -> same table (no commit)
+    assert update_column_ndv(spark, t, ["k"]) is t
+
+
+def test_overwrite_resets_sketches(catalog, spark):
+    t = catalog.create_table(TableIdentifier.parse("ndv.t2"), S)
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame([(i,) for i in range(200)], S).coalesce(1)
+    ).commit()
+    t = update_column_ndv(spark, t, ["k"])
+    assert abs(column_ndv(t, "k") - 200) / 200 <= 0.05
+    t = t.new_transaction().overwrite_dataframe(
+        spark.createDataFrame([(i,) for i in range(10)], S).coalesce(1)
+    ).commit()
+    t = update_column_ndv(spark, t, ["k"])
+    # additive sketch cannot unsee removed rows -> must have reset
+    assert column_ndv(t, "k") == 10
+    assert len(t.metadata.properties["ndv.covered-files"]) == len(
+        t.metadata.current_data_files()
+    )
+
+
+def test_ndv_survives_reload_without_scans(catalog, spark):
+    t = catalog.create_table(TableIdentifier.parse("ndv.t3"), S)
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame([(i % 7,) for i in range(50)], S).coalesce(1)
+    ).commit()
+    t = update_column_ndv(spark, t, ["k"])
+    fresh = catalog.load_table(TableIdentifier.parse("ndv.t3"))
+    assert column_ndv(fresh, "k") == 7
+    assert column_ndv(fresh, "missing") is None
