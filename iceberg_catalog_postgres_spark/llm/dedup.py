@@ -808,3 +808,65 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("covered_tokens") / F.col("total_tokens"), 4).alias("dup_frac"),
         )
     )
+
+
+@register(
+    "dedup_containment_ngram",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, list_distinct(
+        CASE WHEN len(toks) >= 3
+             THEN list_transform(range(1, len(toks) - 1),
+                                 i -> array_to_string(toks[i:i+2], ' '))
+             ELSE [text] END) AS s
+      FROM (SELECT doc_id, lang, text, string_split(text, ' ') AS toks
+            FROM documents)
+    )
+    SELECT a.doc_id AS container_doc, b.doc_id AS contained_doc,
+           round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(b.s), 6)
+             AS containment,
+           CAST(len(b.s) AS BIGINT) AS contained_shingles
+    FROM t a JOIN t b
+      ON a.lang = b.lang AND a.doc_id != b.doc_id AND len(b.s) <= len(a.s)
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(b.s) >= 0.9
+    """,
+    tags=("llm", "dedup", "containment"),
+)
+def dedup_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric CONTAINMENT dedup: C(a contains b) = |sh(a) ∩ sh(b)| /
+    |sh(b)| over 3-word shingles. Jaccard misses the boilerplate-superset
+    case — a long page that embeds a short document whole scores low
+    Jaccard (union is large) but containment ~1.0; training-data pipelines
+    drop or trim the CONTAINED side (quote inclusion, template wrapping,
+    scraped-with-chrome pages).
+
+    Plan: shingle arrays ride the shuffle once; candidate pairs are blocked
+    per language with the smaller-shingle-set side as the contained
+    candidate; the intersect/size arithmetic is JVM-side array ops — no
+    UDF, no explode. Scale: same blocking story as the Jaccard twin — at
+    100 TB the block join is replaced by LSH on the SHORTER side's
+    shingles (a contained doc shares whole bands with its container), and
+    the verify step is exactly this arithmetic on the candidate pairs.
+    """
+    d = load_parallel(spark, sf_dir, "documents")
+    t = d.select("doc_id", "lang", _shingle_expr().alias("s"))
+    a, b = t.alias("a"), t.alias("b")
+    containment = (
+        F.size(F.array_intersect(F.col("a.s"), F.col("b.s"))).cast("double")
+        / F.size(F.col("b.s"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") != F.col("b.doc_id"))
+            & (F.size(F.col("b.s")) <= F.size(F.col("a.s"))),
+        )
+        .filter(containment >= 0.9)
+        .select(
+            F.col("a.doc_id").alias("container_doc"),
+            F.col("b.doc_id").alias("contained_doc"),
+            F.round(containment, 6).alias("containment"),
+            F.size(F.col("b.s")).cast("long").alias("contained_shingles"),
+        )
+    )
