@@ -1074,6 +1074,66 @@ def catalog_manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "catalog_bucket_transform_pruning",
+    oracle="""
+    WITH v AS (SELECT min(o_custkey) AS ck FROM orders)
+    SELECT CAST(count(*) AS BIGINT)        AS n_rows,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           true AS pruned_to_one_bucket,
+           true AS planning_metadata_only
+    FROM orders, v WHERE o_custkey = v.ck
+    """,
+    tags=("catalog", "partition", "transform", "bucket", "pruning"),
+)
+def catalog_bucket_transform_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg ``bucket(N, col)`` partition transform certified: orders is
+    written PARTITIONED BY bucket(8, o_custkey) — the shadow column is a
+    hash expression, so the data files land one-per-bucket — and a point
+    lookup on one customer plans via ``planned_files_transformed``: the
+    DRIVER maps the query value to its bucket (CRC-32 mod N, pure Python —
+    bit-identical to the Spark write expression, the documented deviation
+    from Iceberg's murmur3) and prunes to 1/8 of the files from the
+    metadata dictionary, zero footers (counter-asserted), zero data reads
+    for planning. The pruned scan + row filter must equal the full-filter
+    oracle.
+
+    Scale: identity partitioning cannot handle high-cardinality keys (10^8
+    customers = 10^8 directories); bucket(N) bounds the partition count at
+    N while keeping point-lookup pruning — the standard Iceberg answer for
+    key-addressed access to a 100 TB fact table.
+    """
+    import iceberg_catalog_postgres_spark.catalog.table as _tm
+
+    cat = _fresh_catalog("catalog_bucket_demo")
+    src = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    ck = src.agg(F.min("o_custkey")).first()[0]
+    ident = TableIdentifier.parse("maint.orders_bucketed")
+    table = cat.create_table(
+        ident, src.schema, partition_by=["bucket(8,o_custkey)"]
+    )
+    table = table.new_transaction().append_dataframe(src.coalesce(4)).commit()
+
+    n_total = len(table.metadata.current_data_files())
+    before = _tm.PLANNING_FOOTER_READS
+    planned = table.planned_files_transformed({"o_custkey": ck})
+    planning_metadata_only = _tm.PLANNING_FOOTER_READS == before
+    # one bucket of 8 planned: at least a 4x prune on the file count
+    pruned_to_one_bucket = 0 < len(planned) * 4 <= n_total
+
+    return (
+        spark.read.schema(table.schema)
+        .parquet(*planned)
+        .filter(F.col("o_custkey") == ck)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").alias("key_sum"),
+        )
+        .withColumn("pruned_to_one_bucket", F.lit(pruned_to_one_bucket))
+        .withColumn("planning_metadata_only", F.lit(planning_metadata_only))
+    )
+
+
 def table_health(table: Table, small_file_rows: int = 0) -> dict:
     """Metadata-only table health report — the numbers an operator (or an
     auto-maintenance scheduler) reads BEFORE deciding to compact, expire,

@@ -47,6 +47,64 @@ from iceberg_catalog_postgres_spark.catalog.metadata import (
 #: chars so wide text columns don't bloat the manifest.
 BOUND_TRUNCATE_LENGTH = 16
 
+# ---------------------------------------------------------------------------
+# Partition transforms (Iceberg PartitionSpec transforms, public spec):
+# a spec entry is either a bare column name (identity) or
+# "bucket(N,col)" / "truncate(W,col)". Deviation from the Iceberg binary
+# spec, documented: bucket uses CRC-32 of the value's string form instead of
+# murmur3-32 — CRC-32 is bit-identical between the JVM (Spark ``crc32``) and
+# Python (``zlib.crc32``), which is what lets the DRIVER-side planner map a
+# query value to its bucket without a Spark job. Truncate follows Iceberg:
+# strings -> prefix, integers -> floor-to-width (negative-safe).
+# ---------------------------------------------------------------------------
+import re as _re
+import zlib as _zlib
+
+_TRANSFORM_RE = _re.compile(r"^(bucket|truncate)\((\d+)\s*,\s*([A-Za-z0-9_]+)\)$")
+
+
+def parse_partition_field(entry: str) -> tuple[str, int | None, str]:
+    """Spec entry -> (kind, param, column); kind in identity/bucket/truncate."""
+    m = _TRANSFORM_RE.match(entry)
+    if m:
+        return m.group(1), int(m.group(2)), m.group(3)
+    return "identity", None, entry
+
+
+def transform_value(entry: str, v) -> str | None:
+    """Driver-side transform of a query value to its recorded partition
+    tuple value — pure Python, no Spark job, so scan planning on a
+    transformed spec stays a metadata dictionary walk."""
+    kind, param, _col = parse_partition_field(entry)
+    if v is None:
+        return None
+    if kind == "identity":
+        return str(v)
+    if kind == "bucket":
+        return str(_zlib.crc32(str(v).encode("utf-8")) % param)
+    if isinstance(v, str):
+        return v[:param]
+    return str(int(v) - int(v) % param)
+
+
+def transform_column(entry: str, dtype) -> "F.Column":
+    """The Spark expression whose value matches ``transform_value`` —
+    applied as the shadow partition column at write time."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType
+
+    kind, param, col = parse_partition_field(entry)
+    c = F.col(col)
+    if kind == "identity":
+        return c.cast("string")
+    if kind == "bucket":
+        return F.pmod(F.crc32(c.cast("string").cast("binary")), F.lit(param)).cast(
+            "string"
+        )
+    if isinstance(dtype, StringType):
+        return F.substring(c, 1, param)
+    return (c - F.pmod(c, F.lit(param))).cast("long").cast("string")
+
 #: Footer opens performed by the read/plan path (NOT the write path — writers
 #: legitimately read their own freshly-written footers once at commit). Lets
 #: tests and registered queries assert that stats-backed planning opened
@@ -223,7 +281,11 @@ class TableBuilder:
         self.schema = schema
         self.identifier_field_ids = identifier_field_ids
         if partition_by:
-            missing = [c for c in partition_by if c not in schema.fieldNames()]
+            missing = [
+                e
+                for e in partition_by
+                if parse_partition_field(e)[2] not in schema.fieldNames()
+            ]
             if missing:
                 raise ValueError(f"partition columns not in schema: {missing}")
         self.partition_by = list(partition_by or [])
@@ -598,6 +660,33 @@ class Table:
             ):
                 out.append(store.resolve(f))
         return out
+
+    def planned_files_transformed(
+        self, filters: dict, snapshot_id: int | None = None
+    ) -> list[str]:
+        """Transform-aware partition pruning: ``filters`` maps SOURCE column
+        -> query value; each spec entry over a filtered column is applied
+        DRIVER-SIDE (``transform_value`` — CRC-32 bucket / truncate prefix,
+        pure Python, no Spark job) and the resulting tuple values prune via
+        ``planned_files_partition``. This is how a point lookup on a
+        ``bucket(N, key)``-partitioned 100 TB table plans 1/N of the files
+        from the metadata dictionary alone. Identity specs degrade to the
+        plain path, so callers can always use this entry point."""
+        spec = self.metadata.partition_spec
+        tuple_filters = {}
+        for entry in spec:
+            col = parse_partition_field(entry)[2]
+            if col in filters:
+                tuple_filters[entry] = transform_value(entry, filters[col])
+        if not tuple_filters:
+            # no spec entry covers the filtered columns: every file might match
+            store = self.catalog.object_store()
+            return [store.resolve(f) for f in self.metadata.current_data_files()] \
+                if snapshot_id is None else [
+                    self.catalog.object_store().resolve(f)
+                    for f in self.metadata.snapshot_by_id(snapshot_id).data_files
+                ]
+        return self.planned_files_partition(tuple_filters, snapshot_id=snapshot_id)
 
     def _commit_metadata_edit(self, edit_fn, label: str, max_retries: int = 5) -> "Table":
         """Commit a metadata-only edit (refs, partition spec, schema) via the
@@ -1029,9 +1118,9 @@ class Table:
         """
         from dataclasses import replace as _dc_replace
 
-        for c in partition_by:
-            if c not in [f.name for f in self.schema.fields]:
-                raise ValueError(f"unknown partition column: {c}")
+        for e in partition_by:
+            if parse_partition_field(e)[2] not in [f.name for f in self.schema.fields]:
+                raise ValueError(f"unknown partition column: {e}")
 
         def edit(md):
             return _dc_replace(md, partition_spec=list(partition_by))
@@ -1130,13 +1219,23 @@ class Transaction:
             )
         spec = self.table.metadata.partition_spec
         if spec:
-            from pyspark.sql import functions as _F
+            import re as _re2
 
-            shadow = [f"__p_{c}" for c in spec]
+            dtypes = {f.name: f.dataType for f in df.schema.fields}
+
+            def _shadow_name(entry: str) -> str:
+                return "__p_" + _re2.sub(r"[^A-Za-z0-9_]", "_", entry)
+
+            shadow_to_entry = {_shadow_name(e): e for e in spec}
             aug = df
-            for c, sc in zip(spec, shadow):
-                aug = aug.withColumn(sc, _F.col(c).cast("string"))
-            aug.write.mode("overwrite").partitionBy(*shadow).parquet(abs_dir)
+            for e in spec:
+                col = parse_partition_field(e)[2]
+                aug = aug.withColumn(
+                    _shadow_name(e), transform_column(e, dtypes.get(col))
+                )
+            aug.write.mode("overwrite").partitionBy(
+                *[_shadow_name(e) for e in spec]
+            ).parquet(abs_dir)
             new_files = []
             abs_by_rel = {}
             for p in sorted(
@@ -1146,9 +1245,11 @@ class Transaction:
                 tuple_vals = {}
                 for seg in _os.path.relpath(p, abs_dir).split(_os.sep)[:-1]:
                     k, _, v = seg.partition("=")
-                    col = k[len("__p_"):] if k.startswith("__p_") else k
+                    # tuple key is the SPEC ENTRY ("col" for identity,
+                    # "bucket(N,col)" / "truncate(W,col)" for transforms)
+                    entry = shadow_to_entry.get(k, k[len("__p_"):] if k.startswith("__p_") else k)
                     val = _up.unquote(v)
-                    tuple_vals[col] = None if val == "__HIVE_DEFAULT_PARTITION__" else val
+                    tuple_vals[entry] = None if val == "__HIVE_DEFAULT_PARTITION__" else val
                 self._staged_partitions[rel] = tuple_vals
                 abs_by_rel[rel] = p
                 new_files.append(rel)
