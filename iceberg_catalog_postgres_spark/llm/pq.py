@@ -126,8 +126,12 @@ def _pq_iter_ctes(m: int, it: int, prev_c: str) -> str:
     c{m}_{it} AS (SELECT CAST(dense_rank() OVER (ORDER BY code) - 1 AS INT) AS code, c FROM g{m}_{it})"""
 
 
-def _pq_oracle() -> str:
-    parts = ["WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)"]
+def _pq_ctes() -> list[str]:
+    """The PQ pipeline as composable CTE strings (assumes a ``v`` CTE of
+    (vec_id, e DOUBLE[]) is already in scope): per-subspace slices,
+    2-iteration codebooks, final encodings, and per-(query, neighbor) ADC
+    components ``adc{m}``. Shared by the flat-PQ and IVF+PQ oracles."""
+    parts = []
     for m in range(M_SUB):
         lo, hi = m * SUB_DIM + 1, (m + 1) * SUB_DIM
         parts.append(f"s{m} AS (SELECT vec_id, e[{lo}:{hi}] AS s FROM v)")
@@ -169,14 +173,12 @@ def _pq_oracle() -> str:
       SELECT query_id, neighbor_id, round({est_sum}, 6) AS est
       FROM adc0 {joins}
       WHERE query_id != neighbor_id
-    ),
-    pq_top AS (
-      SELECT query_id, neighbor_id FROM (
-        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY est ASC, neighbor_id ASC) AS rk
-        FROM est
-      ) WHERE rk <= {TOP_K}
-    ),
-    brute AS (
+    )"""
+    )
+    return parts
+
+
+_BRUTE_L2_CTE = f"""brute AS (
       SELECT query_id, neighbor_id FROM (
         SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
                row_number() OVER (
@@ -187,16 +189,92 @@ def _pq_oracle() -> str:
         FROM (SELECT * FROM v WHERE vec_id < {N_QUERIES}) q
         JOIN v t ON q.vec_id != t.vec_id
       ) WHERE rk <= {TOP_K}
-    )
-    SELECT b.query_id,
+    )"""
+
+_RECALL_SELECT = f"""SELECT b.query_id,
            count(p.neighbor_id) AS n_hit,
            {TOP_K} AS k,
            round(CAST(count(p.neighbor_id) AS DOUBLE) / {TOP_K}, 4) AS recall_at_k
     FROM brute b
-    LEFT JOIN pq_top p ON b.query_id = p.query_id AND b.neighbor_id = p.neighbor_id
+    LEFT JOIN top_cte p ON b.query_id = p.query_id AND b.neighbor_id = p.neighbor_id
     GROUP BY b.query_id"""
-    )
+
+
+def _pq_oracle() -> str:
+    parts = [
+        "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
+        *_pq_ctes(),
+        f"""top_cte AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY est ASC, neighbor_id ASC) AS rk
+        FROM est
+      ) WHERE rk <= {TOP_K}
+    )""",
+        _BRUTE_L2_CTE + "\n    " + _RECALL_SELECT,
+    ]
     return ",\n    ".join(parts)
+
+
+def _load_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_parallel(spark, sf_dir, "embeddings").select(
+        "vec_id", _vec("embedding").alias("e")
+    )
+    return e.select("vec_id", F.transform("e", lambda x: x.cast("double")).alias("e"))
+
+
+def _build_books(e: DataFrame) -> list[list[list[float]]]:
+    """Per-subspace codebooks; driver holds M*K*SUB_DIM doubles."""
+    return [
+        _codebook(e.select("vec_id", _sub_slice(m).alias("s"))) for m in range(M_SUB)
+    ]
+
+
+def _encode(e: DataFrame, books) -> DataFrame:
+    """Every vector -> M codes, map-side (argmin per subspace; first-min
+    tie-break = lowest code, mirroring the oracle)."""
+    enc = e
+    for m in range(M_SUB):
+        darr = F.array(*[x for x in _sq_dist_cols(books[m], src=_sub_slice(m))])
+        enc = enc.withColumn(f"code{m}", F.array_position(darr, F.array_min(darr)) - 1)
+    return enc.select("vec_id", *[f"code{m}" for m in range(M_SUB)])
+
+
+def _adc_est(spark: SparkSession, e: DataFrame, books, codes: DataFrame) -> DataFrame:
+    """(query_id, neighbor_id, est): per-query ADC lookup tables computed
+    driver-side (N_QUERIES x M*K entries, same left-to-right fp64 fold as
+    the oracle) broadcast-joined against the CODE table."""
+    qrows = sorted(
+        (r["vec_id"], r["e"]) for r in e.filter(F.col("vec_id") < N_QUERIES).collect()
+    )
+    lut_rows = []
+    for qid, qe in qrows:
+        luts = []
+        for m in range(M_SUB):
+            qs = qe[m * SUB_DIM : (m + 1) * SUB_DIM]
+            luts.append(
+                {
+                    code: sum((qs[i] - c[i]) * (qs[i] - c[i]) for i in range(SUB_DIM))
+                    for code, c in enumerate(books[m])
+                }
+            )
+        lut_rows.append((qid, *luts))
+    lut_schema = "query_id long, " + ", ".join(
+        f"lut{m} map<int,double>" for m in range(M_SUB)
+    )
+    luts_df = spark.createDataFrame(lut_rows, lut_schema)
+    est_expr = F.col("lut0")[F.col("code0")]
+    for m in range(1, M_SUB):
+        est_expr = est_expr + F.col(f"lut{m}")[F.col(f"code{m}")]
+    return (
+        F.broadcast(luts_df)
+        .crossJoin(codes)
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(est_expr, 6).alias("est"),
+        )
+    )
 
 
 @register("sim_ann_pq_adc_recall", oracle=_pq_oracle(), tags=("llm", "similarity", "pq", "evaluation"))
@@ -212,73 +290,20 @@ def sim_ann_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     encode time) and never again. The estimated-distance sum is written
     left-to-right over subspaces to match the oracle's fold order exactly.
     """
-    e = load_parallel(spark, sf_dir, "embeddings").select(
-        "vec_id", _vec("embedding").alias("e")
-    )
-    e = e.select(
-        "vec_id", F.transform("e", lambda x: x.cast("double")).alias("e")
-    )
-
-    # 1. per-subspace codebooks (driver holds M*K*SUB_DIM doubles)
-    books = []
-    for m in range(M_SUB):
-        sub = e.select("vec_id", _sub_slice(m).alias("s"))
-        books.append(_codebook(sub))
-
-    # 2. encode: every vector -> M codes, map-side (argmin per subspace;
-    #    first-min tie-break = lowest code, mirroring the oracle)
-    enc = e
-    for m in range(M_SUB):
-        darr = F.array(*[x for x in _sq_dist_cols(books[m], src=_sub_slice(m))])
-        enc = enc.withColumn(
-            f"code{m}", F.array_position(darr, F.array_min(darr)) - 1
-        )
-    codes = enc.select("vec_id", *[f"code{m}" for m in range(M_SUB)])
-
-    # 3. per-query ADC lookup tables, computed driver-side (10 queries x
-    #    M*K entries) with the same left-to-right fp64 fold as the oracle
-    qrows = sorted(
-        (r["vec_id"], r["e"])
-        for r in e.filter(F.col("vec_id") < N_QUERIES).collect()
-    )
-    lut_rows = []
-    for qid, qe in qrows:
-        luts = []
-        for m in range(M_SUB):
-            qs = qe[m * SUB_DIM : (m + 1) * SUB_DIM]
-            luts.append(
-                {
-                    code: sum(
-                        (qs[i] - c[i]) * (qs[i] - c[i]) for i in range(SUB_DIM)
-                    )
-                    for code, c in enumerate(books[m])
-                }
-            )
-        lut_rows.append((qid, *luts))
-    lut_schema = "query_id long, " + ", ".join(
-        f"lut{m} map<int,double>" for m in range(M_SUB)
-    )
-    luts_df = spark.createDataFrame(lut_rows, lut_schema)
-
-    est_expr = F.col("lut0")[F.col("code0")]
-    for m in range(1, M_SUB):
-        est_expr = est_expr + F.col(f"lut{m}")[F.col(f"code{m}")]
-    est = (
-        F.broadcast(luts_df)
-        .crossJoin(codes)
-        .filter(F.col("query_id") != F.col("vec_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(est_expr, 6).alias("est"),
-        )
-    )
+    e = _load_vectors(spark, sf_dir)
+    books = _build_books(e)
+    codes = _encode(e, books)
+    est = _adc_est(spark, e, books, codes)
     w = Window.partitionBy("query_id").orderBy(F.col("est").asc(), F.col("neighbor_id").asc())
     pq_top = est.withColumn("rk", F.row_number().over(w)).filter(
         F.col("rk") <= TOP_K
     ).select("query_id", "neighbor_id")
+    return _recall_vs_brute(e, pq_top)
 
-    # 4. exact L2 ground truth over the same queries
+
+def _recall_vs_brute(e: DataFrame, top: DataFrame) -> DataFrame:
+    """(query_id, n_hit, k, recall_at_k): exact L2 ground truth over the
+    N_QUERIES queries, left-joined against the candidate top-k."""
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
     )
@@ -300,12 +325,11 @@ def sim_ann_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOP_K)
         .select("query_id", F.col("neighbor_id").alias("true_neighbor_id"))
     )
-
     return (
         brute.join(
-            pq_top,
-            (brute.query_id == pq_top.query_id)
-            & (brute.true_neighbor_id == pq_top.neighbor_id),
+            top,
+            (brute.query_id == top.query_id)
+            & (brute.true_neighbor_id == top.neighbor_id),
             "left_outer",
         )
         .groupBy(brute.query_id.alias("query_id"))
@@ -317,3 +341,117 @@ def sim_ann_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def _ivfpq_oracle() -> str:
+    """IVF coarse quantizer (unrolled Lloyd, k={k}) + PQ fine quantizer
+    composed: candidates = probed clusters' members, ranked by ADC."""
+    from iceberg_catalog_postgres_spark.llm.similarity import (
+        _IVF_DIST_SQL,
+        _IVF_K,
+        _NPROBE,
+        _ivf_iter_ctes,
+    )
+
+    parts = [
+        "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
+        f"c0 AS (SELECT CAST(vec_id AS INT) AS cluster, e AS c FROM v WHERE vec_id < {_IVF_K})",
+        _ivf_iter_ctes(1, "c0").strip(),
+        _ivf_iter_ctes(2, "c1").strip(),
+        f"""d3 AS (
+      SELECT v.vec_id, c.cluster, {_IVF_DIST_SQL} AS dist FROM v, c2 c
+    ),
+    a3 AS (
+      SELECT vec_id, cluster FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cluster ASC) AS rn
+        FROM d3
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cluster FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cluster ASC) AS rn
+        FROM d3 WHERE vec_id < {N_QUERIES}
+      ) WHERE rn <= {_NPROBE}
+    )""",
+        *_pq_ctes(),
+        f"""cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN a3 a ON a.cluster = p.cluster AND a.vec_id <> p.query_id
+    ),
+    top_cte AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT c.query_id, c.neighbor_id,
+               row_number() OVER (PARTITION BY c.query_id ORDER BY e.est ASC, c.neighbor_id ASC) AS rk
+        FROM cand c JOIN est e ON e.query_id = c.query_id AND e.neighbor_id = c.neighbor_id
+      ) WHERE rk <= {TOP_K}
+    )""",
+        _BRUTE_L2_CTE + "\n    " + _RECALL_SELECT,
+    ]
+    return ",\n    ".join(parts)
+
+
+@register(
+    "sim_ann_ivfpq_recall",
+    oracle=_ivfpq_oracle(),
+    tags=("llm", "similarity", "ivf", "pq", "evaluation"),
+)
+def sim_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ composed — the production large-scale ANN shape (FAISS
+    IVFPQ): the coarse quantizer (certified in ``sim_ivf_kmeans_build``)
+    restricts each query to its probed clusters' members, and the fine
+    quantizer (certified in ``sim_ann_pq_adc_recall``) ranks those
+    candidates from CODES alone via the query's ADC lookup table. Emits
+    recall@5 vs exact L2 — the end-to-end quality number the two index
+    halves exist to trade against cost.
+
+    Scale: the probe cuts the candidate set to ~nprobe/k of the corpus
+    (and becomes partition pruning when the codes are written PARTITIONED
+    BY cluster — ``catalog_ann_ivf_partitioned_probe`` certifies exactly
+    that layout); ADC then never touches a full-precision vector. Memory
+    per 10^9 vectors: 4 GB of codes vs 256 GB of floats. The whole
+    composed pipeline — both quantizers, the probe, the ADC ranking —
+    hash-matches one DuckDB oracle.
+    """
+    from iceberg_catalog_postgres_spark.llm.similarity import (
+        _NPROBE,
+        _ivf_assign,
+        _ivf_final_centroids,
+    )
+
+    e = _load_vectors(spark, sf_dir)
+
+    # coarse quantizer: assignments + per-query probe list
+    cents = _ivf_final_centroids(e)
+    assigned = _ivf_assign(e, cents).select(
+        F.col("vec_id").alias("neighbor_id"), "cluster"
+    )
+    qd = _ivf_assign(e.filter(F.col("vec_id") < N_QUERIES), cents)
+    dist_structs = F.array(
+        *[
+            F.struct(F.col(f"d{ci}").alias("dist"), F.lit(ci).alias("cluster"))
+            for ci in range(len(cents))
+        ]
+    )
+    probes = qd.select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(F.slice(F.array_sort(dist_structs), 1, _NPROBE)).alias("p"),
+    ).select("query_id", F.col("p.cluster").alias("probe_cluster"))
+
+    # fine quantizer: codes + ADC estimates
+    books = _build_books(e)
+    codes = _encode(e, books)
+    est = _adc_est(spark, e, books, codes)
+
+    cand = F.broadcast(probes).join(
+        assigned,
+        (F.col("probe_cluster") == F.col("cluster"))
+        & (F.col("query_id") != F.col("neighbor_id")),
+    ).select("query_id", "neighbor_id")
+    w = Window.partitionBy("query_id").orderBy(F.col("est").asc(), F.col("neighbor_id").asc())
+    top = (
+        cand.join(est, ["query_id", "neighbor_id"])
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    return _recall_vs_brute(e, top)
