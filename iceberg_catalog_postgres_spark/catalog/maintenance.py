@@ -1075,6 +1075,200 @@ def catalog_manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "catalog_schema_widen_read",
+    oracle="""
+    WITH n AS (
+      SELECT o_orderkey AS k, CAST(CAST(o_totalprice AS REAL) AS DOUBLE) AS p
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    w AS (
+      SELECT o_orderkey AS k, o_totalprice AS p
+      FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    u AS (SELECT * FROM n UNION ALL SELECT * FROM w)
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(k) AS BIGINT)   AS key_sum,
+           round(min(p), 2)         AS min_price,
+           round(max(p), 2)         AS max_price,
+           'bigint' AS k_type,
+           'double' AS p_type,
+           true AS narrowing_rejected
+    FROM u
+    """,
+    tags=("catalog", "schema-evolution", "widening"),
+)
+def catalog_schema_widen_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type widening (Iceberg promotion rules, int->long / float->double)
+    certified over mixed cohorts: half of orders lands under the NARROW
+    schema (int key, float price), the schema widens with a metadata-only
+    commit (zero data movement — the whole point), the other half lands
+    natively wide, and one read returns both cohorts under the wide types
+    (the parquet reader up-casts the narrow files at scan time). The
+    oracle mirrors the float round-trip on the narrow cohort
+    (CAST(CAST(x AS REAL) AS DOUBLE)) so value parity is exact, and pins
+    the declared read types plus the commit-time REJECTION of a narrowing
+    change (certified boolean).
+
+    Scale: widening is the no-rewrite half of schema evolution — a 100 TB
+    table outgrowing int32 keys promotes the column in one CAS commit;
+    the alternative (rewrite every file) is exactly what the promotion
+    rules exist to avoid.
+    """
+    from pyspark.sql.types import (
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    cat = _fresh_catalog("catalog_widen_demo")
+    src = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    s_narrow = StructType(
+        [StructField("k", IntegerType(), True), StructField("p", FloatType(), True)]
+    )
+    ident = TableIdentifier.parse("maint.orders_widen")
+    table = cat.create_table(ident, s_narrow)
+    narrow_half = src.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").cast("int").alias("k"),
+        F.col("o_totalprice").cast("float").alias("p"),
+    )
+    table = table.new_transaction().append_dataframe(narrow_half).commit()
+
+    s_wide = StructType(
+        [
+            StructField("k", LongType(), True, table.schema["k"].metadata),
+            StructField("p", DoubleType(), True, table.schema["p"].metadata),
+        ]
+    )
+    table = table.commit_schema(s_wide)
+    wide_half = src.filter(F.col("o_orderkey") % 2 == 1).select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p")
+    )
+    table = table.new_transaction().append_dataframe(wide_half).commit()
+
+    narrowing_rejected = False
+    try:
+        table.commit_schema(
+            StructType(
+                [
+                    StructField("k", IntegerType(), True, table.schema["k"].metadata),
+                    StructField("p", DoubleType(), True, table.schema["p"].metadata),
+                ]
+            )
+        )
+    except ValueError:
+        narrowing_rejected = True
+
+    df = table.to_df(spark)
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("k").alias("key_sum"),
+        F.round(F.min("p"), 2).alias("min_price"),
+        F.round(F.max("p"), 2).alias("max_price"),
+    ).select(
+        "n_rows",
+        "key_sum",
+        "min_price",
+        "max_price",
+        F.lit(df.schema["k"].dataType.simpleString()).alias("k_type"),
+        F.lit(df.schema["p"].dataType.simpleString()).alias("p_type"),
+        F.lit(narrowing_rejected).alias("narrowing_rejected"),
+    )
+
+
+@register(
+    "catalog_gdpr_purge_audit",
+    oracle="""
+    WITH victims AS (
+      SELECT o_custkey FROM orders GROUP BY o_custkey
+      ORDER BY o_custkey LIMIT 3
+    )
+    SELECT CAST((SELECT count(*) FROM orders
+                 WHERE o_custkey NOT IN (SELECT o_custkey FROM victims)) AS BIGINT)
+             AS n_rows_after,
+           CAST((SELECT count(*) FROM orders
+                 WHERE o_custkey IN (SELECT o_custkey FROM victims)) AS BIGINT)
+             AS n_rows_purged,
+           CAST(0 AS BIGINT) AS n_victim_rows_on_disk,
+           true AS history_expired,
+           true AS delete_files_cleared,
+           true AS snapshot_is_clean_rewrite
+    FROM (SELECT 1)
+    """,
+    tags=("catalog", "maintenance", "gdpr", "compliance"),
+)
+def catalog_gdpr_purge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten, certified PHYSICALLY: a merge-on-read delete
+    makes the purged customers invisible in seconds, but their bytes still
+    sit in the old data files and in time-travelable history. This query
+    runs the full forget pipeline and then AUDITS THE DISK:
+
+    1. MOR delete 3 customers (O(keys) commit — the fast takedown);
+    2. compaction materializes the deletes into rewritten files;
+    3. ``expire_snapshots(keep_last=1)`` drops every snapshot that could
+       still time-travel to the victims' rows and physically deletes the
+       files only those snapshots referenced;
+    4. audit: read back EVERY parquet file that remains anywhere under the
+       table location (a filesystem walk, not the metadata — the point is
+       to distrust the metadata) and count rows for the purged keys: the
+       oracle pins that count to ZERO, alongside full row parity for the
+       survivors, no remaining delete files, and an empty time-travel
+       history.
+
+    Scale: each stage is the already-certified O(keys)/O(small files)/
+    O(metadata) operation; the audit scan is the only full read and exists
+    to certify, not to operate. This is the compliance loop a 100 TB
+    lakehouse actually runs: fast logical delete now, physical erasure at
+    the next maintenance window, verifiable afterwards.
+    """
+    import glob as _glob
+
+    cat = _fresh_catalog("catalog_gdpr_demo")
+    src = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    victims = [r[0] for r in src.select("o_custkey").distinct().orderBy("o_custkey").limit(3).collect()]
+    ident = TableIdentifier.parse("maint.orders_gdpr")
+    table = cat.create_table(ident, src.schema)
+    half = src.agg(F.expr("percentile_approx(o_orderkey, 0.5)")).first()[0]
+    table = table.new_transaction().append_dataframe(
+        src.filter(F.col("o_orderkey") <= half)
+    ).commit()
+    table = table.new_transaction().append_dataframe(
+        src.filter(F.col("o_orderkey") > half)
+    ).commit()
+
+    keys = spark.createDataFrame([(v,) for v in victims], "o_custkey long").coalesce(1)
+    table = table.new_transaction().delete_keys_dataframe(keys).commit()
+    table = compact_table(spark, table, target_partitions=2)
+    table = expire_snapshots(table, keep_last=1)
+
+    snap = table.metadata.current_snapshot()
+    delete_files_cleared = not snap.delete_files and not snap.position_delete_files
+    history_expired = len(table.metadata.snapshots) == 1
+    snapshot_is_clean_rewrite = snap.operation == "overwrite"
+
+    # disk audit: every parquet file still present under the table location
+    store = cat.object_store()
+    root = store.resolve(table.metadata.location)
+    on_disk = sorted(_glob.glob(os.path.join(root, "data", "**", "*.parquet"), recursive=True))
+    remaining = spark.read.schema(table.schema).parquet(*on_disk)
+    n_victim_rows_on_disk = remaining.filter(F.col("o_custkey").isin(victims)).count()
+    survivors = remaining.filter(~F.col("o_custkey").isin(victims))
+
+    return survivors.agg(F.count(F.lit(1)).alias("n_rows_after")).select(
+        "n_rows_after",
+        F.lit(
+            src.filter(F.col("o_custkey").isin(victims)).count()
+        ).cast("long").alias("n_rows_purged"),
+        F.lit(n_victim_rows_on_disk).cast("long").alias("n_victim_rows_on_disk"),
+        F.lit(history_expired).alias("history_expired"),
+        F.lit(delete_files_cleared).alias("delete_files_cleared"),
+        F.lit(snapshot_is_clean_rewrite).alias("snapshot_is_clean_rewrite"),
+    )
+
+
+@register(
     "catalog_bucket_transform_pruning",
     oracle="""
     WITH v AS (SELECT min(o_custkey) AS ck FROM orders)

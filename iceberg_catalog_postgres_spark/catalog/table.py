@@ -1053,6 +1053,35 @@ class Table:
             for f in self.schema.fields
             if f.metadata and FIELD_ID_KEY in f.metadata
         }
+        # Type changes must be WIDENING-safe (Iceberg's promotion rules:
+        # int -> long, float -> double). Old files keep their narrow
+        # physical type; Spark's parquet reader up-casts them at scan time,
+        # so widening needs zero data movement — but a narrowing or
+        # incompatible change would corrupt every existing file's read and
+        # is rejected here at commit time.
+        from pyspark.sql.types import DoubleType as _Dbl
+        from pyspark.sql.types import FloatType as _Flt
+        from pyspark.sql.types import IntegerType as _Int
+        from pyspark.sql.types import LongType as _Lng
+
+        _widen_ok = {(_Int, _Lng), (_Flt, _Dbl)}
+        old_types_by_id = {
+            f.metadata[FIELD_ID_KEY]: f.dataType
+            for f in self.schema.fields
+            if f.metadata and FIELD_ID_KEY in f.metadata
+        }
+        for f in new_schema.fields:
+            meta = f.metadata or {}
+            fid = meta.get(FIELD_ID_KEY) or current_ids.get(f.name)
+            if fid is None or fid not in old_types_by_id:
+                continue  # new column
+            old_t = old_types_by_id[fid]
+            if old_t != f.dataType and (type(old_t), type(f.dataType)) not in _widen_ok:
+                raise ValueError(
+                    f"incompatible type change for field id {fid}"
+                    f" ({old_t.simpleString()} -> {f.dataType.simpleString()});"
+                    " only int->long and float->double widen safely"
+                )
         next_id = max(current_ids.values(), default=0)
         fields = []
         for f in new_schema.fields:

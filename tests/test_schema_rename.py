@@ -139,3 +139,57 @@ def test_cow_delete_after_rename(catalog, spark):
     assert (n_rewritten, n_kept) == (1, 1)
     assert t.to_df(spark).count() == 89
     assert t.to_df(spark).filter(F.col("key").between(120, 130)).count() == 0
+
+
+def test_type_widening_int_to_long_float_to_double(catalog, spark):
+    """Iceberg promotion rules: widen int->long and float->double with zero
+    data movement; old narrow files up-cast at scan time; mixed cohorts
+    read as one table. Narrowing is rejected at commit."""
+    from pyspark.sql.types import (
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    import pytest as _pytest
+
+    s_narrow = StructType(
+        [StructField("k", IntegerType(), True), StructField("x", FloatType(), True)]
+    )
+    t = catalog.create_table(TableIdentifier.parse("rn.widen"), s_narrow)
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame([(1, 1.5), (2, 2.5)], s_narrow)
+    ).commit()
+
+    s_wide = StructType(
+        [
+            StructField("k", LongType(), True, t.schema["k"].metadata),
+            StructField("x", DoubleType(), True, t.schema["x"].metadata),
+        ]
+    )
+    t = t.commit_schema(s_wide)
+    # post-widen append writes long/double natively
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame([(3_000_000_000, 3.25)], s_wide)
+    ).commit()
+
+    df = t.to_df(spark)
+    assert [f.dataType.simpleString() for f in df.schema.fields] == ["bigint", "double"]
+    got = sorted((r["k"], r["x"]) for r in df.collect())
+    assert got == [(1, 1.5), (2, 2.5), (3_000_000_000, 3.25)]
+    # reload from catalog: same
+    t2 = catalog.load_table(TableIdentifier.parse("rn.widen"))
+    assert sorted((r["k"], r["x"]) for r in t2.to_df(spark).collect()) == got
+
+    # narrowing / incompatible changes are rejected
+    s_bad = StructType(
+        [
+            StructField("k", IntegerType(), True, t2.schema["k"].metadata),
+            StructField("x", DoubleType(), True, t2.schema["x"].metadata),
+        ]
+    )
+    with _pytest.raises(ValueError, match="widen"):
+        t2.commit_schema(s_bad)
