@@ -641,3 +641,107 @@ def catalog_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("corpus_doc").alias("first_match"),
         )
     )
+
+
+@register(
+    "catalog_stream_autocompact",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT)        AS n_rows,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           true AS auto_compaction_ran,
+           CAST(0 AS BIGINT) AS small_files_at_end,
+           true AS file_count_bounded
+    FROM orders WHERE o_orderkey % 5 = 0
+    """,
+    tags=("catalog", "streaming", "maintenance", "compaction"),
+)
+def catalog_stream_autocompact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming-ingest steady state, closed-loop: a file stream lands
+    five micro-batch appends on a catalog table (maxFilesPerTrigger=1 — the
+    classic small-file dribble), and the SINK ITSELF polls ``table_health``
+    after each commit, triggering stats-driven bin-packing whenever the
+    small-file debt crosses a threshold. The health report that drives the
+    decision is a pure metadata fold, so the maintenance check costs
+    nothing per batch; compaction runs only when debt exists.
+
+    Certified: final row/sum parity with the batch source (compaction must
+    be invisible), at least one in-loop compaction actually fired, zero
+    small files at the end, and the final file count stays bounded instead
+    of growing one-per-batch.
+
+    Scale: this is how a 100 TB streaming table stays queryable without a
+    separate maintenance scheduler — the write path amortizes maintenance
+    into the ingest loop, compacting the dribble while it is still small
+    and local. Commit cost stays O(1) per batch; the compactions are
+    O(small files), never O(table).
+    """
+    import glob as _glob
+    import shutil as _shutil
+    import uuid as _uuid
+
+    from iceberg_catalog_postgres_spark.catalog.maintenance import (
+        rewrite_small_files,
+        table_health,
+    )
+
+    cat = _fresh_catalog("catalog_autocompact_demo")
+    src = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 5 == 0)
+        .select("o_orderkey", "o_custkey")
+    )
+    total_rows = src.count()
+    small_threshold = max(2, total_rows // 4)  # every dribble file is "small"
+
+    # five-file micro-batch source: one range-partitioned file per trigger
+    feed = os.path.join(_REPO_ROOT, ".tmp", f"autocompact-feed-{_uuid.uuid4().hex}")
+    _shutil.rmtree(feed, ignore_errors=True)
+    src.repartitionByRange(5, "o_orderkey").write.parquet(feed)
+
+    ident = TableIdentifier.parse("streams.orders_autocompact")
+    table = cat.create_table(ident, src.schema)
+    compactions = []
+
+    def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
+        t = cat.load_table(ident)
+        t = t.new_transaction().append_dataframe(batch_df.coalesce(1)).commit()
+        h = table_health(t, small_file_rows=small_threshold)
+        if h["n_small_files"] >= 3:
+            _t, n_rewritten, _k, _n = rewrite_small_files(
+                spark, t, target_rows=total_rows, small_threshold=small_threshold
+            )
+            compactions.append(n_rewritten)
+
+    q = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+        .writeStream.outputMode("append")
+        .foreachBatch(sink_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    # close the loop on whatever dribble remains after the last batch
+    t = cat.load_table(ident)
+    if table_health(t, small_file_rows=small_threshold)["n_small_files"] >= 2:
+        _t, n_rewritten, _k, _n = rewrite_small_files(
+            spark, t, target_rows=total_rows, small_threshold=small_threshold
+        )
+        compactions.append(n_rewritten)
+    t = cat.load_table(ident)
+    h_end = table_health(t, small_file_rows=small_threshold)
+
+    return t.to_df(spark).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").alias("key_sum"),
+    ).select(
+        "n_rows",
+        "key_sum",
+        F.lit(len(compactions) >= 1 and all(n >= 2 for n in compactions)).alias(
+            "auto_compaction_ran"
+        ),
+        F.lit(h_end["n_small_files"]).cast("long").alias("small_files_at_end"),
+        F.lit(h_end["n_data_files"] <= 3).alias("file_count_bounded"),
+    )
