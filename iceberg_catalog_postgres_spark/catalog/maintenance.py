@@ -1075,6 +1075,79 @@ def catalog_manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "catalog_schema_add_default",
+    oracle="""
+    WITH old AS (
+      SELECT doc_id, 0.5 AS quality FROM documents WHERE doc_id < 200
+    ),
+    newer AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0 THEN NULL ELSE 0.9 END AS quality
+      FROM documents WHERE doc_id >= 200 AND doc_id < 300
+    ),
+    u AS (SELECT * FROM old UNION ALL SELECT * FROM newer)
+    SELECT quality, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM u GROUP BY quality
+    """,
+    tags=("catalog", "schema-evolution", "defaults"),
+)
+def catalog_schema_add_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-column-with-default (Iceberg v3 ``initial-default``), certified
+    over the three row populations that must NOT mix: docs committed
+    BEFORE the column existed read the default (0.5 — seq-scoped fill at
+    scan time, zero rewrite); docs committed after carry their written
+    values (0.9); and an explicitly-written NULL after the add STAYS NULL
+    — the case a naive ``coalesce(col, default)`` would silently corrupt,
+    which is why the fill keys on file sequence number, not on NULLness.
+
+    Scale: backfilling a quality/score column onto a 100 TB corpus with a
+    constant initial value is a metadata-only commit here versus a full
+    rewrite without it; the per-cohort fill is a literal projection fused
+    into the scan.
+    """
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    cat = _fresh_catalog("catalog_default_demo")
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    s0 = StructType([StructField("doc_id", LongType(), True)])
+    ident = TableIdentifier.parse("maint.docs_default")
+    table = cat.create_table(ident, s0)
+    table = table.new_transaction().append_dataframe(
+        docs.filter(F.col("doc_id") < 200)
+    ).commit()
+
+    s1 = StructType(
+        [
+            StructField("doc_id", LongType(), True, table.schema["doc_id"].metadata),
+            StructField("quality", DoubleType(), True),
+        ]
+    )
+    table = table.commit_schema(s1, defaults={"quality": 0.5})
+    newer = (
+        docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 300))
+        .withColumn(
+            "quality",
+            F.when(F.col("doc_id") % 10 == 0, F.lit(None).cast("double")).otherwise(
+                F.lit(0.9)
+            ),
+        )
+    )
+    table = table.new_transaction().append_dataframe(newer).commit()
+
+    return (
+        table.to_df(spark)
+        .groupBy("quality")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+@register(
     "catalog_schema_widen_read",
     oracle="""
     WITH n AS (

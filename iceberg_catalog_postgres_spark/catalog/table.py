@@ -25,6 +25,7 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from iceberg_catalog_postgres_spark.catalog.catalog import (
@@ -359,6 +360,15 @@ class Table:
         predates a rename's ``as-of-seq`` physically carry the old name."""
         return list(self.metadata.properties.get("column-renames", []))
 
+    def column_defaults(self) -> list[dict]:
+        """Initial-default log (Iceberg v3 ``initial-default``): ``{"field-id",
+        "default", "as-of-seq"}`` per added-with-default column. Files whose
+        sequence number predates ``as-of-seq`` were written BEFORE the column
+        existed; reads fill the default for exactly those files — a NULL
+        explicitly written after the add stays NULL (the distinction the
+        seq scoping exists for)."""
+        return list(self.metadata.properties.get("column-defaults", []))
+
     def physical_name(self, column: str, file_seq: int) -> str:
         """The name ``column`` (a CURRENT logical name) had when a file at
         ``file_seq`` was written — walk the rename log backwards through
@@ -391,16 +401,35 @@ class Table:
         from pyspark.sql.types import StructField as _SF
         from pyspark.sql.types import StructType as _ST
 
+        from iceberg_catalog_postgres_spark.catalog.metadata import FIELD_ID_KEY as _FID
+
         store = self.catalog.object_store()
         fields = self.schema.fields
         logical = [f.name for f in fields]
+        defaults = self.column_defaults()
+        names_by_id = {
+            f.metadata.get(_FID): f.name for f in fields if f.metadata and _FID in f.metadata
+        }
+        types_by_id = {
+            f.metadata.get(_FID): f.dataType for f in fields if f.metadata and _FID in f.metadata
+        }
         groups: dict[tuple, list[str]] = {}
         for rel in rel_files:
             s = seqs.get(rel, 0)
             names = tuple(self.physical_name(n, s) for n in logical)
-            groups.setdefault(names, []).append(rel)
+            # initial-defaults apply to files written BEFORE the column
+            # existed (seq scoping) — part of the cohort key so the fill
+            # never leaks onto post-add files
+            applicable = tuple(
+                sorted(
+                    d["field-id"]
+                    for d in defaults
+                    if s < d["as-of-seq"] and d["field-id"] in names_by_id
+                )
+            )
+            groups.setdefault((names, applicable), []).append(rel)
         parts = []
-        for names, members in sorted(groups.items()):
+        for (names, applicable), members in sorted(groups.items()):
             phys = _ST(
                 [
                     _SF(n, f.dataType, f.nullable, f.metadata)
@@ -411,6 +440,12 @@ class Table:
             remap = {o: n for o, n in zip(names, logical) if o != n}
             if remap:
                 p = p.withColumnsRenamed(remap)
+            for d in defaults:
+                fid = d["field-id"]
+                if fid in applicable:
+                    p = p.withColumn(
+                        names_by_id[fid], F.lit(d["default"]).cast(types_by_id[fid])
+                    )
             parts.append(p)
         df = parts[0]
         for p in parts[1:]:
@@ -848,6 +883,7 @@ class Table:
         if (
             snap_refs is not None
             and not self.column_renames()
+            and not self.column_defaults()
             and all(
                 c["summary"]["counts"]["eq-delete"] == 0
                 and c["summary"]["counts"]["pos-delete"] == 0
@@ -1022,7 +1058,9 @@ class Table:
 
         return self._commit_metadata_edit(edit, "pub")
 
-    def commit_schema(self, new_schema: StructType) -> "Table":
+    def commit_schema(
+        self, new_schema: StructType, defaults: dict | None = None
+    ) -> "Table":
         """Schema evolution: commit a new schema version through the same CAS
         pointer swap as a data commit. Field ids carried in
         ``StructField.metadata['iceberg.field-id']`` are preserved; new
@@ -1124,6 +1162,25 @@ class Table:
         props = dict(md.properties)
         if renames:
             props["column-renames"] = [*props.get("column-renames", []), *renames]
+        if defaults:
+            # Iceberg v3 initial-default: only meaningful on NEW columns —
+            # existing files predate them, so the seq-scoped fill at read
+            # time is exactly "what this column would have contained".
+            ids_by_name = {f.name: f.metadata[FIELD_ID_KEY] for f in evolved.fields}
+            unknown = [n for n in defaults if n not in ids_by_name]
+            if unknown:
+                raise ValueError(f"default for unknown column(s): {unknown}")
+            entries = []
+            for n, v in defaults.items():
+                fid = ids_by_name[n]
+                if fid in old_names_by_id:
+                    raise ValueError(
+                        f"initial-default only applies to newly added columns: {n}"
+                    )
+                entries.append(
+                    {"field-id": fid, "default": v, "as-of-seq": md.next_sequence_number()}
+                )
+            props["column-defaults"] = [*props.get("column-defaults", []), *entries]
         new_md = _dc_replace(md, schema=schema_to_iceberg(evolved), properties=props)
         import posixpath as _pp
         import uuid as _uuid

@@ -193,3 +193,66 @@ def test_type_widening_int_to_long_float_to_double(catalog, spark):
     )
     with _pytest.raises(ValueError, match="widen"):
         t2.commit_schema(s_bad)
+
+
+def test_add_column_with_initial_default(catalog, spark):
+    """Iceberg v3 initial-default: pre-add files read the default; post-add
+    files keep their written values INCLUDING explicit NULLs; composes
+    with a later rename of the defaulted column."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    s0 = StructType([StructField("id", LongType(), True)])
+    t = catalog.create_table(TableIdentifier.parse("rn.defaults"), s0)
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame([(1,), (2,)], s0)
+    ).commit()
+
+    s1 = StructType(
+        [
+            StructField("id", LongType(), True, t.schema["id"].metadata),
+            StructField("quality", DoubleType(), True),
+        ]
+    )
+    t = t.commit_schema(s1, defaults={"quality": 0.5})
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame([(3, 0.9), (4, None)], t.schema)
+    ).commit()
+
+    got = {r["id"]: r["quality"] for r in t.to_df(spark).collect()}
+    assert got == {1: 0.5, 2: 0.5, 3: 0.9, 4: None}
+
+    # rename the defaulted column: the default follows the field id
+    s2 = StructType(
+        [
+            StructField("id", LongType(), True, t.schema["id"].metadata),
+            StructField("q_score", DoubleType(), True, t.schema["quality"].metadata),
+        ]
+    )
+    t = t.commit_schema(s2)
+    got2 = {r["id"]: r["q_score"] for r in t.to_df(spark).collect()}
+    assert got2 == {1: 0.5, 2: 0.5, 3: 0.9, 4: None}
+    # reload parity
+    t2 = catalog.load_table(TableIdentifier.parse("rn.defaults"))
+    assert {r["id"]: r["q_score"] for r in t2.to_df(spark).collect()} == got2
+
+
+def test_default_rejected_for_existing_column(catalog, spark):
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    import pytest as _pytest
+
+    s0 = StructType([StructField("id", LongType(), True)])
+    t = catalog.create_table(TableIdentifier.parse("rn.defbad"), s0)
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame([(1,)], s0)
+    ).commit()
+    with _pytest.raises(ValueError, match="newly added"):
+        t.commit_schema(
+            StructType([StructField("id", LongType(), True, t.schema["id"].metadata)]),
+            defaults={"id": 0},
+        )
