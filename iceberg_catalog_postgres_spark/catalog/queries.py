@@ -382,3 +382,53 @@ def catalog_rollback_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_v1, n_v2, n_after, n_final, n_snaps)],
         "n_v1 long, n_v2 long, n_after_rollback long, n_final long, n_snapshots long",
     )
+
+
+@register(
+    "catalog_changelog_diff",
+    oracle="""
+    SELECT n_nationkey + 100 AS n_nationkey, n_name,
+           'insert' AS _change_type, CAST(2 AS BIGINT) AS _change_ordinal
+    FROM nation WHERE n_nationkey < 3
+    UNION ALL
+    SELECT n_nationkey, n_name, 'delete', CAST(3 AS BIGINT)
+    FROM nation WHERE n_nationkey IN (0, 1)
+    """,
+    tags=("catalog", "cdc", "changelog"),
+)
+def catalog_changelog_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level changelog (Iceberg ``table$changes``): after an append of
+    three new nations and a merge-on-read delete of two originals, the
+    changelog from the first snapshot replays BOTH row populations with
+    commit ordinals — the inserts planned from the file-set delta (pure
+    metadata), the deletes RECONSTRUCTED by replaying the delete keys
+    against the parent snapshot's state (null-safe broadcast semi-join).
+    The oracle pins every changed row, its change type, and its ordinal.
+
+    Scale: this is the CDC contract that lets a downstream system mirror
+    a 100 TB table by consuming O(changes) per sync instead of diffing
+    two full snapshots; delete reconstruction scans only the parent
+    cohorts the delete keys can touch, broadcast-side keys.
+    """
+    from iceberg_catalog_postgres_spark.catalog.maintenance import _fresh_catalog
+
+    cat = _fresh_catalog("catalog_changelog_demo")
+    src = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    ident = TableIdentifier.parse("cdc.nation_log")
+    table = cat.create_table(ident, src.schema)
+    table = table.new_transaction().append_dataframe(src.coalesce(1)).commit()
+    snap1 = table.metadata.current_snapshot_id
+
+    extra = src.filter(F.col("n_nationkey") < 3).select(
+        (F.col("n_nationkey") + 100).alias("n_nationkey"), "n_name"
+    )
+    table = table.new_transaction().append_dataframe(extra.coalesce(1)).commit()
+    table = (
+        table.new_transaction()
+        .delete_keys_dataframe(
+            spark.createDataFrame([(0,), (1,)], "n_nationkey long").coalesce(1)
+        )
+        .commit()
+    )
+
+    return table.changelog_df(spark, from_snapshot_id=snap1)

@@ -919,3 +919,32 @@ def test_rollback_to_snapshot_preserves_history(catalog, spark):
 
     with pytest.raises(ValueError, match="unknown snapshot"):
         fixed.rollback_to(999999)
+
+
+def test_changelog_positional_deletes_and_overwrite_guard(catalog, spark):
+    """changelog_df reconstructs positional-delete rows via scan identity,
+    and refuses to cross an overwrite (no row lineage)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from pyspark.sql import functions as F
+
+    from iceberg_catalog_postgres_spark.catalog.maintenance import delete_where_mor
+
+    s = StructType([StructField("k", LongType(), True)])
+    ident = TableIdentifier.parse("test.changelog_pos")
+    t = catalog.create_table(ident, s)
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame([(i,) for i in range(10)], s).coalesce(1)
+    ).commit()
+    snap1 = t.metadata.current_snapshot_id
+    t = delete_where_mor(spark, t, F.col("k").isin(3, 7))
+
+    log = t.changelog_df(spark, from_snapshot_id=snap1)
+    rows = sorted((r["k"], r["_change_type"]) for r in log.collect())
+    assert rows == [(3, "delete"), (7, "delete")]
+
+    t = t.new_transaction().overwrite_dataframe(
+        spark.createDataFrame([(99,)], s)
+    ).commit()
+    with pytest.raises(ValueError, match="non-append/delete"):
+        t.changelog_df(spark, from_snapshot_id=snap1).collect()
