@@ -384,3 +384,59 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("lang_total").over(everything).alias("n_docs_in"),
         F.sum("lang_quality").over(everything).alias("n_after_quality"),
     ).where(F.col("n_docs_kept") > 0)
+
+
+@register(
+    "text_zipf_fit",
+    oracle="""
+    WITH freq AS (
+      SELECT token, count(*) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY token
+    ),
+    ranked AS (
+      SELECT n, row_number() OVER (ORDER BY n DESC, token ASC) AS rank
+      FROM freq
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_vocab,
+           round(regr_slope(ln(n), ln(rank)), 4) AS zipf_slope,
+           round(regr_r2(ln(n), ln(rank)), 4) AS fit_r2
+    FROM ranked
+    """,
+    tags=("llm", "text", "statistics"),
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: slope of log(frequency)
+    vs log(rank) by least squares (natural text sits near -1; a synthetic
+    or template-heavy corpus deviates — this is a cheap corpus-health
+    fingerprint used to spot boilerplate floods and tokenizer mismatches
+    before training).
+
+    Plan: one token explode + groupBy (the only corpus-wide shuffle), a
+    global rank window over the VOCABULARY (small — vocab, not corpus),
+    then ``regr_slope``/``regr_r2`` built-in aggregates — JVM-side
+    throughout, no UDF, no collect.
+
+    Scale: the explode+count is the token-frequency shuffle every corpus
+    stat shares; the regression runs over distinct tokens only (10^5-10^7
+    rows at web scale), so the fit itself is trivial. The single-partition
+    rank window over the vocab is the documented small-side exception, not
+    a corpus-wide sort.
+    """
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ranked = freq.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.col("n").desc(), F.col("token").asc())),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_vocab"),
+        F.round(F.regr_slope(F.log("n"), F.log("rank")), 4).alias("zipf_slope"),
+        F.round(F.regr_r2(F.log("n"), F.log("rank")), 4).alias("fit_r2"),
+    )

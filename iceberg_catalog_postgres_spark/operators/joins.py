@@ -272,3 +272,75 @@ def join_self_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.l_linenumber").alias("line_b"),
         F.round(F.col("a.l_extendedprice") + F.col("b.l_extendedprice"), 2).alias("pair_price"),
     )
+
+
+@register(
+    "join_asof_forward_tolerance",
+    oracle="""
+    SELECT event_id, user_id, next_purchase_id, gap_ms FROM (
+      SELECT e.event_id, e.user_id, p.event_id AS next_purchase_id,
+             CAST(date_diff('millisecond', e.ts, p.ts) AS BIGINT) AS gap_ms,
+             row_number() OVER (
+               PARTITION BY e.event_id ORDER BY p.ts ASC, p.event_id ASC) AS rk
+      FROM (SELECT * FROM events WHERE event_type = 'error') e
+      JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON e.user_id = p.user_id AND p.ts >= e.ts
+       AND p.ts <= e.ts + INTERVAL 30 MINUTE
+    ) WHERE rk = 1
+    """,
+    tags=("join", "asof", "tolerance"),
+)
+def join_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with tolerance: for each error, the NEXT purchase
+    by the same user within 30 minutes (the recovery-tracking twin of the
+    backward ``join_asof_last_event``; pandas ``merge_asof
+    direction='forward', tolerance=...`` semantics).
+
+    Same union+window trick, time-reversed: sort within user by (ts DESC,
+    kind, event_id DESC) and carry the last-seen purchase — which, in
+    reversed order, is the NEAREST FUTURE purchase (equal timestamps
+    resolve purchase-first, then lowest event id, mirrored exactly in the
+    oracle's rank order). The tolerance is a post-filter on the carried
+    gap, so unmatched-and-too-far errors drop together.
+
+    Scale: identical economics to the backward variant — one user_id
+    shuffle + one in-partition sort, O(1) carried state per row; the naive
+    alternative is a non-equi self-join that explodes on hot users.
+    """
+    ev = load(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts",
+        F.lit(1).alias("is_err"),
+        F.lit(None).cast("long").alias("p_id"),
+        F.lit(None).cast(ev.schema["ts"].dataType).alias("p_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts",
+        F.lit(0).alias("is_err"),
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("is_err").asc(), F.col("event_id").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = (
+        errors.unionByName(purchases)
+        .withColumn("next_p_id", F.last("p_id", ignorenulls=True).over(w))
+        .withColumn("next_p_ts", F.last("p_ts", ignorenulls=True).over(w))
+    )
+    gap = F.unix_millis("next_p_ts") - F.unix_millis("ts")
+    return (
+        merged.filter(
+            (F.col("is_err") == 1)
+            & F.col("next_p_id").isNotNull()
+            & (gap <= 30 * 60 * 1000)
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.col("next_p_id").alias("next_purchase_id"),
+            gap.alias("gap_ms"),
+        )
+    )
