@@ -2084,6 +2084,151 @@ def remove_orphan_files(table: Table, older_than_s: float = 3 * 86400.0) -> dict
     }
 
 
+def remove_old_metadata_files(table: Table, keep_last: int = 3) -> dict:
+    """GC superseded metadata JSON documents (Iceberg's
+    ``write.metadata.delete-after-commit.enabled`` +
+    ``previous-versions-max``): every commit writes a NEW metadata file and
+    the catalog pointer moves on, so a busy table accumulates one JSON per
+    commit forever. Keep the CURRENT document plus the ``keep_last - 1``
+    most recent others; delete the rest.
+
+    Safety: the current pointer's document is always kept (resolved from
+    the catalog row, not from listing order); manifest chunks and data
+    files are untouched — they are governed by snapshot expiry, not by
+    this. A reader holding an OLD pointer mid-commit loses its document
+    only if it is older than the retention window — same contract as
+    Iceberg's delete-after-commit.
+
+    Scale: metadata documents are O(snapshots) bytes each; at one commit a
+    minute a year leaves ~500k dead JSONs next to the live one — this is
+    the janitor that keeps `metadata/` listable.
+    """
+    import glob as _glob
+
+    store = table.catalog.object_store()
+    meta_dir = store.resolve(posixpath.join(table.metadata.location, "metadata"))
+    current = store.resolve(table.metadata_location())
+    candidates = sorted(
+        _glob.glob(os.path.join(meta_dir, "*.metadata.json")),
+        key=lambda p: os.path.getmtime(p),
+        reverse=True,
+    )
+    keep = {current, *candidates[: max(keep_last, 1)]}
+    removed = 0
+    for p in candidates:
+        if p not in keep:
+            os.remove(p)
+            removed += 1
+    return {"removed": removed, "kept": len({*candidates} & keep)}
+
+
+@register(
+    "catalog_metadata_cleanup",
+    oracle="""
+    SELECT CAST(count(*) + 5 AS BIGINT) AS n_rows,
+           true AS files_accumulated,
+           true AS cleanup_bounded,
+           true AS table_still_loads
+    FROM nation
+    """,
+    tags=("catalog", "maintenance", "metadata", "gc"),
+)
+def catalog_metadata_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-document GC certified: six commits leave seven metadata
+    JSONs on disk (one per commit + create — ``files_accumulated``);
+    ``remove_old_metadata_files(keep_last=2)`` bounds the directory to at
+    most 3 documents including the live pointer (``cleanup_bounded``); and
+    a fresh catalog load + full read works afterwards, with row parity
+    pinned by the oracle (``table_still_loads``).
+    """
+    import glob as _glob
+
+    cat = _fresh_catalog("catalog_metagc_demo")
+    src = load(spark, sf_dir, "nation")
+    ident = TableIdentifier.parse("maint.nation_metagc")
+    table = cat.create_table(ident, src.schema)
+    table = table.new_transaction().append_dataframe(src.coalesce(1)).commit()
+    for i in range(5):
+        extra = spark.createDataFrame([(500 + i, f"N{i}", 0)], src.schema).coalesce(1)
+        table = table.new_transaction().append_dataframe(extra).commit()
+
+    store = cat.object_store()
+    meta_dir = store.resolve(posixpath.join(table.metadata.location, "metadata"))
+    n_before = len(_glob.glob(os.path.join(meta_dir, "*.metadata.json")))
+    res = remove_old_metadata_files(table, keep_last=2)
+    n_after = len(_glob.glob(os.path.join(meta_dir, "*.metadata.json")))
+
+    fresh = cat.load_table(ident)
+    return fresh.to_df(spark).agg(F.count(F.lit(1)).alias("n_rows")).select(
+        "n_rows",
+        F.lit(n_before >= 6).alias("files_accumulated"),
+        F.lit(n_after <= 3 and res["removed"] == n_before - n_after).alias(
+            "cleanup_bounded"
+        ),
+        F.lit(fresh.metadata.current_snapshot() is not None).alias("table_still_loads"),
+    )
+
+
+@register(
+    "catalog_cherry_pick",
+    oracle="""
+    SELECT CAST((SELECT count(*) FROM nation) + 2 + 3 AS BIGINT) AS n_rows,
+           CAST(2 AS BIGINT) AS n_branch_rows_landed,
+           true AS main_advanced_past_fork,
+           true AS zero_data_movement
+    FROM (SELECT 1)
+    """,
+    tags=("catalog", "branch", "cherry-pick"),
+)
+def catalog_cherry_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cherry-pick (Iceberg's branch-commit replay): a fix lands on a
+    branch while main moves on — fast-forward publish is impossible (the
+    histories diverged) — so the branch snapshot's FILE DELTA is re-staged
+    as a fresh append on the current head: same files, stats and partition
+    tuples carried, zero bytes moved (``zero_data_movement`` asserts path
+    identity). Final state = base + main's append + the branch's rows, all
+    pinned by the oracle.
+
+    Scale: this is how audited-but-stale staging commits land on a busy
+    100 TB table — an O(delta-file-count) metadata commit instead of
+    re-running the job that produced the branch.
+    """
+    cat = _fresh_catalog("catalog_cherry_demo")
+    src = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    ident = TableIdentifier.parse("branch.nation_cherry")
+    table = cat.create_table(ident, src.schema)
+    table = table.new_transaction().append_dataframe(src.coalesce(1)).commit()
+
+    # branch commit: 2 fix rows staged on "fix" (main does not move)
+    branch_rows = spark.createDataFrame(
+        [(900, "FIX-A"), (901, "FIX-B")], src.schema
+    ).coalesce(1)
+    table = table.new_transaction(branch="fix").append_dataframe(branch_rows).commit()
+    fix_snap = table.metadata.refs["fix"]["snapshot-id"]
+
+    # main moves on: 3 more rows — the branch can no longer fast-forward
+    main_rows = spark.createDataFrame(
+        [(800, "M-A"), (801, "M-B"), (802, "M-C")], src.schema
+    ).coalesce(1)
+    table = table.new_transaction().append_dataframe(main_rows).commit()
+
+    files_before = set(table.metadata.snapshot_by_id(fix_snap).data_files)
+    table = table.new_transaction().cherry_pick(fix_snap).commit()
+    snap = table.metadata.current_snapshot()
+    landed = [f for f in snap.data_files if f in files_before]
+    zero_data_movement = all(f in snap.data_files for f in landed)
+
+    df = table.to_df(spark)
+    n_branch = df.filter(F.col("n_nationkey").isin(900, 901)).count()
+    n_main = df.filter(F.col("n_nationkey").isin(800, 801, 802)).count()
+    return df.agg(F.count(F.lit(1)).alias("n_rows")).select(
+        "n_rows",
+        F.lit(n_branch).cast("long").alias("n_branch_rows_landed"),
+        F.lit(n_main == 3).alias("main_advanced_past_fork"),
+        F.lit(zero_data_movement and len(landed) > 0).alias("zero_data_movement"),
+    )
+
+
 def rewrite_manifests(table: Table, max_chunks: int = 8) -> Table:
     """Manifest compaction: a long append chain accumulates one delta chunk
     per commit (O(commits) chunks to read at plan time); when the current

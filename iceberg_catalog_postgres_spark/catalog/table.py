@@ -1358,12 +1358,45 @@ class Transaction:
 
     # -- staging ----------------------------------------------------------
 
-    def append_files(self, files: list[str]) -> "Transaction":
+    def append_files(
+        self,
+        files: list[str],
+        stats: dict | None = None,
+        partitions: dict | None = None,
+    ) -> "Transaction":
         if self._operation in ("overwrite", "delete"):
             raise ValueError(f"cannot mix append and {self._operation} in one transaction")
         self._operation = self._operation or "append"
         self._staged_files.extend(files)
+        if stats:
+            self._staged_stats.update({f: stats[f] for f in files if f in stats})
+        if partitions:
+            self._staged_partitions.update(
+                {f: partitions[f] for f in files if f in partitions}
+            )
         return self
+
+    def cherry_pick(self, snapshot_id: int) -> "Transaction":
+        """Re-apply an APPEND snapshot's file delta onto the CURRENT head
+        (Iceberg's cherry-pick): the snapshot's newly-added data files are
+        staged as a fresh append — stats and partition tuples carried over,
+        zero data movement — so a commit staged on a branch (or stranded by
+        a rollback) lands on main without rewriting anything. Only append
+        snapshots cherry-pick cleanly; anything else needs a data-aware
+        merge and raises."""
+        md = self.table.metadata
+        snap = md.snapshot_by_id(snapshot_id)
+        if snap.operation != "append":
+            raise ValueError(
+                f"only append snapshots cherry-pick (got {snap.operation})"
+            )
+        snaps = md.snapshots
+        idx = next(i for i, s in enumerate(snaps) if s.snapshot_id == snapshot_id)
+        parent_files = set(snaps[idx - 1].data_files) if idx > 0 else set()
+        delta = [f for f in snap.data_files if f not in parent_files]
+        return self.append_files(
+            delta, stats=dict(snap.file_stats), partitions=dict(snap.file_partitions)
+        )
 
     def overwrite_files(self, files: list[str]) -> "Transaction":
         self._operation = "overwrite"
