@@ -2084,6 +2084,90 @@ def remove_orphan_files(table: Table, older_than_s: float = 3 * 86400.0) -> dict
     }
 
 
+@register(
+    "catalog_recluster_sorted",
+    oracle="""
+    WITH b AS (
+      SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi FROM orders
+    ),
+    f AS (
+      SELECT o_orderkey FROM orders, b
+      WHERE o_orderkey >= b.lo + (b.hi - b.lo) // 2
+        AND o_orderkey <  b.lo + 5 * (b.hi - b.lo) // 8
+    )
+    SELECT CAST(count(*) AS BIGINT)        AS n_rows,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           true AS hash_layout_plans_all_files,
+           true AS sorted_layout_prunes,
+           CAST((SELECT count(*) FROM orders) AS BIGINT) AS total_rows
+    FROM f
+    """,
+    tags=("catalog", "maintenance", "recluster", "sort", "pruning"),
+)
+def catalog_recluster_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-clustering: the maintenance rewrite that turns a pruning-hostile
+    layout into a pruning-friendly one. Orders lands HASH-distributed (8
+    files, every file spans the full key range — a range query plans ALL
+    files, asserted); one ``overwrite_dataframe(sort_by=["o_orderkey"])``
+    rewrites it range-distributed with disjoint per-file bounds; the same
+    eighth-of-keyspace query now plans <= 2 of 8 files from the manifest
+    bounds alone (asserted, zero footer opens), with row/sum parity pinned
+    by the oracle.
+
+    Scale: this is Iceberg's ``rewrite_data_files`` with a sort order —
+    the difference between a time-range query on a 100 TB events table
+    touching 100 TB or touching one day's files. Write cost is one
+    repartitionByRange pass; every later range query repays it.
+    """
+    import iceberg_catalog_postgres_spark.catalog.table as _tm
+
+    cat = _fresh_catalog("catalog_recluster_demo")
+    src = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    lo, hi = src.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    q_lo = lo + (hi - lo) // 2
+    q_hi = lo + 5 * (hi - lo) // 8 - 1
+
+    ident = TableIdentifier.parse("maint.orders_recluster")
+    table = cat.create_table(ident, src.schema)
+    # hash layout: every file spans the whole key range
+    table = table.new_transaction().append_dataframe(
+        src.repartition(8, "o_custkey")
+    ).commit()
+    planned_hash = table.planned_files("o_orderkey", q_lo, q_hi, require_stats=True)
+    n_files_hash = len(table.metadata.current_data_files())
+    hash_layout_plans_all_files = len(planned_hash) == n_files_hash
+
+    # re-cluster: one sorted overwrite -> disjoint per-file bounds
+    table = (
+        table.new_transaction()
+        .overwrite_dataframe(table.to_df(spark), sort_by=["o_orderkey"], n_files=8)
+        .commit()
+    )
+    before = _tm.PLANNING_FOOTER_READS
+    planned_sorted = table.planned_files("o_orderkey", q_lo, q_hi, require_stats=True)
+    sorted_layout_prunes = (
+        _tm.PLANNING_FOOTER_READS == before and 0 < len(planned_sorted) <= 2
+    )
+
+    pruned = (
+        spark.read.schema(table.schema)
+        .parquet(*planned_sorted)
+        .filter(F.col("o_orderkey").between(q_lo, q_hi))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").alias("key_sum"),
+        )
+    )
+    total = table.record_count()
+    return pruned.select(
+        "n_rows",
+        "key_sum",
+        F.lit(hash_layout_plans_all_files).alias("hash_layout_plans_all_files"),
+        F.lit(sorted_layout_prunes).alias("sorted_layout_prunes"),
+        F.lit(total).cast("long").alias("total_rows"),
+    )
+
+
 def remove_old_metadata_files(table: Table, keep_last: int = 3) -> dict:
     """GC superseded metadata JSON documents (Iceberg's
     ``write.metadata.delete-after-commit.enabled`` +

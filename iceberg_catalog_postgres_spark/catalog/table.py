@@ -1488,10 +1488,16 @@ class Transaction:
         self._staged_stats.update(collect_file_stats_many(abs_by_rel))
         return self.append_files(new_files)
 
-    def overwrite_dataframe(self, df: DataFrame) -> "Transaction":
+    def overwrite_dataframe(
+        self, df: DataFrame, sort_by: list[str] | None = None, n_files: int | None = None
+    ) -> "Transaction":
         """Write df as parquet and stage it as a full-table OVERWRITE
-        snapshot (replaces the current file set atomically at commit)."""
-        self.append_dataframe(df)
+        snapshot (replaces the current file set atomically at commit).
+        ``sort_by`` applies the same range write-distribution as
+        ``append_dataframe`` — the re-cluster path: an overwrite that
+        rewrites the table into disjoint sort-key slices so manifest
+        bounds become maximally selective."""
+        self.append_dataframe(df, sort_by=sort_by, n_files=n_files)
         self._operation = "overwrite"
         return self
 
