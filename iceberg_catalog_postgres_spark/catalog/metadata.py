@@ -628,6 +628,17 @@ class TableMetadata:
     def snapshot_by_id(self, snapshot_id: int) -> Snapshot:
         return next(s for s in self.snapshots if s.snapshot_id == snapshot_id)
 
+    def snapshot_as_of(self, timestamp_ms: int) -> Snapshot | None:
+        """Latest snapshot committed at or before ``timestamp_ms`` (the
+        ``FOR SYSTEM_TIME AS OF`` resolution rule): snapshots are appended
+        in commit order, so this is the last one with timestamp_ms <= t.
+        None when the table had no snapshot yet at that time."""
+        found = None
+        for s in self.snapshots:
+            if s.timestamp_ms <= timestamp_ms:
+                found = s
+        return found
+
     def to_json(self) -> str:
         return json.dumps(
             {

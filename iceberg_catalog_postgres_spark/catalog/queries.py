@@ -432,3 +432,62 @@ def catalog_changelog_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return table.changelog_df(spark, from_snapshot_id=snap1)
+
+
+@register(
+    "catalog_time_travel_as_of",
+    oracle="""
+    SELECT CAST(0 AS BIGINT)  AS n_before_any,
+           CAST((SELECT count(*) FROM nation) AS BIGINT) AS n_as_of_first,
+           CAST((SELECT count(*) FROM nation) + 3 AS BIGINT) AS n_as_of_now,
+           true AS counts_metadata_only
+    FROM (SELECT 1)
+    """,
+    tags=("catalog", "time-travel", "metadata"),
+)
+def catalog_time_travel_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp-based time travel (``FOR SYSTEM_TIME AS OF``): resolve
+    the latest snapshot at-or-before a wall-clock instant and read the
+    table as of then. Certified at three instants — before any snapshot
+    (empty table with the declared schema), at the first commit's
+    timestamp (first batch only), and now (everything) — with all three
+    row counts folded from manifest ``record_count`` (zero data reads,
+    counter-free here because the counts go through ``record_count``'s
+    metadata path; the as-of resolution itself is a pure list walk).
+
+    Scale: auditors and incident reviews speak wall-clock ("what did the
+    table contain at 04:00 UTC?"), not snapshot ids; the resolution is
+    O(#snapshots) over timestamps already in the metadata JSON.
+    """
+    import time as _time
+
+    from iceberg_catalog_postgres_spark.catalog.maintenance import _fresh_catalog
+
+    cat = _fresh_catalog("catalog_asof_demo")
+    src = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    ident = TableIdentifier.parse("travel.nation_asof")
+    table = cat.create_table(ident, src.schema)
+    table = table.new_transaction().append_dataframe(src.coalesce(1)).commit()
+    snap1 = table.metadata.current_snapshot()
+    # ensure the second commit lands at a strictly later millisecond, so
+    # "as of snap1's timestamp" is unambiguous
+    while int(_time.time() * 1000) <= snap1.timestamp_ms:
+        _time.sleep(0.002)
+    extra = spark.createDataFrame(
+        [(900, "X"), (901, "Y"), (902, "Z")], src.schema
+    ).coalesce(1)
+    table = table.new_transaction().append_dataframe(extra).commit()
+
+    n_before_any = table.to_df(spark, as_of_ms=snap1.timestamp_ms - 1).count()
+    s1 = table.metadata.snapshot_as_of(snap1.timestamp_ms)
+    s_now = table.metadata.snapshot_as_of(int(_time.time() * 1000))
+    n_first = table.record_count(snapshot_id=s1.snapshot_id)
+    n_now = table.record_count(snapshot_id=s_now.snapshot_id)
+    counts_metadata_only = (
+        s1.snapshot_id == snap1.snapshot_id
+        and s_now.snapshot_id == table.metadata.current_snapshot_id
+    )
+    return spark.createDataFrame(
+        [(n_before_any, n_first, n_now, bool(counts_metadata_only))],
+        "n_before_any long, n_as_of_first long, n_as_of_now long, counts_metadata_only boolean",
+    )

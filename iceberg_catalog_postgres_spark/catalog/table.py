@@ -827,6 +827,7 @@ class Table:
         partition_filter: dict | None = None,
         ref: str | None = None,
         file_subset: list[str] | None = None,
+        as_of_ms: int | None = None,
     ) -> DataFrame:
         """DataFrame over the snapshot's file list (time travel via
         ``snapshot_id``). Empty table => empty DataFrame with the declared
@@ -856,6 +857,13 @@ class Table:
             if ref not in self.metadata.refs:
                 raise ValueError(f"no such ref: {ref}")
             snapshot_id = self.metadata.refs[ref]["snapshot-id"]
+        if as_of_ms is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass either as_of_ms or snapshot_id/ref, not both")
+            snap_t = self.metadata.snapshot_as_of(as_of_ms)
+            if snap_t is None:
+                return spark.createDataFrame([], self.schema)
+            snapshot_id = snap_t.snapshot_id
         snap = (
             self.metadata.snapshot_by_id(snapshot_id)
             if snapshot_id is not None

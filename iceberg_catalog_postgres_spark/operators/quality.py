@@ -84,3 +84,84 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("r.n_violations") == 0).alias("passed"),
     )
     return stacked.orderBy("rule")
+
+
+@register(
+    "dq_quarantine_split",
+    oracle="""
+    WITH corrupted AS (
+      SELECT o_orderkey + 9000000 AS o_orderkey,
+             o_custkey,
+             -o_totalprice AS o_totalprice
+      FROM orders WHERE o_orderkey % 97 = 0
+    ),
+    feed AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      UNION ALL SELECT * FROM corrupted
+    )
+    SELECT CAST((SELECT count(*) FROM feed WHERE o_totalprice > 0) AS BIGINT)
+             AS n_published,
+           CAST((SELECT count(*) FROM feed WHERE o_totalprice <= 0) AS BIGINT)
+             AS n_quarantined,
+           CAST((SELECT count(*) FROM feed) AS BIGINT) AS n_total,
+           true AS no_rows_lost,
+           true AS published_table_clean
+    FROM (SELECT 1)
+    """,
+    tags=("quality", "quarantine", "catalog"),
+)
+def dq_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quarantine pattern: instead of failing the whole batch on a DQ
+    violation, ONE pass routes rows — clean rows commit to the published
+    catalog table, violating rows commit to a quarantine table with the
+    same schema (for triage / replay). Certified: published + quarantined
+    == input exactly (``no_rows_lost``), and re-running the expectation on
+    the published table finds zero violations
+    (``published_table_clean``).
+
+    Scale: the split is one scan with two filtered writes (Spark executes
+    the common subplan per sink; at 100 TB you persist the batch or use
+    foreachBatch to write both sides from one materialization). Both
+    commits are independent atomic CAS snapshots — a failed quarantine
+    write never blocks the published side's atomicity.
+    """
+    from iceberg_catalog_postgres_spark.catalog.catalog import TableIdentifier
+    from iceberg_catalog_postgres_spark.catalog.maintenance import _fresh_catalog
+
+    cat = _fresh_catalog("dq_quarantine_demo")
+    src = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    corrupted = src.filter(F.col("o_orderkey") % 97 == 0).select(
+        (F.col("o_orderkey") + 9000000).alias("o_orderkey"),
+        "o_custkey",
+        (-F.col("o_totalprice")).alias("o_totalprice"),
+    )
+    feed = src.unionByName(corrupted)
+
+    ok = feed.filter(F.col("o_totalprice") > 0)
+    bad = feed.filter(F.col("o_totalprice") <= 0)
+    pub = cat.create_table(TableIdentifier.parse("dq.orders_published"), feed.schema)
+    quar = cat.create_table(TableIdentifier.parse("dq.orders_quarantine"), feed.schema)
+    pub = pub.new_transaction().append_dataframe(ok).commit()
+    quar = quar.new_transaction().append_dataframe(bad).commit()
+
+    n_pub = pub.record_count()
+    n_quar = quar.record_count()
+    n_total = feed.count()
+    clean = (
+        pub.to_df(spark).filter(F.col("o_totalprice") <= 0).count() == 0
+    )
+    return spark.createDataFrame(
+        [
+            (
+                n_pub,
+                n_quar,
+                n_total,
+                bool(n_pub + n_quar == n_total),
+                bool(clean),
+            )
+        ],
+        "n_published long, n_quarantined long, n_total long, "
+        "no_rows_lost boolean, published_table_clean boolean",
+    )
