@@ -870,3 +870,155 @@ def dedup_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.col("b.s")).cast("long").alias("contained_shingles"),
         )
     )
+
+
+def _ensemble_oracle() -> str:
+    return """
+    WITH feed AS (
+      SELECT doc_id, lang, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, lang, text FROM documents WHERE doc_id < 50
+    ),
+    hashes AS (
+      SELECT doc_id, md5(text) AS h FROM feed
+    ),
+    exact_losers AS (
+      SELECT doc_id FROM hashes
+      WHERE doc_id != (SELECT min(doc_id) FROM hashes h2 WHERE h2.h = hashes.h)
+    ),
+    toks AS (
+      SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS s FROM feed
+    ),
+    near_losers AS (
+      SELECT DISTINCT b.doc_id FROM toks a JOIN toks b
+        ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+    ),
+    sh AS (
+      SELECT doc_id, lang, list_distinct(
+        CASE WHEN len(t) >= 3
+             THEN list_transform(range(1, len(t) - 1),
+                                 i -> array_to_string(t[i:i+2], ' '))
+             ELSE [text] END) AS s
+      FROM (SELECT doc_id, lang, text, string_split(text, ' ') AS t FROM feed)
+    ),
+    contained_losers AS (
+      SELECT DISTINCT b.doc_id FROM sh a JOIN sh b
+        ON a.lang = b.lang AND a.doc_id != b.doc_id
+       AND (len(b.s) < len(a.s) OR (len(b.s) = len(a.s) AND b.doc_id > a.doc_id))
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(b.s) >= 0.9
+    )
+    SELECT f.doc_id,
+           f.doc_id IN (SELECT doc_id FROM exact_losers)     AS exact_loser,
+           f.doc_id IN (SELECT doc_id FROM near_losers)      AS near_loser,
+           f.doc_id IN (SELECT doc_id FROM contained_losers) AS contained_loser,
+           f.doc_id NOT IN (SELECT doc_id FROM exact_losers)
+             AND f.doc_id NOT IN (SELECT doc_id FROM near_losers)
+             AND f.doc_id NOT IN (SELECT doc_id FROM contained_losers) AS keep
+    FROM feed f
+    """
+
+
+@register(
+    "dedup_ensemble_verdict",
+    oracle=_ensemble_oracle(),
+    tags=("llm", "dedup", "ensemble"),
+)
+def dedup_ensemble_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE keep/drop verdict per document from three dedup signals at once
+    — the decision table a curation pipeline actually materializes, rather
+    than three separate pair lists someone has to reconcile:
+
+    - exact: md5 groups, keep the lowest doc_id (re-ingested copies lose);
+    - near-dup: token-set Jaccard >= 0.8 within the language block, the
+      HIGHER id of each pair loses (same verify arithmetic the
+      MinHash-LSH path certifies — at 100 TB candidates come from LSH, and
+      this is exactly its verify stage);
+    - containment: 3-gram shingle containment >= 0.9, the CONTAINED side
+      loses (size tie -> higher id).
+
+    Input is the corpus plus a re-ingestion of its first 50 docs under new
+    ids, so all three signals fire. Output: per-doc booleans + the final
+    ``keep``.
+
+    Scale: one corpus scan feeds all three signals (hash, token set,
+    shingle set are projections of the same row); the only joins are the
+    lang-blocked pair joins and a groupBy(md5) — every shuffle keyed,
+    nothing quadratic beyond the bounded blocks.
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    reingested = d.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "lang", "text"
+    )
+    feed = d.unionByName(reingested)
+
+    hashes = feed.select("doc_id", F.md5("text").alias("h"))
+    keepers = hashes.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    exact_losers = (
+        hashes.join(keepers, "h")
+        .filter(F.col("doc_id") != F.col("keep_id"))
+        .select("doc_id")
+        .distinct()
+    )
+
+    toks = feed.select(
+        "doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("s")
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    jac = (
+        F.size(F.array_intersect(F.col("a.s"), F.col("b.s"))).cast("double")
+        / F.size(F.array_union(F.col("a.s"), F.col("b.s")))
+    )
+    near_losers = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(jac >= 0.8)
+        .select(F.col("b.doc_id").alias("doc_id"))
+        .distinct()
+    )
+
+    sh = feed.select("doc_id", "lang", _shingle_expr().alias("s"))
+    sa, sb = sh.alias("a"), sh.alias("b")
+    containment = (
+        F.size(F.array_intersect(F.col("a.s"), F.col("b.s"))).cast("double")
+        / F.size(F.col("b.s"))
+    )
+    size_rule = (F.size(F.col("b.s")) < F.size(F.col("a.s"))) | (
+        (F.size(F.col("b.s")) == F.size(F.col("a.s")))
+        & (F.col("b.doc_id") > F.col("a.doc_id"))
+    )
+    contained_losers = (
+        sa.join(
+            sb,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") != F.col("b.doc_id"))
+            & size_rule,
+        )
+        .filter(containment >= 0.9)
+        .select(F.col("b.doc_id").alias("doc_id"))
+        .distinct()
+    )
+
+    def flag(losers: DataFrame, name: str) -> DataFrame:
+        return losers.withColumn(name, F.lit(True))
+
+    out = (
+        feed.select("doc_id")
+        .join(flag(exact_losers, "exact_loser"), "doc_id", "left_outer")
+        .join(flag(near_losers, "near_loser"), "doc_id", "left_outer")
+        .join(flag(contained_losers, "contained_loser"), "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            F.coalesce("exact_loser", F.lit(False)).alias("exact_loser"),
+            F.coalesce("near_loser", F.lit(False)).alias("near_loser"),
+            F.coalesce("contained_loser", F.lit(False)).alias("contained_loser"),
+        )
+    )
+    return out.withColumn(
+        "keep",
+        ~(F.col("exact_loser") | F.col("near_loser") | F.col("contained_loser")),
+    )
