@@ -2168,6 +2168,163 @@ def catalog_recluster_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def backfill_file_stats(table: Table) -> Table:
+    """Stats backfill for STATLESS legacy files (the migration op that
+    upgrades a pre-stats table into the pure-metadata planner): read each
+    uncovered file's footer ONCE — the same collection the writer does at
+    commit time, threaded — and commit the stats into the current
+    snapshot's manifests. After this, ``planned_files(require_stats=True)``
+    and ``record_count`` answer from metadata with zero opens, forever.
+
+    Files that already have stats are untouched (the op is incremental and
+    idempotent); data bytes are never read — footers only.
+    """
+    import time as _time
+    import uuid as _uuid
+
+    from iceberg_catalog_postgres_spark.catalog.metadata import (
+        Snapshot,
+        new_snapshot_id,
+        plan_manifests,
+    )
+    from iceberg_catalog_postgres_spark.catalog.table import collect_file_stats_many
+
+    snap = table.metadata.current_snapshot()
+    if snap is None:
+        return table
+    store = table.catalog.object_store()
+    missing = {
+        f: store.resolve(f)
+        for f in [
+            *snap.data_files,
+            *snap.delete_files,
+            *snap.position_delete_files,
+        ]
+        if f not in snap.file_stats
+    }
+    if not missing:
+        return table
+    fresh = collect_file_stats_many(missing)
+    snapshot = Snapshot(
+        snapshot_id=new_snapshot_id(table.metadata.snapshot_ids()),
+        timestamp_ms=int(_time.time() * 1000),
+        operation="append",  # file set unchanged; stats-only refresh
+        data_files=list(snap.data_files),
+        delete_files=list(snap.delete_files),
+        position_delete_files=list(snap.position_delete_files),
+        sequence_number=table.metadata.next_sequence_number(),
+        file_seqs=dict(snap.file_seqs),
+        file_partitions=dict(snap.file_partitions),
+        file_stats={**snap.file_stats, **fresh},
+        summary={
+            "operation-detail": "backfill-file-stats",
+            "files-backfilled": str(len(fresh)),
+        },
+    )
+    plan_manifests(store, table.metadata.location, "overwrite", snap, None, snapshot)
+    new_metadata = table.metadata.with_snapshot(snapshot)
+    new_location = posixpath.join(
+        new_metadata.location, "metadata", f"bf-{_uuid.uuid4().hex}.metadata.json"
+    )
+    store.put(new_location, new_metadata.to_json().encode())
+    return table.catalog.update_table(
+        table.identifier, new_location, table.metadata_location()
+    )
+
+
+@register(
+    "catalog_stats_backfill",
+    oracle="""
+    WITH b AS (
+      SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi FROM orders
+    ),
+    f AS (
+      SELECT o_orderkey FROM orders, b
+      WHERE o_orderkey >= b.lo + (b.hi - b.lo) // 4
+        AND o_orderkey <  b.lo + (b.hi - b.lo) // 2
+    )
+    SELECT CAST(count(*) AS BIGINT)        AS n_rows,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           true AS legacy_planning_raised,
+           true AS backfilled_plans_metadata_only,
+           true AS idempotent
+    FROM f
+    """,
+    tags=("catalog", "maintenance", "stats", "migration"),
+)
+def catalog_stats_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Legacy-table migration certified: four range files registered via
+    raw ``append_files`` (the pre-stats path — no manifest stats at all),
+    so strict metadata planning RAISES (``legacy_planning_raised``);
+    ``backfill_file_stats`` reads each footer once and commits the stats;
+    the same range plan now answers from metadata with ZERO footer opens
+    (``backfilled_plans_metadata_only``, counter-asserted), and a second
+    backfill is a no-op returning the same table
+    (``idempotent``). Row/sum parity of the pruned scan pinned by the
+    oracle.
+
+    Scale: this is the one-time cost that retires the driver-side footer
+    loop for tables created before stats existed — O(#files) footer reads
+    once, instead of per-query forever.
+    """
+    import glob as _glob
+    import uuid as _uuid
+
+    import iceberg_catalog_postgres_spark.catalog.table as _tm
+
+    cat = _fresh_catalog("catalog_backfill_demo")
+    src = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    lo, hi = src.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    q_lo = lo + (hi - lo) // 4
+    q_hi = lo + (hi - lo) // 2 - 1
+
+    ident = TableIdentifier.parse("maint.orders_backfill")
+    table = cat.create_table(ident, src.schema)
+    store = cat.object_store()
+    # legacy write path: parquet landed by an external writer, registered
+    # with append_files — no stats collected
+    rel_dir = posixpath.join(table.metadata.location, "data", f"legacy-{_uuid.uuid4().hex}")
+    abs_dir = store.resolve(rel_dir)
+    for i in range(4):
+        r_lo = lo + i * (hi - lo) // 4
+        r_hi = (lo + (i + 1) * (hi - lo) // 4 - 1) if i < 3 else hi
+        src.filter(F.col("o_orderkey").between(r_lo, r_hi)).coalesce(1).write.mode(
+            "append"
+        ).parquet(abs_dir)
+    rels = [
+        posixpath.join(rel_dir, os.path.basename(p))
+        for p in sorted(_glob.glob(os.path.join(abs_dir, "*.parquet")))
+    ]
+    table = table.new_transaction().append_files(rels).commit()
+
+    legacy_planning_raised = False
+    try:
+        table.planned_files("o_orderkey", q_lo, q_hi, require_stats=True)
+    except ValueError:
+        legacy_planning_raised = True
+
+    table = backfill_file_stats(table)
+    before = _tm.PLANNING_FOOTER_READS
+    planned = table.planned_files("o_orderkey", q_lo, q_hi, require_stats=True)
+    backfilled_metadata_only = (
+        _tm.PLANNING_FOOTER_READS == before and 0 < len(planned) < 4
+    )
+    idempotent = backfill_file_stats(table) is table
+
+    return (
+        spark.read.schema(table.schema)
+        .parquet(*planned)
+        .filter(F.col("o_orderkey").between(q_lo, q_hi))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").alias("key_sum"),
+        )
+        .withColumn("legacy_planning_raised", F.lit(legacy_planning_raised))
+        .withColumn("backfilled_plans_metadata_only", F.lit(backfilled_metadata_only))
+        .withColumn("idempotent", F.lit(idempotent))
+    )
+
+
 def remove_old_metadata_files(table: Table, keep_last: int = 3) -> dict:
     """GC superseded metadata JSON documents (Iceberg's
     ``write.metadata.delete-after-commit.enabled`` +
