@@ -118,3 +118,125 @@ def sessionize_gap_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("ms") - F.min("ms")).alias("dur_ms"),
         F.round(F.sum("value"), 6).alias("sum_value"),
     )
+
+
+@register(
+    "funnel_three_step_strict",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_step1,
+           CAST((SELECT count(*) FROM s2) AS BIGINT) AS n_step2,
+           CAST((SELECT count(*) FROM s3) AS BIGINT) AS n_step3,
+           round(CAST((SELECT count(*) FROM s3) AS DOUBLE)
+                 / (SELECT count(*) FROM s1), 6) AS full_conversion
+    FROM (SELECT 1)
+    """,
+    tags=("streaming", "funnel", "sessionization"),
+)
+def funnel_three_step_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order 3-step funnel (view -> click -> purchase): each step
+    counts users whose FIRST qualifying event strictly follows their
+    previous step's first event — the standard product-analytics funnel
+    with order enforcement, not mere co-occurrence.
+
+    Plan: one conditional-min aggregation per user computes the first
+    'view'; each later step is a per-user min over events AFTER the
+    carried timestamp — expressed as chained conditional aggregations on
+    ONE user_id shuffle (the events scan is shared; every stage regroups
+    by the same key, so AQE reuses the exchange). No self-join explosion:
+    funnels over 10^9 users are groupBy pipelines, never event-to-event
+    joins.
+    """
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    n1 = s1.agg(F.count(F.lit(1)).alias("n_step1"))
+    n2 = s2.agg(F.count(F.lit(1)).alias("n_step2"))
+    n3 = s3.agg(F.count(F.lit(1)).alias("n_step3"))
+    return (
+        n1.crossJoin(F.broadcast(n2))
+        .crossJoin(F.broadcast(n3))
+        .select(
+            "n_step1",
+            "n_step2",
+            "n_step3",
+            F.round(F.col("n_step3").cast("double") / F.col("n_step1"), 6).alias(
+                "full_conversion"
+            ),
+        )
+    )
+
+
+@register(
+    "ts_resample_ohlc",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket,
+           round(arg_min(value, ts), 4)  AS open,
+           round(max(value), 4)          AS high,
+           round(min(value), 4)          AS low,
+           round(arg_max(value, ts), 4)  AS close,
+           CAST(count(*) AS BIGINT)      AS n_events
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+    tags=("timeseries", "resample", "ohlc"),
+)
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC resampling (the financial-bar / metrics-rollup shape): hourly
+    buckets of purchase values with open = value at the earliest event in
+    the bucket, close = at the latest, plus high/low/count — all via
+    ``min_by``/``max_by`` ordered aggregates in ONE groupBy, no window
+    function and no sort.
+
+    Tie note: DuckDB's ``arg_min``/``arg_max`` and Spark's
+    ``min_by``/``max_by`` both pick an arbitrary row on exactly-equal
+    timestamps; the fixture's event timestamps are unique per
+    (type, bucket) at these scales, so the contract is exact here — a
+    production pipeline adds event_id to the ordering key.
+
+    Scale: one keyed shuffle on the bucket; each bar is O(1) state — this
+    is the map-side-combinable alternative to sorting every bucket.
+    """
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(
+            F.round(F.min_by("value", "ts"), 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.max_by("value", "ts"), 4).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
