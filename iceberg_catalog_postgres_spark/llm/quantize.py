@@ -198,3 +198,84 @@ def embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+_MAHA_DIM = 64
+_MAHA_THRESHOLD = 80.0  # ~ +1.4 sd over E[z2]=dim for near-Gaussian data
+
+
+@register(
+    "embed_outlier_mahalanobis",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    d AS (
+      SELECT t.dim,
+             round(avg(e[t.dim]), 6)          AS mu,
+             round(stddev_samp(e[t.dim]), 6)  AS sd
+      FROM v CROSS JOIN range(1, {_MAHA_DIM + 1}) t(dim)
+      GROUP BY t.dim
+    ),
+    m AS (SELECT list(mu ORDER BY dim) AS mus, list(sd ORDER BY dim) AS sds FROM d),
+    z AS (
+      SELECT vec_id, label,
+             round(list_sum(list_transform(range(1, {_MAHA_DIM + 1}),
+               i -> ((e[i] - mus[i]) / sds[i]) * ((e[i] - mus[i]) / sds[i]))), 6) AS z2
+      FROM v, m
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           round(avg(z2), 4)        AS mean_z2,
+           CAST(count(*) FILTER (WHERE z2 > {_MAHA_THRESHOLD}) AS BIGINT) AS n_outliers
+    FROM z GROUP BY label
+    """,
+    tags=("llm", "embedding", "quality", "outlier"),
+)
+def embed_outlier_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outlier screen: diagonal-covariance Mahalanobis distance
+    per vector (sum of per-dimension z-scores squared — E[z2] = dim for
+    healthy data), rolled up per label with an outlier count. This is the
+    cheap corpus-embedding health gate that catches batch-norm drift,
+    truncated vectors, and mis-encoded rows before they poison an index
+    or a training mixture.
+
+    Plan: per-dim mean/std come from ONE explode+groupBy over (dim, x)
+    pairs; the 64 (mu, sd) pairs are re-entered as plan literals (rounded
+    to 6 — the same determinism contract as the IVF/PQ centroids), so the
+    per-vector z2 is a map-side left-to-right array fold with zero
+    additional shuffles. The label rollup is the only other exchange.
+
+    Scale: stats are O(dim) driver state; the corpus is scanned twice
+    (once for moments, once for scoring) — a production run fuses both
+    into one pass with Welford accumulators when the corpus dominates.
+    """
+    from iceberg_catalog_postgres_spark.llm.similarity import _vec
+
+    e = load_parallel(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _vec("embedding").alias("e")
+    )
+    d = (
+        e.select(F.posexplode("e").alias("dim0", "x"))
+        .groupBy("dim0")
+        .agg(
+            F.round(F.avg("x"), 6).alias("mu"),
+            F.round(F.stddev_samp("x"), 6).alias("sd"),
+        )
+        .collect()
+    )
+    by_dim = {r["dim0"]: (r["mu"], r["sd"]) for r in d}
+    mus = F.array(*[F.lit(float(by_dim[i][0])) for i in range(_MAHA_DIM)])
+    sds = F.array(*[F.lit(float(by_dim[i][1])) for i in range(_MAHA_DIM)])
+    diffs = F.zip_with(F.col("e"), mus, lambda x, m: x - m)
+    zsq = F.zip_with(diffs, sds, lambda dd, s: (dd / s) * (dd / s))
+    z2 = F.round(
+        F.aggregate(zsq, F.lit(0.0), lambda acc, x: acc + x), 6
+    ).alias("z2")
+    return (
+        e.select("vec_id", "label", z2)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("z2"), 4).alias("mean_z2"),
+            F.sum((F.col("z2") > _MAHA_THRESHOLD).cast("long")).alias("n_outliers"),
+        )
+    )
