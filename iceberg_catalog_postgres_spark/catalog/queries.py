@@ -491,3 +491,61 @@ def catalog_time_travel_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_before_any, n_first, n_now, bool(counts_metadata_only))],
         "n_before_any long, n_as_of_first long, n_as_of_now long, counts_metadata_only boolean",
     )
+
+
+@register(
+    "catalog_cross_register",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT)           AS n_rows_via_b,
+           CAST(count(*) AS BIGINT)           AS n_rows_via_a,
+           true AS same_metadata_pointer,
+           true AS b_sees_a_commit
+    FROM nation
+    """,
+    tags=("catalog", "register", "sharing"),
+)
+def catalog_cross_register(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-catalog table sharing — the reference's ``register_table``
+    import use case (mod.rs:242-294): catalog A owns the table; catalog B
+    registers A's CURRENT metadata location under its own namespace row
+    and reads the identical table with zero data movement (both pointers
+    resolve the same JSON document — ``same_metadata_pointer``). A then
+    commits a new snapshot; B re-registers the new location (its pointer
+    is an independent row — the sharing contract is snapshot-pinned, not
+    live) and sees the commit (``b_sees_a_commit``).
+
+    Scale: sharing a 100 TB table across teams/catalogs is one VARCHAR
+    row per catalog — the metadata tree and data files are already
+    self-describing and immutable, which is the entire point of
+    pointer-based catalogs.
+    """
+    from iceberg_catalog_postgres_spark.catalog.maintenance import _fresh_catalog
+
+    cat_a = _fresh_catalog("catalog_share_a")
+    cat_b = _fresh_catalog("catalog_share_b")
+    # B must resolve A's warehouse paths: share the object store root
+    cat_b._object_store = cat_a.object_store()
+
+    src = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    ident_a = TableIdentifier.parse("teama.nation")
+    ident_b = TableIdentifier.parse("shared.nation_import")
+    table_a = cat_a.create_table(ident_a, src.schema)
+    table_a = table_a.new_transaction().append_dataframe(src.coalesce(1)).commit()
+
+    table_b = cat_b.register_table(ident_b, table_a.metadata_location())
+    same_pointer = table_b.metadata_location() == table_a.metadata_location()
+    n_via_b = table_b.record_count()
+    n_via_a = table_a.record_count()
+
+    # A commits again; B re-registers the new pointer to follow
+    extra = spark.createDataFrame([(990, "NEW")], src.schema).coalesce(1)
+    table_a = table_a.new_transaction().append_dataframe(extra).commit()
+    cat_b.drop_table(ident_b)
+    table_b2 = cat_b.register_table(ident_b, table_a.metadata_location())
+    b_sees = table_b2.record_count() == n_via_a + 1
+
+    return spark.createDataFrame(
+        [(n_via_b, n_via_a, bool(same_pointer), bool(b_sees))],
+        "n_rows_via_b long, n_rows_via_a long, same_metadata_pointer boolean, "
+        "b_sees_a_commit boolean",
+    )

@@ -529,3 +529,48 @@ def setop_union_by_name_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_suppkey").alias("entity_id"), F.col("s_name").alias("entity_name")
     )
     return c.unionByName(s, allowMissingColumns=True)
+
+
+@register(
+    "agg_mode_per_group",
+    oracle="""
+    SELECT o_orderpriority, modal_status, n FROM (
+      SELECT o_orderpriority, o_orderstatus AS modal_status, count(*) AS n,
+             row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY count(*) DESC, o_orderstatus ASC) AS rk
+      FROM orders GROUP BY o_orderpriority, o_orderstatus
+    ) WHERE rk = 1
+    """,
+    tags=("aggregation", "mode"),
+)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group MODE (most frequent value), the two-level
+    aggregation form: count per (group, value), then rank within group
+    with an explicit (count DESC, value ASC) tie-break — built-in
+    ``mode()`` on both engines picks ties arbitrarily, which would make
+    the result uncheckable; the ranked form pins it.
+
+    Scale: the first groupBy is map-side combinable (the heavy reduction);
+    the window runs over distinct (group, value) pairs only — cardinality
+    of the value domain, not of the table.
+    """
+    from pyspark.sql.window import Window
+
+    counts = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("n").desc(), F.col("o_orderstatus").asc()
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "o_orderpriority",
+            F.col("o_orderstatus").alias("modal_status"),
+            "n",
+        )
+    )
