@@ -209,6 +209,10 @@ def chunk_summary(entries: list[dict]) -> dict:
     - ``partitions``: per partition column ``{"values", "n"}`` — distinct
       identity-partition values (capped at 16 distinct; larger cardinality
       is omitted and the chunk is never partition-skipped).
+    - ``nullness``: per column ``{"all_null", "no_null", "n"}`` — how many
+      data entries with a known null count are entirely / never null. A
+      chunk is IS-NULL-skippable when every data entry is ``no_null``, and
+      IS-NOT-NULL-skippable when every entry is ``all_null``.
     """
     counts = {"data": 0, "eq-delete": 0, "pos-delete": 0}
     records = {"data": 0, "eq-delete": 0, "pos-delete": 0}
@@ -216,6 +220,7 @@ def chunk_summary(entries: list[dict]) -> dict:
     bounds: dict = {}
     part_vals: dict = {}
     part_counts: dict = {}
+    nullness: dict = {}
     for e in entries:
         kind = e["kind"]
         counts[kind] += 1
@@ -227,6 +232,15 @@ def chunk_summary(entries: list[dict]) -> dict:
             records[kind] += rc
         if kind != "data":
             continue
+        for col, nc in (st.get("null_counts") or {}).items():
+            if nc is None:
+                continue
+            cur = nullness.setdefault(col, {"all_null": 0, "no_null": 0, "n": 0})
+            cur["n"] += 1
+            if nc == 0:
+                cur["no_null"] += 1
+            if rc is not None and nc == rc:
+                cur["all_null"] += 1
         for col, b in (st.get("bounds") or {}).items():
             lo = decode_bound(b[0])
             hi = None if b[1] is None else decode_bound(b[1])
@@ -259,6 +273,7 @@ def chunk_summary(entries: list[dict]) -> dict:
             for col, vs in part_vals.items()
             if len(vs) <= 16
         },
+        "nullness": nullness,
     }
 
 

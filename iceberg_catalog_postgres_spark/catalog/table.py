@@ -574,6 +574,36 @@ class Table:
         if snap is None:
             return []
         store = self.catalog.object_store()
+        refs = snap.chunk_refs()
+        if refs is not None and not self.column_renames():
+            # two-level nullness prune: a chunk whose summary proves every
+            # covered data entry is uniformly no-null (for IS NULL) or
+            # all-null (for IS NOT NULL) is skipped without being fetched
+            out = []
+            for c in refs:
+                s = c["summary"]
+                nd = s["counts"]["data"]
+                if nd == 0:
+                    continue
+                nn = (s.get("nullness") or {}).get(column)
+                if nn is not None and nn["n"] == nd:
+                    if want_null and nn["no_null"] == nd:
+                        continue
+                    if not want_null and nn["all_null"] == nd:
+                        continue
+                for e in load_chunk(store, c["path"])["entries"]:
+                    if e["kind"] != "data":
+                        continue
+                    st = e.get("stats") or {}
+                    nc = (st.get("null_counts") or {}).get(column)
+                    rc = st.get("record_count")
+                    if nc is not None:
+                        if want_null and nc == 0:
+                            continue
+                        if not want_null and rc is not None and nc == rc:
+                            continue
+                    out.append(store.resolve(e["path"]))
+            return out
         out = []
         for rel in snap.data_files:
             st = snap.file_stats.get(rel) or {}

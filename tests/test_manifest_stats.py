@@ -664,3 +664,40 @@ def test_legacy_string_chunk_refs_still_read(catalog, spark, monkeypatch):
         r["k"] for r in reloaded.to_df(spark, prune=("k", 100, 109)).filter(
             "k between 100 and 109").collect()
     ) == list(range(100, 110))
+
+
+def test_nullness_planning_skips_whole_chunks(catalog, spark, monkeypatch):
+    """Two-level nullness prune: chunks whose summary proves uniform
+    all-null / no-null are skipped without a fetch; mixed chunks are read
+    and pruned per entry."""
+    import iceberg_catalog_postgres_spark.catalog.metadata as md_mod
+
+    monkeypatch.setattr(md_mod, "MANIFEST_THRESHOLD", 1)
+    df0 = spark.createDataFrame([(0, 1.0)], "k long, v double")
+    t = catalog.create_table(TableIdentifier.parse("s.null2l"), df0.schema)
+    chunks = [
+        spark.createDataFrame([(i, None) for i in range(5)], df0.schema),       # all null
+        spark.createDataFrame([(10 + i, float(i)) for i in range(5)], df0.schema),  # no nulls
+        spark.createDataFrame(
+            [(20, None), (21, 2.0), (22, None)], df0.schema
+        ),  # mixed
+    ]
+    for c in chunks:
+        t = t.new_transaction().append_dataframe(c.coalesce(1)).commit()
+    reloaded = catalog.load_table(TableIdentifier.parse("s.null2l"))
+    before = _chunk_reads()
+    not_null = reloaded.planned_files_nullness("v", want_null=False)
+    # all-null chunk skipped WITHOUT fetch; the other two fetched
+    assert len(not_null) == 2
+    assert _chunk_reads() == before + 2
+    before = _chunk_reads()
+    is_null = reloaded.planned_files_nullness("v", want_null=True)
+    assert len(is_null) == 2  # no-null chunk pruned
+    assert _chunk_reads() == before + 2
+    got = sorted(
+        r["k"]
+        for r in spark.read.schema(reloaded.schema).parquet(*not_null)
+        .filter(F.col("v").isNotNull())
+        .collect()
+    )
+    assert got == [10, 11, 12, 13, 14, 21]
