@@ -2470,6 +2470,111 @@ def catalog_cherry_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def vacuum(
+    table: Table,
+    keep_last_snapshots: int = 2,
+    keep_last_metadata: int = 3,
+    max_manifest_chunks: int = 8,
+    orphan_older_than_s: float = 3 * 86400.0,
+) -> tuple[Table, dict]:
+    """One-call VACUUM: the four independent janitors in dependency order —
+    snapshot expiry (drops history + its exclusive data files), manifest
+    rewrite (consolidates delta-chunk chains), orphan-file GC (aborted
+    writers' leftovers, age-gated), metadata-document GC (superseded
+    pointer JSONs). Each is the already-certified op; this is the
+    maintenance-window entry point that runs them with one table handle
+    and reports what each reclaimed.
+
+    Ordering matters: expiry first (so the manifest rewrite and GCs see
+    the retained history only), orphan GC after the commits (so files
+    staged by the rewrites are never mistaken for orphans), metadata GC
+    last (so every superseded pointer from the preceding commits is
+    eligible).
+    """
+    report: dict = {}
+    before_snaps = len(table.metadata.snapshots)
+    table = expire_snapshots(table, keep_last=keep_last_snapshots)
+    report["snapshots_expired"] = before_snaps - len(table.metadata.snapshots)
+    before_chunks = len(table.metadata.current_snapshot().manifests or [])
+    table = rewrite_manifests(table, max_chunks=max_manifest_chunks)
+    report["manifest_chunks_consolidated"] = before_chunks - len(
+        table.metadata.current_snapshot().manifests or []
+    )
+    orphans = remove_orphan_files(table, older_than_s=orphan_older_than_s)
+    report["orphan_files_removed"] = orphans["n_orphans_deleted"]
+    meta = remove_old_metadata_files(table, keep_last=keep_last_metadata)
+    report["metadata_docs_removed"] = meta["removed"]
+    return table, report
+
+
+@register(
+    "catalog_vacuum_full",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           true AS history_bounded,
+           true AS chunks_consolidated,
+           true AS metadata_bounded,
+           true AS reads_survive
+    FROM orders WHERE o_orderkey % 3 = 0
+    """,
+    tags=("catalog", "maintenance", "vacuum"),
+)
+def catalog_vacuum_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintenance window, end to end: ten dribble commits build up
+    every kind of debt (snapshot history, manifest delta chains, dead
+    metadata documents); one ``vacuum`` call runs expiry -> manifest
+    rewrite -> orphan GC -> metadata GC in dependency order. Certified:
+    history bounded to the retention count, the delta-chunk chain
+    consolidated to one, metadata directory bounded, and the table still
+    reads with full row parity afterwards (the oracle pins it).
+    """
+    import glob as _glob
+
+    import iceberg_catalog_postgres_spark.catalog.metadata as _md
+
+    cat = _fresh_catalog("catalog_vacuum_demo")
+    src = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", "o_custkey"
+    )
+    ident = TableIdentifier.parse("maint.orders_vacuum")
+    saved = _md.MANIFEST_THRESHOLD
+    _md.MANIFEST_THRESHOLD = 1
+    try:
+        table = cat.create_table(ident, src.schema)
+        splits = src.randomSplit([1.0] * 10, seed=11)
+        for part in splits:
+            table = table.new_transaction().append_dataframe(part.coalesce(1)).commit()
+    finally:
+        _md.MANIFEST_THRESHOLD = saved
+
+    table, report = vacuum(
+        table,
+        keep_last_snapshots=2,
+        keep_last_metadata=2,
+        max_manifest_chunks=3,
+        orphan_older_than_s=0.0,
+    )
+    store = cat.object_store()
+    meta_dir = store.resolve(posixpath.join(table.metadata.location, "metadata"))
+    n_meta = len(_glob.glob(os.path.join(meta_dir, "*.metadata.json")))
+
+    fresh = cat.load_table(ident)
+    return fresh.to_df(spark).agg(F.count(F.lit(1)).alias("n_rows")).select(
+        "n_rows",
+        F.lit(
+            report["snapshots_expired"] >= 7 and len(fresh.metadata.snapshots) <= 2
+        ).alias("history_bounded"),
+        F.lit(
+            report["manifest_chunks_consolidated"] > 0
+            and len(fresh.metadata.current_snapshot().manifests or []) <= 1
+        ).alias("chunks_consolidated"),
+        F.lit(n_meta <= 3).alias("metadata_bounded"),
+        F.lit(fresh.record_count() == fresh.to_df(spark).count()).alias(
+            "reads_survive"
+        ),
+    )
+
+
 def rewrite_manifests(table: Table, max_chunks: int = 8) -> Table:
     """Manifest compaction: a long append chain accumulates one delta chunk
     per commit (O(commits) chunks to read at plan time); when the current
