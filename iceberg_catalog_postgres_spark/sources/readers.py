@@ -181,3 +181,81 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.orc(path).select(
         "s_suppkey", "s_name", "s_nationkey", F.round("s_acctbal", 4).alias("s_acctbal")
     )
+
+
+@register(
+    "source_jdbc_real_roundtrip",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT)          AS n_rows,
+           CAST(sum(n_nationkey) AS BIGINT)  AS key_sum,
+           CAST((SELECT count(*) FROM nation WHERE n_regionkey = 2) AS BIGINT)
+             AS n_filtered,
+           true AS partitioned_read_parity,
+           true AS filter_pushed_to_jdbc
+    FROM nation
+    """,
+    tags=("source", "jdbc"),
+)
+def source_jdbc_real_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL ``spark.read.jdbc`` path, executable in this container via
+    the embedded Derby driver that ships with Spark's Hive support (no
+    external server needed — same JDBC code path as Postgres/MySQL):
+
+    1. nation is written through ``df.write.jdbc`` (DDL + batched inserts
+       through the JVM driver);
+    2. read back THREE ways — plain, PARTITIONED (4 ranges on
+       n_nationkey: four concurrent JDBC connections, each fetching its
+       slice — the parallel-ingest shape for a 100 TB backfill from an
+       operational DB), and with a filter whose plan must show
+       ``PushedFilters`` (predicate shipped INTO the database, certified
+       boolean);
+    3. the oracle pins full row/sum parity and the filtered count.
+
+    This upgrades the catalog's JDBC story from the documented DB-API
+    bridge to the genuine JVM JDBC source; swapping Derby for Postgres is
+    a URL + driver-class change.
+    """
+    import os as _os
+    import shutil as _shutil
+
+    db_dir = _os.path.join(_REPO_ROOT, ".tmp", "jdbc_derby_demo")
+    _shutil.rmtree(db_dir, ignore_errors=True)
+    url = f"jdbc:derby:{db_dir};create=true"
+
+    src = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    src.write.mode("overwrite").format("jdbc").option("url", url).option(
+        "dbtable", "nation_jdbc"
+    ).save()
+
+    plain = spark.read.format("jdbc").option("url", url).option(
+        "dbtable", "nation_jdbc"
+    ).load()
+    lo, hi = src.agg(F.min("n_nationkey"), F.max("n_nationkey")).first()
+    parts = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "nation_jdbc")
+        .option("partitionColumn", "n_nationkey")
+        .option("lowerBound", str(lo))
+        .option("upperBound", str(hi + 1))
+        .option("numPartitions", "4")
+        .load()
+    )
+    partitioned_parity = (
+        parts.rdd.getNumPartitions() == 4 and parts.count() == plain.count()
+    )
+    filtered = plain.filter(F.col("n_regionkey") == 2)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    filter_pushed = "PushedFilters" in plan and "n_regionkey" in plan
+    n_filtered = filtered.count()
+
+    return plain.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_nationkey").alias("key_sum"),
+    ).select(
+        "n_rows",
+        "key_sum",
+        F.lit(n_filtered).cast("long").alias("n_filtered"),
+        F.lit(partitioned_parity).alias("partitioned_read_parity"),
+        F.lit(filter_pushed).alias("filter_pushed_to_jdbc"),
+    )
