@@ -436,3 +436,136 @@ def sample_cap_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
         F.coalesce("kept_id_sum", F.lit(0)).cast("long").alias("kept_id_sum"),
     )
+
+
+def _capstone_oracle() -> str:
+    return f"""
+    WITH q AS (
+      SELECT doc_id, lang, text,
+             len(string_split(text, ' ')) AS n_tokens,
+             round(
+               least(1.0, len(string_split(text, ' ')) / 200.0) * 0.4
+               + least(1.0, len(list_intersect(list_distinct(string_split(text, ' ')),
+                   ['the','a','of','and','to','in','is','it','on','for'])) / 5.0) * 0.3
+               + (1.0 - least(1.0,
+                   CAST(len(list_filter(string_split(text, ' '), t -> length(t) >= 8)) AS DOUBLE)
+                   / len(string_split(text, ' ')))) * 0.3
+             , 6) AS quality
+      FROM documents
+    ),
+    survivors AS (SELECT * FROM q WHERE quality >= 0.5),
+    hashes AS (SELECT doc_id, md5(text) AS h FROM survivors),
+    exact_losers AS (
+      SELECT doc_id FROM hashes
+      WHERE doc_id != (SELECT min(doc_id) FROM hashes h2 WHERE h2.h = hashes.h)
+    ),
+    toks AS (
+      SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS s FROM survivors
+    ),
+    near_losers AS (
+      SELECT DISTINCT b.doc_id FROM toks a JOIN toks b
+        ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+    ),
+    kept AS (
+      SELECT * FROM survivors
+      WHERE doc_id NOT IN (SELECT doc_id FROM exact_losers)
+        AND doc_id NOT IN (SELECT doc_id FROM near_losers)
+    ),
+    assigned AS (
+      SELECT lang, n_tokens,
+             CASE WHEN frac < 0.8 THEN 'train'
+                  WHEN frac < 0.9 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT lang, n_tokens,
+               CAST((doc_id * {KNUTH}) % {MOD32} AS DOUBLE) / {MOD32} AS frac
+        FROM kept
+      )
+    )
+    SELECT lang, split,
+           CAST(count(*) AS BIGINT)      AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+    FROM assigned GROUP BY lang, split
+    """
+
+
+@register(
+    "llm_curation_capstone",
+    oracle=_capstone_oracle(),
+    tags=("llm", "curation", "pipeline", "capstone"),
+)
+def llm_curation_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation pipeline as one certified job: quality gate
+    (C4/Gopher-style composite score >= 0.5) -> dedup on the survivors
+    (exact hash + lang-blocked Jaccard near-dup) -> deterministic 80/10/10
+    split -> per-(lang, split) document and token counts — the final
+    training-mix manifest a data team ships.
+
+    Everything chains on ONE documents scan: the quality score, content
+    hash, and token set are projections of the same row; dedup's only
+    joins are the keyed hash groupBy and the bounded lang-block pair join;
+    the split is a pure hash of doc_id (stable across runs and engines —
+    the property that makes the mix reproducible). The oracle replays the
+    entire pipeline in SQL, so the certified artifact is the composition,
+    not just the stages.
+
+    Scale: identical shapes to the certified component queries — at 100 TB
+    the near-dup stage swaps the block join for the MinHash-LSH candidate
+    path (same verify arithmetic), and the manifest lands as a catalog
+    commit tagged for reproducible reads (``catalog_tag_reproducible_read``).
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "text", "n_chars")
+    toks = F.split("text", " ")
+    stop = F.array([F.lit(w) for w in
+                    ["the", "a", "of", "and", "to", "in", "is", "it", "on", "for"]])
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), stop))
+    n_long = F.size(F.filter(toks, lambda t: F.length(t) >= 8))
+    quality = F.round(
+        F.least(F.lit(1.0), n_tokens / 200.0) * 0.4
+        + F.least(F.lit(1.0), n_stop / 5.0) * 0.3
+        + (1.0 - F.least(F.lit(1.0), n_long.cast("double") / n_tokens)) * 0.3,
+        6,
+    )
+    survivors = d.select(
+        "doc_id", "lang", "text", n_tokens.alias("n_tokens"), quality.alias("quality")
+    ).filter(F.col("quality") >= 0.5)
+
+    hashes = survivors.select("doc_id", F.md5("text").alias("h"))
+    keepers = hashes.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    exact_losers = (
+        hashes.join(keepers, "h").filter(F.col("doc_id") != F.col("keep_id")).select("doc_id")
+    )
+    tsets = survivors.select(
+        "doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("s")
+    )
+    a, b = tsets.alias("a"), tsets.alias("b")
+    jac = (
+        F.size(F.array_intersect(F.col("a.s"), F.col("b.s"))).cast("double")
+        / F.size(F.array_union(F.col("a.s"), F.col("b.s")))
+    )
+    near_losers = (
+        a.join(b, (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .filter(jac >= 0.8)
+        .select(F.col("b.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    losers = exact_losers.unionByName(near_losers).distinct()
+    kept = survivors.join(losers, "doc_id", "left_anti")
+
+    frac = ((F.col("doc_id") * F.lit(KNUTH)) % F.lit(MOD32)).cast("double") / F.lit(MOD32)
+    split = (
+        F.when(frac < 0.8, F.lit("train"))
+        .when(frac < 0.9, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        kept.select("lang", "n_tokens", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )
