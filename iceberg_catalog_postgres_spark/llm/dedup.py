@@ -1022,3 +1022,103 @@ def dedup_ensemble_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         "keep",
         ~(F.col("exact_loser") | F.col("near_loser") | F.col("contained_loser")),
     )
+
+
+def _substring_trim_oracle() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    w0 AS (
+      SELECT doc_id, t, unnest(range(0, len(t) - {SPAN_W} + 1)) AS pos
+      FROM toks WHERE len(t) >= {SPAN_W}
+    ),
+    w AS (
+      SELECT doc_id, pos,
+             md5(array_to_string(list_slice(t, pos + 1, pos + {SPAN_W}), ' ')) AS h
+      FROM w0
+    ),
+    dup AS (
+      SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ),
+    dw AS (SELECT w.doc_id, w.pos FROM w JOIN dup USING (h)),
+    cov AS (
+      SELECT doc_id,
+             list_sort(list_distinct(flatten(
+               list(range(pos + 1, pos + {SPAN_W} + 1))))) AS covered
+      FROM dw GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.t) AS BIGINT)       AS total_tokens,
+           CAST(len(c.covered) AS BIGINT) AS tokens_removed,
+           md5(coalesce(array_to_string(
+             list_filter(t.t, (x, i) -> NOT list_contains(c.covered, i)), ' '), ''))
+             AS cleaned_hash
+    FROM cov c JOIN toks t USING (doc_id)
+    """
+
+
+@register(
+    "dedup_substring_trim",
+    oracle=_substring_trim_oracle(),
+    tags=("llm", "dedup", "substring"),
+)
+def dedup_substring_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTIONABLE half of substring dedup: ``dedup_substring_spans``
+    measures duplicated coverage; this one REMOVES it — every token inside
+    a cross-document duplicated window is cut and the cleaned text is
+    emitted (here as its md5 plus removal counts, so the contract is
+    checkable; a pipeline writes the cleaned string). This is what Lee et
+    al. actually do to the corpus: cut the span, keep the remainder.
+
+    Plan: the window/hash/groupBy stages are the certified spans pipeline;
+    the trim adds one per-doc aggregation (sorted distinct union of
+    covered 1-based token indices — collect order neutralized by
+    sort+distinct, so the output is engine-exact) and a map-side indexed
+    ``filter`` over the token array. No extra corpus scan: tokens ride the
+    same rows.
+
+    Scale: covered-index lists are O(duplicated tokens) per doc; at 100 TB
+    a production run swaps the list for a roaring bitmap per doc and the
+    md5 emit for the actual cleaned-text write — the shuffle shape
+    (hash groupBy + doc_id groupBy) is unchanged.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= SPAN_W
+    )
+    win = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(t) - {SPAN_W}),"
+                f" i -> md5(concat_ws(' ', slice(t, i + 1, {SPAN_W}))))"
+            )
+        ).alias("pos", "h"),
+    )
+    dup = (
+        win.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    cov = (
+        win.join(dup, "h")
+        .select("doc_id", F.sequence(F.col("pos") + 1, F.col("pos") + SPAN_W).alias("ix"))
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.array_distinct(F.flatten(F.collect_list("ix")))).alias(
+                "covered"
+            )
+        )
+    )
+    joined = cov.join(toks, "doc_id")
+    cleaned = F.filter(
+        F.col("t"), lambda x, i: ~F.array_contains(F.col("covered"), i + 1)
+    )
+    return joined.select(
+        "doc_id",
+        F.size("t").cast("long").alias("total_tokens"),
+        F.size("covered").cast("long").alias("tokens_removed"),
+        F.md5(F.concat_ws(" ", cleaned)).alias("cleaned_hash"),
+    )
