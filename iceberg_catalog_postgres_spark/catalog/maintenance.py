@@ -1450,6 +1450,7 @@ def table_health(table: Table, small_file_rows: int = 0) -> dict:
         "delete_debt_records": table.record_count(kind="eq-delete")
         + table.record_count(kind="pos-delete"),
         "n_manifest_chunks": len(snap.manifests or []),
+        "total_bytes": table.total_bytes(),
         "stats_coverage": (
             sum(1 for f in data if f in stats) / len(data) if data else 1.0
         ),

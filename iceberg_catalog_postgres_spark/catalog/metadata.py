@@ -217,6 +217,8 @@ def chunk_summary(entries: list[dict]) -> dict:
     counts = {"data": 0, "eq-delete": 0, "pos-delete": 0}
     records = {"data": 0, "eq-delete": 0, "pos-delete": 0}
     rec_ok = {"data": True, "eq-delete": True, "pos-delete": True}
+    nbytes = {"data": 0, "eq-delete": 0, "pos-delete": 0}
+    bytes_ok = {"data": True, "eq-delete": True, "pos-delete": True}
     bounds: dict = {}
     part_vals: dict = {}
     part_counts: dict = {}
@@ -230,6 +232,11 @@ def chunk_summary(entries: list[dict]) -> dict:
             rec_ok[kind] = False
         else:
             records[kind] += rc
+        fb = st.get("file_size_bytes")
+        if fb is None:
+            bytes_ok[kind] = False
+        else:
+            nbytes[kind] += fb
         if kind != "data":
             continue
         for col, nc in (st.get("null_counts") or {}).items():
@@ -257,6 +264,7 @@ def chunk_summary(entries: list[dict]) -> dict:
     return {
         "counts": counts,
         "records": {k: (records[k] if rec_ok[k] else None) for k in counts},
+        "bytes": {k: (nbytes[k] if bytes_ok[k] else None) for k in counts},
         "bounds": {
             col: {
                 "lo": encode_bound(b[0]),

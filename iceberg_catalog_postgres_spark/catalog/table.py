@@ -209,8 +209,13 @@ def collect_file_stats(path: str) -> dict:
         if lo_e is None:
             continue  # unsupported bound type (bytes, decimal, ...)
         bounds[name] = [lo_e, hi_e]
+    import os as _os
+
     return {
         "record_count": md.num_rows,
+        # Iceberg's manifest file_size_in_bytes: byte-based compaction
+        # targets and storage accounting come from metadata, not listings
+        "file_size_bytes": _os.path.getsize(path),
         "bounds": bounds,
         "null_counts": {k: v for k, v in nulls.items() if v is not None},
     }
@@ -667,6 +672,48 @@ class Table:
                 global PLANNING_FOOTER_READS
                 PLANNING_FOOTER_READS += 1
                 total += pq.ParquetFile(store.resolve(rel)).metadata.num_rows
+        return total
+
+    def total_bytes(self, snapshot_id: int | None = None, kind: str = "data") -> int:
+        """Storage footprint from manifest ``file_size_bytes`` — the same
+        metadata fold as ``record_count`` (chunk summaries first, per-file
+        stats next, one ``getsize`` per statless legacy file last). This is
+        what byte-based compaction targets and storage billing read; at
+        10^7 files the answer never touches a listing."""
+        snap = (
+            self.metadata.snapshot_by_id(snapshot_id)
+            if snapshot_id is not None
+            else self.metadata.current_snapshot()
+        )
+        if snap is None:
+            return 0
+        refs = snap.chunk_refs()
+        if refs is not None:
+            total = 0
+            complete = True
+            for c in refs:
+                b = (c["summary"].get("bytes") or {}).get(kind)
+                if b is None:
+                    complete = False
+                    break
+                total += b
+            if complete:
+                return total
+        files = {
+            "data": snap.data_files,
+            "eq-delete": snap.delete_files,
+            "pos-delete": snap.position_delete_files,
+        }[kind]
+        store = self.catalog.object_store()
+        total = 0
+        for rel in files:
+            st = snap.file_stats.get(rel) or {}
+            if "file_size_bytes" in st:
+                total += st["file_size_bytes"]
+            else:
+                import os as _os
+
+                total += _os.path.getsize(store.resolve(rel))
         return total
 
     def planned_files_partition(

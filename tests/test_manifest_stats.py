@@ -701,3 +701,30 @@ def test_nullness_planning_skips_whole_chunks(catalog, spark, monkeypatch):
         .collect()
     )
     assert got == [10, 11, 12, 13, 14, 21]
+
+
+def test_file_size_bytes_in_stats_and_summaries(catalog, spark, monkeypatch):
+    """file_size_bytes rides commit stats into per-file entries AND chunk
+    summaries; Table.total_bytes folds summaries with zero chunk reads and
+    matches the on-disk truth."""
+    import os as _os
+
+    import iceberg_catalog_postgres_spark.catalog.metadata as md_mod
+
+    monkeypatch.setattr(md_mod, "MANIFEST_THRESHOLD", 1)
+    t = catalog.create_table(
+        TableIdentifier.parse("s.bytes1"),
+        spark.createDataFrame([(0,)], "k long").schema,
+    )
+    for c in range(3):
+        chunk = spark.createDataFrame([(c * 10 + i,) for i in range(20)], "k long").coalesce(1)
+        t = t.new_transaction().append_dataframe(chunk).commit()
+    reloaded = catalog.load_table(TableIdentifier.parse("s.bytes1"))
+    before = _chunk_reads()
+    got = reloaded.total_bytes()
+    assert _chunk_reads() == before, "byte fold fetched chunks"
+    store = catalog.object_store()
+    snap = reloaded.metadata.current_snapshot()
+    truth = sum(_os.path.getsize(store.resolve(f)) for f in snap.data_files)
+    assert got == truth > 0
+    assert all("file_size_bytes" in snap.file_stats[f] for f in snap.data_files)
