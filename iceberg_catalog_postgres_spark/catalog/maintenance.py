@@ -2086,6 +2086,108 @@ def remove_orphan_files(table: Table, older_than_s: float = 3 * 86400.0) -> dict
 
 
 @register(
+    "catalog_zorder_write_pruning",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(l_extendedprice), 2) AS price_sum,
+           true AS linear_blind_on_second_dim,
+           true AS zorder_prunes_second_dim,
+           true AS zorder_box_not_worse,
+           true AS planning_metadata_only
+    FROM lineitem
+    WHERE l_partkey BETWEEN 256 AND 511 AND l_suppkey BETWEEN 32 AND 47
+    """,
+    tags=("catalog", "layout", "zorder", "pruning"),
+)
+def catalog_zorder_write_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDERED catalog writes, certified end to end (the
+    `layout_zorder_pruning` simulation made REAL against manifest stats):
+    lineitem lands twice — linearly sorted by l_partkey, and z-ordered on
+    min-max-normalized (l_partkey, l_suppkey) via
+    ``append_dataframe(zorder_by=[...])``. Planning is per-column
+    ``planned_files`` set intersection, pure metadata, zero footers
+    (asserted). What z-order buys — measured, not asserted by vibes:
+
+    - a SUPPKEY-only range query: the linear layout plans EVERY file (its
+      suppkey bounds are all full-domain — ``linear_blind_on_second_dim``)
+      while the z-order layout plans under half
+      (``zorder_prunes_second_dim``) — the second dimension gains real
+      pruning power;
+    - the 2-D box: z-order never plans MORE files than the linear layout
+      (``zorder_box_not_worse``) — on a box dominated by the linear
+      layout's own sort column the two tie, which is exactly the known
+      trade (z-order spends some first-dimension locality to buy the
+      second dimension's).
+
+    The pruned box scan + residual filter must match the full-scan box
+    query, pinned by the oracle.
+
+    Scale: the layout decision for 2-D-selective access at 100 TB
+    (user x time, part x supplier): one curve-sorted pass, after which
+    queries selective in EITHER dimension prune from the metadata
+    dictionary alone.
+    """
+    import iceberg_catalog_postgres_spark.catalog.table as _tm
+
+    cat = _fresh_catalog("catalog_zorder_demo")
+    src = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    p_lo, p_hi, s_lo, s_hi = 256, 511, 32, 47
+
+    t_lin = cat.create_table(
+        TableIdentifier.parse("layout.li_linear"), src.schema
+    )
+    t_lin = (
+        t_lin.new_transaction()
+        .append_dataframe(src, sort_by=["l_partkey"], n_files=16)
+        .commit()
+    )
+    t_z = cat.create_table(TableIdentifier.parse("layout.li_zorder"), src.schema)
+    t_z = (
+        t_z.new_transaction()
+        .append_dataframe(src, zorder_by=["l_partkey", "l_suppkey"], n_files=16)
+        .commit()
+    )
+
+    before = _tm.PLANNING_FOOTER_READS
+
+    def planned_2d(t):
+        p = set(t.planned_files("l_partkey", p_lo, p_hi, require_stats=True))
+        s = set(t.planned_files("l_suppkey", s_lo, s_hi, require_stats=True))
+        return p & s
+
+    lin_files = planned_2d(t_lin)
+    z_files = planned_2d(t_z)
+    lin_supp = t_lin.planned_files("l_suppkey", s_lo, s_hi, require_stats=True)
+    z_supp = t_z.planned_files("l_suppkey", s_lo, s_hi, require_stats=True)
+    planning_metadata_only = _tm.PLANNING_FOOTER_READS == before
+    n_total = len(t_z.metadata.current_data_files())
+    linear_blind_on_second_dim = len(lin_supp) == len(
+        t_lin.metadata.current_data_files()
+    )
+    zorder_prunes_second_dim = 0 < len(z_supp) <= n_total // 2
+    zorder_box_not_worse = 0 < len(z_files) <= len(lin_files)
+
+    return (
+        spark.read.schema(t_z.schema)
+        .parquet(*sorted(z_files))
+        .filter(
+            F.col("l_partkey").between(p_lo, p_hi)
+            & F.col("l_suppkey").between(s_lo, s_hi)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 2).alias("price_sum"),
+        )
+        .withColumn("linear_blind_on_second_dim", F.lit(linear_blind_on_second_dim))
+        .withColumn("zorder_prunes_second_dim", F.lit(zorder_prunes_second_dim))
+        .withColumn("zorder_box_not_worse", F.lit(zorder_box_not_worse))
+        .withColumn("planning_metadata_only", F.lit(planning_metadata_only))
+    )
+
+
+@register(
     "catalog_recluster_sorted",
     oracle="""
     WITH b AS (

@@ -1489,7 +1489,11 @@ class Transaction:
         return self
 
     def append_dataframe(
-        self, df: DataFrame, sort_by: list[str] | None = None, n_files: int | None = None
+        self,
+        df: DataFrame,
+        sort_by: list[str] | None = None,
+        n_files: int | None = None,
+        zorder_by: list[str] | None = None,
     ) -> "Transaction":
         """Write df as parquet under the table location, stage the new files.
 
@@ -1519,6 +1523,47 @@ class Transaction:
         import urllib.parse as _up
 
         _ensure_stats_friendly_writes(df.sparkSession)
+        if sort_by and zorder_by:
+            raise ValueError("pass either sort_by or zorder_by, not both")
+        if zorder_by:
+            # Z-ORDER write distribution: cluster files along the Morton
+            # curve of two columns so each file's manifest bounds are tight
+            # in BOTH dimensions — a 2-D box query then prunes by
+            # intersecting the per-column planned sets. ~44 JVM bit-ops per
+            # row, whole-stage-codegen'd; the curve key never hits disk.
+            if len(zorder_by) != 2:
+                raise ValueError("zorder_by currently interleaves exactly 2 columns")
+            from pyspark.sql import functions as _F
+
+            from iceberg_catalog_postgres_spark.operators.scale_patterns import _z_value
+
+            width = n_files or df.sparkSession.sparkContext.defaultParallelism
+            # Columns on different scales interleave uselessly (the smaller
+            # domain's high bits are constant zero), so each dimension is
+            # min-max normalized onto the curve's full bit range first —
+            # the same per-column range scaling Delta/Iceberg z-order does.
+            a, b = zorder_by
+            mins_maxs = df.agg(
+                _F.min(a), _F.max(a), _F.min(b), _F.max(b)
+            ).first()
+            a_lo, a_hi, b_lo, b_hi = [float(v) for v in mins_maxs]
+            bits = 11
+            top = (1 << bits) - 1
+
+            def _scaled(col, lo, hi):
+                if hi <= lo:
+                    return _F.lit(0).cast("long")
+                return _F.round(
+                    (_F.col(col).cast("double") - lo) / (hi - lo) * top
+                ).cast("long")
+
+            zcol = _z_value(_scaled(a, a_lo, a_hi), _scaled(b, b_lo, b_hi), bits)
+            df = (
+                df.withColumn("__z", zcol)
+                .repartitionByRange(width, _F.col("__z"))
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
         if sort_by:
             from pyspark.sql import functions as _F
 
