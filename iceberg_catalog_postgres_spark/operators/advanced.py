@@ -457,3 +457,49 @@ def recursive_cte_month_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM months LEFT JOIN {view} o ON date_trunc('month', o.o_orderdate) = m
         GROUP BY m ORDER BY month_start
     """)
+
+
+@register(
+    "sql_lateral_topn",
+    oracle="""
+    SELECT r.r_name, t.n_name, t.total_balance
+    FROM region r, LATERAL (
+      SELECT n.n_name, round(sum(c.c_acctbal), 2) AS total_balance
+      FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+      WHERE n.n_regionkey = r.r_regionkey
+      GROUP BY n.n_name
+      ORDER BY total_balance DESC, n.n_name ASC
+      LIMIT 2
+    ) t
+    """,
+    tags=("sql", "lateral", "topn"),
+)
+def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (SQL:1999 lateral join, Spark 3.4+):
+    for every region, the top-2 nations by total customer balance — the
+    per-row-subquery formulation analysts write, executed through Spark's
+    DecorrelateInnerQuery rewrite (the optimizer turns the per-row LIMIT
+    into a partitioned rank under the hood, so it does NOT run one query
+    per outer row).
+
+    Scale: after decorrelation this is the same window-rank shape as
+    ``window_topk_per_group`` — one keyed shuffle — which is exactly why
+    exposing the LATERAL surface costs nothing at 100 TB: the optimizer
+    normalizes both spellings to the same plan family.
+    """
+    load(spark, sf_dir, "region").createOrReplaceTempView("v_region")
+    load(spark, sf_dir, "nation").createOrReplaceTempView("v_nation")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql(
+        """
+        SELECT r.r_name, t.n_name, t.total_balance
+        FROM v_region r, LATERAL (
+          SELECT n.n_name, round(sum(c.c_acctbal), 2) AS total_balance
+          FROM v_nation n JOIN v_customer c ON c.c_nationkey = n.n_nationkey
+          WHERE n.n_regionkey = r.r_regionkey
+          GROUP BY n.n_name
+          ORDER BY total_balance DESC, n.n_name ASC
+          LIMIT 2
+        ) t
+        """
+    )

@@ -200,3 +200,51 @@ def window_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_orderkey").over(w_first).alias("first_order"),
         F.last("o_orderkey").over(w_full).alias("last_order"),
     ).distinct()
+
+
+@register(
+    "window_moving_median",
+    oracle="""
+    SELECT user_id, event_id,
+           round(median(value) OVER (
+             PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS med4
+    FROM events
+    WHERE event_type = 'purchase' AND user_id < 50
+    """,
+    tags=("window", "median"),
+)
+def window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT moving median over a 4-row trailing frame per user — the
+    robust-smoothing window a metrics pipeline uses where a moving average
+    would chase outliers. Exact (not approx) median as a frame aggregate;
+    ordering pinned by (ts, event_id) so both engines walk identical
+    frames.
+
+    Scale: frame medians keep O(frame) state per row — fine for small
+    frames; for wide frames production swaps in a sliding t-digest. The
+    user_id partition bounds the sort, same shuffle as any per-entity
+    window.
+    """
+    ev = load(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & (F.col("user_id") < 50)
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-3, 0)
+    )
+    # Spark's median() rejects window frames; the exact frame median is a
+    # sorted collect_list + middle pick (frames are 4 rows, so the state is
+    # trivially bounded — the trick generalizes to any small frame)
+    arr = F.sort_array(F.collect_list("value").over(w))
+    n = F.size(arr)
+    half = F.floor(n / 2).cast("int")
+    med = F.when(
+        n % 2 == 1, F.element_at(arr, half + 1)
+    ).otherwise((F.element_at(arr, half) + F.element_at(arr, half + 1)) / 2.0)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(med, 4).alias("med4"),
+    )
