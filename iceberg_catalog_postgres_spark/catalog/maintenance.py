@@ -1961,7 +1961,9 @@ def catalog_rewrite_eq_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def expire_snapshots(table: Table, keep_last: int = 2) -> Table:
+def expire_snapshots(
+    table: Table, keep_last: int = 2, older_than_ms: int | None = None
+) -> Table:
     """Snapshot expiry + orphan-file cleanup: retain the most recent
     ``keep_last`` snapshots, commit the pruned metadata via CAS, then
     physically delete data files referenced ONLY by expired snapshots.
@@ -1979,12 +1981,21 @@ def expire_snapshots(table: Table, keep_last: int = 2) -> Table:
     import os as _os
 
     md = table.metadata
-    if len(md.snapshots) <= keep_last:
-        return table
     # tag/branch refs pin their snapshots through expiry (Iceberg semantics:
     # a tagged corpus version stays reproducible until the tag is dropped)
     pinned = {r.get("snapshot-id") for r in md.refs.values()}
-    kept_ids = {s.snapshot_id for s in md.snapshots[-keep_last:]} | pinned
+    if older_than_ms is not None:
+        # Iceberg expireSnapshots(olderThan): drop history past a wall-clock
+        # cutoff; the CURRENT snapshot and ref-pinned snapshots always stay
+        kept_ids = (
+            {s.snapshot_id for s in md.snapshots if s.timestamp_ms >= older_than_ms}
+            | {md.current_snapshot_id}
+            | pinned
+        )
+    else:
+        if len(md.snapshots) <= keep_last:
+            return table
+        kept_ids = {s.snapshot_id for s in md.snapshots[-keep_last:]} | pinned
     kept = [s for s in md.snapshots if s.snapshot_id in kept_ids]
     expired = [s for s in md.snapshots if s.snapshot_id not in kept_ids]
     if not expired:

@@ -574,3 +574,44 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@register(
+    "grouping_id_rollup",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL')   AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           GROUPING(o_orderstatus)          AS g_status,
+           GROUPING(o_orderpriority)        AS g_priority,
+           CAST(count(*) AS BIGINT)         AS n
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    tags=("aggregation", "rollup", "grouping"),
+)
+def grouping_id_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with explicit GROUPING() indicator columns — the disambiguator
+    BI layers need: a NULL group key can mean "subtotal row" or "the data
+    really was NULL", and only grouping() tells them apart. Emitted as
+    0/1 flags per dimension alongside coalesced labels.
+
+    Scale: one shuffle; rollup expands each input row into its grouping
+    combinations map-side (partial aggregation still applies), so the cost
+    is rows x (levels) pre-combine — the standard cube/rollup trade.
+    """
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+            F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "g_status",
+            "g_priority",
+            "n",
+        )
+    )

@@ -948,3 +948,41 @@ def test_changelog_positional_deletes_and_overwrite_guard(catalog, spark):
     ).commit()
     with pytest.raises(ValueError, match="non-append/delete"):
         t.changelog_df(spark, from_snapshot_id=snap1).collect()
+
+
+def test_expire_snapshots_by_age(catalog, spark):
+    """Age-based expiry: snapshots older than the cutoff drop (their
+    exclusive files GC'd); current + tagged snapshots always survive."""
+    import time as _time
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from iceberg_catalog_postgres_spark.catalog.maintenance import expire_snapshots
+
+    s = StructType([StructField("k", LongType(), True)])
+    t = catalog.create_table(TableIdentifier.parse("test.age_expiry"), s)
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame([(1,)], s).coalesce(1)
+    ).commit()
+    snap1 = t.metadata.current_snapshot()
+    t = t.set_ref("keepme", snap1.snapshot_id, ref_type="tag")
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame([(2,)], s).coalesce(1)
+    ).commit()
+    while int(_time.time() * 1000) <= t.metadata.current_snapshot().timestamp_ms:
+        _time.sleep(0.002)
+    cutoff = int(_time.time() * 1000)
+    while int(_time.time() * 1000) <= cutoff:
+        _time.sleep(0.002)
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame([(3,)], s).coalesce(1)
+    ).commit()
+
+    t = expire_snapshots(t, older_than_ms=cutoff)
+    ids = {s_.snapshot_id for s_ in t.metadata.snapshots}
+    # snapshot 2 (older than cutoff, untagged) expired; 1 (tagged) + 3 stay
+    assert snap1.snapshot_id in ids
+    assert t.metadata.current_snapshot_id in ids
+    assert len(ids) == 2
+    assert sorted(r["k"] for r in t.to_df(spark).collect()) == [1, 2, 3]
+    assert sorted(r["k"] for r in t.to_df(spark, ref="keepme").collect()) == [1]
