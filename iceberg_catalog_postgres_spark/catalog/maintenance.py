@@ -1401,6 +1401,149 @@ def catalog_bucket_transform_pruning(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+def overwrite_partitions(spark: SparkSession, table: Table, df: DataFrame) -> Table:
+    """DYNAMIC partition overwrite (Iceberg's ``INSERT OVERWRITE`` /
+    ``overwritePartitions``): replace ONLY the partitions present in the
+    incoming batch; every other partition's files are carried over
+    byte-identical. The daily-restatement shape — re-landing one day of a
+    date-partitioned 100 TB table replaces that day's files and touches
+    nothing else, in one atomic CAS commit.
+
+    The incoming batch is written through the normal partitioned write
+    (shadow columns, per-file tuples + stats), the touched partition-tuple
+    set is read from the staged metadata, and the snapshot keeps every
+    existing file whose recorded tuple is NOT in that set. Tables with
+    pending merge-on-read deletes are rejected (a partition-scoped
+    overwrite would need partition-scoped delete rewriting — compact
+    first; explicit beats silently wrong). Unpartitioned tables are
+    rejected too: there, dynamic overwrite IS full overwrite.
+    """
+    import time as _time
+    import uuid as _uuid
+
+    from iceberg_catalog_postgres_spark.catalog.metadata import (
+        Snapshot,
+        new_snapshot_id,
+        plan_manifests,
+    )
+
+    if not table.metadata.partition_spec:
+        raise ValueError("dynamic partition overwrite requires a partitioned table")
+    snap = table.metadata.current_snapshot()
+    if snap is not None and (snap.delete_files or snap.position_delete_files):
+        raise ValueError(
+            "table has pending merge-on-read deletes; compact before a "
+            "partition overwrite"
+        )
+
+    tx = table.new_transaction().append_dataframe(df)
+    staged_files = list(tx._staged_files)
+    staged_parts = dict(tx._staged_partitions)
+    staged_stats = dict(tx._staged_stats)
+    touched = {tuple(sorted(t.items())) for t in staged_parts.values()}
+
+    old_files = list(snap.data_files) if snap else []
+    old_parts = dict(snap.file_partitions) if snap else {}
+    old_stats = dict(snap.file_stats) if snap else {}
+    kept = [
+        f
+        for f in old_files
+        if tuple(sorted((old_parts.get(f) or {}).items())) not in touched
+    ]
+
+    next_seq = table.metadata.next_sequence_number()
+    snapshot = Snapshot(
+        snapshot_id=new_snapshot_id(table.metadata.snapshot_ids()),
+        timestamp_ms=int(_time.time() * 1000),
+        operation="overwrite",
+        data_files=[*kept, *staged_files],
+        sequence_number=next_seq,
+        file_seqs={
+            **{f: (snap.file_seqs.get(f, 0) if snap else 0) for f in kept},
+            **{f: next_seq for f in staged_files},
+        },
+        file_partitions={
+            **{f: old_parts[f] for f in kept if f in old_parts},
+            **staged_parts,
+        },
+        file_stats={
+            **{f: old_stats[f] for f in kept if f in old_stats},
+            **staged_stats,
+        },
+        summary={
+            "operation-detail": "dynamic-partition-overwrite",
+            "partitions-replaced": str(len(touched)),
+            "files-kept": str(len(kept)),
+            "files-written": str(len(staged_files)),
+        },
+    )
+    store = table.catalog.object_store()
+    plan_manifests(store, table.metadata.location, "overwrite", snap, None, snapshot)
+    new_metadata = table.metadata.with_snapshot(snapshot)
+    new_location = posixpath.join(
+        new_metadata.location, "metadata", f"dpo-{_uuid.uuid4().hex}.metadata.json"
+    )
+    store.put(new_location, new_metadata.to_json().encode())
+    return table.catalog.update_table(
+        table.identifier, new_location, table.metadata_location()
+    )
+
+
+@register(
+    "catalog_dynamic_partition_overwrite",
+    oracle="""
+    SELECT n_regionkey,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(CASE WHEN n_name = upper(n_name) THEN 1 END) AS BIGINT)
+             AS n_restated
+    FROM (
+      SELECT n_regionkey,
+             CASE WHEN n_regionkey = 2 THEN upper(n_name) ELSE n_name END AS n_name
+      FROM nation
+    )
+    GROUP BY n_regionkey
+    """,
+    tags=("catalog", "partition", "overwrite", "dynamic"),
+)
+def catalog_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite certified: nation lands partitioned by
+    region; a restatement batch containing ONLY region 2 (names
+    upper-cased) replaces exactly that partition — the other regions'
+    files are carried over byte-identical (path-set equality asserted
+    inside the committed snapshot) and the oracle pins per-region row
+    counts plus the restated-name count (regions whose names were already
+    upper-case count too, which the CASE mirror reproduces exactly).
+    """
+    cat = _fresh_catalog("catalog_dpo_demo")
+    src = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    ident = TableIdentifier.parse("maint.nation_dpo")
+    table = cat.create_table(ident, src.schema, partition_by=["n_regionkey"])
+    table = table.new_transaction().append_dataframe(src.coalesce(1)).commit()
+    before_files = {
+        f
+        for f in table.metadata.current_data_files()
+        if table.metadata.current_file_partitions().get(f, {}).get("n_regionkey") != "2"
+    }
+
+    restated = src.filter(F.col("n_regionkey") == 2).select(
+        "n_nationkey", F.upper("n_name").alias("n_name"), "n_regionkey"
+    )
+    table = overwrite_partitions(spark, table, restated.coalesce(1))
+    after = set(table.metadata.current_data_files())
+    assert before_files <= after, "untouched partitions must carry over byte-identical"
+
+    return (
+        table.to_df(spark)
+        .groupBy("n_regionkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(F.col("n_name") == F.upper("n_name"), 1)).alias(
+                "n_restated"
+            ),
+        )
+    )
+
+
 def table_health(table: Table, small_file_rows: int = 0) -> dict:
     """Metadata-only table health report — the numbers an operator (or an
     auto-maintenance scheduler) reads BEFORE deciding to compact, expire,
