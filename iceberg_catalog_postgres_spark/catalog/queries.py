@@ -630,3 +630,67 @@ def catalog_conflict_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(stale_overwrite_rejected).alias("stale_overwrite_rejected"),
         F.lit(recomputed_lands).alias("recomputed_overwrite_lands"),
     )
+
+
+@register(
+    "catalog_commit_metrics",
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), 'append', CAST(1 AS BIGINT),
+       CAST((SELECT count(*) FROM nation) AS BIGINT), CAST(0 AS BIGINT)),
+      (CAST(2 AS BIGINT), 'append', CAST(1 AS BIGINT),
+       CAST((SELECT count(*) FROM nation WHERE n_regionkey = 0) AS BIGINT),
+       CAST(0 AS BIGINT)),
+      (CAST(3 AS BIGINT), 'delete', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       CAST(1 AS BIGINT))
+    ) AS t(sequence_number, operation, added_files, added_records,
+           added_delete_files)
+    """,
+    tags=("catalog", "metadata", "metrics"),
+)
+def catalog_commit_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-commit WRITE METRICS from the snapshot summaries (Iceberg's
+    snapshot ``summary`` map: added-files / added-records /
+    added-delete-files), surfaced as a metadata table — the audit trail an
+    ingest SLO dashboard reads without touching data: every number was
+    recorded AT COMMIT TIME by the writer, so serving it is a pure walk of
+    the metadata JSON. Lineage certified over append -> append -> MOR
+    delete.
+    """
+    from iceberg_catalog_postgres_spark.catalog.maintenance import _fresh_catalog
+
+    cat = _fresh_catalog("catalog_metrics_demo")
+    src = load(spark, sf_dir, "nation")
+    ident = TableIdentifier.parse("meta.nation_metrics")
+    table = cat.create_table(ident, src.schema)
+    table = table.new_transaction().append_dataframe(src.coalesce(1)).commit()
+    table = (
+        table.new_transaction()
+        .append_dataframe(src.where(F.col("n_regionkey") == 0).coalesce(1))
+        .commit()
+    )
+    table = (
+        table.new_transaction()
+        .delete_keys_dataframe(
+            spark.createDataFrame([(0,)], "n_nationkey int").coalesce(1)
+        )
+        .commit()
+    )
+
+    rows = []
+    for s in sorted(table.metadata.snapshots, key=lambda s: s.sequence_number):
+        sm = s.summary
+        rows.append(
+            (
+                s.sequence_number,
+                s.operation,
+                int(sm.get("added-files", "0")),
+                int(sm.get("added-records", "0")),
+                int(sm.get("added-delete-files", "0")),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "sequence_number long, operation string, added_files long, "
+        "added_records long, added_delete_files long",
+    )
