@@ -240,3 +240,42 @@ def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+@register(
+    "trend_slope_per_user",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(regr_slope(value, epoch(ts)), 6) + 0 AS slope_per_sec,
+           round(regr_r2(value, epoch(ts)), 4) + 0    AS fit_r2
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY user_id
+    HAVING count(*) >= 8
+    """,
+    tags=("timeseries", "regression", "trend"),
+)
+def trend_slope_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity TREND detection: least-squares slope (and fit quality) of
+    purchase value over time for every user with enough history — the
+    screening pass behind churn/growth alerting ("whose spend is
+    decaying?"). ``regr_slope``/``regr_r2`` are built-in JVM aggregates, so
+    the whole scan is one map-side-combinable groupBy; no window, no sort,
+    no UDF.
+
+    Scale: O(1) state per user (the five regression moments), one keyed
+    shuffle — the cheapest possible formulation; fitting 10^9 entity
+    trends is exactly one pass over the fact table.
+    """
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    x = F.unix_timestamp("ts").cast("double")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.round(F.regr_slope(F.col("value"), x), 6) + F.lit(0.0)).alias("slope_per_sec"),
+            (F.round(F.regr_r2(F.col("value"), x), 4) + F.lit(0.0)).alias("fit_r2"),
+        )
+        .filter(F.col("n_events") >= 8)
+    )
