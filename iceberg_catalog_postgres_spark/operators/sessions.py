@@ -279,3 +279,101 @@ def trend_slope_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_events") >= 8)
     )
+
+
+SESSION_CAP_MS = 2 * 3600 * 1000  # max session duration before a forced split
+
+
+@register(
+    "sessionize_gap_capped",
+    oracle=f"""
+    WITH x AS (
+      SELECT user_id, event_id, value, epoch_ms(ts) AS ms FROM events
+    ), marked AS (
+      SELECT user_id, event_id, value, ms,
+             CASE WHEN lag(ms) OVER w IS NULL
+                       OR ms - lag(ms) OVER w > {SESSION_GAP_MS}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM x WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)
+    ), sessions AS (
+      SELECT user_id, event_id, value, ms,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                               ROWS UNBOUNDED PRECEDING) AS gap_seq
+      FROM marked
+    ), capped AS (
+      SELECT user_id, gap_seq, value, ms,
+             CAST((ms - min(ms) OVER (PARTITION BY user_id, gap_seq))
+                  // {SESSION_CAP_MS} AS BIGINT) AS cap_seq
+      FROM sessions
+    )
+    SELECT user_id,
+           CAST(gap_seq AS BIGINT) AS gap_seq,
+           cap_seq,
+           count(*)                AS n_events,
+           max(ms) - min(ms)       AS dur_ms,
+           round(sum(value), 6)    AS sum_value
+    FROM capped GROUP BY user_id, gap_seq, cap_seq
+    HAVING count(*) > 1
+    """,
+    tags=("events", "analytics", "session", "cap"),
+)
+def sessionize_gap_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization with a MAX-DURATION cap: a session also splits
+    when it runs past 2 hours from its start — the rule that stops a
+    bot or an idle-but-polling client from producing an unbounded
+    "session" (the state-explosion case streaming session windows guard
+    against with timeouts). Split points are fixed cap-width boundaries
+    from the session's first event: sub-session = elapsed // cap, a pure
+    projection over the gap-session window — no iteration, no UDF.
+
+    Scale: same single user_id shuffle as the uncapped version; both the
+    gap flag and the cap bucket are window expressions over the one sort.
+    The same one-pass trick is the batch twin of a streaming session
+    window with a max-duration timeout.
+    """
+    ev = load(spark, sf_dir, "events")
+    ms = F.unix_millis("ts")
+    w = Window.partitionBy("user_id").orderBy(ms.asc(), F.col("event_id").asc())
+    marked = ev.select(
+        "user_id", "event_id", "value", ms.alias("ms")
+    ).withColumn(
+        "is_new",
+        F.when(
+            F.lag("ms").over(
+                Window.partitionBy("user_id").orderBy(
+                    F.col("ms").asc(), F.col("event_id").asc()
+                )
+            ).isNull()
+            | (
+                F.col("ms")
+                - F.lag("ms").over(
+                    Window.partitionBy("user_id").orderBy(
+                        F.col("ms").asc(), F.col("event_id").asc()
+                    )
+                )
+                > SESSION_GAP_MS
+            ),
+            1,
+        ).otherwise(0),
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ms").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = marked.withColumn("gap_seq", F.sum("is_new").over(wrun))
+    wsess = Window.partitionBy("user_id", "gap_seq")
+    capped = sess.withColumn(
+        "cap_seq",
+        F.floor((F.col("ms") - F.min("ms").over(wsess)) / SESSION_CAP_MS).cast("long"),
+    )
+    return (
+        capped.groupBy("user_id", "gap_seq", "cap_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max("ms") - F.min("ms")).alias("dur_ms"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .filter(F.col("n_events") > 1)
+        .withColumn("gap_seq", F.col("gap_seq").cast("long"))
+    )
