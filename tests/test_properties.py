@@ -97,3 +97,89 @@ def test_metadata_json_roundtrip(snapshots):
     assert back.current_snapshot_id == md.current_snapshot_id
     assert [s.snapshot_id for s in back.snapshots] == [s.snapshot_id for s in md.snapshots]
     assert back.current_data_files() == md.current_data_files()
+
+
+# ---------------------------------------------------------------------------
+# r5 property tests: partition transforms, bound codec, chunk summaries
+# ---------------------------------------------------------------------------
+
+from iceberg_catalog_postgres_spark.catalog.metadata import (
+    chunk_summary,
+    decode_bound,
+    encode_bound,
+)
+from iceberg_catalog_postgres_spark.catalog.table import (
+    parse_partition_field,
+    transform_value,
+)
+
+
+@given(st.integers(min_value=-(2**40), max_value=2**40), st.integers(2, 64))
+def test_bucket_transform_in_range_and_stable(v, n):
+    """bucket(N) lands in [0, N) and is a pure function of the value."""
+    entry = f"bucket({n},c)"
+    b = transform_value(entry, v)
+    assert 0 <= int(b) < n
+    assert transform_value(entry, v) == b
+    # string form of the same number buckets identically (planner contract)
+    assert transform_value(entry, str(v)) == b
+
+
+@given(st.integers(min_value=-(2**40), max_value=2**40), st.integers(1, 1000))
+def test_truncate_int_floor_property(v, w):
+    """truncate(W) on ints floors to a multiple of W, never above v, within
+    W of v — Iceberg's negative-safe floor."""
+    t = int(transform_value(f"truncate({w},c)", v))
+    assert t % w == 0
+    assert t <= v < t + w
+
+
+@given(st.text(min_size=0, max_size=40), st.integers(1, 10))
+def test_truncate_string_prefix_property(s, w):
+    t = transform_value(f"truncate({w},c)", s)
+    assert t == s[:w]
+    assert s.startswith(t)
+
+
+@given(st.one_of(st.integers(-(2**50), 2**50), st.floats(allow_nan=False, allow_infinity=False), st.text(max_size=30), st.booleans()))
+def test_bound_codec_roundtrip_primitives(v):
+    e = encode_bound(v)
+    assert decode_bound(e) == v
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["data", "eq-delete", "pos-delete"]),
+            st.integers(0, 10_000),  # record_count
+            st.integers(0, 10**9),  # file_size_bytes
+        ),
+        min_size=0,
+        max_size=20,
+    )
+)
+def test_chunk_summary_totals_are_exact_folds(entries):
+    """Summary counts/records/bytes must equal the per-entry sums for every
+    kind — the invariant every metadata fold relies on."""
+    docs = [
+        {
+            "path": f"f{i}",
+            "kind": k,
+            "seq": 1,
+            "stats": {"record_count": rc, "file_size_bytes": fb},
+        }
+        for i, (k, rc, fb) in enumerate(entries)
+    ]
+    s = chunk_summary(docs)
+    for kind in ("data", "eq-delete", "pos-delete"):
+        sel = [(rc, fb) for (k, rc, fb) in entries if k == kind]
+        assert s["counts"][kind] == len(sel)
+        assert s["records"][kind] == sum(rc for rc, _ in sel)
+        assert s["bytes"][kind] == sum(fb for _, fb in sel)
+
+
+@given(st.lists(st.integers(0, 3), min_size=1, max_size=8))
+def test_parse_partition_field_identity_fallback(parts):
+    """Anything that is not bucket(...)/truncate(...) parses as identity."""
+    name = "c" + "".join(str(p) for p in parts)
+    assert parse_partition_field(name) == ("identity", None, name)
