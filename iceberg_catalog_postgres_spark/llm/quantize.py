@@ -279,3 +279,48 @@ def embed_outlier_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("z2") > _MAHA_THRESHOLD).cast("long")).alias("n_outliers"),
         )
     )
+
+
+@register(
+    "embed_duplicate_exact",
+    oracle="""
+    WITH feed AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 25
+    )
+    SELECT CAST(min(vec_id) AS BIGINT) AS keep_vec_id,
+           CAST(count(*) AS BIGINT)    AS n_copies
+    FROM feed
+    GROUP BY embedding
+    HAVING count(*) > 1
+    """,
+    tags=("llm", "embedding", "dedup"),
+)
+def embed_duplicate_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit-identical EMBEDDING dedup: group directly on the vector value
+    (both engines group float arrays element-exact), keep the lowest id —
+    the cheap pre-pass before any ANN near-dedup, catching re-encoded or
+    double-ingested rows whose vectors are byte-equal. Input is the corpus
+    plus a re-ingestion of its first 25 vectors under new ids so the
+    operator has work to find.
+
+    Scale: shuffles the vector once as the grouping key (dim floats per
+    row); at 100 TB a production pass keys on xxhash64 of the vector bytes
+    instead (8-byte keys) with an equality verify — the same hash-then-
+    verify shape as exact text dedup.
+    """
+    e = load_parallel(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    reingested = e.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    feed = e.unionByName(reingested)
+    return (
+        feed.groupBy("embedding")
+        .agg(
+            F.min("vec_id").alias("keep_vec_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .select("keep_vec_id", "n_copies")
+    )

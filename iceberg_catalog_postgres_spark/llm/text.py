@@ -440,3 +440,34 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope(F.log("n"), F.log("rank")), 4).alias("zipf_slope"),
         F.round(F.regr_r2(F.log("n"), F.log("rank")), 4).alias("fit_r2"),
     )
+
+
+@register(
+    "text_length_histogram",
+    oracle="""
+    SELECT CAST(floor(log2(len(string_split(text, ' ')))) AS BIGINT) AS log2_bucket,
+           CAST(count(*) AS BIGINT)                AS n_docs,
+           CAST(min(len(string_split(text, ' '))) AS BIGINT) AS min_tokens,
+           CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_tokens
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("llm", "text", "statistics"),
+)
+def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed document-length histogram — the corpus-shape
+    fingerprint reviewed before packing/truncation decisions (a spike in a
+    low bucket means fragments; a fat tail means concatenation artifacts).
+    Map-side bucketing, one tiny groupBy.
+    """
+    d = load(spark, sf_dir, "documents")
+    n = F.size(F.split("text", " "))
+    return (
+        d.select(F.floor(F.log2(n)).cast("long").alias("log2_bucket"), n.alias("n"))
+        .groupBy("log2_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n").cast("long").alias("min_tokens"),
+            F.max("n").cast("long").alias("max_tokens"),
+        )
+    )
