@@ -615,3 +615,48 @@ def grouping_id_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@register(
+    "agg_numeric_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
+    )
+    SELECT CAST(least(9, floor((o_totalprice - b.lo) / (b.hi - b.lo) * 10))
+                AS BIGINT)               AS bucket,
+           CAST(count(*) AS BIGINT)      AS n_orders,
+           round(min(o_totalprice), 2)   AS lo_price,
+           round(max(o_totalprice), 2)   AS hi_price
+    FROM orders, b
+    GROUP BY 1
+    """,
+    tags=("aggregation", "histogram"),
+)
+def agg_numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width numeric histogram (10 buckets over the observed price
+    range): bucket = clamp(floor((x - lo) / (hi - lo) * n)) — the explicit
+    arithmetic form so both engines compute identical IEEE results (the
+    top edge folds into the last bucket). This is the distribution profile
+    a DQ dashboard or a partition-bound chooser reads.
+
+    Scale: bounds come from one min/max pass (broadcast as a 1-row
+    crossJoin); the bucketing itself is a map-side projection + one tiny
+    groupBy — two passes total, no sort, no sample.
+    """
+    o = load(spark, sf_dir, "orders").select("o_totalprice")
+    b = o.agg(F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi"))
+    bucket = F.least(
+        F.lit(9),
+        F.floor((F.col("o_totalprice") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 10),
+    ).cast("long")
+    return (
+        o.crossJoin(F.broadcast(b))
+        .select(bucket.alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("lo_price"),
+            F.round(F.max("o_totalprice"), 2).alias("hi_price"),
+        )
+    )
