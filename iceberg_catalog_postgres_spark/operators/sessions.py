@@ -377,3 +377,65 @@ def sessionize_gap_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_events") > 1)
         .withColumn("gap_seq", F.col("gap_seq").cast("long"))
     )
+
+
+@register(
+    "events_max_concurrent",
+    oracle="""
+    WITH iv AS (
+      SELECT epoch_ms(ts) AS s, epoch_ms(ts) + 600000 AS e
+      FROM events WHERE event_type = 'purchase'
+    ),
+    pts AS (
+      SELECT s AS t, 1 AS d FROM iv
+      UNION ALL
+      SELECT e AS t, -1 AS d FROM iv
+    ),
+    run AS (
+      SELECT sum(d) OVER (ORDER BY t ASC, d ASC ROWS UNBOUNDED PRECEDING) AS conc
+      FROM pts
+    )
+    SELECT CAST(max(conc) AS BIGINT) AS peak_concurrency,
+           CAST((SELECT count(*) FROM iv) AS BIGINT) AS n_intervals
+    FROM run
+    """,
+    tags=("events", "analytics", "concurrency"),
+)
+def events_max_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PEAK CONCURRENCY by sweep-line: each purchase opens a 10-minute
+    interval; emit (+1 at start, -1 at end), sort, running-sum, take the
+    max — the classic capacity-planning question ("how many sessions were
+    ever open at once?") answered without any interval self-join. Equal
+    timestamps process ends before starts (delta ascending), so touching
+    intervals do not double-count.
+
+    Scale: the global ordered running sum is the documented small-side
+    exception at fixture scale; the 100 TB form partitions the sweep by
+    coarse time bucket and stitches boundary offsets (each bucket's
+    initial concurrency = sum of deltas before it — one extra aggregate),
+    keeping every shuffle keyed.
+    """
+    from pyspark.sql.window import Window as W
+
+    iv = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(F.unix_millis("ts").alias("s"))
+        .withColumn("e", F.col("s") + 600000)
+    )
+    pts = iv.select(F.col("s").alias("t"), F.lit(1).alias("d")).unionByName(
+        iv.select(F.col("e").alias("t"), F.lit(-1).alias("d"))
+    )
+    run = pts.withColumn(
+        "conc",
+        F.sum("d").over(
+            W.orderBy(F.col("t").asc(), F.col("d").asc()).rowsBetween(
+                W.unboundedPreceding, W.currentRow
+            )
+        ),
+    )
+    n_iv = iv.count()
+    return run.agg(F.max("conc").alias("peak_concurrency")).select(
+        F.col("peak_concurrency").cast("long"),
+        F.lit(n_iv).cast("long").alias("n_intervals"),
+    )
