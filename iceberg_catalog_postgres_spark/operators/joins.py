@@ -344,3 +344,56 @@ def join_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             gap.alias("gap_ms"),
         )
     )
+
+
+@register(
+    "basket_part_pairs",
+    oracle="""
+    SELECT part_a, part_b, n_orders FROM (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(count(DISTINCT a.l_orderkey) AS BIGINT) AS n_orders,
+             row_number() OVER (
+               ORDER BY count(DISTINCT a.l_orderkey) DESC,
+                        a.l_partkey ASC, b.l_partkey ASC) AS rk
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    ) WHERE rk <= 20
+    """,
+    tags=("join", "basket", "co-occurrence"),
+)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the top-20 part pairs bought together
+    in the same order — the keyed self-join (on orderkey, never cross) +
+    pair dedup (a < b) + distinct-order count that seeds any
+    frequently-bought-together model.
+
+    Scale: the self-join shuffles on the basket key, so the pair space is
+    sum over baskets of k², bounded by basket size (lineitem maxes at 7
+    lines/order) — the same bounded-block argument as LSH buckets; at web
+    scale you cap or sample oversized baskets exactly like oversized LSH
+    buckets. Final top-k is a TakeOrdered, not a global sort.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.countDistinct("a.l_orderkey").alias("n_orders"))
+    )
+    from pyspark.sql.window import Window as W
+
+    rk = F.row_number().over(
+        W.orderBy(F.col("n_orders").desc(), F.col("part_a").asc(), F.col("part_b").asc())
+    )
+    return (
+        pairs.withColumn("rk", rk).filter(F.col("rk") <= 20).select(
+            "part_a", "part_b", "n_orders"
+        )
+    )
