@@ -183,3 +183,28 @@ def test_parse_partition_field_identity_fallback(parts):
     """Anything that is not bucket(...)/truncate(...) parses as identity."""
     name = "c" + "".join(str(p) for p in parts)
     assert parse_partition_field(name) == ("identity", None, name)
+
+
+@given(
+    st.lists(st.integers(0, 10**12), min_size=1, max_size=10, unique=True).map(sorted),
+    st.integers(0, 10**12),
+)
+def test_snapshot_as_of_resolution_rule(ts_list, probe):
+    """snapshot_as_of returns the LAST snapshot at-or-before the probe —
+    None before the first commit, the newest snapshot after the last."""
+    from iceberg_catalog_postgres_spark.catalog.metadata import Snapshot, TableMetadata
+
+    snaps = [
+        Snapshot(snapshot_id=i + 1, timestamp_ms=t, operation="append", data_files=[])
+        for i, t in enumerate(ts_list)
+    ]
+    md = TableMetadata(
+        table_uuid="u", location="loc", schema={"fields": []}, snapshots=snaps,
+        current_snapshot_id=len(ts_list),
+    )
+    got = md.snapshot_as_of(probe)
+    expect = None
+    for s in snaps:
+        if s.timestamp_ms <= probe:
+            expect = s
+    assert got is expect
