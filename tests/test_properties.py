@@ -208,3 +208,38 @@ def test_snapshot_as_of_resolution_rule(ts_list, probe):
         if s.timestamp_ms <= probe:
             expect = s
     assert got is expect
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(-10**6, 10**6), st.integers(0, 10**6), st.booleans()),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_chunk_summary_bounds_merge_property(specs):
+    """Merged chunk bounds are the exact min/max over covered entries; a
+    single truncated (None) upper poisons only the chunk's upper bound —
+    the lower stays usable, coverage count stays exact."""
+    from iceberg_catalog_postgres_spark.catalog.metadata import chunk_summary, decode_bound
+
+    entries = []
+    for i, (lo, width, hi_none) in enumerate(specs):
+        hi = None if hi_none else lo + width
+        entries.append(
+            {
+                "path": f"f{i}",
+                "kind": "data",
+                "seq": 1,
+                "stats": {"record_count": 1, "bounds": {"c": [lo, hi]}},
+            }
+        )
+    s = chunk_summary(entries)
+    b = s["bounds"]["c"]
+    los = [sp[0] for sp in specs]
+    assert decode_bound(b["lo"]) == min(los)
+    assert b["n"] == len(specs)
+    if any(h for (_, _, h) in specs):
+        assert b["hi"] is None
+    else:
+        assert decode_bound(b["hi"]) == max(lo + w for (lo, w, _) in specs)
