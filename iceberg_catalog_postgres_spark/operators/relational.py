@@ -660,3 +660,72 @@ def agg_numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).alias("hi_price"),
         )
     )
+
+
+@register(
+    "pareto_revenue_coverage",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey, sum(o_totalprice) AS r
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT r,
+             sum(r) OVER (ORDER BY r DESC, o_custkey ASC
+                          ROWS UNBOUNDED PRECEDING) AS cum_r,
+             sum(r) OVER () AS total_r,
+             row_number() OVER (ORDER BY r DESC, o_custkey ASC) AS rk
+      FROM rev
+    )
+    SELECT CAST((SELECT count(*) FROM rev) AS BIGINT) AS n_customers,
+           CAST(min(CASE WHEN cum_r >= 0.8 * total_r THEN rk END) AS BIGINT)
+             AS n_for_80pct,
+           round(CAST(min(CASE WHEN cum_r >= 0.8 * total_r THEN rk END) AS DOUBLE)
+                 / (SELECT count(*) FROM rev), 4) AS frac_for_80pct
+    FROM ranked
+    """,
+    tags=("aggregation", "pareto", "window"),
+)
+def pareto_revenue_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration: how many customers (and what fraction of the
+    customer base) cover 80% of total order revenue — the skew diagnostic
+    behind both business questions ("how concentrated is demand?") and
+    engineering ones (the same number predicts hot-key skew in any
+    customer-keyed shuffle).
+
+    Plan: one revenue groupBy, a descending running sum with a pinned
+    (revenue, custkey) tie order, and the first rank crossing the 0.8
+    line. The global window is over DISTINCT customers (small side);
+    production partitions the running sum by coarse revenue bucket when
+    even that is large.
+    """
+    from pyspark.sql.window import Window as W
+
+    rev = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("r"))
+    )
+    wrun = W.orderBy(F.col("r").desc(), F.col("o_custkey").asc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    wall = W.orderBy(F.lit(1)).rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    ranked = rev.select(
+        F.sum("r").over(wrun).alias("cum_r"),
+        F.sum("r").over(wall).alias("total_r"),
+        F.row_number().over(
+            W.orderBy(F.col("r").desc(), F.col("o_custkey").asc())
+        ).alias("rk"),
+    )
+    n_customers = rev.count()
+    return ranked.agg(
+        F.min(F.when(F.col("cum_r") >= 0.8 * F.col("total_r"), F.col("rk"))).alias(
+            "n_for_80pct"
+        )
+    ).select(
+        F.lit(n_customers).cast("long").alias("n_customers"),
+        F.col("n_for_80pct").cast("long"),
+        F.round(F.col("n_for_80pct").cast("double") / n_customers, 4).alias(
+            "frac_for_80pct"
+        ),
+    )
