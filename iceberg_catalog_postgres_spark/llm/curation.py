@@ -569,3 +569,107 @@ def llm_curation_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("n_tokens"),
         )
     )
+
+
+@register(
+    "dedup_cross_split_leakage",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS s
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM toks a JOIN toks b
+        ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+    ),
+    assigned AS (
+      SELECT doc_id,
+             CASE WHEN frac < 0.8 THEN 'train'
+                  WHEN frac < 0.9 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT doc_id,
+               CAST((doc_id * {KNUTH}) % {MOD32} AS DOUBLE) / {MOD32} AS frac
+        FROM documents
+      )
+    )
+    SELECT CAST((SELECT count(*) FROM pairs) AS BIGINT) AS n_neardup_pairs,
+           CAST(count(*) AS BIGINT)                     AS n_leaking_pairs,
+           CAST(count(CASE WHEN sa.split = 'train' AND sb.split = 'test'
+                             OR sa.split = 'test' AND sb.split = 'train'
+                      THEN 1 END) AS BIGINT)            AS n_train_test_leaks
+    FROM pairs p
+    JOIN assigned sa ON sa.doc_id = p.doc_a
+    JOIN assigned sb ON sb.doc_id = p.doc_b
+    WHERE sa.split != sb.split
+    """,
+    tags=("llm", "curation", "dedup", "leakage"),
+)
+def dedup_cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN/TEST LEAKAGE through near-duplicates: a random doc-level split
+    puts near-identical documents on opposite sides, silently inflating
+    eval scores — the failure mode cluster-aware splitting exists to
+    prevent. This query measures it: lang-blocked Jaccard pairs (the
+    certified near-dup arithmetic) joined against the deterministic split
+    assignment, counting pairs that straddle splits, with the
+    train-vs-test subset (the one that corrupts benchmarks) broken out.
+
+    The fix is split-by-cluster (assign the Knuth hash to the dup-cluster
+    representative, not the doc — `dedup_cluster_resolution` provides the
+    clusters); this query is the auditor that says whether you need it.
+
+    Scale: the pair join is the bounded-block near-dup shape; the split
+    join is two broadcast-sized lookups per pair. One documents scan feeds
+    both sides.
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    toks = d.select(
+        "doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("s")
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    jac = (
+        F.size(F.array_intersect(F.col("a.s"), F.col("b.s"))).cast("double")
+        / F.size(F.array_union(F.col("a.s"), F.col("b.s")))
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(jac >= 0.8)
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    frac = ((F.col("doc_id") * F.lit(KNUTH)) % F.lit(MOD32)).cast("double") / F.lit(MOD32)
+    split = (
+        F.when(frac < 0.8, F.lit("train"))
+        .when(frac < 0.9, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    assigned = d.select("doc_id", split.alias("split"))
+    n_pairs = pairs.count()
+    joined = (
+        pairs.join(
+            assigned.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")),
+            "doc_a",
+        )
+        .join(
+            assigned.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")),
+            "doc_b",
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+    )
+    tt = (
+        (F.col("split_a") == "train") & (F.col("split_b") == "test")
+    ) | ((F.col("split_a") == "test") & (F.col("split_b") == "train"))
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_leaking_pairs"),
+        F.count(F.when(tt, 1)).alias("n_train_test_leaks"),
+    ).select(
+        F.lit(n_pairs).cast("long").alias("n_neardup_pairs"),
+        "n_leaking_pairs",
+        "n_train_test_leaks",
+    )
