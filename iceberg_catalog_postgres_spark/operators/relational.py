@@ -693,11 +693,18 @@ def pareto_revenue_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     engineering ones (the same number predicts hot-key skew in any
     customer-keyed shuffle).
 
-    Plan: one revenue groupBy, a descending running sum with a pinned
-    (revenue, custkey) tie order, and the first rank crossing the 0.8
-    line. The global window is over DISTINCT customers (small side);
-    production partitions the running sum by coarse revenue bucket when
-    even that is large.
+    Plan (the 100 TB shape, implemented): one revenue groupBy; the grand
+    total / max / count come from a single 1-row aggregate (a bounded pull
+    used as plan literals — no unbounded window duplicating the total per
+    row); the descending running sum is PARTITIONED by coarse revenue
+    bucket (value-range bucketing is order-compatible: every row of a
+    higher bucket outranks every row of a lower one, and equal revenues
+    land in the same bucket so the (r desc, custkey asc) tie order is
+    preserved exactly). Per-bucket (sum, count) totals — one row per
+    bucket — feed an exclusive running sum over the ~64 bucket rows, and a
+    broadcast join stitches (cum_r, rk) = bucket offset + local window
+    value. No un-partitioned data-proportional window remains.
+    ``tests/test_sweepline_stitch.py`` pins stitched == global ranking.
     """
     from pyspark.sql.window import Window as W
 
@@ -706,20 +713,42 @@ def pareto_revenue_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(F.sum("o_totalprice").alias("r"))
     )
-    wrun = W.orderBy(F.col("r").desc(), F.col("o_custkey").asc()).rowsBetween(
-        W.unboundedPreceding, W.currentRow
+    n_customers, total_r, r_max = rev.agg(
+        F.count("*"), F.sum("r"), F.max("r")
+    ).first()
+    n_buckets = 64
+    width = (float(r_max) / n_buckets) if r_max else 1.0
+    b = rev.withColumn(
+        "bkt",
+        F.least(F.floor(F.col("r") / F.lit(width)), F.lit(n_buckets - 1)).cast("long"),
     )
-    wall = W.orderBy(F.lit(1)).rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    ranked = rev.select(
-        F.sum("r").over(wrun).alias("cum_r"),
-        F.sum("r").over(wall).alias("total_r"),
+    w_local = (
+        W.partitionBy("bkt")
+        .orderBy(F.col("r").desc(), F.col("o_custkey").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = b.select(
+        "bkt",
+        F.sum("r").over(w_local).alias("cum_local"),
         F.row_number().over(
-            W.orderBy(F.col("r").desc(), F.col("o_custkey").asc())
-        ).alias("rk"),
+            W.partitionBy("bkt").orderBy(F.col("r").desc(), F.col("o_custkey").asc())
+        ).alias("rk_local"),
     )
-    n_customers = rev.count()
+    totals = b.groupBy("bkt").agg(
+        F.sum("r").alias("bkt_r"), F.count("*").alias("bkt_n")
+    )
+    w_bkts = W.orderBy(F.col("bkt").desc()).rowsBetween(W.unboundedPreceding, -1)
+    offsets = totals.select(
+        "bkt",
+        F.coalesce(F.sum("bkt_r").over(w_bkts), F.lit(0.0)).alias("off_r"),
+        F.coalesce(F.sum("bkt_n").over(w_bkts), F.lit(0)).alias("off_n"),
+    )
+    ranked = local.join(F.broadcast(offsets), "bkt").select(
+        (F.col("off_r") + F.col("cum_local")).alias("cum_r"),
+        (F.col("off_n") + F.col("rk_local")).alias("rk"),
+    )
     return ranked.agg(
-        F.min(F.when(F.col("cum_r") >= 0.8 * F.col("total_r"), F.col("rk"))).alias(
+        F.min(F.when(F.col("cum_r") >= 0.8 * float(total_r), F.col("rk"))).alias(
             "n_for_80pct"
         )
     ).select(

@@ -402,40 +402,72 @@ def sessionize_gap_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("events", "analytics", "concurrency"),
 )
 def events_max_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PEAK CONCURRENCY by sweep-line: each purchase opens a 10-minute
-    interval; emit (+1 at start, -1 at end), sort, running-sum, take the
-    max — the classic capacity-planning question ("how many sessions were
-    ever open at once?") answered without any interval self-join. Equal
-    timestamps process ends before starts (delta ascending), so touching
-    intervals do not double-count.
+    """PEAK CONCURRENCY by BUCKETED sweep-line: each purchase opens a
+    10-minute interval; emit (+1 at start, -1 at end) and running-sum the
+    deltas in timestamp order, taking the max — the classic
+    capacity-planning question ("how many sessions were ever open at
+    once?") answered without any interval self-join. Equal timestamps
+    process ends before starts (delta ascending), so touching intervals do
+    not double-count.
 
-    Scale: the global ordered running sum is the documented small-side
-    exception at fixture scale; the 100 TB form partitions the sweep by
-    coarse time bucket and stitches boundary offsets (each bucket's
-    initial concurrency = sum of deltas before it — one extra aggregate),
-    keeping every shuffle keyed.
+    Scale (the 100 TB shape, implemented): the running sum is PARTITIONED
+    by coarse time bucket (1-hour) and stitched — within each bucket an
+    ordinary partitioned window computes the local prefix sum; a second
+    aggregate reduces each bucket to its delta total (one row per bucket),
+    a window over THOSE per-bucket rows (bounded by the time range, not
+    the data volume) produces each bucket's starting concurrency, and a
+    broadcast join adds the offset back. No un-partitioned data-
+    proportional window remains: every shuffle is keyed by bucket, and the
+    only ordered pass over "all rows" runs over one row per hour.
+    ``tests/test_sweepline_stitch.py`` pins bucketed == global on a skewed
+    synthetic burst.
     """
-    from pyspark.sql.window import Window as W
-
-    iv = (
-        load(spark, sf_dir, "events")
-        .filter(F.col("event_type") == "purchase")
-        .select(F.unix_millis("ts").alias("s"))
-        .withColumn("e", F.col("s") + 600000)
-    )
-    pts = iv.select(F.col("s").alias("t"), F.lit(1).alias("d")).unionByName(
-        iv.select(F.col("e").alias("t"), F.lit(-1).alias("d"))
-    )
-    run = pts.withColumn(
-        "conc",
-        F.sum("d").over(
-            W.orderBy(F.col("t").asc(), F.col("d").asc()).rowsBetween(
-                W.unboundedPreceding, W.currentRow
-            )
-        ),
-    )
-    n_iv = iv.count()
-    return run.agg(F.max("conc").alias("peak_concurrency")).select(
+    pts = _purchase_interval_deltas(load(spark, sf_dir, "events"))
+    n_iv = pts.count() // 2
+    peak = _bucketed_sweep_max(pts)
+    return peak.select(
         F.col("peak_concurrency").cast("long"),
         F.lit(n_iv).cast("long").alias("n_intervals"),
     )
+
+
+def _purchase_interval_deltas(events: DataFrame) -> DataFrame:
+    """(t, d) sweep-line points for the 10-minute purchase intervals."""
+    iv = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(F.unix_millis("ts").alias("s"))
+        .withColumn("e", F.col("s") + 600000)
+    )
+    return iv.select(F.col("s").alias("t"), F.lit(1).alias("d")).unionByName(
+        iv.select(F.col("e").alias("t"), F.lit(-1).alias("d"))
+    )
+
+
+def _bucketed_sweep_max(pts: DataFrame, bucket_ms: int = 3600_000) -> DataFrame:
+    """max running-sum of (t, d) deltas via the bucket-and-stitch recipe.
+
+    1. bucket = t div W — every subsequent shuffle is keyed on it.
+    2. local prefix sums inside each bucket (partitioned window).
+    3. per-bucket delta totals (one row per bucket) -> exclusive running
+       sum over buckets = each bucket's initial concurrency. This window
+       IS ordered but runs over |time-range / W| rows, not |data| rows.
+    4. broadcast the per-bucket offsets back; conc = offset + local.
+    """
+    from pyspark.sql.window import Window as W
+
+    b = pts.withColumn("bkt", F.floor(F.col("t") / F.lit(bucket_ms)).cast("long"))
+    w_local = (
+        W.partitionBy("bkt")
+        .orderBy(F.col("t").asc(), F.col("d").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = b.withColumn("run_local", F.sum("d").over(w_local))
+    totals = b.groupBy("bkt").agg(F.sum("d").alias("bkt_total"))
+    w_bkts = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    offsets = totals.select(
+        "bkt", F.coalesce(F.sum("bkt_total").over(w_bkts), F.lit(0)).alias("offset")
+    )
+    stitched = local.join(F.broadcast(offsets), "bkt").withColumn(
+        "conc", F.col("offset") + F.col("run_local")
+    )
+    return stitched.agg(F.max("conc").alias("peak_concurrency"))
