@@ -1358,12 +1358,14 @@ def catalog_bucket_transform_pruning(spark: SparkSession, sf_dir: str) -> DataFr
     written PARTITIONED BY bucket(8, o_custkey) — the shadow column is a
     hash expression, so the data files land one-per-bucket — and a point
     lookup on one customer plans via ``planned_files_transformed``: the
-    DRIVER maps the query value to its bucket (CRC-32 mod N, pure Python —
-    bit-identical to the Spark write expression, the documented deviation
-    from Iceberg's murmur3) and prunes to 1/8 of the files from the
-    metadata dictionary, zero footers (counter-asserted), zero data reads
-    for planning. The pruned scan + row filter must equal the full-filter
-    oracle.
+    DRIVER maps the query value to its bucket (spec-faithful murmur3-32 of
+    the typed bytes, `(hash & Int.MAX) % N`, pure Python — bit-identical
+    to the Spark-side JVM expression the writer used, and to what an
+    external Iceberg reader computes; spec vectors pinned in
+    tests/test_partition_transforms.py) and prunes to 1/8 of the files
+    from the metadata dictionary, zero footers (counter-asserted), zero
+    data reads for planning. The pruned scan + row filter must equal the
+    full-filter oracle.
 
     Scale: identity partitioning cannot handle high-cardinality keys (10^8
     customers = 10^8 directories); bucket(N) bounds the partition count at

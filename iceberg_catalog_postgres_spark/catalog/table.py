@@ -51,17 +51,34 @@ BOUND_TRUNCATE_LENGTH = 16
 # ---------------------------------------------------------------------------
 # Partition transforms (Iceberg PartitionSpec transforms, public spec):
 # a spec entry is either a bare column name (identity) or
-# "bucket(N,col)" / "truncate(W,col)". Deviation from the Iceberg binary
-# spec, documented: bucket uses CRC-32 of the value's string form instead of
-# murmur3-32 — CRC-32 is bit-identical between the JVM (Spark ``crc32``) and
-# Python (``zlib.crc32``), which is what lets the DRIVER-side planner map a
-# query value to its bucket without a Spark job. Truncate follows Iceberg:
+# "bucket(N,col)" / "truncate(W,col)". bucket follows the Iceberg binary
+# spec: murmur3_x86_32 (seed 0) of the TYPED byte form — int/long widened to
+# 8-byte little-endian, string as UTF-8 — then (hash & Int.MAX) % N, so an
+# external Iceberg reader (official Spark runtime jar, Trino) pointed at one
+# of these tables computes the SAME bucket assignments. The hash is
+# implemented twice, bit-identically: pure Python (``murmur3_32``) for the
+# driver-side planner, and as a JVM column expression built from Spark
+# built-ins (``murmur3_32_long_col`` / ``murmur3_32_utf8_col`` — 32-bit
+# arithmetic on masked longs, higher-order-function word loop; no UDF, no
+# Python in the write path). Iceberg's own spec vectors are pinned in
+# tests/test_partition_transforms.py. Tables written before this existed
+# carry ``write.bucket-hash=crc32`` semantics (property absent) and keep the
+# legacy CRC-32-of-str hash — documented deviation, flagged so foreign
+# readers can refuse rather than mis-read. Truncate follows Iceberg:
 # strings -> prefix, integers -> floor-to-width (negative-safe).
+# Bucket/truncate source columns are restricted to int/long/string at
+# create/evolve time (``validate_partition_spec``): the typed byte form for
+# other types (double, boolean, decimal) is not implemented, and silently
+# hashing their string form is exactly the mis-pruning trap ADVICE flagged.
 # ---------------------------------------------------------------------------
 import re as _re
 import zlib as _zlib
 
 _TRANSFORM_RE = _re.compile(r"^(bucket|truncate)\((\d+)\s*,\s*([A-Za-z0-9_]+)\)$")
+
+#: table property naming the bucket hash; absent (pre-r6 tables) == crc32.
+BUCKET_HASH_PROP = "write.bucket-hash"
+DEFAULT_BUCKET_HASH = "murmur3"
 
 
 def parse_partition_field(entry: str) -> tuple[str, int | None, str]:
@@ -72,23 +89,188 @@ def parse_partition_field(entry: str) -> tuple[str, int | None, str]:
     return "identity", None, entry
 
 
-def transform_value(entry: str, v) -> str | None:
+def murmur3_32(data: bytes, seed: int = 0) -> int:
+    """murmur3_x86_32 (Austin Appleby, public domain), returning the SIGNED
+    32-bit value Java produces — the hash Iceberg's bucket transform
+    specifies. Pinned against the spec's Appendix-B vectors in tests."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & 0xFFFFFFFF
+    n = len(data)
+    for i in range(n // 4):
+        k = int.from_bytes(data[i * 4 : i * 4 + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    tail = data[(n // 4) * 4 :]
+    if tail:
+        k = int.from_bytes(tail, "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def _bucket_value_bytes(v) -> bytes:
+    """Iceberg's typed byte form for bucketable values: int/long as 8-byte
+    little-endian two's complement (int is widened, so int and long columns
+    bucket identically per the spec), string as UTF-8."""
+    if isinstance(v, bool):
+        raise TypeError("bucket() does not support boolean (Iceberg spec)")
+    if isinstance(v, int):
+        return (v & 0xFFFFFFFFFFFFFFFF).to_bytes(8, "little")
+    if isinstance(v, str):
+        return v.encode("utf-8")
+    raise TypeError(f"bucket() source must be int/long/string, got {type(v).__name__}")
+
+
+def transform_value(
+    entry: str, v, bucket_hash: str = DEFAULT_BUCKET_HASH, src_type: str | None = None
+) -> str | None:
     """Driver-side transform of a query value to its recorded partition
     tuple value — pure Python, no Spark job, so scan planning on a
-    transformed spec stays a metadata dictionary walk."""
+    transformed spec stays a metadata dictionary walk. ``src_type``
+    (Iceberg type name of the SOURCE column, when the caller knows the
+    schema) coerces the query value to the column's type first, so a point
+    lookup passed "34" against an int column still plans the right bucket."""
     kind, param, _col = parse_partition_field(entry)
     if v is None:
         return None
+    if src_type in ("int", "long", "integer", "bigint", "smallint", "tinyint") and not isinstance(v, bool):
+        v = int(v)
+    elif src_type == "string":
+        v = str(v)
     if kind == "identity":
         return str(v)
     if kind == "bucket":
-        return str(_zlib.crc32(str(v).encode("utf-8")) % param)
+        if bucket_hash == "crc32":
+            return str(_zlib.crc32(str(v).encode("utf-8")) % param)
+        return str((murmur3_32(_bucket_value_bytes(v)) & 0x7FFFFFFF) % param)
     if isinstance(v, str):
         return v[:param]
     return str(int(v) - int(v) % param)
 
 
-def transform_column(entry: str, dtype) -> "F.Column":
+# -- JVM-side murmur3_x86_32: 32-bit arithmetic on masked longs. Every
+# intermediate stays < 2^48, so no 64-bit overflow even under ANSI mode;
+# every step is a Spark built-in, so the write path stays whole-stage
+# codegen / JVM higher-order-function territory — no UDF. --
+
+
+def _u32(c):
+    from pyspark.sql import functions as F
+
+    return c.bitwiseAND(F.lit(0xFFFFFFFF))
+
+
+def _mul32(c, const: int):
+    """(c * const) mod 2^32 for c < 2^32 without overflowing a signed long:
+    split the constant into 16-bit halves."""
+    from pyspark.sql import functions as F
+
+    lo, hi = const & 0xFFFF, const >> 16
+    return _u32(
+        c * F.lit(lo)
+        + F.shiftleft((c * F.lit(hi)).bitwiseAND(F.lit(0xFFFF)), 16)
+    )
+
+
+def _rotl32(c, r: int):
+    from pyspark.sql import functions as F
+
+    return _u32(F.shiftleft(c, r).bitwiseOR(F.shiftright(c, 32 - r)))
+
+
+def _mm3_mix_k(k):
+    k = _mul32(k, 0xCC9E2D51)
+    k = _rotl32(k, 15)
+    return _mul32(k, 0x1B873593)
+
+
+def _mm3_step(h, k):
+    from pyspark.sql import functions as F
+
+    h = _u32(h.bitwiseXOR(_mm3_mix_k(k)))
+    h = _rotl32(h, 13)
+    return _u32(h * F.lit(5) + F.lit(0xE6546B64))
+
+
+def _mm3_fmix(h, n):
+    from pyspark.sql import functions as F
+
+    h = _u32(h.bitwiseXOR(n))
+    h = h.bitwiseXOR(F.shiftright(h, 16))
+    h = _mul32(h, 0x85EBCA6B)
+    h = h.bitwiseXOR(F.shiftright(h, 13))
+    h = _mul32(h, 0xC2B2AE35)
+    return h.bitwiseXOR(F.shiftright(h, 16))
+
+
+def murmur3_32_long_col(c):
+    """murmur3_x86_32(seed 0) of a long column's 8-byte little-endian form —
+    two 32-bit words, loop unrolled. Returns the UNSIGNED value as a long
+    (mask with 0x7FFFFFFF for Iceberg's bucket, exactly Java's
+    ``hash & Integer.MAX_VALUE``)."""
+    from pyspark.sql import functions as F
+
+    c = c.cast("long")
+    w0 = _u32(c)
+    w1 = _u32(F.shiftrightunsigned(c, 32))
+    h = F.lit(0).cast("long")
+    for w in (w0, w1):
+        h = _mm3_step(h, w)
+    return _mm3_fmix(h, F.lit(8))
+
+
+def murmur3_32_utf8_col(c):
+    """murmur3_x86_32(seed 0) of a string column's UTF-8 bytes, entirely in
+    JVM expressions: byte extraction via substr+hex+conv, the 4-byte word
+    loop via transform/aggregate higher-order functions, the tail via
+    length-guarded byte sums. Bit-identical to the pure-Python
+    ``murmur3_32`` (property-tested)."""
+    from pyspark.sql import functions as F
+
+    b = F.encode(c, "UTF-8")
+    n = F.length(b).cast("long")
+    nwords = F.floor(n / 4).cast("int")
+
+    def byte_at(pos):  # 1-based position -> byte value as long
+        return F.conv(F.hex(b.substr(pos, F.lit(1))), 16, 10).cast("long")
+
+    def word_at(i):  # i: 0-based word index column -> little-endian u32
+        base = (i * 4 + 1).cast("long")
+        return (
+            byte_at(base)
+            + byte_at(base + F.lit(1)) * 256
+            + byte_at(base + F.lit(2)) * 65536
+            + byte_at(base + F.lit(3)) * 16777216
+        )
+
+    words = F.when(nwords > 0, F.transform(F.sequence(F.lit(0), nwords - 1), word_at)).otherwise(
+        F.array().cast("array<long>")
+    )
+    h = F.aggregate(words, F.lit(0).cast("long"), _mm3_step)
+    tail_len = (n - nwords.cast("long") * 4).cast("int")
+    tail_base = nwords.cast("long") * 4
+    k1 = F.lit(0).cast("long")
+    for j in range(3):
+        k1 = k1 + F.when(
+            tail_len > j, byte_at(tail_base + F.lit(j + 1)) * (256**j)
+        ).otherwise(F.lit(0))
+    h = F.when(tail_len > 0, _u32(h.bitwiseXOR(_mm3_mix_k(k1)))).otherwise(h)
+    return _mm3_fmix(h, n)
+
+
+def transform_column(entry: str, dtype, bucket_hash: str = DEFAULT_BUCKET_HASH) -> "F.Column":
     """The Spark expression whose value matches ``transform_value`` —
     applied as the shadow partition column at write time."""
     from pyspark.sql import functions as F
@@ -99,12 +281,53 @@ def transform_column(entry: str, dtype) -> "F.Column":
     if kind == "identity":
         return c.cast("string")
     if kind == "bucket":
-        return F.pmod(F.crc32(c.cast("string").cast("binary")), F.lit(param)).cast(
-            "string"
+        if bucket_hash == "crc32":
+            return F.pmod(
+                F.crc32(c.cast("string").cast("binary")), F.lit(param)
+            ).cast("string")
+        h = (
+            murmur3_32_utf8_col(c)
+            if isinstance(dtype, StringType)
+            else murmur3_32_long_col(c)
         )
+        return F.pmod(h.bitwiseAND(F.lit(0x7FFFFFFF)), F.lit(param)).cast("string")
     if isinstance(dtype, StringType):
         return F.substring(c, 1, param)
     return (c - F.pmod(c, F.lit(param))).cast("long").cast("string")
+
+
+def _bucket_hash_of(metadata) -> str:
+    """The table's bucket hash: explicit property, else legacy CRC-32 (every
+    table created before the property existed was written with CRC-32 — a
+    murmur3 default on old tables would silently re-map their buckets)."""
+    return metadata.properties.get(BUCKET_HASH_PROP, "crc32")
+
+
+def validate_partition_spec(partition_by: list[str], schema: "StructType") -> None:
+    """Reject spec entries whose source column is missing or (for
+    bucket/truncate) not int/long/string — the types whose typed byte /
+    floor form is implemented identically driver-side and JVM-side. A
+    double or boolean bucket column would silently mis-prune (ADVICE r5),
+    so it fails at create/evolve time instead."""
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+    )
+
+    ok = (ByteType, ShortType, IntegerType, LongType, StringType)
+    by_name = {f.name: f.dataType for f in schema.fields}
+    for e in partition_by:
+        kind, _param, col = parse_partition_field(e)
+        if col not in by_name:
+            raise ValueError(f"partition columns not in schema: ['{e}']")
+        if kind in ("bucket", "truncate") and not isinstance(by_name[col], ok):
+            raise ValueError(
+                f"{kind}() source column {col} must be int/long/string, "
+                f"got {by_name[col].simpleString()}"
+            )
 
 #: Footer opens performed by the read/plan path (NOT the write path — writers
 #: legitimately read their own freshly-written footers once at commit). Lets
@@ -287,13 +510,7 @@ class TableBuilder:
         self.schema = schema
         self.identifier_field_ids = identifier_field_ids
         if partition_by:
-            missing = [
-                e
-                for e in partition_by
-                if parse_partition_field(e)[2] not in schema.fieldNames()
-            ]
-            if missing:
-                raise ValueError(f"partition columns not in schema: {missing}")
+            validate_partition_spec(partition_by, schema)
         self.partition_by = list(partition_by or [])
 
     def commit(self) -> "Table":
@@ -305,6 +522,10 @@ class TableBuilder:
             self.identifier_field_ids,
             partition_spec=self.partition_by,
         )
+        # New tables are spec-faithful murmur3 bucketing, recorded explicitly
+        # so readers never have to guess; pre-existing tables lack the
+        # property and keep legacy CRC-32 semantics (_bucket_hash_of).
+        metadata.properties.setdefault(BUCKET_HASH_PROP, DEFAULT_BUCKET_HASH)
         metadata_location = posixpath.join(
             self.location, "metadata", f"v1-{uuid.uuid4().hex}.metadata.json"
         )
@@ -778,18 +999,28 @@ class Table:
     ) -> list[str]:
         """Transform-aware partition pruning: ``filters`` maps SOURCE column
         -> query value; each spec entry over a filtered column is applied
-        DRIVER-SIDE (``transform_value`` — CRC-32 bucket / truncate prefix,
-        pure Python, no Spark job) and the resulting tuple values prune via
+        DRIVER-SIDE (``transform_value`` — murmur3-32 bucket per the Iceberg
+        spec, or legacy CRC-32 when the table's ``write.bucket-hash``
+        property says so; truncate prefix/floor; pure Python, no Spark job)
+        and the resulting tuple values prune via
         ``planned_files_partition``. This is how a point lookup on a
         ``bucket(N, key)``-partitioned 100 TB table plans 1/N of the files
-        from the metadata dictionary alone. Identity specs degrade to the
-        plain path, so callers can always use this entry point."""
+        from the metadata dictionary alone. The query value is coerced to
+        the SOURCE column's schema type before hashing (an int column
+        filtered with "34" still plans the right bucket — the r5 ADVICE
+        canonicalization trap). Identity specs degrade to the plain path,
+        so callers can always use this entry point."""
         spec = self.metadata.partition_spec
+        bucket_hash = _bucket_hash_of(self.metadata)
+        src_types = {f.name: f.dataType.simpleString() for f in self.schema.fields}
         tuple_filters = {}
         for entry in spec:
             col = parse_partition_field(entry)[2]
             if col in filters:
-                tuple_filters[entry] = transform_value(entry, filters[col])
+                tuple_filters[entry] = transform_value(
+                    entry, filters[col], bucket_hash=bucket_hash,
+                    src_type=src_types.get(col),
+                )
         if not tuple_filters:
             # no spec entry covers the filtered columns: every file might match
             store = self.catalog.object_store()
@@ -1394,9 +1625,7 @@ class Table:
         """
         from dataclasses import replace as _dc_replace
 
-        for e in partition_by:
-            if parse_partition_field(e)[2] not in [f.name for f in self.schema.fields]:
-                raise ValueError(f"unknown partition column: {e}")
+        validate_partition_spec(partition_by, self.schema)
 
         def edit(md):
             return _dc_replace(md, partition_spec=list(partition_by))
@@ -1581,11 +1810,13 @@ class Transaction:
                 return "__p_" + _re2.sub(r"[^A-Za-z0-9_]", "_", entry)
 
             shadow_to_entry = {_shadow_name(e): e for e in spec}
+            _bh = _bucket_hash_of(self.table.metadata)
             aug = df
             for e in spec:
                 col = parse_partition_field(e)[2]
                 aug = aug.withColumn(
-                    _shadow_name(e), transform_column(e, dtypes.get(col))
+                    _shadow_name(e),
+                    transform_column(e, dtypes.get(col), bucket_hash=_bh),
                 )
             aug.write.mode("overwrite").partitionBy(
                 *[_shadow_name(e) for e in spec]

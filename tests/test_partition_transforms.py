@@ -102,3 +102,117 @@ def test_truncate_string_partitioned_pruning(catalog, spark):
         for r in spark.read.schema(s).parquet(*planned).collect()
     )
     assert got == ["banan", "blueb"]
+
+
+# ---------------------------------------------------------------------------
+# r6: spec-faithful murmur3 bucketing
+# ---------------------------------------------------------------------------
+
+def test_murmur3_iceberg_spec_vectors():
+    """The Iceberg spec's own Appendix-B bucket-hash vectors, pinned: an
+    external Iceberg reader (Spark runtime jar, Trino) must compute the
+    same bucket for these values."""
+    from iceberg_catalog_postgres_spark.catalog.table import murmur3_32
+
+    assert murmur3_32((34).to_bytes(8, "little")) == 2017239379        # int/long 34
+    assert murmur3_32("iceberg".encode()) == 1210000089                # string
+    assert murmur3_32((1510871468000000).to_bytes(8, "little")) == -2047944441  # ts micros
+    assert murmur3_32((17486).to_bytes(8, "little")) == -653330422     # date days
+
+
+def test_murmur3_column_exprs_match_python(spark):
+    """JVM expression == pure-Python hash, bit-for-bit, across word-count
+    and tail-length classes incl. negative longs and multibyte UTF-8."""
+    from pyspark.sql import functions as F
+
+    from iceberg_catalog_postgres_spark.catalog.table import (
+        murmur3_32,
+        murmur3_32_long_col,
+        murmur3_32_utf8_col,
+    )
+
+    longs = [34, 0, -1, -34, 2**62, -(2**62), 2**63 - 1, -(2**63)]
+    df = spark.createDataFrame([(v,) for v in longs], "v long")
+    got = [r[0] for r in df.select(murmur3_32_long_col(F.col("v")).alias("h")).collect()]
+    want = [murmur3_32((v & (2**64 - 1)).to_bytes(8, "little")) & 0xFFFFFFFF for v in longs]
+    assert got == want
+
+    strs = ["", "a", "ab", "abc", "abcd", "abcde", "iceberg", "éé", "日本語テスト"]
+    df2 = spark.createDataFrame([(s,) for s in strs], "s string")
+    got2 = [r[0] for r in df2.select(murmur3_32_utf8_col(F.col("s")).alias("h")).collect()]
+    want2 = [murmur3_32(s.encode()) & 0xFFFFFFFF for s in strs]
+    assert got2 == want2
+
+
+def test_bucket_source_type_validated(catalog, spark):
+    """bucket()/truncate() on a double or boolean column is rejected at
+    create AND at spec evolution (the ADVICE r5 mis-pruning trap)."""
+    from pyspark.sql.types import BooleanType, DoubleType
+
+    s = StructType(
+        [StructField("d", DoubleType(), True), StructField("k", LongType(), True)]
+    )
+    with pytest.raises(ValueError, match="must be int/long/string"):
+        catalog.create_table(
+            TableIdentifier.parse("pt.bad1"), s, partition_by=["bucket(4,d)"]
+        )
+    s2 = StructType(
+        [StructField("b", BooleanType(), True), StructField("k", LongType(), True)]
+    )
+    with pytest.raises(ValueError, match="must be int/long/string"):
+        catalog.create_table(
+            TableIdentifier.parse("pt.bad2"), s2, partition_by=["truncate(2,b)"]
+        )
+    t = catalog.create_table(TableIdentifier.parse("pt.ok1"), s, partition_by=["k"])
+    with pytest.raises(ValueError, match="must be int/long/string"):
+        t.commit_partition_spec(["bucket(4,d)"])
+
+
+def test_new_tables_record_murmur3_property(catalog, spark):
+    from iceberg_catalog_postgres_spark.catalog.table import BUCKET_HASH_PROP
+
+    s = StructType([StructField("k", LongType(), True)])
+    t = catalog.create_table(
+        TableIdentifier.parse("pt.prop1"), s, partition_by=["bucket(4,k)"]
+    )
+    assert t.metadata.properties[BUCKET_HASH_PROP] == "murmur3"
+
+
+def test_legacy_crc32_table_still_plans_consistently(catalog, spark):
+    """A table whose metadata predates the property (simulated by deleting
+    it) keeps CRC-32 end-to-end: the planner must use the hash the files
+    were WRITTEN with, not the new default."""
+    from iceberg_catalog_postgres_spark.catalog.table import BUCKET_HASH_PROP
+
+    s = StructType(
+        [StructField("k", LongType(), True), StructField("v", LongType(), True)]
+    )
+    t = catalog.create_table(
+        TableIdentifier.parse("pt.legacy"), s, partition_by=["bucket(4,k)"]
+    )
+    del t.metadata.properties[BUCKET_HASH_PROP]  # pre-r6 table shape
+    df = spark.createDataFrame([(i, i * 10) for i in range(64)], s)
+    t = t.new_transaction().append_dataframe(df.coalesce(1)).commit()
+    t2 = catalog.load_table(TableIdentifier.parse("pt.legacy"))
+    assert BUCKET_HASH_PROP not in t2.metadata.properties
+    for k in (0, 13, 63):
+        planned = t2.planned_files_transformed({"k": k})
+        assert len(planned) == 1
+        rows = spark.read.schema(s).parquet(*planned).filter(f"k = {k}").collect()
+        assert [(r["k"], r["v"]) for r in rows] == [(k, k * 10)]
+
+
+def test_planner_coerces_string_query_value_for_int_column(catalog, spark):
+    """planned_files_transformed({'k': '13'}) on a long column must plan the
+    same single file as the typed value (schema-driven coercion)."""
+    s = StructType(
+        [StructField("k", LongType(), True), StructField("v", LongType(), True)]
+    )
+    t = catalog.create_table(
+        TableIdentifier.parse("pt.coerce"), s, partition_by=["bucket(4,k)"]
+    )
+    df = spark.createDataFrame([(i, i * 10) for i in range(64)], s)
+    t = t.new_transaction().append_dataframe(df.coalesce(1)).commit()
+    assert t.planned_files_transformed({"k": "13"}) == t.planned_files_transformed(
+        {"k": 13}
+    )

@@ -121,8 +121,15 @@ def test_bucket_transform_in_range_and_stable(v, n):
     b = transform_value(entry, v)
     assert 0 <= int(b) < n
     assert transform_value(entry, v) == b
-    # string form of the same number buckets identically (planner contract)
-    assert transform_value(entry, str(v)) == b
+    # planner contract: a query value arriving as a string still maps to the
+    # column's bucket once the caller passes the source type (the typed
+    # murmur3 hash distinguishes int 34 from string "34" by design —
+    # planned_files_transformed coerces via the schema)
+    assert transform_value(entry, str(v), src_type="bigint") == b
+    # legacy CRC-32 tables keep the untyped str-form equivalence
+    assert transform_value(entry, str(v), bucket_hash="crc32") == transform_value(
+        entry, v, bucket_hash="crc32"
+    )
 
 
 @given(st.integers(min_value=-(2**40), max_value=2**40), st.integers(1, 1000))
