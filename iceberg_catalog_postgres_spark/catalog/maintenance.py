@@ -1736,16 +1736,34 @@ def update_column_ndv(spark: SparkSession, table: Table, columns: list[str]) -> 
         prev_covered = []
     covered_set = set(prev_covered)
     new_files = [f for f in cur_files if f not in covered_set]
-    if not new_files and all(f"ndv.sketch.{c}" in props for c in columns):
-        return table
+    # A column never sketched before needs a FULL pass over the current
+    # snapshot: the delta-only read skips files covered for OTHER columns,
+    # which would leave the new column estimate-less forever (ADVICE r5).
+    uncovered_cols = [c for c in columns if f"ndv.sketch.{c}" not in props]
+    delta_cols = [c for c in columns if f"ndv.sketch.{c}" in props]
+    if not cur_files or (not new_files and not uncovered_cols):
+        return table  # nothing to sketch and nothing changed: no commit
 
     fresh: dict[str, bytes] = {}
-    if new_files:
+    if new_files and delta_cols:
         df = table._read_data_files(spark, new_files, snap.file_seqs if snap else {})
         row = df.agg(
-            *[F.hll_sketch_agg(F.col(c).cast("string")).alias(c) for c in columns]
+            *[F.hll_sketch_agg(F.col(c).cast("string")).alias(c) for c in delta_cols]
         ).first()
-        for c in columns:
+        for c in delta_cols:
+            if row[c] is not None:
+                fresh[c] = bytes(row[c])
+    if uncovered_cols:
+        df_all = table._read_data_files(
+            spark, cur_files, snap.file_seqs if snap else {}
+        )
+        row = df_all.agg(
+            *[
+                F.hll_sketch_agg(F.col(c).cast("string")).alias(c)
+                for c in uncovered_cols
+            ]
+        ).first()
+        for c in uncovered_cols:
             if row[c] is not None:
                 fresh[c] = bytes(row[c])
     for c in columns:
@@ -1768,6 +1786,10 @@ def update_column_ndv(spark: SparkSession, table: Table, columns: list[str]) -> 
         est = spark.range(1).select(F.hll_sketch_estimate(F.lit(merged))).first()[0]
         props[f"ndv.sketch.{c}"] = base64.b64encode(merged).decode()
         props[f"ndv.estimate.{c}"] = int(est)
+    if not fresh and not new_files:
+        # requested columns were all-NULL over the full pass and coverage
+        # did not move: no property changed, so don't land a no-op commit
+        return table
     props["ndv.covered-files"] = [*prev_covered, *new_files]
 
     new_md = _dc_replace(md, properties=props)
@@ -2075,9 +2097,17 @@ def catalog_rewrite_eq_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .commit()
     )
 
-    before_rows = {
-        (r["o_orderkey"], r["o_orderstatus"]) for r in table.to_df(spark).collect()
-    }
+    def _content_fingerprint(df: DataFrame):
+        # order-insensitive table fingerprint: count + sum(hash(row)) — the
+        # repo's hash-aggregate parity idiom (compaction / GDPR checks); a
+        # full-table .collect() into Python sets would make the CHECK the
+        # scale bottleneck of a metadata-only operator.
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.hash("o_orderkey", "o_orderstatus")).alias("h"),
+        ).first()
+
+    before_fp = _content_fingerprint(table.to_df(spark))
     data_before = sorted(table.metadata.current_data_files())
 
     table = rewrite_equality_deletes(spark, table)
@@ -2087,10 +2117,7 @@ def catalog_rewrite_eq_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     data_files_untouched = sorted(snap.data_files) == data_before
 
     after_df = table.to_df(spark)
-    after_rows = {
-        (r["o_orderkey"], r["o_orderstatus"]) for r in after_df.collect()
-    }
-    parity = after_rows == before_rows
+    parity = _content_fingerprint(after_df) == before_fp
 
     return after_df.agg(
         F.count(F.lit(1)).alias("n_rows_after"),
@@ -2765,10 +2792,15 @@ def vacuum(
     before_snaps = len(table.metadata.snapshots)
     table = expire_snapshots(table, keep_last=keep_last_snapshots)
     report["snapshots_expired"] = before_snaps - len(table.metadata.snapshots)
-    before_chunks = len(table.metadata.current_snapshot().manifests or [])
+    # A never-written table has no current snapshot; a scheduler sweeping
+    # every table must not crash on it (ADVICE r5) — the chunk janitor is
+    # simply a no-op there, orphan/metadata GC still run.
+    snap = table.metadata.current_snapshot()
+    before_chunks = len(snap.manifests or []) if snap else 0
     table = rewrite_manifests(table, max_chunks=max_manifest_chunks)
-    report["manifest_chunks_consolidated"] = before_chunks - len(
-        table.metadata.current_snapshot().manifests or []
+    snap = table.metadata.current_snapshot()
+    report["manifest_chunks_consolidated"] = before_chunks - (
+        len(snap.manifests or []) if snap else 0
     )
     orphans = remove_orphan_files(table, older_than_s=orphan_older_than_s)
     report["orphan_files_removed"] = orphans["n_orphans_deleted"]

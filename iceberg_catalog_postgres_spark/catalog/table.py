@@ -1394,16 +1394,26 @@ class Table:
                 for f in s.position_delete_files
                 if f not in set(parent.position_delete_files)
             ]
+            # Union all the snapshot's new delete files PER KEY SIGNATURE and
+            # run ONE semi-join per signature — mirroring _apply_eq_dels.
+            # Per-file semi-joins would emit a 'delete' change once per file
+            # for a key whose rows were split across part files (ADVICE r5);
+            # the semi-join against the unioned key frame dedups for free.
+            by_sig: dict[tuple[str, ...], list[DataFrame]] = {}
             for d in new_eq:
                 kf = spark.read.parquet(store.resolve(d))
                 sig = [self.current_name(c, s.file_seqs.get(d, 0)) for c in kf.columns]
                 remap = {o: n for o, n in zip(kf.columns, sig) if o != n}
                 if remap:
                     kf = kf.withColumnsRenamed(remap)
-                aliased = kf.select([F.col(c).alias(f"__k_{c}") for c in sig])
+                key = tuple(sorted(sig))
+                by_sig.setdefault(key, []).append(kf.select(*key))
+            for key, frames in by_sig.items():
+                keys_df = _reduce(lambda a, b: a.unionByName(b), frames)
+                aliased = keys_df.select([F.col(c).alias(f"__k_{c}") for c in key])
                 cond = _reduce(
                     lambda a, b: a & b,
-                    [base[c].eqNullSafe(F.col(f"__k_{c}")) for c in sig],
+                    [base[c].eqNullSafe(F.col(f"__k_{c}")) for c in key],
                 )
                 parts.append(
                     base.join(F.broadcast(aliased), cond, "left_semi")
@@ -1775,7 +1785,14 @@ class Transaction:
             mins_maxs = df.agg(
                 _F.min(a), _F.max(a), _F.min(b), _F.max(b)
             ).first()
-            a_lo, a_hi, b_lo, b_hi = [float(v) for v in mins_maxs]
+            # An empty frame or all-NULL column has no range to normalize:
+            # treat it as a degenerate [0,0] domain ( _scaled then emits the
+            # constant 0, i.e. that dimension drops out of the curve and the
+            # write degrades to a sort on the other column / plain write)
+            # instead of float(None) blowing up (ADVICE r5).
+            a_lo, a_hi, b_lo, b_hi = [
+                0.0 if v is None else float(v) for v in mins_maxs
+            ]
             bits = 11
             top = (1 << bits) - 1
 

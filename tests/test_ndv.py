@@ -69,3 +69,57 @@ def test_ndv_survives_reload_without_scans(catalog, spark):
     fresh = catalog.load_table(TableIdentifier.parse("ndv.t3"))
     assert column_ndv(fresh, "k") == 7
     assert column_ndv(fresh, "missing") is None
+
+
+S2 = StructType(
+    [StructField("k", LongType(), True), StructField("v", LongType(), True)]
+)
+
+
+def test_new_column_on_fully_covered_table_gets_full_sketch(catalog, spark):
+    """ADVICE r5: requesting NDV for a never-sketched column on a table
+    whose files are all covered (a prior run analyzed OTHER columns) must
+    sketch it over ALL current files, not the (empty) delta."""
+    t = catalog.create_table(TableIdentifier.parse("ndv.t4"), S2)
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame([(i, i % 7) for i in range(200)], S2).coalesce(1)
+    ).commit()
+    t = update_column_ndv(spark, t, ["k"])           # covers every file for k
+    assert column_ndv(t, "v") is None
+    t = update_column_ndv(spark, t, ["v"])           # zero delta files for v
+    assert column_ndv(t, "v") == 7                    # full pass, exact at 7
+    # and k's existing sketch is untouched
+    assert abs(column_ndv(t, "k") - 200) / 200 <= 0.05
+
+
+def test_new_column_full_pass_spans_covered_and_delta_files(catalog, spark):
+    """Mixed case: v never sketched + new files appended since k's ANALYZE.
+    v must see BOTH the covered and the delta files; k only the delta."""
+    t = catalog.create_table(TableIdentifier.parse("ndv.t5"), S2)
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame([(i, 0) for i in range(100)], S2).coalesce(1)
+    ).commit()
+    t = update_column_ndv(spark, t, ["k"])
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame([(i, 1) for i in range(100, 150)], S2).coalesce(1)
+    ).commit()
+    t = update_column_ndv(spark, t, ["k", "v"])
+    assert column_ndv(t, "v") == 2                    # saw value 0 (covered) AND 1 (delta)
+    assert abs(column_ndv(t, "k") - 150) / 150 <= 0.05
+    assert len(t.metadata.properties["ndv.covered-files"]) == len(
+        t.metadata.current_data_files()
+    )
+
+
+def test_no_commit_when_nothing_to_do(catalog, spark):
+    """Empty table, or all requested columns current with no delta: the
+    maintenance run must not land a metadata commit."""
+    t = catalog.create_table(TableIdentifier.parse("ndv.t6"), S2)
+    assert update_column_ndv(spark, t, ["k"]) is t    # no snapshot at all
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame([(1, 1)], S2).coalesce(1)
+    ).commit()
+    t = update_column_ndv(spark, t, ["k", "v"])
+    loc = t.metadata_location()
+    t2 = update_column_ndv(spark, t, ["k", "v"])
+    assert t2 is t and t2.metadata_location() == loc
