@@ -16,9 +16,19 @@ from iceberg_catalog_postgres_spark.catalog.catalog import (
 from iceberg_catalog_postgres_spark.catalog.maintenance import vacuum
 
 
-@pytest.fixture
-def catalog(tmp_path):
-    cat = PostgresCatalog.connect("advice_cat", None, str(tmp_path / "warehouse"))
+@pytest.fixture(params=["sqlite", "postgres"])
+def catalog(request, tmp_path):
+    """Both backends, like test_catalog.py — the torn-writer fault semantics
+    must hold against the real CAS implementation too."""
+    if request.param == "postgres":
+        import uuid as _uuid
+
+        url = request.getfixturevalue("pg_url")
+        cat = PostgresCatalog.connect(
+            f"adv_{_uuid.uuid4().hex[:10]}", url, str(tmp_path / "warehouse")
+        )
+    else:
+        cat = PostgresCatalog.connect("advice_cat", None, str(tmp_path / "warehouse"))
     cat.initialize()
     yield cat
     cat.backend.close()
@@ -82,3 +92,75 @@ def test_zorder_write_empty_frame(catalog, spark):
     df = spark.createDataFrame([], S)
     t = t.new_transaction().append_dataframe(df, zorder_by=["k", "v"]).commit()
     assert t.to_df(spark).count() == 0
+
+
+def test_torn_writer_orphan_invisible_and_reclaimed(catalog, spark):
+    """CAS fault injection — the orphan the reference's TODO (mod.rs:164)
+    leaves behind: a writer killed BETWEEN the metadata-JSON put and the
+    CAS UPDATE leaves staged data files + a dangling metadata document.
+    Contract: (1) readers never see the torn state (the pointer never
+    moved); (2) the staged data files are reclaimed by
+    remove_orphan_files; (3) the dangling metadata JSON ages out of
+    remove_old_metadata_files' retention window. VACUUM = both janitors."""
+    import glob
+    import os
+
+    from iceberg_catalog_postgres_spark.catalog.maintenance import (
+        remove_old_metadata_files,
+        remove_orphan_files,
+    )
+
+    t = catalog.create_table(TableIdentifier.parse("adv.torn"), S)
+    src = spark.createDataFrame([(i, i) for i in range(10)], S)
+    t = t.new_transaction().append_dataframe(src.coalesce(1)).commit()
+    store = catalog.object_store()
+    data_root = store.resolve(t.metadata.location + "/data")
+    meta_root = store.resolve(t.metadata.location + "/metadata")
+    files_before = set(glob.glob(os.path.join(data_root, "**", "*.parquet"), recursive=True))
+    metas_before = set(glob.glob(os.path.join(meta_root, "*.metadata.json")))
+
+    # writer killed between store.put(metadata) and the CAS UPDATE
+    killed = {"n": 0}
+    real_update = catalog.update_table
+
+    def dying_update(*a, **k):
+        killed["n"] += 1
+        raise RuntimeError("writer killed mid-commit")
+
+    catalog.update_table = dying_update
+    try:
+        with pytest.raises(RuntimeError, match="killed mid-commit"):
+            t.new_transaction().append_dataframe(
+                spark.createDataFrame([(100, 100)], S).coalesce(1)
+            ).commit()
+    finally:
+        catalog.update_table = real_update
+    assert killed["n"] == 1
+
+    torn_data = set(glob.glob(os.path.join(data_root, "**", "*.parquet"), recursive=True)) - files_before
+    torn_meta = set(glob.glob(os.path.join(meta_root, "*.metadata.json"))) - metas_before
+    assert torn_data and torn_meta  # the fault really left both behind
+
+    # (1) invisible to readers: fresh load sees only the committed snapshot
+    t2 = catalog.load_table(TableIdentifier.parse("adv.torn"))
+    assert len(t2.metadata.snapshots) == 1
+    assert t2.to_df(spark).count() == 10
+
+    # (2) staged data files reclaimed by orphan GC (age gate opted out)
+    rep = remove_orphan_files(t2, older_than_s=0.0)
+    assert rep["n_orphans_deleted"] >= len(torn_data)
+    left = set(glob.glob(os.path.join(data_root, "**", "*.parquet"), recursive=True))
+    assert not (left & torn_data)
+    assert t2.to_df(spark).count() == 10  # committed data untouched
+
+    # (3) the dangling metadata doc ages out of the retention window
+    for i in range(3):
+        t2 = t2.new_transaction().append_dataframe(
+            spark.createDataFrame([(200 + i, 0)], S).coalesce(1)
+        ).commit()
+    remove_old_metadata_files(t2, keep_last=2)
+    metas_left = set(glob.glob(os.path.join(meta_root, "*.metadata.json")))
+    assert not (metas_left & torn_meta)
+    # and the table still loads and reads after both janitors
+    t3 = catalog.load_table(TableIdentifier.parse("adv.torn"))
+    assert t3.to_df(spark).count() == 13
