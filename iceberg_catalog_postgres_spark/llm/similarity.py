@@ -333,7 +333,7 @@ def _ivf_assign(df: DataFrame, cents: list) -> DataFrame:
     return with_d.withColumn("cluster", F.array_position(arr, F.array_min(arr)) - 1)
 
 
-def _ivf_final_centroids(v: DataFrame) -> list:
+def _ivf_final_centroids(v: DataFrame, k: int = _IVF_K) -> list:
     """The deterministic 2-update Lloyd's loop shared by the IVF build and
     the IVF probe search (both must agree with the same unrolled oracle
     CTEs). Driver state is O(k*dim) only."""
@@ -342,7 +342,7 @@ def _ivf_final_centroids(v: DataFrame) -> list:
     # this list — an unsorted read order would silently permute cluster
     # identity vs the oracle's c0 = vec_id.
     centroids = sorted(
-        (r["vec_id"], r["e"]) for r in v.filter(F.col("vec_id") < _IVF_K).collect()
+        (r["vec_id"], r["e"]) for r in v.filter(F.col("vec_id") < k).collect()
     )
     for _ in range(2):  # 2 centroid updates; the 3rd iteration only re-assigns
         assigned = _ivf_assign(v, centroids)
