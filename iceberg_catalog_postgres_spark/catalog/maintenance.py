@@ -1438,6 +1438,25 @@ def overwrite_partitions(spark: SparkSession, table: Table, df: DataFrame) -> Ta
             "partition overwrite"
         )
 
+    # Mixed-spec guard (r6 self-review): a file written under an OLDER spec
+    # (partition evolution) or with no recorded tuple (raw append_files)
+    # cannot be matched against the incoming batch's partition values — its
+    # rows may belong to a replaced partition, and keeping it would leave
+    # them stale next to the restated data. Reads are superset-safe with
+    # mixed specs; a partition-scoped REPLACE is not. Explicit > silently
+    # wrong: require a compaction/rewrite first.
+    spec_keys = tuple(sorted(table.metadata.partition_spec))
+    _old_parts_probe = dict(snap.file_partitions) if snap else {}
+    for f in (snap.data_files if snap else []):
+        tup = _old_parts_probe.get(f)
+        if tup is None or tuple(sorted(tup.keys())) != spec_keys:
+            raise ValueError(
+                "dynamic partition overwrite requires every current data "
+                f"file to carry a partition tuple under the CURRENT spec; "
+                f"{f} was written under a different spec (or none) — "
+                "compact/rewrite before a partition overwrite"
+            )
+
     tx = table.new_transaction().append_dataframe(df)
     staged_files = list(tx._staged_files)
     staged_parts = dict(tx._staged_partitions)

@@ -1709,15 +1709,30 @@ class Transaction:
         snapshots cherry-pick cleanly; anything else needs a data-aware
         merge and raises."""
         md = self.table.metadata
-        snap = md.snapshot_by_id(snapshot_id)
+        try:
+            snap = md.snapshot_by_id(snapshot_id)
+        except StopIteration:
+            raise ValueError(f"no such snapshot: {snapshot_id}") from None
         if snap.operation != "append":
             raise ValueError(
                 f"only append snapshots cherry-pick (got {snap.operation})"
             )
-        snaps = md.snapshots
-        idx = next(i for i, s in enumerate(snaps) if s.snapshot_id == snapshot_id)
-        parent_files = set(snaps[idx - 1].data_files) if idx > 0 else set()
-        delta = [f for f in snap.data_files if f not in parent_files]
+        # The snapshot's OWN delta, read from its recorded per-file sequence
+        # numbers (a file added BY this snapshot carries its sequence
+        # number), never from list-position diffing: the snapshots list is
+        # commit-ordered across branches, so the positional predecessor of a
+        # branch commit can be an unrelated main snapshot — diffing against
+        # an interleaved overwrite there would resurrect the whole old
+        # lineage as "new" files (r6 self-review find).
+        delta = [
+            f for f in snap.data_files
+            if snap.file_seqs.get(f) == snap.sequence_number
+        ]
+        if not delta:
+            raise ValueError(
+                f"snapshot {snapshot_id} added no data files; nothing to "
+                "cherry-pick"
+            )
         return self.append_files(
             delta, stats=dict(snap.file_stats), partitions=dict(snap.file_partitions)
         )
