@@ -149,6 +149,29 @@ def transform_value(
         v = int(v)
     elif src_type == "string":
         v = str(v)
+    elif src_type == "date":
+        # Iceberg hashes dates as days-from-epoch widened to long
+        import datetime as _dt
+
+        if isinstance(v, str):
+            v = _dt.date.fromisoformat(v)
+        if isinstance(v, _dt.datetime):
+            v = v.date()
+        if isinstance(v, _dt.date):
+            v = (v - _dt.date(1970, 1, 1)).days
+        v = int(v)
+    elif src_type and src_type.startswith("timestamp"):
+        # Iceberg hashes timestamps as microseconds-from-epoch (long);
+        # naive values are read as UTC (the repo pins the session tz UTC)
+        import datetime as _dt
+
+        if isinstance(v, str):
+            v = _dt.datetime.fromisoformat(v)
+        if isinstance(v, _dt.datetime):
+            epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+            d = v - epoch
+            v = (d.days * 86400 + d.seconds) * 1_000_000 + d.microseconds
+        v = int(v)
     if kind == "identity":
         return str(v)
     if kind == "bucket":
@@ -285,11 +308,19 @@ def transform_column(entry: str, dtype, bucket_hash: str = DEFAULT_BUCKET_HASH) 
             return F.pmod(
                 F.crc32(c.cast("string").cast("binary")), F.lit(param)
             ).cast("string")
-        h = (
-            murmur3_32_utf8_col(c)
-            if isinstance(dtype, StringType)
-            else murmur3_32_long_col(c)
-        )
+        from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+
+        if isinstance(dtype, StringType):
+            h = murmur3_32_utf8_col(c)
+        elif isinstance(dtype, DateType):
+            # Iceberg: days-from-epoch widened to long
+            h = murmur3_32_long_col(F.unix_date(c))
+        elif isinstance(dtype, (TimestampType, TimestampNTZType)):
+            # Iceberg: microseconds-from-epoch; NTZ wall-clock reads as UTC
+            # (session tz pinned UTC repo-wide), matching the driver side
+            h = murmur3_32_long_col(F.unix_micros(c.cast("timestamp")))
+        else:
+            h = murmur3_32_long_col(c)
         return F.pmod(h.bitwiseAND(F.lit(0x7FFFFFFF)), F.lit(param)).cast("string")
     if isinstance(dtype, StringType):
         return F.substring(c, 1, param)
@@ -311,21 +342,31 @@ def validate_partition_spec(partition_by: list[str], schema: "StructType") -> No
     so it fails at create/evolve time instead."""
     from pyspark.sql.types import (
         ByteType,
+        DateType,
         IntegerType,
         LongType,
         ShortType,
         StringType,
+        TimestampNTZType,
+        TimestampType,
     )
 
-    ok = (ByteType, ShortType, IntegerType, LongType, StringType)
+    ints = (ByteType, ShortType, IntegerType, LongType)
+    bucket_ok = (*ints, StringType, DateType, TimestampType, TimestampNTZType)
+    truncate_ok = (*ints, StringType)
     by_name = {f.name: f.dataType for f in schema.fields}
     for e in partition_by:
         kind, _param, col = parse_partition_field(e)
         if col not in by_name:
             raise ValueError(f"partition columns not in schema: ['{e}']")
-        if kind in ("bucket", "truncate") and not isinstance(by_name[col], ok):
+        if kind == "bucket" and not isinstance(by_name[col], bucket_ok):
             raise ValueError(
-                f"{kind}() source column {col} must be int/long/string, "
+                f"bucket() source column {col} must be int/long/string/"
+                f"date/timestamp, got {by_name[col].simpleString()}"
+            )
+        if kind == "truncate" and not isinstance(by_name[col], truncate_ok):
+            raise ValueError(
+                f"truncate() source column {col} must be int/long/string, "
                 f"got {by_name[col].simpleString()}"
             )
 

@@ -4,6 +4,7 @@ and driver-side Python planner must agree bit-for-bit."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from iceberg_catalog_postgres_spark.catalog.catalog import PostgresCatalog, TableIdentifier
@@ -216,3 +217,82 @@ def test_planner_coerces_string_query_value_for_int_column(catalog, spark):
     assert t.planned_files_transformed({"k": "13"}) == t.planned_files_transformed(
         {"k": 13}
     )
+
+
+def test_bucket_date_timestamp_spec_vectors():
+    """Iceberg spec vectors for date/timestamp bucketing through the public
+    planner API with schema-driven coercion."""
+    import datetime as dt
+
+    # date 2017-11-16 = 17486 days -> hash -653330422
+    want_date = str((-653330422 & 0x7FFFFFFF) % 16)
+    assert transform_value("bucket(16,c)", dt.date(2017, 11, 16), src_type="date") == want_date
+    assert transform_value("bucket(16,c)", "2017-11-16", src_type="date") == want_date
+    assert transform_value("bucket(16,c)", 17486, src_type="date") == want_date
+    # timestamp 2017-11-16T22:31:08 = 1510871468000000 us -> hash -2047944441
+    want_ts = str((-2047944441 & 0x7FFFFFFF) % 16)
+    assert transform_value(
+        "bucket(16,c)", dt.datetime(2017, 11, 16, 22, 31, 8), src_type="timestamp"
+    ) == want_ts
+    assert transform_value(
+        "bucket(16,c)", 1510871468000000, src_type="timestamp"
+    ) == want_ts
+
+
+def test_bucket_date_partitioned_roundtrip_and_pruning(catalog, spark):
+    """A date-bucketed table: writer expression and driver planner agree,
+    point lookups prune to one bucket."""
+    import datetime as dt
+
+    from pyspark.sql.types import DateType
+
+    s = StructType(
+        [StructField("d", DateType(), True), StructField("v", LongType(), True)]
+    )
+    rows = [(dt.date(2024, 1, 1) + dt.timedelta(days=i), i) for i in range(40)]
+    df = spark.createDataFrame(rows, s)
+    t = catalog.create_table(
+        TableIdentifier.parse("pt.dates"), s, partition_by=["bucket(4,d)"]
+    )
+    t = t.new_transaction().append_dataframe(df.coalesce(1)).commit()
+    assert len(t.metadata.current_snapshot().data_files) == 4
+    probe = dt.date(2024, 1, 15)
+    planned = t.planned_files_transformed({"d": probe})
+    assert len(planned) == 1
+    got = [
+        (r["d"], r["v"])
+        for r in spark.read.schema(s).parquet(*planned)
+        .filter(F.col("d") == F.lit(probe)).collect()
+    ]
+    assert got == [(probe, 14)]
+    # string query value coerces through the schema type too
+    assert t.planned_files_transformed({"d": "2024-01-15"}) == planned
+
+
+def test_bucket_timestamp_partitioned_roundtrip(catalog, spark):
+    import datetime as dt
+
+    from pyspark.sql.types import TimestampType
+
+    s = StructType(
+        [StructField("ts", TimestampType(), True), StructField("v", LongType(), True)]
+    )
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    rows = [
+        (dt.datetime(2024, 3, 1, 0, 0, 0) + dt.timedelta(hours=i), i)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, s)
+    t = catalog.create_table(
+        TableIdentifier.parse("pt.tstamps"), s, partition_by=["bucket(4,ts)"]
+    )
+    t = t.new_transaction().append_dataframe(df.coalesce(1)).commit()
+    probe = dt.datetime(2024, 3, 1, 7, 0, 0)
+    planned = t.planned_files_transformed({"ts": probe})
+    assert len(planned) == 1
+    got = [
+        r["v"]
+        for r in spark.read.schema(s).parquet(*planned)
+        .filter(F.col("ts") == F.lit(probe)).collect()
+    ]
+    assert got == [7]
