@@ -57,21 +57,80 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window", "rank"),
 )
 def window_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rank / dense_rank / ntile over a global ordering.
+    """rank / dense_rank / ntile over a GLOBAL ordering — via the
+    bucket-and-stitch recipe, so even global ranking runs no
+    un-partitioned data-proportional window (r6; previously the
+    documented single-reducer exemplar).
 
-    Scale: an un-partitioned window is a single-reducer sort — acceptable
-    only for provably small inputs (supplier is the smallest table). At 100 TB
-    you partition by a key or pre-aggregate first; this query documents the
-    anti-pattern boundary deliberately.
+    - rank: value-range bucket on the order key (equal values share a
+      bucket, so ties never span buckets and rank = per-bucket rank +
+      prior-bucket row count); the only ordered pass over "everything" is
+      the per-bucket totals window (<= 32 rows).
+    - dense_rank over nationkey: the offset IS the rank of the distinct
+      value — a distinct-values frame (bounded by nation cardinality)
+      ranked and broadcast back.
+    - ntile(k): pure arithmetic on the stitched global row_number with the
+      scalar total (Spark's extras-to-first-buckets distribution),
+      certified equal to the built-in by the unchanged oracle.
     """
-    s = load(spark, sf_dir, "supplier")
-    w_bal = Window.orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey").asc())
-    w_nat = Window.orderBy(F.col("s_nationkey").asc())
-    return s.select(
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_acctbal", "s_nationkey"
+    )
+    n, bal_lo, bal_hi = s.agg(
+        F.count("*"), F.min("s_acctbal"), F.max("s_acctbal")
+    ).first()
+    nb = 32
+    width = (float(bal_hi) - float(bal_lo)) / nb or 1.0
+    b = s.withColumn(
+        "bkt",
+        F.least(
+            F.floor((F.col("s_acctbal") - float(bal_lo)) / width), F.lit(nb - 1)
+        ).cast("long"),
+    )
+    w_local = Window.partitionBy("bkt").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey").asc()
+    )
+    local = b.select(
         "s_suppkey",
-        F.rank().over(w_bal).alias("rnk"),
-        F.dense_rank().over(w_nat).alias("drnk"),
-        F.ntile(4).over(w_bal).alias("quartile"),
+        "s_nationkey",
+        "bkt",
+        F.rank().over(w_local).alias("rnk_local"),
+        F.row_number().over(w_local).alias("rn_local"),
+    )
+    totals = b.groupBy("bkt").agg(F.count("*").alias("bkt_n"))
+    w_bkts = Window.orderBy(F.col("bkt").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "bkt", F.coalesce(F.sum("bkt_n").over(w_bkts), F.lit(0)).alias("off_n")
+    )
+    # dense_rank(nationkey) == rank of the DISTINCT value: tiny frame,
+    # ranked once, broadcast back
+    nat_rank = (
+        s.select("s_nationkey")
+        .distinct()
+        .select(
+            "s_nationkey",
+            F.row_number()
+            .over(Window.orderBy(F.col("s_nationkey").asc()))
+            .alias("drnk"),
+        )
+    )
+    rn = F.col("off_n") + F.col("rn_local")
+    k = 4
+    q, r = int(n) // k, int(n) % k
+    quartile = F.when(rn <= r * (q + 1), ((rn - 1) / (q + 1)).cast("long")).otherwise(
+        r + ((rn - r * (q + 1) - 1) / max(q, 1)).cast("long")
+    ) + 1
+    return (
+        local.join(F.broadcast(offsets), "bkt")
+        .join(F.broadcast(nat_rank), "s_nationkey")
+        .select(
+            "s_suppkey",
+            (F.col("off_n") + F.col("rnk_local")).cast("int").alias("rnk"),
+            F.col("drnk").cast("int"),
+            quartile.cast("int").alias("quartile"),
+        )
     )
 
 

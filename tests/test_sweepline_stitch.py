@@ -132,3 +132,67 @@ def test_pareto_value_matches_prior_global_form(spark):
     got = pareto_revenue_coverage(spark, SF_SMOKE).first()
     assert got["n_for_80pct"] == want
     assert got["n_customers"] == n
+
+
+def test_global_ranking_stitch_matches_builtin(spark):
+    """window_rank_dense_ntile's bucket-stitched rank/dense_rank/ntile must
+    equal Spark's built-in global windows, including tie groups (equal
+    acctbal) and the ntile extras-to-first-buckets distribution."""
+    from pyspark.sql.window import Window as W
+
+    from iceberg_catalog_postgres_spark.operators.windows import (
+        window_rank_dense_ntile,
+    )
+    from iceberg_catalog_postgres_spark.registry import load
+    from tests.conftest import SF_SMOKE
+
+    got = {
+        r["s_suppkey"]: (r["rnk"], r["drnk"], r["quartile"])
+        for r in window_rank_dense_ntile(spark, SF_SMOKE).collect()
+    }
+    s = load(spark, SF_SMOKE, "supplier")
+    w_bal = W.orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey").asc())
+    w_nat = W.orderBy(F.col("s_nationkey").asc())
+    want = {
+        r["s_suppkey"]: (r["rnk"], r["drnk"], r["quartile"])
+        for r in s.select(
+            "s_suppkey",
+            F.rank().over(w_bal).alias("rnk"),
+            F.dense_rank().over(w_nat).alias("drnk"),
+            F.ntile(4).over(w_bal).alias("quartile"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_global_ranking_stitch_with_heavy_ties(spark):
+    """Synthetic frame where one tie group holds half the rows: rank gaps
+    and ntile boundaries must survive the stitch (ties share a value-range
+    bucket by construction)."""
+    from pyspark.sql.window import Window as W
+
+    rows = [(i, 500.0 if i % 2 == 0 else float(i), i % 5) for i in range(200)]
+    df = spark.createDataFrame(rows, "s_suppkey long, s_acctbal double, s_nationkey int")
+
+    import iceberg_catalog_postgres_spark.operators.windows as wmod
+    orig_load = wmod.load
+    wmod.load = lambda sp, d, t: df
+    try:
+        got = {
+            r["s_suppkey"]: (r["rnk"], r["drnk"], r["quartile"])
+            for r in wmod.window_rank_dense_ntile(spark, "ignored").collect()
+        }
+    finally:
+        wmod.load = orig_load
+    w_bal = W.orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey").asc())
+    w_nat = W.orderBy(F.col("s_nationkey").asc())
+    want = {
+        r["s_suppkey"]: (r["rnk"], r["drnk"], r["quartile"])
+        for r in df.select(
+            "s_suppkey",
+            F.rank().over(w_bal).alias("rnk"),
+            F.dense_rank().over(w_nat).alias("drnk"),
+            F.ntile(4).over(w_bal).alias("quartile"),
+        ).collect()
+    }
+    assert got == want
