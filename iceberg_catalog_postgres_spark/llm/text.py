@@ -412,16 +412,21 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint used to spot boilerplate floods and tokenizer mismatches
     before training).
 
-    Plan: one token explode + groupBy (the only corpus-wide shuffle), a
-    global rank window over the VOCABULARY (small — vocab, not corpus),
-    then ``regr_slope``/``regr_r2`` built-in aggregates — JVM-side
-    throughout, no UDF, no collect.
+    Plan: one token explode + groupBy (the only corpus-wide shuffle), then
+    ``regr_slope``/``regr_r2`` built-in aggregates — JVM-side throughout,
+    no UDF, no collect.
 
-    Scale: the explode+count is the token-frequency shuffle every corpus
-    stat shares; the regression runs over distinct tokens only (10^5-10^7
-    rows at web scale), so the fit itself is trivial. The single-partition
-    rank window over the vocab is the documented small-side exception, not
-    a corpus-wide sort.
+    Scale (r6): the vocabulary rank is a TWO-LEVEL bucket-and-stitch, so
+    even a 10^7-token web-scale vocab never funnels through one reducer.
+    Level 1 partitions by the frequency value itself (the order key's tie
+    group): per-frequency counts feed an exclusive running sum over ONE
+    ROW PER DISTINCT FREQUENCY (bounded by the count domain — thousands,
+    not vocab-sized). Level 2 breaks the giant n=1 tie group by token
+    first-character: per-(frequency, prefix) local row_numbers plus
+    per-frequency prefix offsets (a window over <= 256 rows per
+    frequency). rank = frequency offset + prefix offset + local
+    row_number — exact, because (n desc, token asc) ordering decomposes
+    as (n) -> (first char) -> (token).
     """
     from pyspark.sql.window import Window
 
@@ -431,9 +436,29 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    ranked = freq.withColumn(
-        "rank",
-        F.row_number().over(Window.orderBy(F.col("n").desc(), F.col("token").asc())),
+    b = freq.withColumn("pfx", F.substring("token", 1, 1))
+    w_local = Window.partitionBy("n", "pfx").orderBy(F.col("token").asc())
+    local = b.withColumn("rn_local", F.row_number().over(w_local))
+    # level 2: prefix offsets WITHIN each frequency (<= charset rows per n)
+    pfx_tot = b.groupBy("n", "pfx").agg(F.count(F.lit(1)).alias("pn"))
+    w_pfx = (
+        Window.partitionBy("n")
+        .orderBy(F.col("pfx").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pfx_off = pfx_tot.select(
+        "n", "pfx", F.coalesce(F.sum("pn").over(w_pfx), F.lit(0)).alias("p_off")
+    )
+    # level 1: frequency offsets (one row per DISTINCT count value)
+    n_tot = b.groupBy("n").agg(F.count(F.lit(1)).alias("nn"))
+    w_n = Window.orderBy(F.col("n").desc()).rowsBetween(Window.unboundedPreceding, -1)
+    n_off = n_tot.select(
+        "n", F.coalesce(F.sum("nn").over(w_n), F.lit(0)).alias("f_off")
+    )
+    ranked = (
+        local.join(F.broadcast(pfx_off), ["n", "pfx"])
+        .join(F.broadcast(n_off), "n")
+        .withColumn("rank", F.col("f_off") + F.col("p_off") + F.col("rn_local"))
     )
     return ranked.agg(
         F.count(F.lit(1)).alias("n_vocab"),

@@ -179,13 +179,41 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("advanced", "window"),
 )
 def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """percent_rank / cume_dist distribution window functions."""
-    s = load(spark, sf_dir, "supplier")
-    w = Window.orderBy(F.col("s_acctbal").asc(), F.col("s_suppkey").asc())
-    return s.select(
-        "s_suppkey",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    """percent_rank / cume_dist distribution window functions — via the
+    bucket-and-stitch global row_number (r6): the ORDER key
+    (acctbal, suppkey) is total, so percent_rank = (rn-1)/(n-1) and
+    cume_dist = rn/n with rn = value-range-bucket local row_number +
+    prior-bucket count offset. No un-partitioned data window; the only
+    ordered pass runs over the <= 32 per-bucket totals."""
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    n, lo, hi = s.agg(F.count("*"), F.min("s_acctbal"), F.max("s_acctbal")).first()
+    nb = 32
+    width = (float(hi) - float(lo)) / nb or 1.0
+    b = s.withColumn(
+        "bkt",
+        F.least(F.floor((F.col("s_acctbal") - float(lo)) / width), F.lit(nb - 1)).cast(
+            "long"
+        ),
+    )
+    w_local = Window.partitionBy("bkt").orderBy(
+        F.col("s_acctbal").asc(), F.col("s_suppkey").asc()
+    )
+    local = b.select("s_suppkey", "bkt", F.row_number().over(w_local).alias("rn_local"))
+    totals = b.groupBy("bkt").agg(F.count("*").alias("bkt_n"))
+    w_bkts = Window.orderBy(F.col("bkt").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "bkt", F.coalesce(F.sum("bkt_n").over(w_bkts), F.lit(0)).alias("off_n")
+    )
+    rn = (F.col("off_n") + F.col("rn_local")).cast("double")
+    return (
+        local.join(F.broadcast(offsets), "bkt")
+        .select(
+            "s_suppkey",
+            F.round((rn - 1) / max(int(n) - 1, 1), 6).alias("pct_rank"),
+            F.round(rn / int(n), 6).alias("cume"),
+        )
     )
 
 

@@ -387,13 +387,13 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("a.l_orderkey").alias("n_orders"))
     )
-    from pyspark.sql.window import Window as W
-
-    rk = F.row_number().over(
-        W.orderBy(F.col("n_orders").desc(), F.col("part_a").asc(), F.col("part_b").asc())
-    )
+    # top-k as orderBy+limit -> TakeOrderedAndProject (per-partition heaps
+    # + tiny driver merge), never a global row_number window over the full
+    # pair space (r6: the window form was the last sort-everything top-k)
     return (
-        pairs.withColumn("rk", rk).filter(F.col("rk") <= 20).select(
-            "part_a", "part_b", "n_orders"
+        pairs.orderBy(
+            F.col("n_orders").desc(), F.col("part_a").asc(), F.col("part_b").asc()
         )
+        .limit(20)
+        .select("part_a", "part_b", "n_orders")
     )
