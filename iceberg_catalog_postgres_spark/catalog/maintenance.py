@@ -1403,6 +1403,61 @@ def catalog_bucket_transform_pruning(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+@register(
+    "catalog_day_transform_pruning",
+    oracle="""
+    WITH v AS (SELECT min(CAST(ts AS DATE)) AS d FROM events)
+    SELECT CAST(count(*) AS BIGINT)      AS n_rows,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           true AS pruned_to_one_day,
+           true AS planning_metadata_only
+    FROM events, v WHERE CAST(ts AS DATE) = v.d
+    """,
+    tags=("catalog", "partition", "transform", "temporal", "pruning"),
+)
+def catalog_day_transform_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg ``day(ts)`` temporal partition transform certified: events
+    is written PARTITIONED BY day(ts) — the hive-style daily layout every
+    event/log table at 100 TB uses — and a one-day query plans via
+    ``planned_files_transformed``: the DRIVER maps the probe date to its
+    days-from-epoch value (floor semantics, identical to the Spark-side
+    write expression) and prunes to that day's files from the metadata
+    dictionary, zero footers (counter-asserted). The pruned scan + day
+    filter must equal the full-filter oracle.
+
+    Scale: temporal transforms bound the partition count by the time range
+    (not row count) while making the dominant access pattern — "one
+    day/hour of the stream" — a metadata-only prune; this plus bucket(N)
+    covers the two canonical Iceberg layouts.
+    """
+    import iceberg_catalog_postgres_spark.catalog.table as _tm
+
+    cat = _fresh_catalog("catalog_day_demo")
+    src = load(spark, sf_dir, "events").select("user_id", "ts")
+    probe_day = src.agg(F.min(F.to_date("ts"))).first()[0]
+    ident = TableIdentifier.parse("maint.events_daily")
+    table = cat.create_table(ident, src.schema, partition_by=["day(ts)"])
+    table = table.new_transaction().append_dataframe(src.coalesce(4)).commit()
+
+    n_total = len(table.metadata.current_data_files())
+    before = _tm.PLANNING_FOOTER_READS
+    planned = table.planned_files_transformed({"ts": probe_day})
+    planning_metadata_only = _tm.PLANNING_FOOTER_READS == before
+    pruned_to_one_day = 0 < len(planned) < n_total
+
+    return (
+        spark.read.schema(table.schema)
+        .parquet(*planned)
+        .filter(F.to_date("ts") == F.lit(probe_day))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .withColumn("pruned_to_one_day", F.lit(pruned_to_one_day))
+        .withColumn("planning_metadata_only", F.lit(planning_metadata_only))
+    )
+
+
 def overwrite_partitions(spark: SparkSession, table: Table, df: DataFrame) -> Table:
     """DYNAMIC partition overwrite (Iceberg's ``INSERT OVERWRITE`` /
     ``overwritePartitions``): replace ONLY the partitions present in the

@@ -75,6 +75,7 @@ import re as _re
 import zlib as _zlib
 
 _TRANSFORM_RE = _re.compile(r"^(bucket|truncate)\((\d+)\s*,\s*([A-Za-z0-9_]+)\)$")
+_TEMPORAL_RE = _re.compile(r"^(year|month|day|hour)\(\s*([A-Za-z0-9_]+)\)$")
 
 #: table property naming the bucket hash; absent (pre-r6 tables) == crc32.
 BUCKET_HASH_PROP = "write.bucket-hash"
@@ -82,10 +83,14 @@ DEFAULT_BUCKET_HASH = "murmur3"
 
 
 def parse_partition_field(entry: str) -> tuple[str, int | None, str]:
-    """Spec entry -> (kind, param, column); kind in identity/bucket/truncate."""
+    """Spec entry -> (kind, param, column); kind in
+    identity/bucket/truncate/year/month/day/hour."""
     m = _TRANSFORM_RE.match(entry)
     if m:
         return m.group(1), int(m.group(2)), m.group(3)
+    m = _TEMPORAL_RE.match(entry)
+    if m:
+        return m.group(1), None, m.group(2)
     return "identity", None, entry
 
 
@@ -167,6 +172,8 @@ def transform_value(
 
         if isinstance(v, str):
             v = _dt.datetime.fromisoformat(v)
+        if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+            v = _dt.datetime(v.year, v.month, v.day)  # midnight of that day
         if isinstance(v, _dt.datetime):
             epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
             d = v - epoch
@@ -174,6 +181,41 @@ def transform_value(
         v = int(v)
     if kind == "identity":
         return str(v)
+    if kind in ("year", "month", "day", "hour"):
+        # Iceberg temporal transforms: year/month since 1970(-01), day as
+        # days-from-epoch, hour as hours-from-epoch — all floor semantics.
+        import datetime as _dt
+
+        unit = src_type
+        if unit is None:
+            if isinstance(v, _dt.datetime):
+                epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+                d = v - epoch
+                v = (d.days * 86400 + d.seconds) * 1_000_000 + d.microseconds
+                unit = "timestamp"
+            elif isinstance(v, _dt.date):
+                v = (v - _dt.date(1970, 1, 1)).days
+                unit = "date"
+            else:
+                raise ValueError(
+                    f"{kind}() needs src_type (date/timestamp) or a "
+                    "date/datetime value to disambiguate the unit"
+                )
+        if unit == "date":
+            days = int(v)
+            if kind == "hour":
+                raise TypeError("hour() requires a timestamp source column")
+        else:
+            us = int(v)
+            if kind == "hour":
+                return str(us // 3_600_000_000)
+            days = us // 86_400_000_000
+        if kind == "day":
+            return str(days)
+        d0 = _dt.date(1970, 1, 1) + _dt.timedelta(days=days)
+        if kind == "year":
+            return str(d0.year - 1970)
+        return str((d0.year - 1970) * 12 + d0.month - 1)
     if kind == "bucket":
         if bucket_hash == "crc32":
             return str(_zlib.crc32(str(v).encode("utf-8")) % param)
@@ -303,6 +345,36 @@ def transform_column(entry: str, dtype, bucket_hash: str = DEFAULT_BUCKET_HASH) 
     c = F.col(col)
     if kind == "identity":
         return c.cast("string")
+    if kind in ("year", "month", "day", "hour"):
+        from pyspark.sql.types import DateType
+
+        if isinstance(dtype, DateType):
+            if kind == "hour":
+                raise TypeError("hour() requires a timestamp source column")
+            if kind == "day":
+                out = F.unix_date(c)
+            elif kind == "year":
+                out = F.year(c) - 1970
+            else:
+                out = (F.year(c) - 1970) * 12 + F.month(c) - 1
+        else:
+            ts = c.cast("timestamp")
+            us = F.unix_micros(ts)
+
+            def _floordiv(x, d: int):
+                # exact floor division on longs (pmod keeps negatives
+                # floor-consistent with Python's //)
+                return ((x - F.pmod(x, F.lit(d))) / F.lit(d)).cast("long")
+
+            if kind == "hour":
+                out = _floordiv(us, 3_600_000_000)
+            elif kind == "day":
+                out = _floordiv(us, 86_400_000_000)
+            elif kind == "year":
+                out = F.year(ts) - 1970
+            else:
+                out = (F.year(ts) - 1970) * 12 + F.month(ts) - 1
+        return out.cast("long").cast("string")
     if kind == "bucket":
         if bucket_hash == "crc32":
             return F.pmod(
@@ -355,6 +427,7 @@ def validate_partition_spec(partition_by: list[str], schema: "StructType") -> No
     bucket_ok = (*ints, StringType, DateType, TimestampType, TimestampNTZType)
     truncate_ok = (*ints, StringType)
     by_name = {f.name: f.dataType for f in schema.fields}
+    temporal_ok = (DateType, TimestampType, TimestampNTZType)
     for e in partition_by:
         kind, _param, col = parse_partition_field(e)
         if col not in by_name:
@@ -367,6 +440,20 @@ def validate_partition_spec(partition_by: list[str], schema: "StructType") -> No
         if kind == "truncate" and not isinstance(by_name[col], truncate_ok):
             raise ValueError(
                 f"truncate() source column {col} must be int/long/string, "
+                f"got {by_name[col].simpleString()}"
+            )
+        if kind in ("year", "month", "day") and not isinstance(
+            by_name[col], temporal_ok
+        ):
+            raise ValueError(
+                f"{kind}() source column {col} must be date/timestamp, "
+                f"got {by_name[col].simpleString()}"
+            )
+        if kind == "hour" and not isinstance(
+            by_name[col], (TimestampType, TimestampNTZType)
+        ):
+            raise ValueError(
+                f"hour() source column {col} must be timestamp, "
                 f"got {by_name[col].simpleString()}"
             )
 

@@ -296,3 +296,93 @@ def test_bucket_timestamp_partitioned_roundtrip(catalog, spark):
         .filter(F.col("ts") == F.lit(probe)).collect()
     ]
     assert got == [7]
+
+
+def test_temporal_transform_values():
+    """Iceberg temporal transform semantics: year/month since 1970(-01),
+    day/hour from epoch, floor semantics — spec examples for
+    2017-11-16(T22:31:08)."""
+    import datetime as dt
+
+    d = dt.date(2017, 11, 16)
+    ts = dt.datetime(2017, 11, 16, 22, 31, 8)
+    assert transform_value("year(c)", d) == "47"
+    assert transform_value("month(c)", d) == str(47 * 12 + 10)
+    assert transform_value("day(c)", d) == "17486"
+    assert transform_value("year(c)", ts) == "47"
+    assert transform_value("day(c)", ts) == "17486"
+    assert transform_value("hour(c)", ts) == str(1510871468000000 // 3_600_000_000)
+    # pre-epoch floors
+    assert transform_value("day(c)", dt.date(1969, 12, 31)) == "-1"
+    assert transform_value("year(c)", dt.date(1969, 12, 31)) == "-1"
+    with pytest.raises(TypeError, match="hour"):
+        transform_value("hour(c)", d)
+    assert parse_partition_field("day(ts)") == ("day", None, "ts")
+
+
+def test_day_partitioned_roundtrip_and_pruning(catalog, spark):
+    """day(ts)-partitioned table: hive-style daily layout, point lookup on
+    one day plans exactly that day's file."""
+    import datetime as dt
+
+    from pyspark.sql.types import TimestampType
+
+    s = StructType(
+        [StructField("ts", TimestampType(), True), StructField("v", LongType(), True)]
+    )
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    rows = [
+        (dt.datetime(2024, 5, 1 + d, h, 0, 0), d * 100 + h)
+        for d in range(5)
+        for h in range(4)
+    ]
+    df = spark.createDataFrame(rows, s)
+    t = catalog.create_table(
+        TableIdentifier.parse("pt.daily"), s, partition_by=["day(ts)"]
+    )
+    t = t.new_transaction().append_dataframe(df.coalesce(1)).commit()
+    assert len(t.metadata.current_snapshot().data_files) == 5  # one per day
+    probe = dt.datetime(2024, 5, 3, 2, 0, 0)
+    planned = t.planned_files_transformed({"ts": probe})
+    assert len(planned) == 1
+    got = sorted(
+        r["v"] for r in spark.read.schema(s).parquet(*planned).collect()
+    )
+    assert got == [200, 201, 202, 203]  # the whole day's rows, nothing else
+
+
+def test_month_partitioned_date_column(catalog, spark):
+    import datetime as dt
+
+    from pyspark.sql.types import DateType
+
+    s = StructType(
+        [StructField("d", DateType(), True), StructField("v", LongType(), True)]
+    )
+    rows = [(dt.date(2024, 1 + m, 10 + i), m * 10 + i) for m in range(3) for i in range(3)]
+    t = catalog.create_table(
+        TableIdentifier.parse("pt.monthly"), s, partition_by=["month(d)"]
+    )
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame(rows, s).coalesce(1)
+    ).commit()
+    assert len(t.metadata.current_snapshot().data_files) == 3
+    planned = t.planned_files_transformed({"d": dt.date(2024, 2, 1)})
+    assert len(planned) == 1
+    got = sorted(r["v"] for r in spark.read.schema(s).parquet(*planned).collect())
+    assert got == [10, 11, 12]
+
+
+def test_temporal_source_type_validated(catalog, spark):
+    s = StructType(
+        [StructField("k", LongType(), True), StructField("x", StringType(), True)]
+    )
+    with pytest.raises(ValueError, match="must be date/timestamp"):
+        catalog.create_table(TableIdentifier.parse("pt.badt1"), s, partition_by=["day(k)"])
+    import datetime as dt  # noqa: F401
+
+    from pyspark.sql.types import DateType
+
+    s2 = StructType([StructField("d", DateType(), True)])
+    with pytest.raises(ValueError, match="hour\\(\\) source column"):
+        catalog.create_table(TableIdentifier.parse("pt.badt2"), s2, partition_by=["hour(d)"])
