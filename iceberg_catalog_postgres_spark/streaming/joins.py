@@ -264,3 +264,115 @@ def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
             (F.count(F.lit(1)) - F.count("pts_ms")).alias("n_unmatched"),
         )
     )
+
+
+@register(
+    "stream_stream_full_outer_join",
+    oracle="""
+    WITH m AS (
+      SELECT least(
+        (SELECT max(ts) FROM events WHERE event_type = 'error'),
+        (SELECT max(ts) FROM events WHERE event_type = 'purchase')
+      ) - INTERVAL 45 MINUTE AS cut
+    ),
+    e AS (SELECT user_id, ts FROM events WHERE event_type = 'error'),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    j AS (
+      SELECT e.user_id AS eu, e.ts AS ets, p.user_id AS pu, p.ts AS pts
+      FROM e FULL JOIN p
+        ON e.user_id = p.user_id
+       AND p.ts >= e.ts AND p.ts < e.ts + INTERVAL 10 MINUTE
+    )
+    SELECT coalesce(eu, pu) AS user_id,
+           count(*) AS n_rows,
+           count(CASE WHEN ets IS NOT NULL AND pts IS NOT NULL THEN 1 END) AS n_matched,
+           count(CASE WHEN pts IS NULL THEN 1 END) AS n_err_unmatched,
+           count(CASE WHEN ets IS NULL THEN 1 END) AS n_pur_unmatched
+    FROM j, m
+    WHERE (ets IS NOT NULL AND ets < m.cut) OR (ets IS NULL AND pts < m.cut)
+    GROUP BY coalesce(eu, pu)
+    """,
+    tags=("streaming", "stream-join", "outer", "full"),
+)
+def stream_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — both sides emit: matches
+    inside [ets, ets+10min) immediately, unmatched ERRORS once the right
+    watermark proves no purchase can arrive, unmatched PURCHASES once the
+    left watermark proves no error preceded them. Completes the streaming
+    join matrix (inner / left outer / full outer), all three
+    oracle-certified.
+
+    Certification geometry (why each row filters on its OWN anchor): a
+    half-plane cutoff applied to both INPUTS cannot be exact for a full
+    join — restricting purchases re-classifies an error whose only match
+    lay beyond the cutoff, and vice versa. Instead the emitted ROWS are
+    filtered by category anchor (matched + unmatched-error rows by error
+    time, unmatched-purchase rows by purchase time), with the join itself
+    unrestricted; the oracle applies the identical row-level predicate to
+    an unrestricted batch FULL JOIN. Inside the 45-minute horizon (global
+    watermark = min over both sides - 30min, plus the 10-minute interval)
+    every category's emission is provably complete, so stream == batch
+    EXACTLY.
+
+    Scale: state is the same watermark-bounded window as the inner join on
+    BOTH sides, plus tombstone passes for the two unmatched categories —
+    O(events in the eviction window), never O(stream).
+    """
+    from iceberg_catalog_postgres_spark.streaming.windows import _read_event_stream
+
+    ev = load(spark, sf_dir, "events")
+    mx = (
+        ev.filter(F.col("event_type").isin("error", "purchase"))
+        .groupBy("event_type")
+        .agg(F.max("ts").alias("m"))
+        .agg(F.min("m"))
+        .first()[0]
+    )
+    cutoff_ms = int(mx.timestamp() * 1000) - 45 * 60 * 1000
+
+    s = _read_event_stream(spark, sf_dir)
+    err = (
+        s.filter(F.col("event_type") == "error")
+        .select(F.col("user_id").alias("eu"), F.col("ts").alias("ets"))
+        .withWatermark("ets", "30 minutes")
+    )
+    pur = (
+        s.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("pu"), F.col("ts").alias("pts"))
+        .withWatermark("pts", "30 minutes")
+    )
+    joined = err.join(
+        pur,
+        F.expr("eu = pu AND pts >= ets AND pts < ets + INTERVAL 10 MINUTE"),
+        "fullOuter",
+    ).select(
+        F.coalesce(F.col("eu"), F.col("pu")).alias("user_id"),
+        F.unix_millis("ets").alias("ets_ms"),
+        F.unix_millis("pts").alias("pts_ms"),
+    )
+
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    anchor_ok = F.when(
+        F.col("ets_ms").isNotNull(), F.col("ets_ms") < F.lit(cutoff_ms)
+    ).otherwise(F.col("pts_ms") < F.lit(cutoff_ms))
+    return (
+        spark.table(name)
+        .filter(anchor_ok)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(
+                F.when(F.col("ets_ms").isNotNull() & F.col("pts_ms").isNotNull(), 1)
+            ).alias("n_matched"),
+            F.count(F.when(F.col("pts_ms").isNull(), 1)).alias("n_err_unmatched"),
+            F.count(F.when(F.col("ets_ms").isNull(), 1)).alias("n_pur_unmatched"),
+        )
+    )
