@@ -98,3 +98,52 @@ def test_stateful_counter_falls_back_when_tws_fails(spark, sf_smoke, monkeypatch
     df = W.stream_stateful_user_counter(spark, sf_smoke)
     assert df.columns == ["user_id", "n_events", "total_value"]
     assert df.count() > 0
+
+
+def test_stream_full_outer_join_matches_batch(spark, sf_oracle):
+    """The streaming FULL OUTER interval join inside the certified horizon
+    equals a batch full join with the identical per-row anchor predicate
+    — including both unmatched categories."""
+    from pyspark.sql import functions as F
+
+    from iceberg_catalog_postgres_spark.registry import load
+
+    stream = REGISTRY["stream_stream_full_outer_join"].fn(spark, sf_oracle)
+
+    ev = load(spark, sf_oracle, "events")
+    mx = (
+        ev.filter(F.col("event_type").isin("error", "purchase"))
+        .groupBy("event_type").agg(F.max("ts").alias("m"))
+        .agg(F.min("m")).first()[0]
+    )
+    cutoff_ms = int(mx.timestamp() * 1000) - 45 * 60 * 1000
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("eu"), F.unix_millis("ts").alias("ets_ms")
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.unix_millis("ts").alias("pts_ms")
+    )
+    j = err.join(
+        pur,
+        (F.col("eu") == F.col("pu"))
+        & (F.col("pts_ms") >= F.col("ets_ms"))
+        & (F.col("pts_ms") < F.col("ets_ms") + 600000),
+        "full_outer",
+    )
+    anchor_ok = F.when(
+        F.col("ets_ms").isNotNull(), F.col("ets_ms") < F.lit(cutoff_ms)
+    ).otherwise(F.col("pts_ms") < F.lit(cutoff_ms))
+    batch = (
+        j.filter(anchor_ok)
+        .groupBy(F.coalesce("eu", "pu").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(
+                F.when(F.col("ets_ms").isNotNull() & F.col("pts_ms").isNotNull(), 1)
+            ).alias("n_matched"),
+            F.count(F.when(F.col("pts_ms").isNull(), 1)).alias("n_err_unmatched"),
+            F.count(F.when(F.col("ets_ms").isNull(), 1)).alias("n_pur_unmatched"),
+        )
+    )
+    cols = ["user_id", "n_rows", "n_matched", "n_err_unmatched", "n_pur_unmatched"]
+    assert _rows(stream.select(*cols), cols) == _rows(batch.select(*cols), cols)
