@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from iceberg_catalog_postgres_spark.catalog.catalog import PostgresCatalog, TableIdentifier
 from iceberg_catalog_postgres_spark.catalog.metadata import chunk_path as _chunk_path
-from iceberg_catalog_postgres_spark.catalog.table import Table
+from iceberg_catalog_postgres_spark.catalog.table import Table, transform_value
 from iceberg_catalog_postgres_spark.registry import load, register
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -1617,6 +1617,67 @@ def catalog_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> Dat
                 "n_restated"
             ),
         )
+    )
+
+
+@register(
+    "catalog_daily_restatement",
+    oracle="""
+    WITH v AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events)
+    SELECT CAST(ts AS DATE) IS NOT DISTINCT FROM (SELECT d0 FROM v) AS is_restated_day,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(CASE WHEN CAST(ts AS DATE) = (SELECT d0 FROM v)
+                          THEN value * 2 ELSE value END), 2) AS value_sum
+    FROM events
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("catalog", "partition", "overwrite", "dynamic", "temporal"),
+)
+def catalog_daily_restatement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE production restatement shape end to end: events lives
+    day(ts)-partitioned (temporal transform), and re-landing ONE day —
+    here the first day with its values doubled — through dynamic
+    partition overwrite replaces exactly that day's files; every other
+    day's files carry over byte-identical (path-set inclusion asserted on
+    the committed snapshot) in one atomic CAS commit. This is what a
+    daily pipeline does at 100 TB when upstream corrects a day: O(one
+    day) write + O(1) metadata, zero touch on the rest of the table.
+
+    The oracle mirrors the restatement arithmetic over raw events and
+    compares per-group (restated day vs rest) row counts and value sums.
+    """
+    cat = _fresh_catalog("catalog_daily_restate")
+    src = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    ident = TableIdentifier.parse("maint.events_restate")
+    table = cat.create_table(ident, src.schema, partition_by=["day(ts)"])
+    table = table.new_transaction().append_dataframe(src.coalesce(4)).commit()
+
+    d0 = src.agg(F.min(F.to_date("ts"))).first()[0]
+    d0_key = transform_value("day(ts)", d0, src_type="date")
+    untouched = {
+        f
+        for f in table.metadata.current_data_files()
+        if table.metadata.current_file_partitions().get(f, {}).get("day(ts)")
+        != d0_key
+    }
+
+    restated = src.filter(F.to_date("ts") == F.lit(d0)).withColumn(
+        "value", F.col("value") * 2
+    )
+    table = overwrite_partitions(spark, table, restated.coalesce(1))
+    after = set(table.metadata.current_data_files())
+    assert untouched <= after, "untouched days must carry over byte-identical"
+
+    return (
+        table.to_df(spark)
+        .groupBy((F.to_date("ts") == F.lit(d0)).alias("is_restated_day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .orderBy("is_restated_day")
     )
 
 

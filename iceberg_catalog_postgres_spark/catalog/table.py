@@ -135,7 +135,11 @@ def _bucket_value_bytes(v) -> bytes:
         return (v & 0xFFFFFFFFFFFFFFFF).to_bytes(8, "little")
     if isinstance(v, str):
         return v.encode("utf-8")
-    raise TypeError(f"bucket() source must be int/long/string, got {type(v).__name__}")
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v)
+    raise TypeError(
+        f"bucket() source must be int/long/string/binary, got {type(v).__name__}"
+    )
 
 
 def transform_value(
@@ -297,14 +301,20 @@ def murmur3_32_long_col(c):
 
 
 def murmur3_32_utf8_col(c):
-    """murmur3_x86_32(seed 0) of a string column's UTF-8 bytes, entirely in
-    JVM expressions: byte extraction via substr+hex+conv, the 4-byte word
-    loop via transform/aggregate higher-order functions, the tail via
+    """murmur3_x86_32(seed 0) of a string column's UTF-8 bytes."""
+    from pyspark.sql import functions as F
+
+    return murmur3_32_binary_col(F.encode(c, "UTF-8"))
+
+
+def murmur3_32_binary_col(b):
+    """murmur3_x86_32(seed 0) of a binary column's bytes, entirely in JVM
+    expressions: byte extraction via substr+hex+conv, the 4-byte word loop
+    via transform/aggregate higher-order functions, the tail via
     length-guarded byte sums. Bit-identical to the pure-Python
     ``murmur3_32`` (property-tested)."""
     from pyspark.sql import functions as F
 
-    b = F.encode(c, "UTF-8")
     n = F.length(b).cast("long")
     nwords = F.floor(n / 4).cast("int")
 
@@ -380,10 +390,17 @@ def transform_column(entry: str, dtype, bucket_hash: str = DEFAULT_BUCKET_HASH) 
             return F.pmod(
                 F.crc32(c.cast("string").cast("binary")), F.lit(param)
             ).cast("string")
-        from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+        from pyspark.sql.types import (
+            BinaryType,
+            DateType,
+            TimestampNTZType,
+            TimestampType,
+        )
 
         if isinstance(dtype, StringType):
             h = murmur3_32_utf8_col(c)
+        elif isinstance(dtype, BinaryType):
+            h = murmur3_32_binary_col(c)
         elif isinstance(dtype, DateType):
             # Iceberg: days-from-epoch widened to long
             h = murmur3_32_long_col(F.unix_date(c))
@@ -413,6 +430,7 @@ def validate_partition_spec(partition_by: list[str], schema: "StructType") -> No
     double or boolean bucket column would silently mis-prune (ADVICE r5),
     so it fails at create/evolve time instead."""
     from pyspark.sql.types import (
+        BinaryType,
         ByteType,
         DateType,
         IntegerType,
@@ -424,7 +442,9 @@ def validate_partition_spec(partition_by: list[str], schema: "StructType") -> No
     )
 
     ints = (ByteType, ShortType, IntegerType, LongType)
-    bucket_ok = (*ints, StringType, DateType, TimestampType, TimestampNTZType)
+    bucket_ok = (
+        *ints, StringType, BinaryType, DateType, TimestampType, TimestampNTZType
+    )
     truncate_ok = (*ints, StringType)
     by_name = {f.name: f.dataType for f in schema.fields}
     temporal_ok = (DateType, TimestampType, TimestampNTZType)
@@ -435,7 +455,7 @@ def validate_partition_spec(partition_by: list[str], schema: "StructType") -> No
         if kind == "bucket" and not isinstance(by_name[col], bucket_ok):
             raise ValueError(
                 f"bucket() source column {col} must be int/long/string/"
-                f"date/timestamp, got {by_name[col].simpleString()}"
+                f"binary/date/timestamp, got {by_name[col].simpleString()}"
             )
         if kind == "truncate" and not isinstance(by_name[col], truncate_ok):
             raise ValueError(

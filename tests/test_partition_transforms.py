@@ -386,3 +386,26 @@ def test_temporal_source_type_validated(catalog, spark):
     s2 = StructType([StructField("d", DateType(), True)])
     with pytest.raises(ValueError, match="hour\\(\\) source column"):
         catalog.create_table(TableIdentifier.parse("pt.badt2"), s2, partition_by=["hour(d)"])
+
+
+def test_bucket_binary_column(spark):
+    """Binary bucketing: spec vector (00 01 02 03 -> -188683207) and
+    JVM/Python parity over varied byte payloads (multimodal tables bucket
+    on content digests)."""
+    from iceberg_catalog_postgres_spark.catalog.table import (
+        murmur3_32,
+        murmur3_32_binary_col,
+    )
+    from pyspark.sql.types import BinaryType
+
+    assert murmur3_32(bytes([0, 1, 2, 3])) == -188683207  # Iceberg spec
+    payloads = [b"", b"\x00", bytes([0, 1, 2, 3]), bytes(range(17)), b"\xff" * 8]
+    df = spark.createDataFrame([(p,) for p in payloads], "b binary")
+    got = [r[0] for r in df.select(murmur3_32_binary_col(F.col("b")).alias("h")).collect()]
+    want = [murmur3_32(p) & 0xFFFFFFFF for p in payloads]
+    assert got == want
+    for p in payloads:
+        assert transform_value("bucket(8,b)", p) == [
+            r[0] for r in spark.createDataFrame([(p,)], "b binary")
+            .select(transform_column("bucket(8,b)", BinaryType()).alias("t")).collect()
+        ][0]
