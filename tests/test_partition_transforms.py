@@ -409,3 +409,61 @@ def test_bucket_binary_column(spark):
             r[0] for r in spark.createDataFrame([(p,)], "b binary")
             .select(transform_column("bucket(8,b)", BinaryType()).alias("t")).collect()
         ][0]
+
+
+def test_temporal_spark_python_parity_across_eras(spark):
+    """Spark expression == Python planner for year/month/day/hour over
+    timestamps spanning pre-epoch, DST-adjacent, and far-future instants
+    (session tz pinned UTC; floor semantics on negatives)."""
+    import datetime as dt
+    import random
+
+    from pyspark.sql.types import TimestampType
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    rng = random.Random(42)
+    stamps = [
+        dt.datetime(1969, 12, 31, 23, 59, 59, 999999),
+        dt.datetime(1970, 1, 1, 0, 0, 0),
+        dt.datetime(1969, 6, 15, 12, 0, 0),
+        dt.datetime(2038, 1, 19, 3, 14, 8),
+        dt.datetime(2024, 3, 10, 2, 30, 0),   # US DST gap wall-clock (UTC here)
+        dt.datetime(2024, 12, 31, 23, 59, 59),
+    ] + [
+        dt.datetime(1970, 1, 1) + dt.timedelta(seconds=rng.randint(-10**9, 4 * 10**9))
+        for _ in range(60)
+    ]
+    df = spark.createDataFrame([(s,) for s in stamps], "ts timestamp")
+    for entry in ("year(ts)", "month(ts)", "day(ts)", "hour(ts)"):
+        got = [
+            r["t"]
+            for r in df.select(transform_column(entry, TimestampType()).alias("t")).collect()
+        ]
+        want = [transform_value(entry, s, src_type="timestamp") for s in stamps]
+        assert got == want, (entry, [(g, w) for g, w in zip(got, want) if g != w][:3])
+
+
+def test_murmur3_fuzz_parity(spark):
+    """Seeded fuzz: 200 random strings (mixed scripts/lengths) and 200
+    random longs through the JVM and Python hashers, bit-identical."""
+    import random
+
+    from iceberg_catalog_postgres_spark.catalog.table import (
+        murmur3_32,
+        murmur3_32_long_col,
+        murmur3_32_utf8_col,
+    )
+
+    rng = random.Random(7)
+    alphabet = "abcXYZ019 _-日本語éüñ🙂"
+    strs = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 40)))
+        for _ in range(200)
+    ]
+    longs = [rng.randint(-(2**63), 2**63 - 1) for _ in range(200)]
+    df = spark.createDataFrame([(s,) for s in strs], "s string")
+    got = [r[0] for r in df.select(murmur3_32_utf8_col(F.col("s")).alias("h")).collect()]
+    assert got == [murmur3_32(s.encode()) & 0xFFFFFFFF for s in strs]
+    df2 = spark.createDataFrame([(v,) for v in longs], "v long")
+    got2 = [r[0] for r in df2.select(murmur3_32_long_col(F.col("v")).alias("h")).collect()]
+    assert got2 == [murmur3_32((v & (2**64 - 1)).to_bytes(8, "little")) & 0xFFFFFFFF for v in longs]
