@@ -1681,6 +1681,59 @@ def catalog_daily_restatement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bucket_hash_interop_oracle() -> str:
+    from iceberg_catalog_postgres_spark.catalog.table import murmur3_long_sql_columns
+
+    return f"""
+    WITH hashed AS (
+      SELECT v, {murmur3_long_sql_columns("v", "h")}
+      FROM (SELECT o_custkey AS v FROM orders)
+    )
+    SELECT CAST((h & 2147483647) % 8 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(h) AS BIGINT)   AS hash_checksum
+    FROM hashed GROUP BY 1 ORDER BY 1
+    """
+
+
+@register(
+    "catalog_bucket_hash_interop",
+    oracle=_bucket_hash_interop_oracle(),
+    tags=("catalog", "partition", "bucket", "murmur3", "interop"),
+)
+def catalog_bucket_hash_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine murmur3 bucket identity certified UNDER THE DRIVER
+    GATE: every orders customer key is hashed with the Iceberg bucket hash
+    (murmur3_x86_32 of the 8-byte little-endian long) by Spark's JVM
+    expression on one side and by a DuckDB replica of the same 32-bit
+    arithmetic on the other; per-bucket row counts AND the raw 32-bit hash
+    checksums must hash-match. This is the interop claim — an external
+    Iceberg reader computes these exact bucket assignments — proven over
+    the whole key column, not just the spec's four vectors.
+
+    Scale: a pure map-side projection + one 8-group aggregate; the hash is
+    whole-stage-codegen JVM arithmetic (no UDF), identical to what the
+    partitioned write path applies per row.
+    """
+    from iceberg_catalog_postgres_spark.catalog.table import murmur3_32_long_col
+
+    src = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("v"))
+    h = murmur3_32_long_col(F.col("v"))
+    return (
+        src.withColumn("h", h)
+        .groupBy(
+            F.pmod(F.col("h").bitwiseAND(F.lit(0x7FFFFFFF)), F.lit(8))
+            .cast("long")
+            .alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("h").alias("hash_checksum"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def table_health(table: Table, small_file_rows: int = 0) -> dict:
     """Metadata-only table health report — the numbers an operator (or an
     auto-maintenance scheduler) reads BEFORE deciding to compact, expire,

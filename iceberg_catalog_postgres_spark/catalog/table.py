@@ -345,6 +345,49 @@ def murmur3_32_binary_col(b):
     return _mm3_fmix(h, n)
 
 
+def murmur3_long_sql_columns(src: str = "v", out: str = "h") -> str:
+    """DuckDB SELECT-list fragment computing murmur3_x86_32(seed 0) of a
+    BIGINT column's 8-byte little-endian form (the Iceberg long hash),
+    bit-identical to ``murmur3_32``/``murmur3_32_long_col`` — as a chain
+    of ~20 lateral-aliased 32-bit steps (masked arithmetic on BIGINTs, no
+    overflow), so a DuckDB ORACLE can replay the bucket assignment and the
+    driver gate certifies cross-engine hash identity. ``out`` is the
+    unsigned 32-bit hash; Iceberg's bucket = (out & 2147483647) % N."""
+    u = 4294967295
+
+    def mul32(a: str, c: int) -> str:
+        lo, hi = c & 0xFFFF, c >> 16
+        return f"(({a}) * {lo} + ((({a}) * {hi}) & 65535) * 65536) & {u}"
+
+    def rotl(a: str, r: int) -> str:
+        return f"(((({a}) << {r}) | (({a}) >> {32 - r})) & {u})"
+
+    cols, names = [], []
+
+    def emit(name: str, expr: str) -> str:
+        cols.append(f"{expr} AS {name}")
+        names.append(name)
+        return name
+
+    emit("mmw0", f"(({src}) & {u})")
+    emit("mmw1", f"((({src}) >> 32) & {u})")
+    h = "0"
+    for i, w in enumerate(("mmw0", "mmw1")):
+        k = emit(f"mmk{i}a", mul32(w, 0xCC9E2D51))
+        k = emit(f"mmk{i}b", rotl(k, 15))
+        k = emit(f"mmk{i}c", mul32(k, 0x1B873593))
+        hx = emit(f"mmh{i}a", f"xor(({h}), ({k})) & {u}")
+        hr = emit(f"mmh{i}b", rotl(hx, 13))
+        h = emit(f"mmh{i}c", f"(({hr}) * 5 + 3864292196) & {u}")
+    h = emit("mmf0", f"xor(({h}), 8) & {u}")
+    h = emit("mmf1", f"xor(({h}), ({h}) >> 16) & {u}")
+    h = emit("mmf2", mul32(h, 0x85EBCA6B))
+    h = emit("mmf3", f"xor(({h}), ({h}) >> 13) & {u}")
+    h = emit("mmf4", mul32(h, 0xC2B2AE35))
+    emit(out, f"xor(({h}), ({h}) >> 16) & {u}")
+    return ",\n           ".join(cols)
+
+
 def transform_column(entry: str, dtype, bucket_hash: str = DEFAULT_BUCKET_HASH) -> "F.Column":
     """The Spark expression whose value matches ``transform_value`` —
     applied as the shadow partition column at write time."""
