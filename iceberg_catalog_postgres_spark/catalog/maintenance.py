@@ -1734,6 +1734,53 @@ def catalog_bucket_hash_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bucket_hash_interop_string_oracle() -> str:
+    from iceberg_catalog_postgres_spark.catalog.table import murmur3_string_sql_ctes
+
+    ctes = murmur3_string_sql_ctes("SELECT p_name AS s FROM part", "s", "mm_h")
+    return f"""
+    WITH {ctes}
+    SELECT CAST((mm_h & 2147483647) % 8 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(mm_h) AS BIGINT) AS hash_checksum
+    FROM mm_fin GROUP BY 1 ORDER BY 1
+    """
+
+
+@register(
+    "catalog_bucket_hash_interop_string",
+    oracle=_bucket_hash_interop_string_oracle(),
+    tags=("catalog", "partition", "bucket", "murmur3", "interop", "string"),
+)
+def catalog_bucket_hash_interop_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STRING half of the cross-engine murmur3 certification: every
+    part name hashed with the Iceberg string bucket hash (murmur3 of the
+    UTF-8 bytes, variable length — word loop, tail, finalizer) by Spark's
+    higher-order-function expression vs a DuckDB list_reduce replica of
+    the identical 32-bit arithmetic; per-bucket counts + raw hash
+    checksums hash-compared by the driver gate. Together with
+    ``catalog_bucket_hash_interop`` (longs) this covers both byte forms an
+    external Iceberg reader would compute.
+    """
+    from iceberg_catalog_postgres_spark.catalog.table import murmur3_32_utf8_col
+
+    src = load(spark, sf_dir, "part").select(F.col("p_name").alias("s"))
+    h = murmur3_32_utf8_col(F.col("s"))
+    return (
+        src.withColumn("h", h)
+        .groupBy(
+            F.pmod(F.col("h").bitwiseAND(F.lit(0x7FFFFFFF)), F.lit(8))
+            .cast("long")
+            .alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("h").alias("hash_checksum"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def table_health(table: Table, small_file_rows: int = 0) -> dict:
     """Metadata-only table health report — the numbers an operator (or an
     auto-maintenance scheduler) reads BEFORE deciding to compact, expire,

@@ -388,6 +388,80 @@ def murmur3_long_sql_columns(src: str = "v", out: str = "h") -> str:
     return ",\n           ".join(cols)
 
 
+def murmur3_string_sql_ctes(src_sql: str, src_col: str = "s", out: str = "mm_h") -> str:
+    """DuckDB CTE chain computing murmur3_x86_32(seed 0) of a VARCHAR
+    column's UTF-8 bytes — the Iceberg string hash — bit-identical to
+    ``murmur3_32``/``murmur3_32_utf8_col``. ``src_sql`` is a SELECT
+    producing column ``src_col``; the returned fragment ends with CTE
+    ``mm_fin`` carrying every source column plus ``out`` (unsigned 32-bit
+    hash). Bytes come from hex(encode(s)) decoded with strpos, the 4-byte
+    word loop is a list_reduce fold with a prepended seed, and the tail /
+    finalizer are the same masked 32-bit arithmetic as the long variant."""
+    u = 4294967295
+
+    def mul32(a: str, c: int) -> str:
+        lo, hi = c & 0xFFFF, c >> 16
+        return f"((({a}) * {lo} + ((({a}) * {hi}) & 65535) * 65536) & {u})"
+
+    def rotl(a: str, r: int) -> str:
+        return f"(((({a}) << {r}) | (({a}) >> {32 - r})) & {u})"
+
+    def mixk(k: str) -> str:
+        return mul32(rotl(mul32(k, 0xCC9E2D51), 15), 0x1B873593)
+
+    inner = f"(xor((h), {mixk('k')}) & {u})"
+    step = f"((({rotl(inner, 13)}) * 5 + 3864292196) & {u})"
+    return f"""mm_src AS ({src_sql}),
+    mm_hb AS (
+      SELECT *, hex(encode({src_col})) AS mm_hx,
+             octet_length(encode({src_col})) AS mm_n
+      FROM mm_src
+    ),
+    mm_by AS (
+      SELECT *, list_transform(range(0, mm_n), i ->
+        (strpos('0123456789ABCDEF', substring(mm_hx, i*2+1, 1)) - 1) * 16 +
+        (strpos('0123456789ABCDEF', substring(mm_hx, i*2+2, 1)) - 1)) AS mm_bl
+      FROM mm_hb
+    ),
+    mm_wd AS (
+      SELECT *, list_transform(range(0, mm_n // 4), w ->
+        mm_bl[w*4+1] + mm_bl[w*4+2]*256 + mm_bl[w*4+3]*65536
+        + mm_bl[w*4+4]*16777216) AS mm_words
+      FROM mm_by
+    ),
+    mm_fold AS (
+      SELECT *, CASE WHEN len(mm_words) = 0 THEN 0
+        ELSE list_reduce(
+          list_prepend(CAST(0 AS BIGINT),
+                       list_transform(mm_words, w -> CAST(w AS BIGINT))),
+          (h, k) -> {step}) END AS mm_hw
+      FROM mm_wd
+    ),
+    mm_tl AS (
+      SELECT *, (mm_n % 4) AS mm_tlen,
+        (CASE WHEN mm_n % 4 >= 1 THEN mm_bl[(mm_n//4)*4 + 1] ELSE 0 END
+         + CASE WHEN mm_n % 4 >= 2 THEN mm_bl[(mm_n//4)*4 + 2]*256 ELSE 0 END
+         + CASE WHEN mm_n % 4 >= 3 THEN mm_bl[(mm_n//4)*4 + 3]*65536 ELSE 0 END)
+        AS mm_k1
+      FROM mm_fold
+    ),
+    mm_mixed AS (
+      SELECT *, CASE WHEN mm_tlen > 0
+        THEN xor(mm_hw, {mixk('mm_k1')}) & {u} ELSE mm_hw END AS mm_hb0
+      FROM mm_tl
+    ),
+    mm_fin AS (
+      SELECT *,
+        xor(mm_hb0, mm_n) & {u} AS mm_f0,
+        xor(mm_f0, mm_f0 >> 16) & {u} AS mm_f1,
+        {mul32('mm_f1', 0x85EBCA6B)} AS mm_f2,
+        xor(mm_f2, mm_f2 >> 13) & {u} AS mm_f3,
+        {mul32('mm_f3', 0xC2B2AE35)} AS mm_f4,
+        xor(mm_f4, mm_f4 >> 16) & {u} AS {out}
+      FROM mm_mixed
+    )"""
+
+
 def transform_column(entry: str, dtype, bucket_hash: str = DEFAULT_BUCKET_HASH) -> "F.Column":
     """The Spark expression whose value matches ``transform_value`` —
     applied as the shadow partition column at write time."""
