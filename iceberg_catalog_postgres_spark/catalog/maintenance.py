@@ -1681,6 +1681,62 @@ def catalog_daily_restatement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "catalog_day_range_pruning",
+    oracle="""
+    WITH b AS (
+      SELECT min(CAST(ts AS DATE)) + 1 AS lo, min(CAST(ts AS DATE)) + 3 AS hi
+      FROM events
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           true AS pruned_to_range,
+           true AS planning_metadata_only
+    FROM events, b
+    WHERE CAST(ts AS DATE) BETWEEN b.lo AND b.hi
+    """,
+    tags=("catalog", "partition", "transform", "temporal", "range", "pruning"),
+)
+def catalog_day_range_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE pruning over the day(ts) transform — "ts BETWEEN a AND b" on
+    a daily-partitioned table plans only the touched days' files:
+    ``planned_files_transformed_range`` maps the bounds to
+    [day(a), day(b)] driver-side (temporal transforms are monotone, so
+    containment is exact) and prunes by integer comparison of recorded
+    tuple values; zero footer reads (counter-asserted). The pruned scan +
+    row filter must equal the full-filter oracle over a 3-day window.
+    """
+    import datetime as _dt
+
+    import iceberg_catalog_postgres_spark.catalog.table as _tm
+
+    cat = _fresh_catalog("catalog_day_range_demo")
+    src = load(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    d0 = src.agg(F.min(F.to_date("ts"))).first()[0]
+    lo, hi = d0 + _dt.timedelta(days=1), d0 + _dt.timedelta(days=3)
+    ident = TableIdentifier.parse("maint.events_day_range")
+    table = cat.create_table(ident, src.schema, partition_by=["day(ts)"])
+    table = table.new_transaction().append_dataframe(src.coalesce(4)).commit()
+
+    n_total = len(table.metadata.current_data_files())
+    before = _tm.PLANNING_FOOTER_READS
+    planned = table.planned_files_transformed_range("ts", lo, hi)
+    planning_metadata_only = _tm.PLANNING_FOOTER_READS == before
+    pruned_to_range = 0 < len(planned) < n_total
+
+    return (
+        spark.read.schema(table.schema)
+        .parquet(*planned)
+        .filter(F.to_date("ts").between(F.lit(lo), F.lit(hi)))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(F.to_date("ts")).alias("n_days"),
+        )
+        .withColumn("pruned_to_range", F.lit(pruned_to_range))
+        .withColumn("planning_metadata_only", F.lit(planning_metadata_only))
+    )
+
+
 def _bucket_hash_interop_oracle() -> str:
     from iceberg_catalog_postgres_spark.catalog.table import murmur3_long_sql_columns
 

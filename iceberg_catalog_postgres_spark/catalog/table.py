@@ -1296,6 +1296,95 @@ class Table:
                 ]
         return self.planned_files_partition(tuple_filters, snapshot_id=snapshot_id)
 
+    def planned_files_transformed_range(
+        self, col: str, lo, hi, snapshot_id: int | None = None
+    ) -> list[str]:
+        """RANGE pruning over a MONOTONE partition transform — the dominant
+        access pattern on temporal layouts ("ts BETWEEN a AND b" on a
+        day(ts)-partitioned table plans only the touched days). The query
+        bounds map driver-side to transformed bounds [T(lo), T(hi)]
+        (year/month/day/hour and integer truncate are monotone, so value
+        containment is exact; identity over ints degrades to the same
+        compare; bucket is NOT monotone and is skipped), and files prune by
+        integer comparison of their recorded tuple values — metadata only,
+        zero footers. Two-level: a manifest chunk whose partition summary
+        covers every data entry and contains no value inside the range is
+        skipped without being fetched. Files without a recorded tuple (or
+        under a non-monotone-only spec) are kept — superset-safe."""
+        snap = (
+            self.metadata.snapshot_by_id(snapshot_id)
+            if snapshot_id is not None
+            else self.metadata.current_snapshot()
+        )
+        if snap is None:
+            return []
+        store = self.catalog.object_store()
+        src_types = {f.name: f.dataType.simpleString() for f in self.schema.fields}
+        bounds: dict[str, tuple[int, int]] = {}
+        for entry in self.metadata.partition_spec:
+            kind, _param, src = parse_partition_field(entry)
+            if src != col or kind == "bucket" or (
+                kind == "truncate" and src_types.get(src) == "string"
+            ):
+                continue  # non-monotone (bucket) / lexicographic (str truncate)
+            lo_t = transform_value(entry, lo, src_type=src_types.get(src))
+            hi_t = transform_value(entry, hi, src_type=src_types.get(src))
+            bounds[entry] = (int(lo_t), int(hi_t))
+        if not bounds:
+            return [store.resolve(f) for f in snap.data_files]
+
+        def tuple_ok(tup) -> bool:
+            if tup is None:
+                return True
+            for entry, (a, b) in bounds.items():
+                v = tup.get(entry)
+                if v is None:
+                    continue
+                try:
+                    iv = int(v)
+                except (TypeError, ValueError):
+                    continue
+                if not (a <= iv <= b):
+                    return False
+            return True
+
+        refs = snap.chunk_refs()
+        if refs is None:
+            return [
+                store.resolve(f)
+                for f in snap.data_files
+                if tuple_ok(snap.file_partitions.get(f))
+            ]
+        out = []
+        for c in refs:
+            s = c["summary"]
+            nd = s["counts"]["data"]
+            if nd == 0:
+                continue
+            parts = s.get("partitions", {})
+            skip = False
+            for entry, (a, b) in bounds.items():
+                p = parts.get(entry)
+                if p is not None and p["n"] == nd:
+                    vals = []
+                    for v in p["values"]:
+                        try:
+                            vals.append(int(v))
+                        except (TypeError, ValueError):
+                            vals = None
+                            break
+                    if vals is not None and all(not (a <= iv <= b) for iv in vals):
+                        skip = True
+                        break
+            if skip:
+                continue  # whole chunk excluded — never fetched
+            for e in load_chunk(store, c["path"])["entries"]:
+                if e["kind"] != "data":
+                    continue
+                if tuple_ok(e.get("partition")):
+                    out.append(store.resolve(e["path"]))
+        return out
+
     def _commit_metadata_edit(self, edit_fn, label: str, max_retries: int = 5) -> "Table":
         """Commit a metadata-only edit (refs, partition spec, schema) via the
         CAS swap, with bounded retry: on conflict, reload the winner's

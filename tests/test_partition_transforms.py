@@ -467,3 +467,86 @@ def test_murmur3_fuzz_parity(spark):
     df2 = spark.createDataFrame([(v,) for v in longs], "v long")
     got2 = [r[0] for r in df2.select(murmur3_32_long_col(F.col("v")).alias("h")).collect()]
     assert got2 == [murmur3_32((v & (2**64 - 1)).to_bytes(8, "little")) & 0xFFFFFFFF for v in longs]
+
+
+def test_range_pruning_day_transform(catalog, spark):
+    """planned_files_transformed_range on a day(ts) table: only the days
+    inside [lo, hi] plan; bucket specs are skipped (non-monotone) and a
+    missing tuple keeps the file (superset-safe)."""
+    import datetime as dt
+
+    from pyspark.sql.types import TimestampType
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    s = StructType(
+        [StructField("ts", TimestampType(), True), StructField("v", LongType(), True)]
+    )
+    rows = [
+        (dt.datetime(2024, 7, 1 + d, h, 0, 0), d * 10 + h)
+        for d in range(8)
+        for h in range(3)
+    ]
+    t = catalog.create_table(
+        TableIdentifier.parse("pt.range1"), s, partition_by=["day(ts)"]
+    )
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame(rows, s).coalesce(1)
+    ).commit()
+    assert len(t.metadata.current_snapshot().data_files) == 8
+    lo, hi = dt.datetime(2024, 7, 3), dt.datetime(2024, 7, 5, 23, 59, 59)
+    planned = t.planned_files_transformed_range("ts", lo, hi)
+    assert len(planned) == 3  # days 3,4,5
+    got = sorted(r["v"] for r in spark.read.schema(s).parquet(*planned).collect())
+    assert got == sorted(d * 10 + h for d in (2, 3, 4) for h in range(3))
+    # a column with no monotone spec entry -> keep everything
+    assert len(t.planned_files_transformed_range("v", 0, 1)) == 8
+
+
+def test_range_pruning_bucket_spec_keeps_all(catalog, spark):
+    """bucket(N) is not monotone: a range probe over a bucket-only spec
+    must keep every file rather than mis-prune."""
+    s = StructType(
+        [StructField("k", LongType(), True), StructField("v", LongType(), True)]
+    )
+    t = catalog.create_table(
+        TableIdentifier.parse("pt.range2"), s, partition_by=["bucket(4,k)"]
+    )
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame([(i, i) for i in range(40)], s).coalesce(1)
+    ).commit()
+    n = len(t.metadata.current_snapshot().data_files)
+    assert len(t.planned_files_transformed_range("k", 5, 10)) == n
+
+
+def test_range_pruning_through_manifest_chunks(catalog, spark):
+    """Two-level path: with > MANIFEST_THRESHOLD files the range prune must
+    skip whole chunks from summaries and still plan exactly the touched
+    days."""
+    import datetime as dt
+
+    from iceberg_catalog_postgres_spark.catalog import metadata as md
+
+    from pyspark.sql.types import TimestampType
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    s = StructType(
+        [StructField("ts", TimestampType(), True), StructField("v", LongType(), True)]
+    )
+    old_thr = md.MANIFEST_THRESHOLD
+    md.MANIFEST_THRESHOLD = 10  # force chunk spill at fixture scale
+    try:
+        rows = [(dt.datetime(2024, 8, 1 + d, 0, 0, 0), d) for d in range(30)]
+        t = catalog.create_table(
+            TableIdentifier.parse("pt.range3"), s, partition_by=["day(ts)"]
+        )
+        t = t.new_transaction().append_dataframe(
+            spark.createDataFrame(rows, s).coalesce(1)
+        ).commit()
+        assert t.metadata.current_snapshot().chunk_refs(), "chunked snapshot expected"
+        lo, hi = dt.datetime(2024, 8, 10), dt.datetime(2024, 8, 12, 23, 59, 59)
+        planned = t.planned_files_transformed_range("ts", lo, hi)
+        assert len(planned) == 3
+        got = sorted(r["v"] for r in spark.read.schema(s).parquet(*planned).collect())
+        assert got == [9, 10, 11]
+    finally:
+        md.MANIFEST_THRESHOLD = old_thr
