@@ -316,6 +316,7 @@ def load_all() -> dict[str, QuerySpec]:
     import iceberg_catalog_postgres_spark.llm.ann_multitable  # noqa: F401
     import iceberg_catalog_postgres_spark.llm.pq  # noqa: F401
     import iceberg_catalog_postgres_spark.llm.ann_scale  # noqa: F401
+    import iceberg_catalog_postgres_spark.llm.ann_residual  # noqa: F401
     import iceberg_catalog_postgres_spark.llm.clusters  # noqa: F401
     import iceberg_catalog_postgres_spark.llm.text  # noqa: F401
     import iceberg_catalog_postgres_spark.llm.curation  # noqa: F401
