@@ -1487,6 +1487,8 @@ class Table:
         snapshot_id: int | None = None,
         prune: tuple | None = None,
         partition_filter: dict | None = None,
+        transformed_filter: dict | None = None,
+        transformed_range: tuple | None = None,
         ref: str | None = None,
         file_subset: list[str] | None = None,
         as_of_ms: int | None = None,
@@ -1540,6 +1542,25 @@ class Table:
                 self.planned_files_partition(partition_filter, snapshot_id=snapshot_id)
             )
             files = [f for f in files if f in part_files]
+        if transformed_filter is not None:
+            # transform-aware point pruning ({source col: value} mapped
+            # through bucket/truncate/temporal specs) composed INSIDE the
+            # reader, so MOR deletes / renames / defaults still apply below
+            tf = set(
+                self.planned_files_transformed(
+                    transformed_filter, snapshot_id=snapshot_id
+                )
+            )
+            files = [f for f in files if f in tf]
+        if transformed_range is not None:
+            # monotone-transform range pruning ((col, lo, hi)), same contract
+            _c, _lo, _hi = transformed_range
+            tr = set(
+                self.planned_files_transformed_range(
+                    _c, _lo, _hi, snapshot_id=snapshot_id
+                )
+            )
+            files = [f for f in files if f in tr]
         if file_subset is not None:
             # caller-chosen slice of the snapshot (table-relative paths) —
             # used by maintenance rewrites so the read still applies

@@ -550,3 +550,48 @@ def test_range_pruning_through_manifest_chunks(catalog, spark):
         assert got == [9, 10, 11]
     finally:
         md.MANIFEST_THRESHOLD = old_thr
+
+
+def test_to_df_transformed_pruning_composes_with_mor_deletes(catalog, spark):
+    """to_df(transformed_filter=... / transformed_range=...) prunes by the
+    day(ts) spec INSIDE the reader, so merge-on-read deletes still apply —
+    the full read contract, not a raw parquet scan of planned paths."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F2
+    from pyspark.sql.types import TimestampType
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    s = StructType(
+        [StructField("ts", TimestampType(), True), StructField("v", LongType(), True)]
+    )
+    rows = [
+        (dt.datetime(2024, 9, 1 + d, h, 0, 0), d * 10 + h)
+        for d in range(4)
+        for h in range(3)
+    ]
+    t = catalog.create_table(
+        TableIdentifier.parse("pt.todf"), s, partition_by=["day(ts)"]
+    )
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame(rows, s).coalesce(1)
+    ).commit()
+    # MOR-delete one row from day 1 (v = 11)
+    keys = spark.createDataFrame([(11,)], "v long")
+    t = t.new_transaction().delete_keys_dataframe(keys).commit()
+
+    probe = dt.date(2024, 9, 2)  # day index 1
+    got = sorted(
+        r["v"]
+        for r in t.to_df(spark, transformed_filter={"ts": probe}).collect()
+    )
+    assert got == [10, 12]  # day 1's rows minus the MOR-deleted one
+
+    lo, hi = dt.datetime(2024, 9, 2), dt.datetime(2024, 9, 3, 23, 59, 59)
+    got2 = sorted(
+        r["v"] for r in t.to_df(spark, transformed_range=("ts", lo, hi)).collect()
+    )
+    assert got2 == [10, 12, 20, 21, 22]  # days 1-2, delete applied
+
+    # and row-level correctness aside, the prune really narrowed the scan
+    assert len(t.planned_files_transformed({"ts": probe})) == 1
