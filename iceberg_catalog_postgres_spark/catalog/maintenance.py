@@ -1737,6 +1737,101 @@ def catalog_day_range_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "catalog_daily_agg_refresh",
+    oracle="""
+    WITH v AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+    corrected AS (
+      SELECT CAST(ts AS DATE) AS day, user_id,
+             CASE WHEN CAST(ts AS DATE) = (SELECT d0 FROM v)
+                  THEN value * 2 ELSE value END AS value
+      FROM events
+    )
+    SELECT CAST(count(DISTINCT day) AS BIGINT) AS n_days,
+           CAST(count(*) AS BIGINT) AS n_day_user_rows,
+           round(sum(value), 2) AS total_value,
+           true AS only_restated_day_rebuilt,
+           true AS refresh_matches_full_rebuild
+    FROM (
+      SELECT day, user_id, sum(value) AS value
+      FROM corrected GROUP BY day, user_id
+    )
+    """,
+    tags=("catalog", "aggregate", "refresh", "incremental", "materialized-view"),
+)
+def catalog_daily_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MATERIALIZED-VIEW maintenance through the catalog: a
+    per-(day, user) summary table is partitioned by day; when one fact day
+    is corrected, the refresh recomputes ONLY that day's aggregate batch
+    and lands it with dynamic partition overwrite — every other day's
+    summary files carry over byte-identical (asserted), one atomic CAS
+    commit. The refreshed summary must equal a from-scratch rebuild of the
+    corrected facts (hash-compared via the oracle's full recompute).
+
+    Scale: this is how a 100 TB fact stream keeps rollups fresh — O(one
+    day's facts) read + O(one day's groups) write per refresh, never a
+    full-table rebuild; the summary's own partition pruning then serves
+    dashboards from single-day files.
+    """
+    cat = _fresh_catalog("catalog_agg_refresh")
+    src = load(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id", "value"
+    )
+    agg = lambda df: df.groupBy("day", "user_id").agg(  # noqa: E731
+        F.sum("value").alias("value")
+    )
+
+    summary_ident = TableIdentifier.parse("maint.daily_user_agg")
+    base = agg(src)
+    stable = cat.create_table(summary_ident, base.schema, partition_by=["day"])
+    stable = stable.new_transaction().append_dataframe(base.coalesce(2)).commit()
+
+    # upstream corrects the FIRST day (values doubled) -> refresh that day
+    d0 = src.agg(F.min("day")).first()[0]
+    untouched = {
+        f
+        for f in stable.metadata.current_data_files()
+        if stable.metadata.current_file_partitions().get(f, {}).get("day")
+        != str(d0)
+    }
+    corrected_day = agg(
+        src.filter(F.col("day") == F.lit(d0)).withColumn(
+            "value", F.col("value") * 2
+        )
+    )
+    stable = overwrite_partitions(spark, stable, corrected_day.coalesce(1))
+    after = set(stable.metadata.current_data_files())
+    only_restated_day_rebuilt = untouched <= after
+
+    # full rebuild of the corrected facts, for the equality certificate
+    full = agg(
+        src.withColumn(
+            "value",
+            F.when(F.col("day") == F.lit(d0), F.col("value") * 2).otherwise(
+                F.col("value")
+            ),
+        )
+    )
+    refreshed = stable.to_df(spark)
+    fp = lambda df: df.agg(  # noqa: E731
+        F.count(F.lit(1)),
+        F.sum(F.hash("day", "user_id", F.round("value", 6))),
+    ).first()
+    refresh_matches_full_rebuild = fp(refreshed) == fp(full)
+
+    return refreshed.agg(
+        F.countDistinct("day").alias("n_days"),
+        F.count(F.lit(1)).alias("n_day_user_rows"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    ).select(
+        "n_days",
+        "n_day_user_rows",
+        "total_value",
+        F.lit(only_restated_day_rebuilt).alias("only_restated_day_rebuilt"),
+        F.lit(refresh_matches_full_rebuild).alias("refresh_matches_full_rebuild"),
+    )
+
+
 def _bucket_hash_interop_oracle() -> str:
     from iceberg_catalog_postgres_spark.catalog.table import murmur3_long_sql_columns
 
