@@ -187,6 +187,10 @@ def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered pass runs over the <= 32 per-bucket totals."""
     s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
     n, lo, hi = s.agg(F.count("*"), F.min("s_acctbal"), F.max("s_acctbal")).first()
+    if not n:
+        return spark.createDataFrame(
+            [], "s_suppkey long, pct_rank double, cume double"
+        )
     nb = 32
     width = (float(hi) - float(lo)) / nb or 1.0
     b = s.withColumn(

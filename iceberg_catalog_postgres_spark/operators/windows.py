@@ -79,6 +79,12 @@ def window_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     n, bal_lo, bal_hi = s.agg(
         F.count("*"), F.min("s_acctbal"), F.max("s_acctbal")
     ).first()
+    if not n:
+        # empty input: min/max are None — emit the declared empty frame
+        # instead of float(None) blowing up (same latent ADVICE r5 class)
+        return s.sparkSession.createDataFrame(
+            [], "s_suppkey long, rnk int, drnk int, quartile int"
+        )
     nb = 32
     width = (float(bal_hi) - float(bal_lo)) / nb or 1.0
     b = s.withColumn(

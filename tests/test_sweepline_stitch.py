@@ -196,3 +196,18 @@ def test_global_ranking_stitch_with_heavy_ties(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_stitched_rankings_handle_empty_input(spark, monkeypatch):
+    """Empty supplier: the stitched ranking queries must return empty
+    frames with the declared schema, not crash on float(None) ranges."""
+    import iceberg_catalog_postgres_spark.operators.advanced as amod
+    import iceberg_catalog_postgres_spark.operators.windows as wmod
+
+    empty = spark.createDataFrame(
+        [], "s_suppkey long, s_acctbal double, s_nationkey int"
+    )
+    monkeypatch.setattr(wmod, "load", lambda sp, d, t: empty)
+    monkeypatch.setattr(amod, "load", lambda sp, d, t: empty)
+    assert wmod.window_rank_dense_ntile(spark, "x").count() == 0
+    assert amod.window_percent_rank_cume(spark, "x").count() == 0
