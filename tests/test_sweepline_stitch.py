@@ -211,3 +211,31 @@ def test_stitched_rankings_handle_empty_input(spark, monkeypatch):
     monkeypatch.setattr(amod, "load", lambda sp, d, t: empty)
     assert wmod.window_rank_dense_ntile(spark, "x").count() == 0
     assert amod.window_percent_rank_cume(spark, "x").count() == 0
+
+
+def test_stitched_ntile_fewer_rows_than_tiles(spark, monkeypatch):
+    """n < k: each row is its own tile (Spark semantics) — the stitched
+    arithmetic's q=0 edge."""
+    from pyspark.sql.window import Window as W
+
+    import iceberg_catalog_postgres_spark.operators.windows as wmod
+
+    tiny = spark.createDataFrame(
+        [(1, 9.0, 0), (2, 5.0, 1), (3, 1.0, 2)],
+        "s_suppkey long, s_acctbal double, s_nationkey int",
+    )
+    monkeypatch.setattr(wmod, "load", lambda sp, d, t: tiny)
+    got = {
+        r["s_suppkey"]: r["quartile"]
+        for r in wmod.window_rank_dense_ntile(spark, "x").collect()
+    }
+    want = {
+        r["s_suppkey"]: r["q"]
+        for r in tiny.select(
+            "s_suppkey",
+            F.ntile(4)
+            .over(W.orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey").asc()))
+            .alias("q"),
+        ).collect()
+    }
+    assert got == want == {1: 1, 2: 2, 3: 3}
