@@ -13,6 +13,16 @@ collect-vs-noop delta to be quantified. Measured at sf0.1 the deltas are
 within rep-to-rep host jitter for every headline query (results are a few
 rows to a few thousand rows by design), so ``.collect()`` is kept as honest —
 documented here and visible in both key sets of every BENCH_r5+ artifact.
+
+Since r7 every artifact also carries a ``calibration`` block (VERDICT r6 item
+2): three FIXED workloads whose cost is independent of any query code —
+``scan_sec`` (full lineitem scan + sum/count), ``jvm_cpu_sec`` (pure-CPU
+xxhash64 fold over a constant ``spark.range``, no IO), and ``py_cpu_sec``
+(single-thread SHA-256 over a constant buffer on the driver). The canaries
+measure the HOST's speed that day; ``normalized`` reports the headline total
+divided by each canary, so a round-over-round delta can be attributed in one
+line: raw total up but normalized flat → slow host (the r6 +43% episode);
+normalized up with canaries flat → a real engine regression.
 """
 
 from __future__ import annotations
@@ -31,6 +41,53 @@ from iceberg_catalog_postgres_spark.session import get_spark
 BENCH_TAG = "bench"
 
 
+def run_calibration(spark, sf_dir: str) -> dict:
+    """Fixed-cost host-speed canaries (VERDICT r6 item 2). The workloads are
+    CONSTANT across rounds — any change in their times is the host, not the
+    engine — so BENCH artifacts become normalizable round-over-round."""
+    import hashlib
+
+    out: dict = {"reps": {}}
+
+    # 1) IO/scan canary: full lineitem scan, two fixed aggregates.
+    li = f"{sf_dir}/lineitem.parquet"
+
+    def scan():
+        spark.read.parquet(li).selectExpr(
+            "sum(l_quantity)", "count(*)", "sum(l_extendedprice)"
+        ).collect()
+
+    # 2) JVM CPU canary: pure-CPU xxhash64 fold over a constant range —
+    #    no IO, fixed 32-way parallelism, exercises codegen + task dispatch.
+    def jvm_cpu():
+        spark.range(0, 1_000_000_000, 1, 32).selectExpr(
+            "avg(xxhash64(id))"  # avg: no ANSI long-overflow, same CPU work
+        ).collect()
+
+    # 3) Python single-thread canary: SHA-256 over a constant buffer on the
+    #    driver — isolates raw host scalar speed from anything Spark.
+    buf = b"\x5a" * (1 << 20)
+
+    def py_cpu():
+        h = hashlib.sha256()
+        for _ in range(400):
+            h.update(buf)
+        h.digest()
+
+    for key, fn in (("scan_sec", scan), ("jvm_cpu_sec", jvm_cpu), ("py_cpu_sec", py_cpu)):
+        fn()  # untimed warm-up (JIT/codegen/footer caches)
+        rep_times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn()
+            rep_times.append(round(time.perf_counter() - t0, 3))
+        out["reps"][key] = rep_times
+        out[key] = min(rep_times)
+    out["cpus"] = os.cpu_count()
+    out["load_avg_1m"] = round(os.getloadavg()[0], 2)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     registry = load_all()
@@ -43,6 +100,8 @@ def main() -> None:
 
     # Warm up the JVM + parquet footer caches with a trivial action.
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    calibration = run_calibration(spark, sf_dir)
 
     timings: dict[str, float] = {}
     reps: dict[str, list[float]] = {}
@@ -86,6 +145,18 @@ def main() -> None:
                 "queries": timings,
                 "reps": reps,
                 "queries_noop": noop,
+                "calibration": calibration,
+                "normalized": {
+                    # dimensionless ratios: headline total per unit of fixed
+                    # canary work — stable across host-speed swings
+                    "total_per_scan": round(total / calibration["scan_sec"], 3),
+                    "total_per_jvm_cpu": round(
+                        total / calibration["jvm_cpu_sec"], 3
+                    ),
+                    "total_per_py_cpu": round(
+                        total / calibration["py_cpu_sec"], 3
+                    ),
+                },
                 "methodology": "queries=best-of-3 .collect(); queries_noop="
                 "best-of-2 noop-sink (engine-only, no driver serialization)",
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,

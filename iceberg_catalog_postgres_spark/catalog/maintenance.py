@@ -1970,7 +1970,13 @@ def table_health(table: Table, small_file_rows: int = 0) -> dict:
         if (stats.get(f) or {}).get("record_count") is not None
         and stats[f]["record_count"] < small_file_rows
     )
-    covered = set(md.properties.get("ndv.covered-files", []))
+    # a file counts as NDV-covered when at least one column's sketch covers
+    # it (per-column `ndv.covered-files.<col>` keys; the pre-r7 shared
+    # `ndv.covered-files` key is honored for unmigrated metadata)
+    covered: set = set(md.properties.get("ndv.covered-files", []))
+    for k, v in md.properties.items():
+        if k.startswith("ndv.covered-files."):
+            covered.update(v)
     return {
         "n_snapshots": len(md.snapshots),
         "n_data_files": len(data),
@@ -2101,8 +2107,15 @@ def update_column_ndv(spark: SparkSession, table: Table, columns: list[str]) -> 
       over cleverness; Iceberg's ANALYZE does the same).
 
     Properties written: ``ndv.sketch.<col>`` (base64 HLL bytes),
-    ``ndv.estimate.<col>`` (int), ``ndv.covered-files`` (the file set the
-    sketch covers). Committed via the same CAS pointer swap as any commit.
+    ``ndv.estimate.<col>`` (int), ``ndv.covered-files.<col>`` (the file set
+    THAT column's sketch covers). Coverage is tracked PER COLUMN: a single
+    shared covered set (the pre-r7 layout, migrated on first write) silently
+    froze a column's sketch after a mixed-column history — analyze A, append,
+    analyze B (full pass advances the shared set), analyze A again: A's delta
+    looked empty and the appended files never reached A's sketch. Each
+    requested column now computes its delta against its OWN covered set, and
+    columns that share a delta file-set share one scan pass.
+    Committed via the same CAS pointer swap as any commit.
     """
     import base64
     import uuid as _uuid
@@ -2111,48 +2124,58 @@ def update_column_ndv(spark: SparkSession, table: Table, columns: list[str]) -> 
     md = table.metadata
     snap = md.current_snapshot()
     cur_files = list(snap.data_files) if snap else []
+    if not cur_files:
+        return table
     props = dict(md.properties)
-    prev_covered = props.get("ndv.covered-files", [])
     cur_set = set(cur_files)
-    if any(f not in cur_set for f in prev_covered):
-        # rows were removed: additive sketches cannot represent that — reset
-        for c in list(props):
-            if c.startswith("ndv.sketch.") or c.startswith("ndv.estimate."):
-                del props[c]
-        prev_covered = []
-    covered_set = set(prev_covered)
-    new_files = [f for f in cur_files if f not in covered_set]
-    # A column never sketched before needs a FULL pass over the current
-    # snapshot: the delta-only read skips files covered for OTHER columns,
-    # which would leave the new column estimate-less forever (ADVICE r5).
-    uncovered_cols = [c for c in columns if f"ndv.sketch.{c}" not in props]
-    delta_cols = [c for c in columns if f"ndv.sketch.{c}" in props]
-    if not cur_files or (not new_files and not uncovered_cols):
-        return table  # nothing to sketch and nothing changed: no commit
 
-    fresh: dict[str, bytes] = {}
-    if new_files and delta_cols:
-        df = table._read_data_files(spark, new_files, snap.file_seqs if snap else {})
-        row = df.agg(
-            *[F.hll_sketch_agg(F.col(c).cast("string")).alias(c) for c in delta_cols]
-        ).first()
-        for c in delta_cols:
-            if row[c] is not None:
-                fresh[c] = bytes(row[c])
-    if uncovered_cols:
-        df_all = table._read_data_files(
-            spark, cur_files, snap.file_seqs if snap else {}
-        )
-        row = df_all.agg(
-            *[
-                F.hll_sketch_agg(F.col(c).cast("string")).alias(c)
-                for c in uncovered_cols
-            ]
-        ).first()
-        for c in uncovered_cols:
-            if row[c] is not None:
-                fresh[c] = bytes(row[c])
+    def _ckey(c: str) -> str:
+        return f"ndv.covered-files.{c}"
+
+    # migrate the legacy shared covered list to per-column keys: under the
+    # old layout the one set stood for every sketched column
+    legacy = props.pop("ndv.covered-files", None)
+    if legacy is not None:
+        for k in list(props):
+            if k.startswith("ndv.sketch."):
+                props.setdefault(_ckey(k[len("ndv.sketch."):]), list(legacy))
+
+    # per-column reset: an additive sketch cannot unsee rows whose file left
+    # the snapshot (overwrite/CoW delete) — re-sketch that column from scratch
+    sketched = [k[len("ndv.sketch."):] for k in props if k.startswith("ndv.sketch.")]
+    for c in sketched:
+        if any(f not in cur_set for f in props.get(_ckey(c), [])):
+            props.pop(f"ndv.sketch.{c}", None)
+            props.pop(f"ndv.estimate.{c}", None)
+            props.pop(_ckey(c), None)
+
+    # each requested column's delta against ITS OWN covered set; a column
+    # without a sketch has empty coverage (full pass over the snapshot)
+    deltas: dict[str, list[str]] = {}
     for c in columns:
+        cov = set(props.get(_ckey(c), [])) if f"ndv.sketch.{c}" in props else set()
+        delta = [f for f in cur_files if f not in cov]
+        if delta:
+            deltas[c] = delta
+    if not deltas:
+        return table  # every requested column already covers the snapshot
+
+    # ONE scan per distinct delta file-set — columns sharing a delta (the
+    # common case: all analyzed together every run) share a single pass
+    groups: dict[tuple, list[str]] = {}
+    for c, delta in deltas.items():
+        groups.setdefault(tuple(delta), []).append(c)
+    fresh: dict[str, bytes] = {}
+    for files, cols in groups.items():
+        df = table._read_data_files(spark, list(files), snap.file_seqs if snap else {})
+        row = df.agg(
+            *[F.hll_sketch_agg(F.col(c).cast("string")).alias(c) for c in cols]
+        ).first()
+        for c in cols:
+            if row[c] is not None:
+                fresh[c] = bytes(row[c])
+
+    for c, delta in deltas.items():
         parts = []
         prev = props.get(f"ndv.sketch.{c}")
         if prev:
@@ -2160,6 +2183,9 @@ def update_column_ndv(spark: SparkSession, table: Table, columns: list[str]) -> 
         if c in fresh:
             parts.append(fresh[c])
         if not parts:
+            # never sketched and the full pass saw only NULLs: record
+            # nothing — a later run re-checks (cheap: the scan was needed
+            # anyway to learn the column is all-NULL)
             continue
         if len(parts) == 1:
             merged = parts[0]
@@ -2172,11 +2198,15 @@ def update_column_ndv(spark: SparkSession, table: Table, columns: list[str]) -> 
         est = spark.range(1).select(F.hll_sketch_estimate(F.lit(merged))).first()[0]
         props[f"ndv.sketch.{c}"] = base64.b64encode(merged).decode()
         props[f"ndv.estimate.{c}"] = int(est)
-    if not fresh and not new_files:
-        # requested columns were all-NULL over the full pass and coverage
-        # did not move: no property changed, so don't land a no-op commit
-        return table
-    props["ndv.covered-files"] = [*prev_covered, *new_files]
+        # coverage advances even when this column's delta rows were all-NULL
+        # (fresh absent but a prior sketch exists): re-reading those files
+        # cannot produce values, so they are covered
+        prev_cov = props.get(_ckey(c), [])
+        cov_set = set(prev_cov)
+        props[_ckey(c)] = [*prev_cov, *[f for f in delta if f not in cov_set]]
+
+    if props == dict(md.properties):
+        return table  # nothing changed (e.g. all-NULL never-sketched column)
 
     new_md = _dc_replace(md, properties=props)
     store = table.catalog.object_store()
@@ -2239,7 +2269,7 @@ def catalog_column_ndv_incremental(spark: SparkSession, sf_dir: str) -> DataFram
         .commit()
     )
     table = update_column_ndv(spark, table, ["o_custkey", "o_orderstatus"])
-    covered1 = len(table.metadata.properties["ndv.covered-files"])
+    covered1 = len(table.metadata.properties["ndv.covered-files.o_custkey"])
 
     table = (
         table.new_transaction()
@@ -2248,7 +2278,7 @@ def catalog_column_ndv_incremental(spark: SparkSession, sf_dir: str) -> DataFram
     )
     n_files2 = len(table.metadata.current_data_files())
     table = update_column_ndv(spark, table, ["o_custkey", "o_orderstatus"])
-    covered2 = len(table.metadata.properties["ndv.covered-files"])
+    covered2 = len(table.metadata.properties["ndv.covered-files.o_custkey"])
     second_pass_delta_only = covered2 == n_files2 and covered1 < covered2
 
     # fresh load: the NDV answer is a property read — no metadata-tree I/O

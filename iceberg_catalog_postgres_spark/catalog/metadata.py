@@ -578,6 +578,32 @@ class TableMetadata:
     reads — e.g. the exact corpus version a training run used); the "main"
     branch is implicit (current_snapshot_id). Carried through every commit
     unchanged; tags survive expire_snapshots (their snapshots are retained)."""
+    metadata_log: list = field(default_factory=list)
+    """Spec ``metadata-log``: previous metadata-file locations, oldest first
+    ({"timestamp-ms", "metadata-file"}). Appended by the snapshot-commit and
+    metadata-edit paths (the spec allows the log to be partial/truncated);
+    lets an operator walk pointer history without the catalog's row, and
+    metadata GC uses it to find unreferenced older documents."""
+
+    #: metadata-log entries retained per document (spec-sanctioned
+    #: truncation, mirroring write.metadata.previous-versions-max)
+    METADATA_LOG_MAX = 100
+
+    def with_log_entry(
+        self, prev_location: str | None, prev_timestamp_ms: int
+    ) -> "TableMetadata":
+        """Append the about-to-be-replaced metadata file to the log (call on
+        the NEXT document with the CURRENT doc's location + timestamp)."""
+        from dataclasses import replace as _dc_replace
+
+        if not prev_location:
+            return self
+        entry = {
+            "timestamp-ms": prev_timestamp_ms,
+            "metadata-file": prev_location,
+        }
+        log = [*self.metadata_log, entry][-self.METADATA_LOG_MAX:]
+        return _dc_replace(self, metadata_log=log)
 
     @staticmethod
     def new(
@@ -662,20 +688,107 @@ class TableMetadata:
                 found = s
         return found
 
+    def _last_column_id(self) -> int:
+        """Max assigned field id anywhere in the schema tree (spec
+        ``last-column-id``) — new columns must be assigned ids above it."""
+
+        def walk(t) -> int:
+            if isinstance(t, dict):
+                m = 0
+                for f in t.get("fields", []):
+                    m = max(m, int(f.get("id", 0)), walk(f.get("type")))
+                # map/list element types carry ids in full Iceberg; ours keep
+                # ids only on struct fields — walk nested structs
+                for k in ("element", "value", "key"):
+                    if k in t:
+                        m = max(m, walk(t[k]))
+                return m
+            return 0
+
+        return walk(self.schema)
+
+    def partition_specs_json(self) -> list[dict]:
+        """The spec's structured ``partition-specs`` form of our compact
+        entry-string spec: one spec (id 0) whose fields carry
+        ``source-id`` (resolved against the schema), ``field-id`` (1000+i,
+        the spec's partition-field id space), ``name`` (Iceberg naming
+        convention: ``col``, ``col_bucket``, ``col_trunc``, ``col_day``, …)
+        and ``transform`` (``identity`` / ``bucket[N]`` / ``truncate[W]`` /
+        ``year|month|day|hour``)."""
+        from .table import parse_partition_field  # local: avoids cycle at import
+
+        ids = {f["name"]: int(f["id"]) for f in self.schema.get("fields", [])}
+        fields = []
+        for i, entry in enumerate(self.partition_spec):
+            kind, param, col = parse_partition_field(entry)
+            if kind == "identity":
+                transform, name = "identity", col
+            elif kind == "bucket":
+                transform, name = f"bucket[{param}]", f"{col}_bucket"
+            elif kind == "truncate":
+                transform, name = f"truncate[{param}]", f"{col}_trunc"
+            else:  # year/month/day/hour
+                transform, name = kind, f"{col}_{kind}"
+            fields.append(
+                {
+                    "source-id": ids.get(col, -1),
+                    "field-id": 1000 + i,
+                    "name": name,
+                    "transform": transform,
+                }
+            )
+        return [{"spec-id": 0, "fields": fields}]
+
+    #: Every metadata document names its manifest-format deviation loudly: the
+    #: snapshot file lists are content-addressed JSON chunks, NOT the spec's
+    #: avro manifest-list/manifest files (no avro library in this
+    #: environment), so a foreign Iceberg reader must refuse the table —
+    #: which it will, since Snapshot JSON carries no ``manifest-list`` key —
+    #: instead of mis-reading it. The property makes the refusal diagnosable.
+    MANIFEST_FORMAT_PROP = "format.manifest-implementation"
+    MANIFEST_FORMAT = "icp-spark-json-chunks-v1"
+
     def to_json(self) -> str:
         return json.dumps(
             {
+                # ---- Iceberg TableMetadata spec fields (public v1/v2 doc
+                # layout; schemas/partition-specs/sort-orders/snapshot-log
+                # per the v2 shape) ----
                 "format-version": self.format_version,
                 "table-uuid": self.table_uuid,
                 "location": self.location,
+                "last-sequence-number": max(
+                    (s.sequence_number for s in self.snapshots), default=0
+                ),
                 "last-updated-ms": self.last_updated_ms,
-                "schema": self.schema,
+                "last-column-id": self._last_column_id(),
                 "schemas": [self.schema],
+                "current-schema-id": int(self.schema.get("schema-id", 0)),
+                "partition-specs": self.partition_specs_json(),
+                "default-spec-id": 0,
+                "last-partition-id": 999 + len(self.partition_spec),
+                "sort-orders": [{"order-id": 0, "fields": []}],
+                "default-sort-order-id": 0,
                 "current-snapshot-id": self.current_snapshot_id,
-                "partition-spec": self.partition_spec,
                 "snapshots": [s.to_json() for s in self.snapshots],
-                "properties": self.properties,
+                # snapshots append in commit order, so the commit-order walk
+                # IS the current-snapshot change log (rollback re-points
+                # current-snapshot-id without rewriting history — same as the
+                # spec's allowance for a truncated log)
+                "snapshot-log": [
+                    {"timestamp-ms": s.timestamp_ms, "snapshot-id": s.snapshot_id}
+                    for s in self.snapshots
+                ],
+                "metadata-log": self.metadata_log,
+                "properties": {
+                    self.MANIFEST_FORMAT_PROP: self.MANIFEST_FORMAT,
+                    **self.properties,
+                },
                 "refs": self.refs,
+                # ---- engine-native keys (kept alongside; foreign readers
+                # ignore unknown keys, ours reads these) ----
+                "schema": self.schema,
+                "partition-spec": self.partition_spec,
             },
             indent=2,
         )
@@ -683,10 +796,17 @@ class TableMetadata:
     @staticmethod
     def from_json(text: str, store=None) -> "TableMetadata":
         d = json.loads(text)
+        schema = d.get("schema")
+        if schema is None:
+            # spec-layout-only document: resolve current schema from the list
+            cur = d.get("current-schema-id", 0)
+            schema = next(
+                s for s in d["schemas"] if int(s.get("schema-id", 0)) == int(cur)
+            )
         return TableMetadata(
             table_uuid=d["table-uuid"],
             location=d["location"],
-            schema=d["schema"],
+            schema=schema,
             snapshots=[Snapshot.from_json(s, store=store) for s in d.get("snapshots", [])],
             current_snapshot_id=d.get("current-snapshot-id"),
             last_updated_ms=d.get("last-updated-ms", 0),
@@ -694,4 +814,5 @@ class TableMetadata:
             properties=d.get("properties", {}),
             partition_spec=list(d.get("partition-spec", [])),
             refs=dict(d.get("refs", {})),
+            metadata_log=list(d.get("metadata-log", [])),
         )

@@ -142,6 +142,22 @@ def _bucket_value_bytes(v) -> bytes:
     )
 
 
+def _micros_from_epoch_utc(v) -> int:
+    """Microseconds from the UTC epoch for a datetime. tz-aware values are
+    normalized to UTC first so the same *instant* always maps to the same
+    micros regardless of its offset (2024-01-01T02:00+05:00 ==
+    2023-12-31T21:00Z); naive values are read as UTC wall-clock (the repo
+    pins the session tz to UTC). Subtracting an epoch carrying ``v.tzinfo``
+    would instead shift the instant by the UTC offset and plan the wrong
+    day/bucket partition."""
+    import datetime as _dt
+
+    if v.tzinfo is not None:
+        v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    d = v - _dt.datetime(1970, 1, 1)
+    return (d.days * 86400 + d.seconds) * 1_000_000 + d.microseconds
+
+
 def transform_value(
     entry: str, v, bucket_hash: str = DEFAULT_BUCKET_HASH, src_type: str | None = None
 ) -> str | None:
@@ -165,6 +181,8 @@ def transform_value(
         if isinstance(v, str):
             v = _dt.date.fromisoformat(v)
         if isinstance(v, _dt.datetime):
+            if v.tzinfo is not None:
+                v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
             v = v.date()
         if isinstance(v, _dt.date):
             v = (v - _dt.date(1970, 1, 1)).days
@@ -179,9 +197,7 @@ def transform_value(
         if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
             v = _dt.datetime(v.year, v.month, v.day)  # midnight of that day
         if isinstance(v, _dt.datetime):
-            epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
-            d = v - epoch
-            v = (d.days * 86400 + d.seconds) * 1_000_000 + d.microseconds
+            v = _micros_from_epoch_utc(v)
         v = int(v)
     if kind == "identity":
         return str(v)
@@ -193,9 +209,7 @@ def transform_value(
         unit = src_type
         if unit is None:
             if isinstance(v, _dt.datetime):
-                epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
-                d = v - epoch
-                v = (d.days * 86400 + d.seconds) * 1_000_000 + d.microseconds
+                v = _micros_from_epoch_utc(v)
                 unit = "timestamp"
             elif isinstance(v, _dt.date):
                 v = (v - _dt.date(1970, 1, 1)).days
@@ -1329,7 +1343,13 @@ class Table:
                 continue  # non-monotone (bucket) / lexicographic (str truncate)
             lo_t = transform_value(entry, lo, src_type=src_types.get(src))
             hi_t = transform_value(entry, hi, src_type=src_types.get(src))
-            bounds[entry] = (int(lo_t), int(hi_t))
+            try:
+                bounds[entry] = (int(lo_t), int(hi_t))
+            except (TypeError, ValueError):
+                # e.g. identity over a string source: transformed bounds are
+                # not integers — drop the entry (superset-safe fallback),
+                # matching the point planner's tolerance of this spec shape
+                continue
         if not bounds:
             return [store.resolve(f) for f in snap.data_files]
 
@@ -1399,7 +1419,9 @@ class Table:
 
         current = self
         for attempt in range(max_retries + 1):
-            new_md = edit_fn(current.metadata)
+            new_md = edit_fn(current.metadata).with_log_entry(
+                current._metadata_location, current.metadata.last_updated_ms
+            )
             store = current.catalog.object_store()
             new_location = _pp.join(
                 current.metadata.location,
@@ -2054,8 +2076,34 @@ class Transaction:
         self._base_data_files: frozenset[str] = frozenset(
             table.metadata.current_data_files()
         )
+        # property updates that land in the SAME metadata document / CAS swap
+        # as the snapshot — e.g. a streaming sink's batch-id fence must be
+        # atomic with the data it fences, or a torn writer can double-commit
+        self._staged_props: dict = {}
+        self._fence: tuple[str, int] | None = None
 
     # -- staging ----------------------------------------------------------
+
+    def set_properties(self, props: dict) -> "Transaction":
+        """Stage table-property updates to commit atomically with this
+        transaction's snapshot (one metadata write, one CAS)."""
+        self._staged_props.update(props)
+        return self
+
+    def fence(self, key: str, epoch: int) -> "Transaction":
+        """Epoch/batch-id fencing (the streaming exactly-once contract): the
+        commit lands ONLY if the table's ``key`` property is still below
+        ``epoch``; otherwise commit() returns the current table untouched —
+        a replayed micro-batch (restart after a torn write) or a zombie twin
+        of this writer finds the fence already advanced and becomes a no-op.
+        The check re-runs inside every CAS retry against the winner's
+        metadata, so two racing writers of the same epoch cannot both land:
+        the loser's retry sees the winner's fence. ``set_properties`` is
+        staged automatically so the fence advances atomically with the data.
+        """
+        self._fence = (key, int(epoch))
+        self._staged_props[key] = int(epoch)
+        return self
 
     def append_files(
         self,
@@ -2346,6 +2394,14 @@ class Transaction:
         current = self.table  # holds (metadata, metadata_location) we read
 
         for attempt in range(self.max_retries + 1):
+            if self._fence is not None:
+                fkey, fepoch = self._fence
+                cur_epoch = current.metadata.properties.get(fkey)
+                if cur_epoch is not None and int(cur_epoch) >= fepoch:
+                    # this epoch already landed (micro-batch replay after a
+                    # torn write, or a zombie twin won the race): no-op —
+                    # exactly-once holds because fence + data moved in ONE CAS
+                    return current
             if attempt > 0 and self._operation == "overwrite":
                 # validateNoNewFiles: the staged overwrite (compaction, merge
                 # upsert, CoW rewrite) was computed from the base file set; a
@@ -2521,6 +2577,16 @@ class Transaction:
                     },
                     last_updated_ms=int(time.time() * 1000),
                 )
+            if self._staged_props:
+                from dataclasses import replace as _dc_replace
+
+                new_metadata = _dc_replace(
+                    new_metadata,
+                    properties={**new_metadata.properties, **self._staged_props},
+                )
+            new_metadata = new_metadata.with_log_entry(
+                current.metadata_location(), current.metadata.last_updated_ms
+            )
             new_location = posixpath.join(
                 new_metadata.location,
                 "metadata",

@@ -423,11 +423,12 @@ def events_max_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic burst.
     """
     pts = _purchase_interval_deltas(load(spark, sf_dir, "events"))
-    n_iv = pts.count() // 2
+    # n_intervals folds into the stitched aggregate (half the sweep points)
+    # — one pass over the purchase stream, not a second count() scan
     peak = _bucketed_sweep_max(pts)
     return peak.select(
         F.col("peak_concurrency").cast("long"),
-        F.lit(n_iv).cast("long").alias("n_intervals"),
+        F.col("n_intervals").cast("long"),
     )
 
 
@@ -470,4 +471,9 @@ def _bucketed_sweep_max(pts: DataFrame, bucket_ms: int = 3600_000) -> DataFrame:
     stitched = local.join(F.broadcast(offsets), "bkt").withColumn(
         "conc", F.col("offset") + F.col("run_local")
     )
-    return stitched.agg(F.max("conc").alias("peak_concurrency"))
+    return stitched.agg(
+        F.max("conc").alias("peak_concurrency"),
+        # each interval contributes one +1 and one -1 point, so the interval
+        # count rides along in the same aggregate — no extra scan
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
+    )

@@ -325,6 +325,7 @@ def load_all() -> dict[str, QuerySpec]:
     import iceberg_catalog_postgres_spark.llm.multimodal  # noqa: F401
     import iceberg_catalog_postgres_spark.streaming.windows  # noqa: F401
     import iceberg_catalog_postgres_spark.streaming.joins  # noqa: F401
+    import iceberg_catalog_postgres_spark.streaming.catalog_sink  # noqa: F401
     import iceberg_catalog_postgres_spark.catalog.queries  # noqa: F401
     import iceberg_catalog_postgres_spark.catalog.integration  # noqa: F401
     import iceberg_catalog_postgres_spark.catalog.maintenance  # noqa: F401

@@ -1,0 +1,214 @@
+"""Spec-complete TableMetadata serialization (VERDICT r6 'Next round' item 3).
+
+The metadata JSON a catalog pointer resolves to must carry every top-level
+field of the public Iceberg TableMetadata document layout (v2 shape for
+schemas / partition-specs / sort-orders / snapshot-log), with cross-field
+consistency, PLUS the explicit manifest-format deviation property — the
+snapshot file lists are content-addressed JSON chunks, not avro
+manifest-lists (no avro library in this environment), and a foreign reader
+must be able to see that loudly instead of mis-reading the table.
+
+Field-for-field checklist per the public spec's TableMetadata section;
+reference consumes this document via iceberg-rs (mod.rs:217-220).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+import pytest
+from pyspark.sql.types import (
+    DateType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from iceberg_catalog_postgres_spark.catalog.catalog import (
+    PostgresCatalog,
+    TableIdentifier,
+)
+from iceberg_catalog_postgres_spark.catalog.metadata import TableMetadata
+
+
+@pytest.fixture
+def catalog(tmp_path):
+    cat = PostgresCatalog.connect("spec_cat", None, str(tmp_path / "warehouse"))
+    cat.initialize()
+    yield cat
+    cat.backend.close()
+
+
+S = StructType(
+    [
+        StructField("k", LongType(), True),
+        StructField("d", DateType(), True),
+        StructField("name", StringType(), True),
+    ]
+)
+
+
+@pytest.fixture
+def committed_table(catalog, spark):
+    t = catalog.create_table(
+        TableIdentifier.parse("spec.t1"),
+        S,
+        partition_by=["bucket(4,k)", "day(d)"],
+    )
+    rows = [
+        (i, dt.date(2024, 1, 1) + dt.timedelta(days=i % 3), f"n{i}")
+        for i in range(32)
+    ]
+    df = spark.createDataFrame(rows, S)
+    t = t.new_transaction().append_dataframe(df.coalesce(1)).commit()
+    t = t.new_transaction().append_dataframe(df.limit(4).coalesce(1)).commit()
+    return t
+
+
+def _raw_doc(t) -> dict:
+    store = t.catalog.object_store()
+    return json.loads(store.get(t.metadata_location()).decode())
+
+
+REQUIRED_V2_FIELDS = {
+    "format-version": int,
+    "table-uuid": str,
+    "location": str,
+    "last-sequence-number": int,
+    "last-updated-ms": int,
+    "last-column-id": int,
+    "schemas": list,
+    "current-schema-id": int,
+    "partition-specs": list,
+    "default-spec-id": int,
+    "last-partition-id": int,
+    "sort-orders": list,
+    "default-sort-order-id": int,
+    "properties": dict,
+    "snapshots": list,
+    "snapshot-log": list,
+    "refs": dict,
+}
+
+
+def test_spec_field_checklist(committed_table):
+    """Every spec top-level field present with the spec's type."""
+    d = _raw_doc(committed_table)
+    for key, typ in REQUIRED_V2_FIELDS.items():
+        assert key in d, f"missing spec field {key}"
+        assert isinstance(d[key], typ), f"{key}: {type(d[key])} != {typ}"
+    assert d["current-snapshot-id"] is not None
+
+
+def test_spec_cross_field_consistency(committed_table):
+    d = _raw_doc(committed_table)
+    # current-schema-id resolves into schemas
+    sids = [int(s.get("schema-id", 0)) for s in d["schemas"]]
+    assert d["current-schema-id"] in sids
+    # last-column-id bounds every schema field id
+    max_id = max(f["id"] for s in d["schemas"] for f in s["fields"])
+    assert d["last-column-id"] >= max_id
+    # default-spec-id resolves; partition fields resolve source-ids and carry
+    # spec-convention transforms/names/field-ids
+    specs = {s["spec-id"]: s for s in d["partition-specs"]}
+    assert d["default-spec-id"] in specs
+    schema_ids = {f["id"] for s in d["schemas"] for f in s["fields"]}
+    fields = specs[d["default-spec-id"]]["fields"]
+    assert [f["transform"] for f in fields] == ["bucket[4]", "day"]
+    assert [f["name"] for f in fields] == ["k_bucket", "d_day"]
+    assert all(f["source-id"] in schema_ids for f in fields)
+    assert [f["field-id"] for f in fields] == [1000, 1001]
+    assert d["last-partition-id"] == max(f["field-id"] for f in fields)
+    # sort orders: default resolves (unsorted order 0)
+    assert any(o["order-id"] == d["default-sort-order-id"] for o in d["sort-orders"])
+    # snapshot-log entries reference real snapshots, timestamps ascending
+    snap_ids = {s["snapshot-id"] for s in d["snapshots"]}
+    log = d["snapshot-log"]
+    assert len(log) == 2 and all(e["snapshot-id"] in snap_ids for e in log)
+    assert [e["timestamp-ms"] for e in log] == sorted(
+        e["timestamp-ms"] for e in log
+    )
+    assert d["current-snapshot-id"] in snap_ids
+    # last-sequence-number is the max snapshot sequence number
+    assert d["last-sequence-number"] == max(
+        s.get("sequence-number", 0) for s in d["snapshots"]
+    )
+
+
+def test_manifest_deviation_property_always_written(committed_table):
+    """The format-deviation property reaches every serialized document —
+    including tables created before the property existed (injected at
+    serialization, not only at create)."""
+    d = _raw_doc(committed_table)
+    assert (
+        d["properties"][TableMetadata.MANIFEST_FORMAT_PROP]
+        == TableMetadata.MANIFEST_FORMAT
+    )
+    # and spec-readers get a loud failure: no snapshot carries the spec's
+    # required manifest-list pointer (they parse-fail instead of mis-reading)
+    assert all("manifest-list" not in s for s in d["snapshots"])
+
+
+def test_round_trip_preserves_spec_fields(committed_table):
+    md = committed_table.metadata
+    back = TableMetadata.from_json(md.to_json())
+    assert back.table_uuid == md.table_uuid
+    assert back.schema == md.schema
+    assert back.partition_spec == md.partition_spec
+    assert back.current_snapshot_id == md.current_snapshot_id
+    assert [s.snapshot_id for s in back.snapshots] == [
+        s.snapshot_id for s in md.snapshots
+    ]
+    # serialization is stable: a second round-trip emits the same document
+    assert json.loads(back.to_json())["partition-specs"] == json.loads(
+        md.to_json()
+    )["partition-specs"]
+
+
+def test_metadata_log_tracks_pointer_history(committed_table, spark):
+    """Spec ``metadata-log``: each commit appends the replaced metadata
+    file; entries resolve to real, readable documents (pointer history
+    walkable without the catalog row)."""
+    d = _raw_doc(committed_table)
+    # create -> append -> append: the 2nd append's doc logs the first two
+    assert len(d["metadata-log"]) == 2
+    store = committed_table.catalog.object_store()
+    for entry in d["metadata-log"]:
+        assert set(entry) == {"timestamp-ms", "metadata-file"}
+        prev = TableMetadata.from_json(store.get(entry["metadata-file"]).decode())
+        assert prev.table_uuid == committed_table.metadata.table_uuid
+    # oldest-first ordering, and a metadata-only edit also logs
+    t2 = committed_table.set_ref("audit-tag")
+    d2 = _raw_doc(t2)
+    assert len(d2["metadata-log"]) == 3
+    assert d2["metadata-log"][-1]["metadata-file"].endswith(".metadata.json")
+    ts = [e["timestamp-ms"] for e in d2["metadata-log"]]
+    assert ts == sorted(ts)
+
+
+def test_metadata_log_truncates_at_cap(catalog, spark):
+    """The log is bounded (spec-sanctioned truncation): it never exceeds
+    METADATA_LOG_MAX entries however long the commit history."""
+    import dataclasses
+
+    md = TableMetadata.new("/w/t", S)
+    for i in range(TableMetadata.METADATA_LOG_MAX + 7):
+        md = md.with_log_entry(f"/w/t/metadata/v{i}.metadata.json", 1000 + i)
+    assert len(md.metadata_log) == TableMetadata.METADATA_LOG_MAX
+    # oldest entries dropped, newest kept
+    assert md.metadata_log[-1]["metadata-file"].endswith(
+        f"v{TableMetadata.METADATA_LOG_MAX + 6}.metadata.json"
+    )
+
+
+def test_from_json_reads_spec_layout_only_document(committed_table):
+    """A document stripped of the engine-native keys (schema/partition-spec)
+    still loads: schema resolves via schemas + current-schema-id."""
+    d = _raw_doc(committed_table)
+    del d["schema"]
+    del d["partition-spec"]
+    back = TableMetadata.from_json(json.dumps(d))
+    assert back.schema == committed_table.metadata.schema
+    assert [f.name for f in back.spark_schema.fields] == ["k", "d", "name"]

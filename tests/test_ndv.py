@@ -29,13 +29,13 @@ def test_incremental_update_covers_only_delta(catalog, spark):
     t = update_column_ndv(spark, t, ["k"])
     est1 = column_ndv(t, "k")
     assert abs(est1 - 100) / 100 <= 0.05
-    c1 = list(t.metadata.properties["ndv.covered-files"])
+    c1 = list(t.metadata.properties["ndv.covered-files.k"])
 
     t = t.new_transaction().append_dataframe(
         spark.createDataFrame([(i,) for i in range(100, 150)], S).coalesce(1)
     ).commit()
     t = update_column_ndv(spark, t, ["k"])
-    c2 = t.metadata.properties["ndv.covered-files"]
+    c2 = t.metadata.properties["ndv.covered-files.k"]
     assert c2[: len(c1)] == c1 and len(c2) == len(t.metadata.current_data_files())
     assert abs(column_ndv(t, "k") - 150) / 150 <= 0.05
     # idempotent: no new files -> same table (no commit)
@@ -55,7 +55,7 @@ def test_overwrite_resets_sketches(catalog, spark):
     t = update_column_ndv(spark, t, ["k"])
     # additive sketch cannot unsee removed rows -> must have reset
     assert column_ndv(t, "k") == 10
-    assert len(t.metadata.properties["ndv.covered-files"]) == len(
+    assert len(t.metadata.properties["ndv.covered-files.k"]) == len(
         t.metadata.current_data_files()
     )
 
@@ -106,7 +106,58 @@ def test_new_column_full_pass_spans_covered_and_delta_files(catalog, spark):
     t = update_column_ndv(spark, t, ["k", "v"])
     assert column_ndv(t, "v") == 2                    # saw value 0 (covered) AND 1 (delta)
     assert abs(column_ndv(t, "k") - 150) / 150 <= 0.05
-    assert len(t.metadata.properties["ndv.covered-files"]) == len(
+    for col in ("k", "v"):
+        assert len(t.metadata.properties[f"ndv.covered-files.{col}"]) == len(
+            t.metadata.current_data_files()
+        )
+
+
+def test_mixed_column_history_does_not_freeze_ndv(catalog, spark):
+    """VERDICT r6 latent defect: with a SHARED covered-files set, the
+    sequence analyze(A) → append → analyze(B) → analyze(A) froze A's NDV
+    forever (B's full pass advanced the shared set past A's sketch).
+    Per-column coverage must merge the appended files into A's sketch."""
+    t = catalog.create_table(TableIdentifier.parse("ndv.t7"), S2)
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame([(i, i) for i in range(100)], S2).coalesce(1)
+    ).commit()
+    t = update_column_ndv(spark, t, ["k"])            # A = k covers file 1
+    assert abs(column_ndv(t, "k") - 100) / 100 <= 0.05
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame([(i, i) for i in range(100, 200)], S2).coalesce(1)
+    ).commit()
+    t = update_column_ndv(spark, t, ["v"])            # B = v full pass only
+    assert abs(column_ndv(t, "v") - 200) / 200 <= 0.05
+    t = update_column_ndv(spark, t, ["k"])            # A again: delta = file 2
+    # the shared-set layout returned ~100 here (stale forever); must be ~200
+    assert abs(column_ndv(t, "k") - 200) / 200 <= 0.05
+    assert len(t.metadata.properties["ndv.covered-files.k"]) == len(
+        t.metadata.current_data_files()
+    )
+
+
+def test_legacy_shared_coverage_migrates(catalog, spark):
+    """Metadata written under the pre-r7 shared `ndv.covered-files` layout
+    must keep its delta-only behavior after migration: the shared set is
+    adopted as every sketched column's own coverage on the next run."""
+    from dataclasses import replace as _dc_replace
+
+    t = catalog.create_table(TableIdentifier.parse("ndv.t8"), S)
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame([(i,) for i in range(50)], S).coalesce(1)
+    ).commit()
+    t = update_column_ndv(spark, t, ["k"])
+    # rewrite the properties into the legacy shared layout in place
+    props = dict(t.metadata.properties)
+    props["ndv.covered-files"] = props.pop("ndv.covered-files.k")
+    t.metadata = _dc_replace(t.metadata, properties=props)
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame([(i,) for i in range(50, 80)], S).coalesce(1)
+    ).commit()
+    t = update_column_ndv(spark, t, ["k"])
+    assert abs(column_ndv(t, "k") - 80) / 80 <= 0.05
+    assert "ndv.covered-files" not in t.metadata.properties
+    assert len(t.metadata.properties["ndv.covered-files.k"]) == len(
         t.metadata.current_data_files()
     )
 

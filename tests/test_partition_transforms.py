@@ -320,6 +320,53 @@ def test_temporal_transform_values():
     assert parse_partition_field("day(ts)") == ("day", None, "ts")
 
 
+def test_tz_aware_values_normalize_to_utc():
+    """ADVICE r6 (medium): a tz-aware non-UTC value must transform by its
+    UTC *instant*, not its local wall-clock. 2024-01-01T02:00+05:00 IS
+    2023-12-31T21:00Z — same instant, so same day / hour / bucket as the
+    UTC-spelled equivalent; the old epoch-with-v.tzinfo arithmetic planned
+    day 19723 (and a different bucket), silently pruning the right files."""
+    import datetime as dt
+
+    aware = dt.datetime.fromisoformat("2024-01-01T02:00:00+05:00")
+    utc_naive = dt.datetime(2023, 12, 31, 21, 0, 0)
+    for entry in ("day(c)", "hour(c)", "month(c)", "year(c)", "bucket(8, c)"):
+        assert transform_value(entry, aware, src_type="timestamp") == \
+            transform_value(entry, utc_naive, src_type="timestamp"), entry
+        # unit-inference path (no src_type) must agree for temporal kinds
+        if not entry.startswith("bucket"):
+            assert transform_value(entry, aware) == transform_value(entry, utc_naive)
+    assert transform_value("day(c)", aware, src_type="timestamp") == "19722"
+    # identity over timestamp: micros of the instant, not the local wall-clock
+    assert transform_value("identity(c)", aware, src_type="timestamp") == \
+        transform_value("identity(c)", utc_naive, src_type="timestamp")
+    # ISO string with an offset goes through fromisoformat → same normalization
+    assert transform_value(
+        "day(c)", "2024-01-01T02:00:00+05:00", src_type="timestamp"
+    ) == "19722"
+    # tz-aware datetime against a DATE column: the UTC date, not the local one
+    assert transform_value("identity(c)", aware, src_type="date") == "19722"
+
+
+def test_range_planner_skips_string_identity_entry(catalog, spark):
+    """ADVICE r6 (low): an identity(string-col) spec entry must not crash
+    planned_files_transformed_range with int('abc') — it is dropped from the
+    bounds (superset-safe), matching the point planner's tolerance."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    sch = StructType([
+        StructField("name", StringType(), True),
+        StructField("n", LongType(), True),
+    ])
+    ident = TableIdentifier.parse("pt.str_ident_range")
+    t = catalog.create_table(ident, sch, partition_by=["name"])
+    df = spark.createDataFrame([("alpha", 1), ("beta", 2)], sch)
+    t = t.new_transaction().append_dataframe(df).commit()
+    all_files = [f for f in t.metadata.current_data_files()]
+    planned = t.planned_files_transformed_range("name", "a", "z")
+    assert len(planned) == len(all_files)  # superset-safe: keeps everything
+
+
 def test_day_partitioned_roundtrip_and_pruning(catalog, spark):
     """day(ts)-partitioned table: hive-style daily layout, point lookup on
     one day plans exactly that day's file."""
