@@ -694,3 +694,207 @@ def catalog_commit_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sequence_number long, operation string, added_files long, "
         "added_records long, added_delete_files long",
     )
+
+
+@register(
+    "catalog_metadata_log_history",
+    oracle="""
+    SELECT CAST(3 AS BIGINT) AS n_log_entries,
+           true  AS entries_resolve,
+           true  AS timestamps_ascending,
+           CAST(2 AS BIGINT) AS prev_doc_snapshots,
+           true  AS log_matches_commit_order
+    FROM (SELECT 1)
+    """,
+    tags=("catalog", "metadata", "spec", "history"),
+)
+def catalog_metadata_log_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spec ``metadata-log`` certified as a walkable pointer history (r7):
+    create -> append -> append -> tag gives a current document whose log
+    holds the THREE superseded documents oldest-first; every entry resolves
+    to a readable TableMetadata with the same table-uuid, entry timestamps
+    ascend, and the most recent logged document is exactly the pre-tag state
+    (2 snapshots). This is the Iceberg operator path for "what did the
+    pointer look like before commit N" WITHOUT any catalog-row history —
+    e.g. auditing which metadata doc a failed reader held.
+
+    Scale: the log is bounded (METADATA_LOG_MAX=100, spec-sanctioned
+    truncation), so the metadata document stays O(snapshots + 100 paths)
+    however long the commit history; resolving an entry is one object-store
+    GET of an O(snapshots) JSON."""
+    import json as _json
+
+    from iceberg_catalog_postgres_spark.catalog.maintenance import _fresh_catalog
+    from iceberg_catalog_postgres_spark.catalog.metadata import TableMetadata
+
+    cat = _fresh_catalog("catalog_mdlog_demo")
+    src = load(spark, sf_dir, "nation")
+    ident = TableIdentifier.parse("mdlog.nation")
+    t = cat.create_table(ident, src.schema)                      # doc 0
+    t = t.new_transaction().append_dataframe(src.coalesce(1)).commit()   # doc 1
+    t = (
+        t.new_transaction()
+        .append_dataframe(src.where(F.col("n_regionkey") == 0).coalesce(1))
+        .commit()
+    )                                                            # doc 2
+    t = t.set_ref("audit-v1")                                    # doc 3 (current)
+
+    store = cat.object_store()
+    doc = _json.loads(store.get(t.metadata_location()).decode())
+    log = doc["metadata-log"]
+    resolved = [
+        TableMetadata.from_json(store.get(e["metadata-file"]).decode()) for e in log
+    ]
+    entries_resolve = all(m.table_uuid == t.metadata.table_uuid for m in resolved)
+    ts = [e["timestamp-ms"] for e in log]
+    # commit order: snapshot counts of the logged docs must be 0, 1, 2
+    log_matches_commit_order = [len(m.snapshots) for m in resolved] == [0, 1, 2]
+    return spark.createDataFrame(
+        [
+            (
+                len(log),
+                bool(entries_resolve),
+                ts == sorted(ts),
+                len(resolved[-1].snapshots),
+                bool(log_matches_commit_order),
+            )
+        ],
+        "n_log_entries long, entries_resolve boolean, timestamps_ascending "
+        "boolean, prev_doc_snapshots long, log_matches_commit_order boolean",
+    )
+
+
+@register(
+    "catalog_tz_aware_day_pruning",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows_day,
+           true AS pruned,
+           true AS aware_equals_utc_plan
+    FROM events
+    WHERE CAST(ts AS DATE) = (SELECT min(CAST(ts AS DATE)) FROM events)
+    """,
+    tags=("catalog", "partition-transforms", "timezone", "pruning"),
+)
+def catalog_tz_aware_day_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r6 ADVICE timezone defect, locked under the oracle gate (r7): a
+    day(ts)-partitioned table point-planned with a tz-AWARE query value
+    (14:00+05:00 — the same instant as 09:00 UTC) must plan exactly the
+    files of the UTC day the data was written under. Before the fix the
+    epoch was taken in the value's own offset, shifting the instant by
+    +05:00 and planning the WRONG day — silently missing rows. Certified:
+    the aware plan == the naive-UTC plan (same file set), the plan prunes
+    (1 of 30 daily files), and reading the planned files yields exactly the
+    oracle's row count for that day.
+
+    Scale: this is the correctness backbone of temporal partition pruning —
+    every production query arrives with some session timezone; day(ts)
+    layouts only work if the driver-side transform is offset-invariant."""
+    import datetime as _dt
+
+    from iceberg_catalog_postgres_spark.catalog.maintenance import _fresh_catalog
+
+    cat = _fresh_catalog("catalog_tzday_demo")
+    src = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    ident = TableIdentifier.parse("tzday.events")
+    t = cat.create_table(ident, src.schema, partition_by=["day(ts)"])
+    t = t.new_transaction().append_dataframe(src).commit()
+
+    day0 = src.agg(F.min(F.to_date("ts"))).first()[0]
+    naive_utc = _dt.datetime(day0.year, day0.month, day0.day, 9, 0, 0)
+    aware = _dt.datetime(
+        day0.year, day0.month, day0.day, 14, 0, 0,
+        tzinfo=_dt.timezone(_dt.timedelta(hours=5)),
+    )  # same instant as naive_utc
+
+    planned_aware = sorted(t.planned_files_transformed({"ts": aware}))
+    planned_utc = sorted(t.planned_files_transformed({"ts": naive_utc}))
+    total_files = len(t.metadata.current_data_files())
+    n_rows_day = (
+        spark.read.schema(src.schema)
+        .parquet(*planned_aware)
+        .filter(F.to_date("ts") == F.lit(day0))
+        .count()
+    )
+    return spark.createDataFrame(
+        [
+            (
+                n_rows_day,
+                len(planned_aware) < total_files,
+                planned_aware == planned_utc and len(planned_aware) > 0,
+            )
+        ],
+        "n_rows_day long, pruned boolean, aware_equals_utc_plan boolean",
+    )
+
+
+@register(
+    "catalog_ndv_driven_join_strategy",
+    oracle="""
+    SELECT CAST((SELECT count(DISTINCT n_nationkey) FROM nation) AS BIGINT)
+               AS ndv_dim_key,
+           true AS broadcast_chosen,
+           true AS plan_is_broadcast,
+           CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_joined
+    FROM (SELECT 1)
+    """,
+    tags=("catalog", "ndv", "stats", "join", "planning"),
+)
+def catalog_ndv_driven_join_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stored NDV driving a physical join strategy — the planning loop the
+    sketches exist FOR (r7): ANALYZE writes the dim table's join-key NDV
+    into table properties; the query layer reads it back as a pure metadata
+    lookup and, seeing a tiny key domain (25 nations), injects a broadcast
+    hint. With Spark's own size-based auto-broadcast DISABLED for the probe,
+    the executed plan still shows BroadcastHashJoinExec — i.e. the decision
+    came from OUR catalog statistics, not from file sizes. Row parity with
+    the plain join is the oracle check.
+
+    Scale: at 100 TB the fact side never moves — a wrong shuffle join here
+    is the single most expensive planner mistake; NDV-from-metadata is how
+    the decision is made without scanning either side."""
+    from iceberg_catalog_postgres_spark.catalog.maintenance import (
+        _fresh_catalog,
+        column_ndv,
+        update_column_ndv,
+    )
+
+    cat = _fresh_catalog("catalog_ndvjoin_demo")
+    dim_src = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    fact_src = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    dim_id = TableIdentifier.parse("ndvjoin.nation_dim")
+    fact_id = TableIdentifier.parse("ndvjoin.customer_fact")
+    dim = cat.create_table(dim_id, dim_src.schema)
+    dim = dim.new_transaction().append_dataframe(dim_src.coalesce(1)).commit()
+    fact = cat.create_table(fact_id, fact_src.schema)
+    fact = fact.new_transaction().append_dataframe(fact_src).commit()
+    dim = update_column_ndv(spark, dim, ["n_nationkey"])
+
+    ndv = column_ndv(cat.load_table(dim_id), "n_nationkey")  # metadata read
+    BROADCAST_NDV_MAX = 100_000  # key-domain threshold for a broadcast dim
+    broadcast_chosen = ndv is not None and ndv <= BROADCAST_NDV_MAX
+
+    d = cat.load_table(dim_id).to_df(spark)
+    f = cat.load_table(fact_id).to_df(spark)
+    d = F.broadcast(d) if broadcast_chosen else d
+    joined = f.join(d, f.c_nationkey == d.n_nationkey, "inner")
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # size-based auto-broadcast off: only the NDV-driven hint remains
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        n_joined = joined.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    return spark.createDataFrame(
+        [
+            (
+                int(ndv),
+                bool(broadcast_chosen),
+                "BroadcastHashJoin" in plan,
+                int(n_joined),
+            )
+        ],
+        "ndv_dim_key long, broadcast_chosen boolean, plan_is_broadcast boolean, "
+        "n_joined long",
+    )
