@@ -215,3 +215,143 @@ def catalog_stream_torn_writer_restart(spark: SparkSession, sf_dir: str) -> Data
         "n_rows long, n_distinct_keys long, torn_crash_observed boolean, "
         "no_duplicate_batch boolean, no_lost_batch boolean, fence_batch_id long",
     )
+
+
+@register(
+    "catalog_stream_fenced_dedup_ingest",
+    oracle="""
+    SELECT CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_corpus,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_rows_final,
+           true AS cross_batch_dupes_dropped,
+           true AS torn_crash_observed,
+           true AS exactly_once_across_restart
+    FROM documents
+    """,
+    tags=("streaming", "catalog", "dedup", "exactly-once", "llm", "fault-injection"),
+)
+def catalog_stream_fenced_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone: streaming corpus ingest with INCREMENTAL exact dedup AND
+    torn-writer exactly-once, certified together (r7). Two source files each
+    carry 250 unique documents plus 50 exact copies of documents whose
+    originals live in the OTHER file — so whichever file becomes batch 0,
+    the second batch must drop its cross-batch duplicates against the
+    COMMITTED corpus (anti-join on md5, the incremental-dedup pattern: the
+    catalog is the dedup index, the corpus is never re-hashed). The sink is
+    the fenced batch sink, and run 1 is killed in the torn window after
+    batch 0's commit; the restart replays batch 0 (fence -> skip) and
+    processes batch 1. Certified: final corpus is exactly the 500 distinct
+    documents with zero duplicate rows, the total of added-records across
+    all append snapshots is ALSO 500 (no duplicate was ever even committed,
+    not just cleaned later), exactly 2 append snapshots for 3 batch
+    executions, and the fence reads batch id 1.
+
+    Scale: this is the 100 TB ingest shape — per-batch work is
+    O(batch + committed-hash anti-join), the dedup state lives in the table
+    itself (no side store to lose on restart), and the crash window that
+    corrupts unfenced pipelines (double-ingest after replay) is closed by
+    the CAS-atomic fence."""
+    import shutil as _shutil
+
+    from iceberg_catalog_postgres_spark.catalog.integration import _fresh_catalog
+
+    cat = _fresh_catalog("catalog_fenced_dedup")
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    work = os.path.join(_REPO_ROOT, ".tmp", "fenced_dedup_q")
+    _shutil.rmtree(work, ignore_errors=True)
+    src_dir = os.path.join(work, "src")
+    ckpt = os.path.join(work, "ckpt")
+    # file A: docs 0-249 + copies of 250-299; file B: docs 250-499 + copies
+    # of 0-49 — each file's copies duplicate the OTHER file's originals
+    file_a = d.filter(F.col("doc_id") < 250).unionByName(
+        d.filter((F.col("doc_id") >= 250) & (F.col("doc_id") < 300))
+    )
+    file_b = d.filter(F.col("doc_id") >= 250).unionByName(
+        d.filter(F.col("doc_id") < 50)
+    )
+    file_a.coalesce(1).write.mode("append").parquet(src_dir)
+    file_b.coalesce(1).write.mode("append").parquet(src_dir)
+
+    ident = TableIdentifier.parse("streams.dedup_corpus")
+    sink_schema = (
+        d.withColumn("hash", F.md5("text")).schema
+    )
+    cat.create_table(ident, sink_schema)
+
+    def dedup_sink(fail_after_batch):
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            t = cat.load_table(ident)
+            last = t.metadata.properties.get(fence_key("ingest"))
+            if last is not None and int(last) >= batch_id:
+                return  # replayed batch: already committed before the crash
+            hashed = batch_df.withColumn("hash", F.md5("text")).dropDuplicates(
+                ["hash"]
+            )
+            committed = t.to_df(spark).select("hash")
+            fresh = hashed.join(
+                F.broadcast(committed), "hash", "left_anti"
+            ).select("doc_id", "text", "hash")
+            (
+                t.new_transaction()
+                .append_dataframe(fresh)
+                .fence(fence_key("ingest"), batch_id)
+                .commit()
+            )
+            if fail_after_batch is not None and batch_id >= fail_after_batch:
+                raise RuntimeError(
+                    f"injected torn write after committing batch {batch_id}"
+                )
+
+        return sink
+
+    def start(sink):
+        stream = (
+            spark.readStream.schema(d.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        return (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q1 = start(dedup_sink(fail_after_batch=0))
+    torn = False
+    try:
+        q1.awaitTermination(120)
+    except Exception:
+        torn = True
+    q2 = start(dedup_sink(fail_after_batch=None))
+    q2.awaitTermination(120)
+
+    t = cat.load_table(ident)
+    final = t.to_df(spark)
+    stats = final.agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("hash").alias("d")
+    ).first()
+    appends = [s for s in t.metadata.snapshots if s.operation == "append"]
+    total_added = sum(int(s.summary.get("added-records", "0")) for s in appends)
+    n_unique = d.select(F.countDistinct(F.md5("text"))).first()[0]
+    cross_batch_dropped = (
+        stats["n"] == n_unique
+        and stats["d"] == n_unique
+        and total_added == n_unique  # no duplicate row was EVER committed
+    )
+    exactly_once = (
+        len(appends) == 2
+        and int(t.metadata.properties[fence_key("ingest")]) == 1
+    )
+    return spark.createDataFrame(
+        [
+            (
+                int(n_unique),
+                int(stats["n"]),
+                bool(cross_batch_dropped),
+                bool(torn),
+                bool(exactly_once),
+            )
+        ],
+        "n_unique_corpus long, n_rows_final long, cross_batch_dupes_dropped "
+        "boolean, torn_crash_observed boolean, exactly_once_across_restart boolean",
+    )
