@@ -3654,3 +3654,67 @@ def catalog_manifest_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_commits long, spilled_to_manifests boolean, "
         "manifests_consolidated boolean, n_rows_after long",
     )
+
+
+@register(
+    "catalog_join_cardinality_estimate",
+    oracle="""
+    SELECT CAST((SELECT count(*) FROM orders o JOIN customer c
+                 ON o.o_custkey = c.c_custkey) AS BIGINT) AS actual_join_rows,
+           true AS estimate_within_tol,
+           true AS estimate_is_metadata_only
+    FROM (SELECT 1)
+    """,
+    tags=("catalog", "ndv", "stats", "planning", "cardinality"),
+)
+def catalog_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-output cardinality estimation from catalog statistics ALONE —
+    the textbook equi-join estimator every cost-based optimizer runs before
+    picking a join order: |R ⋈ S| ≈ |R|·|S| / max(ndv_R(k), ndv_S(k)).
+    Both inputs come from metadata: row counts are manifest ``record_count``
+    folds (zero footers — counter-asserted) and the key NDVs are the stored
+    HLL estimates from ANALYZE. The estimate must land within 15% of the
+    true join count (here the FK-containment case: every order has a
+    customer, so truth = |orders| and the estimator is exact up to HLL
+    error on ndv(c_custkey)).
+
+    Scale: at 100 TB the order in which a 5-way join executes is decided
+    BEFORE any data is read; this estimate — two property lookups and two
+    metadata folds per candidate join — is that decision's entire input.
+    Compare ``catalog_ndv_driven_join_strategy`` (the broadcast-side
+    decision); together they close the stats → plan loop.
+    """
+    import iceberg_catalog_postgres_spark.catalog.table as _tm
+
+    cat = _fresh_catalog("catalog_joincard_demo")
+    o_src = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c_src = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o_id = TableIdentifier.parse("joincard.orders_t")
+    c_id = TableIdentifier.parse("joincard.customer_t")
+    ot = cat.create_table(o_id, o_src.schema)
+    ot = ot.new_transaction().append_dataframe(o_src).commit()
+    ct = cat.create_table(c_id, c_src.schema)
+    ct = ct.new_transaction().append_dataframe(c_src).commit()
+    ot = update_column_ndv(spark, ot, ["o_custkey"])
+    ct = update_column_ndv(spark, ct, ["c_custkey"])
+
+    # --- estimation: pure metadata (no scans, no footers) ----------------
+    before = _tm.PLANNING_FOOTER_READS
+    n_o = ot.record_count()
+    n_c = ct.record_count()
+    ndv_o = column_ndv(ot, "o_custkey")
+    ndv_c = column_ndv(ct, "c_custkey")
+    estimate = (n_o * n_c) / max(ndv_o, ndv_c)
+    metadata_only = _tm.PLANNING_FOOTER_READS == before
+
+    actual = (
+        ot.to_df(spark)
+        .join(ct.to_df(spark), F.col("o_custkey") == F.col("c_custkey"))
+        .count()
+    )
+    within_tol = abs(estimate - actual) / actual <= 0.15
+    return spark.createDataFrame(
+        [(int(actual), bool(within_tol), bool(metadata_only))],
+        "actual_join_rows long, estimate_within_tol boolean, "
+        "estimate_is_metadata_only boolean",
+    )
