@@ -250,3 +250,67 @@ def test_chunk_summary_bounds_merge_property(specs):
         assert b["hi"] is None
     else:
         assert decode_bound(b["hi"]) == max(lo + w for (lo, w, _) in specs)
+
+
+# ---- r7: tz-invariance + temporal monotonicity of partition transforms ----
+
+_TEMPORAL_ENTRIES = ("year(c)", "month(c)", "day(c)", "hour(c)", "bucket(16, c)")
+
+
+@given(
+    st.integers(min_value=-(2**44), max_value=2**44),  # micros ~ +/-557 years
+    st.integers(min_value=-14 * 60, max_value=14 * 60),  # offset minutes
+)
+@settings(max_examples=100, deadline=None)
+def test_transform_value_is_offset_invariant(micros, offset_min):
+    """The same INSTANT expressed under any UTC offset must transform to the
+    same partition value (ADVICE r6: the epoch-with-v.tzinfo bug planned a
+    different day/bucket for +05:00 spellings)."""
+    import datetime as dt
+
+    from iceberg_catalog_postgres_spark.catalog.table import transform_value
+
+    utc_naive = dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=micros)
+    tz = dt.timezone(dt.timedelta(minutes=offset_min))
+    aware = utc_naive.replace(tzinfo=dt.timezone.utc).astimezone(tz)
+    for entry in _TEMPORAL_ENTRIES:
+        assert transform_value(entry, aware, src_type="timestamp") == \
+            transform_value(entry, utc_naive, src_type="timestamp"), entry
+
+
+@given(
+    st.integers(min_value=-(2**44), max_value=2**44),
+    st.integers(min_value=0, max_value=2**44),
+)
+@settings(max_examples=100, deadline=None)
+def test_temporal_transforms_are_monotone(micros, delta):
+    """a <= b  =>  T(a) <= T(b) for year/month/day/hour — the property
+    planned_files_transformed_range's bound mapping relies on."""
+    import datetime as dt
+
+    from iceberg_catalog_postgres_spark.catalog.table import transform_value
+
+    a = dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=micros)
+    b = a + dt.timedelta(microseconds=delta)
+    for entry in ("year(c)", "month(c)", "day(c)", "hour(c)"):
+        ta = int(transform_value(entry, a, src_type="timestamp"))
+        tb = int(transform_value(entry, b, src_type="timestamp"))
+        assert ta <= tb, (entry, a, b)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=10**6), min_size=0, max_size=300))
+@settings(max_examples=50, deadline=None)
+def test_metadata_log_bounded_and_newest_kept(ids):
+    """with_log_entry never exceeds METADATA_LOG_MAX and always keeps the
+    newest suffix in order."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    md = TableMetadata.new(
+        "/w/t", StructType([StructField("k", LongType(), True)])
+    )
+    for i, x in enumerate(ids):
+        md = md.with_log_entry(f"/w/t/metadata/v{x}-{i}.metadata.json", 1000 + i)
+    cap = TableMetadata.METADATA_LOG_MAX
+    assert len(md.metadata_log) == min(len(ids), cap)
+    expected_ts = [1000 + i for i in range(len(ids))][-cap:]
+    assert [e["timestamp-ms"] for e in md.metadata_log] == expected_ts
