@@ -898,3 +898,77 @@ def catalog_ndv_driven_join_strategy(spark: SparkSession, sf_dir: str) -> DataFr
         "ndv_dim_key long, broadcast_chosen boolean, plan_is_broadcast boolean, "
         "n_joined long",
     )
+
+
+@register(
+    "catalog_rename_partition_follow_through",
+    oracle="""
+    SELECT CAST(2 AS BIGINT) AS planned_files_for_key,
+           CAST(2 AS BIGINT) AS rows_for_key,
+           CAST((SELECT count(DISTINCT n_nationkey) FROM nation) AS BIGINT)
+               AS ndv_after_rename,
+           true AS spec_rewritten,
+           true AS old_cohort_still_pruned
+    FROM (SELECT 1)
+    """,
+    tags=("catalog", "schema-evolution", "partition-transforms", "ndv", "rename"),
+)
+def catalog_rename_partition_follow_through(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Renaming a partition SOURCE column, certified end to end (r7): the
+    spec entry is rewritten in the same commit (`bucket(4,n_nationkey)` ->
+    `bucket(4,nation_id)`), the next partitioned write works under the new
+    name, a point lookup under the new name prunes BOTH cohorts to one
+    bucket each (old files' tuples are keyed by the old spelling and match
+    via the partition-entry-rename log), the engine read returns the right
+    rows across cohorts, and the column's ANALYZE state (HLL NDV) moves to
+    the new name instead of being silently orphaned. Pre-r7, each of these
+    four follow-throughs was broken: the write crashed on an unresolved
+    column, and NDV froze under the dead name.
+
+    Scale: a rename on a 100 TB day/bucket-partitioned table is a
+    metadata-only commit; losing partition pruning (or the NDV input) on
+    every pre-rename file would quietly turn point lookups into full scans.
+    """
+    from iceberg_catalog_postgres_spark.catalog.maintenance import (
+        _fresh_catalog,
+        column_ndv,
+        update_column_ndv,
+    )
+    from iceberg_catalog_postgres_spark.catalog.metadata import FIELD_ID_KEY
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    cat = _fresh_catalog("catalog_rename_pt")
+    src = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    ident = TableIdentifier.parse("rn.nation_pt")
+    t = cat.create_table(ident, src.schema, partition_by=["bucket(4,n_nationkey)"])
+    t = t.new_transaction().append_dataframe(src.coalesce(1)).commit()
+    t = update_column_ndv(spark, t, ["n_nationkey"])
+
+    renamed = StructType(
+        [
+            StructField("nation_id", LongType(), True, {FIELD_ID_KEY: 1}),
+            StructField("n_name", StringType(), True, {FIELD_ID_KEY: 2}),
+        ]
+    )
+    t = t.commit_schema(renamed)
+    spec_rewritten = t.metadata.partition_spec == ["bucket(4,nation_id)"]
+    t = t.new_transaction().append_dataframe(
+        src.toDF("nation_id", "n_name").coalesce(1)
+    ).commit()
+
+    planned = t.planned_files_transformed({"nation_id": 13})
+    total = len(t.metadata.current_data_files())
+    rows_for_key = t.to_df(spark).filter(F.col("nation_id") == 13).count()
+    return spark.createDataFrame(
+        [
+            (
+                len(planned),
+                int(rows_for_key),
+                int(column_ndv(t, "nation_id")),
+                bool(spec_rewritten),
+                len(planned) < total,
+            )
+        ],
+        "planned_files_for_key long, rows_for_key long, ndv_after_rename long, "
+        "spec_rewritten boolean, old_cohort_still_pruned boolean",
+    )

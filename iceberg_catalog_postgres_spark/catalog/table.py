@@ -94,6 +94,16 @@ def parse_partition_field(entry: str) -> tuple[str, int | None, str]:
     return "identity", None, entry
 
 
+def build_partition_entry(kind: str, param: int | None, column: str) -> str:
+    """Canonical spec entry string for (kind, param, column) — the inverse
+    of ``parse_partition_field``."""
+    if kind == "identity":
+        return column
+    if kind in ("bucket", "truncate"):
+        return f"{kind}({param},{column})"
+    return f"{kind}({column})"  # year/month/day/hour
+
+
 def murmur3_32(data: bytes, seed: int = 0) -> int:
     """murmur3_x86_32 (Austin Appleby, public domain), returning the SIGNED
     32-bit value Java produces — the hash Iceberg's bucket transform
@@ -894,6 +904,22 @@ class Table:
                 name = r["to"]
         return name
 
+    def physical_name_or_absent(self, column: str, file_seq: int) -> str | None:
+        """``physical_name``, but None when ``column``'s name was RECYCLED:
+        some OTHER current column historically owned this name at
+        ``file_seq`` (it was renamed away and the name later reused for a
+        newer column). Files of that cohort carry the OLD column's data
+        under this name, and the newer column cannot exist in them under
+        any name — so by-name stats/bounds/data lookups must treat it as
+        absent, not read the old column's bytes (r7: the recycled-name
+        collision served the WRONG column's stats and crashed reads)."""
+        phys = self.physical_name(column, file_seq)
+        if phys == column:
+            for f in self.schema.fields:
+                if f.name != column and self.physical_name(f.name, file_seq) == column:
+                    return None
+        return phys
+
     def _read_data_files(self, spark: SparkSession, rel_files: list[str], seqs: dict) -> DataFrame:
         """Read data files with rename awareness: group files by the
         PHYSICAL column names they were written with (a function of their
@@ -919,9 +945,18 @@ class Table:
             f.metadata.get(_FID): f.dataType for f in fields if f.metadata and _FID in f.metadata
         }
         groups: dict[tuple, list[str]] = {}
+        name_cache: dict[int, tuple] = {}
         for rel in rel_files:
             s = seqs.get(rel, 0)
-            names = tuple(self.physical_name(n, s) for n in logical)
+            # physical_name_or_absent: a recycled column name (renamed away,
+            # later reused for a new column) maps to None for cohorts whose
+            # files carry the OLD column under that name — the new column is
+            # read as NULL there instead of mis-reading the old bytes
+            if s not in name_cache:
+                name_cache[s] = tuple(
+                    self.physical_name_or_absent(n, s) for n in logical
+                )
+            names = name_cache[s]
             # initial-defaults apply to files written BEFORE the column
             # existed (seq scoping) — part of the cohort key so the fill
             # never leaks onto post-add files
@@ -934,24 +969,30 @@ class Table:
             )
             groups.setdefault((names, applicable), []).append(rel)
         parts = []
-        for (names, applicable), members in sorted(groups.items()):
+        for (names, applicable), members in sorted(
+            groups.items(), key=lambda kv: tuple(n or "" for n in kv[0][0])
+        ):
             phys = _ST(
                 [
                     _SF(n, f.dataType, f.nullable, f.metadata)
                     for n, f in zip(names, fields)
+                    if n is not None
                 ]
             )
             p = spark.read.schema(phys).parquet(*[store.resolve(f) for f in members])
-            remap = {o: n for o, n in zip(names, logical) if o != n}
+            remap = {o: n for o, n in zip(names, logical) if o is not None and o != n}
             if remap:
                 p = p.withColumnsRenamed(remap)
+            for n, f in zip(names, fields):
+                if n is None:  # column absent from this cohort (recycled name)
+                    p = p.withColumn(f.name, F.lit(None).cast(f.dataType))
             for d in defaults:
                 fid = d["field-id"]
                 if fid in applicable:
                     p = p.withColumn(
                         names_by_id[fid], F.lit(d["default"]).cast(types_by_id[fid])
                     )
-            parts.append(p)
+            parts.append(p.select(*logical))
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
@@ -973,7 +1014,9 @@ class Table:
         )
         if snap is None:
             return None
-        phys = self.physical_name(column, snap.file_seqs.get(rel_path, 0))
+        phys = self.physical_name_or_absent(column, snap.file_seqs.get(rel_path, 0))
+        if phys is None:
+            return None  # recycled name: column absent in this file's cohort
         b = ((snap.file_stats.get(rel_path) or {}).get("bounds") or {}).get(phys)
         if b is not None:
             return decode_bound(b[0]), (None if b[1] is None else decode_bound(b[1]))
@@ -1044,7 +1087,11 @@ class Table:
             return out
         out = []
         for rel in snap.data_files:
-            phys = self.physical_name(column, snap.file_seqs.get(rel, 0))
+            phys = self.physical_name_or_absent(column, snap.file_seqs.get(rel, 0))
+            if phys is None:
+                # recycled name: the column is all-NULL in this cohort, and
+                # NULL never satisfies a range predicate — prune exactly
+                continue
             b = ((snap.file_stats.get(rel) or {}).get("bounds") or {}).get(phys)
             if b is not None:
                 f_lo = decode_bound(b[0])
@@ -1112,7 +1159,13 @@ class Table:
         out = []
         for rel in snap.data_files:
             st = snap.file_stats.get(rel) or {}
-            phys = self.physical_name(column, snap.file_seqs.get(rel, 0))
+            phys = self.physical_name_or_absent(column, snap.file_seqs.get(rel, 0))
+            if phys is None:
+                # recycled name: column is all-NULL in this cohort — exact
+                if not want_null:
+                    continue
+                out.append(store.resolve(rel))
+                continue
             nc = (st.get("null_counts") or {}).get(phys)
             rc = st.get("record_count")
             if nc is not None:
@@ -1216,6 +1269,28 @@ class Table:
                 total += _os.path.getsize(store.resolve(rel))
         return total
 
+    def partition_entry_spellings(self, entry: str) -> list[str]:
+        """All spellings ``entry`` has had over the table's life: the current
+        string plus every historical spelling recorded when a rename of its
+        SOURCE column rewrote the spec (``partition-entry-renames``, r7).
+        Old files' recorded tuples are keyed by the spelling current at
+        write time; planners match against any spelling — the transform and
+        value are unchanged by a rename, only the label."""
+        log = self.metadata.properties.get("partition-entry-renames", [])
+        aliases: dict[str, list[str]] = {}
+        for r in log:
+            olds = aliases.pop(r["from"], [])
+            aliases[r["to"]] = [*olds, r["from"]]
+        return [entry, *aliases.get(entry, [])]
+
+    def _tuple_value(self, tup: dict, key: str, spellings: dict) -> tuple[bool, object]:
+        """(present, value) for ``key`` in a recorded partition tuple,
+        checking every historical spelling."""
+        for s in spellings.get(key, (key,)):
+            if s in tup:
+                return True, tup[s]
+        return False, None
+
     def planned_files_partition(
         self, filters: dict, snapshot_id: int | None = None
     ) -> list[str]:
@@ -1225,7 +1300,8 @@ class Table:
         (footer stats), this opens zero files — at 10^7 files the plan is a
         dictionary scan, which is why identity/time partitioning is the first
         line of defense at 100 TB. Files without a recorded tuple are kept
-        (superset-safe)."""
+        (superset-safe). Tuple keys written before a source-column rename
+        match via the entry's historical spellings (r7)."""
         snap = (
             self.metadata.snapshot_by_id(snapshot_id)
             if snapshot_id is not None
@@ -1234,6 +1310,15 @@ class Table:
         if snap is None:
             return []
         store = self.catalog.object_store()
+        spells = {col: self.partition_entry_spellings(col) for col in filters}
+
+        def tup_matches(tup, svals) -> bool:
+            for col, sv in svals.items():
+                present, v = self._tuple_value(tup, col, spells)
+                if not present or v != sv:
+                    return False
+            return True
+
         refs = snap.chunk_refs()
         if refs is not None:
             # Two-level partition prune: a chunk whose summary's distinct
@@ -1247,29 +1332,32 @@ class Table:
                 if nd == 0:
                     continue
                 parts = s.get("partitions", {})
-                if any(
-                    (p := parts.get(col)) is not None
-                    and p["n"] == nd
-                    and sv not in p["values"]
-                    for col, sv in svals.items()
-                ):
+                skip = False
+                for col, sv in svals.items():
+                    # a chunk is excludable only when ONE spelling's summary
+                    # covers every data entry and excludes the value (a
+                    # chunk mixing spellings has per-spelling n < nd)
+                    for sp in spells[col]:
+                        p = parts.get(sp)
+                        if p is not None and p["n"] == nd and sv not in p["values"]:
+                            skip = True
+                            break
+                    if skip:
+                        break
+                if skip:
                     continue  # whole chunk excluded — never fetched
                 for e in load_chunk(store, c["path"])["entries"]:
                     if e["kind"] != "data":
                         continue
                     tup = e.get("partition")
-                    if tup is None or all(
-                        col in tup and tup[col] == sv for col, sv in svals.items()
-                    ):
+                    if tup is None or tup_matches(tup, svals):
                         out.append(store.resolve(e["path"]))
             return out
+        svals = {col: (None if v is None else str(v)) for col, v in filters.items()}
         out = []
         for f in snap.data_files:
             tup = snap.file_partitions.get(f)
-            if tup is None or all(
-                col in tup and tup[col] == (None if v is None else str(v))
-                for col, v in filters.items()
-            ):
+            if tup is None or tup_matches(tup, svals):
                 out.append(store.resolve(f))
         return out
 
@@ -1352,13 +1440,14 @@ class Table:
                 continue
         if not bounds:
             return [store.resolve(f) for f in snap.data_files]
+        spells = {e: self.partition_entry_spellings(e) for e in bounds}
 
         def tuple_ok(tup) -> bool:
             if tup is None:
                 return True
             for entry, (a, b) in bounds.items():
-                v = tup.get(entry)
-                if v is None:
+                present, v = self._tuple_value(tup, entry, spells)
+                if not present or v is None:
                     continue
                 try:
                     iv = int(v)
@@ -1384,18 +1473,23 @@ class Table:
             parts = s.get("partitions", {})
             skip = False
             for entry, (a, b) in bounds.items():
-                p = parts.get(entry)
-                if p is not None and p["n"] == nd:
-                    vals = []
-                    for v in p["values"]:
-                        try:
-                            vals.append(int(v))
-                        except (TypeError, ValueError):
-                            vals = None
+                for sp in spells[entry]:
+                    p = parts.get(sp)
+                    if p is not None and p["n"] == nd:
+                        vals = []
+                        for v in p["values"]:
+                            try:
+                                vals.append(int(v))
+                            except (TypeError, ValueError):
+                                vals = None
+                                break
+                        if vals is not None and all(
+                            not (a <= iv <= b) for iv in vals
+                        ):
+                            skip = True
                             break
-                    if vals is not None and all(not (a <= iv <= b) for iv in vals):
-                        skip = True
-                        break
+                if skip:
+                    break
             if skip:
                 continue  # whole chunk excluded — never fetched
             for e in load_chunk(store, c["path"])["entries"]:
@@ -1988,8 +2082,28 @@ class Table:
                     }
                 )
         props = dict(md.properties)
+        new_spec = list(md.partition_spec)
         if renames:
             props["column-renames"] = [*props.get("column-renames", []), *renames]
+            # Rename follow-through (r7): partition-spec entries and NDV
+            # properties reference source columns BY NAME — remap them in
+            # the SAME commit or they silently reference a dead name (specs
+            # crashed the next partitioned write; a later column re-using
+            # the name inherited the old column's NDV — a planner lie).
+            entry_renames = list(props.get("partition-entry-renames", []))
+            for r in renames:
+                for i, entry in enumerate(new_spec):
+                    kind, param, col = parse_partition_field(entry)
+                    if col == r["from"]:
+                        new_entry = build_partition_entry(kind, param, r["to"])
+                        entry_renames.append({"from": entry, "to": new_entry})
+                        new_spec[i] = new_entry
+                for prefix in ("ndv.sketch.", "ndv.estimate.", "ndv.covered-files."):
+                    old_key = prefix + r["from"]
+                    if old_key in props:
+                        props[prefix + r["to"]] = props.pop(old_key)
+            if entry_renames:
+                props["partition-entry-renames"] = entry_renames
         if defaults:
             # Iceberg v3 initial-default: only meaningful on NEW columns —
             # existing files predate them, so the seq-scoped fill at read
@@ -2009,7 +2123,12 @@ class Table:
                     {"field-id": fid, "default": v, "as-of-seq": md.next_sequence_number()}
                 )
             props["column-defaults"] = [*props.get("column-defaults", []), *entries]
-        new_md = _dc_replace(md, schema=schema_to_iceberg(evolved), properties=props)
+        new_md = _dc_replace(
+            md,
+            schema=schema_to_iceberg(evolved),
+            properties=props,
+            partition_spec=new_spec,
+        ).with_log_entry(self._metadata_location, md.last_updated_ms)
         import posixpath as _pp
         import uuid as _uuid
 

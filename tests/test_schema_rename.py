@@ -256,3 +256,127 @@ def test_default_rejected_for_existing_column(catalog, spark):
             StructType([StructField("id", LongType(), True, t.schema["id"].metadata)]),
             defaults={"id": 0},
         )
+
+
+# ---- r7: rename follow-through (spec entries, NDV keys, recycled names) ----
+
+
+def test_rename_partition_source_rewrites_spec_and_keeps_pruning(catalog, spark):
+    """Renaming a partition SOURCE column must rewrite the spec entry (the
+    old spelling crashed the next partitioned write with an unresolved
+    column) and keep pruning working across BOTH cohorts: old files' tuples
+    are keyed by the old spelling and match via the entry-rename log."""
+    S = _schema(["k", "v"])
+    t = catalog.create_table(
+        TableIdentifier.parse("rn.part1"), S, partition_by=["bucket(4,k)"]
+    )
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame([(i, i) for i in range(32)], S).coalesce(1)
+    ).commit()
+    t = t.commit_schema(_schema(["key_id", "v"]))
+    assert t.metadata.partition_spec == ["bucket(4,key_id)"]
+    # the write path works again, partitioned by the new name
+    sch = t.metadata.spark_schema
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame([(i, i) for i in range(32, 64)], sch).coalesce(1)
+    ).commit()
+    n_files = len(t.metadata.current_data_files())
+    assert n_files == 8  # 4 buckets per cohort
+    # point lookup under the NEW name prunes old AND new cohorts (1 bucket
+    # each): exactly the files whose recorded tuple — under EITHER spelling —
+    # carries the query value's bucket
+    from iceberg_catalog_postgres_spark.catalog.table import transform_value
+
+    planned = t.planned_files_transformed({"key_id": 13})
+    assert len(planned) == 2
+    tv = transform_value("bucket(4,key_id)", 13, src_type="bigint")
+    store = t.catalog.object_store()
+    expected = {
+        store.resolve(f)
+        for f, tup in t.metadata.current_file_partitions().items()
+        if tv in (tup.get("bucket(4,k)"), tup.get("bucket(4,key_id)"))
+    }
+    assert set(planned) == expected
+    # full read parity across cohorts through the engine's rename-aware path
+    assert sorted(r["key_id"] for r in t.to_df(spark).collect()) == list(range(64))
+    assert t.to_df(spark).filter(F.col("key_id") == 13).count() == 1
+
+
+def test_rename_moves_ndv_properties(catalog, spark):
+    """ANALYZE state follows the rename: the sketch/estimate/coverage keys
+    move to the new name in the same commit; the old name serves nothing."""
+    from iceberg_catalog_postgres_spark.catalog.maintenance import (
+        column_ndv,
+        update_column_ndv,
+    )
+
+    S = _schema(["a", "x"])
+    t = catalog.create_table(TableIdentifier.parse("rn.ndv1"), S)
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame([(i % 5, i) for i in range(100)], S).coalesce(1)
+    ).commit()
+    t = update_column_ndv(spark, t, ["a"])
+    assert column_ndv(t, "a") == 5
+    t = t.commit_schema(_schema(["b", "x"]))
+    assert column_ndv(t, "b") == 5          # estimate survives the rename
+    assert column_ndv(t, "a") is None       # old name serves nothing
+    assert "ndv.sketch.a" not in t.metadata.properties
+    # and incremental maintenance continues under the new name (delta-only)
+    sch = t.metadata.spark_schema
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame([(i, i) for i in range(100, 150)], sch).coalesce(1)
+    ).commit()
+    t = update_column_ndv(spark, t, ["b"])
+    est = column_ndv(t, "b")
+    assert abs(est - 55) / 55 <= 0.05       # 5 old + 50 new distinct values
+
+
+def test_recycled_column_name_reads_null_and_gets_fresh_ndv(catalog, spark):
+    """Re-adding a column under a renamed-away name: old files carry the OLD
+    column's bytes under that name — the new column must read as NULL there
+    (pre-r7: duplicate physical schema crashed the read), range predicates
+    must not consult the old column's stats, and ANALYZE must not inherit
+    the old column's sketch."""
+    from iceberg_catalog_postgres_spark.catalog.maintenance import (
+        column_ndv,
+        update_column_ndv,
+    )
+
+    S = _schema(["a", "x"])
+    t = catalog.create_table(TableIdentifier.parse("rn.recycle1"), S)
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame([(i % 5, i) for i in range(100)], S).coalesce(1)
+    ).commit()
+    t = update_column_ndv(spark, t, ["a"])
+    t = t.commit_schema(_schema(["b", "x"]))                  # a -> b
+    fields3 = _schema(["b", "x"]).fields + [StructField("a", LongType(), True)]
+    t = t.commit_schema(StructType(fields3))                  # NEW column "a"
+    sch = t.metadata.spark_schema
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame(
+            [(i, i, i * 10) for i in range(100, 150)], sch
+        ).coalesce(1)
+    ).commit()
+
+    df = t.to_df(spark)
+    assert df.count() == 150
+    # old cohort: b carries the old values, the recycled "a" is NULL
+    old = df.filter(F.col("x") < 100)
+    assert old.filter(F.col("a").isNotNull()).count() == 0
+    assert old.filter(F.col("b").isNull()).count() == 0
+    new = df.filter(F.col("x") >= 100)
+    assert new.filter(F.col("a").isNull()).count() == 0
+    # planning: a range over the NEW "a" prunes the old cohort exactly
+    # (all-NULL there), keeps the new cohort
+    planned = t.planned_files("a", 1000, 1490)
+    rows = spark.read.schema(sch).parquet(*planned)
+    assert rows.filter("a >= 1000 and a <= 1490").count() == 50
+    # IS NOT NULL planning skips the old cohort entirely
+    nn = t.planned_files_nullness("a", want_null=False)
+    assert len(nn) == 1
+    # ANALYZE of the new "a" starts fresh — 50 distinct, not the old 5
+    t = update_column_ndv(spark, t, ["a"])
+    est = column_ndv(t, "a")
+    assert abs(est - 50) / 50 <= 0.05
+    # the renamed column's NDV still serves under its new name
+    assert column_ndv(t, "b") == 5
