@@ -2104,6 +2104,50 @@ class Table:
                         props[prefix + r["to"]] = props.pop(old_key)
             if entry_renames:
                 props["partition-entry-renames"] = entry_renames
+        # Drop guards (r7): removing a column that other table state still
+        # references by name would corrupt later operations loudly or —
+        # worse — quietly. Reject at commit time instead (Iceberg does the
+        # same for partition sources).
+        evolved_names = {f.name for f in evolved.fields}
+        for entry in new_spec:
+            src_col = parse_partition_field(entry)[2]
+            if src_col not in evolved_names:
+                raise ValueError(
+                    f"cannot drop column {src_col!r}: it is the source of "
+                    f"partition-spec entry {entry!r}; evolve the partition "
+                    "spec first (commit_partition_spec)"
+                )
+        evolved_ids = {f.metadata.get(FIELD_ID_KEY) for f in evolved.fields}
+        dropped = {
+            name for fid, name in old_names_by_id.items() if fid not in evolved_ids
+        }
+        if dropped and self.metadata.current_delete_files():
+            import pyarrow.parquet as _pq
+
+            store_ = self.catalog.object_store()
+            for df_rel in self.metadata.current_delete_files():
+                key_names = set(
+                    _pq.read_schema(store_.resolve(df_rel)).names
+                )
+                # forward-map the delete file's written key names through
+                # renames BEFORE comparing (a pre-rename key is fine)
+                seq = self.metadata.current_file_seqs().get(df_rel, 0)
+                cur_keys = {self.current_name(k, seq) for k in key_names}
+                hit = cur_keys & dropped
+                if hit:
+                    raise ValueError(
+                        f"cannot drop column(s) {sorted(hit)}: pending "
+                        f"equality-delete file {df_rel!r} is keyed on them; "
+                        "materialize deletes first (rewrite/compact)"
+                    )
+        if dropped:
+            # NDV hygiene: estimates for columns that left the schema are
+            # meaningless (and a later column re-using the name must not
+            # inherit them — the recycled-name trap, again)
+            for k in list(props):
+                for prefix in ("ndv.sketch.", "ndv.estimate.", "ndv.covered-files."):
+                    if k.startswith(prefix) and k[len(prefix):] in dropped:
+                        del props[k]
         if defaults:
             # Iceberg v3 initial-default: only meaningful on NEW columns —
             # existing files predate them, so the seq-scoped fill at read

@@ -380,3 +380,63 @@ def test_recycled_column_name_reads_null_and_gets_fresh_ndv(catalog, spark):
     assert abs(est - 50) / 50 <= 0.05
     # the renamed column's NDV still serves under its new name
     assert column_ndv(t, "b") == 5
+
+
+def test_drop_guards_and_ndv_hygiene(catalog, spark):
+    """Dropping a column that other state references by name is rejected at
+    commit time: a partition-spec source (the next write would crash) and a
+    pending equality-delete key (the next read would crash / mis-apply).
+    A clean drop removes the column's orphaned NDV properties so a later
+    column re-using the name cannot inherit them."""
+    from iceberg_catalog_postgres_spark.catalog.maintenance import (
+        column_ndv,
+        update_column_ndv,
+    )
+
+    # (a) partition-source drop rejected
+    S = _schema(["k", "v"])
+    t = catalog.create_table(
+        TableIdentifier.parse("rn.drop1"), S, partition_by=["bucket(4,k)"]
+    )
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame([(1, 1)], S).coalesce(1)
+    ).commit()
+    keep_v = StructType([_schema(["k", "v"]).fields[1]])  # only v (id 2)
+    with pytest.raises(ValueError, match="partition-spec entry"):
+        t.commit_schema(keep_v)
+
+    # (b) pending eq-delete key drop rejected; allowed after materialization
+    S2 = _schema(["a", "x"])
+    t2 = catalog.create_table(TableIdentifier.parse("rn.drop2"), S2)
+    t2 = t2.new_transaction().append_dataframe(
+        spark.createDataFrame([(i, i) for i in range(10)], S2).coalesce(1)
+    ).commit()
+    t2 = t2.new_transaction().delete_keys_dataframe(
+        spark.createDataFrame([(3,)], "a long").coalesce(1)
+    ).commit()
+    keep_x = StructType([_schema(["a", "x"]).fields[1]])  # only x (id 2)
+    with pytest.raises(ValueError, match="equality-delete"):
+        t2.commit_schema(keep_x)
+    # materialize the delete (overwrite clears MOR debt), then drop works
+    t2 = t2.new_transaction().overwrite_dataframe(t2.to_df(spark)).commit()
+    t2 = t2.commit_schema(keep_x)
+    assert [f.name for f in t2.metadata.spark_schema.fields] == ["x"]
+    assert sorted(r["x"] for r in t2.to_df(spark).collect()) == [
+        i for i in range(10) if i != 3
+    ]
+
+    # (c) NDV properties of a dropped column are removed
+    S3 = _schema(["c", "y"])
+    t3 = catalog.create_table(TableIdentifier.parse("rn.drop3"), S3)
+    t3 = t3.new_transaction().append_dataframe(
+        spark.createDataFrame([(i % 4, i) for i in range(40)], S3).coalesce(1)
+    ).commit()
+    t3 = update_column_ndv(spark, t3, ["c"])
+    assert column_ndv(t3, "c") == 4
+    keep_y = StructType([_schema(["c", "y"]).fields[1]])
+    t3 = t3.commit_schema(keep_y)
+    assert column_ndv(t3, "c") is None
+    assert not any(
+        k.startswith(("ndv.sketch.c", "ndv.estimate.c", "ndv.covered-files.c"))
+        for k in t3.metadata.properties
+    )
