@@ -1315,7 +1315,13 @@ class Table:
         def tup_matches(tup, svals) -> bool:
             for col, sv in svals.items():
                 present, v = self._tuple_value(tup, col, spells)
-                if not present or v != sv:
+                if not present:
+                    # tuple recorded under a DIFFERENT spec (partition
+                    # evolution): the file may still contain matching rows —
+                    # keep it (superset-safe; r7: excluding here silently
+                    # dropped old-spec rows from partition-filtered reads)
+                    continue
+                if v != sv:
                     return False
             return True
 

@@ -90,3 +90,28 @@ def test_dynamic_overwrite_rejects_mixed_spec_files(catalog, spark):
     t = t.commit_partition_spec(["v"])  # evolve: old files carry {k} tuples
     with pytest.raises(ValueError, match="different spec"):
         overwrite_partitions(spark, t, spark.createDataFrame([(1, 9)], S))
+
+
+def test_partition_filter_keeps_old_spec_files_superset_safe(catalog, spark):
+    """r7: a partition filter on the NEW spec column must KEEP files whose
+    tuples were recorded under an older spec — they may contain matching
+    rows (pre-r7 they were silently excluded: a partition-filtered read
+    returned 1 of 3 true rows after evolving ["k"] -> ["v"]). New-spec
+    files still prune by their recorded values."""
+    t = catalog.create_table(TableIdentifier.parse("cp.mixedread"), S, partition_by=["k"])
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame([(1, 2), (2, 2)], S).coalesce(1)
+    ).commit()
+    t = t.commit_partition_spec(["v"])
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame([(3, 2), (4, 5)], S).coalesce(1)
+    ).commit()
+    total = len(t.metadata.current_data_files())
+    planned = t.planned_files_partition({"v": 2})
+    # old-spec files kept (superset-safe), the v=5 new-spec file pruned
+    assert len(planned) == total - 1
+    got = sorted(
+        r["k"]
+        for r in t.to_df(spark, partition_filter={"v": 2}).filter("v = 2").collect()
+    )
+    assert got == [1, 2, 3]
