@@ -555,3 +555,74 @@ def ts_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("v", ignorenulls=True).over(w).alias("value_locf"),
         )
     )
+
+
+@register(
+    "ts_ewma_bounded",
+    oracle="""
+    WITH agg AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1, 2
+    ), w AS (
+      SELECT event_type, h, n,
+             list(n) OVER (PARTITION BY event_type ORDER BY h
+                           ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS vals
+      FROM agg
+    )
+    SELECT event_type,
+           strftime(h, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           CAST(n AS BIGINT) AS n_events,
+           round(list_reduce(vals, (acc, x) -> acc * 0.5 + x)
+                 / ((1 - pow(0.5, len(vals))) / 0.5), 6) AS ewma
+    FROM w
+    """,
+    tags=("events", "timeseries", "ewma", "smoothing"),
+)
+def ts_ewma_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average over hourly event counts with a
+    BOUNDED 12-bucket frame — the standard smoothing operator (pandas
+    ``ewm``, Prometheus-style trend lines) re-expressed as a windowed
+    higher-order fold so it runs JVM-side at any scale. Per frame:
+    ``aggregate(vals, 0D, (acc, x) -> acc*decay + x)`` left-folds the
+    frame's values into ``sum x_j * decay^(n-j)``, normalized by the
+    geometric partial sum ``(1-decay^n)/(1-decay)`` — weights-normalized
+    EWMA over exactly the observations in frame (pandas ``ewm(adjust=True)``
+    over the last 12 points).
+
+    Cross-engine determinism: Spark's ``aggregate`` with init 0 and
+    DuckDB's ``list_reduce`` (init = first element) perform the IDENTICAL
+    fp operation sequence over the identically-ordered frame list
+    (0*d + x1 == x1), so the doubles match bit-for-bit before rounding —
+    no fp-sum-order hazard (the trap ``ts_gap_fill_locf`` dodged by using
+    min).
+
+    Scale: the unbounded EWMA recursion is inherently sequential; the
+    bounded-frame form (decay 0.5 ⇒ a 12-step tail is < 0.025% of the
+    weight) makes it a per-row O(frame) expression inside an ordinary
+    partitioned window — no UDF, no driver loop, frames bounded by a
+    constant, partitions keyed by series (event_type), shuffle count 1.
+    """
+    agg = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-11, Window.currentRow)
+    )
+    return (
+        agg.withColumn("vals", F.collect_list("n").over(w))
+        .select(
+            "event_type",
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+            F.col("n").cast("long").alias("n_events"),
+            F.round(
+                F.expr("aggregate(vals, 0D, (acc, x) -> acc * 0.5D + x)")
+                / ((F.lit(1.0) - F.pow(F.lit(0.5), F.size("vals"))) / F.lit(0.5)),
+                6,
+            ).alias("ewma"),
+        )
+    )
