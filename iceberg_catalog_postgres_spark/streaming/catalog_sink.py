@@ -55,6 +55,15 @@ def fenced_batch_sink(catalog: PostgresCatalog, identifier: TableIdentifier,
     catalog commit of that batch id succeeds but BEFORE returning to Spark —
     precisely the torn window between the data landing and the checkpoint
     acknowledging the batch.
+
+    Lifecycle contract: ``sink_id`` names the logical stream whose progress
+    the fence tracks, and batch ids are monotone only WITHIN one checkpoint
+    lineage. Restarting from the SAME checkpoint (the crash-recovery path
+    this exists for) resumes the id sequence and composes correctly;
+    pointing a FRESH checkpoint at the table under the same ``sink_id``
+    restarts ids at 0 and the fence will (correctly) refuse the replayed
+    epochs — use a new ``sink_id`` for a genuinely new stream, or drop the
+    fence property to intentionally re-ingest.
     """
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
