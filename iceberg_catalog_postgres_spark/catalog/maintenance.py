@@ -16,7 +16,11 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from iceberg_catalog_postgres_spark.catalog.catalog import PostgresCatalog, TableIdentifier
+from iceberg_catalog_postgres_spark.catalog.catalog import (
+    CommitConflictError,
+    PostgresCatalog,
+    TableIdentifier,
+)
 from iceberg_catalog_postgres_spark.catalog.metadata import chunk_path as _chunk_path
 from iceberg_catalog_postgres_spark.catalog.table import Table, transform_value
 from iceberg_catalog_postgres_spark.registry import load, register
@@ -2086,7 +2090,9 @@ def catalog_table_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def update_column_ndv(spark: SparkSession, table: Table, columns: list[str]) -> Table:
+def update_column_ndv(
+    spark: SparkSession, table: Table, columns: list[str], _retries: int = 3
+) -> Table:
     """Incrementally maintain per-column NDV (number of distinct values)
     sketches in table metadata — the Iceberg Puffin/ANALYZE model: a
     maintenance job computes DataSketches HLL per column and stores the
@@ -2214,9 +2220,29 @@ def update_column_ndv(spark: SparkSession, table: Table, columns: list[str]) -> 
         md.location, "metadata", f"ndv-{_uuid.uuid4().hex}.metadata.json"
     )
     store.put(new_location, new_md.to_json().encode())
-    return table.catalog.update_table(
-        table.identifier, new_location, table.metadata_location()
-    )
+    try:
+        return table.catalog.update_table(
+            table.identifier, new_location, table.metadata_location()
+        )
+    except CommitConflictError:
+        # A concurrent commit (e.g. a streaming append) won the CAS. A blind
+        # re-apply could publish a sketch/coverage pair inconsistent with
+        # the winner's file set, so RECOMPUTE from the winner instead: the
+        # reload re-deltas each column against its own coverage — for the
+        # common append race that repeats only the delta scan. Bounded like
+        # every other maintenance retry.
+        if _retries <= 0:
+            raise
+        import random as _random
+        import time as _time
+
+        _time.sleep(_random.uniform(0.01, 0.05))
+        return update_column_ndv(
+            spark,
+            table.catalog.load_table(table.identifier),
+            columns,
+            _retries=_retries - 1,
+        )
 
 
 def column_ndv(table: Table, column: str) -> int | None:

@@ -174,3 +174,26 @@ def test_no_commit_when_nothing_to_do(catalog, spark):
     loc = t.metadata_location()
     t2 = update_column_ndv(spark, t, ["k", "v"])
     assert t2 is t and t2.metadata_location() == loc
+
+
+def test_analyze_retries_past_concurrent_append(catalog, spark):
+    """r7: ANALYZE racing a concurrent commit must retry-recompute, not
+    fail. Simulated with a STALE table handle: another writer appends
+    between the handle's load and the analyze CAS — the retry reloads the
+    winner and its recompute sees BOTH files, so the estimate covers the
+    concurrent append too."""
+    t = catalog.create_table(TableIdentifier.parse("ndv.race1"), S)
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame([(i,) for i in range(60)], S).coalesce(1)
+    ).commit()
+    stale = catalog.load_table(TableIdentifier.parse("ndv.race1"))
+    # concurrent writer lands after `stale` was loaded
+    catalog.load_table(TableIdentifier.parse("ndv.race1")).new_transaction(
+    ).append_dataframe(
+        spark.createDataFrame([(i,) for i in range(60, 100)], S).coalesce(1)
+    ).commit()
+    t2 = update_column_ndv(spark, stale, ["k"])   # stale CAS -> retry path
+    assert abs(column_ndv(t2, "k") - 100) / 100 <= 0.05
+    assert len(t2.metadata.properties["ndv.covered-files.k"]) == len(
+        t2.metadata.current_data_files()
+    )
