@@ -1987,7 +1987,7 @@ class Table:
         return self._commit_metadata_edit(edit, "pub")
 
     def commit_schema(
-        self, new_schema: StructType, defaults: dict | None = None
+        self, new_schema: StructType, defaults: dict | None = None, _retries: int = 3
     ) -> "Table":
         """Schema evolution: commit a new schema version through the same CAS
         pointer swap as a data commit. Field ids carried in
@@ -2187,7 +2187,30 @@ class Table:
             md.location, "metadata", f"s{len(md.snapshots)}-{_uuid.uuid4().hex}.metadata.json"
         )
         store.put(new_location, new_md.to_json().encode())
-        return self.catalog.update_table(self.identifier, new_location, self._metadata_location)
+        try:
+            return self.catalog.update_table(
+                self.identifier, new_location, self._metadata_location
+            )
+        except CommitConflictError:
+            # A DATA commit racing a schema edit commutes: reload the winner
+            # and re-apply (validation, rename detection, and as-of-seq all
+            # recompute against the winner). A concurrent SCHEMA change does
+            # NOT commute — two editors must see each other — so only retry
+            # when the winner's schema is byte-identical to our base.
+            if _retries <= 0:
+                raise
+            import random as _random
+            import time as _time
+
+            _time.sleep(_random.uniform(0.01, 0.05))
+            winner = self.catalog.load_table(self.identifier)
+            if winner.metadata.schema != md.schema or (
+                winner.metadata.partition_spec != md.partition_spec
+            ):
+                raise
+            return winner.commit_schema(
+                new_schema, defaults=defaults, _retries=_retries - 1
+            )
 
     def commit_partition_spec(self, partition_by: list[str]) -> "Table":
         """Partition-spec evolution (Iceberg spec evolution): change the

@@ -440,3 +440,33 @@ def test_drop_guards_and_ndv_hygiene(catalog, spark):
         k.startswith(("ndv.sketch.c", "ndv.estimate.c", "ndv.covered-files.c"))
         for k in t3.metadata.properties
     )
+
+
+def test_commit_schema_retries_past_concurrent_data_commit(catalog, spark):
+    """r7: a schema edit racing a DATA commit must retry-recompute (they
+    commute); racing another SCHEMA change must still raise."""
+    from iceberg_catalog_postgres_spark.catalog.catalog import CommitConflictError
+
+    S = _schema(["a", "x"])
+    t = catalog.create_table(TableIdentifier.parse("rn.race1"), S)
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame([(1, 1)], S).coalesce(1)
+    ).commit()
+    stale = catalog.load_table(TableIdentifier.parse("rn.race1"))
+    # data commit lands after `stale` was loaded
+    catalog.load_table(TableIdentifier.parse("rn.race1")).new_transaction(
+    ).append_dataframe(
+        spark.createDataFrame([(2, 2)], S).coalesce(1)
+    ).commit()
+    t2 = stale.commit_schema(_schema(["b", "x"]))  # stale CAS -> retry
+    assert [f.name for f in t2.metadata.spark_schema.fields] == ["b", "x"]
+    # BOTH rows visible (the concurrent append was not lost) under new name
+    assert sorted(r["b"] for r in t2.to_df(spark).collect()) == [1, 2]
+
+    # concurrent SCHEMA change: no silent last-writer-wins
+    stale2 = catalog.load_table(TableIdentifier.parse("rn.race1"))
+    catalog.load_table(TableIdentifier.parse("rn.race1")).commit_schema(
+        _schema(["c", "x"])
+    )
+    with pytest.raises(CommitConflictError):
+        stale2.commit_schema(_schema(["d", "x"]))
