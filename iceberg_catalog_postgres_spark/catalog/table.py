@@ -913,6 +913,9 @@ class Table:
         any name — so by-name stats/bounds/data lookups must treat it as
         absent, not read the old column's bytes (r7: the recycled-name
         collision served the WRONG column's stats and crashed reads)."""
+        if not self.column_renames():
+            return column  # fast path: no renames ever — per-file planning
+            # loops must stay O(1) per column here (10^7-file tables)
         phys = self.physical_name(column, file_seq)
         if phys == column:
             for f in self.schema.fields:
