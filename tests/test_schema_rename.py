@@ -470,3 +470,93 @@ def test_commit_schema_retries_past_concurrent_data_commit(catalog, spark):
     )
     with pytest.raises(CommitConflictError):
         stale2.commit_schema(_schema(["d", "x"]))
+
+
+def test_renamed_spec_pruning_through_manifest_chunks(catalog, spark, monkeypatch):
+    """r7: the TWO-LEVEL (manifest-chunk) partition-prune path must also
+    match old tuples via the entry-rename spellings — chunk summaries and
+    entries from pre-rename commits are keyed by the old spelling."""
+    import iceberg_catalog_postgres_spark.catalog.metadata as md_mod
+
+    monkeypatch.setattr(md_mod, "MANIFEST_THRESHOLD", 2)
+    S = _schema(["k", "v"])
+    t = catalog.create_table(
+        TableIdentifier.parse("rn.chunks"), S, partition_by=["bucket(4,k)"]
+    )
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame([(i, i) for i in range(32)], S).coalesce(1)
+    ).commit()
+    assert t.metadata.current_snapshot().manifests, "expected manifest spill"
+    t = t.commit_schema(_schema(["key_id", "v"]))
+    sch = t.metadata.spark_schema
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame([(i, i) for i in range(32, 64)], sch).coalesce(1)
+    ).commit()
+    t = catalog.load_table(TableIdentifier.parse("rn.chunks"))
+    assert t.metadata.current_snapshot().manifests  # still chunked
+    planned = t.planned_files_transformed({"key_id": 13})
+    assert len(planned) == 2  # one bucket per cohort, through the chunk path
+    assert t.to_df(spark).filter(F.col("key_id") == 13).count() == 1
+    # range-planner chunk path with spellings (monotone transform needed —
+    # use a day spec for the range form)
+    assert sorted(r["key_id"] for r in t.to_df(spark).collect()) == list(range(64))
+
+
+def test_renamed_day_spec_range_pruning_through_chunks(catalog, spark, monkeypatch):
+    """r7: planned_files_transformed_range's chunk-summary skip and per-file
+    tuple checks must match pre-rename tuples via spellings too (day(ts)
+    renamed to day(event_ts))."""
+    import datetime as dt
+
+    import iceberg_catalog_postgres_spark.catalog.metadata as md_mod
+    from pyspark.sql.types import TimestampType
+
+    monkeypatch.setattr(md_mod, "MANIFEST_THRESHOLD", 2)
+    S = StructType(
+        [
+            StructField("ts", TimestampType(), True, {FIELD_ID_KEY: 1}),
+            StructField("n", LongType(), True, {FIELD_ID_KEY: 2}),
+        ]
+    )
+    rows = [
+        (dt.datetime(2024, 1, 1 + d, 12, 0, 0), d * 100 + i)
+        for d in range(6)
+        for i in range(4)
+    ]
+    t = catalog.create_table(
+        TableIdentifier.parse("rn.dayrange"), S, partition_by=["day(ts)"]
+    )
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame(rows, S).coalesce(1)
+    ).commit()
+    assert t.metadata.current_snapshot().manifests
+    S2 = StructType(
+        [
+            StructField("event_ts", TimestampType(), True, {FIELD_ID_KEY: 1}),
+            StructField("n", LongType(), True, {FIELD_ID_KEY: 2}),
+        ]
+    )
+    t = t.commit_schema(S2)
+    assert t.metadata.partition_spec == ["day(event_ts)"]
+    # 2-day range over the renamed column plans exactly the 2 pre-rename
+    # daily files (tuples keyed day(ts)) — through the chunk path
+    planned = t.planned_files_transformed_range(
+        "event_ts", dt.datetime(2024, 1, 2), dt.datetime(2024, 1, 3, 23, 59)
+    )
+    assert len(planned) == 2
+    n = (
+        t.to_df(
+            spark,
+            transformed_range=(
+                "event_ts",
+                dt.datetime(2024, 1, 2),
+                dt.datetime(2024, 1, 3, 23, 59),
+            ),
+        )
+        .filter(
+            (F.col("event_ts") >= F.lit(dt.datetime(2024, 1, 2)))
+            & (F.col("event_ts") < F.lit(dt.datetime(2024, 1, 4)))
+        )
+        .count()
+    )
+    assert n == 8
