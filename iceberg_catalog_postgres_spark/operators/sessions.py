@@ -626,3 +626,87 @@ def ts_ewma_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ewma"),
         )
     )
+
+
+@register(
+    "ts_gapfill_ewma_composed",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, value FROM events
+    ),
+    b AS (SELECT min(h) AS lo, max(h) AS hi FROM ev),
+    spine AS (
+      SELECT t.event_type, s.h
+      FROM (SELECT DISTINCT event_type FROM ev) t,
+           (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b) s
+    ),
+    agg AS (
+      SELECT event_type, h, CAST(count(*) AS DOUBLE) AS n FROM ev GROUP BY 1, 2
+    ),
+    dense AS (
+      SELECT s.event_type, s.h, coalesce(a.n, 0.0) AS n
+      FROM spine s LEFT JOIN agg a ON s.event_type = a.event_type AND s.h = a.h
+    ),
+    w AS (
+      SELECT event_type, h, n,
+             list(n) OVER (PARTITION BY event_type ORDER BY h
+                           ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS vals
+      FROM dense
+    )
+    SELECT event_type,
+           strftime(h, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           CAST(n AS BIGINT) AS n_events,
+           round(list_reduce(vals, (acc, x) -> acc * 0.5 + x)
+                 / ((1 - pow(0.5, len(vals))) / 0.5), 6) AS ewma
+    FROM w
+    """,
+    tags=("events", "timeseries", "gapfill", "ewma", "composed"),
+)
+def ts_gapfill_ewma_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill COMPOSED with EWMA — the production smoothing pipeline:
+    empty hours materialize as zeros first (so the average actually decays
+    through quiet periods instead of skipping them — the semantic
+    difference from ``ts_ewma_bounded``, which smooths only observed
+    buckets), then the bounded exponential fold runs over the DENSE series.
+    One oracle certifies the composition end to end over all 3600
+    (type, hour) cells.
+
+    Scale: composition adds nothing to the shuffle count — the spine join
+    and the window share the event_type partitioning, the frame stays
+    constant-bounded, and the fold is the same bit-exact JVM/DuckDB pair as
+    ``ts_ewma_bounded``."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("event_type", F.date_trunc("hour", "ts").alias("h"))
+    )
+    agg = ev.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    bounds = ev.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("h"),
+        )
+    )
+    dense = spine.join(agg, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce("n", F.lit(0.0)).alias("n")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-11, Window.currentRow)
+    )
+    return dense.withColumn("vals", F.collect_list("n").over(w)).select(
+        "event_type",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+        F.col("n").cast("long").alias("n_events"),
+        F.round(
+            F.expr("aggregate(vals, 0D, (acc, x) -> acc * 0.5D + x)")
+            / ((F.lit(1.0) - F.pow(F.lit(0.5), F.size("vals"))) / F.lit(0.5)),
+            6,
+        ).alias("ewma"),
+    )
