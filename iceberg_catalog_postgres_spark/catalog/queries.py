@@ -972,3 +972,66 @@ def catalog_rename_partition_follow_through(spark: SparkSession, sf_dir: str) ->
         "planned_files_for_key long, rows_for_key long, ndv_after_rename long, "
         "spec_rewritten boolean, old_cohort_still_pruned boolean",
     )
+
+
+@register(
+    "catalog_spec_evolution_read_safety",
+    oracle="""
+    SELECT CAST((SELECT count(*) FROM nation WHERE n_regionkey = 2) AS BIGINT)
+               AS n_rows_region2,
+           true AS old_spec_files_kept,
+           true AS new_spec_files_pruned
+    FROM (SELECT 1)
+    """,
+    tags=("catalog", "partition", "evolution", "read-safety"),
+)
+def catalog_spec_evolution_read_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-filtered reads stay EXACT after spec evolution between two
+    different partition columns (r7): nation lands partitioned by
+    n_nationkey, the spec evolves to n_regionkey, a second batch lands
+    under the new spec, and a partition filter on n_regionkey must return
+    every region-2 row — including those in old-spec files whose tuples
+    are keyed by n_nationkey (pre-r7 those files were silently excluded:
+    the filtered read lost rows). New-spec files still prune by their
+    recorded values, so the plan is smaller than the full file list.
+
+    Scale: spec evolution is a metadata-only commit precisely so 100 TB of
+    history keeps working; losing old-cohort rows from filtered reads is
+    the worst possible failure of that contract — now driver-gated.
+    """
+    from iceberg_catalog_postgres_spark.catalog.maintenance import _fresh_catalog
+
+    cat = _fresh_catalog("catalog_specevo_read")
+    src = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey", "n_name"
+    )
+    ident = TableIdentifier.parse("evo.nation_rs")
+    t = cat.create_table(ident, src.schema, partition_by=["n_nationkey"])
+    t = t.new_transaction().append_dataframe(
+        src.where(F.col("n_nationkey") < 13).coalesce(1)
+    ).commit()
+    t = t.commit_partition_spec(["n_regionkey"])
+    t = t.new_transaction().append_dataframe(
+        src.where(F.col("n_nationkey") >= 13).coalesce(1)
+    ).commit()
+    n_old = len(
+        [f for f, tup in t.metadata.current_file_partitions().items() if "n_nationkey" in tup]
+    )
+    total = len(t.metadata.current_data_files())
+    planned = t.planned_files_partition({"n_regionkey": "2"})
+    n_rows = (
+        t.to_df(spark, partition_filter={"n_regionkey": "2"})
+        .filter(F.col("n_regionkey") == 2)
+        .count()
+    )
+    return spark.createDataFrame(
+        [
+            (
+                int(n_rows),
+                len(planned) >= n_old,     # every old-spec file kept
+                len(planned) < total,      # some new-spec file pruned
+            )
+        ],
+        "n_rows_region2 long, old_spec_files_kept boolean, "
+        "new_spec_files_pruned boolean",
+    )
