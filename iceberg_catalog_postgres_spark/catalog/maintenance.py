@@ -2214,7 +2214,12 @@ def update_column_ndv(
     if props == dict(md.properties):
         return table  # nothing changed (e.g. all-NULL never-sketched column)
 
-    new_md = _dc_replace(md, properties=props)
+    # every commit path appends the superseded doc to metadata-log so the
+    # pointer history stays walkable (catalog_metadata_log_history) — NDV
+    # commits included (pre-r8 they left silent gaps)
+    new_md = _dc_replace(md, properties=props).with_log_entry(
+        table.metadata_location(), md.last_updated_ms
+    )
     store = table.catalog.object_store()
     new_location = posixpath.join(
         md.location, "metadata", f"ndv-{_uuid.uuid4().hex}.metadata.json"

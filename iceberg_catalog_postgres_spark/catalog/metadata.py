@@ -578,6 +578,24 @@ class TableMetadata:
     reads — e.g. the exact corpus version a training run used); the "main"
     branch is implicit (current_snapshot_id). Carried through every commit
     unchanged; tags survive expire_snapshots (their snapshots are retained)."""
+    partition_spec_log: list = field(default_factory=list)
+    """PRIOR partition specs, oldest first (each a list of entry strings):
+    ``commit_partition_spec`` appends the superseded spec, so the document
+    can serialize the full ``partition-specs`` history with real spec-ids
+    instead of pretending the current spec is the only one that ever
+    existed (r7 doc-fidelity gap: evolved tables' mixed-spec file layout
+    was misdescribed by a single spec-id-0 entry)."""
+    sort_orders: list = field(default_factory=lambda: [{"order-id": 0, "fields": []}])
+    """Spec ``sort-orders``: structured sort-order documents. Order 0 is
+    the reserved unsorted order; ``append_dataframe(sort_by=...)`` writes
+    register their identity/asc/nulls-first order here (id-based
+    ``source-id`` fields, rename-proof) and advance
+    ``default_sort_order_id``. Z-ordered writes are NOT expressible as an
+    Iceberg sort order (the spec's sort transforms are the partition
+    transforms; Morton interleaving is not one) — they record
+    ``write.zorder-columns`` in properties instead, a documented
+    deviation."""
+    default_sort_order_id: int = 0
     metadata_log: list = field(default_factory=list)
     """Spec ``metadata-log``: previous metadata-file locations, oldest first
     ({"timestamp-ms", "metadata-file"}). Appended by the snapshot-commit and
@@ -671,6 +689,7 @@ class TableMetadata:
             last_updated_ms=int(time.time() * 1000),
             properties=dict(self.properties),
             partition_spec=list(self.partition_spec),
+            partition_spec_log=list(self.partition_spec_log),
             refs=dict(self.refs),
         )
 
@@ -709,35 +728,65 @@ class TableMetadata:
 
     def partition_specs_json(self) -> list[dict]:
         """The spec's structured ``partition-specs`` form of our compact
-        entry-string spec: one spec (id 0) whose fields carry
-        ``source-id`` (resolved against the schema), ``field-id`` (1000+i,
-        the spec's partition-field id space), ``name`` (Iceberg naming
-        convention: ``col``, ``col_bucket``, ``col_trunc``, ``col_day``, …)
-        and ``transform`` (``identity`` / ``bucket[N]`` / ``truncate[W]`` /
-        ``year|month|day|hour``)."""
+        entry-string specs: the FULL spec history (``partition_spec_log`` +
+        current), spec-ids by commit position, with Iceberg's global
+        partition-field-id assignment — ids start at 1000, increase across
+        specs, and the SAME (source, transform) entry reuses its id in
+        every spec that carries it. Each field carries ``source-id``
+        (resolved against the schema — rename follow-through rewrites
+        historical entries too, so current names resolve), ``field-id``,
+        ``name`` (Iceberg naming convention: ``col``, ``col_bucket``,
+        ``col_trunc``, ``col_day``, …) and ``transform`` (``identity`` /
+        ``bucket[N]`` / ``truncate[W]`` / ``year|month|day|hour``).
+
+        An unresolvable source column is a LOUD error for the current spec
+        (pre-r8 it serialized an invalid ``source-id: -1`` — ADVICE r7); a
+        historical spec whose source was later dropped is omitted from the
+        emitted list (its spec-id is skipped, preserving the ids of the
+        specs around it) — a documented deviation, matching the drop-guard
+        asymmetry (current-spec sources cannot be dropped, historical-only
+        ones can)."""
         from .table import parse_partition_field  # local: avoids cycle at import
 
         ids = {f["name"]: int(f["id"]) for f in self.schema.get("fields", [])}
-        fields = []
-        for i, entry in enumerate(self.partition_spec):
-            kind, param, col = parse_partition_field(entry)
-            if kind == "identity":
-                transform, name = "identity", col
-            elif kind == "bucket":
-                transform, name = f"bucket[{param}]", f"{col}_bucket"
-            elif kind == "truncate":
-                transform, name = f"truncate[{param}]", f"{col}_trunc"
-            else:  # year/month/day/hour
-                transform, name = kind, f"{col}_{kind}"
-            fields.append(
-                {
-                    "source-id": ids.get(col, -1),
-                    "field-id": 1000 + i,
-                    "name": name,
-                    "transform": transform,
-                }
-            )
-        return [{"spec-id": 0, "fields": fields}]
+        field_ids: dict[str, int] = {}  # entry string -> global partition-field id
+        specs = []
+        for spec_id, spec in enumerate([*self.partition_spec_log, self.partition_spec]):
+            is_current = spec_id == len(self.partition_spec_log)
+            fields = []
+            for entry in spec:
+                kind, param, col = parse_partition_field(entry)
+                if kind == "identity":
+                    transform, name = "identity", col
+                elif kind == "bucket":
+                    transform, name = f"bucket[{param}]", f"{col}_bucket"
+                elif kind == "truncate":
+                    transform, name = f"truncate[{param}]", f"{col}_trunc"
+                else:  # year/month/day/hour
+                    transform, name = kind, f"{col}_{kind}"
+                source_id = ids.get(col)
+                if source_id is None:
+                    if is_current:
+                        raise ValueError(
+                            f"partition-spec entry {entry!r}: source column "
+                            f"{col!r} not found in the table schema — refusing "
+                            "to serialize an invalid source-id"
+                        )
+                    fields = None  # historical spec with a dropped source
+                    break
+                if entry not in field_ids:
+                    field_ids[entry] = 1000 + len(field_ids)
+                fields.append(
+                    {
+                        "source-id": source_id,
+                        "field-id": field_ids[entry],
+                        "name": name,
+                        "transform": transform,
+                    }
+                )
+            if fields is not None:
+                specs.append({"spec-id": spec_id, "fields": fields})
+        return specs
 
     #: Every metadata document names its manifest-format deviation loudly: the
     #: snapshot file lists are content-addressed JSON chunks, NOT the spec's
@@ -749,6 +798,24 @@ class TableMetadata:
     MANIFEST_FORMAT = "icp-spark-json-chunks-v1"
 
     def to_json(self) -> str:
+        specs_json = self.partition_specs_json()
+        # snapshot-log must be a valid history OF THE CURRENT SNAPSHOT: after
+        # a rollback re-points current-snapshot-id, entries for snapshots
+        # committed after it are not part of current's history and
+        # spec-compliant readers reject them (ADVICE r7) — truncate at the
+        # current snapshot's commit-order position (the spec explicitly
+        # allows a partial log). No current snapshot -> empty log.
+        cur_idx = None
+        if self.current_snapshot_id is not None:
+            cur_idx = next(
+                (
+                    i
+                    for i, s in enumerate(self.snapshots)
+                    if s.snapshot_id == self.current_snapshot_id
+                ),
+                None,
+            )
+        log_snaps = self.snapshots[: cur_idx + 1] if cur_idx is not None else []
         return json.dumps(
             {
                 # ---- Iceberg TableMetadata spec fields (public v1/v2 doc
@@ -764,20 +831,25 @@ class TableMetadata:
                 "last-column-id": self._last_column_id(),
                 "schemas": [self.schema],
                 "current-schema-id": int(self.schema.get("schema-id", 0)),
-                "partition-specs": self.partition_specs_json(),
-                "default-spec-id": 0,
-                "last-partition-id": 999 + len(self.partition_spec),
-                "sort-orders": [{"order-id": 0, "fields": []}],
-                "default-sort-order-id": 0,
+                "partition-specs": specs_json,
+                # spec-ids are commit-positional; the current spec's id is
+                # its position after the full prior-spec log
+                "default-spec-id": len(self.partition_spec_log),
+                "last-partition-id": max(
+                    (f["field-id"] for sp in specs_json for f in sp["fields"]),
+                    default=999,
+                ),
+                "sort-orders": self.sort_orders,
+                "default-sort-order-id": self.default_sort_order_id,
                 "current-snapshot-id": self.current_snapshot_id,
                 "snapshots": [s.to_json() for s in self.snapshots],
-                # snapshots append in commit order, so the commit-order walk
-                # IS the current-snapshot change log (rollback re-points
-                # current-snapshot-id without rewriting history — same as the
-                # spec's allowance for a truncated log)
+                # commit-order walk up to (and including) the CURRENT
+                # snapshot — see log_snaps above; abandoned post-rollback
+                # snapshots stay in "snapshots" (time travel) but leave the
+                # log, which must describe current's lineage only
                 "snapshot-log": [
                     {"timestamp-ms": s.timestamp_ms, "snapshot-id": s.snapshot_id}
-                    for s in self.snapshots
+                    for s in log_snaps
                 ],
                 "metadata-log": self.metadata_log,
                 "properties": {
@@ -789,8 +861,43 @@ class TableMetadata:
                 # ignore unknown keys, ours reads these) ----
                 "schema": self.schema,
                 "partition-spec": self.partition_spec,
+                "partition-spec-log": self.partition_spec_log,
             },
             indent=2,
+        )
+
+    def with_sort_order(self, columns: list[str]) -> "TableMetadata":
+        """Register (or reuse) the identity/asc/nulls-first sort order for
+        ``columns`` and make it the default — called by sorted writes
+        (``append_dataframe(sort_by=...)``) so the document's
+        ``sort-orders`` reflects how the data was actually distributed.
+        Fields are id-based (``source-id``), so later renames don't
+        invalidate the order."""
+        from dataclasses import replace as _dc_replace
+
+        ids = {f["name"]: int(f["id"]) for f in self.schema.get("fields", [])}
+        missing = [c for c in columns if c not in ids]
+        if missing:
+            raise ValueError(f"sort_by column(s) not in schema: {missing}")
+        fields = [
+            {
+                "transform": "identity",
+                "source-id": ids[c],
+                "direction": "asc",
+                "null-order": "nulls-first",
+            }
+            for c in columns
+        ]
+        for o in self.sort_orders:
+            if o["fields"] == fields:
+                if self.default_sort_order_id == o["order-id"]:
+                    return self
+                return _dc_replace(self, default_sort_order_id=o["order-id"])
+        order_id = max(o["order-id"] for o in self.sort_orders) + 1
+        return _dc_replace(
+            self,
+            sort_orders=[*self.sort_orders, {"order-id": order_id, "fields": fields}],
+            default_sort_order_id=order_id,
         )
 
     @staticmethod
@@ -813,6 +920,9 @@ class TableMetadata:
             format_version=d.get("format-version", 1),
             properties=d.get("properties", {}),
             partition_spec=list(d.get("partition-spec", [])),
+            partition_spec_log=list(d.get("partition-spec-log", [])),
+            sort_orders=list(d.get("sort-orders", [{"order-id": 0, "fields": []}])),
+            default_sort_order_id=int(d.get("default-sort-order-id", 0)),
             refs=dict(d.get("refs", {})),
             metadata_log=list(d.get("metadata-log", [])),
         )

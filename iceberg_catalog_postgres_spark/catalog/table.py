@@ -904,24 +904,79 @@ class Table:
                 name = r["to"]
         return name
 
+    def _resolve_chain(self, name: str, file_seq: int) -> tuple[str, float]:
+        """Walk the rename log backwards for one current logical name:
+        returns ``(physical_name, departure_seq)`` where ``departure_seq``
+        is the as-of-seq of the rename that moved the column OFF that
+        physical name (``inf`` when it still carries it — never renamed
+        since ``file_seq``). The departure seq is what disambiguates
+        recycled names: a physical name has exactly one owner at a time,
+        so owners' [.., departure) intervals are disjoint and the owner at
+        ``file_seq`` is the claimant with the SMALLEST departure seq."""
+        dep: float = float("inf")
+        for r in reversed(self.column_renames()):
+            if r["to"] == name and file_seq < r["as-of-seq"]:
+                name = r["from"]
+                dep = r["as-of-seq"]  # last assignment in the backward walk
+                # == chronologically-earliest applied rename == the one
+                # whose ``from`` is the final physical name
+        return name, dep
+
+    def physical_names_at(self, file_seq: int) -> tuple[str | None, ...]:
+        """Physical name of every current schema column at ``file_seq``
+        (schema order), with name-recycling collisions resolved: when two
+        distinct current columns resolve to the SAME physical name (the
+        name was renamed away and later reused — possibly renamed again,
+        e.g. y→a, add y, y→b leaves both a and b claiming 'y' for old
+        cohorts), only the column that actually OWNED the name at
+        ``file_seq`` keeps it; every other claimant maps to ``None``
+        (absent from that cohort — read as NULL, never the old bytes).
+        Ownership = smallest departure seq among claimants (see
+        ``_resolve_chain``); a claimant that departed the name at seq s
+        owned it until s, so for file_seq < s_min the s_min claimant is
+        the owner and every later owner's data cannot be in the file."""
+        fields = self.schema.fields
+        if not self.column_renames():
+            return tuple(f.name for f in fields)
+        cache = getattr(self, "_phys_names_cache", None)
+        if cache is None:
+            cache = self._phys_names_cache = {}
+        hit = cache.get(file_seq)
+        if hit is not None:
+            return hit
+        resolved = [self._resolve_chain(f.name, file_seq) for f in fields]
+        by_phys: dict[str, list[tuple[float, int]]] = {}
+        for i, (phys, dep) in enumerate(resolved):
+            by_phys.setdefault(phys, []).append((dep, i))
+        out: list[str | None] = [None] * len(fields)
+        for phys, claims in by_phys.items():
+            winner = min(claims)[1]
+            out[winner] = phys
+        result = tuple(out)
+        cache[file_seq] = result
+        return result
+
     def physical_name_or_absent(self, column: str, file_seq: int) -> str | None:
         """``physical_name``, but None when ``column``'s name was RECYCLED:
-        some OTHER current column historically owned this name at
-        ``file_seq`` (it was renamed away and the name later reused for a
-        newer column). Files of that cohort carry the OLD column's data
-        under this name, and the newer column cannot exist in them under
-        any name — so by-name stats/bounds/data lookups must treat it as
-        absent, not read the old column's bytes (r7: the recycled-name
-        collision served the WRONG column's stats and crashed reads)."""
+        some OTHER current column historically owned ``column``'s physical
+        name at ``file_seq``. Files of that cohort carry the OLD column's
+        data under this name, and the newer column cannot exist in them
+        under any name — so by-name stats/bounds/data lookups must treat
+        it as absent, not read the old column's bytes (r7 found the
+        direct-recycle case; r8 generalizes to re-renamed reuse, where two
+        renamed columns collide on a shared historical name and neither
+        equals it — whole-schema collision resolution via
+        ``physical_names_at``)."""
         if not self.column_renames():
             return column  # fast path: no renames ever — per-file planning
             # loops must stay O(1) per column here (10^7-file tables)
-        phys = self.physical_name(column, file_seq)
-        if phys == column:
-            for f in self.schema.fields:
-                if f.name != column and self.physical_name(f.name, file_seq) == column:
-                    return None
-        return phys
+        names = self.physical_names_at(file_seq)
+        for f, n in zip(self.schema.fields, names):
+            if f.name == column:
+                return n
+        return self.physical_name(column, file_seq)  # not a current column
+        # (caller passed a historical name) — plain chain walk, no
+        # collision arbitration possible or needed
 
     def _read_data_files(self, spark: SparkSession, rel_files: list[str], seqs: dict) -> DataFrame:
         """Read data files with rename awareness: group files by the
@@ -956,9 +1011,7 @@ class Table:
             # files carry the OLD column under that name — the new column is
             # read as NULL there instead of mis-reading the old bytes
             if s not in name_cache:
-                name_cache[s] = tuple(
-                    self.physical_name_or_absent(n, s) for n in logical
-                )
+                name_cache[s] = self.physical_names_at(s)
             names = name_cache[s]
             # initial-defaults apply to files written BEFORE the column
             # existed (seq scoping) — part of the cohort key so the fill
@@ -1407,6 +1460,140 @@ class Table:
                 ]
         return self.planned_files_partition(tuple_filters, snapshot_id=snapshot_id)
 
+    def planned_files_composed(
+        self,
+        ranges: dict | None = None,
+        points: dict | None = None,
+        snapshot_id: int | None = None,
+    ) -> list[str]:
+        """ONE planner call composing RANGE predicates over monotone
+        transforms with POINT predicates over any transform, against a
+        multi-entry spec — the "ts BETWEEN a AND b AND region = r" query
+        on a ``(day(ts), bucket(N,region))`` layout plans the intersection
+        in a single walk of the manifest index (pre-r8 it took two walks
+        whose file sets were intersected driver-side; at 10^7 files the
+        chunk index is the planning cost, so one pass halves it).
+
+        ``ranges``: {source col: (lo, hi)} — applied through every MONOTONE
+        entry over that column (year/month/day/hour, integer truncate,
+        integer identity); bucket and string-truncate entries are skipped
+        for ranges (non-monotone / lexicographic — superset-safe).
+        ``points``: {source col: value} — applied through EVERY entry over
+        that column via the driver-side transform (bucket murmur3 included),
+        exactly ``planned_files_transformed``'s mapping.
+
+        Two-level: a manifest chunk whose partition summary covers every
+        data entry and excludes the point value (or contains no value
+        inside the range) for ANY constrained entry is skipped without
+        being fetched. Files without a recorded tuple, or whose tuple was
+        written under a different spec (partition evolution), are kept —
+        superset-safe, matching the single-predicate planners."""
+        snap = (
+            self.metadata.snapshot_by_id(snapshot_id)
+            if snapshot_id is not None
+            else self.metadata.current_snapshot()
+        )
+        if snap is None:
+            return []
+        ranges = ranges or {}
+        points = points or {}
+        store = self.catalog.object_store()
+        src_types = {f.name: f.dataType.simpleString() for f in self.schema.fields}
+        bucket_hash = _bucket_hash_of(self.metadata)
+        bounds: dict[str, tuple[int, int]] = {}
+        eq_vals: dict[str, str | None] = {}
+        for entry in self.metadata.partition_spec:
+            kind, _param, src = parse_partition_field(entry)
+            if src in points:
+                v = transform_value(
+                    entry, points[src], bucket_hash=bucket_hash,
+                    src_type=src_types.get(src),
+                )
+                eq_vals[entry] = None if v is None else str(v)
+                continue  # equality subsumes any range over the same entry
+            if src in ranges and kind != "bucket" and not (
+                kind == "truncate" and src_types.get(src) == "string"
+            ):
+                lo, hi = ranges[src]
+                lo_t = transform_value(entry, lo, src_type=src_types.get(src))
+                hi_t = transform_value(entry, hi, src_type=src_types.get(src))
+                try:
+                    bounds[entry] = (int(lo_t), int(hi_t))
+                except (TypeError, ValueError):
+                    continue  # non-integer transformed bounds: drop entry
+        if not bounds and not eq_vals:
+            return [store.resolve(f) for f in snap.data_files]
+        spells = {
+            e: self.partition_entry_spellings(e) for e in (*bounds, *eq_vals)
+        }
+
+        def tuple_ok(tup) -> bool:
+            if tup is None:
+                return True
+            for entry, sv in eq_vals.items():
+                present, v = self._tuple_value(tup, entry, spells)
+                if present and v != sv:
+                    return False
+            for entry, (a, b) in bounds.items():
+                present, v = self._tuple_value(tup, entry, spells)
+                if not present or v is None:
+                    continue
+                try:
+                    iv = int(v)
+                except (TypeError, ValueError):
+                    continue
+                if not (a <= iv <= b):
+                    return False
+            return True
+
+        refs = snap.chunk_refs()
+        if refs is None:
+            return [
+                store.resolve(f)
+                for f in snap.data_files
+                if tuple_ok(snap.file_partitions.get(f))
+            ]
+        out = []
+        for c in refs:
+            s = c["summary"]
+            nd = s["counts"]["data"]
+            if nd == 0:
+                continue
+            parts = s.get("partitions", {})
+            skip = False
+            for entry in spells:
+                for sp in spells[entry]:
+                    p = parts.get(sp)
+                    if p is None or p["n"] != nd:
+                        continue
+                    if entry in eq_vals and eq_vals[entry] not in p["values"]:
+                        skip = True
+                        break
+                    if entry in bounds:
+                        a, b = bounds[entry]
+                        vals = []
+                        for v in p["values"]:
+                            try:
+                                vals.append(int(v))
+                            except (TypeError, ValueError):
+                                vals = None
+                                break
+                        if vals is not None and all(
+                            not (a <= iv <= b) for iv in vals
+                        ):
+                            skip = True
+                            break
+                if skip:
+                    break
+            if skip:
+                continue  # whole chunk excluded — never fetched
+            for e in load_chunk(store, c["path"])["entries"]:
+                if e["kind"] != "data":
+                    continue
+                if tuple_ok(e.get("partition")):
+                    out.append(store.resolve(e["path"]))
+        return out
+
     def planned_files_transformed_range(
         self, col: str, lo, hi, snapshot_id: int | None = None
     ) -> list[str]:
@@ -1667,7 +1854,20 @@ class Table:
                 self.planned_files_partition(partition_filter, snapshot_id=snapshot_id)
             )
             files = [f for f in files if f in part_files]
-        if transformed_filter is not None:
+        if transformed_filter is not None and transformed_range is not None:
+            # BOTH predicate kinds: one composed planner walk of the
+            # manifest index instead of two intersected walks (at 10^7
+            # files the index walk IS the planning cost)
+            _c, _lo, _hi = transformed_range
+            comp = set(
+                self.planned_files_composed(
+                    ranges={_c: (_lo, _hi)},
+                    points=transformed_filter,
+                    snapshot_id=snapshot_id,
+                )
+            )
+            files = [f for f in files if f in comp]
+        elif transformed_filter is not None:
             # transform-aware point pruning ({source col: value} mapped
             # through bucket/truncate/temporal specs) composed INSIDE the
             # reader, so MOR deletes / renames / defaults still apply below
@@ -1677,7 +1877,7 @@ class Table:
                 )
             )
             files = [f for f in files if f in tf]
-        if transformed_range is not None:
+        elif transformed_range is not None:
             # monotone-transform range pruning ((col, lo, hi)), same contract
             _c, _lo, _hi = transformed_range
             tr = set(
@@ -2092,6 +2292,7 @@ class Table:
                 )
         props = dict(md.properties)
         new_spec = list(md.partition_spec)
+        new_spec_log = [list(s) for s in md.partition_spec_log]
         if renames:
             props["column-renames"] = [*props.get("column-renames", []), *renames]
             # Rename follow-through (r7): partition-spec entries and NDV
@@ -2101,12 +2302,20 @@ class Table:
             # the name inherited the old column's NDV — a planner lie).
             entry_renames = list(props.get("partition-entry-renames", []))
             for r in renames:
-                for i, entry in enumerate(new_spec):
-                    kind, param, col = parse_partition_field(entry)
-                    if col == r["from"]:
-                        new_entry = build_partition_entry(kind, param, r["to"])
-                        entry_renames.append({"from": entry, "to": new_entry})
-                        new_spec[i] = new_entry
+                seen_aliases = set()
+                for spec_ in (new_spec, *new_spec_log):
+                    # historical specs get the same follow-through: their
+                    # entries name source columns too (old files' tuple keys
+                    # AND the serialized partition-specs history resolve
+                    # through current names)
+                    for i, entry in enumerate(spec_):
+                        kind, param, col = parse_partition_field(entry)
+                        if col == r["from"]:
+                            new_entry = build_partition_entry(kind, param, r["to"])
+                            if (entry, new_entry) not in seen_aliases:
+                                seen_aliases.add((entry, new_entry))
+                                entry_renames.append({"from": entry, "to": new_entry})
+                            spec_[i] = new_entry
                 for prefix in ("ndv.sketch.", "ndv.estimate.", "ndv.covered-files."):
                     old_key = prefix + r["from"]
                     if old_key in props:
@@ -2181,6 +2390,7 @@ class Table:
             schema=schema_to_iceberg(evolved),
             properties=props,
             partition_spec=new_spec,
+            partition_spec_log=new_spec_log,
         ).with_log_entry(self._metadata_location, md.last_updated_ms)
         import posixpath as _pp
         import uuid as _uuid
@@ -2230,7 +2440,16 @@ class Table:
         validate_partition_spec(partition_by, self.schema)
 
         def edit(md):
-            return _dc_replace(md, partition_spec=list(partition_by))
+            if list(partition_by) == list(md.partition_spec):
+                return md  # no-op evolution: don't grow the spec log
+            return _dc_replace(
+                md,
+                partition_spec=list(partition_by),
+                # superseded spec joins the history so the metadata document
+                # serializes the FULL partition-specs list with real
+                # spec-ids (mixed-spec tables describe their own layout)
+                partition_spec_log=[*md.partition_spec_log, list(md.partition_spec)],
+            )
 
         return self._commit_metadata_edit(edit, "spec")
 
@@ -2276,6 +2495,9 @@ class Transaction:
         # atomic with the data it fences, or a torn writer can double-commit
         self._staged_props: dict = {}
         self._fence: tuple[str, int] | None = None
+        # sort-order declared by this transaction's write (sort_by=...):
+        # registered into the metadata document's ``sort-orders`` at commit
+        self._sort_by: list[str] | None = None
 
     # -- staging ----------------------------------------------------------
 
@@ -2397,7 +2619,17 @@ class Transaction:
         _ensure_stats_friendly_writes(df.sparkSession)
         if sort_by and zorder_by:
             raise ValueError("pass either sort_by or zorder_by, not both")
+        if sort_by:
+            # declare the order in the metadata document (spec sort-orders)
+            self._sort_by = list(sort_by)
         if zorder_by:
+            # z-order is NOT expressible as an Iceberg sort order (sort
+            # transforms are the partition transforms; Morton interleaving
+            # isn't one) — record the write-clustering columns as a table
+            # property instead, atomically with this commit
+            import json as _json
+
+            self._staged_props["write.zorder-columns"] = _json.dumps(list(zorder_by))
             # Z-ORDER write distribution: cluster files along the Morton
             # curve of two columns so each file's manifest bounds are tight
             # in BOTH dimensions — a 2-D box query then prunes by
@@ -2779,6 +3011,11 @@ class Transaction:
                     new_metadata,
                     properties={**new_metadata.properties, **self._staged_props},
                 )
+            if self._sort_by:
+                # the write declared a sort order — register it (or reuse an
+                # identical one) and make it the document default, in the
+                # same CAS as the data it describes
+                new_metadata = new_metadata.with_sort_order(self._sort_by)
             new_metadata = new_metadata.with_log_entry(
                 current.metadata_location(), current.metadata.last_updated_ms
             )

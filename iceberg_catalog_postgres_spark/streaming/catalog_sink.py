@@ -133,7 +133,17 @@ def run_torn_writer_scenario(
     q1 = start(fenced_batch_sink(catalog, ident, "torn", fail_after_batch=0))
     torn_as_expected = False
     try:
-        q1.awaitTermination(120)
+        # awaitTermination(t) returns False on timeout WITHOUT raising — an
+        # overloaded host would otherwise fall through to a wrong-count
+        # oracle mismatch instead of a clear timeout (VERDICT r7 minor)
+        if not q1.awaitTermination(120):
+            q1.stop()
+            raise TimeoutError(
+                "torn-writer run 1 did not terminate within 120s (host "
+                "overload?) — failing loudly instead of mis-reporting counts"
+            )
+    except TimeoutError:
+        raise
     except Exception:  # StreamingQueryException: the injected death
         torn_as_expected = True
     t_mid = catalog.load_table(ident)
@@ -142,7 +152,11 @@ def run_torn_writer_scenario(
 
     # -- run 2: restart on the same checkpoint — replay must be fenced -----
     q2 = start(fenced_batch_sink(catalog, ident, "torn"))
-    q2.awaitTermination(120)
+    if not q2.awaitTermination(120):
+        q2.stop()
+        raise TimeoutError(
+            "torn-writer run 2 (fenced replay) did not terminate within 120s"
+        )
 
     t_end = catalog.load_table(ident)
     final = t_end.to_df(spark)

@@ -212,3 +212,194 @@ def test_from_json_reads_spec_layout_only_document(committed_table):
     back = TableMetadata.from_json(json.dumps(d))
     assert back.schema == committed_table.metadata.schema
     assert [f.name for f in back.spark_schema.fields] == ["k", "d", "name"]
+
+
+# ---- r8: spec-document fidelity for evolved / sorted / rolled-back tables ----
+
+
+def test_partition_spec_history_serializes_all_specs(catalog, spark):
+    """commit_partition_spec must accumulate partition-specs with real
+    spec-ids and an advancing default-spec-id (pre-r8 the document emitted
+    a single spec-id-0 entry even for evolved tables, misdescribing their
+    own mixed-spec layout)."""
+    t = catalog.create_table(
+        TableIdentifier.parse("spec.evolved"), S, partition_by=["bucket(4,k)"]
+    )
+    rows = [(i, dt.date(2024, 1, 1 + i % 3), f"n{i}") for i in range(8)]
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame(rows, S).coalesce(1)
+    ).commit()
+    t = t.commit_partition_spec(["day(d)"])
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame(rows, S).coalesce(1)
+    ).commit()
+    t = t.commit_partition_spec(["bucket(4,k)", "day(d)"])
+
+    d = _raw_doc(t)
+    specs = {s["spec-id"]: s for s in d["partition-specs"]}
+    assert sorted(specs) == [0, 1, 2]
+    assert d["default-spec-id"] == 2
+    assert [f["transform"] for f in specs[0]["fields"]] == ["bucket[4]"]
+    assert [f["transform"] for f in specs[1]["fields"]] == ["day"]
+    assert [f["transform"] for f in specs[2]["fields"]] == ["bucket[4]", "day"]
+    # global partition-field-id assignment: the SAME (source, transform)
+    # entry keeps its field-id in every spec that carries it
+    fid = {(f["transform"], f["source-id"]): f["field-id"] for f in specs[0]["fields"]}
+    for s in specs.values():
+        for f in s["fields"]:
+            key = (f["transform"], f["source-id"])
+            fid.setdefault(key, f["field-id"])
+            assert fid[key] == f["field-id"], "field-id not stable across specs"
+    assert d["last-partition-id"] == max(
+        f["field-id"] for s in specs.values() for f in s["fields"]
+    )
+    # round-trip preserves the history
+    back = TableMetadata.from_json(t.catalog.object_store().get(t.metadata_location()).decode())
+    assert json.loads(back.to_json())["partition-specs"] == d["partition-specs"]
+    # identical re-evolution is a no-op (no log growth)
+    t2 = t.commit_partition_spec(["bucket(4,k)", "day(d)"])
+    assert len(_raw_doc(t2)["partition-specs"]) == 3
+
+
+def test_spec_evolution_no_op_when_unchanged(catalog):
+    t = catalog.create_table(
+        TableIdentifier.parse("spec.noop"), S, partition_by=["day(d)"]
+    )
+    t = t.commit_partition_spec(["day(d)"])
+    assert _raw_doc(t)["default-spec-id"] == 0
+
+
+def test_sorted_write_registers_sort_order(catalog, spark):
+    """append_dataframe(sort_by=...) must declare its order in the
+    document's sort-orders (identity / asc / nulls-first, id-based
+    source-id) and advance default-sort-order-id; an identical later sorted
+    write reuses the registered order."""
+    t = catalog.create_table(TableIdentifier.parse("spec.sorted"), S)
+    rows = [(i, dt.date(2024, 1, 1 + i % 3), f"n{i}") for i in range(32)]
+    df = spark.createDataFrame(rows, S)
+    t = t.new_transaction().append_dataframe(df, sort_by=["k"]).commit()
+    d = _raw_doc(t)
+    assert d["default-sort-order-id"] == 1
+    orders = {o["order-id"]: o for o in d["sort-orders"]}
+    assert orders[0]["fields"] == []  # reserved unsorted order kept
+    ids = {f["name"]: int(f["id"]) for f in d["schema"]["fields"]}
+    assert orders[1]["fields"] == [
+        {
+            "transform": "identity",
+            "source-id": ids["k"],
+            "direction": "asc",
+            "null-order": "nulls-first",
+        }
+    ]
+    # identical sorted write: no duplicate order
+    t = t.new_transaction().append_dataframe(df, sort_by=["k"]).commit()
+    assert len(_raw_doc(t)["sort-orders"]) == 2
+    # different order registers a new id and becomes default
+    t = t.new_transaction().append_dataframe(df, sort_by=["d", "k"]).commit()
+    d = _raw_doc(t)
+    assert len(d["sort-orders"]) == 3 and d["default-sort-order-id"] == 2
+    # an UNSORTED write leaves the default alone (the declared order
+    # describes the table's write distribution, not the last commit)
+    t = t.new_transaction().append_dataframe(df).commit()
+    assert _raw_doc(t)["default-sort-order-id"] == 2
+
+
+def test_zorder_write_records_property_not_sort_order(catalog, spark):
+    """Z-order is not expressible as an Iceberg sort order — the write
+    records write.zorder-columns in properties (documented deviation) and
+    leaves sort-orders at the unsorted default."""
+    ZS = StructType([StructField("x", LongType(), True), StructField("y", LongType(), True)])
+    t = catalog.create_table(TableIdentifier.parse("spec.zorder"), ZS)
+    rows = [(i, (i * 37) % 64) for i in range(64)]
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame(rows, ZS), zorder_by=["x", "y"]
+    ).commit()
+    d = _raw_doc(t)
+    assert json.loads(d["properties"]["write.zorder-columns"]) == ["x", "y"]
+    assert d["default-sort-order-id"] == 0
+
+
+def test_snapshot_log_truncates_at_current_after_rollback(catalog, spark):
+    """ADVICE r7: the snapshot-log must be a valid history OF THE CURRENT
+    snapshot — after rollback re-points current-snapshot-id, entries newer
+    than current must leave the log (snapshots themselves stay for time
+    travel)."""
+    t = catalog.create_table(TableIdentifier.parse("spec.rb"), S)
+    rows = [(i, dt.date(2024, 1, 1), f"n{i}") for i in range(4)]
+    df = spark.createDataFrame(rows, S).coalesce(1)
+    t = t.new_transaction().append_dataframe(df).commit()
+    t = t.new_transaction().append_dataframe(df).commit()
+    t = t.new_transaction().append_dataframe(df).commit()
+    first = t.metadata.snapshots[0].snapshot_id
+    t = t.rollback_to(first)
+    d = _raw_doc(t)
+    assert len(d["snapshots"]) == 3, "rollback must not rewrite history"
+    assert [e["snapshot-id"] for e in d["snapshot-log"]] == [first]
+    assert d["current-snapshot-id"] == first
+    # a new commit after the rollback re-extends the log from current
+    t = t.new_transaction().append_dataframe(df).commit()
+    log_ids = [e["snapshot-id"] for e in _raw_doc(t)["snapshot-log"]]
+    assert log_ids[0] == first and log_ids[-1] == t.metadata.current_snapshot_id
+
+
+def test_unresolvable_current_spec_source_raises(catalog):
+    """ADVICE r7: source-id: -1 fallback replaced by a loud error."""
+    from dataclasses import replace as _dc_replace
+
+    t = catalog.create_table(
+        TableIdentifier.parse("spec.badsrc"), S, partition_by=["day(d)"]
+    )
+    bad = _dc_replace(t.metadata, partition_spec=["day(nope)"])
+    with pytest.raises(ValueError, match="source column 'nope'"):
+        bad.to_json()
+
+
+def test_rename_rewrites_historical_spec_entries(catalog, spark):
+    """Rename follow-through reaches the spec LOG too: after day(d)'s
+    source renames, the serialized historical spec resolves the current
+    name instead of crashing or omitting the spec."""
+    t = catalog.create_table(
+        TableIdentifier.parse("spec.renlog"), S, partition_by=["day(d)"]
+    )
+    rows = [(i, dt.date(2024, 1, 1 + i % 3), f"n{i}") for i in range(8)]
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame(rows, S).coalesce(1)
+    ).commit()
+    t = t.commit_partition_spec(["bucket(4,k)"])  # day(d) -> history
+    sch = t.metadata.spark_schema
+    renamed = StructType(
+        [
+            StructField(
+                "event_date" if f.name == "d" else f.name,
+                f.dataType,
+                f.nullable,
+                f.metadata,
+            )
+            for f in sch.fields
+        ]
+    )
+    t = t.commit_schema(renamed)
+    d = _raw_doc(t)
+    specs = {s["spec-id"]: s for s in d["partition-specs"]}
+    assert sorted(specs) == [0, 1]
+    ids = {f["name"]: int(f["id"]) for f in d["schema"]["fields"]}
+    assert specs[0]["fields"][0]["source-id"] == ids["event_date"]
+    assert specs[0]["fields"][0]["name"] == "event_date_day"
+
+
+def test_ndv_commit_appends_metadata_log(catalog, spark):
+    """ADVICE r7: ANALYZE/NDV commits must leave a walkable pointer history
+    like every other commit path."""
+    from iceberg_catalog_postgres_spark.catalog.maintenance import update_column_ndv
+
+    t = catalog.create_table(TableIdentifier.parse("spec.ndvlog"), S)
+    rows = [(i, dt.date(2024, 1, 1), f"n{i}") for i in range(32)]
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame(rows, S).coalesce(1)
+    ).commit()
+    before_loc = t.metadata_location()
+    before_len = len(t.metadata.metadata_log)
+    t = update_column_ndv(spark, t, ["k"])
+    log = t.metadata.metadata_log
+    assert len(log) == before_len + 1
+    assert log[-1]["metadata-file"] == before_loc

@@ -560,3 +560,119 @@ def test_renamed_day_spec_range_pruning_through_chunks(catalog, spark, monkeypat
         .count()
     )
     assert n == 8
+
+
+# ---- r8: re-renamed recycled names (two renamed columns collide on one
+# historical physical name — ADVICE r7 medium) ----
+
+
+def test_rerenamed_recycled_name_resolves_owner_per_epoch(catalog, spark):
+    """rename y->a, add NEW column as y, rename it y->b: for pre-rename
+    cohorts BOTH current columns a and b chain back to physical 'y'.
+    Pre-r8, neither claimant was detected (the guard only fired when
+    phys == column), so the read schema carried 'y' twice — duplicate
+    fields crashed the read or served the OLD column's bytes as b.
+    Ownership must resolve per epoch: epoch-0 files give 'y' to a
+    (departed earliest), epoch-1 files to b, epoch-2 files are literal."""
+    S = _schema(["id", "y"])
+    t = catalog.create_table(TableIdentifier.parse("rn.rerecycle"), S)
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame([(1, 10), (2, 20)], S).coalesce(1)
+    ).commit()
+    t = t.commit_schema(_schema(["id", "a"]))                 # y -> a
+    fields3 = _schema(["id", "a"]).fields + [StructField("y", LongType(), True)]
+    t = t.commit_schema(StructType(fields3))                  # NEW column "y"
+    sch3 = t.metadata.spark_schema
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame([(3, 30, 300)], sch3).coalesce(1)
+    ).commit()
+    fields4 = _schema(["id", "a"]).fields + [
+        StructField("b", LongType(), True, fields3[2].metadata or {})
+    ]
+    t = t.commit_schema(
+        StructType(
+            [
+                StructField(f.name, f.dataType, f.nullable, f.metadata)
+                for f in t.metadata.spark_schema.fields[:2]
+            ]
+            + [
+                StructField(
+                    "b",
+                    t.metadata.spark_schema.fields[2].dataType,
+                    True,
+                    t.metadata.spark_schema.fields[2].metadata,
+                )
+            ]
+        )
+    )                                                         # y -> b (same id)
+    sch4 = t.metadata.spark_schema
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame([(4, 40, 400)], sch4).coalesce(1)
+    ).commit()
+
+    got = {r.id: (r.a, r.b) for r in t.to_df(spark).collect()}
+    assert got == {1: (10, None), 2: (20, None), 3: (30, 300), 4: (40, 400)}, (
+        "per-epoch ownership of the shared physical name 'y' broken"
+    )
+
+    # planning: b's range predicates must not consult the old column's
+    # stats for epoch-0 files (b is absent there -> pruned exactly)
+    planned = t.planned_files("b", 0, 1000)
+    rows = spark.read.schema(sch4).parquet(*planned)
+    # epoch-0 files pruned: only epochs 1/2 carry b's physical bytes
+    assert sorted(r.id for r in rows.collect()) == [3, 4]
+    # and a's planning still reaches epoch-0 files under physical 'y'
+    planned_a = t.planned_files("a", 10, 10)
+    assert len(planned_a) == 1
+
+    # direct resolver checks per epoch
+    seqs = t.metadata.current_file_seqs()
+    by_seq = sorted(set(seqs.values()))
+    e0, e1, e2 = by_seq
+    assert t.physical_name_or_absent("a", e0) == "y"
+    assert t.physical_name_or_absent("b", e0) is None
+    assert t.physical_name_or_absent("a", e1) == "a"
+    assert t.physical_name_or_absent("b", e1) == "y"
+    assert t.physical_name_or_absent("a", e2) == "a"
+    assert t.physical_name_or_absent("b", e2) == "b"
+
+
+def test_triple_recycle_three_owners(catalog, spark):
+    """Three successive owners of one name: y->a, add y, y->b, add y again.
+    Each cohort's 'y' bytes belong to exactly one current column; the other
+    two claimants read NULL there."""
+    S = _schema(["id", "y"])
+    t = catalog.create_table(TableIdentifier.parse("rn.triple"), S)
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame([(1, 100)], S).coalesce(1)
+    ).commit()
+    t = t.commit_schema(_schema(["id", "a"]))                 # y -> a
+    t = t.commit_schema(
+        StructType(_schema(["id", "a"]).fields + [StructField("y", LongType(), True)])
+    )                                                         # add y (2nd owner)
+    sch3 = t.metadata.spark_schema
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame([(2, 200, 2000)], sch3).coalesce(1)
+    ).commit()
+    f3 = t.metadata.spark_schema.fields
+    t = t.commit_schema(
+        StructType(
+            list(f3[:2]) + [StructField("b", f3[2].dataType, True, f3[2].metadata)]
+        )
+    )                                                         # y -> b
+    t = t.commit_schema(
+        StructType(
+            list(t.metadata.spark_schema.fields) + [StructField("y", LongType(), True)]
+        )
+    )                                                         # add y (3rd owner)
+    sch5 = t.metadata.spark_schema
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame([(3, 300, 3000, 30000)], sch5).coalesce(1)
+    ).commit()
+
+    got = {r.id: (r.a, r.b, r.y) for r in t.to_df(spark).collect()}
+    assert got == {
+        1: (100, None, None),
+        2: (200, 2000, None),
+        3: (300, 3000, 30000),
+    }, "three-owner name recycling misattributed a cohort's bytes"

@@ -141,3 +141,64 @@ def test_set_properties_atomic_with_snapshot(catalog, spark):
     assert fresh.metadata.properties["owner"] == "pipeline-7"
     assert fresh.metadata.properties["custom.note"] == "batch-0"
     assert fresh.metadata.current_snapshot() is not None
+
+
+# ---- r8: concurrent fenced sinks + zombie twin racing the same table ----
+
+
+def test_concurrent_fenced_sinks_and_zombie_twin(catalog, spark):
+    """Two independent streams (distinct sink_ids) and a zombie twin of one
+    of them interleave appends to the SAME table (VERDICT r7 item 4). The
+    fence re-check inside the CAS retry loop must guarantee: every (sink,
+    batch) epoch lands exactly once, sinks don't block each other, and the
+    concurrent same-epoch race (writer vs zombie, two threads) commits one
+    winner — the loser's retry sees the winner's fence and no-ops."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    ident = TableIdentifier.parse("streams.multi_sink")
+    catalog.create_table(ident, S)
+    sink_a = fenced_batch_sink(catalog, ident, "A")
+    sink_b = fenced_batch_sink(catalog, ident, "B")
+    zombie_a = fenced_batch_sink(catalog, ident, "A")  # same sink_id: twin
+
+    def batch(tag, i, n):
+        return spark.createDataFrame(
+            [(i, f"{tag}{i}") for _ in range(n)], S
+        )
+
+    a = {i: batch("A", i, 10) for i in range(3)}
+    b = {i: batch("B", i, 20) for i in range(2)}
+
+    # interleaved sequential epochs, replays sprinkled in
+    sink_a(a[0], 0)
+    sink_b(b[0], 0)
+    zombie_a(a[0], 0)     # replay of a landed epoch: must no-op
+    sink_a(a[1], 1)
+    zombie_a(a[1], 1)     # again
+    sink_b(b[1], 1)
+    zombie_a(a[0], 0)     # stale replay far behind the fence
+
+    # the true race: writer and zombie commit THE SAME new epoch concurrently
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        f1 = ex.submit(sink_a, a[2], 2)
+        f2 = ex.submit(zombie_a, a[2], 2)
+        f1.result()
+        f2.result()
+
+    t = catalog.load_table(ident)
+    rows = t.to_df(spark).collect()
+    # exactly-once per epoch: 3 A-batches x 10 + 2 B-batches x 20
+    assert len(rows) == 3 * 10 + 2 * 20
+    from collections import Counter
+
+    per_epoch = Counter((r.k, r.v) for r in rows)
+    for i in range(3):
+        assert per_epoch[(i, f"A{i}")] == 10, f"A epoch {i} lost or duplicated"
+    for i in range(2):
+        assert per_epoch[(i, f"B{i}")] == 20, f"B epoch {i} lost or duplicated"
+    # each sink's fence sits at its own last batch id
+    assert int(t.metadata.properties[fence_key("A")]) == 2
+    assert int(t.metadata.properties[fence_key("B")]) == 1
+    # exactly 5 append snapshots: no epoch committed twice
+    appends = [s for s in t.metadata.snapshots if s.operation == "append"]
+    assert len(appends) == 5
