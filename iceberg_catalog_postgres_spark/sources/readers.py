@@ -25,6 +25,80 @@ def _staging(name: str, sf_dir: str) -> str:
     return os.path.join(_REPO_ROOT, ".tmp", "sources", tag, name)
 
 
+def dbapi_read(
+    spark: SparkSession,
+    execute,
+    table: str,
+    columns: list[tuple[str, str]],
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int = 1,
+) -> DataFrame:
+    """Arrow-batched DB-API source — the jar-less mirror of
+    ``spark.read.jdbc`` (r8, VERDICT stretch item 8).
+
+    ``execute(sql) -> (rows, rowcount)`` is the catalog backend facade
+    (pure-Python Postgres v3 wire client or SQLite). The read mirrors the
+    JVM JDBC source's shape on both axes:
+
+    - **partitioned fetch**: with ``partition_column`` + bounds, the table
+      is fetched in ``num_partitions`` range slices (``WHERE col >= lo AND
+      col < hi`` — the same stride arithmetic ``JDBCRelation.columnPartition``
+      uses), so a large operational table streams in bounded pieces instead
+      of one unbounded cursor;
+    - **Arrow batch transfer**: each slice is columnarized into a pyarrow
+      RecordBatch and handed to ``createDataFrame`` as ONE Arrow table —
+      zero per-row pickling (the r7 path pickled every row), the same
+      columnar batch shape the JDBC path's internal rows take.
+
+    ``columns`` is [(name, spark_type_ddl)]; the Arrow schema is derived
+    from it so NULL-only slices keep their declared types."""
+    import pyarrow as pa
+
+    from pyspark.sql.types import _parse_datatype_string
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    names = [c for c, _ in columns]
+    spark_schema = _parse_datatype_string(
+        ", ".join(f"{c} {t}" for c, t in columns)
+    )
+    arrow_schema = pa.schema(
+        [
+            pa.field(f.name, to_arrow_type(f.dataType), nullable=True)
+            for f in spark_schema.fields
+        ]
+    )
+    base = f"SELECT {', '.join(names)} FROM {table}"
+    if partition_column is None or num_partitions <= 1:
+        slices = [base]
+    else:
+        lo, hi = int(lower_bound), int(upper_bound)
+        stride = max(1, (hi - lo) // num_partitions)
+        cuts = [lo + i * stride for i in range(1, num_partitions)]
+        slices = []
+        prev = None
+        for cut in [*cuts, None]:
+            conds = []
+            if prev is not None:
+                conds.append(f"{partition_column} >= {prev}")
+            if cut is not None:
+                conds.append(f"{partition_column} < {cut}")
+            slices.append(base + (f" WHERE {' AND '.join(conds)}" if conds else ""))
+            prev = cut
+    batches = []
+    for sql in slices:
+        rows, _ = execute(sql)
+        arrays = [
+            pa.array([r[i] for r in rows], type=arrow_schema.field(i).type)
+            for i in range(len(names))
+        ]
+        batches.append(pa.record_batch(arrays, schema=arrow_schema))
+    return spark.createDataFrame(
+        pa.Table.from_batches(batches, schema=arrow_schema)
+    )
+
+
 @register(
     "source_csv_roundtrip",
     oracle="SELECT c_custkey, c_name, c_nationkey, round(c_acctbal, 4) AS c_acctbal, c_mktsegment FROM customer",
@@ -144,11 +218,18 @@ def source_catalog_pointer_db(spark: SparkSession, sf_dir: str) -> DataFrame:
             TableIdentifier.parse(t), load(spark, sf_dir, "region").schema
         )
 
-    rows, _ = catalog.backend.execute(
-        "SELECT catalog_name, table_namespace, table_name, metadata_location FROM iceberg_tables"
-    )
-    df = spark.createDataFrame(
-        rows, "catalog_name string, table_namespace string, table_name string, metadata_location string"
+    # r8: Arrow-batched transfer (one RecordBatch, zero per-row pickling) —
+    # same source semantics as before, JDBC-shaped encoding
+    df = dbapi_read(
+        spark,
+        catalog.backend.execute,
+        "iceberg_tables",
+        [
+            ("catalog_name", "string"),
+            ("table_namespace", "string"),
+            ("table_name", "string"),
+            ("metadata_location", "string"),
+        ],
     )
     return df.groupBy("catalog_name", "table_namespace").agg(
         F.count(F.lit(1)).alias("n_tables"),
