@@ -41,6 +41,17 @@ from iceberg_catalog_postgres_spark.session import get_spark
 BENCH_TAG = "bench"
 
 
+def _secondary_sf_dir(sf_dir: str) -> str | None:
+    """One decade below the primary SF, as a sibling dir: sf0.1 -> sf0.01,
+    sf0.01 -> sf0.001. None when the name doesn't parse."""
+    head, _, tail = sf_dir.rstrip("/").rpartition("sf")
+    try:
+        sec = float(tail) / 10.0
+    except ValueError:
+        return None
+    return f"{head}sf{sec:g}"
+
+
 def run_calibration(spark, sf_dir: str) -> dict:
     """Fixed-cost host-speed canaries (VERDICT r6 item 2). The workloads are
     CONSTANT across rounds — any change in their times is the host, not the
@@ -134,6 +145,38 @@ def main() -> None:
             noop_times.append(round(time.perf_counter() - t0, 3))
         noop[name] = min(noop_times)
 
+    # --- secondary scale factor (r8, VERDICT item 6): the same headline set
+    # one decade down, so every artifact carries a measured per-query scaling
+    # slope — the local proxy for the 100x claim. Slope ~= data ratio means
+    # scan/shuffle-bound (healthy); slope << ratio means fixed overhead
+    # dominates at the small SF (also healthy); slope >> ratio is the red
+    # flag (super-linear work — a plan that won't survive scale-up).
+    secondary: dict = {}
+    sec_dir = _secondary_sf_dir(sf_dir)
+    if sec_dir and os.path.isdir(sec_dir):
+        sec_timings: dict[str, float] = {}
+        for name in names:
+            spec = registry[name]
+            spec.fn(spark, sec_dir).collect()  # untimed warm-up
+            rep_times = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                spec.fn(spark, sec_dir).collect()
+                rep_times.append(round(time.perf_counter() - t0, 3))
+            sec_timings[name] = min(rep_times)
+        sec_sf = sec_dir.rstrip("/").rsplit("sf", 1)[-1]
+        secondary = {
+            "sf": float(sec_sf),
+            "queries": sec_timings,
+            "total": round(sum(sec_timings.values()), 3),
+            # wall-time ratio primary/secondary per query (data ratio = 10x)
+            "slope": {
+                n: round(timings[n] / sec_timings[n], 2)
+                for n in names
+                if sec_timings.get(n)
+            },
+        }
+
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -158,7 +201,12 @@ def main() -> None:
                     ),
                 },
                 "methodology": "queries=best-of-3 .collect(); queries_noop="
-                "best-of-2 noop-sink (engine-only, no driver serialization)",
+                "best-of-2 noop-sink (engine-only, no driver serialization); "
+                "secondary=best-of-2 .collect() one SF-decade down, slope="
+                "primary/secondary wall ratio (data ratio 10x; slope<<10 = "
+                "fixed-overhead-bound at small SF, slope>>10 = super-linear "
+                "red flag)",
+                **({"secondary": secondary} if secondary else {}),
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
             }
         )
