@@ -1339,9 +1339,89 @@ class Table:
             aliases[r["to"]] = [*olds, r["from"]]
         return [entry, *aliases.get(entry, [])]
 
-    def _tuple_value(self, tup: dict, key: str, spellings: dict) -> tuple[bool, object]:
-        """(present, value) for ``key`` in a recorded partition tuple,
-        checking every historical spelling."""
+    def _entry_rename_log_scoped(self) -> list | None:
+        """The entry-rename log when every record is seq-scoped (r8), [] when
+        there are no renames, None for a legacy unscoped log (pre-r8 records
+        lack ``as-of-seq`` — callers fall back to the multi-spelling match,
+        which is exact for simple renames; the recycled-label hazard below
+        only arises for logs written after labels could be scoped)."""
+        cached = getattr(self, "_entry_log_scoped_cache", False)
+        if cached is not False:
+            return cached
+        log = self.metadata.properties.get("partition-entry-renames", [])
+        if not log:
+            out: list | None = []
+        elif any("as-of-seq" not in r for r in log):
+            out = None
+        else:
+            out = log
+        self._entry_log_scoped_cache = out
+        return out
+
+    def entry_spelling_or_absent(self, entry: str, file_seq: int) -> str | None:
+        """The label ``entry``'s values were recorded under in partition
+        tuples of files at ``file_seq`` — or None when that cohort's tuples
+        CANNOT carry this entry: its resolved label was owned by a DIFFERENT
+        entry's chain at that seq (recycled labels — rename the source, add
+        a new column under the old name, put it in the spec; r8 found the
+        unscoped multi-spelling match reading the NEW column's tuples as
+        historical values of the OLD entry, wrongly excluding files from
+        partition-filtered reads). Mirror of ``physical_name_or_absent`` at
+        the tuple-key level. Requires a fully scoped log
+        (``_entry_rename_log_scoped``)."""
+        cache = getattr(self, "_entry_spelling_cache", None)
+        if cache is None:
+            cache = self._entry_spelling_cache = {}
+        key = (entry, file_seq)
+        if key in cache:
+            return cache[key]
+        log = self._entry_rename_log_scoped() or []
+        name = entry
+        used: set[int] = set()
+        for r in reversed(log):
+            if r["to"] == name and file_seq < r["as-of-seq"]:
+                name = r["from"]
+                used.add(id(r))
+        out: str | None = name
+        for r in log:
+            # a rename OFF this label after file_seq that is NOT part of our
+            # own chain means another entry owned the label at file_seq
+            if r["from"] == name and file_seq < r["as-of-seq"] and id(r) not in used:
+                out = None
+                break
+        cache[key] = out
+        return out
+
+    def _entries_chunk_excludable(self, entries) -> set:
+        """Entries whose labels never appear in the rename log: for these,
+        a chunk summary keyed by the label covers exactly this entry's
+        values and chunk-level exclusion is exact. Touched labels (renamed
+        or recycled) skip chunk exclusion under a scoped log — per-entry
+        seq-aware matching still prunes exactly; only the chunk-fetch
+        short-cut is given up."""
+        log = self.metadata.properties.get("partition-entry-renames", [])
+        touched = {r["from"] for r in log} | {r["to"] for r in log}
+        return {e for e in entries if e not in touched}
+
+    def _tuple_value(
+        self, tup: dict, key: str, spellings: dict, file_seq: int | None = None
+    ) -> tuple[bool, object]:
+        """(present, value) for ``key`` in a recorded partition tuple. With
+        ``file_seq`` and a fully seq-scoped rename log, the match resolves
+        the SINGLE label the entry had at that seq (absent for foreign-owned
+        labels — see ``entry_spelling_or_absent``); otherwise every
+        historical spelling is checked (legacy behavior, exact for
+        un-recycled labels)."""
+        scoped = self._entry_rename_log_scoped()
+        if scoped == []:  # no renames ever: plain lookup, no cache churn
+            if key in tup:
+                return True, tup[key]
+            return False, None
+        if file_seq is not None and scoped is not None:
+            s = self.entry_spelling_or_absent(key, file_seq)
+            if s is None or s not in tup:
+                return False, None
+            return True, tup[s]
         for s in spellings.get(key, (key,)):
             if s in tup:
                 return True, tup[s]
@@ -1368,9 +1448,9 @@ class Table:
         store = self.catalog.object_store()
         spells = {col: self.partition_entry_spellings(col) for col in filters}
 
-        def tup_matches(tup, svals) -> bool:
+        def tup_matches(tup, svals, seq) -> bool:
             for col, sv in svals.items():
-                present, v = self._tuple_value(tup, col, spells)
+                present, v = self._tuple_value(tup, col, spells, file_seq=seq)
                 if not present:
                     # tuple recorded under a DIFFERENT spec (partition
                     # evolution): the file may still contain matching rows —
@@ -1387,6 +1467,7 @@ class Table:
             # partition values cover every data entry and exclude the
             # filter value is skipped without being fetched.
             svals = {col: (None if v is None else str(v)) for col, v in filters.items()}
+            excludable = self._entries_chunk_excludable(svals)  # r8
             out = []
             for c in refs:
                 s = c["summary"]
@@ -1396,6 +1477,8 @@ class Table:
                 parts = s.get("partitions", {})
                 skip = False
                 for col, sv in svals.items():
+                    if col not in excludable:
+                        continue
                     # a chunk is excludable only when ONE spelling's summary
                     # covers every data entry and excludes the value (a
                     # chunk mixing spellings has per-spelling n < nd)
@@ -1412,14 +1495,14 @@ class Table:
                     if e["kind"] != "data":
                         continue
                     tup = e.get("partition")
-                    if tup is None or tup_matches(tup, svals):
+                    if tup is None or tup_matches(tup, svals, e.get("seq", 0)):
                         out.append(store.resolve(e["path"]))
             return out
         svals = {col: (None if v is None else str(v)) for col, v in filters.items()}
         out = []
         for f in snap.data_files:
             tup = snap.file_partitions.get(f)
-            if tup is None or tup_matches(tup, svals):
+            if tup is None or tup_matches(tup, svals, snap.file_seqs.get(f, 0)):
                 out.append(store.resolve(f))
         return out
 
@@ -1527,15 +1610,15 @@ class Table:
             e: self.partition_entry_spellings(e) for e in (*bounds, *eq_vals)
         }
 
-        def tuple_ok(tup) -> bool:
+        def tuple_ok(tup, seq) -> bool:
             if tup is None:
                 return True
             for entry, sv in eq_vals.items():
-                present, v = self._tuple_value(tup, entry, spells)
+                present, v = self._tuple_value(tup, entry, spells, file_seq=seq)
                 if present and v != sv:
                     return False
             for entry, (a, b) in bounds.items():
-                present, v = self._tuple_value(tup, entry, spells)
+                present, v = self._tuple_value(tup, entry, spells, file_seq=seq)
                 if not present or v is None:
                     continue
                 try:
@@ -1551,8 +1634,12 @@ class Table:
             return [
                 store.resolve(f)
                 for f in snap.data_files
-                if tuple_ok(snap.file_partitions.get(f))
+                if tuple_ok(snap.file_partitions.get(f), snap.file_seqs.get(f, 0))
             ]
+        # chunk-level exclusion only for labels untouched by renames — a
+        # renamed/recycled label's summary can mix owners (r8); per-entry
+        # seq-aware matching below still prunes exactly
+        excludable = self._entries_chunk_excludable(spells)
         out = []
         for c in refs:
             s = c["summary"]
@@ -1562,6 +1649,8 @@ class Table:
             parts = s.get("partitions", {})
             skip = False
             for entry in spells:
+                if entry not in excludable:
+                    continue
                 for sp in spells[entry]:
                     p = parts.get(sp)
                     if p is None or p["n"] != nd:
@@ -1590,7 +1679,7 @@ class Table:
             for e in load_chunk(store, c["path"])["entries"]:
                 if e["kind"] != "data":
                     continue
-                if tuple_ok(e.get("partition")):
+                if tuple_ok(e.get("partition"), e.get("seq", 0)):
                     out.append(store.resolve(e["path"]))
         return out
 
@@ -1638,11 +1727,11 @@ class Table:
             return [store.resolve(f) for f in snap.data_files]
         spells = {e: self.partition_entry_spellings(e) for e in bounds}
 
-        def tuple_ok(tup) -> bool:
+        def tuple_ok(tup, seq) -> bool:
             if tup is None:
                 return True
             for entry, (a, b) in bounds.items():
-                present, v = self._tuple_value(tup, entry, spells)
+                present, v = self._tuple_value(tup, entry, spells, file_seq=seq)
                 if not present or v is None:
                     continue
                 try:
@@ -1658,8 +1747,9 @@ class Table:
             return [
                 store.resolve(f)
                 for f in snap.data_files
-                if tuple_ok(snap.file_partitions.get(f))
+                if tuple_ok(snap.file_partitions.get(f), snap.file_seqs.get(f, 0))
             ]
+        excludable = self._entries_chunk_excludable(spells)  # r8: see above
         out = []
         for c in refs:
             s = c["summary"]
@@ -1669,6 +1759,8 @@ class Table:
             parts = s.get("partitions", {})
             skip = False
             for entry, (a, b) in bounds.items():
+                if entry not in excludable:
+                    continue
                 for sp in spells[entry]:
                     p = parts.get(sp)
                     if p is not None and p["n"] == nd:
@@ -1691,7 +1783,7 @@ class Table:
             for e in load_chunk(store, c["path"])["entries"]:
                 if e["kind"] != "data":
                     continue
-                if tuple_ok(e.get("partition")):
+                if tuple_ok(e.get("partition"), e.get("seq", 0)):
                     out.append(store.resolve(e["path"]))
         return out
 
@@ -2314,7 +2406,16 @@ class Table:
                             new_entry = build_partition_entry(kind, param, r["to"])
                             if (entry, new_entry) not in seen_aliases:
                                 seen_aliases.add((entry, new_entry))
-                                entry_renames.append({"from": entry, "to": new_entry})
+                                entry_renames.append(
+                                    {
+                                        "from": entry,
+                                        "to": new_entry,
+                                        # seq-scoped (r8): tuple-key matching
+                                        # resolves the SINGLE label per file
+                                        # cohort and detects recycled labels
+                                        "as-of-seq": r["as-of-seq"],
+                                    }
+                                )
                             spec_[i] = new_entry
                 for prefix in ("ndv.sketch.", "ndv.estimate.", "ndv.covered-files."):
                     old_key = prefix + r["from"]

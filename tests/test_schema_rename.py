@@ -676,3 +676,92 @@ def test_triple_recycle_three_owners(catalog, spark):
         2: (200, 2000, None),
         3: (300, 3000, 30000),
     }, "three-owner name recycling misattributed a cohort's bytes"
+
+
+def test_recycled_entry_label_tuple_matching(catalog, spark):
+    """r8: recycled PARTITION-ENTRY labels. rename d->e rewrites the spec
+    entry day(d)->day(e); a NEW column d later becomes a spec source with
+    the same entry string day(d); the spec then flips back to day(e).
+    The unscoped multi-spelling match read the NEW column's day(d) tuples
+    as historical values of day(e) and wrongly EXCLUDED files from
+    e-filtered reads (lost rows). Seq-scoped labels must: keep the new
+    cohort superset-safe for e-queries, keep old-cohort pruning exact,
+    and keep new-entry pruning exact on the new cohort."""
+    import datetime as dt
+
+    from pyspark.sql.types import DateType
+
+    S1 = StructType(
+        [
+            StructField("id", LongType(), True, {FIELD_ID_KEY: 1}),
+            StructField("d", DateType(), True, {FIELD_ID_KEY: 2}),
+        ]
+    )
+    t = catalog.create_table(
+        TableIdentifier.parse("rn.recycle_entry"), S1, partition_by=["day(d)"]
+    )
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame([(1, dt.date(2024, 1, 1))], S1).coalesce(1)
+    ).commit()
+    S2 = StructType(
+        [
+            StructField("id", LongType(), True, {FIELD_ID_KEY: 1}),
+            StructField("e", DateType(), True, {FIELD_ID_KEY: 2}),
+        ]
+    )
+    t = t.commit_schema(S2)                                  # d -> e
+    t = t.commit_schema(StructType(list(S2.fields) + [StructField("d", DateType(), True)]))
+    t = t.commit_partition_spec(["day(d)"])                  # NEW d is the source
+    sch = t.metadata.spark_schema
+    # new-cohort file: e matches the query day, new d is months away
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame(
+            [(2, dt.date(2024, 1, 1), dt.date(2024, 6, 1))], sch
+        ).coalesce(1)
+    ).commit()
+    t_mid = t  # spec still day(new d): d-queries prune here
+    t = t.commit_partition_spec(["day(e)"])                  # flip back to e
+
+    # every rename record is seq-scoped from r8 on
+    assert all(
+        "as-of-seq" in r
+        for r in t.metadata.properties["partition-entry-renames"]
+    )
+
+    # e-query: BOTH files contain e=2024-01-01 — pre-fix the new file was
+    # wrongly excluded (its day(d) tuple misread as an e value)
+    q = dt.date(2024, 1, 1)
+    planned = t.planned_files_transformed({"e": q})
+    assert len(planned) == 2, "recycled-label tuple misread excluded a file"
+    n = (
+        t.to_df(spark, transformed_filter={"e": q})
+        .filter(F.col("e") == F.lit(q))
+        .count()
+    )
+    assert n == 2
+
+    # non-matching e-day: old cohort excluded exactly, new cohort kept
+    # superset-safe (its tuples carry no e label)
+    assert len(t.planned_files_transformed({"e": dt.date(2023, 12, 25)})) == 1
+
+    # range planner, same hazard: e BETWEEN spanning only the query day
+    rng = t.planned_files_transformed_range(
+        "e", dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 1, 23, 59)
+    )
+    assert len(rng) == 2
+
+    # d-queries under the day(new-d) spec (before the flip-back): the new
+    # cohort prunes exactly by its tuple; the old cohort's day(d) label is
+    # foreign-owned at its seq -> treated as ABSENT -> kept superset-safe
+    # (never compared against the new column's transform value)
+    assert len(t_mid.planned_files_transformed({"d": dt.date(2024, 6, 1)})) == 2
+    assert len(t_mid.planned_files_transformed({"d": dt.date(2024, 1, 1)})) == 1
+    # ... and reading that plan finds no rows (d is NULL in the old cohort)
+    assert (
+        t_mid.to_df(spark, transformed_filter={"d": dt.date(2024, 1, 1)})
+        .filter(F.col("d") == F.lit(dt.date(2024, 1, 1)))
+        .count()
+        == 0
+    )
+    # after the flip-back, d has no spec coverage: every file plans
+    assert len(t.planned_files_transformed({"d": dt.date(2024, 6, 1)})) == 2
