@@ -176,7 +176,9 @@ def rewrite_small_files(
         },
     )
     plan_manifests(store, table.metadata.location, "overwrite", snap, None, snapshot)
-    new_metadata = table.metadata.with_snapshot(snapshot)
+    new_metadata = table.metadata.with_snapshot(snapshot).with_log_entry(
+        table.metadata_location(), table.metadata.last_updated_ms
+    )
     new_location = _pp.join(
         new_metadata.location,
         "metadata",
@@ -318,7 +320,9 @@ def delete_where_cow(
     plan_manifests(
         store, table.metadata.location, "overwrite", None, None, snapshot
     )
-    new_md = table.metadata.with_snapshot(snapshot)
+    new_md = table.metadata.with_snapshot(snapshot).with_log_entry(
+        table.metadata_location(), table.metadata.last_updated_ms
+    )
     new_location = _pp2.join(
         new_md.location, "metadata", f"v{len(new_md.snapshots) + 1}-{_uuid2.uuid4().hex}.metadata.json"
     )
@@ -1559,7 +1563,9 @@ def overwrite_partitions(spark: SparkSession, table: Table, df: DataFrame) -> Ta
     )
     store = table.catalog.object_store()
     plan_manifests(store, table.metadata.location, "overwrite", snap, None, snapshot)
-    new_metadata = table.metadata.with_snapshot(snapshot)
+    new_metadata = table.metadata.with_snapshot(snapshot).with_log_entry(
+        table.metadata_location(), table.metadata.last_updated_ms
+    )
     new_location = posixpath.join(
         new_metadata.location, "metadata", f"dpo-{_uuid.uuid4().hex}.metadata.json"
     )
@@ -2473,7 +2479,9 @@ def rewrite_equality_deletes(spark: SparkSession, table: Table) -> Table:
         },
     )
     plan_manifests(store, table.metadata.location, "overwrite", snap, None, snapshot)
-    new_metadata = table.metadata.with_snapshot(snapshot)
+    new_metadata = table.metadata.with_snapshot(snapshot).with_log_entry(
+        table.metadata_location(), table.metadata.last_updated_ms
+    )
     new_location = posixpath.join(
         new_metadata.location,
         "metadata",
@@ -2622,7 +2630,9 @@ def expire_snapshots(
 
     from dataclasses import replace as _dc_replace
 
-    new_md = _dc_replace(md, snapshots=kept)
+    new_md = _dc_replace(md, snapshots=kept).with_log_entry(
+        table.metadata_location(), md.last_updated_ms
+    )
     import posixpath as _pp
     import uuid as _uuid
 
@@ -2966,7 +2976,9 @@ def backfill_file_stats(table: Table) -> Table:
         },
     )
     plan_manifests(store, table.metadata.location, "overwrite", snap, None, snapshot)
-    new_metadata = table.metadata.with_snapshot(snapshot)
+    new_metadata = table.metadata.with_snapshot(snapshot).with_log_entry(
+        table.metadata_location(), table.metadata.last_updated_ms
+    )
     new_location = posixpath.join(
         new_metadata.location, "metadata", f"bf-{_uuid.uuid4().hex}.metadata.json"
     )
@@ -3369,7 +3381,7 @@ def rewrite_manifests(table: Table, max_chunks: int = 8) -> Table:
     new_md = _replace(
         md,
         snapshots=[new_snap if s.snapshot_id == snap.snapshot_id else s for s in md.snapshots],
-    )
+    ).with_log_entry(table.metadata_location(), md.last_updated_ms)
     new_location = _pp.join(
         md.location, "metadata", f"rm-{_uuid.uuid4().hex}.metadata.json"
     )

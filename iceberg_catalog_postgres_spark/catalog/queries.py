@@ -1110,3 +1110,94 @@ def catalog_composed_multi_entry_pruning(spark: SparkSession, sf_dir: str) -> Da
         ],
         "n_rows long, plan_is_intersection boolean, tighter_than_each boolean",
     )
+
+
+@register(
+    "catalog_spec_history_document",
+    oracle="""
+    SELECT CAST((SELECT count(*) FROM nation) AS BIGINT) AS n_rows,
+           CAST(3 AS BIGINT) AS n_specs,
+           CAST(2 AS BIGINT) AS default_spec_id,
+           true AS field_ids_stable,
+           true AS sort_order_registered,
+           true AS snapshot_log_valid
+    FROM (SELECT 1)
+    """,
+    tags=("catalog", "metadata", "spec-history", "sort-order"),
+)
+def catalog_spec_history_document(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r8 metadata-fidelity contract under the oracle gate: a table
+    whose spec evolved TWICE and whose writes were sorted serializes (a)
+    the full ``partition-specs`` history with commit-positional spec-ids
+    and an advancing ``default-spec-id``, (b) Iceberg-style GLOBAL
+    partition-field-ids (the same (source, transform) entry keeps its id
+    in every spec carrying it), (c) a real identity sort order registered
+    by the ``sort_by`` write with ``default-sort-order-id`` advanced, and
+    (d) a snapshot-log that is a valid history of the current snapshot.
+    Pre-r8 the document emitted a single spec-id-0 entry and an empty sort
+    order even for evolved/sorted tables — a foreign reader (or a human
+    auditing the layout) was misinformed about the table's own file
+    cohorts.
+
+    Scale: the document is the ONLY thing a 1000-executor planner needs to
+    understand a decade of layout decisions; mis-describing spec history
+    is how mixed-spec tables rot."""
+    import json as _json
+
+    from iceberg_catalog_postgres_spark.catalog.maintenance import _fresh_catalog
+
+    cat = _fresh_catalog("catalog_spec_history")
+    src = load(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey", "n_name")
+    ident = TableIdentifier.parse("spec8.nation")
+    t = cat.create_table(ident, src.schema, partition_by=["bucket(4,n_nationkey)"])
+    t = t.new_transaction().append_dataframe(
+        src.coalesce(1), sort_by=["n_nationkey"]
+    ).commit()
+    t = t.commit_partition_spec(["n_regionkey"])
+    t = t.commit_partition_spec(["bucket(4,n_nationkey)", "n_regionkey"])
+
+    store = cat.object_store()
+    doc = _json.loads(store.get(t.metadata_location()).decode())
+    specs = {s["spec-id"]: s for s in doc["partition-specs"]}
+    fid = {}
+    stable = True
+    for s in specs.values():
+        for f in s["fields"]:
+            key = (f["transform"], f["source-id"])
+            fid.setdefault(key, f["field-id"])
+            stable = stable and fid[key] == f["field-id"]
+    orders = {o["order-id"]: o for o in doc["sort-orders"]}
+    ids = {f["name"]: int(f["id"]) for f in doc["schema"]["fields"]}
+    sort_ok = (
+        doc["default-sort-order-id"] in orders
+        and orders[doc["default-sort-order-id"]]["fields"]
+        == [
+            {
+                "transform": "identity",
+                "source-id": ids["n_nationkey"],
+                "direction": "asc",
+                "null-order": "nulls-first",
+            }
+        ]
+    )
+    snap_ids = [s["snapshot-id"] for s in doc["snapshots"]]
+    log_ids = [e["snapshot-id"] for e in doc["snapshot-log"]]
+    log_valid = (
+        log_ids == snap_ids[: len(log_ids)]
+        and log_ids[-1] == doc["current-snapshot-id"]
+    )
+    n_rows = t.to_df(spark).count()
+    return spark.createDataFrame(
+        [
+            (
+                int(n_rows),
+                len(specs),
+                int(doc["default-spec-id"]),
+                bool(stable),
+                bool(sort_ok),
+                bool(log_valid),
+            )
+        ],
+        "n_rows long, n_specs long, default_spec_id long, field_ids_stable boolean, "
+        "sort_order_registered boolean, snapshot_log_valid boolean",
+    )

@@ -18,6 +18,7 @@ import datetime as dt
 import json
 
 import pytest
+from pyspark.sql import functions as F_mod
 from pyspark.sql.types import (
     DateType,
     LongType,
@@ -403,3 +404,109 @@ def test_ndv_commit_appends_metadata_log(catalog, spark):
     log = t.metadata.metadata_log
     assert len(log) == before_len + 1
     assert log[-1]["metadata-file"] == before_loc
+
+
+def test_every_maintenance_commit_appends_metadata_log(catalog, spark, monkeypatch):
+    """r8 audit extending the ADVICE NDV finding: EVERY direct-commit
+    maintenance path (compaction, CoW delete, eq-delete rewrite, snapshot
+    expiry, stats backfill, manifest rewrite, dynamic partition overwrite)
+    must append the superseded document to metadata-log like Transaction /
+    schema / NDV commits do — otherwise the walkable pointer history
+    advertised by catalog_metadata_log_history has silent gaps."""
+    from iceberg_catalog_postgres_spark.catalog import maintenance as mx
+    from iceberg_catalog_postgres_spark.catalog import metadata as md_mod
+
+    def assert_logged(before_t, after_t, label):
+        if after_t.metadata_location() == before_t.metadata_location():
+            return after_t  # no-op path: nothing committed, nothing to log
+        log = after_t.metadata.metadata_log
+        assert log and log[-1]["metadata-file"] == before_t.metadata_location(), (
+            f"{label}: superseded document missing from metadata-log"
+        )
+        return after_t
+
+    ids = TableIdentifier.parse("spec.mlog_all")
+    t = catalog.create_table(ids, S)
+    rows = [(i, dt.date(2024, 1, 1 + i % 3), f"n{i}") for i in range(60)]
+    df = spark.createDataFrame(rows, S)
+    for sl in (0, 1, 2):  # three small files -> compaction fodder
+        t = t.new_transaction().append_dataframe(
+            df.filter((F_mod.col("k") % 3) == sl).coalesce(1)
+        ).commit()
+
+    before = t
+    t, *_ = mx.rewrite_small_files(spark, t, target_rows=100)
+    t = assert_logged(before, t, "rewrite_small_files")
+
+    before = t
+    t, *_ = mx.delete_where_cow(spark, t, "k", 0, 4)
+    t = assert_logged(before, t, "delete_where_cow")
+
+    before = t
+    t = mx.delete_where_mor(spark, t, F_mod.col("k") > 55)
+    t = assert_logged(before, t, "delete_where_mor")
+    before = t
+    t = mx.rewrite_equality_deletes(spark, t)
+    t = assert_logged(before, t, "rewrite_equality_deletes")
+
+    before = t
+    t = mx.backfill_file_stats(t)
+    t = assert_logged(before, t, "backfill_file_stats")
+
+    before = t
+    t = mx.expire_snapshots(t, keep_last=2)
+    t = assert_logged(before, t, "expire_snapshots")
+
+    # manifest rewrite needs a chunked manifest chain
+    monkeypatch.setattr(md_mod, "MANIFEST_THRESHOLD", 1)
+    for sl in range(3):
+        t = t.new_transaction().append_dataframe(
+            df.filter((F_mod.col("k") % 3) == sl).coalesce(1)
+        ).commit()
+    before = t
+    t = mx.rewrite_manifests(t, max_chunks=1)
+    t = assert_logged(before, t, "rewrite_manifests")
+
+    # dynamic partition overwrite needs an identity-partitioned table
+    ids2 = TableIdentifier.parse("spec.mlog_dpo")
+    S2 = S
+    t2 = catalog.create_table(ids2, S2, partition_by=["name"])
+    t2 = t2.new_transaction().append_dataframe(
+        spark.createDataFrame(rows[:6], S2)
+    ).commit()
+    before2 = t2
+    t2 = mx.overwrite_partitions(
+        spark, t2, spark.createDataFrame([rows[0]], S2)
+    )
+    assert_logged(before2, t2, "overwrite_partitions")
+
+
+def test_dropped_historical_spec_source_omits_that_spec(catalog, spark):
+    """A column that sources only a HISTORICAL spec can be dropped (the
+    drop guard protects current-spec sources only); the serialized
+    partition-specs must then omit the unresolvable historical spec —
+    preserving the spec-ids of its neighbors — instead of crashing or
+    emitting source-id -1."""
+    SX = StructType(
+        [
+            StructField("k", LongType(), True),
+            StructField("old_part", LongType(), True),
+            StructField("v", StringType(), True),
+        ]
+    )
+    t = catalog.create_table(
+        TableIdentifier.parse("spec.droppedsrc"), SX, partition_by=["old_part"]
+    )
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame([(1, 10, "a"), (2, 20, "b")], SX).coalesce(1)
+    ).commit()
+    t = t.commit_partition_spec(["bucket(4,k)"])     # old_part -> history
+    sch = t.metadata.spark_schema
+    dropped = StructType([f for f in sch.fields if f.name != "old_part"])
+    t = t.commit_schema(dropped)                     # drop historical source
+    d = _raw_doc(t)
+    specs = {s["spec-id"]: s for s in d["partition-specs"]}
+    assert sorted(specs) == [1], "historical spec with dropped source must be omitted, current kept at its id"
+    assert d["default-spec-id"] == 1
+    # the table still reads
+    assert t.to_df(spark).count() == 2
