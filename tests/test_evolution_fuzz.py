@@ -1,0 +1,201 @@
+"""Property-based fuzz of the schema/spec-evolution state machine (r8).
+
+r7 and r8 both found silent wrong-answer bugs in the same vein — state
+keyed by COLUMN or ENTRY NAME crossed with rename / re-add / spec
+evolution (recycled physical names, recycled tuple labels). This test
+drives RANDOM operation sequences (append / rename / add / drop / spec
+evolution) against a pandas-free pure-Python row model and asserts after
+every sequence that:
+
+  1. a full table read equals the model exactly (per-cohort column
+     resolution never misattributes bytes),
+  2. a partition-filtered read over each evolvable column equals the
+     model's filter (pruning is superset-safe AND the row filter lands),
+  3. planned-file pruning never EXCLUDES a file containing a matching row
+     (checked implicitly by 2 — lost rows are the failure mode that
+     matters).
+
+Sequences are small (Spark latency per append) but hypothesis shrinks any
+failure to a minimal op list, which is exactly the repro format the
+rename/recycle bugs were fixed from.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, Phase, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from iceberg_catalog_postgres_spark.catalog.catalog import (
+    PostgresCatalog,
+    TableIdentifier,
+)
+from iceberg_catalog_postgres_spark.catalog.metadata import FIELD_ID_KEY
+
+# operation alphabet: weights favor the interactions that found real bugs
+OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), st.integers(0, 9)),      # batch seed
+        st.tuples(st.just("rename"), st.integers(0, 3)),      # which column
+        st.tuples(st.just("add"), st.integers(0, 2)),         # name pool idx
+        st.tuples(st.just("drop"), st.integers(0, 3)),
+        st.tuples(st.just("spec"), st.integers(0, 3)),        # new spec source
+    ),
+    min_size=3,
+    max_size=8,
+)
+
+NAME_POOL = ["c0", "c1", "c2"]  # names that get recycled across adds/renames
+
+
+class Model:
+    """Pure-Python mirror: ordered columns with stable ids, rows as dicts
+    keyed by column ID (ids never lie; names are the hazard)."""
+
+    def __init__(self):
+        self.cols: list[tuple[int, str]] = [(1, "k"), (2, "c0")]
+        self.next_id = 3
+        self.rows: list[dict] = []  # {col_id: value}
+        self.next_k = 0
+
+    def names(self):
+        return [n for _i, n in self.cols]
+
+    def append(self, seed: int) -> list[tuple]:
+        batch = []
+        for j in range(3):
+            r = {}
+            for cid, _n in self.cols:
+                if cid == 1:
+                    r[cid] = self.next_k
+                else:
+                    r[cid] = (seed * 7 + j * 3 + cid) % 5
+            self.next_k += 1
+            self.rows.append(r)
+            batch.append(tuple(r.get(cid) for cid, _n in self.cols))
+        return batch
+
+    def rename(self, idx: int) -> bool:
+        non_key = [i for i, (cid, _n) in enumerate(self.cols) if cid != 1]
+        if not non_key:
+            return False
+        pos = non_key[idx % len(non_key)]
+        cid, old = self.cols[pos]
+        unused = [n for n in NAME_POOL if n not in self.names()]
+        if not unused:
+            return False
+        self.cols[pos] = (cid, unused[cid % len(unused)])
+        return True
+
+    def add(self, idx: int) -> bool:
+        unused = [n for n in NAME_POOL if n not in self.names()]
+        if not unused:
+            return False
+        name = unused[idx % len(unused)]
+        self.cols.append((self.next_id, name))
+        self.next_id += 1
+        return True
+
+    def drop(self, idx: int, spec_source: str | None) -> bool:
+        droppable = [
+            i
+            for i, (cid, n) in enumerate(self.cols)
+            if cid != 1 and n != spec_source
+        ]
+        if not droppable:
+            return False
+        pos = droppable[idx % len(droppable)]
+        del self.cols[pos]
+        return True
+
+
+def _schema(model: Model) -> StructType:
+    return StructType(
+        [
+            StructField(n, LongType(), True, {FIELD_ID_KEY: cid})
+            for cid, n in model.cols
+        ]
+    )
+
+
+@pytest.fixture(scope="module")
+def fuzz_catalog(tmp_path_factory):
+    p = tmp_path_factory.mktemp("fuzz")
+    cat = PostgresCatalog.connect("fuzz_cat", None, str(p / "wh"))
+    cat.initialize()
+    yield cat
+    cat.backend.close()
+
+
+_COUNTER = [0]
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=list(HealthCheck),
+    phases=[Phase.generate, Phase.shrink],
+)
+@given(ops=OPS)
+def test_evolution_sequences_read_exactly(fuzz_catalog, spark, ops):
+    _COUNTER[0] += 1
+    model = Model()
+    ident = TableIdentifier.parse(f"fz.t{_COUNTER[0]}")
+    t = fuzz_catalog.create_table(ident, _schema(model), partition_by=["c0"])
+    spec_source = "c0"
+
+    for op, arg in ops:
+        if op == "append":
+            batch = model.append(arg)
+            t = t.new_transaction().append_dataframe(
+                spark.createDataFrame(batch, t.metadata.spark_schema).coalesce(1)
+            ).commit()
+        elif op == "rename":
+            if model.rename(arg):
+                t = t.commit_schema(_schema(model))
+                ren = {n for _i, n in model.cols}
+                if spec_source not in ren:  # follow-through renamed the spec
+                    spec_source = t.metadata.partition_spec[0]
+        elif op == "add":
+            if model.add(arg):
+                t = t.commit_schema(_schema(model))
+        elif op == "drop":
+            if model.drop(arg, spec_source):
+                t = t.commit_schema(_schema(model))
+        elif op == "spec":
+            candidates = [n for _i, n in model.cols if n != "k"]
+            if candidates:
+                spec_source = candidates[arg % len(candidates)]
+                t = t.commit_partition_spec([spec_source])
+        # keep spec_source in sync with any rename follow-through
+        spec_source = t.metadata.partition_spec[0]
+
+    # 1) full read == model (ids -> current names)
+    got = sorted(
+        tuple(row[n] for _i, n in model.cols) for row in
+        (r.asDict() for r in t.to_df(spark).collect())
+    )
+    want = sorted(
+        tuple(r.get(cid) for cid, _n in model.cols) for r in model.rows
+    )
+    assert got == want, f"full read mismatch after {ops}"
+
+    # 2) partition-filtered reads on every current non-key column: the
+    # pruned read + row filter must equal the model's filter exactly
+    for cid, name in model.cols:
+        if cid == 1:
+            continue
+        for v in range(5):
+            n_model = sum(1 for r in model.rows if r.get(cid) == v)
+            n_read = (
+                t.to_df(spark, transformed_filter={name: v})
+                .filter(F.col(name) == v)
+                .count()
+            )
+            assert n_read == n_model, (
+                f"filtered read {name}={v}: got {n_read}, want {n_model} "
+                f"after {ops}"
+            )
