@@ -42,6 +42,7 @@ OPS = st.lists(
         st.tuples(st.just("add"), st.integers(0, 2)),         # name pool idx
         st.tuples(st.just("drop"), st.integers(0, 3)),
         st.tuples(st.just("spec"), st.integers(0, 3)),        # new spec source
+        st.tuples(st.just("delete"), st.integers(0, 4)),      # eq-delete value
     ),
     min_size=3,
     max_size=8,
@@ -97,6 +98,17 @@ class Model:
         self.cols.append((self.next_id, name))
         self.next_id += 1
         return True
+
+    def delete_eq(self, col_pos: int, v: int) -> tuple[str, int] | None:
+        """Delete rows where (a current non-key column) == v. Returns the
+        (column name, id) the eq-delete is keyed on, or None if no-op."""
+        non_key = [(cid, n) for cid, n in self.cols if cid != 1]
+        if not non_key:
+            return None
+        cid, name = non_key[col_pos % len(non_key)]
+        before = len(self.rows)
+        self.rows = [r for r in self.rows if r.get(cid) != v]
+        return (name, cid) if len(self.rows) != before else None
 
     def drop(self, idx: int, spec_source: str | None) -> bool:
         droppable = [
@@ -163,8 +175,28 @@ def test_evolution_sequences_read_exactly(fuzz_catalog, spark, ops):
             if model.add(arg):
                 t = t.commit_schema(_schema(model))
         elif op == "drop":
+            saved = list(model.cols)
             if model.drop(arg, spec_source):
-                t = t.commit_schema(_schema(model))
+                try:
+                    t = t.commit_schema(_schema(model))
+                except ValueError:
+                    # drop guard: pending eq-delete files keyed on the column
+                    # (or other protected state) — the model reverts too
+                    model.cols = saved
+        elif op == "delete":
+            non_key = [(cid, n) for cid, n in model.cols if cid != 1]
+            if non_key:
+                cid, name = non_key[arg % len(non_key)]
+                # mirror BEFORE mutating the model: eq-delete applies only
+                # to rows visible now (seq-scoped), which equals the model's
+                # current rows since keys here are never re-inserted
+                hit = model.delete_eq(arg, arg)
+                if hit is not None:
+                    keys = spark.createDataFrame(
+                        [(arg,)],
+                        StructType([StructField(name, LongType(), True)]),
+                    )
+                    t = t.new_transaction().delete_keys_dataframe(keys).commit()
         elif op == "spec":
             candidates = [n for _i, n in model.cols if n != "k"]
             if candidates:
