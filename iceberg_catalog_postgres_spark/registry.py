@@ -330,5 +330,6 @@ def load_all() -> dict[str, QuerySpec]:
     import iceberg_catalog_postgres_spark.catalog.queries  # noqa: F401
     import iceberg_catalog_postgres_spark.catalog.integration  # noqa: F401
     import iceberg_catalog_postgres_spark.catalog.maintenance  # noqa: F401
+    import iceberg_catalog_postgres_spark.catalog.avro_export  # noqa: F401
 
     return _prioritized(REGISTRY)

@@ -1,0 +1,177 @@
+"""Real Avro manifest export (r8): spec metadata tree written and re-read
+through the official Apache Avro Java library on Spark's classpath."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DateType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from iceberg_catalog_postgres_spark.catalog.avro_export import (
+    export_iceberg_avro,
+    read_avro_records,
+)
+from iceberg_catalog_postgres_spark.catalog.catalog import (
+    PostgresCatalog,
+    TableIdentifier,
+)
+from iceberg_catalog_postgres_spark.catalog.metadata import FIELD_ID_KEY
+
+
+@pytest.fixture
+def catalog(tmp_path):
+    cat = PostgresCatalog.connect("avro_cat", None, str(tmp_path / "warehouse"))
+    cat.initialize()
+    yield cat
+    cat.backend.close()
+
+
+S = StructType(
+    [
+        StructField("k", LongType(), True, {FIELD_ID_KEY: 1}),
+        StructField("d", DateType(), True, {FIELD_ID_KEY: 2}),
+        StructField("name", StringType(), True, {FIELD_ID_KEY: 3}),
+    ]
+)
+
+
+def _table(catalog, spark, name, partition_by=("day(d)", "bucket(4,k)")):
+    t = catalog.create_table(
+        TableIdentifier.parse(f"av.{name}"), S, partition_by=list(partition_by)
+    )
+    rows = [(i, dt.date(2024, 3, 1 + i % 3), f"n{i}") for i in range(40)]
+    return t.new_transaction().append_dataframe(
+        spark.createDataFrame(rows, S)
+    ).commit()
+
+
+def test_export_round_trips_through_official_avro(catalog, spark):
+    t = _table(catalog, spark, "t1")
+    res = export_iceberg_avro(spark, t)
+    store = catalog.object_store()
+
+    m_rows, m_meta, m_schema = read_avro_records(spark, res["manifest"])
+    ml_rows, ml_meta, ml_schema = read_avro_records(spark, res["manifest_list"])
+
+    # file set parity
+    native = sorted(
+        "file://" + store.resolve(f) for f in t.metadata.current_data_files()
+    )
+    assert sorted(r["data_file"]["file_path"] for r in m_rows) == native
+    assert ml_rows[0]["added_files_count"] == len(native)
+    assert ml_rows[0]["manifest_path"] == "file://" + res["manifest"]
+
+    # record counts
+    assert sum(r["data_file"]["record_count"] for r in m_rows) == 40
+    assert ml_rows[0]["added_rows_count"] == 40
+
+    # manifest header metadata per spec
+    assert m_meta["format-version"] == "2" and m_meta["content"] == "data"
+    spec_fields = json.loads(m_meta["partition-spec"])
+    assert [f["transform"] for f in spec_fields] == ["day", "bucket[4]"]
+    schema_doc = json.loads(m_meta["schema"])
+    assert {f["id"] for f in schema_doc["fields"]} == {1, 2, 3}
+
+    # field-id attributes survive Avro schema round-trip
+    for sch in (m_schema, ml_schema):
+        assert '"field-id"' in sch
+    parsed = json.loads(m_schema)
+    top_ids = {f.get("field-id") for f in parsed["fields"]}
+    assert top_ids == {0, 1, 2, 3, 4}  # manifest_entry spec ids
+
+    # partition struct: typed day (epoch days) + bucket int
+    e0 = m_rows[0]
+    p = e0["data_file"]["partition"]
+    assert p["d_day"] == (dt.date(2024, 3, 1) - dt.date(1970, 1, 1)).days
+    assert 0 <= p["k_bucket"] < 4
+
+    # bounds: single-value binary decodes to native bounds
+    from iceberg_catalog_postgres_spark.catalog.metadata import decode_bound
+
+    stats = t.metadata.current_file_stats()
+    checked = 0
+    for r in m_rows:
+        rel = next(f for f in stats if r["data_file"]["file_path"].endswith(f))
+        nb = stats[rel].get("bounds") or {}
+        for kv in r["data_file"]["lower_bounds"] or []:
+            col = {1: "k", 2: "d", 3: "name"}[kv["key"]]
+            want = decode_bound(nb[col][0])
+            raw = kv["value"]
+            if col == "k":
+                assert struct.unpack("<q", raw)[0] == want
+            elif col == "d":
+                assert struct.unpack("<i", raw)[0] == (want - dt.date(1970, 1, 1)).days
+            else:
+                assert raw.decode("utf-8") == want
+            checked += 1
+    assert checked > 0
+
+    # manifest-list field summaries: day range covers the three days
+    day0 = (dt.date(2024, 3, 1) - dt.date(1970, 1, 1)).days
+    s_day = ml_rows[0]["partitions"][0]
+    assert struct.unpack("<i", s_day["lower_bound"])[0] == day0
+    assert struct.unpack("<i", s_day["upper_bound"])[0] == day0 + 2
+
+    # exported metadata document: pure spec layout, manifest-list pointer
+    doc = json.load(open(res["metadata_json"]))
+    for key in (
+        "format-version", "table-uuid", "schemas", "current-schema-id",
+        "partition-specs", "default-spec-id", "sort-orders", "snapshots",
+        "snapshot-log", "current-snapshot-id",
+    ):
+        assert key in doc
+    assert "partition-spec" not in doc  # no engine-native keys in the export
+    assert doc["snapshots"][0]["manifest-list"] == "file://" + res["manifest_list"]
+
+
+def test_export_refusals(catalog, spark):
+    from iceberg_catalog_postgres_spark.catalog.maintenance import delete_where_mor
+
+    # pending MOR deletes
+    t = _table(catalog, spark, "mor", partition_by=())
+    t = delete_where_mor(spark, t, F.col("k") < 3)
+    with pytest.raises(ValueError, match="pending delete"):
+        export_iceberg_avro(spark, t)
+
+    # column renames
+    t2 = _table(catalog, spark, "ren", partition_by=())
+    renamed = StructType(
+        [
+            StructField(
+                "key_id" if f.name == "k" else f.name, f.dataType, f.nullable, f.metadata
+            )
+            for f in S.fields
+        ]
+    )
+    t2 = t2.commit_schema(renamed)
+    with pytest.raises(ValueError, match="renames"):
+        export_iceberg_avro(spark, t2)
+
+    # spec evolution leaving old-spec cohorts without current tuples
+    t3 = _table(catalog, spark, "evo", partition_by=("bucket(4,k)",))
+    t3 = t3.commit_partition_spec(["day(d)"])
+    rows = [(100 + i, dt.date(2024, 4, 1), f"x{i}") for i in range(4)]
+    t3 = t3.new_transaction().append_dataframe(
+        spark.createDataFrame(rows, S).coalesce(1)
+    ).commit()
+    with pytest.raises(ValueError, match="partition tuple"):
+        export_iceberg_avro(spark, t3)
+
+
+def test_export_unpartitioned_and_no_stats_files(catalog, spark):
+    t = _table(catalog, spark, "plain", partition_by=())
+    res = export_iceberg_avro(spark, t)
+    m_rows, _m, _s = read_avro_records(spark, res["manifest"])
+    assert sum(r["data_file"]["record_count"] for r in m_rows) == 40
+    ml_rows, _mm, _ms = read_avro_records(spark, res["manifest_list"])
+    assert ml_rows[0]["partitions"] is None  # no partition fields
