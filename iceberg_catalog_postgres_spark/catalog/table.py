@@ -1872,6 +1872,18 @@ class Table:
         winner (rollback-wins semantics, matching Iceberg where rollback is
         itself just a commit); callers who want fail-on-concurrent-write
         should check the pointer afterwards.
+
+        Streaming fences are NOT rolled back: ``stream.<sink>.*`` batch-id
+        properties keep their high-water marks, so a checkpointed stream
+        restarted after a rollback will (correctly for the fence, but
+        perhaps surprisingly) SKIP batches whose data the rollback just
+        discarded — exactly-once protects against duplicates, not against
+        an operator discarding committed data. An operator rolling back a
+        fenced table who wants those batches re-ingested must also clear
+        the sink's fence property (or use a new sink_id with a fresh
+        checkpoint); leaving it is the safe default, since auto-resetting
+        fences on rollback would let a zombie replay double-commit into
+        the restored lineage.
         """
         from dataclasses import replace as _dc_replace
 

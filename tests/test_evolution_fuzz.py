@@ -158,6 +158,10 @@ def test_evolution_sequences_read_exactly(fuzz_catalog, spark, ops):
     ident = TableIdentifier.parse(f"fz.t{_COUNTER[0]}")
     t = fuzz_catalog.create_table(ident, _schema(model), partition_by=["c0"])
     spec_source = "c0"
+    # (snapshot_id, frozen row list) after every DATA commit — the model's
+    # history for time-travel verification (reads resolve through the
+    # CURRENT schema regardless of which snapshot is read, like Iceberg)
+    history = []
 
     for op, arg in ops:
         if op == "append":
@@ -165,6 +169,9 @@ def test_evolution_sequences_read_exactly(fuzz_catalog, spark, ops):
             t = t.new_transaction().append_dataframe(
                 spark.createDataFrame(batch, t.metadata.spark_schema).coalesce(1)
             ).commit()
+            history.append(
+                (t.metadata.current_snapshot_id, [dict(r) for r in model.rows])
+            )
         elif op == "rename":
             if model.rename(arg):
                 t = t.commit_schema(_schema(model))
@@ -197,6 +204,9 @@ def test_evolution_sequences_read_exactly(fuzz_catalog, spark, ops):
                         StructType([StructField(name, LongType(), True)]),
                     )
                     t = t.new_transaction().delete_keys_dataframe(keys).commit()
+                    history.append(
+                        (t.metadata.current_snapshot_id, [dict(r) for r in model.rows])
+                    )
         elif op == "spec":
             candidates = [n for _i, n in model.cols if n != "k"]
             if candidates:
@@ -215,7 +225,19 @@ def test_evolution_sequences_read_exactly(fuzz_catalog, spark, ops):
     )
     assert got == want, f"full read mismatch after {ops}"
 
-    # 2) partition-filtered reads on every current non-key column: the
+    # 2) time travel: every historical snapshot reads exactly the model's
+    # rows AS OF that commit, projected through the CURRENT schema
+    for snap_id, frozen in history:
+        got_h = sorted(
+            tuple(row[n] for _i, n in model.cols)
+            for row in (r.asDict() for r in t.to_df(spark, snapshot_id=snap_id).collect())
+        )
+        want_h = sorted(
+            tuple(r.get(cid) for cid, _n in model.cols) for r in frozen
+        )
+        assert got_h == want_h, f"time travel to {snap_id} mismatch after {ops}"
+
+    # 3) partition-filtered reads on every current non-key column: the
     # pruned read + row filter must equal the model's filter exactly
     for cid, name in model.cols:
         if cid == 1:
