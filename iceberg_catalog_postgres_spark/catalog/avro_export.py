@@ -29,11 +29,16 @@ ADDED at sequence number 1): with no delete files, v2 sequence-number
 semantics are vacuous, and the result is the simplest valid history.
 
 Honest limits (refused loudly, not mis-exported):
-- tables with PENDING delete files (MOR) must compact first — delete
-  manifests are not exported;
-- tables with column renames: the parquet files physically carry
-  pre-rename names and no Iceberg field-id keys, so a foreign name-based
-  reader would misread old cohorts — rewrite first;
+- tables with pending EQUALITY deletes must run rewrite_equality_deletes
+  first (POSITIONAL deletes DO export, as spec delete manifests with the
+  (file_path 2147483546, pos 2147483545) schema, parquet field-ids, and
+  sequence number 2 over the data's 1);
+- tables where current data files PREDATE a column rename (seq-scoped
+  per file): those parquet files physically carry pre-rename names and no
+  Iceberg field-id keys, so a foreign name-based reader would misread old
+  cohorts — ``compact_table`` is the on-ramp (a full rewrite moves every
+  current file past the rename boundary; files written after the rename
+  never block);
 - every data file must carry a complete current-spec partition tuple
   (evolved tables' old-spec cohorts need a rewrite first).
 
@@ -384,17 +389,38 @@ def export_iceberg_avro(spark: SparkSession, table: Table) -> dict:
     snap = md.current_snapshot()
     if snap is None:
         raise ValueError("avro export: table has no snapshot")
-    if md.current_delete_files() or md.current_position_delete_files():
+    if md.current_delete_files():
         raise ValueError(
-            "avro export: table has pending delete files — compact first "
-            "(delete manifests are not exported)"
+            "avro export: table has pending EQUALITY-delete files — run "
+            "rewrite_equality_deletes first (it converts them to positional "
+            "deletes, which export as spec delete manifests)"
         )
-    if table.column_renames():
-        raise ValueError(
-            "avro export: table has column renames; parquet files carry "
-            "pre-rename names without Iceberg field-id keys, so a foreign "
-            "name-based reader would misread old cohorts — rewrite first"
-        )
+    renames = table.column_renames()
+    if renames:
+        # A rename only blocks export for data files PHYSICALLY written
+        # before it (their parquet carries the pre-rename name and no
+        # field-id keys a foreign name-based reader could resolve through).
+        # Files at-or-after every rename's as-of-seq carry current names —
+        # so compact_table / rewrite_small_files is the on-ramp: a full
+        # rewrite moves every current file past the rename boundary and the
+        # table exports without touching the rename history (which older
+        # snapshots still need for time travel). Seq-scoped per file, the
+        # same cohort boundary reads use (r8).
+        boundary = max(int(r["as-of-seq"]) for r in renames)
+        file_seqs = snap.file_seqs or {}
+        stale = [
+            rel
+            for rel in snap.data_files
+            if int(file_seqs.get(rel, 0)) < boundary
+        ]
+        if stale:
+            raise ValueError(
+                f"avro export: {len(stale)} current data file(s) predate a "
+                "column rename; their parquet carries pre-rename names "
+                "without Iceberg field-id keys, so a foreign name-based "
+                "reader would misread those cohorts — compact/rewrite first "
+                f"(e.g. {stale[0]!r})"
+            )
     from iceberg_catalog_postgres_spark.catalog.table import _bucket_hash_of
 
     if any("bucket(" in e for e in md.partition_spec) and _bucket_hash_of(md) != "murmur3":
@@ -507,6 +533,102 @@ def export_iceberg_avro(spark: SparkSession, table: Table) -> dict:
         )
     w.close()
 
+    # ---- positional-delete manifest (content=1) ---------------------------
+    # Our pos-delete parquet stores (file_path, row_index) with Spark's own
+    # _metadata.file_path URI spelling; the export rewrites it to the
+    # spec's (file_path id 2147483546, pos id 2147483545) schema with the
+    # EXPORTED data-file URIs (suffix-mapped), sorted by (file_path, pos)
+    # as the spec requires, parquet field-ids written. Sequence number 2 >
+    # the data's 1, so v2 scoping applies the deletes to every data file.
+    delete_manifest_path = None
+    n_deleted = 0
+    if snap.position_delete_files:
+        from pyspark.sql import functions as _F
+
+        del_abs = [store.resolve(f) for f in snap.position_delete_files]
+        raw = spark.read.parquet(*del_abs)
+        # suffix-map Spark's recorded URIs onto the exported URIs
+        mapping = [
+            (rel, "file://" + store.resolve(rel)) for rel in snap.data_files
+        ]
+        map_df = spark.createDataFrame(mapping, "suffix string, export_uri string")
+        rewritten = (
+            raw.join(
+                _F.broadcast(map_df),
+                # literal suffix match — LIKE would treat path underscores
+                # as single-char wildcards
+                _F.col("file_path").endswith(_F.col("suffix")),
+            )
+            .select(
+                _F.col("export_uri").alias("file_path"),
+                _F.col("row_index").alias("pos"),
+            )
+        )
+        del_dir = os.path.join(out_dir, "deletes")
+        prev_fid_conf = spark.conf.get("spark.sql.parquet.fieldId.write.enabled", "false")
+        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        try:
+            (
+                rewritten.select(
+                    _F.col("file_path").alias(
+                        "file_path", metadata={"parquet.field.id": 2147483546}
+                    ),
+                    _F.col("pos").alias(
+                        "pos", metadata={"parquet.field.id": 2147483545}
+                    ),
+                )
+                .coalesce(1)
+                .sortWithinPartitions("file_path", "pos")
+                .write.mode("overwrite")
+                .parquet(del_dir)
+            )
+        finally:
+            spark.conf.set("spark.sql.parquet.fieldId.write.enabled", prev_fid_conf)
+        import glob as _glob
+
+        del_files = sorted(_glob.glob(os.path.join(del_dir, "*.parquet")))
+        import pyarrow.parquet as _pq2
+
+        delete_manifest_path = os.path.join(out_dir, f"delete-manifest-{export_id}.avro")
+        dw = _AvroWriter(
+            jvm,
+            manifest_schema_json(part_fields),
+            delete_manifest_path,
+            {
+                "schema": json.dumps(schema_doc),
+                "schema-id": str(md.schema.get("schema-id", 0)),
+                "partition-spec": json.dumps(current_spec["fields"]),
+                "partition-spec-id": str(current_spec["spec-id"]),
+                "format-version": "2",
+                "content": "deletes",
+            },
+        )
+        for dpath in del_files:
+            drc = _pq2.ParquetFile(dpath).metadata.num_rows
+            n_deleted += int(drc)
+            dw.append_json(
+                {
+                    "status": 1,
+                    "snapshot_id": {"long": snapshot_id},
+                    "sequence_number": {"long": 2},
+                    "file_sequence_number": {"long": 2},
+                    "data_file": {
+                        "content": 1,  # POSITION_DELETES
+                        "file_path": "file://" + dpath,
+                        "file_format": "PARQUET",
+                        "partition": {p["name"]: None for p in part_fields},
+                        "record_count": int(drc),
+                        "file_size_in_bytes": os.path.getsize(dpath),
+                        "null_value_counts": None,
+                        "lower_bounds": None,
+                        "upper_bounds": None,
+                        "split_offsets": None,
+                        "sort_order_id": None,
+                    },
+                }
+            )
+        dw.close()
+
     # ---- manifest list ----------------------------------------------------
     ml_path = os.path.join(out_dir, f"snap-{snapshot_id}-manifest-list.avro")
     ml = _AvroWriter(jvm, manifest_list_schema_json(), ml_path, {"format-version": "2"})
@@ -545,6 +667,26 @@ def export_iceberg_avro(spark: SparkSession, table: Table) -> dict:
             "key_metadata": None,
         }
     )
+    if delete_manifest_path is not None:
+        ml.append_json(
+            {
+                "manifest_path": "file://" + delete_manifest_path,
+                "manifest_length": os.path.getsize(delete_manifest_path),
+                "partition_spec_id": current_spec["spec-id"],
+                "content": 1,  # deletes
+                "sequence_number": 2,
+                "min_sequence_number": 2,
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": 1,
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": int(n_deleted),
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+                "partitions": None,
+                "key_metadata": None,
+            }
+        )
     ml.close()
 
     # ---- metadata document (pure spec layout, single snapshot) ------------
@@ -553,7 +695,7 @@ def export_iceberg_avro(spark: SparkSession, table: Table) -> dict:
         "format-version": 2,
         "table-uuid": md.table_uuid,
         "location": md.location,
-        "last-sequence-number": 1,
+        "last-sequence-number": 2 if delete_manifest_path is not None else 1,
         "last-updated-ms": now_ms,
         "last-column-id": md._last_column_id(),
         "schemas": [schema_doc],
@@ -594,6 +736,7 @@ def export_iceberg_avro(spark: SparkSession, table: Table) -> dict:
         "manifest": manifest_path,
         "n_files": len(snap.data_files),
         "total_records": int(total_records),
+        "n_position_deletes": int(n_deleted),
         "rows_from_stats": n_rows_known,
     }
 
@@ -802,15 +945,32 @@ def import_iceberg_avro(spark: SparkSession, catalog, identifier, metadata_json_
     ml_rows, _mlm, _mls = read_avro_records(spark, ml_path)
 
     data_files: list[str] = []
+    exported_delete_files: list[str] = []
+    delete_seq = 2
     file_seqs: dict = {}
     file_partitions: dict = {}
     file_stats: dict = {}
     for m in ml_rows:
-        if m["content"] != 0:
-            raise ValueError("avro import: delete manifests are not supported")
         mp = m["manifest_path"]
         mp = mp[len("file://"):] if mp.startswith("file://") else mp
         m_rows, _mm, _ms = read_avro_records(spark, mp)
+        if m["content"] == 1:
+            # positional-delete manifest: collect the delete parquet files
+            for e in m_rows:
+                if e["status"] == 2:
+                    continue
+                df = e["data_file"]
+                if df["content"] != 1:
+                    raise ValueError(
+                        "avro import: only POSITION_DELETES delete manifests "
+                        "are supported (equality deletes need key-schema "
+                        "translation)"
+                    )
+                path = df["file_path"]
+                path = path[len("file://"):] if path.startswith("file://") else path
+                exported_delete_files.append(path)
+                delete_seq = max(delete_seq, int(e["sequence_number"] or 2))
+            continue
         for e in m_rows:
             if e["status"] == 2:
                 continue  # DELETED entry
@@ -858,11 +1018,79 @@ def import_iceberg_avro(spark: SparkSession, catalog, identifier, metadata_json_
                 st["null_counts"] = ncs
             file_stats[path] = st
 
+    # rewrite exported positional deletes back to the native layout:
+    # (file_path 2147483546, pos 2147483545) with export URIs -> (file_path,
+    # row_index) with the URI spelling SPARK will report for _metadata.
+    # file_path on THIS machine (probed from one data file — the anti-join
+    # at read time compares against it verbatim)
+    position_delete_files: list[str] = []
+    if exported_delete_files:
+        from pyspark.sql import functions as _F
+
+        from iceberg_catalog_postgres_spark.catalog.table import (
+            collect_file_stats_many,
+        )
+
+        probe_abs = data_files[0]
+        probe_uri = (
+            spark.read.parquet(probe_abs)
+            .select("_metadata.file_path")
+            .first()[0]
+        )
+        if not probe_uri.endswith(probe_abs):
+            raise ValueError(
+                f"avro import: cannot derive Spark's file-path URI spelling "
+                f"({probe_uri!r} vs {probe_abs!r})"
+            )
+        prefix = probe_uri[: len(probe_uri) - len(probe_abs)]
+        # exact-URI mapping: the export wrote file_path as "file://" + the
+        # source's absolute path, which is precisely the imported data_files
+        # list — basename/suffix matching is NOT unique (partitioned writes
+        # reuse part-file names across partition dirs; found as a 6->46
+        # delete fan-out)
+        mapping = [("file://" + p, prefix + p) for p in data_files]
+        map_df = spark.createDataFrame(mapping, "export_uri string, local_uri string")
+        raw = spark.read.parquet(*exported_delete_files)
+        native = (
+            raw.join(
+                _F.broadcast(map_df),
+                _F.col("file_path") == _F.col("export_uri"),
+            )
+            .select(
+                # explicit empty metadata: the exported file's columns carry
+                # parquet.field.id metadata, which would be embedded in the
+                # written footer's Spark schema and make later reads demand
+                # field ids the physical file doesn't have
+                _F.col("local_uri").alias("file_path", metadata={}),
+                _F.col("pos").alias("row_index", metadata={}),
+            )
+        )
+        store_ = catalog.object_store()
+        rel_dir = posixpath.join(
+            "data.db",
+            identifier.namespace_str.replace(".", "/"),
+            identifier.name,
+            "data",
+            f"posdel-import-{_uuid.uuid4().hex}",
+        )
+        abs_dir = store_.resolve(rel_dir)
+        native.coalesce(1).write.mode("overwrite").parquet(abs_dir)
+        import glob as _glob
+
+        abs_by_rel = {}
+        for pth in sorted(_glob.glob(os.path.join(abs_dir, "*.parquet"))):
+            rel = posixpath.join(rel_dir, os.path.basename(pth))
+            position_delete_files.append(rel)
+            file_seqs[rel] = delete_seq
+            abs_by_rel[rel] = pth
+        file_stats.update(collect_file_stats_many(abs_by_rel))
+
     snapshot = Snapshot(
         snapshot_id=int(snap_doc["snapshot-id"]),
         timestamp_ms=int(snap_doc.get("timestamp-ms", 0)),
         operation=str((snap_doc.get("summary") or {}).get("operation", "append")),
         data_files=data_files,
+        position_delete_files=position_delete_files,
         sequence_number=max(file_seqs.values(), default=1),
         file_seqs=file_seqs,
         file_partitions=file_partitions,

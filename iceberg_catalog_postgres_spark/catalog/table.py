@@ -2841,7 +2841,18 @@ class Transaction:
                 rel = posixpath.join(rel_dir, _os.path.basename(p))
                 abs_by_rel[rel] = p
                 new_files.append(rel)
-        self._staged_stats.update(collect_file_stats_many(abs_by_rel))
+        stats = collect_file_stats_many(abs_by_rel)
+        # Spark emits a schema-only part file for an empty write; committing
+        # it would put a 0-record entry in every future manifest scan (and,
+        # at scale, one per empty write task). Iceberg writers drop empty
+        # files before commit — do the same, from the stats just collected.
+        empty = {rel for rel, st in stats.items() if st.get("record_count") == 0}
+        if empty:
+            new_files = [r for r in new_files if r not in empty]
+            for r in empty:
+                stats.pop(r, None)
+                self._staged_partitions.pop(r, None)
+        self._staged_stats.update(stats)
         return self.append_files(new_files)
 
     def overwrite_dataframe(

@@ -137,11 +137,10 @@ def test_export_round_trips_through_official_avro(catalog, spark):
 def test_export_refusals(catalog, spark):
     from iceberg_catalog_postgres_spark.catalog.maintenance import delete_where_mor
 
-    # pending MOR deletes
+    # POSITIONAL deletes export (r8 second pass: content=1 delete manifest)
     t = _table(catalog, spark, "mor", partition_by=())
     t = delete_where_mor(spark, t, F.col("k") < 3)
-    with pytest.raises(ValueError, match="pending delete"):
-        export_iceberg_avro(spark, t)
+    assert export_iceberg_avro(spark, t)["n_position_deletes"] == 3
 
     # column renames
     t2 = _table(catalog, spark, "ren", partition_by=())
@@ -154,8 +153,32 @@ def test_export_refusals(catalog, spark):
         ]
     )
     t2 = t2.commit_schema(renamed)
-    with pytest.raises(ValueError, match="renames"):
+    with pytest.raises(ValueError, match="rename"):
         export_iceberg_avro(spark, t2)
+    # ... but the refusal is seq-scoped per FILE: compaction rewrites every
+    # current file past the rename boundary (physical names become current)
+    # and the same table exports — rename history intact for time travel
+    from iceberg_catalog_postgres_spark.catalog.avro_export import (
+        import_iceberg_avro,
+    )
+    from iceberg_catalog_postgres_spark.catalog.maintenance import compact_table
+
+    t2 = compact_table(spark, t2)
+    assert t2.column_renames()  # history NOT cleared
+    res2 = export_iceberg_avro(spark, t2)
+    imp = import_iceberg_avro(
+        spark, catalog, TableIdentifier.parse("av.ren_imp"), res2["metadata_json"]
+    )
+    assert imp.to_df(spark).select("key_id").distinct().count() == 40
+
+    # rename BEFORE any data: every file postdates the boundary, no refusal
+    t2b = catalog.create_table(TableIdentifier.parse("av.ren_pre"), S)
+    t2b = t2b.commit_schema(renamed)
+    rows_b = [(i, dt.date(2024, 5, 1), f"y{i}") for i in range(5)]
+    t2b = t2b.new_transaction().append_dataframe(
+        spark.createDataFrame(rows_b, t2b.metadata.spark_schema).coalesce(1)
+    ).commit()
+    assert export_iceberg_avro(spark, t2b)["n_files"] >= 1
 
     # spec evolution leaving old-spec cohorts without current tuples
     t3 = _table(catalog, spark, "evo", partition_by=("bucket(4,k)",))
@@ -245,3 +268,81 @@ def test_import_from_a_different_warehouse(catalog, spark, tmp_path):
         assert t3.record_count() == 40
     finally:
         other.backend.close()
+
+
+def test_mor_positional_deletes_round_trip(catalog, spark, tmp_path):
+    """v2 delete-manifest interop: a table with pending POSITIONAL deletes
+    exports a content=1 delete manifest (spec (file_path, pos) schema,
+    parquet field-ids, sequence 2 over the data's 1) and a foreign-catalog
+    import applies the deletes — row parity with the MOR source."""
+    from iceberg_catalog_postgres_spark.catalog.avro_export import (
+        import_iceberg_avro,
+    )
+    from iceberg_catalog_postgres_spark.catalog.maintenance import (
+        delete_where_mor,
+        rewrite_equality_deletes,
+    )
+
+    t = _table(catalog, spark, "mordel")
+    t = delete_where_mor(spark, t, F.col("k") % 7 == 0)  # deletes 6 of 40
+    assert t.metadata.current_position_delete_files()
+    res = export_iceberg_avro(spark, t)
+    assert res["n_position_deletes"] == 6
+
+    # delete manifest is readable and spec-shaped
+    from iceberg_catalog_postgres_spark.catalog.avro_export import read_avro_records
+
+    ml_rows, _m, _s = read_avro_records(spark, res["manifest_list"])
+    dls = [m for m in ml_rows if m["content"] == 1]
+    assert len(dls) == 1 and dls[0]["sequence_number"] == 2
+    dmp = dls[0]["manifest_path"].removeprefix("file://")
+    d_rows, d_meta, _ds = read_avro_records(spark, dmp)
+    assert d_meta["content"] == "deletes"
+    assert all(e["data_file"]["content"] == 1 for e in d_rows)
+    assert sum(e["data_file"]["record_count"] for e in d_rows) == 6
+
+    other = PostgresCatalog.connect("mor_cat", None, str(tmp_path / "other_wh"))
+    other.initialize()
+    try:
+        t2 = import_iceberg_avro(
+            spark, other, TableIdentifier.parse("imp.mordel"), res["metadata_json"]
+        )
+        a = sorted(map(tuple, t.to_df(spark).collect()))
+        b = sorted(map(tuple, t2.to_df(spark).collect()))
+        assert a == b and len(a) == 34, "deletes lost or misapplied on import"
+    finally:
+        other.backend.close()
+
+    # equality deletes still refuse, pointing at the on-ramp
+    t3 = _table(catalog, spark, "eqdel", partition_by=())
+    keys = spark.createDataFrame([(1,), (2,)], "k long")
+    t3 = t3.new_transaction().delete_keys_dataframe(keys).commit()
+    with pytest.raises(ValueError, match="rewrite_equality_deletes"):
+        export_iceberg_avro(spark, t3)
+    # ... and the on-ramp makes it exportable
+    t3 = rewrite_equality_deletes(spark, t3)
+    res3 = export_iceberg_avro(spark, t3)
+    assert res3["n_position_deletes"] == 2
+
+
+def test_export_empty_snapshot_and_no_snapshot(catalog, spark):
+    from iceberg_catalog_postgres_spark.catalog.avro_export import (
+        import_iceberg_avro,
+    )
+
+    # never-committed table: loud refusal
+    t0 = catalog.create_table(TableIdentifier.parse("av.empty0"), S)
+    with pytest.raises(ValueError, match="no snapshot"):
+        export_iceberg_avro(spark, t0)
+
+    # committed-but-empty snapshot: exports a 0-entry manifest that imports
+    t1 = catalog.create_table(TableIdentifier.parse("av.empty1"), S)
+    t1 = t1.new_transaction().append_dataframe(
+        spark.createDataFrame([], S)
+    ).commit()
+    res = export_iceberg_avro(spark, t1)
+    assert res["n_files"] == 0 and res["total_records"] == 0
+    t2 = import_iceberg_avro(
+        spark, catalog, TableIdentifier.parse("av.empty1_imp"), res["metadata_json"]
+    )
+    assert t2.to_df(spark).count() == 0
