@@ -253,3 +253,107 @@ def test_evolution_sequences_read_exactly(fuzz_catalog, spark, ops):
                 f"filtered read {name}={v}: got {n_read}, want {n_model} "
                 f"after {ops}"
             )
+
+
+# ---- r8: Avro interop round trip under the SAME evolution state machine ----
+#
+# The export/import path shares the name-keyed-state hazards the fuzz above
+# exists for (physical-name resolution, spec tuples, delete scoping) PLUS its
+# own (URI mapping, bounds encoding, delete-manifest rewrite). Round-tripping
+# the fuzzed tables certifies the whole interop surface against the row
+# model: on-ramps applied exactly as a user would (rewrite_equality_deletes
+# for pending eq-deletes, compact_table when the seq-scoped refusals fire),
+# then a foreign-catalog import must read EXACTLY the model's rows.
+
+_RT_COUNTER = [0]
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=list(HealthCheck),
+    phases=[Phase.generate, Phase.shrink],
+)
+@given(ops=OPS)
+def test_avro_round_trip_under_evolution(fuzz_catalog, spark, ops):
+    from iceberg_catalog_postgres_spark.catalog.avro_export import (
+        export_iceberg_avro,
+        import_iceberg_avro,
+    )
+    from iceberg_catalog_postgres_spark.catalog.maintenance import (
+        compact_table,
+        rewrite_equality_deletes,
+    )
+
+    _RT_COUNTER[0] += 1
+    model = Model()
+    ident = TableIdentifier.parse(f"fzrt.t{_RT_COUNTER[0]}")
+    t = fuzz_catalog.create_table(ident, _schema(model), partition_by=["c0"])
+    spec_source = "c0"
+
+    for op, arg in ops:
+        if op == "append":
+            batch = model.append(arg)
+            t = t.new_transaction().append_dataframe(
+                spark.createDataFrame(batch, t.metadata.spark_schema).coalesce(1)
+            ).commit()
+        elif op == "rename":
+            if model.rename(arg):
+                t = t.commit_schema(_schema(model))
+        elif op == "add":
+            if model.add(arg):
+                t = t.commit_schema(_schema(model))
+        elif op == "drop":
+            saved = list(model.cols)
+            if model.drop(arg, spec_source):
+                try:
+                    t = t.commit_schema(_schema(model))
+                except ValueError:
+                    model.cols = saved
+        elif op == "delete":
+            non_key = [(cid, n) for cid, n in model.cols if cid != 1]
+            if non_key:
+                cid, name = non_key[arg % len(non_key)]
+                hit = model.delete_eq(arg, arg)
+                if hit is not None:
+                    keys = spark.createDataFrame(
+                        [(arg,)],
+                        StructType([StructField(name, LongType(), True)]),
+                    )
+                    t = t.new_transaction().delete_keys_dataframe(keys).commit()
+        elif op == "spec":
+            candidates = [n for _i, n in model.cols if n != "k"]
+            if candidates:
+                t = t.commit_partition_spec([candidates[arg % len(candidates)]])
+        spec_source = t.metadata.partition_spec[0]
+
+    if t.metadata.current_snapshot() is None:
+        with pytest.raises(ValueError, match="no snapshot"):
+            export_iceberg_avro(spark, t)
+        return
+
+    # on-ramps, exactly as documented: eq-deletes rewrite to positional,
+    # seq-scoped refusals (stale-name files, incomplete spec tuples) compact
+    if t.metadata.current_delete_files():
+        t = rewrite_equality_deletes(spark, t)
+    try:
+        res = export_iceberg_avro(spark, t)
+    except ValueError:
+        t = compact_table(spark, t)
+        res = export_iceberg_avro(spark, t)  # must succeed after compaction
+
+    imp = import_iceberg_avro(
+        spark,
+        fuzz_catalog,
+        TableIdentifier.parse(f"fzrt.imp{_RT_COUNTER[0]}"),
+        res["metadata_json"],
+    )
+    got = sorted(
+        tuple(row[n] for _i, n in model.cols)
+        for row in (r.asDict() for r in imp.to_df(spark).collect())
+    )
+    want = sorted(
+        tuple(r.get(cid) for cid, _n in model.cols) for r in model.rows
+    )
+    assert got == want, f"avro round-trip mismatch after {ops}"
