@@ -1199,3 +1199,64 @@ def catalog_avro_roundtrip_import(spark: SparkSession, sf_dir: str) -> DataFrame
         "n_rows long, n_region2 long, rows_identical boolean, "
         "pruning_functional boolean, consumed_only_avro boolean",
     )
+
+
+@register(
+    "catalog_avro_mor_roundtrip",
+    oracle="""
+    SELECT CAST((SELECT count(*) FROM orders WHERE o_totalprice <= 400000)
+               AS BIGINT) AS n_rows,
+           CAST((SELECT count(*) FROM orders WHERE o_totalprice > 400000)
+               AS BIGINT) AS n_deleted,
+           true AS rows_match
+    """,
+    tags=("catalog", "avro", "manifest", "interop", "mor", "deletes"),
+)
+def catalog_avro_mor_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOR positional deletes through the spec Avro interop (r8): a table
+    with PENDING merge-on-read deletes exports a content=1 delete manifest
+    (spec ``(file_path 2147483546, pos 2147483545)`` columns, parquet
+    field-ids, sorted, sequence 2 over the data's 1) alongside the data
+    manifest, and a foreign-catalog import — consuming ONLY the exported
+    Avro tree — applies the deletes: the imported rows equal the source
+    minus the deleted predicate, certified against the DuckDB oracle.
+
+    The delete-file row count crossing the interop intact (``n_deleted``)
+    is the v2 sequence-number semantics doing real work: the import scopes
+    the deletes ABOVE every data file without knowing the source engine.
+
+    Scale: the delete manifest carries O(deleted rows), never a rewrite of
+    the 100 TB data set; the import's URI remap is one broadcast join over
+    the delete rows."""
+    from pyspark.sql import functions as F
+
+    from iceberg_catalog_postgres_spark.catalog.catalog import TableIdentifier
+    from iceberg_catalog_postgres_spark.catalog.maintenance import (
+        _fresh_catalog,
+        delete_where_mor,
+    )
+
+    cat = _fresh_catalog("catalog_avro_mor_roundtrip")
+    src = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    t = cat.create_table(TableIdentifier.parse("avro.mor_src"), src.schema)
+    t = t.new_transaction().append_dataframe(src.coalesce(2)).commit()
+    t = delete_where_mor(spark, t, F.col("o_totalprice") > 400000)
+
+    res = export_iceberg_avro(spark, t)
+    t2 = import_iceberg_avro(
+        spark, cat, TableIdentifier.parse("avro.mor_imported"), res["metadata_json"]
+    )
+
+    imported = t2.to_df(spark)
+    expect = src.filter(F.col("o_totalprice") <= 400000)
+    # distributed set equality — no driver collect of the data rows
+    rows_match = (
+        imported.exceptAll(expect).count() == 0
+        and expect.exceptAll(imported).count() == 0
+    )
+    return spark.createDataFrame(
+        [(imported.count(), int(res["n_position_deletes"]), bool(rows_match))],
+        "n_rows long, n_deleted long, rows_match boolean",
+    )
