@@ -24,15 +24,18 @@ snapshot, the full pointer chain a foreign Iceberg v2 reader walks:
 - the exported metadata document is PURE spec layout (no engine-native
   keys) with a single snapshot carrying ``manifest-list``.
 
-The export is re-sequenced as a CTAS-style single snapshot (every file
-ADDED at sequence number 1): with no delete files, v2 sequence-number
-semantics are vacuous, and the result is the simplest valid history.
+The export is a single snapshot whose manifest entries carry every
+file's REAL native sequence number (files at the snapshot's own seq are
+ADDED, older ones EXISTING with the snapshot that added them) — so v2
+sequence-number semantics survive the interop verbatim. Pending deletes
+export as a content=1 deletes manifest: POSITIONAL deletes with the spec
+(file_path 2147483546, pos 2147483545) schema, EQUALITY deletes as
+content=2 entries with ``equality_ids`` and per-entry seqs (eq scoping is
+strict — delete seq > data seq — so flattening would also delete rows
+re-inserted after the delete; real seqs make the rewrite on-ramp
+unnecessary). Pre-sequence metadata degrades to the flat CTAS history.
 
 Honest limits (refused loudly, not mis-exported):
-- tables with pending EQUALITY deletes must run rewrite_equality_deletes
-  first (POSITIONAL deletes DO export, as spec delete manifests with the
-  (file_path 2147483546, pos 2147483545) schema, parquet field-ids, and
-  sequence number 2 over the data's 1);
 - tables where current data files PREDATE a column rename (seq-scoped
   per file): those parquet files physically carry pre-rename names and no
   Iceberg field-id keys, so a foreign name-based reader would misread old
@@ -211,6 +214,7 @@ def manifest_schema_json(partition_fields: list[dict]) -> str:
             {"name": "lower_bounds", "type": _opt(_map_schema("k126_v127", 126, 127, "bytes")), "default": None, "field-id": 125},
             {"name": "upper_bounds", "type": _opt(_map_schema("k129_v130", 129, 130, "bytes")), "default": None, "field-id": 128},
             {"name": "split_offsets", "type": _opt({"type": "array", "element-id": 133, "items": "long"}), "default": None, "field-id": 132},
+            {"name": "equality_ids", "type": _opt({"type": "array", "element-id": 136, "items": "int"}), "default": None, "field-id": 135},
             {"name": "sort_order_id", "type": _opt("int"), "default": None, "field-id": 140},
         ],
     }
@@ -389,12 +393,8 @@ def export_iceberg_avro(spark: SparkSession, table: Table) -> dict:
     snap = md.current_snapshot()
     if snap is None:
         raise ValueError("avro export: table has no snapshot")
-    if md.current_delete_files():
-        raise ValueError(
-            "avro export: table has pending EQUALITY-delete files — run "
-            "rewrite_equality_deletes first (it converts them to positional "
-            "deletes, which export as spec delete manifests)"
-        )
+    # pending EQUALITY deletes export directly as content=2 delete-manifest
+    # entries with real sequence numbers (below); no rewrite on-ramp needed
     renames = table.column_renames()
     if renames:
         # A rename only blocks export for data files PHYSICALLY written
@@ -450,6 +450,31 @@ def export_iceberg_avro(spark: SparkSession, table: Table) -> dict:
     ids_by_name = {f["name"]: int(f["id"]) for f in md.schema.get("fields", [])}
     stats = md.current_file_stats()
 
+    # Real v2 sequence numbers (r8 second pass): every entry carries its
+    # file's NATIVE sequence number, so equality-delete scoping (delete seq
+    # strictly above data seq) survives the interop verbatim — the reason
+    # eq-deletes previously had to be rewritten away. Files at the
+    # snapshot's own seq are ADDED (status 1); older ones are EXISTING
+    # (status 0), the spec's carried-forward encoding. Pre-sequence
+    # metadata (empty file_seqs) degrades to the flat CTAS history.
+    export_seqs = snap.file_seqs or {}
+
+    def _fseq(rel: str, default: int = 1) -> int:
+        return int(export_seqs.get(rel, default)) if export_seqs else default
+
+    snap_seq = max(
+        [_fseq(r) for r in snap.data_files]
+        + [_fseq(r, 2) for r in snap.position_delete_files]
+        + [_fseq(r, 2) for r in snap.delete_files]
+        + [1]
+    )
+    # EXISTING entries carry the snapshot that ADDED the file (spec field 1)
+    # — a pure-metadata walk over the native history, oldest first
+    added_by: dict[str, int] = {}
+    for s_ in md.snapshots:
+        for f_ in (*s_.data_files, *s_.position_delete_files, *s_.delete_files):
+            added_by.setdefault(f_, s_.snapshot_id)
+
     # ---- manifest file ----------------------------------------------------
     specs = md.partition_specs_json()
     current_spec = next(s for s in specs if s["spec-id"] == len(md.partition_spec_log))
@@ -477,6 +502,7 @@ def export_iceberg_avro(spark: SparkSession, table: Table) -> dict:
         return avro_t["type"] if isinstance(avro_t, dict) else avro_t
 
     total_records = 0
+    added_rows = 0
     n_rows_known = True
     for rel in snap.data_files:
         st = stats.get(rel) or {}
@@ -493,6 +519,8 @@ def export_iceberg_avro(spark: SparkSession, table: Table) -> dict:
 
             rc = _pq.ParquetFile(abs_path).metadata.num_rows
         total_records += int(rc)
+        if _fseq(rel) == snap_seq:
+            added_rows += int(rc)
         lowers, uppers = [], []
         for col, (lo, hi) in sorted((st.get("bounds") or {}).items()):
             fid = ids_by_name.get(col)
@@ -512,10 +540,13 @@ def export_iceberg_avro(spark: SparkSession, table: Table) -> dict:
         ]
         w.append_json(
             {
-                "status": 1,  # ADDED by this (re-sequenced) snapshot
-                "snapshot_id": {"long": snapshot_id},
-                "sequence_number": {"long": 1},
-                "file_sequence_number": {"long": 1},
+                # ADDED at the snapshot's own seq, EXISTING (carried
+                # forward) below it — with its real sequence number and
+                # the snapshot that actually added it
+                "status": 1 if _fseq(rel) == snap_seq else 0,
+                "snapshot_id": {"long": added_by.get(rel, snapshot_id)},
+                "sequence_number": {"long": _fseq(rel)},
+                "file_sequence_number": {"long": _fseq(rel)},
                 "data_file": {
                     "content": 0,
                     "file_path": "file://" + abs_path,
@@ -527,21 +558,50 @@ def export_iceberg_avro(spark: SparkSession, table: Table) -> dict:
                     "lower_bounds": {"array": lowers} if lowers else None,
                     "upper_bounds": {"array": uppers} if uppers else None,
                     "split_offsets": None,
+                    "equality_ids": None,
                     "sort_order_id": None,
                 },
             }
         )
     w.close()
 
-    # ---- positional-delete manifest (content=1) ---------------------------
-    # Our pos-delete parquet stores (file_path, row_index) with Spark's own
-    # _metadata.file_path URI spelling; the export rewrites it to the
-    # spec's (file_path id 2147483546, pos id 2147483545) schema with the
-    # EXPORTED data-file URIs (suffix-mapped), sorted by (file_path, pos)
-    # as the spec requires, parquet field-ids written. Sequence number 2 >
-    # the data's 1, so v2 scoping applies the deletes to every data file.
+    # ---- delete manifest (manifest-list content=1) -------------------------
+    # One deletes manifest carries both kinds, distinguished by
+    # data_file.content: POSITION_DELETES (1) and EQUALITY_DELETES (2).
     delete_manifest_path = None
     n_deleted = 0
+    n_eq_deleted = 0
+    delete_entry_seqs: list[int] = []
+    dw = None
+
+    def _open_delete_manifest():
+        nonlocal delete_manifest_path, dw
+        if dw is not None:
+            return
+        delete_manifest_path = os.path.join(out_dir, f"delete-manifest-{export_id}.avro")
+        dw = _AvroWriter(
+            jvm,
+            manifest_schema_json(part_fields),
+            delete_manifest_path,
+            {
+                "schema": json.dumps(schema_doc),
+                "schema-id": str(md.schema.get("schema-id", 0)),
+                "partition-spec": json.dumps(current_spec["fields"]),
+                "partition-spec-id": str(current_spec["spec-id"]),
+                "format-version": "2",
+                "content": "deletes",
+            },
+        )
+
+    # Positional deletes: our native parquet stores (file_path, row_index)
+    # with Spark's own _metadata.file_path URI spelling; the export rewrites
+    # it to the spec's (file_path id 2147483546, pos id 2147483545) schema
+    # with the EXPORTED data-file URIs (suffix-mapped), sorted by
+    # (file_path, pos) as the spec requires, parquet field-ids written. The
+    # merged file takes the NEWEST native seq among the inputs — pos-deletes
+    # are path-scoped, so raising a delete's seq can never widen its effect
+    # (spec rule: applies to data files with seq <= delete seq, restricted
+    # to the exact paths it names).
     if snap.position_delete_files:
         from pyspark.sql import functions as _F
 
@@ -589,29 +649,18 @@ def export_iceberg_avro(spark: SparkSession, table: Table) -> dict:
         del_files = sorted(_glob.glob(os.path.join(del_dir, "*.parquet")))
         import pyarrow.parquet as _pq2
 
-        delete_manifest_path = os.path.join(out_dir, f"delete-manifest-{export_id}.avro")
-        dw = _AvroWriter(
-            jvm,
-            manifest_schema_json(part_fields),
-            delete_manifest_path,
-            {
-                "schema": json.dumps(schema_doc),
-                "schema-id": str(md.schema.get("schema-id", 0)),
-                "partition-spec": json.dumps(current_spec["fields"]),
-                "partition-spec-id": str(current_spec["spec-id"]),
-                "format-version": "2",
-                "content": "deletes",
-            },
-        )
+        _open_delete_manifest()
+        pos_seq = max(_fseq(f, 2) for f in snap.position_delete_files)
         for dpath in del_files:
             drc = _pq2.ParquetFile(dpath).metadata.num_rows
             n_deleted += int(drc)
+            delete_entry_seqs.append(pos_seq)
             dw.append_json(
                 {
-                    "status": 1,
+                    "status": 1 if pos_seq == snap_seq else 0,
                     "snapshot_id": {"long": snapshot_id},
-                    "sequence_number": {"long": 2},
-                    "file_sequence_number": {"long": 2},
+                    "sequence_number": {"long": pos_seq},
+                    "file_sequence_number": {"long": pos_seq},
                     "data_file": {
                         "content": 1,  # POSITION_DELETES
                         "file_path": "file://" + dpath,
@@ -623,10 +672,82 @@ def export_iceberg_avro(spark: SparkSession, table: Table) -> dict:
                         "lower_bounds": None,
                         "upper_bounds": None,
                         "split_offsets": None,
+                        "equality_ids": None,
                         "sort_order_id": None,
                     },
                 }
             )
+
+    # Equality deletes: each native eq-delete file exports as its own
+    # content=2 entry at its REAL sequence number — eq scoping is STRICT
+    # (delete seq > data seq), so flattening the history would also delete
+    # rows re-inserted after the delete; per-entry seqs carry the exact
+    # native semantics across the interop (this is why the old rewrite
+    # on-ramp existed). The parquet is rewritten with column names resolved
+    # FORWARD through any later renames (files written pre-rename carry the
+    # old spelling) and the current schema's field-ids; equality_ids names
+    # those ids. Driver loop is O(pending delete files) — compaction folds
+    # them, and each file is O(delete keys), never data-proportional.
+    if snap.delete_files:
+        import glob as _glob2
+
+        import pyarrow.parquet as _pq3
+        from pyspark.sql import functions as _F2
+
+        _open_delete_manifest()
+        eq_dir = os.path.join(out_dir, "eq-deletes")
+        prev_fid = spark.conf.get("spark.sql.parquet.fieldId.write.enabled", "false")
+        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        try:
+            for i, rel in enumerate(sorted(snap.delete_files)):
+                seq = _fseq(rel, 2)
+                src_df = spark.read.parquet(store.resolve(rel))
+                eq_ids, cols = [], []
+                for written in src_df.columns:
+                    cur = table.current_name(written, seq)
+                    fid = ids_by_name.get(cur)
+                    if fid is None:
+                        raise ValueError(
+                            f"avro export: equality-delete file {rel!r} keys "
+                            f"on {cur!r}, which is not in the current schema"
+                        )
+                    eq_ids.append(int(fid))
+                    cols.append(
+                        _F2.col(written).alias(
+                            cur, metadata={"parquet.field.id": int(fid)}
+                        )
+                    )
+                one_dir = os.path.join(eq_dir, f"d{i}")
+                src_df.select(cols).coalesce(1).write.mode("overwrite").parquet(one_dir)
+                dpath = sorted(_glob2.glob(os.path.join(one_dir, "*.parquet")))[0]
+                drc = _pq3.ParquetFile(dpath).metadata.num_rows
+                n_eq_deleted += int(drc)
+                delete_entry_seqs.append(seq)
+                dw.append_json(
+                    {
+                        "status": 1 if seq == snap_seq else 0,
+                        "snapshot_id": {"long": added_by.get(rel, snapshot_id)},
+                        "sequence_number": {"long": seq},
+                        "file_sequence_number": {"long": seq},
+                        "data_file": {
+                            "content": 2,  # EQUALITY_DELETES
+                            "file_path": "file://" + dpath,
+                            "file_format": "PARQUET",
+                            "partition": {p["name"]: None for p in part_fields},
+                            "record_count": int(drc),
+                            "file_size_in_bytes": os.path.getsize(dpath),
+                            "null_value_counts": None,
+                            "lower_bounds": None,
+                            "upper_bounds": None,
+                            "split_offsets": None,
+                            "equality_ids": {"array": eq_ids},
+                            "sort_order_id": None,
+                        },
+                    }
+                )
+        finally:
+            spark.conf.set("spark.sql.parquet.fieldId.write.enabled", prev_fid)
+    if dw is not None:
         dw.close()
 
     # ---- manifest list ----------------------------------------------------
@@ -654,14 +775,20 @@ def export_iceberg_avro(spark: SparkSession, table: Table) -> dict:
             "manifest_length": os.path.getsize(manifest_path),
             "partition_spec_id": current_spec["spec-id"],
             "content": 0,
-            "sequence_number": 1,
-            "min_sequence_number": 1,
+            "sequence_number": snap_seq,
+            "min_sequence_number": min(
+                [_fseq(r) for r in snap.data_files], default=1
+            ),
             "added_snapshot_id": snapshot_id,
-            "added_files_count": len(snap.data_files),
-            "existing_files_count": 0,
+            "added_files_count": sum(
+                1 for r in snap.data_files if _fseq(r) == snap_seq
+            ),
+            "existing_files_count": sum(
+                1 for r in snap.data_files if _fseq(r) != snap_seq
+            ),
             "deleted_files_count": 0,
-            "added_rows_count": int(total_records),
-            "existing_rows_count": 0,
+            "added_rows_count": int(added_rows),
+            "existing_rows_count": int(total_records - added_rows),
             "deleted_rows_count": 0,
             "partitions": {"array": summaries} if summaries else None,
             "key_metadata": None,
@@ -674,13 +801,13 @@ def export_iceberg_avro(spark: SparkSession, table: Table) -> dict:
                 "manifest_length": os.path.getsize(delete_manifest_path),
                 "partition_spec_id": current_spec["spec-id"],
                 "content": 1,  # deletes
-                "sequence_number": 2,
-                "min_sequence_number": 2,
+                "sequence_number": max(delete_entry_seqs),
+                "min_sequence_number": min(delete_entry_seqs),
                 "added_snapshot_id": snapshot_id,
-                "added_files_count": 1,
+                "added_files_count": len(delete_entry_seqs),
                 "existing_files_count": 0,
                 "deleted_files_count": 0,
-                "added_rows_count": int(n_deleted),
+                "added_rows_count": int(n_deleted + n_eq_deleted),
                 "existing_rows_count": 0,
                 "deleted_rows_count": 0,
                 "partitions": None,
@@ -695,7 +822,7 @@ def export_iceberg_avro(spark: SparkSession, table: Table) -> dict:
         "format-version": 2,
         "table-uuid": md.table_uuid,
         "location": md.location,
-        "last-sequence-number": 2 if delete_manifest_path is not None else 1,
+        "last-sequence-number": snap_seq,
         "last-updated-ms": now_ms,
         "last-column-id": md._last_column_id(),
         "schemas": [schema_doc],
@@ -712,7 +839,7 @@ def export_iceberg_avro(spark: SparkSession, table: Table) -> dict:
         "snapshots": [
             {
                 "snapshot-id": snapshot_id,
-                "sequence-number": 1,
+                "sequence-number": snap_seq,
                 "timestamp-ms": now_ms,
                 "manifest-list": "file://" + ml_path,
                 "schema-id": int(md.schema.get("schema-id", 0)),
@@ -737,6 +864,7 @@ def export_iceberg_avro(spark: SparkSession, table: Table) -> dict:
         "n_files": len(snap.data_files),
         "total_records": int(total_records),
         "n_position_deletes": int(n_deleted),
+        "n_equality_deletes": int(n_eq_deleted),
         "rows_from_stats": n_rows_known,
     }
 
@@ -946,6 +1074,7 @@ def import_iceberg_avro(spark: SparkSession, catalog, identifier, metadata_json_
 
     data_files: list[str] = []
     exported_delete_files: list[str] = []
+    exported_eq_deletes: list[tuple[str, int, list[int]]] = []
     delete_seq = 2
     file_seqs: dict = {}
     file_partitions: dict = {}
@@ -955,21 +1084,32 @@ def import_iceberg_avro(spark: SparkSession, catalog, identifier, metadata_json_
         mp = mp[len("file://"):] if mp.startswith("file://") else mp
         m_rows, _mm, _ms = read_avro_records(spark, mp)
         if m["content"] == 1:
-            # positional-delete manifest: collect the delete parquet files
+            # deletes manifest: position (content 1) and equality (content
+            # 2) files; each eq entry keeps its OWN sequence number — the
+            # strict delete-seq > data-seq scoping must survive the import
             for e in m_rows:
                 if e["status"] == 2:
                     continue
                 df = e["data_file"]
-                if df["content"] != 1:
-                    raise ValueError(
-                        "avro import: only POSITION_DELETES delete manifests "
-                        "are supported (equality deletes need key-schema "
-                        "translation)"
-                    )
                 path = df["file_path"]
                 path = path[len("file://"):] if path.startswith("file://") else path
-                exported_delete_files.append(path)
-                delete_seq = max(delete_seq, int(e["sequence_number"] or 2))
+                if df["content"] == 1:
+                    exported_delete_files.append(path)
+                    delete_seq = max(delete_seq, int(e["sequence_number"] or 2))
+                elif df["content"] == 2:
+                    eq_ids = [int(i) for i in (df.get("equality_ids") or [])]
+                    if not eq_ids:
+                        raise ValueError(
+                            "avro import: EQUALITY_DELETES entry without "
+                            "equality_ids"
+                        )
+                    exported_eq_deletes.append(
+                        (path, int(e["sequence_number"] or 2), eq_ids)
+                    )
+                else:
+                    raise ValueError(
+                        f"avro import: unknown delete content {df['content']!r}"
+                    )
             continue
         for e in m_rows:
             if e["status"] == 2:
@@ -1085,12 +1225,59 @@ def import_iceberg_avro(spark: SparkSession, catalog, identifier, metadata_json_
             abs_by_rel[rel] = pth
         file_stats.update(collect_file_stats_many(abs_by_rel))
 
+    # rebuild equality deletes natively: each exported content=2 file
+    # becomes its own native eq-delete file AT ITS OWN SEQ (the cohort
+    # reader applies it only to data files strictly below that seq). The
+    # exported parquet already carries current-schema names; equality_ids
+    # is the contract — validate the columns resolve to exactly those ids,
+    # then strip the field-id metadata for the native layout.
+    eq_delete_files: list[str] = []
+    if exported_eq_deletes:
+        from pyspark.sql import functions as _F
+
+        from iceberg_catalog_postgres_spark.catalog.table import (
+            collect_file_stats_many,
+        )
+
+        store_ = catalog.object_store()
+        abs_by_rel = {}
+        for path, seq, eq_ids in sorted(exported_eq_deletes):
+            want_names = [names_by_id[int(i)] for i in eq_ids]
+            raw = spark.read.parquet(path)
+            if sorted(raw.columns) != sorted(want_names):
+                raise ValueError(
+                    f"avro import: equality-delete file columns "
+                    f"{raw.columns!r} do not match equality_ids "
+                    f"{eq_ids!r} -> {want_names!r}"
+                )
+            native = raw.select(
+                [_F.col(c).alias(c, metadata={}) for c in want_names]
+            )
+            rel_dir = posixpath.join(
+                "data.db",
+                identifier.namespace_str.replace(".", "/"),
+                identifier.name,
+                "data",
+                f"eqdel-import-{_uuid.uuid4().hex}",
+            )
+            abs_dir = store_.resolve(rel_dir)
+            native.coalesce(1).write.mode("overwrite").parquet(abs_dir)
+            import glob as _glob
+
+            for pth in sorted(_glob.glob(os.path.join(abs_dir, "*.parquet"))):
+                rel = posixpath.join(rel_dir, os.path.basename(pth))
+                eq_delete_files.append(rel)
+                file_seqs[rel] = int(seq)
+                abs_by_rel[rel] = pth
+        file_stats.update(collect_file_stats_many(abs_by_rel))
+
     snapshot = Snapshot(
         snapshot_id=int(snap_doc["snapshot-id"]),
         timestamp_ms=int(snap_doc.get("timestamp-ms", 0)),
         operation=str((snap_doc.get("summary") or {}).get("operation", "append")),
         data_files=data_files,
         position_delete_files=position_delete_files,
+        delete_files=eq_delete_files,
         sequence_number=max(file_seqs.values(), default=1),
         file_seqs=file_seqs,
         file_partitions=file_partitions,

@@ -2893,8 +2893,14 @@ class Transaction:
         for p in sorted(_glob.glob(_os.path.join(abs_dir, "*.parquet"))):
             rel = posixpath.join(rel_dir, _os.path.basename(p))
             abs_by_rel[rel] = p
+        stats = collect_file_stats_many(abs_by_rel)
+        # drop Spark's schema-only empty part files (same rule as data
+        # appends): a 0-key delete file is manifest noise at scale
+        for rel, st in sorted(stats.items()):
+            if st.get("record_count") == 0:
+                continue
             self._staged_delete_files.append(rel)
-        self._staged_stats.update(collect_file_stats_many(abs_by_rel))
+            self._staged_stats[rel] = st
         return self
 
     def delete_positions_dataframe(self, positions: DataFrame) -> "Transaction":

@@ -313,16 +313,80 @@ def test_mor_positional_deletes_round_trip(catalog, spark, tmp_path):
     finally:
         other.backend.close()
 
-    # equality deletes still refuse, pointing at the on-ramp
+    # equality deletes export DIRECTLY as content=2 entries (r8 third
+    # pass); the rewrite on-ramp still works and yields positional deletes
     t3 = _table(catalog, spark, "eqdel", partition_by=())
     keys = spark.createDataFrame([(1,), (2,)], "k long")
     t3 = t3.new_transaction().delete_keys_dataframe(keys).commit()
-    with pytest.raises(ValueError, match="rewrite_equality_deletes"):
-        export_iceberg_avro(spark, t3)
-    # ... and the on-ramp makes it exportable
-    t3 = rewrite_equality_deletes(spark, t3)
     res3 = export_iceberg_avro(spark, t3)
-    assert res3["n_position_deletes"] == 2
+    assert res3["n_equality_deletes"] == 2 and res3["n_position_deletes"] == 0
+    t3 = rewrite_equality_deletes(spark, t3)
+    res3b = export_iceberg_avro(spark, t3)
+    assert res3b["n_position_deletes"] == 2 and res3b["n_equality_deletes"] == 0
+
+
+def test_equality_deletes_round_trip_with_reinsert(catalog, spark, tmp_path):
+    """The case that made flattened sequence numbers wrong: eq-delete k,
+    then RE-INSERT k. Native strict scoping (delete seq > data seq) keeps
+    the re-inserted row; the export carries per-entry real seqs and
+    equality_ids, and a foreign-catalog import reproduces the exact rows.
+    """
+    from iceberg_catalog_postgres_spark.catalog.avro_export import (
+        import_iceberg_avro,
+        read_avro_records,
+    )
+
+    t = catalog.create_table(TableIdentifier.parse("av.eqrt"), S)
+    rows = [(i, dt.date(2024, 6, 1 + i % 3), f"n{i}") for i in range(10)]
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame(rows, S).coalesce(1)
+    ).commit()                                                  # seq 1
+    keys = spark.createDataFrame([(3,), (4,)], "k long")
+    t = t.new_transaction().delete_keys_dataframe(keys).commit()  # seq 2
+    reinsert = [(3, dt.date(2024, 7, 1), "n3-again")]
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame(reinsert, S).coalesce(1)
+    ).commit()                                                  # seq 3
+    native = sorted(map(tuple, t.to_df(spark).collect()))
+    assert len(native) == 9  # 10 - 2 deleted + 1 re-inserted
+    assert ("n3-again" in {r[2] for r in native})
+
+    res = export_iceberg_avro(spark, t)
+    assert res["n_equality_deletes"] == 2
+
+    # the delete manifest entry is spec-shaped: content=2, equality_ids of
+    # the key column, REAL sequence number 2 (not last-seq)
+    ml_rows, _m, _s = read_avro_records(spark, res["manifest_list"])
+    dls = [m for m in ml_rows if m["content"] == 1]
+    assert len(dls) == 1
+    d_rows, d_meta, _ds = read_avro_records(
+        spark, dls[0]["manifest_path"].removeprefix("file://")
+    )
+    eq_entries = [e for e in d_rows if e["data_file"]["content"] == 2]
+    assert sum(e["data_file"]["record_count"] for e in eq_entries) == 2
+    assert all(e["sequence_number"] == 2 for e in eq_entries)
+    assert all(
+        list(e["data_file"]["equality_ids"]) == [1] for e in eq_entries
+    )  # k's field id
+    # data entries carry real seqs too: 1 (first append) and 3 (re-insert)
+    m_rows, _mm, _ms = read_avro_records(
+        spark,
+        next(m for m in ml_rows if m["content"] == 0)[
+            "manifest_path"
+        ].removeprefix("file://"),
+    )
+    assert sorted(e["sequence_number"] for e in m_rows) == [1, 3]
+
+    other = PostgresCatalog.connect("eqrt_cat", None, str(tmp_path / "eqrt_wh"))
+    other.initialize()
+    try:
+        t2 = import_iceberg_avro(
+            spark, other, TableIdentifier.parse("imp.eqrt"), res["metadata_json"]
+        )
+        imported = sorted(map(tuple, t2.to_df(spark).collect()))
+        assert imported == native, "eq-delete scoping lost across the interop"
+    finally:
+        other.backend.close()
 
 
 def test_export_empty_snapshot_and_no_snapshot(catalog, spark):
