@@ -435,6 +435,69 @@ def catalog_changelog_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "catalog_changelog_multifile_delete",
+    oracle="""
+    SELECT CAST(3 AS BIGINT) AS n_delete_changes,
+           CAST(3 AS BIGINT) AS n_distinct_deleted_keys,
+           CAST(2 AS BIGINT) AS n_delete_files,
+           CAST(2 AS BIGINT) AS files_with_shared_key,
+           CAST((SELECT count(*) FROM nation) - 3 AS BIGINT) AS n_remaining
+    """,
+    tags=("catalog", "cdc", "changelog"),
+)
+def catalog_changelog_multifile_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog dedup when ONE key's delete rows are split across MULTIPLE
+    delete part files of the same snapshot (the r5-ADVICE scenario, made
+    real in r9: two staged delete frames in one transaction, key 0 in
+    both). The per-snapshot replay unions all new delete files per key
+    signature and runs ONE semi-join, so the shared key's 'delete' change
+    is emitted exactly once — not once per file. The oracle pins: 3 delete
+    changes for 3 distinct keys, exactly 2 non-empty delete files, the
+    shared key present in both, and the read path's remaining count.
+
+    Scale: many concurrent delete writers (GDPR purge fan-out) naturally
+    stage overlapping key sets; per-file emission would inflate the CDC
+    stream quadratically with writer count. CDC surface derives from the
+    snapshot model of the reference (mod.rs:296-347).
+    """
+    cat = _fresh("catalog_changelog_multifile")
+    src = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    ident = TableIdentifier.parse("cdc.nation_multifile")
+    table = cat.create_table(ident, src.schema)
+    table = table.new_transaction().append_dataframe(src.coalesce(1)).commit()
+    snap1 = table.metadata.current_snapshot_id
+
+    k1 = spark.createDataFrame([(0,), (1,)], "n_nationkey long").coalesce(1)
+    k2 = spark.createDataFrame([(0,), (2,)], "n_nationkey long").coalesce(1)
+    table = (
+        table.new_transaction()
+        .delete_keys_dataframe(k1)
+        .delete_keys_dataframe(k2)
+        .commit()
+    )
+    snap = table.metadata.current_snapshot()
+    store = cat.object_store()
+    files_with_shared = 0
+    for f in snap.delete_files:
+        rows = {r["n_nationkey"] for r in spark.read.parquet(store.resolve(f)).collect()}
+        if 0 in rows:
+            files_with_shared += 1
+
+    deletes = table.changelog_df(spark, from_snapshot_id=snap1).filter(
+        F.col("_change_type") == "delete"
+    )
+    n_changes = deletes.count()
+    n_keys = deletes.select("n_nationkey").distinct().count()
+    n_remaining = table.to_df(spark).count()
+
+    return spark.createDataFrame(
+        [(n_changes, n_keys, len(snap.delete_files), files_with_shared, n_remaining)],
+        "n_delete_changes long, n_distinct_deleted_keys long, n_delete_files long,"
+        " files_with_shared_key long, n_remaining long",
+    )
+
+
+@register(
     "catalog_time_travel_as_of",
     oracle="""
     SELECT CAST(0 AS BIGINT)  AS n_before_any,

@@ -61,21 +61,41 @@ def test_changelog_delete_emitted_once_for_keys_split_across_files(
     t = t.new_transaction().append_dataframe(src.coalesce(1)).commit()
     from_id = t.metadata.current_snapshot_id
 
-    # key 7 twice + key 3 once, spread over 3 part files so 7's copies land
-    # in different files
-    keys = spark.createDataFrame([(7,), (7,), (3,)], "k long").repartition(3)
-    t = t.new_transaction().delete_keys_dataframe(keys).commit()
-    assert len(t.metadata.current_snapshot().delete_files) > 1
+    # Key 7 staged in TWO separate delete frames of the SAME transaction:
+    # each frame becomes its own non-empty delete part file, so 7's copies
+    # genuinely land in different files (the r8 empty-part-file drop made
+    # the old repartition(3) construction vacuous — round-robin put all
+    # rows in one file and the >1 precondition was met only by the
+    # schema-only empties that are now, correctly, dropped pre-commit).
+    k1 = spark.createDataFrame([(7,), (3,)], "k long").coalesce(1)
+    k2 = spark.createDataFrame([(7,), (5,)], "k long").coalesce(1)
+    t = (
+        t.new_transaction()
+        .delete_keys_dataframe(k1)
+        .delete_keys_dataframe(k2)
+        .commit()
+    )
+    snap = t.metadata.current_snapshot()
+    assert len(snap.delete_files) >= 2
+    # every committed delete file is non-empty, and key 7 appears in >=2
+    store = catalog.object_store()
+    files_with_7 = 0
+    for f in snap.delete_files:
+        rows = [r["k"] for r in spark.read.parquet(store.resolve(f)).collect()]
+        assert len(rows) > 0  # the drop rule keeps only real files
+        if 7 in rows:
+            files_with_7 += 1
+    assert files_with_7 >= 2
 
     changes = t.changelog_df(spark, from_id).filter(
         F.col("_change_type") == "delete"
     )
     got = sorted(r["k"] for r in changes.collect())
-    assert got == [3, 7]  # each removed row exactly once
+    assert got == [3, 5, 7]  # each removed row exactly once
 
     # and the read path agrees on the final state
     remaining = sorted(r["k"] for r in t.to_df(spark).collect())
-    assert remaining == [i for i in range(20) if i not in (3, 7)]
+    assert remaining == [i for i in range(20) if i not in (3, 5, 7)]
 
 
 def test_zorder_write_with_all_null_column_falls_back(catalog, spark):
