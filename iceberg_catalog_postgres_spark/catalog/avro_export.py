@@ -285,6 +285,16 @@ def _partition_value(raw: str | None, result_type: str):
             return (_dt.date.fromisoformat(raw) - _dt.date(1970, 1, 1)).days
     if result_type == "double":
         return float(raw)
+    if result_type in ("timestamp", "timestamptz"):
+        # identity partition over a timestamp column: tuple stores either
+        # epoch-micros or the ISO string form — emit epoch micros
+        try:
+            return int(raw)
+        except ValueError:
+            v = _dt.datetime.fromisoformat(raw.replace("Z", "+00:00"))
+            if v.tzinfo is not None:
+                v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            return (v - _dt.datetime(1970, 1, 1)) // _dt.timedelta(microseconds=1)
     raise ValueError(f"avro export: unsupported partition value type {result_type!r}")
 
 
@@ -401,11 +411,11 @@ def export_iceberg_avro(spark: SparkSession, table: Table) -> dict:
         # before it (their parquet carries the pre-rename name and no
         # field-id keys a foreign name-based reader could resolve through).
         # Files at-or-after every rename's as-of-seq carry current names —
-        # so compact_table / rewrite_small_files is the on-ramp: a full
-        # rewrite moves every current file past the rename boundary and the
-        # table exports without touching the rename history (which older
-        # snapshots still need for time travel). Seq-scoped per file, the
-        # same cohort boundary reads use (r8).
+        # so the on-ramp is rewriting the PRE-RENAME cohort past the
+        # boundary: rewrite_files_before_seq rewrites only those files
+        # (compact_table works too, at full-table cost); the rename history
+        # stays (older snapshots still need it for time travel). Seq-scoped
+        # per file, the same cohort boundary reads use (r8).
         boundary = max(int(r["as-of-seq"]) for r in renames)
         file_seqs = snap.file_seqs or {}
         stale = [
@@ -418,8 +428,10 @@ def export_iceberg_avro(spark: SparkSession, table: Table) -> dict:
                 f"avro export: {len(stale)} current data file(s) predate a "
                 "column rename; their parquet carries pre-rename names "
                 "without Iceberg field-id keys, so a foreign name-based "
-                "reader would misread those cohorts — compact/rewrite first "
-                f"(e.g. {stale[0]!r})"
+                "reader would misread those cohorts — rewrite the cohort "
+                f"first (rewrite_files_before_seq(spark, table, {boundary}) "
+                "rewrites ONLY the pre-rename files; compact_table also "
+                f"works) (e.g. {stale[0]!r})"
             )
     from iceberg_catalog_postgres_spark.catalog.table import _bucket_hash_of
 
@@ -431,6 +443,23 @@ def export_iceberg_avro(spark: SparkSession, table: Table) -> dict:
         )
     part_fields = _partition_fields_for_export(md)
     parts_by_file = md.current_file_partitions()
+    if part_fields and snap.position_delete_files:
+        # Positional delete files must be stored with the same partition
+        # (spec + tuple) as the data files they reference; our native
+        # pos-deletes are path-scoped and partition-agnostic, so under a
+        # PARTITIONED spec a spec-compliant reader would silently skip
+        # them (null-partition deletes match only null-partition data) —
+        # phantom rows. Refuse loudly; materializing the deletes
+        # (compact_table) is the on-ramp. Equality deletes are different:
+        # the spec sanctions them under an unpartitioned spec as GLOBAL
+        # deletes, which is exactly their native semantics here — see the
+        # delete-manifest section.
+        raise ValueError(
+            f"avro export: table is partitioned and has "
+            f"{len(snap.position_delete_files)} pending positional-delete "
+            "file(s); positional deletes cannot be exported partition-"
+            "correctly — compact/materialize deletes first (compact_table)"
+        )
     if part_fields:
         for rel in snap.data_files:
             tup = parts_by_file.get(rel) or {}
@@ -468,12 +497,13 @@ def export_iceberg_avro(spark: SparkSession, table: Table) -> dict:
         + [_fseq(r, 2) for r in snap.delete_files]
         + [1]
     )
-    # EXISTING entries carry the snapshot that ADDED the file (spec field 1)
-    # — a pure-metadata walk over the native history, oldest first
-    added_by: dict[str, int] = {}
-    for s_ in md.snapshots:
-        for f_ in (*s_.data_files, *s_.position_delete_files, *s_.delete_files):
-            added_by.setdefault(f_, s_.snapshot_id)
+    # EXISTING entries would ideally carry the NATIVE snapshot that added
+    # the file (spec field 1), but the exported document contains exactly
+    # ONE snapshot — a strict reader resolving entry snapshot-ids against
+    # the doc would find them dangling (ADVICE r8). Every entry therefore
+    # references the exported snapshot id; the real commit lineage stays
+    # behind in the native metadata, and sequence_number still carries the
+    # true ordering that delete scoping depends on.
 
     # ---- manifest file ----------------------------------------------------
     specs = md.partition_specs_json()
@@ -541,10 +571,11 @@ def export_iceberg_avro(spark: SparkSession, table: Table) -> dict:
         w.append_json(
             {
                 # ADDED at the snapshot's own seq, EXISTING (carried
-                # forward) below it — with its real sequence number and
-                # the snapshot that actually added it
+                # forward) below it — with its real sequence number;
+                # snapshot-id is the exported snapshot's (the only one in
+                # the single-snapshot doc — see the note above)
                 "status": 1 if _fseq(rel) == snap_seq else 0,
-                "snapshot_id": {"long": added_by.get(rel, snapshot_id)},
+                "snapshot_id": {"long": snapshot_id},
                 "sequence_number": {"long": _fseq(rel)},
                 "file_sequence_number": {"long": _fseq(rel)},
                 "data_file": {
@@ -568,10 +599,25 @@ def export_iceberg_avro(spark: SparkSession, table: Table) -> dict:
     # ---- delete manifest (manifest-list content=1) -------------------------
     # One deletes manifest carries both kinds, distinguished by
     # data_file.content: POSITION_DELETES (1) and EQUALITY_DELETES (2).
+    # It is ALWAYS written under an UNPARTITIONED spec: equality deletes
+    # stored with an unpartitioned spec are GLOBAL deletes per the spec —
+    # exactly our native key-based semantics. Under the table's partitioned
+    # spec the entries would carry null partition tuples, which a
+    # spec-compliant reader applies only to null-partition data files
+    # (silently skipping the deletes — ADVICE r8). Positional deletes on a
+    # partitioned table were refused upfront; on an unpartitioned table
+    # this spec IS the current spec.
+    delete_spec = (
+        {"spec-id": current_spec["spec-id"] + 1, "fields": []}
+        if part_fields
+        else current_spec
+    )
     delete_manifest_path = None
     n_deleted = 0
     n_eq_deleted = 0
-    delete_entry_seqs: list[int] = []
+    # (seq, status, rows) per delete-manifest entry — manifest-list counts
+    # are derived from the REAL statuses, not assumed all-added
+    delete_entries: list[tuple[int, int, int]] = []
     dw = None
 
     def _open_delete_manifest():
@@ -581,13 +627,13 @@ def export_iceberg_avro(spark: SparkSession, table: Table) -> dict:
         delete_manifest_path = os.path.join(out_dir, f"delete-manifest-{export_id}.avro")
         dw = _AvroWriter(
             jvm,
-            manifest_schema_json(part_fields),
+            manifest_schema_json([]),
             delete_manifest_path,
             {
                 "schema": json.dumps(schema_doc),
                 "schema-id": str(md.schema.get("schema-id", 0)),
-                "partition-spec": json.dumps(current_spec["fields"]),
-                "partition-spec-id": str(current_spec["spec-id"]),
+                "partition-spec": json.dumps(delete_spec["fields"]),
+                "partition-spec-id": str(delete_spec["spec-id"]),
                 "format-version": "2",
                 "content": "deletes",
             },
@@ -654,10 +700,11 @@ def export_iceberg_avro(spark: SparkSession, table: Table) -> dict:
         for dpath in del_files:
             drc = _pq2.ParquetFile(dpath).metadata.num_rows
             n_deleted += int(drc)
-            delete_entry_seqs.append(pos_seq)
+            pos_status = 1 if pos_seq == snap_seq else 0
+            delete_entries.append((pos_seq, pos_status, int(drc)))
             dw.append_json(
                 {
-                    "status": 1 if pos_seq == snap_seq else 0,
+                    "status": pos_status,
                     "snapshot_id": {"long": snapshot_id},
                     "sequence_number": {"long": pos_seq},
                     "file_sequence_number": {"long": pos_seq},
@@ -665,7 +712,7 @@ def export_iceberg_avro(spark: SparkSession, table: Table) -> dict:
                         "content": 1,  # POSITION_DELETES
                         "file_path": "file://" + dpath,
                         "file_format": "PARQUET",
-                        "partition": {p["name"]: None for p in part_fields},
+                        "partition": {},  # unpartitioned delete spec
                         "record_count": int(drc),
                         "file_size_in_bytes": os.path.getsize(dpath),
                         "null_value_counts": None,
@@ -722,18 +769,21 @@ def export_iceberg_avro(spark: SparkSession, table: Table) -> dict:
                 dpath = sorted(_glob2.glob(os.path.join(one_dir, "*.parquet")))[0]
                 drc = _pq3.ParquetFile(dpath).metadata.num_rows
                 n_eq_deleted += int(drc)
-                delete_entry_seqs.append(seq)
+                eq_status = 1 if seq == snap_seq else 0
+                delete_entries.append((seq, eq_status, int(drc)))
                 dw.append_json(
                     {
-                        "status": 1 if seq == snap_seq else 0,
-                        "snapshot_id": {"long": added_by.get(rel, snapshot_id)},
+                        "status": eq_status,
+                        # the exported doc carries ONE snapshot; referencing
+                        # the native adding snapshot's id would dangle
+                        "snapshot_id": {"long": snapshot_id},
                         "sequence_number": {"long": seq},
                         "file_sequence_number": {"long": seq},
                         "data_file": {
                             "content": 2,  # EQUALITY_DELETES
                             "file_path": "file://" + dpath,
                             "file_format": "PARQUET",
-                            "partition": {p["name"]: None for p in part_fields},
+                            "partition": {},  # unpartitioned delete spec
                             "record_count": int(drc),
                             "file_size_in_bytes": os.path.getsize(dpath),
                             "null_value_counts": None,
@@ -763,9 +813,17 @@ def export_iceberg_avro(spark: SparkSession, table: Table) -> dict:
         s = {"contains_null": any(v is None for v in vals),
              "contains_nan": {"boolean": False},
              "lower_bound": None, "upper_bound": None}
-        enc_t = p["result"] if p["result"] in ("int", "long", "string", "double", "date") else None
+        enc_t = (
+            p["result"]
+            if p["result"]
+            in ("int", "long", "string", "double", "date", "timestamp", "timestamptz")
+            else None
+        )
         if non_null and enc_t:
-            et = "int" if enc_t == "date" else enc_t
+            # _partition_value already yielded epoch-days / epoch-micros ints
+            et = {"date": "int", "timestamp": "long", "timestamptz": "long"}.get(
+                enc_t, enc_t
+            )
             s["lower_bound"] = {"bytes": _jbytes(encode_single_value(min(non_null), et))}
             s["upper_bound"] = {"bytes": _jbytes(encode_single_value(max(non_null), et))}
         summaries.append(s)
@@ -799,16 +857,18 @@ def export_iceberg_avro(spark: SparkSession, table: Table) -> dict:
             {
                 "manifest_path": "file://" + delete_manifest_path,
                 "manifest_length": os.path.getsize(delete_manifest_path),
-                "partition_spec_id": current_spec["spec-id"],
+                "partition_spec_id": delete_spec["spec-id"],
                 "content": 1,  # deletes
-                "sequence_number": max(delete_entry_seqs),
-                "min_sequence_number": min(delete_entry_seqs),
+                "sequence_number": max(s for s, _, _ in delete_entries),
+                "min_sequence_number": min(s for s, _, _ in delete_entries),
                 "added_snapshot_id": snapshot_id,
-                "added_files_count": len(delete_entry_seqs),
-                "existing_files_count": 0,
+                # counts follow each entry's REAL status (ADVICE r8): a
+                # carried-forward EXISTING delete file is not "added"
+                "added_files_count": sum(1 for _, st, _ in delete_entries if st == 1),
+                "existing_files_count": sum(1 for _, st, _ in delete_entries if st == 0),
                 "deleted_files_count": 0,
-                "added_rows_count": int(n_deleted + n_eq_deleted),
-                "existing_rows_count": 0,
+                "added_rows_count": sum(n for _, st, n in delete_entries if st == 1),
+                "existing_rows_count": sum(n for _, st, n in delete_entries if st == 0),
                 "deleted_rows_count": 0,
                 "partitions": None,
                 "key_metadata": None,
@@ -827,7 +887,14 @@ def export_iceberg_avro(spark: SparkSession, table: Table) -> dict:
         "last-column-id": md._last_column_id(),
         "schemas": [schema_doc],
         "current-schema-id": int(md.schema.get("schema-id", 0)),
-        "partition-specs": [current_spec],
+        # the unpartitioned delete spec is listed only when a delete
+        # manifest references it (partitioned table with eq-deletes)
+        "partition-specs": [current_spec]
+        + (
+            [delete_spec]
+            if delete_manifest_path is not None and delete_spec is not current_spec
+            else []
+        ),
         "default-spec-id": current_spec["spec-id"],
         "last-partition-id": max(
             (f["field-id"] for f in current_spec["fields"]), default=999
@@ -1446,4 +1513,113 @@ def catalog_avro_mor_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(imported.count(), int(res["n_position_deletes"]), bool(rows_match))],
         "n_rows long, n_deleted long, rows_match boolean",
+    )
+
+
+@register(
+    "catalog_avro_rename_cohort_export",
+    oracle="""
+    SELECT CAST((SELECT count(*) FROM nation) + 3 AS BIGINT) AS n_rows,
+           true AS refused_before_rewrite,
+           true AS fresh_files_untouched,
+           true AS rows_identical,
+           true AS rename_history_kept
+    """,
+    tags=("catalog", "avro", "manifest", "interop", "rename", "maintenance"),
+)
+def catalog_avro_rename_cohort_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort-scoped export on-ramp for renamed tables (r9): a table whose
+    ORIGINAL cohort predates a column rename refuses to export (pre-rename
+    parquet has no field-id keys a foreign name-based reader could resolve
+    through), but a post-rename cohort is fine — so the on-ramp rewrites
+    ONLY the stale cohort (``rewrite_files_before_seq``), leaving the
+    fresh files byte-identical in place, then exports and re-imports with
+    full row parity and the rename history intact.
+
+    Scale: on a 100 TB table where one old cohort predates a rename, the
+    full ``compact_table`` on-ramp costs a table rewrite; the seq-scoped
+    rewrite costs only the stale cohort — candidate selection is a pure
+    metadata fold over ``file_seqs`` with zero file opens."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructField, StructType
+
+    from iceberg_catalog_postgres_spark.catalog.catalog import TableIdentifier
+    from iceberg_catalog_postgres_spark.catalog.maintenance import (
+        _fresh_catalog,
+        rewrite_files_before_seq,
+    )
+
+    cat = _fresh_catalog("catalog_avro_rename_cohort")
+    src = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    t = cat.create_table(TableIdentifier.parse("avro.ren_src"), src.schema)
+    t = t.new_transaction().append_dataframe(src.coalesce(1)).commit()  # stale cohort
+
+    renamed = StructType(
+        [
+            StructField(
+                "nation_key" if f.name == "n_nationkey" else f.name,
+                f.dataType,
+                f.nullable,
+                f.metadata,
+            )
+            for f in t.schema.fields
+        ]
+    )
+    t = t.commit_schema(renamed)
+    extra = [(900 + i, f"late{i}") for i in range(3)]
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame(extra, t.metadata.spark_schema).coalesce(1)
+    ).commit()  # fresh post-rename cohort
+
+    refused = False
+    try:
+        export_iceberg_avro(spark, t)
+    except ValueError as e:
+        refused = "rename" in str(e)
+
+    store = cat.object_store()
+    boundary = max(int(r["as-of-seq"]) for r in t.column_renames())
+    file_seqs = t.metadata.current_snapshot().file_seqs
+    fresh = [
+        f
+        for f in t.metadata.current_data_files()
+        if int(file_seqs.get(f, 0)) >= boundary
+    ]
+    before = {
+        f: (_os.path.getsize(store.resolve(f)), _os.path.getmtime(store.resolve(f)))
+        for f in fresh
+    }
+    t, _n_rw, _n_kept, _n_new = rewrite_files_before_seq(spark, t, boundary)
+    untouched = all(
+        f in set(t.metadata.current_data_files())
+        and (_os.path.getsize(store.resolve(f)), _os.path.getmtime(store.resolve(f)))
+        == sig
+        for f, sig in before.items()
+    )
+
+    res = export_iceberg_avro(spark, t)
+    t2 = import_iceberg_avro(
+        spark, cat, TableIdentifier.parse("avro.ren_imported"), res["metadata_json"]
+    )
+    imported = t2.to_df(spark)
+    native = t.to_df(spark)
+    rows_identical = (
+        imported.exceptAll(native).count() == 0
+        and native.exceptAll(imported).count() == 0
+        and imported.columns == ["nation_key", "n_name"]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                imported.count(),
+                bool(refused),
+                bool(untouched),
+                bool(rows_identical),
+                bool(len(t.column_renames()) > 0),
+            )
+        ],
+        "n_rows long, refused_before_rewrite boolean, fresh_files_untouched boolean,"
+        " rows_identical boolean, rename_history_kept boolean",
     )

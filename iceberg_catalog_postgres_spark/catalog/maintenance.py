@@ -101,6 +101,64 @@ def rewrite_small_files(
     kept = [rel for rel in snap.data_files if counts[rel] >= threshold]
     if len(small) < 2:
         return table, 0, len(kept), 0  # nothing worth packing
+    return _binpack_rewrite(
+        spark, table, small, kept, counts, target_rows, "rewrite-small-files"
+    )
+
+
+def rewrite_files_before_seq(
+    spark: SparkSession,
+    table: Table,
+    before_seq: int,
+    target_rows: int = 1_000_000,
+) -> tuple[Table, int, int, int]:
+    """Cohort-scoped rewrite: rewrite ONLY current data files whose
+    sequence number is below ``before_seq``; every newer file is carried
+    over byte-identical. The targeted on-ramp for the Avro export's rename
+    refusal (r9): a table where one old cohort predates a column rename
+    does not need a full ``compact_table`` — rewriting just the pre-rename
+    cohort moves those files past the boundary (their parquet gains the
+    CURRENT column names via ``to_df``'s rename resolution), and the
+    untouched 99% of a large table stays in place.
+
+    Candidate selection is a pure metadata fold over ``file_seqs`` — zero
+    file opens. Rewritten rows are read through ``to_df(file_subset=...)``
+    so sequence-scoped MOR deletes are materialized into them, same as
+    ``rewrite_small_files``; kept files keep their delete scoping.
+
+    Returns (table, n_rewritten, n_kept, n_new_files).
+    """
+    snap = table.metadata.current_snapshot()
+    if snap is None:
+        return table, 0, 0, 0
+    file_seqs = snap.file_seqs or {}
+    stale = [r for r in snap.data_files if int(file_seqs.get(r, 0)) < before_seq]
+    kept = [r for r in snap.data_files if r not in set(stale)]
+    if not stale:
+        return table, 0, len(kept), 0
+    counts = {rel: table.record_count(files=[rel]) for rel in stale}
+    return _binpack_rewrite(
+        spark, table, stale, kept, counts, target_rows, "rewrite-before-seq"
+    )
+
+
+def _binpack_rewrite(
+    spark: SparkSession,
+    table: Table,
+    small: list[str],
+    kept: list[str],
+    counts: dict[str, int],
+    target_rows: int,
+    op_detail: str,
+) -> tuple[Table, int, int, int]:
+    """Shared bin-pack rewrite/commit used by ``rewrite_small_files`` and
+    ``rewrite_files_before_seq``: rewrite ``small`` grouped per partition
+    tuple, carry ``kept`` plus all delete files, commit a subset-replace
+    snapshot."""
+    import math as _math
+
+    store = table.catalog.object_store()
+    snap = table.metadata.current_snapshot()
 
     # Bin per partition tuple: rewritten files must stay prunable.
     groups: dict[tuple, list[str]] = {}
@@ -169,7 +227,7 @@ def rewrite_small_files(
             **new_stats,
         },
         summary={
-            "operation-detail": "rewrite-small-files",
+            "operation-detail": op_detail,
             "files-rewritten": str(len(small)),
             "files-kept": str(len(kept)),
             "files-written": str(len(new_files)),

@@ -749,7 +749,17 @@ class TableMetadata:
         from .table import parse_partition_field  # local: avoids cycle at import
 
         ids = {f["name"]: int(f["id"]) for f in self.schema.get("fields", [])}
+        # Assign global partition-field ids for EVERY entry of EVERY spec
+        # up front, independently of source-id resolution: a historical
+        # spec whose source was dropped breaks out of the emission loop
+        # mid-spec, and id assignment inside that loop would shift the ids
+        # of entries in LATER specs between serializations (ADVICE r8) —
+        # violating Iceberg's stable partition-field-id invariant.
         field_ids: dict[str, int] = {}  # entry string -> global partition-field id
+        for spec in [*self.partition_spec_log, self.partition_spec]:
+            for entry in spec:
+                if entry not in field_ids:
+                    field_ids[entry] = 1000 + len(field_ids)
         specs = []
         for spec_id, spec in enumerate([*self.partition_spec_log, self.partition_spec]):
             is_current = spec_id == len(self.partition_spec_log)
@@ -774,8 +784,6 @@ class TableMetadata:
                         )
                     fields = None  # historical spec with a dropped source
                     break
-                if entry not in field_ids:
-                    field_ids[entry] = 1000 + len(field_ids)
                 fields.append(
                     {
                         "source-id": source_id,
@@ -835,9 +843,17 @@ class TableMetadata:
                 # spec-ids are commit-positional; the current spec's id is
                 # its position after the full prior-spec log
                 "default-spec-id": len(self.partition_spec_log),
-                "last-partition-id": max(
-                    (f["field-id"] for sp in specs_json for f in sp["fields"]),
-                    default=999,
+                # highest partition-field id EVER assigned, not the max of
+                # the emitted specs: an omitted historical spec (dropped
+                # source) still consumed ids, and this value must never
+                # decrease across serializations (ADVICE r8)
+                "last-partition-id": 999
+                + len(
+                    {
+                        e
+                        for sp in [*self.partition_spec_log, self.partition_spec]
+                        for e in sp
+                    }
                 ),
                 "sort-orders": self.sort_orders,
                 "default-sort-order-id": self.default_sort_order_id,

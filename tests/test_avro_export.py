@@ -283,7 +283,10 @@ def test_mor_positional_deletes_round_trip(catalog, spark, tmp_path):
         rewrite_equality_deletes,
     )
 
-    t = _table(catalog, spark, "mordel")
+    # unpartitioned: pos-deletes on a PARTITIONED spec are refused (their
+    # partition scoping can't be honored — see
+    # test_partitioned_pos_deletes_refused)
+    t = _table(catalog, spark, "mordel", partition_by=())
     t = delete_where_mor(spark, t, F.col("k") % 7 == 0)  # deletes 6 of 40
     assert t.metadata.current_position_delete_files()
     res = export_iceberg_avro(spark, t)
@@ -323,6 +326,215 @@ def test_mor_positional_deletes_round_trip(catalog, spark, tmp_path):
     t3 = rewrite_equality_deletes(spark, t3)
     res3b = export_iceberg_avro(spark, t3)
     assert res3b["n_position_deletes"] == 2 and res3b["n_equality_deletes"] == 0
+
+
+def test_rename_export_onramp_rewrites_only_stale_cohort(catalog, spark, tmp_path):
+    """r9 targeted on-ramp: a renamed table where only ONE old cohort
+    predates the rename exports after rewrite_files_before_seq rewrites
+    JUST that cohort — the post-rename files are untouched byte-identical,
+    which is the point on a large table where one stale cohort would
+    otherwise force a full compact_table."""
+    import os
+
+    from iceberg_catalog_postgres_spark.catalog.avro_export import (
+        import_iceberg_avro,
+    )
+    from iceberg_catalog_postgres_spark.catalog.maintenance import (
+        rewrite_files_before_seq,
+    )
+
+    t = _table(catalog, spark, "cohort", partition_by=())  # seq 1: 40 rows
+    renamed = StructType(
+        [
+            StructField(
+                "key_id" if f.name == "k" else f.name, f.dataType, f.nullable, f.metadata
+            )
+            for f in S.fields
+        ]
+    )
+    t = t.commit_schema(renamed)
+    post = [(100 + i, dt.date(2024, 9, 1), f"p{i}") for i in range(5)]
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame(post, t.metadata.spark_schema).coalesce(1)
+    ).commit()  # post-rename cohort
+
+    with pytest.raises(ValueError, match="rewrite_files_before_seq"):
+        export_iceberg_avro(spark, t)
+
+    store = catalog.object_store()
+    boundary = max(int(r["as-of-seq"]) for r in t.column_renames())
+    file_seqs = t.metadata.current_snapshot().file_seqs
+    fresh = [
+        f
+        for f in t.metadata.current_data_files()
+        if int(file_seqs.get(f, 0)) >= boundary
+    ]
+    before = {
+        f: (os.path.getsize(store.resolve(f)), os.path.getmtime(store.resolve(f)))
+        for f in fresh
+    }
+
+    t, n_rewritten, n_kept, _n_new = rewrite_files_before_seq(spark, t, boundary)
+    assert n_rewritten > 0 and n_kept == len(fresh)
+    # post-rename files carried over byte-identical, same paths
+    for f, (size, mtime) in before.items():
+        assert f in t.metadata.current_data_files()
+        assert os.path.getsize(store.resolve(f)) == size
+        assert os.path.getmtime(store.resolve(f)) == mtime
+    assert t.column_renames()  # rename history intact for time travel
+
+    res = export_iceberg_avro(spark, t)
+    other = PostgresCatalog.connect("cohort_cat", None, str(tmp_path / "co_wh"))
+    other.initialize()
+    try:
+        t2 = import_iceberg_avro(
+            spark, other, TableIdentifier.parse("imp.cohort"), res["metadata_json"]
+        )
+        a = sorted(map(tuple, t.to_df(spark).collect()))
+        b = sorted(map(tuple, t2.to_df(spark).collect()))
+        assert a == b and len(a) == 45
+        assert t2.to_df(spark).columns[0] == "key_id"
+    finally:
+        other.backend.close()
+
+
+def test_partitioned_eq_deletes_export_global_spec(catalog, spark, tmp_path):
+    """ADVICE r8 (medium): on a PARTITIONED table, pending equality deletes
+    must NOT export with null partition tuples under the partitioned spec
+    (spec-compliant readers apply those only to null-partition data files
+    — phantom rows). The delete manifest is written under an UNPARTITIONED
+    spec entry so the deletes are global, and a foreign-catalog import
+    reproduces the MOR row set."""
+    from iceberg_catalog_postgres_spark.catalog.avro_export import (
+        import_iceberg_avro,
+        read_avro_records,
+    )
+
+    t = _table(catalog, spark, "parteq")  # day(d), bucket(4,k) partitioned
+    keys = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    t = t.new_transaction().delete_keys_dataframe(keys).commit()
+    res = export_iceberg_avro(spark, t)
+    assert res["n_equality_deletes"] == 3
+
+    doc = json.load(open(res["metadata_json"]))
+    specs = {s["spec-id"]: s for s in doc["partition-specs"]}
+    assert len(specs) == 2
+    default_spec = specs[doc["default-spec-id"]]
+    assert len(default_spec["fields"]) == 2  # table spec stays partitioned
+    unpart_id = next(i for i, s in specs.items() if not s["fields"])
+    assert unpart_id != doc["default-spec-id"]
+
+    ml_rows, _m, _s = read_avro_records(spark, res["manifest_list"])
+    dls = [m for m in ml_rows if m["content"] == 1]
+    assert len(dls) == 1 and dls[0]["partition_spec_id"] == unpart_id
+    d_rows, d_meta, _ds = read_avro_records(
+        spark, dls[0]["manifest_path"].removeprefix("file://")
+    )
+    assert d_meta["partition-spec-id"] == str(unpart_id)
+    assert json.loads(d_meta["partition-spec"]) == []
+    assert all(e["data_file"]["partition"] == {} for e in d_rows)
+
+    other = PostgresCatalog.connect("parteq_cat", None, str(tmp_path / "pe_wh"))
+    other.initialize()
+    try:
+        t2 = import_iceberg_avro(
+            spark, other, TableIdentifier.parse("imp.parteq"), res["metadata_json"]
+        )
+        a = sorted(map(tuple, t.to_df(spark).collect()))
+        b = sorted(map(tuple, t2.to_df(spark).collect()))
+        assert a == b and len(a) == 37, "global eq-deletes lost on import"
+    finally:
+        other.backend.close()
+
+
+def test_partitioned_pos_deletes_refused(catalog, spark):
+    """Positional deletes are partition-scoped by spec; our native ones are
+    path-scoped and partition-agnostic, so a partitioned table with
+    pending pos-deletes must refuse loudly (compaction is the on-ramp) —
+    previously this mis-exported silently (ADVICE r8)."""
+    from iceberg_catalog_postgres_spark.catalog.maintenance import (
+        compact_table,
+        delete_where_mor,
+    )
+
+    t = _table(catalog, spark, "partpos")
+    t = delete_where_mor(spark, t, F.col("k") < 3)
+    assert t.metadata.current_position_delete_files()
+    with pytest.raises(ValueError, match="positional-delete"):
+        export_iceberg_avro(spark, t)
+    # on-ramp: compaction materializes the deletes, then export succeeds
+    t = compact_table(spark, t)
+    res = export_iceberg_avro(spark, t)
+    assert res["n_position_deletes"] == 0
+    m_rows, _m, _s = read_avro_records(spark, res["manifest"])
+    assert sum(r["data_file"]["record_count"] for r in m_rows) == 37
+
+
+def test_identity_timestamp_partition_exports(catalog, spark):
+    """ADVICE r8 (low): identity partitioning over a timestamp column
+    passed upfront validation but crashed mid-export in _partition_value;
+    the tuple's value now encodes as epoch-micros."""
+    from pyspark.sql.types import TimestampType
+
+    TS = StructType(
+        [
+            StructField("k", LongType(), True, {FIELD_ID_KEY: 1}),
+            StructField("ts", TimestampType(), True, {FIELD_ID_KEY: 2}),
+        ]
+    )
+    t = catalog.create_table(
+        TableIdentifier.parse("av.tspart"), TS, partition_by=["ts"]
+    )
+    rows = [
+        (i, dt.datetime(2024, 3, 1 + i % 2, 12, 0, 0)) for i in range(6)
+    ]
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame(rows, TS)
+    ).commit()
+    res = export_iceberg_avro(spark, t)
+    m_rows, _m, _s = read_avro_records(spark, res["manifest"])
+    micros = {r["data_file"]["partition"]["ts"] for r in m_rows}
+    want = {
+        int(
+            (dt.datetime(2024, 3, 1 + i, 12) - dt.datetime(1970, 1, 1)).total_seconds()
+        )
+        * 1_000_000
+        for i in range(2)
+    }
+    assert micros == want
+    ml_rows, _mm, _ms = read_avro_records(spark, res["manifest_list"])
+    s_ts = ml_rows[0]["partitions"][0]
+    assert struct.unpack("<q", s_ts["lower_bound"])[0] == min(want)
+    assert struct.unpack("<q", s_ts["upper_bound"])[0] == max(want)
+
+
+def test_existing_entry_counts_and_snapshot_ids(catalog, spark):
+    """ADVICE r8 (low): EXISTING (status 0) delete entries must not count
+    as added in the manifest list, and no entry may reference a snapshot
+    id absent from the single-snapshot exported doc."""
+    from iceberg_catalog_postgres_spark.catalog.avro_export import (
+        read_avro_records,
+    )
+
+    t = _table(catalog, spark, "exist", partition_by=())
+    keys = spark.createDataFrame([(1,), (2,)], "k long").coalesce(1)
+    t = t.new_transaction().delete_keys_dataframe(keys).commit()  # seq 2
+    extra = [(100, dt.date(2024, 8, 1), "late")]
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame(extra, S).coalesce(1)
+    ).commit()  # seq 3 — the eq-delete file becomes EXISTING
+    res = export_iceberg_avro(spark, t)
+
+    doc = json.load(open(res["metadata_json"]))
+    snap_ids = {s["snapshot-id"] for s in doc["snapshots"]}
+    ml_rows, _m, _s = read_avro_records(spark, res["manifest_list"])
+    dl = next(m for m in ml_rows if m["content"] == 1)
+    assert dl["added_files_count"] == 0 and dl["existing_files_count"] == 1
+    assert dl["added_rows_count"] == 0 and dl["existing_rows_count"] == 2
+    for m in ml_rows:
+        mp = m["manifest_path"].removeprefix("file://")
+        for e in read_avro_records(spark, mp)[0]:
+            assert e["snapshot_id"] in snap_ids, "dangling snapshot reference"
 
 
 def test_equality_deletes_round_trip_with_reinsert(catalog, spark, tmp_path):

@@ -262,6 +262,51 @@ def test_partition_spec_history_serializes_all_specs(catalog, spark):
     assert len(_raw_doc(t2)["partition-specs"]) == 3
 
 
+def test_partition_field_ids_stable_after_historical_source_drop(catalog, spark):
+    """Dropping a column that only a HISTORICAL spec partitioned by must not
+    shift the field-ids of entries in later specs (ADVICE r8): ids are
+    assigned for every entry of every spec up front, independently of
+    source resolution, so the omitted spec's entries still consume their
+    ids and last-partition-id never decreases."""
+    from iceberg_catalog_postgres_spark.catalog.metadata import FIELD_ID_KEY
+
+    XS = StructType(
+        [
+            StructField("x", LongType(), True),
+            StructField("y", LongType(), True),
+            StructField("k", LongType(), True),
+        ]
+    )
+    t = catalog.create_table(
+        TableIdentifier.parse("spec.fid_drop"), XS, partition_by=["x", "y"]
+    )
+    t = t.commit_partition_spec(["y"])  # x becomes historical-only
+
+    d_before = _raw_doc(t)
+    specs = {s["spec-id"]: s for s in d_before["partition-specs"]}
+    y_fid_before = next(
+        f["field-id"] for f in specs[1]["fields"] if f["name"] == "y"
+    )
+    assert y_fid_before == 1001  # x took 1000 in spec 0
+    assert d_before["last-partition-id"] == 1001
+
+    # drop x (keep field-id metadata on survivors, as evolution requires)
+    kept = StructType(
+        [f for f in t.schema.fields if f.name != "x"]
+    )
+    assert all(f.metadata and FIELD_ID_KEY in f.metadata for f in kept.fields)
+    t = t.commit_schema(kept)
+
+    d_after = _raw_doc(t)
+    specs_after = {s["spec-id"]: s for s in d_after["partition-specs"]}
+    assert 0 not in specs_after  # historical spec with dropped source omitted
+    y_fid_after = next(
+        f["field-id"] for f in specs_after[1]["fields"] if f["name"] == "y"
+    )
+    assert y_fid_after == y_fid_before, "field-id shifted across a column drop"
+    assert d_after["last-partition-id"] == 1001  # never decreases
+
+
 def test_spec_evolution_no_op_when_unchanged(catalog):
     t = catalog.create_table(
         TableIdentifier.parse("spec.noop"), S, partition_by=["day(d)"]
