@@ -254,6 +254,48 @@ def test_evolution_sequences_read_exactly(fuzz_catalog, spark, ops):
                 f"after {ops}"
             )
 
+    # 4) composed range∩point planning (r9, VERDICT item 5): under the
+    # same random rename/re-add/spec-flip sequences that found the r7 AND
+    # r8 bugs, planned_files_composed must never EXCLUDE a file containing
+    # a matching row — reading ONLY the planned files with the row filter
+    # applied equals the model's filter exactly. The range rides the
+    # current spec source (identity long => monotone); the point
+    # constrains each OTHER current column.
+    from iceberg_catalog_postgres_spark.catalog.table import (
+        parse_partition_field,
+    )
+
+    kind, _p, spec_src = parse_partition_field(t.metadata.partition_spec[0])
+    name_to_id = {n: cid for cid, n in model.cols}
+    if kind == "identity" and spec_src in name_to_id:
+        sid = name_to_id[spec_src]
+        lo, hi = 1, 3
+        for cid, name in model.cols:
+            if cid == 1 or name == spec_src:
+                continue
+            for v in (0, 3):
+                files = t.planned_files_composed(
+                    ranges={spec_src: (lo, hi)}, points={name: v}
+                )
+                n_model = sum(
+                    1
+                    for r in model.rows
+                    if r.get(sid) is not None
+                    and lo <= r[sid] <= hi
+                    and r.get(cid) == v
+                )
+                n_read = (
+                    t.to_df(spark, file_subset=files)
+                    .filter(F.col(spec_src).between(lo, hi) & (F.col(name) == v))
+                    .count()
+                    if files
+                    else 0
+                )
+                assert n_read == n_model, (
+                    f"composed plan {spec_src} in [{lo},{hi}] & {name}={v}: "
+                    f"got {n_read}, want {n_model} after {ops}"
+                )
+
 
 # ---- r8: Avro interop round trip under the SAME evolution state machine ----
 #
