@@ -2278,13 +2278,58 @@ def update_column_ndv(
     if props == dict(md.properties):
         return table  # nothing changed (e.g. all-NULL never-sketched column)
 
+    # Spec `statistics` entry (r9): write the sketches into a REAL Puffin
+    # sidecar (one HLL blob per analyzed column, spec-style `ndv` blob
+    # property) and reference it from the document's top-level statistics
+    # field — the surface a foreign CBO reads; the ndv.* properties stay
+    # as the engine-native mirror. One entry, replaced per ANALYZE run.
+    from iceberg_catalog_postgres_spark.catalog.puffin import write_puffin
+
+    store = table.catalog.object_store()
+    ids_by_name = {f["name"]: int(f["id"]) for f in md.schema.get("fields", [])}
+    blobs = []
+    for k in sorted(props):
+        if not k.startswith("ndv.sketch."):
+            continue
+        col = k[len("ndv.sketch."):]
+        if col not in ids_by_name:
+            continue  # sketched under a name no longer in the schema
+        blobs.append(
+            {
+                "type": "apache-datasketches-hll-v1",
+                "fields": [ids_by_name[col]],
+                "snapshot-id": snap.snapshot_id,
+                "sequence-number": snap.sequence_number,
+                "payload": base64.b64decode(props[k]),
+                "properties": {"ndv": str(props.get(f"ndv.estimate.{col}", ""))},
+            }
+        )
+    statistics = md.statistics
+    if blobs:
+        puffin_rel = posixpath.join(
+            md.location, "metadata", f"ndv-{_uuid.uuid4().hex}.stats.puffin"
+        )
+        file_size, footer_size, blob_meta = write_puffin(
+            store.resolve(puffin_rel),
+            blobs,
+            {"created-by": "iceberg-catalog-postgres-spark"},
+        )
+        statistics = [
+            {
+                "snapshot-id": snap.snapshot_id,
+                "statistics-path": puffin_rel,
+                "file-size-in-bytes": file_size,
+                "file-footer-size-in-bytes": footer_size,
+                "blob-metadata": blob_meta,
+            }
+        ]
+
     # every commit path appends the superseded doc to metadata-log so the
     # pointer history stays walkable (catalog_metadata_log_history) — NDV
     # commits included (pre-r8 they left silent gaps)
-    new_md = _dc_replace(md, properties=props).with_log_entry(
+    new_md = _dc_replace(md, properties=props, statistics=statistics).with_log_entry(
         table.metadata_location(), md.last_updated_ms
     )
-    store = table.catalog.object_store()
     new_location = posixpath.join(
         md.location, "metadata", f"ndv-{_uuid.uuid4().hex}.metadata.json"
     )

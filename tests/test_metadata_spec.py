@@ -91,6 +91,7 @@ REQUIRED_V2_FIELDS = {
     "snapshots": list,
     "snapshot-log": list,
     "refs": dict,
+    "statistics": list,
 }
 
 
@@ -348,6 +349,71 @@ def test_sorted_write_registers_sort_order(catalog, spark):
     # describes the table's write distribution, not the last commit)
     t = t.new_transaction().append_dataframe(df).commit()
     assert _raw_doc(t)["default-sort-order-id"] == 2
+
+
+def test_ndv_analyze_writes_puffin_statistics(catalog, spark):
+    """r9 (VERDICT item 3): update_column_ndv must expose its sketches in
+    the document's top-level ``statistics`` as a REAL Puffin sidecar —
+    magic/footer-valid, one HLL blob per analyzed column with the
+    spec-style ``ndv`` property, field ids resolved, sizes recorded —
+    and replace the entry (not stack them) on re-ANALYZE."""
+    from iceberg_catalog_postgres_spark.catalog.maintenance import (
+        column_ndv,
+        update_column_ndv,
+    )
+    from iceberg_catalog_postgres_spark.catalog.puffin import read_puffin
+
+    t = catalog.create_table(TableIdentifier.parse("spec.puffin"), S)
+    rows = [(i % 17, dt.date(2024, 1, 1 + i % 3), f"n{i % 5}") for i in range(60)]
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame(rows, S).coalesce(1)
+    ).commit()
+    t = update_column_ndv(spark, t, ["k", "name"])
+
+    d = _raw_doc(t)
+    assert len(d["statistics"]) == 1
+    entry = d["statistics"][0]
+    assert entry["snapshot-id"] == t.metadata.current_snapshot_id
+    store = t.catalog.object_store()
+    path = store.resolve(entry["statistics-path"])
+    import os
+
+    assert os.path.getsize(path) == entry["file-size-in-bytes"]
+
+    blobs, props, payloads = read_puffin(path)
+    assert blobs == entry["blob-metadata"]  # doc mirrors the footer exactly
+    ids = {f["name"]: int(f["id"]) for f in d["schema"]["fields"]}
+    by_field = {b["fields"][0]: (i, b) for i, b in enumerate(blobs)}
+    assert set(by_field) == {ids["k"], ids["name"]}
+    for col in ("k", "name"):
+        i, b = by_field[ids[col]]
+        assert b["type"] == "apache-datasketches-hll-v1"
+        assert int(b["properties"]["ndv"]) == column_ndv(t, col)
+        assert len(payloads[i]) == b["length"] > 0
+        # the blob payload IS the live sketch: estimating it in Spark
+        # reproduces the stored ndv (the bytes survived the round trip)
+        est = (
+            spark.range(1)
+            .select(F_mod.hll_sketch_estimate(F_mod.lit(bytes(payloads[i]))))
+            .first()[0]
+        )
+        assert int(est) == column_ndv(t, col)
+
+    # re-ANALYZE after an append: entry replaced, not stacked
+    extra = [(1000 + i, dt.date(2024, 2, 1), "fresh") for i in range(5)]
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame(extra, S).coalesce(1)
+    ).commit()
+    t = update_column_ndv(spark, t, ["k"])
+    d2 = _raw_doc(t)
+    assert len(d2["statistics"]) == 1
+    assert d2["statistics"][0]["statistics-path"] != entry["statistics-path"]
+    assert d2["statistics"][0]["snapshot-id"] == t.metadata.current_snapshot_id
+    # round-trip: statistics survive from_json
+    back = TableMetadata.from_json(
+        store.get(t.metadata_location()).decode()
+    )
+    assert back.statistics == d2["statistics"]
 
 
 def test_zorder_write_records_property_not_sort_order(catalog, spark):
