@@ -392,3 +392,132 @@ def agg_hll_partitioned_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_lang.unionByName(glob).orderBy("scope")
+
+
+def _final_adaptive_metrics(df: DataFrame, node_substr: str) -> list[dict]:
+    """SQL metric values from every node of the FINAL adaptive plan whose
+    name contains ``node_substr`` (py4j walk, incl. QueryStage subtrees) —
+    the same walk tests/test_aqe_skew.py certifies with."""
+    plan = df._jdf.queryExecution().executedPlan()
+    if plan.nodeName() == "AdaptiveSparkPlan":
+        plan = plan.executedPlan()
+    found: list[dict] = []
+
+    def walk(node):
+        if node_substr in node.nodeName():
+            metrics = {}
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                metrics[kv._1()] = kv._2().value()
+            found.append(metrics)
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+        if node.nodeName().endswith("QueryStage"):
+            walk(node.plan())
+
+    walk(plan)
+    return found
+
+
+_AQE_SKEW_CONFS = {
+    "spark.sql.autoBroadcastJoinThreshold": "-1",  # force a shuffle join
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # local data is MBs, not the prod-default 256MB threshold — scale the
+    # knobs down so the same code path fires (at a real 1000-executor
+    # deployment these stay at defaults)
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1m",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256k",
+}
+
+
+@register(
+    "skew_aqe_auto_split",
+    oracle="""
+    SELECT CAST(600000 AS BIGINT)   AS n_rows,
+           CAST(10100000 AS BIGINT) AS sum_v,
+           true AS skew_detected,
+           true AS hot_partition_split,
+           true AS uniform_control_clean
+    """,
+    tags=("scale", "skew", "aqe"),
+)
+def skew_aqe_auto_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE automatic skew-join split under the oracle gate (r9, VERDICT
+    item 6 — promoting tests/test_aqe_skew.py's certification to a driver
+    row): a synthetic hot-key join (key 0 carries ~83% of 600k rows) runs
+    as a sort-merge join under lowered skew thresholds, and the FINAL
+    adaptive plan's AQEShuffleRead metrics must report >=1 skewed
+    partition split into >1 read — with the exact aggregate unchanged. A
+    uniform join under the SAME knobs must report zero skew handling (the
+    control proves the metric measures the split, not the conf).
+
+    Scale: this automatic path — not the manual salted join
+    (skew_salted_join) — is what keeps a 100x-organic-skew join's
+    straggler task from running 400x longer than the median on a real
+    cluster, where the thresholds stay at their 256MB defaults."""
+    saved: dict[str, str | None] = {}
+    for k, v in _AQE_SKEW_CONFS.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        hot, spread, n_keys = 500_000, 100_000, 100
+        left = spark.range(hot + spread).select(
+            F.when(F.col("id") < hot, F.lit(0))
+            .otherwise((F.col("id") % n_keys) + 1)
+            .alias("k"),
+            # ~80-byte payload so the hot partition clears the lowered 1 MB
+            # skew threshold
+            F.concat(F.lit("x" * 72), F.col("id").cast("string")).alias("payload"),
+        )
+        right = spark.range(n_keys + 1).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        # the payload term keeps the column alive through the shuffle —
+        # without it Catalyst prunes payload pre-exchange and the hot
+        # partition never clears the byte threshold
+        agg = left.join(right, "k").agg(
+            F.count("*").alias("n"),
+            F.sum("v").alias("sv"),
+            F.sum(F.length("payload")).alias("sp"),
+        )
+        [row] = agg.collect()
+        reads = _final_adaptive_metrics(agg, "AQEShuffleRead")
+        skewed_parts = sum(int(m.get("numSkewedPartitions", 0)) for m in reads)
+        skewed_splits = sum(int(m.get("numSkewedSplits", 0)) for m in reads)
+
+        # control: uniform keys, same knobs — zero skew handling
+        u_left = spark.range(200_000).select(
+            (F.col("id") % 64).alias("k"),
+            F.concat(F.lit("x" * 72), F.col("id").cast("string")).alias("payload"),
+        )
+        u_agg = u_left.join(right.limit(64), "k").agg(F.count("*").alias("n"))
+        u_agg.collect()
+        u_reads = _final_adaptive_metrics(u_agg, "AQEShuffleRead")
+        u_skewed = sum(int(m.get("numSkewedPartitions", 0)) for m in u_reads)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    return spark.createDataFrame(
+        [
+            (
+                int(row["n"]),
+                int(row["sv"]),
+                bool(skewed_parts >= 1),
+                bool(skewed_splits > 1),
+                bool(u_skewed == 0),
+            )
+        ],
+        "n_rows long, sum_v long, skew_detected boolean,"
+        " hot_partition_split boolean, uniform_control_clean boolean",
+    )
