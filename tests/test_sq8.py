@@ -18,3 +18,26 @@ def test_sq8_recall_floor_both_scales(spark):
         )
         assert r.bytes_per_vec == 68
     assert rows[2].corpus_n == 2 * rows[1].corpus_n
+
+
+def test_ivfsq8_recall_floor_and_candidate_fraction(spark):
+    """IVF+SQ8 (r9): recall floor at both scales, and the partitioner's
+    scale story — candidates/query stays ~flat as the corpus doubles
+    (k doubles with it), so the scanned fraction HALVES."""
+    from iceberg_catalog_postgres_spark.llm.sq8 import sim_ann_ivfsq8_recall
+
+    rows = {r.scale_x: r for r in sim_ann_ivfsq8_recall(
+        spark, "/root/testdata/sf0.001"
+    ).collect()}
+    assert set(rows) == {1, 2}
+    for sx, r in rows.items():
+        # nprobe=2 IVF misses are expected; 0.8 is the measured floor with
+        # margin (0.84-0.96 across sf0.001/sf0.01 at both scales)
+        assert r.recall_at_k >= 0.8, (
+            f"IVF+SQ8 recall collapsed at {sx}x: {r.recall_at_k}"
+        )
+        # the ADC never scans the whole corpus: candidate fraction < 1/2
+        assert r.avg_candidates < r.corpus_n / 2
+    assert rows[2].corpus_n == 2 * rows[1].corpus_n
+    # flat candidates at 2x data => scan fraction halves
+    assert rows[2].avg_candidates < 1.5 * rows[1].avg_candidates
