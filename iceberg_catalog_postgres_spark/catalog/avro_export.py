@@ -467,7 +467,8 @@ def export_iceberg_avro(spark: SparkSession, table: Table) -> dict:
                 raise ValueError(
                     f"avro export: data file {rel!r} lacks a complete "
                     "current-spec partition tuple (spec evolution) — "
-                    "rewrite first"
+                    "rewrite_files_to_current_spec(spark, table) re-tuples "
+                    "only the old-spec cohorts (compact_table also works)"
                 )
 
     store = table.catalog.object_store()
@@ -1622,4 +1623,113 @@ def catalog_avro_rename_cohort_export(spark: SparkSession, sf_dir: str) -> DataF
         ],
         "n_rows long, refused_before_rewrite boolean, fresh_files_untouched boolean,"
         " rows_identical boolean, rename_history_kept boolean",
+    )
+
+
+@register(
+    "catalog_spec_evolution_retuple_export",
+    oracle="""
+    SELECT CAST((SELECT count(*) FROM nation) AS BIGINT) AS n_rows,
+           true AS refused_before_retuple,
+           true AS fresh_files_untouched,
+           true AS all_files_tupled,
+           CAST((SELECT count(*) FROM nation WHERE n_regionkey = 2) AS BIGINT)
+               AS n_region2_pruned,
+           true AS rows_identical
+    """,
+    tags=("catalog", "avro", "interop", "spec-evolution", "maintenance"),
+)
+def catalog_spec_evolution_retuple_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spec-evolution export on-ramp under the oracle gate (r9): a table
+    whose original cohort was written under an OLDER partition spec lacks
+    current-spec tuples, so the Avro export refuses;
+    ``rewrite_files_to_current_spec`` re-tuples ONLY that cohort (new-spec
+    files stay byte-identical), after which (a) every current file carries
+    a complete current-spec tuple, (b) partition-filtered reads prune and
+    return exact counts across both cohorts, and (c) the export import
+    round-trips with full row parity.
+
+    Scale: the re-tuple candidate fold is pure metadata (zero file opens);
+    only the old-spec sliver is rewritten, not the table."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from iceberg_catalog_postgres_spark.catalog.catalog import TableIdentifier
+    from iceberg_catalog_postgres_spark.catalog.maintenance import (
+        _fresh_catalog,
+        rewrite_files_to_current_spec,
+    )
+
+    cat = _fresh_catalog("catalog_spec_retuple")
+    src = load(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey", "n_name")
+    t = cat.create_table(
+        TableIdentifier.parse("avro.respec_src"),
+        src.schema,
+        partition_by=["bucket(4,n_nationkey)"],
+    )
+    half_a = src.filter(F.col("n_nationkey") < 12)
+    half_b = src.filter(F.col("n_nationkey") >= 12)
+    t = t.new_transaction().append_dataframe(half_a.coalesce(1)).commit()  # old spec
+    t = t.commit_partition_spec(["n_regionkey"])
+    t = t.new_transaction().append_dataframe(half_b.coalesce(1)).commit()  # new spec
+
+    refused = False
+    try:
+        export_iceberg_avro(spark, t)
+    except ValueError as e:
+        refused = "partition tuple" in str(e)
+
+    store = cat.object_store()
+    parts = t.metadata.current_file_partitions()
+    fresh = [
+        f
+        for f in t.metadata.current_data_files()
+        if "n_regionkey" in (parts.get(f) or {})
+    ]
+    before = {
+        f: (_os.path.getsize(store.resolve(f)), _os.path.getmtime(store.resolve(f)))
+        for f in fresh
+    }
+    t, _n_rw, _n_kept, _n_new = rewrite_files_to_current_spec(spark, t)
+    untouched = all(
+        f in set(t.metadata.current_data_files())
+        and (_os.path.getsize(store.resolve(f)), _os.path.getmtime(store.resolve(f)))
+        == sig
+        for f, sig in before.items()
+    )
+    parts2 = t.metadata.current_file_partitions()
+    all_tupled = all(
+        "n_regionkey" in (parts2.get(f) or {})
+        for f in t.metadata.current_data_files()
+    )
+    n_region2 = (
+        t.to_df(spark, partition_filter={"n_regionkey": 2})
+        .filter(F.col("n_regionkey") == 2)
+        .count()
+    )
+
+    res = export_iceberg_avro(spark, t)
+    t2 = import_iceberg_avro(
+        spark, cat, TableIdentifier.parse("avro.respec_imported"), res["metadata_json"]
+    )
+    imported = t2.to_df(spark)
+    native = t.to_df(spark)
+    rows_identical = (
+        imported.exceptAll(native).count() == 0
+        and native.exceptAll(imported).count() == 0
+    )
+    return spark.createDataFrame(
+        [
+            (
+                imported.count(),
+                bool(refused),
+                bool(untouched),
+                bool(all_tupled),
+                int(n_region2),
+                bool(rows_identical),
+            )
+        ],
+        "n_rows long, refused_before_retuple boolean, fresh_files_untouched boolean,"
+        " all_files_tupled boolean, n_region2_pruned long, rows_identical boolean",
     )

@@ -142,6 +142,61 @@ def rewrite_files_before_seq(
     )
 
 
+def rewrite_files_to_current_spec(
+    spark: SparkSession, table: Table
+) -> tuple[Table, int, int, int]:
+    """Re-tuple on-ramp for partition-spec evolution (r9): rewrite ONLY the
+    current data files whose partition tuple is missing any CURRENT-spec
+    entry (cohorts written under an older spec), writing them through the
+    same shadow-``partitionBy`` path as appends so every new file carries a
+    complete current-spec tuple; files already tupled under the current
+    spec are carried over byte-identical. This unblocks the Avro export's
+    "incomplete spec tuple" refusal — and composed/point pruning — without
+    a full ``compact_table`` on a table where one old-spec cohort is a
+    sliver of the data.
+
+    Candidate selection is a pure metadata fold over
+    ``current_file_partitions`` — zero file opens. The rewrite reads its
+    input through ``to_df(file_subset=...)`` so seq-scoped MOR deletes are
+    materialized into the rewritten rows, same contract as the other
+    cohort rewrites.
+
+    Returns (table, n_rewritten, n_kept, n_new_files).
+    """
+    import uuid as _uuid
+
+    from iceberg_catalog_postgres_spark.catalog.table import (
+        write_dataframe_partitioned,
+    )
+
+    md = table.metadata
+    snap = md.current_snapshot()
+    if snap is None:
+        return table, 0, 0, 0
+    spec = md.partition_spec
+    if not spec:
+        return table, 0, len(snap.data_files), 0
+    parts = md.current_file_partitions()
+    stale = [
+        r
+        for r in snap.data_files
+        if any(e not in (parts.get(r) or {}) for e in spec)
+    ]
+    kept = [r for r in snap.data_files if r not in set(stale)]
+    if not stale:
+        return table, 0, len(kept), 0
+
+    store = table.catalog.object_store()
+    out_df = table.to_df(spark, file_subset=stale)
+    rel_dir = posixpath.join(md.location, "data", f"respec-{_uuid.uuid4().hex}")
+    new_files, new_parts, _abs = write_dataframe_partitioned(
+        out_df, md, rel_dir, store.resolve(rel_dir)
+    )
+    return _commit_subset_replace(
+        table, stale, kept, new_files, new_parts, "rewrite-to-current-spec"
+    )
+
+
 def _binpack_rewrite(
     spark: SparkSession,
     table: Table,
@@ -190,6 +245,26 @@ def _binpack_rewrite(
             if key:
                 new_parts[rel] = dict(key)
 
+    return _commit_subset_replace(
+        table, small, kept, new_files, new_parts, op_detail
+    )
+
+
+def _commit_subset_replace(
+    table: Table,
+    rewritten: list[str],
+    kept: list[str],
+    new_files: list[str],
+    new_parts: dict[str, dict],
+    op_detail: str,
+) -> tuple[Table, int, int, int]:
+    """Commit a subset-replace snapshot: ``rewritten`` leave the file set,
+    ``new_files`` (with their partition tuples) join it, ``kept`` and all
+    delete files carry over untouched. Shared by every cohort-rewrite
+    path."""
+    import posixpath as _pp
+    import uuid as _uuid
+
     from iceberg_catalog_postgres_spark.catalog.metadata import (
         Snapshot,
         new_snapshot_id,
@@ -198,6 +273,9 @@ def _binpack_rewrite(
     from iceberg_catalog_postgres_spark.catalog.table import collect_file_stats_many
 
     import time as _time
+
+    store = table.catalog.object_store()
+    snap = table.metadata.current_snapshot()
 
     new_stats = collect_file_stats_many({rel: store.resolve(rel) for rel in new_files})
     next_seq = table.metadata.next_sequence_number()
@@ -228,7 +306,7 @@ def _binpack_rewrite(
         },
         summary={
             "operation-detail": op_detail,
-            "files-rewritten": str(len(small)),
+            "files-rewritten": str(len(rewritten)),
             "files-kept": str(len(kept)),
             "files-written": str(len(new_files)),
         },
@@ -246,7 +324,7 @@ def _binpack_rewrite(
     committed = table.catalog.update_table(
         table.identifier, new_location, table.metadata_location()
     )
-    return committed, len(small), len(kept), len(new_files)
+    return committed, len(rewritten), len(kept), len(new_files)
 
 
 def delete_where_mor(spark: SparkSession, table: Table, condition) -> Table:

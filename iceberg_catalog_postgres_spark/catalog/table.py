@@ -780,6 +780,66 @@ def _ensure_stats_friendly_writes(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
 
 
+def write_dataframe_partitioned(
+    df: DataFrame, md, rel_dir: str, abs_dir: str
+) -> tuple[list[str], dict[str, dict], dict[str, str]]:
+    """Write ``df`` as parquet under the CURRENT partition spec's shadow
+    ``partitionBy`` (the same hive-path tuple recording the transaction
+    append path uses, table.py ``append_dataframe``), so every written
+    file carries a complete current-spec partition tuple. Returns
+    (new rel files, partition tuples by rel, abs path by rel). Used by
+    maintenance rewrites that must RE-TUPLE old-spec cohorts
+    (``rewrite_files_to_current_spec``)."""
+    import glob as _glob
+    import os as _os
+    import re as _re2
+    import urllib.parse as _up
+
+    _ensure_stats_friendly_writes(df.sparkSession)
+    spec = md.partition_spec
+    new_files: list[str] = []
+    partitions: dict[str, dict] = {}
+    abs_by_rel: dict[str, str] = {}
+    if not spec:
+        df.write.mode("overwrite").parquet(abs_dir)
+        for p in sorted(_glob.glob(_os.path.join(abs_dir, "*.parquet"))):
+            rel = posixpath.join(rel_dir, _os.path.basename(p))
+            new_files.append(rel)
+            abs_by_rel[rel] = p
+        return new_files, partitions, abs_by_rel
+
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+
+    def _shadow_name(entry: str) -> str:
+        return "__p_" + _re2.sub(r"[^A-Za-z0-9_]", "_", entry)
+
+    shadow_to_entry = {_shadow_name(e): e for e in spec}
+    _bh = _bucket_hash_of(md)
+    aug = df
+    for e in spec:
+        col = parse_partition_field(e)[2]
+        aug = aug.withColumn(
+            _shadow_name(e), transform_column(e, dtypes.get(col), bucket_hash=_bh)
+        )
+    aug.write.mode("overwrite").partitionBy(
+        *[_shadow_name(e) for e in spec]
+    ).parquet(abs_dir)
+    for p in sorted(_glob.glob(_os.path.join(abs_dir, *["*"] * len(spec), "*.parquet"))):
+        rel = posixpath.join(rel_dir, _os.path.relpath(p, abs_dir))
+        tuple_vals = {}
+        for seg in _os.path.relpath(p, abs_dir).split(_os.sep)[:-1]:
+            k, _, v = seg.partition("=")
+            entry = shadow_to_entry.get(
+                k, k[len("__p_"):] if k.startswith("__p_") else k
+            )
+            val = _up.unquote(v)
+            tuple_vals[entry] = None if val == "__HIVE_DEFAULT_PARTITION__" else val
+        partitions[rel] = tuple_vals
+        abs_by_rel[rel] = p
+        new_files.append(rel)
+    return new_files, partitions, abs_by_rel
+
+
 class TableBuilder:
     """Staged create (mod.rs:349-357): holds location + schema until
     ``commit`` writes metadata v1 and registers the pointer."""

@@ -398,6 +398,85 @@ def test_rename_export_onramp_rewrites_only_stale_cohort(catalog, spark, tmp_pat
         other.backend.close()
 
 
+def test_spec_evolution_export_onramp_retuples_only_old_cohort(
+    catalog, spark, tmp_path
+):
+    """r9: the 'incomplete spec tuple' refusal's targeted on-ramp —
+    rewrite_files_to_current_spec re-tuples ONLY the old-spec cohorts
+    (writing through the append path's shadow partitionBy so new files
+    carry full current-spec tuples); current-spec files stay
+    byte-identical, pruning works on the re-tupled files, and the export
+    round-trips."""
+    import os
+
+    from iceberg_catalog_postgres_spark.catalog.avro_export import (
+        import_iceberg_avro,
+    )
+    from iceberg_catalog_postgres_spark.catalog.maintenance import (
+        rewrite_files_to_current_spec,
+    )
+
+    t = _table(catalog, spark, "respec", partition_by=("bucket(4,k)",))
+    t = t.commit_partition_spec(["day(d)"])
+    post = [(100 + i, dt.date(2024, 4, 1 + i % 2), f"x{i}") for i in range(6)]
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame(post, S).coalesce(1)
+    ).commit()  # new-spec cohort (day(d) tuples)
+
+    with pytest.raises(ValueError, match="rewrite_files_to_current_spec"):
+        export_iceberg_avro(spark, t)
+
+    store = catalog.object_store()
+    parts = t.metadata.current_file_partitions()
+    fresh = [
+        f
+        for f in t.metadata.current_data_files()
+        if "day(d)" in (parts.get(f) or {})
+    ]
+    assert fresh  # the post-evolution cohort is already tupled
+    before = {
+        f: (os.path.getsize(store.resolve(f)), os.path.getmtime(store.resolve(f)))
+        for f in fresh
+    }
+
+    t, n_rewritten, n_kept, n_new = rewrite_files_to_current_spec(spark, t)
+    assert n_rewritten > 0 and n_kept == len(fresh) and n_new > 0
+    for f, sig in before.items():
+        assert f in t.metadata.current_data_files()
+        assert (
+            os.path.getsize(store.resolve(f)),
+            os.path.getmtime(store.resolve(f)),
+        ) == sig
+    # every current file now carries a complete current-spec tuple...
+    parts2 = t.metadata.current_file_partitions()
+    assert all(
+        "day(d)" in (parts2.get(f) or {}) for f in t.metadata.current_data_files()
+    )
+    # ...and partition pruning works across BOTH cohorts
+    n_apr1 = (
+        t.to_df(spark, transformed_filter={"d": dt.datetime(2024, 4, 1)})
+        .filter(F.col("d") == dt.date(2024, 4, 1))
+        .count()
+    )
+    assert n_apr1 == 3  # x0, x2, x4
+    # idempotent: nothing left to re-tuple
+    t2, n2, _k2, _n2 = rewrite_files_to_current_spec(spark, t)
+    assert n2 == 0 and t2.metadata_location() == t.metadata_location()
+
+    res = export_iceberg_avro(spark, t)
+    other = PostgresCatalog.connect("respec_cat", None, str(tmp_path / "rs_wh"))
+    other.initialize()
+    try:
+        timp = import_iceberg_avro(
+            spark, other, TableIdentifier.parse("imp.respec"), res["metadata_json"]
+        )
+        a = sorted(map(tuple, t.to_df(spark).collect()))
+        b = sorted(map(tuple, timp.to_df(spark).collect()))
+        assert a == b and len(a) == 46
+    finally:
+        other.backend.close()
+
+
 def test_partitioned_eq_deletes_export_global_spec(catalog, spark, tmp_path):
     """ADVICE r8 (medium): on a PARTITIONED table, pending equality deletes
     must NOT export with null partition tuples under the partitioned spec
