@@ -375,15 +375,34 @@ def test_avro_round_trip_under_evolution(fuzz_catalog, spark, ops):
             export_iceberg_avro(spark, t)
         return
 
-    # eq-deletes export DIRECTLY (content=2, per-entry real seqs); the only
-    # remaining on-ramp is compaction for the seq-scoped refusals
-    # (stale-name files, incomplete spec tuples). Exercise the rewrite
-    # on-ramp too, on half the examples, so both delete encodings round-trip.
+    # eq-deletes export DIRECTLY (content=2, per-entry real seqs). Exercise
+    # the rewrite on-ramp too, on half the examples, so both delete
+    # encodings round-trip. Refusals are resolved with the TARGETED r9
+    # on-ramps first (cohort rewrite for renames, re-tuple for spec
+    # evolution) — exercising them under the same random sequences that
+    # found the r7/r8 bugs — with full compaction as the last resort.
+    from iceberg_catalog_postgres_spark.catalog.maintenance import (
+        rewrite_files_before_seq,
+        rewrite_files_to_current_spec,
+    )
+
     if t.metadata.current_delete_files() and _RT_COUNTER[0] % 2 == 0:
         t = rewrite_equality_deletes(spark, t)
-    try:
-        res = export_iceberg_avro(spark, t)
-    except ValueError:
+    res = None
+    for attempt in range(4):
+        try:
+            res = export_iceberg_avro(spark, t)
+            break
+        except ValueError as e:
+            msg = str(e)
+            if "rename" in msg and t.column_renames():
+                boundary = max(int(r["as-of-seq"]) for r in t.column_renames())
+                t, _n, _k, _w = rewrite_files_before_seq(spark, t, boundary)
+            elif "partition tuple" in msg:
+                t, _n, _k, _w = rewrite_files_to_current_spec(spark, t)
+            else:
+                t = compact_table(spark, t)
+    if res is None:
         t = compact_table(spark, t)
         res = export_iceberg_avro(spark, t)  # must succeed after compaction
 
