@@ -921,6 +921,14 @@ def export_iceberg_avro(spark: SparkSession, table: Table) -> dict:
         "snapshot-log": [{"timestamp-ms": now_ms, "snapshot-id": snapshot_id}],
         "metadata-log": [],
         "refs": {"main": {"snapshot-id": snapshot_id, "type": "branch"}},
+        # carry the Puffin NDV statistics across the interop — but only
+        # entries for the exported snapshot (older ones would dangle in the
+        # single-snapshot doc); statistics-path absolutized like the files
+        "statistics": [
+            {**s, "statistics-path": "file://" + store.resolve(s["statistics-path"])}
+            for s in md.statistics
+            if s.get("snapshot-id") == snapshot_id
+        ],
     }
     meta_path = os.path.join(out_dir, "v1.metadata.json")
     with open(meta_path, "w") as fh:
@@ -1370,6 +1378,25 @@ def import_iceberg_avro(spark: SparkSession, catalog, identifier, metadata_json_
         # plan the wrong buckets (found by the round-trip test)
         properties={"imported.from": metadata_json_path,
                     "write.bucket-hash": "murmur3"},
+        # Puffin NDV statistics cross the interop too (r9): keep the
+        # exporter's absolute paths (the sidecars stay in place, like the
+        # data files), snapshot-id re-pointed to the imported snapshot
+        statistics=[
+            {
+                **s,
+                "snapshot-id": snapshot.snapshot_id,
+                "statistics-path": (
+                    s["statistics-path"][len("file://"):]
+                    if str(s["statistics-path"]).startswith("file://")
+                    else s["statistics-path"]
+                ),
+                "blob-metadata": [
+                    {**b, "snapshot-id": snapshot.snapshot_id}
+                    for b in s.get("blob-metadata", [])
+                ],
+            }
+            for s in doc.get("statistics", [])
+        ],
     )
     store = catalog.object_store()
     loc = posixpath.join(

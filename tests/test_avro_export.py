@@ -680,6 +680,55 @@ def test_equality_deletes_round_trip_with_reinsert(catalog, spark, tmp_path):
         other.backend.close()
 
 
+def test_puffin_statistics_cross_the_interop(catalog, spark, tmp_path):
+    """r9: NDV statistics written by ANALYZE (real Puffin sidecar) ride the
+    Avro export — absolutized path, only entries for the exported
+    snapshot — and the import re-points them so a consumer can read the
+    sketches and the ndv blob properties without the source catalog."""
+    from iceberg_catalog_postgres_spark.catalog.avro_export import (
+        import_iceberg_avro,
+    )
+    from iceberg_catalog_postgres_spark.catalog.maintenance import (
+        column_ndv,
+        update_column_ndv,
+    )
+    from iceberg_catalog_postgres_spark.catalog.puffin import read_puffin
+
+    t = _table(catalog, spark, "stats", partition_by=())
+    t = update_column_ndv(spark, t, ["k", "name"])
+    res = export_iceberg_avro(spark, t)
+    doc = json.load(open(res["metadata_json"]))
+    assert len(doc["statistics"]) == 1
+    entry = doc["statistics"][0]
+    assert entry["snapshot-id"] == doc["current-snapshot-id"]
+    assert entry["statistics-path"].startswith("file://")
+
+    other = PostgresCatalog.connect("stats_cat", None, str(tmp_path / "st_wh"))
+    other.initialize()
+    try:
+        t2 = import_iceberg_avro(
+            spark, other, TableIdentifier.parse("imp.stats"), res["metadata_json"]
+        )
+        stats = t2.metadata.statistics
+        assert len(stats) == 1
+        assert stats[0]["snapshot-id"] == t2.metadata.current_snapshot_id
+        blobs, _props, payloads = read_puffin(stats[0]["statistics-path"])
+        by_ndv = {int(b["properties"]["ndv"]) for b in blobs}
+        assert by_ndv == {column_ndv(t, "k"), column_ndv(t, "name")}
+        assert all(len(payloads[i]) > 0 for i in range(len(blobs)))
+    finally:
+        other.backend.close()
+
+    # a STALE statistics entry (older snapshot) must NOT be exported
+    extra = [(100, dt.date(2024, 8, 2), "late")]
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame(extra, S).coalesce(1)
+    ).commit()  # stats now refer to the previous snapshot
+    res2 = export_iceberg_avro(spark, t)
+    doc2 = json.load(open(res2["metadata_json"]))
+    assert doc2["statistics"] == []
+
+
 def test_export_empty_snapshot_and_no_snapshot(catalog, spark):
     from iceberg_catalog_postgres_spark.catalog.avro_export import (
         import_iceberg_avro,
