@@ -2437,6 +2437,211 @@ def update_column_ndv(
         )
 
 
+def update_partition_statistics(spark: SparkSession, table: Table) -> Table:
+    """Spec ``partition-statistics`` (r9): aggregate the current snapshot's
+    per-partition data/delete footprint into a REAL parquet file in the
+    spec's partition-statistics schema (unified partition struct with the
+    spec's partition-field ids; ``spec_id``, ``data_record_count``,
+    ``data_file_count``, ``total_data_file_size_in_bytes``,
+    ``position_delete_record_count``/``_file_count``) and reference it
+    from the document's top-level ``partition-statistics`` entry — the
+    partition-level CBO/skew input foreign planners read.
+
+    The aggregation is a PURE METADATA fold: record counts and partition
+    tuples come from the manifests, sizes from a stat of each file — zero
+    parquet footer or data reads. Positional deletes ARE attributable per
+    partition (they are path-scoped; the referenced data file's tuple is
+    known), at O(pending delete rows); equality-delete counts are left
+    NULL — key-scoped deletes are not partition-attributable without a
+    data scan, a documented deviation. Unpartitioned tables are a no-op.
+    One entry, replaced per run; superseded files age out with metadata
+    GC. Commit via the same CAS pointer swap as every maintenance path.
+    """
+    import uuid as _uuid
+    from dataclasses import replace as _dc_replace
+
+    from pyspark.sql.types import (
+        DateType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField as _SF,
+        StructType as _ST,
+        TimestampType,
+    )
+
+    md = table.metadata
+    snap = md.current_snapshot()
+    if snap is None or not md.partition_spec:
+        return table
+    from iceberg_catalog_postgres_spark.catalog.avro_export import (
+        _partition_fields_for_export,
+        _partition_value,
+    )
+
+    part_fields = _partition_fields_for_export(md)
+    parts = md.current_file_partitions()
+    stats = md.current_file_stats()
+    store = table.catalog.object_store()
+
+    groups: dict[tuple, dict] = {}
+    for rel in snap.data_files:
+        tup = parts.get(rel) or {}
+        if any(p["entry"] not in tup for p in part_fields):
+            raise ValueError(
+                f"partition statistics: data file {rel!r} lacks a complete "
+                "current-spec tuple — rewrite_files_to_current_spec first"
+            )
+        key = tuple(tup.get(p["entry"]) for p in part_fields)
+        g = groups.setdefault(
+            key, {"records": 0, "files": 0, "bytes": 0, "pos_del": 0, "pos_files": 0}
+        )
+        rc = (stats.get(rel) or {}).get("record_count")
+        if rc is None:
+            import pyarrow.parquet as _pq
+
+            rc = _pq.ParquetFile(store.resolve(rel)).metadata.num_rows
+        g["records"] += int(rc)
+        g["files"] += 1
+        g["bytes"] += os.path.getsize(store.resolve(rel))
+
+    if snap.position_delete_files:
+        raw = spark.read.parquet(
+            *[store.resolve(f) for f in snap.position_delete_files]
+        )
+        # O(distinct deleted-from files) driver pull — bounded by the
+        # pending delete set, never the table
+        per_file = raw.groupBy("file_path").count().collect()
+        for r in per_file:
+            rel = next((d for d in snap.data_files if r["file_path"].endswith(d)), None)
+            if rel is None:
+                continue
+            tup = parts.get(rel) or {}
+            key = tuple(tup.get(p["entry"]) for p in part_fields)
+            if key in groups:
+                groups[key]["pos_del"] += int(r["count"])
+                groups[key]["pos_files"] += 1
+
+    _SPARK_T = {
+        "int": IntegerType(),
+        "long": LongType(),
+        "string": StringType(),
+        "date": DateType(),
+        "timestamp": TimestampType(),
+        "timestamptz": TimestampType(),
+    }
+
+    def _typed(raw_v, result_t):
+        import datetime as _dt
+
+        v = _partition_value(raw_v, result_t)
+        if v is None:
+            return None
+        if result_t == "date":
+            return _dt.date(1970, 1, 1) + _dt.timedelta(days=int(v))
+        if result_t in ("timestamp", "timestamptz"):
+            return _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=int(v))
+        return v
+
+    part_struct = _ST(
+        [
+            _SF(
+                p["name"],
+                _SPARK_T.get(p["result"], StringType()),
+                True,
+                {"parquet.field.id": int(p["field-id"])},
+            )
+            for p in part_fields
+        ]
+    )
+    schema = _ST(
+        [
+            _SF("partition", part_struct, False, {"parquet.field.id": 1}),
+            _SF("spec_id", IntegerType(), False, {"parquet.field.id": 2}),
+            _SF("data_record_count", LongType(), False, {"parquet.field.id": 3}),
+            _SF("data_file_count", IntegerType(), False, {"parquet.field.id": 4}),
+            _SF(
+                "total_data_file_size_in_bytes",
+                LongType(),
+                False,
+                {"parquet.field.id": 5},
+            ),
+            _SF(
+                "position_delete_record_count",
+                LongType(),
+                True,
+                {"parquet.field.id": 6},
+            ),
+            _SF(
+                "position_delete_file_count",
+                IntegerType(),
+                True,
+                {"parquet.field.id": 7},
+            ),
+            _SF(
+                "equality_delete_record_count",
+                LongType(),
+                True,
+                {"parquet.field.id": 8},
+            ),
+            _SF(
+                "equality_delete_file_count",
+                IntegerType(),
+                True,
+                {"parquet.field.id": 9},
+            ),
+        ]
+    )
+    spec_id = len(md.partition_spec_log)
+    rows = [
+        (
+            tuple(
+                _typed(key[i], p["result"]) for i, p in enumerate(part_fields)
+            ),
+            spec_id,
+            g["records"],
+            g["files"],
+            g["bytes"],
+            g["pos_del"],
+            g["pos_files"],
+            None,  # equality-delete counts: not partition-attributable
+            None,
+        )
+        for key, g in sorted(groups.items(), key=lambda kv: str(kv[0]))
+    ]
+    out_dir_rel = posixpath.join(
+        md.location, "metadata", f"pstats-{_uuid.uuid4().hex}"
+    )
+    out_dir = store.resolve(out_dir_rel)
+    prev_fid = spark.conf.get("spark.sql.parquet.fieldId.write.enabled", "false")
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    try:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(out_dir)
+    finally:
+        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", prev_fid)
+    import glob as _glob
+
+    pfile = sorted(_glob.glob(os.path.join(out_dir, "*.parquet")))[0]
+    rel_path = posixpath.join(out_dir_rel, os.path.basename(pfile))
+    entry = {
+        "snapshot-id": snap.snapshot_id,
+        "statistics-path": rel_path,
+        "file-size-in-bytes": os.path.getsize(pfile),
+    }
+    new_md = _dc_replace(md, partition_statistics=[entry]).with_log_entry(
+        table.metadata_location(), md.last_updated_ms
+    )
+    new_location = posixpath.join(
+        md.location, "metadata", f"pstats-{_uuid.uuid4().hex}.metadata.json"
+    )
+    store.put(new_location, new_md.to_json().encode())
+    return table.catalog.update_table(
+        table.identifier, new_location, table.metadata_location()
+    )
+
+
 def column_ndv(table: Table, column: str) -> int | None:
     """Stored NDV estimate for ``column`` — a metadata read, no Spark job.
     None when ``update_column_ndv`` has not covered the column yet."""

@@ -612,6 +612,13 @@ class TableMetadata:
     remain the engine-native mirror (r9, VERDICT item 3). Entries are
     replaced per ANALYZE run; superseded Puffin files age out with
     metadata GC."""
+    partition_statistics: list = field(default_factory=list)
+    """Spec top-level ``partition-statistics``: PartitionStatisticsFile
+    entries ({"snapshot-id", "statistics-path", "file-size-in-bytes"})
+    pointing at real PARQUET files in the spec's partition-statistics
+    schema (unified partition struct + per-partition data/delete
+    record+file counts, ``maintenance.update_partition_statistics``).
+    One entry, replaced per run (r9)."""
 
     #: metadata-log entries retained per document (spec-sanctioned
     #: truncation, mirroring write.metadata.previous-versions-max)
@@ -879,6 +886,7 @@ class TableMetadata:
                 ],
                 "metadata-log": self.metadata_log,
                 "statistics": self.statistics,
+                "partition-statistics": self.partition_statistics,
                 "properties": {
                     self.MANIFEST_FORMAT_PROP: self.MANIFEST_FORMAT,
                     **self.properties,
@@ -953,4 +961,5 @@ class TableMetadata:
             refs=dict(d.get("refs", {})),
             metadata_log=list(d.get("metadata-log", [])),
             statistics=list(d.get("statistics", [])),
+            partition_statistics=list(d.get("partition-statistics", [])),
         )

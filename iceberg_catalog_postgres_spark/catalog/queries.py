@@ -1264,3 +1264,57 @@ def catalog_spec_history_document(spark: SparkSession, sf_dir: str) -> DataFrame
         "n_rows long, n_specs long, default_spec_id long, field_ids_stable boolean, "
         "sort_order_registered boolean, snapshot_log_valid boolean",
     )
+
+
+@register(
+    "catalog_partition_statistics",
+    oracle="""
+    SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+           CAST(count(*) AS BIGINT) AS data_record_count,
+           CAST(1 AS INT) AS data_file_count,
+           CAST(sum(CASE WHEN n_nationkey < 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS position_delete_record_count
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+    tags=("catalog", "statistics", "maintenance", "partition"),
+)
+def catalog_partition_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spec ``partition-statistics`` under the oracle gate (r9): a
+    region-partitioned nation table with pending MOR positional deletes
+    runs ``update_partition_statistics``, and the resulting parquet file
+    (unified partition struct + per-partition counts, real spec field
+    ids) must agree with the DuckDB group-by — data record counts per
+    partition, one data file per partition (coalesce(1) append), and the
+    positional deletes attributed to the partitions of the files they
+    reference.
+
+    Scale: the aggregation is a pure metadata fold (record counts and
+    tuples from manifests) plus O(pending delete rows) for attribution —
+    the per-partition skew/CBO input at 100 TB costs zero data reads."""
+    from iceberg_catalog_postgres_spark.catalog.maintenance import (
+        delete_where_mor,
+        update_partition_statistics,
+    )
+
+    cat = _fresh("catalog_partition_statistics")
+    src = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey", "n_name"
+    )
+    ident = TableIdentifier.parse("ps.nation")
+    t = cat.create_table(ident, src.schema, partition_by=["n_regionkey"])
+    t = t.new_transaction().append_dataframe(src.coalesce(1)).commit()
+    t = delete_where_mor(spark, t, F.col("n_nationkey") < 3)
+    t = update_partition_statistics(spark, t)
+
+    entry = t.metadata.partition_statistics[0]
+    store = cat.object_store()
+    return (
+        spark.read.parquet(store.resolve(entry["statistics-path"]))
+        .select(
+            F.col("partition.n_regionkey").cast("long").alias("n_regionkey"),
+            "data_record_count",
+            "data_file_count",
+            "position_delete_record_count",
+        )
+        .orderBy("n_regionkey")
+    )

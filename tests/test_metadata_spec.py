@@ -92,6 +92,7 @@ REQUIRED_V2_FIELDS = {
     "snapshot-log": list,
     "refs": dict,
     "statistics": list,
+    "partition-statistics": list,
 }
 
 
@@ -414,6 +415,71 @@ def test_ndv_analyze_writes_puffin_statistics(catalog, spark):
         store.get(t.metadata_location()).decode()
     )
     assert back.statistics == d2["statistics"]
+
+
+def test_partition_statistics_file_and_document_entry(catalog, spark):
+    """r9: update_partition_statistics writes a real parquet file in the
+    spec's partition-statistics schema (unified partition struct with the
+    spec partition-field ids, spec_id, per-partition data counts) and
+    references it from the document's top-level partition-statistics
+    entry; re-running after an append replaces the entry; unpartitioned
+    tables are a no-op; the field round-trips from_json."""
+    from iceberg_catalog_postgres_spark.catalog.maintenance import (
+        update_partition_statistics,
+    )
+
+    t = catalog.create_table(
+        TableIdentifier.parse("spec.pstats"), S, partition_by=["day(d)"]
+    )
+    rows = [(i, dt.date(2024, 1, 1 + i % 3), f"n{i}") for i in range(30)]
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame(rows, S).coalesce(1)
+    ).commit()
+    t = update_partition_statistics(spark, t)
+
+    d = _raw_doc(t)
+    assert len(d["partition-statistics"]) == 1
+    entry = d["partition-statistics"][0]
+    assert entry["snapshot-id"] == t.metadata.current_snapshot_id
+    store = t.catalog.object_store()
+    import os
+
+    path = store.resolve(entry["statistics-path"])
+    assert os.path.getsize(path) == entry["file-size-in-bytes"]
+
+    pdf = spark.read.parquet(path)
+    assert pdf.columns[:5] == [
+        "partition",
+        "spec_id",
+        "data_record_count",
+        "data_file_count",
+        "total_data_file_size_in_bytes",
+    ]
+    got = {
+        r["partition"]["d_day"].isoformat(): r["data_record_count"]
+        for r in pdf.collect()
+    }
+    assert got == {"2024-01-01": 10, "2024-01-02": 10, "2024-01-03": 10}
+    assert {r["spec_id"] for r in pdf.collect()} == {0}
+
+    # replace-on-rerun after an append
+    extra = [(100, dt.date(2024, 1, 1), "x")]
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame(extra, S).coalesce(1)
+    ).commit()
+    t = update_partition_statistics(spark, t)
+    d2 = _raw_doc(t)
+    assert len(d2["partition-statistics"]) == 1
+    assert d2["partition-statistics"][0]["statistics-path"] != entry["statistics-path"]
+    back = TableMetadata.from_json(store.get(t.metadata_location()).decode())
+    assert back.partition_statistics == d2["partition-statistics"]
+
+    # unpartitioned: no-op
+    t2 = catalog.create_table(TableIdentifier.parse("spec.pstats_unpart"), S)
+    t2 = t2.new_transaction().append_dataframe(
+        spark.createDataFrame(rows, S).coalesce(1)
+    ).commit()
+    assert update_partition_statistics(spark, t2) is t2
 
 
 def test_zorder_write_records_property_not_sort_order(catalog, spark):
