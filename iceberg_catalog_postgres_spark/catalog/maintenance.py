@@ -3502,7 +3502,46 @@ def remove_old_metadata_files(table: Table, keep_last: int = 3) -> dict:
         if p not in keep:
             os.remove(p)
             removed += 1
-    return {"removed": removed, "kept": len({*candidates} & keep)}
+
+    # Statistics sidecars (Puffin NDV files, partition-statistics parquet)
+    # are referenced from metadata documents; once every retained document
+    # stops referencing one, it is dead weight like a superseded JSON.
+    # Collect the paths the KEPT documents reference (a retained older doc
+    # may still point at an older sidecar — time travel within the
+    # retention window keeps working), then delete the unreferenced rest.
+    import json as _json
+
+    referenced: set[str] = set()
+    for p in keep:
+        if not os.path.exists(p):
+            continue
+        try:
+            doc = _json.loads(open(p).read())
+        except (OSError, ValueError):
+            continue
+        for entry in [*doc.get("statistics", []), *doc.get("partition-statistics", [])]:
+            sp = entry.get("statistics-path")
+            if sp:
+                referenced.add(store.resolve(sp))
+    stats_removed = 0
+    for p in _glob.glob(os.path.join(meta_dir, "*.stats.puffin")):
+        if p not in referenced:
+            os.remove(p)
+            stats_removed += 1
+    for p in _glob.glob(os.path.join(meta_dir, "pstats-*", "*.parquet")):
+        if p not in referenced:
+            os.remove(p)
+            stats_removed += 1
+    import shutil as _shutil
+
+    for d in _glob.glob(os.path.join(meta_dir, "pstats-*")):
+        if os.path.isdir(d) and not _glob.glob(os.path.join(d, "*.parquet")):
+            _shutil.rmtree(d, ignore_errors=True)  # only _SUCCESS markers left
+    return {
+        "removed": removed,
+        "kept": len({*candidates} & keep),
+        "statistics_removed": stats_removed,
+    }
 
 
 @register(

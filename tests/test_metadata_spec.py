@@ -482,6 +482,58 @@ def test_partition_statistics_file_and_document_entry(catalog, spark):
     assert update_partition_statistics(spark, t2) is t2
 
 
+def test_metadata_gc_reclaims_unreferenced_statistics_sidecars(catalog, spark):
+    """r9: remove_old_metadata_files also GCs Puffin / partition-statistics
+    files once NO retained document references them — while the CURRENT
+    document's sidecars stay readable."""
+    import glob
+    import os
+
+    from iceberg_catalog_postgres_spark.catalog.maintenance import (
+        remove_old_metadata_files,
+        update_column_ndv,
+        update_partition_statistics,
+    )
+    from iceberg_catalog_postgres_spark.catalog.puffin import read_puffin
+
+    t = catalog.create_table(
+        TableIdentifier.parse("spec.statsgc"), S, partition_by=["day(d)"]
+    )
+    rows = [(i, dt.date(2024, 1, 1 + i % 2), f"n{i}") for i in range(20)]
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame(rows, S).coalesce(1)
+    ).commit()
+    # two ANALYZE + two pstats generations: the older of each pair becomes
+    # unreferenced once retention drops the documents that point at it
+    t = update_column_ndv(spark, t, ["k"])
+    t = update_partition_statistics(spark, t)
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame([(100, dt.date(2024, 1, 1), "x")], S).coalesce(1)
+    ).commit()
+    t = update_column_ndv(spark, t, ["k"])
+    t = update_partition_statistics(spark, t)
+
+    store = t.catalog.object_store()
+    meta_dir = store.resolve(t.metadata.location + "/metadata")
+    assert len(glob.glob(os.path.join(meta_dir, "*.stats.puffin"))) == 2
+    assert len(glob.glob(os.path.join(meta_dir, "pstats-*", "*.parquet"))) == 2
+
+    report = remove_old_metadata_files(t, keep_last=1)
+    assert report["statistics_removed"] == 2  # one stale puffin + one pstats
+    assert len(glob.glob(os.path.join(meta_dir, "*.stats.puffin"))) == 1
+    assert len(glob.glob(os.path.join(meta_dir, "pstats-*", "*.parquet"))) == 1
+
+    # current sidecars survive and stay readable
+    cur_puffin = store.resolve(t.metadata.statistics[0]["statistics-path"])
+    assert os.path.exists(cur_puffin)
+    blobs, _p, _pl = read_puffin(cur_puffin)
+    assert blobs
+    cur_pstats = store.resolve(
+        t.metadata.partition_statistics[0]["statistics-path"]
+    )
+    assert spark.read.parquet(cur_pstats).count() == 2  # two day partitions
+
+
 def test_zorder_write_records_property_not_sort_order(catalog, spark):
     """Z-order is not expressible as an Iceberg sort order — the write
     records write.zorder-columns in properties (documented deviation) and
