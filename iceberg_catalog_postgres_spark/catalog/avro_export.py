@@ -929,6 +929,11 @@ def export_iceberg_avro(spark: SparkSession, table: Table) -> dict:
             for s in md.statistics
             if s.get("snapshot-id") == snapshot_id
         ],
+        "partition-statistics": [
+            {**s, "statistics-path": "file://" + store.resolve(s["statistics-path"])}
+            for s in md.partition_statistics
+            if s.get("snapshot-id") == snapshot_id
+        ],
     }
     meta_path = os.path.join(out_dir, "v1.metadata.json")
     with open(meta_path, "w") as fh:
@@ -1396,6 +1401,18 @@ def import_iceberg_avro(spark: SparkSession, catalog, identifier, metadata_json_
                 ],
             }
             for s in doc.get("statistics", [])
+        ],
+        partition_statistics=[
+            {
+                **s,
+                "snapshot-id": snapshot.snapshot_id,
+                "statistics-path": (
+                    s["statistics-path"][len("file://"):]
+                    if str(s["statistics-path"]).startswith("file://")
+                    else s["statistics-path"]
+                ),
+            }
+            for s in doc.get("partition-statistics", [])
         ],
     )
     store = catalog.object_store()

@@ -729,6 +729,39 @@ def test_puffin_statistics_cross_the_interop(catalog, spark, tmp_path):
     assert doc2["statistics"] == []
 
 
+def test_partition_statistics_cross_the_interop(catalog, spark, tmp_path):
+    """r9: partition-statistics entries ride the export (absolutized,
+    snapshot-scoped) and the import re-points them; the parquet stays
+    readable from the imported table."""
+    from iceberg_catalog_postgres_spark.catalog.avro_export import (
+        import_iceberg_avro,
+    )
+    from iceberg_catalog_postgres_spark.catalog.maintenance import (
+        update_partition_statistics,
+    )
+
+    t = _table(catalog, spark, "pstats", partition_by=("day(d)",))
+    t = update_partition_statistics(spark, t)
+    res = export_iceberg_avro(spark, t)
+    doc = json.load(open(res["metadata_json"]))
+    assert len(doc["partition-statistics"]) == 1
+    assert doc["partition-statistics"][0]["statistics-path"].startswith("file://")
+
+    other = PostgresCatalog.connect("ps_cat", None, str(tmp_path / "ps_wh"))
+    other.initialize()
+    try:
+        t2 = import_iceberg_avro(
+            spark, other, TableIdentifier.parse("imp.pstats"), res["metadata_json"]
+        )
+        ps = t2.metadata.partition_statistics
+        assert len(ps) == 1
+        assert ps[0]["snapshot-id"] == t2.metadata.current_snapshot_id
+        pdf = spark.read.parquet(ps[0]["statistics-path"])
+        assert pdf.select(F.sum("data_record_count")).first()[0] == 40
+    finally:
+        other.backend.close()
+
+
 def test_export_empty_snapshot_and_no_snapshot(catalog, spark):
     from iceberg_catalog_postgres_spark.catalog.avro_export import (
         import_iceberg_avro,
