@@ -217,6 +217,205 @@ class CatalogCommitsDataSource(DataSource):
         return CatalogCommitsStreamReader(self.options)
 
 
+_CDC_SCHEMA = (
+    "n_nationkey long, n_name string, n_regionkey long, "
+    "_change_type string, _snapshot_seq long"
+)
+
+
+class CatalogChangelogStreamReader(CatalogCommitsStreamReader):
+    """Streaming row-level CDC over the snapshot chain — the streaming twin
+    of ``Table.changelog_df`` (batch): each micro-batch emits the CHANGES
+    of every new snapshot, tagged ``_change_type`` + ``_snapshot_seq``.
+
+    Per snapshot:
+    - append: the delta files' rows as 'insert' (full rows, O(delta));
+    - MOR delete: positional-delete files yield the EXACT deleted rows
+      (pyarrow ``take`` of the referenced row indices — O(deleted rows),
+      no parent-state replay); equality-delete files yield KEY-ONLY
+      'delete' rows (key columns populated, the rest NULL) — the key-based
+      CDC contract downstream syncs delete by, deduplicated across the
+      snapshot's delete files (one change per key, mirroring
+      ``changelog_df``'s union-then-semi-join);
+    - overwrite: raises — rewritten history has no well-defined row-level
+      diff, the same loud contract as the batch changelog.
+
+    Offsets are O(1) metadata (snapshot count); replay between offsets is
+    deterministic from the snapshot chain — exactly-once-recoverable."""
+
+    def _rows_between(self, lo: int, hi: int) -> list:
+        import pyarrow.parquet as pq
+
+        snaps, store = self._snapshots()
+        cols = ["n_nationkey", "n_name", "n_regionkey"]
+        out = []
+        prev = snaps[lo - 1] if lo > 0 else None
+        prev_files = set(prev.data_files) if prev else set()
+        prev_eq = set(prev.delete_files) if prev else set()
+        prev_pos = set(prev.position_delete_files) if prev else set()
+
+        def _aligned(tbl):
+            names = set(tbl.schema.names)
+            data = {
+                c: (tbl.column(c).to_pylist() if c in names else [None] * tbl.num_rows)
+                for c in cols
+            }
+            return zip(*[data[c] for c in cols])
+
+        for snap in snaps[lo:hi]:
+            seq = snap.sequence_number
+            if snap.operation == "append":
+                for rel in [f for f in snap.data_files if f not in prev_files]:
+                    for row in _aligned(pq.read_table(store.resolve(rel))):
+                        out.append((*row, "insert", seq))
+            elif snap.operation == "delete":
+                # equality deletes: key-only changes, deduped per snapshot
+                seen_keys: set = set()
+                for rel in [f for f in snap.delete_files if f not in prev_eq]:
+                    tbl = pq.read_table(store.resolve(rel))
+                    key_cols = tbl.schema.names
+                    for kt in zip(*[tbl.column(c).to_pylist() for c in key_cols]):
+                        if kt in seen_keys:
+                            continue
+                        seen_keys.add(kt)
+                        by_name = dict(zip(key_cols, kt))
+                        out.append(
+                            (*[by_name.get(c) for c in cols], "delete", seq)
+                        )
+                # positional deletes: exact rows via take()
+                new_pos = [
+                    f for f in snap.position_delete_files if f not in prev_pos
+                ]
+                if new_pos:
+                    pos_by_path: dict[str, list[int]] = {}
+                    for rel in new_pos:
+                        pt = pq.read_table(store.resolve(rel))
+                        for path, idx in zip(
+                            pt.column("file_path").to_pylist(),
+                            pt.column("row_index").to_pylist(),
+                        ):
+                            pos_by_path.setdefault(path, []).append(int(idx))
+                    for path, idxs in sorted(pos_by_path.items()):
+                        rel = next(
+                            (d for d in snap.data_files if path.endswith(d)), None
+                        )
+                        if rel is None:
+                            continue  # deletes against files already rewritten
+                        tbl = pq.read_table(store.resolve(rel)).take(sorted(idxs))
+                        for row in _aligned(tbl):
+                            out.append((*row, "delete", seq))
+            else:
+                raise ValueError(
+                    f"changelog stream crossed non-append/delete snapshot "
+                    f"{snap.snapshot_id} ({snap.operation})"
+                )
+            prev_files = set(snap.data_files)
+            prev_eq = set(snap.delete_files)
+            prev_pos = set(snap.position_delete_files)
+        return out
+
+
+class CatalogChangelogDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "catalog_changelog"
+
+    def schema(self) -> str:
+        return _CDC_SCHEMA
+
+    def simpleStreamReader(self, schema: StructType):
+        return CatalogChangelogStreamReader(self.options)
+
+
+@register(
+    "catalog_stream_changelog_cdc",
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), 'insert',
+       CAST((SELECT count(*) FROM nation) AS BIGINT),
+       CAST((SELECT sum(n_nationkey) FROM nation) AS BIGINT)),
+      (CAST(2 AS BIGINT), 'delete', CAST(2 AS BIGINT), CAST(1 AS BIGINT)),
+      (CAST(3 AS BIGINT), 'delete', CAST(3 AS BIGINT), CAST(18 AS BIGINT))
+    ) AS t(snapshot_seq, change_type, n_rows, sum_key)
+    """,
+    tags=("catalog", "streaming", "cdc", "changelog", "datasource-api"),
+)
+def catalog_stream_changelog_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream of row-level CDC: append nation (seq 1), eq-delete keys
+    {0,1} staged in TWO delete frames with key 0 in both (seq 2 — the
+    stream must dedup to one change per key, the multi-file contract), and
+    a positional DELETE WHERE of keys 5..7 (seq 3 — exact deleted rows via
+    row-index take). The per-(snapshot, change_type) counts AND the
+    deleted-key sums pin both the change stream's cardinality and its
+    values against the oracle.
+
+    Scale: each batch reads O(changes) — delta files for inserts, the
+    delete files (plus referenced row indices) for deletes; never a
+    rescan and never a parent-state replay. Offsets are snapshot counts,
+    replay is deterministic — the stream is exactly-once-recoverable.
+    CDC surface derives from the reference's snapshot model
+    (mod.rs:296-347)."""
+    import os
+    import shutil
+    import uuid as _uuid
+
+    from iceberg_catalog_postgres_spark.catalog.catalog import (
+        PostgresCatalog,
+        TableIdentifier,
+    )
+    from iceberg_catalog_postgres_spark.catalog.maintenance import delete_where_mor
+
+    work = os.path.join(_REPO_ROOT, ".tmp", "catalog_cdc_stream")
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work, exist_ok=True)
+    db = os.path.join(work, "catalog.db")
+    wh = os.path.join(work, "wh")
+
+    cat = PostgresCatalog.connect("cdc", f"sqlite://{db}", wh)
+    cat.initialize()
+    src = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    ident = TableIdentifier.parse("cdc.nation")
+    t = cat.create_table(ident, src.schema)
+    t = t.new_transaction().append_dataframe(src.coalesce(1)).commit()
+    k1 = spark.createDataFrame([(0,), (1,)], "n_nationkey long").coalesce(1)
+    k2 = spark.createDataFrame([(0,)], "n_nationkey long").coalesce(1)
+    t = (
+        t.new_transaction()
+        .delete_keys_dataframe(k1)
+        .delete_keys_dataframe(k2)
+        .commit()
+    )
+    t = delete_where_mor(spark, t, F.col("n_nationkey").between(5, 7))
+
+    spark.dataSource.register(CatalogChangelogDataSource)
+    stream = (
+        spark.readStream.format("catalog_changelog")
+        .option("db", db)
+        .option("warehouse", wh)
+        .option("ident", "cdc.nation")
+        .option("catalog", "cdc")
+        .load()
+    )
+    name = f"cdc_{_uuid.uuid4().hex[:12]}"
+    q = (
+        stream.groupBy(
+            F.col("_snapshot_seq").alias("snapshot_seq"),
+            F.col("_change_type").alias("change_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_nationkey").alias("sum_key"),
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name).orderBy("snapshot_seq", "change_type")
+
+
 @register(
     "catalog_stream_source_tail",
     oracle="""

@@ -147,3 +147,83 @@ def test_stream_full_outer_join_matches_batch(spark, sf_oracle):
     )
     cols = ["user_id", "n_rows", "n_matched", "n_err_unmatched", "n_pur_unmatched"]
     assert _rows(stream.select(*cols), cols) == _rows(batch.select(*cols), cols)
+
+
+def test_changelog_stream_incremental_and_overwrite_contract(spark, tmp_path):
+    """r9 CDC stream beyond the oracle row: (a) a checkpointed stream
+    resumes AFTER the consumed snapshots — a second availableNow run from
+    the same checkpoint emits ONLY the new snapshot's changes; (b) an
+    overwrite snapshot in range raises (no well-defined row-level diff),
+    matching the batch changelog_df contract."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from iceberg_catalog_postgres_spark.catalog.catalog import (
+        PostgresCatalog,
+        TableIdentifier,
+    )
+    from iceberg_catalog_postgres_spark.sources.catalog_datasource import (
+        CatalogChangelogDataSource,
+        CatalogChangelogStreamReader,
+    )
+
+    db = str(tmp_path / "catalog.db")
+    wh = str(tmp_path / "wh")
+    cat = PostgresCatalog.connect("cdcinc", f"sqlite://{db}", wh)
+    cat.initialize()
+    rows = [(i, f"n{i}", i % 5) for i in range(10)]
+    schema = "n_nationkey long, n_name string, n_regionkey long"
+    src = spark.createDataFrame(rows, schema)
+    ident = TableIdentifier.parse("inc.nation")
+    t = cat.create_table(ident, src.schema)
+    t = t.new_transaction().append_dataframe(src.coalesce(1)).commit()
+
+    # end-to-end availableNow run through the registered source
+    spark.dataSource.register(CatalogChangelogDataSource)
+    name1 = f"cdcinc_{_uuid.uuid4().hex[:10]}"
+    stream = (
+        spark.readStream.format("catalog_changelog")
+        .option("db", db)
+        .option("warehouse", wh)
+        .option("ident", "inc.nation")
+        .option("catalog", "cdcinc")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name1)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    first = spark.table(name1).collect()
+    assert len(first) == 10 and all(r["_change_type"] == "insert" for r in first)
+
+    # incremental offset contract (what a checkpointed resume replays):
+    # read from the consumed offset emits ONLY the new snapshot's changes
+    reader = CatalogChangelogStreamReader(
+        {"db": db, "warehouse": wh, "ident": "inc.nation", "catalog": "cdcinc"}
+    )
+    _rows0, end0 = reader.read(reader.initialOffset())
+    assert end0 == {"n_snapshots": 1} and len(_rows0) == 10
+
+    keys = spark.createDataFrame([(3,), (4,)], "n_nationkey long").coalesce(1)
+    t = t.new_transaction().delete_keys_dataframe(keys).commit()
+    second, end1 = reader.read(end0)
+    assert end1 == {"n_snapshots": 2}
+    assert sorted(r[0] for r in second) == [3, 4]
+    assert all(r[3] == "delete" for r in second)
+    assert all(r[1] is None for r in second)  # key-only contract
+    # deterministic replay between the same offsets
+    assert reader.readBetweenOffsets(end0, end1) == second
+
+    # overwrite in range: loud refusal, same as the batch changelog
+    t = t.new_transaction().overwrite_dataframe(
+        spark.createDataFrame(rows[:2], schema).coalesce(1)
+    ).commit()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-append/delete"):
+        reader.read(end1)
