@@ -4186,3 +4186,95 @@ def catalog_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataF
         "actual_join_rows long, estimate_within_tol boolean, "
         "estimate_is_metadata_only boolean",
     )
+
+
+@register(
+    "catalog_changelog_ivm",
+    oracle="""
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events
+    WHERE user_id % 7 <> 0
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("catalog", "cdc", "changelog", "ivm", "maintenance"),
+)
+def catalog_changelog_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGELOG-DRIVEN incremental view maintenance (r9): a per-user
+    (count, sum) summary is built from the facts table's FIRST commit,
+    then maintained purely by DELTA-APPLY — the changelog between the
+    summary's snapshot and the current one (an append of the second fact
+    half + a merge-on-read eq-delete of every ``user_id % 7 == 0`` user)
+    is signed (+1 insert / -1 delete), aggregated per user, and
+    full-outer-merged into the summary; groups whose count reaches zero
+    drop out. The maintained summary must hash-equal the oracle's
+    from-scratch recompute over the surviving rows.
+
+    This is the complement of ``catalog_daily_agg_refresh`` (which
+    recomputes a corrected PARTITION): delta-apply never re-reads even
+    the touched partition's facts — cost is O(changes) + O(summary
+    merge). At 100 TB with a 0.1% daily churn that is the difference
+    between reading 100 GB and reading 100 TB per refresh. Deletes ride
+    the changelog's parent-replay (broadcast semi-join, O(affected
+    cohorts)); CDC surface derives from the reference's snapshot model
+    (mod.rs:296-347).
+    """
+    cat = _fresh_catalog("catalog_changelog_ivm")
+    src = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    half1 = src.filter(F.col("event_id") % 2 == 0)
+    half2 = src.filter(F.col("event_id") % 2 == 1)
+
+    ident = TableIdentifier.parse("ivm.facts")
+    t = cat.create_table(ident, src.schema)
+    t = t.new_transaction().append_dataframe(half1.coalesce(2)).commit()
+    from_id = t.metadata.current_snapshot_id
+
+    # summary v1: one full aggregation of the first commit only
+    summary = (
+        t.to_df(spark)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+    ).localCheckpoint(eager=True)
+
+    # facts evolve: second half lands, then a GDPR-style user purge
+    t = t.new_transaction().append_dataframe(half2.coalesce(2)).commit()
+    purge = (
+        src.select("user_id")
+        .distinct()
+        .filter(F.col("user_id") % 7 == 0)
+        .coalesce(1)
+    )
+    t = t.new_transaction().delete_keys_dataframe(purge).commit()
+
+    # delta-apply: signed changelog -> per-user delta -> outer-merge
+    changes = t.changelog_df(spark, from_snapshot_id=from_id)
+    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(F.lit(-1))
+    delta = (
+        changes.select("user_id", "value", sign.alias("s"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("s").alias("dn"),
+            F.sum(F.col("value") * F.col("s")).alias("dv"),
+        )
+    )
+    merged = (
+        summary.join(delta, "user_id", "full_outer")
+        .select(
+            "user_id",
+            (F.coalesce(F.col("n_events"), F.lit(0)) + F.coalesce(F.col("dn"), F.lit(0))).alias(
+                "n_events"
+            ),
+            (
+                F.coalesce(F.col("total_value"), F.lit(0.0))
+                + F.coalesce(F.col("dv"), F.lit(0.0))
+            ).alias("total_value"),
+        )
+        .filter(F.col("n_events") > 0)
+    )
+    return merged.select(
+        F.col("user_id").cast("long"),
+        F.col("n_events").cast("long"),
+        F.round("total_value", 4).alias("total_value"),
+    ).orderBy("user_id")
