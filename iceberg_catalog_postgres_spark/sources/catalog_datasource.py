@@ -13,7 +13,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 from pyspark.sql.types import StructType
 
 from iceberg_catalog_postgres_spark.registry import load, register
@@ -215,6 +220,166 @@ class CatalogCommitsDataSource(DataSource):
 
     def simpleStreamReader(self, schema: StructType):
         return CatalogCommitsStreamReader(self.options)
+
+
+class _DeltaFilePartition(InputPartition):
+    """One committed delta file = one streaming input partition."""
+
+    def __init__(self, abs_path: str, seq: int):
+        self.abs_path = abs_path
+        self.seq = seq
+
+
+class CatalogCommitsParallelStreamReader(DataSourceStreamReader):
+    """EXECUTOR-PARALLEL streaming reader over the snapshot chain — the
+    100 TB variant of ``CatalogCommitsStreamReader`` (which reads on the
+    driver): ``partitions(start, end)`` plans ONE InputPartition per delta
+    data file between the offsets (a pure metadata fold on the driver),
+    and ``read`` opens its single file ON THE EXECUTOR via pyarrow — so a
+    micro-batch that lands 500 files fans out across the cluster instead
+    of serializing through the driver. Offsets and replay semantics are
+    identical to the simple reader (snapshot counts, deterministic
+    between-offsets planning)."""
+
+    def __init__(self, options: dict):
+        self.db = options["db"]
+        self.warehouse = options["warehouse"]
+        self.ident = options["ident"]
+        self.catalog_name = options.get("catalog", "tailp")
+
+    def _snapshots(self):
+        from iceberg_catalog_postgres_spark.catalog.catalog import (
+            PostgresCatalog,
+            TableIdentifier,
+        )
+
+        cat = PostgresCatalog.connect(
+            self.catalog_name, f"sqlite://{self.db}", self.warehouse
+        )
+        t = cat.load_table(TableIdentifier.parse(self.ident))
+        snaps = sorted(t.metadata.snapshots, key=lambda s: s.sequence_number)
+        return snaps, cat.object_store()
+
+    def initialOffset(self) -> dict:
+        return {"n_snapshots": 0}
+
+    def latestOffset(self) -> dict:
+        snaps, _ = self._snapshots()
+        return {"n_snapshots": len(snaps)}
+
+    def partitions(self, start: dict, end: dict):
+        snaps, store = self._snapshots()
+        lo, hi = start["n_snapshots"], end["n_snapshots"]
+        prev: set = set(snaps[lo - 1].data_files) if lo > 0 else set()
+        parts = []
+        for snap in snaps[lo:hi]:
+            for rel in snap.data_files:
+                if rel not in prev:
+                    parts.append(
+                        _DeltaFilePartition(store.resolve(rel), snap.sequence_number)
+                    )
+            prev = set(snap.data_files)
+        # Spark requires >=1 partition per batch; an empty delta plans one
+        # no-op partition
+        return parts or [_DeltaFilePartition("", 0)]
+
+    def read(self, partition: _DeltaFilePartition):
+        if not partition.abs_path:
+            return iter(())
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(partition.abs_path)
+        cols = [tbl.column(i).to_pylist() for i in range(tbl.num_columns)]
+        return iter([(*row, partition.seq) for row in zip(*cols)])
+
+    def commit(self, end: dict) -> None:
+        pass
+
+    def stop(self) -> None:
+        pass
+
+
+class CatalogCommitsParallelDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "catalog_commits_parallel"
+
+    def schema(self) -> str:
+        return _TAIL_SCHEMA
+
+    def streamReader(self, schema: StructType):
+        return CatalogCommitsParallelStreamReader(self.options)
+
+
+@register(
+    "catalog_stream_source_tail_parallel",
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), CAST((SELECT count(*) FROM nation) AS BIGINT)),
+      (CAST(2 AS BIGINT), CAST((SELECT count(*) FROM nation WHERE n_regionkey = 0) AS BIGINT)),
+      (CAST(3 AS BIGINT), CAST((SELECT count(*) FROM nation WHERE n_regionkey = 1) AS BIGINT))
+    ) AS t(snapshot_seq, n_rows)
+    """,
+    tags=("catalog", "streaming", "datasource-api", "scale"),
+)
+def catalog_stream_source_tail_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXECUTOR-PARALLEL commit tail under the oracle gate (r9): same
+    three-commit lineage and per-snapshot counts as
+    ``catalog_stream_source_tail``, but planned as one InputPartition per
+    delta file and read on executors (full DataSourceStreamReader, not
+    the driver-side simple variant) — certifying the scale path the
+    simple reader's docstring promises. Each append lands >=2 files
+    (coalesce(2)) so batches genuinely fan out."""
+    import os
+    import shutil
+    import uuid as _uuid
+
+    from iceberg_catalog_postgres_spark.catalog.catalog import (
+        PostgresCatalog,
+        TableIdentifier,
+    )
+
+    work = os.path.join(_REPO_ROOT, ".tmp", "catalog_tail_parallel")
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work, exist_ok=True)
+    db = os.path.join(work, "catalog.db")
+    wh = os.path.join(work, "wh")
+
+    cat = PostgresCatalog.connect("tailp", f"sqlite://{db}", wh)
+    cat.initialize()
+    src = load(spark, sf_dir, "nation")
+    ident = TableIdentifier.parse("tailp.nation")
+    t = cat.create_table(ident, src.schema)
+    t.new_transaction().append_dataframe(src.coalesce(2)).commit()
+    t = cat.load_table(ident)
+    t.new_transaction().append_dataframe(
+        src.where(F.col("n_regionkey") == 0).coalesce(2)
+    ).commit()
+    t = cat.load_table(ident)
+    t.new_transaction().append_dataframe(
+        src.where(F.col("n_regionkey") == 1).coalesce(2)
+    ).commit()
+
+    spark.dataSource.register(CatalogCommitsParallelDataSource)
+    stream = (
+        spark.readStream.format("catalog_commits_parallel")
+        .option("db", db)
+        .option("warehouse", wh)
+        .option("ident", "tailp.nation")
+        .load()
+    )
+    name = f"tailp_{_uuid.uuid4().hex[:12]}"
+    q = (
+        stream.groupBy(F.col("_snapshot_seq").alias("snapshot_seq"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name).orderBy("snapshot_seq")
 
 
 _CDC_SCHEMA = (
