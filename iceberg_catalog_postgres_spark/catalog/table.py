@@ -2804,34 +2804,42 @@ class Transaction:
 
             self._staged_props["write.zorder-columns"] = _json.dumps(list(zorder_by))
             # Z-ORDER write distribution: cluster files along the Morton
-            # curve of two columns so each file's manifest bounds are tight
-            # in BOTH dimensions — a 2-D box query then prunes by
-            # intersecting the per-column planned sets. ~44 JVM bit-ops per
-            # row, whole-stage-codegen'd; the curve key never hits disk.
-            if len(zorder_by) != 2:
-                raise ValueError("zorder_by currently interleaves exactly 2 columns")
+            # curve of N columns so each file's manifest bounds are tight
+            # in EVERY dimension — an N-D box query then prunes by
+            # intersecting the per-column planned sets. Pure JVM bit-ops,
+            # whole-stage-codegen'd; the curve key never hits disk. Bits
+            # per dimension shrink as dimensions grow (total <= 63), the
+            # standard trade: more dims = coarser per-dim resolution (r9:
+            # generalized from the 2-column restriction).
+            if len(zorder_by) < 2:
+                raise ValueError("zorder_by needs at least 2 columns")
             from pyspark.sql import functions as _F
 
-            from iceberg_catalog_postgres_spark.operators.scale_patterns import _z_value
+            from iceberg_catalog_postgres_spark.operators.scale_patterns import (
+                _z_value_n,
+            )
 
             width = n_files or df.sparkSession.sparkContext.defaultParallelism
             # Columns on different scales interleave uselessly (the smaller
             # domain's high bits are constant zero), so each dimension is
             # min-max normalized onto the curve's full bit range first —
             # the same per-column range scaling Delta/Iceberg z-order does.
-            a, b = zorder_by
             mins_maxs = df.agg(
-                _F.min(a), _F.max(a), _F.min(b), _F.max(b)
+                *[m for c in zorder_by for m in (_F.min(c), _F.max(c))]
             ).first()
             # An empty frame or all-NULL column has no range to normalize:
             # treat it as a degenerate [0,0] domain ( _scaled then emits the
             # constant 0, i.e. that dimension drops out of the curve and the
-            # write degrades to a sort on the other column / plain write)
+            # write degrades to a sort on the others / plain write)
             # instead of float(None) blowing up (ADVICE r5).
-            a_lo, a_hi, b_lo, b_hi = [
-                0.0 if v is None else float(v) for v in mins_maxs
+            ranges = [
+                (
+                    0.0 if mins_maxs[2 * i] is None else float(mins_maxs[2 * i]),
+                    0.0 if mins_maxs[2 * i + 1] is None else float(mins_maxs[2 * i + 1]),
+                )
+                for i in range(len(zorder_by))
             ]
-            bits = 11
+            bits = min(11, 63 // len(zorder_by))
             top = (1 << bits) - 1
 
             def _scaled(col, lo, hi):
@@ -2841,7 +2849,10 @@ class Transaction:
                     (_F.col(col).cast("double") - lo) / (hi - lo) * top
                 ).cast("long")
 
-            zcol = _z_value(_scaled(a, a_lo, a_hi), _scaled(b, b_lo, b_hi), bits)
+            zcol = _z_value_n(
+                [_scaled(c, lo, hi) for c, (lo, hi) in zip(zorder_by, ranges)],
+                bits,
+            )
             df = (
                 df.withColumn("__z", zcol)
                 .repartitionByRange(width, _F.col("__z"))

@@ -216,13 +216,21 @@ def _z_terms_sql(px: str, sx: str, bits: int = 11) -> str:
     return " + ".join(terms)
 
 
-def _z_value(x, y, bits: int = 11):
-    """Morton z-value: bit-interleave of two columns (pure JVM bit ops)."""
+def _z_value_n(cols: list, bits: int = 11):
+    """Morton z-value over N columns: round-robin bit-interleave (pure JVM
+    bit ops, whole-stage-codegen'd). ``n * bits`` must fit a long; callers
+    shrink ``bits`` as dimensions grow (r9 N-column generalization)."""
+    n = len(cols)
     z = F.lit(0).cast("long")
     for i in range(bits):
-        z = z + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
-        z = z + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        for j, c in enumerate(cols):
+            z = z + F.shiftleft(F.shiftright(c, i).bitwiseAND(F.lit(1)), n * i + j)
     return z
+
+
+def _z_value(x, y, bits: int = 11):
+    """Morton z-value: bit-interleave of two columns (pure JVM bit ops)."""
+    return _z_value_n([x, y], bits)
 
 
 @register(

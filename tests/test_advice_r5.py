@@ -107,6 +107,38 @@ def test_zorder_write_with_all_null_column_falls_back(catalog, spark):
     assert sorted(r["k"] for r in t.to_df(spark).collect()) == list(range(10))
 
 
+def test_zorder_three_columns_write_and_prune(catalog, spark):
+    """r9: zorder_by generalized past 2 columns — a 3-column Morton write
+    (bits shrink to 63//3 per dim) keeps every row and yields bounds
+    tight enough that a range query on EACH dimension prunes files."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    Z3 = StructType(
+        [
+            StructField("a", LongType(), True),
+            StructField("b", LongType(), True),
+            StructField("c", LongType(), True),
+        ]
+    )
+    t = catalog.create_table(TableIdentifier.parse("adv.z3"), Z3)
+    rows = [(i, (i * 37) % 256, (i * 101) % 256) for i in range(2048)]
+    t = (
+        t.new_transaction()
+        .append_dataframe(
+            spark.createDataFrame(rows, Z3), zorder_by=["a", "b", "c"], n_files=8
+        )
+        .commit()
+    )
+    assert sorted(r["a"] for r in t.to_df(spark).collect()) == list(range(2048))
+    n_all = len(t.metadata.current_data_files())
+    assert n_all > 1
+    for col in ("a", "b", "c"):
+        planned = t.planned_files(col, 0, 31, require_stats=True)
+        assert 0 < len(planned) < n_all, (
+            f"z-order bounds on {col} did not prune ({len(planned)}/{n_all})"
+        )
+
+
 def test_zorder_write_empty_frame(catalog, spark):
     t = catalog.create_table(TableIdentifier.parse("adv.zempty"), S)
     df = spark.createDataFrame([], S)
