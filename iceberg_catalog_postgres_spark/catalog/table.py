@@ -2761,8 +2761,20 @@ class Transaction:
         sort_by: list[str] | None = None,
         n_files: int | None = None,
         zorder_by: list[str] | None = None,
+        bloom_filters: dict[str, int] | None = None,
     ) -> "Transaction":
         """Write df as parquet under the table location, stage the new files.
+
+        ``bloom_filters`` maps column -> expected NDV: the parquet writer
+        embeds a split-block bloom filter per row group for those columns
+        (``parquet.bloom.filter.enabled#<col>``), and the columns are
+        recorded in the ``write.bloom-filter-columns`` table property
+        (committed atomically with the snapshot). At 100 TB this is the
+        point-lookup complement to min/max bounds: a high-cardinality
+        equality predicate over unsorted data (where every row group's
+        min/max spans the domain) still skips row groups at plan time —
+        parquet-mr's RowGroupFilter consults the bloom before any page
+        read (r9).
 
         The write is executor-parallel (df.write.parquet); only the file-name
         listing happens on the driver. Files land in a unique subdir so
@@ -2790,6 +2802,19 @@ class Transaction:
         import urllib.parse as _up
 
         _ensure_stats_friendly_writes(df.sparkSession)
+        bloom_opts: dict[str, str] = {}
+        if bloom_filters:
+            missing = [c for c in bloom_filters if c not in df.columns]
+            if missing:
+                raise ValueError(f"bloom_filters column(s) not in frame: {missing}")
+            for col, ndv in bloom_filters.items():
+                bloom_opts[f"parquet.bloom.filter.enabled#{col}"] = "true"
+                bloom_opts[f"parquet.bloom.filter.expected.ndv#{col}"] = str(int(ndv))
+            import json as _json_bf
+
+            self._staged_props["write.bloom-filter-columns"] = _json_bf.dumps(
+                sorted(bloom_filters)
+            )
         if sort_by and zorder_by:
             raise ValueError("pass either sort_by or zorder_by, not both")
         if sort_by:
@@ -2884,7 +2909,7 @@ class Transaction:
                     _shadow_name(e),
                     transform_column(e, dtypes.get(col), bucket_hash=_bh),
                 )
-            aug.write.mode("overwrite").partitionBy(
+            aug.write.mode("overwrite").options(**bloom_opts).partitionBy(
                 *[_shadow_name(e) for e in spec]
             ).parquet(abs_dir)
             new_files = []
@@ -2905,7 +2930,7 @@ class Transaction:
                 abs_by_rel[rel] = p
                 new_files.append(rel)
         else:
-            df.write.mode("overwrite").parquet(abs_dir)
+            df.write.mode("overwrite").options(**bloom_opts).parquet(abs_dir)
             new_files = []
             abs_by_rel = {}
             for p in sorted(_glob.glob(_os.path.join(abs_dir, "*.parquet"))):
