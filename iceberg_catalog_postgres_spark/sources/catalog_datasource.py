@@ -162,9 +162,13 @@ class CatalogCommitsStreamReader:
         self.warehouse = options["warehouse"]
         self.ident = options["ident"]
         self.catalog_name = options.get("catalog", "tail")
+        # start_snapshots=N skips history: the stream begins AFTER the
+        # first N snapshots (a CDC consumer bootstrapped from a snapshot
+        # read resumes from there instead of replaying the full chain)
+        self.start = int(options.get("start_snapshots", 0))
 
     def initialOffset(self) -> dict:
-        return {"n_snapshots": 0}
+        return {"n_snapshots": self.start}
 
     def _snapshots(self):
         from iceberg_catalog_postgres_spark.catalog.catalog import (
@@ -246,6 +250,7 @@ class CatalogCommitsParallelStreamReader(DataSourceStreamReader):
         self.warehouse = options["warehouse"]
         self.ident = options["ident"]
         self.catalog_name = options.get("catalog", "tailp")
+        self.start = int(options.get("start_snapshots", 0))
 
     def _snapshots(self):
         from iceberg_catalog_postgres_spark.catalog.catalog import (
@@ -261,7 +266,7 @@ class CatalogCommitsParallelStreamReader(DataSourceStreamReader):
         return snaps, cat.object_store()
 
     def initialOffset(self) -> dict:
-        return {"n_snapshots": 0}
+        return {"n_snapshots": self.start}
 
     def latestOffset(self) -> dict:
         snaps, _ = self._snapshots()

@@ -219,6 +219,21 @@ def test_changelog_stream_incremental_and_overwrite_contract(spark, tmp_path):
     # deterministic replay between the same offsets
     assert reader.readBetweenOffsets(end0, end1) == second
 
+    # start_snapshots bootstrap: a consumer initialized from a snapshot
+    # read starts AFTER it — only the delete commit is emitted
+    boot = CatalogChangelogStreamReader(
+        {
+            "db": db,
+            "warehouse": wh,
+            "ident": "inc.nation",
+            "catalog": "cdcinc",
+            "start_snapshots": "1",
+        }
+    )
+    assert boot.initialOffset() == {"n_snapshots": 1}
+    boot_rows, _boot_end = boot.read(boot.initialOffset())
+    assert sorted(r[0] for r in boot_rows) == [3, 4]
+
     # overwrite in range: loud refusal, same as the batch changelog
     t = t.new_transaction().overwrite_dataframe(
         spark.createDataFrame(rows[:2], schema).coalesce(1)
