@@ -529,3 +529,69 @@ def skew_aqe_auto_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows long, sum_v long, skew_detected boolean,"
         " hot_partition_split boolean, uniform_control_clean boolean",
     )
+
+
+@register(
+    "layout_aggregate_pushdown",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(l_quantity) AS DOUBLE) AS min_qty,
+           CAST(max(l_quantity) AS DOUBLE) AS max_qty,
+           CAST(min(l_extendedprice) AS DOUBLE) AS min_price,
+           CAST(max(l_extendedprice) AS DOUBLE) AS max_price,
+           true AS aggregation_pushed
+    FROM lineitem
+    """,
+    tags=("scale", "layout", "pushdown"),
+)
+def layout_aggregate_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet AGGREGATE pushdown (r9): COUNT/MIN/MAX answered from footer
+    statistics without materializing a single data row. Under the DSv2
+    parquet path (``useV1SourceList`` excludes parquet) with
+    ``spark.sql.parquet.aggregatePushdown`` on, the scan node itself
+    reports ``PushedAggregation: [COUNT(*), MIN(...), MAX(...)]`` — the
+    query certifies that marker from the EXECUTED plan and returns the
+    aggregates, which must equal the oracle's full scan.
+
+    Scale: at 100 TB this is the difference between reading row-group
+    FOOTERS (KBs per file) and scanning the table — the same reason the
+    catalog's metadata-only counts exist, here as the engine-native path
+    for raw parquet. Confs are set and restored around the query; at a
+    real deployment they are session defaults."""
+    import re as _re
+
+    saved = {}
+    for k, v in {
+        "spark.sql.parquet.aggregatePushdown": "true",
+        "spark.sql.sources.useV1SourceList": "",
+    }.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        df = load(spark, sf_dir, "lineitem")
+        agg = df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_quantity").cast("double").alias("min_qty"),
+            F.max("l_quantity").cast("double").alias("max_qty"),
+            F.min("l_extendedprice").cast("double").alias("min_price"),
+            F.max("l_extendedprice").cast("double").alias("max_price"),
+        )
+        [row] = agg.collect()
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        m = _re.search(r"PushedAggregation: \[([^\]]*)\]", plan)
+        pushed = bool(m and "COUNT" in m.group(1) and "MIN" in m.group(1))
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.createDataFrame(
+        [(row["n_rows"], row["min_qty"], row["max_qty"], row["min_price"],
+          row["max_price"], pushed)],
+        "n_rows long, min_qty double, max_qty double, min_price double,"
+        " max_price double, aggregation_pushed boolean",
+    )
