@@ -497,6 +497,180 @@ class CatalogChangelogDataSource(DataSource):
         return CatalogChangelogStreamReader(self.options)
 
 
+class _ChangePartition(InputPartition):
+    """One unit of CDC work: an inserted delta file, a positional-delete
+    file (with the snapshot's data files for path resolution), or ALL of a
+    snapshot's equality-delete files (kept together so key dedup across
+    the snapshot's files happens inside one partition — eq-delete files
+    are O(keys), tiny by construction)."""
+
+    def __init__(self, kind: str, paths: list, seq: int, data_files: list | None = None):
+        self.kind = kind
+        self.paths = paths
+        self.seq = seq
+        self.data_files = data_files or []
+
+
+_CDC_COLS = ["n_nationkey", "n_name", "n_regionkey"]
+
+
+def _cdc_aligned(tbl, cols):
+    names = set(tbl.schema.names)
+    data = {
+        c: (tbl.column(c).to_pylist() if c in names else [None] * tbl.num_rows)
+        for c in cols
+    }
+    return zip(*[data[c] for c in cols])
+
+
+class CatalogChangelogParallelStreamReader(DataSourceStreamReader):
+    """EXECUTOR-PARALLEL row-level CDC (r9): same change semantics as
+    ``CatalogChangelogStreamReader`` (inserts from delta files, exact rows
+    for positional deletes, deduped key-only equality deletes, loud
+    refusal on overwrites), but planned as InputPartitions — one per
+    inserted file / per pos-delete file / per delete-snapshot's eq set —
+    and read on executors. A micro-batch that lands hundreds of files
+    fans its decode across the cluster; only the metadata fold runs on
+    the driver."""
+
+    def __init__(self, options: dict):
+        self.db = options["db"]
+        self.warehouse = options["warehouse"]
+        self.ident = options["ident"]
+        self.catalog_name = options.get("catalog", "cdcp")
+        self.start = int(options.get("start_snapshots", 0))
+
+    def _snapshots(self):
+        from iceberg_catalog_postgres_spark.catalog.catalog import (
+            PostgresCatalog,
+            TableIdentifier,
+        )
+
+        cat = PostgresCatalog.connect(
+            self.catalog_name, f"sqlite://{self.db}", self.warehouse
+        )
+        t = cat.load_table(TableIdentifier.parse(self.ident))
+        snaps = sorted(t.metadata.snapshots, key=lambda s: s.sequence_number)
+        return snaps, cat.object_store()
+
+    def initialOffset(self) -> dict:
+        return {"n_snapshots": self.start}
+
+    def latestOffset(self) -> dict:
+        snaps, _ = self._snapshots()
+        return {"n_snapshots": len(snaps)}
+
+    def partitions(self, start: dict, end: dict):
+        snaps, store = self._snapshots()
+        lo, hi = start["n_snapshots"], end["n_snapshots"]
+        prev = snaps[lo - 1] if lo > 0 else None
+        prev_files = set(prev.data_files) if prev else set()
+        prev_eq = set(prev.delete_files) if prev else set()
+        prev_pos = set(prev.position_delete_files) if prev else set()
+        parts = []
+        for snap in snaps[lo:hi]:
+            seq = snap.sequence_number
+            if snap.operation == "append":
+                for rel in snap.data_files:
+                    if rel not in prev_files:
+                        parts.append(
+                            _ChangePartition("insert", [store.resolve(rel)], seq)
+                        )
+            elif snap.operation == "delete":
+                new_eq = [f for f in snap.delete_files if f not in prev_eq]
+                if new_eq:
+                    parts.append(
+                        _ChangePartition(
+                            "eqdel", [store.resolve(f) for f in new_eq], seq
+                        )
+                    )
+                for f in snap.position_delete_files:
+                    if f not in prev_pos:
+                        parts.append(
+                            _ChangePartition(
+                                "posdel",
+                                [store.resolve(f)],
+                                seq,
+                                [store.resolve(d) for d in snap.data_files],
+                            )
+                        )
+            else:
+                raise ValueError(
+                    f"changelog stream crossed non-append/delete snapshot "
+                    f"{snap.snapshot_id} ({snap.operation})"
+                )
+            prev_files = set(snap.data_files)
+            prev_eq = set(snap.delete_files)
+            prev_pos = set(snap.position_delete_files)
+        return parts or [_ChangePartition("noop", [], 0)]
+
+    def read(self, partition: _ChangePartition):
+        import pyarrow.parquet as pq
+
+        if partition.kind == "noop":
+            return iter(())
+        if partition.kind == "insert":
+            tbl = pq.read_table(partition.paths[0])
+            return iter(
+                [(*row, "insert", partition.seq) for row in _cdc_aligned(tbl, _CDC_COLS)]
+            )
+        if partition.kind == "eqdel":
+            seen: set = set()
+            out = []
+            for p in partition.paths:
+                tbl = pq.read_table(p)
+                key_cols = tbl.schema.names
+                for kt in zip(*[tbl.column(c).to_pylist() for c in key_cols]):
+                    if kt in seen:
+                        continue
+                    seen.add(kt)
+                    by_name = dict(zip(key_cols, kt))
+                    out.append(
+                        (*[by_name.get(c) for c in _CDC_COLS], "delete", partition.seq)
+                    )
+            return iter(out)
+        # posdel: one pos-delete file; emit the exact referenced rows
+        pt = pq.read_table(partition.paths[0])
+        pos_by_path: dict[str, list[int]] = {}
+        for path, idx in zip(
+            pt.column("file_path").to_pylist(), pt.column("row_index").to_pylist()
+        ):
+            pos_by_path.setdefault(path, []).append(int(idx))
+        out = []
+        for path, idxs in sorted(pos_by_path.items()):
+            # recorded URIs are file:/abs/... — the resolved absolute data
+            # file path is a suffix of the URI
+            target = next(
+                (d for d in partition.data_files if path.endswith(d)), None
+            )
+            if target is None:
+                # deletes against files already rewritten out of the snapshot
+                continue
+            tbl = pq.read_table(target).take(sorted(idxs))
+            out.extend(
+                (*row, "delete", partition.seq) for row in _cdc_aligned(tbl, _CDC_COLS)
+            )
+        return iter(out)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+    def stop(self) -> None:
+        pass
+
+
+class CatalogChangelogParallelDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "catalog_changelog_parallel"
+
+    def schema(self) -> str:
+        return _CDC_SCHEMA
+
+    def streamReader(self, schema: StructType):
+        return CatalogChangelogParallelStreamReader(self.options)
+
+
 @register(
     "catalog_stream_changelog_cdc",
     oracle="""
@@ -825,3 +999,85 @@ def catalog_datasource_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(single_commit).alias("single_commit"),
         F.lit(stats_carried).alias("stats_carried"),
     )
+
+
+@register(
+    "catalog_stream_changelog_cdc_parallel",
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), 'insert',
+       CAST((SELECT count(*) FROM nation) AS BIGINT),
+       CAST((SELECT sum(n_nationkey) FROM nation) AS BIGINT)),
+      (CAST(2 AS BIGINT), 'delete', CAST(2 AS BIGINT), CAST(1 AS BIGINT)),
+      (CAST(3 AS BIGINT), 'delete', CAST(3 AS BIGINT), CAST(18 AS BIGINT))
+    ) AS t(snapshot_seq, change_type, n_rows, sum_key)
+    """,
+    tags=("catalog", "streaming", "cdc", "changelog", "datasource-api", "scale"),
+)
+def catalog_stream_changelog_cdc_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXECUTOR-PARALLEL CDC stream under the oracle gate (r9): the
+    exact lineage and per-(snapshot, change_type) contract of
+    ``catalog_stream_changelog_cdc`` — including the multi-file eq-delete
+    dedup (key 0 staged in two delete frames emits once) — through the
+    partition-planned reader: one InputPartition per inserted file / per
+    pos-delete file / per delete-snapshot's eq set, decoded on executors.
+    The driver only folds metadata; the change decode fans out."""
+    import os
+    import shutil
+    import uuid as _uuid
+
+    from iceberg_catalog_postgres_spark.catalog.catalog import (
+        PostgresCatalog,
+        TableIdentifier,
+    )
+    from iceberg_catalog_postgres_spark.catalog.maintenance import delete_where_mor
+
+    work = os.path.join(_REPO_ROOT, ".tmp", "catalog_cdc_parallel")
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work, exist_ok=True)
+    db = os.path.join(work, "catalog.db")
+    wh = os.path.join(work, "wh")
+
+    cat = PostgresCatalog.connect("cdcp", f"sqlite://{db}", wh)
+    cat.initialize()
+    src = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    ident = TableIdentifier.parse("cdcp.nation")
+    t = cat.create_table(ident, src.schema)
+    t = t.new_transaction().append_dataframe(src.coalesce(2)).commit()
+    k1 = spark.createDataFrame([(0,), (1,)], "n_nationkey long").coalesce(1)
+    k2 = spark.createDataFrame([(0,)], "n_nationkey long").coalesce(1)
+    t = (
+        t.new_transaction()
+        .delete_keys_dataframe(k1)
+        .delete_keys_dataframe(k2)
+        .commit()
+    )
+    t = delete_where_mor(spark, t, F.col("n_nationkey").between(5, 7))
+
+    spark.dataSource.register(CatalogChangelogParallelDataSource)
+    stream = (
+        spark.readStream.format("catalog_changelog_parallel")
+        .option("db", db)
+        .option("warehouse", wh)
+        .option("ident", "cdcp.nation")
+        .option("catalog", "cdcp")
+        .load()
+    )
+    name = f"cdcp_{_uuid.uuid4().hex[:12]}"
+    q = (
+        stream.groupBy(
+            F.col("_snapshot_seq").alias("snapshot_seq"),
+            F.col("_change_type").alias("change_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_nationkey").alias("sum_key"),
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name).orderBy("snapshot_seq", "change_type")
