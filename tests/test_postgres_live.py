@@ -15,6 +15,7 @@ import threading
 import uuid
 
 import pytest
+from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 
 from iceberg_catalog_postgres_spark.catalog.catalog import (
@@ -306,3 +307,39 @@ def test_wire_server_restart_mid_cas(pg_url, tmp_path):
     t3 = t2.new_transaction().append_files(["data/recovered.parquet"]).commit()
     assert "data/recovered.parquet" in t3.metadata.current_data_files()
     cat2.backend.close()
+
+
+def test_live_dbapi_read_from_real_postgres(live_catalog, spark):
+    """r9: the jar-less spark.read.jdbc mirror against a REAL PostgreSQL —
+    dbapi_read fetches a live PG table through the pure-Python wire
+    client in Arrow-batched range slices; partitioned and single-cursor
+    reads agree with the server's own aggregates. This is the closest
+    this container can get to 'Spark reads production Postgres' (no JDBC
+    jar ships; the wire client is the certified substitute)."""
+    from iceberg_catalog_postgres_spark.sources.readers import dbapi_read
+
+    b = live_catalog.backend
+    tbl = f"dbapi_demo_{uuid.uuid4().hex[:8]}"
+    b.execute(f"CREATE TABLE {tbl} (id BIGINT PRIMARY KEY, grp INT, val DOUBLE PRECISION)")
+    b.execute(
+        f"INSERT INTO {tbl} SELECT g, g % 7, g * 0.5 FROM generate_series(0, 999) g"
+    )
+    try:
+        cols = [("id", "long"), ("grp", "int"), ("val", "double")]
+        part = dbapi_read(
+            spark, b.execute, tbl, cols,
+            partition_column="id", lower_bound=0, upper_bound=1000, num_partitions=4,
+        )
+        assert part.rdd.getNumPartitions() >= 4  # one or more per range slice
+        single = dbapi_read(spark, b.execute, tbl, cols)
+        got = part.agg(
+            F.count(F.lit(1)), F.sum("id"), F.round(F.sum("val"), 2)
+        ).first()
+        assert tuple(got) == (1000, 499500, 249750.0)
+        assert sorted(map(tuple, part.collect())) == sorted(map(tuple, single.collect()))
+        # pushable slice predicate: per-group counts match the server's
+        by_grp = {r["grp"]: r["n"] for r in part.groupBy("grp").agg(F.count(F.lit(1)).alias("n")).collect()}
+        server_rows, _ = b.execute(f"SELECT grp, count(*) FROM {tbl} GROUP BY grp")
+        assert by_grp == {int(g): int(n) for g, n in server_rows}
+    finally:
+        b.execute(f"DROP TABLE {tbl}")
