@@ -180,6 +180,17 @@ class CatalogCommitsStreamReader:
             self.catalog_name, f"sqlite://{self.db}", self.warehouse
         )
         t = cat.load_table(TableIdentifier.parse(self.ident))
+        # The source declares a FIXED schema; a table whose columns drifted
+        # (schema evolution after the stream was defined) must refuse
+        # loudly — raw column misalignment would silently corrupt rows
+        names = [f.name for f in t.metadata.spark_schema.fields]
+        want = [c.split()[0] for c in _TAIL_SCHEMA.split(",")[:-1]]
+        if names != want:
+            raise ValueError(
+                f"stream source schema mismatch: table {self.ident!r} has "
+                f"columns {names}, source declares {want} — recreate the "
+                "stream against the evolved schema"
+            )
         snaps = sorted(t.metadata.snapshots, key=lambda s: s.sequence_number)
         store = cat.object_store()
         return snaps, store
@@ -262,6 +273,14 @@ class CatalogCommitsParallelStreamReader(DataSourceStreamReader):
             self.catalog_name, f"sqlite://{self.db}", self.warehouse
         )
         t = cat.load_table(TableIdentifier.parse(self.ident))
+        names = [f.name for f in t.metadata.spark_schema.fields]
+        want = [c.split()[0] for c in _TAIL_SCHEMA.split(",")[:-1]]
+        if names != want:
+            raise ValueError(
+                f"stream source schema mismatch: table {self.ident!r} has "
+                f"columns {names}, source declares {want} — recreate the "
+                "stream against the evolved schema"
+            )
         snaps = sorted(t.metadata.snapshots, key=lambda s: s.sequence_number)
         return snaps, cat.object_store()
 
@@ -550,6 +569,14 @@ class CatalogChangelogParallelStreamReader(DataSourceStreamReader):
             self.catalog_name, f"sqlite://{self.db}", self.warehouse
         )
         t = cat.load_table(TableIdentifier.parse(self.ident))
+        names = [f.name for f in t.metadata.spark_schema.fields]
+        want = [c.split()[0] for c in _TAIL_SCHEMA.split(",")[:-1]]
+        if names != want:
+            raise ValueError(
+                f"stream source schema mismatch: table {self.ident!r} has "
+                f"columns {names}, source declares {want} — recreate the "
+                "stream against the evolved schema"
+            )
         snaps = sorted(t.metadata.snapshots, key=lambda s: s.sequence_number)
         return snaps, cat.object_store()
 
