@@ -166,6 +166,8 @@ class CatalogCommitsStreamReader:
         # first N snapshots (a CDC consumer bootstrapped from a snapshot
         # read resumes from there instead of replaying the full chain)
         self.start = int(options.get("start_snapshots", 0))
+        ec = options.get("expect_columns", "")
+        self.expect_cols = [c for c in ec.split(",") if c] or None
 
     def initialOffset(self) -> dict:
         return {"n_snapshots": self.start}
@@ -180,20 +182,27 @@ class CatalogCommitsStreamReader:
             self.catalog_name, f"sqlite://{self.db}", self.warehouse
         )
         t = cat.load_table(TableIdentifier.parse(self.ident))
-        # The source declares a FIXED schema; a table whose columns drifted
-        # (schema evolution after the stream was defined) must refuse
-        # loudly — raw column misalignment would silently corrupt rows
+        self._check_schema(t)
+        snaps = sorted(t.metadata.snapshots, key=lambda s: s.sequence_number)
+        store = cat.object_store()
+        return snaps, store
+
+    def _check_schema(self, t) -> None:
+        """When constructed THROUGH a DataSource (which declares a fixed
+        output schema), refuse a table whose columns drifted — raw column
+        misalignment after schema evolution would silently corrupt rows.
+        Direct reader construction (no expect_columns) skips the guard:
+        the tail emits whatever columns the files carry."""
+        if not self.expect_cols:
+            return
         names = [f.name for f in t.metadata.spark_schema.fields]
-        want = [c.split()[0] for c in _TAIL_SCHEMA.split(",")[:-1]]
+        want = self.expect_cols
         if names != want:
             raise ValueError(
                 f"stream source schema mismatch: table {self.ident!r} has "
                 f"columns {names}, source declares {want} — recreate the "
                 "stream against the evolved schema"
             )
-        snaps = sorted(t.metadata.snapshots, key=lambda s: s.sequence_number)
-        store = cat.object_store()
-        return snaps, store
 
     def _rows_between(self, lo: int, hi: int) -> list:
         # Materialized (not a generator): the simple stream reader's rows are
@@ -234,7 +243,12 @@ class CatalogCommitsDataSource(DataSource):
         return _TAIL_SCHEMA
 
     def simpleStreamReader(self, schema: StructType):
-        return CatalogCommitsStreamReader(self.options)
+        opts = dict(self.options)
+        opts.setdefault(
+            "expect_columns",
+            ",".join(c.split()[0] for c in _TAIL_SCHEMA.split(",")[:-1]),
+        )
+        return CatalogCommitsStreamReader(opts)
 
 
 class _DeltaFilePartition(InputPartition):
@@ -262,6 +276,8 @@ class CatalogCommitsParallelStreamReader(DataSourceStreamReader):
         self.ident = options["ident"]
         self.catalog_name = options.get("catalog", "tailp")
         self.start = int(options.get("start_snapshots", 0))
+        ec = options.get("expect_columns", "")
+        self.expect_cols = [c for c in ec.split(",") if c] or None
 
     def _snapshots(self):
         from iceberg_catalog_postgres_spark.catalog.catalog import (
@@ -273,14 +289,7 @@ class CatalogCommitsParallelStreamReader(DataSourceStreamReader):
             self.catalog_name, f"sqlite://{self.db}", self.warehouse
         )
         t = cat.load_table(TableIdentifier.parse(self.ident))
-        names = [f.name for f in t.metadata.spark_schema.fields]
-        want = [c.split()[0] for c in _TAIL_SCHEMA.split(",")[:-1]]
-        if names != want:
-            raise ValueError(
-                f"stream source schema mismatch: table {self.ident!r} has "
-                f"columns {names}, source declares {want} — recreate the "
-                "stream against the evolved schema"
-            )
+        CatalogCommitsStreamReader._check_schema(self, t)
         snaps = sorted(t.metadata.snapshots, key=lambda s: s.sequence_number)
         return snaps, cat.object_store()
 
@@ -332,7 +341,12 @@ class CatalogCommitsParallelDataSource(DataSource):
         return _TAIL_SCHEMA
 
     def streamReader(self, schema: StructType):
-        return CatalogCommitsParallelStreamReader(self.options)
+        opts = dict(self.options)
+        opts.setdefault(
+            "expect_columns",
+            ",".join(c.split()[0] for c in _TAIL_SCHEMA.split(",")[:-1]),
+        )
+        return CatalogCommitsParallelStreamReader(opts)
 
 
 @register(
@@ -513,7 +527,9 @@ class CatalogChangelogDataSource(DataSource):
         return _CDC_SCHEMA
 
     def simpleStreamReader(self, schema: StructType):
-        return CatalogChangelogStreamReader(self.options)
+        opts = dict(self.options)
+        opts.setdefault("expect_columns", ",".join(_CDC_COLS))
+        return CatalogChangelogStreamReader(opts)
 
 
 class _ChangePartition(InputPartition):
@@ -558,6 +574,8 @@ class CatalogChangelogParallelStreamReader(DataSourceStreamReader):
         self.ident = options["ident"]
         self.catalog_name = options.get("catalog", "cdcp")
         self.start = int(options.get("start_snapshots", 0))
+        ec = options.get("expect_columns", "")
+        self.expect_cols = [c for c in ec.split(",") if c] or None
 
     def _snapshots(self):
         from iceberg_catalog_postgres_spark.catalog.catalog import (
@@ -569,14 +587,7 @@ class CatalogChangelogParallelStreamReader(DataSourceStreamReader):
             self.catalog_name, f"sqlite://{self.db}", self.warehouse
         )
         t = cat.load_table(TableIdentifier.parse(self.ident))
-        names = [f.name for f in t.metadata.spark_schema.fields]
-        want = [c.split()[0] for c in _TAIL_SCHEMA.split(",")[:-1]]
-        if names != want:
-            raise ValueError(
-                f"stream source schema mismatch: table {self.ident!r} has "
-                f"columns {names}, source declares {want} — recreate the "
-                "stream against the evolved schema"
-            )
+        CatalogCommitsStreamReader._check_schema(self, t)
         snaps = sorted(t.metadata.snapshots, key=lambda s: s.sequence_number)
         return snaps, cat.object_store()
 
@@ -695,7 +706,9 @@ class CatalogChangelogParallelDataSource(DataSource):
         return _CDC_SCHEMA
 
     def streamReader(self, schema: StructType):
-        return CatalogChangelogParallelStreamReader(self.options)
+        opts = dict(self.options)
+        opts.setdefault("expect_columns", ",".join(_CDC_COLS))
+        return CatalogChangelogParallelStreamReader(opts)
 
 
 @register(

@@ -242,3 +242,40 @@ def test_changelog_stream_incremental_and_overwrite_contract(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="non-append/delete"):
         reader.read(end1)
+
+
+def test_stream_source_refuses_schema_drift(spark, tmp_path):
+    """The DataSource-constructed readers carry expect_columns from the
+    declared output schema; a table whose columns differ refuses loudly
+    instead of silently misaligning rows. Direct reader construction
+    (no expect_columns) stays schema-agnostic for generic tails."""
+    from iceberg_catalog_postgres_spark.catalog.catalog import (
+        PostgresCatalog,
+        TableIdentifier,
+    )
+    from iceberg_catalog_postgres_spark.sources.catalog_datasource import (
+        CatalogCommitsStreamReader,
+    )
+
+    db = str(tmp_path / "c.db")
+    cat = PostgresCatalog.connect("drift", f"sqlite://{db}", str(tmp_path / "wh"))
+    cat.initialize()
+    src = spark.createDataFrame([(1, "x")], "a long, b string")
+    t = cat.create_table(TableIdentifier.parse("d.t"), src.schema)
+    t.new_transaction().append_dataframe(src.coalesce(1)).commit()
+
+    guarded = CatalogCommitsStreamReader(
+        {"db": db, "warehouse": str(tmp_path / "wh"), "ident": "d.t",
+         "catalog": "drift", "expect_columns": "n_nationkey,n_name,n_regionkey"}
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="schema mismatch"):
+        guarded.read(guarded.initialOffset())
+
+    # unguarded direct construction reads the table's own columns
+    free = CatalogCommitsStreamReader(
+        {"db": db, "warehouse": str(tmp_path / "wh"), "ident": "d.t", "catalog": "drift"}
+    )
+    rows, end = free.read(free.initialOffset())
+    assert end == {"n_snapshots": 1} and list(rows) == [(1, "x", 1)]
