@@ -2762,8 +2762,19 @@ class Transaction:
         n_files: int | None = None,
         zorder_by: list[str] | None = None,
         bloom_filters: dict[str, int] | None = None,
+        distribution_mode: str = "none",
     ) -> "Transaction":
         """Write df as parquet under the table location, stage the new files.
+
+        ``distribution_mode="hash"`` (Iceberg's ``write.distribution-mode``)
+        pre-shuffles the rows by the PARTITION TRANSFORM expressions before
+        the partitioned write, so each partition value lands in one task
+        and writes ONE file instead of one per (task x value). At 100 TB
+        this is the small-files control for wide appends: 1000 tasks x 365
+        day-partitions is 365k files under "none" and 365 under "hash" —
+        the trade is one extra shuffle of the appended data. Default stays
+        "none" (task-local writes, no shuffle), matching Iceberg's default
+        for unsorted appends.
 
         ``bloom_filters`` maps column -> expected NDV: the parquet writer
         embeds a split-block bloom filter per row group for those columns
@@ -2908,6 +2919,14 @@ class Transaction:
                 aug = aug.withColumn(
                     _shadow_name(e),
                     transform_column(e, dtypes.get(col), bucket_hash=_bh),
+                )
+            if distribution_mode == "hash":
+                from pyspark.sql import functions as _Fd
+
+                aug = aug.repartition(*[_Fd.col(_shadow_name(e)) for e in spec])
+            elif distribution_mode != "none":
+                raise ValueError(
+                    f"distribution_mode must be 'none' or 'hash', got {distribution_mode!r}"
                 )
             aug.write.mode("overwrite").options(**bloom_opts).partitionBy(
                 *[_shadow_name(e) for e in spec]

@@ -113,3 +113,43 @@ def test_bloom_filter_partitioned_write(catalog, spark):
             for i in range(block.getColumns().size())
         }
         assert cols["k"].getBloomFilterOffset() >= 0
+
+
+def test_hash_distribution_mode_one_file_per_partition(catalog, spark):
+    """r9 write.distribution-mode=hash: a wide (8-task) append into a
+    4-value partition spec writes ONE file per partition value instead of
+    one per (task x value); rows identical either way."""
+    df = spark.range(8_000).select(
+        (F.col("id") % 4).alias("p"), F.col("id").alias("v")
+    ).repartition(8)
+    t_none = catalog.create_table(
+        TableIdentifier.parse("bl.dist_none"),
+        df.schema,
+        partition_by=["p"],
+    )
+    t_none = t_none.new_transaction().append_dataframe(df).commit()
+    n_files_none = len(t_none.metadata.current_data_files())
+    assert n_files_none > 4  # task-local writes fan out per value
+
+    t_hash = catalog.create_table(
+        TableIdentifier.parse("bl.dist_hash"),
+        df.schema,
+        partition_by=["p"],
+    )
+    t_hash = (
+        t_hash.new_transaction()
+        .append_dataframe(df, distribution_mode="hash")
+        .commit()
+    )
+    assert len(t_hash.metadata.current_data_files()) == 4
+    assert sorted(map(tuple, t_hash.to_df(spark).collect())) == sorted(
+        map(tuple, t_none.to_df(spark).collect())
+    )
+    # partition tuples recorded for every file either way
+    parts = t_hash.metadata.current_file_partitions()
+    assert {p["p"] for p in parts.values()} == {"0", "1", "2", "3"}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="distribution_mode"):
+        t_hash.new_transaction().append_dataframe(df, distribution_mode="range")
