@@ -1406,3 +1406,52 @@ def catalog_bloom_filter_point_lookup(spark: SparkSession, sf_dir: str) -> DataF
         .withColumn("rowgroup_point_filterable", F.lit(bool(filterable)))
         .orderBy("o_custkey")
     )
+
+
+@register(
+    "catalog_hash_distribution_write",
+    oracle="""
+    SELECT CAST(count(DISTINCT n_regionkey) AS BIGINT) AS n_files_hash,
+           true AS fewer_files_than_task_local,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           true AS rows_identical
+    FROM nation
+    """,
+    tags=("catalog", "layout", "write-distribution", "scale"),
+)
+def catalog_hash_distribution_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """write.distribution-mode=hash under the oracle gate (r9): the same
+    8-task nation append lands in a region-partitioned table twice — task
+    local ("none") fans out one file per (task x region); "hash"
+    pre-shuffles by the partition transform and writes EXACTLY one file
+    per region value, with identical rows. The oracle pins the hash-mode
+    file count to the distinct-region count and the row parity.
+
+    Scale: the small-files control for wide appends — 1000 tasks x 365
+    day-partitions is 365k files task-local and 365 under hash; the cost
+    is one shuffle of the appended data (never the table)."""
+    cat = _fresh("catalog_hash_distribution")
+    src = load(spark, sf_dir, "nation").repartition(8)
+    ident_n = TableIdentifier.parse("dist.none")
+    t_none = cat.create_table(ident_n, src.schema, partition_by=["n_regionkey"])
+    t_none = t_none.new_transaction().append_dataframe(src).commit()
+
+    ident_h = TableIdentifier.parse("dist.hash")
+    t_hash = cat.create_table(ident_h, src.schema, partition_by=["n_regionkey"])
+    t_hash = (
+        t_hash.new_transaction()
+        .append_dataframe(src, distribution_mode="hash")
+        .commit()
+    )
+    n_none = len(t_none.metadata.current_data_files())
+    n_hash = len(t_hash.metadata.current_data_files())
+    a = t_hash.to_df(spark)
+    b = t_none.to_df(spark)
+    rows_identical = (
+        a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    )
+    return spark.createDataFrame(
+        [(n_hash, bool(n_hash < n_none), a.count(), bool(rows_identical))],
+        "n_files_hash long, fewer_files_than_task_local boolean,"
+        " n_rows long, rows_identical boolean",
+    )
