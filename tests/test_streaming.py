@@ -279,3 +279,55 @@ def test_stream_source_refuses_schema_drift(spark, tmp_path):
     )
     rows, end = free.read(free.initialOffset())
     assert end == {"n_snapshots": 1} and list(rows) == [(1, "x", 1)]
+
+
+def test_parallel_cdc_partition_planning_scales(spark, tmp_path):
+    """r9 scale check: over a 30-commit chain (mixed appends/deletes), the
+    parallel CDC reader's partitions(start,end) plans exactly one unit
+    per inserted file / per delete-snapshot eq-set, offsets advance per
+    commit, and an arbitrary mid-chain offset window plans only its own
+    slice — the planner cost stays O(delta), never O(history)."""
+    from iceberg_catalog_postgres_spark.catalog.catalog import (
+        PostgresCatalog,
+        TableIdentifier,
+    )
+    from iceberg_catalog_postgres_spark.sources.catalog_datasource import (
+        CatalogChangelogParallelStreamReader,
+    )
+
+    db = str(tmp_path / "c.db")
+    wh = str(tmp_path / "wh")
+    cat = PostgresCatalog.connect("cdcsc", f"sqlite://{db}", wh)
+    cat.initialize()
+    schema = "n_nationkey long, n_name string, n_regionkey long"
+    t = cat.create_table(TableIdentifier.parse("sc.t"), spark.createDataFrame([], schema).schema)
+    n_appends, n_deletes = 0, 0
+    next_id = 0
+    for i in range(30):
+        if i % 3 == 2 and next_id > 0:
+            keys = spark.createDataFrame([(next_id - 1,)], "n_nationkey long").coalesce(1)
+            t = t.new_transaction().delete_keys_dataframe(keys).commit()
+            n_deletes += 1
+        else:
+            batch = [(next_id + j, f"n{next_id + j}", j) for j in range(2)]
+            next_id += 2
+            t = t.new_transaction().append_dataframe(
+                spark.createDataFrame(batch, schema).coalesce(1)
+            ).commit()
+            n_appends += 1
+
+    reader = CatalogChangelogParallelStreamReader(
+        {"db": db, "warehouse": wh, "ident": "sc.t", "catalog": "cdcsc"}
+    )
+    assert reader.latestOffset() == {"n_snapshots": 30}
+    full = reader.partitions({"n_snapshots": 0}, {"n_snapshots": 30})
+    # one partition per appended file (coalesce(1) => 1/append) + one per
+    # delete snapshot's eq set
+    assert len(full) == n_appends + n_deletes
+    kinds = {}
+    for p in full:
+        kinds[p.kind] = kinds.get(p.kind, 0) + 1
+    assert kinds == {"insert": n_appends, "eqdel": n_deletes}
+    # a mid-chain window plans only its own slice
+    window = reader.partitions({"n_snapshots": 10}, {"n_snapshots": 13})
+    assert len(window) == 3
