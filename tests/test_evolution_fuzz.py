@@ -43,6 +43,7 @@ OPS = st.lists(
         st.tuples(st.just("drop"), st.integers(0, 3)),
         st.tuples(st.just("spec"), st.integers(0, 3)),        # new spec source
         st.tuples(st.just("delete"), st.integers(0, 4)),      # eq-delete value
+        st.tuples(st.just("posdel"), st.integers(0, 3)),      # pos-delete k%4
     ),
     min_size=3,
     max_size=8,
@@ -207,6 +208,21 @@ def test_evolution_sequences_read_exactly(fuzz_catalog, spark, ops):
                     history.append(
                         (t.metadata.current_snapshot_id, [dict(r) for r in model.rows])
                     )
+        elif op == "posdel":
+            # positional DELETE WHERE k % 4 == arg: exact-row deletes via
+            # scan identity (r9 — exercises pos-delete reconstruction in
+            # the changelog/CDC-replay and time-travel properties)
+            before_n = len(model.rows)
+            model.rows = [r for r in model.rows if r.get(1) % 4 != arg]
+            if len(model.rows) != before_n:
+                from iceberg_catalog_postgres_spark.catalog.maintenance import (
+                    delete_where_mor,
+                )
+
+                t = delete_where_mor(spark, t, F.col("k") % 4 == arg)
+                history.append(
+                    (t.metadata.current_snapshot_id, [dict(r) for r in model.rows])
+                )
         elif op == "spec":
             candidates = [n for _i, n in model.cols if n != "k"]
             if candidates:
@@ -399,6 +415,18 @@ def test_avro_round_trip_under_evolution(fuzz_catalog, spark, ops):
                         StructType([StructField(name, LongType(), True)]),
                     )
                     t = t.new_transaction().delete_keys_dataframe(keys).commit()
+        elif op == "posdel":
+            # positional DELETE WHERE k % 4 == arg: exact-row deletes via
+            # scan identity (r9 — exercises pos-delete reconstruction in
+            # the changelog/CDC-replay and time-travel properties)
+            before_n = len(model.rows)
+            model.rows = [r for r in model.rows if r.get(1) % 4 != arg]
+            if len(model.rows) != before_n:
+                from iceberg_catalog_postgres_spark.catalog.maintenance import (
+                    delete_where_mor,
+                )
+
+                t = delete_where_mor(spark, t, F.col("k") % 4 == arg)
         elif op == "spec":
             candidates = [n for _i, n in model.cols if n != "k"]
             if candidates:
