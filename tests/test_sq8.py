@@ -41,3 +41,23 @@ def test_ivfsq8_recall_floor_and_candidate_fraction(spark):
     assert rows[2].corpus_n == 2 * rows[1].corpus_n
     # flat candidates at 2x data => scan fraction halves
     assert rows[2].avg_candidates < 1.5 * rows[1].avg_candidates
+
+
+def test_bq_recall_floor_and_two_stage_shape(spark):
+    """BQ (r9): recall floor at both scales over the rescored two-stage
+    pipeline, candidate budget fixed at 8k per query — the 8-byte/vec
+    end of the quantization family."""
+    from iceberg_catalog_postgres_spark.llm.bq import _RESCORE, sim_ann_bq_hamming_recall
+
+    rows = {r.scale_x: r for r in sim_ann_bq_hamming_recall(
+        spark, "/root/testdata/sf0.001"
+    ).collect()}
+    assert set(rows) == {1, 2}
+    for sx, r in rows.items():
+        # 1-bit on a near-isotropic synthetic corpus: 0.5 is the measured
+        # floor with margin (0.60-0.74 across sf0.001/sf0.01, both scales)
+        assert r.recall_at_k >= 0.5, f"BQ recall collapsed at {sx}x: {r.recall_at_k}"
+        assert r.rescored_per_query == _RESCORE
+        # the rescore budget stays a small corpus fraction (two-stage win)
+        assert _RESCORE <= r.corpus_n // 10
+    assert rows[2].corpus_n == 2 * rows[1].corpus_n
