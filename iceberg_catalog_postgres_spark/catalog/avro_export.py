@@ -45,6 +45,20 @@ Honest limits (refused loudly, not mis-exported):
 - every data file must carry a complete current-spec partition tuple
   (evolved tables' old-spec cohorts need a rewrite first).
 
+Documented deviations (spec-visible, deliberate):
+- EXISTING (status 0) manifest entries carry the EXPORTED snapshot's id
+  in field 1 (``snapshot_id``), not the snapshot that originally added
+  the file — the export is a single-snapshot document, so the true adding
+  ids would dangle (reference absent snapshots). Sequence numbers are
+  real, so seq-scoped delete semantics are unaffected; a foreign reader
+  using entry snapshot_id for incremental/changelog scans would see every
+  file as added by the exported snapshot. (Incremental consumers should
+  use our native changelog, not the export.)
+- Delete manifests always export under an UNPARTITIONED spec entry
+  (spec-sanctioned global deletes); partitioned tables with pending
+  positional deletes refuse with a compaction on-ramp instead of
+  exporting partition-scoped delete entries.
+
 A self-check reads everything back through the same official library and
 compares against the native metadata (`tests/test_avro_export.py`,
 `catalog_avro_manifest_export`). What CANNOT be verified here is a

@@ -133,7 +133,8 @@ def rewrite_files_before_seq(
         return table, 0, 0, 0
     file_seqs = snap.file_seqs or {}
     stale = [r for r in snap.data_files if int(file_seqs.get(r, 0)) < before_seq]
-    kept = [r for r in snap.data_files if r not in set(stale)]
+    stale_set = set(stale)
+    kept = [r for r in snap.data_files if r not in stale_set]
     if not stale:
         return table, 0, len(kept), 0
     counts = {rel: table.record_count(files=[rel]) for rel in stale}
@@ -182,7 +183,8 @@ def rewrite_files_to_current_spec(
         for r in snap.data_files
         if any(e not in (parts.get(r) or {}) for e in spec)
     ]
-    kept = [r for r in snap.data_files if r not in set(stale)]
+    stale_set = set(stale)
+    kept = [r for r in snap.data_files if r not in stale_set]
     if not stale:
         return table, 0, len(kept), 0
 
@@ -2506,13 +2508,24 @@ def update_partition_statistics(spark: SparkSession, table: Table) -> Table:
         g["bytes"] += os.path.getsize(store.resolve(rel))
 
     if snap.position_delete_files:
+        from pyspark.sql import functions as F
+
         raw = spark.read.parquet(
             *[store.resolve(f) for f in snap.position_delete_files]
         )
-        # O(distinct deleted-from files) driver pull — bounded by the
-        # pending delete set, never the table
-        per_file = raw.groupBy("file_path").count().collect()
-        for r in per_file:
+        # O(distinct (delete-file, deleted-from-file) pairs) driver pull —
+        # bounded by the pending delete set, never the table. The delete
+        # file identity rides along so position_delete_file_count carries
+        # the spec's meaning: distinct position-delete FILES contributing
+        # deleted rows to the partition (ADVICE r9 fix — previously this
+        # counted distinct referenced data files).
+        per_pair = (
+            raw.groupBy(F.input_file_name().alias("_del_file"), "file_path")
+            .count()
+            .collect()
+        )
+        del_files_per_key: dict[tuple, set] = {}
+        for r in per_pair:
             rel = next((d for d in snap.data_files if r["file_path"].endswith(d)), None)
             if rel is None:
                 continue
@@ -2520,7 +2533,9 @@ def update_partition_statistics(spark: SparkSession, table: Table) -> Table:
             key = tuple(tup.get(p["entry"]) for p in part_fields)
             if key in groups:
                 groups[key]["pos_del"] += int(r["count"])
-                groups[key]["pos_files"] += 1
+                del_files_per_key.setdefault(key, set()).add(r["_del_file"])
+        for key, dfiles in del_files_per_key.items():
+            groups[key]["pos_files"] = len(dfiles)
 
     _SPARK_T = {
         "int": IntegerType(),

@@ -1376,20 +1376,23 @@ def catalog_bloom_filter_point_lookup(spark: SparkSession, sf_dir: str) -> DataF
             jvm.org.apache.hadoop.fs.Path(store.resolve(rel)), conf
         )
         reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(infile)
-        block = reader.getFooter().getBlocks().get(0)
-        cols = block.getColumns()
-        col = next(
-            cols.get(i)
-            for i in range(cols.size())
-            if cols.get(i).getPath().toDotString() == "o_custkey"
-        )
-        has_bloom = col.getBloomFilterOffset() >= 0
-        encodings = {str(col.getEncodings().toArray()[j])
-                     for j in range(col.getEncodings().size())}
-        fully_dict = bool(encodings & {"RLE_DICTIONARY", "PLAIN_DICTIONARY"}) and (
-            "PLAIN" not in encodings
-        )
-        filterable = filterable and (has_bloom or fully_dict)
+        try:
+            block = reader.getFooter().getBlocks().get(0)
+            cols = block.getColumns()
+            col = next(
+                cols.get(i)
+                for i in range(cols.size())
+                if cols.get(i).getPath().toDotString() == "o_custkey"
+            )
+            has_bloom = col.getBloomFilterOffset() >= 0
+            encodings = {str(col.getEncodings().toArray()[j])
+                         for j in range(col.getEncodings().size())}
+            fully_dict = bool(
+                encodings & {"RLE_DICTIONARY", "PLAIN_DICTIONARY"}
+            ) and ("PLAIN" not in encodings)
+            filterable = filterable and (has_bloom or fully_dict)
+        finally:
+            reader.close()
 
     keys = [
         r["o_custkey"]

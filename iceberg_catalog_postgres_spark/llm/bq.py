@@ -46,7 +46,7 @@ DIM = 64
 _RESCORE = 8 * TOP_K  # hamming candidates per query fed to the exact rescore
 
 
-def _pack_sql(v: str, half: int) -> str:
+def _pack_sql(half: int) -> str:
     """DuckDB: OR-fold CENTERED sign bits (x > per-dim corpus mean, the
     standard BQ centering — raw signs waste bits on dims with off-center
     distributions) of dims [1+32*half, 32*(half+1)] into a BIGINT word
@@ -74,7 +74,7 @@ def _bq_scale_sql(sfx: str, v: str, scale_x: int) -> str:
       )
     ),
     code_{sfx} AS (
-      SELECT vec_id, {_pack_sql(v, 0)} AS w1, {_pack_sql(v, 1)} AS w2
+      SELECT vec_id, {_pack_sql(0)} AS w1, {_pack_sql(1)} AS w2
       FROM {v}, mu_{sfx} m
     ),
     qb_{sfx} AS (
@@ -162,7 +162,8 @@ def _pack_col(half: int, mu: list):
 )
 def sim_ann_bq_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BQ recall@5: sign-bit codes, hamming pre-rank, exact-cosine rescore
-    of the top 4k candidates, at 1x and 2x corpus (see module doc)."""
+    of the top ``_RESCORE`` (= 8k) candidates, at 1x and 2x corpus (see
+    module doc)."""
     base = load_parallel(spark, sf_dir, "embeddings").select(
         "vec_id", _vec("embedding").alias("e")
     )
