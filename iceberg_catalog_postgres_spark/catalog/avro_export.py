@@ -417,6 +417,17 @@ def export_iceberg_avro(spark: SparkSession, table: Table) -> dict:
     snap = md.current_snapshot()
     if snap is None:
         raise ValueError("avro export: table has no snapshot")
+    if snap.deletion_vectors:
+        # The export targets Iceberg V2 readers; deletion vectors are a v3
+        # surface a v2 reader would silently ignore — phantom rows. Refuse
+        # loudly; compact_table materializes the vectors (full rewrite), or
+        # keep DVs native and export after compaction.
+        raise ValueError(
+            f"avro export: table has {len(snap.deletion_vectors)} deletion "
+            "vector(s) (Iceberg v3); this export produces a V2 document a "
+            "v2 reader would misread (the vectors' deletes would be "
+            "invisible) — compact_table first to materialize them"
+        )
     # pending EQUALITY deletes export directly as content=2 delete-manifest
     # entries with real sequence numbers (below); no rewrite on-ramp needed
     renames = table.column_renames()

@@ -289,6 +289,7 @@ def _commit_subset_replace(
         *table.metadata.current_delete_files(),
         *table.metadata.current_position_delete_files(),
     ]
+    kept_set = set(kept)
     snapshot = Snapshot(
         snapshot_id=new_snapshot_id(table.metadata.snapshot_ids()),
         timestamp_ms=int(_time.time() * 1000),
@@ -296,6 +297,13 @@ def _commit_subset_replace(
         data_files=[*kept, *new_files],
         delete_files=list(table.metadata.current_delete_files()),
         position_delete_files=list(table.metadata.current_position_delete_files()),
+        # kept files keep their deletion vectors; rewritten files had theirs
+        # materialized by the to_df read, so their entries drop here
+        deletion_vectors={
+            r: e
+            for r, e in table.metadata.current_deletion_vectors().items()
+            if r in kept_set
+        },
         sequence_number=next_seq,
         file_seqs={**inherited_seqs, **{f: next_seq for f in new_files}},
         file_partitions={
@@ -436,6 +444,13 @@ def delete_where_cow(
         data_files=[*kept, *new_files],
         delete_files=list(table.metadata.current_delete_files()),
         position_delete_files=list(table.metadata.current_position_delete_files()),
+        # same carry rule as _commit_subset_replace: kept files keep their
+        # vectors, rewritten files' vectors were materialized by the read
+        deletion_vectors={
+            r: e
+            for r, e in table.metadata.current_deletion_vectors().items()
+            if r in set(kept)
+        },
         sequence_number=next_seq,
         file_seqs={**inherited_seqs, **{f: next_seq for f in new_files}},
         # kept files retain their partition tuples; the (non-partition-aware)
@@ -602,6 +617,71 @@ def catalog_positional_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert table.metadata.current_data_files() == files_before, "MOR delete must not rewrite data"
     assert len(table.metadata.current_position_delete_files()) >= 1
     return table.to_df(spark)
+
+
+@register(
+    "catalog_deletion_vector_read",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           true AS pos_parquet_cleared,
+           true AS vectors_present,
+           true AS data_files_untouched
+    FROM orders
+    WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 5 = 0)
+      AND NOT (o_orderkey % 7 = 0)
+    """,
+    tags=("catalog", "delete", "merge-on-read", "deletion-vector", "v3", "scale"),
+)
+def catalog_deletion_vector_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v3 DELETION VECTORS, end to end (catalog/dv.py): a
+    positional DELETE lands as parquet pair files, is CONVERTED to roaring
+    bitmap vectors in a Puffin sidecar (``rewrite_position_deletes_to_dvs``
+    — position files cleared, asserted), then a SECOND delete commits
+    directly as vectors (``delete_positions_dv`` — the per-file vector is
+    the superseding union). The read applies both via one RANGED blob
+    fetch per file with live deletes, so MOR read amplification is bounded
+    by the file count, not the delete-commit history — vs one parquet open
+    per pos-delete commit. Result must equal the oracle's inverse filter;
+    data files are never rewritten (asserted).
+
+    Reference grounding: the snapshot/commit model of mod.rs:296-347; the
+    v3 spec's deletion-vector-v1 Puffin blob (roaring64 portable + CRC).
+    """
+    cat = _fresh_catalog("catalog_dv_demo")
+    src = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    table = cat.create_table(TableIdentifier.parse("maint.orders_dv"), src.schema)
+    table = table.new_transaction().append_dataframe(src.repartition(4)).commit()
+    files_before = list(table.metadata.current_data_files())
+
+    table = delete_where_mor(
+        spark, table, (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 5 == 0)
+    )
+    table = rewrite_position_deletes_to_dvs(spark, table)
+    pos_cleared = table.metadata.current_position_delete_files() == []
+
+    positions = (
+        table.to_df(spark)
+        .withColumn("file_path", F.col("_metadata.file_path"))
+        .withColumn("row_index", F.col("_metadata.row_index"))
+        .where(F.col("o_orderkey") % 7 == 0)
+        .select("file_path", "row_index")
+    )
+    table = table.new_transaction().delete_positions_dv(positions).commit()
+
+    assert pos_cleared, "conversion must clear parquet positional deletes"
+    dvs = table.metadata.current_deletion_vectors()
+    assert len(dvs) >= 1 and all(e["cardinality"] > 0 for e in dvs.values())
+    assert table.metadata.current_data_files() == files_before, (
+        "DV delete must not rewrite data"
+    )
+    return (
+        table.to_df(spark)
+        .withColumn("pos_parquet_cleared", F.lit(True))
+        .withColumn("vectors_present", F.lit(True))
+        .withColumn("data_files_untouched", F.lit(True))
+    )
 
 
 @register(
@@ -1633,7 +1713,9 @@ def overwrite_partitions(spark: SparkSession, table: Table, df: DataFrame) -> Ta
     if not table.metadata.partition_spec:
         raise ValueError("dynamic partition overwrite requires a partitioned table")
     snap = table.metadata.current_snapshot()
-    if snap is not None and (snap.delete_files or snap.position_delete_files):
+    if snap is not None and (
+        snap.delete_files or snap.position_delete_files or snap.deletion_vectors
+    ):
         raise ValueError(
             "table has pending merge-on-read deletes; compact before a "
             "partition overwrite"
@@ -2752,9 +2834,118 @@ def catalog_column_ndv_incremental(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-def rewrite_equality_deletes(spark: SparkSession, table: Table) -> Table:
+def _fold_positions_into_dvs(
+    store, location: str, pdf, existing: dict, snapshot_id: int, seq: int
+) -> dict:
+    """Fold a (file_path, row_index) pandas frame into deletion-vector
+    entries: per referenced data file, union the new positions with the
+    file's EXISTING vector (the v3 supersede invariant), write one Puffin
+    sidecar for the touched files, and return the full merged map —
+    untouched files keep pointing into their older sidecars."""
+    import numpy as _np
+
+    from iceberg_catalog_postgres_spark.catalog.dv import read_dv, write_dv_sidecar
+
+    root = store.resolve("")
+    merged: dict = {}
+    for fp, grp in pdf.groupby("file_path"):
+        p = str(fp)[5:] if str(fp).startswith("file:") else str(fp)
+        rel = os.path.relpath(p, root) if os.path.isabs(p) else p
+        pos = _np.unique(grp["row_index"].to_numpy(dtype="uint64"))
+        if rel in existing:
+            pos = _np.union1d(pos, read_dv(store, existing[rel]))
+        merged[rel] = pos
+    if not merged:
+        return dict(existing)
+    return {
+        **existing,
+        **write_dv_sidecar(store, location, merged, snapshot_id, seq),
+    }
+
+
+def rewrite_position_deletes_to_dvs(spark: SparkSession, table: Table) -> Table:
+    """Convert pending parquet positional-delete files into Iceberg v3
+    DELETION VECTORS (catalog/dv.py): the accumulated (file_path,
+    row_index) pair files fold into one roaring-bitmap blob per data file
+    in a Puffin sidecar, and the commit clears ``position_delete_files``.
+
+    Why at 100 TB: every scan of a MOR table opens each positional-delete
+    parquet file — read amplification grows with DELETE COMMIT COUNT. After
+    this rewrite a scan does one RANGED blob read per data file with live
+    deletes (amplification bounded by the file count, not the commit
+    history), and the delete state shrinks ~8x (roaring bits vs parquet
+    pairs). Data files are untouched; the commit swaps delete
+    representations only, exactly like ``rewrite_equality_deletes``.
+
+    Reference grounding: the snapshot/commit model of mod.rs:296-347; DV
+    container format already used for statistics sidecars
+    (catalog/puffin.py).
+    """
+    import time as _time
+    import uuid as _uuid
+
+    from iceberg_catalog_postgres_spark.catalog.metadata import (
+        Snapshot,
+        new_snapshot_id,
+        plan_manifests,
+    )
+
+    snap = table.metadata.current_snapshot()
+    if snap is None or not snap.position_delete_files:
+        return table
+    store = table.catalog.object_store()
+    # bounded by the pending-delete set (the bitmaps must be materialized
+    # to serialize) — same order every DV writer carries, never the table
+    pdf = (
+        spark.read.parquet(*[store.resolve(f) for f in snap.position_delete_files])
+        .select("file_path", "row_index")
+        .toPandas()
+    )
+    next_seq = table.metadata.next_sequence_number()
+    sid = new_snapshot_id(table.metadata.snapshot_ids())
+    dv_entries = _fold_positions_into_dvs(
+        store, table.metadata.location, pdf, dict(snap.deletion_vectors), sid, next_seq
+    )
+    dropped = set(snap.position_delete_files)
+    snapshot = Snapshot(
+        snapshot_id=sid,
+        timestamp_ms=int(_time.time() * 1000),
+        operation="delete",
+        data_files=list(snap.data_files),
+        delete_files=list(snap.delete_files),
+        position_delete_files=[],
+        deletion_vectors=dv_entries,
+        sequence_number=next_seq,
+        file_seqs={k: v for k, v in snap.file_seqs.items() if k not in dropped},
+        file_partitions=dict(snap.file_partitions),
+        file_stats={k: v for k, v in snap.file_stats.items() if k not in dropped},
+        summary={
+            "operation-detail": "rewrite-position-deletes-to-dvs",
+            "pos-delete-files-removed": str(len(dropped)),
+            "dvs-written": str(len(dv_entries)),
+        },
+    )
+    plan_manifests(store, table.metadata.location, "overwrite", snap, None, snapshot)
+    new_metadata = table.metadata.with_snapshot(snapshot).with_log_entry(
+        table.metadata_location(), table.metadata.last_updated_ms
+    )
+    new_location = posixpath.join(
+        new_metadata.location, "metadata", f"dvrw-{_uuid.uuid4().hex}.metadata.json"
+    )
+    store.put(new_location, new_metadata.to_json().encode())
+    return table.catalog.update_table(
+        table.identifier, new_location, table.metadata_location()
+    )
+
+
+def rewrite_equality_deletes(
+    spark: SparkSession, table: Table, to_dv: bool = False
+) -> Table:
     """Materialize equality-delete files into positional-delete files
-    (Iceberg's ``rewrite_position_delete_files`` direction of convert):
+    (Iceberg's ``rewrite_position_delete_files`` direction of convert) —
+    or, with ``to_dv=True``, straight into Iceberg v3 DELETION VECTORS
+    (one roaring blob per data file, merged with any existing vectors;
+    see ``rewrite_position_deletes_to_dvs`` for the scale argument):
     after this, readers apply ONE broadcast anti-join on the scan's
     ``_metadata`` identity instead of a per-cohort key anti-join — no key
     comparison, no sequence scoping, and the equality-delete files stop
@@ -2841,6 +3032,56 @@ def rewrite_equality_deletes(spark: SparkSession, table: Table) -> Table:
     for p in pos_parts[1:]:
         positions = positions.unionByName(p)
 
+    if to_dv:
+        next_seq = table.metadata.next_sequence_number()
+        sid = new_snapshot_id(table.metadata.snapshot_ids())
+        dv_entries = _fold_positions_into_dvs(
+            store,
+            table.metadata.location,
+            positions.toPandas(),
+            dict(snap.deletion_vectors),
+            sid,
+            next_seq,
+        )
+        dropped_eq = set(snap.delete_files)
+        snapshot = Snapshot(
+            snapshot_id=sid,
+            timestamp_ms=int(_time.time() * 1000),
+            operation="delete",
+            data_files=list(snap.data_files),
+            delete_files=[],  # materialized into the vectors
+            position_delete_files=list(snap.position_delete_files),
+            deletion_vectors=dv_entries,
+            sequence_number=next_seq,
+            file_seqs={
+                k: v for k, v in snap.file_seqs.items() if k not in dropped_eq
+            },
+            file_partitions=dict(snap.file_partitions),
+            file_stats={
+                k: v for k, v in snap.file_stats.items() if k not in dropped_eq
+            },
+            summary={
+                "operation-detail": "rewrite-equality-deletes-to-dvs",
+                "eq-delete-files-removed": str(len(dropped_eq)),
+                "dvs-written": str(len(dv_entries)),
+            },
+        )
+        plan_manifests(
+            store, table.metadata.location, "overwrite", snap, None, snapshot
+        )
+        new_metadata = table.metadata.with_snapshot(snapshot).with_log_entry(
+            table.metadata_location(), table.metadata.last_updated_ms
+        )
+        new_location = posixpath.join(
+            new_metadata.location,
+            "metadata",
+            f"rweqdv-{_uuid.uuid4().hex}.metadata.json",
+        )
+        store.put(new_location, new_metadata.to_json().encode())
+        return table.catalog.update_table(
+            table.identifier, new_location, table.metadata_location()
+        )
+
     rel_dir = posixpath.join(
         table.metadata.location, "data", f"posdel-rw-{_uuid.uuid4().hex}"
     )
@@ -2863,6 +3104,7 @@ def rewrite_equality_deletes(spark: SparkSession, table: Table) -> Table:
         data_files=list(snap.data_files),
         delete_files=[],  # materialized into positions below
         position_delete_files=[*snap.position_delete_files, *new_pos],
+        deletion_vectors=dict(snap.deletion_vectors),  # data files untouched
         sequence_number=next_seq,
         file_seqs={
             **{f: _seq(f) for f in carried},
@@ -3046,9 +3288,18 @@ def expire_snapshots(
         table.identifier, new_location, table.metadata_location()
     )
 
-    live_files = {
-        f for s in kept for f in [*s.data_files, *s.delete_files, *s.position_delete_files]
-    } | {_chunk_path(m) for s in kept if s.manifests for m in s.manifests}
+    live_files = (
+        {
+            f
+            for s in kept
+            for f in [*s.data_files, *s.delete_files, *s.position_delete_files]
+        }
+        | {_chunk_path(m) for s in kept if s.manifests for m in s.manifests}
+        # a DV sidecar is live while ANY surviving snapshot's vector map
+        # points into it (sidecars are shared across snapshots — untouched
+        # files keep referencing older sidecars)
+        | {e["puffin"] for s in kept for e in s.deletion_vectors.values()}
+    )
     orphans = (
         {
             f
@@ -3056,6 +3307,7 @@ def expire_snapshots(
             for f in [*s.data_files, *s.delete_files, *s.position_delete_files]
         }
         | {_chunk_path(m) for s in expired if s.manifests for m in s.manifests}
+        | {e["puffin"] for s in expired for e in s.deletion_vectors.values()}
     ) - live_files
     for f in orphans:
         path = store.resolve(f)
@@ -3100,6 +3352,9 @@ def remove_orphan_files(table: Table, older_than_s: float = 3 * 86400.0) -> dict
         live.update(store.resolve(f) for f in s.data_files)
         live.update(store.resolve(f) for f in s.delete_files)
         live.update(store.resolve(f) for f in s.position_delete_files)
+        live.update(
+            store.resolve(e["puffin"]) for e in s.deletion_vectors.values()
+        )
         if s.manifests:
             live.update(store.resolve(_chunk_path(m)) for m in s.manifests)
 
@@ -3367,6 +3622,7 @@ def backfill_file_stats(table: Table) -> Table:
         data_files=list(snap.data_files),
         delete_files=list(snap.delete_files),
         position_delete_files=list(snap.position_delete_files),
+        deletion_vectors=dict(snap.deletion_vectors),
         sequence_number=table.metadata.next_sequence_number(),
         file_seqs=dict(snap.file_seqs),
         file_partitions=dict(snap.file_partitions),
@@ -3817,6 +4073,7 @@ def rewrite_manifests(table: Table, max_chunks: int = 8) -> Table:
         manifests=[consolidated],
         file_partitions=snap.file_partitions,
         file_stats=snap.file_stats,
+        deletion_vectors=dict(snap.deletion_vectors),
     )
     new_md = _replace(
         md,

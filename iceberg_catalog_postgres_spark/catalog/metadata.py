@@ -380,6 +380,12 @@ class Snapshot:
     - ``position_delete_files``: (file_path, row_index) pair files;
       anti-joined against the scan's ``_metadata`` columns, so an
       arbitrary-predicate DELETE commits O(matched rows).
+    - ``deletion_vectors``: Iceberg v3 deletion vectors — data-file rel
+      path -> {"puffin", "offset", "length", "cardinality"} addressing one
+      roaring-bitmap blob per file in a Puffin sidecar (catalog/dv.py). At
+      most one vector per data file; a new vector SUPERSEDES all earlier
+      positional deletes for that file. Applied file-scoped (no sequence
+      check — the vector names the exact file it deletes from).
     - ``sequence_number``: commit order (Iceberg v2 data sequence number).
     - ``file_seqs``: path -> sequence number at which the file was added;
       the basis for delete scoping and rename resolution.
@@ -412,6 +418,7 @@ class Snapshot:
         file_stats: dict | None = None,
         store=None,
         deferred: bool = False,
+        deletion_vectors: dict | None = None,
     ):
         self.snapshot_id = snapshot_id
         self.timestamp_ms = timestamp_ms
@@ -425,6 +432,12 @@ class Snapshot:
         self._file_seqs = dict(file_seqs or {})
         self._file_partitions = dict(file_partitions or {})
         self._file_stats = dict(file_stats or {})
+        # Iceberg v3 deletion vectors: data-file rel path -> {"puffin",
+        # "offset", "length", "cardinality"} (see catalog/dv.py). Kept
+        # INLINE in the metadata JSON even for manifest-backed snapshots —
+        # the map is bounded by the pending-delete set (at most one entry
+        # per file with live deletes), the analog of v3's delete manifests.
+        self._deletion_vectors = dict(deletion_vectors or {})
         self._store = store
         self._inflated = not deferred
         if deferred and store is None:
@@ -480,6 +493,11 @@ class Snapshot:
         self._ensure_inflated()
         return self._file_stats
 
+    @property
+    def deletion_vectors(self) -> dict:
+        """Deletion-vector map (inline — never deferred to chunks)."""
+        return self._deletion_vectors
+
     def chunk_refs(self) -> list[dict] | None:
         """Manifest-list refs WITH summaries, or None when the snapshot is
         inline / legacy (some chunk lacks a summary) — callers then use the
@@ -513,8 +531,15 @@ class Snapshot:
             "sequence-number": self.sequence_number,
             "summary": self.summary,
         }
+        # deletion vectors stay inline in the JSON in both layouts; the key
+        # is omitted when empty so pre-DV documents stay byte-identical
+        dv = (
+            {"deletion-vectors": self._deletion_vectors}
+            if self._deletion_vectors
+            else {}
+        )
         if self.manifests is not None:
-            return {**common, "manifests": list(self.manifests)}
+            return {**common, "manifests": list(self.manifests), **dv}
         return {
             **common,
             "data-files": self.data_files,
@@ -523,6 +548,7 @@ class Snapshot:
             "file-seqs": self.file_seqs,
             "file-partitions": self.file_partitions,
             "file-stats": self.file_stats,
+            **dv,
         }
 
     @staticmethod
@@ -540,6 +566,7 @@ class Snapshot:
                 manifests=list(d["manifests"]),
                 store=store,
                 deferred=True,
+                deletion_vectors=dict(d.get("deletion-vectors", {})),
             )
         return Snapshot(
             snapshot_id=d["snapshot-id"],
@@ -553,6 +580,7 @@ class Snapshot:
             file_seqs=dict(d.get("file-seqs", {})),
             file_partitions=dict(d.get("file-partitions", {})),
             file_stats=dict(d.get("file-stats", {})),
+            deletion_vectors=dict(d.get("deletion-vectors", {})),
         )
 
 
@@ -675,6 +703,10 @@ class TableMetadata:
     def current_position_delete_files(self) -> list[str]:
         snap = self.current_snapshot()
         return snap.position_delete_files if snap else []
+
+    def current_deletion_vectors(self) -> dict:
+        snap = self.current_snapshot()
+        return dict(snap.deletion_vectors) if snap else {}
 
     def current_file_seqs(self) -> dict:
         snap = self.current_snapshot()

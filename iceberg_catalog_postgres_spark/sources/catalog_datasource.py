@@ -456,6 +456,7 @@ class CatalogChangelogStreamReader(CatalogCommitsStreamReader):
         prev_files = set(prev.data_files) if prev else set()
         prev_eq = set(prev.delete_files) if prev else set()
         prev_pos = set(prev.position_delete_files) if prev else set()
+        prev_dv = dict(prev.deletion_vectors) if prev else {}
 
         def _aligned(tbl):
             names = set(tbl.schema.names)
@@ -507,6 +508,14 @@ class CatalogChangelogStreamReader(CatalogCommitsStreamReader):
                         tbl = pq.read_table(store.resolve(rel)).take(sorted(idxs))
                         for row in _aligned(tbl):
                             out.append((*row, "delete", seq))
+                # deletion-vector deltas: exact rows via take(), with
+                # conversions emitting nothing (see _dv_delta_positions)
+                for rel, idxs in _dv_delta_positions(
+                    store, dict(snap.deletion_vectors), prev_dv, sorted(prev_pos)
+                ).items():
+                    tbl = pq.read_table(store.resolve(rel)).take(sorted(idxs))
+                    for row in _aligned(tbl):
+                        out.append((*row, "delete", seq))
             else:
                 raise ValueError(
                     f"changelog stream crossed non-append/delete snapshot "
@@ -515,6 +524,7 @@ class CatalogChangelogStreamReader(CatalogCommitsStreamReader):
             prev_files = set(snap.data_files)
             prev_eq = set(snap.delete_files)
             prev_pos = set(snap.position_delete_files)
+            prev_dv = dict(snap.deletion_vectors)
         return out
 
 
@@ -534,16 +544,70 @@ class CatalogChangelogDataSource(DataSource):
 
 class _ChangePartition(InputPartition):
     """One unit of CDC work: an inserted delta file, a positional-delete
-    file (with the snapshot's data files for path resolution), or ALL of a
+    file (with the snapshot's data files for path resolution), ALL of a
     snapshot's equality-delete files (kept together so key dedup across
     the snapshot's files happens inside one partition — eq-delete files
-    are O(keys), tiny by construction)."""
+    are O(keys), tiny by construction), or one data file's deletion-vector
+    DELTA (kind="dvdel": ``indices`` carries the newly-deleted row
+    positions, computed driver-side from the bounded vectors; the executor
+    just ``take``s them)."""
 
-    def __init__(self, kind: str, paths: list, seq: int, data_files: list | None = None):
+    def __init__(
+        self,
+        kind: str,
+        paths: list,
+        seq: int,
+        data_files: list | None = None,
+        indices: list | None = None,
+    ):
         self.kind = kind
         self.paths = paths
         self.seq = seq
         self.data_files = data_files or []
+        self.indices = indices or []
+
+
+def _dv_delta_positions(store, snap_dv: dict, prev_dv: dict, prev_pos_files: list):
+    """Per data file: the row positions NEWLY deleted by this snapshot's
+    deletion vectors — new vector minus the previous vector minus positions
+    the previous snapshot had already deleted via pos-parquet files (a
+    representation CONVERSION must emit zero changes). Bounded by the
+    pending-delete cardinality; decoded driver-side."""
+    import numpy as np
+
+    from iceberg_catalog_postgres_spark.catalog.dv import read_dv
+
+    changed = {
+        rel: e for rel, e in snap_dv.items() if prev_dv.get(rel) != e
+    }
+    if not changed:
+        return {}
+    prev_pos_by_rel: dict[str, list[int]] = {}
+    if prev_pos_files:
+        import pyarrow.parquet as pq
+
+        for pf in prev_pos_files:
+            pt = pq.read_table(store.resolve(pf))
+            for path, idx in zip(
+                pt.column("file_path").to_pylist(),
+                pt.column("row_index").to_pylist(),
+            ):
+                rel = next((d for d in changed if str(path).endswith(d)), None)
+                if rel is not None:
+                    prev_pos_by_rel.setdefault(rel, []).append(int(idx))
+    out: dict[str, list[int]] = {}
+    for rel, e in sorted(changed.items()):
+        new_v = read_dv(store, e)
+        pe = prev_dv.get(rel)
+        already = read_dv(store, pe) if pe else np.empty(0, dtype="uint64")
+        if rel in prev_pos_by_rel:
+            already = np.union1d(
+                already, np.asarray(prev_pos_by_rel[rel], dtype="uint64")
+            )
+        delta = np.setdiff1d(new_v, already)
+        if len(delta):
+            out[rel] = [int(x) for x in delta]
+    return out
 
 
 _CDC_COLS = ["n_nationkey", "n_name", "n_regionkey"]
@@ -605,6 +669,7 @@ class CatalogChangelogParallelStreamReader(DataSourceStreamReader):
         prev_files = set(prev.data_files) if prev else set()
         prev_eq = set(prev.delete_files) if prev else set()
         prev_pos = set(prev.position_delete_files) if prev else set()
+        prev_dv = dict(prev.deletion_vectors) if prev else {}
         parts = []
         for snap in snaps[lo:hi]:
             seq = snap.sequence_number
@@ -632,6 +697,17 @@ class CatalogChangelogParallelStreamReader(DataSourceStreamReader):
                                 [store.resolve(d) for d in snap.data_files],
                             )
                         )
+                # deletion-vector deltas: one partition per touched data
+                # file (delta indices decoded driver-side from the bounded
+                # vectors; the executor only take()s the rows)
+                for rel, idxs in _dv_delta_positions(
+                    store, dict(snap.deletion_vectors), prev_dv, sorted(prev_pos)
+                ).items():
+                    parts.append(
+                        _ChangePartition(
+                            "dvdel", [store.resolve(rel)], seq, indices=idxs
+                        )
+                    )
             else:
                 raise ValueError(
                     f"changelog stream crossed non-append/delete snapshot "
@@ -640,6 +716,7 @@ class CatalogChangelogParallelStreamReader(DataSourceStreamReader):
             prev_files = set(snap.data_files)
             prev_eq = set(snap.delete_files)
             prev_pos = set(snap.position_delete_files)
+            prev_dv = dict(snap.deletion_vectors)
         return parts or [_ChangePartition("noop", [], 0)]
 
     def read(self, partition: _ChangePartition):
@@ -667,6 +744,13 @@ class CatalogChangelogParallelStreamReader(DataSourceStreamReader):
                         (*[by_name.get(c) for c in _CDC_COLS], "delete", partition.seq)
                     )
             return iter(out)
+        if partition.kind == "dvdel":
+            # one data file's deletion-vector delta: take() the positions
+            tbl = pq.read_table(partition.paths[0]).take(sorted(partition.indices))
+            return iter(
+                (*row, "delete", partition.seq)
+                for row in _cdc_aligned(tbl, _CDC_COLS)
+            )
         # posdel: one pos-delete file; emit the exact referenced rows
         pt = pq.read_table(partition.paths[0])
         pos_by_path: dict[str, list[int]] = {}

@@ -44,6 +44,7 @@ OPS = st.lists(
         st.tuples(st.just("spec"), st.integers(0, 3)),        # new spec source
         st.tuples(st.just("delete"), st.integers(0, 4)),      # eq-delete value
         st.tuples(st.just("posdel"), st.integers(0, 3)),      # pos-delete k%4
+        st.tuples(st.just("dvdel"), st.integers(0, 4)),       # DV delete k%5
     ),
     min_size=3,
     max_size=8,
@@ -220,6 +221,36 @@ def test_evolution_sequences_read_exactly(fuzz_catalog, spark, ops):
                 )
 
                 t = delete_where_mor(spark, t, F.col("k") % 4 == arg)
+                history.append(
+                    (t.metadata.current_snapshot_id, [dict(r) for r in model.rows])
+                )
+        elif op == "dvdel":
+            # positional DELETE WHERE k % 5 == arg as an Iceberg v3
+            # DELETION VECTOR (r10) — exercises vector supersede-union,
+            # mixed pos-parquet + DV state, and mid-sequence conversion
+            # under the same evolution interleavings that found the
+            # r7/r8 name-keyed-state bugs
+            from iceberg_catalog_postgres_spark.catalog.maintenance import (
+                rewrite_position_deletes_to_dvs,
+            )
+
+            before_n = len(model.rows)
+            model.rows = [r for r in model.rows if r.get(1) % 5 != arg]
+            if len(model.rows) != before_n:
+                positions = (
+                    t.to_df(spark)
+                    .withColumn("file_path", F.col("_metadata.file_path"))
+                    .withColumn("row_index", F.col("_metadata.row_index"))
+                    .where(F.col("k") % 5 == arg)
+                    .select("file_path", "row_index")
+                )
+                t = t.new_transaction().delete_positions_dv(positions).commit()
+                history.append(
+                    (t.metadata.current_snapshot_id, [dict(r) for r in model.rows])
+                )
+            if arg % 2 == 0 and t.metadata.current_position_delete_files():
+                # representation conversion mid-sequence: rows unchanged
+                t = rewrite_position_deletes_to_dvs(spark, t)
                 history.append(
                     (t.metadata.current_snapshot_id, [dict(r) for r in model.rows])
                 )
@@ -427,6 +458,21 @@ def test_avro_round_trip_under_evolution(fuzz_catalog, spark, ops):
                 )
 
                 t = delete_where_mor(spark, t, F.col("k") % 4 == arg)
+        elif op == "dvdel":
+            # DV deletes in the export round-trip property: the v2 export
+            # REFUSES deletion vectors, so these sequences exercise the
+            # refusal + compaction on-ramp path below
+            before_n = len(model.rows)
+            model.rows = [r for r in model.rows if r.get(1) % 5 != arg]
+            if len(model.rows) != before_n:
+                positions = (
+                    t.to_df(spark)
+                    .withColumn("file_path", F.col("_metadata.file_path"))
+                    .withColumn("row_index", F.col("_metadata.row_index"))
+                    .where(F.col("k") % 5 == arg)
+                    .select("file_path", "row_index")
+                )
+                t = t.new_transaction().delete_positions_dv(positions).commit()
         elif op == "spec":
             candidates = [n for _i, n in model.cols if n != "k"]
             if candidates:
