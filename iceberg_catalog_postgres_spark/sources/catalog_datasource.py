@@ -143,6 +143,67 @@ def source_datasource_api_pointers(spark: SparkSession, sf_dir: str) -> DataFram
 _TAIL_SCHEMA = "n_nationkey long, n_name string, n_regionkey long, _snapshot_seq long"
 
 
+def _parse_trigger_caps(options: dict) -> tuple[int | None, int | None]:
+    mf = options.get("max_files_per_trigger")
+    mr = options.get("max_rows_per_trigger")
+    return (int(mf) if mf else None), (int(mr) if mr else None)
+
+
+def _bounded_hi(
+    snaps, lo: int, max_files: int | None, max_rows: int | None
+) -> int:
+    """Rate-limited streaming admission: the largest ``hi`` such that the
+    work between offsets [lo, hi) stays within ``max_files`` planned units
+    (delta data files + new delete files + changed deletion vectors) and
+    ``max_rows`` stat-known appended rows. Entirely a METADATA fold — file
+    stats come from the manifests, zero file opens.
+
+    Guarantees:
+    - progress: at least ONE pending snapshot is always admitted, so the
+      stream converges even when a single commit exceeds the cap (a commit
+      is the atomicity unit — it lands whole, never split);
+    - without caps, ``hi = len(snaps)`` (the unbounded behavior).
+
+    Why: offsets are snapshot counts, so after a long outage ``latestOffset``
+    would otherwise admit the ENTIRE backlog as one giant micro-batch (10k
+    commits -> 10k files in one trigger). Caps turn catch-up into bounded
+    steady-state batches, like Delta's maxFilesPerTrigger.
+    """
+    n = len(snaps)
+    if lo >= n or (max_files is None and max_rows is None):
+        return n
+    hi = lo
+    files = rows = 0
+    prev_files = set(snaps[lo - 1].data_files) if lo > 0 else set()
+    prev_eq = set(snaps[lo - 1].delete_files) if lo > 0 else set()
+    prev_pos = set(snaps[lo - 1].position_delete_files) if lo > 0 else set()
+    prev_dv = dict(snaps[lo - 1].deletion_vectors) if lo > 0 else {}
+    for snap in snaps[lo:]:
+        delta = [f for f in snap.data_files if f not in prev_files]
+        units = (
+            len(delta)
+            + sum(1 for f in snap.delete_files if f not in prev_eq)
+            + sum(1 for f in snap.position_delete_files if f not in prev_pos)
+            + sum(1 for r, e in snap.deletion_vectors.items() if prev_dv.get(r) != e)
+        )
+        drows = sum(
+            int(snap.file_stats.get(f, {}).get("record_count", 0)) for f in delta
+        )
+        if hi > lo and (
+            (max_files is not None and files + units > max_files)
+            or (max_rows is not None and rows + drows > max_rows)
+        ):
+            break
+        files += units
+        rows += drows
+        hi += 1
+        prev_files = set(snap.data_files)
+        prev_eq = set(snap.delete_files)
+        prev_pos = set(snap.position_delete_files)
+        prev_dv = dict(snap.deletion_vectors)
+    return hi
+
+
 class CatalogCommitsStreamReader:
     """SimpleDataSourceStreamReader over a catalog table's snapshot chain:
     offset = number of snapshots consumed; each ``read`` emits the DELTA data
@@ -166,6 +227,9 @@ class CatalogCommitsStreamReader:
         # first N snapshots (a CDC consumer bootstrapped from a snapshot
         # read resumes from there instead of replaying the full chain)
         self.start = int(options.get("start_snapshots", 0))
+        # rate-limited admission (see _bounded_hi): bounds how much of a
+        # pending backlog one micro-batch admits
+        self.max_files, self.max_rows = _parse_trigger_caps(options)
         ec = options.get("expect_columns", "")
         self.expect_cols = [c for c in ec.split(",") if c] or None
 
@@ -224,8 +288,9 @@ class CatalogCommitsStreamReader:
 
     def read(self, start: dict):
         snaps, _ = self._snapshots()
-        end = {"n_snapshots": len(snaps)}
-        return self._rows_between(start["n_snapshots"], len(snaps)), end
+        lo = start["n_snapshots"]
+        hi = _bounded_hi(snaps, lo, self.max_files, self.max_rows)
+        return self._rows_between(lo, hi), {"n_snapshots": hi}
 
     def readBetweenOffsets(self, start: dict, end: dict):
         return self._rows_between(start["n_snapshots"], end["n_snapshots"])
@@ -276,6 +341,17 @@ class CatalogCommitsParallelStreamReader(DataSourceStreamReader):
         self.ident = options["ident"]
         self.catalog_name = options.get("catalog", "tailp")
         self.start = int(options.get("start_snapshots", 0))
+        self.max_files, self.max_rows = _parse_trigger_caps(options)
+        # Last offset this RUN has planned/committed — the anchor the
+        # admission cap counts from. None until the first partitions() or
+        # commit() call: the Python DataSource API has no
+        # SupportsAdmissionControl (latestOffset takes no start offset), so
+        # before the run's committed offset is known the cap MUST NOT apply
+        # — returning an offset below the checkpointed one would make Spark
+        # plan a backwards batch and re-emit consumed rows. Consequence
+        # (documented): the first trigger after a restart is uncapped;
+        # every subsequent trigger is bounded.
+        self._committed: int | None = None
         ec = options.get("expect_columns", "")
         self.expect_cols = [c for c in ec.split(",") if c] or None
 
@@ -294,15 +370,29 @@ class CatalogCommitsParallelStreamReader(DataSourceStreamReader):
         return snaps, cat.object_store()
 
     def initialOffset(self) -> dict:
+        # only called when the query starts WITHOUT a checkpoint — the run
+        # genuinely begins at self.start, so it is a safe admission anchor
+        # (fresh capped streams are bounded from their very first trigger)
+        self._committed = self.start
         return {"n_snapshots": self.start}
 
     def latestOffset(self) -> dict:
         snaps, _ = self._snapshots()
-        return {"n_snapshots": len(snaps)}
+        # the structured-streaming admission point: each trigger's batch is
+        # [committed offset, THIS], so capping here bounds the micro-batch
+        # (see _bounded_hi and the _committed note in __init__)
+        if self._committed is None:
+            return {"n_snapshots": len(snaps)}
+        return {
+            "n_snapshots": _bounded_hi(
+                snaps, self._committed, self.max_files, self.max_rows
+            )
+        }
 
     def partitions(self, start: dict, end: dict):
         snaps, store = self._snapshots()
         lo, hi = start["n_snapshots"], end["n_snapshots"]
+        self._committed = max(self._committed or 0, lo)
         prev: set = set(snaps[lo - 1].data_files) if lo > 0 else set()
         parts = []
         for snap in snaps[lo:hi]:
@@ -326,7 +416,7 @@ class CatalogCommitsParallelStreamReader(DataSourceStreamReader):
         return iter([(*row, partition.seq) for row in zip(*cols)])
 
     def commit(self, end: dict) -> None:
-        pass
+        self._committed = max(self._committed or 0, end["n_snapshots"])
 
     def stop(self) -> None:
         pass
@@ -638,6 +728,10 @@ class CatalogChangelogParallelStreamReader(DataSourceStreamReader):
         self.ident = options["ident"]
         self.catalog_name = options.get("catalog", "cdcp")
         self.start = int(options.get("start_snapshots", 0))
+        self.max_files, self.max_rows = _parse_trigger_caps(options)
+        # admission anchor — same contract and restart caveat as
+        # CatalogCommitsParallelStreamReader._committed
+        self._committed: int | None = None
         ec = options.get("expect_columns", "")
         self.expect_cols = [c for c in ec.split(",") if c] or None
 
@@ -656,15 +750,26 @@ class CatalogChangelogParallelStreamReader(DataSourceStreamReader):
         return snaps, cat.object_store()
 
     def initialOffset(self) -> dict:
+        # only called when the query starts WITHOUT a checkpoint — the run
+        # genuinely begins at self.start, so it is a safe admission anchor
+        # (fresh capped streams are bounded from their very first trigger)
+        self._committed = self.start
         return {"n_snapshots": self.start}
 
     def latestOffset(self) -> dict:
         snaps, _ = self._snapshots()
-        return {"n_snapshots": len(snaps)}
+        if self._committed is None:
+            return {"n_snapshots": len(snaps)}
+        return {
+            "n_snapshots": _bounded_hi(
+                snaps, self._committed, self.max_files, self.max_rows
+            )
+        }
 
     def partitions(self, start: dict, end: dict):
         snaps, store = self._snapshots()
         lo, hi = start["n_snapshots"], end["n_snapshots"]
+        self._committed = max(self._committed or 0, lo)
         prev = snaps[lo - 1] if lo > 0 else None
         prev_files = set(prev.data_files) if prev else set()
         prev_eq = set(prev.delete_files) if prev else set()
@@ -775,7 +880,7 @@ class CatalogChangelogParallelStreamReader(DataSourceStreamReader):
         return iter(out)
 
     def commit(self, end: dict) -> None:
-        pass
+        self._committed = max(self._committed or 0, end["n_snapshots"])
 
     def stop(self) -> None:
         pass

@@ -331,3 +331,97 @@ def test_parallel_cdc_partition_planning_scales(spark, tmp_path):
     # a mid-chain window plans only its own slice
     window = reader.partitions({"n_snapshots": 10}, {"n_snapshots": 13})
     assert len(window) == 3
+
+
+def test_rate_limited_streaming_admission(spark, tmp_path):
+    """r10: max_files_per_trigger / max_rows_per_trigger bound how much of
+    a pending backlog one micro-batch admits — bounded batches AND eventual
+    catch-up (offsets converge), on both the simple and executor-parallel
+    readers. A single over-cap commit is admitted whole (a commit is the
+    atomicity unit), never split and never a stall."""
+    from iceberg_catalog_postgres_spark.catalog.catalog import (
+        PostgresCatalog,
+        TableIdentifier,
+    )
+    from iceberg_catalog_postgres_spark.sources.catalog_datasource import (
+        CatalogCommitsParallelStreamReader,
+        CatalogCommitsStreamReader,
+    )
+
+    db = str(tmp_path / "c.db")
+    wh = str(tmp_path / "wh")
+    cat = PostgresCatalog.connect("admit", f"sqlite://{db}", wh)
+    cat.initialize()
+    schema = "n_nationkey long, n_name string, n_regionkey long"
+    t = cat.create_table(TableIdentifier.parse("a.nation"),
+                         spark.createDataFrame([], schema).schema)
+    # 6 single-file commits of 4 rows each, then ONE 5-file commit (over-cap)
+    next_id = 0
+    for _ in range(6):
+        rows = [(next_id + j, f"n{next_id + j}", j % 3) for j in range(4)]
+        next_id += 4
+        t = t.new_transaction().append_dataframe(
+            spark.createDataFrame(rows, schema).coalesce(1)
+        ).commit()
+    big = [(next_id + j, f"n{next_id + j}", j % 5) for j in range(10)]
+    next_id += 10
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame(big, schema).repartition(5)
+    ).commit()
+    total_rows = next_id
+
+    # --- simple reader, max_files_per_trigger=2 ---------------------------
+    opts = {"db": db, "warehouse": wh, "ident": "a.nation", "catalog": "admit",
+            "max_files_per_trigger": "2"}
+    r = CatalogCommitsStreamReader(dict(opts))
+    off = r.initialOffset()
+    seen, ends = [], []
+    for _ in range(20):
+        rows, end = r.read(off)
+        if end == off:
+            break
+        seen.extend(rows)
+        ends.append(end["n_snapshots"])
+        off = end
+    # bounded steps: 2 snapshots (=2 files) per batch over the small
+    # commits, then the over-cap commit ALONE
+    assert ends == [2, 4, 6, 7]
+    assert len(seen) == total_rows and len(set(seen)) == total_rows
+
+    # --- max_rows_per_trigger uses manifest stats (metadata-only) ---------
+    r2 = CatalogCommitsStreamReader({**opts, "max_files_per_trigger": "",
+                                     "max_rows_per_trigger": "8"})
+    off = r2.initialOffset()
+    ends2, n2 = [], 0
+    for _ in range(20):
+        rows, end = r2.read(off)
+        if end == off:
+            break
+        n2 += len(rows)
+        ends2.append(end["n_snapshots"])
+        off = end
+    assert ends2 == [2, 4, 6, 7]  # 8 rows = 2 commits; big commit alone
+    assert n2 == total_rows
+
+    # --- executor-parallel reader: trigger loop with admission ------------
+    pr = CatalogCommitsParallelStreamReader(dict(opts))
+    start = pr.initialOffset()
+    got, batches = [], 0
+    for _ in range(20):
+        latest = pr.latestOffset()
+        if latest == start:
+            break
+        parts = pr.partitions(start, latest)
+        real = [p for p in parts if p.abs_path]
+        # every capped batch plans <=2 files except the atomic over-cap
+        # commit, which is admitted ALONE (5 files in its own batch)
+        assert len(real) <= 2 or latest["n_snapshots"] - start["n_snapshots"] == 1
+        for p in parts:
+            got.extend(pr.read(p))
+        pr.commit(latest)
+        start = latest
+        batches += 1
+    assert start == {"n_snapshots": 7}  # converged on the full chain
+    assert batches == 4
+    assert len(got) == total_rows and len(set(got)) == total_rows
+    cat.backend.close()
