@@ -2535,9 +2535,15 @@ def update_partition_statistics(spark: SparkSession, table: Table) -> Table:
     tuples come from the manifests, sizes from a stat of each file — zero
     parquet footer or data reads. Positional deletes ARE attributable per
     partition (they are path-scoped; the referenced data file's tuple is
-    known), at O(pending delete rows); equality-delete counts are left
-    NULL — key-scoped deletes are not partition-attributable without a
-    data scan, a documented deviation. Unpartitioned tables are a no-op.
+    known), at O(pending delete rows). Equality deletes (r10, closing the
+    r9 NULL): attributed as the rows the pending deletes TARGET — rows
+    matching a delete key in files committed before that delete (the
+    read's seq scoping). A manifest-BOUNDS pass first drops every file
+    whose [lo, hi] excludes all key values, so only overlapping files are
+    scanned, with the key side broadcast; ``equality_delete_file_count``
+    is the distinct delete files contributing >=1 targeted row to the
+    partition. Both fields are 0 (not NULL) when nothing is pending.
+    Unpartitioned tables are a no-op.
     One entry, replaced per run; superseded files age out with metadata
     GC. Commit via the same CAS pointer swap as every maintenance path.
     """
@@ -2618,6 +2624,120 @@ def update_partition_statistics(spark: SparkSession, table: Table) -> Table:
                 del_files_per_key.setdefault(key, set()).add(r["_del_file"])
         for key, dfiles in del_files_per_key.items():
             groups[key]["pos_files"] = len(dfiles)
+
+    # equality-delete attribution: bounds-pruned key-scoped scan of only
+    # the overlapping files (see docstring)
+    eq_rec: dict[tuple, int] = {k: 0 for k in groups}
+    eq_srcs: dict[tuple, set] = {k: set() for k in groups}
+    if snap.delete_files:
+        from functools import reduce as _reduce
+
+        import pyarrow.parquet as _pq2
+
+        from pyspark.sql import functions as F
+
+        seqs_map = snap.file_seqs or {}
+
+        def _s(rel: str) -> int:
+            return int(seqs_map.get(rel, 0))
+
+        def _within(b, v) -> bool:
+            # superset-safe: missing bound, NULL key, or an incomparable
+            # type counts as overlap (scan decides; pruning may only skip
+            # files that PROVABLY cannot match)
+            if b is None or v is None:
+                return True
+            try:
+                return (b[0] is None or v >= b[0]) and (b[1] is None or v <= b[1])
+            except TypeError:
+                return True
+
+        cohorts2: dict[tuple, list[str]] = {}
+        for f in snap.data_files:
+            appl = tuple(d for d in snap.delete_files if _s(d) > _s(f))
+            if appl:
+                cohorts2.setdefault(appl, []).append(f)
+        pair_frames = []
+        for appl, members in sorted(cohorts2.items()):
+            by_sig: dict[tuple, list[str]] = {}
+            for d in appl:
+                written = tuple(
+                    _pq2.ParquetFile(store.resolve(d)).schema_arrow.names
+                )
+                sig = tuple(table.current_name(c, _s(d)) for c in written)
+                by_sig.setdefault((written, sig), []).append(d)
+            for (written, sig), dels in sorted(by_sig.items()):
+                # key VALUES driver-side (delete files are O(keys), tiny):
+                # they drive the manifest-bounds prune
+                key_rows: list[tuple] = []
+                for d in dels:
+                    kt = _pq2.read_table(store.resolve(d))
+                    key_rows.extend(
+                        zip(*[kt.column(c).to_pylist() for c in written])
+                    )
+                survivors = []
+                for rel in members:
+                    bounds = [table.file_bounds(rel, c) for c in sig]
+                    if any(
+                        all(_within(b, v) for b, v in zip(bounds, kr))
+                        for kr in key_rows
+                    ):
+                        survivors.append(rel)
+                if not survivors:
+                    continue
+                scan = table._read_data_files(spark, survivors, seqs_map).select(
+                    *[F.col(c) for c in sig],
+                    F.col("_metadata.file_path").alias("__file"),
+                    F.col("_metadata.row_index").alias("__pos"),
+                )
+                kfs = []
+                for d in dels:
+                    kf = spark.read.parquet(store.resolve(d))
+                    remap = {o: n for o, n in zip(written, sig) if o != n}
+                    if remap:
+                        kf = kf.withColumnsRenamed(remap)
+                    kfs.append(kf.withColumn("__src", F.lit(d)))
+                keys_df = _reduce(lambda a, b: a.unionByName(b), kfs).select(
+                    *[F.col(c).alias(f"__k_{c}") for c in sig], "__src"
+                )
+                cond = _reduce(
+                    lambda a, b: a & b,
+                    [scan[c].eqNullSafe(F.col(f"__k_{c}")) for c in sig],
+                )
+                pair_frames.append(
+                    scan.join(F.broadcast(keys_df), cond, "inner").select(
+                        "__file", "__pos", "__src"
+                    )
+                )
+        if pair_frames:
+            pairs_df = _reduce(lambda a, b: a.unionByName(b), pair_frames)
+            # two bounded driver pulls: per-file targeted-row counts (a row
+            # matching keys from two delete files counts once) and the
+            # (file, delete-file) contribution pairs
+            recs = (
+                pairs_df.select("__file", "__pos")
+                .distinct()
+                .groupBy("__file")
+                .count()
+                .collect()
+            )
+            src_rows = pairs_df.select("__file", "__src").distinct().collect()
+
+            def _key_of(path: str):
+                rel = next((d for d in snap.data_files if path.endswith(d)), None)
+                if rel is None:
+                    return None
+                tup = parts.get(rel) or {}
+                return tuple(tup.get(p["entry"]) for p in part_fields)
+
+            for r in recs:
+                k = _key_of(r["__file"])
+                if k in eq_rec:
+                    eq_rec[k] += int(r["count"])
+            for r in src_rows:
+                k = _key_of(r["__file"])
+                if k in eq_srcs:
+                    eq_srcs[k].add(r["__src"])
 
     _SPARK_T = {
         "int": IntegerType(),
@@ -2701,8 +2821,8 @@ def update_partition_statistics(spark: SparkSession, table: Table) -> Table:
             g["bytes"],
             g["pos_del"],
             g["pos_files"],
-            None,  # equality-delete counts: not partition-attributable
-            None,
+            eq_rec.get(key, 0),
+            len(eq_srcs.get(key, ())),
         )
         for key, g in sorted(groups.items(), key=lambda kv: str(kv[0]))
     ]

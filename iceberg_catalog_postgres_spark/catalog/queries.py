@@ -1321,6 +1321,62 @@ def catalog_partition_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "catalog_partition_statistics_eqdelete",
+    oracle="""
+    SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+           CAST(count(*) AS BIGINT) AS data_record_count,
+           CAST(sum(CASE WHEN n_nationkey % 4 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS equality_delete_record_count,
+           CAST(CASE WHEN sum(CASE WHEN n_nationkey % 4 = 1 THEN 1 ELSE 0 END) > 0
+                THEN 1 ELSE 0 END AS INT) AS equality_delete_file_count
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+    tags=("catalog", "statistics", "maintenance", "partition", "equality-delete"),
+)
+def catalog_partition_statistics_eqdelete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-statistics EQUALITY-DELETE attribution (r10, closing the
+    r9 documented NULL): a region-partitioned nation table takes a pending
+    key-scoped MOR delete (n_nationkey % 4 = 1 keys, one delete file), and
+    ``update_partition_statistics`` attributes it per partition — the rows
+    each partition's files hold for the deleted keys, via a manifest-BOUNDS
+    prune (only files whose [lo, hi] can contain a key are scanned, keys
+    broadcast) — with ``equality_delete_file_count`` = distinct delete
+    files contributing to the partition (here 1 where any key lands, 0
+    elsewhere). The DuckDB group-by is the ground truth.
+
+    Scale: pruning is a metadata fold; the scan touches only overlapping
+    files of affected partitions, the key side is O(pending keys) and
+    broadcast — never a shuffle of the table."""
+    from iceberg_catalog_postgres_spark.catalog.maintenance import (
+        update_partition_statistics,
+    )
+
+    cat = _fresh("catalog_pstats_eq")
+    src = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey", "n_name"
+    )
+    ident = TableIdentifier.parse("pseq.nation")
+    t = cat.create_table(ident, src.schema, partition_by=["n_regionkey"])
+    t = t.new_transaction().append_dataframe(src.coalesce(1)).commit()
+    keys = src.filter(F.col("n_nationkey") % 4 == 1).select("n_nationkey").coalesce(1)
+    t = t.new_transaction().delete_keys_dataframe(keys).commit()
+    t = update_partition_statistics(spark, t)
+
+    entry = t.metadata.partition_statistics[0]
+    store = cat.object_store()
+    return (
+        spark.read.parquet(store.resolve(entry["statistics-path"]))
+        .select(
+            F.col("partition.n_regionkey").cast("long").alias("n_regionkey"),
+            "data_record_count",
+            "equality_delete_record_count",
+            "equality_delete_file_count",
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+@register(
     "catalog_bloom_filter_point_lookup",
     oracle="""
     SELECT CAST(o_custkey AS BIGINT) AS o_custkey,

@@ -739,3 +739,69 @@ def test_dropped_historical_spec_source_omits_that_spec(catalog, spark):
     assert d["default-spec-id"] == 1
     # the table still reads
     assert t.to_df(spark).count() == 2
+
+
+def test_partition_statistics_eq_delete_attribution_seq_scoped(catalog, spark):
+    """r10: equality-delete counts in partition statistics are non-NULL,
+    attributed per partition by a bounds-pruned key-scoped scan, and
+    SEQUENCE-SCOPED — a key re-inserted AFTER the delete is not counted
+    (the rows the delete targets are only those in files committed before
+    it, matching the read's MOR scoping)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from iceberg_catalog_postgres_spark.catalog.maintenance import (
+        update_partition_statistics,
+    )
+
+    schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("p", LongType()),
+            StructField("name", StringType()),
+        ]
+    )
+    t = catalog.create_table(
+        TableIdentifier.parse("spec.pstats_eq"), schema, partition_by=["p"]
+    )
+    # partition 0 holds keys 0..9, partition 1 holds keys 10..19
+    rows = [(i, i // 10, f"n{i}") for i in range(20)]
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame(rows, schema).coalesce(1)
+    ).commit()
+    # delete keys 3 and 12 (one delete file -> file_count 1 per hit part)
+    keys = spark.createDataFrame([(3,), (12,)], "k long").coalesce(1)
+    t = t.new_transaction().delete_keys_dataframe(keys).commit()
+    # RE-INSERT key 3 after the delete: it must NOT be counted
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame([(3, 0, "again")], schema).coalesce(1)
+    ).commit()
+    t = update_partition_statistics(spark, t)
+
+    store = catalog.object_store()
+    entry = t.metadata.partition_statistics[0]
+    got = {
+        r["p"]: (
+            r["equality_delete_record_count"],
+            r["equality_delete_file_count"],
+        )
+        for r in spark.read.parquet(store.resolve(entry["statistics-path"]))
+        .select(
+            F.col("partition.p").cast("long").alias("p"),
+            "equality_delete_record_count",
+            "equality_delete_file_count",
+        )
+        .collect()
+    }
+    # one targeted row per partition (keys 3 and 12, pre-delete cohort
+    # only), one contributing delete file each; counts are 0, never NULL,
+    # where nothing is targeted
+    assert got == {0: (1, 1), 1: (1, 1)}
+    # and the read agrees: key 3 survives via the re-insert
+    ks = sorted(r["k"] for r in t.to_df(spark).collect())
+    assert ks == sorted([i for i in range(20) if i not in (3, 12)] + [3])
