@@ -15,7 +15,10 @@ is the honest 1-bit result on THIS synthetic corpus (near-isotropic
 vectors are BQ's worst case — every bit carries ~1 bit of noise-limited
 signal); real embedding corpora with cluster structure sit far higher at
 the same byte budget, and the floor test pins 0.5 so a regression in the
-pipeline (not the corpus) still fails loudly.
+pipeline (not the corpus) still fails loudly. For ANISOTROPIC corpora —
+plain BQ's other failure mode — ``llm/bq_rotate.py`` (r10) adds a
+deterministic Hadamard rotation before sign quantization and pins a 0.7
+floor on a deliberately hostile variant.
 
 Plan shape at 100 TB: encoding is one map-side projection (two 32-bit OR
 folds per row, no training); stage 1 is a broadcast of N_QUERIES packed

@@ -320,6 +320,7 @@ def load_all() -> dict[str, QuerySpec]:
     import iceberg_catalog_postgres_spark.llm.clusters  # noqa: F401
     import iceberg_catalog_postgres_spark.llm.sq8  # noqa: F401
     import iceberg_catalog_postgres_spark.llm.bq  # noqa: F401
+    import iceberg_catalog_postgres_spark.llm.bq_rotate  # noqa: F401
     import iceberg_catalog_postgres_spark.llm.text  # noqa: F401
     import iceberg_catalog_postgres_spark.llm.curation  # noqa: F401
     import iceberg_catalog_postgres_spark.operators.sessions  # noqa: F401
