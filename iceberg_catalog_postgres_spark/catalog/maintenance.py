@@ -2172,9 +2172,11 @@ def table_health(table: Table, small_file_rows: int = 0) -> dict:
 
     Keys: n_snapshots, n_data_files, n_small_files (record_count <
     ``small_file_rows``), total_records, n_eq_delete_files,
-    n_pos_delete_files, delete_debt_records (rows pending merge-on-read),
-    n_manifest_chunks, stats_coverage (fraction of data files with manifest
-    stats), ndv_covered (fraction covered by the NDV sketch), n_refs.
+    n_pos_delete_files, n_deletion_vectors, delete_debt_records (rows
+    pending merge-on-read across all three delete kinds — DV cardinality
+    comes from the snapshot map, still zero I/O), n_manifest_chunks,
+    stats_coverage (fraction of data files with manifest stats),
+    ndv_covered (fraction covered by the NDV sketch), n_refs.
     """
     md = table.metadata
     snap = md.current_snapshot()
@@ -2186,6 +2188,7 @@ def table_health(table: Table, small_file_rows: int = 0) -> dict:
             "total_records": 0,
             "n_eq_delete_files": 0,
             "n_pos_delete_files": 0,
+            "n_deletion_vectors": 0,
             "delete_debt_records": 0,
             "n_manifest_chunks": 0,
             "stats_coverage": 1.0,
@@ -2214,8 +2217,10 @@ def table_health(table: Table, small_file_rows: int = 0) -> dict:
         "total_records": table.record_count(),
         "n_eq_delete_files": len(snap.delete_files),
         "n_pos_delete_files": len(snap.position_delete_files),
+        "n_deletion_vectors": len(snap.deletion_vectors),
         "delete_debt_records": table.record_count(kind="eq-delete")
-        + table.record_count(kind="pos-delete"),
+        + table.record_count(kind="pos-delete")
+        + table.record_count(kind="dv"),
         "n_manifest_chunks": len(snap.manifests or []),
         "total_bytes": table.total_bytes(),
         "stats_coverage": (

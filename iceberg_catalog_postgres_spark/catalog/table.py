@@ -1324,6 +1324,10 @@ class Table:
         )
         if snap is None:
             return 0
+        if kind == "dv":
+            # deletion vectors: cardinality lives in the snapshot's DV map
+            # (written at commit time from the bitmap) — zero I/O
+            return sum(int(e["cardinality"]) for e in snap.deletion_vectors.values())
         if files is None:
             # Manifest-list fold first: O(#chunks) over the summaries, zero
             # chunk fetches (Iceberg's total-records summary) — at 10^7
@@ -1364,6 +1368,8 @@ class Table:
         )
         if snap is None:
             return 0
+        if kind == "dv":
+            return sum(int(e["length"]) for e in snap.deletion_vectors.values())
         refs = snap.chunk_refs()
         if refs is not None:
             total = 0

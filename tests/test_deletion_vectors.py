@@ -406,3 +406,20 @@ def test_dv_with_manifest_spill(catalog, spark, monkeypatch):
     assert sorted(r["k"] for r in reloaded.to_df(spark).collect()) == list(
         range(15, 80)
     )
+
+
+def test_health_and_counts_cover_deletion_vectors(catalog, spark):
+    """table_health / record_count / total_bytes account for DVs from the
+    snapshot map alone — zero I/O (the counters are what an
+    auto-maintenance scheduler reads before deciding to compact)."""
+    from iceberg_catalog_postgres_spark.catalog.maintenance import table_health
+
+    t = _table(catalog, spark, "dvm", n=80, parts=2)
+    t = t.new_transaction().delete_positions_dv(
+        _positions(t, spark, F.col("k") < 13)
+    ).commit()
+    assert t.record_count(kind="dv") == 13
+    assert t.total_bytes(kind="dv") > 0
+    h = table_health(t)
+    assert h["n_deletion_vectors"] >= 1
+    assert h["delete_debt_records"] == 13
