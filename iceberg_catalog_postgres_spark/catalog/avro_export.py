@@ -420,13 +420,17 @@ def export_iceberg_avro(spark: SparkSession, table: Table) -> dict:
     if snap.deletion_vectors:
         # The export targets Iceberg V2 readers; deletion vectors are a v3
         # surface a v2 reader would silently ignore — phantom rows. Refuse
-        # loudly; compact_table materializes the vectors (full rewrite), or
-        # keep DVs native and export after compaction.
+        # loudly; the cheap on-ramp is the INVERSE conversion (vectors back
+        # to a parquet positional-delete file, O(pending positions)), with
+        # compact_table (full rewrite) as the heavyweight alternative.
         raise ValueError(
             f"avro export: table has {len(snap.deletion_vectors)} deletion "
             "vector(s) (Iceberg v3); this export produces a V2 document a "
             "v2 reader would misread (the vectors' deletes would be "
-            "invisible) — compact_table first to materialize them"
+            "invisible) — rewrite_dvs_to_position_deletes(spark, table) "
+            "converts them back to an exportable v2 representation at "
+            "O(pending positions) (compact_table also works, at full-"
+            "rewrite cost)"
         )
     # pending EQUALITY deletes export directly as content=2 delete-manifest
     # entries with real sequence numbers (below); no rewrite on-ramp needed

@@ -337,11 +337,15 @@ def _commit_subset_replace(
     return committed, len(rewritten), len(kept), len(new_files)
 
 
-def delete_where_mor(spark: SparkSession, table: Table, condition) -> Table:
+def delete_where_mor(
+    spark: SparkSession, table: Table, condition, as_dv: bool = False
+) -> Table:
     """Arbitrary-predicate merge-on-read DELETE: scan once (predicate pushed
     to the parquet reader), capture the matched rows' scan identity
     (``_metadata.file_path``, ``_metadata.row_index``), and commit them as a
-    positional-delete file. Cost is O(matched rows) — the 100 TB DELETE
+    positional-delete file — or, with ``as_dv=True``, straight as Iceberg
+    v3 deletion vectors (one roaring blob per touched file; see
+    catalog/dv.py). Cost is O(matched rows) — the 100 TB DELETE
     WHERE runs as one pruned scan plus a kilobyte-scale commit, and readers
     apply it as a broadcast anti-join until compaction materializes it.
     """
@@ -358,7 +362,88 @@ def delete_where_mor(spark: SparkSession, table: Table, condition) -> Table:
             F.col("_metadata.row_index").alias("row_index"),
         )
     )
-    return table.new_transaction().delete_positions_dataframe(positions).commit()
+    tx = table.new_transaction()
+    if as_dv:
+        return tx.delete_positions_dv(positions).commit()
+    return tx.delete_positions_dataframe(positions).commit()
+
+
+def rewrite_dvs_to_position_deletes(spark: SparkSession, table: Table) -> Table:
+    """The INVERSE of ``rewrite_position_deletes_to_dvs``: materialize the
+    current snapshot's deletion vectors back into ONE parquet positional-
+    delete file and clear the vector map. Why it exists: deletion vectors
+    are an Iceberg v3 surface — the v2 Avro export refuses them (a v2
+    reader would silently resurrect the deleted rows). This conversion is
+    the CHEAP export on-ramp: O(pending deleted positions) instead of
+    ``compact_table``'s full data rewrite. Reads are unchanged (both
+    representations anti-join the same (file, pos) pairs).
+    """
+    import time as _time
+    import uuid as _uuid
+
+    from iceberg_catalog_postgres_spark.catalog.dv import read_dv
+    from iceberg_catalog_postgres_spark.catalog.metadata import (
+        Snapshot,
+        new_snapshot_id,
+        plan_manifests,
+    )
+    from iceberg_catalog_postgres_spark.catalog.table import (
+        collect_file_stats_many,
+    )
+
+    snap = table.metadata.current_snapshot()
+    if snap is None or not snap.deletion_vectors:
+        return table
+    store = table.catalog.object_store()
+    rows = [
+        ("file:" + store.resolve(rel), int(pos))
+        for rel, entry in sorted(snap.deletion_vectors.items())
+        for pos in read_dv(store, entry)
+    ]
+    positions = spark.createDataFrame(rows, "file_path string, row_index long")
+    rel_dir = posixpath.join(
+        table.metadata.location, "data", f"posdel-dv-{_uuid.uuid4().hex}"
+    )
+    abs_dir = store.resolve(rel_dir)
+    positions.coalesce(1).write.mode("overwrite").parquet(abs_dir)
+    import glob as _glob
+
+    new_pos, abs_by_rel = [], {}
+    for p in sorted(_glob.glob(os.path.join(abs_dir, "*.parquet"))):
+        rel = posixpath.join(rel_dir, os.path.basename(p))
+        new_pos.append(rel)
+        abs_by_rel[rel] = p
+
+    next_seq = table.metadata.next_sequence_number()
+    snapshot = Snapshot(
+        snapshot_id=new_snapshot_id(table.metadata.snapshot_ids()),
+        timestamp_ms=int(_time.time() * 1000),
+        operation="delete",
+        data_files=list(snap.data_files),
+        delete_files=list(snap.delete_files),
+        position_delete_files=[*snap.position_delete_files, *new_pos],
+        deletion_vectors={},
+        sequence_number=next_seq,
+        file_seqs={**snap.file_seqs, **{f: next_seq for f in new_pos}},
+        file_partitions=dict(snap.file_partitions),
+        file_stats={**snap.file_stats, **collect_file_stats_many(abs_by_rel)},
+        summary={
+            "operation-detail": "rewrite-dvs-to-position-deletes",
+            "dvs-removed": str(len(snap.deletion_vectors)),
+            "pos-delete-files-written": str(len(new_pos)),
+        },
+    )
+    plan_manifests(store, table.metadata.location, "overwrite", snap, None, snapshot)
+    new_metadata = table.metadata.with_snapshot(snapshot).with_log_entry(
+        table.metadata_location(), table.metadata.last_updated_ms
+    )
+    new_location = posixpath.join(
+        new_metadata.location, "metadata", f"dvpd-{_uuid.uuid4().hex}.metadata.json"
+    )
+    store.put(new_location, new_metadata.to_json().encode())
+    return table.catalog.update_table(
+        table.identifier, new_location, table.metadata_location()
+    )
 
 
 def delete_where_cow(

@@ -423,3 +423,41 @@ def test_health_and_counts_cover_deletion_vectors(catalog, spark):
     h = table_health(t)
     assert h["n_deletion_vectors"] >= 1
     assert h["delete_debt_records"] == 13
+
+
+def test_rewrite_dvs_to_position_deletes_unblocks_v2_export(catalog, spark):
+    """The INVERSE conversion: vectors -> parquet positional deletes at
+    O(positions), clearing the v3 surface so the v2 Avro export (which
+    refuses vectors) succeeds — the cheap export on-ramp vs compaction.
+    Read parity holds across both representations and the export/import
+    round-trip."""
+    from iceberg_catalog_postgres_spark.catalog.avro_export import (
+        export_iceberg_avro,
+        import_iceberg_avro,
+    )
+    from iceberg_catalog_postgres_spark.catalog.maintenance import (
+        delete_where_mor,
+        rewrite_dvs_to_position_deletes,
+    )
+
+    t = _table(catalog, spark, "dvn", n=90, parts=3)
+    t = delete_where_mor(spark, t, F.col("k") % 9 == 0, as_dv=True)
+    assert len(t.metadata.current_deletion_vectors()) >= 1
+    expect = sorted(r["k"] for r in t.to_df(spark).collect())
+    assert expect == [i for i in range(90) if i % 9 != 0]
+
+    with pytest.raises(ValueError, match="rewrite_dvs_to_position_deletes"):
+        export_iceberg_avro(spark, t)
+
+    t = rewrite_dvs_to_position_deletes(spark, t)
+    assert t.metadata.current_deletion_vectors() == {}
+    assert len(t.metadata.current_position_delete_files()) >= 1
+    assert sorted(r["k"] for r in t.to_df(spark).collect()) == expect
+    # converting a vector-free table is a no-op
+    assert rewrite_dvs_to_position_deletes(spark, t) is t
+
+    res = export_iceberg_avro(spark, t)
+    imp = import_iceberg_avro(
+        spark, catalog, TableIdentifier.parse("s.dvn_imp"), res["metadata_json"]
+    )
+    assert sorted(r["k"] for r in imp.to_df(spark).collect()) == expect
