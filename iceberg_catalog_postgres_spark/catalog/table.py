@@ -82,6 +82,59 @@ BUCKET_HASH_PROP = "write.bucket-hash"
 DEFAULT_BUCKET_HASH = "murmur3"
 
 
+# Executor-side deletion-vector blob cache: (puffin path, offset) ->
+# sorted uint64 positions. Module-global so each executor PROCESS does one
+# ranged read + decode per blob, across all its tasks and batches.
+_DV_EXECUTOR_CACHE: dict = {}
+
+
+def _dv_membership_filter(entry_by_scan_path: dict):
+    """mapInPandas function applying deletion vectors ON THE EXECUTORS —
+    the large-cardinality path of ``to_df``'s ``_apply_dvs``: instead of
+    decoding every vector on the driver and broadcasting O(deleted
+    positions) pairs, each Arrow batch ranged-reads ONLY its own file's
+    blob from the Puffin sidecar (shared storage, same access contract as
+    the data files) and drops rows whose ``row_index`` is in the bitmap
+    via a vectorized ``searchsorted``. Driver/closure state is the tiny
+    ``{scan_path -> (abs_puffin, offset, length)}`` dict — O(files with
+    vectors) — so the plan survives delete cardinalities that would break
+    any broadcast."""
+
+    def fn(batches):
+        import numpy as np
+
+        from iceberg_catalog_postgres_spark.catalog.dv import parse_dv_payload
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf
+                continue
+            keep = np.ones(len(pdf), dtype=bool)
+            for fp, idx in pdf.groupby("__dvf").indices.items():
+                ent = entry_by_scan_path.get(fp)
+                if ent is None:
+                    continue
+                key = (ent[0], ent[1])
+                pos = _DV_EXECUTOR_CACHE.get(key)
+                if pos is None:
+                    with open(ent[0], "rb") as fh:
+                        fh.seek(ent[1])
+                        payload = fh.read(ent[2])
+                    pos = parse_dv_payload(payload)  # sorted uint64
+                    _DV_EXECUTOR_CACHE[key] = pos
+                if len(pos) == 0:
+                    continue
+                rows = pdf["__dvp"].to_numpy()[idx].astype("uint64")
+                loc = np.searchsorted(pos, rows)
+                hit = (loc < len(pos)) & (
+                    pos[np.minimum(loc, len(pos) - 1)] == rows
+                )
+                keep[idx[hit]] = False
+            yield pdf[keep]
+
+    return fn
+
+
 def parse_partition_field(entry: str) -> tuple[str, int | None, str]:
     """Spec entry -> (kind, param, column); kind in
     identity/bucket/truncate/year/month/day/hour."""
@@ -2126,9 +2179,20 @@ class Table:
             RANGED blob read per planned file with a vector — never a
             footer walk, never one open per delete COMMIT (the win over
             parquet positional deletes at 100 TB: read amplification is
-            O(files with live deletes), not O(delete history)). The decoded
-            pairs are bounded by the pending-delete cardinality — the same
-            order the broadcast anti-join ships either way."""
+            O(files with live deletes), not O(delete history)).
+
+            Two physical strategies, chosen from the vector CARDINALITIES
+            (snapshot metadata, no decode):
+            - small (default <= 2M positions): decode driver-side, one
+              broadcast anti-join — pure JVM row filtering, the fast path
+              for the common kilobyte-scale delete;
+            - large: executor-side membership filter (mapInPandas) where
+              each task ranged-reads ONLY its own file's blob from the
+              sidecar and drops rows via vectorized searchsorted — driver
+              and closure state stay O(files with vectors), so the plan
+              survives delete cardinalities that would break a broadcast.
+            Threshold: spark conf ``spark.icebergps.dv.maxBroadcastPositions``.
+            """
             import pandas as _pd
 
             from pyspark.sql.functions import broadcast, col
@@ -2141,8 +2205,31 @@ class Table:
 
             from iceberg_catalog_postgres_spark.catalog.dv import read_dv
 
+            touched = sorted(set(members_rel) & set(dv_map))
+            if not touched:
+                return part
+            total = sum(int(dv_map[rel]["cardinality"]) for rel in touched)
+            max_bcast = int(
+                spark.conf.get("spark.icebergps.dv.maxBroadcastPositions", "2000000")
+            )
+            if total > max_bcast:
+                mapping = {
+                    "file:" + store.resolve(rel): (
+                        store.resolve(dv_map[rel]["puffin"]),
+                        int(dv_map[rel]["offset"]),
+                        int(dv_map[rel]["length"]),
+                    )
+                    for rel in touched
+                }
+                part2 = part.withColumn(
+                    "__dvf", col("_metadata.file_path")
+                ).withColumn("__dvp", col("_metadata.row_index"))
+                return part2.mapInPandas(
+                    _dv_membership_filter(mapping), part2.schema
+                ).drop("__dvf", "__dvp")
+
             frames = []
-            for rel in sorted(set(members_rel) & set(dv_map)):
+            for rel in touched:
                 pos = read_dv(store, dv_map[rel])
                 if len(pos) == 0:
                     continue

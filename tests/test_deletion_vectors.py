@@ -461,3 +461,23 @@ def test_rewrite_dvs_to_position_deletes_unblocks_v2_export(catalog, spark):
         spark, catalog, TableIdentifier.parse("s.dvn_imp"), res["metadata_json"]
     )
     assert sorted(r["k"] for r in imp.to_df(spark).collect()) == expect
+
+
+def test_dv_executor_side_membership_path_parity(catalog, spark):
+    """The large-cardinality DV strategy (executor-side mapInPandas
+    membership filter, each task ranged-reading only its file's blob)
+    returns exactly the broadcast anti-join's rows. Forced via the
+    threshold conf; also pins the executor blob cache round-trip."""
+    t = _table(catalog, spark, "dvo", n=300, parts=3)
+    t = t.new_transaction().delete_positions_dv(
+        _positions(t, spark, (F.col("k") % 4 == 1) | (F.col("k") < 25))
+    ).commit()
+    expect = sorted(r["k"] for r in t.to_df(spark).collect())  # broadcast path
+    prev = spark.conf.get("spark.icebergps.dv.maxBroadcastPositions", "2000000")
+    spark.conf.set("spark.icebergps.dv.maxBroadcastPositions", "0")
+    try:
+        got = sorted(r["k"] for r in t.to_df(spark).collect())  # distributed path
+    finally:
+        spark.conf.set("spark.icebergps.dv.maxBroadcastPositions", prev)
+    assert got == expect
+    assert got == sorted(i for i in range(300) if not (i % 4 == 1 or i < 25))
