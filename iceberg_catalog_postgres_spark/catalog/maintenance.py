@@ -46,7 +46,12 @@ def merge_upsert(spark: SparkSession, table: Table, updates: DataFrame, key_cols
     return table.new_transaction().overwrite_dataframe(merged).commit()
 
 
-def compact_table(spark: SparkSession, table: Table, target_partitions: int = 1) -> Table:
+def compact_table(
+    spark: SparkSession,
+    table: Table,
+    target_partitions: int = 1,
+    preserve_lineage: bool = False,
+) -> Table:
     """Small-file compaction: read current snapshot, rewrite as
     ``target_partitions`` files, commit as an OVERWRITE snapshot. Old files
     stay referenced by older snapshots (time travel intact) until a GC pass.
@@ -56,10 +61,27 @@ def compact_table(spark: SparkSession, table: Table, target_partitions: int = 1)
     materialization pass (Iceberg's rewrite_data_files + rewrite_position_
     deletes rolled into one).
 
+    ``preserve_lineage=True`` keeps v3 ROW LINEAGE across the rewrite: the
+    input is read with its ``_row_id`` and the ids are MATERIALIZED as a
+    physical column in the compacted files (the v3 model — inherited ids
+    are position-derived, so any rewrite must write them down). The commit
+    is tagged ``lineage-preserving``, which lets ``changelog_df`` cross it
+    emitting ZERO changes (the only rows it removes are deletes already
+    emitted at their own commits) — compaction stops being a CDC barrier.
+
     Scale: compaction is the antidote to per-micro-batch files from
     streaming commits; target size ~128 MB-1 GB per file keeps scan tasks
     coarse. The rewrite is executor-parallel; only the commit serializes.
     """
+    if preserve_lineage:
+        current = table.to_df(spark, with_row_lineage=True).coalesce(
+            target_partitions
+        )
+        return (
+            table.new_transaction()
+            .overwrite_dataframe(current, lineage_materialized=True)
+            .commit()
+        )
     current = table.to_df(spark).coalesce(target_partitions)
     return table.new_transaction().overwrite_dataframe(current).commit()
 
@@ -304,6 +326,16 @@ def _commit_subset_replace(
             for r, e in table.metadata.current_deletion_vectors().items()
             if r in kept_set
         },
+        # same carry rule for v3 row lineage: kept files keep their
+        # first_row_id (or materialized marker); rewritten files get no
+        # entry -> their rows read _row_id NULL (documented v1 degradation
+        # of non-lineage-preserving rewrites; compact_table(preserve_
+        # lineage=True) is the lineage-keeping path)
+        first_row_ids={
+            r: v
+            for r, v in table.metadata.current_first_row_ids().items()
+            if r in kept_set
+        },
         sequence_number=next_seq,
         file_seqs={**inherited_seqs, **{f: next_seq for f in new_files}},
         file_partitions={
@@ -423,6 +455,7 @@ def rewrite_dvs_to_position_deletes(spark: SparkSession, table: Table) -> Table:
         delete_files=list(snap.delete_files),
         position_delete_files=[*snap.position_delete_files, *new_pos],
         deletion_vectors={},
+        first_row_ids=dict(snap.first_row_ids),  # data files untouched
         sequence_number=next_seq,
         file_seqs={**snap.file_seqs, **{f: next_seq for f in new_pos}},
         file_partitions=dict(snap.file_partitions),
@@ -534,6 +567,11 @@ def delete_where_cow(
         deletion_vectors={
             r: e
             for r, e in table.metadata.current_deletion_vectors().items()
+            if r in set(kept)
+        },
+        first_row_ids={
+            r: v
+            for r, v in table.metadata.current_first_row_ids().items()
             if r in set(kept)
         },
         sequence_number=next_seq,
@@ -702,6 +740,73 @@ def catalog_positional_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert table.metadata.current_data_files() == files_before, "MOR delete must not rewrite data"
     assert len(table.metadata.current_position_delete_files()) >= 1
     return table.to_df(spark)
+
+
+@register(
+    "catalog_row_lineage_read",
+    oracle="""
+    WITH ranked AS (
+      SELECT n_nationkey, n_name,
+             row_number() OVER (ORDER BY n_nationkey) - 1 AS rid
+      FROM nation
+    )
+    SELECT n_nationkey, n_name, CAST(rid AS BIGINT) AS row_id,
+           true AS ids_stable_across_compaction
+    FROM ranked WHERE n_nationkey % 3 != 1 ORDER BY n_nationkey
+    """,
+    tags=("catalog", "lineage", "v3", "cdc", "scale"),
+)
+def catalog_row_lineage_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v3 ROW LINEAGE end to end: nation lands sorted in one file
+    (so each row's id equals its n_nationkey rank — the oracle's
+    ``row_number() - 1``), a third of the rows are MOR-deleted via a
+    deletion vector, and the table is compacted with
+    ``preserve_lineage=True`` (ids MATERIALIZED into the rewritten file as
+    a physical column). The lineage read's ``_row_id`` must equal the
+    pre-compaction ids exactly (asserted, returned as a pinned boolean) —
+    the stable per-row identity CDC consumers key updates on, surviving
+    both delete representations and a full rewrite.
+
+    Scale: id assignment is the v3 INHERITANCE model — one long per file
+    in the snapshot (zero per-row write cost); the lineage read broadcasts
+    the O(files) map; only a rewrite materializes ids, and only for the
+    rows it touches."""
+    from iceberg_catalog_postgres_spark.catalog.table import Table as _T  # noqa: F401
+
+    cat = _fresh_catalog("catalog_row_lineage")
+    src = (
+        load(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name")
+        .orderBy("n_nationkey")
+    )
+    table = cat.create_table(TableIdentifier.parse("rl.nation"), src.schema)
+    table = table.new_transaction().append_dataframe(src.coalesce(1)).commit()
+
+    positions = (
+        table.to_df(spark)
+        .withColumn("file_path", F.col("_metadata.file_path"))
+        .withColumn("row_index", F.col("_metadata.row_index"))
+        .where(F.col("n_nationkey") % 3 == 1)
+        .select("file_path", "row_index")
+    )
+    table = table.new_transaction().delete_positions_dv(positions).commit()
+    before = {
+        r["n_nationkey"]: r["_row_id"]
+        for r in table.to_df(spark, with_row_lineage=True).collect()
+    }
+    table = compact_table(spark, table, preserve_lineage=True)
+    out = table.to_df(spark, with_row_lineage=True)
+    after = {r["n_nationkey"]: r["_row_id"] for r in out.collect()}
+    stable = after == before and all(v is not None for v in after.values())
+    return (
+        out.select(
+            "n_nationkey",
+            "n_name",
+            F.col("_row_id").alias("row_id"),
+        )
+        .withColumn("ids_stable_across_compaction", F.lit(bool(stable)))
+        .orderBy("n_nationkey")
+    )
 
 
 @register(
@@ -1858,6 +1963,14 @@ def overwrite_partitions(spark: SparkSession, table: Table, df: DataFrame) -> Ta
         file_stats={
             **{f: old_stats[f] for f in kept if f in old_stats},
             **staged_stats,
+        },
+        # kept partitions keep their row lineage; the restated partitions'
+        # new files get no entry (restated rows are NEW rows -> _row_id NULL
+        # until the next lineage-assigning commit; documented v1 behavior)
+        first_row_ids={
+            r: v
+            for r, v in (snap.first_row_ids if snap else {}).items()
+            if r in set(kept)
         },
         summary={
             "operation-detail": "dynamic-partition-overwrite",
@@ -3125,6 +3238,7 @@ def rewrite_position_deletes_to_dvs(spark: SparkSession, table: Table) -> Table:
         delete_files=list(snap.delete_files),
         position_delete_files=[],
         deletion_vectors=dv_entries,
+        first_row_ids=dict(snap.first_row_ids),  # data files untouched
         sequence_number=next_seq,
         file_seqs={k: v for k, v in snap.file_seqs.items() if k not in dropped},
         file_partitions=dict(snap.file_partitions),
@@ -3262,6 +3376,7 @@ def rewrite_equality_deletes(
             delete_files=[],  # materialized into the vectors
             position_delete_files=list(snap.position_delete_files),
             deletion_vectors=dv_entries,
+            first_row_ids=dict(snap.first_row_ids),  # data files untouched
             sequence_number=next_seq,
             file_seqs={
                 k: v for k, v in snap.file_seqs.items() if k not in dropped_eq
@@ -3315,6 +3430,7 @@ def rewrite_equality_deletes(
         delete_files=[],  # materialized into positions below
         position_delete_files=[*snap.position_delete_files, *new_pos],
         deletion_vectors=dict(snap.deletion_vectors),  # data files untouched
+        first_row_ids=dict(snap.first_row_ids),
         sequence_number=next_seq,
         file_seqs={
             **{f: _seq(f) for f in carried},
@@ -3833,6 +3949,7 @@ def backfill_file_stats(table: Table) -> Table:
         delete_files=list(snap.delete_files),
         position_delete_files=list(snap.position_delete_files),
         deletion_vectors=dict(snap.deletion_vectors),
+        first_row_ids=dict(snap.first_row_ids),
         sequence_number=table.metadata.next_sequence_number(),
         file_seqs=dict(snap.file_seqs),
         file_partitions=dict(snap.file_partitions),
@@ -4284,6 +4401,7 @@ def rewrite_manifests(table: Table, max_chunks: int = 8) -> Table:
         file_partitions=snap.file_partitions,
         file_stats=snap.file_stats,
         deletion_vectors=dict(snap.deletion_vectors),
+        first_row_ids=dict(snap.first_row_ids),
     )
     new_md = _replace(
         md,

@@ -386,6 +386,11 @@ class Snapshot:
       most one vector per data file; a new vector SUPERSEDES all earlier
       positional deletes for that file. Applied file-scoped (no sequence
       check — the vector names the exact file it deletes from).
+    - ``first_row_ids``: Iceberg v3 row lineage — data-file rel path ->
+      first_row_id. A row's stable id is ``first_row_id + its position in
+      the file`` (the inheritance model: zero per-row write cost); ids are
+      assigned at commit from ``TableMetadata.next_row_id`` and never
+      reused.
     - ``sequence_number``: commit order (Iceberg v2 data sequence number).
     - ``file_seqs``: path -> sequence number at which the file was added;
       the basis for delete scoping and rename resolution.
@@ -419,6 +424,7 @@ class Snapshot:
         store=None,
         deferred: bool = False,
         deletion_vectors: dict | None = None,
+        first_row_ids: dict | None = None,
     ):
         self.snapshot_id = snapshot_id
         self.timestamp_ms = timestamp_ms
@@ -438,6 +444,11 @@ class Snapshot:
         # the map is bounded by the pending-delete set (at most one entry
         # per file with live deletes), the analog of v3's delete manifests.
         self._deletion_vectors = dict(deletion_vectors or {})
+        # Iceberg v3 row lineage: data-file rel path -> first_row_id (the
+        # inheritance model — a row's id is first_row_id + its position in
+        # the file; assigned at commit from TableMetadata.next_row_id, never
+        # reused). Inline like deletion_vectors: one long per file.
+        self._first_row_ids = dict(first_row_ids or {})
         self._store = store
         self._inflated = not deferred
         if deferred and store is None:
@@ -498,6 +509,11 @@ class Snapshot:
         """Deletion-vector map (inline — never deferred to chunks)."""
         return self._deletion_vectors
 
+    @property
+    def first_row_ids(self) -> dict:
+        """Row-lineage map: rel path -> first_row_id (inline)."""
+        return self._first_row_ids
+
     def chunk_refs(self) -> list[dict] | None:
         """Manifest-list refs WITH summaries, or None when the snapshot is
         inline / legacy (some chunk lacks a summary) — callers then use the
@@ -531,15 +547,19 @@ class Snapshot:
             "sequence-number": self.sequence_number,
             "summary": self.summary,
         }
-        # deletion vectors stay inline in the JSON in both layouts; the key
-        # is omitted when empty so pre-DV documents stay byte-identical
+        # deletion vectors and row-lineage firsts stay inline in the JSON in
+        # both layouts; keys are omitted when empty so pre-v3 documents stay
+        # byte-identical
         dv = (
             {"deletion-vectors": self._deletion_vectors}
             if self._deletion_vectors
             else {}
         )
+        fr = (
+            {"first-row-ids": self._first_row_ids} if self._first_row_ids else {}
+        )
         if self.manifests is not None:
-            return {**common, "manifests": list(self.manifests), **dv}
+            return {**common, "manifests": list(self.manifests), **dv, **fr}
         return {
             **common,
             "data-files": self.data_files,
@@ -549,6 +569,7 @@ class Snapshot:
             "file-partitions": self.file_partitions,
             "file-stats": self.file_stats,
             **dv,
+            **fr,
         }
 
     @staticmethod
@@ -567,6 +588,7 @@ class Snapshot:
                 store=store,
                 deferred=True,
                 deletion_vectors=dict(d.get("deletion-vectors", {})),
+                first_row_ids=dict(d.get("first-row-ids", {})),
             )
         return Snapshot(
             snapshot_id=d["snapshot-id"],
@@ -581,6 +603,7 @@ class Snapshot:
             file_partitions=dict(d.get("file-partitions", {})),
             file_stats=dict(d.get("file-stats", {})),
             deletion_vectors=dict(d.get("deletion-vectors", {})),
+            first_row_ids=dict(d.get("first-row-ids", {})),
         )
 
 
@@ -640,6 +663,14 @@ class TableMetadata:
     remain the engine-native mirror (r9, VERDICT item 3). Entries are
     replaced per ANALYZE run; superseded Puffin files age out with
     metadata GC."""
+    next_row_id: int = 0
+    """Iceberg v3 ROW LINEAGE high-water mark (spec ``next-row-id``): the
+    first row id the next data commit may assign. Appends assign each new
+    file a ``first_row_id`` (see ``Snapshot.first_row_ids``) and advance
+    this by the file's record count; ids are NEVER reused, so a row's
+    ``_row_id = first_row_id + row position`` is stable for the row's
+    lifetime (the v3 inheritance model — no per-row storage cost on
+    write)."""
     partition_statistics: list = field(default_factory=list)
     """Spec top-level ``partition-statistics``: PartitionStatisticsFile
     entries ({"snapshot-id", "statistics-path", "file-size-in-bytes"})
@@ -707,6 +738,10 @@ class TableMetadata:
     def current_deletion_vectors(self) -> dict:
         snap = self.current_snapshot()
         return dict(snap.deletion_vectors) if snap else {}
+
+    def current_first_row_ids(self) -> dict:
+        snap = self.current_snapshot()
+        return dict(snap.first_row_ids) if snap else {}
 
     def current_file_seqs(self) -> dict:
         snap = self.current_snapshot()
@@ -919,6 +954,9 @@ class TableMetadata:
                 "metadata-log": self.metadata_log,
                 "statistics": self.statistics,
                 "partition-statistics": self.partition_statistics,
+                # v3 row lineage; omitted until the first lineage-assigning
+                # commit so pre-lineage documents stay byte-identical
+                **({"next-row-id": self.next_row_id} if self.next_row_id else {}),
                 "properties": {
                     self.MANIFEST_FORMAT_PROP: self.MANIFEST_FORMAT,
                     **self.properties,
@@ -994,4 +1032,5 @@ class TableMetadata:
             metadata_log=list(d.get("metadata-log", [])),
             statistics=list(d.get("statistics", [])),
             partition_statistics=list(d.get("partition-statistics", [])),
+            next_row_id=int(d.get("next-row-id", 0)),
         )

@@ -1099,7 +1099,13 @@ class Table:
         # (caller passed a historical name) — plain chain walk, no
         # collision arbitration possible or needed
 
-    def _read_data_files(self, spark: SparkSession, rel_files: list[str], seqs: dict) -> DataFrame:
+    def _read_data_files(
+        self,
+        spark: SparkSession,
+        rel_files: list[str],
+        seqs: dict,
+        extra_phys_cols: list | None = None,
+    ) -> DataFrame:
         """Read data files with rename awareness: group files by the
         PHYSICAL column names they were written with (a function of their
         sequence number and the rename log), read each group with that
@@ -1107,7 +1113,13 @@ class Table:
         With no renames this is exactly one ``spark.read.schema(...)`` —
         zero overhead on the common path. This is how column-id-based
         evolution (mod.rs:431-453 — fields tracked by id, not name) stays
-        correct over name-based parquet files without rewriting them."""
+        correct over name-based parquet files without rewriting them.
+
+        ``extra_phys_cols``: (name, DataType) pairs physically present in
+        these files beyond the table schema (e.g. the materialized
+        ``_row_id`` column lineage-preserving compaction writes) — appended
+        to each physical read schema and the output projection. Never
+        subject to renames."""
         from pyspark.sql.types import StructField as _SF
         from pyspark.sql.types import StructType as _ST
 
@@ -1155,6 +1167,7 @@ class Table:
                     for n, f in zip(names, fields)
                     if n is not None
                 ]
+                + [_SF(en, et, True) for en, et in (extra_phys_cols or [])]
             )
             p = spark.read.schema(phys).parquet(*[store.resolve(f) for f in members])
             remap = {o: n for o, n in zip(names, logical) if o is not None and o != n}
@@ -1169,7 +1182,9 @@ class Table:
                     p = p.withColumn(
                         names_by_id[fid], F.lit(d["default"]).cast(types_by_id[fid])
                     )
-            parts.append(p.select(*logical))
+            parts.append(
+                p.select(*logical, *[en for en, _et in (extra_phys_cols or [])])
+            )
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
@@ -2035,10 +2050,21 @@ class Table:
         ref: str | None = None,
         file_subset: list[str] | None = None,
         as_of_ms: int | None = None,
+        with_row_lineage: bool = False,
     ) -> DataFrame:
         """DataFrame over the snapshot's file list (time travel via
         ``snapshot_id``). Empty table => empty DataFrame with the declared
         schema, so downstream plans always resolve.
+
+        ``with_row_lineage=True`` adds the Iceberg v3 ``_row_id`` column:
+        for files committed by appends the id is INHERITED
+        (``first_row_id + row position``, computed from a broadcast of the
+        O(files) lineage map — zero storage cost); files written by a
+        lineage-preserving rewrite carry a MATERIALIZED physical ``_row_id``
+        column, read directly. Files that predate lineage read NULL. Ids
+        are stable for the row's lifetime across MOR deletes and
+        lineage-preserving compaction — the identity a CDC consumer can key
+        updates on.
 
         ``prune=(column, lo, hi)`` narrows the planned file list via
         ``planned_files`` BEFORE Spark sees it — file-level skipping on top
@@ -2124,11 +2150,24 @@ class Table:
             store_ = self.catalog.object_store()
             subset_abs = {store_.resolve(f) for f in file_subset}
             files = [f for f in files if f in subset_abs]
+        if with_row_lineage and any(f.name == "_row_id" for f in self.schema.fields):
+            raise ValueError(
+                "with_row_lineage: the table schema already has a _row_id column"
+            )
         if not files:
+            if with_row_lineage:
+                from pyspark.sql.types import LongType as _L
+                from pyspark.sql.types import StructField as _SFe
+                from pyspark.sql.types import StructType as _STe
+
+                return spark.createDataFrame(
+                    [], _STe([*self.schema.fields, _SFe("_row_id", _L(), True)])
+                )
             return spark.createDataFrame([], self.schema)
         snap_refs = snap.chunk_refs() if snap is not None else None
         if (
-            snap_refs is not None
+            not with_row_lineage  # lineage needs the per-file map below
+            and snap_refs is not None
             and not self.column_renames()
             and not self.column_defaults()
             and not snap.deletion_vectors
@@ -2156,6 +2195,61 @@ class Table:
             # (pre-sequence metadata => deletes apply to everything, the
             # round-1 behavior) when the map is empty.
             return seqs.get(abs_or_rel, 0)
+
+        frids = dict(snap.first_row_ids) if snap else {}
+
+        def _read_members(members: list[str]) -> DataFrame:
+            """Cohort read, lineage-aware when requested: INHERITED files
+            get ``_row_id = first_row_id + row position`` via a broadcast
+            of the O(files) lineage map; MATERIALIZED files (written by a
+            lineage-preserving rewrite, map value None) read their physical
+            ``_row_id`` column; pre-lineage files read NULL."""
+            if not with_row_lineage:
+                return self._read_data_files(spark, members, seqs)
+            from pyspark.sql.functions import broadcast, col
+            from pyspark.sql.types import LongType as _L
+
+            mat = [r for r in members if r in frids and frids[r] is None]
+            rest = [r for r in members if r not in set(mat)]
+            parts2 = []
+            if rest:
+                p = self._read_data_files(spark, rest, seqs)
+                pairs = [
+                    ("file:" + store.resolve(r), int(frids[r]))
+                    for r in rest
+                    if frids.get(r) is not None
+                ]
+                if pairs:
+                    mdf = spark.createDataFrame(
+                        pairs, "__lfile string, __first long"
+                    )
+                    p = (
+                        p.withColumn("__lf", col("_metadata.file_path"))
+                        .withColumn("__lp", col("_metadata.row_index"))
+                        .join(
+                            broadcast(mdf),
+                            col("__lf") == col("__lfile"),
+                            "left",
+                        )
+                        .withColumn(
+                            "_row_id",
+                            (col("__first") + col("__lp")).cast("long"),
+                        )
+                        .drop("__lf", "__lp", "__lfile", "__first")
+                    )
+                else:
+                    p = p.withColumn("_row_id", F.lit(None).cast("long"))
+                parts2.append(p)
+            if mat:
+                parts2.append(
+                    self._read_data_files(
+                        spark, mat, seqs, extra_phys_cols=[("_row_id", _L())]
+                    )
+                )
+            out = parts2[0]
+            for p in parts2[1:]:
+                out = out.unionByName(p)
+            return out
 
         def _apply_pos_dels(part: DataFrame) -> DataFrame:
             from pyspark.sql.functions import broadcast, col
@@ -2299,7 +2393,7 @@ class Table:
         if not dels or not seqs:
             # no equality deletes, or pre-sequence metadata: single cohort
             # (the rename-aware reader regroups internally if needed)
-            df = self._read_data_files(spark, rel_data, seqs)
+            df = _read_members(rel_data)
             if pos_dels:
                 df = _apply_pos_dels(df)
             if dv_map:
@@ -2320,7 +2414,7 @@ class Table:
             cohorts.setdefault(applicable, []).append(f)
         parts = []
         for applicable, members in cohorts.items():
-            part = self._read_data_files(spark, members, seqs)
+            part = _read_members(members)
             if pos_dels:
                 part = _apply_pos_dels(part)
             if dv_map:
@@ -2348,14 +2442,26 @@ class Table:
         snaps = self.metadata.snapshots
         from_idx = next(i for i, s in enumerate(snaps) if s.snapshot_id == from_snapshot_id)
         to_idx = next(i for i, s in enumerate(snaps) if s.snapshot_id == to_id)
-        for s in snaps[from_idx + 1 : to_idx + 1]:
-            if s.operation != "append":
-                raise ValueError(
-                    f"incremental read crosses non-append snapshot {s.snapshot_id} ({s.operation})"
-                )
+        # per-ADJACENT-PAIR deltas (not one end-to-end file-set diff): a
+        # lineage-preserving compaction inside the range renames every file
+        # while adding zero rows — the pairwise walk skips it for free,
+        # where the end-to-end diff would wrongly re-emit the whole table
+        new_files: list[str] = []
+        for i in range(from_idx + 1, to_idx + 1):
+            s, parent = snaps[i], snaps[i - 1]
+            if s.operation == "append":
+                old = set(parent.data_files)
+                new_files.extend(f for f in s.data_files if f not in old)
+                continue
+            if (
+                s.operation == "overwrite"
+                and s.summary.get("lineage-preserving") == "true"
+            ):
+                continue  # provably adds no rows (see changelog_df)
+            raise ValueError(
+                f"incremental read crosses non-append snapshot {s.snapshot_id} ({s.operation})"
+            )
         to_snap = self.metadata.snapshot_by_id(to_id)
-        old_files = set(self.metadata.snapshot_by_id(from_snapshot_id).data_files)
-        new_files = [f for f in to_snap.data_files if f not in old_files]
         if not new_files:
             return spark.createDataFrame([], self.schema)
         return self._read_data_files(spark, new_files, dict(to_snap.file_seqs))
@@ -2404,6 +2510,16 @@ class Table:
                         .withColumn("_change_type", F.lit("insert"))
                         .withColumn("_change_ordinal", F.lit(s.sequence_number).cast("long"))
                     )
+                continue
+            if (
+                s.operation == "overwrite"
+                and s.summary.get("lineage-preserving") == "true"
+            ):
+                # lineage-preserving compaction: the rewrite keeps every
+                # row's _row_id and only materializes deletes ALREADY
+                # emitted at their own commits — provably zero row-level
+                # changes, so the changelog crosses it silently instead of
+                # raising (rewrites stop being a CDC barrier)
                 continue
             if s.operation != "delete":
                 raise ValueError(
@@ -2877,6 +2993,11 @@ class Transaction:
         # against the winner's vectors — the v3 "one superseding vector per
         # file" invariant survives concurrent DV writers.
         self._staged_dv_positions: dict = {}
+        # lineage-preserving rewrites (compaction) pre-declare the
+        # first_row_id of files whose rows carry MATERIALIZED ids — the
+        # commit keeps these instead of minting fresh ids
+        self._lineage_first_row_ids: dict[str, int] = {}
+        self._summary_extra: dict[str, str] = {}
         self._staged_partitions: dict[str, dict] = {}
         # rel path -> {"record_count", "bounds"} collected from the writer's
         # own footers at staging time; committed into the snapshot's
@@ -3198,16 +3319,36 @@ class Transaction:
         return self.append_files(new_files)
 
     def overwrite_dataframe(
-        self, df: DataFrame, sort_by: list[str] | None = None, n_files: int | None = None
+        self,
+        df: DataFrame,
+        sort_by: list[str] | None = None,
+        n_files: int | None = None,
+        lineage_materialized: bool = False,
     ) -> "Transaction":
         """Write df as parquet and stage it as a full-table OVERWRITE
         snapshot (replaces the current file set atomically at commit).
         ``sort_by`` applies the same range write-distribution as
         ``append_dataframe`` — the re-cluster path: an overwrite that
         rewrites the table into disjoint sort-key slices so manifest
-        bounds become maximally selective."""
+        bounds become maximally selective.
+
+        ``lineage_materialized=True`` declares that ``df`` carries the v3
+        ``_row_id`` column with the rows' EXISTING lineage ids (a
+        lineage-preserving rewrite — see ``compact_table``): the commit
+        keeps ids instead of minting fresh ones, marks the new files as
+        materialized in the snapshot's lineage map, and tags the snapshot
+        ``lineage-preserving`` so the changelog can prove it introduces no
+        row-level changes."""
+        if lineage_materialized and "_row_id" not in df.columns:
+            raise ValueError(
+                "lineage_materialized requires the _row_id column "
+                "(read the input with to_df(with_row_lineage=True))"
+            )
         self.append_dataframe(df, sort_by=sort_by, n_files=n_files)
         self._operation = "overwrite"
+        if lineage_materialized:
+            self._lineage_first_row_ids = {f: None for f in self._staged_files}
+            self._summary_extra["lineage-preserving"] = "true"
         return self
 
     def delete_keys_dataframe(self, keys: DataFrame) -> "Transaction":
@@ -3370,6 +3511,35 @@ class Transaction:
             inherited_seqs = base_md.current_file_seqs()
             inherited_parts = base_md.current_file_partitions()
             inherited_stats = base_md.current_file_stats()
+            # v3 row lineage: assign each NEW data file a first_row_id from
+            # the document's next-row-id high-water mark (ids never reused;
+            # recomputed per CAS attempt so a retry chains on the winner's
+            # mark). Record counts come from the staged stats; a statless
+            # raw append_files file falls back to one footer read here.
+            def _rc(f: str) -> int:
+                st = self._staged_stats.get(f) or {}
+                if "record_count" in st:
+                    return int(st["record_count"])
+                import pyarrow.parquet as _pq_rc
+
+                return _pq_rc.ParquetFile(store.resolve(f)).metadata.num_rows
+
+            def _assign_row_ids(new_files: list, carried: dict) -> tuple[dict, int]:
+                rid = int(base_md.next_row_id)
+                out = dict(carried)
+                for f in new_files:
+                    if f in self._lineage_first_row_ids:
+                        # lineage-preserving rewrite: the writer already
+                        # materialized these rows' ids (value None marks a
+                        # physical _row_id column) — keep the mapping, don't
+                        # mint new ids
+                        v = self._lineage_first_row_ids[f]
+                        out[f] = None if v is None else int(v)
+                        continue
+                    out[f] = rid
+                    rid += _rc(f)
+                return out, rid
+
             if self._operation == "overwrite":
                 # full rewrite: replaces the file set AND materializes/clears
                 # any pending deletes (both flavors, deletion vectors too)
@@ -3377,6 +3547,7 @@ class Transaction:
                 delete_files: list[str] = []
                 pos_delete_files: list[str] = []
                 dv_entries: dict = {}
+                first_row_ids, new_next_row_id = _assign_row_ids(data_files, {})
                 file_seqs = {f: next_seq for f in data_files}
                 file_partitions = dict(self._staged_partitions)
                 # overwrite_files-style commits can carry over untouched files
@@ -3399,6 +3570,9 @@ class Transaction:
                     *self._staged_pos_delete_files,
                 ]
                 dv_entries = dict(base_md.current_deletion_vectors())
+                # data files untouched: lineage carried verbatim
+                first_row_ids = dict(base_md.current_first_row_ids())
+                new_next_row_id = int(base_md.next_row_id)
                 file_seqs = {
                     **inherited_seqs,
                     **{
@@ -3413,6 +3587,9 @@ class Transaction:
                 delete_files = list(base_md.current_delete_files())
                 pos_delete_files = list(base_md.current_position_delete_files())
                 dv_entries = dict(base_md.current_deletion_vectors())
+                first_row_ids, new_next_row_id = _assign_row_ids(
+                    self._staged_files, base_md.current_first_row_ids()
+                )
                 file_seqs = {
                     **inherited_seqs,
                     **{f: next_seq for f in self._staged_files},
@@ -3451,6 +3628,7 @@ class Transaction:
                 delete_files=delete_files,
                 position_delete_files=pos_delete_files,
                 deletion_vectors=dv_entries,
+                first_row_ids=first_row_ids,
                 sequence_number=next_seq,
                 file_seqs=file_seqs,
                 file_partitions=file_partitions,
@@ -3489,6 +3667,7 @@ class Transaction:
                         )
                         else {}
                     ),
+                    **self._summary_extra,
                 },
             )
             # Spill large file lists to manifest chunks; appends and MOR
@@ -3549,6 +3728,12 @@ class Transaction:
                         },
                     },
                     last_updated_ms=int(time.time() * 1000),
+                )
+            if new_next_row_id != int(base_md.next_row_id):
+                from dataclasses import replace as _dc_replace
+
+                new_metadata = _dc_replace(
+                    new_metadata, next_row_id=new_next_row_id
                 )
             if self._staged_props:
                 from dataclasses import replace as _dc_replace

@@ -1,0 +1,223 @@
+"""Iceberg v3 ROW LINEAGE (r10): stable per-row ids via the spec's
+inheritance model — ``TableMetadata.next_row_id`` high-water mark,
+per-file ``first_row_id`` assigned at commit (zero per-row write cost),
+``_row_id = first_row_id + row position`` on read, MATERIALIZED physical
+ids across lineage-preserving compaction, and the changelog/incremental
+readers crossing such rewrites with zero emitted changes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_catalog_postgres_spark.catalog.catalog import (
+    PostgresCatalog,
+    TableIdentifier,
+)
+
+
+@pytest.fixture
+def catalog(tmp_path):
+    cat = PostgresCatalog.connect("rl_cat", None, str(tmp_path / "wh"))
+    cat.initialize()
+    yield cat
+    cat.backend.close()
+
+
+def _seed(catalog, spark, name, n=30):
+    df = spark.createDataFrame(
+        [(i, f"u{i % 5}") for i in range(n)], "k long, u string"
+    ).orderBy("k")
+    t = catalog.create_table(TableIdentifier.parse(f"s.{name}"), df.schema)
+    return t.new_transaction().append_dataframe(df.coalesce(1)).commit()
+
+
+def _ids(t, spark):
+    return {
+        r["k"]: r["_row_id"]
+        for r in t.to_df(spark, with_row_lineage=True).collect()
+    }
+
+
+def _positions(t, spark, predicate):
+    return (
+        t.to_df(spark)
+        .withColumn("file_path", F.col("_metadata.file_path"))
+        .withColumn("row_index", F.col("_metadata.row_index"))
+        .where(predicate)
+        .select("file_path", "row_index")
+    )
+
+
+def test_append_assigns_monotone_ids_and_roundtrips(catalog, spark):
+    t = _seed(catalog, spark, "a", n=20)
+    assert t.metadata.next_row_id == 20
+    ids = _ids(t, spark)
+    assert ids == {k: k for k in range(20)}  # sorted single-file write
+    df2 = spark.createDataFrame(
+        [(100 + i, "x") for i in range(5)], "k long, u string"
+    ).orderBy("k")
+    t = t.new_transaction().append_dataframe(df2.coalesce(1)).commit()
+    assert t.metadata.next_row_id == 25
+    ids = _ids(t, spark)
+    assert [ids[100 + i] for i in range(5)] == [20, 21, 22, 23, 24]
+    # cold reload: document round-trip keeps the mark and the map
+    t2 = t.catalog.load_table(t.identifier)
+    assert t2.metadata.next_row_id == 25
+    assert _ids(t2, spark) == ids
+    # plain reads never see the column
+    assert "_row_id" not in t.to_df(spark).columns
+
+
+def test_ids_stable_across_all_three_mor_delete_kinds(catalog, spark):
+    t = _seed(catalog, spark, "b", n=40)
+    before = _ids(t, spark)
+    keys = spark.createDataFrame([("u2",)], "u string").coalesce(1)
+    t = t.new_transaction().delete_keys_dataframe(keys).commit()
+    t = t.new_transaction().delete_positions_dataframe(
+        _positions(t, spark, F.col("k") < 3)
+    ).commit()
+    t = t.new_transaction().delete_positions_dv(
+        _positions(t, spark, F.col("k") >= 38)
+    ).commit()
+    after = _ids(t, spark)
+    assert all(after[k] == before[k] for k in after)
+    assert set(after) == {
+        k for k in range(3, 38) if k % 5 != 2
+    }
+
+
+def test_lineage_preserving_compaction_and_cdc_crossing(catalog, spark):
+    from iceberg_catalog_postgres_spark.catalog.maintenance import compact_table
+
+    t = _seed(catalog, spark, "c", n=30)
+    before = _ids(t, spark)
+    t = t.new_transaction().delete_positions_dv(
+        _positions(t, spark, F.col("k") < 5)
+    ).commit()
+    pre = t.metadata.current_snapshot_id
+    df2 = spark.createDataFrame(
+        [(100 + i, "x") for i in range(4)], "k long, u string"
+    ).orderBy("k")
+    t = t.new_transaction().append_dataframe(df2.coalesce(1)).commit()
+
+    t = compact_table(spark, t, preserve_lineage=True)
+    assert t.metadata.current_snapshot().summary["lineage-preserving"] == "true"
+    after = _ids(t, spark)
+    assert all(after[k] == before[k] for k in after if k < 100)
+    assert len(after) == 29  # 25 survivors + 4 appended
+
+    # the changelog crosses the compaction emitting ONLY the appends
+    cl = t.changelog_df(spark, pre).collect()
+    assert sorted(r["k"] for r in cl) == [100, 101, 102, 103]
+    assert {r["_change_type"] for r in cl} == {"insert"}
+    inc = t.incremental_df(spark, pre).collect()
+    assert sorted(r["k"] for r in inc) == [100, 101, 102, 103]
+
+    # materialized -> materialized: a second compaction keeps the ids
+    t = compact_table(spark, t, preserve_lineage=True)
+    assert _ids(t, spark) == after
+    # and appends after compaction continue from the preserved mark
+    df3 = spark.createDataFrame([(200, "y")], "k long, u string")
+    t = t.new_transaction().append_dataframe(df3.coalesce(1)).commit()
+    ids3 = _ids(t, spark)
+    assert ids3[200] == max(after.values()) + 1 or ids3[200] >= 34
+
+
+def test_plain_compaction_mints_fresh_ids(catalog, spark):
+    """A NON-lineage-preserving rewrite goes through the normal overwrite
+    assignment: the rewritten files get FRESH first_row_ids above the old
+    high-water mark (ids are never reused — the spec-faithful degradation
+    when a writer does not materialize lineage). preserve_lineage=True is
+    the identity-keeping path."""
+    from iceberg_catalog_postgres_spark.catalog.maintenance import compact_table
+
+    t = _seed(catalog, spark, "d", n=10)
+    assert t.metadata.next_row_id == 10
+    t = compact_table(spark, t)  # preserve_lineage=False
+    out = t.to_df(spark, with_row_lineage=True).collect()
+    ids = [r["_row_id"] for r in out]
+    assert len(ids) == 10 and all(v is not None and v >= 10 for v in ids)
+    assert len(set(ids)) == 10
+    assert t.metadata.next_row_id == 20
+
+
+def test_subset_rewrite_keeps_kept_file_lineage(catalog, spark):
+    from iceberg_catalog_postgres_spark.catalog.maintenance import (
+        rewrite_files_before_seq,
+    )
+
+    t = _seed(catalog, spark, "e", n=20)
+    df2 = spark.createDataFrame(
+        [(100 + i, "x") for i in range(10)], "k long, u string"
+    ).orderBy("k")
+    t = t.new_transaction().append_dataframe(df2.coalesce(1)).commit()
+    before = _ids(t, spark)
+    boundary = max(
+        t.metadata.current_file_seqs()[f] for f in t.metadata.current_data_files()
+    )
+    t, n_rw, n_kept, _ = rewrite_files_before_seq(spark, t, boundary)
+    assert n_rw > 0 and n_kept > 0
+    after = _ids(t, spark)
+    # kept (second-append) file keeps its ids; rewritten rows read NULL
+    assert all(after[100 + i] == before[100 + i] for i in range(10))
+    assert all(after[k] is None for k in range(20))
+
+
+def test_concurrent_appends_never_overlap_ids(catalog, spark):
+    """A CAS retry re-assigns from the WINNER's next-row-id: two
+    transactions staged from the same stale handle commit disjoint id
+    ranges."""
+    t = _seed(catalog, spark, "f", n=10)
+    d1 = spark.createDataFrame([(100, "a"), (101, "a")], "k long, u string")
+    d2 = spark.createDataFrame([(200, "b"), (201, "b"), (202, "b")], "k long, u string")
+    tx1 = t.new_transaction().append_dataframe(d1.coalesce(1))
+    tx2 = t.new_transaction().append_dataframe(d2.coalesce(1))
+    t1 = tx1.commit()
+    t2 = tx2.commit()  # CAS conflict -> retry chains on tx1's result
+    ids = _ids(t2.catalog.load_table(t2.identifier), spark)
+    vals = [v for v in ids.values() if v is not None]
+    assert len(vals) == len(set(vals)) == 15
+    assert t2.metadata.next_row_id == 15
+    del t1
+
+
+def test_lineage_read_refuses_row_id_column_clash(catalog, spark):
+    df = spark.createDataFrame([(1, 2)], "k long, _row_id long")
+    t = catalog.create_table(TableIdentifier.parse("s.g"), df.schema)
+    t = t.new_transaction().append_dataframe(df.coalesce(1)).commit()
+    with pytest.raises(ValueError, match="_row_id"):
+        t.to_df(spark, with_row_lineage=True)
+
+
+def test_lineage_survives_rename_after_materialization(catalog, spark):
+    """Rename-aware cohorts compose with the materialized _row_id column:
+    rename a column AFTER a lineage-preserving compaction, then read with
+    lineage — values resolve through the rename, ids through the physical
+    column."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from iceberg_catalog_postgres_spark.catalog.metadata import FIELD_ID_KEY
+    from iceberg_catalog_postgres_spark.catalog.maintenance import compact_table
+
+    t = _seed(catalog, spark, "h", n=12)
+    before = _ids(t, spark)
+    t = compact_table(spark, t, preserve_lineage=True)
+    # rename u -> label (same field id)
+    fid_k = t.schema["k"].metadata[FIELD_ID_KEY]
+    fid_u = t.schema["u"].metadata[FIELD_ID_KEY]
+    new_schema = StructType(
+        [
+            StructField("k", LongType(), True, {FIELD_ID_KEY: fid_k}),
+            StructField("label", StringType(), True, {FIELD_ID_KEY: fid_u}),
+        ]
+    )
+    t = t.commit_schema(new_schema)
+    out = t.to_df(spark, with_row_lineage=True).collect()
+    assert {r["k"]: r["_row_id"] for r in out} == before
+    assert all(r["label"] == f"u{r['k'] % 5}" for r in out)
