@@ -606,6 +606,15 @@ class CatalogChangelogStreamReader(CatalogCommitsStreamReader):
                     tbl = pq.read_table(store.resolve(rel)).take(sorted(idxs))
                     for row in _aligned(tbl):
                         out.append((*row, "delete", seq))
+            elif (
+                snap.operation == "overwrite"
+                and snap.summary.get("lineage-preserving") == "true"
+            ):
+                # lineage-preserving compaction: provably zero row-level
+                # changes (same rule as the batch changelog_df) — the
+                # stream crosses it silently; the prev_* trackers below
+                # adopt the rewritten file set as the new baseline
+                pass
             else:
                 raise ValueError(
                     f"changelog stream crossed non-append/delete snapshot "
@@ -813,6 +822,15 @@ class CatalogChangelogParallelStreamReader(DataSourceStreamReader):
                             "dvdel", [store.resolve(rel)], seq, indices=idxs
                         )
                     )
+            elif (
+                snap.operation == "overwrite"
+                and snap.summary.get("lineage-preserving") == "true"
+            ):
+                # lineage-preserving compaction: provably zero row-level
+                # changes (same rule as the batch changelog_df) — the
+                # stream crosses it silently; the prev_* trackers below
+                # adopt the rewritten file set as the new baseline
+                pass
             else:
                 raise ValueError(
                     f"changelog stream crossed non-append/delete snapshot "

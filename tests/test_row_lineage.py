@@ -221,3 +221,50 @@ def test_lineage_survives_rename_after_materialization(catalog, spark):
     out = t.to_df(spark, with_row_lineage=True).collect()
     assert {r["k"]: r["_row_id"] for r in out} == before
     assert all(r["label"] == f"u{r['k'] % 5}" for r in out)
+
+
+def test_cdc_streams_cross_lineage_preserving_compaction(spark, tmp_path):
+    """Both CDC stream readers cross a lineage-preserving compaction
+    emitting nothing (it is provably zero row-level changes), and keep
+    emitting correct deltas for commits after it."""
+    from iceberg_catalog_postgres_spark.catalog.maintenance import compact_table
+    from iceberg_catalog_postgres_spark.sources.catalog_datasource import (
+        CatalogChangelogParallelStreamReader,
+        CatalogChangelogStreamReader,
+    )
+
+    db = str(tmp_path / "c.db")
+    wh = str(tmp_path / "wh")
+    cat = PostgresCatalog.connect("rlcdc", f"sqlite://{db}", wh)
+    cat.initialize()
+    rows = [(i, f"n{i}", i % 5) for i in range(10)]
+    src = spark.createDataFrame(
+        rows, "n_nationkey long, n_name string, n_regionkey long"
+    ).orderBy("n_nationkey")
+    t = cat.create_table(TableIdentifier.parse("c.nation"), src.schema)
+    t = t.new_transaction().append_dataframe(src.coalesce(1)).commit()
+    t = t.new_transaction().delete_positions_dv(
+        _positions(t, spark, F.col("n_nationkey") < 2)
+    ).commit()
+    t = compact_table(spark, t, preserve_lineage=True)
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame(
+            [(100, "x", 0)], "n_nationkey long, n_name string, n_regionkey long"
+        ).coalesce(1)
+    ).commit()
+
+    opts = {"db": db, "warehouse": wh, "ident": "c.nation", "catalog": "rlcdc"}
+    reader = CatalogChangelogStreamReader(dict(opts))
+    all_rows, end = reader.read(reader.initialOffset())
+    assert end == {"n_snapshots": 4}
+    keys = sorted((r[0], r[3]) for r in all_rows)
+    assert keys == sorted(
+        [(i, "insert") for i in range(10)]
+        + [(0, "delete"), (1, "delete"), (100, "insert")]
+    )
+
+    preader = CatalogChangelogParallelStreamReader(dict(opts))
+    parts = preader.partitions({"n_snapshots": 0}, {"n_snapshots": 4})
+    prows = [r for p in parts for r in preader.read(p)]
+    assert sorted((r[0], r[3]) for r in prows) == keys
+    cat.backend.close()
