@@ -28,18 +28,45 @@ from iceberg_catalog_postgres_spark.registry import load, register
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def merge_upsert(spark: SparkSession, table: Table, updates: DataFrame, key_cols: list[str]) -> Table:
+def merge_upsert(
+    spark: SparkSession,
+    table: Table,
+    updates: DataFrame,
+    key_cols: list[str],
+    preserve_lineage: bool = False,
+) -> Table:
     """MERGE (upsert): rows in ``updates`` replace current rows with the same
     key; unmatched update rows are inserted. Implemented as copy-on-write:
     anti-join current state against update keys, union the updates, write,
     and commit as an OVERWRITE snapshot (atomic pointer swap — readers see
     pre- or post-merge state, never a mix).
 
+    ``preserve_lineage=True`` makes the merge v3-ROW-LINEAGE-aware: matched
+    rows KEEP their ``_row_id`` (the update rides the old row's identity),
+    untouched rows keep theirs, and true inserts are written with NULL ids
+    so the commit's fresh ``first_row_id`` assigns them stable new ids on
+    read (the v3 null-inheritance rule). The snapshot is tagged
+    ``lineage-diff``, which lets ``changelog_df`` reconstruct the merge as
+    row-level changes — including UPDATE before/after pairs keyed on
+    ``_row_id``, the change kind a file-set diff can never express.
+
     Scale: the anti-join shuffles on the merge key; at 100 TB the refinement
     is partition-scoped copy-on-write (rewrite only partitions containing
     matched keys — metadata tells you which) or merge-on-read deletes. The
     commit cost stays O(1) either way.
     """
+    if preserve_lineage:
+        current = table.to_df(spark, with_row_lineage=True)
+        kept = current.join(updates.select(*key_cols), key_cols, "left_anti")
+        upd = updates.join(
+            current.select(*key_cols, "_row_id"), key_cols, "left"
+        )
+        merged = kept.unionByName(upd.select(*kept.columns))
+        tx = table.new_transaction().overwrite_dataframe(
+            merged, lineage_materialized=True
+        )
+        tx._summary_extra["lineage-diff"] = "true"
+        return tx.commit()
     current = table.to_df(spark)
     kept = current.join(updates.select(*key_cols), key_cols, "left_anti")
     merged = kept.unionByName(updates)
@@ -77,11 +104,11 @@ def compact_table(
         current = table.to_df(spark, with_row_lineage=True).coalesce(
             target_partitions
         )
-        return (
-            table.new_transaction()
-            .overwrite_dataframe(current, lineage_materialized=True)
-            .commit()
+        tx = table.new_transaction().overwrite_dataframe(
+            current, lineage_materialized=True
         )
+        tx._summary_extra["lineage-preserving"] = "true"
+        return tx.commit()
     current = table.to_df(spark).coalesce(target_partitions)
     return table.new_transaction().overwrite_dataframe(current).commit()
 

@@ -2206,44 +2206,58 @@ class Table:
             ``_row_id`` column; pre-lineage files read NULL."""
             if not with_row_lineage:
                 return self._read_data_files(spark, members, seqs)
-            from pyspark.sql.functions import broadcast, col
+            from pyspark.sql.functions import broadcast, coalesce, col
             from pyspark.sql.types import LongType as _L
 
-            mat = [r for r in members if r in frids and frids[r] is None]
-            rest = [r for r in members if r not in set(mat)]
+            def _is_mat(rel: str) -> bool:
+                return isinstance(frids.get(rel), dict)
+
+            def _first(rel):
+                v = frids.get(rel)
+                if isinstance(v, dict):
+                    return int(v["first"])
+                return None if v is None else int(v)
+
+            def _join_firsts(p: DataFrame, rels: list[str], phys: bool) -> DataFrame:
+                pairs = [
+                    ("file:" + store.resolve(r), _first(r))
+                    for r in rels
+                    if _first(r) is not None
+                ]
+                if not pairs:
+                    if not phys:
+                        return p.withColumn("_row_id", F.lit(None).cast("long"))
+                    return p
+                mdf = spark.createDataFrame(pairs, "__lfile string, __first long")
+                p = (
+                    p.withColumn("__lf", col("_metadata.file_path"))
+                    .withColumn("__lp", col("_metadata.row_index"))
+                    .join(broadcast(mdf), col("__lf") == col("__lfile"), "left")
+                )
+                inherited = (col("__first") + col("__lp")).cast("long")
+                # materialized files: the physical column wins; NULL rows
+                # (merge inserts, pre-lineage legacy) inherit fresh ids —
+                # the v3 null-assignment rule
+                rid = coalesce(col("_row_id"), inherited) if phys else inherited
+                return p.withColumn("_row_id", rid).drop(
+                    "__lf", "__lp", "__lfile", "__first"
+                )
+
+            mat = [r for r in members if _is_mat(r)]
+            rest = [r for r in members if not _is_mat(r)]
             parts2 = []
             if rest:
-                p = self._read_data_files(spark, rest, seqs)
-                pairs = [
-                    ("file:" + store.resolve(r), int(frids[r]))
-                    for r in rest
-                    if frids.get(r) is not None
-                ]
-                if pairs:
-                    mdf = spark.createDataFrame(
-                        pairs, "__lfile string, __first long"
-                    )
-                    p = (
-                        p.withColumn("__lf", col("_metadata.file_path"))
-                        .withColumn("__lp", col("_metadata.row_index"))
-                        .join(
-                            broadcast(mdf),
-                            col("__lf") == col("__lfile"),
-                            "left",
-                        )
-                        .withColumn(
-                            "_row_id",
-                            (col("__first") + col("__lp")).cast("long"),
-                        )
-                        .drop("__lf", "__lp", "__lfile", "__first")
-                    )
-                else:
-                    p = p.withColumn("_row_id", F.lit(None).cast("long"))
-                parts2.append(p)
+                parts2.append(
+                    _join_firsts(self._read_data_files(spark, rest, seqs), rest, False)
+                )
             if mat:
                 parts2.append(
-                    self._read_data_files(
-                        spark, mat, seqs, extra_phys_cols=[("_row_id", _L())]
+                    _join_firsts(
+                        self._read_data_files(
+                            spark, mat, seqs, extra_phys_cols=[("_row_id", _L())]
+                        ),
+                        mat,
+                        True,
                     )
                 )
             out = parts2[0]
@@ -2520,6 +2534,74 @@ class Table:
                 # emitted at their own commits — provably zero row-level
                 # changes, so the changelog crosses it silently instead of
                 # raising (rewrites stop being a CDC barrier)
+                continue
+            if (
+                s.operation == "overwrite"
+                and s.summary.get("lineage-diff") == "true"
+            ):
+                # lineage-diffable MERGE: reconstruct row-level changes by
+                # joining the parent and merged states on _row_id — the
+                # stable identity makes UPDATE before/after pairs
+                # expressible, which no file-set diff can do. Cost is two
+                # snapshot reads + one id-keyed join, the honest price of
+                # diffing a rewrite; rows without ids (pre-lineage legacy)
+                # degrade to delete+insert.
+                cols = [f.name for f in self.schema.fields]
+                pre = self.to_df(
+                    spark, snapshot_id=parent.snapshot_id, with_row_lineage=True
+                )
+                post = self.to_df(
+                    spark, snapshot_id=s.snapshot_id, with_row_lineage=True
+                )
+                a = pre.select(
+                    F.col("_row_id").alias("__rid_a"),
+                    F.lit(True).alias("__in_a"),
+                    *[F.col(c).alias(f"__a_{c}") for c in cols],
+                )
+                b = post.select(
+                    F.col("_row_id").alias("__rid_b"),
+                    F.lit(True).alias("__in_b"),
+                    *[F.col(c).alias(f"__b_{c}") for c in cols],
+                )
+                # plain == join: NULL ids never match, so legacy rows fall
+                # out as unmatched on both sides (delete + insert)
+                j = a.join(b, F.col("__rid_a") == F.col("__rid_b"), "full_outer")
+                ordv = F.lit(s.sequence_number).cast("long")
+                dels = j.filter(
+                    F.col("__in_a").isNotNull() & F.col("__in_b").isNull()
+                ).select(
+                    *[F.col(f"__a_{c}").alias(c) for c in cols],
+                    F.lit("delete").alias("_change_type"),
+                    ordv.alias("_change_ordinal"),
+                )
+                ins = j.filter(
+                    F.col("__in_b").isNotNull() & F.col("__in_a").isNull()
+                ).select(
+                    *[F.col(f"__b_{c}").alias(c) for c in cols],
+                    F.lit("insert").alias("_change_type"),
+                    ordv.alias("_change_ordinal"),
+                )
+                changed = _reduce(
+                    lambda x, y: x | y,
+                    [
+                        ~F.col(f"__a_{c}").eqNullSafe(F.col(f"__b_{c}"))
+                        for c in cols
+                    ],
+                )
+                both = j.filter(
+                    F.col("__in_a").isNotNull() & F.col("__in_b").isNotNull()
+                ).filter(changed)
+                upd_before = both.select(
+                    *[F.col(f"__a_{c}").alias(c) for c in cols],
+                    F.lit("update_before").alias("_change_type"),
+                    ordv.alias("_change_ordinal"),
+                )
+                upd_after = both.select(
+                    *[F.col(f"__b_{c}").alias(c) for c in cols],
+                    F.lit("update_after").alias("_change_type"),
+                    ordv.alias("_change_ordinal"),
+                )
+                parts.extend([dels, ins, upd_before, upd_after])
                 continue
             if s.operation != "delete":
                 raise ValueError(
@@ -3348,7 +3430,11 @@ class Transaction:
         self._operation = "overwrite"
         if lineage_materialized:
             self._lineage_first_row_ids = {f: None for f in self._staged_files}
-            self._summary_extra["lineage-preserving"] = "true"
+            # "materialized" records HOW ids are stored; whether the rewrite
+            # is row-level CHANGE-FREE ("lineage-preserving", compaction) or
+            # lineage-DIFFABLE (a merge) is the caller's claim — see
+            # compact_table / merge_upsert
+            self._summary_extra["lineage-materialized"] = "true"
         return self
 
     def delete_keys_dataframe(self, keys: DataFrame) -> "Transaction":
@@ -3529,12 +3615,15 @@ class Transaction:
                 out = dict(carried)
                 for f in new_files:
                     if f in self._lineage_first_row_ids:
-                        # lineage-preserving rewrite: the writer already
-                        # materialized these rows' ids (value None marks a
-                        # physical _row_id column) — keep the mapping, don't
-                        # mint new ids
-                        v = self._lineage_first_row_ids[f]
-                        out[f] = None if v is None else int(v)
+                        # lineage-materializing rewrite: the file carries a
+                        # physical _row_id column with the rows' EXISTING
+                        # ids. Per the v3 rule it STILL gets a fresh
+                        # first_row_id — readers coalesce(physical,
+                        # first + position), so rows written with NULL ids
+                        # (true inserts in a merge, pre-lineage legacy rows)
+                        # inherit fresh stable ids instead of staying NULL.
+                        out[f] = {"first": rid, "materialized": True}
+                        rid += _rc(f)
                         continue
                     out[f] = rid
                     rid += _rc(f)

@@ -268,3 +268,50 @@ def test_cdc_streams_cross_lineage_preserving_compaction(spark, tmp_path):
     prows = [r for p in parts for r in preader.read(p)]
     assert sorted((r[0], r[3]) for r in prows) == keys
     cat.backend.close()
+
+
+def test_lineage_merge_emits_update_pairs_in_changelog(catalog, spark):
+    """merge_upsert(preserve_lineage=True): matched rows keep their
+    _row_id, true inserts get fresh ids via the v3 null-inheritance rule,
+    and changelog_df reconstructs the merge as UPDATE before/after pairs
+    plus inserts — the change kind a file-set diff cannot express."""
+    from iceberg_catalog_postgres_spark.catalog.maintenance import merge_upsert
+
+    t = _seed(catalog, spark, "m", n=10)
+    before = _ids(t, spark)
+    pre = t.metadata.current_snapshot_id
+    updates = spark.createDataFrame(
+        [(3, "CHANGED"), (7, "CHANGED"), (50, "NEW")], "k long, u string"
+    )
+    t = merge_upsert(spark, t, updates, ["k"], preserve_lineage=True)
+
+    after = _ids(t, spark)
+    # matched + untouched rows keep ids; the insert gets a fresh one
+    assert all(after[k] == before[k] for k in range(10))
+    assert after[50] is not None and after[50] >= 10
+    vals = {r["k"]: r["u"] for r in t.to_df(spark).collect()}
+    assert vals[3] == "CHANGED" and vals[7] == "CHANGED" and vals[50] == "NEW"
+    assert vals[4] == "u4"
+
+    cl = t.changelog_df(spark, pre).collect()
+    by_type = {}
+    for r in cl:
+        by_type.setdefault(r["_change_type"], []).append((r["k"], r["u"]))
+    assert sorted(by_type["insert"]) == [(50, "NEW")]
+    assert sorted(by_type["update_before"]) == [(3, "u3"), (7, "u2")]
+    assert sorted(by_type["update_after"]) == [(3, "CHANGED"), (7, "CHANGED")]
+    assert "delete" not in by_type
+
+    # a second lineage merge composes (materialized -> materialized)
+    t = merge_upsert(
+        spark, t,
+        spark.createDataFrame([(3, "AGAIN")], "k long, u string"),
+        ["k"], preserve_lineage=True,
+    )
+    assert _ids(t, spark)[3] == before[3]
+    cl2 = t.changelog_df(spark, pre).collect()
+    pairs = sorted(
+        (r["k"], r["u"], r["_change_type"]) for r in cl2 if r["k"] == 3
+    )
+    assert ("3", "AGAIN", "update_after") not in pairs  # type sanity only
+    assert any(c == "update_after" and u == "AGAIN" for _k, u, c in pairs)
