@@ -56,6 +56,16 @@ def merge_upsert(
     commit cost stays O(1) either way.
     """
     if preserve_lineage:
+        # align update columns to the table's declared types up front — a
+        # silently widened union would write parquet the table schema can
+        # no longer read
+        updates = updates.select(
+            *[
+                F.col(f.name).cast(f.dataType)
+                for f in table.schema.fields
+                if f.name in updates.columns
+            ]
+        )
         current = table.to_df(spark, with_row_lineage=True)
         kept = current.join(updates.select(*key_cols), key_cols, "left_anti")
         upd = updates.join(
@@ -833,6 +843,60 @@ def catalog_row_lineage_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("ids_stable_across_compaction", F.lit(bool(stable)))
         .orderBy("n_nationkey")
+    )
+
+
+@register(
+    "catalog_changelog_update_pairs",
+    oracle="""
+    SELECT n_nationkey, n_name, 'update_before' AS change_type
+    FROM nation WHERE n_nationkey IN (2, 9)
+    UNION ALL
+    SELECT n_nationkey, 'CHANGED', 'update_after'
+    FROM nation WHERE n_nationkey IN (2, 9)
+    UNION ALL
+    SELECT CAST(999 AS BIGINT), 'NEW', 'insert'
+    ORDER BY change_type, n_nationkey
+    """,
+    tags=("catalog", "cdc", "lineage", "merge", "update-detection", "v3"),
+)
+def catalog_changelog_update_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE DETECTION in the changelog via v3 row lineage: a
+    ``merge_upsert(preserve_lineage=True)`` rewrites two rows and inserts
+    one; ``changelog_df`` reconstructs the merge by joining parent and
+    merged snapshots on the stable ``_row_id`` and emits UPDATE
+    before/after PAIRS plus the insert — the change kinds a file-set diff
+    cannot express (a plain overwrite is a changelog barrier; a
+    lineage-diffable one is replayable row-for-row). The DuckDB oracle
+    pins the exact change rows.
+
+    Scale: the diff is two snapshot reads + ONE join keyed on the stable
+    id — the honest cost of diffing a rewrite, paid only when crossing a
+    merge snapshot; appends/deletes keep their O(delta) planning."""
+    cat = _fresh_catalog("catalog_cl_updates")
+    src = (
+        load(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name")
+        .orderBy("n_nationkey")
+    )
+    table = cat.create_table(TableIdentifier.parse("clu.nation"), src.schema)
+    table = table.new_transaction().append_dataframe(src.coalesce(1)).commit()
+    pre = table.metadata.current_snapshot_id
+
+    updates = spark.createDataFrame(
+        [(2, "CHANGED"), (9, "CHANGED"), (999, "NEW")],
+        "n_nationkey long, n_name string",
+    )
+    table = merge_upsert(spark, table, updates, ["n_nationkey"], preserve_lineage=True)
+
+    return (
+        table.changelog_df(spark, pre)
+        .select(
+            "n_nationkey",
+            "n_name",
+            F.col("_change_type").alias("change_type"),
+        )
+        .orderBy("change_type", "n_nationkey")
     )
 
 
