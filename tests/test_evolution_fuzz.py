@@ -378,6 +378,18 @@ def test_evolution_sequences_read_exactly(fuzz_catalog, spark, ops):
                     f"got {n_read}, want {n_model} after {ops}"
                 )
 
+    # 6) row lineage (r10): under the same random evolution sequences, the
+    # lineage read returns exactly the model's rows, every non-null
+    # _row_id is UNIQUE (ids are never reused), and non-null ids stay
+    # below the document's next-row-id high-water mark.
+    lrows = t.to_df(spark, with_row_lineage=True).collect()
+    assert len(lrows) == len(model.rows), f"lineage read row count after {ops}"
+    ids = [r["_row_id"] for r in lrows if r["_row_id"] is not None]
+    assert len(ids) == len(set(ids)), f"duplicate _row_id after {ops}"
+    assert all(v < t.metadata.next_row_id for v in ids), (
+        f"_row_id above next-row-id after {ops}"
+    )
+
 
 # ---- r8: Avro interop round trip under the SAME evolution state machine ----
 #
