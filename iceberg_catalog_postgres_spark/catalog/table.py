@@ -3602,18 +3602,28 @@ class Transaction:
             # recomputed per CAS attempt so a retry chains on the winner's
             # mark). Record counts come from the staged stats; a statless
             # raw append_files file falls back to one footer read here.
-            def _rc(f: str) -> int:
+            def _rc(f: str) -> int | None:
                 st = self._staged_stats.get(f) or {}
                 if "record_count" in st:
                     return int(st["record_count"])
                 import pyarrow.parquet as _pq_rc
 
-                return _pq_rc.ParquetFile(store.resolve(f)).metadata.num_rows
+                try:
+                    return _pq_rc.ParquetFile(store.resolve(f)).metadata.num_rows
+                except Exception:
+                    # statless AND unreadable at commit time (e.g. a
+                    # recovery replay registering files by path): no
+                    # lineage for this file — its rows read _row_id NULL,
+                    # and the never-reuse invariant stays intact
+                    return None
 
             def _assign_row_ids(new_files: list, carried: dict) -> tuple[dict, int]:
                 rid = int(base_md.next_row_id)
                 out = dict(carried)
                 for f in new_files:
+                    n = _rc(f)
+                    if n is None:
+                        continue
                     if f in self._lineage_first_row_ids:
                         # lineage-materializing rewrite: the file carries a
                         # physical _row_id column with the rows' EXISTING
@@ -3623,10 +3633,10 @@ class Transaction:
                         # (true inserts in a merge, pre-lineage legacy rows)
                         # inherit fresh stable ids instead of staying NULL.
                         out[f] = {"first": rid, "materialized": True}
-                        rid += _rc(f)
+                        rid += n
                         continue
                     out[f] = rid
-                    rid += _rc(f)
+                    rid += n
                 return out, rid
 
             if self._operation == "overwrite":
