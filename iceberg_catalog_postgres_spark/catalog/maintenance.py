@@ -70,6 +70,13 @@ def merge_upsert(
         kept = current.join(updates.select(*key_cols), key_cols, "left_anti")
         upd = updates.join(
             current.select(*key_cols, "_row_id"), key_cols, "left"
+        ).withColumn(
+            # NULL here means "updated by THIS commit": the lineage read
+            # coalesces it to the rewriting file's sequence number — the v3
+            # _last_updated_sequence_number semantics, with kept rows
+            # carrying their original value through the rewrite
+            "_last_updated_sequence_number",
+            F.lit(None).cast("long"),
         )
         merged = kept.unionByName(upd.select(*kept.columns))
         tx = table.new_transaction().overwrite_dataframe(

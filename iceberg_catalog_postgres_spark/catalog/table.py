@@ -2056,15 +2056,21 @@ class Table:
         ``snapshot_id``). Empty table => empty DataFrame with the declared
         schema, so downstream plans always resolve.
 
-        ``with_row_lineage=True`` adds the Iceberg v3 ``_row_id`` column:
-        for files committed by appends the id is INHERITED
+        ``with_row_lineage=True`` adds the Iceberg v3 lineage pair:
+        ``_row_id`` — for files committed by appends the id is INHERITED
         (``first_row_id + row position``, computed from a broadcast of the
         O(files) lineage map — zero storage cost); files written by a
         lineage-preserving rewrite carry a MATERIALIZED physical ``_row_id``
-        column, read directly. Files that predate lineage read NULL. Ids
-        are stable for the row's lifetime across MOR deletes and
-        lineage-preserving compaction — the identity a CDC consumer can key
-        updates on.
+        column, read directly (NULL rows inherit fresh ids). Files that
+        predate lineage read NULL. Ids are stable for the row's lifetime
+        across MOR deletes and lineage-preserving compaction — the identity
+        a CDC consumer can key updates on.
+        ``_last_updated_sequence_number`` — the commit sequence that last
+        MODIFIED the row: inherited rows read their file's seq (exact —
+        append rows are untouched since their commit); materialized rows
+        read the physical value with NULL coalescing to the rewriting
+        commit's seq, which is exactly right for merge-updated/inserted
+        rows while compaction-carried rows keep their original value.
 
         ``prune=(column, lo, hi)`` narrows the planned file list via
         ``planned_files`` BEFORE Spark sees it — file-level skipping on top
@@ -2150,9 +2156,12 @@ class Table:
             store_ = self.catalog.object_store()
             subset_abs = {store_.resolve(f) for f in file_subset}
             files = [f for f in files if f in subset_abs]
-        if with_row_lineage and any(f.name == "_row_id" for f in self.schema.fields):
+        if with_row_lineage and any(
+            f.name in ("_row_id", "_last_updated_sequence_number")
+            for f in self.schema.fields
+        ):
             raise ValueError(
-                "with_row_lineage: the table schema already has a _row_id column"
+                "with_row_lineage: the table schema already has a lineage column"
             )
         if not files:
             if with_row_lineage:
@@ -2161,7 +2170,14 @@ class Table:
                 from pyspark.sql.types import StructType as _STe
 
                 return spark.createDataFrame(
-                    [], _STe([*self.schema.fields, _SFe("_row_id", _L(), True)])
+                    [],
+                    _STe(
+                        [
+                            *self.schema.fields,
+                            _SFe("_row_id", _L(), True),
+                            _SFe("_last_updated_sequence_number", _L(), True),
+                        ]
+                    ),
                 )
             return spark.createDataFrame([], self.schema)
         snap_refs = snap.chunk_refs() if snap is not None else None
@@ -2220,27 +2236,42 @@ class Table:
 
             def _join_firsts(p: DataFrame, rels: list[str], phys: bool) -> DataFrame:
                 pairs = [
-                    ("file:" + store.resolve(r), _first(r))
+                    ("file:" + store.resolve(r), _first(r), int(seqs.get(r, 0)))
                     for r in rels
                     if _first(r) is not None
                 ]
                 if not pairs:
                     if not phys:
-                        return p.withColumn("_row_id", F.lit(None).cast("long"))
+                        p = p.withColumn("_row_id", F.lit(None).cast("long"))
+                        return p.withColumn(
+                            "_last_updated_sequence_number",
+                            F.lit(None).cast("long"),
+                        )
                     return p
-                mdf = spark.createDataFrame(pairs, "__lfile string, __first long")
+                mdf = spark.createDataFrame(
+                    pairs, "__lfile string, __first long, __lseq long"
+                )
                 p = (
                     p.withColumn("__lf", col("_metadata.file_path"))
                     .withColumn("__lp", col("_metadata.row_index"))
                     .join(broadcast(mdf), col("__lf") == col("__lfile"), "left")
                 )
                 inherited = (col("__first") + col("__lp")).cast("long")
-                # materialized files: the physical column wins; NULL rows
-                # (merge inserts, pre-lineage legacy) inherit fresh ids —
-                # the v3 null-assignment rule
+                # materialized files: the physical columns win; NULL rows
+                # (merge inserts/updates, pre-lineage legacy) inherit — the
+                # v3 null-assignment rule. For _last_updated, the file's own
+                # seq is the rewriting commit's seq, exactly the update time
+                # of a row the rewrite changed.
                 rid = coalesce(col("_row_id"), inherited) if phys else inherited
-                return p.withColumn("_row_id", rid).drop(
-                    "__lf", "__lp", "__lfile", "__first"
+                lus = (
+                    coalesce(col("_last_updated_sequence_number"), col("__lseq"))
+                    if phys
+                    else col("__lseq")
+                )
+                return (
+                    p.withColumn("_row_id", rid)
+                    .withColumn("_last_updated_sequence_number", lus.cast("long"))
+                    .drop("__lf", "__lp", "__lfile", "__first", "__lseq")
                 )
 
             mat = [r for r in members if _is_mat(r)]
@@ -2254,7 +2285,13 @@ class Table:
                 parts2.append(
                     _join_firsts(
                         self._read_data_files(
-                            spark, mat, seqs, extra_phys_cols=[("_row_id", _L())]
+                            spark,
+                            mat,
+                            seqs,
+                            extra_phys_cols=[
+                                ("_row_id", _L()),
+                                ("_last_updated_sequence_number", _L()),
+                            ],
                         ),
                         mat,
                         True,

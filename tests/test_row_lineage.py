@@ -186,7 +186,7 @@ def test_lineage_read_refuses_row_id_column_clash(catalog, spark):
     df = spark.createDataFrame([(1, 2)], "k long, _row_id long")
     t = catalog.create_table(TableIdentifier.parse("s.g"), df.schema)
     t = t.new_transaction().append_dataframe(df.coalesce(1)).commit()
-    with pytest.raises(ValueError, match="_row_id"):
+    with pytest.raises(ValueError, match="lineage column"):
         t.to_df(spark, with_row_lineage=True)
 
 
@@ -315,3 +315,45 @@ def test_lineage_merge_emits_update_pairs_in_changelog(catalog, spark):
     )
     assert ("3", "AGAIN", "update_after") not in pairs  # type sanity only
     assert any(c == "update_after" and u == "AGAIN" for _k, u, c in pairs)
+
+
+def test_last_updated_sequence_number_semantics(catalog, spark):
+    """The second v3 lineage field: inherited rows read their file's
+    commit seq; a lineage merge stamps updated/inserted rows with the
+    MERGE's seq while untouched rows keep their original value — and a
+    preserving compaction carries all values verbatim."""
+    from iceberg_catalog_postgres_spark.catalog.maintenance import (
+        compact_table,
+        merge_upsert,
+    )
+
+    t = _seed(catalog, spark, "lus", n=8)  # append at seq 1
+    df2 = spark.createDataFrame(
+        [(100, "x"), (101, "x")], "k long, u string"
+    ).orderBy("k")
+    t = t.new_transaction().append_dataframe(df2.coalesce(1)).commit()  # seq 2
+
+    def lus(t):
+        return {
+            r["k"]: r["_last_updated_sequence_number"]
+            for r in t.to_df(spark, with_row_lineage=True).collect()
+        }
+
+    base = lus(t)
+    assert all(base[k] == 1 for k in range(8))
+    assert base[100] == base[101] == 2
+
+    updates = spark.createDataFrame(
+        [(3, "CHANGED"), (500, "NEW")], "k long, u string"
+    )
+    t = merge_upsert(spark, t, updates, ["k"], preserve_lineage=True)  # seq 3
+    merge_seq = t.metadata.current_snapshot().sequence_number
+    after = lus(t)
+    assert after[3] == merge_seq and after[500] == merge_seq
+    assert after[0] == 1 and after[100] == 2  # untouched rows keep theirs
+
+    t = compact_table(spark, t, preserve_lineage=True)  # seq 4
+    assert lus(t) == after  # carried verbatim through the rewrite
+    # and ids stay stable too
+    ids = _ids(t, spark)
+    assert ids[3] is not None and len(set(ids.values())) == len(ids)
