@@ -615,6 +615,17 @@ class CatalogChangelogStreamReader(CatalogCommitsStreamReader):
                 # stream crosses it silently; the prev_* trackers below
                 # adopt the rewritten file set as the new baseline
                 pass
+            elif (
+                snap.operation == "overwrite"
+                and snap.summary.get("lineage-diff") == "true"
+            ):
+                raise ValueError(
+                    "changelog stream crossed a lineage-diffable MERGE "
+                    f"snapshot {snap.snapshot_id}; update-pair "
+                    "reconstruction needs a two-snapshot join — replay "
+                    "this range with the batch changelog_df, then resume "
+                    "the stream with start_snapshots past it"
+                )
             else:
                 raise ValueError(
                     f"changelog stream crossed non-append/delete snapshot "
@@ -831,6 +842,17 @@ class CatalogChangelogParallelStreamReader(DataSourceStreamReader):
                 # stream crosses it silently; the prev_* trackers below
                 # adopt the rewritten file set as the new baseline
                 pass
+            elif (
+                snap.operation == "overwrite"
+                and snap.summary.get("lineage-diff") == "true"
+            ):
+                raise ValueError(
+                    "changelog stream crossed a lineage-diffable MERGE "
+                    f"snapshot {snap.snapshot_id}; update-pair "
+                    "reconstruction needs a two-snapshot join — replay "
+                    "this range with the batch changelog_df, then resume "
+                    "the stream with start_snapshots past it"
+                )
             else:
                 raise ValueError(
                     f"changelog stream crossed non-append/delete snapshot "
