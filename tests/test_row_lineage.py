@@ -357,3 +357,67 @@ def test_last_updated_sequence_number_semantics(catalog, spark):
     # and ids stay stable too
     ids = _ids(t, spark)
     assert ids[3] is not None and len(set(ids.values())) == len(ids)
+
+
+def test_lineage_across_wap_branch_and_publish(catalog, spark):
+    """WAP: a branch append assigns ids from the SHARED document
+    high-water mark (branch and main commits serialize through the same
+    CAS), so ids never overlap across branches, and publishing the branch
+    surfaces the staged rows with their already-assigned ids."""
+    t = _seed(catalog, spark, "wap", n=6)
+    stage = spark.createDataFrame(
+        [(100, "w"), (101, "w")], "k long, u string"
+    ).orderBy("k")
+    t = t.new_transaction(branch="audit").append_dataframe(
+        stage.coalesce(1)
+    ).commit()
+    # main readers see nothing yet, but the mark already advanced
+    assert sorted(r["k"] for r in t.to_df(spark).collect()) == list(range(6))
+    assert t.metadata.next_row_id == 8
+    # publish fast-forwards; the staged rows surface with their ids
+    t = t.catalog.load_table(t.identifier).publish_branch("audit")
+    # a MAIN append after publish takes the NEXT range — no overlap
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame([(200, "m")], "k long, u string").coalesce(1)
+    ).commit()
+    assert t.metadata.next_row_id == 9
+    ids = _ids(t, spark)
+    vals = list(ids.values())
+    assert len(vals) == len(set(vals)) == 9
+    assert {ids[100], ids[101]} == {6, 7} and ids[200] == 8
+
+
+def test_lineage_never_reused_after_rollback(catalog, spark):
+    """Rollback re-points the head but the high-water mark NEVER
+    decreases: rows appended after a rollback get ids disjoint from the
+    abandoned snapshot's rows — time travel into the abandoned history
+    keeps ITS ids, with no collision."""
+    t = _seed(catalog, spark, "rb", n=5)
+    base_id = t.metadata.current_snapshot_id
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame([(100, "a"), (101, "a")], "k long, u string")
+        .orderBy("k").coalesce(1)
+    ).commit()
+    abandoned_id = t.metadata.current_snapshot_id
+    t = t.rollback_to(base_id)
+    assert t.metadata.next_row_id == 7  # mark survives the rollback
+    t = t.new_transaction().append_dataframe(
+        spark.createDataFrame([(200, "b")], "k long, u string").coalesce(1)
+    ).commit()
+    ids_now = _ids(t, spark)
+    assert ids_now[200] == 7
+    ids_abandoned = {
+        r["k"]: r["_row_id"]
+        for r in t.to_df(spark, snapshot_id=abandoned_id, with_row_lineage=True).collect()
+    }
+    assert ids_abandoned[100] == 5 and ids_abandoned[101] == 6
+    assert set(ids_abandoned.values()) & {ids_now[200]} == set()
+
+
+def test_lineage_read_uses_broadcast_join(catalog, spark):
+    """Plan shape: the lineage map join must be a BroadcastHashJoin (the
+    map is O(files)); a sort-merge join here would shuffle the table."""
+    t = _seed(catalog, spark, "plan", n=10)
+    plan = t.to_df(spark, with_row_lineage=True)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    assert "SortMergeJoin" not in plan
