@@ -58,6 +58,13 @@ Documented deviations (spec-visible, deliberate):
   (spec-sanctioned global deletes); partitioned tables with pending
   positional deletes refuse with a compaction on-ramp instead of
   exporting partition-scoped delete entries.
+- ROW LINEAGE is not exported: the export produces a V2 document, and
+  ``next-row-id`` / per-file ``first_row_id`` are v3 fields — an imported
+  table restarts lineage assignment from zero (ids within it stay
+  self-consistent; they just do not correlate with the source table's).
+  Deletion vectors (also v3) refuse loudly instead, because silently
+  dropping them would RESURRECT rows; dropping lineage only loses an
+  auxiliary identity column.
 
 A self-check reads everything back through the same official library and
 compares against the native metadata (`tests/test_avro_export.py`,

@@ -4353,6 +4353,8 @@ def vacuum(
     keep_last_metadata: int = 3,
     max_manifest_chunks: int = 8,
     orphan_older_than_s: float = 3 * 86400.0,
+    spark: SparkSession | None = None,
+    dv_convert_min_files: int | None = None,
 ) -> tuple[Table, dict]:
     """One-call VACUUM: the four independent janitors in dependency order —
     snapshot expiry (drops history + its exclusive data files), manifest
@@ -4362,13 +4364,32 @@ def vacuum(
     maintenance-window entry point that runs them with one table handle
     and reports what each reclaimed.
 
-    Ordering matters: expiry first (so the manifest rewrite and GCs see
-    the retained history only), orphan GC after the commits (so files
-    staged by the rewrites are never mistaken for orphans), metadata GC
-    last (so every superseded pointer from the preceding commits is
-    eligible).
+    ``dv_convert_min_files`` (needs ``spark``): when the current snapshot
+    carries at least that many parquet positional-delete FILES, fold them
+    into deletion vectors first (``rewrite_position_deletes_to_dvs``) —
+    the r10 policy knob that keeps MOR read amplification bounded by the
+    file count instead of the delete-commit history, run where a
+    scheduler already sweeps.
+
+    Ordering matters: the DV fold first (its superseded pos files become
+    GC-eligible in the same sweep), expiry next (so the manifest rewrite
+    and GCs see the retained history only), orphan GC after the commits
+    (so files staged by the rewrites are never mistaken for orphans),
+    metadata GC last (so every superseded pointer from the preceding
+    commits is eligible).
     """
     report: dict = {}
+    snap0 = table.metadata.current_snapshot()
+    report["pos_delete_files_folded_to_dvs"] = 0
+    if (
+        dv_convert_min_files is not None
+        and spark is not None
+        and snap0 is not None
+        and len(snap0.position_delete_files) >= dv_convert_min_files
+    ):
+        n_pos = len(snap0.position_delete_files)
+        table = rewrite_position_deletes_to_dvs(spark, table)
+        report["pos_delete_files_folded_to_dvs"] = n_pos
     before_snaps = len(table.metadata.snapshots)
     table = expire_snapshots(table, keep_last=keep_last_snapshots)
     report["snapshots_expired"] = before_snaps - len(table.metadata.snapshots)

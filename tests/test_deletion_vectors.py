@@ -481,3 +481,37 @@ def test_dv_executor_side_membership_path_parity(catalog, spark):
         spark.conf.set("spark.icebergps.dv.maxBroadcastPositions", prev)
     assert got == expect
     assert got == sorted(i for i in range(300) if not (i % 4 == 1 or i < 25))
+
+
+def test_vacuum_dv_conversion_policy(catalog, spark, tmp_path):
+    """vacuum(dv_convert_min_files=N): when the pending pos-delete FILE
+    count reaches the threshold, the sweep folds them into deletion
+    vectors first and the superseded parquet delete files become
+    GC-eligible in the same pass; below threshold it leaves them alone."""
+    from iceberg_catalog_postgres_spark.catalog.maintenance import vacuum
+
+    t = _table(catalog, spark, "dvv", n=100, parts=2)
+    for lo in (0, 10, 20):
+        t = t.new_transaction().delete_positions_dataframe(
+            _positions(t, spark, F.col("k").between(lo, lo + 4))
+        ).commit()
+    n_pos = len(t.metadata.current_position_delete_files())
+    assert n_pos >= 3  # one or more part files per delete commit
+    expect = sorted(r["k"] for r in t.to_df(spark).collect())
+
+    # below threshold: untouched
+    t, rep = vacuum(
+        t, keep_last_snapshots=10, spark=spark, dv_convert_min_files=n_pos + 1
+    )
+    assert rep["pos_delete_files_folded_to_dvs"] == 0
+    assert len(t.metadata.current_position_delete_files()) == n_pos
+
+    # at threshold: folded, read parity holds, expiry GCs the old files
+    t, rep = vacuum(
+        t, keep_last_snapshots=1, orphan_older_than_s=0.0,
+        spark=spark, dv_convert_min_files=n_pos,
+    )
+    assert rep["pos_delete_files_folded_to_dvs"] == n_pos
+    assert t.metadata.current_position_delete_files() == []
+    assert len(t.metadata.current_deletion_vectors()) >= 1
+    assert sorted(r["k"] for r in t.to_df(spark).collect()) == expect
