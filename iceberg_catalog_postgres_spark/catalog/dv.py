@@ -101,7 +101,6 @@ def _deserialize_roaring32(buf: bytes, off: int) -> tuple[np.ndarray, int]:
     """Parse one 32-bit roaring stream at ``buf[off:]``; returns (sorted
     uint32 values, offset past the stream). Handles array, bitmap, AND run
     containers (we never write runs, foreign bitmaps may)."""
-    start = off
     (cookie,) = struct.unpack_from("<I", buf, off)
     off += 4
     if (cookie & 0xFFFF) == _COOKIE_RUN:
@@ -151,7 +150,6 @@ def _deserialize_roaring32(buf: bytes, off: int) -> tuple[np.ndarray, int]:
     out = (
         np.concatenate(parts) if parts else np.empty(0, dtype=np.uint32)
     )
-    del start
     return out, off
 
 

@@ -2897,8 +2897,6 @@ def update_partition_statistics(spark: SparkSession, table: Table) -> Table:
         g["bytes"] += os.path.getsize(store.resolve(rel))
 
     if snap.position_delete_files:
-        from pyspark.sql import functions as F
-
         raw = spark.read.parquet(
             *[store.resolve(f) for f in snap.position_delete_files]
         )
@@ -2934,8 +2932,6 @@ def update_partition_statistics(spark: SparkSession, table: Table) -> Table:
         from functools import reduce as _reduce
 
         import pyarrow.parquet as _pq2
-
-        from pyspark.sql import functions as F
 
         seqs_map = snap.file_seqs or {}
 
