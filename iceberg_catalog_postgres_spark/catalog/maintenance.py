@@ -795,6 +795,7 @@ def catalog_positional_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM nation
     )
     SELECT n_nationkey, n_name, CAST(rid AS BIGINT) AS row_id,
+           CAST(1 AS BIGINT) AS last_updated_seq,
            true AS ids_stable_across_compaction
     FROM ranked WHERE n_nationkey % 3 != 1 ORDER BY n_nationkey
     """,
@@ -809,7 +810,11 @@ def catalog_row_lineage_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     a physical column). The lineage read's ``_row_id`` must equal the
     pre-compaction ids exactly (asserted, returned as a pinned boolean) —
     the stable per-row identity CDC consumers key updates on, surviving
-    both delete representations and a full rewrite.
+    both delete representations and a full rewrite. The second v3 field,
+    ``_last_updated_sequence_number``, must stay at the ORIGINAL append's
+    sequence (1) for every surviving row: deletes remove rows without
+    modifying survivors, and the preserving compaction carries the value
+    verbatim — the oracle pins the constant.
 
     Scale: id assignment is the v3 INHERITANCE model — one long per file
     in the snapshot (zero per-row write cost); the lineage read broadcasts
@@ -847,6 +852,7 @@ def catalog_row_lineage_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_nationkey",
             "n_name",
             F.col("_row_id").alias("row_id"),
+            F.col("_last_updated_sequence_number").alias("last_updated_seq"),
         )
         .withColumn("ids_stable_across_compaction", F.lit(bool(stable)))
         .orderBy("n_nationkey")
