@@ -860,6 +860,72 @@ def catalog_row_lineage_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "catalog_cdc_across_compaction",
+    oracle="""
+    SELECT n_nationkey, n_name, 'delete' AS change_type
+    FROM nation WHERE n_nationkey % 4 = 2
+    UNION ALL
+    SELECT CAST(900 AS BIGINT), 'late-a', 'insert'
+    UNION ALL
+    SELECT CAST(901 AS BIGINT), 'late-b', 'insert'
+    ORDER BY change_type, n_nationkey
+    """,
+    tags=("catalog", "cdc", "lineage", "compaction", "v3"),
+)
+def catalog_cdc_across_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC ACROSS A REWRITE under the oracle gate: nation takes a
+    deletion-vector MOR delete, a LINEAGE-PRESERVING compaction (full
+    rewrite — every file replaced), then an append. The changelog from the
+    PRE-DELETE snapshot must emit exactly the deleted rows and the
+    appended rows and NOTHING for the compaction (provably zero row-level
+    changes — the rewrite keeps every row's _row_id and only materializes
+    the delete already emitted at its own commit). Before r10 any
+    overwrite was a changelog barrier; the oracle pins the exact change
+    set a downstream sync replays.
+
+    Scale: the compaction crossing costs the changelog ZERO reads — it is
+    a metadata skip; only genuine delete/append commits plan work."""
+    cat = _fresh_catalog("catalog_cdc_compact")
+    src = (
+        load(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name")
+        .orderBy("n_nationkey")
+    )
+    table = cat.create_table(TableIdentifier.parse("cdcx.nation"), src.schema)
+    table = table.new_transaction().append_dataframe(src.coalesce(1)).commit()
+    pre = table.metadata.current_snapshot_id
+
+    positions = (
+        table.to_df(spark)
+        .withColumn("file_path", F.col("_metadata.file_path"))
+        .withColumn("row_index", F.col("_metadata.row_index"))
+        .where(F.col("n_nationkey") % 4 == 2)
+        .select("file_path", "row_index")
+    )
+    table = table.new_transaction().delete_positions_dv(positions).commit()
+    table = compact_table(spark, table, preserve_lineage=True)
+    late = spark.createDataFrame(
+        [(900, "late-a"), (901, "late-b")], "n_nationkey long, n_name string"
+    ).orderBy("n_nationkey")
+    table = table.new_transaction().append_dataframe(
+        late.select(
+            F.col("n_nationkey").cast(src.schema["n_nationkey"].dataType),
+            "n_name",
+        ).coalesce(1)
+    ).commit()
+
+    return (
+        table.changelog_df(spark, pre)
+        .select(
+            "n_nationkey",
+            "n_name",
+            F.col("_change_type").alias("change_type"),
+        )
+        .orderBy("change_type", "n_nationkey")
+    )
+
+
+@register(
     "catalog_changelog_update_pairs",
     oracle="""
     SELECT n_nationkey, n_name, 'update_before' AS change_type
