@@ -84,8 +84,28 @@ DEFAULT_BUCKET_HASH = "murmur3"
 
 # Executor-side deletion-vector blob cache: (puffin path, offset) ->
 # sorted uint64 positions. Module-global so each executor PROCESS does one
-# ranged read + decode per blob, across all its tasks and batches.
-_DV_EXECUTOR_CACHE: dict = {}
+# ranged read + decode per blob, across all its tasks and batches. LRU with
+# a hard entry cap: a long-lived executor scanning many tables/snapshots
+# would otherwise accumulate superseded vectors forever (each new DV commit
+# writes a fresh (sidecar, offset) key, orphaning the old one here).
+from collections import OrderedDict as _OrderedDict
+
+_DV_EXECUTOR_CACHE: "_OrderedDict[tuple, object]" = _OrderedDict()
+_DV_EXECUTOR_CACHE_MAX = 64
+
+
+def _dv_cache_get(key):
+    pos = _DV_EXECUTOR_CACHE.get(key)
+    if pos is not None:
+        _DV_EXECUTOR_CACHE.move_to_end(key)  # LRU touch
+    return pos
+
+
+def _dv_cache_put(key, pos) -> None:
+    _DV_EXECUTOR_CACHE[key] = pos
+    _DV_EXECUTOR_CACHE.move_to_end(key)
+    while len(_DV_EXECUTOR_CACHE) > _DV_EXECUTOR_CACHE_MAX:
+        _DV_EXECUTOR_CACHE.popitem(last=False)
 
 
 def _dv_membership_filter(entry_by_scan_path: dict):
@@ -115,13 +135,13 @@ def _dv_membership_filter(entry_by_scan_path: dict):
                 if ent is None:
                     continue
                 key = (ent[0], ent[1])
-                pos = _DV_EXECUTOR_CACHE.get(key)
+                pos = _dv_cache_get(key)
                 if pos is None:
                     with open(ent[0], "rb") as fh:
                         fh.seek(ent[1])
                         payload = fh.read(ent[2])
                     pos = parse_dv_payload(payload)  # sorted uint64
-                    _DV_EXECUTOR_CACHE[key] = pos
+                    _dv_cache_put(key, pos)
                 if len(pos) == 0:
                     continue
                 rows = pdf["__dvp"].to_numpy()[idx].astype("uint64")
@@ -1105,6 +1125,7 @@ class Table:
         rel_files: list[str],
         seqs: dict,
         extra_phys_cols: list | None = None,
+        keep_metadata_cols: bool = False,
     ) -> DataFrame:
         """Read data files with rename awareness: group files by the
         PHYSICAL column names they were written with (a function of their
@@ -1119,7 +1140,13 @@ class Table:
         these files beyond the table schema (e.g. the materialized
         ``_row_id`` column lineage-preserving compaction writes) — appended
         to each physical read schema and the output projection. Never
-        subject to renames."""
+        subject to renames.
+
+        ``keep_metadata_cols``: project ``_metadata.file_path`` /
+        ``_metadata.row_index`` as ``__mfile``/``__mpos`` INSIDE each cohort
+        (before any union) — Spark's metadata pseudo-column does not resolve
+        through a Union, so consumers needing file identity on a
+        rename-cohort table (the lineage join) must capture it here."""
         from pyspark.sql.types import StructField as _SF
         from pyspark.sql.types import StructType as _ST
 
@@ -1182,8 +1209,20 @@ class Table:
                     p = p.withColumn(
                         names_by_id[fid], F.lit(d["default"]).cast(types_by_id[fid])
                     )
+            meta_cols = (
+                [
+                    F.col("_metadata.file_path").alias("__mfile"),
+                    F.col("_metadata.row_index").alias("__mpos"),
+                ]
+                if keep_metadata_cols
+                else []
+            )
             parts.append(
-                p.select(*logical, *[en for en, _et in (extra_phys_cols or [])])
+                p.select(
+                    *logical,
+                    *[en for en, _et in (extra_phys_cols or [])],
+                    *meta_cols,
+                )
             )
         df = parts[0]
         for p in parts[1:]:
@@ -1964,26 +2003,66 @@ class Table:
                 current = current.catalog.load_table(current.identifier)
         raise AssertionError("unreachable")
 
-    def set_ref(self, name: str, snapshot_id: int | None = None, ref_type: str = "tag") -> "Table":
+    def set_ref(
+        self,
+        name: str,
+        snapshot_id: int | None = None,
+        ref_type: str = "tag",
+        min_snapshots_to_keep: int | None = None,
+        max_snapshot_age_ms: int | None = None,
+        max_ref_age_ms: int | None = None,
+    ) -> "Table":
         """Create/move a named snapshot ref (Iceberg tag/branch): pins
         ``snapshot_id`` (default: current) under ``name`` via the same CAS
         metadata commit as any other change. Tags make a corpus version
         reproducible by name — ``to_df(ref='train-v1')`` reads the exact
         files of that commit forever (expire_snapshots retains pinned
-        snapshots). Cost is O(1) metadata, no data movement."""
+        snapshots). Cost is O(1) metadata, no data movement.
+
+        PER-REF RETENTION (Iceberg's spec keys, stored on the ref):
+        ``min_snapshots_to_keep`` / ``max_snapshot_age_ms`` govern how much
+        of a BRANCH's history ``expire_snapshots`` retains beyond the head;
+        ``max_ref_age_ms`` lets the ref itself expire (tag or branch) once
+        its head snapshot is older than the age — after which its pins are
+        released. Absent keys fall back to the expiry call's global policy,
+        exactly Iceberg's layering. Existing ref properties (including a
+        WAP branch's ``base-snapshot-id``) survive a move."""
         from dataclasses import replace as _dc_replace
 
         if ref_type not in ("tag", "branch"):
             raise ValueError(f"ref_type must be tag|branch, got {ref_type}")
+        if min_snapshots_to_keep is not None and ref_type != "branch":
+            raise ValueError("min-snapshots-to-keep applies to branches only")
+        if max_snapshot_age_ms is not None and ref_type != "branch":
+            raise ValueError("max-snapshot-age-ms applies to branches only")
         sid = snapshot_id if snapshot_id is not None else self.metadata.current_snapshot_id
         if sid is None or sid not in self.metadata.snapshot_ids():
             raise ValueError(f"unknown snapshot for ref {name!r}: {sid}")
+        retention = {
+            k: int(v)
+            for k, v in (
+                ("min-snapshots-to-keep", min_snapshots_to_keep),
+                ("max-snapshot-age-ms", max_snapshot_age_ms),
+                ("max-ref-age-ms", max_ref_age_ms),
+            )
+            if v is not None
+        }
 
         def edit(md):
             if sid not in md.snapshot_ids():
                 raise ValueError(f"snapshot for ref {name!r} expired during retry: {sid}")
+            prior = md.refs.get(name, {})
             return _dc_replace(
-                md, refs={**md.refs, name: {"snapshot-id": sid, "type": ref_type}}
+                md,
+                refs={
+                    **md.refs,
+                    name: {
+                        **prior,
+                        "snapshot-id": sid,
+                        "type": ref_type,
+                        **retention,
+                    },
+                },
             )
 
         return self._commit_metadata_edit(edit, "ref")
@@ -2241,6 +2320,7 @@ class Table:
                     if _first(r) is not None
                 ]
                 if not pairs:
+                    p = p.drop("__mfile", "__mpos")
                     if not phys:
                         p = p.withColumn("_row_id", F.lit(None).cast("long"))
                         return p.withColumn(
@@ -2251,9 +2331,12 @@ class Table:
                 mdf = spark.createDataFrame(
                     pairs, "__lfile string, __first long, __lseq long"
                 )
+                # file identity comes from the cohort-scoped __mfile/__mpos
+                # projection (keep_metadata_cols): _metadata itself does not
+                # resolve through the rename-cohort Union
                 p = (
-                    p.withColumn("__lf", col("_metadata.file_path"))
-                    .withColumn("__lp", col("_metadata.row_index"))
+                    p.withColumnRenamed("__mfile", "__lf")
+                    .withColumnRenamed("__mpos", "__lp")
                     .join(broadcast(mdf), col("__lf") == col("__lfile"), "left")
                 )
                 inherited = (col("__first") + col("__lp")).cast("long")
@@ -2279,7 +2362,13 @@ class Table:
             parts2 = []
             if rest:
                 parts2.append(
-                    _join_firsts(self._read_data_files(spark, rest, seqs), rest, False)
+                    _join_firsts(
+                        self._read_data_files(
+                            spark, rest, seqs, keep_metadata_cols=True
+                        ),
+                        rest,
+                        False,
+                    )
                 )
             if mat:
                 parts2.append(
@@ -2292,6 +2381,7 @@ class Table:
                                 ("_row_id", _L()),
                                 ("_last_updated_sequence_number", _L()),
                             ],
+                            keep_metadata_cols=True,
                         ),
                         mat,
                         True,
@@ -2498,11 +2588,21 @@ class Table:
         # while adding zero rows — the pairwise walk skips it for free,
         # where the end-to-end diff would wrongly re-emit the whole table
         new_files: list[str] = []
+        # Each delta file's sequence number comes from the SNAPSHOT THAT
+        # ADDED it, not from the end snapshot: a later in-range
+        # lineage-preserving compaction removes delta files from the final
+        # file set, so to_snap.file_seqs would miss them and _seq_for's
+        # 0-fallback makes a rename-aware read resolve pre-rename physical
+        # names — NULL columns for those rows (ADVICE r10).
+        delta_seqs: dict[str, int] = {}
         for i in range(from_idx + 1, to_idx + 1):
             s, parent = snaps[i], snaps[i - 1]
             if s.operation == "append":
                 old = set(parent.data_files)
-                new_files.extend(f for f in s.data_files if f not in old)
+                for f in s.data_files:
+                    if f not in old:
+                        new_files.append(f)
+                        delta_seqs[f] = s.file_seqs.get(f, s.sequence_number)
                 continue
             if (
                 s.operation == "overwrite"
@@ -2512,10 +2612,9 @@ class Table:
             raise ValueError(
                 f"incremental read crosses non-append snapshot {s.snapshot_id} ({s.operation})"
             )
-        to_snap = self.metadata.snapshot_by_id(to_id)
         if not new_files:
             return spark.createDataFrame([], self.schema)
-        return self._read_data_files(spark, new_files, dict(to_snap.file_seqs))
+        return self._read_data_files(spark, new_files, delta_seqs)
 
     def changelog_df(
         self, spark: SparkSession, from_snapshot_id: int, to_snapshot_id: int | None = None
@@ -3678,12 +3777,23 @@ class Transaction:
 
             if self._operation == "overwrite":
                 # full rewrite: replaces the file set AND materializes/clears
-                # any pending deletes (both flavors, deletion vectors too)
+                # any pending deletes (both flavors, deletion vectors too) —
+                # but files CARRIED byte-identical through the overwrite
+                # (overwrite_files keeping pruned-out files, e.g. a CoW
+                # delete) were NOT rewritten: they keep their existing
+                # first_row_id entries (v3 id stability — reassigning would
+                # silently change those rows' _row_id) and their pending
+                # deletion vectors (clearing would RESURRECT deleted rows).
                 data_files = list(self._staged_files)
                 delete_files: list[str] = []
                 pos_delete_files: list[str] = []
-                dv_entries: dict = {}
-                first_row_ids, new_next_row_id = _assign_row_ids(data_files, {})
+                base_frids = base_md.current_first_row_ids()
+                base_dvs = base_md.current_deletion_vectors()
+                carried_ids = {f: base_frids[f] for f in data_files if f in base_frids}
+                dv_entries: dict = {f: base_dvs[f] for f in data_files if f in base_dvs}
+                first_row_ids, new_next_row_id = _assign_row_ids(
+                    [f for f in data_files if f not in carried_ids], carried_ids
+                )
                 file_seqs = {f: next_seq for f in data_files}
                 file_partitions = dict(self._staged_partitions)
                 # overwrite_files-style commits can carry over untouched files

@@ -170,7 +170,18 @@ def _bounded_hi(
     steady-state batches, like Delta's maxFilesPerTrigger.
     """
     n = len(snaps)
-    if lo >= n or (max_files is None and max_rows is None):
+    if lo > n:
+        # Offsets are snapshot COUNTS; a chain shorter than the consumed
+        # offset means history was expired/rolled back underneath a live
+        # stream — moving the offset backwards (or silently re-reading)
+        # would re-emit consumed rows or read wrong deltas. Fail loudly;
+        # the operator re-seeds the stream with start_snapshots.
+        raise ValueError(
+            f"snapshot chain shrank below the consumed offset ({n} < {lo}): "
+            "history was expired or rolled back under a running stream — "
+            "restart the stream with start_snapshots at the current chain"
+        )
+    if lo == n or (max_files is None and max_rows is None):
         return n
     hi = lo
     files = rows = 0
@@ -547,6 +558,7 @@ class CatalogChangelogStreamReader(CatalogCommitsStreamReader):
         prev_eq = set(prev.delete_files) if prev else set()
         prev_pos = set(prev.position_delete_files) if prev else set()
         prev_dv = dict(prev.deletion_vectors) if prev else {}
+        prev_seqs = dict(prev.file_seqs) if prev else {}
 
         def _aligned(tbl):
             names = set(tbl.schema.names)
@@ -556,7 +568,7 @@ class CatalogChangelogStreamReader(CatalogCommitsStreamReader):
             }
             return zip(*[data[c] for c in cols])
 
-        for snap in snaps[lo:hi]:
+        for idx, snap in enumerate(snaps[lo:hi], start=lo):
             seq = snap.sequence_number
             if snap.operation == "append":
                 for rel in [f for f in snap.data_files if f not in prev_files]:
@@ -601,7 +613,13 @@ class CatalogChangelogStreamReader(CatalogCommitsStreamReader):
                 # deletion-vector deltas: exact rows via take(), with
                 # conversions emitting nothing (see _dv_delta_positions)
                 for rel, idxs in _dv_delta_positions(
-                    store, dict(snap.deletion_vectors), prev_dv, sorted(prev_pos)
+                    store,
+                    dict(snap.deletion_vectors),
+                    prev_dv,
+                    sorted(prev_pos),
+                    prev_eq_files=sorted(prev_eq),
+                    file_seqs=prev_seqs,
+                    summary=snap.summary,
                 ).items():
                     tbl = pq.read_table(store.resolve(rel)).take(sorted(idxs))
                     for row in _aligned(tbl):
@@ -619,13 +637,15 @@ class CatalogChangelogStreamReader(CatalogCommitsStreamReader):
                 snap.operation == "overwrite"
                 and snap.summary.get("lineage-diff") == "true"
             ):
-                raise ValueError(
-                    "changelog stream crossed a lineage-diffable MERGE "
-                    f"snapshot {snap.snapshot_id}; update-pair "
-                    "reconstruction needs a two-snapshot join — replay "
-                    "this range with the batch changelog_df, then resume "
-                    "the stream with start_snapshots past it"
-                )
+                # lineage-diffable MERGE: reconstruct update pairs + exact
+                # deletes/inserts from row lineage (see _merge_diff_changes;
+                # a parent with pending deletes still refuses to the batch
+                # path there)
+                parent = snaps[idx - 1] if idx > 0 else None
+                for ct, _rel, _pos, row in _merge_diff_changes(
+                    store, parent, snap, cols
+                ):
+                    out.append((*row, ct, seq))
             else:
                 raise ValueError(
                     f"changelog stream crossed non-append/delete snapshot "
@@ -635,6 +655,7 @@ class CatalogChangelogStreamReader(CatalogCommitsStreamReader):
             prev_eq = set(snap.delete_files)
             prev_pos = set(snap.position_delete_files)
             prev_dv = dict(snap.deletion_vectors)
+            prev_seqs = dict(snap.file_seqs)
         return out
 
 
@@ -677,16 +698,38 @@ class _ChangePartition(InputPartition):
         self.indices = indices or []
 
 
-def _dv_delta_positions(store, snap_dv: dict, prev_dv: dict, prev_pos_files: list):
+def _dv_delta_positions(
+    store,
+    snap_dv: dict,
+    prev_dv: dict,
+    prev_pos_files: list,
+    prev_eq_files: list | tuple = (),
+    file_seqs: dict | None = None,
+    summary: dict | None = None,
+):
     """Per data file: the row positions NEWLY deleted by this snapshot's
     deletion vectors — new vector minus the previous vector minus positions
-    the previous snapshot had already deleted via pos-parquet files (a
-    representation CONVERSION must emit zero changes). Bounded by the
-    pending-delete cardinality; decoded driver-side."""
+    the previous snapshot had already deleted via pos-parquet files OR via
+    equality-delete keys (a representation CONVERSION must emit zero
+    changes — the batch ``changelog_df`` gets this for free by semi-joining
+    against the parent's state, where covered rows are already absent).
+    Bounded by the pending-delete cardinality; decoded driver-side.
+
+    ``prev_eq_files``/``file_seqs`` come from the PREVIOUS snapshot: a
+    candidate delta row is dropped when an eq-delete file whose sequence
+    number exceeds the data file's carries its key tuple (the read path's
+    seq-scoping rule). Key columns are matched by name — safe here because
+    the stream readers refuse schema-drifted tables upfront
+    (``expect_columns``). The ``rewrite-equality-deletes-to-dvs``
+    conversion commit short-circuits to {} without any reads: its entire
+    vector delta is, by construction, rows already emitted as key-only
+    deletes at the eq-delete commit (ADVICE r10)."""
     import numpy as np
 
     from iceberg_catalog_postgres_spark.catalog.dv import read_dv
 
+    if summary and summary.get("operation-detail") == "rewrite-equality-deletes-to-dvs":
+        return {}
     changed = {
         rel: e for rel, e in snap_dv.items() if prev_dv.get(rel) != e
     }
@@ -717,6 +760,149 @@ def _dv_delta_positions(store, snap_dv: dict, prev_dv: dict, prev_pos_files: lis
         delta = np.setdiff1d(new_v, already)
         if len(delta):
             out[rel] = [int(x) for x in delta]
+    if out and prev_eq_files:
+        # subtract rows the previous snapshot had already deleted via
+        # equality keys: take() ONLY the candidate delta rows and test
+        # their key tuples against the seq-applicable delete files —
+        # O(delta rows + eq keys), never a file scan
+        import pyarrow.parquet as pq
+
+        seqs = file_seqs or {}
+        eq_keys: list[tuple[tuple, set, int]] = []
+        for ef in prev_eq_files:
+            et = pq.read_table(store.resolve(ef))
+            keyset = (
+                set(zip(*[et.column(c).to_pylist() for c in et.schema.names]))
+                if et.num_rows
+                else set()
+            )
+            eq_keys.append((tuple(et.schema.names), keyset, seqs.get(ef, 0)))
+        for rel in list(out):
+            applicable = [
+                (kcols, ks)
+                for kcols, ks, dseq in eq_keys
+                if ks and dseq > seqs.get(rel, 0)
+            ]
+            if not applicable:
+                continue
+            idxs = sorted(out[rel])
+            dt = pq.read_table(store.resolve(rel)).take(idxs)
+            names = set(dt.schema.names)
+            cols = {
+                c: dt.column(c).to_pylist()
+                for c in {k for kcols, _ in applicable for k in kcols}
+                if c in names
+            }
+            keep = [
+                ridx
+                for i, ridx in enumerate(idxs)
+                if not any(
+                    tuple(cols.get(c, [None] * len(idxs))[i] for c in kcols) in ks
+                    for kcols, ks in applicable
+                )
+            ]
+            if keep:
+                out[rel] = keep
+            else:
+                del out[rel]
+    return out
+
+
+def _merge_diff_changes(store, parent, snap, cols):
+    """Row-level changes of a ``lineage-diff`` MERGE snapshot, reconstructed
+    from v3 ROW LINEAGE — the streaming twin of the batch ``changelog_df``'s
+    two-snapshot ``_row_id`` join (table.py): parent-only ids are deletes,
+    NULL-id rows in the merged files are inserts, ids present on both sides
+    with changed values become ``update_before``/``update_after`` pairs, and
+    parent rows with NULL ids (pre-lineage legacy) degrade to delete+insert
+    (the batch path's plain ``==`` join rule).
+
+    Returns ``[(change_type, data_file_rel, row_position, row_tuple)]`` so
+    the simple reader can emit ``row_tuple`` directly and the parallel
+    reader can plan take()-style partitions from (rel, positions).
+
+    Parent ids come from the lineage map (``first + position`` for
+    inherited files, the physical ``_row_id`` column for materialized
+    ones); merged files always carry the physical column
+    (``overwrite_dataframe(lineage_materialized=True)`` wrote it).
+
+    Honest contract: the fold is DRIVER-side and O(parent rows + merged
+    rows) — the same asymptotic cost as the batch diff (a merge rewrite
+    touches the whole table), just driver-located; for bulk merges the
+    batch ``changelog_df`` is the distributed path, and admission caps
+    bound how many merge snapshots one trigger admits. A merge over a
+    parent with PENDING deletes (eq/pos/DV) still refuses — reconstructing
+    the parent's live set would re-implement the whole MOR read stack
+    here; the batch path handles that compound case."""
+    import pyarrow.parquet as pq
+
+    if parent is None:
+        raise ValueError(
+            "changelog stream crossed a lineage-diff MERGE with no parent "
+            "snapshot in range; replay with the batch changelog_df"
+        )
+    if (
+        parent.delete_files
+        or parent.position_delete_files
+        or parent.deletion_vectors
+    ):
+        raise ValueError(
+            "changelog stream crossed a lineage-diff MERGE over a parent "
+            "with pending deletes; replay this range with the batch "
+            "changelog_df, then resume the stream with start_snapshots "
+            "past it"
+        )
+
+    def _rows(snapshot, rel):
+        """-> (ids list (None for unassigned), per-row value tuples)."""
+        tbl = pq.read_table(store.resolve(rel))
+        names = set(tbl.schema.names)
+        data = [
+            tbl.column(c).to_pylist() if c in names else [None] * tbl.num_rows
+            for c in cols
+        ]
+        ent = (snapshot.first_row_ids or {}).get(rel)
+        if isinstance(ent, dict):  # materialized: physical column wins,
+            # NULL-id rows inherit first + position (the commit-time rule)
+            phys = (
+                tbl.column("_row_id").to_pylist()
+                if "_row_id" in names
+                else [None] * tbl.num_rows
+            )
+            first = int(ent["first"])
+            ids = [
+                p if p is not None else first + i for i, p in enumerate(phys)
+            ]
+        elif ent is not None:  # inherited: first + position
+            ids = [int(ent) + i for i in range(tbl.num_rows)]
+        else:  # pre-lineage file: no ids
+            ids = [None] * tbl.num_rows
+        return ids, list(zip(*data)) if tbl.num_rows else []
+
+    parent_by_id: dict = {}
+    out = []
+    for rel in parent.data_files:
+        ids, rows = _rows(parent, rel)
+        for pos, (rid, row) in enumerate(zip(ids, rows)):
+            if rid is None:  # legacy: unmatched on both sides -> delete
+                out.append(("delete", rel, pos, row))
+            else:
+                parent_by_id[rid] = (rel, pos, row)
+    matched: set = set()
+    for rel in snap.data_files:
+        ids, rows = _rows(snap, rel)
+        for pos, (rid, row) in enumerate(zip(ids, rows)):
+            old = parent_by_id.get(rid)
+            if old is None:
+                out.append(("insert", rel, pos, row))
+                continue
+            matched.add(rid)
+            if old[2] != row:
+                out.append(("update_before", old[0], old[1], old[2]))
+                out.append(("update_after", rel, pos, row))
+    for rid, (rel, pos, row) in parent_by_id.items():
+        if rid not in matched:
+            out.append(("delete", rel, pos, row))
     return out
 
 
@@ -795,8 +981,9 @@ class CatalogChangelogParallelStreamReader(DataSourceStreamReader):
         prev_eq = set(prev.delete_files) if prev else set()
         prev_pos = set(prev.position_delete_files) if prev else set()
         prev_dv = dict(prev.deletion_vectors) if prev else {}
+        prev_seqs = dict(prev.file_seqs) if prev else {}
         parts = []
-        for snap in snaps[lo:hi]:
+        for idx, snap in enumerate(snaps[lo:hi], start=lo):
             seq = snap.sequence_number
             if snap.operation == "append":
                 for rel in snap.data_files:
@@ -826,7 +1013,13 @@ class CatalogChangelogParallelStreamReader(DataSourceStreamReader):
                 # file (delta indices decoded driver-side from the bounded
                 # vectors; the executor only take()s the rows)
                 for rel, idxs in _dv_delta_positions(
-                    store, dict(snap.deletion_vectors), prev_dv, sorted(prev_pos)
+                    store,
+                    dict(snap.deletion_vectors),
+                    prev_dv,
+                    sorted(prev_pos),
+                    prev_eq_files=sorted(prev_eq),
+                    file_seqs=prev_seqs,
+                    summary=snap.summary,
                 ).items():
                     parts.append(
                         _ChangePartition(
@@ -846,13 +1039,23 @@ class CatalogChangelogParallelStreamReader(DataSourceStreamReader):
                 snap.operation == "overwrite"
                 and snap.summary.get("lineage-diff") == "true"
             ):
-                raise ValueError(
-                    "changelog stream crossed a lineage-diffable MERGE "
-                    f"snapshot {snap.snapshot_id}; update-pair "
-                    "reconstruction needs a two-snapshot join — replay "
-                    "this range with the batch changelog_df, then resume "
-                    "the stream with start_snapshots past it"
-                )
+                # lineage-diffable MERGE: the row-lineage diff runs on the
+                # DRIVER (it is a two-side id join; see _merge_diff_changes'
+                # honest contract), but only POSITIONS are planned — one
+                # partition per (change kind, file), the executor take()s
+                # the rows like dvdel/posdel partitions
+                parent = snaps[idx - 1] if idx > 0 else None
+                by_kind_rel: dict[tuple, list[int]] = {}
+                for ct, rel, pos, _row in _merge_diff_changes(
+                    store, parent, snap, _CDC_COLS
+                ):
+                    by_kind_rel.setdefault((ct, rel), []).append(pos)
+                for (ct, rel), idxs in sorted(by_kind_rel.items()):
+                    parts.append(
+                        _ChangePartition(
+                            f"mrg:{ct}", [store.resolve(rel)], seq, indices=idxs
+                        )
+                    )
             else:
                 raise ValueError(
                     f"changelog stream crossed non-append/delete snapshot "
@@ -862,6 +1065,7 @@ class CatalogChangelogParallelStreamReader(DataSourceStreamReader):
             prev_eq = set(snap.delete_files)
             prev_pos = set(snap.position_delete_files)
             prev_dv = dict(snap.deletion_vectors)
+            prev_seqs = dict(snap.file_seqs)
         return parts or [_ChangePartition("noop", [], 0)]
 
     def read(self, partition: _ChangePartition):
@@ -895,6 +1099,13 @@ class CatalogChangelogParallelStreamReader(DataSourceStreamReader):
             return iter(
                 (*row, "delete", partition.seq)
                 for row in _cdc_aligned(tbl, _CDC_COLS)
+            )
+        if partition.kind.startswith("mrg:"):
+            # merge-diff rows of one (change kind, file): take() positions
+            ct = partition.kind[4:]
+            tbl = pq.read_table(partition.paths[0]).take(sorted(partition.indices))
+            return iter(
+                (*row, ct, partition.seq) for row in _cdc_aligned(tbl, _CDC_COLS)
             )
         # posdel: one pos-delete file; emit the exact referenced rows
         pt = pq.read_table(partition.paths[0])
@@ -1333,6 +1544,108 @@ def catalog_stream_changelog_cdc_parallel(spark: SparkSession, sf_dir: str) -> D
         .load()
     )
     name = f"cdcp_{_uuid.uuid4().hex[:12]}"
+    q = (
+        stream.groupBy(
+            F.col("_snapshot_seq").alias("snapshot_seq"),
+            F.col("_change_type").alias("change_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_nationkey").alias("sum_key"),
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name).orderBy("snapshot_seq", "change_type")
+
+
+@register(
+    "catalog_stream_changelog_update_pairs",
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), 'insert',
+       CAST((SELECT count(*) FROM nation) AS BIGINT),
+       CAST((SELECT sum(n_nationkey) FROM nation) AS BIGINT)),
+      (CAST(2 AS BIGINT), 'delete',        CAST(1 AS BIGINT), CAST(2 AS BIGINT)),
+      (CAST(2 AS BIGINT), 'insert',        CAST(1 AS BIGINT), CAST(25 AS BIGINT)),
+      (CAST(2 AS BIGINT), 'update_after',  CAST(2 AS BIGINT), CAST(1 AS BIGINT)),
+      (CAST(2 AS BIGINT), 'update_before', CAST(2 AS BIGINT), CAST(1 AS BIGINT))
+    ) AS t(snapshot_seq, change_type, n_rows, sum_key)
+    """,
+    tags=("catalog", "streaming", "cdc", "changelog", "merge", "lineage", "scale"),
+)
+def catalog_stream_changelog_update_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC ACROSS a lineage-diff MERGE (r11): a production CDC
+    consumer no longer dies at the first MERGE commit — the stream emits
+    the same update_before/update_after pairs + exact deletes/inserts the
+    batch ``changelog_df`` reconstructs, planned as take()-style
+    InputPartitions on the executor-parallel reader.
+
+    Lineage: append nation (seq 1), then ONE multi-clause ``merge_into``
+    with ``preserve_lineage=True`` (seq 2) that updates keys {0,1}
+    (n_name suffixed), DELETEs key 2 via a conditional matched clause, and
+    INSERTs key 25. The oracle pins per-(snapshot, change_type) row counts
+    AND key sums — so pair symmetry (2 befores = 2 afters, same keys),
+    exactly-once deletes, and the insert are all value-checked.
+
+    Scale: the row-lineage diff is a driver-side id join bounded by the
+    merged snapshot's rows (same asymptotics as the batch diff; the batch
+    path remains the bulk option), but emission fans out as one partition
+    per (change kind, file). Reference commit model: mod.rs:296-347."""
+    import os
+    import shutil
+    import uuid as _uuid
+
+    from iceberg_catalog_postgres_spark.catalog.catalog import (
+        PostgresCatalog,
+        TableIdentifier,
+    )
+    from iceberg_catalog_postgres_spark.catalog.maintenance import merge_into
+
+    work = os.path.join(_REPO_ROOT, ".tmp", "catalog_cdc_merge_pairs")
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work, exist_ok=True)
+    db = os.path.join(work, "catalog.db")
+    wh = os.path.join(work, "wh")
+
+    cat = PostgresCatalog.connect("cdcm", f"sqlite://{db}", wh)
+    cat.initialize()
+    src = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    ident = TableIdentifier.parse("cdcm.nation")
+    t = cat.create_table(ident, src.schema)
+    t = t.new_transaction().append_dataframe(src.coalesce(2)).commit()
+
+    merge_src = src.where(F.col("n_nationkey") < 3).withColumn(
+        "n_name", F.concat(F.col("n_name"), F.lit("_x"))
+    ).unionByName(
+        spark.createDataFrame(
+            [(25, "newland", 0)], "n_nationkey long, n_name string, n_regionkey long"
+        )
+    )
+    t = merge_into(
+        spark, t, merge_src, on=["n_nationkey"],
+        when_matched=[
+            {"action": "delete", "condition": "t.n_nationkey = 2"},
+            {"action": "update", "set": {"n_name": "s.n_name"}},
+        ],
+        when_not_matched=[{"action": "insert"}],
+        preserve_lineage=True,
+    )
+
+    spark.dataSource.register(CatalogChangelogParallelDataSource)
+    stream = (
+        spark.readStream.format("catalog_changelog_parallel")
+        .option("db", db)
+        .option("warehouse", wh)
+        .option("ident", "cdcm.nation")
+        .option("catalog", "cdcm")
+        .load()
+    )
+    name = f"cdcm_{_uuid.uuid4().hex[:12]}"
     q = (
         stream.groupBy(
             F.col("_snapshot_seq").alias("snapshot_seq"),
