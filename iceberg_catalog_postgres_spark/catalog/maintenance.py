@@ -90,6 +90,205 @@ def merge_upsert(
     return table.new_transaction().overwrite_dataframe(merged).commit()
 
 
+def merge_into(
+    spark: SparkSession,
+    table: Table,
+    source: DataFrame,
+    on: list[str],
+    when_matched: list[dict] | tuple = (),
+    when_not_matched: list[dict] | tuple = (),
+    when_not_matched_by_source: list[dict] | tuple = (),
+    preserve_lineage: bool = False,
+) -> Table:
+    """Full multi-clause MERGE INTO (ANSI SQL:2003 / Iceberg's MERGE): the
+    general reconcile-write, of which ``merge_upsert`` is the two-clause
+    special case. Joins ``table`` (alias ``t``) with ``source`` (alias
+    ``s``) on the ``on`` key columns and applies, per row, the FIRST clause
+    whose condition holds within its match group:
+
+    - ``when_matched``: rows present in both —
+      ``{"action": "update", "condition": "t.qty < s.qty", "set":
+      {"qty": "s.qty"}}`` (``"set": "all"`` assigns every shared column
+      from ``s``) or ``{"action": "delete", "condition": ...}``;
+    - ``when_not_matched``: source-only rows —
+      ``{"action": "insert", "condition": ..., "values": {col: expr}}``
+      (default values: ``s.<col>`` for shared columns, NULL otherwise);
+    - ``when_not_matched_by_source``: target-only rows — update or delete
+      (expressions here may reference ``t.*`` only; ``s.*`` is NULL).
+
+    ``condition`` is optional on every clause (absent = always fires);
+    clause order is the SQL tie-break — the first applicable clause wins,
+    later ones are dead for that row. A row matched by NO clause is kept
+    unchanged. All column expressions are SQL strings over ``t.``/``s.``;
+    every output column is cast back to the table's DECLARED type, so a
+    wider source (int64 updates on an int32 table) cannot silently poison
+    the written parquet.
+
+    Duplicate source keys that match a target row raise (Delta/Iceberg's
+    MERGE cardinality error, stricter than SQL's update-twice rule): the
+    join would multiply the target row even when no clause fires, which a
+    copy-on-write rewrite would silently materialize.
+
+    ``preserve_lineage=True`` composes with v3 ROW LINEAGE exactly like
+    ``merge_upsert``: updated rows keep their ``_row_id`` (identity rides
+    the update), kept rows carry both lineage fields through the rewrite,
+    inserts get NULL ids (the commit's null-inheritance rule assigns fresh
+    stable ids), and the snapshot is tagged ``lineage-diff`` so
+    ``changelog_df`` reconstructs the merge as UPDATE before/after pairs
+    plus exact-row deletes/inserts.
+
+    Implementation is ONE full-outer join + one projection — no per-clause
+    scans: the clause decision table compiles to CASE chains evaluated in
+    the same pass that writes the output. Committed as an OVERWRITE
+    snapshot via the CAS protocol (reference commit model:
+    mod.rs:296-347), with validateNoNewFiles retry semantics.
+
+    Scale: the join shuffles on the merge key once; everything else is
+    map-side. At 100 TB the refinement is partition-scoped CoW (rewrite
+    only partitions holding matched keys) — the clause algebra here is
+    unchanged by that optimization.
+    """
+    from functools import reduce as _reduce
+
+    if not on:
+        raise ValueError("merge_into requires at least one key column in `on`")
+    for grp, allowed in (
+        (when_matched, {"update", "delete"}),
+        (when_not_matched, {"insert"}),
+        (when_not_matched_by_source, {"update", "delete"}),
+    ):
+        for cl in grp:
+            if cl.get("action") not in allowed:
+                raise ValueError(
+                    f"clause action {cl.get('action')!r} not in {sorted(allowed)}"
+                )
+            if cl.get("action") == "update" and not cl.get("set"):
+                raise ValueError("update clause requires a `set` map (or 'all')")
+    if not (when_matched or when_not_matched or when_not_matched_by_source):
+        return table  # no clauses: provably a no-op, skip the commit
+
+    cols = [f.name for f in table.schema.fields]
+    types = {f.name: f.dataType for f in table.schema.fields}
+    src_cols = set(source.columns)
+
+    # Cardinality guard: duplicate source keys that MATCH a target row
+    # would fan the full-outer join out and duplicate the target row in
+    # the rewrite regardless of which clause fires. O(source agg + key
+    # semi-join), metadata-free, runs before any rewrite work.
+    dup_keys = source.groupBy(*on).count().where(F.col("count") > 1).select(*on)
+    if dup_keys.join(table.to_df(spark).select(*on), on, "left_semi").limit(1).count():
+        raise ValueError(
+            "merge_into: multiple source rows match the same target row on "
+            f"{on} — aggregate the source to one row per key first (MERGE "
+            "cardinality violation)"
+        )
+
+    tgt = table.to_df(spark, with_row_lineage=preserve_lineage).withColumn(
+        "__t", F.lit(True)
+    ).alias("t")
+    src = source.withColumn("__s", F.lit(True)).alias("s")
+    join_cond = _reduce(
+        lambda a, b: a & b,
+        [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in on],
+    )
+    j = tgt.join(src, join_cond, "full_outer")
+
+    is_m = F.col("__t").isNotNull() & F.col("__s").isNotNull()
+    is_t = F.col("__t").isNotNull() & F.col("__s").isNull()
+    is_s = F.col("__t").isNull() & F.col("__s").isNotNull()
+
+    def _idx(clauses) -> F.Column:
+        """Index of the first clause whose condition holds, else -1."""
+        expr = F.lit(-1)
+        for i in range(len(clauses) - 1, -1, -1):
+            cond = clauses[i].get("condition")
+            expr = F.when(
+                F.expr(cond) if cond else F.lit(True), F.lit(i)
+            ).otherwise(expr)
+        return expr
+
+    mi = F.when(is_m, _idx(when_matched)).otherwise(F.lit(-1))
+    ni = F.when(is_s, _idx(when_not_matched)).otherwise(F.lit(-1))
+    bi = F.when(is_t, _idx(when_not_matched_by_source)).otherwise(F.lit(-1))
+    j = j.withColumn("__mi", mi).withColumn("__ni", ni).withColumn("__bi", bi)
+
+    def _fires(clauses, idx_col: str, action: str) -> F.Column:
+        out = F.lit(False)
+        for i, cl in enumerate(clauses):
+            if cl["action"] == action:
+                out = out | (F.col(idx_col) == i)
+        return out
+
+    dropped = (
+        (is_m & _fires(when_matched, "__mi", "delete"))
+        | (is_t & _fires(when_not_matched_by_source, "__bi", "delete"))
+        | (is_s & (F.col("__ni") == -1))
+    )
+
+    def _set_expr(cl: dict, c: str) -> str | None:
+        if cl["set"] == "all":
+            return f"s.{c}" if c in src_cols else None
+        return cl["set"].get(c)
+
+    out_cols = []
+    for c in cols:
+        base = F.col(f"t.{c}")
+        branches: list[tuple[F.Column, F.Column]] = []
+        for i, cl in enumerate(when_matched):
+            if cl["action"] == "update":
+                e = _set_expr(cl, c)
+                if e is not None:
+                    branches.append((is_m & (F.col("__mi") == i), F.expr(e)))
+        for i, cl in enumerate(when_not_matched_by_source):
+            if cl["action"] == "update":
+                e = _set_expr(cl, c)
+                if e is not None:
+                    branches.append((is_t & (F.col("__bi") == i), F.expr(e)))
+        for i, cl in enumerate(when_not_matched):
+            vals = cl.get("values") or {}
+            v = (
+                F.expr(vals[c])
+                if c in vals
+                else (F.col(f"s.{c}") if c in src_cols else F.lit(None))
+            )
+            branches.append((is_s & (F.col("__ni") == i), v))
+        expr = base
+        if branches:
+            chain = F.when(*branches[0])
+            for cond, val in branches[1:]:
+                chain = chain.when(cond, val)
+            expr = chain.otherwise(base)
+        out_cols.append(expr.cast(types[c]).alias(c))
+
+    if preserve_lineage:
+        updated = (is_m & _fires(when_matched, "__mi", "update")) | (
+            is_t & _fires(when_not_matched_by_source, "__bi", "update")
+        )
+        out_cols.append(
+            F.when(is_s, F.lit(None))
+            .otherwise(F.col("t._row_id"))
+            .cast("long")
+            .alias("_row_id")
+        )
+        # NULL = "updated by THIS commit": the lineage read coalesces it to
+        # the rewriting file's sequence number (same rule as merge_upsert)
+        out_cols.append(
+            F.when(is_s | updated, F.lit(None))
+            .otherwise(F.col("t._last_updated_sequence_number"))
+            .cast("long")
+            .alias("_last_updated_sequence_number")
+        )
+
+    merged = j.where(~dropped).select(*out_cols)
+    if preserve_lineage:
+        tx = table.new_transaction().overwrite_dataframe(
+            merged, lineage_materialized=True
+        )
+        tx._summary_extra["lineage-diff"] = "true"
+        return tx.commit()
+    return table.new_transaction().overwrite_dataframe(merged).commit()
+
+
 def compact_table(
     spark: SparkSession,
     table: Table,
@@ -692,6 +891,95 @@ def catalog_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     updates = src.filter(F.col("n_nationkey") < 5).withColumn("n_name", F.upper("n_name"))
     table = merge_upsert(spark, table, updates, ["n_nationkey"])
     return table.to_df(spark).select("n_nationkey", "n_name", "n_regionkey")
+
+
+@register(
+    "catalog_merge_multi_clause",
+    oracle="""
+    WITH src AS (
+      SELECT n_nationkey, n_name || '_v2' AS n_name, n_regionkey
+      FROM nation WHERE n_nationkey < 6
+      UNION ALL
+      SELECT * FROM (VALUES
+        (CAST(25 AS BIGINT), 'newland', CAST(0 AS BIGINT)),
+        (CAST(26 AS BIGINT), 'terra',   CAST(1 AS BIGINT))
+      ) v(n_nationkey, n_name, n_regionkey)
+    )
+    -- matched: WHEN MATCHED AND t.r=0 DELETE, else UPDATE SET name = s.name
+    SELECT t.n_nationkey, s.n_name AS n_name, t.n_regionkey
+    FROM nation t JOIN src s USING (n_nationkey)
+    WHERE t.n_regionkey <> 0
+    UNION ALL
+    -- not matched by source: AND t.r=3 -> UPDATE upper(name); AND t.r=4 -> DELETE
+    SELECT t.n_nationkey,
+           CASE WHEN t.n_regionkey = 3 THEN upper(t.n_name) ELSE t.n_name END AS n_name,
+           t.n_regionkey
+    FROM nation t
+    WHERE t.n_nationkey NOT IN (SELECT n_nationkey FROM src)
+      AND t.n_regionkey <> 4
+    UNION ALL
+    -- not matched: INSERT
+    SELECT s.n_nationkey, s.n_name, s.n_regionkey
+    FROM src s
+    WHERE s.n_nationkey NOT IN (SELECT n_nationkey FROM nation)
+    ORDER BY n_nationkey
+    """,
+    tags=("catalog", "merge", "multi-clause"),
+)
+def catalog_merge_multi_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full multi-clause MERGE under the oracle gate: one ``merge_into``
+    commit exercising the COMPLETE decision table —
+
+    - WHEN MATCHED AND t.n_regionkey = 0 THEN DELETE,
+    - WHEN MATCHED THEN UPDATE SET n_name = s.n_name (clause order is the
+      tie-break: region-0 matches hit the delete first),
+    - WHEN NOT MATCHED THEN INSERT (keys 25, 26),
+    - WHEN NOT MATCHED BY SOURCE AND t.n_regionkey = 3 THEN UPDATE
+      SET n_name = upper(t.n_name),
+    - WHEN NOT MATCHED BY SOURCE AND t.n_regionkey = 4 THEN DELETE.
+
+    The DuckDB oracle recomputes the same table from relational algebra
+    (join + anti-join + CASE), so every clause's row cohort is value-pinned,
+    not just counted. preserve_lineage=True makes this the v3 lineage-merge
+    path — the same commit the changelog reconstructs as update pairs
+    (tests/test_merge_into.py pins that surface). Reference commit model:
+    mod.rs:296-347."""
+    cat = _fresh_catalog("catalog_merge_multi")
+    src = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    ident = TableIdentifier.parse("maint.nation_mc")
+    table = cat.create_table(ident, src.schema)
+    table = table.new_transaction().append_dataframe(src).commit()
+
+    upd = src.filter(F.col("n_nationkey") < 6).withColumn(
+        "n_name", F.concat(F.col("n_name"), F.lit("_v2"))
+    )
+    extra = spark.createDataFrame(
+        [(25, "newland", 0), (26, "terra", 1)],
+        "n_nationkey long, n_name string, n_regionkey long",
+    )
+    table = merge_into(
+        spark,
+        table,
+        upd.unionByName(extra),
+        on=["n_nationkey"],
+        when_matched=[
+            {"action": "delete", "condition": "t.n_regionkey = 0"},
+            {"action": "update", "set": {"n_name": "s.n_name"}},
+        ],
+        when_not_matched=[{"action": "insert"}],
+        when_not_matched_by_source=[
+            {
+                "action": "update",
+                "condition": "t.n_regionkey = 3",
+                "set": {"n_name": "upper(t.n_name)"},
+            },
+            {"action": "delete", "condition": "t.n_regionkey = 4"},
+        ],
+        preserve_lineage=True,
+    )
+    return table.to_df(spark).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ).orderBy("n_nationkey")
 
 
 @register(
@@ -3724,11 +4012,31 @@ def catalog_rewrite_eq_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def expire_snapshots(
-    table: Table, keep_last: int = 2, older_than_ms: int | None = None
+    table: Table,
+    keep_last: int = 2,
+    older_than_ms: int | None = None,
+    now_ms: int | None = None,
 ) -> Table:
     """Snapshot expiry + orphan-file cleanup: retain the most recent
     ``keep_last`` snapshots, commit the pruned metadata via CAS, then
     physically delete data files referenced ONLY by expired snapshots.
+
+    PER-REF RETENTION (Iceberg's layered policy, properties set via
+    ``Table.set_ref``): first, refs whose ``max-ref-age-ms`` is exceeded
+    (age = now - the head snapshot's timestamp; Iceberg's rule, since refs
+    carry no creation time) are DROPPED — their pins are released in the
+    same expiry commit. Every surviving ref pins its head. A surviving
+    BRANCH ref with ``min-snapshots-to-keep`` / ``max-snapshot-age-ms``
+    additionally retains that much of its history — the newest N ancestors
+    and/or all ancestors younger than the age — so two branches with
+    different policies keep different depths of the shared chain.
+    Ancestry is approximated as commit order (sequence_number <= head's):
+    this metadata model keeps one commit-ordered snapshot list rather than
+    parent pointers, so a branch's "ancestors" include interleaved main
+    commits — a superset, which for retention is the SAFE direction (never
+    expires a true ancestor). Refs without retention keys fall back to the
+    call's global ``keep_last``/``older_than_ms`` policy, exactly
+    Iceberg's layering. ``now_ms`` pins the clock for deterministic tests.
 
     Ordering is the crux: files are deleted AFTER the pointer swap
     succeeds, so a reader holding the old pointer during the commit still
@@ -3741,11 +4049,43 @@ def expire_snapshots(
     commit; deletes fan out as independent object-store calls.
     """
     import os as _os
+    import time as _time
 
     md = table.metadata
-    # tag/branch refs pin their snapshots through expiry (Iceberg semantics:
-    # a tagged corpus version stays reproducible until the tag is dropped)
-    pinned = {r.get("snapshot-id") for r in md.refs.values()}
+    now = now_ms if now_ms is not None else int(_time.time() * 1000)
+    by_id = {s.snapshot_id: s for s in md.snapshots}
+    # 1) ref-age expiry: release pins of refs older than their max-ref-age
+    refs = dict(md.refs)
+    refs_dropped = False
+    for name, r in list(refs.items()):
+        age_cap = r.get("max-ref-age-ms")
+        head = by_id.get(r.get("snapshot-id"))
+        if age_cap is not None and head is not None and now - head.timestamp_ms > int(age_cap):
+            del refs[name]
+            refs_dropped = True
+    # 2) surviving refs pin their heads (Iceberg semantics: a tagged corpus
+    # version stays reproducible until the tag is dropped or ages out)
+    pinned = {r.get("snapshot-id") for r in refs.values()}
+    # 3) per-branch history retention beyond the head
+    seq_ordered = sorted(md.snapshots, key=lambda s: s.sequence_number)
+    for r in refs.values():
+        if r.get("type") != "branch":
+            continue
+        mk, ma = r.get("min-snapshots-to-keep"), r.get("max-snapshot-age-ms")
+        head = by_id.get(r.get("snapshot-id"))
+        if head is None or (mk is None and ma is None):
+            continue
+        ancestry = [
+            s for s in seq_ordered if s.sequence_number <= head.sequence_number
+        ]
+        if mk is not None:
+            pinned |= {s.snapshot_id for s in ancestry[-int(mk):]}
+        if ma is not None:
+            pinned |= {
+                s.snapshot_id
+                for s in ancestry
+                if now - s.timestamp_ms <= int(ma)
+            }
     if older_than_ms is not None:
         # Iceberg expireSnapshots(olderThan): drop history past a wall-clock
         # cutoff; the CURRENT snapshot and ref-pinned snapshots always stay
@@ -3755,17 +4095,17 @@ def expire_snapshots(
             | pinned
         )
     else:
-        if len(md.snapshots) <= keep_last:
+        if len(md.snapshots) <= keep_last and not refs_dropped:
             return table
         kept_ids = {s.snapshot_id for s in md.snapshots[-keep_last:]} | pinned
     kept = [s for s in md.snapshots if s.snapshot_id in kept_ids]
     expired = [s for s in md.snapshots if s.snapshot_id not in kept_ids]
-    if not expired:
+    if not expired and not refs_dropped:
         return table
 
     from dataclasses import replace as _dc_replace
 
-    new_md = _dc_replace(md, snapshots=kept).with_log_entry(
+    new_md = _dc_replace(md, snapshots=kept, refs=refs).with_log_entry(
         table.metadata_location(), md.last_updated_ms
     )
     import posixpath as _pp

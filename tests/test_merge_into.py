@@ -1,0 +1,232 @@
+"""Full multi-clause MERGE (``merge_into``): decision-table semantics,
+clause ordering, cardinality guard, lineage composition, and changelog
+reconstruction. The copy-on-write commit rides the reference's CAS
+transaction model (mod.rs:296-347); both catalog backends run the core
+decision-table test."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_catalog_postgres_spark.catalog.catalog import (
+    PostgresCatalog,
+    TableIdentifier,
+)
+from iceberg_catalog_postgres_spark.catalog.maintenance import merge_into
+
+
+@pytest.fixture(params=["sqlite", "postgres"])
+def catalog(request, tmp_path):
+    if request.param == "postgres":
+        import uuid as _uuid
+
+        url = request.getfixturevalue("pg_url")
+        cat = PostgresCatalog.connect(
+            f"mrg_{_uuid.uuid4().hex[:10]}", url, str(tmp_path / "wh")
+        )
+    else:
+        cat = PostgresCatalog.connect("mrg_catalog", None, str(tmp_path / "wh"))
+    cat.initialize()
+    yield cat
+    cat.backend.close()
+
+
+@pytest.fixture
+def sqlite_catalog(tmp_path):
+    cat = PostgresCatalog.connect("mrg_sqlite", None, str(tmp_path / "wh2"))
+    cat.initialize()
+    yield cat
+    cat.backend.close()
+
+
+def _seed(catalog, spark, name="m.t", rows=None):
+    rows = rows or [(i, f"n{i}", i % 3) for i in range(9)]
+    df = spark.createDataFrame(rows, "k long, name string, r long")
+    t = catalog.create_table(TableIdentifier.parse(name), df.schema)
+    return t.new_transaction().append_dataframe(df.coalesce(2)).commit()
+
+
+def test_merge_into_full_decision_table(catalog, spark):
+    """All five clause kinds in one commit, against both backends.
+
+    target: k 0..8, r = k%3.  source: k in {0,1,2,3, 20,21}.
+    - matched & r=0 (k 0,3)  -> DELETE
+    - matched otherwise (1,2)-> UPDATE name = s.name
+    - not matched (20,21)    -> INSERT
+    - NMBS & r=1 (4,7)       -> UPDATE name = upper(t.name)
+    - NMBS & r=2 (5,8)       -> DELETE
+    - NMBS & r=0 (6)         -> no clause, kept unchanged
+    """
+    t = _seed(catalog, spark)
+    src = spark.createDataFrame(
+        [(0, "x0", 9), (1, "x1", 9), (2, "x2", 9), (3, "x3", 9),
+         (20, "new20", 7), (21, "new21", 7)],
+        "k long, name string, r long",
+    )
+    t = merge_into(
+        spark, t, src, on=["k"],
+        when_matched=[
+            {"action": "delete", "condition": "t.r = 0"},
+            {"action": "update", "set": {"name": "s.name"}},
+        ],
+        when_not_matched=[{"action": "insert"}],
+        when_not_matched_by_source=[
+            {"action": "update", "condition": "t.r = 1",
+             "set": {"name": "upper(t.name)"}},
+            {"action": "delete", "condition": "t.r = 2"},
+        ],
+    )
+    got = {(r.k, r.name, r.r) for r in t.to_df(spark).collect()}
+    assert got == {
+        (1, "x1", 1), (2, "x2", 2),          # matched updates (r kept: set only name)
+        (20, "new20", 7), (21, "new21", 7),  # inserts
+        (4, "N4", 1), (7, "N7", 1),          # NMBS updates
+        (6, "n6", 0),                        # no clause -> unchanged
+    }
+
+
+def test_merge_clause_order_first_wins(sqlite_catalog, spark):
+    """Two overlapping matched clauses: the FIRST applicable one fires."""
+    t = _seed(sqlite_catalog, spark, "m.o")
+    src = spark.createDataFrame([(1, "a", 0), (2, "b", 0)], "k long, name string, r long")
+    t = merge_into(
+        spark, t, src, on=["k"],
+        when_matched=[
+            {"action": "update", "condition": "t.k = 1", "set": {"name": "'first'"}},
+            {"action": "update", "set": {"name": "'second'"}},
+        ],
+    )
+    got = {r.k: r.name for r in t.to_df(spark).collect()}
+    assert got[1] == "first" and got[2] == "second"
+    # no not-matched clause: source key absent from target is NOT inserted
+    assert set(got) == set(range(9))
+
+
+def test_merge_set_all_and_insert_values(sqlite_catalog, spark):
+    t = _seed(sqlite_catalog, spark, "m.sa")
+    src = spark.createDataFrame([(1, "S1", 77), (30, "S30", 88)], "k long, name string, r long")
+    t = merge_into(
+        spark, t, src, on=["k"],
+        when_matched=[{"action": "update", "set": "all"}],
+        when_not_matched=[
+            {"action": "insert", "values": {"name": "concat(s.name, '!')"}}
+        ],
+    )
+    got = {r.k: (r.name, r.r) for r in t.to_df(spark).collect()}
+    assert got[1] == ("S1", 77)            # set all: every shared column
+    assert got[30] == ("S30!", 88)         # values override + default s.r
+
+
+def test_merge_cardinality_guard(sqlite_catalog, spark):
+    t = _seed(sqlite_catalog, spark, "m.cg")
+    dup = spark.createDataFrame(
+        [(1, "a", 0), (1, "b", 0), (50, "c", 0), (50, "d", 0)],
+        "k long, name string, r long",
+    )
+    with pytest.raises(ValueError, match="cardinality"):
+        merge_into(
+            spark, t, dup, on=["k"],
+            when_matched=[{"action": "update", "set": "all"}],
+        )
+    # duplicate keys that DON'T match any target row are legal (both insert)
+    ins_only = dup.where(F.col("k") == 50)
+    t = merge_into(
+        spark, t, ins_only, on=["k"],
+        when_matched=[{"action": "update", "set": "all"}],
+        when_not_matched=[{"action": "insert"}],
+    )
+    assert [r.k for r in t.to_df(spark).where("k = 50").collect()] == [50, 50]
+
+
+def test_merge_type_cast_to_declared_schema(sqlite_catalog, spark):
+    """Source columns wider than the table's declared types are cast back
+    before the write — the int-widening parquet trap."""
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("k", IntegerType()), StructField("name", StringType())]
+    )
+    df = spark.createDataFrame([(1, "a"), (2, "b")], schema)
+    t = sqlite_catalog.create_table(TableIdentifier.parse("m.ty"), schema)
+    t = t.new_transaction().append_dataframe(df).commit()
+    src = spark.createDataFrame([(1, "A"), (9, "I")], "k long, name string")
+    t = merge_into(
+        spark, t, src, on=["k"],
+        when_matched=[{"action": "update", "set": "all"}],
+        when_not_matched=[{"action": "insert"}],
+    )
+    out = t.to_df(spark)
+    assert dict(out.dtypes)["k"] == "int"
+    assert {r.k: r.name for r in out.collect()} == {1: "A", 2: "b", 9: "I"}
+
+
+def test_merge_lineage_ids_and_changelog_pairs(sqlite_catalog, spark):
+    """preserve_lineage: updated rows keep their _row_id, inserts get fresh
+    ids, and changelog_df reconstructs the merge as update_before/update_after
+    pairs + exact deletes + inserts — for BOTH delete flavors (matched and
+    not-matched-by-source)."""
+    t = _seed(sqlite_catalog, spark, "m.ln")
+    base_snap = t.metadata.current_snapshot_id
+    ids_before = {
+        r.k: r._row_id for r in t.to_df(spark, with_row_lineage=True).collect()
+    }
+    src = spark.createDataFrame(
+        [(1, "u1", 9), (3, "u3", 9), (40, "ins", 5)],
+        "k long, name string, r long",
+    )
+    t = merge_into(
+        spark, t, src, on=["k"],
+        when_matched=[
+            {"action": "delete", "condition": "t.k = 3"},
+            {"action": "update", "set": {"name": "s.name"}},
+        ],
+        when_not_matched=[{"action": "insert"}],
+        when_not_matched_by_source=[
+            {"action": "delete", "condition": "t.k = 8"},
+        ],
+        preserve_lineage=True,
+    )
+    assert t.metadata.current_snapshot().summary.get("lineage-diff") == "true"
+    after = {
+        r.k: r._row_id for r in t.to_df(spark, with_row_lineage=True).collect()
+    }
+    # kept + updated rows ride their old identity; the insert got a fresh id
+    for k in (0, 1, 2, 4, 5, 6, 7):
+        assert after[k] == ids_before[k], f"row {k} lost its _row_id"
+    assert after[40] not in set(ids_before.values())
+
+    ch = t.changelog_df(spark, base_snap)
+    by_kind = {
+        kind: sorted(r.k for r in rows)
+        for kind, rows in (
+            (k, [r for r in ch.collect() if r._change_type == k])
+            for k in ("insert", "delete", "update_before", "update_after")
+        )
+    }
+    assert by_kind["update_before"] == [1] and by_kind["update_after"] == [1]
+    assert by_kind["delete"] == [3, 8]
+    assert by_kind["insert"] == [40]
+    # the pair carries old AND new values
+    ub = next(r for r in ch.collect() if r._change_type == "update_before")
+    ua = next(r for r in ch.collect() if r._change_type == "update_after")
+    assert ub.name == "n1" and ua.name == "u1"
+
+
+def test_merge_no_clauses_is_noop(sqlite_catalog, spark):
+    t = _seed(sqlite_catalog, spark, "m.np")
+    n_snaps = len(t.metadata.snapshots)
+    src = spark.createDataFrame([(1, "x", 0)], "k long, name string, r long")
+    t2 = merge_into(spark, t, src, on=["k"])
+    assert len(t2.metadata.snapshots) == n_snaps
+
+
+def test_merge_validates_clauses(sqlite_catalog, spark):
+    t = _seed(sqlite_catalog, spark, "m.vd")
+    src = spark.createDataFrame([(1, "x", 0)], "k long, name string, r long")
+    with pytest.raises(ValueError, match="not in"):
+        merge_into(spark, t, src, on=["k"], when_matched=[{"action": "insert"}])
+    with pytest.raises(ValueError, match="requires a `set`"):
+        merge_into(spark, t, src, on=["k"], when_matched=[{"action": "update"}])
+    with pytest.raises(ValueError, match="at least one key"):
+        merge_into(spark, t, src, on=[])
