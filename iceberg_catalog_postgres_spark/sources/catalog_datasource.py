@@ -185,21 +185,8 @@ def _bounded_hi(
         return n
     hi = lo
     files = rows = 0
-    prev_files = set(snaps[lo - 1].data_files) if lo > 0 else set()
-    prev_eq = set(snaps[lo - 1].delete_files) if lo > 0 else set()
-    prev_pos = set(snaps[lo - 1].position_delete_files) if lo > 0 else set()
-    prev_dv = dict(snaps[lo - 1].deletion_vectors) if lo > 0 else {}
-    for snap in snaps[lo:]:
-        delta = [f for f in snap.data_files if f not in prev_files]
-        units = (
-            len(delta)
-            + sum(1 for f in snap.delete_files if f not in prev_eq)
-            + sum(1 for f in snap.position_delete_files if f not in prev_pos)
-            + sum(1 for r, e in snap.deletion_vectors.items() if prev_dv.get(r) != e)
-        )
-        drows = sum(
-            int(snap.file_stats.get(f, {}).get("record_count", 0)) for f in delta
-        )
+    for i in range(lo, n):
+        units, drows = _snapshot_admission_units(snaps, i)
         if hi > lo and (
             (max_files is not None and files + units > max_files)
             or (max_rows is not None and rows + drows > max_rows)
@@ -208,11 +195,44 @@ def _bounded_hi(
         files += units
         rows += drows
         hi += 1
-        prev_files = set(snap.data_files)
-        prev_eq = set(snap.delete_files)
-        prev_pos = set(snap.position_delete_files)
-        prev_dv = dict(snap.deletion_vectors)
     return hi
+
+
+def _snapshot_admission_units(snaps, i: int) -> tuple[int, int]:
+    """(planned work units, stat-known appended rows) of snapshot ``i`` —
+    the DELTA fold behind the admission cap. The fast path reads the
+    snapshot SUMMARY's added-* counters (written by every Transaction
+    commit), making admission O(1) per snapshot regardless of table size;
+    before r11 each admitted snapshot rebuilt set(data_files) — O(total
+    table files) driver-side Python per snapshot per latestOffset call,
+    which on a 100k-file table made every trigger pay
+    O(admitted × total_files). Maintenance commits with bespoke summaries
+    (conversions, bin-packs) fall back to the pairwise set diff — exact,
+    paid only for those snapshots."""
+    snap = snaps[i]
+    s = snap.summary or {}
+    if "added-files" in s and "added-delete-files" in s:
+        units = (
+            int(s["added-files"])
+            + int(s["added-delete-files"])
+            + int(s.get("added-dvs", 0))
+        )
+        return units, int(s.get("added-records", 0))
+    prev_files = set(snaps[i - 1].data_files) if i > 0 else set()
+    prev_eq = set(snaps[i - 1].delete_files) if i > 0 else set()
+    prev_pos = set(snaps[i - 1].position_delete_files) if i > 0 else set()
+    prev_dv = dict(snaps[i - 1].deletion_vectors) if i > 0 else {}
+    delta = [f for f in snap.data_files if f not in prev_files]
+    units = (
+        len(delta)
+        + sum(1 for f in snap.delete_files if f not in prev_eq)
+        + sum(1 for f in snap.position_delete_files if f not in prev_pos)
+        + sum(1 for r, e in snap.deletion_vectors.items() if prev_dv.get(r) != e)
+    )
+    drows = sum(
+        int(snap.file_stats.get(f, {}).get("record_count", 0)) for f in delta
+    )
+    return units, drows
 
 
 class CatalogCommitsStreamReader:

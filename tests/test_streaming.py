@@ -425,3 +425,54 @@ def test_rate_limited_streaming_admission(spark, tmp_path):
     assert batches == 4
     assert len(got) == total_rows and len(set(got)) == total_rows
     cat.backend.close()
+
+
+def test_admission_fold_is_delta_based_no_fileset_materialization():
+    """r11: the admission cap folds snapshot-summary counters — O(1) per
+    snapshot — and never touches data_files/delete_files on the fast path
+    (before, every admitted snapshot rebuilt set(data_files): O(total
+    table files) per snapshot per trigger). Counter-based assertion: the
+    file-list properties record every access."""
+    from iceberg_catalog_postgres_spark.sources.catalog_datasource import (
+        _bounded_hi,
+    )
+
+    touched: list = []
+
+    class Snap:
+        def __init__(self, i, summary=None):
+            self._i = i
+            self.summary = summary if summary is not None else {
+                "added-files": "2",
+                "added-delete-files": "0",
+                "added-records": "10",
+            }
+            self.file_stats = {}
+
+        def _touch(self, what):
+            touched.append((self._i, what))
+            return [] if what != "dv" else {}
+
+        data_files = property(lambda s: s._touch("data"))
+        delete_files = property(lambda s: s._touch("eq"))
+        position_delete_files = property(lambda s: s._touch("pos"))
+        deletion_vectors = property(lambda s: s._touch("dv"))
+
+    snaps = [Snap(i) for i in range(100)]
+    # cap 4 units -> exactly two 2-file snapshots admitted, zero accesses
+    assert _bounded_hi(snaps, 0, 4, None) == 2
+    assert touched == [], f"admission materialized file sets: {touched[:4]}"
+    # row cap: 10 rows/snapshot, cap 15 -> one snapshot
+    assert _bounded_hi(snaps, 0, None, 15) == 1
+    assert touched == []
+    # progress guarantee: a single over-cap snapshot still admits
+    assert _bounded_hi(snaps, 0, 1, None) == 1
+    assert touched == []
+
+    # a maintenance snapshot WITHOUT the summary counters falls back to the
+    # exact pairwise set diff — file lists touched for that snapshot (and
+    # its predecessor) only
+    snaps[5] = Snap(5, summary={"operation-detail": "rewrite"})
+    assert _bounded_hi(snaps, 0, 1000, None) == 100
+    idx = {i for i, _w in touched}
+    assert idx <= {4, 5}, f"fallback leaked beyond the statless snapshot: {idx}"
