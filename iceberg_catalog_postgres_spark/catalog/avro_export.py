@@ -58,13 +58,18 @@ Documented deviations (spec-visible, deliberate):
   (spec-sanctioned global deletes); partitioned tables with pending
   positional deletes refuse with a compaction on-ramp instead of
   exporting partition-scoped delete entries.
-- ROW LINEAGE is not exported: the export produces a V2 document, and
-  ``next-row-id`` / per-file ``first_row_id`` are v3 fields — an imported
-  table restarts lineage assignment from zero (ids within it stay
+- ROW LINEAGE: the default V2 export drops it — an imported table
+  restarts lineage assignment from zero (ids within it stay
   self-consistent; they just do not correlate with the source table's).
-  Deletion vectors (also v3) refuse loudly instead, because silently
-  dropping them would RESURRECT rows; dropping lineage only loses an
-  auxiliary identity column.
+  Deletion vectors refuse loudly under V2, because silently dropping
+  them would RESURRECT rows. ``format_version=3`` (r11) lifts both: DVs
+  export as spec delete-manifest entries (content=1, PUFFIN,
+  referenced_data_file + content_offset/content_size_in_bytes — field-ids
+  143/144/145) that the import maps back to the native vector map
+  without touching a sidecar, and the document carries ``next-row-id``
+  so the imported table's id assignment resumes past the exporter's
+  (per-file first_row_id assignment still restarts — the import is a
+  single reconstructed snapshot).
 
 A self-check reads everything back through the same official library and
 compares against the native metadata (`tests/test_avro_export.py`,
@@ -212,7 +217,14 @@ def _partition_fields_for_export(md) -> list[dict]:
     return out
 
 
-def manifest_schema_json(partition_fields: list[dict]) -> str:
+def manifest_schema_json(partition_fields: list[dict], v3: bool = False) -> str:
+    """``v3=True`` appends the Iceberg v3 deletion-vector fields to the
+    ``data_file`` struct (spec field-ids): ``referenced_data_file`` (143),
+    ``content_offset`` (144), ``content_size_in_bytes`` (145) — a DV
+    delete-manifest entry is a content=1 (position deletes) file in PUFFIN
+    format whose offset/size address exactly the blob bytes (the same pair
+    ``dv.py`` records in the snapshot's vector map). v2 schemas stay
+    byte-identical."""
     r102 = {
         "type": "record",
         "name": "r102",
@@ -237,6 +249,15 @@ def manifest_schema_json(partition_fields: list[dict]) -> str:
             {"name": "split_offsets", "type": _opt({"type": "array", "element-id": 133, "items": "long"}), "default": None, "field-id": 132},
             {"name": "equality_ids", "type": _opt({"type": "array", "element-id": 136, "items": "int"}), "default": None, "field-id": 135},
             {"name": "sort_order_id", "type": _opt("int"), "default": None, "field-id": 140},
+            *(
+                [
+                    {"name": "referenced_data_file", "type": _opt("string"), "default": None, "field-id": 143},
+                    {"name": "content_offset", "type": _opt("long"), "default": None, "field-id": 144},
+                    {"name": "content_size_in_bytes", "type": _opt("long"), "default": None, "field-id": 145},
+                ]
+                if v3
+                else []
+            ),
         ],
     }
     entry = {
@@ -416,15 +437,28 @@ def read_avro_records(spark: SparkSession, path: str) -> tuple[list[dict], dict,
 # ---------------------------------------------------------------------------
 
 
-def export_iceberg_avro(spark: SparkSession, table: Table) -> dict:
+def export_iceberg_avro(
+    spark: SparkSession, table: Table, format_version: int = 2
+) -> dict:
     """Write the spec Avro metadata tree for the table's current snapshot.
     Returns {"metadata_json", "manifest_list", "manifest", "n_files",
-    "total_records"} (absolute paths)."""
+    "total_records"} (absolute paths).
+
+    ``format_version=3`` produces an Iceberg V3 document: deletion vectors
+    export as delete-manifest entries (content=1, file_format PUFFIN,
+    ``referenced_data_file``/``content_offset``/``content_size_in_bytes``
+    — spec field-ids 143/144/145 — addressing exactly the blob bytes
+    ``dv.py`` stores), and the document carries ``next-row-id`` (the v3
+    lineage high-water mark). Default stays v2, where DV tables refuse
+    loudly (a v2 reader would silently resurrect the deleted rows)."""
+    if format_version not in (2, 3):
+        raise ValueError(f"avro export: format_version must be 2 or 3, got {format_version}")
+    v3 = format_version == 3
     md = table.metadata
     snap = md.current_snapshot()
     if snap is None:
         raise ValueError("avro export: table has no snapshot")
-    if snap.deletion_vectors:
+    if snap.deletion_vectors and not v3:
         # The export targets Iceberg V2 readers; deletion vectors are a v3
         # surface a v2 reader would silently ignore — phantom rows. Refuse
         # loudly; the cheap on-ramp is the INVERSE conversion (vectors back
@@ -437,7 +471,8 @@ def export_iceberg_avro(spark: SparkSession, table: Table) -> dict:
             "invisible) — rewrite_dvs_to_position_deletes(spark, table) "
             "converts them back to an exportable v2 representation at "
             "O(pending positions) (compact_table also works, at full-"
-            "rewrite cost)"
+            "rewrite cost), or pass format_version=3 to export a V3 "
+            "document with native DV delete-manifest entries"
         )
     # pending EQUALITY deletes export directly as content=2 delete-manifest
     # entries with real sequence numbers (below); no rewrite on-ramp needed
@@ -551,16 +586,27 @@ def export_iceberg_avro(spark: SparkSession, table: Table) -> dict:
         "fields": md.schema.get("fields", []),
     }
     manifest_path = os.path.join(out_dir, f"manifest-{export_id}.avro")
+    # Avro's JSON decoder is strict (defaults are writer-side): every v3
+    # entry must carry the DV fields explicitly, null for non-DV files
+    _v3x = (
+        {
+            "referenced_data_file": None,
+            "content_offset": None,
+            "content_size_in_bytes": None,
+        }
+        if v3
+        else {}
+    )
     w = _AvroWriter(
         jvm,
-        manifest_schema_json(part_fields),
+        manifest_schema_json(part_fields, v3=v3),
         manifest_path,
         {
             "schema": json.dumps(schema_doc),
             "schema-id": str(md.schema.get("schema-id", 0)),
             "partition-spec": json.dumps(current_spec["fields"]),
             "partition-spec-id": str(current_spec["spec-id"]),
-            "format-version": "2",
+            "format-version": str(format_version),
             "content": "data",
         },
     )
@@ -628,6 +674,7 @@ def export_iceberg_avro(spark: SparkSession, table: Table) -> dict:
                     "split_offsets": None,
                     "equality_ids": None,
                     "sort_order_id": None,
+                    **_v3x,
                 },
             }
         )
@@ -664,14 +711,14 @@ def export_iceberg_avro(spark: SparkSession, table: Table) -> dict:
         delete_manifest_path = os.path.join(out_dir, f"delete-manifest-{export_id}.avro")
         dw = _AvroWriter(
             jvm,
-            manifest_schema_json([]),
+            manifest_schema_json([], v3=v3),
             delete_manifest_path,
             {
                 "schema": json.dumps(schema_doc),
                 "schema-id": str(md.schema.get("schema-id", 0)),
                 "partition-spec": json.dumps(delete_spec["fields"]),
                 "partition-spec-id": str(delete_spec["spec-id"]),
-                "format-version": "2",
+                "format-version": str(format_version),
                 "content": "deletes",
             },
         )
@@ -758,6 +805,7 @@ def export_iceberg_avro(spark: SparkSession, table: Table) -> dict:
                         "split_offsets": None,
                         "equality_ids": None,
                         "sort_order_id": None,
+                        **_v3x,
                     },
                 }
             )
@@ -829,17 +877,64 @@ def export_iceberg_avro(spark: SparkSession, table: Table) -> dict:
                             "split_offsets": None,
                             "equality_ids": {"array": eq_ids},
                             "sort_order_id": None,
+                            **_v3x,
                         },
                     }
                 )
         finally:
             spark.conf.set("spark.sql.parquet.fieldId.write.enabled", prev_fid)
+
+    # Deletion vectors (v3 only — v2 refused upfront): one content=1 entry
+    # per vector, file_format PUFFIN, referenced_data_file naming the
+    # exported data-file URI and content_offset/content_size_in_bytes
+    # addressing exactly the blob bytes inside the sidecar — the pair the
+    # native snapshot map already persists (dv.py write_dv_sidecar), so no
+    # sidecar is rewritten or even opened here. Entries take the exported
+    # snapshot's seq: a DV is path-scoped (positions of one named file),
+    # so raising its seq can never widen its effect — the same argument as
+    # the merged positional-delete file above.
+    if snap.deletion_vectors:
+        _open_delete_manifest()
+        for rel, ent in sorted(snap.deletion_vectors.items()):
+            sidecar_abs = store.resolve(ent["puffin"])
+            card = int(ent["cardinality"])
+            n_deleted += card
+            delete_entries.append((snap_seq, 1, card))
+            dw.append_json(
+                {
+                    "status": 1,
+                    "snapshot_id": {"long": snapshot_id},
+                    "sequence_number": {"long": snap_seq},
+                    "file_sequence_number": {"long": snap_seq},
+                    "data_file": {
+                        "content": 1,  # POSITION_DELETES (as a v3 DV)
+                        "file_path": "file://" + sidecar_abs,
+                        "file_format": "PUFFIN",
+                        "partition": {},
+                        "record_count": card,
+                        "file_size_in_bytes": os.path.getsize(sidecar_abs),
+                        "null_value_counts": None,
+                        "lower_bounds": None,
+                        "upper_bounds": None,
+                        "split_offsets": None,
+                        "equality_ids": None,
+                        "sort_order_id": None,
+                        "referenced_data_file": {
+                            "string": "file://" + store.resolve(rel)
+                        },
+                        "content_offset": {"long": int(ent["offset"])},
+                        "content_size_in_bytes": {"long": int(ent["length"])},
+                    },
+                }
+            )
     if dw is not None:
         dw.close()
 
     # ---- manifest list ----------------------------------------------------
     ml_path = os.path.join(out_dir, f"snap-{snapshot_id}-manifest-list.avro")
-    ml = _AvroWriter(jvm, manifest_list_schema_json(), ml_path, {"format-version": "2"})
+    ml = _AvroWriter(
+        jvm, manifest_list_schema_json(), ml_path, {"format-version": str(format_version)}
+    )
     summaries = []
     for p in part_fields:
         vals = [
@@ -916,7 +1011,10 @@ def export_iceberg_avro(spark: SparkSession, table: Table) -> dict:
     # ---- metadata document (pure spec layout, single snapshot) ------------
     now_ms = int(time.time() * 1000)
     doc = {
-        "format-version": 2,
+        "format-version": format_version,
+        # v3 requires the row-lineage high-water mark; ids assigned so far
+        # stay reserved in the imported lineage
+        **({"next-row-id": int(md.next_row_id)} if v3 else {}),
         "table-uuid": md.table_uuid,
         "location": md.location,
         "last-sequence-number": snap_seq,
@@ -1192,6 +1290,7 @@ def import_iceberg_avro(spark: SparkSession, catalog, identifier, metadata_json_
     data_files: list[str] = []
     exported_delete_files: list[str] = []
     exported_eq_deletes: list[tuple[str, int, list[int]]] = []
+    imported_dvs: dict = {}
     delete_seq = 2
     file_seqs: dict = {}
     file_partitions: dict = {}
@@ -1201,16 +1300,34 @@ def import_iceberg_avro(spark: SparkSession, catalog, identifier, metadata_json_
         mp = mp[len("file://"):] if mp.startswith("file://") else mp
         m_rows, _mm, _ms = read_avro_records(spark, mp)
         if m["content"] == 1:
-            # deletes manifest: position (content 1) and equality (content
-            # 2) files; each eq entry keeps its OWN sequence number — the
-            # strict delete-seq > data-seq scoping must survive the import
+            # deletes manifest: position (content 1, parquet OR v3 PUFFIN
+            # deletion vectors) and equality (content 2) files; each eq
+            # entry keeps its OWN sequence number — the strict
+            # delete-seq > data-seq scoping must survive the import
             for e in m_rows:
                 if e["status"] == 2:
                     continue
                 df = e["data_file"]
                 path = df["file_path"]
                 path = path[len("file://"):] if path.startswith("file://") else path
-                if df["content"] == 1:
+                if df.get("content_offset") is not None:
+                    # v3 deletion vector: content_offset/content_size
+                    # address the blob inside the Puffin sidecar — map
+                    # straight back to the native vector-map entry, no
+                    # sidecar read needed (read_dv range-reads lazily)
+                    ref = df.get("referenced_data_file")
+                    if not ref:
+                        raise ValueError(
+                            "avro import: DV entry without referenced_data_file"
+                        )
+                    ref = ref[len("file://"):] if ref.startswith("file://") else ref
+                    imported_dvs[ref] = {
+                        "puffin": path,
+                        "offset": int(df["content_offset"]),
+                        "length": int(df["content_size_in_bytes"]),
+                        "cardinality": int(df["record_count"]),
+                    }
+                elif df["content"] == 1:
                     exported_delete_files.append(path)
                     delete_seq = max(delete_seq, int(e["sequence_number"] or 2))
                 elif df["content"] == 2:
@@ -1395,6 +1512,7 @@ def import_iceberg_avro(spark: SparkSession, catalog, identifier, metadata_json_
         data_files=data_files,
         position_delete_files=position_delete_files,
         delete_files=eq_delete_files,
+        deletion_vectors=imported_dvs,
         sequence_number=max(file_seqs.values(), default=1),
         file_seqs=file_seqs,
         file_partitions=file_partitions,
@@ -1411,6 +1529,8 @@ def import_iceberg_avro(spark: SparkSession, catalog, identifier, metadata_json_
         current_snapshot_id=snapshot.snapshot_id,
         last_updated_ms=int(doc.get("last-updated-ms", 0)),
         format_version=int(doc.get("format-version", 2)),
+        # v3: reserve the exporter's assigned row-id range
+        next_row_id=int(doc.get("next-row-id", 0)),
         partition_spec=entries,
         sort_orders=list(doc.get("sort-orders", [{"order-id": 0, "fields": []}])),
         default_sort_order_id=int(doc.get("default-sort-order-id", 0)),
@@ -1812,4 +1932,92 @@ def catalog_spec_evolution_retuple_export(spark: SparkSession, sf_dir: str) -> D
         ],
         "n_rows long, refused_before_retuple boolean, fresh_files_untouched boolean,"
         " all_files_tupled boolean, n_region2_pruned long, rows_identical boolean",
+    )
+
+
+@register(
+    "catalog_avro_dv_roundtrip",
+    oracle="""
+    SELECT CAST((SELECT count(*) FROM orders WHERE o_totalprice <= 300000)
+               AS BIGINT) AS n_rows,
+           CAST((SELECT count(*) FROM orders WHERE o_totalprice > 300000)
+               AS BIGINT) AS n_dv_deleted,
+           true AS rows_match,
+           true AS dv_blob_addrs_match,
+           true AS format_v3
+    """,
+    tags=("catalog", "avro", "manifest", "interop", "deletion-vectors", "v3"),
+)
+def catalog_avro_dv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg V3 deletion vectors through the spec Avro interop (r11): a
+    table with PENDING DV deletes exports a format-version-3 document whose
+    delete manifest carries one content=1 PUFFIN entry per vector —
+    ``referenced_data_file`` + ``content_offset``/``content_size_in_bytes``
+    (spec field-ids 143/144/145) addressing exactly the blob bytes the
+    native snapshot map records — and a foreign-catalog import, consuming
+    ONLY the exported Avro tree, rebuilds the vector map and applies the
+    deletes: imported rows equal source minus the deleted predicate
+    (DuckDB-pinned), with the blob addresses crossing bit-identical (no
+    sidecar is rewritten or even opened by export or import — the lazy
+    ranged read stays the only blob I/O).
+
+    This removes the v2 refusal's forced on-ramp
+    (``rewrite_dvs_to_position_deletes``) for v3-capable consumers.
+
+    Scale: export cost is O(vectors) metadata entries; the import's map
+    rebuild is O(vectors) dict work. Reference metadata lineage:
+    mod.rs:217-220 (iceberg-rs supplies this tree to the reference)."""
+    from pyspark.sql import functions as F
+
+    from iceberg_catalog_postgres_spark.catalog.catalog import TableIdentifier
+    from iceberg_catalog_postgres_spark.catalog.maintenance import _fresh_catalog
+
+    cat = _fresh_catalog("catalog_avro_dv_roundtrip")
+    src = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    t = cat.create_table(TableIdentifier.parse("avro.dv_src"), src.schema)
+    t = t.new_transaction().append_dataframe(src.coalesce(2)).commit()
+    doomed = (
+        t.to_df(spark)
+        .withColumn("file_path", F.col("_metadata.file_path"))
+        .withColumn("row_index", F.col("_metadata.row_index"))
+        .where(F.col("o_totalprice") > 300000)
+        .select("file_path", "row_index")
+    )
+    t = t.new_transaction().delete_positions_dv(doomed).commit()
+    native_dvs = t.metadata.current_deletion_vectors()
+
+    res = export_iceberg_avro(spark, t, format_version=3)
+    t2 = import_iceberg_avro(
+        spark, cat, TableIdentifier.parse("avro.dv_imported"), res["metadata_json"]
+    )
+
+    imported = t2.to_df(spark)
+    expect = src.filter(F.col("o_totalprice") <= 300000)
+    rows_match = (
+        imported.exceptAll(expect).count() == 0
+        and expect.exceptAll(imported).count() == 0
+    )
+    imp_dvs = t2.metadata.current_deletion_vectors()
+    store = cat.object_store()
+    # blob addresses must cross bit-identical, keyed by the same data files
+    addrs = lambda m, st: {  # noqa: E731
+        st.resolve(k): (int(v["offset"]), int(v["length"]), int(v["cardinality"]))
+        for k, v in m.items()
+    }
+    dv_addrs_match = addrs(native_dvs, store) == addrs(imp_dvs, store)
+    n_dv_deleted = sum(int(v["cardinality"]) for v in imp_dvs.values())
+    return spark.createDataFrame(
+        [
+            (
+                imported.count(),
+                int(n_dv_deleted),
+                bool(rows_match),
+                bool(dv_addrs_match),
+                t2.metadata.format_version == 3,
+            )
+        ],
+        "n_rows long, n_dv_deleted long, rows_match boolean, "
+        "dv_blob_addrs_match boolean, format_v3 boolean",
     )
