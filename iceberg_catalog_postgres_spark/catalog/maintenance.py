@@ -3182,52 +3182,21 @@ def update_column_ndv(
         )
 
 
-def update_partition_statistics(spark: SparkSession, table: Table) -> Table:
-    """Spec ``partition-statistics`` (r9): aggregate the current snapshot's
-    per-partition data/delete footprint into a REAL parquet file in the
-    spec's partition-statistics schema (unified partition struct with the
-    spec's partition-field ids; ``spec_id``, ``data_record_count``,
-    ``data_file_count``, ``total_data_file_size_in_bytes``,
-    ``position_delete_record_count``/``_file_count``) and reference it
-    from the document's top-level ``partition-statistics`` entry — the
-    partition-level CBO/skew input foreign planners read.
-
-    The aggregation is a PURE METADATA fold: record counts and partition
-    tuples come from the manifests, sizes from a stat of each file — zero
-    parquet footer or data reads. Positional deletes ARE attributable per
-    partition (they are path-scoped; the referenced data file's tuple is
-    known), at O(pending delete rows). Equality deletes (r10, closing the
-    r9 NULL): attributed as the rows the pending deletes TARGET — rows
-    matching a delete key in files committed before that delete (the
-    read's seq scoping). A manifest-BOUNDS pass first drops every file
-    whose [lo, hi] excludes all key values, so only overlapping files are
-    scanned, with the key side broadcast; ``equality_delete_file_count``
-    is the distinct delete files contributing >=1 targeted row to the
-    partition. Both fields are 0 (not NULL) when nothing is pending.
-    Unpartitioned tables are a no-op.
-    One entry, replaced per run; superseded files age out with metadata
-    GC. Commit via the same CAS pointer swap as every maintenance path.
-    """
-    import uuid as _uuid
-    from dataclasses import replace as _dc_replace
-
-    from pyspark.sql.types import (
-        DateType,
-        IntegerType,
-        LongType,
-        StringType,
-        StructField as _SF,
-        StructType as _ST,
-        TimestampType,
-    )
-
+def _partition_footprint(spark: SparkSession, table: Table):
+    """Per-partition data/delete footprint of the CURRENT snapshot — the
+    shared METADATA fold behind ``update_partition_statistics`` (the spec
+    partition-statistics sidecar) and ``partitions_df`` (the
+    ``table$partitions`` BI view). Returns
+    ``(part_fields, groups, eq_rec, eq_srcs)`` where ``groups`` maps each
+    raw partition tuple to {records, files, bytes, pos_del, pos_files},
+    and the eq_* maps carry the equality-delete attribution (targeted
+    rows / contributing delete files per partition; bounds-pruned,
+    key-scoped scan of only overlapping files — see
+    ``update_partition_statistics``'s docstring for the full contract)."""
     md = table.metadata
     snap = md.current_snapshot()
-    if snap is None or not md.partition_spec:
-        return table
     from iceberg_catalog_postgres_spark.catalog.avro_export import (
         _partition_fields_for_export,
-        _partition_value,
     )
 
     part_fields = _partition_fields_for_export(md)
@@ -3395,6 +3364,178 @@ def update_partition_statistics(spark: SparkSession, table: Table) -> Table:
                 k = _key_of(r["__file"])
                 if k in eq_srcs:
                     eq_srcs[k].add(r["__src"])
+    return part_fields, groups, eq_rec, eq_srcs
+
+
+def _typed_partition_value(raw_v, result_t):
+    """Recorded partition-tuple string -> typed Python value (date/timestamp
+    decoded from their epoch encodings) — shared by the partition-statistics
+    sidecar and the ``partitions`` metadata table."""
+    import datetime as _dt
+
+    from iceberg_catalog_postgres_spark.catalog.avro_export import _partition_value
+
+    v = _partition_value(raw_v, result_t)
+    if v is None:
+        return None
+    if result_t == "date":
+        return _dt.date(1970, 1, 1) + _dt.timedelta(days=int(v))
+    if result_t in ("timestamp", "timestamptz"):
+        return _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=int(v))
+    return v
+
+
+def partitions_df(spark: SparkSession, table: Table) -> DataFrame:
+    """The ``partitions`` metadata table (Iceberg's ``table$partitions``) —
+    the BI-facing complement to ``files``/``snapshots``/``history``: one row
+    per live partition of the current snapshot with the spec's columns —
+    the typed partition values (flattened under their spec entry names),
+    ``spec_id``, ``record_count`` (data-file rows, pre-MOR-delete, the spec
+    meaning), ``file_count``, ``total_data_file_size_in_bytes``,
+    ``position_delete_record_count``/``_file_count``,
+    ``equality_delete_record_count``/``_file_count`` (both via the same
+    bounds-pruned attribution the partition-statistics sidecar uses), and
+    ``last_updated_snapshot_id``/``last_updated_at`` (the newest snapshot
+    that added/rewrote a data file in the partition, from per-file
+    sequence numbers — a pure metadata lookup).
+
+    Scale: everything except the equality-delete attribution is a METADATA
+    fold (record counts and tuples from manifests, sizes from file stats);
+    eq attribution scans only bounds-overlapping files with broadcast keys
+    and is skipped entirely when nothing is pending. Serving this from the
+    metadata tree instead of listing+scanning 10^7 files is the point.
+    """
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField as _SF,
+        StructType as _ST,
+        TimestampType,
+    )
+
+    md = table.metadata
+    snap = md.current_snapshot()
+    if snap is None or not md.partition_spec:
+        raise ValueError(
+            "partitions_df requires a partitioned table with a snapshot "
+            "(unpartitioned tables have no partition rows — use files/"
+            "snapshots metadata tables)"
+        )
+    part_fields, groups, eq_rec, eq_srcs = _partition_footprint(spark, table)
+    parts = md.current_file_partitions()
+    seqs = snap.file_seqs or {}
+    last_seq: dict[tuple, int] = {}
+    for rel in snap.data_files:
+        tup = parts.get(rel) or {}
+        key = tuple(tup.get(p["entry"]) for p in part_fields)
+        last_seq[key] = max(last_seq.get(key, 0), int(seqs.get(rel, 0)))
+    by_seq = {s.sequence_number: s for s in md.snapshots}
+
+    from pyspark.sql.types import DateType
+
+    _SPARK_T = {
+        "int": IntegerType(),
+        "long": LongType(),
+        "string": StringType(),
+        "date": DateType(),
+        "timestamp": TimestampType(),
+        "timestamptz": TimestampType(),
+    }
+    import datetime as _dt
+
+    spec_id = len(md.partition_spec_log)
+    rows = []
+    for key, g in sorted(groups.items(), key=lambda kv: str(kv[0])):
+        owner = by_seq.get(last_seq.get(key, 0))
+        rows.append(
+            (
+                *[
+                    _typed_partition_value(key[i], p["result"])
+                    for i, p in enumerate(part_fields)
+                ],
+                spec_id,
+                g["records"],
+                g["files"],
+                g["bytes"],
+                g["pos_del"],
+                g["pos_files"],
+                eq_rec.get(key, 0),
+                len(eq_srcs.get(key, ())),
+                None
+                if owner is None
+                else _dt.datetime.utcfromtimestamp(owner.timestamp_ms / 1000.0),
+                None if owner is None else owner.snapshot_id,
+            )
+        )
+    schema = _ST(
+        [
+            *[
+                _SF(p["entry"], _SPARK_T.get(p["result"], StringType()), True)
+                for p in part_fields
+            ],
+            _SF("spec_id", IntegerType(), False),
+            _SF("record_count", LongType(), False),
+            _SF("file_count", IntegerType(), False),
+            _SF("total_data_file_size_in_bytes", LongType(), False),
+            _SF("position_delete_record_count", LongType(), False),
+            _SF("position_delete_file_count", IntegerType(), False),
+            _SF("equality_delete_record_count", LongType(), False),
+            _SF("equality_delete_file_count", IntegerType(), False),
+            _SF("last_updated_at", TimestampType(), True),
+            _SF("last_updated_snapshot_id", LongType(), True),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def update_partition_statistics(spark: SparkSession, table: Table) -> Table:
+    """Spec ``partition-statistics`` (r9): aggregate the current snapshot's
+    per-partition data/delete footprint into a REAL parquet file in the
+    spec's partition-statistics schema (unified partition struct with the
+    spec's partition-field ids; ``spec_id``, ``data_record_count``,
+    ``data_file_count``, ``total_data_file_size_in_bytes``,
+    ``position_delete_record_count``/``_file_count``) and reference it
+    from the document's top-level ``partition-statistics`` entry — the
+    partition-level CBO/skew input foreign planners read.
+
+    The aggregation is a PURE METADATA fold: record counts and partition
+    tuples come from the manifests, sizes from a stat of each file — zero
+    parquet footer or data reads. Positional deletes ARE attributable per
+    partition (they are path-scoped; the referenced data file's tuple is
+    known), at O(pending delete rows). Equality deletes (r10, closing the
+    r9 NULL): attributed as the rows the pending deletes TARGET — rows
+    matching a delete key in files committed before that delete (the
+    read's seq scoping). A manifest-BOUNDS pass first drops every file
+    whose [lo, hi] excludes all key values, so only overlapping files are
+    scanned, with the key side broadcast; ``equality_delete_file_count``
+    is the distinct delete files contributing >=1 targeted row to the
+    partition. Both fields are 0 (not NULL) when nothing is pending.
+    Unpartitioned tables are a no-op.
+    One entry, replaced per run; superseded files age out with metadata
+    GC. Commit via the same CAS pointer swap as every maintenance path.
+    """
+    import uuid as _uuid
+    from dataclasses import replace as _dc_replace
+
+    from pyspark.sql.types import (
+        DateType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField as _SF,
+        StructType as _ST,
+        TimestampType,
+    )
+
+    md = table.metadata
+    snap = md.current_snapshot()
+    if snap is None or not md.partition_spec:
+        return table
+    from iceberg_catalog_postgres_spark.catalog.avro_export import _partition_value
+
+    part_fields, groups, eq_rec, eq_srcs = _partition_footprint(spark, table)
+    store = table.catalog.object_store()
 
     _SPARK_T = {
         "int": IntegerType(),
@@ -3405,17 +3546,7 @@ def update_partition_statistics(spark: SparkSession, table: Table) -> Table:
         "timestamptz": TimestampType(),
     }
 
-    def _typed(raw_v, result_t):
-        import datetime as _dt
-
-        v = _partition_value(raw_v, result_t)
-        if v is None:
-            return None
-        if result_t == "date":
-            return _dt.date(1970, 1, 1) + _dt.timedelta(days=int(v))
-        if result_t in ("timestamp", "timestamptz"):
-            return _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=int(v))
-        return v
+    _typed = _typed_partition_value
 
     part_struct = _ST(
         [
@@ -5405,3 +5536,91 @@ def catalog_changelog_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("long"),
         F.round("total_value", 4).alias("total_value"),
     ).orderBy("user_id")
+
+
+@register(
+    "catalog_partitions_metadata_table",
+    oracle="""
+    WITH posd AS (
+      SELECT n_regionkey, count(*) AS c FROM nation
+      WHERE n_nationkey < 3 GROUP BY n_regionkey
+    ),
+    eqd AS (
+      SELECT n_regionkey, count(*) AS c FROM nation
+      WHERE n_nationkey IN (5, 6) GROUP BY n_regionkey
+    )
+    SELECT n.n_regionkey,
+           CAST(count(*) AS BIGINT)                 AS record_count,
+           CAST(1 AS BIGINT)                        AS file_count,
+           CAST(coalesce(p.c, 0) AS BIGINT)         AS position_delete_record_count,
+           CAST(CASE WHEN p.c IS NULL THEN 0 ELSE 1 END AS BIGINT)
+                                                    AS position_delete_file_count,
+           CAST(coalesce(e.c, 0) AS BIGINT)         AS equality_delete_record_count,
+           CAST(CASE WHEN e.c IS NULL THEN 0 ELSE 1 END AS BIGINT)
+                                                    AS equality_delete_file_count,
+           true                                     AS bytes_positive,
+           true                                     AS last_updated_is_append
+    FROM nation n
+    LEFT JOIN posd p ON p.n_regionkey = n.n_regionkey
+    LEFT JOIN eqd e ON e.n_regionkey = n.n_regionkey
+    GROUP BY n.n_regionkey, p.c, e.c
+    ORDER BY n.n_regionkey
+    """,
+    tags=("catalog", "metadata", "partitions"),
+)
+def catalog_partitions_metadata_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``table$partitions`` under the oracle gate (r11): nation partitioned
+    by n_regionkey (one file per partition), a positional MOR delete of
+    keys {0,1,2} and an equality MOR delete of keys {5,6} — the metadata
+    table must report, per partition, the PRE-delete record count (the
+    spec meaning), the file count, and BOTH delete attributions (rows and
+    contributing delete-file counts), which the oracle recomputes
+    relationally from the fixture. bytes/last-updated are pinned as
+    invariants (positive size; every partition last updated by the append
+    snapshot, since MOR deletes add no data files).
+
+    Scale: the data-side columns are a pure manifest fold; the delete
+    attributions are bounded by the pending delete set (bounds-pruned scan
+    with broadcast keys for eq) — never a table scan.
+    """
+    cat = _fresh_catalog("catalog_partitions_meta")
+    src = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    ident = TableIdentifier.parse("meta.nation_partitions")
+    t = cat.create_table(ident, src.schema, partition_by=["n_regionkey"])
+    t = t.new_transaction().append_dataframe(src.coalesce(1)).commit()
+    append_sid = t.metadata.current_snapshot_id
+
+    doomed = (
+        t.to_df(spark)
+        .withColumn("file_path", F.col("_metadata.file_path"))
+        .withColumn("row_index", F.col("_metadata.row_index"))
+        .where(F.col("n_nationkey") < 3)
+        .select("file_path", "row_index")
+        .coalesce(1)
+    )
+    t = t.new_transaction().delete_positions_dataframe(doomed).commit()
+    keys = spark.createDataFrame([(5,), (6,)], "n_nationkey long").coalesce(1)
+    t = t.new_transaction().delete_keys_dataframe(keys).commit()
+
+    p = partitions_df(spark, t)
+    return p.select(
+        "n_regionkey",
+        F.col("record_count").cast("long").alias("record_count"),
+        F.col("file_count").cast("long").alias("file_count"),
+        F.col("position_delete_record_count").cast("long").alias(
+            "position_delete_record_count"
+        ),
+        F.col("position_delete_file_count").cast("long").alias(
+            "position_delete_file_count"
+        ),
+        F.col("equality_delete_record_count").cast("long").alias(
+            "equality_delete_record_count"
+        ),
+        F.col("equality_delete_file_count").cast("long").alias(
+            "equality_delete_file_count"
+        ),
+        (F.col("total_data_file_size_in_bytes") > 0).alias("bytes_positive"),
+        (F.col("last_updated_snapshot_id") == F.lit(append_sid)).alias(
+            "last_updated_is_append"
+        ),
+    ).orderBy("n_regionkey")
