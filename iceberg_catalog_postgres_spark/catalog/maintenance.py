@@ -99,6 +99,7 @@ def merge_into(
     when_not_matched: list[dict] | tuple = (),
     when_not_matched_by_source: list[dict] | tuple = (),
     preserve_lineage: bool = False,
+    strategy: str = "cow",
 ) -> Table:
     """Full multi-clause MERGE INTO (ANSI SQL:2003 / Iceberg's MERGE): the
     general reconcile-write, of which ``merge_upsert`` is the two-clause
@@ -139,17 +140,33 @@ def merge_into(
 
     Implementation is ONE full-outer join + one projection — no per-clause
     scans: the clause decision table compiles to CASE chains evaluated in
-    the same pass that writes the output. Committed as an OVERWRITE
-    snapshot via the CAS protocol (reference commit model:
-    mod.rs:296-347), with validateNoNewFiles retry semantics.
+    the same pass that writes the output. ``strategy`` picks the WRITE:
+
+    - ``"cow"`` (default): copy-on-write OVERWRITE — the whole table is
+      rewritten; simplest read path afterwards.
+    - ``"mor"``: merge-on-read ROW DELTA (Iceberg's MOR MERGE) — ONE
+      atomic commit that appends ONLY the updated/inserted rows and marks
+      the replaced/deleted originals in deletion vectors; no data file is
+      rewritten, so the write costs O(changed rows) instead of O(table) —
+      THE merge path at 100 TB (readers pay one ranged vector fetch per
+      touched file until compaction folds it). Needs the scan's
+      ``_metadata`` identity, so rename-cohort tables must use CoW (the
+      pseudo-column does not resolve through the cohort union).
+
+    Both land via the CAS protocol (reference commit model:
+    mod.rs:296-347) with validateNoNewFiles retry semantics (a row
+    delta's positions reference the base file set, so it conflicts like
+    an overwrite).
 
     Scale: the join shuffles on the merge key once; everything else is
-    map-side. At 100 TB the refinement is partition-scoped CoW (rewrite
-    only partitions holding matched keys) — the clause algebra here is
-    unchanged by that optimization.
+    map-side. The CoW refinement at 100 TB is partition-scoped rewrite;
+    the MOR path makes that largely unnecessary — the clause algebra is
+    identical either way.
     """
     from functools import reduce as _reduce
 
+    if strategy not in ("cow", "mor"):
+        raise ValueError(f"strategy must be cow|mor, got {strategy!r}")
     if not on:
         raise ValueError("merge_into requires at least one key column in `on`")
     for grp, allowed in (
@@ -185,7 +202,14 @@ def merge_into(
 
     tgt = table.to_df(spark, with_row_lineage=preserve_lineage).withColumn(
         "__t", F.lit(True)
-    ).alias("t")
+    )
+    if strategy == "mor":
+        # capture the scan's file/position identity BEFORE the join — the
+        # row delta's delete side targets exactly these rows
+        tgt = tgt.withColumn("__tf", F.col("_metadata.file_path")).withColumn(
+            "__tp", F.col("_metadata.row_index")
+        )
+    tgt = tgt.alias("t")
     src = source.withColumn("__s", F.lit(True)).alias("s")
     join_cond = _reduce(
         lambda a, b: a & b,
@@ -278,6 +302,27 @@ def merge_into(
             .cast("long")
             .alias("_last_updated_sequence_number")
         )
+
+    if strategy == "mor":
+        updated = (is_m & _fires(when_matched, "__mi", "update")) | (
+            is_t & _fires(when_not_matched_by_source, "__bi", "update")
+        )
+        deleted = (is_m & _fires(when_matched, "__mi", "delete")) | (
+            is_t & _fires(when_not_matched_by_source, "__bi", "delete")
+        )
+        inserted = is_s & (F.col("__ni") >= 0)
+        # the row delta: DV-delete the replaced/deleted originals, append
+        # only the new row versions + inserts — O(changed rows), no rewrite
+        positions = j.where(updated | deleted).select(
+            F.col("__tf").alias("file_path"), F.col("__tp").alias("row_index")
+        )
+        added = j.where(updated | inserted).select(*out_cols)
+        tx = table.new_transaction().row_delta(
+            added, positions, lineage_materialized=preserve_lineage
+        )
+        if preserve_lineage:
+            tx._summary_extra["lineage-diff"] = "true"
+        return tx.commit()
 
     merged = j.where(~dropped).select(*out_cols)
     if preserve_lineage:
@@ -5624,3 +5669,123 @@ def catalog_partitions_metadata_table(spark: SparkSession, sf_dir: str) -> DataF
             "last_updated_is_append"
         ),
     ).orderBy("n_regionkey")
+
+
+@register(
+    "catalog_merge_multi_clause_mor",
+    oracle="""
+    WITH src AS (
+      SELECT n_nationkey, n_name || '_v2' AS n_name, n_regionkey
+      FROM nation WHERE n_nationkey < 6
+      UNION ALL
+      SELECT * FROM (VALUES
+        (CAST(25 AS BIGINT), 'newland', CAST(0 AS BIGINT)),
+        (CAST(26 AS BIGINT), 'terra',   CAST(1 AS BIGINT))
+      ) v(n_nationkey, n_name, n_regionkey)
+    ),
+    final AS (
+      SELECT t.n_nationkey, s.n_name AS n_name, t.n_regionkey
+      FROM nation t JOIN src s USING (n_nationkey)
+      WHERE t.n_regionkey <> 0
+      UNION ALL
+      SELECT t.n_nationkey,
+             CASE WHEN t.n_regionkey = 3 THEN upper(t.n_name) ELSE t.n_name END,
+             t.n_regionkey
+      FROM nation t
+      WHERE t.n_nationkey NOT IN (SELECT n_nationkey FROM src)
+        AND t.n_regionkey <> 4
+      UNION ALL
+      SELECT s.n_nationkey, s.n_name, s.n_regionkey
+      FROM src s
+      WHERE s.n_nationkey NOT IN (SELECT n_nationkey FROM nation)
+    )
+    SELECT CAST(count(*) AS BIGINT)        AS n_rows,
+           CAST(sum(n_nationkey) AS BIGINT) AS sum_key,
+           CAST(md5(string_agg(n_name, '|' ORDER BY n_nationkey)) AS VARCHAR)
+                                            AS names_md5,
+           true AS base_files_untouched,
+           true AS one_commit,
+           true AS dv_deletes_present
+    FROM final
+    """,
+    tags=("catalog", "merge", "multi-clause", "mor", "deletion-vectors", "scale"),
+)
+def catalog_merge_multi_clause_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MOR (row-delta) twin of ``catalog_merge_multi_clause``: the SAME
+    five-clause decision table, written as ONE atomic ``rowdelta`` commit —
+    new files carry only the updated/inserted rows, the replaced/deleted
+    originals become deletion-vector entries, and every base data file is
+    carried byte-identical (``base_files_untouched`` pins it). The final
+    table state is value-pinned against the same relational recompute
+    (count + key sum + an order-pinned md5 over the names, so every
+    clause's output values are checked, not just cardinalities).
+
+    Scale: this is the merge write that stays O(changed rows) at 100 TB —
+    the CoW twin rewrites the table; this commit appends ~8 rows and one
+    vector sidecar. Reference commit model: mod.rs:296-347."""
+    cat = _fresh_catalog("catalog_merge_multi_mor")
+    src = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    ident = TableIdentifier.parse("maint.nation_mcm")
+    table = cat.create_table(ident, src.schema)
+    table = table.new_transaction().append_dataframe(src.coalesce(2)).commit()
+    base_files = list(table.metadata.current_data_files())
+    n_snaps_before = len(table.metadata.snapshots)
+
+    upd = src.filter(F.col("n_nationkey") < 6).withColumn(
+        "n_name", F.concat(F.col("n_name"), F.lit("_v2"))
+    )
+    extra = spark.createDataFrame(
+        [(25, "newland", 0), (26, "terra", 1)],
+        "n_nationkey long, n_name string, n_regionkey long",
+    )
+    table = merge_into(
+        spark,
+        table,
+        upd.unionByName(extra),
+        on=["n_nationkey"],
+        when_matched=[
+            {"action": "delete", "condition": "t.n_regionkey = 0"},
+            {"action": "update", "set": {"n_name": "s.n_name"}},
+        ],
+        when_not_matched=[{"action": "insert"}],
+        when_not_matched_by_source=[
+            {
+                "action": "update",
+                "condition": "t.n_regionkey = 3",
+                "set": {"n_name": "upper(t.n_name)"},
+            },
+            {"action": "delete", "condition": "t.n_regionkey = 4"},
+        ],
+        preserve_lineage=True,
+        strategy="mor",
+    )
+    snap = table.metadata.current_snapshot()
+    base_untouched = set(base_files) <= set(snap.data_files)
+    one_commit = len(table.metadata.snapshots) == n_snaps_before + 1
+    dv_present = bool(snap.deletion_vectors) and snap.operation == "rowdelta"
+    final = table.to_df(spark)
+    # order-pinned md5: array_sort on (key, name) structs gives a
+    # deterministic key order regardless of shuffle placement
+    agg = final.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("n_nationkey").cast("long").alias("sum_key"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("n_nationkey", "n_name"))
+                    ),
+                    lambda x: x["n_name"],
+                ),
+            )
+        ).alias("names_md5"),
+    )
+    return agg.select(
+        "n_rows",
+        "sum_key",
+        "names_md5",
+        F.lit(bool(base_untouched)).alias("base_files_untouched"),
+        F.lit(bool(one_commit)).alias("one_commit"),
+        F.lit(bool(dv_present)).alias("dv_deletes_present"),
+    )

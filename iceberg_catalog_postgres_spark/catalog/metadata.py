@@ -339,7 +339,7 @@ def plan_manifests(
         snapshot.manifests = None
         return
     additive = (
-        operation in ("append", "delete")
+        operation in ("append", "delete", "rowdelta")
         and staged_entries is not None
         and prev_snapshot is not None
         and prev_snapshot.manifests

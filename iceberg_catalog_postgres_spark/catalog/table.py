@@ -2292,6 +2292,13 @@ class Table:
             return seqs.get(abs_or_rel, 0)
 
         frids = dict(snap.first_row_ids) if snap else {}
+        # Position-scoped deletes (pos-parquet, deletion vectors) need the
+        # scan's file/position identity. Spark's ``_metadata`` pseudo-column
+        # does not resolve through a Union, and a cohort read (renames,
+        # defaults, mixed inherited/materialized lineage) IS a union — so
+        # the identity is captured INSIDE each cohort projection as
+        # ``__mfile``/``__mpos`` (keep_metadata_cols) and dropped at the end.
+        need_meta = bool(pos_dels or dv_map)
 
         def _read_members(members: list[str]) -> DataFrame:
             """Cohort read, lineage-aware when requested: INHERITED files
@@ -2300,7 +2307,9 @@ class Table:
             lineage-preserving rewrite, map value None) read their physical
             ``_row_id`` column; pre-lineage files read NULL."""
             if not with_row_lineage:
-                return self._read_data_files(spark, members, seqs)
+                return self._read_data_files(
+                    spark, members, seqs, keep_metadata_cols=need_meta
+                )
             from pyspark.sql.functions import broadcast, coalesce, col
             from pyspark.sql.types import LongType as _L
 
@@ -2320,7 +2329,8 @@ class Table:
                     if _first(r) is not None
                 ]
                 if not pairs:
-                    p = p.drop("__mfile", "__mpos")
+                    if not need_meta:
+                        p = p.drop("__mfile", "__mpos")
                     if not phys:
                         p = p.withColumn("_row_id", F.lit(None).cast("long"))
                         return p.withColumn(
@@ -2351,11 +2361,16 @@ class Table:
                     if phys
                     else col("__lseq")
                 )
-                return (
+                p = (
                     p.withColumn("_row_id", rid)
                     .withColumn("_last_updated_sequence_number", lus.cast("long"))
-                    .drop("__lf", "__lp", "__lfile", "__first", "__lseq")
+                    .drop("__lfile", "__first", "__lseq")
                 )
+                if need_meta:  # hand the identity back to the delete steps
+                    return p.withColumnRenamed("__lf", "__mfile").withColumnRenamed(
+                        "__lp", "__mpos"
+                    )
+                return p.drop("__lf", "__lp")
 
             mat = [r for r in members if _is_mat(r)]
             rest = [r for r in members if not _is_mat(r)]
@@ -2393,20 +2408,18 @@ class Table:
             return out
 
         def _apply_pos_dels(part: DataFrame) -> DataFrame:
+            # identity comes from the cohort-captured __mfile/__mpos (kept
+            # for the next delete step; dropped once at the end of to_df)
             from pyspark.sql.functions import broadcast, col
 
             pd_df = spark.read.parquet(*pos_dels).withColumnsRenamed(
                 {"file_path": "__del_file", "row_index": "__del_pos"}
             )
-            return (
-                part.withColumn("__file", col("_metadata.file_path"))
-                .withColumn("__pos", col("_metadata.row_index"))
-                .join(
-                    broadcast(pd_df),
-                    (col("__file") == col("__del_file")) & (col("__pos") == col("__del_pos")),
-                    "left_anti",
-                )
-                .drop("__file", "__pos")
+            return part.join(
+                broadcast(pd_df),
+                (col("__mfile") == col("__del_file"))
+                & (col("__mpos") == col("__del_pos")),
+                "left_anti",
             )
 
         def _apply_dvs(part: DataFrame, members_rel: list[str]) -> DataFrame:
@@ -2456,9 +2469,9 @@ class Table:
                     )
                     for rel in touched
                 }
-                part2 = part.withColumn(
-                    "__dvf", col("_metadata.file_path")
-                ).withColumn("__dvp", col("_metadata.row_index"))
+                part2 = part.withColumn("__dvf", col("__mfile")).withColumn(
+                    "__dvp", col("__mpos")
+                )
                 return part2.mapInPandas(
                     _dv_membership_filter(mapping), part2.schema
                 ).drop("__dvf", "__dvp")
@@ -2482,16 +2495,11 @@ class Table:
                 _pd.concat(frames, ignore_index=True),
                 _T([_F("__dv_file", _Str()), _F("__dv_pos", _Long())]),
             )
-            return (
-                part.withColumn("__dvf", col("_metadata.file_path"))
-                .withColumn("__dvp", col("_metadata.row_index"))
-                .join(
-                    broadcast(dv_df),
-                    (col("__dvf") == col("__dv_file"))
-                    & (col("__dvp") == col("__dv_pos")),
-                    "left_anti",
-                )
-                .drop("__dvf", "__dvp")
+            return part.join(
+                broadcast(dv_df),
+                (col("__mfile") == col("__dv_file"))
+                & (col("__mpos") == col("__dv_pos")),
+                "left_anti",
             )
 
         def _apply_eq_dels(part: DataFrame, del_files: list[str]) -> DataFrame:
@@ -2541,7 +2549,7 @@ class Table:
                 df = _apply_dvs(df, rel_data)
             if dels:
                 df = _apply_eq_dels(df, snap.delete_files)
-            return df
+            return df.drop("__mfile", "__mpos") if need_meta else df
 
         # Sequence-scoped read: group data files into cohorts by which delete
         # files apply to them (delete seq > data seq). In steady state this is
@@ -2566,7 +2574,7 @@ class Table:
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
-        return df
+        return df.drop("__mfile", "__mpos") if need_meta else df
 
     def incremental_df(
         self, spark: SparkSession, from_snapshot_id: int, to_snapshot_id: int | None = None
@@ -2672,10 +2680,13 @@ class Table:
                 # raising (rewrites stop being a CDC barrier)
                 continue
             if (
-                s.operation == "overwrite"
+                s.operation in ("overwrite", "rowdelta")
                 and s.summary.get("lineage-diff") == "true"
             ):
-                # lineage-diffable MERGE: reconstruct row-level changes by
+                # lineage-diffable MERGE (CoW overwrite or MOR row delta —
+                # to_df applies the row delta's new vectors, so the state
+                # diff below is representation-agnostic):
+                # reconstruct row-level changes by
                 # joining the parent and merged states on _row_id — the
                 # stable identity makes UPDATE before/after pairs
                 # expressible, which no file-set diff can do. Cost is two
@@ -3657,16 +3668,22 @@ class Transaction:
         driver to serialize the bitmap — bounded by matched rows, the same
         order every DV writer (and the broadcast anti-join read) carries.
         """
+        if self._operation in ("append", "overwrite"):
+            raise ValueError("cannot mix data writes and deletes in one transaction")
+        self._operation = "delete"
+        return self._stage_dv_positions(positions)
+
+    def _stage_dv_positions(self, positions: DataFrame) -> "Transaction":
+        """Fold a (file_path, row_index) frame into the staged per-file DV
+        position arrays — shared by ``delete_positions_dv`` (a DELETE
+        commit) and ``row_delta`` (an atomic MOR merge commit)."""
         import numpy as _np
         import os as _os
 
-        if self._operation in ("append", "overwrite"):
-            raise ValueError("cannot mix data writes and deletes in one transaction")
         if set(positions.columns) != {"file_path", "row_index"}:
             raise ValueError(
                 f"positions must be (file_path, row_index), got {positions.columns}"
             )
-        self._operation = "delete"
         store = self.table.catalog.object_store()
         pdf = positions.toPandas()
         root = store.resolve("")  # store root, for abs -> rel mapping
@@ -3679,6 +3696,48 @@ class Transaction:
                 _np.union1d(prev, pos) if prev is not None else _np.unique(pos)
             )
         return self
+
+    def row_delta(
+        self,
+        df: DataFrame,
+        positions: DataFrame,
+        lineage_materialized: bool = False,
+        n_files: int | None = None,
+    ) -> "Transaction":
+        """Atomic ROW DELTA (Iceberg's MOR write for MERGE/UPDATE): stage
+        ``df`` as NEW data files AND ``positions`` (file_path, row_index —
+        the scan's ``_metadata`` identity) as deletion-vector deletes
+        against EXISTING files, committed as ONE snapshot. Readers see
+        pre- or post-merge state, never the half with deletes applied but
+        updates missing — the atomicity a delete-commit + append-commit
+        pair cannot give.
+
+        This is the O(changed rows) merge path at 100 TB: no data file is
+        rewritten (copy-on-write cost is O(table)); the commit adds only
+        the updated/inserted rows' files plus one superseding vector per
+        touched file. ``lineage_materialized=True`` declares ``df``
+        carries the v3 ``_row_id`` column (updated rows riding their old
+        identity; inserts NULL), exactly like
+        ``overwrite_dataframe(lineage_materialized=True)``.
+
+        Composes with the CAS protocol: retries validate the base file set
+        (validateNoNewFiles — the staged positions were computed from it)
+        and re-union vectors against the winner's state."""
+        if self._operation is not None:
+            raise ValueError(
+                f"cannot mix row_delta with {self._operation} in one transaction"
+            )
+        if lineage_materialized and "_row_id" not in df.columns:
+            raise ValueError(
+                "lineage_materialized requires the _row_id column "
+                "(read the input with to_df(with_row_lineage=True))"
+            )
+        self.append_dataframe(df, n_files=n_files)
+        if lineage_materialized:
+            self._lineage_first_row_ids = {f: None for f in self._staged_files}
+            self._summary_extra["lineage-materialized"] = "true"
+        self._operation = "rowdelta"
+        return self._stage_dv_positions(positions)
 
     # -- commit -----------------------------------------------------------
 
@@ -3705,12 +3764,14 @@ class Transaction:
                     # torn write, or a zombie twin won the race): no-op —
                     # exactly-once holds because fence + data moved in ONE CAS
                     return current
-            if attempt > 0 and self._operation == "overwrite":
+            if attempt > 0 and self._operation in ("overwrite", "rowdelta"):
                 # validateNoNewFiles: the staged overwrite (compaction, merge
-                # upsert, CoW rewrite) was computed from the base file set; a
-                # concurrent commit that changed it (e.g. an append that won
-                # the race) would be silently dropped by re-applying. Appends
-                # and MOR deletes commute and retry blindly; overwrites fail.
+                # upsert, CoW rewrite) or row delta (MOR merge — its delete
+                # positions reference base files) was computed from the base
+                # file set; a concurrent commit that changed it (e.g. an
+                # append that won the race) would be silently dropped or
+                # mis-targeted by re-applying. Appends and MOR deletes
+                # commute and retry blindly; overwrites/row deltas fail.
                 winner_files = frozenset(current.metadata.current_data_files())
                 if winner_files != self._base_data_files:
                     raise CommitConflictError(
@@ -3828,7 +3889,10 @@ class Transaction:
                 }
                 file_partitions = inherited_parts
                 file_stats = {**inherited_stats, **self._staged_stats}
-            else:  # append: new data inherits pending deletes unchanged
+            else:  # append / rowdelta: new data joins the base file set;
+                # pending deletes carry (rowdelta's OWN deletes are staged
+                # DV positions, merged into dv_entries below in the same
+                # snapshot — the atomic MOR merge write)
                 data_files = [*base_md.current_data_files(), *self._staged_files]
                 delete_files = list(base_md.current_delete_files())
                 pos_delete_files = list(base_md.current_position_delete_files())
@@ -3920,7 +3984,10 @@ class Transaction:
             # deletes are additive, so they reuse the parent's chunks and
             # write only an O(delta) chunk.
             staged_entries = None
-            if self._operation == "append":
+            if self._operation in ("append", "rowdelta"):
+                # rowdelta's delete side lives in the snapshot's inline DV
+                # map (vectors are per-file metadata, never chunked), so its
+                # chunk delta is the appended data files alone
                 staged_entries = [
                     {"path": f, "kind": "data", "seq": next_seq} for f in self._staged_files
                 ]

@@ -654,7 +654,7 @@ class CatalogChangelogStreamReader(CatalogCommitsStreamReader):
                 # adopt the rewritten file set as the new baseline
                 pass
             elif (
-                snap.operation == "overwrite"
+                snap.operation in ("overwrite", "rowdelta")
                 and snap.summary.get("lineage-diff") == "true"
             ):
                 # lineage-diffable MERGE: reconstruct update pairs + exact
@@ -873,8 +873,13 @@ def _merge_diff_changes(store, parent, snap, cols):
             "past it"
         )
 
-    def _rows(snapshot, rel):
-        """-> (ids list (None for unassigned), per-row value tuples)."""
+    def _rows(snapshot, rel, apply_dvs=False):
+        """-> [(physical position, row id (None for unassigned), values)].
+        ``apply_dvs`` drops positions in the SNAPSHOT's own deletion vector
+        for the file — a MOR row-delta merge deletes via vectors in the
+        same snapshot that adds the update files, so its live state is
+        files minus vectors. Physical positions survive the mask (the
+        parallel reader take()s them)."""
         tbl = pq.read_table(store.resolve(rel))
         names = set(tbl.schema.names)
         data = [
@@ -897,21 +902,31 @@ def _merge_diff_changes(store, parent, snap, cols):
             ids = [int(ent) + i for i in range(tbl.num_rows)]
         else:  # pre-lineage file: no ids
             ids = [None] * tbl.num_rows
-        return ids, list(zip(*data)) if tbl.num_rows else []
+        dead: set = set()
+        if apply_dvs:
+            dv_ent = (snapshot.deletion_vectors or {}).get(rel)
+            if dv_ent:
+                from iceberg_catalog_postgres_spark.catalog.dv import read_dv
+
+                dead = {int(x) for x in read_dv(store, dv_ent)}
+        vals = list(zip(*data)) if tbl.num_rows else []
+        return [
+            (pos, rid, row)
+            for pos, (rid, row) in enumerate(zip(ids, vals))
+            if pos not in dead
+        ]
 
     parent_by_id: dict = {}
     out = []
     for rel in parent.data_files:
-        ids, rows = _rows(parent, rel)
-        for pos, (rid, row) in enumerate(zip(ids, rows)):
+        for pos, rid, row in _rows(parent, rel):
             if rid is None:  # legacy: unmatched on both sides -> delete
                 out.append(("delete", rel, pos, row))
             else:
                 parent_by_id[rid] = (rel, pos, row)
     matched: set = set()
     for rel in snap.data_files:
-        ids, rows = _rows(snap, rel)
-        for pos, (rid, row) in enumerate(zip(ids, rows)):
+        for pos, rid, row in _rows(snap, rel, apply_dvs=True):
             old = parent_by_id.get(rid)
             if old is None:
                 out.append(("insert", rel, pos, row))
@@ -1056,7 +1071,7 @@ class CatalogChangelogParallelStreamReader(DataSourceStreamReader):
                 # adopt the rewritten file set as the new baseline
                 pass
             elif (
-                snap.operation == "overwrite"
+                snap.operation in ("overwrite", "rowdelta")
                 and snap.summary.get("lineage-diff") == "true"
             ):
                 # lineage-diffable MERGE: the row-lineage diff runs on the

@@ -1,10 +1,12 @@
-"""Deterministic soak of the r10 surfaces: random-but-seeded op sequences
-interleaving every delete representation (eq / pos-parquet / deletion
-vector), both conversion directions, lineage-preserving compaction,
-lineage merges, and rollbacks — with READ PARITY against a row model plus
-the lineage invariants (id uniqueness, high-water bound) asserted after
-EVERY op. A 14-sequence randomized superset of this ran clean at round
-end; these four fixed seeds are the committed regression slice."""
+"""Deterministic soak of the r10/r11 surfaces: random-but-seeded op
+sequences interleaving every delete representation (eq / pos-parquet /
+deletion vector), both conversion directions, lineage-preserving
+compaction, lineage merges, MOR multi-clause merges (atomic rowdelta,
+r11), and rollbacks — with READ PARITY against a row model plus the
+lineage invariants (id uniqueness, high-water bound) asserted after
+EVERY op. A 14-sequence randomized superset ran clean at r10 round end;
+these four fixed seeds are the committed regression slice (their
+sequences re-randomized when the op alphabet grew in r11)."""
 
 from __future__ import annotations
 
@@ -43,6 +45,7 @@ def _positions(t, spark, pred):
 def test_dv_lineage_soak_sequence(soak_catalog, spark, seed):
     from iceberg_catalog_postgres_spark.catalog.maintenance import (
         compact_table,
+        merge_into,
         merge_upsert,
         rewrite_dvs_to_position_deletes,
         rewrite_equality_deletes,
@@ -62,12 +65,13 @@ def test_dv_lineage_soak_sequence(soak_catalog, spark, seed):
         op = rng.choice(
             [
                 "append", "dvdel", "posdel", "eqdel", "convert",
-                "invert", "compactL", "mergeL", "rollback", "vac_eq",
+                "invert", "compactL", "mergeL", "mergeMOR", "rollback",
+                "vac_eq",
             ]
         )
         ops_log.append(op)
         if op == "append" or (
-            not model and op in ("dvdel", "posdel", "eqdel", "mergeL")
+            not model and op in ("dvdel", "posdel", "eqdel", "mergeL", "mergeMOR")
         ):
             rows = [
                 (next_k + j, f"v{rng.randint(0, 3)}")
@@ -129,6 +133,30 @@ def test_dv_lineage_soak_sequence(soak_catalog, spark, seed):
                 [(k, "UPD") for k in upd_keys] + new_rows, schema
             )
             t = merge_upsert(spark, t, updates, ["k"], preserve_lineage=True)
+        elif op == "mergeMOR":
+            # r11: multi-clause MOR merge (atomic rowdelta) — update one
+            # key, delete another via a matched clause, insert one row
+            if len(model) < 2:
+                continue
+            upd_k, del_k = rng.sample(sorted(model), 2)
+            ins = (next_k, "INS")
+            next_k += 1
+            model[upd_k] = "MUPD"
+            del model[del_k]
+            model[ins[0]] = ins[1]
+            msrc = spark.createDataFrame(
+                [(upd_k, "MUPD"), (del_k, "x"), ins], schema
+            )
+            t = merge_into(
+                spark, t, msrc, on=["k"],
+                when_matched=[
+                    {"action": "delete", "condition": f"t.k = {del_k}"},
+                    {"action": "update", "set": {"u": "s.u"}},
+                ],
+                when_not_matched=[{"action": "insert"}],
+                preserve_lineage=True,
+                strategy="mor",
+            )
         elif op == "rollback":
             snaps = t.metadata.snapshots
             if len(snaps) >= 2 and rng.random() < 0.4:

@@ -230,3 +230,175 @@ def test_merge_validates_clauses(sqlite_catalog, spark):
         merge_into(spark, t, src, on=["k"], when_matched=[{"action": "update"}])
     with pytest.raises(ValueError, match="at least one key"):
         merge_into(spark, t, src, on=[])
+
+
+def test_merge_mor_matches_cow_and_rewrites_nothing(sqlite_catalog, spark):
+    """The MOR row-delta merge produces the SAME final table as the CoW
+    merge for the same clauses — but in one rowdelta commit that carries
+    every base file byte-identical and appends only the changed rows."""
+    clauses = dict(
+        when_matched=[
+            {"action": "delete", "condition": "t.r = 0"},
+            {"action": "update", "set": {"name": "s.name"}},
+        ],
+        when_not_matched=[{"action": "insert"}],
+        when_not_matched_by_source=[
+            {"action": "update", "condition": "t.r = 1",
+             "set": {"name": "upper(t.name)"}},
+            {"action": "delete", "condition": "t.r = 2"},
+        ],
+    )
+    src = spark.createDataFrame(
+        [(0, "x0", 9), (1, "x1", 9), (2, "x2", 9), (20, "new20", 7)],
+        "k long, name string, r long",
+    )
+    t_cow = _seed(sqlite_catalog, spark, "m.cw")
+    t_mor = _seed(sqlite_catalog, spark, "m.mr")
+    base_files = set(t_mor.metadata.current_data_files())
+
+    t_cow = merge_into(spark, t_cow, src, on=["k"], **clauses)
+    t_mor = merge_into(spark, t_mor, src, on=["k"], strategy="mor", **clauses)
+
+    rows = lambda t: sorted(  # noqa: E731
+        (r.k, r.name, r.r) for r in t.to_df(spark).collect()
+    )
+    assert rows(t_mor) == rows(t_cow)
+    snap = t_mor.metadata.current_snapshot()
+    assert snap.operation == "rowdelta"
+    assert base_files <= set(snap.data_files), "MOR merge rewrote base files"
+    assert snap.deletion_vectors, "MOR merge produced no deletion vectors"
+    # appended files hold ONLY the changed rows: updates (2 matched + 2
+    # NMBS) + 1 insert = 5 rows
+    new_files = [f for f in snap.data_files if f not in base_files]
+    added = sum(
+        snap.file_stats[f]["record_count"] for f in new_files
+    )
+    assert added == 5, f"row delta appended {added} rows, want 5"
+
+
+def test_merge_mor_lineage_and_changelog_pairs(sqlite_catalog, spark):
+    """preserve_lineage MOR merge: updated rows keep their _row_id through
+    the row delta, and both the batch changelog AND the CDC stream readers
+    reconstruct the same update pairs across the rowdelta snapshot."""
+    import os
+
+    db = os.path.join(
+        os.path.dirname(sqlite_catalog.object_store().resolve("")), "mor_cdc.db"
+    )
+    from iceberg_catalog_postgres_spark.catalog.catalog import PostgresCatalog
+
+    wh = sqlite_catalog.object_store().resolve("") + "_morcdc"
+    cat = PostgresCatalog.connect("morcdc", f"sqlite://{db}", wh)
+    cat.initialize()
+    rows = [(i, f"n{i}", i % 3) for i in range(9)]
+    src0 = spark.createDataFrame(
+        rows, "n_nationkey long, n_name string, n_regionkey long"
+    )
+    t = cat.create_table(TableIdentifier.parse("morcdc.nation"), src0.schema)
+    t = t.new_transaction().append_dataframe(src0.coalesce(2)).commit()
+    base_snap = t.metadata.current_snapshot_id
+    ids_before = {
+        r.n_nationkey: r._row_id
+        for r in t.to_df(spark, with_row_lineage=True).collect()
+    }
+    msrc = spark.createDataFrame(
+        [(1, "u1", 9), (2, "any", 9), (40, "ins", 4)],
+        "n_nationkey long, n_name string, n_regionkey long",
+    )
+    t = merge_into(
+        spark, t, msrc, on=["n_nationkey"],
+        when_matched=[
+            {"action": "delete", "condition": "t.n_nationkey = 2"},
+            {"action": "update", "set": {"n_name": "s.n_name"}},
+        ],
+        when_not_matched=[{"action": "insert"}],
+        preserve_lineage=True,
+        strategy="mor",
+    )
+    after = {
+        r.n_nationkey: r._row_id
+        for r in t.to_df(spark, with_row_lineage=True).collect()
+    }
+    assert after[1] == ids_before[1], "updated row lost identity through MOR"
+    for k in (0, 3, 4, 5, 6, 7, 8):
+        assert after[k] == ids_before[k]
+    assert after[40] not in set(ids_before.values())
+
+    expect = {
+        ("update_before", 1, "n1"), ("update_after", 1, "u1"),
+        ("delete", 2, "n2"), ("insert", 40, "ins"),
+    }
+    batch = {
+        (r._change_type, r.n_nationkey, r.n_name)
+        for r in t.changelog_df(spark, base_snap).collect()
+    }
+    assert batch == expect
+
+    from iceberg_catalog_postgres_spark.sources.catalog_datasource import (
+        CatalogChangelogParallelStreamReader,
+        CatalogChangelogStreamReader,
+    )
+
+    opts = {"db": db, "warehouse": wh, "ident": "morcdc.nation", "catalog": "morcdc"}
+    reader = CatalogChangelogStreamReader(dict(opts))
+    srows, end = reader.read(reader.initialOffset())
+    assert end == {"n_snapshots": 2}
+    assert {(r[3], r[0], r[1]) for r in srows if r[4] == 2} == expect
+
+    preader = CatalogChangelogParallelStreamReader(dict(opts))
+    parts = preader.partitions({"n_snapshots": 1}, {"n_snapshots": 2})
+    prows = [r for p in parts for r in preader.read(p)]
+    assert {(r[3], r[0], r[1]) for r in prows} == expect
+    cat.backend.close()
+
+
+def test_merge_mor_insert_only_and_delete_only(sqlite_catalog, spark):
+    t = _seed(sqlite_catalog, spark, "m.io")
+    ins = spark.createDataFrame([(50, "i", 5)], "k long, name string, r long")
+    t = merge_into(
+        spark, t, ins, on=["k"], when_not_matched=[{"action": "insert"}],
+        strategy="mor",
+    )
+    assert t.metadata.current_snapshot().operation == "rowdelta"
+    assert t.to_df(spark).count() == 10
+    dels = spark.createDataFrame([(0, "x", 0)], "k long, name string, r long")
+    t = merge_into(
+        spark, t, dels, on=["k"], when_matched=[{"action": "delete"}],
+        strategy="mor",
+    )
+    assert sorted(r.k for r in t.to_df(spark).collect()) == [*range(1, 9), 50]
+
+
+def test_row_delta_conflicts_with_concurrent_commit(sqlite_catalog, spark):
+    """A row delta staged against a base file set that a concurrent commit
+    changed must CONFLICT on retry (its delete positions reference the old
+    files), like an overwrite — never silently re-apply."""
+    from iceberg_catalog_postgres_spark.catalog.catalog import CommitConflictError
+    from pyspark.sql import functions as F
+
+    t = _seed(sqlite_catalog, spark, "m.cc")
+    positions = (
+        t.to_df(spark)
+        .withColumn("file_path", F.col("_metadata.file_path"))
+        .withColumn("row_index", F.col("_metadata.row_index"))
+        .where(F.col("k") == 0)
+        .select("file_path", "row_index")
+    )
+    added = spark.createDataFrame([(0, "v2", 0)], "k long, name string, r long")
+    tx = t.new_transaction().row_delta(added, positions)
+    # concurrent writer lands an append between staging and commit
+    t2 = sqlite_catalog.load_table(t.identifier)
+    t2.new_transaction().append_dataframe(
+        spark.createDataFrame([(99, "other", 9)], "k long, name string, r long")
+    ).commit()
+    with pytest.raises(CommitConflictError):
+        tx.commit()
+
+
+def test_row_delta_rejects_mixing(sqlite_catalog, spark):
+    t = _seed(sqlite_catalog, spark, "m.mx")
+    df = spark.createDataFrame([(1, "a", 0)], "k long, name string, r long")
+    pos = spark.createDataFrame([], "file_path string, row_index long")
+    tx = t.new_transaction().append_dataframe(df)
+    with pytest.raises(ValueError, match="cannot mix"):
+        tx.row_delta(df, pos)
