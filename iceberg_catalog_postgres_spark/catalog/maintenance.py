@@ -3298,6 +3298,19 @@ def _partition_footprint(spark: SparkSession, table: Table):
         for key, dfiles in del_files_per_key.items():
             groups[key]["pos_files"] = len(dfiles)
 
+    # Deletion vectors (v3) are position deletes too: each vector's
+    # referenced data file names its partition and the snapshot entry
+    # already records the cardinality — a ZERO-I/O metadata fold (r11; a
+    # MOR rowdelta merge otherwise reports 0 deletes in table$partitions).
+    # Each vector counts as one contributing delete file (the spec's v3
+    # delete-manifest entry granularity).
+    for rel, ent in (snap.deletion_vectors or {}).items():
+        tup = parts.get(rel) or {}
+        key = tuple(tup.get(p["entry"]) for p in part_fields)
+        if key in groups:
+            groups[key]["pos_del"] += int(ent["cardinality"])
+            groups[key]["pos_files"] += 1
+
     # equality-delete attribution: bounds-pruned key-scoped scan of only
     # the overlapping files (see docstring)
     eq_rec: dict[tuple, int] = {k: 0 for k in groups}

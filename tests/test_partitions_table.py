@@ -89,3 +89,56 @@ def test_partitions_df_unpartitioned_raises(catalog, spark):
     t = t.new_transaction().append_dataframe(df).commit()
     with pytest.raises(ValueError, match="partitioned"):
         partitions_df(spark, t)
+
+
+def test_partitions_df_attributes_deletion_vectors(catalog, spark):
+    """v3 deletion vectors count as position deletes in table$partitions —
+    a zero-I/O fold from the vector map's cardinalities (r11)."""
+    df = spark.createDataFrame(
+        [(i, i % 2) for i in range(20)], "k long, r long"
+    )
+    t = catalog.create_table(
+        TableIdentifier.parse("p.dv"), df.schema, partition_by=["r"]
+    )
+    t = t.new_transaction().append_dataframe(df.coalesce(1)).commit()
+    doomed = (
+        t.to_df(spark)
+        .withColumn("file_path", F.col("_metadata.file_path"))
+        .withColumn("row_index", F.col("_metadata.row_index"))
+        .where(F.col("k").isin(0, 2, 4, 6))  # all r=0
+        .select("file_path", "row_index")
+    )
+    t = t.new_transaction().delete_positions_dv(doomed).commit()
+    rows = {r.r: r for r in partitions_df(spark, t).collect()}
+    assert rows[0].position_delete_record_count == 4
+    assert rows[0].position_delete_file_count == 1  # one vector
+    assert rows[1].position_delete_record_count == 0
+    assert rows[0].record_count == 10  # pre-delete, the spec meaning
+
+
+def test_partitions_df_after_mor_merge(catalog, spark):
+    """A MOR multi-clause merge's row delta surfaces in table$partitions:
+    DV-deleted originals count as position deletes, appended update files
+    join their partitions' file counts."""
+    from iceberg_catalog_postgres_spark.catalog.maintenance import merge_into
+
+    df = spark.createDataFrame(
+        [(i, i % 2) for i in range(10)], "k long, r long"
+    )
+    t = catalog.create_table(
+        TableIdentifier.parse("p.mm"), df.schema, partition_by=["r"]
+    )
+    t = t.new_transaction().append_dataframe(df.coalesce(1)).commit()
+    src = spark.createDataFrame([(0, 0), (2, 0)], "k long, r long")
+    t = merge_into(
+        spark, t, src, on=["k"],
+        when_matched=[{"action": "update", "set": {"r": "t.r"}},],
+        strategy="mor",
+    )
+    # the matched rows (k=0,2, both r=0) are rewritten by the row delta
+    # regardless of the values assigned: originals -> DV, new versions
+    # appended
+    rows = {r.r: r for r in partitions_df(spark, t).collect()}
+    assert rows[0].position_delete_record_count == 2
+    assert rows[0].file_count >= 2  # base file + the row-delta append
+    assert rows[1].position_delete_record_count == 0
