@@ -149,9 +149,10 @@ def merge_into(
       the replaced/deleted originals in deletion vectors; no data file is
       rewritten, so the write costs O(changed rows) instead of O(table) —
       THE merge path at 100 TB (readers pay one ranged vector fetch per
-      touched file until compaction folds it). Needs the scan's
-      ``_metadata`` identity, so rename-cohort tables must use CoW (the
-      pseudo-column does not resolve through the cohort union).
+      touched file until compaction folds it). The scan identity comes
+      from ``to_df(with_scan_identity=True)`` — captured inside each read
+      cohort, so MOR merges work on rename-cohort and mixed-lineage
+      tables too.
 
     Both land via the CAS protocol (reference commit model:
     mod.rs:296-347) with validateNoNewFiles retry semantics (a row
@@ -200,14 +201,18 @@ def merge_into(
             "cardinality violation)"
         )
 
-    tgt = table.to_df(spark, with_row_lineage=preserve_lineage).withColumn(
-        "__t", F.lit(True)
-    )
+    # MOR needs the scan's file/position identity for the row delta's
+    # delete side; with_scan_identity captures it INSIDE each read cohort,
+    # so the MOR merge also works on rename-cohort / mixed-lineage tables
+    # (where _metadata would not resolve through the union)
+    tgt = table.to_df(
+        spark,
+        with_row_lineage=preserve_lineage,
+        with_scan_identity=(strategy == "mor"),
+    ).withColumn("__t", F.lit(True))
     if strategy == "mor":
-        # capture the scan's file/position identity BEFORE the join — the
-        # row delta's delete side targets exactly these rows
-        tgt = tgt.withColumn("__tf", F.col("_metadata.file_path")).withColumn(
-            "__tp", F.col("_metadata.row_index")
+        tgt = tgt.withColumnRenamed("__mfile", "__tf").withColumnRenamed(
+            "__mpos", "__tp"
         )
     tgt = tgt.alias("t")
     src = source.withColumn("__s", F.lit(True)).alias("s")

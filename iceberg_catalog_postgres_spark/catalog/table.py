@@ -2130,6 +2130,7 @@ class Table:
         file_subset: list[str] | None = None,
         as_of_ms: int | None = None,
         with_row_lineage: bool = False,
+        with_scan_identity: bool = False,
     ) -> DataFrame:
         """DataFrame over the snapshot's file list (time travel via
         ``snapshot_id``). Empty table => empty DataFrame with the declared
@@ -2243,22 +2244,22 @@ class Table:
                 "with_row_lineage: the table schema already has a lineage column"
             )
         if not files:
-            if with_row_lineage:
-                from pyspark.sql.types import LongType as _L
-                from pyspark.sql.types import StructField as _SFe
-                from pyspark.sql.types import StructType as _STe
+            from pyspark.sql.types import LongType as _L
+            from pyspark.sql.types import StringType as _Se
+            from pyspark.sql.types import StructField as _SFe
+            from pyspark.sql.types import StructType as _STe
 
-                return spark.createDataFrame(
-                    [],
-                    _STe(
-                        [
-                            *self.schema.fields,
-                            _SFe("_row_id", _L(), True),
-                            _SFe("_last_updated_sequence_number", _L(), True),
-                        ]
-                    ),
-                )
-            return spark.createDataFrame([], self.schema)
+            extra = []
+            if with_row_lineage:
+                extra += [
+                    _SFe("_row_id", _L(), True),
+                    _SFe("_last_updated_sequence_number", _L(), True),
+                ]
+            if with_scan_identity:
+                extra += [_SFe("__mfile", _Se(), True), _SFe("__mpos", _L(), True)]
+            return spark.createDataFrame(
+                [], _STe([*self.schema.fields, *extra])
+            )
         snap_refs = snap.chunk_refs() if snap is not None else None
         if (
             not with_row_lineage  # lineage needs the per-file map below
@@ -2278,7 +2279,12 @@ class Table:
             # schema. Combined with summary-driven planned_files this makes a
             # pruned scan of an append-only table O(matching chunks) in
             # metadata I/O end to end — the snapshot is never inflated.
-            return spark.read.schema(self.schema).parquet(*files)
+            fp = spark.read.schema(self.schema).parquet(*files)
+            if with_scan_identity:
+                fp = fp.withColumn(
+                    "__mfile", F.col("_metadata.file_path")
+                ).withColumn("__mpos", F.col("_metadata.row_index"))
+            return fp
         pos_dels = self.position_delete_files(snapshot_id)
         dels = self.delete_files(snapshot_id)
         dv_map = dict(snap.deletion_vectors) if snap else {}
@@ -2298,7 +2304,11 @@ class Table:
         # defaults, mixed inherited/materialized lineage) IS a union — so
         # the identity is captured INSIDE each cohort projection as
         # ``__mfile``/``__mpos`` (keep_metadata_cols) and dropped at the end.
-        need_meta = bool(pos_dels or dv_map)
+        # ``with_scan_identity=True`` KEEPS the pair in the output — the
+        # rename/union-safe way for callers (MOR merges, DELETE WHERE) to
+        # address rows positionally where ``col("_metadata...")`` on the
+        # returned frame would fail to resolve.
+        need_meta = bool(pos_dels or dv_map) or with_scan_identity
 
         def _read_members(members: list[str]) -> DataFrame:
             """Cohort read, lineage-aware when requested: INHERITED files
@@ -2549,7 +2559,9 @@ class Table:
                 df = _apply_dvs(df, rel_data)
             if dels:
                 df = _apply_eq_dels(df, snap.delete_files)
-            return df.drop("__mfile", "__mpos") if need_meta else df
+            if need_meta and not with_scan_identity:
+                df = df.drop("__mfile", "__mpos")
+            return df
 
         # Sequence-scoped read: group data files into cohorts by which delete
         # files apply to them (delete seq > data seq). In steady state this is
@@ -2574,7 +2586,9 @@ class Table:
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
-        return df.drop("__mfile", "__mpos") if need_meta else df
+        if need_meta and not with_scan_identity:
+            df = df.drop("__mfile", "__mpos")
+        return df
 
     def incremental_df(
         self, spark: SparkSession, from_snapshot_id: int, to_snapshot_id: int | None = None

@@ -45,12 +45,43 @@ OPS = st.lists(
         st.tuples(st.just("delete"), st.integers(0, 4)),      # eq-delete value
         st.tuples(st.just("posdel"), st.integers(0, 3)),      # pos-delete k%4
         st.tuples(st.just("dvdel"), st.integers(0, 4)),       # DV delete k%5
+        st.tuples(st.just("mormerge"), st.integers(0, 2)),    # MOR merge k%3
     ),
     min_size=3,
     max_size=8,
 )
 
 NAME_POOL = ["c0", "c1", "c2"]  # names that get recycled across adds/renames
+
+
+def _apply_mormerge(spark, t, model, arg):
+    """r11 op: MOR multi-clause merge (atomic rowdelta) under evolution —
+    update the FIRST non-key column to 777 for rows with k % 3 == arg % 3
+    via merge_into(strategy="mor", preserve_lineage=True): originals go to
+    deletion vectors, new versions append as materialized-lineage files
+    written with the CURRENT (possibly renamed/evolved) schema. Returns
+    (table, changed)."""
+    from iceberg_catalog_postgres_spark.catalog.maintenance import merge_into
+
+    non_key = [(cid, n) for cid, n in model.cols if cid != 1]
+    hits = [r for r in model.rows if r.get(1) % 3 == arg % 3]
+    if not non_key or not hits:
+        return t, False
+    cid, name = non_key[0]
+    src_rows = [
+        tuple(777 if i == cid else r.get(i) for i, _n in model.cols)
+        for r in hits
+    ]
+    for r in hits:
+        r[cid] = 777
+    msrc = spark.createDataFrame(src_rows, t.metadata.spark_schema)
+    t = merge_into(
+        spark, t, msrc, on=["k"],
+        when_matched=[{"action": "update", "set": {name: f"s.{name}"}}],
+        preserve_lineage=True,
+        strategy="mor",
+    )
+    return t, True
 
 
 class Model:
@@ -254,6 +285,12 @@ def test_evolution_sequences_read_exactly(fuzz_catalog, spark, ops):
                 history.append(
                     (t.metadata.current_snapshot_id, [dict(r) for r in model.rows])
                 )
+        elif op == "mormerge":
+            t, changed = _apply_mormerge(spark, t, model, arg)
+            if changed:
+                history.append(
+                    (t.metadata.current_snapshot_id, [dict(r) for r in model.rows])
+                )
         elif op == "spec":
             candidates = [n for _i, n in model.cols if n != "k"]
             if candidates:
@@ -324,7 +361,7 @@ def test_evolution_sequences_read_exactly(fuzz_catalog, spark, ops):
         )
         for ch in changes:
             key = tuple(ch[n] for n in cur_names)
-            if ch["_change_type"] == "insert":
+            if ch["_change_type"] in ("insert", "update_after"):
                 state[key] += 1
             else:
                 assert state[key] > 0, (
@@ -485,6 +522,8 @@ def test_avro_round_trip_under_evolution(fuzz_catalog, spark, ops):
                     .select("file_path", "row_index")
                 )
                 t = t.new_transaction().delete_positions_dv(positions).commit()
+        elif op == "mormerge":
+            t, _changed = _apply_mormerge(spark, t, model, arg)
         elif op == "spec":
             candidates = [n for _i, n in model.cols if n != "k"]
             if candidates:
