@@ -531,6 +531,19 @@ def export_iceberg_avro(
             "file(s); positional deletes cannot be exported partition-"
             "correctly — compact/materialize deletes first (compact_table)"
         )
+    if part_fields and snap.deletion_vectors:
+        # Same hazard for v3 deletion vectors (they ARE position deletes):
+        # a spec-compliant planner pruning delete manifests by partition
+        # would skip a vector exported under the unpartitioned delete spec
+        # — phantom rows. Refuse on partitioned tables regardless of
+        # format_version; the v2 path already refused above on DVs alone.
+        raise ValueError(
+            f"avro export: table is partitioned and has "
+            f"{len(snap.deletion_vectors)} pending deletion vector(s); "
+            "position-scoped deletes cannot be exported partition-"
+            "correctly — compact/materialize deletes first (compact_table "
+            "or rewrite_dvs_to_position_deletes + compact)"
+        )
     if part_fields:
         for rel in snap.data_files:
             tup = parts_by_file.get(rel) or {}

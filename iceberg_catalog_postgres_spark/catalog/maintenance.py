@@ -182,6 +182,13 @@ def merge_into(
                 )
             if cl.get("action") == "update" and not cl.get("set"):
                 raise ValueError("update clause requires a `set` map (or 'all')")
+            if grp is when_not_matched_by_source and cl.get("set") == "all":
+                # s.* is NULL on that side of the join: "all" would silently
+                # null out every shared column of target-only rows
+                raise ValueError(
+                    "when_not_matched_by_source cannot use set: 'all' — "
+                    "source columns are NULL there; set t.*-based expressions"
+                )
     if not (when_matched or when_not_matched or when_not_matched_by_source):
         return table  # no clauses: provably a no-op, skip the commit
 
@@ -189,27 +196,41 @@ def merge_into(
     types = {f.name: f.dataType for f in table.schema.fields}
     src_cols = set(source.columns)
 
+    # MOR needs the scan's file/position identity for the row delta's
+    # delete side; with_scan_identity captures it INSIDE each read cohort,
+    # so the MOR merge also works on rename-cohort / mixed-lineage tables
+    # (where _metadata would not resolve through the union)
+    current = table.to_df(
+        spark,
+        with_row_lineage=preserve_lineage,
+        with_scan_identity=(strategy == "mor"),
+    )
+
     # Cardinality guard: duplicate source keys that MATCH a target row
     # would fan the full-outer join out and duplicate the target row in
-    # the rewrite regardless of which clause fires. O(source agg + key
-    # semi-join), metadata-free, runs before any rewrite work.
-    dup_keys = source.groupBy(*on).count().where(F.col("count") > 1).select(*on)
-    if dup_keys.join(table.to_df(spark).select(*on), on, "left_semi").limit(1).count():
+    # the rewrite regardless of which clause fires. NULL-SAFE, because the
+    # merge join itself is eqNullSafe — a null-unsafe guard would let two
+    # NULL-key source rows silently duplicate a NULL-key target row. One
+    # column-pruned job over the shared `current` frame (Catalyst prunes
+    # the scan to the key columns), before any rewrite work.
+    dup_keys = (
+        source.groupBy(*on)
+        .count()
+        .where(F.col("count") > 1)
+        .select([F.col(k).alias(f"__g_{k}") for k in on])
+    )
+    guard_cond = _reduce(
+        lambda a, b: a & b,
+        [F.col(f"__g_{k}").eqNullSafe(current[k]) for k in on],
+    )
+    if dup_keys.join(current.select(*on), guard_cond, "left_semi").limit(1).count():
         raise ValueError(
             "merge_into: multiple source rows match the same target row on "
             f"{on} — aggregate the source to one row per key first (MERGE "
             "cardinality violation)"
         )
 
-    # MOR needs the scan's file/position identity for the row delta's
-    # delete side; with_scan_identity captures it INSIDE each read cohort,
-    # so the MOR merge also works on rename-cohort / mixed-lineage tables
-    # (where _metadata would not resolve through the union)
-    tgt = table.to_df(
-        spark,
-        with_row_lineage=preserve_lineage,
-        with_scan_identity=(strategy == "mor"),
-    ).withColumn("__t", F.lit(True))
+    tgt = current.withColumn("__t", F.lit(True))
     if strategy == "mor":
         tgt = tgt.withColumnRenamed("__mfile", "__tf").withColumnRenamed(
             "__mpos", "__tp"
@@ -3525,9 +3546,13 @@ def partitions_df(spark: SparkSession, table: Table) -> DataFrame:
                 g["pos_files"],
                 eq_rec.get(key, 0),
                 len(eq_srcs.get(key, ())),
+                # timezone-AWARE UTC: Spark stores the instant; a naive
+                # utcfromtimestamp would be re-read in the session timezone
                 None
                 if owner is None
-                else _dt.datetime.utcfromtimestamp(owner.timestamp_ms / 1000.0),
+                else _dt.datetime.fromtimestamp(
+                    owner.timestamp_ms / 1000.0, tz=_dt.timezone.utc
+                ),
                 None if owner is None else owner.snapshot_id,
             )
         )
@@ -3595,8 +3620,6 @@ def update_partition_statistics(spark: SparkSession, table: Table) -> Table:
     snap = md.current_snapshot()
     if snap is None or not md.partition_spec:
         return table
-    from iceberg_catalog_postgres_spark.catalog.avro_export import _partition_value
-
     part_fields, groups, eq_rec, eq_srcs = _partition_footprint(spark, table)
     store = table.catalog.object_store()
 
@@ -4272,7 +4295,7 @@ def expire_snapshots(
         ancestry = [
             s for s in seq_ordered if s.sequence_number <= head.sequence_number
         ]
-        if mk is not None:
+        if mk is not None and int(mk) > 0:  # [-0:] would pin EVERYTHING
             pinned |= {s.snapshot_id for s in ancestry[-int(mk):]}
         if ma is not None:
             pinned |= {

@@ -2035,6 +2035,15 @@ class Table:
             raise ValueError("min-snapshots-to-keep applies to branches only")
         if max_snapshot_age_ms is not None and ref_type != "branch":
             raise ValueError("max-snapshot-age-ms applies to branches only")
+        for label, v in (
+            ("min-snapshots-to-keep", min_snapshots_to_keep),
+            ("max-snapshot-age-ms", max_snapshot_age_ms),
+            ("max-ref-age-ms", max_ref_age_ms),
+        ):
+            # 0/negative would invert the policy (Python's [-0:] slice is
+            # the WHOLE list — "keep nothing extra" would pin everything)
+            if v is not None and int(v) < 1:
+                raise ValueError(f"{label} must be >= 1, got {v}")
         sid = snapshot_id if snapshot_id is not None else self.metadata.current_snapshot_id
         if sid is None or sid not in self.metadata.snapshot_ids():
             raise ValueError(f"unknown snapshot for ref {name!r}: {sid}")
@@ -3745,6 +3754,12 @@ class Transaction:
             raise ValueError(
                 "lineage_materialized requires the _row_id column "
                 "(read the input with to_df(with_row_lineage=True))"
+            )
+        if set(positions.columns) != {"file_path", "row_index"}:
+            # validate BEFORE append_dataframe writes any parquet — a
+            # malformed call must not leave orphan data files behind
+            raise ValueError(
+                f"positions must be (file_path, row_index), got {positions.columns}"
             )
         self.append_dataframe(df, n_files=n_files)
         if lineage_materialized:

@@ -198,6 +198,42 @@ def _bounded_hi(
     return hi
 
 
+def _offset_anchor(snaps, n: int):
+    """The sequence number the offset count ``n`` anchors to (None at 0)."""
+    return int(snaps[n - 1].sequence_number) if n > 0 else None
+
+
+def _check_offset(snaps, off: dict) -> int:
+    """Validate a stream offset against the CURRENT snapshot chain.
+
+    Offsets are snapshot COUNTS, which silently SHIFT if expire_snapshots
+    removes consumed-prefix snapshots (the chain stays long enough that a
+    pure length check passes, but position n-1 is now a different
+    snapshot — unconsumed commits would be skipped forever). Every offset
+    this reader emits therefore records ``last_seq``, the sequence number
+    of the snapshot the count anchors to; on each use the anchor must
+    still be at that position, else fail loudly (the operator re-seeds
+    with start_snapshots). Offsets without the anchor (initial offsets,
+    pre-r11 checkpoints) get the length check only."""
+    n = int(off["n_snapshots"])
+    if n > len(snaps):
+        raise ValueError(
+            f"snapshot chain shrank below the consumed offset ({len(snaps)} "
+            f"< {n}): history was expired or rolled back under a running "
+            "stream — restart the stream with start_snapshots at the "
+            "current chain"
+        )
+    anchor = off.get("last_seq")
+    if anchor is not None and _offset_anchor(snaps, n) != anchor:
+        raise ValueError(
+            f"snapshot chain changed under the stream offset: position {n} "
+            f"no longer anchors sequence {anchor} — consumed history was "
+            "expired or rolled back; restart the stream with "
+            "start_snapshots at the current chain"
+        )
+    return n
+
+
 def _snapshot_admission_units(snaps, i: int) -> tuple[int, int]:
     """(planned work units, stat-known appended rows) of snapshot ``i`` —
     the DELTA fold behind the admission cap. The fast path reads the
@@ -319,12 +355,18 @@ class CatalogCommitsStreamReader:
 
     def read(self, start: dict):
         snaps, _ = self._snapshots()
-        lo = start["n_snapshots"]
+        lo = _check_offset(snaps, start)
         hi = _bounded_hi(snaps, lo, self.max_files, self.max_rows)
-        return self._rows_between(lo, hi), {"n_snapshots": hi}
+        return self._rows_between(lo, hi), {
+            "n_snapshots": hi,
+            "last_seq": _offset_anchor(snaps, hi),
+        }
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        return self._rows_between(start["n_snapshots"], end["n_snapshots"])
+        snaps, _ = self._snapshots()
+        lo = _check_offset(snaps, start)
+        hi = _check_offset(snaps, end)
+        return self._rows_between(lo, hi)
 
     def commit(self, end: dict) -> None:
         pass
@@ -411,18 +453,17 @@ class CatalogCommitsParallelStreamReader(DataSourceStreamReader):
         snaps, _ = self._snapshots()
         # the structured-streaming admission point: each trigger's batch is
         # [committed offset, THIS], so capping here bounds the micro-batch
-        # (see _bounded_hi and the _committed note in __init__)
+        # (see _bounded_hi and the _committed note in __init__). Offsets
+        # carry last_seq so _check_offset detects consumed-prefix expiry.
         if self._committed is None:
-            return {"n_snapshots": len(snaps)}
-        return {
-            "n_snapshots": _bounded_hi(
-                snaps, self._committed, self.max_files, self.max_rows
-            )
-        }
+            hi = len(snaps)
+        else:
+            hi = _bounded_hi(snaps, self._committed, self.max_files, self.max_rows)
+        return {"n_snapshots": hi, "last_seq": _offset_anchor(snaps, hi)}
 
     def partitions(self, start: dict, end: dict):
         snaps, store = self._snapshots()
-        lo, hi = start["n_snapshots"], end["n_snapshots"]
+        lo, hi = _check_offset(snaps, start), _check_offset(snaps, end)
         self._committed = max(self._committed or 0, lo)
         prev: set = set(snaps[lo - 1].data_files) if lo > 0 else set()
         parts = []
@@ -447,7 +488,7 @@ class CatalogCommitsParallelStreamReader(DataSourceStreamReader):
         return iter([(*row, partition.seq) for row in zip(*cols)])
 
     def commit(self, end: dict) -> None:
-        self._committed = max(self._committed or 0, end["n_snapshots"])
+        self._committed = max(self._committed or 0, int(end["n_snapshots"]))
 
     def stop(self) -> None:
         pass
@@ -1000,16 +1041,14 @@ class CatalogChangelogParallelStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         snaps, _ = self._snapshots()
         if self._committed is None:
-            return {"n_snapshots": len(snaps)}
-        return {
-            "n_snapshots": _bounded_hi(
-                snaps, self._committed, self.max_files, self.max_rows
-            )
-        }
+            hi = len(snaps)
+        else:
+            hi = _bounded_hi(snaps, self._committed, self.max_files, self.max_rows)
+        return {"n_snapshots": hi, "last_seq": _offset_anchor(snaps, hi)}
 
     def partitions(self, start: dict, end: dict):
         snaps, store = self._snapshots()
-        lo, hi = start["n_snapshots"], end["n_snapshots"]
+        lo, hi = _check_offset(snaps, start), _check_offset(snaps, end)
         self._committed = max(self._committed or 0, lo)
         prev = snaps[lo - 1] if lo > 0 else None
         prev_files = set(prev.data_files) if prev else set()
@@ -1166,7 +1205,7 @@ class CatalogChangelogParallelStreamReader(DataSourceStreamReader):
         return iter(out)
 
     def commit(self, end: dict) -> None:
-        self._committed = max(self._committed or 0, end["n_snapshots"])
+        self._committed = max(self._committed or 0, int(end["n_snapshots"]))
 
     def stop(self) -> None:
         pass

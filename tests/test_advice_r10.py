@@ -87,7 +87,7 @@ def test_cdc_stream_eq_to_dv_conversion_emits_once(spark, tmp_path):
 
     reader = CatalogChangelogStreamReader(dict(opts))
     rows, end = reader.read(reader.initialOffset())
-    assert end == {"n_snapshots": 3}
+    assert end["n_snapshots"] == 3
     dels = [r for r in rows if r[3] == "delete"]
     # exactly once per key (the eq commit's key-only rows), nothing from
     # the conversion commit

@@ -256,7 +256,7 @@ def test_cdc_streams_cross_lineage_preserving_compaction(spark, tmp_path):
     opts = {"db": db, "warehouse": wh, "ident": "c.nation", "catalog": "rlcdc"}
     reader = CatalogChangelogStreamReader(dict(opts))
     all_rows, end = reader.read(reader.initialOffset())
-    assert end == {"n_snapshots": 4}
+    assert end["n_snapshots"] == 4
     keys = sorted((r[0], r[3]) for r in all_rows)
     assert keys == sorted(
         [(i, "insert") for i in range(10)]

@@ -69,7 +69,7 @@ def test_simple_reader_emits_update_pairs(spark, tmp_path):
     t = _merge(spark, t)
     reader = CatalogChangelogStreamReader(dict(opts))
     rows, end = reader.read(reader.initialOffset())
-    assert end == {"n_snapshots": 2}
+    assert end["n_snapshots"] == 2
     merge_rows = [r for r in rows if r[4] == 2]
     assert {(r[3], r[0]) for r in merge_rows} == EXPECT
     # pair payloads: before carries the OLD name, after the NEW
@@ -150,6 +150,6 @@ def test_stream_after_merge_continues(spark, tmp_path):
     t = t.new_transaction().append_dataframe(extra.coalesce(1)).commit()
     reader = CatalogChangelogStreamReader(dict(opts))
     rows, end = reader.read(reader.initialOffset())
-    assert end == {"n_snapshots": 3}
+    assert end["n_snapshots"] == 3
     assert [(r[0], r[3]) for r in rows if r[4] == 3] == [(40, "insert")]
     cat.backend.close()

@@ -207,12 +207,12 @@ def test_changelog_stream_incremental_and_overwrite_contract(spark, tmp_path):
         {"db": db, "warehouse": wh, "ident": "inc.nation", "catalog": "cdcinc"}
     )
     _rows0, end0 = reader.read(reader.initialOffset())
-    assert end0 == {"n_snapshots": 1} and len(_rows0) == 10
+    assert end0["n_snapshots"] == 1 and len(_rows0) == 10
 
     keys = spark.createDataFrame([(3,), (4,)], "n_nationkey long").coalesce(1)
     t = t.new_transaction().delete_keys_dataframe(keys).commit()
     second, end1 = reader.read(end0)
-    assert end1 == {"n_snapshots": 2}
+    assert end1["n_snapshots"] == 2
     assert sorted(r[0] for r in second) == [3, 4]
     assert all(r[3] == "delete" for r in second)
     assert all(r[1] is None for r in second)  # key-only contract
@@ -278,7 +278,7 @@ def test_stream_source_refuses_schema_drift(spark, tmp_path):
         {"db": db, "warehouse": str(tmp_path / "wh"), "ident": "d.t", "catalog": "drift"}
     )
     rows, end = free.read(free.initialOffset())
-    assert end == {"n_snapshots": 1} and list(rows) == [(1, "x", 1)]
+    assert end["n_snapshots"] == 1 and list(rows) == [(1, "x", 1)]
 
 
 def test_parallel_cdc_partition_planning_scales(spark, tmp_path):
@@ -319,7 +319,7 @@ def test_parallel_cdc_partition_planning_scales(spark, tmp_path):
     reader = CatalogChangelogParallelStreamReader(
         {"db": db, "warehouse": wh, "ident": "sc.t", "catalog": "cdcsc"}
     )
-    assert reader.latestOffset() == {"n_snapshots": 30}
+    assert reader.latestOffset()["n_snapshots"] == 30
     full = reader.partitions({"n_snapshots": 0}, {"n_snapshots": 30})
     # one partition per appended file (coalesce(1) => 1/append) + one per
     # delete snapshot's eq set
@@ -421,7 +421,7 @@ def test_rate_limited_streaming_admission(spark, tmp_path):
         pr.commit(latest)
         start = latest
         batches += 1
-    assert start == {"n_snapshots": 7}  # converged on the full chain
+    assert start["n_snapshots"] == 7  # converged on the full chain
     assert batches == 4
     assert len(got) == total_rows and len(set(got)) == total_rows
     cat.backend.close()
