@@ -5830,3 +5830,107 @@ def catalog_merge_multi_clause_mor(spark: SparkSession, sf_dir: str) -> DataFram
         F.lit(bool(one_commit)).alias("one_commit"),
         F.lit(bool(dv_present)).alias("dv_deletes_present"),
     )
+
+
+def refs_df(spark: SparkSession, table: Table) -> DataFrame:
+    """The ``refs`` metadata table (Iceberg's ``table$refs``): one row per
+    named ref with name, type, snapshot_id, and the three retention
+    properties (NULL when unset) — plus ``main`` as a branch row pointing
+    at the current snapshot, like Iceberg. Pure metadata, no I/O."""
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField as _SF,
+        StructType as _ST,
+    )
+
+    md = table.metadata
+    rows = [
+        (
+            "main",
+            "branch",
+            md.current_snapshot_id,
+            None,
+            None,
+            None,
+        )
+    ]
+    for name, r in sorted(md.refs.items()):
+        rows.append(
+            (
+                name,
+                str(r.get("type", "tag")),
+                int(r["snapshot-id"]),
+                r.get("min-snapshots-to-keep"),
+                r.get("max-snapshot-age-ms"),
+                r.get("max-ref-age-ms"),
+            )
+        )
+    schema = _ST(
+        [
+            _SF("name", StringType(), False),
+            _SF("type", StringType(), False),
+            _SF("snapshot_id", LongType(), True),
+            _SF("min_snapshots_to_keep", IntegerType(), True),
+            _SF("max_snapshot_age_in_ms", LongType(), True),
+            _SF("max_reference_age_in_ms", LongType(), True),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+@register(
+    "catalog_refs_metadata_table",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('dev',      'branch', true,  CAST(3 AS INTEGER), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), false),
+      ('main',     'branch', false, CAST(NULL AS INTEGER), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), true),
+      ('night',    'tag',    true,  CAST(NULL AS INTEGER), CAST(NULL AS BIGINT), CAST(604800000 AS BIGINT), false),
+      ('train-v1', 'tag',    true,  CAST(NULL AS INTEGER), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), false)
+    ) AS t(name, type, points_at_first, min_snapshots_to_keep,
+           max_snapshot_age_in_ms, max_reference_age_in_ms, points_at_current)
+    ORDER BY name
+    """,
+    tags=("catalog", "metadata", "refs", "retention"),
+)
+def catalog_refs_metadata_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``table$refs`` under the oracle gate (r11): two commits, a tag and a
+    branch pinned at the FIRST snapshot (the branch with
+    min-snapshots-to-keep=3), a second tag with max-ref-age 7 days — the
+    metadata table must surface every ref with its type, target, and
+    retention properties, plus the implicit ``main`` branch at the current
+    snapshot. Snapshot ids are run-dependent, so the oracle pins
+    which-snapshot booleans instead.
+
+    Scale: a metadata dict walk — zero file I/O; this is the BI view an
+    operator checks before changing retention policies.
+    """
+    cat = _fresh_catalog("catalog_refs_meta")
+    src = load(spark, sf_dir, "nation")
+    ident = TableIdentifier.parse("meta.nation_refs")
+    t = cat.create_table(ident, src.schema)
+    t = t.new_transaction().append_dataframe(src.coalesce(1)).commit()
+    first = t.metadata.current_snapshot_id
+    t = t.set_ref("train-v1", first, ref_type="tag")
+    t = t.set_ref("dev", first, ref_type="branch", min_snapshots_to_keep=3)
+    t = t.new_transaction().append_dataframe(
+        src.where(F.col("n_regionkey") == 0).coalesce(1)
+    ).commit()
+    t = t.set_ref(
+        "night", first, ref_type="tag", max_ref_age_ms=7 * 86400 * 1000
+    )
+    cur = t.metadata.current_snapshot_id
+    return (
+        refs_df(spark, t)
+        .select(
+            "name",
+            "type",
+            (F.col("snapshot_id") == F.lit(first)).alias("points_at_first"),
+            "min_snapshots_to_keep",
+            "max_snapshot_age_in_ms",
+            "max_reference_age_in_ms",
+            (F.col("snapshot_id") == F.lit(cur)).alias("points_at_current"),
+        )
+        .orderBy("name")
+    )

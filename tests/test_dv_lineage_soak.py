@@ -10,6 +10,7 @@ sequences re-randomized when the op alphabet grew in r11)."""
 
 from __future__ import annotations
 
+import os
 import random
 
 import pytest
@@ -41,7 +42,14 @@ def _positions(t, spark, pred):
     )
 
 
-@pytest.mark.parametrize("seed", [1000, 1003, 1004, 1008])
+# SOAK_EXTRA_SEEDS=1001,1002,... widens the committed slice to the
+# randomized superset on demand (the audit runs at round end use it)
+_EXTRA_SEEDS = [
+    int(s) for s in os.environ.get("SOAK_EXTRA_SEEDS", "").split(",") if s
+]
+
+
+@pytest.mark.parametrize("seed", [1000, 1003, 1004, 1008, *_EXTRA_SEEDS])
 def test_dv_lineage_soak_sequence(soak_catalog, spark, seed):
     from iceberg_catalog_postgres_spark.catalog.maintenance import (
         compact_table,
