@@ -5934,3 +5934,81 @@ def catalog_refs_metadata_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("name")
     )
+
+
+@register(
+    "catalog_merge_cdc_apply",
+    oracle="""
+    WITH cdc AS (
+      SELECT * FROM (VALUES
+        ('U', CAST(0 AS BIGINT), 'ALGERIA_NEW', CAST(0 AS BIGINT)),
+        ('U', CAST(3 AS BIGINT), 'CANADA_NEW',  CAST(1 AS BIGINT)),
+        ('D', CAST(1 AS BIGINT), NULL,          CAST(NULL AS BIGINT)),
+        ('D', CAST(99 AS BIGINT), NULL,         CAST(NULL AS BIGINT)),
+        ('I', CAST(30 AS BIGINT), 'novaterra',  CAST(2 AS BIGINT))
+      ) v(op, n_nationkey, n_name, n_regionkey)
+    )
+    SELECT t.n_nationkey,
+           coalesce(u.n_name, t.n_name) AS n_name,
+           t.n_regionkey
+    FROM nation t
+    LEFT JOIN (SELECT n_nationkey, n_name FROM cdc WHERE op = 'U') u
+           ON u.n_nationkey = t.n_nationkey
+    WHERE t.n_nationkey NOT IN (SELECT n_nationkey FROM cdc WHERE op = 'D')
+    UNION ALL
+    SELECT n_nationkey, n_name, n_regionkey FROM cdc
+    WHERE op = 'I'
+      AND n_nationkey NOT IN (SELECT n_nationkey FROM nation)
+    ORDER BY n_nationkey
+    """,
+    tags=("catalog", "merge", "cdc", "mor", "scale"),
+)
+def catalog_merge_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical CDC-APPLY pattern through ``merge_into``: a change
+    feed with an ``op`` flag column (U/D/I) — a column the TABLE does not
+    have — drives clause CONDITIONS referencing ``s.op``:
+
+        WHEN MATCHED AND s.op = 'D' THEN DELETE
+        WHEN MATCHED AND s.op = 'U' THEN UPDATE SET n_name = s.n_name
+        WHEN NOT MATCHED AND s.op = 'I' THEN INSERT
+
+    A 'D' for a key that never existed is a silent no-op (not matched, no
+    insert clause fires) — the idempotent delete semantics a CDC consumer
+    needs. Applied as ONE atomic MOR row delta (O(changed rows), base
+    files untouched). The oracle recomputes the applied state
+    relationally from the same change set.
+
+    This is how a downstream table MIRRORS an upstream CDC stream at
+    100 TB: batch the feed, one merge_into per batch, exactly-once via
+    the CAS commit. Reference commit model: mod.rs:296-347."""
+    cat = _fresh_catalog("catalog_merge_cdc")
+    src = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    ident = TableIdentifier.parse("maint.nation_cdc")
+    table = cat.create_table(ident, src.schema)
+    table = table.new_transaction().append_dataframe(src.coalesce(2)).commit()
+
+    feed = spark.createDataFrame(
+        [
+            ("U", 0, "ALGERIA_NEW", 0),
+            ("U", 3, "CANADA_NEW", 1),
+            ("D", 1, None, None),
+            ("D", 99, None, None),  # delete of a key that never existed
+            ("I", 30, "novaterra", 2),
+        ],
+        "op string, n_nationkey long, n_name string, n_regionkey long",
+    )
+    table = merge_into(
+        spark, table, feed,
+        on=["n_nationkey"],
+        when_matched=[
+            {"action": "delete", "condition": "s.op = 'D'"},
+            {"action": "update", "condition": "s.op = 'U'",
+             "set": {"n_name": "s.n_name"}},
+        ],
+        when_not_matched=[{"action": "insert", "condition": "s.op = 'I'"}],
+        preserve_lineage=True,
+        strategy="mor",
+    )
+    return table.to_df(spark).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ).orderBy("n_nationkey")

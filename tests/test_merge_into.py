@@ -402,3 +402,70 @@ def test_row_delta_rejects_mixing(sqlite_catalog, spark):
     tx = t.new_transaction().append_dataframe(df)
     with pytest.raises(ValueError, match="cannot mix"):
         tx.row_delta(df, pos)
+
+
+def test_chained_mor_merges_batch_changelog(sqlite_catalog, spark):
+    """Two consecutive MOR merges: the SECOND rowdelta's parent carries
+    pending deletion vectors — the batch changelog still reconstructs both
+    merges' pairs exactly (to_df applies each snapshot's vectors), while
+    the stream readers refuse the second with the pointed batch-path
+    message (the documented compound-case contract)."""
+    from iceberg_catalog_postgres_spark.sources.catalog_datasource import (
+        _merge_diff_changes,
+    )
+
+    t = _seed(sqlite_catalog, spark, "m.ch")
+    base = t.metadata.current_snapshot_id
+    src1 = spark.createDataFrame([(1, "u1", 9)], "k long, name string, r long")
+    t = merge_into(
+        spark, t, src1, on=["k"],
+        when_matched=[{"action": "update", "set": {"name": "s.name"}}],
+        preserve_lineage=True, strategy="mor",
+    )
+    src2 = spark.createDataFrame(
+        [(1, "u1b", 9), (2, "x", 9)], "k long, name string, r long"
+    )
+    t = merge_into(
+        spark, t, src2, on=["k"],
+        when_matched=[
+            {"action": "delete", "condition": "t.k = 2"},
+            {"action": "update", "set": {"name": "s.name"}},
+        ],
+        preserve_lineage=True, strategy="mor",
+    )
+    ch = [
+        (r._change_type, r.k, r.name, r._change_ordinal)
+        for r in t.changelog_df(spark, base).collect()
+    ]
+    assert sorted(ch) == sorted(
+        [
+            ("update_before", 1, "n1", 2), ("update_after", 1, "u1", 2),
+            ("update_before", 1, "u1", 3), ("update_after", 1, "u1b", 3),
+            ("delete", 2, "n2", 3),
+        ]
+    )
+    # final state correct through both vector generations
+    got = {r.k: r.name for r in t.to_df(spark).collect()}
+    assert got[1] == "u1b" and 2 not in got and len(got) == 8
+
+    # the stream's documented refusal on the compound case
+    snaps = sorted(t.metadata.snapshots, key=lambda s: s.sequence_number)
+    store = sqlite_catalog.object_store()
+    with pytest.raises(ValueError, match="pending deletes"):
+        _merge_diff_changes(store, snaps[1], snaps[2], ["k", "name", "r"])
+
+
+def test_merge_conditional_insert_filters_source(sqlite_catalog, spark):
+    """A conditioned NOT MATCHED insert drops non-qualifying source rows
+    (the CDC 'delete of a nonexistent key is a no-op' semantics)."""
+    t = _seed(sqlite_catalog, spark, "m.ci")
+    src = spark.createDataFrame(
+        [("I", 50, "in", 1), ("D", 60, "skip", 1)],
+        "op string, k long, name string, r long",
+    )
+    t = merge_into(
+        spark, t, src, on=["k"],
+        when_not_matched=[{"action": "insert", "condition": "s.op = 'I'"}],
+    )
+    keys = {r.k for r in t.to_df(spark).collect()}
+    assert 50 in keys and 60 not in keys
