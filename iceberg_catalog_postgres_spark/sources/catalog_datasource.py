@@ -699,9 +699,8 @@ class CatalogChangelogStreamReader(CatalogCommitsStreamReader):
                 and snap.summary.get("lineage-diff") == "true"
             ):
                 # lineage-diffable MERGE: reconstruct update pairs + exact
-                # deletes/inserts from row lineage (see _merge_diff_changes;
-                # a parent with pending deletes still refuses to the batch
-                # path there)
+                # deletes/inserts from row lineage, each side read as its
+                # snapshot's live MOR state (see _merge_diff_changes)
                 parent = snaps[idx - 1] if idx > 0 else None
                 for ct, _rel, _pos, row in _merge_diff_changes(
                     store, parent, snap, cols
@@ -891,10 +890,12 @@ def _merge_diff_changes(store, parent, snap, cols):
     rows) — the same asymptotic cost as the batch diff (a merge rewrite
     touches the whole table), just driver-located; for bulk merges the
     batch ``changelog_df`` is the distributed path, and admission caps
-    bound how many merge snapshots one trigger admits. A merge over a
-    parent with PENDING deletes (eq/pos/DV) still refuses — reconstructing
-    the parent's live set would re-implement the whole MOR read stack
-    here; the batch path handles that compound case."""
+    bound how many merge snapshots one trigger admits. Each side is read
+    as its snapshot's LIVE state — deletion vectors, pos-parquet files,
+    and seq-scoped equality keys all applied (r11; exactly what
+    ``to_df`` does for the batch diff) — so merges over parents with
+    pending deletes, and chained MOR merges whose parents carry vectors,
+    stream correctly instead of refusing."""
     import pyarrow.parquet as pq
 
     if parent is None:
@@ -902,25 +903,51 @@ def _merge_diff_changes(store, parent, snap, cols):
             "changelog stream crossed a lineage-diff MERGE with no parent "
             "snapshot in range; replay with the batch changelog_df"
         )
-    if (
-        parent.delete_files
-        or parent.position_delete_files
-        or parent.deletion_vectors
-    ):
-        raise ValueError(
-            "changelog stream crossed a lineage-diff MERGE over a parent "
-            "with pending deletes; replay this range with the batch "
-            "changelog_df, then resume the stream with start_snapshots "
-            "past it"
-        )
 
-    def _rows(snapshot, rel, apply_dvs=False):
-        """-> [(physical position, row id (None for unassigned), values)].
-        ``apply_dvs`` drops positions in the SNAPSHOT's own deletion vector
-        for the file — a MOR row-delta merge deletes via vectors in the
-        same snapshot that adds the update files, so its live state is
-        files minus vectors. Physical positions survive the mask (the
-        parallel reader take()s them)."""
+    def _mor_state(snapshot):
+        """Pending-delete state of one snapshot, decoded once: per-file
+        dead positions (vectors + pos-parquet) and the seq-scoped equality
+        key sets. Bounded by the pending delete cardinality."""
+        from iceberg_catalog_postgres_spark.catalog.dv import read_dv
+
+        dead: dict[str, set] = {}
+        for rel, ent in (snapshot.deletion_vectors or {}).items():
+            dead.setdefault(rel, set()).update(
+                int(x) for x in read_dv(store, ent)
+            )
+        for pf in snapshot.position_delete_files:
+            pt = pq.read_table(store.resolve(pf))
+            for path, idx in zip(
+                pt.column("file_path").to_pylist(),
+                pt.column("row_index").to_pylist(),
+            ):
+                rel = next(
+                    (d for d in snapshot.data_files if str(path).endswith(d)),
+                    None,
+                )
+                if rel is not None:
+                    dead.setdefault(rel, set()).add(int(idx))
+        seqs = snapshot.file_seqs or {}
+        eq = []
+        for ef in snapshot.delete_files:
+            et = pq.read_table(store.resolve(ef))
+            keyset = (
+                set(zip(*[et.column(c).to_pylist() for c in et.schema.names]))
+                if et.num_rows
+                else set()
+            )
+            if keyset:
+                eq.append((tuple(et.schema.names), keyset, seqs.get(ef, 0)))
+        return dead, eq, seqs
+
+    def _rows(snapshot, rel, state):
+        """-> [(physical position, row id (None for unassigned), values)]
+        of the file's LIVE rows under the snapshot's own MOR state: dead
+        positions masked, seq-scoped equality keys dropped (key columns
+        read by name, NULL-filled when the file predates the column — the
+        eqNullSafe batch semantics). Physical positions survive the mask
+        (the parallel reader take()s them)."""
+        dead_map, eq, seqs = state
         tbl = pq.read_table(store.resolve(rel))
         names = set(tbl.schema.names)
         data = [
@@ -943,13 +970,25 @@ def _merge_diff_changes(store, parent, snap, cols):
             ids = [int(ent) + i for i in range(tbl.num_rows)]
         else:  # pre-lineage file: no ids
             ids = [None] * tbl.num_rows
-        dead: set = set()
-        if apply_dvs:
-            dv_ent = (snapshot.deletion_vectors or {}).get(rel)
-            if dv_ent:
-                from iceberg_catalog_postgres_spark.catalog.dv import read_dv
-
-                dead = {int(x) for x in read_dv(store, dv_ent)}
+        dead = set(dead_map.get(rel, ()))
+        applicable = [
+            (kcols, ks) for kcols, ks, dseq in eq if dseq > seqs.get(rel, 0)
+        ]
+        if applicable:
+            key_data = {
+                c: (
+                    tbl.column(c).to_pylist()
+                    if c in names
+                    else [None] * tbl.num_rows
+                )
+                for c in {k for kcols, _ks in applicable for k in kcols}
+            }
+            for i in range(tbl.num_rows):
+                if any(
+                    tuple(key_data[c][i] for c in kcols) in ks
+                    for kcols, ks in applicable
+                ):
+                    dead.add(i)
         vals = list(zip(*data)) if tbl.num_rows else []
         return [
             (pos, rid, row)
@@ -959,15 +998,17 @@ def _merge_diff_changes(store, parent, snap, cols):
 
     parent_by_id: dict = {}
     out = []
+    p_state = _mor_state(parent)
+    s_state = _mor_state(snap)
     for rel in parent.data_files:
-        for pos, rid, row in _rows(parent, rel):
+        for pos, rid, row in _rows(parent, rel, p_state):
             if rid is None:  # legacy: unmatched on both sides -> delete
                 out.append(("delete", rel, pos, row))
             else:
                 parent_by_id[rid] = (rel, pos, row)
     matched: set = set()
     for rel in snap.data_files:
-        for pos, rid, row in _rows(snap, rel, apply_dvs=True):
+        for pos, rid, row in _rows(snap, rel, s_state):
             old = parent_by_id.get(rid)
             if old is None:
                 out.append(("insert", rel, pos, row))

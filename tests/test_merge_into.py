@@ -406,10 +406,10 @@ def test_row_delta_rejects_mixing(sqlite_catalog, spark):
 
 def test_chained_mor_merges_batch_changelog(sqlite_catalog, spark):
     """Two consecutive MOR merges: the SECOND rowdelta's parent carries
-    pending deletion vectors — the batch changelog still reconstructs both
-    merges' pairs exactly (to_df applies each snapshot's vectors), while
-    the stream readers refuse the second with the pointed batch-path
-    message (the documented compound-case contract)."""
+    pending deletion vectors — the batch changelog reconstructs both
+    merges' pairs exactly (to_df applies each snapshot's vectors), and
+    the stream diff handles the compound case too (r11: each side read
+    as its snapshot's live MOR state)."""
     from iceberg_catalog_postgres_spark.sources.catalog_datasource import (
         _merge_diff_changes,
     )
@@ -448,11 +448,21 @@ def test_chained_mor_merges_batch_changelog(sqlite_catalog, spark):
     got = {r.k: r.name for r in t.to_df(spark).collect()}
     assert got[1] == "u1b" and 2 not in got and len(got) == 8
 
-    # the stream's documented refusal on the compound case
+    # r11: the stream handles the compound case too — the second
+    # rowdelta's parent carries pending vectors, and the diff reads each
+    # side as its snapshot's live MOR state; stream == batch for it
     snaps = sorted(t.metadata.snapshots, key=lambda s: s.sequence_number)
     store = sqlite_catalog.object_store()
-    with pytest.raises(ValueError, match="pending deletes"):
-        _merge_diff_changes(store, snaps[1], snaps[2], ["k", "name", "r"])
+    stream2 = {
+        (ct, row[0], row[1])
+        for ct, _rel, _pos, row in _merge_diff_changes(
+            store, snaps[1], snaps[2], ["k", "name", "r"]
+        )
+    }
+    assert stream2 == {
+        ("update_before", 1, "u1"), ("update_after", 1, "u1b"),
+        ("delete", 2, "n2"),
+    }
 
 
 def test_merge_conditional_insert_filters_source(sqlite_catalog, spark):

@@ -1,8 +1,10 @@
 """Streaming CDC across lineage-diff MERGE snapshots (r11): both stream
 readers reconstruct update_before/update_after pairs + exact deletes and
 inserts from v3 row lineage — matching the batch ``changelog_df`` — with
-deterministic offset replay (restart/resume), and the compound
-merge-over-pending-deletes case still refuses to the batch path."""
+deterministic offset replay (restart/resume); merges over parents with
+pending deletes (and chained MOR merges) stream exactly, matching the
+batch changelog (r11 — each side read as its snapshot's live MOR
+state)."""
 
 from __future__ import annotations
 
@@ -61,6 +63,13 @@ EXPECT = {
     ("update_after", 0), ("update_after", 1),
     ("delete", 2), ("delete", 7),
     ("insert", 30),
+}
+
+EXPECT_FULL = {
+    ("update_before", 0, "n0"), ("update_before", 1, "n1"),
+    ("update_after", 0, "u0"), ("update_after", 1, "u1"),
+    ("delete", 2, "n2"), ("delete", 7, "n7"),
+    ("insert", 30, "ins"),
 }
 
 
@@ -125,17 +134,38 @@ def test_stream_matches_batch_changelog(spark, tmp_path):
     cat.backend.close()
 
 
-def test_merge_over_pending_deletes_still_refuses(spark, tmp_path):
+def test_merge_over_pending_deletes_streams_exactly(spark, tmp_path):
+    """r11: a merge over a parent with PENDING deletes no longer refuses —
+    each side is read as its snapshot's live MOR state, so the stream's
+    merge rows equal the batch changelog's (which reads through to_df).
+    The eq-deleted key must NOT resurface as a merge delete (it was
+    emitted at its own commit)."""
     cat, t, src, opts = _setup(spark, tmp_path, "rmrg")
+    pre_merge = t.metadata.current_snapshot_id
     keys = spark.createDataFrame([(5,)], "n_nationkey long").coalesce(1)
     t = t.new_transaction().delete_keys_dataframe(keys).commit()
-    t = _merge(spark, t)  # merge materializes the pending delete
+    eq_snap = t.metadata.current_snapshot_id
+    t = _merge(spark, t)  # CoW merge materializes the pending delete
+    merge_seq = t.metadata.current_snapshot().sequence_number
+
+    batch = {
+        (r._change_type, r.n_nationkey, r.n_name)
+        for r in t.changelog_df(spark, eq_snap).collect()
+    }
     reader = CatalogChangelogStreamReader(dict(opts))
-    with pytest.raises(ValueError, match="pending deletes"):
-        reader.read(reader.initialOffset())
+    rows, end = reader.read(reader.initialOffset())
+    assert end["n_snapshots"] == 3
+    stream_merge = {(r[3], r[0], r[1]) for r in rows if r[4] == merge_seq}
+    assert stream_merge == batch == EXPECT_FULL
+    # key 5's delete was emitted exactly once, at the eq commit
+    k5 = [(r[3], r[4]) for r in rows if r[0] == 5]
+    assert k5 == [("insert", 1), ("delete", 2)]
+
     preader = CatalogChangelogParallelStreamReader(dict(opts))
-    with pytest.raises(ValueError, match="pending deletes"):
-        preader.partitions({"n_snapshots": 0}, {"n_snapshots": 3})
+    parts = preader.partitions({"n_snapshots": 0}, {"n_snapshots": 3})
+    prows = [r for p in parts for r in preader.read(p)]
+    assert {(r[3], r[0], r[1]) for r in prows if r[4] == merge_seq} == batch
+    assert pre_merge is not None
     cat.backend.close()
 
 
