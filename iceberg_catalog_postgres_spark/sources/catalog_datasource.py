@@ -314,6 +314,7 @@ class CatalogCommitsStreamReader:
         )
         t = cat.load_table(TableIdentifier.parse(self.ident))
         self._check_schema(t)
+        self._table = t  # evolution guards in _merge_diff_changes need it
         snaps = sorted(t.metadata.snapshots, key=lambda s: s.sequence_number)
         store = cat.object_store()
         return snaps, store
@@ -439,6 +440,7 @@ class CatalogCommitsParallelStreamReader(DataSourceStreamReader):
         )
         t = cat.load_table(TableIdentifier.parse(self.ident))
         CatalogCommitsStreamReader._check_schema(self, t)
+        self._table = t  # evolution guards in _merge_diff_changes need it
         snaps = sorted(t.metadata.snapshots, key=lambda s: s.sequence_number)
         return snaps, cat.object_store()
 
@@ -703,7 +705,7 @@ class CatalogChangelogStreamReader(CatalogCommitsStreamReader):
                 # snapshot's live MOR state (see _merge_diff_changes)
                 parent = snaps[idx - 1] if idx > 0 else None
                 for ct, _rel, _pos, row in _merge_diff_changes(
-                    store, parent, snap, cols
+                    store, parent, snap, cols, table=getattr(self, "_table", None)
                 ):
                     out.append((*row, ct, seq))
             else:
@@ -756,6 +758,27 @@ class _ChangePartition(InputPartition):
         self.seq = seq
         self.data_files = data_files or []
         self.indices = indices or []
+
+
+def _eq_key_sets(store, delete_files, seqs) -> list:
+    """Decode equality-delete files into [(key column names, key tuple set,
+    delete seq)] — shared by the DV-delta eq subtraction and the merge-diff
+    MOR state. O(pending keys); key columns are matched BY NAME downstream
+    (the stream family's documented contract — rename/default-evolved
+    tables refuse where this would diverge from the batch path)."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for ef in delete_files:
+        et = pq.read_table(store.resolve(ef))
+        keyset = (
+            set(zip(*[et.column(c).to_pylist() for c in et.schema.names]))
+            if et.num_rows
+            else set()
+        )
+        if keyset:
+            out.append((tuple(et.schema.names), keyset, seqs.get(ef, 0)))
+    return out
 
 
 def _dv_delta_positions(
@@ -828,15 +851,7 @@ def _dv_delta_positions(
         import pyarrow.parquet as pq
 
         seqs = file_seqs or {}
-        eq_keys: list[tuple[tuple, set, int]] = []
-        for ef in prev_eq_files:
-            et = pq.read_table(store.resolve(ef))
-            keyset = (
-                set(zip(*[et.column(c).to_pylist() for c in et.schema.names]))
-                if et.num_rows
-                else set()
-            )
-            eq_keys.append((tuple(et.schema.names), keyset, seqs.get(ef, 0)))
+        eq_keys = _eq_key_sets(store, prev_eq_files, seqs)
         for rel in list(out):
             applicable = [
                 (kcols, ks)
@@ -868,7 +883,7 @@ def _dv_delta_positions(
     return out
 
 
-def _merge_diff_changes(store, parent, snap, cols):
+def _merge_diff_changes(store, parent, snap, cols, table=None):
     """Row-level changes of a ``lineage-diff`` MERGE snapshot, reconstructed
     from v3 ROW LINEAGE — the streaming twin of the batch ``changelog_df``'s
     two-snapshot ``_row_id`` join (table.py): parent-only ids are deletes,
@@ -903,41 +918,61 @@ def _merge_diff_changes(store, parent, snap, cols):
             "changelog stream crossed a lineage-diff MERGE with no parent "
             "snapshot in range; replay with the batch changelog_df"
         )
+    if (
+        (parent.delete_files or snap.delete_files)
+        and table is not None
+        and (table.column_renames() or table.column_defaults())
+    ):
+        # By-name eq matching diverges from the batch path here: the batch
+        # maps delete-file key names forward through the rename log and
+        # fills initial-defaults per cohort (table.py _apply_eq_dels /
+        # _read_data_files); reimplementing that driver-side would fork
+        # the evolution semantics. Narrow refusal — plain tables with
+        # pending deletes stream fine.
+        raise ValueError(
+            "changelog stream crossed a lineage-diff MERGE with pending "
+            "equality deletes on a rename/default-evolved table; replay "
+            "this range with the batch changelog_df, then resume the "
+            "stream with start_snapshots past it"
+        )
+
+    dv_cache: dict[tuple, set] = {}
+
+    def _decoded_dv(ent) -> set:
+        # a rowdelta carries the parent's vector map forward — share the
+        # decode for identical (sidecar, offset) entries across both sides
+        from iceberg_catalog_postgres_spark.catalog.dv import read_dv
+
+        key = (ent["puffin"], int(ent["offset"]))
+        if key not in dv_cache:
+            dv_cache[key] = {int(x) for x in read_dv(store, ent)}
+        return dv_cache[key]
 
     def _mor_state(snapshot):
         """Pending-delete state of one snapshot, decoded once: per-file
         dead positions (vectors + pos-parquet) and the seq-scoped equality
         key sets. Bounded by the pending delete cardinality."""
-        from iceberg_catalog_postgres_spark.catalog.dv import read_dv
-
         dead: dict[str, set] = {}
         for rel, ent in (snapshot.deletion_vectors or {}).items():
-            dead.setdefault(rel, set()).update(
-                int(x) for x in read_dv(store, ent)
-            )
+            dead.setdefault(rel, set()).update(_decoded_dv(ent))
+        pos_by_path: dict[str, list[int]] = {}
         for pf in snapshot.position_delete_files:
             pt = pq.read_table(store.resolve(pf))
             for path, idx in zip(
                 pt.column("file_path").to_pylist(),
                 pt.column("row_index").to_pylist(),
             ):
-                rel = next(
-                    (d for d in snapshot.data_files if str(path).endswith(d)),
-                    None,
-                )
-                if rel is not None:
-                    dead.setdefault(rel, set()).add(int(idx))
-        seqs = snapshot.file_seqs or {}
-        eq = []
-        for ef in snapshot.delete_files:
-            et = pq.read_table(store.resolve(ef))
-            keyset = (
-                set(zip(*[et.column(c).to_pylist() for c in et.schema.names]))
-                if et.num_rows
-                else set()
+                pos_by_path.setdefault(str(path), []).append(int(idx))
+        # resolve each DISTINCT recorded path once (URIs are suffixes of
+        # the rel paths) — never a per-row linear scan of data_files
+        for path, idxs in pos_by_path.items():
+            rel = next(
+                (d for d in snapshot.data_files if path.endswith(d)), None
             )
-            if keyset:
-                eq.append((tuple(et.schema.names), keyset, seqs.get(ef, 0)))
+            if rel is not None:
+                dead.setdefault(rel, set()).update(idxs)
+        seqs = snapshot.file_seqs or {}
+        eq = _eq_key_sets(store, snapshot.delete_files, seqs)
         return dead, eq, seqs
 
     def _rows(snapshot, rel, state):
@@ -971,8 +1006,12 @@ def _merge_diff_changes(store, parent, snap, cols):
         else:  # pre-lineage file: no ids
             ids = [None] * tbl.num_rows
         dead = set(dead_map.get(rel, ()))
+        # pre-sequence metadata (empty file_seqs): deletes apply to
+        # EVERYTHING — the batch path's round-1 behavior (table.py to_df)
         applicable = [
-            (kcols, ks) for kcols, ks, dseq in eq if dseq > seqs.get(rel, 0)
+            (kcols, ks)
+            for kcols, ks, dseq in eq
+            if not seqs or dseq > seqs.get(rel, 0)
         ]
         if applicable:
             key_data = {
@@ -1069,6 +1108,7 @@ class CatalogChangelogParallelStreamReader(DataSourceStreamReader):
         )
         t = cat.load_table(TableIdentifier.parse(self.ident))
         CatalogCommitsStreamReader._check_schema(self, t)
+        self._table = t  # evolution guards in _merge_diff_changes need it
         snaps = sorted(t.metadata.snapshots, key=lambda s: s.sequence_number)
         return snaps, cat.object_store()
 
@@ -1162,7 +1202,7 @@ class CatalogChangelogParallelStreamReader(DataSourceStreamReader):
                 parent = snaps[idx - 1] if idx > 0 else None
                 by_kind_rel: dict[tuple, list[int]] = {}
                 for ct, rel, pos, _row in _merge_diff_changes(
-                    store, parent, snap, _CDC_COLS
+                    store, parent, snap, _CDC_COLS, table=getattr(self, "_table", None)
                 ):
                     by_kind_rel.setdefault((ct, rel), []).append(pos)
                 for (ct, rel), idxs in sorted(by_kind_rel.items()):

@@ -141,7 +141,6 @@ def test_merge_over_pending_deletes_streams_exactly(spark, tmp_path):
     The eq-deleted key must NOT resurface as a merge delete (it was
     emitted at its own commit)."""
     cat, t, src, opts = _setup(spark, tmp_path, "rmrg")
-    pre_merge = t.metadata.current_snapshot_id
     keys = spark.createDataFrame([(5,)], "n_nationkey long").coalesce(1)
     t = t.new_transaction().delete_keys_dataframe(keys).commit()
     eq_snap = t.metadata.current_snapshot_id
@@ -165,7 +164,6 @@ def test_merge_over_pending_deletes_streams_exactly(spark, tmp_path):
     parts = preader.partitions({"n_snapshots": 0}, {"n_snapshots": 3})
     prows = [r for p in parts for r in preader.read(p)]
     assert {(r[3], r[0], r[1]) for r in prows if r[4] == merge_seq} == batch
-    assert pre_merge is not None
     cat.backend.close()
 
 
@@ -183,3 +181,54 @@ def test_stream_after_merge_continues(spark, tmp_path):
     assert end["n_snapshots"] == 3
     assert [(r[0], r[3]) for r in rows if r[4] == 3] == [(40, "insert")]
     cat.backend.close()
+
+
+def test_merge_eq_on_renamed_table_refuses_to_batch(spark, tmp_path):
+    """Eq-delete key matching is BY NAME in the stream; the batch maps key
+    names forward through the rename log — on a rename-evolved table with
+    pending eq deletes a lineage-diff merge refuses to the batch path
+    instead of silently diverging (r11 review finding, repro'd)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from iceberg_catalog_postgres_spark.catalog.metadata import FIELD_ID_KEY
+
+    def _sch(names):
+        types = [LongType(), StringType(), LongType()]
+        return StructType(
+            [
+                StructField(n, t, True, {FIELD_ID_KEY: i + 1})
+                for i, (n, t) in enumerate(zip(names, types))
+            ]
+        )
+
+    db = str(tmp_path / "rn.db")
+    wh = str(tmp_path / "rn_wh")
+    cat = PostgresCatalog.connect("rnmrg", f"sqlite://{db}", wh)
+    cat.initialize()
+    src = spark.createDataFrame(
+        [(i, f"n{i}", i % 3) for i in range(6)],
+        _sch(["n_nationkey", "n_name", "n_regionkey"]),
+    )
+    t = cat.create_table(TableIdentifier.parse("rnmrg.nation"), src.schema)
+    t = t.new_transaction().append_dataframe(src.coalesce(1)).commit()
+    # rename a column (old files keep the old physical name), then eq-delete
+    t = t.commit_schema(_sch(["n_nationkey", "n_label", "n_regionkey"]))
+    keys = spark.createDataFrame([(1,)], "n_nationkey long").coalesce(1)
+    t = t.new_transaction().delete_keys_dataframe(keys).commit()
+    msrc = spark.createDataFrame(
+        [(0, "u0", 9)], _sch(["n_nationkey", "n_label", "n_regionkey"])
+    )
+    t = merge_into(
+        spark, t, msrc, on=["n_nationkey"],
+        when_matched=[{"action": "update", "set": {"n_label": "s.n_label"}}],
+        preserve_lineage=True,
+    )
+    # batch handles it (rename-aware reads)
+    assert t.to_df(spark).count() == 5
+    opts = {
+        "db": db, "warehouse": wh, "ident": "rnmrg.nation", "catalog": "rnmrg",
+        "expect_columns": "n_nationkey,n_label,n_regionkey",
+    }
+    reader = CatalogChangelogStreamReader(dict(opts))
+    with pytest.raises(ValueError, match="rename/default-evolved"):
+        reader.read(reader.initialOffset())
