@@ -197,7 +197,13 @@ def deserialize_roaring64(data: bytes) -> np.ndarray:
 def dv_payload(positions) -> bytes:
     """Spec blob bytes: BE length of (magic + vector), magic, portable
     roaring64 vector, BE CRC-32 of (magic + vector)."""
-    vec = serialize_roaring64(positions)
+    return dv_payload_from_vec(serialize_roaring64(positions))
+
+
+def dv_payload_from_vec(vec: bytes) -> bytes:
+    """``dv_payload`` for an ALREADY-ENCODED portable roaring64 vector —
+    lets executor-encoded vectors flow into a sidecar without a driver
+    decode/re-encode round trip."""
     body = DV_MAGIC + vec
     return struct.pack(">i", len(body)) + body + struct.pack(">I", zlib.crc32(body))
 
@@ -226,7 +232,7 @@ def parse_dv_payload(payload: bytes) -> np.ndarray:
 def write_dv_sidecar(
     store,
     table_location: str,
-    dvs: dict[str, np.ndarray],
+    dvs: dict,
     snapshot_id: int,
     sequence_number: int,
 ) -> dict[str, dict]:
@@ -241,7 +247,12 @@ def write_dv_sidecar(
     spec's content-offset/content-size) — the read path seeks straight to
     them. One sidecar per COMMIT; files whose vector did not change keep
     pointing into their older sidecar (GC treats any referenced sidecar as
-    live)."""
+    live).
+
+    Entry values may be position arrays OR executor-encoded
+    ``(vector bytes, cardinality)`` pairs (r12) — the latter wrap straight
+    into a payload, so a bulk MOR merge's vectors never decode on the
+    driver."""
     import posixpath
     import uuid as _uuid
 
@@ -251,17 +262,23 @@ def write_dv_sidecar(
     blobs = []
     order = sorted(dvs)
     for data_rel in order:
-        pos = np.unique(np.asarray(dvs[data_rel], dtype=np.uint64))
+        ent = dvs[data_rel]
+        if isinstance(ent, tuple):
+            vec, card = bytes(ent[0]), int(ent[1])
+            payload = dv_payload_from_vec(vec)
+        else:
+            pos = np.unique(np.asarray(ent, dtype=np.uint64))
+            payload, card = dv_payload(pos), int(len(pos))
         blobs.append(
             {
                 "type": DV_BLOB_TYPE,
                 "fields": [],
                 "snapshot-id": snapshot_id,
                 "sequence-number": sequence_number,
-                "payload": dv_payload(pos),
+                "payload": payload,
                 "properties": {
                     "referenced-data-file": data_rel,
-                    "cardinality": str(int(len(pos))),
+                    "cardinality": str(card),
                 },
             }
         )

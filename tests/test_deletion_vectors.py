@@ -606,3 +606,50 @@ def test_avro_v3_export_without_dvs_roundtrips(catalog, spark):
     )
     assert t2.metadata.current_deletion_vectors() == {}
     assert t2.to_df(spark).count() == 30
+
+
+def test_dv_staging_never_materializes_positions_on_driver(
+    catalog, spark, monkeypatch
+):
+    """r12 scale pin (VERDICT r11 #2): ``_stage_dv_positions`` folds each
+    file's positions into a roaring vector ON EXECUTORS (applyInPandas) —
+    the driver collects only (rel, vector bytes, cardinality). A
+    ``toPandas()`` of the positions frame would pull O(changed rows)
+    through the driver; forbid it outright while staging, and check the
+    resulting read + vector cardinalities are exact."""
+    from pyspark.sql import DataFrame
+
+    t = _table(catalog, spark, "dvexec", n=300, parts=3)
+
+    def _boom(self, *a, **kw):
+        raise AssertionError("positions frame must never toPandas() on the driver")
+
+    monkeypatch.setattr(DataFrame, "toPandas", _boom)
+    t = t.new_transaction().delete_positions_dv(
+        _positions(t, spark, (F.col("k") % 5 == 0) | (F.col("k") >= 280))
+    ).commit()
+    monkeypatch.undo()
+    got = sorted(r["k"] for r in t.to_df(spark).collect())
+    assert got == [k for k in range(300) if k % 5 != 0 and k < 280]
+    dvs = t.metadata.current_deletion_vectors()
+    assert sum(e["cardinality"] for e in dvs.values()) == 300 - len(got)
+
+
+def test_dv_staging_merges_repeated_stages_and_parent_vectors(catalog, spark):
+    """Two staged frames in ONE transaction union per file (executor-encoded
+    vectors merged driver-side at blob granularity), and a SECOND commit
+    unions against the parent's existing vector — same semantics the old
+    array staging had."""
+    t = _table(catalog, spark, "dvexec2", n=100, parts=2)
+    tx = t.new_transaction()
+    tx.delete_positions_dv(_positions(t, spark, F.col("k") < 10))
+    tx.delete_positions_dv(_positions(t, spark, (F.col("k") >= 5) & (F.col("k") < 15)))
+    t = tx.commit()
+    assert sorted(r["k"] for r in t.to_df(spark).collect()) == list(range(15, 100))
+    t = t.new_transaction().delete_positions_dv(
+        _positions(t, spark, F.col("k") >= 95)
+    ).commit()
+    got = sorted(r["k"] for r in t.to_df(spark).collect())
+    assert got == list(range(15, 95))
+    dvs = t.metadata.current_deletion_vectors()
+    assert sum(e["cardinality"] for e in dvs.values()) == 20
