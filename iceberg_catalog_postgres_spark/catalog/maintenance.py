@@ -140,7 +140,12 @@ def merge_into(
 
     Implementation is ONE full-outer join + one projection — no per-clause
     scans: the clause decision table compiles to CASE chains evaluated in
-    the same pass that writes the output. ``strategy`` picks the WRITE:
+    the same pass that writes the output. The join output is CACHED and
+    every consumer (cardinality guard, MOR delete positions, appended
+    rows, CoW rewrite) reads the cache, so the join and its shuffle run
+    exactly once per merge (r12); the guard itself is a per-key source
+    COUNT window carried through the join as a column — no separate
+    target scan. ``strategy`` picks the WRITE:
 
     - ``"cow"`` (default): copy-on-write OVERWRITE — the whole table is
       rewritten; simplest read path afterwards.
@@ -206,37 +211,28 @@ def merge_into(
         with_scan_identity=(strategy == "mor"),
     )
 
-    # Cardinality guard: duplicate source keys that MATCH a target row
-    # would fan the full-outer join out and duplicate the target row in
-    # the rewrite regardless of which clause fires. NULL-SAFE, because the
-    # merge join itself is eqNullSafe — a null-unsafe guard would let two
-    # NULL-key source rows silently duplicate a NULL-key target row. One
-    # column-pruned job over the shared `current` frame (Catalyst prunes
-    # the scan to the key columns), before any rewrite work.
-    dup_keys = (
-        source.groupBy(*on)
-        .count()
-        .where(F.col("count") > 1)
-        .select([F.col(k).alias(f"__g_{k}") for k in on])
-    )
-    guard_cond = _reduce(
-        lambda a, b: a & b,
-        [F.col(f"__g_{k}").eqNullSafe(current[k]) for k in on],
-    )
-    if dup_keys.join(current.select(*on), guard_cond, "left_semi").limit(1).count():
-        raise ValueError(
-            "merge_into: multiple source rows match the same target row on "
-            f"{on} — aggregate the source to one row per key first (MERGE "
-            "cardinality violation)"
-        )
-
     tgt = current.withColumn("__t", F.lit(True))
     if strategy == "mor":
         tgt = tgt.withColumnRenamed("__mfile", "__tf").withColumnRenamed(
             "__mpos", "__tp"
         )
     tgt = tgt.alias("t")
-    src = source.withColumn("__s", F.lit(True)).alias("s")
+    # Cardinality guard, folded into the merge join itself (r12; the old
+    # guard was its own job — a source groupBy + a left-semi against a
+    # SECOND scan of the target): count source rows per key with a window
+    # over the SMALL side before the join and carry the count through as
+    # a column. A matched row with __scnt > 1 is exactly "multiple source
+    # rows match this target row" — checked below on the cached join
+    # output, so the guard costs one cache scan, not a target re-scan.
+    # NULL-SAFE for free: the window partitioner groups NULL keys the way
+    # the eqNullSafe join matches them.
+    from pyspark.sql import Window as _W
+
+    src = (
+        source.withColumn("__scnt", F.count(F.lit(1)).over(_W.partitionBy(*on)))
+        .withColumn("__s", F.lit(True))
+        .alias("s")
+    )
     join_cond = _reduce(
         lambda a, b: a & b,
         [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in on],
@@ -262,102 +258,118 @@ def merge_into(
     bi = F.when(is_t, _idx(when_not_matched_by_source)).otherwise(F.lit(-1))
     j = j.withColumn("__mi", mi).withColumn("__ni", ni).withColumn("__bi", bi)
 
-    def _fires(clauses, idx_col: str, action: str) -> F.Column:
-        out = F.lit(False)
-        for i, cl in enumerate(clauses):
-            if cl["action"] == action:
-                out = out | (F.col(idx_col) == i)
-        return out
-
-    dropped = (
-        (is_m & _fires(when_matched, "__mi", "delete"))
-        | (is_t & _fires(when_not_matched_by_source, "__bi", "delete"))
-        | (is_s & (F.col("__ni") == -1))
-    )
-
-    def _set_expr(cl: dict, c: str) -> str | None:
-        if cl["set"] == "all":
-            return f"s.{c}" if c in src_cols else None
-        return cl["set"].get(c)
-
-    out_cols = []
-    for c in cols:
-        base = F.col(f"t.{c}")
-        branches: list[tuple[F.Column, F.Column]] = []
-        for i, cl in enumerate(when_matched):
-            if cl["action"] == "update":
-                e = _set_expr(cl, c)
-                if e is not None:
-                    branches.append((is_m & (F.col("__mi") == i), F.expr(e)))
-        for i, cl in enumerate(when_not_matched_by_source):
-            if cl["action"] == "update":
-                e = _set_expr(cl, c)
-                if e is not None:
-                    branches.append((is_t & (F.col("__bi") == i), F.expr(e)))
-        for i, cl in enumerate(when_not_matched):
-            vals = cl.get("values") or {}
-            v = (
-                F.expr(vals[c])
-                if c in vals
-                else (F.col(f"s.{c}") if c in src_cols else F.lit(None))
+    # SINGLE-PASS execution (r12): every consumer below — the cardinality
+    # guard, the MOR path's delete positions AND appended rows, the CoW
+    # path's rewrite — reads this one cached join; before, the MOR merge
+    # re-ran the full-outer join (and its shuffle) up to three times. The
+    # guard runs first, on the cache build, so a violation aborts before
+    # any file is written.
+    j = j.persist()
+    try:
+        if j.where(is_m & (F.col("__scnt") > 1)).limit(1).count():
+            raise ValueError(
+                "merge_into: multiple source rows match the same target row on "
+                f"{on} — aggregate the source to one row per key first (MERGE "
+                "cardinality violation)"
             )
-            branches.append((is_s & (F.col("__ni") == i), v))
-        expr = base
-        if branches:
-            chain = F.when(*branches[0])
-            for cond, val in branches[1:]:
-                chain = chain.when(cond, val)
-            expr = chain.otherwise(base)
-        out_cols.append(expr.cast(types[c]).alias(c))
+        def _fires(clauses, idx_col: str, action: str) -> F.Column:
+            out = F.lit(False)
+            for i, cl in enumerate(clauses):
+                if cl["action"] == action:
+                    out = out | (F.col(idx_col) == i)
+            return out
 
-    if preserve_lineage:
-        updated = (is_m & _fires(when_matched, "__mi", "update")) | (
-            is_t & _fires(when_not_matched_by_source, "__bi", "update")
-        )
-        out_cols.append(
-            F.when(is_s, F.lit(None))
-            .otherwise(F.col("t._row_id"))
-            .cast("long")
-            .alias("_row_id")
-        )
-        # NULL = "updated by THIS commit": the lineage read coalesces it to
-        # the rewriting file's sequence number (same rule as merge_upsert)
-        out_cols.append(
-            F.when(is_s | updated, F.lit(None))
-            .otherwise(F.col("t._last_updated_sequence_number"))
-            .cast("long")
-            .alias("_last_updated_sequence_number")
+        dropped = (
+            (is_m & _fires(when_matched, "__mi", "delete"))
+            | (is_t & _fires(when_not_matched_by_source, "__bi", "delete"))
+            | (is_s & (F.col("__ni") == -1))
         )
 
-    if strategy == "mor":
-        updated = (is_m & _fires(when_matched, "__mi", "update")) | (
-            is_t & _fires(when_not_matched_by_source, "__bi", "update")
-        )
-        deleted = (is_m & _fires(when_matched, "__mi", "delete")) | (
-            is_t & _fires(when_not_matched_by_source, "__bi", "delete")
-        )
-        inserted = is_s & (F.col("__ni") >= 0)
-        # the row delta: DV-delete the replaced/deleted originals, append
-        # only the new row versions + inserts — O(changed rows), no rewrite
-        positions = j.where(updated | deleted).select(
-            F.col("__tf").alias("file_path"), F.col("__tp").alias("row_index")
-        )
-        added = j.where(updated | inserted).select(*out_cols)
-        tx = table.new_transaction().row_delta(
-            added, positions, lineage_materialized=preserve_lineage
-        )
+        def _set_expr(cl: dict, c: str) -> str | None:
+            if cl["set"] == "all":
+                return f"s.{c}" if c in src_cols else None
+            return cl["set"].get(c)
+
+        out_cols = []
+        for c in cols:
+            base = F.col(f"t.{c}")
+            branches: list[tuple[F.Column, F.Column]] = []
+            for i, cl in enumerate(when_matched):
+                if cl["action"] == "update":
+                    e = _set_expr(cl, c)
+                    if e is not None:
+                        branches.append((is_m & (F.col("__mi") == i), F.expr(e)))
+            for i, cl in enumerate(when_not_matched_by_source):
+                if cl["action"] == "update":
+                    e = _set_expr(cl, c)
+                    if e is not None:
+                        branches.append((is_t & (F.col("__bi") == i), F.expr(e)))
+            for i, cl in enumerate(when_not_matched):
+                vals = cl.get("values") or {}
+                v = (
+                    F.expr(vals[c])
+                    if c in vals
+                    else (F.col(f"s.{c}") if c in src_cols else F.lit(None))
+                )
+                branches.append((is_s & (F.col("__ni") == i), v))
+            expr = base
+            if branches:
+                chain = F.when(*branches[0])
+                for cond, val in branches[1:]:
+                    chain = chain.when(cond, val)
+                expr = chain.otherwise(base)
+            out_cols.append(expr.cast(types[c]).alias(c))
+
         if preserve_lineage:
-            tx._summary_extra["lineage-diff"] = "true"
-        return tx.commit()
+            updated = (is_m & _fires(when_matched, "__mi", "update")) | (
+                is_t & _fires(when_not_matched_by_source, "__bi", "update")
+            )
+            out_cols.append(
+                F.when(is_s, F.lit(None))
+                .otherwise(F.col("t._row_id"))
+                .cast("long")
+                .alias("_row_id")
+            )
+            # NULL = "updated by THIS commit": the lineage read coalesces it to
+            # the rewriting file's sequence number (same rule as merge_upsert)
+            out_cols.append(
+                F.when(is_s | updated, F.lit(None))
+                .otherwise(F.col("t._last_updated_sequence_number"))
+                .cast("long")
+                .alias("_last_updated_sequence_number")
+            )
 
-    merged = j.where(~dropped).select(*out_cols)
-    if preserve_lineage:
-        tx = table.new_transaction().overwrite_dataframe(
-            merged, lineage_materialized=True
-        )
-        tx._summary_extra["lineage-diff"] = "true"
-        return tx.commit()
-    return table.new_transaction().overwrite_dataframe(merged).commit()
+        if strategy == "mor":
+            updated = (is_m & _fires(when_matched, "__mi", "update")) | (
+                is_t & _fires(when_not_matched_by_source, "__bi", "update")
+            )
+            deleted = (is_m & _fires(when_matched, "__mi", "delete")) | (
+                is_t & _fires(when_not_matched_by_source, "__bi", "delete")
+            )
+            inserted = is_s & (F.col("__ni") >= 0)
+            # the row delta: DV-delete the replaced/deleted originals, append
+            # only the new row versions + inserts — O(changed rows), no rewrite
+            positions = j.where(updated | deleted).select(
+                F.col("__tf").alias("file_path"), F.col("__tp").alias("row_index")
+            )
+            added = j.where(updated | inserted).select(*out_cols)
+            tx = table.new_transaction().row_delta(
+                added, positions, lineage_materialized=preserve_lineage
+            )
+            if preserve_lineage:
+                tx._summary_extra["lineage-diff"] = "true"
+            return tx.commit()
+
+        merged = j.where(~dropped).select(*out_cols)
+        if preserve_lineage:
+            tx = table.new_transaction().overwrite_dataframe(
+                merged, lineage_materialized=True
+            )
+            tx._summary_extra["lineage-diff"] = "true"
+            return tx.commit()
+        return table.new_transaction().overwrite_dataframe(merged).commit()
+    finally:
+        j.unpersist()
 
 
 def compact_table(
