@@ -1066,6 +1066,83 @@ def catalog_merge_multi_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "catalog_merge_sql",
+    oracle="""
+    WITH src AS (
+      SELECT n_nationkey, n_name || '_v2' AS n_name, n_regionkey
+      FROM nation WHERE n_nationkey < 6
+      UNION ALL
+      SELECT * FROM (VALUES
+        (CAST(25 AS BIGINT), 'newland', CAST(0 AS BIGINT)),
+        (CAST(26 AS BIGINT), 'terra',   CAST(1 AS BIGINT))
+      ) v(n_nationkey, n_name, n_regionkey)
+    )
+    SELECT t.n_nationkey, s.n_name AS n_name, t.n_regionkey
+    FROM nation t JOIN src s USING (n_nationkey)
+    WHERE t.n_regionkey <> 0
+    UNION ALL
+    SELECT t.n_nationkey,
+           CASE WHEN t.n_regionkey = 3 THEN upper(t.n_name) ELSE t.n_name END AS n_name,
+           t.n_regionkey
+    FROM nation t
+    WHERE t.n_nationkey NOT IN (SELECT n_nationkey FROM src)
+      AND t.n_regionkey <> 4
+    UNION ALL
+    SELECT s.n_nationkey, s.n_name, s.n_regionkey
+    FROM src s
+    WHERE s.n_nationkey NOT IN (SELECT n_nationkey FROM nation)
+    ORDER BY n_nationkey
+    """,
+    tags=("catalog", "merge", "sql", "multi-clause"),
+)
+def catalog_merge_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front-end for MERGE INTO (r12): the EXACT decision table of
+    ``catalog_merge_multi_clause`` — five clause kinds, conditional
+    tie-breaks, the lot — expressed as one ANSI ``MERGE INTO ... USING
+    ... WHEN ...`` statement and executed through ``merge_sql`` (grammar
+    -> ``merge_into`` dispatch, catalog/merge_sql.py). Same DuckDB oracle,
+    so the SQL path is value-pinned against the same relational algebra
+    the Python-API row certifies. Grounding: the reference catalog serves
+    an engine whose users speak SQL (mod.rs:359-361); this closes the most
+    common DML entry point on the SQL surface."""
+    from iceberg_catalog_postgres_spark.catalog.merge_sql import merge_sql
+
+    cat = _fresh_catalog("catalog_merge_sql")
+    src = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    ident = TableIdentifier.parse("maint.nation_msql")
+    table = cat.create_table(ident, src.schema)
+    table = table.new_transaction().append_dataframe(src).commit()
+
+    upd = src.filter(F.col("n_nationkey") < 6).withColumn(
+        "n_name", F.concat(F.col("n_name"), F.lit("_v2"))
+    )
+    extra = spark.createDataFrame(
+        [(25, "newland", 0), (26, "terra", 1)],
+        "n_nationkey long, n_name string, n_regionkey long",
+    )
+    table = merge_sql(
+        spark,
+        cat,
+        """
+        MERGE INTO maint.nation_msql AS t
+        USING merge_updates AS s
+        ON t.n_nationkey = s.n_nationkey
+        WHEN MATCHED AND t.n_regionkey = 0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET n_name = s.n_name
+        WHEN NOT MATCHED THEN INSERT *
+        WHEN NOT MATCHED BY SOURCE AND t.n_regionkey = 3
+            THEN UPDATE SET n_name = upper(t.n_name)
+        WHEN NOT MATCHED BY SOURCE AND t.n_regionkey = 4 THEN DELETE
+        """,
+        sources={"merge_updates": upd.unionByName(extra)},
+        preserve_lineage=True,
+    )
+    return table.to_df(spark).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ).orderBy("n_nationkey")
+
+
+@register(
     "catalog_compaction",
     oracle="""
     SELECT CAST(5 AS INTEGER) AS files_before, CAST(1 AS INTEGER) AS files_after,

@@ -1,0 +1,216 @@
+"""SQL front-end for MERGE INTO (r12): grammar -> merge_into dispatch.
+The parser is pinned on clause structure, alias normalization, CASE
+nesting, and loud refusals; the execution tests run the same decision
+table as ``test_merge_into`` through the SQL string path, both CoW and
+MOR."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_catalog_postgres_spark.catalog.catalog import (
+    PostgresCatalog,
+    TableIdentifier,
+)
+from iceberg_catalog_postgres_spark.catalog.merge_sql import merge_sql, parse_merge
+
+
+@pytest.fixture
+def catalog(tmp_path):
+    cat = PostgresCatalog.connect("msql", None, str(tmp_path / "wh"))
+    cat.initialize()
+    yield cat
+    cat.backend.close()
+
+
+def _seed(catalog, spark, name="m.t", rows=None):
+    rows = rows or [(i, f"n{i}", i % 3) for i in range(9)]
+    df = spark.createDataFrame(rows, "k long, name string, r long")
+    t = catalog.create_table(TableIdentifier.parse(name), df.schema)
+    return t.new_transaction().append_dataframe(df.coalesce(2)).commit()
+
+
+# ---------------------------------------------------------------------------
+# parser
+# ---------------------------------------------------------------------------
+
+
+def test_parse_full_decision_table():
+    p = parse_merge("""
+        MERGE INTO m.t AS tgt
+        USING (SELECT * FROM src_view) AS src
+        ON tgt.k = src.k
+        WHEN MATCHED AND tgt.r = 0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET name = src.name
+        WHEN NOT MATCHED THEN INSERT (k, name, r) VALUES (src.k, src.name, 9)
+        WHEN NOT MATCHED BY SOURCE AND tgt.r = 3
+            THEN UPDATE SET name = upper(tgt.name)
+        WHEN NOT MATCHED BY SOURCE AND tgt.r = 4 THEN DELETE
+    """)
+    assert p["target"] == "m.t" and p["on"] == ["k"]
+    assert p["source"] == ("subquery", "SELECT * FROM src_view")
+    assert p["when_matched"] == [
+        {"action": "delete", "condition": "t.r = 0"},
+        {"action": "update", "set": {"name": "s.name"}},
+    ]
+    assert p["when_not_matched"] == [
+        {"action": "insert", "values": {"k": "s.k", "name": "s.name", "r": "9"}}
+    ]
+    assert p["when_not_matched_by_source"] == [
+        {"action": "update", "condition": "t.r = 3",
+         "set": {"name": "upper ( t.name )"}},
+        {"action": "delete", "condition": "t.r = 4"},
+    ]
+
+
+def test_parse_defaults_star_and_multi_key():
+    p = parse_merge("""
+        MERGE INTO db.tbl USING updates
+        ON t.a = s.a AND t.b <=> s.b
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+    """)
+    assert p["on"] == ["a", "b"]
+    assert p["source"] == ("name", "updates")
+    assert p["when_matched"] == [{"action": "update", "set": "all"}]
+    assert p["when_not_matched"] == [{"action": "insert"}]
+
+
+def test_parse_case_when_inside_condition_and_set():
+    """CASE WHEN ... THEN ... END inside expressions must not split
+    clauses (the WHEN/THEN tracker is CASE-aware)."""
+    p = parse_merge("""
+        MERGE INTO m.t USING u ON t.k = u.k
+        WHEN MATCHED AND (CASE WHEN u.r > 1 THEN 1 ELSE 0 END) = 1
+            THEN UPDATE SET name = CASE WHEN u.r = 2 THEN 'two' ELSE u.name END
+    """)
+    (cl,) = p["when_matched"]
+    assert "CASE WHEN s.r > 1 THEN 1 ELSE 0 END" in cl["condition"]
+    assert cl["set"]["name"].startswith("CASE WHEN s.r = 2 THEN 'two'")
+
+
+def test_parse_alias_shadowing_and_string_literals():
+    """A target aliased `s` shadows the default source alias; alias-like
+    text inside string literals is untouched."""
+    p = parse_merge("""
+        MERGE INTO m.t AS s USING u AS x ON s.k = x.k
+        WHEN MATCHED THEN UPDATE SET name = 's.not_an_alias'
+        WHEN NOT MATCHED BY SOURCE AND s.name = 'x' THEN DELETE
+    """)
+    assert p["when_matched"] == [
+        {"action": "update", "set": {"name": "'s.not_an_alias'"}}
+    ]
+    assert p["when_not_matched_by_source"] == [
+        {"action": "delete", "condition": "t.name = 'x'"}
+    ]
+
+
+@pytest.mark.parametrize(
+    "sql, msg",
+    [
+        ("MERGE INTO m.t USING u ON t.k < s.k WHEN MATCHED THEN DELETE",
+         "conjunction of t.col = s.col"),
+        ("MERGE INTO m.t USING u ON t.k = s.other WHEN MATCHED THEN DELETE",
+         "share a name"),
+        ("MERGE INTO m.t USING u ON t.k = s.k WHEN MATCHED THEN INSERT *",
+         "only valid in WHEN NOT MATCHED"),
+        ("MERGE INTO m.t USING u ON t.k = s.k", "at least one WHEN"),
+        ("MERGE INTO m.t USING u ON t.k = s.k "
+         "WHEN NOT MATCHED THEN INSERT (a, b) VALUES (1)", "2 columns but 1"),
+        ("MERGE INTO m.t AS x USING u AS x ON x.k = x.k WHEN MATCHED THEN DELETE",
+         "share the alias"),
+    ],
+)
+def test_parse_refusals(sql, msg):
+    with pytest.raises(ValueError, match=msg):
+        parse_merge(sql)
+
+
+# ---------------------------------------------------------------------------
+# execution: same decision table as test_merge_into, via SQL
+# ---------------------------------------------------------------------------
+
+_STMT = """
+    MERGE INTO {ident} AS tgt
+    USING updates AS u
+    ON tgt.k = u.k
+    WHEN MATCHED AND tgt.r = 0 THEN DELETE
+    WHEN MATCHED THEN UPDATE SET name = u.name
+    WHEN NOT MATCHED THEN INSERT (k, name, r) VALUES (u.k, u.name, u.r)
+    WHEN NOT MATCHED BY SOURCE AND tgt.r = 1
+        THEN UPDATE SET name = upper(tgt.name)
+    WHEN NOT MATCHED BY SOURCE AND tgt.r = 2 THEN DELETE
+"""
+
+_EXPECT = {
+    # matched & r=0 (k 0,3) deleted; matched else (1,2) updated;
+    # NMBS r=1 (4,7) uppercased; NMBS r=2 (5,8) deleted; r=0 (6) kept;
+    # inserts 20,21
+    1: "s1", 2: "s2", 4: "N4", 6: "n6", 7: "N7", 20: "x20", 21: "x21",
+}
+
+
+def _run(spark, catalog, t, strategy):
+    src = spark.createDataFrame(
+        [(0, "s0", 0), (1, "s1", 1), (2, "s2", 2), (3, "s3", 0),
+         (20, "x20", 5), (21, "x21", 5)],
+        "k long, name string, r long",
+    )
+    src.createOrReplaceTempView("updates")
+    return merge_sql(
+        spark, catalog, _STMT.format(ident=t.identifier),
+        preserve_lineage=True, strategy=strategy,
+    )
+
+
+def test_merge_sql_cow_decision_table(catalog, spark):
+    t = _seed(catalog, spark, "m.sqlcow")
+    t = _run(spark, catalog, t, "cow")
+    got = {r.k: r.name for r in t.to_df(spark).collect()}
+    assert got == _EXPECT
+
+
+def test_merge_sql_mor_row_delta(catalog, spark):
+    t = _seed(catalog, spark, "m.sqlmor")
+    before_files = set(t.metadata.current_data_files())
+    t = _run(spark, catalog, t, "mor")
+    got = {r.k: r.name for r in t.to_df(spark).collect()}
+    assert got == _EXPECT
+    snap = t.metadata.current_snapshot()
+    assert snap.operation == "rowdelta"
+    assert before_files <= set(snap.data_files)  # base files untouched
+
+
+def test_merge_sql_sources_dict_and_subquery(catalog, spark):
+    t = _seed(catalog, spark, "m.sqlsrc", rows=[(1, "a", 0), (2, "b", 1)])
+    upd = spark.createDataFrame([(1, "A", 0)], "k long, name string, r long")
+    t = merge_sql(
+        spark, catalog,
+        f"MERGE INTO {t.identifier} USING upd ON t.k = upd.k "
+        "WHEN MATCHED THEN UPDATE SET *",
+        sources={"upd": upd},
+    )
+    assert {r.k: r.name for r in t.to_df(spark).collect()} == {1: "A", 2: "b"}
+    upd.createOrReplaceTempView("upd_view")
+    t = merge_sql(
+        spark, catalog,
+        f"MERGE INTO {t.identifier} USING "
+        "(SELECT k, 'Z' AS name, r FROM upd_view) z ON t.k = z.k "
+        "WHEN MATCHED THEN UPDATE SET name = z.name",
+    )
+    assert {r.k: r.name for r in t.to_df(spark).collect()} == {1: "Z", 2: "b"}
+
+
+def test_merge_sql_cardinality_guard_fires(catalog, spark):
+    t = _seed(catalog, spark, "m.sqlguard", rows=[(1, "a", 0)])
+    dup = spark.createDataFrame(
+        [(1, "x", 0), (1, "y", 0)], "k long, name string, r long"
+    )
+    dup.createOrReplaceTempView("dup_src")
+    with pytest.raises(ValueError, match="cardinality"):
+        merge_sql(
+            spark, catalog,
+            f"MERGE INTO {t.identifier} USING dup_src "
+            "ON t.k = dup_src.k WHEN MATCHED THEN UPDATE SET *",
+        )
