@@ -3589,12 +3589,12 @@ def partitions_df(spark: SparkSession, table: Table) -> DataFrame:
 
     md = table.metadata
     snap = md.current_snapshot()
-    if snap is None or not md.partition_spec:
-        raise ValueError(
-            "partitions_df requires a partitioned table with a snapshot "
-            "(unpartitioned tables have no partition rows — use files/"
-            "snapshots metadata tables)"
-        )
+    if snap is None:
+        raise ValueError("partitions_df requires a table with a snapshot")
+    # Unpartitioned tables serve Iceberg's SINGLE-ROW form (r12 — BI
+    # tooling expects the row, not an error): no partition columns, the
+    # whole table's footprint as one group — the shared fold below does
+    # this for free (empty spec -> every file keys to the () partition).
     part_fields, groups, eq_rec, eq_srcs = _partition_footprint(spark, table)
     parts = md.current_file_partitions()
     seqs = snap.file_seqs or {}

@@ -614,7 +614,8 @@ class CatalogChangelogStreamReader(CatalogCommitsStreamReader):
         import pyarrow.parquet as pq
 
         snaps, store = self._snapshots()
-        cols = ["n_nationkey", "n_name", "n_regionkey"]
+        cols = self.expect_cols or ["n_nationkey", "n_name", "n_regionkey"]
+        table = getattr(self, "_table", None)
         out = []
         prev = snaps[lo - 1] if lo > 0 else None
         prev_files = set(prev.data_files) if prev else set()
@@ -623,19 +624,24 @@ class CatalogChangelogStreamReader(CatalogCommitsStreamReader):
         prev_dv = dict(prev.deletion_vectors) if prev else {}
         prev_seqs = dict(prev.file_seqs) if prev else {}
 
-        def _aligned(tbl):
-            names = set(tbl.schema.names)
-            data = {
-                c: (tbl.column(c).to_pylist() if c in names else [None] * tbl.num_rows)
-                for c in cols
-            }
-            return zip(*[data[c] for c in cols])
+        def _rows_of(rel, seqs, positions=None):
+            """Rows of one data file (optionally take()-restricted),
+            cohort-aware: physical names via the rename log, initial
+            defaults filled — the batch read semantics (r12)."""
+            spec = _col_spec(table, seqs.get(rel, 0), cols)
+            path = store.resolve(rel)
+            if positions is not None:
+                return _take_cols(path, sorted(positions), cols, spec)
+            pf = pq.ParquetFile(path)
+            n = pf.metadata.num_rows
+            data = _read_col_lists(pf, n, cols, spec)
+            return [tuple(data[c][i] for c in cols) for i in range(n)]
 
         for idx, snap in enumerate(snaps[lo:hi], start=lo):
             seq = snap.sequence_number
             if snap.operation == "append":
                 for rel in [f for f in snap.data_files if f not in prev_files]:
-                    for row in _aligned(pq.read_table(store.resolve(rel))):
+                    for row in _rows_of(rel, snap.file_seqs):
                         out.append((*row, "insert", seq))
             elif snap.operation == "delete":
                 # equality deletes: key-only changes, deduped per snapshot
@@ -643,10 +649,14 @@ class CatalogChangelogStreamReader(CatalogCommitsStreamReader):
                 for rel in [f for f in snap.delete_files if f not in prev_eq]:
                     tbl = pq.read_table(store.resolve(rel))
                     key_cols = tbl.schema.names
-                    for kt in zip(*[tbl.column(c).to_pylist() for c in key_cols]):
-                        if kt in seen_keys:
+                    if table is not None and table.column_renames():
+                        # key names as CURRENT logical names (batch remap)
+                        dseq = snap.file_seqs.get(rel, 0)
+                        key_cols = [table.current_name(c, dseq) for c in key_cols]
+                    for kt in zip(*[tbl.column(c).to_pylist() for c in tbl.schema.names]):
+                        if (tuple(key_cols), kt) in seen_keys:
                             continue
-                        seen_keys.add(kt)
+                        seen_keys.add((tuple(key_cols), kt))
                         by_name = dict(zip(key_cols, kt))
                         out.append(
                             (*[by_name.get(c) for c in cols], "delete", seq)
@@ -669,8 +679,7 @@ class CatalogChangelogStreamReader(CatalogCommitsStreamReader):
                         rel = _resolve_rel(path, fidx)
                         if rel is None:
                             continue  # deletes against files already rewritten
-                        tbl = pq.read_table(store.resolve(rel)).take(sorted(idxs))
-                        for row in _aligned(tbl):
+                        for row in _rows_of(rel, snap.file_seqs, idxs):
                             out.append((*row, "delete", seq))
                 # deletion-vector deltas: exact rows via take(), with
                 # conversions emitting nothing (see _dv_delta_positions)
@@ -682,9 +691,9 @@ class CatalogChangelogStreamReader(CatalogCommitsStreamReader):
                     prev_eq_files=sorted(prev_eq),
                     file_seqs=prev_seqs,
                     summary=snap.summary,
+                    table=table,
                 ).items():
-                    tbl = pq.read_table(store.resolve(rel)).take(sorted(idxs))
-                    for row in _aligned(tbl):
+                    for row in _rows_of(rel, snap.file_seqs, idxs):
                         out.append((*row, "delete", seq))
             elif (
                 snap.operation == "overwrite"
@@ -704,7 +713,7 @@ class CatalogChangelogStreamReader(CatalogCommitsStreamReader):
                 # snapshot's live MOR state (see _merge_diff_changes)
                 parent = snaps[idx - 1] if idx > 0 else None
                 for ct, _rel, _pos, row in _merge_diff_changes(
-                    store, parent, snap, cols, table=getattr(self, "_table", None)
+                    store, parent, snap, cols, table=table
                 ):
                     out.append((*row, ct, seq))
             else:
@@ -757,6 +766,8 @@ class _ChangePartition(InputPartition):
         indices: list | None = None,
         indices2: list | None = None,
         cols: list | None = None,
+        spec: list | None = None,
+        spec2: list | None = None,
     ):
         self.kind = kind
         self.paths = paths
@@ -765,6 +776,8 @@ class _ChangePartition(InputPartition):
         self.indices = indices or []
         self.indices2 = indices2 or []
         self.cols = cols
+        self.spec = spec
+        self.spec2 = spec2
 
 
 def _file_index(rels) -> dict:
@@ -790,24 +803,84 @@ def _resolve_rel(path: str, idx: dict) -> str | None:
     return None
 
 
-def _eq_key_sets(store, delete_files, seqs) -> list:
+def _eq_key_sets(store, delete_files, seqs, table=None) -> list:
     """Decode equality-delete files into [(key column names, key tuple set,
     delete seq)] — shared by the DV-delta eq subtraction and the merge-diff
-    MOR state. O(pending keys); key columns are matched BY NAME downstream
-    (the stream family's documented contract — rename/default-evolved
-    tables refuse where this would diverge from the batch path)."""
+    MOR state. O(pending keys). With ``table``, each file's key column
+    names are mapped FORWARD through the rename log as of the file's
+    sequence number (exactly the batch ``_apply_eq_dels``'s remap,
+    table.py), so downstream matching runs on CURRENT logical names over
+    rename-evolved tables; without it, names match as written (plain
+    tables)."""
     import pyarrow.parquet as pq
 
     out = []
     for ef in delete_files:
         et = pq.read_table(store.resolve(ef))
+        names = tuple(et.schema.names)
+        if table is not None and table.column_renames():
+            eseq = seqs.get(ef, 0)
+            names = tuple(table.current_name(c, eseq) for c in names)
         keyset = (
             set(zip(*[et.column(c).to_pylist() for c in et.schema.names]))
             if et.num_rows
             else set()
         )
         if keyset:
-            out.append((tuple(et.schema.names), keyset, seqs.get(ef, 0)))
+            out.append((names, keyset, seqs.get(ef, 0)))
+    return out
+
+
+def _col_spec(table, seq, cols):
+    """Per-file read plan for logical columns over an evolved table:
+    ``[(physical name or None, use_fill, fill value)]`` aligned to
+    ``cols`` for a file at sequence number ``seq`` — the driver-side
+    mirror of ``_read_data_files``'s cohort rules (table.py): physical
+    names resolve through the rename log with recycled-name collision
+    arbitration (``physical_name_or_absent``), and initial-defaults apply
+    to files whose sequence number PREDATES the column (overriding any
+    physical bytes, like the batch's withColumn fill; the last applicable
+    default entry wins). Returns None (identity mapping) for
+    never-evolved tables — the common path stays allocation-free."""
+    if table is None or not (table.column_renames() or table.column_defaults()):
+        return None
+    from iceberg_catalog_postgres_spark.catalog.metadata import FIELD_ID_KEY
+
+    fid_by_name = {
+        f.name: f.metadata.get(FIELD_ID_KEY)
+        for f in table.schema.fields
+        if f.metadata and FIELD_ID_KEY in f.metadata
+    }
+    spec = []
+    for c in cols:
+        phys = table.physical_name_or_absent(c, seq)
+        use_fill, fill = False, None
+        fid = fid_by_name.get(c)
+        for d in table.column_defaults():
+            if d["field-id"] == fid and seq < d["as-of-seq"]:
+                use_fill, fill = True, d["default"]
+        spec.append((phys, use_fill, fill))
+    return spec
+
+
+def _read_col_lists(pf, n, cols, spec=None) -> dict:
+    """Column -> per-row value list for one parquet file handle, honoring
+    a ``_col_spec`` plan: filled columns become constants, absent columns
+    NULLs, present ones a column-pruned read."""
+    names = set(pf.schema_arrow.names)
+    spec = spec or [(c, False, None) for c in cols]
+    to_read = sorted(
+        {p for (p, use_fill, _f) in spec if not use_fill and p in names}
+    )
+    tbl = pf.read(columns=to_read) if to_read else None
+    out = {}
+    for c, (p, use_fill, fill) in zip(cols, spec):
+        if use_fill:
+            out[c] = [fill] * n
+        elif p in names:
+            out[c] = tbl.column(p).to_pylist()
+        else:
+            out[c] = [None] * n
     return out
 
 
@@ -819,6 +892,7 @@ def _dv_delta_positions(
     prev_eq_files: list | tuple = (),
     file_seqs: dict | None = None,
     summary: dict | None = None,
+    table=None,
 ):
     """Per data file: the row positions NEWLY deleted by this snapshot's
     deletion vectors — new vector minus the previous vector minus positions
@@ -831,9 +905,10 @@ def _dv_delta_positions(
     ``prev_eq_files``/``file_seqs`` come from the PREVIOUS snapshot: a
     candidate delta row is dropped when an eq-delete file whose sequence
     number exceeds the data file's carries its key tuple (the read path's
-    seq-scoping rule). Key columns are matched by name — safe here because
-    the stream readers refuse schema-drifted tables upfront
-    (``expect_columns``). The ``rewrite-equality-deletes-to-dvs``
+    seq-scoping rule). With ``table``, key names rename-map forward and
+    the candidate read is cohort/default-aware (r12 — the batch
+    semantics); without it, names match as written (plain tables). The
+    ``rewrite-equality-deletes-to-dvs``
     conversion commit short-circuits to {} without any reads: its entire
     vector delta is, by construction, rows already emitted as key-only
     deletes at the eq-delete commit (ADVICE r10)."""
@@ -878,11 +953,11 @@ def _dv_delta_positions(
         # subtract rows the previous snapshot had already deleted via
         # equality keys: take() ONLY the candidate delta rows' KEY COLUMNS
         # and test their key tuples against the seq-applicable delete
-        # files — O(delta rows + eq keys), column-pruned, never a file scan
-        import pyarrow.parquet as pq
-
+        # files — O(delta rows + eq keys), column-pruned, never a file
+        # scan. With ``table``, key names are rename-forward-mapped and
+        # the data-file read is cohort-aware (r12; the batch semantics).
         seqs = file_seqs or {}
-        eq_keys = _eq_key_sets(store, prev_eq_files, seqs)
+        eq_keys = _eq_key_sets(store, prev_eq_files, seqs, table=table)
         for rel in list(out):
             applicable = [
                 (kcols, ks)
@@ -892,21 +967,15 @@ def _dv_delta_positions(
             if not applicable:
                 continue
             idxs = sorted(out[rel])
-            pf = pq.ParquetFile(store.resolve(rel))
-            names = set(pf.schema_arrow.names)
-            need = sorted(
-                {k for kcols, _ in applicable for k in kcols} & names
-            )
-            dt = pf.read(columns=need).take(idxs) if need else None
-            cols = {
-                c: dt.column(c).to_pylist()
-                for c in (dt.schema.names if dt is not None else ())
-            }
+            need = sorted({k for kcols, _ in applicable for k in kcols})
+            spec = _col_spec(table, seqs.get(rel, 0), need)
+            rows = _take_cols(store.resolve(rel), idxs, need, spec)
+            at = {c: i for i, c in enumerate(need)}
             keep = [
                 ridx
-                for i, ridx in enumerate(idxs)
+                for row, ridx in zip(rows, idxs)
                 if not any(
-                    tuple(cols.get(c, [None] * len(idxs))[i] for c in kcols) in ks
+                    tuple(row[at[c]] for c in kcols) in ks
                     for kcols, ks in applicable
                 )
             ]
@@ -966,23 +1035,6 @@ def _merge_diff_plan(store, parent, snap, cols, table=None):
             "changelog stream crossed a lineage-diff MERGE with no parent "
             "snapshot in range; replay with the batch changelog_df"
         )
-    if (
-        (parent.delete_files or snap.delete_files)
-        and table is not None
-        and (table.column_renames() or table.column_defaults())
-    ):
-        # By-name eq matching diverges from the batch path here: the batch
-        # maps delete-file key names forward through the rename log and
-        # fills initial-defaults per cohort (table.py _apply_eq_dels /
-        # _read_data_files); reimplementing that driver-side would fork
-        # the evolution semantics. Narrow refusal — plain tables with
-        # pending deletes stream fine.
-        raise ValueError(
-            "changelog stream crossed a lineage-diff MERGE with pending "
-            "equality deletes on a rename/default-evolved table; replay "
-            "this range with the batch changelog_df, then resume the "
-            "stream with start_snapshots past it"
-        )
 
     parent_set, snap_set = set(parent.data_files), set(snap.data_files)
     removed = [f for f in parent.data_files if f not in snap_set]
@@ -1024,13 +1076,20 @@ def _merge_diff_plan(store, parent, snap, cols, table=None):
                     rel = _resolve_rel(path, fidx)
                     if rel is not None:
                         dead.setdefault(rel, set()).add(int(i))
-        eq = _eq_key_sets(store, snapshot.delete_files, snapshot.file_seqs or {})
+        eq = _eq_key_sets(
+            store, snapshot.delete_files, snapshot.file_seqs or {}, table=table
+        )
         return dead, eq, (snapshot.file_seqs or {})
 
     def _live_ids(snapshot, rel, masks):
         """(live positions, aligned row ids) of one file under the
         snapshot's MOR state — reads at most the ``_row_id`` column and
-        the applicable equality-key columns (never values)."""
+        the applicable equality-key columns (never values). Key columns
+        are in CURRENT names (``_eq_key_sets`` rename-maps them); the
+        file-side read resolves each to the cohort's physical name and
+        fills initial-defaults (r12 — the batch ``_apply_eq_dels`` over
+        ``_read_data_files`` semantics, so rename/default-evolved tables
+        stream instead of refusing)."""
         dead_map, eq, seqs = masks
         pf = pq.ParquetFile(store.resolve(rel))
         names = set(pf.schema_arrow.names)
@@ -1044,17 +1103,9 @@ def _merge_diff_plan(store, parent, snap, cols, table=None):
             if not seqs or dseq > seqs.get(rel, 0)
         ]
         if applicable:
-            want = {k for kcols, _ks in applicable for k in kcols}
-            present = sorted(want & names)
-            kt = pf.read(columns=present) if present else None
-            key_data = {
-                c: (
-                    kt.column(c).to_pylist()
-                    if kt is not None and c in kt.schema.names
-                    else [None] * n
-                )
-                for c in want
-            }
+            want = sorted({k for kcols, _ks in applicable for k in kcols})
+            spec = _col_spec(table, seqs.get(rel, 0), want)
+            key_data = _read_col_lists(pf, n, want, spec)
             for i in range(n):
                 if any(
                     tuple(key_data[c][i] for c in kcols) in ks
@@ -1109,6 +1160,7 @@ def _merge_diff_plan(store, parent, snap, cols, table=None):
         prev_eq_files=sorted(parent.delete_files),
         file_seqs=dict(parent.file_seqs or {}),
         summary=snap.summary,
+        table=table,
     )
     walked = set(p_walk)
     for rel in sorted(dvd):
@@ -1138,32 +1190,54 @@ def _merge_diff_plan(store, parent, snap, cols, table=None):
         rel, p = did[i]
         deletes.setdefault(rel, []).append(p)
 
+    def _pspec(rel):
+        return _col_spec(table, (parent.file_seqs or {}).get(rel, 0), cols)
+
+    def _sspec(rel):
+        return _col_spec(table, (snap.file_seqs or {}).get(rel, 0), cols)
+
     return {
-        "deletes": sorted((rel, sorted(ps)) for rel, ps in deletes.items()),
-        "inserts": sorted((rel, sorted(ps)) for rel, ps in inserts.items()),
-        "pairs": sorted(
-            (prel, pp, arel, ap) for (prel, arel), (pp, ap) in pairs.items()
-        ),
+        "deletes": [
+            (rel, sorted(ps), _pspec(rel)) for rel, ps in sorted(deletes.items())
+        ],
+        "inserts": [
+            (rel, sorted(ps), _sspec(rel)) for rel, ps in sorted(inserts.items())
+        ],
+        "pairs": [
+            (prel, pp, _pspec(prel), arel, ap, _sspec(arel))
+            for (prel, arel), (pp, ap) in sorted(pairs.items())
+        ],
     }
 
 
-def _take_cols(path, positions, cols):
-    """Rows (tuples over ``cols``, NULL-filled for absent columns) at the
-    given positions of one parquet file, column-pruned to ``cols`` —
-    shared by the executor-side mrg/dvdel reads and the simple reader's
-    bounded driver takes. ``positions`` order is preserved (pair
-    alignment depends on it)."""
+def _take_cols(path, positions, cols, spec=None):
+    """Rows (tuples over ``cols``) at the given positions of one parquet
+    file, column-pruned — shared by the executor-side mrg/dvdel reads and
+    the simple reader's bounded driver takes. ``spec`` (a ``_col_spec``
+    plan) makes the read rename/default-aware: physical names resolve to
+    the file's cohort, initial-defaults fill pre-column files. Absent
+    columns NULL-fill. ``positions`` order is preserved (pair alignment
+    depends on it)."""
     import pyarrow.parquet as pq
 
     pf = pq.ParquetFile(path)
     names = set(pf.schema_arrow.names)
-    present = [c for c in cols if c in names]
-    tbl = pf.read(columns=present).take(list(positions)) if present else None
+    spec = spec or [(c, False, None) for c in cols]
+    to_read = sorted(
+        {p for (p, use_fill, _f) in spec if not use_fill and p in names}
+    )
+    tbl = (
+        pf.read(columns=to_read).take(list(positions)) if to_read else None
+    )
     n = len(positions)
-    data = {
-        c: (tbl.column(c).to_pylist() if tbl is not None and c in present else [None] * n)
-        for c in cols
-    }
+    data = {}
+    for c, (p, use_fill, fill) in zip(cols, spec):
+        if use_fill:
+            data[c] = [fill] * n
+        elif p in names:
+            data[c] = tbl.column(p).to_pylist()
+        else:
+            data[c] = [None] * n
     return [tuple(data[c][i] for c in cols) for i in range(n)]
 
 
@@ -1181,12 +1255,14 @@ def _merge_diff_changes(store, parent, snap, cols, table=None):
     plan = _merge_diff_plan(store, parent, snap, cols, table=table)
     out = []
     for ct_key, ct in (("deletes", "delete"), ("inserts", "insert")):
-        for rel, poss in plan[ct_key]:
-            for p, row in zip(poss, _take_cols(store.resolve(rel), poss, cols)):
+        for rel, poss, spec in plan[ct_key]:
+            for p, row in zip(
+                poss, _take_cols(store.resolve(rel), poss, cols, spec)
+            ):
                 out.append((ct, rel, p, row))
-    for prel, pposs, arel, aposs in plan["pairs"]:
-        before = _take_cols(store.resolve(prel), pposs, cols)
-        after = _take_cols(store.resolve(arel), aposs, cols)
+    for prel, pposs, pspec, arel, aposs, aspec in plan["pairs"]:
+        before = _take_cols(store.resolve(prel), pposs, cols, pspec)
+        after = _take_cols(store.resolve(arel), aposs, cols, aspec)
         for pp, ap, b, a in zip(pposs, aposs, before, after):
             if b != a:
                 out.append(("update_before", prel, pp, b))
@@ -1274,13 +1350,23 @@ class CatalogChangelogParallelStreamReader(DataSourceStreamReader):
         prev_dv = dict(prev.deletion_vectors) if prev else {}
         prev_seqs = dict(prev.file_seqs) if prev else {}
         parts = []
+        mcols = self.expect_cols or list(_CDC_COLS)
+        table = getattr(self, "_table", None)
         for idx, snap in enumerate(snaps[lo:hi], start=lo):
             seq = snap.sequence_number
             if snap.operation == "append":
                 for rel in snap.data_files:
                     if rel not in prev_files:
                         parts.append(
-                            _ChangePartition("insert", [store.resolve(rel)], seq)
+                            _ChangePartition(
+                                "insert",
+                                [store.resolve(rel)],
+                                seq,
+                                cols=mcols,
+                                spec=_col_spec(
+                                    table, snap.file_seqs.get(rel, 0), mcols
+                                ),
+                            )
                         )
             elif snap.operation == "delete":
                 new_eq = [f for f in snap.delete_files if f not in prev_eq]
@@ -1311,10 +1397,16 @@ class CatalogChangelogParallelStreamReader(DataSourceStreamReader):
                     prev_eq_files=sorted(prev_eq),
                     file_seqs=prev_seqs,
                     summary=snap.summary,
+                    table=table,
                 ).items():
                     parts.append(
                         _ChangePartition(
-                            "dvdel", [store.resolve(rel)], seq, indices=idxs
+                            "dvdel",
+                            [store.resolve(rel)],
+                            seq,
+                            indices=idxs,
+                            cols=mcols,
+                            spec=_col_spec(table, snap.file_seqs.get(rel, 0), mcols),
                         )
                     )
             elif (
@@ -1338,11 +1430,9 @@ class CatalogChangelogParallelStreamReader(DataSourceStreamReader):
                 # position pairs whose VALUES are read and compared on
                 # executors — the driver never reads a value column.
                 parent = snaps[idx - 1] if idx > 0 else None
-                plan = _merge_diff_plan(
-                    store, parent, snap, _CDC_COLS, table=getattr(self, "_table", None)
-                )
+                plan = _merge_diff_plan(store, parent, snap, mcols, table=table)
                 for kind_key, kind in (("deletes", "mrg:delete"), ("inserts", "mrg:insert")):
-                    for rel, idxs in plan[kind_key]:
+                    for rel, idxs, spec in plan[kind_key]:
                         for c in range(0, len(idxs), _MERGE_PART_ROWS):
                             parts.append(
                                 _ChangePartition(
@@ -1350,9 +1440,11 @@ class CatalogChangelogParallelStreamReader(DataSourceStreamReader):
                                     [store.resolve(rel)],
                                     seq,
                                     indices=idxs[c : c + _MERGE_PART_ROWS],
+                                    cols=mcols,
+                                    spec=spec,
                                 )
                             )
-                for prel, pposs, arel, aposs in plan["pairs"]:
+                for prel, pposs, pspec, arel, aposs, aspec in plan["pairs"]:
                     for c in range(0, len(pposs), _MERGE_PART_ROWS):
                         parts.append(
                             _ChangePartition(
@@ -1361,7 +1453,9 @@ class CatalogChangelogParallelStreamReader(DataSourceStreamReader):
                                 seq,
                                 indices=pposs[c : c + _MERGE_PART_ROWS],
                                 indices2=aposs[c : c + _MERGE_PART_ROWS],
-                                cols=list(_CDC_COLS),
+                                cols=mcols,
+                                spec=pspec,
+                                spec2=aspec,
                             )
                         )
             else:
@@ -1382,9 +1476,14 @@ class CatalogChangelogParallelStreamReader(DataSourceStreamReader):
         if partition.kind == "noop":
             return iter(())
         if partition.kind == "insert":
-            tbl = pq.read_table(partition.paths[0])
+            cols = partition.cols or _CDC_COLS
+            pf = pq.ParquetFile(partition.paths[0])
+            data = _read_col_lists(pf, pf.metadata.num_rows, cols, partition.spec)
             return iter(
-                [(*row, "insert", partition.seq) for row in _cdc_aligned(tbl, _CDC_COLS)]
+                [
+                    (*(data[c][i] for c in cols), "insert", partition.seq)
+                    for i in range(pf.metadata.num_rows)
+                ]
             )
         if partition.kind == "eqdel":
             seen: set = set()
@@ -1403,24 +1502,31 @@ class CatalogChangelogParallelStreamReader(DataSourceStreamReader):
             return iter(out)
         if partition.kind == "dvdel":
             # one data file's deletion-vector delta: take() the positions
-            tbl = pq.read_table(partition.paths[0]).take(sorted(partition.indices))
-            return iter(
-                (*row, "delete", partition.seq)
-                for row in _cdc_aligned(tbl, _CDC_COLS)
+            cols = partition.cols or _CDC_COLS
+            rows = _take_cols(
+                partition.paths[0], sorted(partition.indices), cols, partition.spec
             )
+            return iter((*row, "delete", partition.seq) for row in rows)
         if partition.kind.startswith("mrg:"):
             # merge-diff rows of one (change kind, file): take() positions,
-            # column-pruned to the stream's emitted columns
+            # column-pruned to the stream's emitted columns (spec carries
+            # the cohort's rename/default plan)
             ct = partition.kind[4:]
             cols = partition.cols or _CDC_COLS
-            rows = _take_cols(partition.paths[0], sorted(partition.indices), cols)
+            rows = _take_cols(
+                partition.paths[0], sorted(partition.indices), cols, partition.spec
+            )
             return iter((*row, ct, partition.seq) for row in rows)
         if partition.kind == "mrgpair":
             # id-aligned UPDATE candidates: read BOTH sides' values here on
             # the executor, emit before/after only where the row changed
             cols = partition.cols or _CDC_COLS
-            before = _take_cols(partition.paths[0], partition.indices, cols)
-            after = _take_cols(partition.paths[1], partition.indices2, cols)
+            before = _take_cols(
+                partition.paths[0], partition.indices, cols, partition.spec
+            )
+            after = _take_cols(
+                partition.paths[1], partition.indices2, cols, partition.spec2
+            )
             out = []
             for b, a in zip(before, after):
                 if b != a:

@@ -83,11 +83,10 @@ def test_partitions_df_delete_attribution(catalog, spark):
     assert rows[0].record_count == 10 and rows[1].record_count == 10
 
 
-def test_partitions_df_unpartitioned_raises(catalog, spark):
+def test_partitions_df_no_snapshot_raises(catalog, spark):
     df = spark.createDataFrame([(1,)], "k long")
     t = catalog.create_table(TableIdentifier.parse("p.u"), df.schema)
-    t = t.new_transaction().append_dataframe(df).commit()
-    with pytest.raises(ValueError, match="partitioned"):
+    with pytest.raises(ValueError, match="snapshot"):
         partitions_df(spark, t)
 
 
@@ -142,3 +141,32 @@ def test_partitions_df_after_mor_merge(catalog, spark):
     assert rows[0].position_delete_record_count == 2
     assert rows[0].file_count >= 2  # base file + the row-delta append
     assert rows[1].position_delete_record_count == 0
+
+
+def test_partitions_df_unpartitioned_single_row(catalog, spark):
+    """r12 (VERDICT r11 #6): an unpartitioned table serves Iceberg's
+    single-row form — whole-table footprint, no partition columns — where
+    it previously raised (BI tools expect the row)."""
+    from iceberg_catalog_postgres_spark.catalog.catalog import TableIdentifier
+
+    df = spark.createDataFrame(
+        [(i, f"n{i}") for i in range(20)], "k long, name string"
+    )
+    t = catalog.create_table(TableIdentifier.parse("pt.unpart"), df.schema)
+    t = t.new_transaction().append_dataframe(df.coalesce(2)).commit()
+    keys = spark.createDataFrame([(3,)], "k long").coalesce(1)
+    t = t.new_transaction().delete_keys_dataframe(keys).commit()
+    rows = partitions_df(spark, t).collect()
+    assert len(rows) == 1
+    (r,) = rows
+    assert r.record_count == 20 and r.file_count == 2
+    assert r.equality_delete_record_count == 1
+    assert r.last_updated_snapshot_id is not None
+    # no partition columns in the schema
+    assert [f for f in partitions_df(spark, t).columns] == [
+        "spec_id", "record_count", "file_count",
+        "total_data_file_size_in_bytes", "position_delete_record_count",
+        "position_delete_file_count", "equality_delete_record_count",
+        "equality_delete_file_count", "last_updated_at",
+        "last_updated_snapshot_id",
+    ]

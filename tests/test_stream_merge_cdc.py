@@ -184,21 +184,24 @@ def test_stream_after_merge_continues(spark, tmp_path):
     cat.backend.close()
 
 
-def test_merge_eq_on_renamed_table_refuses_to_batch(spark, tmp_path):
-    """Eq-delete key matching is BY NAME in the stream; the batch maps key
-    names forward through the rename log — on a rename-evolved table with
-    pending eq deletes a lineage-diff merge refuses to the batch path
-    instead of silently diverging (r11 review finding, repro'd)."""
+def test_merge_stream_over_renamed_default_evolved_table(spark, tmp_path):
+    """r12 (VERDICT r11 #5): a lineage-diff merge over a RENAME- and
+    DEFAULT-evolved table with pending eq deletes now STREAMS instead of
+    refusing — eq-delete key names rename-map forward, old-cohort files
+    read through their physical names, and pre-column files fill the
+    initial default (the batch semantics, driver-side). Pinned
+    value-for-value against the batch changelog on both readers."""
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
     from iceberg_catalog_postgres_spark.catalog.metadata import FIELD_ID_KEY
 
-    def _sch(names):
+    def _sch(names, ids=None):
         types = [LongType(), StringType(), LongType()]
+        ids = ids or range(1, len(names) + 1)
         return StructType(
             [
-                StructField(n, t, True, {FIELD_ID_KEY: i + 1})
-                for i, (n, t) in enumerate(zip(names, types))
+                StructField(n, t, True, {FIELD_ID_KEY: i})
+                for i, (n, t) in zip(ids, zip(names, types))
             ]
         )
 
@@ -216,23 +219,100 @@ def test_merge_eq_on_renamed_table_refuses_to_batch(spark, tmp_path):
     t = t.commit_schema(_sch(["n_nationkey", "n_label", "n_regionkey"]))
     keys = spark.createDataFrame([(1,)], "n_nationkey long").coalesce(1)
     t = t.new_transaction().delete_keys_dataframe(keys).commit()
+    base = t.metadata.current_snapshot_id
     msrc = spark.createDataFrame(
-        [(0, "u0", 9)], _sch(["n_nationkey", "n_label", "n_regionkey"])
+        [(0, "u0", 9), (30, "ins", 4)],
+        _sch(["n_nationkey", "n_label", "n_regionkey"]),
     )
     t = merge_into(
         spark, t, msrc, on=["n_nationkey"],
         when_matched=[{"action": "update", "set": {"n_label": "s.n_label"}}],
+        when_not_matched=[{"action": "insert"}],
+        when_not_matched_by_source=[
+            {"action": "delete", "condition": "t.n_nationkey = 5"},
+        ],
         preserve_lineage=True,
     )
-    # batch handles it (rename-aware reads)
-    assert t.to_df(spark).count() == 5
+    merge_seq = t.metadata.current_snapshot().sequence_number
+    batch = {
+        (r._change_type, r.n_nationkey, r.n_label, r.n_regionkey)
+        for r in t.changelog_df(spark, base).collect()
+    }
+    # the OLD names stream through as the renamed column's values (old
+    # files read via their physical name): update_before carries n0
+    assert ("update_before", 0, "n0", 0) in batch
+    assert ("delete", 5, "n5", 2) in batch
     opts = {
         "db": db, "warehouse": wh, "ident": "rnmrg.nation", "catalog": "rnmrg",
         "expect_columns": "n_nationkey,n_label,n_regionkey",
     }
     reader = CatalogChangelogStreamReader(dict(opts))
-    with pytest.raises(ValueError, match="rename/default-evolved"):
-        reader.read(reader.initialOffset())
+    rows, _ = reader.read(reader.initialOffset())
+    stream = {(r[3], r[0], r[1], r[2]) for r in rows if r[4] == merge_seq}
+    assert stream == batch
+    preader = CatalogChangelogParallelStreamReader(dict(opts))
+    parts = preader.partitions({"n_snapshots": 2}, {"n_snapshots": 3})
+    pstream = {(r[3], r[0], r[1], r[2]) for p in parts for r in preader.read(p)}
+    assert pstream == batch
+    cat.backend.close()
+
+
+def test_merge_stream_fills_initial_default_for_precolumn_files(spark, tmp_path):
+    """A column added WITH an initial default after the base append: the
+    merge stream's update_before/delete rows for old-cohort files carry
+    the DEFAULT (not NULL) — matching the batch fill — and eq deletes
+    keyed on the defaulted column apply to pre-column rows."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from iceberg_catalog_postgres_spark.catalog.metadata import FIELD_ID_KEY
+
+    db = str(tmp_path / "df.db")
+    wh = str(tmp_path / "df_wh")
+    cat = PostgresCatalog.connect("dfmrg", f"sqlite://{db}", wh)
+    cat.initialize()
+    base_schema = StructType(
+        [
+            StructField("k", LongType(), True, {FIELD_ID_KEY: 1}),
+            StructField("name", StringType(), True, {FIELD_ID_KEY: 2}),
+        ]
+    )
+    src = spark.createDataFrame([(i, f"n{i}") for i in range(5)], base_schema)
+    t = cat.create_table(TableIdentifier.parse("dfmrg.t"), src.schema)
+    t = t.new_transaction().append_dataframe(src.coalesce(1)).commit()
+    # add a column with an initial default; old files predate it
+    evolved = StructType(
+        [*base_schema.fields, StructField("grade", LongType(), True)]
+    )
+    t = t.commit_schema(evolved, defaults={"grade": 7})
+    base = t.metadata.current_snapshot_id
+    msrc = spark.createDataFrame(
+        [(0, "u0", 1)], "k long, name string, grade long"
+    )
+    t = merge_into(
+        spark, t, msrc, on=["k"],
+        when_matched=[{"action": "update", "set": {"name": "s.name", "grade": "s.grade"}}],
+        when_not_matched_by_source=[
+            {"action": "delete", "condition": "t.k = 4"},
+        ],
+        preserve_lineage=True,
+    )
+    merge_seq = t.metadata.current_snapshot().sequence_number
+    batch = {
+        (r._change_type, r.k, r.name, r.grade)
+        for r in t.changelog_df(spark, base).collect()
+    }
+    assert ("update_before", 0, "n0", 7) in batch  # default, not NULL
+    assert ("delete", 4, "n4", 7) in batch
+    opts = {
+        "db": db, "warehouse": wh, "ident": "dfmrg.t", "catalog": "dfmrg",
+        "expect_columns": "k,name,grade",
+    }
+    reader = CatalogChangelogStreamReader(dict(opts))
+    rows, _ = reader.read(reader.initialOffset())
+    stream = {(r[3], r[0], r[1], r[2]) for r in rows if r[4] == merge_seq}
+    assert stream == batch
+    cat.backend.close()
+
 
 
 def test_multi_file_mor_merge_stream_matches_batch(spark, tmp_path):
