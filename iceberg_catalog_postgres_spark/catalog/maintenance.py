@@ -695,6 +695,109 @@ def _commit_subset_replace(
     return committed, len(rewritten), len(kept), len(new_files)
 
 
+def update_where(
+    spark: SparkSession,
+    table: Table,
+    condition,
+    set: dict[str, str],
+    strategy: str = "mor",
+    preserve_lineage: bool = False,
+) -> Table:
+    """Arbitrary-predicate UPDATE (the single-table DML between
+    ``delete_where`` and ``merge_into``): set each ``set`` column to its
+    SQL expression on every row matching ``condition``. ``strategy``:
+
+    - ``"mor"`` (default): ONE atomic row delta — the matched rows' scan
+      identity becomes deletion-vector deletes and the updated versions
+      append as new files; cost is O(matched rows), THE update path at
+      100 TB (the predicate pushes to the scan, unmatched data is never
+      rewritten);
+    - ``"cow"``: whole-table rewrite with a CASE projection — simplest
+      read path afterwards.
+
+    ``preserve_lineage=True`` composes with v3 ROW LINEAGE exactly like
+    ``merge_into``: updated rows keep their ``_row_id`` (identity rides
+    the update), ``_last_updated_sequence_number`` resets to the writing
+    commit, and the snapshot is tagged ``lineage-diff`` so the batch
+    changelog and the CDC streams reconstruct it as
+    ``update_before``/``update_after`` pairs. Every assignment is cast
+    back to the table's DECLARED type (the merge paths' anti-poisoning
+    rule)."""
+    if strategy not in ("cow", "mor"):
+        raise ValueError(f"strategy must be cow|mor, got {strategy!r}")
+    if not set:
+        raise ValueError("update_where requires a non-empty `set` map")
+    cols = [f.name for f in table.schema.fields]
+    types = {f.name: f.dataType for f in table.schema.fields}
+    unknown = [c for c in set if c not in types]
+    if unknown:
+        raise ValueError(f"update_where: unknown column(s) {unknown}")
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+
+    if strategy == "cow":
+        current = table.to_df(spark, with_row_lineage=preserve_lineage)
+        out = [
+            (
+                F.when(cond, F.expr(set[c])).otherwise(F.col(c)).cast(types[c])
+                if c in set
+                else F.col(c)
+            ).alias(c)
+            for c in cols
+        ]
+        if preserve_lineage:
+            out.append(F.col("_row_id").cast("long").alias("_row_id"))
+            out.append(
+                F.when(cond, F.lit(None))
+                .otherwise(F.col("_last_updated_sequence_number"))
+                .cast("long")
+                .alias("_last_updated_sequence_number")
+            )
+            tx = table.new_transaction().overwrite_dataframe(
+                current.select(*out), lineage_materialized=True
+            )
+            tx._summary_extra["lineage-diff"] = "true"
+            return tx.commit()
+        return (
+            table.new_transaction()
+            .overwrite_dataframe(current.select(*out))
+            .commit()
+        )
+
+    # MOR: one pruned scan finds the matched rows; their identity deletes
+    # the originals, their updated versions append — a single atomic commit
+    current = table.to_df(
+        spark, with_row_lineage=preserve_lineage, with_scan_identity=True
+    )
+    matched = current.filter(cond).persist()
+    try:
+        if matched.isEmpty():
+            return table  # nothing matched: provably a no-op, skip the commit
+        positions = matched.select(
+            F.col("__mfile").alias("file_path"), F.col("__mpos").alias("row_index")
+        )
+        out = [
+            (F.expr(set[c]) if c in set else F.col(c)).cast(types[c]).alias(c)
+            for c in cols
+        ]
+        if preserve_lineage:
+            out.append(F.col("_row_id").cast("long").alias("_row_id"))
+            # NULL = "updated by THIS commit" (the lineage read coalesces
+            # it to the writing file's sequence number)
+            out.append(
+                F.lit(None).cast("long").alias("_last_updated_sequence_number")
+            )
+        tx = table.new_transaction().row_delta(
+            matched.select(*out),
+            positions,
+            lineage_materialized=preserve_lineage,
+        )
+        if preserve_lineage:
+            tx._summary_extra["lineage-diff"] = "true"
+        return tx.commit()
+    finally:
+        matched.unpersist()
+
+
 def delete_where_mor(
     spark: SparkSession, table: Table, condition, as_dv: bool = False
 ) -> Table:
@@ -1137,6 +1240,86 @@ def catalog_merge_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         sources={"merge_updates": upd.unionByName(extra)},
         preserve_lineage=True,
     )
+    return table.to_df(spark).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ).orderBy("n_nationkey")
+
+
+@register(
+    "catalog_update_where_mor",
+    oracle="""
+    SELECT n_nationkey,
+           CASE WHEN n_regionkey = 2 THEN upper(n_name) || '!' ELSE n_name END
+             AS n_name,
+           n_regionkey
+    FROM nation ORDER BY n_nationkey
+    """,
+    tags=("catalog", "update", "merge-on-read", "lineage"),
+)
+def catalog_update_where_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-table UPDATE WHERE as an atomic MOR row delta (r12): one
+    pruned scan finds the matched rows, their scan identity becomes
+    deletion-vector deletes and the updated versions append — O(matched
+    rows), no rewrite of unmatched data. preserve_lineage keeps each
+    updated row's ``_row_id`` so the changelog reconstructs the UPDATE as
+    before/after pairs (pinned in tests/test_merge_sql.py). The oracle
+    recomputes the CASE projection relationally."""
+    cat = _fresh_catalog("catalog_update_where")
+    src = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    ident = TableIdentifier.parse("maint.nation_uw")
+    table = cat.create_table(ident, src.schema)
+    table = table.new_transaction().append_dataframe(src).commit()
+    table = update_where(
+        spark,
+        table,
+        "n_regionkey = 2",
+        {"n_name": "concat(upper(n_name), '!')"},
+        strategy="mor",
+        preserve_lineage=True,
+    )
+    assert table.metadata.current_snapshot().operation == "rowdelta"
+    return table.to_df(spark).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ).orderBy("n_nationkey")
+
+
+@register(
+    "catalog_sql_update_delete",
+    oracle="""
+    SELECT n_nationkey,
+           CASE WHEN n_regionkey = 1 THEN n_name || '_u' ELSE n_name END
+             AS n_name,
+           n_regionkey
+    FROM nation
+    WHERE n_nationkey % 7 <> 3
+    ORDER BY n_nationkey
+    """,
+    tags=("catalog", "sql", "update", "delete", "dml"),
+)
+def catalog_sql_update_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rest of the SQL DML surface (r12): ``UPDATE ... SET ... WHERE``
+    (MOR row delta) and ``DELETE FROM ... WHERE`` (deletion vectors)
+    executed as SQL strings through ``execute_dml``'s keyword dispatch —
+    with ``catalog_merge_sql`` this closes all three statements the
+    reference's engine users write (mod.rs:359-361). The oracle recomputes
+    both statements relationally."""
+    from iceberg_catalog_postgres_spark.catalog.merge_sql import execute_dml
+
+    cat = _fresh_catalog("catalog_sql_update_delete")
+    src = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    ident = TableIdentifier.parse("maint.nation_dml")
+    table = cat.create_table(ident, src.schema)
+    table = table.new_transaction().append_dataframe(src).commit()
+    table = execute_dml(
+        spark,
+        cat,
+        "UPDATE maint.nation_dml AS t SET n_name = concat(t.n_name, '_u') "
+        "WHERE t.n_regionkey = 1",
+    )
+    table = execute_dml(
+        spark, cat, "DELETE FROM maint.nation_dml WHERE n_nationkey % 7 = 3"
+    )
+    assert len(table.metadata.current_deletion_vectors()) >= 1
     return table.to_df(spark).select(
         "n_nationkey", "n_name", "n_regionkey"
     ).orderBy("n_nationkey")

@@ -214,3 +214,101 @@ def test_merge_sql_cardinality_guard_fires(catalog, spark):
             f"MERGE INTO {t.identifier} USING dup_src "
             "ON t.k = dup_src.k WHEN MATCHED THEN UPDATE SET *",
         )
+
+
+# ---------------------------------------------------------------------------
+# UPDATE / DELETE statements (r12: the rest of the SQL DML surface)
+# ---------------------------------------------------------------------------
+
+from iceberg_catalog_postgres_spark.catalog.merge_sql import (  # noqa: E402
+    delete_sql,
+    execute_dml,
+    parse_delete,
+    parse_update,
+    update_sql,
+)
+
+
+def test_parse_update_and_delete():
+    p = parse_update(
+        "UPDATE m.t AS x SET name = upper(x.name), r = x.r + 1 "
+        "WHERE x.r = 2 AND x.name <> 'keep'"
+    )
+    assert p["target"] == "m.t"
+    assert p["set"] == {"name": "upper ( name )", "r": "r + 1"}
+    assert p["where"] == "r = 2 AND name <> 'keep'"
+    p = parse_update("UPDATE db.t SET a = 1")
+    assert p["set"] == {"a": "1"} and p["where"] is None
+    p = parse_delete("DELETE FROM db.t WHERE t.k IN (SELECT k FROM other)")
+    assert p["where"] == "k IN ( SELECT k FROM other )"
+    assert parse_delete("DELETE FROM db.t")["where"] is None
+    with pytest.raises(ValueError, match="expected FROM"):
+        parse_delete("DELETE db.t WHERE k = 1")
+    with pytest.raises(ValueError, match="col = expr"):
+        parse_update("UPDATE db.t SET WHERE k = 1")
+
+
+def test_update_sql_mor_row_delta_and_lineage(catalog, spark):
+    t = _seed(catalog, spark, "m.upd")
+    before_files = set(t.metadata.current_data_files())
+    t = update_sql(
+        spark, catalog,
+        f"UPDATE {t.identifier} AS t SET name = upper(t.name) WHERE t.r = 1",
+        preserve_lineage=True,
+    )
+    snap = t.metadata.current_snapshot()
+    assert snap.operation == "rowdelta"
+    assert before_files <= set(snap.data_files)  # originals untouched
+    got = {r.k: r.name for r in t.to_df(spark).collect()}
+    assert got == {
+        i: (f"n{i}".upper() if i % 3 == 1 else f"n{i}") for i in range(9)
+    }
+    # lineage-diff: the batch changelog reconstructs update pairs
+    pairs = {
+        (r._change_type, r.k)
+        for r in t.changelog_df(
+            spark, sorted(t.metadata.snapshots, key=lambda s: s.sequence_number)[0].snapshot_id
+        ).collect()
+        if r._change_type.startswith("update")
+    }
+    assert pairs == {
+        (ct, k) for k in (1, 4, 7) for ct in ("update_before", "update_after")
+    }
+
+
+def test_update_where_cow_and_no_match_noop(catalog, spark):
+    from iceberg_catalog_postgres_spark.catalog.maintenance import update_where
+
+    t = _seed(catalog, spark, "m.updcow")
+    t = update_where(
+        spark, t, "r = 0", {"name": "concat(name, '!')"}, strategy="cow"
+    )
+    assert t.metadata.current_snapshot().operation == "overwrite"
+    got = {r.k: r.name for r in t.to_df(spark).collect()}
+    assert got[0] == "n0!" and got[3] == "n3!" and got[1] == "n1"
+    n_snaps = len(t.metadata.snapshots)
+    t = update_where(spark, t, "k = 999", {"name": "'x'"})  # matches nothing
+    assert len(t.metadata.snapshots) == n_snaps  # no-op: no commit
+
+
+def test_delete_sql_dv_and_execute_dml_dispatch(catalog, spark):
+    t = _seed(catalog, spark, "m.del")
+    t = delete_sql(
+        spark, catalog, f"DELETE FROM {t.identifier} WHERE k >= 6"
+    )
+    assert len(t.metadata.current_deletion_vectors()) >= 1
+    assert sorted(r.k for r in t.to_df(spark).collect()) == list(range(6))
+    # dispatcher routes all three statement kinds
+    upd = spark.createDataFrame([(0, "M", 0)], "k long, name string, r long")
+    t = execute_dml(
+        spark, catalog,
+        f"MERGE INTO {t.identifier} USING u ON t.k = u.k "
+        "WHEN MATCHED THEN UPDATE SET *",
+        sources={"u": upd},
+    )
+    t = execute_dml(spark, catalog, f"UPDATE {t.identifier} SET r = 9 WHERE k = 1")
+    t = execute_dml(spark, catalog, f"DELETE FROM {t.identifier} WHERE k = 2")
+    got = {r.k: (r.name, r.r) for r in t.to_df(spark).collect()}
+    assert got[0] == ("M", 0) and got[1][1] == 9 and 2 not in got
+    with pytest.raises(ValueError, match="MERGE/UPDATE/DELETE"):
+        execute_dml(spark, catalog, "SELECT 1")
