@@ -52,12 +52,15 @@ __all__ = [
 _TOKEN_RE = re.compile(
     r"""
     (?P<str>'(?:[^']|'')*')            # single-quoted string, '' escape
+                                       # (matched BEFORE comments, so a --
+                                       # inside a literal survives)
+  | (?P<comment>--[^\n]*|/\*.*?\*/)    # SQL comments, dropped
   | (?P<bq>`[^`]*`)                    # backticked identifier
   | (?P<word>[A-Za-z_][A-Za-z_0-9]*)   # bare identifier / keyword
-  | (?P<num>\d+(?:\.\d+)?)             # numeric literal
+  | (?P<num>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)  # numeric (incl. scientific)
   | (?P<op><=>|<>|<=|>=|!=|\|\||::|[=<>().,*+\-/%])
     """,
-    re.VERBOSE,
+    re.VERBOSE | re.DOTALL,
 )
 
 _KEYWORDS = {
@@ -73,7 +76,8 @@ def _tokenize(sql: str) -> list[str]:
         between = sql[pos : m.start()].strip()
         if between:
             raise ValueError(f"MERGE parse error: unexpected {between!r}")
-        out.append(m.group(0))
+        if m.lastgroup != "comment":
+            out.append(m.group(0))
         pos = m.end()
     if sql[pos:].strip():
         raise ValueError(f"MERGE parse error: unexpected {sql[pos:].strip()!r}")
@@ -269,6 +273,12 @@ def _parse_action(cur: _Cursor, group: str, alias_map: dict) -> dict:
                 )
             lhs = [t for t in lr[0]]
             if len(lhs) == 3 and lhs[1] == ".":
+                if alias_map.get(lhs[0].lower()) != "t":
+                    # ANSI: only target columns are assignable — a source
+                    # qualifier here is a statement bug, not a synonym
+                    raise ValueError(
+                        f"MERGE SET assigns a non-target column: {' '.join(lr[0])!r}"
+                    )
                 lhs = lhs[2:]  # t.col — the target qualifier is implied
             if len(lhs) != 1:
                 raise ValueError(
@@ -545,14 +555,20 @@ def execute_dml(spark, catalog, sql: str, **kwargs):
     engine users write (mod.rs:359-361): dispatch on the leading keyword
     to ``merge_sql`` / ``update_sql`` / ``delete_sql``. ``kwargs`` pass
     through (``strategy``, ``preserve_lineage``, ``sources``, ...)."""
+    import inspect
+
     head = sql.lstrip().split(None, 1)
     kw = head[0].upper() if head else ""
-    if kw == "MERGE":
-        return merge_sql(spark, catalog, sql, **kwargs)
-    if kw == "UPDATE":
-        return update_sql(spark, catalog, sql, **kwargs)
-    if kw == "DELETE":
-        return delete_sql(spark, catalog, sql, **kwargs)
-    raise ValueError(
-        f"execute_dml handles MERGE/UPDATE/DELETE statements, got {kw!r}"
+    fn = {"MERGE": merge_sql, "UPDATE": update_sql, "DELETE": delete_sql}.get(kw)
+    if fn is None:
+        raise ValueError(
+            f"execute_dml handles MERGE/UPDATE/DELETE statements, got {kw!r}"
+        )
+    # forward only the knobs this statement kind takes — a generic caller
+    # can always pass {strategy, preserve_lineage, sources, as_dv} and let
+    # the dispatch drop what does not apply (e.g. DELETE has no lineage
+    # knob: the delete side of lineage is implicit)
+    accepted = set(inspect.signature(fn).parameters)
+    return fn(
+        spark, catalog, sql, **{k: v for k, v in kwargs.items() if k in accepted}
     )

@@ -803,7 +803,7 @@ def _resolve_rel(path: str, idx: dict) -> str | None:
     return None
 
 
-def _eq_key_sets(store, delete_files, seqs, table=None) -> list:
+def _eq_key_sets(store, delete_files, seqs, table=None, cache=None) -> list:
     """Decode equality-delete files into [(key column names, key tuple set,
     delete seq)] — shared by the DV-delta eq subtraction and the merge-diff
     MOR state. O(pending keys). With ``table``, each file's key column
@@ -816,16 +816,23 @@ def _eq_key_sets(store, delete_files, seqs, table=None) -> list:
 
     out = []
     for ef in delete_files:
-        et = pq.read_table(store.resolve(ef))
-        names = tuple(et.schema.names)
-        if table is not None and table.column_renames():
-            eseq = seqs.get(ef, 0)
-            names = tuple(table.current_name(c, eseq) for c in names)
-        keyset = (
-            set(zip(*[et.column(c).to_pylist() for c in et.schema.names]))
-            if et.num_rows
-            else set()
-        )
+        ck = ("eq", ef, seqs.get(ef, 0))
+        hit = cache.get(ck) if cache is not None else None
+        if hit is None:
+            et = pq.read_table(store.resolve(ef))
+            names = tuple(et.schema.names)
+            if table is not None and table.column_renames():
+                eseq = seqs.get(ef, 0)
+                names = tuple(table.current_name(c, eseq) for c in names)
+            keyset = (
+                set(zip(*[et.column(c).to_pylist() for c in et.schema.names]))
+                if et.num_rows
+                else set()
+            )
+            hit = (names, keyset)
+            if cache is not None:
+                cache[ck] = hit
+        names, keyset = hit
         if keyset:
             out.append((names, keyset, seqs.get(ef, 0)))
     return out
@@ -863,25 +870,51 @@ def _col_spec(table, seq, cols):
     return spec
 
 
-def _read_col_lists(pf, n, cols, spec=None) -> dict:
+def _read_col_lists(pf, n, cols, spec=None, positions=None) -> dict:
     """Column -> per-row value list for one parquet file handle, honoring
     a ``_col_spec`` plan: filled columns become constants, absent columns
-    NULLs, present ones a column-pruned read."""
+    NULLs, present ones a column-pruned read. With ``positions``, the
+    read is take()-restricted (row order preserved — pair alignment
+    depends on it) and lists have ``len(positions)`` entries."""
     names = set(pf.schema_arrow.names)
     spec = spec or [(c, False, None) for c in cols]
     to_read = sorted(
         {p for (p, use_fill, _f) in spec if not use_fill and p in names}
     )
     tbl = pf.read(columns=to_read) if to_read else None
+    m = n if positions is None else len(positions)
+    if tbl is not None and positions is not None:
+        tbl = tbl.take(list(positions))
     out = {}
     for c, (p, use_fill, fill) in zip(cols, spec):
         if use_fill:
-            out[c] = [fill] * n
+            out[c] = [fill] * m
         elif p in names:
             out[c] = tbl.column(p).to_pylist()
         else:
-            out[c] = [None] * n
+            out[c] = [None] * m
     return out
+
+
+def _pos_pairs(store, pos_file, cache=None) -> list:
+    """(file_path, row_index) pairs of one positional-delete parquet file,
+    decoded once per plan when a shared ``cache`` is threaded (the merge
+    planner touches each pos file from up to three sites)."""
+    ck = ("pos", pos_file)
+    hit = cache.get(ck) if cache is not None else None
+    if hit is None:
+        import pyarrow.parquet as pq
+
+        pt = pq.read_table(store.resolve(pos_file))
+        hit = list(
+            zip(
+                pt.column("file_path").to_pylist(),
+                pt.column("row_index").to_pylist(),
+            )
+        )
+        if cache is not None:
+            cache[ck] = hit
+    return hit
 
 
 def _dv_delta_positions(
@@ -893,6 +926,7 @@ def _dv_delta_positions(
     file_seqs: dict | None = None,
     summary: dict | None = None,
     table=None,
+    cache=None,
 ):
     """Per data file: the row positions NEWLY deleted by this snapshot's
     deletion vectors — new vector minus the previous vector minus positions
@@ -929,11 +963,7 @@ def _dv_delta_positions(
 
         fidx = _file_index(changed)
         for pf in prev_pos_files:
-            pt = pq.read_table(store.resolve(pf))
-            for path, idx in zip(
-                pt.column("file_path").to_pylist(),
-                pt.column("row_index").to_pylist(),
-            ):
+            for path, idx in _pos_pairs(store, pf, cache):
                 rel = _resolve_rel(path, fidx)
                 if rel is not None:
                     prev_pos_by_rel.setdefault(rel, []).append(int(idx))
@@ -957,7 +987,7 @@ def _dv_delta_positions(
         # scan. With ``table``, key names are rename-forward-mapped and
         # the data-file read is cohort-aware (r12; the batch semantics).
         seqs = file_seqs or {}
-        eq_keys = _eq_key_sets(store, prev_eq_files, seqs, table=table)
+        eq_keys = _eq_key_sets(store, prev_eq_files, seqs, table=table, cache=cache)
         for rel in list(out):
             applicable = [
                 (kcols, ks)
@@ -1049,6 +1079,10 @@ def _merge_diff_plan(store, parent, snap, cols, table=None):
     ]
 
     dv_cache: dict[tuple, frozenset] = {}
+    # one decode per pending eq/pos delete file per PLAN: the parent and
+    # merged sides carry the same pending files, and _dv_delta_positions
+    # touches them a third time — share the parsed form across all sites
+    shared: dict = {}
 
     def _decoded_dv(ent) -> frozenset:
         key = (ent["puffin"], int(ent["offset"]))
@@ -1068,16 +1102,16 @@ def _merge_diff_plan(store, parent, snap, cols, table=None):
         if snapshot.position_delete_files and rels_set:
             fidx = _file_index(rels)
             for pf in snapshot.position_delete_files:
-                pt = pq.read_table(store.resolve(pf))
-                for path, i in zip(
-                    pt.column("file_path").to_pylist(),
-                    pt.column("row_index").to_pylist(),
-                ):
+                for path, i in _pos_pairs(store, pf, shared):
                     rel = _resolve_rel(path, fidx)
                     if rel is not None:
                         dead.setdefault(rel, set()).add(int(i))
         eq = _eq_key_sets(
-            store, snapshot.delete_files, snapshot.file_seqs or {}, table=table
+            store,
+            snapshot.delete_files,
+            snapshot.file_seqs or {},
+            table=table,
+            cache=shared,
         )
         return dead, eq, (snapshot.file_seqs or {})
 
@@ -1161,6 +1195,7 @@ def _merge_diff_plan(store, parent, snap, cols, table=None):
         file_seqs=dict(parent.file_seqs or {}),
         summary=snap.summary,
         table=table,
+        cache=shared,
     )
     walked = set(p_walk)
     for rel in sorted(dvd):
@@ -1212,33 +1247,17 @@ def _merge_diff_plan(store, parent, snap, cols, table=None):
 
 def _take_cols(path, positions, cols, spec=None):
     """Rows (tuples over ``cols``) at the given positions of one parquet
-    file, column-pruned — shared by the executor-side mrg/dvdel reads and
-    the simple reader's bounded driver takes. ``spec`` (a ``_col_spec``
-    plan) makes the read rename/default-aware: physical names resolve to
-    the file's cohort, initial-defaults fill pre-column files. Absent
-    columns NULL-fill. ``positions`` order is preserved (pair alignment
-    depends on it)."""
+    file — ``_read_col_lists`` take()-restricted and zipped; shared by the
+    executor-side mrg/dvdel reads and the simple reader's bounded driver
+    takes. ``positions`` order is preserved (pair alignment depends on
+    it)."""
     import pyarrow.parquet as pq
 
     pf = pq.ParquetFile(path)
-    names = set(pf.schema_arrow.names)
-    spec = spec or [(c, False, None) for c in cols]
-    to_read = sorted(
-        {p for (p, use_fill, _f) in spec if not use_fill and p in names}
+    data = _read_col_lists(
+        pf, pf.metadata.num_rows, cols, spec, positions=list(positions)
     )
-    tbl = (
-        pf.read(columns=to_read).take(list(positions)) if to_read else None
-    )
-    n = len(positions)
-    data = {}
-    for c, (p, use_fill, fill) in zip(cols, spec):
-        if use_fill:
-            data[c] = [fill] * n
-        elif p in names:
-            data[c] = tbl.column(p).to_pylist()
-        else:
-            data[c] = [None] * n
-    return [tuple(data[c][i] for c in cols) for i in range(n)]
+    return [tuple(data[c][i] for c in cols) for i in range(len(positions))]
 
 
 def _merge_diff_changes(store, parent, snap, cols, table=None):
@@ -1275,15 +1294,6 @@ _CDC_COLS = ["n_nationkey", "n_name", "n_regionkey"]
 # rows per planned merge partition: slices one huge merge's change set into
 # executor-sized take() units instead of one partition per touched file
 _MERGE_PART_ROWS = 1 << 17
-
-
-def _cdc_aligned(tbl, cols):
-    names = set(tbl.schema.names)
-    data = {
-        c: (tbl.column(c).to_pylist() if c in names else [None] * tbl.num_rows)
-        for c in cols
-    }
-    return zip(*[data[c] for c in cols])
 
 
 class CatalogChangelogParallelStreamReader(DataSourceStreamReader):
@@ -1371,11 +1381,34 @@ class CatalogChangelogParallelStreamReader(DataSourceStreamReader):
             elif snap.operation == "delete":
                 new_eq = [f for f in snap.delete_files if f not in prev_eq]
                 if new_eq:
+                    # per-file CURRENT key names (rename-forward-mapped at
+                    # plan time — executors have no table handle); None =
+                    # use the file's written names
+                    key_maps = None
+                    if table is not None and table.column_renames():
+                        import pyarrow.parquet as _pqm
+
+                        key_maps = [
+                            [
+                                table.current_name(c, snap.file_seqs.get(f, 0))
+                                for c in _pqm.ParquetFile(
+                                    store.resolve(f)
+                                ).schema_arrow.names
+                            ]
+                            for f in new_eq
+                        ]
                     parts.append(
                         _ChangePartition(
-                            "eqdel", [store.resolve(f) for f in new_eq], seq
+                            "eqdel",
+                            [store.resolve(f) for f in new_eq],
+                            seq,
+                            cols=mcols,
+                            spec=key_maps,
                         )
                     )
+                evolved = table is not None and (
+                    table.column_renames() or table.column_defaults()
+                )
                 for f in snap.position_delete_files:
                     if f not in prev_pos:
                         parts.append(
@@ -1384,6 +1417,19 @@ class CatalogChangelogParallelStreamReader(DataSourceStreamReader):
                                 [store.resolve(f)],
                                 seq,
                                 [store.resolve(d) for d in snap.data_files],
+                                cols=mcols,
+                                # abs data path -> cohort column spec, so the
+                                # executor's take reads the right physical
+                                # columns + default fills (None when the
+                                # table never evolved — the common path)
+                                spec={
+                                    store.resolve(d): _col_spec(
+                                        table, snap.file_seqs.get(d, 0), mcols
+                                    )
+                                    for d in snap.data_files
+                                }
+                                if evolved
+                                else None,
                             )
                         )
                 # deletion-vector deltas: one partition per touched data
@@ -1486,18 +1532,23 @@ class CatalogChangelogParallelStreamReader(DataSourceStreamReader):
                 ]
             )
         if partition.kind == "eqdel":
+            cols = partition.cols or _CDC_COLS
             seen: set = set()
             out = []
-            for p in partition.paths:
+            for i, p in enumerate(partition.paths):
                 tbl = pq.read_table(p)
-                key_cols = tbl.schema.names
-                for kt in zip(*[tbl.column(c).to_pylist() for c in key_cols]):
-                    if kt in seen:
+                key_cols = (
+                    partition.spec[i]
+                    if partition.spec is not None
+                    else list(tbl.schema.names)
+                )
+                for kt in zip(*[tbl.column(c).to_pylist() for c in tbl.schema.names]):
+                    if (tuple(key_cols), kt) in seen:
                         continue
-                    seen.add(kt)
+                    seen.add((tuple(key_cols), kt))
                     by_name = dict(zip(key_cols, kt))
                     out.append(
-                        (*[by_name.get(c) for c in _CDC_COLS], "delete", partition.seq)
+                        (*[by_name.get(c) for c in cols], "delete", partition.seq)
                     )
             return iter(out)
         if partition.kind == "dvdel":
@@ -1541,6 +1592,7 @@ class CatalogChangelogParallelStreamReader(DataSourceStreamReader):
         ):
             pos_by_path.setdefault(path, []).append(int(idx))
         out = []
+        cols = partition.cols or _CDC_COLS
         fidx = _file_index(partition.data_files)
         for path, idxs in sorted(pos_by_path.items()):
             # recorded URIs are file:/abs/... — the resolved absolute data
@@ -1549,10 +1601,9 @@ class CatalogChangelogParallelStreamReader(DataSourceStreamReader):
             if target is None:
                 # deletes against files already rewritten out of the snapshot
                 continue
-            tbl = pq.read_table(target).take(sorted(idxs))
-            out.extend(
-                (*row, "delete", partition.seq) for row in _cdc_aligned(tbl, _CDC_COLS)
-            )
+            spec = (partition.spec or {}).get(target) if partition.spec else None
+            rows = _take_cols(target, sorted(idxs), cols, spec)
+            out.extend((*row, "delete", partition.seq) for row in rows)
         return iter(out)
 
     def commit(self, end: dict) -> None:

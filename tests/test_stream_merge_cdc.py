@@ -418,3 +418,56 @@ def test_parallel_merge_planner_never_reads_values_on_driver(
     rows = [r for p in parts for r in preader.read(p)]
     assert {(r[3], r[0]) for r in rows} == EXPECT
     cat.backend.close()
+
+
+def test_parallel_reader_generic_schema_parity(spark, tmp_path):
+    """r12 self-review: the parallel reader's eqdel/posdel/insert branches
+    must honor expect_columns (not the fixture's hardcoded nation names) —
+    for a k/name/grade table with eq deletes, pos deletes, and a default-
+    evolved column, both readers emit identical rows."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from iceberg_catalog_postgres_spark.catalog.metadata import FIELD_ID_KEY
+    from iceberg_catalog_postgres_spark.catalog.maintenance import delete_where_mor
+
+    db = str(tmp_path / "gp.db")
+    wh = str(tmp_path / "gp_wh")
+    cat = PostgresCatalog.connect("gpar", f"sqlite://{db}", wh)
+    cat.initialize()
+    base_schema = StructType(
+        [
+            StructField("k", LongType(), True, {FIELD_ID_KEY: 1}),
+            StructField("name", StringType(), True, {FIELD_ID_KEY: 2}),
+        ]
+    )
+    src = spark.createDataFrame([(i, f"n{i}") for i in range(8)], base_schema)
+    t = cat.create_table(TableIdentifier.parse("gpar.t"), src.schema)
+    t = t.new_transaction().append_dataframe(src.coalesce(2)).commit()
+    # default-evolved column: pre-column files must emit grade=5, not NULL
+    t = t.commit_schema(
+        StructType([*base_schema.fields, StructField("grade", LongType(), True)]),
+        defaults={"grade": 5},
+    )
+    keys = spark.createDataFrame([(1,)], "k long").coalesce(1)
+    t = t.new_transaction().delete_keys_dataframe(keys).commit()
+    t = delete_where_mor(spark, t, F.col("k") == 6)  # positional delete
+
+    opts = {
+        "db": db, "warehouse": wh, "ident": "gpar.t", "catalog": "gpar",
+        "expect_columns": "k,name,grade",
+    }
+    sreader = CatalogChangelogStreamReader(dict(opts))
+    srows, end = sreader.read(sreader.initialOffset())
+    preader = CatalogChangelogParallelStreamReader(dict(opts))
+    parts = preader.partitions({"n_snapshots": 0}, end)
+    prows = [r for p in parts for r in preader.read(p)]
+    assert sorted(srows, key=repr) == sorted(prows, key=repr)
+    # the key value survives (the old hardcoded-cols bug emitted all-NULL)
+    eq_dels = [r for r in prows if r[3] == "delete" and r[4] == 2]
+    assert eq_dels == [(1, None, None, "delete", 2)]
+    # pos-delete rows carry the default fill for the pre-column file
+    pos_dels = [r for r in prows if r[3] == "delete" and r[4] == 3]
+    assert pos_dels == [(6, "n6", 5, "delete", 3)]
+    # inserts from the pre-column append carry the default too
+    assert all(r[2] == 5 for r in prows if r[3] == "insert")
+    cat.backend.close()
