@@ -745,3 +745,83 @@ def catalog_stream_autocompact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(h_end["n_small_files"]).cast("long").alias("small_files_at_end"),
         F.lit(h_end["n_data_files"] <= 3).alias("file_count_bounded"),
     )
+
+
+@register(
+    "catalog_ann_dv_filtered",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    live AS (SELECT * FROM v WHERE vec_id % 10 <> 3),
+    pairs AS (
+      SELECT qa.vec_id AS query_id, db.vec_id AS neighbor_id,
+             round(
+               list_sum(list_transform(range(1, 65), i -> qa.e[i] * db.e[i]))
+               / (sqrt(list_sum(list_transform(qa.e, x -> x * x)))
+                  * sqrt(list_sum(list_transform(db.e, x -> x * x)))), 6
+             ) AS cosine
+      FROM (SELECT * FROM v WHERE vec_id < 10) qa
+      JOIN live db ON qa.vec_id <> db.vec_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rk
+      FROM pairs
+    )
+    SELECT query_id, neighbor_id, cosine, rk FROM ranked WHERE rk <= 5
+    """,
+    tags=("catalog", "llm", "similarity", "deletion-vectors", "mor"),
+)
+def catalog_ann_dv_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN over a vector store WITH DELETES (r12): the embedding corpus
+    lives in a catalog table, 10% of the vectors are deleted as v3
+    DELETION VECTORS (``delete_where_mor(as_dv=True)`` — one roaring blob
+    per touched file, no rewrite), and the cosine top-k search reads
+    through ``to_df`` so deleted vectors NEVER surface as neighbors — the
+    index-maintenance semantics a production vector store needs (tombstone
+    a vector on document removal without rebuilding the index; the DV is
+    the tombstone set, applied as a broadcast anti-join at read).
+
+    The oracle recomputes the filtered top-k relationally, so a resurrected
+    or half-applied delete shifts neighbor ids and fails the hash — the
+    ranking itself certifies the delete semantics. Scale: deletes cost
+    O(deleted rows) to commit; the search pays one anti-join against the
+    O(deleted) tombstones until compaction folds them — never a corpus
+    rewrite. Queries broadcast; the corpus scans once (the brute baseline's
+    plan; the IVF/partitioned variants compose the same way)."""
+    from pyspark.sql import Window
+
+    from iceberg_catalog_postgres_spark.catalog.maintenance import delete_where_mor
+    from iceberg_catalog_postgres_spark.llm.similarity import _dot, _vec
+
+    cat = _fresh_catalog("catalog_ann_dv")
+    v = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ident = TableIdentifier.parse("ann.dv_corpus")
+    t = cat.create_table(ident, v.schema)
+    t = t.new_transaction().append_dataframe(v.repartition(4)).commit()
+    t = delete_where_mor(spark, t, F.col("vec_id") % 10 == 3, as_dv=True)
+    assert len(t.metadata.current_deletion_vectors()) >= 1
+
+    corpus = t.to_df(spark).select(
+        F.col("vec_id").alias("neighbor_id"), _vec("embedding").alias("ne")
+    )
+    q = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("query_id"), _vec("embedding").alias("qe"))
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    cos = F.round(
+        _dot(F.col("qe"), F.col("ne")) / (norm(F.col("qe")) * norm(F.col("ne"))), 6
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        F.broadcast(q)
+        .join(corpus, F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+    )

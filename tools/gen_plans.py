@@ -33,6 +33,7 @@ SHOWCASE = [
     "bucketed_colocated_join",
     "rollup_time_multires",
     "catalog_mor_delete",
+    "catalog_mor_merge_read",
     "catalog_pruned_scan",
     "catalog_partitioned_scan",
     "dedup_simhash_md5",
