@@ -1326,6 +1326,66 @@ def catalog_sql_update_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "catalog_sql_insert_ctas",
+    oracle="""
+    WITH base AS (
+      SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_regionkey < 3
+      UNION ALL
+      SELECT * FROM (VALUES
+        (CAST(90 AS BIGINT), 'insertia', CAST(7 AS BIGINT)),
+        (CAST(91 AS BIGINT), 'valuesia', CAST(7 AS BIGINT))
+      ) v(n_nationkey, n_name, n_regionkey)
+      UNION ALL
+      SELECT n_nationkey + 100, n_name || '_copy', n_regionkey
+      FROM nation WHERE n_regionkey = 4
+    )
+    SELECT n_nationkey, n_name, n_regionkey FROM base ORDER BY n_nationkey
+    """,
+    tags=("catalog", "sql", "insert", "ctas", "dml"),
+)
+def catalog_sql_insert_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE TABLE AS SELECT + both INSERT forms as SQL strings (r12):
+    CTAS seeds a PARTITIONED table from a SELECT (spec from the statement,
+    schema from the select), ``INSERT INTO ... VALUES`` appends literal
+    rows, ``INSERT INTO ... SELECT`` appends a query result — all through
+    ``execute_dml``'s keyword dispatch, completing the statement set a
+    SQL-speaking engine user needs for full table lifecycle without
+    touching the Python API. The oracle recomputes all three statements
+    relationally; partition pruning on the CTAS spec is pinned in
+    tests/test_merge_sql.py."""
+    from iceberg_catalog_postgres_spark.catalog.merge_sql import execute_dml
+
+    cat = _fresh_catalog("catalog_sql_insert_ctas")
+    load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ).createOrReplaceTempView("nation_src")
+    table = execute_dml(
+        spark,
+        cat,
+        "CREATE TABLE maint.nation_ctas PARTITIONED BY (n_regionkey) AS "
+        "SELECT n_nationkey, n_name, n_regionkey FROM nation_src "
+        "WHERE n_regionkey < 3",
+    )
+    table = execute_dml(
+        spark,
+        cat,
+        "INSERT INTO maint.nation_ctas (n_nationkey, n_name, n_regionkey) "
+        "VALUES (90, 'insertia', 7), (91, 'valuesia', 7)",
+    )
+    table = execute_dml(
+        spark,
+        cat,
+        "INSERT INTO maint.nation_ctas "
+        "SELECT n_nationkey + 100, n_name || '_copy', n_regionkey "
+        "FROM nation_src WHERE n_regionkey = 4",
+    )
+    assert table.metadata.partition_spec == ["n_regionkey"]
+    return table.to_df(spark).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ).orderBy("n_nationkey")
+
+
+@register(
     "catalog_mor_merge_read",
     oracle="""
     WITH merged AS (

@@ -46,6 +46,8 @@ __all__ = [
     "parse_merge",
     "update_sql",
     "delete_sql",
+    "insert_sql",
+    "create_table_sql",
     "execute_dml",
 ]
 
@@ -559,10 +561,17 @@ def execute_dml(spark, catalog, sql: str, **kwargs):
 
     head = sql.lstrip().split(None, 1)
     kw = head[0].upper() if head else ""
-    fn = {"MERGE": merge_sql, "UPDATE": update_sql, "DELETE": delete_sql}.get(kw)
+    fn = {
+        "MERGE": merge_sql,
+        "UPDATE": update_sql,
+        "DELETE": delete_sql,
+        "INSERT": insert_sql,
+        "CREATE": create_table_sql,
+    }.get(kw)
     if fn is None:
         raise ValueError(
-            f"execute_dml handles MERGE/UPDATE/DELETE statements, got {kw!r}"
+            "execute_dml handles MERGE/UPDATE/DELETE/INSERT/CREATE-AS-SELECT "
+            f"statements, got {kw!r}"
         )
     # forward only the knobs this statement kind takes — a generic caller
     # can always pass {strategy, preserve_lineage, sources, as_dv} and let
@@ -572,3 +581,132 @@ def execute_dml(spark, catalog, sql: str, **kwargs):
     return fn(
         spark, catalog, sql, **{k: v for k, v in kwargs.items() if k in accepted}
     )
+
+
+def parse_insert(sql: str) -> dict:
+    """``INSERT INTO|OVERWRITE <ident> [(cols)] VALUES (...)[, ...] |
+    SELECT ...`` -> ``{"target", "overwrite", "columns": [..]|None,
+    "source": ("values"|"select", sql text)}``."""
+    cur = _Cursor(_tokenize(sql.strip().rstrip(";")))
+    cur.expect_kw("INSERT")
+    mode = cur.next()
+    if _kw(mode) == "INTO":
+        overwrite = False
+    elif not mode.startswith(("'", "`")) and mode.upper() == "OVERWRITE":
+        overwrite = True
+    else:
+        raise ValueError(f"INSERT parse error: expected INTO/OVERWRITE, got {mode!r}")
+    target = cur.dotted_name()
+    columns = None
+    if cur.peek() == "(":
+        columns = [_strip_ident(t) for t in cur.balanced_parens() if t != ","]
+    if cur.try_kw("VALUES"):
+        rest = cur.toks[cur.i :]
+        cur.i = len(cur.toks)
+        return {
+            "target": target,
+            "overwrite": overwrite,
+            "columns": columns,
+            "source": ("values", _render(rest, {})),
+        }
+    # SELECT body: everything that remains, verbatim (Spark parses it)
+    rest = cur.toks[cur.i :]
+    cur.i = len(cur.toks)
+    if not rest or rest[0].upper() != "SELECT":
+        raise ValueError("INSERT parse error: expected VALUES or SELECT")
+    return {
+        "target": target,
+        "overwrite": overwrite,
+        "columns": columns,
+        "source": ("select", _render(rest, {})),
+    }
+
+
+def parse_create_table(sql: str) -> dict:
+    """``CREATE TABLE <ident> [PARTITIONED BY (entries)] AS SELECT ...`` ->
+    ``{"target", "partition_by": [..]|None, "select": str}`` (CTAS only —
+    column-DDL CREATE goes through ``catalog.create_table`` with a
+    schema)."""
+    cur = _Cursor(_tokenize(sql.strip().rstrip(";")))
+    for kw in ("CREATE", "TABLE"):
+        tok = cur.next()
+        if tok.startswith(("'", "`")) or tok.upper() != kw:
+            raise ValueError(f"CTAS parse error: expected {kw}, got {tok!r}")
+    target = cur.dotted_name()
+    partition_by = None
+    if cur.peek() is not None and not cur.peek().startswith(("'", "`")) and cur.peek().upper() == "PARTITIONED":
+        cur.next()
+        cur.expect_kw("BY")
+        # entries may be identity columns or transforms like bucket(8, k) —
+        # keep each comma-separated entry as rendered text
+        entries = _split_top(cur.balanced_parens(), ",")
+        partition_by = [_render(e, {}) for e in entries]
+    tok = cur.next()
+    if tok.startswith(("'", "`")) or _kw(tok) != "AS":
+        raise ValueError(f"CTAS parse error: expected AS, got {tok!r}")
+    rest = cur.toks[cur.i :]
+    cur.i = len(cur.toks)
+    if not rest or rest[0].upper() != "SELECT":
+        raise ValueError("CTAS parse error: expected SELECT after AS")
+    return {
+        "target": target,
+        "partition_by": partition_by,
+        "select": _render(rest, {}),
+    }
+
+
+def insert_sql(spark, catalog, sql: str, n_files: int | None = None):
+    """Execute a SQL ``INSERT INTO`` (append commit) or ``INSERT
+    OVERWRITE`` (CoW overwrite commit) against a catalog table. A VALUES
+    body runs as ``SELECT * FROM VALUES ... AS v(cols)``; a SELECT body
+    runs through ``spark.sql`` (temp views available). With a column
+    list, unnamed table columns fill NULL; every column is cast to the
+    table's DECLARED type (the DML family's anti-poisoning rule) and
+    bound BY POSITION within the listed columns, by name otherwise via
+    the select's output names."""
+    from pyspark.sql import functions as F
+
+    from iceberg_catalog_postgres_spark.catalog.catalog import TableIdentifier
+
+    p = parse_insert(sql)
+    table = catalog.load_table(TableIdentifier.parse(p["target"]))
+    cols = [f.name for f in table.schema.fields]
+    types = {f.name: f.dataType for f in table.schema.fields}
+    listed = p["columns"] or cols
+    unknown = [c for c in listed if c not in types]
+    if unknown:
+        raise ValueError(f"INSERT lists unknown column(s): {unknown}")
+    kind, text = p["source"]
+    if kind == "values":
+        df = spark.sql(f"SELECT * FROM (VALUES {text}) AS v({', '.join(listed)})")
+    else:
+        df = spark.sql(text)
+        if len(df.columns) != len(listed):
+            raise ValueError(
+                f"INSERT SELECT yields {len(df.columns)} columns for "
+                f"{len(listed)} targets"
+            )
+        df = df.toDF(*listed)
+    out = [
+        (F.col(c) if c in listed else F.lit(None)).cast(types[c]).alias(c)
+        for c in cols
+    ]
+    tx = table.new_transaction()
+    if p["overwrite"]:
+        return tx.overwrite_dataframe(df.select(*out)).commit()
+    return tx.append_dataframe(df.select(*out), n_files=n_files).commit()
+
+
+def create_table_sql(spark, catalog, sql: str):
+    """Execute ``CREATE TABLE ... [PARTITIONED BY (...)] AS SELECT ...``:
+    create the table from the select's schema (identity or transform
+    partition entries pass straight to the catalog's spec) and append the
+    rows as the first snapshot."""
+    from iceberg_catalog_postgres_spark.catalog.catalog import TableIdentifier
+
+    p = parse_create_table(sql)
+    df = spark.sql(p["select"])
+    t = catalog.create_table(
+        TableIdentifier.parse(p["target"]), df.schema, partition_by=p["partition_by"]
+    )
+    return t.new_transaction().append_dataframe(df).commit()

@@ -312,3 +312,79 @@ def test_delete_sql_dv_and_execute_dml_dispatch(catalog, spark):
     assert got[0] == ("M", 0) and got[1][1] == 9 and 2 not in got
     with pytest.raises(ValueError, match="MERGE/UPDATE/DELETE"):
         execute_dml(spark, catalog, "SELECT 1")
+
+
+# ---------------------------------------------------------------------------
+# INSERT / CREATE TABLE AS SELECT (r12: the DDL/DML quartet complete)
+# ---------------------------------------------------------------------------
+
+from iceberg_catalog_postgres_spark.catalog.merge_sql import (  # noqa: E402
+    create_table_sql,
+    insert_sql,
+    parse_create_table,
+    parse_insert,
+)
+
+
+def test_parse_insert_and_ctas():
+    p = parse_insert("INSERT INTO db.t (k, name) VALUES (1, 'a'), (2, 'b')")
+    assert p == {
+        "target": "db.t", "overwrite": False, "columns": ["k", "name"],
+        "source": ("values", "( 1 , 'a' ) , ( 2 , 'b' )"),
+    }
+    p = parse_insert("INSERT OVERWRITE db.t SELECT * FROM v WHERE k > 1")
+    assert p["overwrite"] and p["columns"] is None
+    assert p["source"] == ("select", "SELECT * FROM v WHERE k > 1")
+    p = parse_create_table(
+        "CREATE TABLE db.c PARTITIONED BY (r, bucket(4, k)) AS SELECT k, r FROM v"
+    )
+    assert p["partition_by"] == ["r", "bucket ( 4 , k )"]
+    assert p["select"] == "SELECT k , r FROM v"
+    with pytest.raises(ValueError, match="VALUES or SELECT"):
+        parse_insert("INSERT INTO db.t SET k = 1")
+    with pytest.raises(ValueError, match="expected AS"):
+        parse_create_table("CREATE TABLE db.t (k long)")
+
+
+def test_insert_sql_values_select_and_overwrite(catalog, spark):
+    t = _seed(catalog, spark, "m.ins", rows=[(1, "a", 0)])
+    t = insert_sql(
+        spark, catalog,
+        f"INSERT INTO {t.identifier} (k, name) VALUES (2, 'b'), (3, 'c')",
+    )
+    got = {r.k: (r.name, r.r) for r in t.to_df(spark).collect()}
+    assert got == {1: ("a", 0), 2: ("b", None), 3: ("c", None)}
+    spark.createDataFrame(
+        [(10, "x", 5)], "k long, name string, r long"
+    ).createOrReplaceTempView("ins_src")
+    t = insert_sql(
+        spark, catalog,
+        f"INSERT INTO {t.identifier} SELECT k, name, r FROM ins_src",
+    )
+    assert t.to_df(spark).count() == 4
+    # OVERWRITE replaces the whole table in one CoW commit
+    t = insert_sql(
+        spark, catalog,
+        f"INSERT OVERWRITE {t.identifier} SELECT k, name, r FROM ins_src",
+    )
+    assert t.metadata.current_snapshot().operation == "overwrite"
+    assert [(r.k, r.name, r.r) for r in t.to_df(spark).collect()] == [(10, "x", 5)]
+    # declared-type casting: a wider literal cannot poison the table
+    t = insert_sql(spark, catalog, f"INSERT INTO {t.identifier} VALUES (4, 'd', 9)")
+    assert t.to_df(spark).filter("k = 4").count() == 1
+
+
+def test_create_table_as_select_partitioned(catalog, spark):
+    spark.createDataFrame(
+        [(i, f"n{i}", i % 3) for i in range(9)], "k long, name string, r long"
+    ).createOrReplaceTempView("ctas_src")
+    t = create_table_sql(
+        spark, catalog,
+        "CREATE TABLE m.ctas PARTITIONED BY (r) AS "
+        "SELECT k, name, r FROM ctas_src WHERE k < 6",
+    )
+    assert t.to_df(spark).count() == 6
+    assert t.metadata.partition_spec == ["r"]
+    # partition pruning serves r=1 from its own files only
+    pruned = t.to_df(spark, partition_filter={"r": 1})
+    assert sorted(r.k for r in pruned.collect()) == [1, 4]
