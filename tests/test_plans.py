@@ -120,3 +120,12 @@ def test_oversized_triage_single_scan_and_broadcast(spark, sf_oracle):
     # for the content hashes (the pre-fix shape).
     tree = explain_formatted(df).split("\n\n", 1)[0]  # operator tree only
     assert tree.count("Scan parquet") <= 2, tree
+
+
+def test_catalog_mor_merge_read_plan(spark, sf_oracle):
+    """The catalog bench headline's READ must apply deletion vectors as a
+    broadcast anti-join (never a shuffle join against the tombstones) and
+    plan zero cartesian products."""
+    f = plan_features(REGISTRY["catalog_mor_merge_read"].fn(spark, sf_oracle))
+    assert f["broadcast_joins"] >= 1
+    assert f["cartesian_products"] == 0
