@@ -1386,6 +1386,142 @@ def catalog_sql_insert_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "catalog_sql_select",
+    oracle="""
+    WITH v1 AS (SELECT n_nationkey, n_name, n_regionkey FROM nation
+                WHERE n_regionkey < 3)
+    SELECT 'cur' AS tag, n_regionkey AS grp,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(n_nationkey) AS BIGINT) AS sum_key
+    FROM nation GROUP BY n_regionkey
+    UNION ALL
+    SELECT 'meta' AS tag, CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    UNION ALL
+    SELECT 'meta' AS tag, CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+    UNION ALL
+    SELECT 'ref' AS tag, CAST(-1 AS BIGINT), CAST(count(*) AS BIGINT),
+           CAST(sum(n_nationkey) AS BIGINT) FROM v1
+    UNION ALL
+    SELECT 'v1' AS tag, CAST(-1 AS BIGINT), CAST(count(*) AS BIGINT),
+           CAST(sum(n_nationkey) AS BIGINT) FROM v1
+    ORDER BY tag, grp
+    """,
+    tags=("catalog", "sql", "select", "time-travel", "metadata"),
+)
+def catalog_sql_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL SELECT front-end (r13; VERDICT r12 missing #1): ONE statement
+    reads the same catalog table four ways — current state (grouped agg),
+    ``FOR VERSION AS OF <snapshot-id>`` and ``VERSION AS OF '<tag>'``
+    time travel (both pinned at the first commit), and the
+    ``$snapshots`` metadata table — through ``execute_dml``'s SELECT
+    dispatch (``select_sql``). The statement's UNION ALL branches resolve
+    each FROM ref independently to a ``to_df`` temp view at the right
+    snapshot; Catalyst runs the rest. The oracle recomputes every branch
+    relationally (the metadata branch pins sequence_number/is_current,
+    which are deterministic)."""
+    from iceberg_catalog_postgres_spark.catalog.merge_sql import execute_dml
+
+    cat = _fresh_catalog("catalog_sql_select")
+    src = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    ident = TableIdentifier.parse("maint.nation_sel")
+    table = cat.create_table(ident, src.schema)
+    table = (
+        table.new_transaction()
+        .append_dataframe(src.filter(F.col("n_regionkey") < 3))
+        .commit()
+    )
+    sid = table.metadata.current_snapshot().snapshot_id
+    table = table.set_ref("first", sid, ref_type="tag")
+    table = (
+        table.new_transaction()
+        .append_dataframe(src.filter(F.col("n_regionkey") >= 3))
+        .commit()
+    )
+    return execute_dml(
+        spark,
+        cat,
+        f"""
+        SELECT 'cur' AS tag, n_regionkey AS grp, count(*) AS n,
+               sum(n_nationkey) AS sum_key
+        FROM maint.nation_sel GROUP BY n_regionkey
+        UNION ALL
+        SELECT 'meta', sequence_number, CAST(is_current AS BIGINT),
+               CAST(0 AS BIGINT)
+        FROM maint.nation_sel$snapshots
+        UNION ALL
+        SELECT 'ref', CAST(-1 AS BIGINT), count(*), sum(n_nationkey)
+        FROM maint.nation_sel VERSION AS OF 'first'
+        UNION ALL
+        SELECT 'v1', CAST(-1 AS BIGINT), count(*), sum(n_nationkey)
+        FROM maint.nation_sel FOR VERSION AS OF {sid}
+        ORDER BY tag, grp
+        """,
+    )
+
+
+@register(
+    "catalog_sql_select_pruning",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('nonpart', 5, 5,
+       CAST((SELECT count(*) FROM nation WHERE n_name <> '') AS BIGINT)),
+      ('point', 5, 1,
+       CAST((SELECT count(*) FROM nation WHERE n_regionkey = 2) AS BIGINT)),
+      ('range', 4, 2,
+       CAST((SELECT count(*) FROM nation
+             WHERE n_nationkey BETWEEN 3 AND 9) AS BIGINT))
+    ) t(case_name, files_total, files_planned, n_rows) ORDER BY case_name
+    """,
+    tags=("catalog", "sql", "select", "pruning", "metadata-planning"),
+)
+def catalog_sql_select_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata pruning THROUGH the SQL string path (r13): top-level WHERE
+    conjuncts on partition-spec source columns route into the composed
+    manifest planner (``planned_files_composed``), so a SQL SELECT plans
+    O(matching files) — the row returns the planner's file counts AS DATA
+    next to the query's row count. Three decision cases: an identity
+    point (5 partitions -> 1 file), a range through ``truncate(8, k)``
+    (4 files -> 2), and a non-partition predicate (no pruning — planner
+    must stay superset-safe, full file list). File counts are
+    deterministic: nation is 25 rows at every SF and each table is
+    written from one input partition, so files == partition tuples."""
+    from iceberg_catalog_postgres_spark.catalog.select_sql import (
+        select_plan_info,
+        select_sql,
+    )
+
+    cat = _fresh_catalog("catalog_sql_select_pruning")
+    src = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    for name, spec in (
+        ("maint.nation_ident", ["n_regionkey"]),
+        ("maint.nation_trunc", ["truncate(8, n_nationkey)"]),
+    ):
+        t = cat.create_table(TableIdentifier.parse(name), src.schema,
+                             partition_by=spec)
+        t.new_transaction().append_dataframe(src.coalesce(1)).commit()
+    cases = [
+        ("nonpart", "SELECT * FROM maint.nation_ident WHERE n_name <> ''"),
+        ("point", "SELECT * FROM maint.nation_ident WHERE n_regionkey = 2"),
+        ("range",
+         "SELECT * FROM maint.nation_trunc WHERE n_nationkey BETWEEN 3 AND 9"),
+    ]
+    rows = []
+    for case_name, sql in cases:
+        info = select_plan_info(spark, cat, sql)
+        rows.append(
+            (
+                case_name,
+                info["n_files_total"],
+                info["n_files_planned"],
+                select_sql(spark, cat, sql).count(),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "case_name string, files_total int, files_planned int, n_rows long"
+    ).orderBy("case_name")
+
+
+@register(
     "catalog_mor_merge_read",
     oracle="""
     WITH merged AS (
@@ -6241,6 +6377,127 @@ def catalog_merge_multi_clause_mor(spark: SparkSession, sf_dir: str) -> DataFram
         F.lit(bool(one_commit)).alias("one_commit"),
         F.lit(bool(dv_present)).alias("dv_deletes_present"),
     )
+
+
+def snapshots_df(spark: SparkSession, table: Table) -> DataFrame:
+    """The ``snapshots`` metadata table (Iceberg's ``table$snapshots``):
+    one row per snapshot with ``committed_at`` (UTC timestamp),
+    ``snapshot_id``, ``sequence_number``, ``operation``, the summary map,
+    and ``is_current``. Pure metadata — zero file I/O, O(snapshots)
+    driver work regardless of table size (the lazily-inflated file lists
+    are never touched)."""
+    import datetime as _dtm
+
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        MapType,
+        StringType,
+        StructField as _SF,
+        StructType as _ST,
+        TimestampType,
+    )
+
+    md = table.metadata
+    cur_id = md.current_snapshot_id
+    rows = [
+        (
+            _dtm.datetime.fromtimestamp(s.timestamp_ms / 1000.0, _dtm.timezone.utc),
+            int(s.snapshot_id),
+            int(s.sequence_number),
+            str(s.operation),
+            {str(k): str(v) for k, v in (s.summary or {}).items()},
+            s.snapshot_id == cur_id,
+        )
+        for s in sorted(md.snapshots, key=lambda s: (s.sequence_number, s.snapshot_id))
+    ]
+    schema = _ST(
+        [
+            _SF("committed_at", TimestampType(), False),
+            _SF("snapshot_id", LongType(), False),
+            _SF("sequence_number", LongType(), False),
+            _SF("operation", StringType(), False),
+            _SF("summary", MapType(StringType(), StringType()), False),
+            _SF("is_current", BooleanType(), False),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def files_df(
+    spark: SparkSession, table: Table, snapshot_id: int | None = None
+) -> DataFrame:
+    """The ``files`` metadata table (Iceberg's ``table$files``): one row
+    per live DATA file of the snapshot with ``file_path`` (table-relative,
+    stable across warehouse moves), ``file_format``, ``record_count``
+    (manifest stats; footer fallback only for statless legacy files),
+    ``file_size_in_bytes``, ``sequence_number``, the identity-partition
+    tuple as a ``map<string,string>``, and the MOR overlay counters
+    (``dv_cardinality`` for a v3 deletion vector, ``has_equality_deletes``
+    whether any committed eq-delete file is sequence-applicable).
+
+    Scale: a metadata fold over the manifest tree plus one ``stat()`` per
+    file for sizes — O(files) driver work, no data reads; statless legacy
+    files cost one footer each (counted by the planner's footer meter)."""
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        MapType,
+        StringType,
+        StructField as _SF,
+        StructType as _ST,
+    )
+
+    from iceberg_catalog_postgres_spark.catalog.table import collect_file_stats
+
+    md = table.metadata
+    snap = (
+        md.snapshot_by_id(snapshot_id) if snapshot_id is not None
+        else md.current_snapshot()
+    )
+    if snap is None:
+        raise ValueError("files_df requires a table with a snapshot")
+    store = table.catalog.object_store()
+    seqs = snap.file_seqs or {}
+    parts = snap.file_partitions or {}
+    stats = snap.file_stats or {}
+    dvs = snap.deletion_vectors or {}
+    eq_seqs = [int(seqs.get(d, 0)) for d in (snap.delete_files or [])]
+    rows = []
+    for rel in sorted(snap.data_files):
+        st = stats.get(rel) or {}
+        rc = st.get("record_count")
+        full = store.resolve(rel)
+        if rc is None:
+            rc = collect_file_stats(full).get("record_count")
+        fseq = int(seqs.get(rel, 0))
+        dv = dvs.get(rel)
+        rows.append(
+            (
+                rel,
+                "parquet",
+                int(rc) if rc is not None else None,
+                int(os.path.getsize(full)),
+                fseq,
+                {str(k): (None if v is None else str(v))
+                 for k, v in (parts.get(rel) or {}).items()},
+                int(dv["cardinality"]) if dv else None,
+                any(ds > fseq for ds in eq_seqs),
+            )
+        )
+    schema = _ST(
+        [
+            _SF("file_path", StringType(), False),
+            _SF("file_format", StringType(), False),
+            _SF("record_count", LongType(), True),
+            _SF("file_size_in_bytes", LongType(), False),
+            _SF("sequence_number", LongType(), False),
+            _SF("partition", MapType(StringType(), StringType(), True), False),
+            _SF("dv_cardinality", LongType(), True),
+            _SF("has_equality_deletes", BooleanType(), False),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
 
 
 def refs_df(spark: SparkSession, table: Table) -> DataFrame:

@@ -60,7 +60,7 @@ _TOKEN_RE = re.compile(
   | (?P<bq>`[^`]*`)                    # backticked identifier
   | (?P<word>[A-Za-z_][A-Za-z_0-9]*)   # bare identifier / keyword
   | (?P<num>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)  # numeric (incl. scientific)
-  | (?P<op><=>|<>|<=|>=|!=|\|\||::|[=<>().,*+\-/%])
+  | (?P<op>->|<=>|<>|<=|>=|!=|\|\||::|[=<>().,*+\-/%$\[\]!?:;&^~])
     """,
     re.VERBOSE | re.DOTALL,
 )
@@ -559,6 +559,8 @@ def execute_dml(spark, catalog, sql: str, **kwargs):
     through (``strategy``, ``preserve_lineage``, ``sources``, ...)."""
     import inspect
 
+    from iceberg_catalog_postgres_spark.catalog.select_sql import select_sql
+
     head = sql.lstrip().split(None, 1)
     kw = head[0].upper() if head else ""
     fn = {
@@ -567,11 +569,13 @@ def execute_dml(spark, catalog, sql: str, **kwargs):
         "DELETE": delete_sql,
         "INSERT": insert_sql,
         "CREATE": create_table_sql,
+        "SELECT": select_sql,
+        "WITH": select_sql,
     }.get(kw)
     if fn is None:
         raise ValueError(
-            "execute_dml handles MERGE/UPDATE/DELETE/INSERT/CREATE-AS-SELECT "
-            f"statements, got {kw!r}"
+            "execute_dml handles MERGE/UPDATE/DELETE/INSERT/CREATE-AS-SELECT/"
+            f"SELECT statements, got {kw!r}"
         )
     # forward only the knobs this statement kind takes — a generic caller
     # can always pass {strategy, preserve_lineage, sources, as_dv} and let

@@ -310,8 +310,10 @@ def test_delete_sql_dv_and_execute_dml_dispatch(catalog, spark):
     t = execute_dml(spark, catalog, f"DELETE FROM {t.identifier} WHERE k = 2")
     got = {r.k: (r.name, r.r) for r in t.to_df(spark).collect()}
     assert got[0] == ("M", 0) and got[1][1] == 9 and 2 not in got
+    # SELECT dispatches to the read front-end since r13 (test_select_sql)
+    assert execute_dml(spark, catalog, "SELECT 1 AS one").first().one == 1
     with pytest.raises(ValueError, match="MERGE/UPDATE/DELETE"):
-        execute_dml(spark, catalog, "SELECT 1")
+        execute_dml(spark, catalog, "GRANT ALL ON t TO nobody")
 
 
 # ---------------------------------------------------------------------------

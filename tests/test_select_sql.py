@@ -1,0 +1,289 @@
+"""SQL SELECT front-end (r13): catalog table refs resolve to ``to_df``
+temp views, Iceberg time travel (both syntaxes), metadata-table suffixes,
+and superset-safe WHERE-conjunct routing into the composed manifest
+planner. Execution tests replay decisions the Python API already
+certifies through SQL strings; parser tests pin ref scanning, alias
+handling, and refusals."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from iceberg_catalog_postgres_spark.catalog.catalog import (
+    PostgresCatalog,
+    TableIdentifier,
+)
+from iceberg_catalog_postgres_spark.catalog.merge_sql import execute_dml
+from iceberg_catalog_postgres_spark.catalog.select_sql import (
+    parse_select_refs,
+    select_plan_info,
+    select_sql,
+)
+
+
+@pytest.fixture
+def catalog(tmp_path):
+    cat = PostgresCatalog.connect("ssql", None, str(tmp_path / "wh"))
+    cat.initialize()
+    yield cat
+    cat.backend.close()
+
+
+def _seed(catalog, spark, name="s.t", partition_by=None, n=30, mod=3):
+    df = spark.createDataFrame(
+        [(i, f"n{i}", i % mod) for i in range(n)], "k long, name string, r long"
+    )
+    t = catalog.create_table(
+        TableIdentifier.parse(name), df.schema, partition_by=partition_by
+    )
+    return t.new_transaction().append_dataframe(df.coalesce(1)).commit()
+
+
+# ---------------------------------------------------------------------------
+# ref scanning / parsing
+# ---------------------------------------------------------------------------
+
+
+def test_parse_resolves_from_and_join(catalog, spark):
+    _seed(catalog, spark, "s.a")
+    _seed(catalog, spark, "s.b")
+    toks, refs = parse_select_refs(
+        "SELECT x.k FROM s.a x JOIN s.b y ON x.k = y.k", catalog
+    )
+    assert [str(r["ident"]) for r in refs] == ["s.a", "s.b"]
+    assert refs[0]["alias"] == "x" and refs[1]["alias"] == "y"
+    text = " ".join(toks)
+    assert "s . a" not in text and refs[0]["view"] in text
+
+
+def test_parse_implicit_alias_is_table_name(catalog, spark):
+    _seed(catalog, spark, "s.a")
+    toks, refs = parse_select_refs("SELECT a.k FROM s.a WHERE a.k = 1", catalog)
+    assert refs[0]["alias"] == "a"
+    assert "`a`" in toks  # qualified refs keep resolving
+
+
+def test_parse_non_catalog_names_pass_through(catalog, spark):
+    toks, refs = parse_select_refs(
+        "SELECT * FROM some_view v JOIN other.unknown u ON v.k = u.k", catalog
+    )
+    assert refs == []
+    assert "some_view" in toks and "unknown" in toks
+
+
+def test_parse_time_travel_forms(catalog, spark):
+    t = _seed(catalog, spark, "s.a")
+    sid = t.metadata.current_snapshot().snapshot_id
+    _, refs = parse_select_refs(f"SELECT * FROM s.a FOR VERSION AS OF {sid}", catalog)
+    assert refs[0]["snapshot_id"] == sid
+    _, refs = parse_select_refs("SELECT * FROM s.a VERSION AS OF 'tagname'", catalog)
+    assert refs[0]["ref"] == "tagname"
+    _, refs = parse_select_refs(
+        "SELECT * FROM s.a FOR SYSTEM_TIME AS OF '2026-01-02 03:04:05'", catalog
+    )
+    exp = int(
+        datetime.datetime(2026, 1, 2, 3, 4, 5, tzinfo=datetime.timezone.utc)
+        .timestamp() * 1000
+    )
+    assert refs[0]["as_of_ms"] == exp
+    # TIMESTAMP without AS OF is an alias, not a travel clause
+    _, refs = parse_select_refs("SELECT * FROM s.a timestamp", catalog)
+    assert refs[0]["alias"] == "timestamp" and refs[0]["as_of_ms"] is None
+
+
+def test_parse_metadata_suffix_refusals(catalog, spark):
+    _seed(catalog, spark, "s.a")
+    with pytest.raises(ValueError, match="unknown metadata table suffix"):
+        parse_select_refs("SELECT * FROM s.a$bogus", catalog)
+    with pytest.raises(ValueError, match="unknown catalog table"):
+        parse_select_refs("SELECT * FROM s.missing$files", catalog)
+    with pytest.raises(ValueError, match="time travel on a metadata table"):
+        select_sql(spark, catalog, "SELECT * FROM s.a$files VERSION AS OF 3")
+
+
+# ---------------------------------------------------------------------------
+# execution
+# ---------------------------------------------------------------------------
+
+
+def test_select_group_by(catalog, spark):
+    _seed(catalog, spark)
+    rows = select_sql(
+        spark, catalog,
+        "SELECT r, count(*) AS n FROM s.t GROUP BY r ORDER BY r",
+    ).collect()
+    assert [(x.r, x.n) for x in rows] == [(0, 10), (1, 10), (2, 10)]
+
+
+def test_select_execute_dml_dispatch(catalog, spark):
+    _seed(catalog, spark)
+    assert execute_dml(spark, catalog, "SELECT count(*) AS n FROM s.t").first().n == 30
+    assert (
+        execute_dml(
+            spark, catalog,
+            "WITH big AS (SELECT k FROM s.t WHERE k >= 20) "
+            "SELECT count(*) AS n FROM big",
+        ).first().n == 10
+    )
+
+
+def test_select_time_travel_version_and_timestamp(catalog, spark):
+    t = _seed(catalog, spark)
+    sid = t.metadata.current_snapshot().snapshot_id
+    ts_ms = t.metadata.current_snapshot().timestamp_ms
+    t = t.set_ref("v1", sid, ref_type="tag")
+    extra = spark.createDataFrame([(99, "x", 9)], "k long, name string, r long")
+    t.new_transaction().append_dataframe(extra).commit()
+    q = "SELECT count(*) AS n FROM s.t {travel}"
+    assert select_sql(spark, catalog, q.format(travel="")).first().n == 31
+    assert (
+        select_sql(spark, catalog, q.format(travel=f"FOR VERSION AS OF {sid}"))
+        .first().n == 30
+    )
+    assert (
+        select_sql(spark, catalog, q.format(travel="VERSION AS OF 'v1'"))
+        .first().n == 30
+    )
+    iso = datetime.datetime.fromtimestamp(
+        ts_ms / 1000.0, datetime.timezone.utc
+    ).strftime("%Y-%m-%dT%H:%M:%S.%f")
+    assert (
+        select_sql(spark, catalog, q.format(travel=f"TIMESTAMP AS OF '{iso}'"))
+        .first().n == 30
+    )
+
+
+def test_select_join_catalog_with_temp_view(catalog, spark):
+    _seed(catalog, spark)
+    spark.createDataFrame(
+        [(0, "zero"), (1, "one")], "r long, rname string"
+    ).createOrReplaceTempView("rnames_ssql")
+    rows = select_sql(
+        spark, catalog,
+        "SELECT rn.rname, count(*) AS n FROM s.t t JOIN rnames_ssql rn "
+        "ON t.r = rn.r GROUP BY rn.rname ORDER BY rn.rname",
+    ).collect()
+    assert [(x.rname, x.n) for x in rows] == [("one", 10), ("zero", 10)]
+
+
+def test_select_two_catalog_tables_join(catalog, spark):
+    _seed(catalog, spark, "s.a", n=10)
+    _seed(catalog, spark, "s.b", n=5)
+    n = select_sql(
+        spark, catalog,
+        "SELECT count(*) AS n FROM s.a x JOIN s.b y ON x.k = y.k",
+    ).first().n
+    assert n == 5
+
+
+def test_metadata_tables_through_sql(catalog, spark):
+    t = _seed(catalog, spark, "s.m", partition_by=["r"])
+    t.new_transaction().append_dataframe(
+        spark.createDataFrame([(99, "x", 9)], "k long, name string, r long")
+    ).commit()
+    snaps = select_sql(
+        spark, catalog,
+        "SELECT operation, is_current FROM s.m$snapshots ORDER BY sequence_number",
+    ).collect()
+    assert [(s.operation, s.is_current) for s in snaps] == [
+        ("append", False), ("append", True),
+    ]
+    files = select_sql(
+        spark, catalog,
+        "SELECT partition['r'] AS r, sum(record_count) AS rc, count(*) AS nf "
+        "FROM s.m$files GROUP BY partition['r'] ORDER BY r",
+    ).collect()
+    assert [(f.r, f.rc, f.nf) for f in files] == [
+        ("0", 10, 1), ("1", 10, 1), ("2", 10, 1), ("9", 1, 1),
+    ]
+    refs = select_sql(spark, catalog, "SELECT name, type FROM s.m$refs").collect()
+    assert [(r.name, r.type) for r in refs] == [("main", "branch")]
+    parts = select_sql(
+        spark, catalog,
+        "SELECT r, record_count FROM s.m$partitions ORDER BY r",
+    ).collect()
+    assert [(p.r, p.record_count) for p in parts] == [
+        (0, 10), (1, 10), (2, 10), (9, 1),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# metadata pruning through the SQL path
+# ---------------------------------------------------------------------------
+
+
+def test_prune_point_on_identity_partition(catalog, spark):
+    _seed(catalog, spark, "s.p", partition_by=["r"])
+    info = select_plan_info(spark, catalog, "SELECT * FROM s.p WHERE r = 1")
+    assert info["n_files_total"] == 3 and info["n_files_planned"] == 1
+    assert info["points"] == {"r": 1}
+    rows = select_sql(
+        spark, catalog, "SELECT k FROM s.p WHERE r = 1 ORDER BY k"
+    ).collect()
+    assert [x.k for x in rows] == [i for i in range(30) if i % 3 == 1]
+
+
+def test_prune_composed_range_and_point(catalog, spark):
+    _seed(catalog, spark, "s.c", partition_by=["r", "truncate(10, k)"])
+    info = select_plan_info(
+        spark, catalog,
+        "SELECT * FROM s.c t WHERE t.k BETWEEN 10 AND 19 AND t.r = 2 AND name <> 'x'",
+    )
+    assert info["points"] == {"r": 2} and info["ranges"] == {"k": (10, 19)}
+    assert info["n_files_planned"] < info["n_files_total"]
+    rows = select_sql(
+        spark, catalog,
+        "SELECT k FROM s.c t WHERE t.k BETWEEN 10 AND 19 AND t.r = 2 "
+        "AND name <> 'x' ORDER BY k",
+    ).collect()
+    assert [x.k for x in rows] == [11, 14, 17]
+
+
+def test_prune_open_range_and_flipped_literal(catalog, spark):
+    _seed(catalog, spark, "s.o", partition_by=["truncate(10, k)"])
+    # one-sided range: never pruned (superset-safe), still correct
+    info = select_plan_info(spark, catalog, "SELECT * FROM s.o WHERE k >= 20")
+    assert info["ranges"] == {} and info["n_files_planned"] == info["n_files_total"]
+    # both bounds via flipped literals: 5 <= k AND 9 >= k
+    info = select_plan_info(
+        spark, catalog, "SELECT * FROM s.o WHERE 5 <= k AND 9 >= k"
+    )
+    assert info["ranges"] == {"k": (5, 9)}
+    rows = select_sql(
+        spark, catalog, "SELECT k FROM s.o WHERE 5 <= k AND 9 >= k ORDER BY k"
+    ).collect()
+    assert [x.k for x in rows] == [5, 6, 7, 8, 9]
+
+
+def test_prune_never_fires_on_set_ops_or_non_partition_cols(catalog, spark):
+    _seed(catalog, spark, "s.u", partition_by=["r"])
+    info = select_plan_info(
+        spark, catalog, "SELECT * FROM s.u WHERE name = 'n1' AND k = 4"
+    )
+    assert info["points"] == {} and info["n_files_planned"] == info["n_files_total"]
+    # a top-level set op has two WHEREs — pruning must stay off even though
+    # only one side names the catalog table
+    spark.createDataFrame([(1,)], "r long").createOrReplaceTempView("one_row_ssql")
+    rows = select_sql(
+        spark, catalog,
+        "SELECT r FROM s.u WHERE r = 0 UNION SELECT r FROM one_row_ssql "
+        "WHERE r = 1 ORDER BY r",
+    ).collect()
+    assert [x.r for x in rows] == [0, 1]
+
+
+def test_prune_is_superset_safe_with_or_inside_parens(catalog, spark):
+    _seed(catalog, spark, "s.w", partition_by=["r"])
+    # the OR disjunct lives inside parens: not a top-level conjunct, so it
+    # must NOT prune, and results must still be exact
+    info = select_plan_info(
+        spark, catalog, "SELECT * FROM s.w WHERE (r = 0 OR r = 1)"
+    )
+    assert info["points"] == {}
+    rows = select_sql(
+        spark, catalog,
+        "SELECT count(*) AS n FROM s.w WHERE (r = 0 OR r = 1)",
+    ).collect()
+    assert rows[0].n == 20
