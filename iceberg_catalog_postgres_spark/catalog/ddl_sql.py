@@ -1,0 +1,404 @@
+"""SQL DDL + maintenance-procedure front-end (r13; VERDICT r12 next #3/#5).
+
+Completes the SQL lifecycle around the DML quartet (``merge_sql``) and the
+read side (``select_sql``): schema/spec EVOLUTION as ``ALTER TABLE``
+statements, and the maintenance engines as Iceberg-style ``CALL
+system.<procedure>(...)`` statements. Like the other SQL modules this is a
+GRAMMAR, not an engine — every statement renders onto an
+already-certified Python API (``commit_schema`` / ``commit_partition_spec``
+/ the maintenance module), so the SQL path inherits their CAS semantics,
+widening rules, and rename/default follow-through.
+
+Supported ALTER grammar (case-insensitive keywords)::
+
+    ALTER TABLE ns.t ADD COLUMN  <name> <type> [DEFAULT <literal>]
+    ALTER TABLE ns.t ADD COLUMNS (<name> <type> [DEFAULT <lit>], ...)
+    ALTER TABLE ns.t RENAME COLUMN <a> TO <b>
+    ALTER TABLE ns.t ALTER COLUMN <c> TYPE <type>     -- widening only
+    ALTER TABLE ns.t DROP COLUMN <c>
+    ALTER TABLE ns.t ADD PARTITION FIELD <col | transform(args)>
+    ALTER TABLE ns.t DROP PARTITION FIELD <col | transform(args)>
+
+CALL grammar (Iceberg's named-argument procedure syntax)::
+
+    CALL system.expire_snapshots('ns.t', keep_last => 2)
+    CALL system.rewrite_small_files('ns.t', target_rows => 1000)
+    CALL system.rewrite_position_deletes_to_dvs('ns.t')
+    CALL system.compact_table('ns.t', target_partitions => 1)
+    CALL system.remove_orphan_files('ns.t', older_than_s => 86400)
+    CALL system.vacuum('ns.t', keep_last_snapshots => 2, ...)
+
+``alter_sql`` returns the committed Table (like the DML family);
+``call_sql`` returns a ONE-ROW report DataFrame (like Iceberg's CALL
+output) so procedure effects are oracle-checkable as data.
+"""
+
+from __future__ import annotations
+
+from iceberg_catalog_postgres_spark.catalog.catalog import TableIdentifier
+from iceberg_catalog_postgres_spark.catalog.merge_sql import (
+    _Cursor,
+    _render,
+    _split_top,
+    _strip_ident,
+    _tokenize,
+)
+from iceberg_catalog_postgres_spark.catalog.select_sql import _parse_literal, _upper
+
+__all__ = ["alter_sql", "parse_alter", "call_sql", "parse_call"]
+
+
+def _sql_type(tokens: list[str]):
+    """A SQL type name (one or two words, optional ``(n[,m])`` suffix we
+    accept and ignore for varchar/char) -> Spark DataType."""
+    from pyspark.sql.types import (
+        BooleanType,
+        DateType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        StringType,
+        TimestampType,
+    )
+
+    words = [(_upper(t) or t) for t in tokens if t not in ("(", ")", ",")
+             and not t.isdigit()]
+    name = " ".join(words)
+    mapping = {
+        "INT": IntegerType(),
+        "INTEGER": IntegerType(),
+        "BIGINT": LongType(),
+        "LONG": LongType(),
+        "FLOAT": FloatType(),
+        "REAL": FloatType(),
+        "DOUBLE": DoubleType(),
+        "DOUBLE PRECISION": DoubleType(),
+        "STRING": StringType(),
+        "VARCHAR": StringType(),
+        "CHAR": StringType(),
+        "TEXT": StringType(),
+        "BOOLEAN": BooleanType(),
+        "DATE": DateType(),
+        "TIMESTAMP": TimestampType(),
+    }
+    t = mapping.get(name)
+    if t is None:
+        raise ValueError(f"ALTER: unsupported column type {name!r}")
+    return t
+
+
+def _until_word(cur: _Cursor, *stops: str) -> list[str]:
+    """Tokens until a bare stop WORD (``_kw`` only knows the MERGE keyword
+    set, so DDL words like DEFAULT need their own scan)."""
+    out = []
+    while cur.peek() is not None and _upper(cur.peek()) not in stops:
+        out.append(cur.next())
+    return out
+
+
+def _partition_entry(cur: _Cursor) -> str:
+    """``col`` or ``transform(args)`` rendered canonically (the spec's
+    entry spelling: ``bucket(8, k)`` / ``truncate(10, k)`` / ``day(ts)``)."""
+    head = _strip_ident(cur.next())
+    if cur.peek() != "(":
+        return head
+    inner = cur.balanced_parens()
+    args = [_render(piece, {}) for piece in _split_top(inner, ",")]
+    return f"{head.lower()}({', '.join(args)})"
+
+
+def parse_alter(sql: str) -> dict:
+    """One ALTER TABLE statement -> an action dict (see module grammar)."""
+    cur = _Cursor(_tokenize(sql.strip().rstrip(";")))
+    for kw in ("ALTER", "TABLE"):
+        tok = cur.next()
+        if _upper(tok) != kw:
+            raise ValueError(f"ALTER parse error: expected {kw}, got {tok!r}")
+    target = cur.dotted_name()
+    verb = _upper(cur.next())
+    if verb == "ADD":
+        what = _upper(cur.next())
+        if what == "COLUMN":
+            name = _strip_ident(cur.next())
+            type_toks = _until_word(cur, "DEFAULT")
+            default = None
+            if cur.peek() is not None and _upper(cur.peek()) == "DEFAULT":
+                cur.next()
+                default = _parse_literal(cur)
+            return {
+                "op": "add_columns",
+                "target": target,
+                "columns": [(name, _sql_type(type_toks), default)],
+            }
+        if what == "COLUMNS":
+            cols = []
+            for piece in _split_top(cur.balanced_parens(), ","):
+                pc = _Cursor(piece)
+                name = _strip_ident(pc.next())
+                type_toks = _until_word(pc, "DEFAULT")
+                default = None
+                if pc.peek() is not None and _upper(pc.peek()) == "DEFAULT":
+                    pc.next()
+                    default = _parse_literal(pc)
+                cols.append((name, _sql_type(type_toks), default))
+            return {"op": "add_columns", "target": target, "columns": cols}
+        if what == "PARTITION":
+            if _upper(cur.next()) != "FIELD":
+                raise ValueError("ALTER parse error: expected PARTITION FIELD")
+            return {
+                "op": "add_partition_field",
+                "target": target,
+                "entry": _partition_entry(cur),
+            }
+        raise ValueError(f"ALTER ADD: expected COLUMN(S)/PARTITION, got {what!r}")
+    if verb == "RENAME":
+        if _upper(cur.next()) != "COLUMN":
+            raise ValueError("ALTER parse error: expected RENAME COLUMN")
+        src = _strip_ident(cur.next())
+        if _upper(cur.next()) != "TO":
+            raise ValueError("ALTER parse error: expected TO")
+        return {
+            "op": "rename_column",
+            "target": target,
+            "from": src,
+            "to": _strip_ident(cur.next()),
+        }
+    if verb == "ALTER":
+        if _upper(cur.next()) != "COLUMN":
+            raise ValueError("ALTER parse error: expected ALTER COLUMN")
+        name = _strip_ident(cur.next())
+        kw = _upper(cur.next())
+        if kw == "SET":  # ALTER COLUMN c SET DATA TYPE t
+            for expect in ("DATA", "TYPE"):
+                if _upper(cur.next()) != expect:
+                    raise ValueError("ALTER parse error: expected SET DATA TYPE")
+        elif kw != "TYPE":
+            raise ValueError(f"ALTER COLUMN: expected TYPE, got {kw!r}")
+        return {
+            "op": "alter_column_type",
+            "target": target,
+            "column": name,
+            "type": _sql_type(cur.toks[cur.i :]),
+        }
+    if verb == "DROP":
+        what = _upper(cur.next())
+        if what == "COLUMN":
+            return {
+                "op": "drop_column",
+                "target": target,
+                "column": _strip_ident(cur.next()),
+            }
+        if what == "PARTITION":
+            if _upper(cur.next()) != "FIELD":
+                raise ValueError("ALTER parse error: expected PARTITION FIELD")
+            return {
+                "op": "drop_partition_field",
+                "target": target,
+                "entry": _partition_entry(cur),
+            }
+        raise ValueError(f"ALTER DROP: expected COLUMN/PARTITION, got {what!r}")
+    raise ValueError(f"ALTER: unsupported action {verb!r}")
+
+
+def alter_sql(spark, catalog, sql: str):
+    """Execute one ALTER TABLE statement against a catalog table and
+    return the committed Table. Every action is a METADATA-ONLY commit
+    (the id-based evolution model — zero data rewrite at any size):
+    column edits go through ``commit_schema`` (which enforces widening
+    rules, detects renames by field id, applies the rename
+    follow-through to spec entries and NDV properties, and records v3
+    initial-defaults); partition-field edits go through
+    ``commit_partition_spec`` (old files keep their tuples, planners
+    stay superset-safe across the spec change)."""
+    from pyspark.sql.types import StructField, StructType
+
+    p = parse_alter(sql)
+    table = catalog.load_table(TableIdentifier.parse(p["target"]))
+    fields = list(table.schema.fields)
+    names = {f.name for f in fields}
+    op = p["op"]
+    if op == "add_columns":
+        defaults = {}
+        for name, dtype, default in p["columns"]:
+            if name in names:
+                raise ValueError(f"ALTER ADD COLUMN: column exists: {name}")
+            fields.append(StructField(name, dtype, True))
+            names.add(name)
+            if default is not None:
+                defaults[name] = default
+        return table.commit_schema(StructType(fields), defaults=defaults or None)
+    if op == "rename_column":
+        if p["from"] not in names:
+            raise ValueError(f"ALTER RENAME: unknown column {p['from']!r}")
+        if p["to"] in names:
+            raise ValueError(f"ALTER RENAME: target name exists: {p['to']!r}")
+        fields = [
+            StructField(p["to"], f.dataType, f.nullable, f.metadata)
+            if f.name == p["from"] else f
+            for f in fields
+        ]
+        return table.commit_schema(StructType(fields))
+    if op == "alter_column_type":
+        if p["column"] not in names:
+            raise ValueError(f"ALTER COLUMN: unknown column {p['column']!r}")
+        fields = [
+            StructField(f.name, p["type"], f.nullable, f.metadata)
+            if f.name == p["column"] else f
+            for f in fields
+        ]
+        # commit_schema rejects non-widening changes loudly
+        return table.commit_schema(StructType(fields))
+    if op == "drop_column":
+        if p["column"] not in names:
+            raise ValueError(f"ALTER DROP: unknown column {p['column']!r}")
+        fields = [f for f in fields if f.name != p["column"]]
+        return table.commit_schema(StructType(fields))
+    if op == "add_partition_field":
+        spec = list(table.metadata.partition_spec)
+        if p["entry"] in spec:
+            raise ValueError(f"partition field already in spec: {p['entry']}")
+        return table.commit_partition_spec([*spec, p["entry"]])
+    if op == "drop_partition_field":
+        spec = list(table.metadata.partition_spec)
+        if p["entry"] not in spec:
+            raise ValueError(
+                f"partition field not in spec: {p['entry']} (spec: {spec})"
+            )
+        return table.commit_partition_spec(
+            [e for e in spec if e != p["entry"]]
+        )
+    raise AssertionError(op)
+
+
+_PROCEDURES = {
+    "expire_snapshots",
+    "rewrite_small_files",
+    "rewrite_position_deletes_to_dvs",
+    "compact_table",
+    "remove_orphan_files",
+    "vacuum",
+}
+
+
+def parse_call(sql: str) -> dict:
+    """``CALL [system.]<proc>('ns.t' [, name => literal, ...])`` ->
+    ``{"proc", "target", "args": {name: value}}``. The first positional
+    argument is the table identifier; every other argument must be
+    named (Iceberg's ``=>`` syntax) — positional knobs invite silent
+    transposition."""
+    cur = _Cursor(_tokenize(sql.strip().rstrip(";")))
+    if _upper(cur.next()) != "CALL":
+        raise ValueError("CALL parse error: expected CALL")
+    proc = cur.dotted_name()
+    if proc.lower().startswith("system."):
+        proc = proc[len("system."):]
+    proc = proc.lower()
+    if proc not in _PROCEDURES:
+        raise ValueError(
+            f"unknown procedure {proc!r} (supported: {sorted(_PROCEDURES)})"
+        )
+    pieces = [p for p in _split_top(cur.balanced_parens(), ",") if p]
+    if not pieces:
+        raise ValueError("CALL: the first argument must be the table identifier")
+    first = _Cursor(pieces[0])
+    target = _parse_literal(first)
+    if not isinstance(target, str):
+        raise ValueError("CALL: the table identifier must be a string literal")
+    args = {}
+    for piece in pieces[1:]:
+        # name => literal
+        try:
+            ai = piece.index("=")
+            if piece[ai + 1] != ">":
+                raise ValueError
+        except (ValueError, IndexError):
+            raise ValueError(
+                f"CALL: arguments after the table must be named (k => v): "
+                f"{' '.join(piece)!r}"
+            )
+        name = _strip_ident(piece[0]).lower()
+        val_toks = piece[ai + 2 :]
+        if len(val_toks) == 1 and _upper(val_toks[0]) in ("TRUE", "FALSE"):
+            args[name] = _upper(val_toks[0]) == "TRUE"
+        else:
+            args[name] = _parse_literal(_Cursor(val_toks))
+    return {"proc": proc, "target": target, "args": args}
+
+
+def call_sql(spark, catalog, sql: str):
+    """Execute one maintenance procedure and return its ONE-ROW report
+    DataFrame (procedure, plus effect counters) — the Iceberg CALL
+    contract, so a decision table driven through SQL is checkable as
+    data. The mutated Table is re-loadable through the catalog (CALL, like
+    any commit, swaps the pointer)."""
+    from iceberg_catalog_postgres_spark.catalog import maintenance as _m
+
+    p = parse_call(sql)
+    table = catalog.load_table(TableIdentifier.parse(p["target"]))
+    a = p["args"]
+    proc = p["proc"]
+    snap0 = table.metadata.current_snapshot()
+    files_before = len(snap0.data_files) if snap0 else 0
+    snaps_before = len(table.metadata.snapshots)
+    if proc == "expire_snapshots":
+        t2 = _m.expire_snapshots(
+            table,
+            keep_last=int(a.get("keep_last", 2)),
+            older_than_ms=a.get("older_than_ms"),
+        )
+        report = {"snapshots_before": snaps_before,
+                  "snapshots_after": len(t2.metadata.snapshots)}
+    elif proc == "rewrite_small_files":
+        t2, n_small, n_kept, n_new = _m.rewrite_small_files(
+            spark, table,
+            target_rows=int(a["target_rows"]),
+            small_threshold=(
+                int(a["small_threshold"]) if "small_threshold" in a else None
+            ),
+        )
+        report = {"rewritten_data_files_count": n_small,
+                  "kept_data_files_count": n_kept,
+                  "added_data_files_count": n_new}
+    elif proc == "rewrite_position_deletes_to_dvs":
+        pos_before = len(snap0.position_delete_files) if snap0 else 0
+        t2 = _m.rewrite_position_deletes_to_dvs(spark, table)
+        s2 = t2.metadata.current_snapshot()
+        report = {
+            "pos_delete_files_before": pos_before,
+            "pos_delete_files_after": len(s2.position_delete_files),
+            "deletion_vectors": len(s2.deletion_vectors or {}),
+        }
+    elif proc == "compact_table":
+        t2 = _m.compact_table(
+            spark, table,
+            target_partitions=int(a.get("target_partitions", 1)),
+            preserve_lineage=bool(a.get("preserve_lineage", False)),
+        )
+        report = {
+            "files_before": files_before,
+            "files_after": len(t2.metadata.current_snapshot().data_files),
+        }
+    elif proc == "remove_orphan_files":
+        rep = _m.remove_orphan_files(
+            table, older_than_s=float(a.get("older_than_s", 3 * 86400.0))
+        )
+        report = {"orphan_files_removed": int(rep["n_orphans_deleted"]),
+                  "files_scanned": int(rep["n_scanned"])}
+    else:  # vacuum
+        kwargs = {
+            k: int(v)
+            for k, v in a.items()
+            if k in ("keep_last_snapshots", "keep_last_metadata",
+                     "max_manifest_chunks", "dv_convert_min_files")
+        }
+        if "orphan_older_than_s" in a:
+            kwargs["orphan_older_than_s"] = float(a["orphan_older_than_s"])
+        t2, rep = _m.vacuum(table, spark=spark, **kwargs)
+        report = {
+            "snapshots_before": snaps_before,
+            "snapshots_after": len(t2.metadata.snapshots),
+        }
+    rows = [(proc, *[int(v) for v in report.values()])]
+    cols = ", ".join(f"{k} long" for k in report)
+    return spark.createDataFrame(rows, f"procedure string, {cols}")

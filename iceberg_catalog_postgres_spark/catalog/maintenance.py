@@ -1386,6 +1386,143 @@ def catalog_sql_insert_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "catalog_sql_alter_evolution",
+    oracle="""
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+           n_name AS nation_name,
+           'unset' AS region_label
+    FROM nation
+    UNION ALL
+    SELECT * FROM (VALUES (CAST(100 AS BIGINT), 'newland', 'tagged'))
+      v(n_nationkey, nation_name, region_label)
+    ORDER BY n_nationkey
+    """,
+    tags=("catalog", "sql", "ddl", "evolution", "rename", "widen", "default"),
+)
+def catalog_sql_alter_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE SQL DDL (r13; VERDICT r12 next #3): the schema-evolution
+    decision table driven entirely through SQL strings — ADD COLUMN with a
+    v3 initial DEFAULT (pre-column files fill it at read), RENAME COLUMN
+    (old files keep their values through the rename log), ALTER COLUMN
+    TYPE int->bigint widening (old narrow files up-cast at scan) — then a
+    post-evolution append under the new schema, read back through the SQL
+    SELECT path. Every step is a metadata-only commit (zero data rewrite
+    at any table size); the grammar dispatches onto ``commit_schema``,
+    which the catalog_schema_* rows already certify. The oracle recomputes
+    the final state relationally."""
+    from iceberg_catalog_postgres_spark.catalog.merge_sql import execute_dml
+
+    cat = _fresh_catalog("catalog_sql_alter_evolution")
+    src = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("int").alias("n_nationkey"), "n_name"
+    )
+    ident = TableIdentifier.parse("maint.nation_ddl")
+    table = cat.create_table(ident, src.schema)
+    table = table.new_transaction().append_dataframe(src.coalesce(1)).commit()
+    execute_dml(
+        spark, cat,
+        "ALTER TABLE maint.nation_ddl ADD COLUMN region_label STRING "
+        "DEFAULT 'unset'",
+    )
+    execute_dml(
+        spark, cat,
+        "ALTER TABLE maint.nation_ddl RENAME COLUMN n_name TO nation_name",
+    )
+    table = execute_dml(
+        spark, cat,
+        "ALTER TABLE maint.nation_ddl ALTER COLUMN n_nationkey TYPE BIGINT",
+    )
+    extra = spark.createDataFrame(
+        [(100, "newland", "tagged")],
+        "n_nationkey long, nation_name string, region_label string",
+    )
+    table.new_transaction().append_dataframe(extra.coalesce(1)).commit()
+    return execute_dml(
+        spark, cat,
+        "SELECT n_nationkey, nation_name, region_label "
+        "FROM maint.nation_ddl ORDER BY n_nationkey",
+    )
+
+
+@register(
+    "catalog_sql_call_maintenance",
+    oracle="""
+    SELECT CAST(5 AS BIGINT) AS rewritten_files,
+           CAST(1 AS BIGINT) AS added_files,
+           CAST(1 AS BIGINT) AS pos_files_folded,
+           CAST(1 AS BIGINT) AS deletion_vectors,
+           CAST(2 AS BIGINT) AS snapshots_after,
+           CAST((SELECT count(*) FROM supplier WHERE s_suppkey % 7 <> 3)
+                AS BIGINT) AS n_rows,
+           CAST((SELECT sum(s_suppkey) FROM supplier WHERE s_suppkey % 7 <> 3)
+                AS BIGINT) AS sum_key
+    """,
+    tags=("catalog", "sql", "call", "maintenance", "compaction"),
+)
+def catalog_sql_call_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALL-style maintenance procedures (r13; VERDICT r12 next #5): the
+    compaction + delete-representation + retention decision table driven
+    through Iceberg's ``CALL system.<proc>(name => value)`` SQL syntax —
+    5 streaming-dribble appends bin-packed by ``rewrite_small_files``
+    (5 rewritten -> 1 file, a metadata-only candidate scan), a positional
+    DELETE folded into a deletion vector by
+    ``rewrite_position_deletes_to_dvs`` (read amplification back to one
+    ranged blob per file), history trimmed by ``expire_snapshots``.
+    Report counters come back as the procedures' result rows (the Iceberg
+    CALL contract); row integrity is re-read through SQL SELECT after all
+    three. The oracle pins the counters and recomputes the surviving
+    rows."""
+    from iceberg_catalog_postgres_spark.catalog.merge_sql import execute_dml
+
+    cat = _fresh_catalog("catalog_sql_call_maintenance")
+    src = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    ident = TableIdentifier.parse("maint.supplier_call")
+    table = cat.create_table(ident, src.schema)
+    for i in range(5):
+        table = (
+            table.new_transaction()
+            .append_dataframe(src.filter(F.col("s_suppkey") % 5 == i).coalesce(1))
+            .commit()
+        )
+    rep1 = execute_dml(
+        spark, cat,
+        "CALL system.rewrite_small_files('maint.supplier_call', "
+        "target_rows => 1000000)",
+    ).first()
+    execute_dml(
+        spark, cat, "DELETE FROM maint.supplier_call WHERE s_suppkey % 7 = 3",
+        as_dv=False,
+    )
+    rep2 = execute_dml(
+        spark, cat,
+        "CALL system.rewrite_position_deletes_to_dvs('maint.supplier_call')",
+    ).first()
+    rep3 = execute_dml(
+        spark, cat,
+        "CALL system.expire_snapshots('maint.supplier_call', keep_last => 2)",
+    ).first()
+    agg = execute_dml(
+        spark, cat,
+        "SELECT count(*) AS n_rows, sum(s_suppkey) AS sum_key "
+        "FROM maint.supplier_call",
+    ).first()
+    return spark.createDataFrame(
+        [(
+            int(rep1.rewritten_data_files_count),
+            int(rep1.added_data_files_count),
+            int(rep2.pos_delete_files_before),
+            int(rep2.deletion_vectors),
+            int(rep3.snapshots_after),
+            int(agg.n_rows),
+            int(agg.sum_key),
+        )],
+        "rewritten_files long, added_files long, pos_files_folded long, "
+        "deletion_vectors long, snapshots_after long, n_rows long, "
+        "sum_key long",
+    )
+
+
+@register(
     "catalog_sql_select",
     oracle="""
     WITH v1 AS (SELECT n_nationkey, n_name, n_regionkey FROM nation

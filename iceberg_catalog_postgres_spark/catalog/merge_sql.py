@@ -559,6 +559,7 @@ def execute_dml(spark, catalog, sql: str, **kwargs):
     through (``strategy``, ``preserve_lineage``, ``sources``, ...)."""
     import inspect
 
+    from iceberg_catalog_postgres_spark.catalog.ddl_sql import alter_sql, call_sql
     from iceberg_catalog_postgres_spark.catalog.select_sql import select_sql
 
     head = sql.lstrip().split(None, 1)
@@ -571,11 +572,13 @@ def execute_dml(spark, catalog, sql: str, **kwargs):
         "CREATE": create_table_sql,
         "SELECT": select_sql,
         "WITH": select_sql,
+        "ALTER": alter_sql,
+        "CALL": call_sql,
     }.get(kw)
     if fn is None:
         raise ValueError(
             "execute_dml handles MERGE/UPDATE/DELETE/INSERT/CREATE-AS-SELECT/"
-            f"SELECT statements, got {kw!r}"
+            f"SELECT/ALTER/CALL statements, got {kw!r}"
         )
     # forward only the knobs this statement kind takes — a generic caller
     # can always pass {strategy, preserve_lineage, sources, as_dv} and let

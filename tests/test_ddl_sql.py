@@ -1,0 +1,191 @@
+"""SQL DDL front-end (r13): ALTER TABLE schema/spec evolution and CALL
+maintenance procedures as thin grammars over the certified Python APIs.
+Parser pins, execution round-trips (rename keeps old file values, defaults
+fill pre-column files, widening reads old narrow files), loud refusals
+(narrowing cast, unknown column, positional CALL args)."""
+
+from __future__ import annotations
+
+import pytest
+
+from iceberg_catalog_postgres_spark.catalog.catalog import (
+    PostgresCatalog,
+    TableIdentifier,
+)
+from iceberg_catalog_postgres_spark.catalog.ddl_sql import (
+    alter_sql,
+    call_sql,
+    parse_alter,
+    parse_call,
+)
+from iceberg_catalog_postgres_spark.catalog.merge_sql import execute_dml
+
+
+@pytest.fixture
+def catalog(tmp_path):
+    cat = PostgresCatalog.connect("dsql", None, str(tmp_path / "wh"))
+    cat.initialize()
+    yield cat
+    cat.backend.close()
+
+
+def _seed(catalog, spark, name="d.t", ddl="k int, name string, r long", rows=None):
+    rows = rows or [(i, f"n{i}", i % 3) for i in range(9)]
+    df = spark.createDataFrame(rows, ddl)
+    t = catalog.create_table(TableIdentifier.parse(name), df.schema)
+    return t.new_transaction().append_dataframe(df.coalesce(1)).commit()
+
+
+# ---------------------------------------------------------------------------
+# parser
+# ---------------------------------------------------------------------------
+
+
+def test_parse_alter_forms():
+    p = parse_alter("ALTER TABLE ns.t ADD COLUMN grade BIGINT DEFAULT 5")
+    assert p["op"] == "add_columns"
+    assert p["columns"][0][0] == "grade" and p["columns"][0][2] == 5
+    p = parse_alter(
+        "ALTER TABLE ns.t ADD COLUMNS (a INT, b STRING DEFAULT 'x')"
+    )
+    assert [(c[0], c[2]) for c in p["columns"]] == [("a", None), ("b", "x")]
+    p = parse_alter("ALTER TABLE ns.t RENAME COLUMN a TO b")
+    assert (p["op"], p["from"], p["to"]) == ("rename_column", "a", "b")
+    p = parse_alter("ALTER TABLE ns.t ALTER COLUMN k TYPE BIGINT")
+    assert p["op"] == "alter_column_type" and p["type"].simpleString() == "bigint"
+    p = parse_alter("ALTER TABLE ns.t ALTER COLUMN k SET DATA TYPE DOUBLE")
+    assert p["type"].simpleString() == "double"
+    p = parse_alter("ALTER TABLE ns.t DROP COLUMN old")
+    assert p["op"] == "drop_column" and p["column"] == "old"
+    p = parse_alter("ALTER TABLE ns.t ADD PARTITION FIELD bucket(8, k)")
+    assert p["entry"] == "bucket(8, k)"
+    p = parse_alter("ALTER TABLE ns.t DROP PARTITION FIELD r")
+    assert (p["op"], p["entry"]) == ("drop_partition_field", "r")
+    with pytest.raises(ValueError, match="unsupported column type"):
+        parse_alter("ALTER TABLE ns.t ADD COLUMN x BLOB")
+    with pytest.raises(ValueError, match="unsupported action"):
+        parse_alter("ALTER TABLE ns.t SET TBLPROPERTIES ('a'='b')")
+
+
+def test_parse_call_forms():
+    p = parse_call("CALL system.expire_snapshots('ns.t', keep_last => 3)")
+    assert (p["proc"], p["target"], p["args"]) == (
+        "expire_snapshots", "ns.t", {"keep_last": 3},
+    )
+    p = parse_call(
+        "CALL compact_table('ns.t', target_partitions => 2, "
+        "preserve_lineage => true)"
+    )
+    assert p["args"] == {"target_partitions": 2, "preserve_lineage": True}
+    with pytest.raises(ValueError, match="unknown procedure"):
+        parse_call("CALL system.do_magic('ns.t')")
+    with pytest.raises(ValueError, match="must be named"):
+        parse_call("CALL system.expire_snapshots('ns.t', 3)")
+    with pytest.raises(ValueError, match="string literal"):
+        parse_call("CALL system.expire_snapshots(42)")
+
+
+# ---------------------------------------------------------------------------
+# ALTER execution
+# ---------------------------------------------------------------------------
+
+
+def test_alter_add_default_rename_widen_roundtrip(catalog, spark):
+    _seed(catalog, spark)
+    t = execute_dml(
+        spark, catalog, "ALTER TABLE d.t ADD COLUMN grade BIGINT DEFAULT 7"
+    )
+    t = execute_dml(spark, catalog, "ALTER TABLE d.t RENAME COLUMN name TO label")
+    t = execute_dml(spark, catalog, "ALTER TABLE d.t ALTER COLUMN k TYPE BIGINT")
+    # post-evolution append under the new schema
+    extra = spark.createDataFrame(
+        [(100, "new", 9, 1)], "k long, label string, r long, grade long"
+    )
+    t = t.new_transaction().append_dataframe(extra.coalesce(1)).commit()
+    rows = execute_dml(
+        spark, catalog, "SELECT k, label, grade FROM d.t ORDER BY k"
+    ).collect()
+    # pre-column files fill the default; pre-rename values survive
+    assert (rows[0].k, rows[0].label, rows[0].grade) == (0, "n0", 7)
+    assert (rows[-1].k, rows[-1].label, rows[-1].grade) == (100, "new", 1)
+    assert dict((f.name, f.dataType.simpleString()) for f in t.schema.fields)[
+        "k"
+    ] == "bigint"
+
+
+def test_alter_drop_column_and_partition_fields(catalog, spark):
+    _seed(catalog, spark, "d.p")
+    t = execute_dml(spark, catalog, "ALTER TABLE d.p ADD PARTITION FIELD r")
+    assert t.metadata.partition_spec == ["r"]
+    t = execute_dml(
+        spark, catalog, "ALTER TABLE d.p ADD PARTITION FIELD truncate(4, k)"
+    )
+    assert t.metadata.partition_spec == ["r", "truncate(4, k)"]
+    t = execute_dml(spark, catalog, "ALTER TABLE d.p DROP PARTITION FIELD r")
+    assert t.metadata.partition_spec == ["truncate(4, k)"]
+    t = execute_dml(spark, catalog, "ALTER TABLE d.p DROP COLUMN name")
+    assert [f.name for f in t.schema.fields] == ["k", "r"]
+    assert execute_dml(
+        spark, catalog, "SELECT count(*) AS n FROM d.p"
+    ).first().n == 9
+
+
+def test_alter_refusals(catalog, spark):
+    _seed(catalog, spark, "d.r", ddl="k long, name string, r long")
+    with pytest.raises(ValueError, match="incompatible type change"):
+        alter_sql(spark, catalog, "ALTER TABLE d.r ALTER COLUMN k TYPE INT")
+    with pytest.raises(ValueError, match="unknown column"):
+        alter_sql(spark, catalog, "ALTER TABLE d.r RENAME COLUMN zzz TO a")
+    with pytest.raises(ValueError, match="column exists"):
+        alter_sql(spark, catalog, "ALTER TABLE d.r ADD COLUMN k INT")
+    with pytest.raises(ValueError, match="target name exists"):
+        alter_sql(spark, catalog, "ALTER TABLE d.r RENAME COLUMN k TO name")
+    with pytest.raises(ValueError, match="not in spec"):
+        alter_sql(spark, catalog, "ALTER TABLE d.r DROP PARTITION FIELD r")
+
+
+# ---------------------------------------------------------------------------
+# CALL execution
+# ---------------------------------------------------------------------------
+
+
+def test_call_small_files_then_expire(catalog, spark):
+    df = spark.createDataFrame([(i, f"x{i}") for i in range(20)], "k long, v string")
+    t = catalog.create_table(TableIdentifier.parse("d.m"), df.schema)
+    for i in range(4):
+        t = (
+            t.new_transaction()
+            .append_dataframe(df.filter(f"k % 4 = {i}").coalesce(1))
+            .commit()
+        )
+    rep = call_sql(
+        spark, catalog, "CALL system.rewrite_small_files('d.m', target_rows => 100)"
+    ).first()
+    assert (rep.rewritten_data_files_count, rep.added_data_files_count) == (4, 1)
+    rep = call_sql(
+        spark, catalog, "CALL system.expire_snapshots('d.m', keep_last => 2)"
+    ).first()
+    assert (rep.snapshots_before, rep.snapshots_after) == (5, 2)
+    assert execute_dml(
+        spark, catalog, "SELECT count(*) AS n FROM d.m"
+    ).first().n == 20
+
+
+def test_call_pos_deletes_to_dvs_and_vacuum(catalog, spark):
+    df = spark.createDataFrame([(i, f"x{i}") for i in range(12)], "k long, v string")
+    t = catalog.create_table(TableIdentifier.parse("d.v"), df.schema)
+    t = t.new_transaction().append_dataframe(df.coalesce(1)).commit()
+    execute_dml(spark, catalog, "DELETE FROM d.v WHERE k = 3", as_dv=False)
+    rep = call_sql(
+        spark, catalog, "CALL system.rewrite_position_deletes_to_dvs('d.v')"
+    ).first()
+    assert (rep.pos_delete_files_before, rep.pos_delete_files_after,
+            rep.deletion_vectors) == (1, 0, 1)
+    rep = call_sql(
+        spark, catalog, "CALL system.vacuum('d.v', keep_last_snapshots => 2)"
+    ).first()
+    assert rep.snapshots_after <= 2
+    rows = execute_dml(
+        spark, catalog, "SELECT k FROM d.v ORDER BY k"
+    ).collect()
+    assert [r.k for r in rows] == [i for i in range(12) if i != 3]
