@@ -114,9 +114,12 @@ def main() -> None:
 
     calibration = run_calibration(spark, sf_dir)
 
+    from iceberg_catalog_postgres_spark.catalog.maintenance import BENCH_PHASES
+
     timings: dict[str, float] = {}
     reps: dict[str, list[float]] = {}
     noop: dict[str, float] = {}
+    phases: dict[str, list[dict]] = {}
     for name in names:
         spec = registry[name]
         # Pass 1 (untimed): JVM JIT + codegen compile + file-footer caches.
@@ -132,7 +135,15 @@ def main() -> None:
             # Materialize fully (not just count, which can prune aggregates):
             # collect to driver; headline queries return small results by design.
             spec.fn(spark, sf_dir).collect()
-            rep_times.append(round(time.perf_counter() - t0, 3))
+            rep = round(time.perf_counter() - t0, 3)
+            rep_times.append(rep)
+            # Lifecycle rows publish commit-phase sub-timings (r13): carry
+            # them per rep with the derived read remainder, so the 25% rep
+            # spread of commit machinery is attributable in the artifact.
+            if name in BENCH_PHASES:
+                ph = dict(BENCH_PHASES.pop(name))
+                ph["read_sec"] = round(rep - sum(ph.values()), 3)
+                phases.setdefault(name, []).append(ph)
         reps[name] = rep_times
         timings[name] = min(rep_times)
         noop_times: list[float] = []
@@ -187,6 +198,7 @@ def main() -> None:
                 "queries": timings,
                 "reps": reps,
                 "queries_noop": noop,
+                "phases": phases,
                 "calibration": calibration,
                 "normalized": {
                     # dimensionless ratios: headline total per unit of fixed

@@ -604,16 +604,35 @@ def parse_insert(sql: str) -> dict:
     else:
         raise ValueError(f"INSERT parse error: expected INTO/OVERWRITE, got {mode!r}")
     target = cur.dotted_name()
+    by_name = False
+    if (
+        cur.peek() is not None
+        and _kw(cur.peek()) == "BY"
+        and cur.i + 1 < len(cur.toks)
+        and not cur.toks[cur.i + 1].startswith(("'", "`"))
+        and cur.toks[cur.i + 1].upper() == "NAME"
+    ):
+        # Spark's INSERT INTO t BY NAME: bind the SELECT's output columns
+        # to table columns by NAME instead of position (r13 — prevents
+        # silent transposition when a user reorders the SELECT)
+        cur.next()
+        cur.next()
+        by_name = True
     columns = None
     if cur.peek() == "(":
+        if by_name:
+            raise ValueError("INSERT BY NAME takes no column list")
         columns = [_strip_ident(t) for t in cur.balanced_parens() if t != ","]
     if cur.try_kw("VALUES"):
+        if by_name:
+            raise ValueError("INSERT BY NAME requires a SELECT body")
         rest = cur.toks[cur.i :]
         cur.i = len(cur.toks)
         return {
             "target": target,
             "overwrite": overwrite,
             "columns": columns,
+            "by_name": False,
             "source": ("values", _render(rest, {})),
         }
     # SELECT body: everything that remains, verbatim (Spark parses it)
@@ -625,6 +644,7 @@ def parse_insert(sql: str) -> dict:
         "target": target,
         "overwrite": overwrite,
         "columns": columns,
+        "by_name": by_name,
         "source": ("select", _render(rest, {})),
     }
 
@@ -679,21 +699,35 @@ def insert_sql(spark, catalog, sql: str, n_files: int | None = None):
     table = catalog.load_table(TableIdentifier.parse(p["target"]))
     cols = [f.name for f in table.schema.fields]
     types = {f.name: f.dataType for f in table.schema.fields}
-    listed = p["columns"] or cols
-    unknown = [c for c in listed if c not in types]
-    if unknown:
-        raise ValueError(f"INSERT lists unknown column(s): {unknown}")
     kind, text = p["source"]
-    if kind == "values":
-        df = spark.sql(f"SELECT * FROM (VALUES {text}) AS v({', '.join(listed)})")
-    else:
+    if p.get("by_name"):
+        # BY NAME binding: the select's OUTPUT names choose the targets —
+        # reordering the SELECT can never transpose values into the wrong
+        # column; unknown output names refuse loudly
         df = spark.sql(text)
-        if len(df.columns) != len(listed):
+        unknown = [c for c in df.columns if c not in types]
+        if unknown:
             raise ValueError(
-                f"INSERT SELECT yields {len(df.columns)} columns for "
-                f"{len(listed)} targets"
+                f"INSERT BY NAME: select outputs unknown column(s): {unknown}"
             )
-        df = df.toDF(*listed)
+        listed = list(df.columns)
+    else:
+        listed = p["columns"] or cols
+        unknown = [c for c in listed if c not in types]
+        if unknown:
+            raise ValueError(f"INSERT lists unknown column(s): {unknown}")
+        if kind == "values":
+            df = spark.sql(
+                f"SELECT * FROM (VALUES {text}) AS v({', '.join(listed)})"
+            )
+        else:
+            df = spark.sql(text)
+            if len(df.columns) != len(listed):
+                raise ValueError(
+                    f"INSERT SELECT yields {len(df.columns)} columns for "
+                    f"{len(listed)} targets"
+                )
+            df = df.toDF(*listed)
     out = [
         (F.col(c) if c in listed else F.lit(None)).cast(types[c]).alias(c)
         for c in cols

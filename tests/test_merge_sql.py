@@ -332,6 +332,7 @@ def test_parse_insert_and_ctas():
     p = parse_insert("INSERT INTO db.t (k, name) VALUES (1, 'a'), (2, 'b')")
     assert p == {
         "target": "db.t", "overwrite": False, "columns": ["k", "name"],
+        "by_name": False,
         "source": ("values", "( 1 , 'a' ) , ( 2 , 'b' )"),
     }
     p = parse_insert("INSERT OVERWRITE db.t SELECT * FROM v WHERE k > 1")
@@ -390,3 +391,36 @@ def test_create_table_as_select_partitioned(catalog, spark):
     # partition pruning serves r=1 from its own files only
     pruned = t.to_df(spark, partition_filter={"r": 1})
     assert sorted(r.k for r in pruned.collect()) == [1, 4]
+
+
+def test_insert_by_name_binding(catalog, spark):
+    """r13: INSERT INTO t BY NAME binds the SELECT's output names to table
+    columns — a reordered SELECT cannot transpose values; positional
+    binding (the ANSI default) still transposes by design."""
+    t = _seed(catalog, spark, "m.bn")
+    spark.createDataFrame(
+        [("byname", 77, 1)], "name string, k long, r long"
+    ).createOrReplaceTempView("bn_src")
+    t = execute_dml(
+        spark, catalog,
+        "INSERT INTO m.bn BY NAME SELECT name, k, r FROM bn_src",
+    )
+    got = {r.k: r.name for r in t.to_df(spark).collect()}
+    assert got[77] == "byname"
+    # missing select outputs fill NULL under BY NAME
+    spark.createDataFrame([(88,)], "k long").createOrReplaceTempView("bn_k")
+    t = execute_dml(spark, catalog, "INSERT INTO m.bn BY NAME SELECT k FROM bn_k")
+    row = [r for r in t.to_df(spark).collect() if r.k == 88][0]
+    assert row.name is None and row.r is None
+    with pytest.raises(ValueError, match="unknown column"):
+        execute_dml(
+            spark, catalog,
+            "INSERT INTO m.bn BY NAME SELECT k AS nope FROM bn_k",
+        )
+    with pytest.raises(ValueError, match="no column list"):
+        execute_dml(
+            spark, catalog,
+            "INSERT INTO m.bn BY NAME (k) SELECT k FROM bn_k",
+        )
+    with pytest.raises(ValueError, match="requires a SELECT"):
+        execute_dml(spark, catalog, "INSERT INTO m.bn BY NAME VALUES (1, 'x', 2)")
