@@ -45,7 +45,15 @@ from iceberg_catalog_postgres_spark.catalog.merge_sql import (
 )
 from iceberg_catalog_postgres_spark.catalog.select_sql import _parse_literal, _upper
 
-__all__ = ["alter_sql", "parse_alter", "call_sql", "parse_call"]
+__all__ = [
+    "alter_sql",
+    "parse_alter",
+    "call_sql",
+    "parse_call",
+    "drop_table_sql",
+    "show_tables_sql",
+    "describe_sql",
+]
 
 
 def _sql_type(tokens: list[str]):
@@ -269,6 +277,82 @@ def alter_sql(spark, catalog, sql: str):
             [e for e in spec if e != p["entry"]]
         )
     raise AssertionError(op)
+
+
+def drop_table_sql(spark, catalog, sql: str):
+    """``DROP TABLE [IF EXISTS] ns.t`` -> ``catalog.drop_table`` (pointer
+    delete with the reference's exactly-one assertion; data files are NOT
+    purged — mod.rs:164's acknowledged TODO, orphan GC handles them).
+    Returns None like the Python API. IF EXISTS swallows only the
+    missing-table case."""
+    cur = _Cursor(_tokenize(sql.strip().rstrip(";")))
+    for kw in ("DROP", "TABLE"):
+        if _upper(cur.next()) != kw:
+            raise ValueError(f"DROP parse error: expected {kw}")
+    if_exists = False
+    if _upper(cur.peek()) == "IF":
+        cur.next()
+        if _upper(cur.next()) != "EXISTS":
+            raise ValueError("DROP parse error: expected IF EXISTS")
+        if_exists = True
+    ident = TableIdentifier.parse(cur.dotted_name())
+    if if_exists and not catalog.table_exists(ident):
+        return None
+    catalog.drop_table(ident)
+    return None
+
+
+def show_tables_sql(spark, catalog, sql: str):
+    """``SHOW TABLES IN <namespace>`` -> a DataFrame of (namespace,
+    table_name) rows from ``catalog.list_tables`` (the reference's §2.A#3
+    surface as SQL). The namespace is required — the catalog's listing is
+    namespace-scoped, like the reference's."""
+    cur = _Cursor(_tokenize(sql.strip().rstrip(";")))
+    for kw in ("SHOW", "TABLES"):
+        if _upper(cur.next()) != kw:
+            raise ValueError(f"SHOW parse error: expected {kw}")
+    if _upper(cur.next()) != "IN":
+        raise ValueError("SHOW TABLES requires IN <namespace>")
+    ns = cur.dotted_name()
+    rows = sorted(
+        (i.namespace_str, i.name) for i in catalog.list_tables(ns)
+    )
+    return spark.createDataFrame(
+        rows or [], "namespace string, table_name string"
+    )
+
+
+def describe_sql(spark, catalog, sql: str):
+    """``DESCRIBE [TABLE] ns.t`` -> a DataFrame of (col_name, data_type,
+    nullable, field_id, partition_entry) — the schema with its Iceberg
+    field ids plus one row per partition-spec entry (Spark's DESCRIBE
+    shape, typed instead of the string-block form)."""
+    from iceberg_catalog_postgres_spark.catalog.metadata import FIELD_ID_KEY
+
+    cur = _Cursor(_tokenize(sql.strip().rstrip(";")))
+    if _upper(cur.next()) not in ("DESCRIBE", "DESC"):
+        raise ValueError("DESCRIBE parse error")
+    if _upper(cur.peek()) == "TABLE":
+        cur.next()
+    table = catalog.load_table(TableIdentifier.parse(cur.dotted_name()))
+    rows = [
+        (
+            f.name,
+            f.dataType.simpleString(),
+            bool(f.nullable),
+            int(f.metadata[FIELD_ID_KEY])
+            if f.metadata and FIELD_ID_KEY in f.metadata else None,
+            None,
+        )
+        for f in table.schema.fields
+    ]
+    for entry in table.metadata.partition_spec:
+        rows.append((None, None, None, None, entry))
+    return spark.createDataFrame(
+        rows,
+        "col_name string, data_type string, nullable boolean, "
+        "field_id int, partition_entry string",
+    )
 
 
 _PROCEDURES = {

@@ -403,15 +403,33 @@ def merge_sql(
     from iceberg_catalog_postgres_spark.catalog.catalog import TableIdentifier
     from iceberg_catalog_postgres_spark.catalog.maintenance import merge_into
 
+    from iceberg_catalog_postgres_spark.catalog.select_sql import select_sql
+
     p = parse_merge(sql)
     table = catalog.load_table(TableIdentifier.parse(p["target"]))
     kind, text = p["source"]
     if kind == "subquery":
-        source = spark.sql(text)
+        # r13: the subquery runs through the SELECT front-end, so USING
+        # (SELECT ... FROM cat.ns.other [VERSION AS OF ...]) composes —
+        # catalog refs resolve, temp views still pass through
+        source = select_sql(spark, catalog, text)
     elif sources and text in sources:
         source = sources[text]
     else:
-        source = spark.table(text)
+        from iceberg_catalog_postgres_spark.catalog.catalog import (
+            TableIdentifier as _TI,
+        )
+
+        source = None
+        if "." in text:
+            try:
+                ident = _TI.parse(text)
+            except ValueError:
+                ident = None
+            if ident is not None and catalog.table_exists(ident):
+                source = catalog.load_table(ident).to_df(spark)
+        if source is None:
+            source = spark.table(text)
     return merge_into(
         spark,
         table,
@@ -559,7 +577,13 @@ def execute_dml(spark, catalog, sql: str, **kwargs):
     through (``strategy``, ``preserve_lineage``, ``sources``, ...)."""
     import inspect
 
-    from iceberg_catalog_postgres_spark.catalog.ddl_sql import alter_sql, call_sql
+    from iceberg_catalog_postgres_spark.catalog.ddl_sql import (
+        alter_sql,
+        call_sql,
+        describe_sql,
+        drop_table_sql,
+        show_tables_sql,
+    )
     from iceberg_catalog_postgres_spark.catalog.select_sql import select_sql
 
     head = sql.lstrip().split(None, 1)
@@ -574,11 +598,15 @@ def execute_dml(spark, catalog, sql: str, **kwargs):
         "WITH": select_sql,
         "ALTER": alter_sql,
         "CALL": call_sql,
+        "DROP": drop_table_sql,
+        "SHOW": show_tables_sql,
+        "DESCRIBE": describe_sql,
+        "DESC": describe_sql,
     }.get(kw)
     if fn is None:
         raise ValueError(
-            "execute_dml handles MERGE/UPDATE/DELETE/INSERT/CREATE-AS-SELECT/"
-            f"SELECT/ALTER/CALL statements, got {kw!r}"
+            "execute_dml handles MERGE/UPDATE/DELETE/INSERT/CREATE/SELECT/"
+            f"ALTER/CALL/DROP/SHOW/DESCRIBE statements, got {kw!r}"
         )
     # forward only the knobs this statement kind takes — a generic caller
     # can always pass {strategy, preserve_lineage, sources, as_dv} and let
@@ -650,16 +678,34 @@ def parse_insert(sql: str) -> dict:
 
 
 def parse_create_table(sql: str) -> dict:
-    """``CREATE TABLE <ident> [PARTITIONED BY (entries)] AS SELECT ...`` ->
-    ``{"target", "partition_by": [..]|None, "select": str}`` (CTAS only —
-    column-DDL CREATE goes through ``catalog.create_table`` with a
-    schema)."""
+    """``CREATE TABLE [IF NOT EXISTS] <ident> [(col type, ...)]
+    [PARTITIONED BY (entries)] [AS SELECT ...]`` ->
+    ``{"target", "if_not_exists", "columns": [(name, type_tokens)]|None,
+    "partition_by": [..]|None, "select": str|None}``. Column-DDL and AS
+    SELECT are mutually exclusive (the CTAS schema comes from the
+    select)."""
     cur = _Cursor(_tokenize(sql.strip().rstrip(";")))
     for kw in ("CREATE", "TABLE"):
         tok = cur.next()
         if tok.startswith(("'", "`")) or tok.upper() != kw:
             raise ValueError(f"CTAS parse error: expected {kw}, got {tok!r}")
+    if_not_exists = False
+    if (
+        cur.peek() is not None
+        and not cur.peek().startswith(("'", "`"))
+        and cur.peek().upper() == "IF"
+    ):
+        cur.next()
+        if _kw(cur.next()) != "NOT" or cur.next().upper() != "EXISTS":
+            raise ValueError("CREATE parse error: expected IF NOT EXISTS")
+        if_not_exists = True
     target = cur.dotted_name()
+    columns = None
+    if cur.peek() == "(":
+        columns = []
+        for piece in _split_top(cur.balanced_parens(), ","):
+            pc = _Cursor(piece)
+            columns.append((_strip_ident(pc.next()), pc.toks[pc.i :]))
     partition_by = None
     if cur.peek() is not None and not cur.peek().startswith(("'", "`")) and cur.peek().upper() == "PARTITIONED":
         cur.next()
@@ -668,15 +714,34 @@ def parse_create_table(sql: str) -> dict:
         # keep each comma-separated entry as rendered text
         entries = _split_top(cur.balanced_parens(), ",")
         partition_by = [_render(e, {}) for e in entries]
+    if cur.peek() is None:
+        # column-DDL form: create an EMPTY table with the declared schema
+        if columns is None:
+            raise ValueError(
+                "CREATE TABLE needs a column list or AS SELECT"
+            )
+        return {
+            "target": target,
+            "if_not_exists": if_not_exists,
+            "columns": columns,
+            "partition_by": partition_by,
+            "select": None,
+        }
     tok = cur.next()
     if tok.startswith(("'", "`")) or _kw(tok) != "AS":
         raise ValueError(f"CTAS parse error: expected AS, got {tok!r}")
+    if columns is not None:
+        raise ValueError(
+            "CREATE TABLE takes a column list OR AS SELECT, not both"
+        )
     rest = cur.toks[cur.i :]
     cur.i = len(cur.toks)
     if not rest or rest[0].upper() != "SELECT":
         raise ValueError("CTAS parse error: expected SELECT after AS")
     return {
         "target": target,
+        "if_not_exists": if_not_exists,
+        "columns": None,
         "partition_by": partition_by,
         "select": _render(rest, {}),
     }
@@ -700,11 +765,13 @@ def insert_sql(spark, catalog, sql: str, n_files: int | None = None):
     cols = [f.name for f in table.schema.fields]
     types = {f.name: f.dataType for f in table.schema.fields}
     kind, text = p["source"]
+    from iceberg_catalog_postgres_spark.catalog.select_sql import select_sql
+
     if p.get("by_name"):
         # BY NAME binding: the select's OUTPUT names choose the targets —
         # reordering the SELECT can never transpose values into the wrong
         # column; unknown output names refuse loudly
-        df = spark.sql(text)
+        df = select_sql(spark, catalog, text)
         unknown = [c for c in df.columns if c not in types]
         if unknown:
             raise ValueError(
@@ -721,7 +788,9 @@ def insert_sql(spark, catalog, sql: str, n_files: int | None = None):
                 f"SELECT * FROM (VALUES {text}) AS v({', '.join(listed)})"
             )
         else:
-            df = spark.sql(text)
+            # SELECT bodies resolve catalog refs too (r13): INSERT INTO a
+            # SELECT ... FROM cat.ns.b works without a temp-view detour
+            df = select_sql(spark, catalog, text)
             if len(df.columns) != len(listed):
                 raise ValueError(
                     f"INSERT SELECT yields {len(df.columns)} columns for "
@@ -745,9 +814,23 @@ def create_table_sql(spark, catalog, sql: str):
     rows as the first snapshot."""
     from iceberg_catalog_postgres_spark.catalog.catalog import TableIdentifier
 
+    from iceberg_catalog_postgres_spark.catalog.ddl_sql import _sql_type
+    from iceberg_catalog_postgres_spark.catalog.select_sql import select_sql
+
     p = parse_create_table(sql)
-    df = spark.sql(p["select"])
-    t = catalog.create_table(
-        TableIdentifier.parse(p["target"]), df.schema, partition_by=p["partition_by"]
-    )
+    ident = TableIdentifier.parse(p["target"])
+    if p["if_not_exists"] and catalog.table_exists(ident):
+        return catalog.load_table(ident)
+    if p["select"] is None:
+        # column-DDL form (r13): empty table, schema from the statement
+        from pyspark.sql.types import StructField, StructType
+
+        schema = StructType(
+            [StructField(n, _sql_type(toks), True) for n, toks in p["columns"]]
+        )
+        return catalog.create_table(
+            ident, schema, partition_by=p["partition_by"]
+        )
+    df = select_sql(spark, catalog, p["select"])
+    t = catalog.create_table(ident, df.schema, partition_by=p["partition_by"])
     return t.new_transaction().append_dataframe(df).commit()

@@ -189,3 +189,49 @@ def test_call_pos_deletes_to_dvs_and_vacuum(catalog, spark):
         spark, catalog, "SELECT k FROM d.v ORDER BY k"
     ).collect()
     assert [r.k for r in rows] == [i for i in range(12) if i != 3]
+
+
+# ---------------------------------------------------------------------------
+# lifecycle: CREATE (column DDL) / SHOW / DESCRIBE / DROP
+# ---------------------------------------------------------------------------
+
+
+def test_create_show_describe_drop_lifecycle(catalog, spark):
+    t = execute_dml(
+        spark, catalog,
+        "CREATE TABLE d.life (k BIGINT, name STRING, r INT) "
+        "PARTITIONED BY (r)",
+    )
+    assert [f.name for f in t.schema.fields] == ["k", "name", "r"]
+    assert t.metadata.partition_spec == ["r"]
+    assert t.metadata.current_snapshot() is None  # empty table
+    # IF NOT EXISTS returns the existing table instead of raising
+    t2 = execute_dml(
+        spark, catalog, "CREATE TABLE IF NOT EXISTS d.life (x INT)"
+    )
+    assert [f.name for f in t2.schema.fields] == ["k", "name", "r"]
+    execute_dml(spark, catalog, "CREATE TABLE d.other (a INT)")
+    shown = execute_dml(spark, catalog, "SHOW TABLES IN d").collect()
+    assert [(r.namespace, r.table_name) for r in shown] == [
+        ("d", "life"), ("d", "other"),
+    ]
+    desc = execute_dml(spark, catalog, "DESCRIBE TABLE d.life").collect()
+    cols = [(r.col_name, r.data_type) for r in desc if r.col_name]
+    assert cols == [("k", "bigint"), ("name", "string"), ("r", "int")]
+    assert [r.partition_entry for r in desc if r.partition_entry] == ["r"]
+    # the empty table still SELECTs (declared schema, zero rows)
+    assert execute_dml(
+        spark, catalog, "SELECT count(*) AS n FROM d.life"
+    ).first().n == 0
+    execute_dml(spark, catalog, "DROP TABLE d.other")
+    shown = execute_dml(spark, catalog, "SHOW TABLES IN d").collect()
+    assert [r.table_name for r in shown] == ["life"]
+    # IF EXISTS swallows the missing case; bare DROP raises
+    execute_dml(spark, catalog, "DROP TABLE IF EXISTS d.other")
+    with pytest.raises(Exception):
+        execute_dml(spark, catalog, "DROP TABLE d.other")
+    with pytest.raises(ValueError, match="column list OR AS SELECT"):
+        execute_dml(
+            spark, catalog,
+            "CREATE TABLE d.bad (k INT) AS SELECT 1 AS k",
+        )

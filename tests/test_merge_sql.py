@@ -345,8 +345,11 @@ def test_parse_insert_and_ctas():
     assert p["select"] == "SELECT k , r FROM v"
     with pytest.raises(ValueError, match="VALUES or SELECT"):
         parse_insert("INSERT INTO db.t SET k = 1")
-    with pytest.raises(ValueError, match="expected AS"):
-        parse_create_table("CREATE TABLE db.t (k long)")
+    # r13: a bare column list is the column-DDL form (empty table), no AS
+    p = parse_create_table("CREATE TABLE db.t (k long)")
+    assert p["select"] is None and p["columns"] == [("k", ["long"])]
+    with pytest.raises(ValueError, match="column list or AS SELECT"):
+        parse_create_table("CREATE TABLE db.t")
 
 
 def test_insert_sql_values_select_and_overwrite(catalog, spark):

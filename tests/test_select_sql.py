@@ -287,3 +287,46 @@ def test_prune_is_superset_safe_with_or_inside_parens(catalog, spark):
         "SELECT count(*) AS n FROM s.w WHERE (r = 0 OR r = 1)",
     ).collect()
     assert rows[0].n == 20
+
+
+def test_sql_statements_compose_on_catalog_refs(catalog, spark):
+    """r13 coherence: SELECT bodies inside INSERT / CTAS / MERGE USING
+    resolve catalog table refs (and time travel) through the same SELECT
+    front-end — no temp-view detour between catalog tables."""
+    _seed(catalog, spark, "s.src", n=10)
+    t_src = catalog.load_table(TableIdentifier.parse("s.src"))
+    sid = t_src.metadata.current_snapshot().snapshot_id
+    # CTAS straight from a catalog table
+    execute_dml(
+        spark, catalog,
+        "CREATE TABLE s.copy AS SELECT k, name, r FROM s.src WHERE k < 5",
+    )
+    assert execute_dml(
+        spark, catalog, "SELECT count(*) AS n FROM s.copy"
+    ).first().n == 5
+    # INSERT from a catalog table at a PINNED VERSION
+    execute_dml(
+        spark, catalog,
+        "INSERT INTO s.copy SELECT k + 100, name, r FROM s.src "
+        f"FOR VERSION AS OF {sid} WHERE k >= 8",
+    )
+    rows = execute_dml(
+        spark, catalog, "SELECT k FROM s.copy ORDER BY k"
+    ).collect()
+    assert [x.k for x in rows] == [0, 1, 2, 3, 4, 108, 109]
+    # MERGE with a catalog-table USING subquery
+    t = execute_dml(
+        spark, catalog,
+        "MERGE INTO s.copy AS t USING "
+        "(SELECT k, upper(name) AS name, r FROM s.src WHERE k = 1) s "
+        "ON t.k = s.k WHEN MATCHED THEN UPDATE SET name = s.name",
+    )
+    got = {r.k: r.name for r in t.to_df(spark).collect()}
+    assert got[1] == "N1"
+    # MERGE USING a bare catalog table name
+    t = execute_dml(
+        spark, catalog,
+        "MERGE INTO s.copy AS t USING s.src AS s ON t.k = s.k "
+        "WHEN MATCHED AND t.k = 2 THEN DELETE",
+    )
+    assert 2 not in {r.k for r in t.to_df(spark).collect()}
