@@ -129,3 +129,21 @@ def test_catalog_mor_merge_read_plan(spark, sf_oracle):
     f = plan_features(REGISTRY["catalog_mor_merge_read"].fn(spark, sf_oracle))
     assert f["broadcast_joins"] >= 1
     assert f["cartesian_products"] == 0
+
+
+def test_catalog_sql_select_plan(spark, sf_oracle):
+    """The SQL SELECT front-end must add zero plan cost: four reads of the
+    same catalog table (current + two pinned snapshots + metadata) union
+    with no cartesian product and no sort-merge join — the temp-view
+    resolution reuses the same to_df scan plans the Python API produces."""
+    f = plan_features(REGISTRY["catalog_sql_select"].fn(spark, sf_oracle))
+    assert f["cartesian_products"] == 0
+    assert f["sort_merge_joins"] == 0
+
+
+def test_catalog_sql_alter_evolution_plan(spark, sf_oracle):
+    """Reading a renamed+widened+defaulted table through SQL plans as the
+    cohort union (no join machinery at all)."""
+    f = plan_features(REGISTRY["catalog_sql_alter_evolution"].fn(spark, sf_oracle))
+    assert f["cartesian_products"] == 0
+    assert f["broadcast_joins"] == 0 and f["sort_merge_joins"] == 0

@@ -123,6 +123,15 @@ SHOWCASE = [
     # partition-statistics-eq rows likewise return catalog-built frames,
     # certified by tests/test_deletion_vectors.py and the oracle gate.
     "sim_ann_bq_rotated_recall",
+    # r13: the SQL read front-end. catalog_sql_select's plan is the union
+    # of four resolved reads (current agg + two pinned snapshots + the
+    # $snapshots metadata frame) — evidence the SQL path reuses the same
+    # catalog reader plans. catalog_sql_alter_evolution reads an evolved
+    # table through SQL (rename/default cohort union). The pruning and
+    # CALL rows return literal report frames (LocalTableScan) — certified
+    # by select_plan_info counts under the oracle gate instead.
+    "catalog_sql_select",
+    "catalog_sql_alter_evolution",
 ]
 
 
