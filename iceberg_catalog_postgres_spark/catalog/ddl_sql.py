@@ -262,20 +262,30 @@ def alter_sql(spark, catalog, sql: str):
             raise ValueError(f"ALTER DROP: unknown column {p['column']!r}")
         fields = [f for f in fields if f.name != p["column"]]
         return table.commit_schema(StructType(fields))
+    # spec entries are compared CANONICALIZED (kind, param, source) — the
+    # SQL path renders 'bucket(8, k)' with a space while the Python API
+    # writes 'bucket(8,k)'; raw string equality would miss the match and
+    # either refuse a legal DROP or commit a whitespace-variant duplicate
+    from iceberg_catalog_postgres_spark.catalog.table import (
+        parse_partition_field,
+    )
+
+    def canon(entry: str):
+        return parse_partition_field(entry)
+
     if op == "add_partition_field":
         spec = list(table.metadata.partition_spec)
-        if p["entry"] in spec:
+        if canon(p["entry"]) in [canon(e) for e in spec]:
             raise ValueError(f"partition field already in spec: {p['entry']}")
         return table.commit_partition_spec([*spec, p["entry"]])
     if op == "drop_partition_field":
         spec = list(table.metadata.partition_spec)
-        if p["entry"] not in spec:
+        keep = [e for e in spec if canon(e) != canon(p["entry"])]
+        if len(keep) == len(spec):
             raise ValueError(
                 f"partition field not in spec: {p['entry']} (spec: {spec})"
             )
-        return table.commit_partition_spec(
-            [e for e in spec if e != p["entry"]]
-        )
+        return table.commit_partition_spec(keep)
     raise AssertionError(op)
 
 
@@ -355,13 +365,20 @@ def describe_sql(spark, catalog, sql: str):
     )
 
 
-_PROCEDURES = {
-    "expire_snapshots",
-    "rewrite_small_files",
-    "rewrite_position_deletes_to_dvs",
-    "compact_table",
-    "remove_orphan_files",
-    "vacuum",
+#: procedure -> accepted named arguments. parse_call REFUSES unknown names:
+#: a typo'd knob silently running with defaults is exactly the
+#: transposition class the named-argument rule exists to prevent (an
+#: expire_snapshots with a dropped keep_last deletes history irreversibly).
+_PROCEDURES: dict[str, set] = {
+    "expire_snapshots": {"keep_last", "older_than_ms"},
+    "rewrite_small_files": {"target_rows", "small_threshold"},
+    "rewrite_position_deletes_to_dvs": set(),
+    "compact_table": {"target_partitions", "preserve_lineage"},
+    "remove_orphan_files": {"older_than_s"},
+    "vacuum": {
+        "keep_last_snapshots", "keep_last_metadata", "max_manifest_chunks",
+        "orphan_older_than_s", "dv_convert_min_files",
+    },
 }
 
 
@@ -402,6 +419,11 @@ def parse_call(sql: str) -> dict:
                 f"{' '.join(piece)!r}"
             )
         name = _strip_ident(piece[0]).lower()
+        if name not in _PROCEDURES[proc]:
+            raise ValueError(
+                f"CALL {proc}: unknown argument {name!r} "
+                f"(accepted: {sorted(_PROCEDURES[proc])})"
+            )
         val_toks = piece[ai + 2 :]
         if len(val_toks) == 1 and _upper(val_toks[0]) in ("TRUE", "FALSE"):
             args[name] = _upper(val_toks[0]) == "TRUE"

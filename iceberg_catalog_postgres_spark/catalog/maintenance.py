@@ -6622,7 +6622,11 @@ def files_df(
     parts = snap.file_partitions or {}
     stats = snap.file_stats or {}
     dvs = snap.deletion_vectors or {}
+    # pre-sequence metadata (empty file_seqs): eq deletes apply to EVERY
+    # file — the read path's round-1 rule (to_df/_live_ids); the metadata
+    # table must agree with the table's own read semantics
     eq_seqs = [int(seqs.get(d, 0)) for d in (snap.delete_files or [])]
+    eq_applies_to_all = bool(snap.delete_files) and not seqs
     rows = []
     for rel in sorted(snap.data_files):
         st = stats.get(rel) or {}
@@ -6642,7 +6646,7 @@ def files_df(
                 {str(k): (None if v is None else str(v))
                  for k, v in (parts.get(rel) or {}).items()},
                 int(dv["cardinality"]) if dv else None,
-                any(ds > fseq for ds in eq_seqs),
+                eq_applies_to_all or any(ds > fseq for ds in eq_seqs),
             )
         )
     schema = _ST(

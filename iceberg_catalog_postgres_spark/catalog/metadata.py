@@ -489,6 +489,21 @@ class Snapshot:
         self._ensure_inflated()
         return self._position_delete_files
 
+    def id_diffable(self) -> bool:
+        """True when this snapshot's row-level changes are reconstructible
+        from row lineage (the batch changelog and both stream readers share
+        this predicate — r13): a MERGE's explicit ``lineage-diff`` claim,
+        or a manual overwrite that MATERIALIZED row ids
+        (``overwrite_dataframe(lineage_materialized=True)``). Plain
+        overwrites refuse loudly everywhere; ``lineage-preserving``
+        (compaction) is checked FIRST by every caller — zero changes, no
+        diff runs."""
+        summary = self.summary or {}
+        return summary.get("lineage-diff") == "true" or (
+            self.operation == "overwrite"
+            and summary.get("lineage-materialized") == "true"
+        )
+
     @property
     def file_seqs(self) -> dict:
         self._ensure_inflated()

@@ -217,20 +217,35 @@ def parse_select_refs(sql: str, catalog) -> tuple[list[str], list[dict]]:
                     f"metadata table suffix on unknown catalog table: "
                     f"{'.'.join(parts)}${suffix}"
                 )
-            # not a catalog table: emit verbatim (temp view / builtin)
+            # not a catalog table: emit verbatim (temp view / builtin),
+            # consume its optional alias, and re-arm on a FROM-list comma
+            # so a catalog table listed AFTER it still resolves
             out.extend(cur.toks[start : cur.i])
-            expect_rel = False
+            if _upper(cur.peek()) == "AS":
+                out.append(cur.next())
+                out.append(cur.next())
+            elif _is_word(cur.peek()) and _upper(cur.peek()) not in _NOT_ALIAS:
+                out.append(cur.next())
+            expect_rel = cur.peek() == ","
+            if expect_rel:
+                out.append(cur.next())
             continue
         travel = _try_time_travel(cur) or {}
         # alias: explicit AS x, or a bare word that is not a clause keyword;
         # without one, the table's own name aliases the view so qualified
-        # column refs (``t.col FROM ns.t``) keep resolving
+        # column refs (``t.col FROM ns.t``) keep resolving. A following
+        # TABLESAMPLE suppresses the implicit alias entirely — Spark's
+        # grammar puts the sample clause BEFORE the alias, so injecting
+        # ``AS t`` here would break a valid statement (the user's own
+        # alias after the sample passes through verbatim).
         alias = None
-        if _upper(cur.peek()) == "AS":
-            cur.next()
-            alias = _strip_ident(cur.next())
-        elif _is_word(cur.peek()) and _upper(cur.peek()) not in _NOT_ALIAS:
-            alias = _strip_ident(cur.next())
+        sampled = _upper(cur.peek()) == "TABLESAMPLE"
+        if not sampled:
+            if _upper(cur.peek()) == "AS":
+                cur.next()
+                alias = _strip_ident(cur.next())
+            elif _is_word(cur.peek()) and _upper(cur.peek()) not in _NOT_ALIAS:
+                alias = _strip_ident(cur.next())
         view = f"__icps_select_{next(_view_counter)}"
         ref = {
             "ident": ident,
@@ -239,7 +254,10 @@ def parse_select_refs(sql: str, catalog) -> tuple[list[str], list[dict]]:
             "snapshot_id": travel.get("snapshot_id"),
             "as_of_ms": travel.get("as_of_ms"),
             "ref": travel.get("ref"),
-            "alias": alias or (ident.name if suffix is None else None),
+            "alias": (
+                None if sampled
+                else alias or (ident.name if suffix is None else None)
+            ),
             "view": view,
         }
         refs.append(ref)
@@ -427,14 +445,26 @@ def select_sql(spark, catalog, sql: str):
         data_refs[0]["_prune_ranges"] = ranges
     for ref in refs:
         _ref_df(spark, ref).createOrReplaceTempView(ref["view"])
-    return spark.sql(_render(rewritten, {}))
+    try:
+        # spark.sql analyzes eagerly — the views are inlined into the
+        # returned DataFrame's resolved plan here
+        return spark.sql(_render(rewritten, {}))
+    finally:
+        # drop immediately: merge/insert/CTAS route every SELECT body
+        # through here, so a long-running job would otherwise accumulate
+        # one dead temp view per statement for the session's lifetime
+        for ref in refs:
+            spark.catalog.dropTempView(ref["view"])
 
 
 def select_plan_info(spark, catalog, sql: str) -> dict:
     """What the SQL path PLANNED (for tests and the pruning oracle row):
     ``{"n_files_total", "n_files_planned", "points", "ranges"}`` for a
-    single-table SELECT — the composed-planner call ``select_sql`` routes
-    the WHERE conjuncts into, without executing the query."""
+    single-table SELECT — EXACTLY the planner call ``select_sql`` executes
+    (one composed walk with the point set and the FIRST range, at the
+    ref's resolved snapshot), without running the query. Mirroring the
+    execution is the contract: a count computed with more pruning than
+    the query actually uses would certify a plan that never runs."""
     rewritten, refs = parse_select_refs(sql, catalog)
     data_refs = [r for r in refs if r["suffix"] is None]
     if len(data_refs) != 1:
@@ -442,13 +472,29 @@ def select_plan_info(spark, catalog, sql: str) -> dict:
     ref = data_refs[0]
     points, ranges = _extract_prune_conjuncts(rewritten, ref)
     table = ref["table"]
+    # resolve time travel the way to_df does, so counts are at the right
+    # snapshot for VERSION AS OF 'tag' / FOR SYSTEM_TIME AS OF too
     snap_kw = {}
     if ref["snapshot_id"] is not None:
         snap_kw["snapshot_id"] = ref["snapshot_id"]
+    elif ref["ref"] is not None:
+        if ref["ref"] not in table.metadata.refs:
+            raise ValueError(f"no such ref: {ref['ref']}")
+        snap_kw["snapshot_id"] = table.metadata.refs[ref["ref"]]["snapshot-id"]
+    elif ref["as_of_ms"] is not None:
+        snap_t = table.metadata.snapshot_as_of(ref["as_of_ms"])
+        if snap_t is None:
+            return {"n_files_total": 0, "n_files_planned": 0,
+                    "points": points, "ranges": ranges}
+        snap_kw["snapshot_id"] = snap_t.snapshot_id
     total = len(table.data_files(**snap_kw))
+    # one range only — to_df's transformed_range carries one; extra range
+    # columns are dropped at execution, so they must be dropped here too
+    first_range = dict([next(iter(ranges.items()))]) if ranges else None
     planned = len(
-        table.planned_files_composed(ranges=ranges or None, points=points or None,
-                                     **snap_kw)
+        table.planned_files_composed(
+            ranges=first_range, points=points or None, **snap_kw
+        )
     ) if (points or ranges) else total
     return {
         "n_files_total": total,

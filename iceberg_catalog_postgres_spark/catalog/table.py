@@ -2702,16 +2702,10 @@ class Table:
                 # changes, so the changelog crosses it silently instead of
                 # raising (rewrites stop being a CDC barrier)
                 continue
-            if s.operation in ("overwrite", "rowdelta") and (
-                s.summary.get("lineage-diff") == "true"
-                or (
-                    s.operation == "overwrite"
-                    and s.summary.get("lineage-materialized") == "true"
-                )
-            ):
-                # r13: a manual overwrite that MATERIALIZED row ids is
-                # diffable exactly like a merge — stable ids are stable ids;
-                # plain overwrites (no marker) still refuse below.
+            if s.operation in ("overwrite", "rowdelta") and s.id_diffable():
+                # r13: the shared Snapshot.id_diffable predicate — a manual
+                # overwrite that MATERIALIZED row ids diffs exactly like a
+                # merge; plain overwrites (no marker) still refuse below.
                 # lineage-diffable MERGE (CoW overwrite or MOR row delta —
                 # to_df applies the row delta's new vectors, so the state
                 # diff below is representation-agnostic):

@@ -706,7 +706,7 @@ class CatalogChangelogStreamReader(CatalogCommitsStreamReader):
                 pass
             elif (
                 snap.operation in ("overwrite", "rowdelta")
-                and _id_diffable(snap)
+                and snap.id_diffable()
             ):
                 # lineage-diffable MERGE (or materialized-id overwrite):
                 # reconstruct update pairs + exact
@@ -1019,24 +1019,6 @@ def _dv_delta_positions(
             else:
                 del out[rel]
     return out
-
-
-def _id_diffable(snap) -> bool:
-    """True when an overwrite/rowdelta snapshot's row-level changes are
-    reconstructible from row lineage: a MERGE's explicit ``lineage-diff``
-    claim, or (r13) a manual overwrite that MATERIALIZED row ids
-    (``overwrite_dataframe(lineage_materialized=True)`` over a
-    ``with_row_lineage`` read) — stable ids make the id diff exact for
-    any rewrite, merge or not. Plain overwrites (no marker) still refuse
-    loudly: without materialized ids the diff would degrade to
-    delete+insert of the whole table. Note ``lineage-preserving``
-    (compaction) is checked FIRST by every caller — zero changes, no
-    diff runs."""
-    s = snap.summary or {}
-    return s.get("lineage-diff") == "true" or (
-        snap.operation == "overwrite"
-        and s.get("lineage-materialized") == "true"
-    )
 
 
 def _merge_diff_plan(store, parent, snap, cols, table=None):
@@ -1807,7 +1789,7 @@ class CatalogChangelogParallelStreamReader(DataSourceStreamReader):
                 pass
             elif (
                 snap.operation in ("overwrite", "rowdelta")
-                and _id_diffable(snap)
+                and snap.id_diffable()
             ):
                 # lineage-diffable MERGE (r12) or materialized-id
                 # overwrite (r13): the driver only PLANS —

@@ -235,3 +235,24 @@ def test_create_show_describe_drop_lifecycle(catalog, spark):
             spark, catalog,
             "CREATE TABLE d.bad (k INT) AS SELECT 1 AS k",
         )
+
+
+def test_review_r13_partition_entry_spelling_canonicalized(catalog, spark):
+    """Self-review: the SQL path renders 'bucket(8, k)' with a space while
+    the Python API writes 'bucket(8,k)' — membership checks canonicalize,
+    so DROP matches either spelling and ADD refuses the duplicate."""
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    t = catalog.create_table(
+        TableIdentifier.parse("d.sp"), df.schema, partition_by=["bucket(8,k)"]
+    )
+    with pytest.raises(ValueError, match="already in spec"):
+        alter_sql(spark, catalog, "ALTER TABLE d.sp ADD PARTITION FIELD bucket(8, k)")
+    t = alter_sql(spark, catalog, "ALTER TABLE d.sp DROP PARTITION FIELD bucket(8, k)")
+    assert t.metadata.partition_spec == []
+
+
+def test_review_r13_call_refuses_unknown_argument(catalog, spark):
+    with pytest.raises(ValueError, match="unknown argument"):
+        parse_call(
+            "CALL system.expire_snapshots('d.t', keep_last_snapshots => 10)"
+        )
