@@ -421,10 +421,9 @@ def _ref_df(spark, ref: dict):
     if points:
         kwargs["transformed_filter"] = points
     if ranges:
-        # to_df composes ONE range with the point set in a single planner
-        # walk; extra range columns are dropped (superset-safe)
-        col, (lo, hi) = next(iter(ranges.items()))
-        kwargs["transformed_range"] = (col, lo, hi)
+        # ALL extracted ranges compose with the point set in one planner
+        # walk (to_df's transformed_ranges, r13)
+        kwargs["transformed_ranges"] = dict(ranges)
     return table.to_df(spark, **kwargs)
 
 
@@ -461,10 +460,11 @@ def select_plan_info(spark, catalog, sql: str) -> dict:
     """What the SQL path PLANNED (for tests and the pruning oracle row):
     ``{"n_files_total", "n_files_planned", "points", "ranges"}`` for a
     single-table SELECT — EXACTLY the planner call ``select_sql`` executes
-    (one composed walk with the point set and the FIRST range, at the
-    ref's resolved snapshot), without running the query. Mirroring the
-    execution is the contract: a count computed with more pruning than
-    the query actually uses would certify a plan that never runs."""
+    (one composed walk with the point set and ALL extracted ranges, at
+    the ref's resolved snapshot), without running the query. Mirroring
+    the execution is the contract: a count computed with different
+    pruning than the query actually uses would certify a plan that never
+    runs."""
     rewritten, refs = parse_select_refs(sql, catalog)
     data_refs = [r for r in refs if r["suffix"] is None]
     if len(data_refs) != 1:
@@ -488,12 +488,9 @@ def select_plan_info(spark, catalog, sql: str) -> dict:
                     "points": points, "ranges": ranges}
         snap_kw["snapshot_id"] = snap_t.snapshot_id
     total = len(table.data_files(**snap_kw))
-    # one range only — to_df's transformed_range carries one; extra range
-    # columns are dropped at execution, so they must be dropped here too
-    first_range = dict([next(iter(ranges.items()))]) if ranges else None
     planned = len(
         table.planned_files_composed(
-            ranges=first_range, points=points or None, **snap_kw
+            ranges=ranges or None, points=points or None, **snap_kw
         )
     ) if (points or ranges) else total
     return {

@@ -2135,6 +2135,7 @@ class Table:
         partition_filter: dict | None = None,
         transformed_filter: dict | None = None,
         transformed_range: tuple | None = None,
+        transformed_ranges: dict | None = None,
         ref: str | None = None,
         file_subset: list[str] | None = None,
         as_of_ms: int | None = None,
@@ -2206,16 +2207,28 @@ class Table:
                 self.planned_files_partition(partition_filter, snapshot_id=snapshot_id)
             )
             files = [f for f in files if f in part_files]
-        if transformed_filter is not None and transformed_range is not None:
+        if transformed_ranges is None and transformed_range is not None:
+            _c, _lo, _hi = transformed_range
+            transformed_ranges = {_c: (_lo, _hi)}
+        if transformed_filter is not None and transformed_ranges:
             # BOTH predicate kinds: one composed planner walk of the
             # manifest index instead of two intersected walks (at 10^7
-            # files the index walk IS the planning cost)
-            _c, _lo, _hi = transformed_range
+            # files the index walk IS the planning cost). r13:
+            # ``transformed_ranges`` carries ANY number of range columns
+            # (ts BETWEEN ... AND k BETWEEN ... on a (day(ts),
+            # truncate(k)) layout intersects in the same single walk).
             comp = set(
                 self.planned_files_composed(
-                    ranges={_c: (_lo, _hi)},
+                    ranges=dict(transformed_ranges),
                     points=transformed_filter,
                     snapshot_id=snapshot_id,
+                )
+            )
+            files = [f for f in files if f in comp]
+        elif transformed_ranges is not None and len(transformed_ranges) > 1:
+            comp = set(
+                self.planned_files_composed(
+                    ranges=dict(transformed_ranges), snapshot_id=snapshot_id
                 )
             )
             files = [f for f in files if f in comp]
@@ -2229,9 +2242,9 @@ class Table:
                 )
             )
             files = [f for f in files if f in tf]
-        elif transformed_range is not None:
-            # monotone-transform range pruning ((col, lo, hi)), same contract
-            _c, _lo, _hi = transformed_range
+        elif transformed_ranges:
+            # monotone-transform range pruning (single column), same contract
+            ((_c, (_lo, _hi)),) = transformed_ranges.items()
             tr = set(
                 self.planned_files_transformed_range(
                     _c, _lo, _hi, snapshot_id=snapshot_id

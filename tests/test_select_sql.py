@@ -357,28 +357,31 @@ def test_review_r13_tablesample_before_alias(catalog, spark):
 
 def test_review_r13_plan_info_matches_execution(catalog, spark):
     """Self-review: select_plan_info must mirror what select_sql executes —
-    ONE range (the first) composed with the points, at the time-travel
-    snapshot. Two-range statements report the single-range count, and a
-    tag-pinned ref counts the tag's files, not the current snapshot's."""
+    ALL extracted ranges compose with the points in one planner walk, at
+    the time-travel snapshot; a tag-pinned ref counts the tag's files,
+    not the current snapshot's."""
     t = _seed(catalog, spark, "s.pi", partition_by=["truncate(10, k)", "r"])
     sid = t.metadata.current_snapshot().snapshot_id
     t = t.set_ref("pin", sid, ref_type="tag")
     t.new_transaction().append_dataframe(
         spark.createDataFrame([(100, "x", 9)], "k long, name string, r long")
     ).commit()
-    # two ranges on two sources: only the first prunes (r is identity ->
-    # also monotone, but to_df carries ONE transformed_range)
-    info = select_plan_info(
-        spark, catalog,
-        "SELECT * FROM s.pi WHERE k BETWEEN 0 AND 9 AND r >= 0 AND r <= 1",
+    # two ranges on two sources compose (r13: to_df transformed_ranges)
+    two_range_sql = (
+        "SELECT k FROM s.pi WHERE k BETWEEN 0 AND 9 AND r >= 0 AND r <= 1"
     )
-    single = len(t.planned_files_composed(ranges={"k": (0, 9)},
-                                          snapshot_id=sid)) + 1
-    # +1: current snapshot has one more file (the appended one may or may
-    # not fall in range; compute exactly instead)
+    info = select_plan_info(spark, catalog, two_range_sql)
     cur = catalog.load_table(TableIdentifier.parse("s.pi"))
-    exact = len(cur.planned_files_composed(ranges={"k": (0, 9)}))
-    assert info["n_files_planned"] == exact
+    exact = len(
+        cur.planned_files_composed(ranges={"k": (0, 9), "r": (0, 1)})
+    )
+    assert info["ranges"] == {"k": (0, 9), "r": (0, 1)}
+    assert info["n_files_planned"] == exact < info["n_files_total"]
+    # ...and the pruned execution stays exact
+    rows = select_sql(spark, catalog, two_range_sql + " ORDER BY k").collect()
+    assert [x.k for x in rows] == [
+        i for i in range(30) if 0 <= i <= 9 and i % 3 in (0, 1)
+    ]
     # tag travel: totals at the tag's snapshot
     info = select_plan_info(
         spark, catalog, "SELECT * FROM s.pi VERSION AS OF 'pin' WHERE r = 1"
