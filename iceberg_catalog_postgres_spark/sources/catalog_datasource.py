@@ -1472,24 +1472,46 @@ def _merge_diff_cow_components(store, parent, snap, cols, table=None) -> list:
     payloads: list = []
     open_p: list = []
     open_s: list = []
-    open_hi = float("-inf")
+    open_lo = open_hi = float("-inf")
 
-    def _close():
-        if open_p or open_s:
-            payloads.append(
-                {"parent": list(open_p), "merged": list(open_s), "cols": cols}
-            )
-            open_p.clear()
-            open_s.clear()
+    def _close(lo, hi):
+        if not (open_p or open_s):
+            return
+        base = {"parent": list(open_p), "merged": list(open_s), "cols": cols}
+        open_p.clear()
+        open_s.clear()
+        # bound the per-task work (r13): a whole-table rewrite would
+        # otherwise be ONE component = one executor task. Pairs share an
+        # id, so slicing the component's id interval into ~_MERGE_PART_ROWS
+        # pieces keeps every (parent, merged) pair inside one slice while
+        # value reads parallelize; each slice re-reads only the 8 B/row id
+        # column of overlapping files (and the bounded mask state) — the
+        # value columns are read once per slice-local row. Unknown
+        # (infinite) intervals cannot be sliced and stay one task.
+        est = sum(
+            int(d["n"]) if d["candidates"] is None else len(d["candidates"])
+            for d in (*base["parent"], *base["merged"])
+            if d["n"] is not None or d["candidates"] is not None
+        )
+        finite = lo > float("-inf") and hi < float("inf")
+        k = max(1, -(-est // _MERGE_PART_ROWS)) if finite else 1
+        if k == 1:
+            payloads.append(base)
+            return
+        span = hi - lo + 1
+        for i in range(k):
+            slo = lo + span * i // k
+            shi = lo + span * (i + 1) // k - 1 if i < k - 1 else hi
+            payloads.append({**base, "id_slice": (slo, shi)})
 
     for lo, hi, side, d in entries:
         if lo > open_hi:
-            _close()
-            open_hi = hi
+            _close(open_lo, open_hi)
+            open_lo, open_hi = lo, hi
         else:
             open_hi = max(open_hi, hi)
         (open_p if side == "parent" else open_s).append(d)
-    _close()
+    _close(open_lo, open_hi)
     return payloads + legacy_payloads
 
 
@@ -1535,6 +1557,15 @@ def _iddiff_rows(payload: dict) -> list:
                 ids = [first + p for p in positions]
         else:
             ids = [int(ent) + p for p in positions]
+        sl = payload.get("id_slice")
+        if sl is not None:
+            slo, shi = sl
+            kept = [
+                (p, i) for p, i in zip(positions, ids)
+                if i is not None and slo <= i <= shi
+            ]
+            positions = [p for p, _ in kept]
+            ids = [i for _, i in kept]
         return positions, ids
 
     did: dict = {}

@@ -604,3 +604,49 @@ def test_plain_overwrite_still_refuses(spark, tmp_path):
     with pytest.raises(ValueError, match="non-append/delete"):
         preader.partitions({"n_snapshots": 1}, {"n_snapshots": 2})
     cat.backend.close()
+
+
+def test_cow_component_id_slicing_bounds_task_size(spark, tmp_path, monkeypatch):
+    """r13: a big CoW component splits into id slices of ~_MERGE_PART_ROWS
+    so value compares parallelize (one whole-table rewrite is never one
+    executor task); slices compose to exactly the batch changelog."""
+    from iceberg_catalog_postgres_spark.sources import catalog_datasource as cd
+
+    db = str(tmp_path / "slc.db")
+    wh = str(tmp_path / "slc_wh")
+    cat = PostgresCatalog.connect("slc", f"sqlite://{db}", wh)
+    cat.initialize()
+    schema = "n_nationkey long, n_name string, n_regionkey long"
+    src = spark.createDataFrame(
+        [(i, f"n{i}", i % 3) for i in range(40)], schema
+    )
+    t = cat.create_table(TableIdentifier.parse("slc.nation"), src.schema)
+    t = t.new_transaction().append_dataframe(src.coalesce(2)).commit()
+    base = t.metadata.current_snapshot_id
+    msrc = spark.createDataFrame(
+        [(i, f"u{i}", i % 3) for i in range(0, 40, 2)] + [(99, "ins", 9)],
+        schema,
+    )
+    t = merge_into(
+        spark, t, msrc, on=["n_nationkey"],
+        when_matched=[{"action": "update", "set": {"n_name": "s.n_name"}}],
+        when_not_matched=[{"action": "insert"}],
+        preserve_lineage=True,
+    )
+    monkeypatch.setattr(cd, "_MERGE_PART_ROWS", 8)
+    opts = {"db": db, "warehouse": wh, "ident": "slc.nation", "catalog": "slc"}
+    preader = CatalogChangelogParallelStreamReader(dict(opts))
+    parts = preader.partitions({"n_snapshots": 1}, {"n_snapshots": 2})
+    sliced = [p for p in parts if p.kind == "iddiff" and p.payload.get("id_slice")]
+    assert len(sliced) >= 2, "big component must split into id slices"
+    # slices partition the interval: no overlaps, contiguous per component
+    rows = [r for p in parts for r in preader.read(p)]
+    batch = {
+        (r._change_type, r.n_nationkey, r.n_name)
+        for r in t.changelog_df(spark, base).collect()
+    }
+    got = {(r[3], r[0], r[1]) for r in rows}
+    assert got == batch
+    # no duplicate emissions across slices
+    assert len(rows) == len(set(rows))
+    cat.backend.close()
