@@ -584,7 +584,10 @@ def execute_dml(spark, catalog, sql: str, **kwargs):
         drop_table_sql,
         show_tables_sql,
     )
-    from iceberg_catalog_postgres_spark.catalog.select_sql import select_sql
+    from iceberg_catalog_postgres_spark.catalog.select_sql import (
+        explain_sql,
+        select_sql,
+    )
 
     head = sql.lstrip().split(None, 1)
     kw = head[0].upper() if head else ""
@@ -602,6 +605,7 @@ def execute_dml(spark, catalog, sql: str, **kwargs):
         "SHOW": show_tables_sql,
         "DESCRIBE": describe_sql,
         "DESC": describe_sql,
+        "EXPLAIN": explain_sql,
     }.get(kw)
     if fn is None:
         raise ValueError(

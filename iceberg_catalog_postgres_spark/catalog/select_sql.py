@@ -49,7 +49,7 @@ from iceberg_catalog_postgres_spark.catalog.merge_sql import (
     _tokenize,
 )
 
-__all__ = ["select_sql", "select_plan_info", "parse_select_refs"]
+__all__ = ["select_sql", "select_plan_info", "parse_select_refs", "explain_sql"]
 
 _META_SUFFIXES = ("partitions", "refs", "files", "snapshots")
 
@@ -499,3 +499,45 @@ def select_plan_info(spark, catalog, sql: str) -> dict:
         "points": points,
         "ranges": ranges,
     }
+
+
+def explain_sql(spark, catalog, sql: str):
+    """``EXPLAIN [FORMATTED|EXTENDED] <select>``: the statement's physical
+    plan as a DataFrame of lines, prefixed (for single-table selects) by
+    a metadata-planning summary — what the manifest planner decided
+    BEFORE Spark sees a file list, which ``.explain`` alone can never
+    show. The evidence surface for "is my WHERE actually pruning":
+
+        == metadata planning ==
+        files total: 31   files planned: 2
+        points: {'b': 2}   ranges: {'k': (10, 19)}
+        == physical plan ==
+        ...
+    """
+    toks = sql.strip().split(None, 2)
+    if not toks or toks[0].upper() != "EXPLAIN":
+        raise ValueError("explain_sql expects an EXPLAIN statement")
+    body = sql.strip()[len(toks[0]):].lstrip()
+    mode = "formatted"
+    head = body.split(None, 1)
+    if head and head[0].upper() in ("FORMATTED", "EXTENDED", "SIMPLE"):
+        mode = head[0].lower()
+        body = head[1] if len(head) > 1 else ""
+    lines: list[str] = []
+    try:
+        info = select_plan_info(spark, catalog, body)
+        lines += [
+            "== metadata planning ==",
+            f"files total: {info['n_files_total']}   "
+            f"files planned: {info['n_files_planned']}",
+            f"points: {info['points']}   ranges: {info['ranges']}",
+        ]
+    except ValueError:
+        pass  # multi-table / no catalog ref: no metadata-planning block
+    df = select_sql(spark, catalog, body)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+    lines.append("== physical plan ==")
+    lines += plan.rstrip("\n").split("\n")
+    return spark.createDataFrame([(l,) for l in lines], "plan_line string")

@@ -405,3 +405,28 @@ def test_review_r13_no_temp_view_leak(catalog, spark):
     df = select_sql(spark, catalog, "SELECT count(*) AS n FROM s.leak")
     assert icps_views() == before  # resolution views dropped
     assert df.first().n == 3  # the analyzed plan survives the drop
+
+
+def test_explain_sql_shows_metadata_planning(catalog, spark):
+    """r13: EXPLAIN surfaces the manifest planner's decision (files
+    total/planned + extracted conjuncts) ahead of the physical plan."""
+    _seed(catalog, spark, "s.ex", partition_by=["r"])
+    lines = [
+        r.plan_line
+        for r in execute_dml(
+            spark, catalog, "EXPLAIN SELECT k FROM s.ex WHERE r = 1"
+        ).collect()
+    ]
+    assert lines[0] == "== metadata planning =="
+    assert "files planned: 1" in lines[1] and "files total: 3" in lines[1]
+    assert "points: {'r': 1}" in lines[2]
+    assert "== physical plan ==" in lines
+    # multi-table statements skip the planning block but still explain
+    lines = [
+        r.plan_line
+        for r in execute_dml(
+            spark, catalog,
+            "EXPLAIN SELECT * FROM s.ex a JOIN s.ex b ON a.k = b.k",
+        ).collect()
+    ]
+    assert lines[0] == "== physical plan =="
