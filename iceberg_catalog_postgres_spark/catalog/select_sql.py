@@ -271,21 +271,24 @@ def parse_select_refs(sql: str, catalog) -> tuple[list[str], list[dict]]:
     return out, refs
 
 
-def _extract_prune_conjuncts(tokens: list[str], ref: dict) -> tuple[dict, dict]:
+def _extract_prune_conjuncts(
+    tokens: list[str], ref: dict
+) -> tuple[dict, dict, dict]:
     """Top-level WHERE conjuncts on the table's partition SOURCE columns ->
-    ``(points, ranges)`` for the composed planner. Only shapes the planner
-    understands are taken (``col = lit``, ``col >=/<=/>/< lit`` with both
-    bounds closing a range, ``col BETWEEN a AND b``); everything else is
-    ignored — pruning narrows, Spark's WHERE still decides row membership,
-    so an ignored conjunct is correct, just unpruned. Statements with a
-    top-level set operation are never pruned (two WHEREs, one table map)."""
+    ``(points, ranges, in_lists)`` for the composed planner. Only shapes
+    the planner understands are taken (``col = lit``, ``col >=/<=/>/< lit``
+    with both bounds closing a range, ``col BETWEEN a AND b``,
+    ``col IN (lit, ...)``); everything else is ignored — pruning narrows,
+    Spark's WHERE still decides row membership, so an ignored conjunct is
+    correct, just unpruned. Statements with a top-level set operation are
+    never pruned (two WHEREs, one table map)."""
     from iceberg_catalog_postgres_spark.catalog.table import parse_partition_field
 
     sources = {
         parse_partition_field(e)[2] for e in ref["table"].metadata.partition_spec
     }
     if not sources:
-        return {}, {}
+        return {}, {}, {}
     # locate the single top-level WHERE; bail on set ops
     depth = 0
     where_at = None
@@ -297,13 +300,13 @@ def _extract_prune_conjuncts(tokens: list[str], ref: dict) -> tuple[dict, dict]:
         elif depth == 0:
             up = _upper(tok)
             if up in ("UNION", "INTERSECT", "EXCEPT"):
-                return {}, {}
+                return {}, {}, {}
             if up == "WHERE":
                 if where_at is not None:
-                    return {}, {}
+                    return {}, {}, {}
                 where_at = i
     if where_at is None:
-        return {}, {}
+        return {}, {}, {}
     stop = {"GROUP", "ORDER", "HAVING", "LIMIT", "WINDOW", "SORT",
             "DISTRIBUTE", "CLUSTER"}
     body: list[str] = []
@@ -352,8 +355,24 @@ def _extract_prune_conjuncts(tokens: list[str], ref: dict) -> tuple[dict, dict]:
 
     points: dict = {}
     bounds: dict[str, list] = {}
+    in_lists: dict = {}
     for piece in merged:
         ups = [(_upper(t) or t) for t in piece]
+        if "IN" in ups and "NOT" not in ups:
+            ini = ups.index("IN")
+            col = col_of(piece[:ini])
+            if col in sources and ini + 1 < len(piece) and piece[ini + 1] == "(":
+                vals = []
+                ok = True
+                for vp in _split_top(piece[ini + 2 : -1], ","):
+                    v = lit_of(vp)
+                    if v is None:
+                        ok = False
+                        break
+                    vals.append(v)
+                if ok and vals and piece[-1] == ")":
+                    in_lists[col] = vals
+            continue
         if "BETWEEN" in ups:
             bi = ups.index("BETWEEN")
             ai = bi + ups[bi:].index("AND") if "AND" in ups[bi:] else -1
@@ -389,7 +408,60 @@ def _extract_prune_conjuncts(tokens: list[str], ref: dict) -> tuple[dict, dict]:
         c: (lo, hi) for c, (lo, hi) in bounds.items()
         if lo is not None and hi is not None and c not in points
     }
-    return points, ranges
+    # an equality on the same column subsumes its IN-list
+    in_lists = {c: v for c, v in in_lists.items() if c not in points}
+    return points, ranges, in_lists
+
+
+def _resolved_snapshot_id(ref: dict) -> int | None:
+    """The snapshot id a ref's time-travel clause pins (None = current) —
+    the same resolution ``to_df`` performs, shared by the planner-calling
+    paths (IN-list pruning, plan info) so counts and subsets are computed
+    at the snapshot the query actually reads."""
+    table = ref["table"]
+    if ref["snapshot_id"] is not None:
+        return ref["snapshot_id"]
+    if ref["ref"] is not None:
+        if ref["ref"] not in table.metadata.refs:
+            raise ValueError(f"no such ref: {ref['ref']}")
+        return table.metadata.refs[ref["ref"]]["snapshot-id"]
+    if ref["as_of_ms"] is not None:
+        snap_t = table.metadata.snapshot_as_of(ref["as_of_ms"])
+        return snap_t.snapshot_id if snap_t is not None else None
+    return None
+
+
+#: IN-list pruning caps the planner-walk count: the cartesian product of
+#: the extracted IN values bounds how many composed walks the driver runs
+_MAX_IN_COMBOS = 16
+
+
+def _in_list_subset(ref: dict, points: dict, ranges: dict, ins: dict):
+    """The unioned planned-file set for IN-list predicates: one composed
+    walk per value combination (points and ranges folded into each), the
+    union superset-safe by construction. Returns None (no subset pruning)
+    when there are no IN lists or the combination count exceeds the cap."""
+    import itertools as _it
+
+    if not ins:
+        return None
+    cols = list(ins)
+    n_combos = 1
+    for c in cols:
+        n_combos *= len(ins[c])
+    if n_combos > _MAX_IN_COMBOS:
+        return None
+    sid = _resolved_snapshot_id(ref)
+    files: set = set()
+    for combo in _it.product(*[ins[c] for c in cols]):
+        pts = dict(points)
+        pts.update(dict(zip(cols, combo)))
+        files.update(
+            ref["table"].planned_files_composed(
+                ranges=ranges or None, points=pts, snapshot_id=sid
+            )
+        )
+    return sorted(files)
 
 
 def _ref_df(spark, ref: dict):
@@ -416,8 +488,15 @@ def _ref_df(spark, ref: dict):
         kwargs["as_of_ms"] = ref["as_of_ms"]
     if ref["ref"] is not None:
         kwargs["ref"] = ref["ref"]
-    points = ref.get("_prune_points") or None
-    ranges = ref.get("_prune_ranges") or None
+    points = ref.get("_prune_points") or {}
+    ranges = ref.get("_prune_ranges") or {}
+    ins = ref.get("_prune_in") or {}
+    subset = _in_list_subset(ref, points, ranges, ins)
+    if subset is not None:
+        # IN-list pruning: points/ranges are already folded into the
+        # unioned subset — one file_subset filter replaces them all
+        kwargs["file_subset"] = subset
+        return table.to_df(spark, **kwargs)
     if points:
         kwargs["transformed_filter"] = points
     if ranges:
@@ -437,11 +516,14 @@ def select_sql(spark, catalog, sql: str):
     data_refs = [r for r in refs if r["suffix"] is None]
     if len(data_refs) == 1:
         try:
-            points, ranges = _extract_prune_conjuncts(rewritten, data_refs[0])
+            points, ranges, ins = _extract_prune_conjuncts(
+                rewritten, data_refs[0]
+            )
         except (ValueError, KeyError):
-            points, ranges = {}, {}  # pruning is best-effort, never load-bearing
+            points, ranges, ins = {}, {}, {}  # best-effort, never load-bearing
         data_refs[0]["_prune_points"] = points
         data_refs[0]["_prune_ranges"] = ranges
+        data_refs[0]["_prune_in"] = ins
     for ref in refs:
         _ref_df(spark, ref).createOrReplaceTempView(ref["view"])
     try:
@@ -470,34 +552,33 @@ def select_plan_info(spark, catalog, sql: str) -> dict:
     if len(data_refs) != 1:
         raise ValueError("select_plan_info expects exactly one catalog table ref")
     ref = data_refs[0]
-    points, ranges = _extract_prune_conjuncts(rewritten, ref)
+    points, ranges, ins = _extract_prune_conjuncts(rewritten, ref)
     table = ref["table"]
     # resolve time travel the way to_df does, so counts are at the right
     # snapshot for VERSION AS OF 'tag' / FOR SYSTEM_TIME AS OF too
-    snap_kw = {}
-    if ref["snapshot_id"] is not None:
-        snap_kw["snapshot_id"] = ref["snapshot_id"]
-    elif ref["ref"] is not None:
-        if ref["ref"] not in table.metadata.refs:
-            raise ValueError(f"no such ref: {ref['ref']}")
-        snap_kw["snapshot_id"] = table.metadata.refs[ref["ref"]]["snapshot-id"]
-    elif ref["as_of_ms"] is not None:
-        snap_t = table.metadata.snapshot_as_of(ref["as_of_ms"])
-        if snap_t is None:
-            return {"n_files_total": 0, "n_files_planned": 0,
-                    "points": points, "ranges": ranges}
-        snap_kw["snapshot_id"] = snap_t.snapshot_id
+    sid = _resolved_snapshot_id(ref)
+    if ref["as_of_ms"] is not None and sid is None:
+        return {"n_files_total": 0, "n_files_planned": 0,
+                "points": points, "ranges": ranges, "in_lists": ins}
+    snap_kw = {"snapshot_id": sid} if sid is not None else {}
     total = len(table.data_files(**snap_kw))
-    planned = len(
-        table.planned_files_composed(
-            ranges=ranges or None, points=points or None, **snap_kw
+    subset = _in_list_subset(ref, points, ranges, ins)
+    if subset is not None:
+        planned = len(subset)
+    elif points or ranges:
+        planned = len(
+            table.planned_files_composed(
+                ranges=ranges or None, points=points or None, **snap_kw
+            )
         )
-    ) if (points or ranges) else total
+    else:
+        planned = total
     return {
         "n_files_total": total,
         "n_files_planned": planned,
         "points": points,
         "ranges": ranges,
+        "in_lists": ins,
     }
 
 

@@ -430,3 +430,32 @@ def test_explain_sql_shows_metadata_planning(catalog, spark):
         ).collect()
     ]
     assert lines[0] == "== physical plan =="
+
+
+def test_in_list_pruning_unions_planned_files(catalog, spark):
+    """r13: col IN (a, b) on a partition source prunes to the UNION of the
+    per-value planned sets (one composed walk per value, capped), and the
+    results stay exact; a NOT IN never prunes."""
+    _seed(catalog, spark, "s.inl", partition_by=["r"], n=30, mod=5)
+    info = select_plan_info(
+        spark, catalog, "SELECT k FROM s.inl WHERE r IN (1, 3)"
+    )
+    assert info["in_lists"] == {"r": [1, 3]}
+    assert (info["n_files_total"], info["n_files_planned"]) == (5, 2)
+    rows = select_sql(
+        spark, catalog, "SELECT k FROM s.inl WHERE r IN (1, 3) ORDER BY k"
+    ).collect()
+    assert [x.k for x in rows] == [i for i in range(30) if i % 5 in (1, 3)]
+    # composed with a range on another source column
+    _seed(catalog, spark, "s.inl2", partition_by=["r", "truncate(10, k)"],
+          n=30, mod=5)
+    sql = "SELECT k FROM s.inl2 WHERE r IN (1, 3) AND k BETWEEN 10 AND 19"
+    info = select_plan_info(spark, catalog, sql)
+    assert info["n_files_planned"] < 4  # union of 2 values x 1 decade
+    rows = select_sql(spark, catalog, sql + " ORDER BY k").collect()
+    assert [x.k for x in rows] == [i for i in range(10, 20) if i % 5 in (1, 3)]
+    # NOT IN is never a pruning shape
+    info = select_plan_info(
+        spark, catalog, "SELECT k FROM s.inl WHERE r NOT IN (1, 3)"
+    )
+    assert info["in_lists"] == {} and info["n_files_planned"] == 5
