@@ -1606,6 +1606,9 @@ def catalog_sql_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     "catalog_sql_select_pruning",
     oracle="""
     SELECT * FROM (VALUES
+      ('inlist', 5, 2,
+       CAST((SELECT count(*) FROM nation WHERE n_regionkey IN (0, 4))
+            AS BIGINT)),
       ('nonpart', 5, 5,
        CAST((SELECT count(*) FROM nation WHERE n_name <> '') AS BIGINT)),
       ('point', 5, 1,
@@ -1643,6 +1646,8 @@ def catalog_sql_select_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
                              partition_by=spec)
         t.new_transaction().append_dataframe(src.coalesce(1)).commit()
     cases = [
+        ("inlist",
+         "SELECT * FROM maint.nation_ident WHERE n_regionkey IN (0, 4)"),
         ("nonpart", "SELECT * FROM maint.nation_ident WHERE n_name <> ''"),
         ("point", "SELECT * FROM maint.nation_ident WHERE n_regionkey = 2"),
         ("range",
