@@ -1625,8 +1625,9 @@ def catalog_sql_select_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     conjuncts on partition-spec source columns route into the composed
     manifest planner (``planned_files_composed``), so a SQL SELECT plans
     O(matching files) — the row returns the planner's file counts AS DATA
-    next to the query's row count. Three decision cases: an identity
-    point (5 partitions -> 1 file), a range through ``truncate(8, k)``
+    next to the query's row count. Four decision cases: an identity
+    point (5 partitions -> 1 file), an IN-list (set-valued points, ONE
+    composed walk, 5 -> 2), a range through ``truncate(8, k)``
     (4 files -> 2), and a non-partition predicate (no pruning — planner
     must stay superset-safe, full file list). File counts are
     deterministic: nation is 25 rows at every SF and each table is

@@ -610,7 +610,7 @@ def execute_dml(spark, catalog, sql: str, **kwargs):
     if fn is None:
         raise ValueError(
             "execute_dml handles MERGE/UPDATE/DELETE/INSERT/CREATE/SELECT/"
-            f"ALTER/CALL/DROP/SHOW/DESCRIBE statements, got {kw!r}"
+            f"ALTER/CALL/DROP/SHOW/DESCRIBE/EXPLAIN statements, got {kw!r}"
         )
     # forward only the knobs this statement kind takes — a generic caller
     # can always pass {strategy, preserve_lineage, sources, as_dv} and let

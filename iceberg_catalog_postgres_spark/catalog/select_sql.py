@@ -431,37 +431,29 @@ def _resolved_snapshot_id(ref: dict) -> int | None:
     return None
 
 
-#: IN-list pruning caps the planner-walk count: the cartesian product of
-#: the extracted IN values bounds how many composed walks the driver runs
-_MAX_IN_COMBOS = 16
-
-
 def _in_list_subset(ref: dict, points: dict, ranges: dict, ins: dict):
-    """The unioned planned-file set for IN-list predicates: one composed
-    walk per value combination (points and ranges folded into each), the
-    union superset-safe by construction. Returns None (no subset pruning)
-    when there are no IN lists or the combination count exceeds the cap."""
-    import itertools as _it
-
+    """The planned-file set for IN-list predicates: ONE composed manifest
+    walk with set-valued points (planned_files_composed takes a list per
+    column since r13 — at 10^7 files the index walk is the planning cost,
+    so IN must not multiply it). Superset-safe by construction. Returns
+    None when there are no IN lists; an empty list for a dead time-travel
+    read (no snapshot at the timestamp — zero files, zero walks)."""
     if not ins:
         return None
-    cols = list(ins)
-    n_combos = 1
-    for c in cols:
-        n_combos *= len(ins[c])
-    if n_combos > _MAX_IN_COMBOS:
-        return None
+    if ref["as_of_ms"] is not None and (
+        ref["table"].metadata.snapshot_as_of(ref["as_of_ms"]) is None
+    ):
+        return []
     sid = _resolved_snapshot_id(ref)
-    files: set = set()
-    for combo in _it.product(*[ins[c] for c in cols]):
-        pts = dict(points)
-        pts.update(dict(zip(cols, combo)))
-        files.update(
+    pts = dict(points)
+    pts.update({c: list(vs) for c, vs in ins.items()})
+    return sorted(
+        set(
             ref["table"].planned_files_composed(
                 ranges=ranges or None, points=pts, snapshot_id=sid
             )
         )
-    return sorted(files)
+    )
 
 
 def _ref_df(spark, ref: dict):
@@ -491,7 +483,10 @@ def _ref_df(spark, ref: dict):
     points = ref.get("_prune_points") or {}
     ranges = ref.get("_prune_ranges") or {}
     ins = ref.get("_prune_in") or {}
-    subset = _in_list_subset(ref, points, ranges, ins)
+    subset = (
+        ref["_prune_subset"] if "_prune_subset" in ref
+        else _in_list_subset(ref, points, ranges, ins)
+    )
     if subset is not None:
         # IN-list pruning: points/ranges are already folded into the
         # unioned subset — one file_subset filter replaces them all
@@ -506,12 +501,9 @@ def _ref_df(spark, ref: dict):
     return table.to_df(spark, **kwargs)
 
 
-def select_sql(spark, catalog, sql: str):
-    """Execute a SQL ``SELECT`` (or ``WITH ... SELECT``) whose FROM/JOIN
-    clauses may name catalog tables — with Iceberg time travel and
-    metadata-table suffixes — and return the result DataFrame. Catalog
-    refs become temp views over ``to_df`` (metadata pruning applied for
-    the single-table case); everything else is Spark's own SQL."""
+def _resolve_and_prune(sql: str, catalog) -> tuple[list[str], list[dict]]:
+    """Parse + attach best-effort prune predicates to the single data ref
+    (shared by select_sql and explain_sql so planning happens once)."""
     rewritten, refs = parse_select_refs(sql, catalog)
     data_refs = [r for r in refs if r["suffix"] is None]
     if len(data_refs) == 1:
@@ -524,6 +516,10 @@ def select_sql(spark, catalog, sql: str):
         data_refs[0]["_prune_points"] = points
         data_refs[0]["_prune_ranges"] = ranges
         data_refs[0]["_prune_in"] = ins
+    return rewritten, refs
+
+
+def _run_select(spark, rewritten: list[str], refs: list[dict]):
     for ref in refs:
         _ref_df(spark, ref).createOrReplaceTempView(ref["view"])
     try:
@@ -536,6 +532,16 @@ def select_sql(spark, catalog, sql: str):
         # one dead temp view per statement for the session's lifetime
         for ref in refs:
             spark.catalog.dropTempView(ref["view"])
+
+
+def select_sql(spark, catalog, sql: str):
+    """Execute a SQL ``SELECT`` (or ``WITH ... SELECT``) whose FROM/JOIN
+    clauses may name catalog tables — with Iceberg time travel and
+    metadata-table suffixes — and return the result DataFrame. Catalog
+    refs become temp views over ``to_df`` (metadata pruning applied for
+    the single-table case); everything else is Spark's own SQL."""
+    rewritten, refs = _resolve_and_prune(sql, catalog)
+    return _run_select(spark, rewritten, refs)
 
 
 def select_plan_info(spark, catalog, sql: str) -> dict:
@@ -605,17 +611,40 @@ def explain_sql(spark, catalog, sql: str):
         mode = head[0].lower()
         body = head[1] if len(head) > 1 else ""
     lines: list[str] = []
-    try:
-        info = select_plan_info(spark, catalog, body)
-        lines += [
-            "== metadata planning ==",
-            f"files total: {info['n_files_total']}   "
-            f"files planned: {info['n_files_planned']}",
-            f"points: {info['points']}   ranges: {info['ranges']}",
-        ]
-    except ValueError:
-        pass  # multi-table / no catalog ref: no metadata-planning block
-    df = select_sql(spark, catalog, body)
+    rewritten, refs = _resolve_and_prune(body, catalog)
+    data_refs = [r for r in refs if r["suffix"] is None]
+    if len(data_refs) == 1:
+        # report THE plan the execution below uses — same ref dicts, so
+        # the composed walk / IN subset is computed exactly once
+        try:
+            ref = data_refs[0]
+            points = ref.get("_prune_points") or {}
+            ranges = ref.get("_prune_ranges") or {}
+            ins = ref.get("_prune_in") or {}
+            sid = _resolved_snapshot_id(ref)
+            snap_kw = {"snapshot_id": sid} if sid is not None else {}
+            total = len(ref["table"].data_files(**snap_kw))
+            subset = _in_list_subset(ref, points, ranges, ins)
+            if subset is not None:
+                planned = len(subset)
+                ref["_prune_subset"] = subset  # execution reuses it
+            elif points or ranges:
+                planned = len(
+                    ref["table"].planned_files_composed(
+                        ranges=ranges or None, points=points or None,
+                        **snap_kw,
+                    )
+                )
+            else:
+                planned = total
+            lines += [
+                "== metadata planning ==",
+                f"files total: {total}   files planned: {planned}",
+                f"points: {points}   ranges: {ranges}   in_lists: {ins}",
+            ]
+        except (ValueError, KeyError):
+            pass  # best-effort, like the extraction itself
+    df = _run_select(spark, rewritten, refs)
     plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), mode
     )

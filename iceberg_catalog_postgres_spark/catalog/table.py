@@ -1742,9 +1742,13 @@ class Table:
         entry over that column (year/month/day/hour, integer truncate,
         integer identity); bucket and string-truncate entries are skipped
         for ranges (non-monotone / lexicographic — superset-safe).
-        ``points``: {source col: value} — applied through EVERY entry over
-        that column via the driver-side transform (bucket murmur3 included),
-        exactly ``planned_files_transformed``'s mapping.
+        ``points``: {source col: value | [values]} — applied through EVERY
+        entry over that column via the driver-side transform (bucket
+        murmur3 included), exactly ``planned_files_transformed``'s
+        mapping. A LIST of values (r13 — SQL ``IN`` predicates) plans as
+        set membership in the SAME single walk: a file survives when its
+        tuple matches ANY of the values, a chunk is excluded when its
+        summary covers every entry and intersects none of them.
 
         Two-level: a manifest chunk whose partition summary covers every
         data entry and excludes the point value (or contains no value
@@ -1765,15 +1769,19 @@ class Table:
         src_types = {f.name: f.dataType.simpleString() for f in self.schema.fields}
         bucket_hash = _bucket_hash_of(self.metadata)
         bounds: dict[str, tuple[int, int]] = {}
-        eq_vals: dict[str, str | None] = {}
+        eq_vals: dict[str, set] = {}  # entry -> allowed transformed values
         for entry in self.metadata.partition_spec:
             kind, _param, src = parse_partition_field(entry)
             if src in points:
-                v = transform_value(
-                    entry, points[src], bucket_hash=bucket_hash,
-                    src_type=src_types.get(src),
-                )
-                eq_vals[entry] = None if v is None else str(v)
+                pv = points[src]
+                allowed = set()
+                for v in (pv if isinstance(pv, (list, tuple, set)) else [pv]):
+                    t = transform_value(
+                        entry, v, bucket_hash=bucket_hash,
+                        src_type=src_types.get(src),
+                    )
+                    allowed.add(None if t is None else str(t))
+                eq_vals[entry] = allowed
                 continue  # equality subsumes any range over the same entry
             if src in ranges and kind != "bucket" and not (
                 kind == "truncate" and src_types.get(src) == "string"
@@ -1794,9 +1802,9 @@ class Table:
         def tuple_ok(tup, seq) -> bool:
             if tup is None:
                 return True
-            for entry, sv in eq_vals.items():
+            for entry, allowed in eq_vals.items():
                 present, v = self._tuple_value(tup, entry, spells, file_seq=seq)
-                if present and v != sv:
+                if present and v not in allowed:
                     return False
             for entry, (a, b) in bounds.items():
                 present, v = self._tuple_value(tup, entry, spells, file_seq=seq)
@@ -1836,7 +1844,9 @@ class Table:
                     p = parts.get(sp)
                     if p is None or p["n"] != nd:
                         continue
-                    if entry in eq_vals and eq_vals[entry] not in p["values"]:
+                    if entry in eq_vals and not any(
+                        x in p["values"] for x in eq_vals[entry]
+                    ):
                         skip = True
                         break
                     if entry in bounds:
