@@ -137,3 +137,51 @@ def test_composed_superset_safe_across_spec_evolution(catalog, spark):
 def test_composed_no_constraints_returns_all(catalog, spark):
     t = _build(catalog, spark, "allfiles")
     assert len(t.planned_files_composed()) == len(t.metadata.current_data_files())
+
+
+def test_set_valued_points_single_walk(catalog, spark):
+    """r13: a LIST of point values (SQL IN) plans in ONE composed walk as
+    the exact union of the per-value plans — inline and through
+    chunk-summary exclusion."""
+    import iceberg_catalog_postgres_spark.catalog.metadata as md_mod
+
+    t = _build(catalog, spark, "setpts")
+    multi = sorted(t.planned_files_composed(points={"uid": [1, 3]}))
+    union = sorted(
+        set(t.planned_files_composed(points={"uid": 1}))
+        | set(t.planned_files_composed(points={"uid": 3}))
+    )
+    assert multi == union and 0 < len(multi) < len(t.data_files())
+    # composed with a range, still one walk, still the union semantics
+    lo, hi = dt.datetime(2024, 3, 3), dt.datetime(2024, 3, 5, 23, 59, 59)
+    both = set(
+        t.planned_files_composed(ranges={"ts": (lo, hi)}, points={"uid": [1, 3]})
+    )
+    assert both == set(union) & set(
+        t.planned_files_transformed_range("ts", lo, hi)
+    )
+
+
+def test_set_valued_points_chunk_exclusion(catalog, spark, monkeypatch):
+    """Chunk-summary exclusion stays exact for set-valued points: a chunk
+    covering none of the IN values is skipped unfetched; results match
+    the scalar unions."""
+    import iceberg_catalog_postgres_spark.catalog.metadata as md_mod
+
+    monkeypatch.setattr(md_mod, "MANIFEST_THRESHOLD", 2)
+    t = _build(catalog, spark, "setchunk", n_appends=5)
+    assert t.metadata.current_snapshot().manifests
+    lo, hi = dt.datetime(2024, 3, 3), dt.datetime(2024, 3, 3, 23, 59, 59)
+    md_mod.MANIFEST_CHUNK_READS = 0
+    got = set(
+        t.planned_files_composed(ranges={"ts": (lo, hi)}, points={"uid": [0, 2]})
+    )
+    fetched = md_mod.MANIFEST_CHUNK_READS
+    n_chunks = len(t.metadata.current_snapshot().chunk_refs() or [])
+    assert 0 < fetched < n_chunks, "chunk skip must fire for set points"
+    want = set(
+        t.planned_files_composed(ranges={"ts": (lo, hi)}, points={"uid": 0})
+    ) | set(
+        t.planned_files_composed(ranges={"ts": (lo, hi)}, points={"uid": 2})
+    )
+    assert got == want
