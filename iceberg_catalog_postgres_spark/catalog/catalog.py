@@ -176,9 +176,17 @@ class PostgresCatalog:
         self, identifier: TableIdentifier, schema, identifier_field_ids=None, partition_by=None
     ):
         """Stage a table: location = 'data.db/' + ns/name (mod.rs:355).
-        ``partition_by`` declares identity-transform partition columns."""
+        ``partition_by`` declares identity-transform partition columns.
+        Refuses a name an existing VIEW holds — tables and views share one
+        name space (the mirror of ``views.create_view``'s table check)."""
         from iceberg_catalog_postgres_spark.catalog.table import TableBuilder
+        from iceberg_catalog_postgres_spark.catalog.views import view_exists
 
+        if view_exists(self, identifier):
+            raise TableAlreadyExistsError(
+                f"a VIEW named {identifier} exists; views and tables share "
+                f"one name space"
+            )
         location = posixpath.join("data.db", *identifier.namespace, identifier.name)
         return TableBuilder(
             self, identifier, location, schema, identifier_field_ids, partition_by

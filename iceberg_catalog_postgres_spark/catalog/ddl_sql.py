@@ -18,6 +18,19 @@ Supported ALTER grammar (case-insensitive keywords)::
     ALTER TABLE ns.t DROP COLUMN <c>
     ALTER TABLE ns.t ADD PARTITION FIELD <col | transform(args)>
     ALTER TABLE ns.t DROP PARTITION FIELD <col | transform(args)>
+    ALTER TABLE ns.t SET TBLPROPERTIES ('k' = 'v', ...)
+    ALTER TABLE ns.t UNSET TBLPROPERTIES [IF EXISTS] ('k', ...)
+    ALTER TABLE ns.t CREATE [OR REPLACE] BRANCH|TAG [IF NOT EXISTS] <name>
+        [AS OF VERSION <snapshot-id>]
+        [RETAIN <n> DAYS|HOURS|MINUTES]                   -- max-ref-age-ms
+        [WITH SNAPSHOT RETENTION <n> SNAPSHOTS [<m> DAYS|...]
+                                | <m> DAYS|...]           -- branch history
+    ALTER TABLE ns.t REPLACE BRANCH|TAG <name> [AS OF VERSION ...] [...]
+    ALTER TABLE ns.t DROP BRANCH|TAG [IF EXISTS] <name>
+
+(the branch/tag clauses are Iceberg's Spark SQL extension syntax; they
+render onto ``Table.set_ref``/``drop_ref`` — per-ref retention keys and
+all)
 
 CALL grammar (Iceberg's named-argument procedure syntax)::
 
@@ -116,6 +129,76 @@ def _partition_entry(cur: _Cursor) -> str:
     return f"{head.lower()}({', '.join(args)})"
 
 
+_DURATION_MS = {
+    "DAYS": 86_400_000, "DAY": 86_400_000,
+    "HOURS": 3_600_000, "HOUR": 3_600_000,
+    "MINUTES": 60_000, "MINUTE": 60_000,
+}
+
+
+def _duration_ms(cur: _Cursor) -> int:
+    """``<n> DAYS|HOURS|MINUTES`` -> milliseconds."""
+    n = _parse_literal(cur)
+    unit = _upper(cur.next())
+    if unit not in _DURATION_MS:
+        raise ValueError(f"expected DAYS/HOURS/MINUTES, got {unit!r}")
+    return int(float(n) * _DURATION_MS[unit])
+
+
+def _prop_key(tokens: list[str]) -> str:
+    """A TBLPROPERTIES key: a string literal or a bare dotted identifier
+    (``'write.target-rows'`` / ``write.target-rows`` both spell the same
+    key — Spark accepts both forms)."""
+    if len(tokens) == 1 and tokens[0].startswith("'"):
+        return tokens[0][1:-1].replace("''", "'")
+    if all(not t.startswith("'") for t in tokens):
+        return "".join(_strip_ident(t) for t in tokens)
+    raise ValueError(f"bad TBLPROPERTIES key: {' '.join(tokens)!r}")
+
+
+def _parse_ref_clauses(cur: _Cursor) -> dict:
+    """The optional clause tail of a CREATE/REPLACE BRANCH|TAG statement:
+    ``AS OF VERSION n`` / ``RETAIN n DAYS`` / ``WITH SNAPSHOT RETENTION
+    n SNAPSHOTS [m DAYS] | m DAYS`` -> set_ref kwargs."""
+    out: dict = {
+        "snapshot_id": None, "max_ref_age_ms": None,
+        "min_snapshots_to_keep": None, "max_snapshot_age_ms": None,
+    }
+    while cur.peek() is not None:
+        kw = _upper(cur.next())
+        if kw == "AS":
+            for expect in ("OF", "VERSION"):
+                if _upper(cur.next()) != expect:
+                    raise ValueError("ref clause: expected AS OF VERSION <id>")
+            out["snapshot_id"] = int(_parse_literal(cur))
+        elif kw == "RETAIN":
+            out["max_ref_age_ms"] = _duration_ms(cur)
+        elif kw == "WITH":
+            for expect in ("SNAPSHOT", "RETENTION"):
+                if _upper(cur.next()) != expect:
+                    raise ValueError("ref clause: expected WITH SNAPSHOT RETENTION")
+            n = _parse_literal(cur)
+            unit = _upper(cur.next())
+            if unit == "SNAPSHOTS":
+                out["min_snapshots_to_keep"] = int(n)
+                # optional trailing age bound: ``... 5 SNAPSHOTS 7 DAYS``
+                nxt = cur.peek()
+                if nxt is not None and not nxt.startswith(("'", "`")) and (
+                    nxt[0].isdigit()
+                ):
+                    out["max_snapshot_age_ms"] = _duration_ms(cur)
+            elif unit in _DURATION_MS:
+                out["max_snapshot_age_ms"] = int(float(n) * _DURATION_MS[unit])
+            else:
+                raise ValueError(
+                    f"SNAPSHOT RETENTION: expected SNAPSHOTS or a duration "
+                    f"unit, got {unit!r}"
+                )
+        else:
+            raise ValueError(f"ref clause: unexpected {kw!r}")
+    return out
+
+
 def parse_alter(sql: str) -> dict:
     """One ALTER TABLE statement -> an action dict (see module grammar)."""
     cur = _Cursor(_tokenize(sql.strip().rstrip(";")))
@@ -125,6 +208,65 @@ def parse_alter(sql: str) -> dict:
             raise ValueError(f"ALTER parse error: expected {kw}, got {tok!r}")
     target = cur.dotted_name()
     verb = _upper(cur.next())
+    if verb in ("SET", "UNSET"):
+        what = _upper(cur.next())
+        if what != "TBLPROPERTIES":
+            raise ValueError(
+                f"ALTER {verb}: expected TBLPROPERTIES, got {what!r}"
+            )
+        if_exists = False
+        if verb == "UNSET" and _upper(cur.peek()) == "IF":
+            cur.next()
+            if _upper(cur.next()) != "EXISTS":
+                raise ValueError("ALTER UNSET: expected IF EXISTS")
+            if_exists = True
+        pieces = [p for p in _split_top(cur.balanced_parens(), ",") if p]
+        if not pieces:
+            raise ValueError(f"ALTER {verb} TBLPROPERTIES: empty list")
+        if verb == "SET":
+            props = {}
+            for piece in pieces:
+                sides = _split_top(piece, "=")
+                if len(sides) != 2:
+                    raise ValueError(
+                        f"SET TBLPROPERTIES: expected 'k' = 'v', got "
+                        f"{' '.join(piece)!r}"
+                    )
+                props[_prop_key(sides[0])] = _parse_literal(_Cursor(sides[1]))
+            return {"op": "set_properties", "target": target, "props": props}
+        keys = [_prop_key(p) for p in pieces]
+        return {
+            "op": "unset_properties", "target": target,
+            "keys": keys, "if_exists": if_exists,
+        }
+    if verb in ("CREATE", "REPLACE"):
+        mode = "create" if verb == "CREATE" else "replace"
+        what = _upper(cur.next())
+        if what == "OR":
+            if verb != "CREATE" or _upper(cur.next()) != "REPLACE":
+                raise ValueError("ALTER parse error: expected CREATE OR REPLACE")
+            mode = "create_or_replace"
+            what = _upper(cur.next())
+        if what not in ("BRANCH", "TAG"):
+            raise ValueError(
+                f"ALTER {verb}: expected BRANCH/TAG, got {what!r}"
+            )
+        if_not_exists = False
+        if _upper(cur.peek()) == "IF":
+            cur.next()
+            for expect in ("NOT", "EXISTS"):
+                if _upper(cur.next()) != expect:
+                    raise ValueError("ALTER parse error: expected IF NOT EXISTS")
+            if mode != "create":
+                raise ValueError("IF NOT EXISTS applies to CREATE only")
+            if_not_exists = True
+        name = _strip_ident(cur.next())
+        clauses = _parse_ref_clauses(cur)
+        return {
+            "op": "create_ref", "target": target, "name": name,
+            "ref_type": what.lower(), "mode": mode,
+            "if_not_exists": if_not_exists, **clauses,
+        }
     if verb == "ADD":
         what = _upper(cur.next())
         if what == "COLUMN":
@@ -205,7 +347,21 @@ def parse_alter(sql: str) -> dict:
                 "target": target,
                 "entry": _partition_entry(cur),
             }
-        raise ValueError(f"ALTER DROP: expected COLUMN/PARTITION, got {what!r}")
+        if what in ("BRANCH", "TAG"):
+            if_exists = False
+            if _upper(cur.peek()) == "IF":
+                cur.next()
+                if _upper(cur.next()) != "EXISTS":
+                    raise ValueError("ALTER parse error: expected IF EXISTS")
+                if_exists = True
+            return {
+                "op": "drop_ref", "target": target,
+                "name": _strip_ident(cur.next()),
+                "ref_type": what.lower(), "if_exists": if_exists,
+            }
+        raise ValueError(
+            f"ALTER DROP: expected COLUMN/PARTITION/BRANCH/TAG, got {what!r}"
+        )
     raise ValueError(f"ALTER: unsupported action {verb!r}")
 
 
@@ -226,6 +382,53 @@ def alter_sql(spark, catalog, sql: str):
     fields = list(table.schema.fields)
     names = {f.name for f in fields}
     op = p["op"]
+    if op == "set_properties":
+        return table.update_properties(set_props=p["props"])
+    if op == "unset_properties":
+        keys = p["keys"]
+        if p["if_exists"]:
+            keys = [k for k in keys if k in table.metadata.properties]
+            if not keys:
+                return table
+        return table.update_properties(unset_keys=keys)
+    if op == "create_ref":
+        existing = table.metadata.refs.get(p["name"])
+        if existing is not None:
+            if existing.get("type", "tag") != p["ref_type"]:
+                raise ValueError(
+                    f"ref {p['name']!r} exists with type "
+                    f"{existing.get('type')!r}, not {p['ref_type']!r}"
+                )
+            if p["mode"] == "create":
+                if p["if_not_exists"]:
+                    return table
+                raise ValueError(f"ref already exists: {p['name']!r}")
+        elif p["mode"] == "replace":
+            raise ValueError(
+                f"REPLACE {p['ref_type'].upper()}: no such ref {p['name']!r}"
+            )
+        return table.set_ref(
+            p["name"],
+            snapshot_id=p["snapshot_id"],
+            ref_type=p["ref_type"],
+            min_snapshots_to_keep=p["min_snapshots_to_keep"],
+            max_snapshot_age_ms=p["max_snapshot_age_ms"],
+            max_ref_age_ms=p["max_ref_age_ms"],
+        )
+    if op == "drop_ref":
+        if p["name"] == "main":
+            raise ValueError("cannot drop the main branch")
+        existing = table.metadata.refs.get(p["name"])
+        if existing is None:
+            if p["if_exists"]:
+                return table
+            raise ValueError(f"no such ref: {p['name']!r}")
+        if existing.get("type", "tag") != p["ref_type"]:
+            raise ValueError(
+                f"DROP {p['ref_type'].upper()}: ref {p['name']!r} is a "
+                f"{existing.get('type')!r}"
+            )
+        return table.drop_ref(p["name"])
     if op == "add_columns":
         defaults = {}
         for name, dtype, default in p["columns"]:
@@ -296,9 +499,15 @@ def drop_table_sql(spark, catalog, sql: str):
     Returns None like the Python API. IF EXISTS swallows only the
     missing-table case."""
     cur = _Cursor(_tokenize(sql.strip().rstrip(";")))
-    for kw in ("DROP", "TABLE"):
-        if _upper(cur.next()) != kw:
-            raise ValueError(f"DROP parse error: expected {kw}")
+    if _upper(cur.next()) != "DROP":
+        raise ValueError("DROP parse error: expected DROP")
+    what = _upper(cur.next())
+    if what == "VIEW":
+        from iceberg_catalog_postgres_spark.catalog.views import drop_view_sql
+
+        return drop_view_sql(spark, catalog, sql)
+    if what != "TABLE":
+        raise ValueError(f"DROP: expected TABLE/VIEW, got {what!r}")
     if_exists = False
     if _upper(cur.peek()) == "IF":
         cur.next()
@@ -313,14 +522,40 @@ def drop_table_sql(spark, catalog, sql: str):
 
 
 def show_tables_sql(spark, catalog, sql: str):
-    """``SHOW TABLES IN <namespace>`` -> a DataFrame of (namespace,
-    table_name) rows from ``catalog.list_tables`` (the reference's §2.A#3
-    surface as SQL). The namespace is required — the catalog's listing is
-    namespace-scoped, like the reference's."""
+    """``SHOW TABLES IN <namespace>`` -> (namespace, table_name) rows from
+    ``catalog.list_tables`` (the reference's §2.A#3 surface as SQL; the
+    namespace is required — the listing is namespace-scoped, like the
+    reference's). ``SHOW TBLPROPERTIES ns.t ['key']`` -> (key, value)
+    rows from the table's metadata properties (engine-internal structured
+    logs excluded — they are not user-visible knobs)."""
     cur = _Cursor(_tokenize(sql.strip().rstrip(";")))
-    for kw in ("SHOW", "TABLES"):
-        if _upper(cur.next()) != kw:
-            raise ValueError(f"SHOW parse error: expected {kw}")
+    if _upper(cur.next()) != "SHOW":
+        raise ValueError("SHOW parse error: expected SHOW")
+    what = _upper(cur.next())
+    if what == "TBLPROPERTIES":
+        from iceberg_catalog_postgres_spark.catalog.table import Table
+
+        table = catalog.load_table(TableIdentifier.parse(cur.dotted_name()))
+        props = {
+            k: v for k, v in table.metadata.properties.items()
+            if isinstance(v, (str, int, float, bool))
+            and k not in Table.ENGINE_PROPERTY_KEYS
+        }
+        if cur.peek() is not None:
+            key = _parse_literal(cur)
+            if key not in props:
+                raise ValueError(f"no such table property: {key!r}")
+            props = {key: props[key]}
+        rows = sorted((k, str(v)) for k, v in props.items())
+        return spark.createDataFrame(rows or [], "key string, value string")
+    if what == "VIEWS":
+        from iceberg_catalog_postgres_spark.catalog.views import show_views_sql
+
+        return show_views_sql(spark, catalog, sql)
+    if what != "TABLES":
+        raise ValueError(
+            f"SHOW: expected TABLES/VIEWS/TBLPROPERTIES, got {what!r}"
+        )
     if _upper(cur.next()) != "IN":
         raise ValueError("SHOW TABLES requires IN <namespace>")
     ns = cur.dotted_name()
@@ -342,6 +577,12 @@ def describe_sql(spark, catalog, sql: str):
     cur = _Cursor(_tokenize(sql.strip().rstrip(";")))
     if _upper(cur.next()) not in ("DESCRIBE", "DESC"):
         raise ValueError("DESCRIBE parse error")
+    if _upper(cur.peek()) == "VIEW":
+        from iceberg_catalog_postgres_spark.catalog.views import (
+            describe_view_sql,
+        )
+
+        return describe_view_sql(spark, catalog, sql)
     if _upper(cur.peek()) == "TABLE":
         cur.next()
     table = catalog.load_table(TableIdentifier.parse(cur.dotted_name()))
@@ -458,7 +699,9 @@ def call_sql(spark, catalog, sql: str):
     elif proc == "rewrite_small_files":
         t2, n_small, n_kept, n_new = _m.rewrite_small_files(
             spark, table,
-            target_rows=int(a["target_rows"]),
+            # absent => resolved from write.target-rows /
+            # write.target-file-size-bytes table properties
+            target_rows=int(a["target_rows"]) if "target_rows" in a else None,
             small_threshold=(
                 int(a["small_threshold"]) if "small_threshold" in a else None
             ),

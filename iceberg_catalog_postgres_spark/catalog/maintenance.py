@@ -418,10 +418,40 @@ def compact_table(
     return table.new_transaction().overwrite_dataframe(current).commit()
 
 
+def _resolve_target_rows(table: Table) -> int:
+    """The compaction row target a table's PROPERTIES declare (used when a
+    caller passes none): ``write.target-rows`` directly, else Iceberg's
+    ``write.target-file-size-bytes`` converted to rows via the table's
+    average manifest row width (total file bytes / total records — a pure
+    metadata fold, zero file opens, exactly how engines size byte targets
+    against row-based planning). Loud error when neither is set: a silent
+    built-in default would make ``CALL rewrite_small_files`` look tuned
+    when it isn't."""
+    props = table.metadata.properties
+    if "write.target-rows" in props:
+        return int(props["write.target-rows"])
+    if "write.target-file-size-bytes" in props:
+        target_bytes = int(props["write.target-file-size-bytes"])
+        total_rows = table.record_count()
+        total_bytes = table.total_bytes()
+        if total_rows <= 0 or total_bytes <= 0:
+            raise ValueError(
+                "write.target-file-size-bytes set but the table has no "
+                "manifest stats to derive a row width from"
+            )
+        avg_row_bytes = max(total_bytes / total_rows, 1e-9)
+        return max(int(target_bytes / avg_row_bytes), 1)
+    raise ValueError(
+        "rewrite_small_files: no target_rows argument and neither "
+        "'write.target-rows' nor 'write.target-file-size-bytes' is set "
+        "on the table"
+    )
+
+
 def rewrite_small_files(
     spark: SparkSession,
     table: Table,
-    target_rows: int,
+    target_rows: int | None = None,
     small_threshold: int | None = None,
 ) -> tuple[Table, int, int, int]:
     """Stats-driven BIN-PACKING compaction (Iceberg ``rewrite_data_files``
@@ -449,6 +479,8 @@ def rewrite_small_files(
     snap = table.metadata.current_snapshot()
     if snap is None:
         return table, 0, 0, 0
+    if target_rows is None:
+        target_rows = _resolve_target_rows(table)
     threshold = small_threshold if small_threshold is not None else target_rows * 3 // 4
     counts = {rel: table.record_count(files=[rel]) for rel in snap.data_files}
     small = [rel for rel in snap.data_files if counts[rel] < threshold]
@@ -1668,6 +1700,155 @@ def catalog_sql_select_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "case_name string, files_total int, files_planned int, n_rows long"
     ).orderBy("case_name")
+
+
+@register(
+    "catalog_sql_refs_tblproperties",
+    oracle="""
+    SELECT CAST((SELECT count(*) FROM nation WHERE n_nationkey < 10)
+                AS BIGINT) AS n_tag,
+           CAST((SELECT sum(n_nationkey) FROM nation WHERE n_nationkey < 10)
+                AS BIGINT) AS sum_tag,
+           CAST((SELECT count(*) FROM nation) AS BIGINT) AS n_head,
+           '64' AS target_prop,
+           CAST(2 AS BIGINT) AS rewritten_files,
+           CAST((SELECT count(*) FROM nation) AS BIGINT) AS n_after_compact
+    """,
+    tags=("catalog", "sql", "ddl", "refs", "tblproperties", "compaction"),
+)
+def catalog_sql_refs_tblproperties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branch/tag DDL + load-bearing TBLPROPERTIES (r13 continuation): the
+    snapshot-ref and property surfaces driven entirely through SQL strings.
+    Append half of nation -> ``CREATE TAG train AS OF VERSION <snap1>
+    RETAIN 30 DAYS`` -> append the rest -> the tag still reads exactly the
+    first half (``VERSION AS OF 'train'`` through the SQL SELECT path)
+    while the head reads all 25 rows. Then ``SET TBLPROPERTIES
+    ('write.target-rows'='64')`` and a target-less ``CALL
+    system.rewrite_small_files('ns.t')`` — the procedure resolves its
+    bin-packing target FROM the property (both half-files < 48-row
+    threshold -> rewritten as one), echoed back through ``SHOW
+    TBLPROPERTIES``. Every step is a metadata-only commit; the oracle
+    recomputes the tag/head splits relationally. Scale: tags pin a corpus
+    version by name at O(1) metadata; the property is the knob a 1000-table
+    warehouse tunes compaction with, no code deploys."""
+    from iceberg_catalog_postgres_spark.catalog.merge_sql import execute_dml
+
+    cat = _fresh_catalog("catalog_sql_refs_tblprops")
+    src = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    ident = TableIdentifier.parse("maint.nation_refs")
+    table = cat.create_table(ident, src.schema)
+    table = (
+        table.new_transaction()
+        .append_dataframe(src.filter(F.col("n_nationkey") < 10).coalesce(1))
+        .commit()
+    )
+    snap1 = table.metadata.current_snapshot_id
+    table = (
+        table.new_transaction()
+        .append_dataframe(src.filter(F.col("n_nationkey") >= 10).coalesce(1))
+        .commit()
+    )
+    execute_dml(
+        spark, cat,
+        f"ALTER TABLE maint.nation_refs CREATE TAG train "
+        f"AS OF VERSION {snap1} RETAIN 30 DAYS",
+    )
+    execute_dml(
+        spark, cat,
+        "ALTER TABLE maint.nation_refs SET TBLPROPERTIES "
+        "('write.target-rows' = '64')",
+    )
+    tag_row = execute_dml(
+        spark, cat,
+        "SELECT count(*) AS n, sum(n_nationkey) AS s "
+        "FROM maint.nation_refs VERSION AS OF 'train'",
+    ).collect()[0]
+    n_head = execute_dml(
+        spark, cat, "SELECT count(*) AS n FROM maint.nation_refs"
+    ).collect()[0].n
+    target_prop = execute_dml(
+        spark, cat, "SHOW TBLPROPERTIES maint.nation_refs 'write.target-rows'"
+    ).collect()[0].value
+    rep = execute_dml(
+        spark, cat, "CALL system.rewrite_small_files('maint.nation_refs')"
+    ).collect()[0]
+    n_after = execute_dml(
+        spark, cat, "SELECT count(*) AS n FROM maint.nation_refs"
+    ).collect()[0].n
+    return spark.createDataFrame(
+        [(
+            int(tag_row.n), int(tag_row.s), int(n_head), target_prop,
+            int(rep.rewritten_data_files_count), int(n_after),
+        )],
+        "n_tag long, sum_tag long, n_head long, target_prop string, "
+        "rewritten_files long, n_after_compact long",
+    )
+
+
+@register(
+    "catalog_sql_views",
+    oracle="""
+    SELECT 'count' AS src, n_regionkey AS grp, CAST(count(*) AS BIGINT) AS val
+    FROM nation GROUP BY n_regionkey
+    UNION ALL
+    SELECT 'sum', n_regionkey, CAST(sum(n_nationkey) AS BIGINT)
+    FROM nation GROUP BY n_regionkey
+    UNION ALL
+    SELECT 'total', CAST(-1 AS BIGINT), CAST(sum(n_nationkey) AS BIGINT)
+    FROM nation
+    ORDER BY src, grp
+    """,
+    tags=("catalog", "sql", "views", "versioned", "time-travel"),
+)
+def catalog_sql_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg VIEWS (r13 continuation): versioned SQL definitions in a
+    parallel ``iceberg_views`` pointer table (view-spec v1 metadata:
+    append-only versions + version-log, CAS pointer swaps). The decision
+    table: CREATE VIEW ``rc`` (per-region counts) -> CREATE OR REPLACE to
+    per-region sums (version 2) -> a second view ``total`` defined OVER
+    ``rc`` -> read all three surfaces in ONE statement: the REPLACED
+    definition at head, the ORIGINAL via ``VERSION AS OF 1`` (definition
+    time travel — the version pins the SQL, not the data), and the
+    view-over-view (which expands through the CURRENT rc, so it sums the
+    sums). Everything runs through ``select_sql``'s expansion — one
+    Catalyst plan, no materialization. Scale: a view is O(1) catalog
+    metadata; expansion cost equals inlining the SQL by hand."""
+    from iceberg_catalog_postgres_spark.catalog.merge_sql import execute_dml
+
+    cat = _fresh_catalog("catalog_sql_views")
+    src = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    ident = TableIdentifier.parse("maint.nation_vw")
+    table = cat.create_table(ident, src.schema)
+    table.new_transaction().append_dataframe(src.coalesce(1)).commit()
+    execute_dml(
+        spark, cat,
+        "CREATE VIEW maint.rc AS SELECT n_regionkey AS grp, "
+        "count(*) AS val FROM maint.nation_vw GROUP BY n_regionkey",
+    )
+    execute_dml(
+        spark, cat,
+        "CREATE VIEW maint.total AS SELECT sum(val) AS val FROM maint.rc",
+    )
+    execute_dml(
+        spark, cat,
+        "CREATE OR REPLACE VIEW maint.rc AS SELECT n_regionkey AS grp, "
+        "sum(n_nationkey) AS val FROM maint.nation_vw GROUP BY n_regionkey",
+    )
+    return execute_dml(
+        spark, cat,
+        """
+        SELECT 'count' AS src, grp, val FROM maint.rc VERSION AS OF 1
+        UNION ALL
+        SELECT 'sum' AS src, grp, val FROM maint.rc
+        UNION ALL
+        SELECT 'total' AS src, CAST(-1 AS BIGINT) AS grp, val FROM maint.total
+        ORDER BY src, grp
+        """,
+    )
 
 
 @register(

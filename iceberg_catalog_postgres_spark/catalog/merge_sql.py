@@ -821,6 +821,15 @@ def create_table_sql(spark, catalog, sql: str):
     from iceberg_catalog_postgres_spark.catalog.ddl_sql import _sql_type
     from iceberg_catalog_postgres_spark.catalog.select_sql import select_sql
 
+    # CREATE [OR REPLACE] VIEW routes to the view surface
+    head = [
+        t.upper() for t in _tokenize(sql.strip())[:4]
+        if not t.startswith(("'", "`"))
+    ]
+    if "VIEW" in head:
+        from iceberg_catalog_postgres_spark.catalog.views import create_view_sql
+
+        return create_view_sql(spark, catalog, sql)
     p = parse_create_table(sql)
     ident = TableIdentifier.parse(p["target"])
     if p["if_not_exists"] and catalog.table_exists(ident):

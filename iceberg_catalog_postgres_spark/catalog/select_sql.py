@@ -167,6 +167,25 @@ def _resolve_candidates(catalog, parts: list[str]):
     return None, None
 
 
+def _resolve_view_candidates(catalog, parts: list[str]):
+    """Same alias-stripping resolution for catalog VIEWS (tried only after
+    tables miss — create-time collision checks in both directions make the
+    order unambiguous). Returns (ident, view) or (None, None)."""
+    from iceberg_catalog_postgres_spark.catalog import views as _views
+
+    names = [".".join(parts)]
+    if len(parts) >= 3:
+        names.append(".".join(parts[1:]))
+    for name in names:
+        try:
+            ident = TableIdentifier.parse(name)
+        except ValueError:
+            continue
+        if _views.view_exists(catalog, ident):
+            return ident, _views.load_view(catalog, ident)
+    return None, None
+
+
 def parse_select_refs(sql: str, catalog) -> tuple[list[str], list[dict]]:
     """Scan a SELECT/WITH statement for catalog table references in
     FROM/JOIN position (any depth), parse each ref's optional time-travel
@@ -208,10 +227,17 @@ def parse_select_refs(sql: str, catalog) -> tuple[list[str], list[dict]]:
                     f"unknown metadata table suffix ${suffix!r} "
                     f"(supported: {', '.join(_META_SUFFIXES)})"
                 )
-        ident, table = (None, None)
+        ident, table, view_obj = (None, None, None)
         if len(parts) >= 2:
             ident, table = _resolve_candidates(catalog, parts)
-        if table is None:
+            if table is None:
+                ident, view_obj = _resolve_view_candidates(catalog, parts)
+        if view_obj is not None and suffix is not None:
+            raise ValueError(
+                f"metadata table suffixes are not supported on views: "
+                f"{'.'.join(parts)}${suffix}"
+            )
+        if table is None and view_obj is None:
             if suffix is not None and len(parts) >= 2:
                 raise ValueError(
                     f"metadata table suffix on unknown catalog table: "
@@ -250,6 +276,8 @@ def parse_select_refs(sql: str, catalog) -> tuple[list[str], list[dict]]:
         ref = {
             "ident": ident,
             "table": table,
+            "view_obj": view_obj,
+            "catalog": catalog,
             "suffix": suffix,
             "snapshot_id": travel.get("snapshot_id"),
             "as_of_ms": travel.get("as_of_ms"),
@@ -456,10 +484,41 @@ def _in_list_subset(ref: dict, points: dict, ranges: dict, ins: dict):
     )
 
 
-def _ref_df(spark, ref: dict):
+def _expand_view(spark, ref: dict, seen: frozenset):
+    """A catalog VIEW reference -> DataFrame: resolve the stored SQL of the
+    requested version (current by default; ``VERSION AS OF <version-id>``
+    pins a definition; ``TIMESTAMP AS OF`` resolves through the
+    version-log) through the SAME rewriter, recursively — a view over
+    tables and other views expands into one Catalyst plan. ``seen`` is the
+    in-progress expansion chain; revisiting an identifier is a definition
+    cycle and fails loudly rather than recursing forever."""
+    key = str(ref["ident"]).lower()
+    if key in seen:
+        raise ValueError(f"view definition cycle detected at {ref['ident']}")
+    if ref["ref"] is not None:
+        raise ValueError(
+            "VERSION AS OF '<name>' names a table branch/tag; views have "
+            "numeric version ids"
+        )
+    md = ref["view_obj"].metadata
+    vid = ref["snapshot_id"]
+    if ref["as_of_ms"] is not None:
+        vid = md.version_as_of(ref["as_of_ms"])
+        if vid is None:
+            raise ValueError(
+                f"view {ref['ident']} did not exist at the requested timestamp"
+            )
+    rewritten, refs = _resolve_and_prune(md.sql(version_id=vid), ref["catalog"])
+    return _run_select(spark, rewritten, refs, seen=seen | {key})
+
+
+def _ref_df(spark, ref: dict, seen: frozenset = frozenset()):
     """The DataFrame a resolved reference reads: a metadata table for a
-    ``$suffix``, else ``to_df`` at the ref's snapshot — with extracted
-    partition-source conjuncts routed into the composed planner."""
+    ``$suffix``, a recursive expansion for a view, else ``to_df`` at the
+    ref's snapshot — with extracted partition-source conjuncts routed into
+    the composed planner."""
+    if ref.get("view_obj") is not None:
+        return _expand_view(spark, ref, seen)
     table = ref["table"]
     if ref["suffix"] is not None:
         from iceberg_catalog_postgres_spark.catalog import maintenance as _m
@@ -505,7 +564,9 @@ def _resolve_and_prune(sql: str, catalog) -> tuple[list[str], list[dict]]:
     """Parse + attach best-effort prune predicates to the single data ref
     (shared by select_sql and explain_sql so planning happens once)."""
     rewritten, refs = parse_select_refs(sql, catalog)
-    data_refs = [r for r in refs if r["suffix"] is None]
+    data_refs = [
+        r for r in refs if r["suffix"] is None and r["table"] is not None
+    ]
     if len(data_refs) == 1:
         try:
             points, ranges, ins = _extract_prune_conjuncts(
@@ -519,9 +580,10 @@ def _resolve_and_prune(sql: str, catalog) -> tuple[list[str], list[dict]]:
     return rewritten, refs
 
 
-def _run_select(spark, rewritten: list[str], refs: list[dict]):
+def _run_select(spark, rewritten: list[str], refs: list[dict],
+                seen: frozenset = frozenset()):
     for ref in refs:
-        _ref_df(spark, ref).createOrReplaceTempView(ref["view"])
+        _ref_df(spark, ref, seen).createOrReplaceTempView(ref["view"])
     try:
         # spark.sql analyzes eagerly — the views are inlined into the
         # returned DataFrame's resolved plan here
@@ -554,7 +616,9 @@ def select_plan_info(spark, catalog, sql: str) -> dict:
     pruning than the query actually uses would certify a plan that never
     runs."""
     rewritten, refs = parse_select_refs(sql, catalog)
-    data_refs = [r for r in refs if r["suffix"] is None]
+    data_refs = [
+        r for r in refs if r["suffix"] is None and r["table"] is not None
+    ]
     if len(data_refs) != 1:
         raise ValueError("select_plan_info expects exactly one catalog table ref")
     ref = data_refs[0]
@@ -612,7 +676,9 @@ def explain_sql(spark, catalog, sql: str):
         body = head[1] if len(head) > 1 else ""
     lines: list[str] = []
     rewritten, refs = _resolve_and_prune(body, catalog)
-    data_refs = [r for r in refs if r["suffix"] is None]
+    data_refs = [
+        r for r in refs if r["suffix"] is None and r["table"] is not None
+    ]
     if len(data_refs) == 1:
         # report THE plan the execution below uses — same ref dicts, so
         # the composed walk / IN subset is computed exactly once

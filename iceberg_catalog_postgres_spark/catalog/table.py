@@ -2098,6 +2098,48 @@ class Table:
 
         return self._commit_metadata_edit(edit, "ref")
 
+    #: table-property keys the ENGINE maintains (evolution logs, hash
+    #: algorithm pins, sketch state) — user SET/UNSET of these would corrupt
+    #: reads of pre-evolution files, so the property DDL refuses them loudly
+    ENGINE_PROPERTY_KEYS = (
+        "column-renames",
+        "column-defaults",
+        "partition-entry-renames",
+        "write.bucket-hash",
+    )
+
+    def update_properties(
+        self, set_props: dict | None = None, unset_keys: list[str] | None = None
+    ) -> "Table":
+        """Iceberg's ``updateProperties``: SET/UNSET table properties as one
+        metadata-only CAS commit (the engine behind ``ALTER TABLE ... SET
+        TBLPROPERTIES``). Properties are the table's public knob surface —
+        ``commit.retry.num-retries`` bounds the CAS retry loop,
+        ``write.target-file-size-bytes`` sizes compaction output — so a SET
+        is O(1) metadata at any table size. Engine-internal keys (rename/
+        default logs) are refused; unknown UNSET keys are refused (a typo'd
+        unset that silently no-ops hides a misconfigured pipeline)."""
+        from dataclasses import replace as _dc_replace
+
+        set_props = {str(k): str(v) for k, v in (set_props or {}).items()}
+        unset_keys = [str(k) for k in (unset_keys or [])]
+        for k in (*set_props, *unset_keys):
+            if k in self.ENGINE_PROPERTY_KEYS or k.startswith("ndv."):
+                raise ValueError(f"property {k!r} is engine-maintained; refusing")
+        overlap = set(set_props) & set(unset_keys)
+        if overlap:
+            raise ValueError(f"cannot SET and UNSET the same key(s): {sorted(overlap)}")
+
+        def edit(md):
+            for k in unset_keys:
+                if k not in md.properties:
+                    raise ValueError(f"cannot UNSET unknown property {k!r}")
+            props = {k: v for k, v in md.properties.items() if k not in unset_keys}
+            props.update(set_props)
+            return _dc_replace(md, properties=props)
+
+        return self._commit_metadata_edit(edit, "properties")
+
     def rollback_to(self, snapshot_id: int) -> "Table":
         """Iceberg's rollback_to_snapshot: point ``current_snapshot_id``
         back to an earlier RETAINED snapshot via a metadata-only CAS commit.
@@ -3254,8 +3296,17 @@ class Transaction:
          last-writer-wins) — up to ``max_retries`` with jittered backoff.
     """
 
-    def __init__(self, table: Table, max_retries: int = 5, branch: str = "main"):
+    def __init__(
+        self, table: Table, max_retries: int | None = None, branch: str = "main"
+    ):
         self.table = table
+        # Iceberg's commit.retry.num-retries property bounds the CAS loop
+        # (default 5 here); an explicit argument still wins — tests and
+        # internal callers pin their own budget
+        if max_retries is None:
+            max_retries = int(
+                table.metadata.properties.get("commit.retry.num-retries", 5)
+            )
         self.max_retries = max_retries
         self.branch = branch
         self._operation: str | None = None

@@ -63,8 +63,12 @@ def test_parse_alter_forms():
     assert (p["op"], p["entry"]) == ("drop_partition_field", "r")
     with pytest.raises(ValueError, match="unsupported column type"):
         parse_alter("ALTER TABLE ns.t ADD COLUMN x BLOB")
+    # SET TBLPROPERTIES graduated from refusal to a real action (r13
+    # continuation — full coverage in tests/test_props_refs_sql.py)
+    p = parse_alter("ALTER TABLE ns.t SET TBLPROPERTIES ('a'='b')")
+    assert (p["op"], p["props"]) == ("set_properties", {"a": "b"})
     with pytest.raises(ValueError, match="unsupported action"):
-        parse_alter("ALTER TABLE ns.t SET TBLPROPERTIES ('a'='b')")
+        parse_alter("ALTER TABLE ns.t CLUSTER BY k")
 
 
 def test_parse_call_forms():
