@@ -51,6 +51,19 @@ class SqlBackend(ABC):
             return template
         return template.replace("?", self.paramstyle)
 
+    def execute_atomic_cas(
+        self, statements: list[tuple[str, tuple]]
+    ) -> list[int]:
+        """Run several CAS statements in ONE database transaction: COMMIT
+        iff every statement reports rowcount 1, else ROLLBACK — the
+        multi-table commit primitive (Iceberg REST's multi-table commit
+        semantics on a plain SQL catalog). Returns the per-statement
+        rowcounts either way so the caller can name the losers."""
+        raise ValueError(
+            f"{type(self).__name__} does not implement atomic multi-statement "
+            f"transactions"
+        )
+
 
 class SqliteBackend(SqlBackend):
     """SQLite backend. ``path=":memory:"`` for tests, a file path otherwise.
@@ -72,6 +85,26 @@ class SqliteBackend(SqlBackend):
             cur = self._conn.execute(sql, params)
             rows = cur.fetchall() if cur.description else []
             return rows, cur.rowcount
+
+    def execute_atomic_cas(
+        self, statements: list[tuple[str, tuple]]
+    ) -> list[int]:
+        # isolation_level=None puts sqlite3 in autocommit, so the
+        # transaction is explicit; BEGIN IMMEDIATE takes the write lock up
+        # front (no deadlock-by-upgrade between racing multi-commits)
+        with self._lock:
+            self._conn.execute("BEGIN IMMEDIATE")
+            counts: list[int] = []
+            try:
+                for sql, params in statements:
+                    counts.append(self._conn.execute(sql, params).rowcount)
+                self._conn.execute(
+                    "COMMIT" if all(c == 1 for c in counts) else "ROLLBACK"
+                )
+            except BaseException:
+                self._conn.execute("ROLLBACK")
+                raise
+            return counts
 
     def close(self) -> None:
         self._conn.close()
@@ -123,6 +156,31 @@ class PostgresBackend(SqlBackend):
                 cur.execute(sql, params)
                 rows = cur.fetchall() if cur.description else []
                 return rows, cur.rowcount
+
+    def execute_atomic_cas(
+        self, statements: list[tuple[str, tuple]]
+    ) -> list[int]:
+        # one connection, explicit BEGIN/COMMIT around the batch (autocommit
+        # mode starts a transaction block at BEGIN on both client paths)
+        with self._lock:
+            def run(sql, params=()):
+                if self._wire is not None:
+                    return self._wire.execute(sql, params)
+                with self._conn.cursor() as cur:  # pragma: no cover
+                    cur.execute(sql, params)
+                    rows = cur.fetchall() if cur.description else []
+                    return rows, cur.rowcount
+
+            run("BEGIN")
+            counts: list[int] = []
+            try:
+                for sql, params in statements:
+                    counts.append(run(sql, params)[1])
+                run("COMMIT" if all(c == 1 for c in counts) else "ROLLBACK")
+            except BaseException:
+                run("ROLLBACK")
+                raise
+            return counts
 
     def close(self) -> None:
         if self._wire is not None:

@@ -268,6 +268,49 @@ class PostgresCatalog:
             )
         return self.load_table(identifier)
 
+    def update_tables(
+        self, updates: list[tuple["TableIdentifier", str, str]]
+    ) -> list:
+        """ATOMIC multi-table pointer swap (§2.A#9 extended — the Iceberg
+        REST catalog's multi-table commit on a plain SQL catalog): every
+        (identifier, new_location, expected_previous_location) CAS lands in
+        ONE database transaction, or none do. A reader therefore never
+        observes a cross-table intermediate state — the consistency a
+        move-rows-between-tables or fact+summary dual write needs. Raises
+        ``CommitConflictError`` naming the stale tables; retry policy
+        belongs to the caller (``MultiTableTransaction``)."""
+        if not updates:
+            return []
+        seen: set[str] = set()
+        for ident, _, _ in updates:
+            if str(ident) in seen:
+                raise ValueError(f"duplicate table in multi-table commit: {ident}")
+            seen.add(str(ident))
+        template = self.backend.sql(
+            f"UPDATE {CATALOG_TABLE_NAME} SET "
+            f"{METADATA_LOCATION_COLUMN} = ?, {PREVIOUS_METADATA_LOCATION_COLUMN} = ? "
+            f"WHERE {CATALOG_NAME_COLUMN} = ? AND {TABLE_NAMESPACE_COLUMN} = ? "
+            f"AND {TABLE_NAME_COLUMN} = ? AND {METADATA_LOCATION_COLUMN} = ?"
+        )
+        statements = [
+            (
+                template,
+                (new_loc, prev_loc, self.name, ident.namespace_str,
+                 ident.name, prev_loc),
+            )
+            for ident, new_loc, prev_loc in updates
+        ]
+        counts = self.backend.execute_atomic_cas(statements)
+        if not all(c == 1 for c in counts):
+            stale = [
+                str(u[0]) for u, c in zip(updates, counts) if c != 1
+            ]
+            raise CommitConflictError(
+                f"multi-table commit conflict: stale pointer(s) for "
+                f"{', '.join(stale)}; nothing was committed"
+            )
+        return [self.load_table(ident) for ident, _, _ in updates]
+
     # -- §2.A#10 drop_table (mod.rs:138-175) ------------------------------
     def drop_table(self, identifier: TableIdentifier) -> None:
         """Delete the pointer row; exactly-1 assertion (mod.rs:163-174).

@@ -1852,6 +1852,59 @@ def catalog_sql_views(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "catalog_multi_table_txn",
+    oracle="""
+    SELECT 'cold' AS side, n_nationkey, n_name, n_regionkey
+    FROM nation WHERE n_regionkey = 4
+    UNION ALL
+    SELECT 'hot', n_nationkey, n_name, n_regionkey
+    FROM nation WHERE n_regionkey <> 4
+    ORDER BY side, n_nationkey
+    """,
+    tags=("catalog", "transaction", "multi-table", "atomic"),
+)
+def catalog_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table ATOMIC transaction (r13 continuation): archive one
+    region of nation out of a hot table into a cold table as ONE commit —
+    a CoW overwrite on hot staged together with an append on cold, both
+    metadata documents prepared solo-style, then BOTH pointer CAS swaps in
+    one backend database transaction (``execute_atomic_cas``; Iceberg
+    REST's multi-table commit semantics on the reference's SQL catalog).
+    No reader can observe the moved rows in both tables or in neither;
+    a conflict on either table commits NOTHING (pytest-pinned, including
+    4-way races). The oracle recomputes both sides relationally — the
+    union proves nothing was lost or duplicated by the move. Scale: the
+    atomic section is N single-row pointer updates; all data-plane work
+    stays per-table and parallel."""
+    from iceberg_catalog_postgres_spark.catalog.multi_txn import (
+        MultiTableTransaction,
+    )
+
+    cat = _fresh_catalog("catalog_multi_table_txn")
+    src = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    hot = cat.create_table(TableIdentifier.parse("maint.hot"), src.schema)
+    hot = hot.new_transaction().append_dataframe(src.coalesce(1)).commit()
+    cold = cat.create_table(TableIdentifier.parse("maint.cold"), src.schema)
+
+    mt = MultiTableTransaction(cat)
+    mt.transaction(hot).overwrite_dataframe(
+        hot.to_df(spark).filter(F.col("n_regionkey") != 4).coalesce(1)
+    )
+    mt.transaction(cold).append_dataframe(
+        hot.to_df(spark).filter(F.col("n_regionkey") == 4).coalesce(1)
+    )
+    hot2, cold2 = mt.commit()
+    return (
+        cold2.to_df(spark).select(F.lit("cold").alias("side"), "*")
+        .unionByName(hot2.to_df(spark).select(F.lit("hot").alias("side"), "*"))
+        .select("side", "n_nationkey", "n_name", "n_regionkey")
+        .orderBy("side", "n_nationkey")
+    )
+
+
+@register(
     "catalog_mor_merge_read",
     oracle="""
     WITH merged AS (

@@ -3890,7 +3890,13 @@ class Transaction:
 
     # -- commit -----------------------------------------------------------
 
-    def commit(self) -> Table:
+    def commit(self, pointer_swap=None) -> Table:
+        """``pointer_swap`` (internal, multi-table commits): a callable
+        ``(identifier, new_location, prev_location) -> Table|None`` that
+        REPLACES the catalog CAS — ``MultiTableTransaction`` passes a
+        recorder so every staged table's metadata builds first and ALL
+        pointers swap in one backend transaction. None (the default) is
+        the single-table ``catalog.update_table`` path, unchanged."""
         if self._operation is None:
             return self.table  # empty transaction: no-op
         if self.branch != "main" and self._operation != "append":
@@ -4227,6 +4233,11 @@ class Transaction:
                 f"v{len(new_metadata.snapshots) + 1}-{uuid.uuid4().hex}.metadata.json",
             )
             store.put(new_location, new_metadata.to_json().encode())
+            if pointer_swap is not None:
+                # multi-table commit: the caller owns the CAS (and retries)
+                return pointer_swap(
+                    identifier, new_location, current.metadata_location()
+                )
             try:
                 return catalog.update_table(identifier, new_location, current.metadata_location())
             except CommitConflictError:
