@@ -343,3 +343,80 @@ def test_live_dbapi_read_from_real_postgres(live_catalog, spark):
         assert by_grp == {int(g): int(n) for g, n in server_rows}
     finally:
         b.execute(f"DROP TABLE {tbl}")
+
+
+def test_live_execute_atomic_cas(live_catalog):
+    """The multi-table commit primitive on REAL Postgres through the wire
+    client: explicit BEGIN/COMMIT batch — commits iff every CAS rowcount
+    is 1, rolls back otherwise, and recovers from a mid-batch error."""
+    b = live_catalog.backend
+    tbl = f"atomic_demo_{uuid.uuid4().hex[:8]}"
+    b.execute(f"CREATE TABLE {tbl} (k TEXT PRIMARY KEY, loc TEXT)")
+    b.execute(f"INSERT INTO {tbl} VALUES ('a', 'v1'), ('b', 'v1')")
+    upd = b.sql(f"UPDATE {tbl} SET loc = ? WHERE k = ? AND loc = ?")
+    try:
+        counts = b.execute_atomic_cas(
+            [(upd, ("v2", "a", "v1")), (upd, ("v2", "b", "v1"))]
+        )
+        assert counts == [1, 1]
+        # one stale -> both roll back
+        counts = b.execute_atomic_cas(
+            [(upd, ("v3", "a", "v2")), (upd, ("v3", "b", "stale"))]
+        )
+        assert counts == [1, 0]
+        rows, _ = b.execute(f"SELECT loc FROM {tbl} ORDER BY k")
+        assert [r[0] for r in rows] == ["v2", "v2"]
+        # a raising statement mid-batch rolls back and the connection
+        # keeps working afterwards
+        with pytest.raises(Exception):
+            b.execute_atomic_cas(
+                [(upd, ("v4", "a", "v2")),
+                 ("UPDATE nonexistent_table SET x = 1", ())]
+            )
+        rows, _ = b.execute(f"SELECT loc FROM {tbl} WHERE k = 'a'")
+        assert rows[0][0] == "v2"
+    finally:
+        b.execute(f"DROP TABLE {tbl}")
+
+
+def test_live_multi_table_transaction(live_catalog, spark):
+    """End-to-end multi-table atomic commit against the live server: the
+    archive move lands in both tables; a stale retry-less attempt lands
+    in neither."""
+    from iceberg_catalog_postgres_spark.catalog.catalog import (
+        CommitConflictError,
+        TableIdentifier,
+    )
+    from iceberg_catalog_postgres_spark.catalog.multi_txn import (
+        MultiTableTransaction,
+    )
+
+    df = spark.createDataFrame([(i, i % 2) for i in range(8)], "k int, r int")
+    hot = live_catalog.create_table(TableIdentifier.parse("mt.hot"), df.schema)
+    hot = hot.new_transaction().append_dataframe(df.coalesce(1)).commit()
+    cold = live_catalog.create_table(TableIdentifier.parse("mt.cold"), df.schema)
+
+    mt = MultiTableTransaction(live_catalog)
+    mt.transaction(hot).overwrite_dataframe(
+        hot.to_df(spark).filter("r = 0").coalesce(1)
+    )
+    mt.transaction(cold).append_dataframe(
+        hot.to_df(spark).filter("r = 1").coalesce(1)
+    )
+    hot2, cold2 = mt.commit()
+    assert hot2.record_count() == 4 and cold2.record_count() == 4
+
+    # stale handle + no retries: NOTHING lands on the live server either
+    extra = spark.createDataFrame([(99, 9)], "k int, r int")
+    stale = hot2
+    hot2.new_transaction().append_dataframe(extra.coalesce(1)).commit()
+    mt2 = MultiTableTransaction(live_catalog, max_retries=0)
+    mt2.transaction(stale).overwrite_dataframe(
+        stale.to_df(spark).filter("r = 0").coalesce(1)
+    )
+    mt2.transaction(cold2).append_dataframe(extra.coalesce(1))
+    with pytest.raises(CommitConflictError, match="nothing was committed"):
+        mt2.commit()
+    assert live_catalog.load_table(
+        TableIdentifier.parse("mt.cold")
+    ).record_count() == 4
