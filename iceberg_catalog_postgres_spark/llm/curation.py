@@ -438,6 +438,169 @@ def sample_cap_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sample_temperature_mixture",
+    oracle=f"""
+    WITH c AS (SELECT lang, count(*) AS n_total FROM documents GROUP BY lang),
+    s AS (SELECT sum(n_total) AS n, sum(sqrt(n_total)) AS sw FROM c),
+    t AS (
+      SELECT c.lang, c.n_total,
+             CAST(least(
+               c.n_total,
+               CAST(floor((s.n // 2) * sqrt(c.n_total) / s.sw + 0.5) AS BIGINT)
+             ) AS BIGINT) AS target
+      FROM c, s
+    ),
+    rk AS (
+      SELECT d.lang, d.doc_id,
+             row_number() OVER (
+               PARTITION BY d.lang
+               ORDER BY (d.doc_id * {KNUTH}) % {MOD32}, d.doc_id
+             ) AS rk
+      FROM documents d
+    ),
+    k AS (
+      SELECT rk.lang, count(*) AS n_kept, sum(rk.doc_id) AS sum_kept
+      FROM rk JOIN t USING (lang) WHERE rk.rk <= t.target GROUP BY rk.lang
+    )
+    SELECT t.lang, CAST(t.n_total AS BIGINT) AS n_total, t.target,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(coalesce(k.sum_kept, 0) AS BIGINT) AS sum_kept
+    FROM t LEFT JOIN k USING (lang) ORDER BY lang
+    """,
+    tags=("llm", "curation", "sampling", "temperature"),
+)
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-mixture resampling — the standard multilingual-
+    pretraining rebalancer (mT5/XLM-R style): sample language ``s`` with
+    probability ∝ ``n_s^alpha`` so high-resource languages are dampened
+    without flattening to the minimum (``sample_domain_mixture``'s
+    balanced special case is alpha=0). ``alpha = 0.5`` here BY DESIGN:
+    ``sqrt`` is IEEE-exactly-rounded, so Spark and the oracle compute
+    bit-identical targets, while a general ``pow`` differs across libms in
+    the last ulp — at a rounding boundary that would flip a whole count.
+    Budget is half the corpus; per-language targets cap at availability
+    (sampling without replacement); selection is the deterministic Knuth-
+    hash rank within language, so the sample is reproducible and
+    value-pinned (sum of kept doc_ids), not just counted.
+
+    Scale: the target table is |langs| rows (broadcast); ranking is one
+    window per language partition — at 100 TB shard the rank key to
+    (lang, hash-bucket) and take per-bucket quotas so no single partition
+    exceeds an executor, exactly like the packing note."""
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    tot = counts.agg(
+        F.sum("n_total").alias("n"),
+        F.sum(F.sqrt(F.col("n_total").cast("double"))).alias("sw"),
+    )
+    targets = counts.crossJoin(F.broadcast(tot)).withColumn(
+        "target",
+        F.least(
+            F.col("n_total"),
+            F.floor(
+                (F.expr("n div 2")) * F.sqrt(F.col("n_total").cast("double"))
+                / F.col("sw")
+                + 0.5
+            ),
+        ).cast("long"),
+    )
+    frac = (F.col("doc_id") * F.lit(KNUTH)) % F.lit(MOD32)
+    ranked = d.select("lang", "doc_id").withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("lang").orderBy(frac.asc(), F.col("doc_id").asc())
+        ),
+    )
+    kept = (
+        ranked.join(F.broadcast(targets.select("lang", "target")), "lang")
+        .where(F.col("rk") <= F.col("target"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").alias("sum_kept"),
+        )
+    )
+    return (
+        targets.join(F.broadcast(kept), "lang", "left")
+        .select(
+            "lang",
+            F.col("n_total").cast("long").alias("n_total"),
+            "target",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce(F.col("sum_kept"), F.lit(0)).cast("long").alias("sum_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+CHUNK_SIZE = 200  # chars per chunk (a RAG/pretraining chunker's window)
+CHUNK_STRIDE = 150  # window step => 50-char overlap between neighbors
+
+
+@register(
+    "chunk_sliding_window",
+    oracle=f"""
+    WITH g AS (
+      SELECT CAST(i AS BIGINT) AS i FROM generate_series(0, 4095) AS t(i)
+    )
+    SELECT d.doc_id, g.i AS chunk_idx,
+           g.i * {CHUNK_STRIDE} AS chunk_start,
+           length(substr(d.text, CAST(g.i * {CHUNK_STRIDE} + 1 AS INT),
+                         {CHUNK_SIZE})) AS chunk_len,
+           md5(substr(d.text, CAST(g.i * {CHUNK_STRIDE} + 1 AS INT),
+                      {CHUNK_SIZE})) AS chunk_md5
+    FROM documents d JOIN g
+      ON g.i <= CAST(ceil(greatest(length(d.text) - {CHUNK_SIZE}, 0)
+                          / {CHUNK_STRIDE}.0) AS BIGINT)
+    WHERE d.text IS NOT NULL
+    ORDER BY d.doc_id, chunk_idx
+    """,
+    tags=("llm", "curation", "chunking"),
+)
+def chunk_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document CHUNKING — the canonical RAG / long-context
+    pretraining preprocessor: split every document into fixed-size windows
+    (``CHUNK_SIZE`` chars) advancing by ``CHUNK_STRIDE`` (so neighbors
+    overlap by size−stride chars and no boundary content is lost). Chunk
+    count per doc is ``1 + ceil(max(len − size, 0) / stride)`` — every
+    character is covered, a doc shorter than one window yields exactly one
+    chunk, and the final window is allowed to run short. Output carries
+    (doc_id, chunk_idx, chunk_start, chunk_len, md5(chunk_text)) so the
+    oracle value-compares the exact chunk CONTENT without shipping it.
+
+    Spark side is pure JVM expressions: ``sequence`` + ``explode``
+    generates indices (one row amplification, no Python), ``substring``
+    slices, ``md5`` fingerprints — map-side only, zero shuffles; at 100 TB
+    chunking is embarrassingly parallel per input split. (The DuckDB
+    oracle cross-joins a constant 0..4095 index because its
+    ``generate_series`` rejects correlated bounds — that caps ORACLE texts
+    at ~614k chars, far beyond the fixtures; the Spark side has no cap.)
+    """
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    n_last = F.ceil(
+        F.greatest(F.length("text") - CHUNK_SIZE, F.lit(0)) / F.lit(float(CHUNK_STRIDE))
+    ).cast("int")
+    return (
+        d.select("doc_id", "text", n_last.alias("__n_last"))
+        .withColumn("chunk_idx", F.explode(F.sequence(F.lit(0), F.col("__n_last"))))
+        .withColumn("chunk_idx", F.col("chunk_idx").cast("long"))
+        .withColumn("chunk_start", (F.col("chunk_idx") * CHUNK_STRIDE).cast("long"))
+        .withColumn(
+            "chunk_text",
+            F.expr(f"substring(text, CAST(chunk_start + 1 AS INT), {CHUNK_SIZE})"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "chunk_start",
+            F.length("chunk_text").cast("long").alias("chunk_len"),
+            F.md5("chunk_text").alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
 def _capstone_oracle() -> str:
     return f"""
     WITH q AS (
