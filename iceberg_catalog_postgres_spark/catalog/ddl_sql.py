@@ -552,9 +552,32 @@ def show_tables_sql(spark, catalog, sql: str):
         from iceberg_catalog_postgres_spark.catalog.views import show_views_sql
 
         return show_views_sql(spark, catalog, sql)
+    if what == "NAMESPACES":
+        # namespaces are implicit in this catalog (the reference stores
+        # them as pointer-row columns, mod.rs:21) — listing folds the
+        # DISTINCT namespace strings over tables AND views
+        from iceberg_catalog_postgres_spark.catalog.views import (
+            VIEWS_TABLE_NAME,
+            _ensure_views_table,
+        )
+
+        _ensure_views_table(catalog)
+        rows, _ = catalog.backend.execute(
+            catalog.backend.sql(
+                "SELECT DISTINCT table_namespace FROM iceberg_tables "
+                "WHERE catalog_name = ? "
+                "UNION "
+                f"SELECT DISTINCT table_namespace FROM {VIEWS_TABLE_NAME} "
+                "WHERE catalog_name = ?"
+            ),
+            (catalog.name, catalog.name),
+        )
+        return spark.createDataFrame(
+            sorted((r[0],) for r in rows) or [], "namespace string"
+        )
     if what != "TABLES":
         raise ValueError(
-            f"SHOW: expected TABLES/VIEWS/TBLPROPERTIES, got {what!r}"
+            f"SHOW: expected TABLES/VIEWS/NAMESPACES/TBLPROPERTIES, got {what!r}"
         )
     if _upper(cur.next()) != "IN":
         raise ValueError("SHOW TABLES requires IN <namespace>")

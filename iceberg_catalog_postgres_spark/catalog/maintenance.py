@@ -1905,6 +1905,63 @@ def catalog_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "catalog_sql_history_rollback",
+    oracle="""
+    SELECT CAST(3 AS BIGINT) AS n_snapshots,
+           CAST(2 AS BIGINT) AS n_ancestors,
+           CAST(1 AS BIGINT) AS n_abandoned,
+           CAST((SELECT count(*) FROM nation WHERE n_nationkey < 20)
+                AS BIGINT) AS n_head,
+           CAST((SELECT sum(n_nationkey) FROM nation WHERE n_nationkey < 20)
+                AS BIGINT) AS sum_head
+    """,
+    tags=("catalog", "sql", "metadata-table", "history", "rollback"),
+)
+def catalog_sql_history_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``$history`` metadata table through SQL (r13 continuation),
+    exercised where it matters — ACROSS A ROLLBACK: three appends, then
+    ``rollback_to`` the second snapshot. ``t$history`` must show all three
+    snapshots but flag the rolled-past one ``is_current_ancestor = false``
+    (Iceberg's history-table contract: abandoned snapshots stay
+    time-travelable but leave the current head's lineage), and a head read
+    must see exactly the first two appends. All counts are folded in ONE
+    SQL statement mixing the data table and its metadata table. Pure
+    metadata: zero file opens for the history side at any table size."""
+    from iceberg_catalog_postgres_spark.catalog.merge_sql import execute_dml
+
+    cat = _fresh_catalog("catalog_sql_history_rollback")
+    src = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    ident = TableIdentifier.parse("maint.nation_hist")
+    table = cat.create_table(ident, src.schema)
+    for lo, hi in ((0, 10), (10, 20), (20, 100)):
+        table = (
+            table.new_transaction()
+            .append_dataframe(
+                src.filter(
+                    (F.col("n_nationkey") >= lo) & (F.col("n_nationkey") < hi)
+                ).coalesce(1)
+            )
+            .commit()
+        )
+    keep_id = table.metadata.snapshots[1].snapshot_id
+    table.rollback_to(keep_id)
+    return execute_dml(
+        spark, cat,
+        """
+        SELECT (SELECT count(*) FROM maint.nation_hist$history) AS n_snapshots,
+               (SELECT count(*) FROM maint.nation_hist$history
+                WHERE is_current_ancestor) AS n_ancestors,
+               (SELECT count(*) FROM maint.nation_hist$history
+                WHERE NOT is_current_ancestor) AS n_abandoned,
+               (SELECT count(*) FROM maint.nation_hist) AS n_head,
+               (SELECT sum(n_nationkey) FROM maint.nation_hist) AS sum_head
+        """,
+    )
+
+
+@register(
     "catalog_mor_merge_read",
     oracle="""
     WITH merged AS (
@@ -6899,6 +6956,96 @@ def files_df(
             _SF("partition", MapType(StringType(), StringType(), True), False),
             _SF("dv_cardinality", LongType(), True),
             _SF("has_equality_deletes", BooleanType(), False),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def history_df(spark: SparkSession, table: Table) -> DataFrame:
+    """The ``history`` metadata table (Iceberg's ``table$history``): one
+    row per snapshot in commit order with ``made_current_at``,
+    ``snapshot_id``, and ``is_current_ancestor`` — False for snapshots a
+    rollback re-pointed past (they remain time-travelable until expiry but
+    are NOT in the current head's lineage; exactly the snapshot-log
+    truncation rule the metadata document applies). Pure metadata, zero
+    file I/O, O(snapshots) driver work."""
+    import datetime as _dtm
+
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StructField as _SF,
+        StructType as _ST,
+        TimestampType,
+    )
+
+    md = table.metadata
+    cur_idx = None
+    if md.current_snapshot_id is not None:
+        cur_idx = next(
+            (
+                i for i, s in enumerate(md.snapshots)
+                if s.snapshot_id == md.current_snapshot_id
+            ),
+            None,
+        )
+    rows = [
+        (
+            _dtm.datetime.fromtimestamp(s.timestamp_ms / 1000.0, _dtm.timezone.utc),
+            int(s.snapshot_id),
+            cur_idx is not None and i <= cur_idx,
+        )
+        for i, s in enumerate(md.snapshots)
+    ]
+    schema = _ST(
+        [
+            _SF("made_current_at", TimestampType(), False),
+            _SF("snapshot_id", LongType(), False),
+            _SF("is_current_ancestor", BooleanType(), False),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def manifests_df(spark: SparkSession, table: Table) -> DataFrame:
+    """The ``manifests`` metadata table (Iceberg's ``table$manifests``):
+    one row per manifest CHUNK of the current snapshot with its
+    manifest-list summary counts (entries and records per content kind) —
+    the planning metadata `planned_files` consults to skip whole chunks.
+    An inline snapshot (file lists small enough to live in the metadata
+    JSON) has zero chunks and returns zero rows, like a table with no
+    manifest spill. Pure metadata: the summaries were written at commit;
+    nothing is fetched here."""
+    from iceberg_catalog_postgres_spark.catalog.metadata import chunk_path
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField as _SF,
+        StructType as _ST,
+    )
+
+    snap = table.metadata.current_snapshot()
+    rows = []
+    for ref in (snap.manifests if snap is not None else None) or []:
+        summary = ref.get("summary", {}) if isinstance(ref, dict) else {}
+        counts = summary.get("counts", {})
+        records = summary.get("records", {})
+        rows.append(
+            (
+                chunk_path(ref),
+                int(counts.get("data", 0)),
+                int(counts.get("eq-delete", 0)),
+                int(counts.get("pos-delete", 0)),
+                records.get("data"),
+            )
+        )
+    schema = _ST(
+        [
+            _SF("path", StringType(), False),
+            _SF("data_files", LongType(), False),
+            _SF("eq_delete_files", LongType(), False),
+            _SF("pos_delete_files", LongType(), False),
+            _SF("data_records", LongType(), True),
         ]
     )
     return spark.createDataFrame(rows, schema)

@@ -51,7 +51,9 @@ from iceberg_catalog_postgres_spark.catalog.merge_sql import (
 
 __all__ = ["select_sql", "select_plan_info", "parse_select_refs", "explain_sql"]
 
-_META_SUFFIXES = ("partitions", "refs", "files", "snapshots")
+_META_SUFFIXES = (
+    "partitions", "refs", "files", "snapshots", "history", "manifests"
+)
 
 #: clause keywords that may directly follow a relation ref — a bare word
 #: here is NOT an alias (``FROM t WHERE ...``)
@@ -530,6 +532,8 @@ def _ref_df(spark, ref: dict, seen: frozenset = frozenset()):
             "refs": _m.refs_df,
             "files": _m.files_df,
             "snapshots": _m.snapshots_df,
+            "history": _m.history_df,
+            "manifests": _m.manifests_df,
         }[ref["suffix"]]
         return fn(spark, table)
     kwargs: dict = {}

@@ -1,0 +1,103 @@
+"""$history and $manifests metadata tables (r13 continuation): history
+ancestry flags across a rollback, and the manifest-chunk listing for a
+spilled snapshot — both pure metadata folds, reachable as ``t$suffix``
+through the SQL front-end."""
+
+from __future__ import annotations
+
+import pytest
+
+from iceberg_catalog_postgres_spark.catalog.catalog import (
+    PostgresCatalog,
+    TableIdentifier,
+)
+from iceberg_catalog_postgres_spark.catalog.maintenance import (
+    history_df,
+    manifests_df,
+)
+from iceberg_catalog_postgres_spark.catalog.merge_sql import execute_dml
+
+
+@pytest.fixture
+def catalog(tmp_path):
+    cat = PostgresCatalog.connect("mdt", None, str(tmp_path / "wh"))
+    cat.initialize()
+    yield cat
+    cat.backend.close()
+
+
+def test_history_flags_rollback(spark, catalog):
+    df = spark.createDataFrame([(i,) for i in range(9)], "k int")
+    t = catalog.create_table(TableIdentifier.parse("d.t"), df.schema)
+    for lo in (0, 3, 6):
+        t = (
+            t.new_transaction()
+            .append_dataframe(df.filter(f"k >= {lo} and k < {lo + 3}").coalesce(1))
+            .commit()
+        )
+    snaps = t.metadata.snapshots
+    t = t.rollback_to(snaps[1].snapshot_id)
+    hist = history_df(spark, t).orderBy("made_current_at").collect()
+    assert [h.snapshot_id for h in hist] == [s.snapshot_id for s in snaps]
+    assert [h.is_current_ancestor for h in hist] == [True, True, False]
+    # through SQL, joined against $snapshots
+    n = execute_dml(
+        spark, catalog,
+        "SELECT count(*) AS n FROM d.t$history h JOIN d.t$snapshots s "
+        "ON h.snapshot_id = s.snapshot_id WHERE h.is_current_ancestor",
+    ).collect()[0].n
+    assert n == 2
+    # empty table: no snapshots, empty history
+    e = catalog.create_table(TableIdentifier.parse("d.empty"), df.schema)
+    assert history_df(spark, e).count() == 0
+
+
+def test_manifests_lists_spilled_chunks(spark, catalog):
+    df = spark.createDataFrame([(i, i % 5) for i in range(600)], "k int, r int")
+    t = catalog.create_table(TableIdentifier.parse("d.big"), df.schema)
+    t = (
+        t.new_transaction()
+        # range partitioning on a dense key: every one of the 120 output
+        # files is non-empty, pushing the snapshot over MANIFEST_THRESHOLD
+        .append_dataframe(df.repartitionByRange(120, "k"))
+        .commit()
+    )
+    snap = t.metadata.current_snapshot()
+    n_files = len(snap.data_files)
+    assert n_files > 100  # over MANIFEST_THRESHOLD -> spilled
+    assert snap.manifests
+    m = manifests_df(spark, t).collect()
+    assert len(m) == len(snap.manifests)
+    assert sum(r.data_files for r in m) == n_files
+    assert all(r.path for r in m)
+    assert sum(r.data_records or 0 for r in m) == 600
+    # through SQL
+    got = execute_dml(
+        spark, catalog,
+        "SELECT sum(data_files) AS files, count(*) AS chunks "
+        "FROM d.big$manifests",
+    ).collect()[0]
+    assert got.files == n_files and got.chunks == len(m)
+
+
+def test_manifests_empty_for_inline_snapshot(spark, catalog):
+    df = spark.createDataFrame([(1,)], "k int")
+    t = catalog.create_table(TableIdentifier.parse("d.small"), df.schema)
+    t = t.new_transaction().append_dataframe(df.coalesce(1)).commit()
+    assert manifests_df(spark, t).count() == 0
+    # no snapshot at all
+    e = catalog.create_table(TableIdentifier.parse("d.none"), df.schema)
+    assert manifests_df(spark, e).count() == 0
+
+
+def test_show_namespaces(spark, catalog):
+    from iceberg_catalog_postgres_spark.catalog.views import create_view
+
+    df = spark.createDataFrame([(1,)], "k int")
+    catalog.create_table(TableIdentifier.parse("a.t1"), df.schema)
+    catalog.create_table(TableIdentifier.parse("b.t2"), df.schema)
+    t = catalog.create_table(TableIdentifier.parse("a.t3"), df.schema)
+    t.new_transaction().append_dataframe(df.coalesce(1)).commit()
+    create_view(spark, catalog, TableIdentifier.parse("c.v"), "SELECT k FROM a.t3")
+    got = [r.namespace for r in execute_dml(spark, catalog, "SHOW NAMESPACES").collect()]
+    assert got == ["a", "b", "c"]
