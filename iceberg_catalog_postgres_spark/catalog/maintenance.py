@@ -106,6 +106,7 @@ def merge_into(
     when_not_matched_by_source: list[dict] | tuple = (),
     preserve_lineage: bool = False,
     strategy: str = "cow",
+    pointer_swap=None,
 ) -> Table:
     """Full multi-clause MERGE INTO (ANSI SQL:2003 / Iceberg's MERGE): the
     general reconcile-write, of which ``merge_upsert`` is the two-clause
@@ -364,7 +365,7 @@ def merge_into(
             )
             if preserve_lineage:
                 tx._summary_extra["lineage-diff"] = "true"
-            return tx.commit()
+            return tx.commit(pointer_swap=pointer_swap)
 
         merged = j.where(~dropped).select(*out_cols)
         if preserve_lineage:
@@ -372,8 +373,10 @@ def merge_into(
                 merged, lineage_materialized=True
             )
             tx._summary_extra["lineage-diff"] = "true"
-            return tx.commit()
-        return table.new_transaction().overwrite_dataframe(merged).commit()
+            return tx.commit(pointer_swap=pointer_swap)
+        return table.new_transaction().overwrite_dataframe(merged).commit(
+            pointer_swap=pointer_swap
+        )
     finally:
         j.unpersist()
 
@@ -740,6 +743,7 @@ def update_where(
     set: dict[str, str],
     strategy: str = "mor",
     preserve_lineage: bool = False,
+    pointer_swap=None,
 ) -> Table:
     """Arbitrary-predicate UPDATE (the single-table DML between
     ``delete_where`` and ``merge_into``): set each ``set`` column to its
@@ -794,11 +798,11 @@ def update_where(
                 current.select(*out), lineage_materialized=True
             )
             tx._summary_extra["lineage-diff"] = "true"
-            return tx.commit()
+            return tx.commit(pointer_swap=pointer_swap)
         return (
             table.new_transaction()
             .overwrite_dataframe(current.select(*out))
-            .commit()
+            .commit(pointer_swap=pointer_swap)
         )
 
     # MOR: one pruned scan finds the matched rows; their identity deletes
@@ -831,13 +835,14 @@ def update_where(
         )
         if preserve_lineage:
             tx._summary_extra["lineage-diff"] = "true"
-        return tx.commit()
+        return tx.commit(pointer_swap=pointer_swap)
     finally:
         matched.unpersist()
 
 
 def delete_where_mor(
-    spark: SparkSession, table: Table, condition, as_dv: bool = False
+    spark: SparkSession, table: Table, condition, as_dv: bool = False,
+    pointer_swap=None,
 ) -> Table:
     """Arbitrary-predicate merge-on-read DELETE: scan once (predicate pushed
     to the parquet reader), capture the matched rows' scan identity
@@ -863,8 +868,10 @@ def delete_where_mor(
     )
     tx = table.new_transaction()
     if as_dv:
-        return tx.delete_positions_dv(positions).commit()
-    return tx.delete_positions_dataframe(positions).commit()
+        return tx.delete_positions_dv(positions).commit(pointer_swap=pointer_swap)
+    return tx.delete_positions_dataframe(positions).commit(
+        pointer_swap=pointer_swap
+    )
 
 
 def rewrite_dvs_to_position_deletes(spark: SparkSession, table: Table) -> Table:
@@ -943,6 +950,24 @@ def rewrite_dvs_to_position_deletes(spark: SparkSession, table: Table) -> Table:
     store.put(new_location, new_metadata.to_json().encode())
     return table.catalog.update_table(
         table.identifier, new_location, table.metadata_location()
+    )
+
+
+def delete_where_cow_predicate(
+    spark: SparkSession, table: Table, condition, pointer_swap=None
+) -> Table:
+    """Arbitrary-predicate copy-on-write DELETE: one overwrite commit of
+    the surviving rows. The general fallback behind ``DELETE ...
+    strategy="cow"`` — when the predicate is a range on a stats-covered
+    column, ``delete_where_cow`` is the pruned version (rewrites only
+    intersecting files); this one rewrites the table, which is exactly
+    what CoW means for a predicate the planner cannot scope. MOR
+    (``delete_where_mor``) remains the 100 TB default."""
+    kept = table.to_df(spark).filter(~condition)
+    return (
+        table.new_transaction()
+        .overwrite_dataframe(kept)
+        .commit(pointer_swap=pointer_swap)
     )
 
 
@@ -1957,6 +1982,72 @@ def catalog_sql_history_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHERE NOT is_current_ancestor) AS n_abandoned,
                (SELECT count(*) FROM maint.nation_hist) AS n_head,
                (SELECT sum(n_nationkey) FROM maint.nation_hist) AS sum_head
+        """,
+    )
+
+
+@register(
+    "catalog_sql_transaction_script",
+    oracle="""
+    SELECT 'cold' AS side, n_nationkey, n_name, n_regionkey
+    FROM nation WHERE n_regionkey = 4
+    UNION ALL
+    SELECT 'hot', n_nationkey,
+           CASE WHEN n_regionkey = 0 THEN n_name || '_x' ELSE n_name END,
+           n_regionkey
+    FROM nation WHERE n_regionkey <> 4
+    ORDER BY side, n_nationkey
+    """,
+    tags=("catalog", "sql", "transaction", "script", "atomic"),
+)
+def catalog_sql_transaction_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL TRANSACTION SCRIPT (r13 continuation): ``BEGIN; INSERT; MERGE;
+    COMMIT`` as ONE atomic commit — the statement form of
+    ``MultiTableTransaction``. The script archives region 4 out of ``hot``
+    into ``cold`` (INSERT) while one MERGE on ``hot`` deletes those rows
+    and tags the region-0 names (a table may be the TARGET of only one
+    statement — scripts give every statement the pre-script snapshot, so
+    the delete+update on hot compose as MERGE clauses). The INSERT's
+    SELECT reads ``hot``'s PRE-script snapshot (statement isolation), so
+    the deleted rows are exactly the inserted rows — lossless by
+    construction, which the oracle recomputes relationally. Both pointer
+    swaps land in one database transaction; a conflict on any table
+    commits nothing and the script re-runs from fresh state
+    (sabotage-pinned in pytest). DDL and duplicate targets refuse."""
+    from iceberg_catalog_postgres_spark.catalog.merge_sql import execute_dml
+
+    cat = _fresh_catalog("catalog_sql_txn_script")
+    src = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    hot = cat.create_table(TableIdentifier.parse("maint.hot"), src.schema)
+    hot.new_transaction().append_dataframe(src.coalesce(1)).commit()
+    cat.create_table(TableIdentifier.parse("maint.cold"), src.schema)
+    execute_dml(
+        spark, cat,
+        """
+        BEGIN;
+        INSERT INTO maint.cold
+          SELECT n_nationkey, n_name, n_regionkey FROM maint.hot
+          WHERE n_regionkey = 4;
+        MERGE INTO maint.hot AS t
+        USING (SELECT n_nationkey FROM maint.hot
+               WHERE n_regionkey = 4 OR n_regionkey = 0) AS s
+          ON t.n_nationkey = s.n_nationkey
+          WHEN MATCHED AND t.n_regionkey = 4 THEN DELETE
+          WHEN MATCHED THEN UPDATE SET n_name = t.n_name || '_x';
+        COMMIT
+        """,
+    )
+    return execute_dml(
+        spark, cat,
+        """
+        SELECT 'cold' AS side, n_nationkey, n_name, n_regionkey
+        FROM maint.cold
+        UNION ALL
+        SELECT 'hot' AS side, n_nationkey, n_name, n_regionkey
+        FROM maint.hot
+        ORDER BY side, n_nationkey
         """,
     )
 

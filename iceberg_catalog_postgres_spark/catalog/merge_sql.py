@@ -389,6 +389,7 @@ def merge_sql(
     sources: dict | None = None,
     preserve_lineage: bool = False,
     strategy: str = "cow",
+    pointer_swap=None,
 ):
     """Execute a SQL ``MERGE INTO`` statement against a catalog table and
     return the committed :class:`Table`.
@@ -440,6 +441,7 @@ def merge_sql(
         when_not_matched_by_source=p["when_not_matched_by_source"],
         preserve_lineage=preserve_lineage,
         strategy=strategy,
+        pointer_swap=pointer_swap,
     )
 
 
@@ -529,6 +531,7 @@ def update_sql(
     sql: str,
     strategy: str = "mor",
     preserve_lineage: bool = False,
+    pointer_swap=None,
 ):
     """Execute a SQL ``UPDATE`` against a catalog table via
     ``maintenance.update_where`` — MOR row delta by default (O(matched
@@ -545,10 +548,12 @@ def update_sql(
         p["set"],
         strategy=strategy,
         preserve_lineage=preserve_lineage,
+        pointer_swap=pointer_swap,
     )
 
 
-def delete_sql(spark, catalog, sql: str, strategy: str = "mor", as_dv: bool = True):
+def delete_sql(spark, catalog, sql: str, strategy: str = "mor",
+               as_dv: bool = True, pointer_swap=None):
     """Execute a SQL ``DELETE FROM`` against a catalog table via
     ``maintenance.delete_where_mor`` (deletion vectors by default — the v3
     read-amplification answer) or ``delete_where_cow``."""
@@ -556,7 +561,7 @@ def delete_sql(spark, catalog, sql: str, strategy: str = "mor", as_dv: bool = Tr
 
     from iceberg_catalog_postgres_spark.catalog.catalog import TableIdentifier
     from iceberg_catalog_postgres_spark.catalog.maintenance import (
-        delete_where_cow,
+        delete_where_cow_predicate,
         delete_where_mor,
     )
 
@@ -564,10 +569,14 @@ def delete_sql(spark, catalog, sql: str, strategy: str = "mor", as_dv: bool = Tr
     table = catalog.load_table(TableIdentifier.parse(p["target"]))
     cond = F.expr(p["where"]) if p["where"] is not None else F.lit(True)
     if strategy == "cow":
-        return delete_where_cow(spark, table, cond)
+        return delete_where_cow_predicate(
+            spark, table, cond, pointer_swap=pointer_swap
+        )
     if strategy != "mor":
         raise ValueError(f"strategy must be cow|mor, got {strategy!r}")
-    return delete_where_mor(spark, table, cond, as_dv=as_dv)
+    return delete_where_mor(
+        spark, table, cond, as_dv=as_dv, pointer_swap=pointer_swap
+    )
 
 
 def execute_dml(spark, catalog, sql: str, **kwargs):
@@ -590,7 +599,15 @@ def execute_dml(spark, catalog, sql: str, **kwargs):
     )
 
     head = sql.lstrip().split(None, 1)
-    kw = head[0].upper() if head else ""
+    # "BEGIN;" arrives with the semicolon attached to the first word
+    kw = head[0].upper().rstrip(";") if head else ""
+    if kw == "BEGIN":
+        # BEGIN; <dml>; ...; COMMIT — the atomic multi-statement script
+        from iceberg_catalog_postgres_spark.catalog.transaction_sql import (
+            execute_script,
+        )
+
+        return execute_script(spark, catalog, sql, **kwargs)
     fn = {
         "MERGE": merge_sql,
         "UPDATE": update_sql,
@@ -610,7 +627,8 @@ def execute_dml(spark, catalog, sql: str, **kwargs):
     if fn is None:
         raise ValueError(
             "execute_dml handles MERGE/UPDATE/DELETE/INSERT/CREATE/SELECT/"
-            f"ALTER/CALL/DROP/SHOW/DESCRIBE/EXPLAIN statements, got {kw!r}"
+            "ALTER/CALL/DROP/SHOW/DESCRIBE/EXPLAIN statements and "
+            f"BEGIN...COMMIT scripts, got {kw!r}"
         )
     # forward only the knobs this statement kind takes — a generic caller
     # can always pass {strategy, preserve_lineage, sources, as_dv} and let
@@ -751,7 +769,8 @@ def parse_create_table(sql: str) -> dict:
     }
 
 
-def insert_sql(spark, catalog, sql: str, n_files: int | None = None):
+def insert_sql(spark, catalog, sql: str, n_files: int | None = None,
+               pointer_swap=None):
     """Execute a SQL ``INSERT INTO`` (append commit) or ``INSERT
     OVERWRITE`` (CoW overwrite commit) against a catalog table. A VALUES
     body runs as ``SELECT * FROM VALUES ... AS v(cols)``; a SELECT body
@@ -807,8 +826,12 @@ def insert_sql(spark, catalog, sql: str, n_files: int | None = None):
     ]
     tx = table.new_transaction()
     if p["overwrite"]:
-        return tx.overwrite_dataframe(df.select(*out)).commit()
-    return tx.append_dataframe(df.select(*out), n_files=n_files).commit()
+        return tx.overwrite_dataframe(df.select(*out)).commit(
+            pointer_swap=pointer_swap
+        )
+    return tx.append_dataframe(df.select(*out), n_files=n_files).commit(
+        pointer_swap=pointer_swap
+    )
 
 
 def create_table_sql(spark, catalog, sql: str):
