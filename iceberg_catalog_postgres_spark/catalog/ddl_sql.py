@@ -643,6 +643,10 @@ _PROCEDURES: dict[str, set] = {
         "keep_last_snapshots", "keep_last_metadata", "max_manifest_chunks",
         "orphan_older_than_s", "dv_convert_min_files",
     },
+    "rollback_to_snapshot": {"snapshot_id"},
+    "cherrypick_snapshot": {"snapshot_id"},
+    "publish_branch": {"branch", "drop_branch"},
+    "fast_forward": {"branch", "drop_branch"},  # Iceberg's name; same engine
 }
 
 
@@ -750,6 +754,29 @@ def call_sql(spark, catalog, sql: str):
         report = {
             "files_before": files_before,
             "files_after": len(t2.metadata.current_snapshot().data_files),
+        }
+    elif proc == "rollback_to_snapshot":
+        t2 = table.rollback_to(int(a["snapshot_id"]))
+        report = {
+            "previous_snapshot_id": table.metadata.current_snapshot_id,
+            "current_snapshot_id": t2.metadata.current_snapshot_id,
+        }
+    elif proc == "cherrypick_snapshot":
+        before = table.metadata.current_snapshot_id
+        t2 = table.new_transaction().cherry_pick(int(a["snapshot_id"])).commit()
+        report = {
+            "source_snapshot_id": int(a["snapshot_id"]),
+            "changed": int(t2.metadata.current_snapshot_id != before),
+        }
+    elif proc in ("publish_branch", "fast_forward"):
+        # Iceberg's fast_forward: flip main to the audited branch head —
+        # the WAP publish step, O(1) metadata
+        t2 = table.publish_branch(
+            str(a["branch"]), drop=bool(a.get("drop_branch", True))
+        )
+        report = {
+            "current_snapshot_id": t2.metadata.current_snapshot_id,
+            "branch_dropped": int(str(a["branch"]) not in t2.metadata.refs),
         }
     elif proc == "remove_orphan_files":
         rep = _m.remove_orphan_files(

@@ -2053,6 +2053,69 @@ def catalog_sql_transaction_script(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "catalog_sql_wap_publish",
+    oracle="""
+    SELECT CAST((SELECT count(*) FROM nation WHERE n_nationkey < 10)
+                AS BIGINT) AS n_pre,
+           CAST((SELECT count(*) FROM nation) AS BIGINT) AS n_branch,
+           CAST((SELECT count(*) FROM nation) AS BIGINT) AS n_post,
+           CAST((SELECT sum(n_nationkey) FROM nation) AS BIGINT) AS sum_post,
+           CAST(1 AS BIGINT) AS branch_dropped
+    """,
+    tags=("catalog", "sql", "wap", "branch", "call"),
+)
+def catalog_sql_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-AUDIT-PUBLISH entirely through SQL (r13 continuation): stage
+    an append on a branch with Iceberg's branch-write identifier
+    (``INSERT INTO ns.t.branch_audit SELECT ...``), audit it by reading
+    the branch (``VERSION AS OF 'audit'``) while main still serves the
+    old data, then publish with ``CALL system.publish_branch`` — one O(1)
+    metadata fast-forward, branch ref dropped. The row proves the
+    sequencing: main's count BEFORE publish excludes the staged rows,
+    the branch read includes them, and after publish main serves the
+    full table. This is the production gate for training-corpus updates:
+    nothing reaches readers until the audit passes."""
+    from iceberg_catalog_postgres_spark.catalog.merge_sql import execute_dml
+
+    cat = _fresh_catalog("catalog_sql_wap_publish")
+    src = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    full = cat.create_table(TableIdentifier.parse("maint.nation_src"), src.schema)
+    full.new_transaction().append_dataframe(src.coalesce(1)).commit()
+    wap = cat.create_table(TableIdentifier.parse("maint.nation_wap"), src.schema)
+    wap.new_transaction().append_dataframe(
+        src.filter(F.col("n_nationkey") < 10).coalesce(1)
+    ).commit()
+    execute_dml(
+        spark, cat,
+        "INSERT INTO maint.nation_wap.branch_audit "
+        "SELECT n_nationkey, n_name, n_regionkey FROM maint.nation_src "
+        "WHERE n_nationkey >= 10",
+    )
+    n_pre = execute_dml(
+        spark, cat, "SELECT count(*) AS n FROM maint.nation_wap"
+    ).collect()[0].n
+    n_branch = execute_dml(
+        spark, cat,
+        "SELECT count(*) AS n FROM maint.nation_wap VERSION AS OF 'audit'",
+    ).collect()[0].n
+    rep = execute_dml(
+        spark, cat, "CALL system.publish_branch('maint.nation_wap', branch => 'audit')"
+    ).collect()[0]
+    post = execute_dml(
+        spark, cat,
+        "SELECT count(*) AS n, sum(n_nationkey) AS s FROM maint.nation_wap",
+    ).collect()[0]
+    return spark.createDataFrame(
+        [(int(n_pre), int(n_branch), int(post.n), int(post.s),
+          int(rep.branch_dropped))],
+        "n_pre long, n_branch long, n_post long, sum_post long, "
+        "branch_dropped long",
+    )
+
+
+@register(
     "catalog_mor_merge_read",
     oracle="""
     WITH merged AS (

@@ -784,7 +784,24 @@ def insert_sql(spark, catalog, sql: str, n_files: int | None = None,
     from iceberg_catalog_postgres_spark.catalog.catalog import TableIdentifier
 
     p = parse_insert(sql)
-    table = catalog.load_table(TableIdentifier.parse(p["target"]))
+    ident = TableIdentifier.parse(p["target"])
+    # Iceberg's branch-write identifier: INSERT INTO ns.t.branch_dev
+    # stages the append on branch 'dev' without moving main (the WAP
+    # write half; publish with CALL system.publish_branch). Only used
+    # when the literal name does not itself resolve.
+    branch = "main"
+    if (
+        ident.name.startswith("branch_")
+        and len(ident.namespace) >= 2
+        and not catalog.table_exists(ident)
+    ):
+        base = TableIdentifier(ident.namespace[:-1], ident.namespace[-1])
+        if catalog.table_exists(base):
+            branch = ident.name[len("branch_"):]
+            ident = base
+    table = catalog.load_table(ident)
+    if branch != "main" and p["overwrite"]:
+        raise ValueError("INSERT OVERWRITE on a branch: branch commits are append-only")
     cols = [f.name for f in table.schema.fields]
     types = {f.name: f.dataType for f in table.schema.fields}
     kind, text = p["source"]
@@ -824,7 +841,7 @@ def insert_sql(spark, catalog, sql: str, n_files: int | None = None,
         (F.col(c) if c in listed else F.lit(None)).cast(types[c]).alias(c)
         for c in cols
     ]
-    tx = table.new_transaction()
+    tx = table.new_transaction(branch=branch)
     if p["overwrite"]:
         return tx.overwrite_dataframe(df.select(*out)).commit(
             pointer_swap=pointer_swap

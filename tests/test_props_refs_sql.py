@@ -288,3 +288,71 @@ def test_commit_retries_from_property(spark, catalog):
     from iceberg_catalog_postgres_spark.catalog.table import Transaction
 
     assert Transaction(t, max_retries=9).max_retries == 9
+
+
+# ---------------------------------------------------------------------------
+# snapshot-management CALL procedures + branch-write identifier (r13)
+
+
+def test_call_rollback_and_cherrypick(spark, catalog):
+    t = _seed(catalog, spark, n=4)
+    snap1 = t.metadata.current_snapshot_id
+    more = spark.createDataFrame([(100, "x", 0)], "k int, name string, r long")
+    t = t.new_transaction().append_dataframe(more.coalesce(1)).commit()
+    orphan = t.metadata.current_snapshot_id
+    rep = execute_dml(
+        spark, catalog,
+        f"CALL system.rollback_to_snapshot('d.t', snapshot_id => {snap1})",
+    ).collect()[0]
+    assert rep.current_snapshot_id == snap1
+    t2 = catalog.load_table(TableIdentifier.parse("d.t"))
+    assert t2.record_count() == 4
+    rep = execute_dml(
+        spark, catalog,
+        f"CALL system.cherrypick_snapshot('d.t', snapshot_id => {orphan})",
+    ).collect()[0]
+    assert rep.changed == 1
+    assert catalog.load_table(TableIdentifier.parse("d.t")).record_count() == 5
+
+
+def test_branch_write_identifier_and_publish(spark, catalog):
+    _seed(catalog, spark, n=3)
+    execute_dml(
+        spark, catalog, "INSERT INTO d.t.branch_audit VALUES (50, 'b', 9)"
+    )
+    t = catalog.load_table(TableIdentifier.parse("d.t"))
+    assert t.record_count() == 3  # main untouched
+    assert "audit" in t.metadata.refs
+    n_branch = execute_dml(
+        spark, catalog, "SELECT count(*) AS n FROM d.t VERSION AS OF 'audit'"
+    ).collect()[0].n
+    assert n_branch == 4
+    rep = execute_dml(
+        spark, catalog,
+        "CALL system.fast_forward('d.t', branch => 'audit', drop_branch => true)",
+    ).collect()[0]
+    assert rep.branch_dropped == 1
+    t2 = catalog.load_table(TableIdentifier.parse("d.t"))
+    assert t2.record_count() == 4 and "audit" not in t2.metadata.refs
+
+
+def test_branch_write_guards(spark, catalog):
+    from iceberg_catalog_postgres_spark.catalog.catalog import NoSuchTableError
+
+    _seed(catalog, spark, n=3)
+    with pytest.raises(ValueError, match="append-only"):
+        execute_dml(
+            spark, catalog, "INSERT OVERWRITE d.t.branch_x VALUES (1, 'a', 1)"
+        )
+    with pytest.raises(NoSuchTableError):
+        execute_dml(
+            spark, catalog, "INSERT INTO d.missing.branch_y VALUES (1, 'a', 1)"
+        )
+    # a table literally NAMED branch_foo still resolves as itself
+    df = spark.createDataFrame([(1, "a", 1)], "k int, name string, r long")
+    catalog.create_table(TableIdentifier.parse("d.branch_foo"), df.schema)
+    t = execute_dml(
+        spark, catalog, "INSERT INTO d.branch_foo VALUES (2, 'b', 2)"
+    )
+    assert t.record_count() == 1
+    assert "foo" not in t.metadata.refs
