@@ -643,6 +643,7 @@ _PROCEDURES: dict[str, set] = {
         "keep_last_snapshots", "keep_last_metadata", "max_manifest_chunks",
         "orphan_older_than_s", "dv_convert_min_files",
     },
+    "add_files": {"source_dir"},
     "rollback_to_snapshot": {"snapshot_id"},
     "cherrypick_snapshot": {"snapshot_id"},
     "publish_branch": {"branch", "drop_branch"},
@@ -755,6 +756,12 @@ def call_sql(spark, catalog, sql: str):
             "files_before": files_before,
             "files_after": len(t2.metadata.current_snapshot().data_files),
         }
+    elif proc == "add_files":
+        t2, n_added, n_records = _m.add_files(
+            spark, table, str(a["source_dir"])
+        )
+        report = {"added_files_count": n_added,
+                  "added_records_count": n_records}
     elif proc == "rollback_to_snapshot":
         t2 = table.rollback_to(int(a["snapshot_id"]))
         report = {

@@ -421,6 +421,65 @@ def compact_table(
     return table.new_transaction().overwrite_dataframe(current).commit()
 
 
+def add_files(spark: SparkSession, table: Table, source_dir: str) -> tuple[Table, int, int]:
+    """Iceberg's ``add_files`` migration procedure: register EXISTING
+    parquet files into the table as one append commit — no data movement,
+    no rewrite. This is how a pre-catalog 100 TB directory tree becomes a
+    catalog table: O(files) footer reads for schema validation + manifest
+    stats (record counts, bounds, null counts — the same metrics a normal
+    write records), then a single CAS commit pointing at the files in
+    place.
+
+    Guards: the directory must contain parquet files, their unified
+    schema must match the table's declared columns by name AND type
+    (nullability ignored — parquet can only narrow it), and files already
+    referenced by the current snapshot refuse (double-registration would
+    double-count rows silently).
+
+    Returns (table, n_files_added, n_records_added)."""
+    import glob as _glob
+
+    from iceberg_catalog_postgres_spark.catalog.table import (
+        collect_file_stats_many,
+    )
+
+    store = table.catalog.object_store()
+    abs_dir = store.resolve(source_dir)
+    paths = sorted(_glob.glob(os.path.join(abs_dir, "*.parquet")))
+    if not paths:
+        raise ValueError(f"add_files: no parquet files under {source_dir!r}")
+    root = store.root
+    rels = []
+    for p in paths:
+        if not os.path.abspath(p).startswith(root + os.sep):
+            raise ValueError(
+                f"add_files: {p!r} is outside the warehouse — copy or mount "
+                f"it under the warehouse root first"
+            )
+        rels.append(os.path.relpath(p, root).replace(os.sep, "/"))
+    snap = table.metadata.current_snapshot()
+    existing = set(snap.data_files) if snap else set()
+    dups = [r for r in rels if r in existing]
+    if dups:
+        raise ValueError(
+            f"add_files: already registered in the current snapshot: {dups[:3]}"
+        )
+    incoming = spark.read.parquet(*paths).schema
+    declared = {f.name: f.dataType for f in table.schema.fields}
+    got = {f.name: f.dataType for f in incoming.fields}
+    if got != declared:
+        raise ValueError(
+            f"add_files: schema mismatch — table declares {sorted(declared)}"
+            f" with types {[str(v) for _, v in sorted(declared.items())]}, "
+            f"files carry {sorted(got)} with "
+            f"{[str(v) for _, v in sorted(got.items())]}"
+        )
+    stats = collect_file_stats_many(dict(zip(rels, paths)))
+    t2 = table.new_transaction().append_files(rels, stats=stats).commit()
+    n_records = sum(int(s.get("record_count", 0)) for s in stats.values())
+    return t2, len(rels), n_records
+
+
 def _resolve_target_rows(table: Table) -> int:
     """The compaction row target a table's PROPERTIES declare (used when a
     caller passes none): ``write.target-rows`` directly, else Iceberg's
@@ -2112,6 +2171,57 @@ def catalog_sql_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
           int(rep.branch_dropped))],
         "n_pre long, n_branch long, n_post long, sum_post long, "
         "branch_dropped long",
+    )
+
+
+@register(
+    "catalog_sql_add_files",
+    oracle="""
+    SELECT CAST((SELECT count(*) FROM nation) AS BIGINT) AS added_records,
+           CAST((SELECT count(*) FROM nation) AS BIGINT) AS n_rows,
+           CAST((SELECT sum(n_nationkey) FROM nation) AS BIGINT) AS sum_key,
+           CAST((SELECT count(*) FROM nation WHERE n_regionkey = 2)
+                AS BIGINT) AS n_r2
+    """,
+    tags=("catalog", "sql", "call", "migration", "add-files"),
+)
+def catalog_sql_add_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``CALL system.add_files`` (r13 continuation) — Iceberg's migration
+    procedure: a pre-existing parquet directory (written OUTSIDE the
+    catalog, one file per region here so the count is deterministic)
+    registers into an EMPTY table as one append commit with zero data
+    movement; footer reads supply the manifest stats, so the registered
+    files plan and prune exactly like written ones. The row reads the
+    migrated table back through SQL (count, sum, one filtered slice) and
+    reports the procedure's own counters. The 100 TB story: cataloging an
+    existing lake costs O(files) metadata, not a rewrite."""
+    from iceberg_catalog_postgres_spark.catalog.merge_sql import execute_dml
+
+    cat = _fresh_catalog("catalog_sql_add_files")
+    src = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    # "legacy" files written straight to the warehouse, not via the catalog
+    store = cat.object_store()
+    legacy = os.path.join(store.root, "legacy_nation")
+    src.repartition("n_regionkey").write.mode("overwrite").parquet(legacy)
+    table = cat.create_table(TableIdentifier.parse("maint.nation_mig"), src.schema)
+    rep = execute_dml(
+        spark, cat,
+        "CALL system.add_files('maint.nation_mig', source_dir => 'legacy_nation')",
+    ).collect()[0]
+    got = execute_dml(
+        spark, cat,
+        "SELECT count(*) AS n, sum(n_nationkey) AS s FROM maint.nation_mig",
+    ).collect()[0]
+    n_r2 = execute_dml(
+        spark, cat,
+        "SELECT count(*) AS n FROM maint.nation_mig WHERE n_regionkey = 2",
+    ).collect()[0].n
+    assert rep.added_files_count >= 1  # file split is Spark's; count pinned in pytest
+    return spark.createDataFrame(
+        [(int(rep.added_records_count), int(got.n), int(got.s), int(n_r2))],
+        "added_records long, n_rows long, sum_key long, n_r2 long",
     )
 
 

@@ -429,6 +429,13 @@ def merge_sql(
                 ident = None
             if ident is not None and catalog.table_exists(ident):
                 source = catalog.load_table(ident).to_df(spark)
+            elif ident is not None:
+                from iceberg_catalog_postgres_spark.catalog import views as _v
+
+                if _v.view_exists(catalog, ident):
+                    # a catalog VIEW as the merge source: expand through
+                    # the same resolver SELECT uses
+                    source = select_sql(spark, catalog, f"SELECT * FROM {text}")
         if source is None:
             source = spark.table(text)
     return merge_into(

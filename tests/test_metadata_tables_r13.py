@@ -101,3 +101,59 @@ def test_show_namespaces(spark, catalog):
     create_view(spark, catalog, TableIdentifier.parse("c.v"), "SELECT k FROM a.t3")
     got = [r.namespace for r in execute_dml(spark, catalog, "SHOW NAMESPACES").collect()]
     assert got == ["a", "b", "c"]
+
+
+# ---------------------------------------------------------------------------
+# add_files migration procedure (r13)
+
+
+def test_add_files_registers_in_place(spark, catalog, tmp_path):
+    import os
+
+    from iceberg_catalog_postgres_spark.catalog.maintenance import add_files
+
+    df = spark.createDataFrame([(i, i % 3) for i in range(30)], "k int, r int")
+    store = catalog.object_store()
+    legacy = os.path.join(store.root, "legacy")
+    df.repartition(3).write.mode("overwrite").parquet(legacy)
+    n_files = len([p for p in os.listdir(legacy) if p.endswith(".parquet")])
+
+    t = catalog.create_table(TableIdentifier.parse("d.mig"), df.schema)
+    t2, added, records = add_files(spark, t, "legacy")
+    assert (added, records) == (n_files, 30)
+    assert t2.to_df(spark).count() == 30
+    # manifest stats came from the footers: planning prunes on them
+    snap = t2.metadata.current_snapshot()
+    assert all(
+        "record_count" in (snap.file_stats.get(f) or {})
+        for f in snap.data_files
+    )
+    assert t2.record_count() == 30  # pure metadata fold works
+
+    # double registration refuses
+    with pytest.raises(ValueError, match="already registered"):
+        add_files(spark, t2, "legacy")
+
+
+def test_add_files_guards(spark, catalog, tmp_path):
+    import os
+
+    from iceberg_catalog_postgres_spark.catalog.maintenance import add_files
+
+    df = spark.createDataFrame([(1, 0)], "k int, r int")
+    t = catalog.create_table(TableIdentifier.parse("d.mig"), df.schema)
+    with pytest.raises(ValueError, match="no parquet files"):
+        add_files(spark, t, "nowhere")
+    # schema mismatch refuses loudly
+    store = catalog.object_store()
+    bad = os.path.join(store.root, "bad")
+    spark.createDataFrame([(1, "x")], "k int, other string").write.mode(
+        "overwrite"
+    ).parquet(bad)
+    with pytest.raises(ValueError, match="schema mismatch"):
+        add_files(spark, t, "bad")
+    # outside-warehouse path refuses
+    outside = str(tmp_path / "outside")
+    df.write.mode("overwrite").parquet(outside)
+    with pytest.raises(ValueError, match="outside the warehouse"):
+        add_files(spark, t, outside)

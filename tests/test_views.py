@@ -272,3 +272,20 @@ def test_concurrent_replace_serializes(spark, catalog):
     md = load_view(catalog, ident).metadata
     assert md.current_version_id == 3
     assert [x["version-id"] for x in md.versions] == [1, 2, 3]
+
+
+def test_merge_using_view(spark, catalog):
+    """A catalog VIEW as a MERGE source (r13): USING <view> expands through
+    the same resolver as SELECT, including views over the merge target
+    (the source plan binds to the pre-merge snapshot)."""
+    _seed(catalog, spark, n=4)
+    execute_dml(
+        spark, catalog,
+        "CREATE VIEW d.v AS SELECT k, name || '_v' AS name, r FROM d.t",
+    )
+    t2 = execute_dml(
+        spark, catalog,
+        "MERGE INTO d.t AS tt USING d.v AS s ON tt.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET name = s.name",
+    )
+    assert all(x.name.endswith("_v") for x in t2.to_df(spark).collect())
