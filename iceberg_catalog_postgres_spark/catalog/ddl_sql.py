@@ -629,6 +629,79 @@ def describe_sql(spark, catalog, sql: str):
     )
 
 
+def analyze_sql(spark, catalog, sql: str):
+    """``ANALYZE TABLE ns.t COMPUTE STATISTICS [FOR COLUMNS (a, b...) |
+    FOR ALL COLUMNS]`` — Spark/Iceberg's ANALYZE as a thin grammar over
+    two certified engines:
+
+    - plain form -> ``backfill_file_stats``: footer-read ONLY the statless
+      legacy files and commit manifest metrics, after which planning and
+      counts are pure metadata (idempotent, O(uncovered files));
+    - FOR [ALL] COLUMNS -> ``update_column_ndv``: incremental HLL NDV
+      sketches into table properties (Iceberg's Puffin/ANALYZE model; the
+      CBO's join-order/broadcast input), merging deltas without rescanning
+      covered files.
+
+    Returns the report as rows: ``(stat, column, value)`` — file-stats
+    coverage for the plain form, one NDV estimate per column otherwise."""
+    from iceberg_catalog_postgres_spark.catalog import maintenance as _m
+
+    cur = _Cursor(_tokenize(sql.strip().rstrip(";")))
+    for kw in ("ANALYZE", "TABLE"):
+        if _upper(cur.next()) != kw:
+            raise ValueError(f"ANALYZE parse error: expected {kw}")
+    table = catalog.load_table(TableIdentifier.parse(cur.dotted_name()))
+    for kw in ("COMPUTE", "STATISTICS"):
+        if _upper(cur.next()) != kw:
+            raise ValueError(f"ANALYZE parse error: expected COMPUTE STATISTICS")
+    columns: list[str] | None = None
+    if cur.peek() is not None:
+        if _upper(cur.next()) != "FOR":
+            raise ValueError("ANALYZE parse error: expected FOR COLUMNS")
+        nxt = _upper(cur.next())
+        if nxt == "ALL":
+            if _upper(cur.next()) != "COLUMNS":
+                raise ValueError("ANALYZE parse error: expected ALL COLUMNS")
+            columns = [f.name for f in table.schema.fields]
+        elif nxt == "COLUMNS":
+            if cur.peek() == "(":
+                toks = cur.balanced_parens()
+            else:
+                toks = cur.toks[cur.i:]
+            columns = [
+                _strip_ident(t) for t in toks if t not in (",",)
+            ]
+            if not columns:
+                raise ValueError("ANALYZE FOR COLUMNS: empty column list")
+            unknown = [
+                c for c in columns
+                if c not in {f.name for f in table.schema.fields}
+            ]
+            if unknown:
+                raise ValueError(f"ANALYZE: unknown column(s): {unknown}")
+        else:
+            raise ValueError("ANALYZE parse error: expected [ALL] COLUMNS")
+    if columns is None:
+        snap = table.metadata.current_snapshot()
+        n_files = len(snap.data_files) if snap else 0
+        missing_before = sum(
+            1 for f in (snap.data_files if snap else [])
+            if not (snap.file_stats.get(f) or {}).get("record_count")
+        )
+        t2 = _m.backfill_file_stats(table)
+        rows = [
+            ("files", None, n_files),
+            ("files_backfilled", None, missing_before),
+            ("record_count", None, t2.record_count()),
+        ]
+    else:
+        t2 = _m.update_column_ndv(spark, table, columns)
+        rows = [
+            ("ndv", c, int(_m.column_ndv(t2, c))) for c in columns
+        ]
+    return spark.createDataFrame(rows, "stat string, column string, value long")
+
+
 #: procedure -> accepted named arguments. parse_call REFUSES unknown names:
 #: a typo'd knob silently running with defaults is exactly the
 #: transposition class the named-argument rule exists to prevent (an

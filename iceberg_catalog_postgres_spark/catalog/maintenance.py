@@ -2226,6 +2226,66 @@ def catalog_sql_add_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "catalog_sql_analyze",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('files', CAST(NULL AS VARCHAR), CAST(2 AS BIGINT)),
+      ('files_backfilled', CAST(NULL AS VARCHAR), CAST(1 AS BIGINT)),
+      ('ndv', 'n_regionkey',
+       CAST((SELECT count(DISTINCT n_regionkey) + 1 FROM nation) AS BIGINT)),
+      ('record_count', CAST(NULL AS VARCHAR),
+       CAST((SELECT count(*) + 1 FROM nation) AS BIGINT))
+    ) t(stat, col_name, value) ORDER BY stat
+    """,
+    tags=("catalog", "sql", "analyze", "stats", "ndv"),
+)
+def catalog_sql_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ANALYZE TABLE`` through SQL (r13 continuation), both engines in
+    one decision table: a statless legacy file (registered with raw
+    ``append_files`` — the pre-stats migration shape) gets its manifest
+    metrics from the plain ``COMPUTE STATISTICS`` form (exactly 1 of the
+    2 files needed a footer read; counts become pure metadata), and
+    ``FOR COLUMNS (n_regionkey)`` stores the incremental HLL NDV sketch
+    whose low-cardinality estimate is EXACT (5 regions + the legacy row's
+    new value = 6). The oracle recomputes both from the data."""
+    import glob as _glob
+
+    from iceberg_catalog_postgres_spark.catalog.merge_sql import execute_dml
+
+    cat = _fresh_catalog("catalog_sql_analyze")
+    src = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    ident = TableIdentifier.parse("maint.nation_an")
+    table = cat.create_table(ident, src.schema)
+    table = table.new_transaction().append_dataframe(src.coalesce(1)).commit()
+    # one statless legacy file with a NEW region value
+    store = cat.object_store()
+    legacy = os.path.join(store.root, "legacy_an")
+    spark.createDataFrame(
+        [(999, "legacyland", 7)], src.schema
+    ).coalesce(1).write.mode("overwrite").parquet(legacy)
+    rels = [
+        os.path.relpath(p, store.root).replace(os.sep, "/")
+        for p in _glob.glob(os.path.join(legacy, "*.parquet"))
+    ]
+    table = table.new_transaction().append_files(rels).commit()
+    plain = execute_dml(
+        spark, cat, "ANALYZE TABLE maint.nation_an COMPUTE STATISTICS"
+    )
+    ndv = execute_dml(
+        spark, cat,
+        "ANALYZE TABLE maint.nation_an COMPUTE STATISTICS "
+        "FOR COLUMNS (n_regionkey)",
+    )
+    return (
+        plain.unionByName(ndv)
+        .withColumnRenamed("column", "col_name")
+        .orderBy("stat")
+    )
+
+
+@register(
     "catalog_mor_merge_read",
     oracle="""
     WITH merged AS (

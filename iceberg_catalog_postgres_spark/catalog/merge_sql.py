@@ -595,6 +595,7 @@ def execute_dml(spark, catalog, sql: str, **kwargs):
 
     from iceberg_catalog_postgres_spark.catalog.ddl_sql import (
         alter_sql,
+        analyze_sql,
         call_sql,
         describe_sql,
         drop_table_sql,
@@ -624,6 +625,7 @@ def execute_dml(spark, catalog, sql: str, **kwargs):
         "SELECT": select_sql,
         "WITH": select_sql,
         "ALTER": alter_sql,
+        "ANALYZE": analyze_sql,
         "CALL": call_sql,
         "DROP": drop_table_sql,
         "SHOW": show_tables_sql,

@@ -157,3 +157,76 @@ def test_add_files_guards(spark, catalog, tmp_path):
     df.write.mode("overwrite").parquet(outside)
     with pytest.raises(ValueError, match="outside the warehouse"):
         add_files(spark, t, outside)
+
+
+# ---------------------------------------------------------------------------
+# ANALYZE TABLE (r13)
+
+
+def test_analyze_for_columns_stores_ndv(spark, catalog):
+    from iceberg_catalog_postgres_spark.catalog.maintenance import column_ndv
+
+    df = spark.createDataFrame(
+        [(i, i % 4, f"s{i % 7}") for i in range(60)], "k int, r int, s string"
+    )
+    t = catalog.create_table(TableIdentifier.parse("d.an"), df.schema)
+    t.new_transaction().append_dataframe(df.coalesce(1)).commit()
+    got = execute_dml(
+        spark, catalog,
+        "ANALYZE TABLE d.an COMPUTE STATISTICS FOR COLUMNS (r, s)",
+    ).collect()
+    assert {(x.stat, x.column, x.value) for x in got} == {
+        ("ndv", "r", 4), ("ndv", "s", 7),
+    }
+    # the estimate is a stored property, readable with zero scans
+    t2 = catalog.load_table(TableIdentifier.parse("d.an"))
+    assert column_ndv(t2, "r") == 4
+    # ALL COLUMNS covers the rest
+    got = execute_dml(
+        spark, catalog, "ANALYZE TABLE d.an COMPUTE STATISTICS FOR ALL COLUMNS"
+    ).collect()
+    assert {x.column for x in got} == {"k", "r", "s"}
+
+
+def test_analyze_plain_backfills_stats(spark, catalog):
+    import glob
+    import os
+
+    df = spark.createDataFrame([(1, 0, "a")], "k int, r int, s string")
+    t = catalog.create_table(TableIdentifier.parse("d.bk"), df.schema)
+    t = t.new_transaction().append_dataframe(df.coalesce(1)).commit()
+    store = catalog.object_store()
+    raw = os.path.join(store.root, "raw_bk")
+    df.coalesce(1).write.mode("overwrite").parquet(raw)
+    rels = [
+        os.path.relpath(p, store.root)
+        for p in glob.glob(os.path.join(raw, "*.parquet"))
+    ]
+    t = t.new_transaction().append_files(rels).commit()
+    got = {
+        x.stat: x.value
+        for x in execute_dml(
+            spark, catalog, "ANALYZE TABLE d.bk COMPUTE STATISTICS"
+        ).collect()
+    }
+    assert got == {"files": 2, "files_backfilled": 1, "record_count": 2}
+    # idempotent: a second run backfills nothing
+    got = {
+        x.stat: x.value
+        for x in execute_dml(
+            spark, catalog, "ANALYZE TABLE d.bk COMPUTE STATISTICS"
+        ).collect()
+    }
+    assert got["files_backfilled"] == 0
+
+
+def test_analyze_refusals(spark, catalog):
+    df = spark.createDataFrame([(1,)], "k int")
+    catalog.create_table(TableIdentifier.parse("d.rf"), df.schema)
+    with pytest.raises(ValueError, match="unknown column"):
+        execute_dml(
+            spark, catalog,
+            "ANALYZE TABLE d.rf COMPUTE STATISTICS FOR COLUMNS (nope)",
+        )
+    with pytest.raises(ValueError, match="COMPUTE STATISTICS"):
+        execute_dml(spark, catalog, "ANALYZE TABLE d.rf GATHER STATS")

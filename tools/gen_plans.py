@@ -132,6 +132,16 @@ SHOWCASE = [
     # by select_plan_info counts under the oracle gate instead.
     "catalog_sql_select",
     "catalog_sql_alter_evolution",
+    # r13 continuation: views expand into ONE Catalyst plan (the union of
+    # two view reads + a view-over-view must show plain scans/aggregates,
+    # no materialization boundary); the chunker must be map-side only
+    # (zero exchanges); the temperature sampler is a broadcast target
+    # table + per-lang window; the script/multi-txn rows show the archive
+    # move's engine plans (the atomic swap itself is catalog-plane)
+    "catalog_sql_views",
+    "chunk_sliding_window",
+    "sample_temperature_mixture",
+    "catalog_sql_transaction_script",
 ]
 
 
