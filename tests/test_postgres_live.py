@@ -420,3 +420,37 @@ def test_live_multi_table_transaction(live_catalog, spark):
     assert live_catalog.load_table(
         TableIdentifier.parse("mt.cold")
     ).record_count() == 4
+
+
+def test_live_views_and_namespaces(live_catalog, spark):
+    """The iceberg_views pointer table on REAL Postgres: create / replace
+    (CAS) / list / drop through the wire client, plus SHOW NAMESPACES
+    folding both pointer tables."""
+    from iceberg_catalog_postgres_spark.catalog.catalog import TableIdentifier
+    from iceberg_catalog_postgres_spark.catalog.merge_sql import execute_dml
+
+    df = spark.createDataFrame([(i, i % 2) for i in range(6)], "k int, r int")
+    t = live_catalog.create_table(TableIdentifier.parse("vw.t"), df.schema)
+    t.new_transaction().append_dataframe(df.coalesce(1)).commit()
+    execute_dml(
+        spark, live_catalog,
+        "CREATE VIEW vw.v AS SELECT r, count(*) AS n FROM vw.t GROUP BY r",
+    )
+    got = execute_dml(
+        spark, live_catalog, "SELECT * FROM vw.v ORDER BY r"
+    ).collect()
+    assert [(x.r, x.n) for x in got] == [(0, 3), (1, 3)]
+    v2 = execute_dml(
+        spark, live_catalog,
+        "CREATE OR REPLACE VIEW vw.v AS SELECT sum(k) AS s FROM vw.t",
+    )
+    assert v2.metadata.current_version_id == 2
+    shown = execute_dml(spark, live_catalog, "SHOW VIEWS IN vw").collect()
+    assert [(x.view_name, x.current_version_id) for x in shown] == [("v", 2)]
+    ns = [
+        x.namespace
+        for x in execute_dml(spark, live_catalog, "SHOW NAMESPACES").collect()
+    ]
+    assert "vw" in ns
+    execute_dml(spark, live_catalog, "DROP VIEW vw.v")
+    assert execute_dml(spark, live_catalog, "SHOW VIEWS IN vw").count() == 0
