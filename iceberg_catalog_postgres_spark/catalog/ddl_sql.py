@@ -629,6 +629,24 @@ def describe_sql(spark, catalog, sql: str):
     )
 
 
+def truncate_sql(spark, catalog, sql: str):
+    """``TRUNCATE TABLE ns.t`` -> ``maintenance.truncate_table`` (one
+    metadata-only commit, empty file lists; history stays
+    time-travelable). Returns the committed Table."""
+    from iceberg_catalog_postgres_spark.catalog import maintenance as _m
+
+    cur = _Cursor(_tokenize(sql.strip().rstrip(";")))
+    for kw in ("TRUNCATE", "TABLE"):
+        if _upper(cur.next()) != kw:
+            raise ValueError(f"TRUNCATE parse error: expected {kw}")
+    table = catalog.load_table(TableIdentifier.parse(cur.dotted_name()))
+    if cur.peek() is not None:
+        raise ValueError(
+            f"TRUNCATE parse error: trailing {cur.peek()!r}"
+        )
+    return _m.truncate_table(table)
+
+
 def analyze_sql(spark, catalog, sql: str):
     """``ANALYZE TABLE ns.t COMPUTE STATISTICS [FOR COLUMNS (a, b...) |
     FOR ALL COLUMNS]`` — Spark/Iceberg's ANALYZE as a thin grammar over

@@ -480,6 +480,46 @@ def add_files(spark: SparkSession, table: Table, source_dir: str) -> tuple[Table
     return t2, len(rels), n_records
 
 
+def truncate_table(table: Table) -> Table:
+    """``TRUNCATE TABLE``: one METADATA-ONLY commit whose snapshot has
+    empty file lists — O(1) at any table size, no data I/O (the rows
+    vanish from the head; history keeps them time-travelable until
+    expiry, exactly like any delete). A concurrent commit that wins the
+    CAS race is truncated by the retry — the correct last-writer
+    semantics for "truncate NOW". No-op on an already-empty table."""
+    import time as _time
+    from dataclasses import replace as _dc_replace
+
+    from iceberg_catalog_postgres_spark.catalog.metadata import (
+        Snapshot,
+        new_snapshot_id,
+    )
+
+    snap0 = table.metadata.current_snapshot()
+    if snap0 is None or not snap0.data_files:
+        return table
+
+    def edit(md):
+        snapshot = Snapshot(
+            snapshot_id=new_snapshot_id(md.snapshot_ids()),
+            timestamp_ms=int(_time.time() * 1000),
+            operation="delete",
+            data_files=[],
+            delete_files=[],
+            position_delete_files=[],
+            deletion_vectors={},
+            first_row_ids={},
+            sequence_number=md.next_sequence_number(),
+            file_seqs={},
+            file_partitions={},
+            file_stats={},
+            summary={"operation-detail": "truncate"},
+        )
+        return md.with_snapshot(snapshot)
+
+    return table._commit_metadata_edit(edit, "truncate")
+
+
 def _resolve_target_rows(table: Table) -> int:
     """The compaction row target a table's PROPERTIES declare (used when a
     caller passes none): ``write.target-rows`` directly, else Iceberg's
@@ -2283,6 +2323,98 @@ def catalog_sql_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("column", "col_name")
         .orderBy("stat")
     )
+
+
+@register(
+    "catalog_sql_capstone",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('flag_new',
+       CAST((SELECT count(*) FROM nation WHERE n_regionkey = 2) AS BIGINT)),
+      ('flag_old',
+       CAST((SELECT count(*) FROM nation WHERE n_regionkey <> 2) AS BIGINT)),
+      ('head_rows', CAST((SELECT count(*) + 1 FROM nation) AS BIGINT)),
+      ('history', CAST(3 AS BIGINT)),
+      ('ndv_r',
+       CAST((SELECT count(DISTINCT n_regionkey) + 1 FROM nation) AS BIGINT)),
+      ('tag_rows', CAST((SELECT count(*) FROM nation) AS BIGINT))
+    ) t(metric, value) ORDER BY metric
+    """,
+    tags=("catalog", "sql", "capstone", "lifecycle"),
+)
+def catalog_sql_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL SQL lifecycle in one row (r13 continuation) — every
+    statement family this engine serves, chained the way a user would:
+    CTAS with transform partitioning → ``ALTER TABLE ADD COLUMN ...
+    DEFAULT`` (v3 initial default fills pre-column files at read) →
+    ``CREATE TAG`` → a plain INSERT → an atomic ``BEGIN; UPDATE (MOR);
+    INSERT; COMMIT`` script across two tables → ``ANALYZE FOR COLUMNS``
+    → one final SELECT folding the head, the tag's pinned count
+    (``VERSION AS OF 'before_changes'`` excludes everything after it),
+    and the ``$history`` ancestor count. Six metrics, every one
+    recomputed relationally by the oracle. The point: the reference's
+    engine users (mod.rs:359-361) can run their ENTIRE table lifecycle —
+    DDL, DML, transactions, time travel, stats — as SQL strings against
+    this catalog."""
+    from iceberg_catalog_postgres_spark.catalog.merge_sql import execute_dml
+
+    cat = _fresh_catalog("catalog_sql_capstone")
+    src = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("k"),
+        F.col("n_name").alias("name"),
+        F.col("n_regionkey").alias("r"),
+    ).coalesce(1)
+    src.createOrReplaceTempView("cap_src")
+    try:
+        execute_dml(
+            spark, cat,
+            "CREATE TABLE maint.cap PARTITIONED BY (r) AS "
+            "SELECT k, name, r FROM cap_src",
+        )
+        execute_dml(
+            spark, cat,
+            "ALTER TABLE maint.cap ADD COLUMN flag STRING DEFAULT 'old'",
+        )
+        execute_dml(spark, cat, "ALTER TABLE maint.cap CREATE TAG before_changes")
+        execute_dml(
+            spark, cat, "INSERT INTO maint.cap VALUES (999, 'zz', 9, 'extra')"
+        )
+        execute_dml(
+            spark, cat,
+            "CREATE TABLE maint.caplog (batch BIGINT, note STRING)",
+        )
+        execute_dml(
+            spark, cat,
+            """
+            BEGIN;
+            UPDATE maint.cap SET flag = 'new' WHERE r = 2;
+            INSERT INTO maint.caplog VALUES (1, 'retagged r2');
+            COMMIT
+            """,
+        )
+        ndv = execute_dml(
+            spark, cat,
+            "ANALYZE TABLE maint.cap COMPUTE STATISTICS FOR COLUMNS (r)",
+        ).select(F.lit("ndv_r").alias("metric"), F.col("value"))
+        folded = execute_dml(
+            spark, cat,
+            """
+            SELECT 'head_rows' AS metric, count(*) AS value FROM maint.cap
+            UNION ALL
+            SELECT 'flag_new', count(*) FROM maint.cap WHERE flag = 'new'
+            UNION ALL
+            SELECT 'flag_old', count(*) FROM maint.cap WHERE flag = 'old'
+            UNION ALL
+            SELECT 'tag_rows', count(*) FROM maint.cap
+              VERSION AS OF 'before_changes'
+            UNION ALL
+            SELECT 'history', count(*) FROM maint.cap$history
+              WHERE is_current_ancestor
+            """,
+        )
+        return folded.unionByName(ndv).orderBy("metric")
+    finally:
+        spark.catalog.dropTempView("cap_src")
 
 
 @register(

@@ -600,6 +600,7 @@ def execute_dml(spark, catalog, sql: str, **kwargs):
         describe_sql,
         drop_table_sql,
         show_tables_sql,
+        truncate_sql,
     )
     from iceberg_catalog_postgres_spark.catalog.select_sql import (
         explain_sql,
@@ -626,6 +627,7 @@ def execute_dml(spark, catalog, sql: str, **kwargs):
         "WITH": select_sql,
         "ALTER": alter_sql,
         "ANALYZE": analyze_sql,
+        "TRUNCATE": truncate_sql,
         "CALL": call_sql,
         "DROP": drop_table_sql,
         "SHOW": show_tables_sql,

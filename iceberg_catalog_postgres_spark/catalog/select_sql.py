@@ -526,7 +526,20 @@ def _ref_df(spark, ref: dict, seen: frozenset = frozenset()):
         from iceberg_catalog_postgres_spark.catalog import maintenance as _m
 
         if ref["snapshot_id"] or ref["as_of_ms"] or ref["ref"]:
-            raise ValueError("time travel on a metadata table is not supported")
+            # $files is per-snapshot data, so travel is meaningful there;
+            # the other metadata tables describe the TABLE (all snapshots,
+            # refs, chunk list) and a pinned variant would be ambiguous
+            if ref["suffix"] != "files":
+                raise ValueError(
+                    "time travel on a metadata table is supported for "
+                    "$files only"
+                )
+            sid = _resolved_snapshot_id(ref)
+            if sid is None:
+                raise ValueError(
+                    "no snapshot at the requested timestamp for $files"
+                )
+            return _m.files_df(spark, table, snapshot_id=sid)
         fn = {
             "partitions": _m.partitions_df,
             "refs": _m.refs_df,

@@ -230,3 +230,40 @@ def test_analyze_refusals(spark, catalog):
         )
     with pytest.raises(ValueError, match="COMPUTE STATISTICS"):
         execute_dml(spark, catalog, "ANALYZE TABLE d.rf GATHER STATS")
+
+
+# ---------------------------------------------------------------------------
+# TRUNCATE TABLE + $files time travel (r13)
+
+
+def test_truncate_and_files_travel(spark, catalog):
+    df = spark.createDataFrame([(i,) for i in range(9)], "k int")
+    t = catalog.create_table(TableIdentifier.parse("d.tr"), df.schema)
+    t = t.new_transaction().append_dataframe(df.coalesce(1)).commit()
+    snap1 = t.metadata.current_snapshot_id
+    t2 = execute_dml(spark, catalog, "TRUNCATE TABLE d.tr")
+    assert t2.to_df(spark).count() == 0
+    # metadata-only: the truncate snapshot references zero files
+    assert t2.metadata.current_snapshot().data_files == []
+    # history stays time-travelable
+    n = execute_dml(
+        spark, catalog, f"SELECT count(*) AS n FROM d.tr FOR VERSION AS OF {snap1}"
+    ).collect()[0].n
+    assert n == 9
+    # truncate of an empty table is a no-op (same pointer)
+    t3 = execute_dml(spark, catalog, "TRUNCATE TABLE d.tr")
+    assert t3.metadata.current_snapshot_id == t2.metadata.current_snapshot_id
+    # $files supports time travel; other metadata tables refuse
+    old_files = execute_dml(
+        spark, catalog,
+        f"SELECT count(*) AS n FROM d.tr$files FOR VERSION AS OF {snap1}",
+    ).collect()[0].n
+    now_files = execute_dml(
+        spark, catalog, "SELECT count(*) AS n FROM d.tr$files"
+    ).collect()[0].n
+    assert (old_files, now_files) == (1, 0)
+    with pytest.raises(ValueError, match="files only"):
+        execute_dml(
+            spark, catalog,
+            f"SELECT * FROM d.tr$history FOR VERSION AS OF {snap1}",
+        )
