@@ -597,7 +597,8 @@ def chunk_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("chunk_text").cast("long").alias("chunk_len"),
             F.md5("chunk_text").alias("chunk_md5"),
         )
-        .orderBy("doc_id", "chunk_idx")
+        # no orderBy: the driver's value hash is order-insensitive and a
+        # presentation sort would be this plan's ONLY exchange
     )
 
 
