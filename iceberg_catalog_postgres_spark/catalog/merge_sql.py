@@ -638,8 +638,8 @@ def execute_dml(spark, catalog, sql: str, **kwargs):
     if fn is None:
         raise ValueError(
             "execute_dml handles MERGE/UPDATE/DELETE/INSERT/CREATE/SELECT/"
-            "ALTER/CALL/DROP/SHOW/DESCRIBE/EXPLAIN statements and "
-            f"BEGIN...COMMIT scripts, got {kw!r}"
+            "ALTER/ANALYZE/TRUNCATE/CALL/DROP/SHOW/DESCRIBE/EXPLAIN "
+            f"statements and BEGIN...COMMIT scripts, got {kw!r}"
         )
     # forward only the knobs this statement kind takes — a generic caller
     # can always pass {strategy, preserve_lineage, sources, as_dv} and let

@@ -320,6 +320,12 @@ def create_view(
         (catalog.name, identifier.namespace_str, identifier.name, loc),
     )
     if count != 1:
+        if or_replace:
+            # lost the create race to a concurrent writer — replace their
+            # version instead (the OR REPLACE contract holds under races)
+            return _replace_view(
+                spark, catalog, identifier, sql, schema, properties
+            )
         raise TableAlreadyExistsError(f"View {identifier} already exists.")
     return load_view(catalog, identifier)
 
