@@ -469,3 +469,183 @@ def catalog_stream_concurrent_fenced_sinks(spark: SparkSession, sf_dir: str) -> 
         "n_rows_final long, n_append_snapshots long, fence_a long, fence_b long, "
         "no_epoch_lost_or_duplicated boolean",
     )
+
+
+def fenced_multi_batch_sink(
+    catalog: PostgresCatalog,
+    idents: list[TableIdentifier],
+    sink_id: str,
+    transforms,
+    fail_after_batch: int | None = None,
+):
+    """A ``foreachBatch`` that maintains SEVERAL catalog tables from one
+    micro-batch — fact rows into one, derived aggregates into another —
+    with exactly-once across restarts for the WHOLE SET: every table's
+    append carries the same batch-id fence and all pointers land through
+    ``MultiTableTransaction``'s one-database-transaction swap, so a crash
+    at any point leaves either every table advanced to the batch or none
+    (a fact table can never run ahead of its summary). ``transforms`` is
+    one ``batch_df -> DataFrame`` per table.
+
+    Replay detection reads ANY table's fence — the atomic swap moves them
+    together, so one is as good as all (and a table whose fence already
+    passed the epoch no-ops individually inside the multi-commit, which
+    covers fences that predate this sink)."""
+    from iceberg_catalog_postgres_spark.catalog.multi_txn import (
+        MultiTableTransaction,
+    )
+
+    if len(idents) != len(transforms):
+        raise ValueError("one transform per table")
+    key = fence_key(sink_id)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        tables = [catalog.load_table(i) for i in idents]
+        if any(
+            int(t.metadata.properties.get(key, -1)) >= batch_id for t in tables
+        ):
+            return  # replayed batch: the atomic commit landed before the crash
+        batch_df = batch_df.persist()
+        try:
+            mt = MultiTableTransaction(catalog)
+            for t, fn in zip(tables, transforms):
+                mt.transaction(t).append_dataframe(fn(batch_df)).fence(
+                    key, batch_id
+                )
+            mt.commit()
+        finally:
+            batch_df.unpersist()
+        if fail_after_batch is not None and batch_id >= fail_after_batch:
+            raise RuntimeError(
+                f"injected torn write after committing batch {batch_id}"
+            )
+
+    return sink
+
+
+@register(
+    "catalog_stream_fenced_multi_sink",
+    oracle="""
+    SELECT 'fact' AS side, CAST(-1 AS BIGINT) AS grp,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(n_nationkey) AS BIGINT) AS sum_key
+    FROM nation
+    UNION ALL
+    SELECT 'summary', n_regionkey, CAST(count(*) AS BIGINT),
+           CAST(sum(n_nationkey) AS BIGINT)
+    FROM nation GROUP BY n_regionkey
+    ORDER BY side, grp
+    """,
+    tags=("streaming", "catalog", "exactly-once", "multi-table", "fault-injection"),
+)
+def catalog_stream_fenced_multi_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming across TWO tables (r13 continuation): one
+    checkpointed foreachBatch maintains a fact table AND its per-region
+    summary, each micro-batch committed as ONE atomic multi-table pointer
+    swap with a shared batch-id fence. Fault injection kills the driver
+    after batch 0's commit but before the checkpoint ack; the restarted
+    query replays batch 0 (fenced -> no-op on BOTH tables — the atomic
+    swap means neither can be ahead) and processes batch 1. The oracle
+    recomputes fact totals and the summary from the source: any duplicate
+    or torn batch in EITHER table breaks a row. This is the streaming
+    analogue of the archive-move guarantee: readers never observe the
+    fact table ahead of its aggregate."""
+    cat = PostgresCatalog.connect(
+        "multisink", None,
+        os.path.join(_REPO_ROOT, ".tmp", "stream_multi_sink", "wh"),
+    )
+    cat.initialize()
+    src = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    work = os.path.join(_REPO_ROOT, ".tmp", "stream_multi_sink")
+    shutil.rmtree(work, ignore_errors=True)
+    src_dir = os.path.join(work, "src")
+    ckpt = os.path.join(work, "ckpt")
+    src.filter((F.col("n_nationkey") % 2) == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    src.filter((F.col("n_nationkey") % 2) == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+
+    fact_ident = TableIdentifier.parse("streams.msink_fact")
+    sum_ident = TableIdentifier.parse("streams.msink_summary")
+    cat.create_table(fact_ident, src.schema)
+    agg_schema = "n_regionkey long, n long, sum_key long"
+    cat.create_table(
+        sum_ident, spark.createDataFrame([], agg_schema).schema
+    )
+
+    def summarize(df: DataFrame) -> DataFrame:
+        return df.groupBy("n_regionkey").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("n_nationkey").cast("long").alias("sum_key"),
+        )
+
+    def start(sink):
+        stream = (
+            spark.readStream.schema(src.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        return (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q1 = start(
+        fenced_multi_batch_sink(
+            cat, [fact_ident, sum_ident], "msink",
+            [lambda df: df, summarize], fail_after_batch=0,
+        )
+    )
+    try:
+        if not q1.awaitTermination(120):
+            q1.stop()
+            raise TimeoutError("multi-sink run 1 did not terminate within 120s")
+    except TimeoutError:
+        raise
+    except Exception:
+        pass  # the injected death
+    # mid-crash invariant: both fences equal (atomicity held through the crash)
+    f1 = cat.load_table(fact_ident).metadata.properties.get(fence_key("msink"))
+    f2 = cat.load_table(sum_ident).metadata.properties.get(fence_key("msink"))
+    assert f1 == f2, (f1, f2)
+
+    q2 = start(
+        fenced_multi_batch_sink(
+            cat, [fact_ident, sum_ident], "msink", [lambda df: df, summarize]
+        )
+    )
+    if not q2.awaitTermination(120):
+        q2.stop()
+        raise TimeoutError("multi-sink run 2 did not terminate within 120s")
+
+    fact = cat.load_table(fact_ident).to_df(spark)
+    # the summary table holds per-batch partial aggregates: fold them
+    summary = (
+        cat.load_table(sum_ident).to_df(spark)
+        .groupBy("n_regionkey")
+        .agg(F.sum("n").alias("n"), F.sum("sum_key").alias("sum_key"))
+    )
+    return (
+        fact.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("n_nationkey").cast("long").alias("sum_key"),
+        )
+        .select(
+            F.lit("fact").alias("side"), F.lit(-1).cast("long").alias("grp"),
+            "n", "sum_key",
+        )
+        .unionByName(
+            summary.select(
+                F.lit("summary").alias("side"),
+                F.col("n_regionkey").cast("long").alias("grp"),
+                F.col("n").cast("long"), F.col("sum_key").cast("long"),
+            )
+        )
+        .orderBy("side", "grp")
+    )
