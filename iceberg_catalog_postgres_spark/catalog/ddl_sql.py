@@ -735,6 +735,9 @@ _PROCEDURES: dict[str, set] = {
         "orphan_older_than_s", "dv_convert_min_files",
     },
     "add_files": {"source_dir"},
+    "create_changelog_view": {
+        "view_name", "start_snapshot_id", "end_snapshot_id",
+    },
     "rollback_to_snapshot": {"snapshot_id"},
     "cherrypick_snapshot": {"snapshot_id"},
     "publish_branch": {"branch", "drop_branch"},
@@ -853,6 +856,27 @@ def call_sql(spark, catalog, sql: str):
         )
         report = {"added_files_count": n_added,
                   "added_records_count": n_records}
+    elif proc == "create_changelog_view":
+        # Iceberg's CDC procedure: register the row-level changelog between
+        # two snapshots as a temp view SELECT can query. Default range =
+        # the whole lineage (first snapshot exclusive start -> current).
+        if "start_snapshot_id" not in a:
+            raise ValueError(
+                "create_changelog_view requires start_snapshot_id => <id> "
+                "(the EXCLUSIVE range start — changes are (start, end])"
+            )
+        start = int(a["start_snapshot_id"])
+        end = a.get("end_snapshot_id")
+        cdc = table.changelog_df(
+            spark, start, int(end) if end is not None else None
+        )
+        view_name = str(a.get("view_name", f"{table.identifier.name}_changes"))
+        cdc.createOrReplaceTempView(view_name)
+        t2 = table
+        report = {
+            "n_changes": cdc.count(),
+            "start_snapshot_id": start,
+        }
     elif proc == "rollback_to_snapshot":
         t2 = table.rollback_to(int(a["snapshot_id"]))
         report = {

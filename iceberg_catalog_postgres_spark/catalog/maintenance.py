@@ -2418,6 +2418,65 @@ def catalog_sql_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "catalog_sql_changelog_view",
+    oracle="""
+    SELECT 'delete' AS _change_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(n_nationkey) AS BIGINT) AS sum_key
+    FROM nation WHERE n_regionkey = 4
+    UNION ALL
+    SELECT 'insert', CAST(count(*) AS BIGINT), CAST(sum(n_nationkey) AS BIGINT)
+    FROM nation WHERE n_nationkey >= 10
+    ORDER BY _change_type
+    """,
+    tags=("catalog", "sql", "call", "cdc", "changelog"),
+)
+def catalog_sql_changelog_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg's ``CALL system.create_changelog_view`` (r13 continuation):
+    the row-level CDC surface as SQL — register the changelog between two
+    snapshots as a temp view and aggregate it with a plain SELECT through
+    the same dispatcher. Range is (start, head]: the second append's rows
+    appear as inserts, the MOR delete's reconstructed victims (from BOTH
+    cohorts — replayed against the parent state, O(delta) planning) as
+    deletes; a row inserted then deleted inside the range carries both
+    entries, exactly Iceberg's changelog contract. The oracle recomputes
+    each side relationally."""
+    from iceberg_catalog_postgres_spark.catalog.merge_sql import execute_dml
+
+    cat = _fresh_catalog("catalog_sql_changelog_view")
+    src = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    ident = TableIdentifier.parse("maint.nation_cdc_sql")
+    table = cat.create_table(ident, src.schema)
+    table = (
+        table.new_transaction()
+        .append_dataframe(src.filter(F.col("n_nationkey") < 10).coalesce(1))
+        .commit()
+    )
+    s1 = table.metadata.current_snapshot_id
+    table = (
+        table.new_transaction()
+        .append_dataframe(src.filter(F.col("n_nationkey") >= 10).coalesce(1))
+        .commit()
+    )
+    execute_dml(spark, cat, "DELETE FROM maint.nation_cdc_sql WHERE n_regionkey = 4")
+    execute_dml(
+        spark, cat,
+        f"CALL system.create_changelog_view('maint.nation_cdc_sql', "
+        f"start_snapshot_id => {s1}, view_name => 'nation_changes')",
+    )
+    try:
+        return execute_dml(
+            spark, cat,
+            "SELECT _change_type, count(*) AS n, sum(n_nationkey) AS sum_key "
+            "FROM nation_changes GROUP BY _change_type ORDER BY _change_type",
+        )
+    finally:
+        spark.catalog.dropTempView("nation_changes")
+
+
+@register(
     "catalog_mor_merge_read",
     oracle="""
     WITH merged AS (
