@@ -35,11 +35,23 @@ all)
 CALL grammar (Iceberg's named-argument procedure syntax)::
 
     CALL system.expire_snapshots('ns.t', keep_last => 2)
-    CALL system.rewrite_small_files('ns.t', target_rows => 1000)
+    CALL system.rewrite_small_files('ns.t' [, target_rows => 1000])
     CALL system.rewrite_position_deletes_to_dvs('ns.t')
     CALL system.compact_table('ns.t', target_partitions => 1)
     CALL system.remove_orphan_files('ns.t', older_than_s => 86400)
     CALL system.vacuum('ns.t', keep_last_snapshots => 2, ...)
+    CALL system.add_files('ns.t', source_dir => 'dir')
+    CALL system.rollback_to_snapshot('ns.t', snapshot_id => <id>)
+    CALL system.cherrypick_snapshot('ns.t', snapshot_id => <id>)
+    CALL system.publish_branch|fast_forward('ns.t', branch => 'b'
+                                            [, drop_branch => true])
+    CALL system.create_changelog_view('ns.t', start_snapshot_id => <id>
+                                      [, end_snapshot_id, view_name])
+
+Plus ``ANALYZE TABLE ns.t COMPUTE STATISTICS [FOR [ALL] COLUMNS (...)]``
+(stats backfill / NDV sketches), ``TRUNCATE TABLE`` (metadata-only empty
+snapshot), ``SHOW TABLES|VIEWS|NAMESPACES|TBLPROPERTIES``, and
+``DESCRIBE [TABLE|VIEW]``.
 
 ``alter_sql`` returns the committed Table (like the DML family);
 ``call_sql`` returns a ONE-ROW report DataFrame (like Iceberg's CALL
