@@ -230,10 +230,36 @@ def parse_select_refs(sql: str, catalog) -> tuple[list[str], list[dict]]:
                     f"(supported: {', '.join(_META_SUFFIXES)})"
                 )
         ident, table, view_obj = (None, None, None)
+        suffix_ref = None
         if len(parts) >= 2:
             ident, table = _resolve_candidates(catalog, parts)
             if table is None:
                 ident, view_obj = _resolve_view_candidates(catalog, parts)
+            if (
+                table is None and view_obj is None and len(parts) >= 3
+                and parts[-1].startswith(("branch_", "tag_"))
+            ):
+                # Iceberg's branch/tag-read identifier: ns.t.branch_dev /
+                # ns.t.tag_v1 (the read half of the branch-write target;
+                # equivalent to VERSION AS OF '<name>'). Only used when the
+                # literal name does not itself resolve; the ref must exist.
+                base_ident, base_table = _resolve_candidates(
+                    catalog, parts[:-1]
+                )
+                if base_table is not None:
+                    name = parts[-1].split("_", 1)[1]
+                    if name not in base_table.metadata.refs:
+                        raise ValueError(
+                            f"{'.'.join(parts[:-1])} has no branch/tag "
+                            f"named {name!r}"
+                        )
+                    kind = parts[-1].split("_", 1)[0]
+                    actual = base_table.metadata.refs[name].get("type", "tag")
+                    if actual != kind:
+                        raise ValueError(
+                            f"ref {name!r} is a {actual!r}, not a {kind!r}"
+                        )
+                    ident, table, suffix_ref = base_ident, base_table, name
         if view_obj is not None and suffix is not None:
             raise ValueError(
                 f"metadata table suffixes are not supported on views: "
@@ -259,6 +285,13 @@ def parse_select_refs(sql: str, catalog) -> tuple[list[str], list[dict]]:
                 out.append(cur.next())
             continue
         travel = _try_time_travel(cur) or {}
+        if suffix_ref is not None:
+            if travel:
+                raise ValueError(
+                    "a branch/tag-read identifier and a time-travel clause "
+                    "cannot combine — the suffix already pins the ref"
+                )
+            travel = {"ref": suffix_ref}
         # alias: explicit AS x, or a bare word that is not a clause keyword;
         # without one, the table's own name aliases the view so qualified
         # column refs (``t.col FROM ns.t``) keep resolving. A following

@@ -278,7 +278,12 @@ def create_view(
     like ``register_table``), CAS UPDATE appending a new version for
     replace. Name collisions with TABLES are refused in both directions
     (``build_table`` checks views; this checks tables) so table-first
-    resolution order can never silently change a query's meaning."""
+    resolution order can never silently change a query's meaning. The
+    cross-kind check is best-effort under a perfectly-timed concurrent
+    create of the OTHER kind (two pointer tables cannot share one unique
+    constraint); resolution order stays deterministic either way — the
+    table wins — so the failure mode is a shadowed view, never a flipped
+    query."""
     _ensure_views_table(catalog)
     sql = _validate_view_sql(sql)
     if catalog.table_exists(identifier):

@@ -356,3 +356,27 @@ def test_branch_write_guards(spark, catalog):
     )
     assert t.record_count() == 1
     assert "foo" not in t.metadata.refs
+
+
+def test_branch_tag_read_identifiers(spark, catalog):
+    """SELECT FROM ns.t.branch_x / ns.t.tag_y (r13): the read half of the
+    branch-write identifier — equivalent to VERSION AS OF '<name>', kind
+    checked, missing refs loud, no combining with a travel clause."""
+    t = _seed(catalog, spark, n=5)
+    execute_dml(spark, catalog, "INSERT INTO d.t.branch_audit VALUES (50, 'b', 9)")
+    execute_dml(spark, catalog, "ALTER TABLE d.t CREATE TAG v1")
+    n_branch = execute_dml(
+        spark, catalog, "SELECT count(*) AS n FROM d.t.branch_audit"
+    ).collect()[0].n
+    n_tag = execute_dml(
+        spark, catalog, "SELECT count(*) AS n FROM d.t.tag_v1"
+    ).collect()[0].n
+    assert (n_branch, n_tag) == (6, 5)
+    with pytest.raises(ValueError, match="no branch/tag"):
+        execute_dml(spark, catalog, "SELECT * FROM d.t.branch_nope")
+    with pytest.raises(ValueError, match="is a 'branch'"):
+        execute_dml(spark, catalog, "SELECT * FROM d.t.tag_audit")
+    with pytest.raises(ValueError, match="cannot combine"):
+        execute_dml(
+            spark, catalog, "SELECT * FROM d.t.branch_audit VERSION AS OF 1"
+        )
