@@ -572,6 +572,8 @@ def _ref_df(spark, ref: dict, seen: frozenset = frozenset()):
                 raise ValueError(
                     "no snapshot at the requested timestamp for $files"
                 )
+            if sid not in table.metadata.snapshot_ids():
+                raise ValueError(f"$files: no such snapshot: {sid}")
             return _m.files_df(spark, table, snapshot_id=sid)
         fn = {
             "partitions": _m.partitions_df,

@@ -99,8 +99,13 @@ def test_parse_metadata_suffix_refusals(catalog, spark):
         parse_select_refs("SELECT * FROM s.a$bogus", catalog)
     with pytest.raises(ValueError, match="unknown catalog table"):
         parse_select_refs("SELECT * FROM s.missing$files", catalog)
-    with pytest.raises(ValueError, match="time travel on a metadata table"):
+    # $files graduated to supporting time travel (r13 continuation —
+    # per-snapshot data); an unknown snapshot id refuses cleanly, and the
+    # TABLE-scoped metadata tables still refuse travel entirely
+    with pytest.raises(ValueError, match="no such snapshot"):
         select_sql(spark, catalog, "SELECT * FROM s.a$files VERSION AS OF 3")
+    with pytest.raises(ValueError, match="files only"):
+        select_sql(spark, catalog, "SELECT * FROM s.a$snapshots VERSION AS OF 3")
 
 
 # ---------------------------------------------------------------------------
