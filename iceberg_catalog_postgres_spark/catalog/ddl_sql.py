@@ -518,8 +518,16 @@ def drop_table_sql(spark, catalog, sql: str):
         from iceberg_catalog_postgres_spark.catalog.views import drop_view_sql
 
         return drop_view_sql(spark, catalog, sql)
+    if what in ("NAMESPACE", "SCHEMA"):
+        from iceberg_catalog_postgres_spark.catalog.namespaces import (
+            drop_namespace_sql,
+        )
+
+        return drop_namespace_sql(spark, catalog, sql)
     if what != "TABLE":
-        raise ValueError(f"DROP: expected TABLE/VIEW, got {what!r}")
+        raise ValueError(
+            f"DROP: expected TABLE/VIEW/NAMESPACE, got {what!r}"
+        )
     if_exists = False
     if _upper(cur.peek()) == "IF":
         cur.next()
@@ -565,27 +573,16 @@ def show_tables_sql(spark, catalog, sql: str):
 
         return show_views_sql(spark, catalog, sql)
     if what == "NAMESPACES":
-        # namespaces are implicit in this catalog (the reference stores
-        # them as pointer-row columns, mod.rs:21) — listing folds the
-        # DISTINCT namespace strings over tables AND views
-        from iceberg_catalog_postgres_spark.catalog.views import (
-            VIEWS_TABLE_NAME,
-            _ensure_views_table,
+        # implicit namespaces (pointer-row columns, mod.rs:21) folded
+        # with explicitly-created ones (r14 — CREATE NAMESPACE rows,
+        # which exist before their first table)
+        from iceberg_catalog_postgres_spark.catalog.namespaces import (
+            list_namespaces,
         )
 
-        _ensure_views_table(catalog)
-        rows, _ = catalog.backend.execute(
-            catalog.backend.sql(
-                "SELECT DISTINCT table_namespace FROM iceberg_tables "
-                "WHERE catalog_name = ? "
-                "UNION "
-                f"SELECT DISTINCT table_namespace FROM {VIEWS_TABLE_NAME} "
-                "WHERE catalog_name = ?"
-            ),
-            (catalog.name, catalog.name),
-        )
         return spark.createDataFrame(
-            sorted((r[0],) for r in rows) or [], "namespace string"
+            [(ns,) for ns in list_namespaces(catalog)] or [],
+            "namespace string",
         )
     if what != "TABLES":
         raise ValueError(

@@ -843,6 +843,7 @@ def update_where(
     strategy: str = "mor",
     preserve_lineage: bool = False,
     pointer_swap=None,
+    file_subset: list[str] | None = None,
 ) -> Table:
     """Arbitrary-predicate UPDATE (the single-table DML between
     ``delete_where`` and ``merge_into``): set each ``set`` column to its
@@ -876,7 +877,6 @@ def update_where(
     cond = F.expr(condition) if isinstance(condition, str) else condition
 
     if strategy == "cow":
-        current = table.to_df(spark, with_row_lineage=preserve_lineage)
         out = [
             (
                 F.when(cond, F.expr(set[c])).otherwise(F.col(c)).cast(types[c])
@@ -885,6 +885,29 @@ def update_where(
             ).alias(c)
             for c in cols
         ]
+        if file_subset is not None and not preserve_lineage:
+            # r14: planner-pruned CoW UPDATE — only the candidate files
+            # (a superset of those holding matching rows) rewrite with
+            # the CASE projection; every other file carries over
+            # byte-identical through the shared replace commit. The
+            # lineage variant stays a full overwrite: rewritten files
+            # would need their _row_id map rebuilt, which
+            # overwrite_dataframe(lineage_materialized=True) already does
+            # table-wide.
+            store = table.catalog.object_store()
+            sub = {store.resolve(f) for f in file_subset}
+            rels = table.metadata.current_data_files()
+            kept_rels = [f for f in rels if store.resolve(f) not in sub]
+            to_rewrite = [f for f in rels if store.resolve(f) in sub]
+            if not to_rewrite:
+                return table  # planner proves no file can match: no-op
+            rewritten = table.to_df(spark, file_subset=to_rewrite).select(*out)
+            return _cow_replace_files_commit(
+                spark, table, kept_rels, to_rewrite, rewritten,
+                {"operation-detail": "cow-update-pruned"},
+                pointer_swap=pointer_swap, operation="overwrite",
+            )
+        current = table.to_df(spark, with_row_lineage=preserve_lineage)
         if preserve_lineage:
             out.append(F.col("_row_id").cast("long").alias("_row_id"))
             out.append(
@@ -905,9 +928,15 @@ def update_where(
         )
 
     # MOR: one pruned scan finds the matched rows; their identity deletes
-    # the originals, their updated versions append — a single atomic commit
+    # the originals, their updated versions append — a single atomic
+    # commit. file_subset (r14) narrows the matching scan to the
+    # planner-proven candidate files (superset-safe — non-subset files
+    # provably hold no matching row, so skipping them changes nothing);
+    # the CoW branch above ignores it because a full overwrite must read
+    # every row back regardless.
     current = table.to_df(
-        spark, with_row_lineage=preserve_lineage, with_scan_identity=True
+        spark, with_row_lineage=preserve_lineage, with_scan_identity=True,
+        file_subset=file_subset,
     )
     matched = current.filter(cond).persist()
     try:
@@ -941,7 +970,7 @@ def update_where(
 
 def delete_where_mor(
     spark: SparkSession, table: Table, condition, as_dv: bool = False,
-    pointer_swap=None,
+    pointer_swap=None, file_subset: list[str] | None = None,
 ) -> Table:
     """Arbitrary-predicate merge-on-read DELETE: scan once (predicate pushed
     to the parquet reader), capture the matched rows' scan identity
@@ -951,9 +980,21 @@ def delete_where_mor(
     catalog/dv.py). Cost is O(matched rows) — the 100 TB DELETE
     WHERE runs as one pruned scan plus a kilobyte-scale commit, and readers
     apply it as a broadcast anti-join until compaction materializes it.
-    """
+
+    ``file_subset`` (r14): a planner-proven superset of the files that can
+    hold matching rows (extracted from the SQL WHERE by
+    ``prune_subset_for_where``) — the matching scan opens only those
+    files, so the manifest planner's partition decision reaches the
+    WRITE path too (previously only parquet row-group min/max pruned
+    it)."""
     store = table.catalog.object_store()
-    files = [store.resolve(f) for f in table.metadata.current_data_files()]
+    rels = table.metadata.current_data_files()
+    if file_subset is not None:
+        # the planner returns store-resolved paths; rel paths in the
+        # snapshot resolve before comparing (same rule as to_df)
+        sub = {store.resolve(f) for f in file_subset}
+        rels = [f for f in rels if store.resolve(f) in sub]
+    files = [store.resolve(f) for f in rels]
     if not files:
         return table
     positions = (
@@ -1053,15 +1094,40 @@ def rewrite_dvs_to_position_deletes(spark: SparkSession, table: Table) -> Table:
 
 
 def delete_where_cow_predicate(
-    spark: SparkSession, table: Table, condition, pointer_swap=None
+    spark: SparkSession, table: Table, condition, pointer_swap=None,
+    file_subset: list[str] | None = None,
 ) -> Table:
     """Arbitrary-predicate copy-on-write DELETE: one overwrite commit of
     the surviving rows. The general fallback behind ``DELETE ...
     strategy="cow"`` — when the predicate is a range on a stats-covered
     column, ``delete_where_cow`` is the pruned version (rewrites only
-    intersecting files); this one rewrites the table, which is exactly
-    what CoW means for a predicate the planner cannot scope. MOR
-    (``delete_where_mor``) remains the 100 TB default."""
+    intersecting files); MOR (``delete_where_mor``) remains the 100 TB
+    default.
+
+    ``file_subset`` (r14): a planner-proven superset of the files that
+    can hold matching rows (the SQL path extracts it from the WHERE via
+    ``prune_subset_for_where``) — only those files are rewritten; every
+    other file carries over byte-identical through the shared CoW
+    replace commit. ``DELETE WHERE day = 5`` on a day-partitioned table
+    rewrites one day, not the table. Without a subset this rewrites the
+    table, which is exactly what CoW means for a predicate the planner
+    cannot scope."""
+    if file_subset is not None:
+        store = table.catalog.object_store()
+        sub = {store.resolve(f) for f in file_subset}
+        rels = table.metadata.current_data_files()
+        kept_rels = [f for f in rels if store.resolve(f) not in sub]
+        to_rewrite = [f for f in rels if store.resolve(f) in sub]
+        if not to_rewrite:
+            return table  # planner proves nothing matches: provable no-op
+        survivors = table.to_df(spark, file_subset=to_rewrite).filter(
+            ~condition
+        )
+        return _cow_replace_files_commit(
+            spark, table, kept_rels, to_rewrite, survivors,
+            {"operation-detail": "cow-delete-pruned"},
+            pointer_swap=pointer_swap,
+        )
     kept = table.to_df(spark).filter(~condition)
     return (
         table.new_transaction()
@@ -1099,27 +1165,69 @@ def delete_where_cow(
         else:
             to_rewrite.append(rel)
 
-    new_files: list[str] = []
-    if to_rewrite:
-        import glob as _glob
-        import posixpath as _pp
-        import uuid as _uuid
-
-        # Rewritten files are committed at the NEW sequence number, which
-        # moves them past any pending equality-delete files — so those
-        # deletes must be materialized into the rewrite, scoped per source
-        # file exactly as a read would (delete seq > data-file seq), or
-        # deleted rows would resurrect; positional deletes target the OLD
-        # path, which the rewrite invalidates. to_df(file_subset=...) IS
-        # that read (same cohort logic, rename-aware) — r5 replaced the
-        # hand-rolled copy of it here.
-        survivors = table.to_df(spark, file_subset=to_rewrite).filter(
+    # Rewritten files are committed at the NEW sequence number, which
+    # moves them past any pending equality-delete files — so those
+    # deletes must be materialized into the rewrite, scoped per source
+    # file exactly as a read would (delete seq > data-file seq), or
+    # deleted rows would resurrect; positional deletes target the OLD
+    # path, which the rewrite invalidates. to_df(file_subset=...) IS
+    # that read (same cohort logic, rename-aware) — r5 replaced the
+    # hand-rolled copy of it here.
+    survivors = (
+        table.to_df(spark, file_subset=to_rewrite).filter(
             ~F.col(column).between(lo, hi)
         )
-        rel_dir = _pp.join(table.metadata.location, "data", f"cowdel-{_uuid.uuid4().hex}")
-        abs_dir = store.resolve(rel_dir)
-        from iceberg_catalog_postgres_spark.catalog.table import _ensure_stats_friendly_writes
+        if to_rewrite
+        else None
+    )
+    committed = _cow_replace_files_commit(
+        spark, table, kept, to_rewrite, survivors,
+        {"cow-delete-column": column},
+    )
+    return committed, len(to_rewrite), len(kept)
 
+
+def _cow_replace_files_commit(
+    spark: SparkSession,
+    table: Table,
+    kept: list[str],
+    to_rewrite: list[str],
+    survivors,
+    summary: dict,
+    pointer_swap=None,
+    operation: str = "delete",
+) -> Table:
+    """Write ``survivors`` (the rewritten files' remaining rows, MOR
+    deletes already materialized by the caller's ``to_df(file_subset)``
+    read) as new parquet and commit kept + new as ONE CoW snapshot —
+    shared by ``delete_where_cow`` and the planner-pruned
+    ``delete_where_cow_predicate`` (r14). Kept files carry over
+    byte-identical with their seqs / partition tuples / stats / vectors /
+    lineage; rewritten files enter at the new sequence number with fresh
+    footer stats. Bypasses the append/overwrite staging since neither
+    matches "replace a subset of files"."""
+    import glob as _glob
+    import posixpath as _pp
+    import time as _time
+    import uuid as _uuid
+
+    from iceberg_catalog_postgres_spark.catalog.metadata import (
+        Snapshot,
+        new_snapshot_id,
+        plan_manifests,
+    )
+    from iceberg_catalog_postgres_spark.catalog.table import (
+        _ensure_stats_friendly_writes,
+        collect_file_stats_many,
+    )
+
+    store = table.catalog.object_store()
+    new_files: list[str] = []
+    if to_rewrite:
+        rel_dir = _pp.join(
+            table.metadata.location, "data", f"cowdel-{_uuid.uuid4().hex}"
+        )
+        abs_dir = store.resolve(rel_dir)
         _ensure_stats_friendly_writes(spark)
         survivors.write.mode("overwrite").parquet(abs_dir)
         new_files = [
@@ -1127,29 +1235,17 @@ def delete_where_cow(
             for p in sorted(_glob.glob(os.path.join(abs_dir, "*.parquet")))
         ]
 
-    # commit kept + rewritten directly (bypasses the append/overwrite staging
-    # since neither matches "replace a subset of files")
-    from iceberg_catalog_postgres_spark.catalog.metadata import (
-        Snapshot,
-        new_snapshot_id,
-        plan_manifests,
-    )
-
-    import posixpath as _pp2
-    import time as _time
-    import uuid as _uuid2
-
     next_seq = table.metadata.next_sequence_number()
     inherited_seqs = table.metadata.current_file_seqs()
     inherited_parts = table.metadata.current_file_partitions()
     inherited_stats = table.metadata.current_file_stats()
-    from iceberg_catalog_postgres_spark.catalog.table import collect_file_stats_many
-
-    new_stats = collect_file_stats_many({rel: store.resolve(rel) for rel in new_files})
+    new_stats = collect_file_stats_many(
+        {rel: store.resolve(rel) for rel in new_files}
+    )
     snapshot = Snapshot(
         snapshot_id=new_snapshot_id(table.metadata.snapshot_ids()),
         timestamp_ms=int(_time.time() * 1000),
-        operation="delete",
+        operation=operation,
         data_files=[*kept, *new_files],
         delete_files=list(table.metadata.current_delete_files()),
         position_delete_files=list(table.metadata.current_position_delete_files()),
@@ -1177,7 +1273,7 @@ def delete_where_cow(
             **new_stats,
         },
         summary={
-            "cow-delete-column": column,
+            **{k: str(v) for k, v in summary.items()},
             "files-rewritten": str(len(to_rewrite)),
             "files-kept": str(len(kept)),
         },
@@ -1190,14 +1286,19 @@ def delete_where_cow(
     new_md = table.metadata.with_snapshot(snapshot).with_log_entry(
         table.metadata_location(), table.metadata.last_updated_ms
     )
-    new_location = _pp2.join(
-        new_md.location, "metadata", f"v{len(new_md.snapshots) + 1}-{_uuid2.uuid4().hex}.metadata.json"
+    new_location = _pp.join(
+        new_md.location, "metadata",
+        f"v{len(new_md.snapshots) + 1}-{_uuid.uuid4().hex}.metadata.json",
     )
     store.put(new_location, new_md.to_json().encode())
-    committed = table.catalog.update_table(
+    if pointer_swap is not None:
+        # multi-table commit seam: (identifier, new, prev) -> Table|None
+        return pointer_swap(
+            table.identifier, new_location, table.metadata_location()
+        )
+    return table.catalog.update_table(
         table.identifier, new_location, table.metadata_location()
     )
-    return committed, len(to_rewrite), len(kept)
 
 
 def _fresh_catalog(name: str) -> PostgresCatalog:
@@ -1955,6 +2056,79 @@ def catalog_sql_delete_files_debt(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "catalog_sql_dml_pruned_write",
+    oracle="""
+    SELECT CAST(2 AS BIGINT) AS files_rewritten,
+           CAST(3 AS BIGINT) AS files_kept,
+           true AS carried_identical,
+           CAST((SELECT count(*) FROM nation
+                 WHERE n_regionkey NOT IN (0, 4)) AS BIGINT)
+               AS n_after_delete,
+           CAST((SELECT count(*) FROM nation WHERE n_regionkey = 2)
+                AS BIGINT) AS n_lowered,
+           CAST((SELECT sum(n_nationkey) FROM nation
+                 WHERE n_regionkey NOT IN (0, 4)) AS BIGINT) AS sum_final
+    """,
+    tags=("catalog", "sql", "dml", "pruning", "cow", "mor"),
+)
+def catalog_sql_dml_pruned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planner-pruned WRITES through SQL (r14): DELETE and UPDATE route
+    their WHERE through the same DNF extractor as SELECT, so on a
+    region-partitioned nation table ``DELETE WHERE n_regionkey = 0 OR
+    n_regionkey = 4`` (strategy=cow) rewrites EXACTLY the two matching
+    partition files and carries the other three over byte-identical
+    (``carried_identical`` checks rel-path set intersection — the 100 TB
+    claim as data: a partition-scoped CoW delete touches the partition,
+    not the table), then ``UPDATE ... WHERE n_regionkey = 2`` (MOR) scans
+    one candidate file for matches. Counts and the final aggregate are
+    recomputed relationally by the oracle."""
+    from iceberg_catalog_postgres_spark.catalog.merge_sql import execute_dml
+
+    cat = _fresh_catalog("catalog_sql_dml_pruned_write")
+    src = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    ident = TableIdentifier.parse("maint.nation_dmlp")
+    t = cat.create_table(ident, src.schema, partition_by=["n_regionkey"])
+    t = t.new_transaction().append_dataframe(src.coalesce(1)).commit()
+    before = set(t.metadata.current_data_files())
+    execute_dml(
+        spark, cat,
+        "DELETE FROM maint.nation_dmlp "
+        "WHERE n_regionkey = 0 OR n_regionkey = 4",
+        strategy="cow",
+    )
+    t = cat.load_table(ident)
+    snap = t.metadata.current_snapshot()
+    files_rewritten = int(snap.summary["files-rewritten"])
+    files_kept = int(snap.summary["files-kept"])
+    after = set(t.metadata.current_data_files())
+    carried_identical = len(before & after) == files_kept
+    n_after_delete = execute_dml(
+        spark, cat, "SELECT count(*) AS n FROM maint.nation_dmlp"
+    ).first().n
+    execute_dml(
+        spark, cat,
+        "UPDATE maint.nation_dmlp SET n_name = lower(n_name) "
+        "WHERE n_regionkey = 2",
+    )
+    agg = execute_dml(
+        spark, cat,
+        "SELECT sum(CASE WHEN n_name = lower(n_name) AND "
+        "n_name <> upper(n_name) THEN 1 ELSE 0 END) AS n_low, "
+        "sum(n_nationkey) AS s FROM maint.nation_dmlp",
+    ).first()
+    return spark.createDataFrame(
+        [(
+            files_rewritten, files_kept, bool(carried_identical),
+            int(n_after_delete), int(agg.n_low), int(agg.s),
+        )],
+        "files_rewritten long, files_kept long, carried_identical boolean, "
+        "n_after_delete long, n_lowered long, sum_final long",
+    )
+
+
+@register(
     "catalog_sql_refs_tblproperties",
     oracle="""
     SELECT CAST((SELECT count(*) FROM nation WHERE n_nationkey < 10)
@@ -2697,6 +2871,66 @@ def catalog_mor_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_updated"),
         )
         .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "catalog_sql_select_read",
+    oracle="""
+    SELECT c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(o_orderkey) AS BIGINT) AS sum_ok
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    WHERE c_mktsegment = 'BUILDING' OR c_mktsegment = 'MACHINERY'
+    GROUP BY c_mktsegment ORDER BY seg
+    """,
+    tags=("catalog", "sql", "select", "pruning", "join", "bench"),
+)
+def catalog_sql_select_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-read-path BENCH headline (r14; VERDICT r13 item 7): the
+    representative query an engine user of the reference actually writes
+    — a SELECT STRING with a disjunctive partition predicate and a join —
+    executed through the full front-end (tokenize -> ref resolution ->
+    DNF prune extraction -> per-branch manifest walks -> temp-view
+    rewrite -> spark.sql), so resolver + pruning overhead is visible in
+    BENCH artifacts round-over-round the way ``catalog_mor_merge_read``
+    made commit machinery visible. Each rep re-runs the lifecycle;
+    ``BENCH_PHASES`` attributes the create+append commit so the read
+    number is separable. The WHERE is a top-level OR on the identity
+    partition column (2 of 5 segment files planned — the r14 DNF path,
+    i.e. the shape the r13 extractor silently mis-pruned); orders joins
+    as a plain temp view to keep the rep's commit cost to one small
+    table. Aggregates are exact integers (no float-sum hash flap)."""
+    import time as _t
+
+    from iceberg_catalog_postgres_spark.catalog.select_sql import select_sql
+
+    cat = _fresh_catalog("catalog_sql_select_read")
+    _t0 = _t.perf_counter()
+    src = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    ident = TableIdentifier.parse("maint.customer_sqlread")
+    table = cat.create_table(
+        ident, src.schema, partition_by=["c_mktsegment"]
+    )
+    table = (
+        table.new_transaction()
+        .append_dataframe(src.repartition("c_mktsegment"))
+        .commit()
+    )
+    _t1 = _t.perf_counter()
+    BENCH_PHASES["catalog_sql_select_read"] = {
+        "setup_commit_sec": round(_t1 - _t0, 3),
+    }
+    load(spark, sf_dir, "orders").createOrReplaceTempView("ord_sqlread")
+    return select_sql(
+        spark, cat,
+        "SELECT t.c_mktsegment AS seg, count(*) AS n_orders, "
+        "sum(o.o_orderkey) AS sum_ok "
+        "FROM maint.customer_sqlread t "
+        "JOIN ord_sqlread o ON t.c_custkey = o.o_custkey "
+        "WHERE t.c_mktsegment = 'BUILDING' OR t.c_mktsegment = 'MACHINERY' "
+        "GROUP BY t.c_mktsegment ORDER BY seg",
     )
 
 

@@ -546,8 +546,21 @@ def update_sql(
     from iceberg_catalog_postgres_spark.catalog.catalog import TableIdentifier
     from iceberg_catalog_postgres_spark.catalog.maintenance import update_where
 
+    from iceberg_catalog_postgres_spark.catalog.select_sql import (
+        prune_subset_for_where,
+    )
+
     p = parse_update(sql)
-    table = catalog.load_table(TableIdentifier.parse(p["target"]))
+    ident = TableIdentifier.parse(p["target"])
+    table = catalog.load_table(ident)
+    # r14: route the WHERE through the same DNF extractor the SELECT path
+    # uses, so the matching scan plans O(candidate files) — None = no
+    # extractable partition constraint, scan everything (superset-safe)
+    subset = (
+        prune_subset_for_where(table, ident, p["where"])
+        if p["where"] is not None
+        else None
+    )
     return update_where(
         spark,
         table,
@@ -556,6 +569,7 @@ def update_sql(
         strategy=strategy,
         preserve_lineage=preserve_lineage,
         pointer_swap=pointer_swap,
+        file_subset=subset,
     )
 
 
@@ -572,17 +586,31 @@ def delete_sql(spark, catalog, sql: str, strategy: str = "mor",
         delete_where_mor,
     )
 
+    from iceberg_catalog_postgres_spark.catalog.select_sql import (
+        prune_subset_for_where,
+    )
+
     p = parse_delete(sql)
-    table = catalog.load_table(TableIdentifier.parse(p["target"]))
+    ident = TableIdentifier.parse(p["target"])
+    table = catalog.load_table(ident)
     cond = F.expr(p["where"]) if p["where"] is not None else F.lit(True)
+    # r14: the WHERE's partition constraints reach the write path — MOR
+    # scans only the planner's candidate files; CoW rewrites only them
+    # and carries every other file over byte-identical
+    subset = (
+        prune_subset_for_where(table, ident, p["where"])
+        if p["where"] is not None
+        else None
+    )
     if strategy == "cow":
         return delete_where_cow_predicate(
-            spark, table, cond, pointer_swap=pointer_swap
+            spark, table, cond, pointer_swap=pointer_swap, file_subset=subset
         )
     if strategy != "mor":
         raise ValueError(f"strategy must be cow|mor, got {strategy!r}")
     return delete_where_mor(
-        spark, table, cond, as_dv=as_dv, pointer_swap=pointer_swap
+        spark, table, cond, as_dv=as_dv, pointer_swap=pointer_swap,
+        file_subset=subset,
     )
 
 
@@ -872,7 +900,8 @@ def create_table_sql(spark, catalog, sql: str):
     from iceberg_catalog_postgres_spark.catalog.ddl_sql import _sql_type
     from iceberg_catalog_postgres_spark.catalog.select_sql import select_sql
 
-    # CREATE [OR REPLACE] VIEW routes to the view surface
+    # CREATE [OR REPLACE] VIEW routes to the view surface; CREATE
+    # NAMESPACE|SCHEMA to the namespace lifecycle (r14)
     head = [
         t.upper() for t in _tokenize(sql.strip())[:4]
         if not t.startswith(("'", "`"))
@@ -881,6 +910,12 @@ def create_table_sql(spark, catalog, sql: str):
         from iceberg_catalog_postgres_spark.catalog.views import create_view_sql
 
         return create_view_sql(spark, catalog, sql)
+    if "NAMESPACE" in head or "SCHEMA" in head:
+        from iceberg_catalog_postgres_spark.catalog.namespaces import (
+            create_namespace_sql,
+        )
+
+        return create_namespace_sql(spark, catalog, sql)
     p = parse_create_table(sql)
     ident = TableIdentifier.parse(p["target"])
     if p["if_not_exists"] and catalog.table_exists(ident):

@@ -634,6 +634,33 @@ def _branch_union_subset(ref: dict, branches) -> list[str]:
     return sorted(out)
 
 
+def prune_subset_for_where(table, ident, where_text: str) -> list[str] | None:
+    """DNF prune subset for a bare WHERE predicate (r14): the UPDATE /
+    DELETE SQL paths hand their WHERE text here so the WRITE-side scan
+    plans O(matching files) through the same extractor the SELECT path
+    certifies. Superset-safe by the planner contract — the subset holds
+    every file that can contain a matching row; the predicate still runs
+    in Spark, so over-planning only costs scan time, never correctness.
+    None = no extractable constraint (plan all files)."""
+    ref = {
+        "table": table,
+        "ident": ident,
+        "alias": None,
+        "snapshot_id": None,
+        "as_of_ms": None,
+        "ref": None,
+    }
+    try:
+        branches = _extract_prune_branches(
+            _tokenize("WHERE " + where_text), ref
+        )
+        if not branches:
+            return None
+        return _branch_union_subset(ref, branches)
+    except (ValueError, KeyError):
+        return None  # best-effort, never load-bearing
+
+
 def _resolved_snapshot_id(ref: dict) -> int | None:
     """The snapshot id a ref's time-travel clause pins (None = current) —
     the same resolution ``to_df`` performs, shared by the planner-calling

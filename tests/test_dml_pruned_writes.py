@@ -1,0 +1,202 @@
+"""Planner-pruned WRITE paths (r14): the UPDATE / DELETE SQL statements
+route their WHERE through the same DNF extractor as SELECT
+(``prune_subset_for_where``), so the matching scan (MOR) opens only the
+planner's candidate files and the CoW rewrite touches only them —
+previously the write-side scan opened every data file and relied on
+parquet row-group min/max alone."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_catalog_postgres_spark.catalog.catalog import (
+    PostgresCatalog,
+    TableIdentifier,
+)
+from iceberg_catalog_postgres_spark.catalog.merge_sql import execute_dml
+from iceberg_catalog_postgres_spark.catalog.select_sql import (
+    prune_subset_for_where,
+)
+
+
+@pytest.fixture
+def catalog(tmp_path):
+    cat = PostgresCatalog.connect("dmlprune", None, str(tmp_path / "wh"))
+    cat.initialize()
+    yield cat
+    cat.backend.close()
+
+
+def _seed(catalog, spark, name, n=60, mod=5):
+    df = spark.createDataFrame(
+        [(i, f"n{i}", i % mod) for i in range(n)], "k long, name string, r long"
+    )
+    t = catalog.create_table(
+        TableIdentifier.parse(name), df.schema, partition_by=["r"]
+    )
+    return t.new_transaction().append_dataframe(df.repartition("r")).commit()
+
+
+def test_prune_subset_for_where_matches_planner(catalog, spark):
+    t = _seed(catalog, spark, "d.a")
+    ident = TableIdentifier.parse("d.a")
+    subset = prune_subset_for_where(t, ident, "r = 1 OR r = 3")
+    assert subset is not None
+    expect = sorted(
+        set(t.planned_files_composed(points={"r": [1, 3]}))
+    )
+    assert subset == expect and len(subset) == 2
+    # conjunct with a non-partition piece still prunes on the partition
+    subset = prune_subset_for_where(t, ident, "r = 1 AND name <> ''")
+    assert subset is not None and len(subset) == 1
+    # unconstrained disjunct -> None (scan everything)
+    assert prune_subset_for_where(t, ident, "r = 1 OR name = 'n7'") is None
+    assert prune_subset_for_where(t, ident, "name = 'n7'") is None
+
+
+def test_delete_mor_sql_passes_planner_subset(catalog, spark, monkeypatch):
+    """The SQL DELETE path hands the extractor's subset to
+    delete_where_mor — spied at the maintenance module — and the result
+    stays exact."""
+    from iceberg_catalog_postgres_spark.catalog import maintenance as m
+
+    _seed(catalog, spark, "d.m")
+    seen = {}
+    orig = m.delete_where_mor
+
+    def spy(spark_, table, cond, **kw):
+        seen["file_subset"] = kw.get("file_subset")
+        return orig(spark_, table, cond, **kw)
+
+    monkeypatch.setattr(m, "delete_where_mor", spy)
+    execute_dml(spark, catalog, "DELETE FROM d.m WHERE r = 1 OR r = 3")
+    monkeypatch.undo()
+    assert seen["file_subset"] is not None and len(seen["file_subset"]) == 2
+    t = catalog.load_table(TableIdentifier.parse("d.m"))
+    got = sorted(r.k for r in t.to_df(spark).collect())
+    assert got == [i for i in range(60) if i % 5 not in (1, 3)]
+
+
+def test_delete_cow_pruned_carries_untouched_files_byte_identical(
+    catalog, spark
+):
+    """CoW DELETE with a partition WHERE rewrites ONLY the planned files:
+    every other file keeps its exact rel path (no rewrite, no copy), and
+    the snapshot summary reports the split."""
+    t = _seed(catalog, spark, "d.c")
+    before = set(t.metadata.current_data_files())
+    assert len(before) == 5
+    execute_dml(
+        spark, catalog,
+        "DELETE FROM d.c WHERE r = 0 OR r = 2", strategy="cow",
+    )
+    t = catalog.load_table(TableIdentifier.parse("d.c"))
+    snap = t.metadata.current_snapshot()
+    assert snap.summary["files-rewritten"] == "2"
+    assert snap.summary["files-kept"] == "3"
+    after = set(t.metadata.current_data_files())
+    # the 3 untouched partition files carried over byte-identical
+    assert len(before & after) == 3
+    got = sorted(r.k for r in t.to_df(spark).collect())
+    assert got == [i for i in range(60) if i % 5 not in (0, 2)]
+
+
+def test_delete_cow_pruned_materializes_pending_eq_deletes(catalog, spark):
+    """The pruned rewrite must not resurrect rows: a pending equality
+    delete applies to the rewritten files via the to_df read (files move
+    past the delete's sequence) and keeps applying to carried files."""
+    t = _seed(catalog, spark, "d.e")
+    # eq-delete two names living in partitions 1 and 2
+    t = (
+        t.new_transaction()
+        .delete_keys_dataframe(
+            spark.createDataFrame([("n6",), ("n7",)], "name string").coalesce(1)
+        )
+        .commit()
+    )
+    execute_dml(
+        spark, catalog, "DELETE FROM d.e WHERE r = 1", strategy="cow"
+    )
+    t = catalog.load_table(TableIdentifier.parse("d.e"))
+    got = sorted(r.k for r in t.to_df(spark).collect())
+    # r=1 gone (CoW), k=6 (r=1, already inside the rewrite set) gone,
+    # k=7 (r=2, carried file + still-applicable eq delete) gone
+    assert got == [i for i in range(60) if i % 5 != 1 and i != 7]
+
+
+def test_delete_cow_pruned_noop_when_planner_proves_empty(catalog, spark):
+    t = _seed(catalog, spark, "d.n")
+    before = t.metadata.current_snapshot_id
+    execute_dml(
+        spark, catalog, "DELETE FROM d.n WHERE r = 99", strategy="cow"
+    )
+    t = catalog.load_table(TableIdentifier.parse("d.n"))
+    assert t.metadata.current_snapshot_id == before  # provable no-op
+    assert t.to_df(spark).count() == 60
+
+
+def test_update_mor_sql_passes_planner_subset(catalog, spark, monkeypatch):
+    from iceberg_catalog_postgres_spark.catalog import maintenance as m
+
+    _seed(catalog, spark, "d.u")
+    seen = {}
+    orig = m.update_where
+
+    def spy(spark_, table, cond, set_, **kw):
+        seen["file_subset"] = kw.get("file_subset")
+        return orig(spark_, table, cond, set_, **kw)
+
+    monkeypatch.setattr(m, "update_where", spy)
+    execute_dml(
+        spark, catalog,
+        "UPDATE d.u SET name = concat(name, '_x') WHERE r = 2 AND k < 30",
+    )
+    monkeypatch.undo()
+    assert seen["file_subset"] is not None and len(seen["file_subset"]) == 1
+    t = catalog.load_table(TableIdentifier.parse("d.u"))
+    rows = {r.k: r.name for r in t.to_df(spark).collect()}
+    assert len(rows) == 60
+    for k in range(60):
+        expect = f"n{k}_x" if (k % 5 == 2 and k < 30) else f"n{k}"
+        assert rows[k] == expect
+
+
+def test_update_cow_pruned_rewrites_only_candidate_files(catalog, spark):
+    """CoW UPDATE with a partition WHERE (r14): only the candidate files
+    rewrite with the CASE projection; the rest carry over byte-identical,
+    and no row is dropped or missed."""
+    t = _seed(catalog, spark, "d.uc")
+    before = set(t.metadata.current_data_files())
+    execute_dml(
+        spark, catalog,
+        "UPDATE d.uc SET name = 'hit' WHERE r = 1 OR r = 3",
+        strategy="cow",
+    )
+    t = catalog.load_table(TableIdentifier.parse("d.uc"))
+    snap = t.metadata.current_snapshot()
+    assert snap.summary["files-rewritten"] == "2"
+    assert snap.summary["files-kept"] == "3"
+    assert snap.operation == "overwrite"
+    after = set(t.metadata.current_data_files())
+    assert len(before & after) == 3  # untouched partitions carried
+    rows = {r.k: r.name for r in t.to_df(spark).collect()}
+    assert len(rows) == 60
+    for k in range(60):
+        assert rows[k] == ("hit" if k % 5 in (1, 3) else f"n{k}")
+
+
+def test_update_cow_lineage_stays_full_overwrite(catalog, spark):
+    """The lineage-preserving CoW UPDATE keeps the table-wide overwrite
+    (rewritten files need their _row_id map rebuilt) — exactness first."""
+    t = _seed(catalog, spark, "d.ul")
+    execute_dml(
+        spark, catalog,
+        "UPDATE d.ul SET name = 'hit' WHERE r = 1",
+        strategy="cow", preserve_lineage=True,
+    )
+    t = catalog.load_table(TableIdentifier.parse("d.ul"))
+    rows = {r.k: r.name for r in t.to_df(spark).collect()}
+    assert len(rows) == 60
+    for k in range(60):
+        assert rows[k] == ("hit" if k % 5 == 1 else f"n{k}")

@@ -1,0 +1,101 @@
+"""Explicit namespace lifecycle (r14; VERDICT r13 missing #3): CREATE /
+DROP NAMESPACE on the auxiliary pointer table, folded with the implicit
+namespaces that table/view rows imply, on BOTH catalog backends."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql.types import StringType, StructField, StructType
+
+from iceberg_catalog_postgres_spark.catalog.catalog import (
+    CatalogError,
+    PostgresCatalog,
+    TableIdentifier,
+)
+from iceberg_catalog_postgres_spark.catalog.merge_sql import execute_dml
+from iceberg_catalog_postgres_spark.catalog.namespaces import (
+    create_namespace,
+    drop_namespace,
+    list_namespaces,
+    namespace_exists,
+)
+
+SCHEMA = StructType([StructField("c", StringType(), True)])
+
+
+@pytest.fixture(params=["sqlite", "postgres"])
+def catalog(request, tmp_path):
+    if request.param == "postgres":
+        import uuid as _uuid
+
+        url = request.getfixturevalue("pg_url")
+        cat = PostgresCatalog.connect(
+            f"test_ns_{_uuid.uuid4().hex[:10]}", url, str(tmp_path / "wh")
+        )
+    else:
+        cat = PostgresCatalog.connect("test_ns", None, str(tmp_path / "wh"))
+    cat.initialize()
+    yield cat
+    cat.backend.close()
+
+
+def test_namespace_lifecycle(catalog):
+    assert not namespace_exists(catalog, "empty_ns")
+    create_namespace(catalog, "empty_ns")
+    assert namespace_exists(catalog, "empty_ns")
+    assert "empty_ns" in list_namespaces(catalog)  # listable while EMPTY
+    # double create refuses; IF NOT EXISTS swallows
+    with pytest.raises(CatalogError, match="already exists"):
+        create_namespace(catalog, "empty_ns")
+    create_namespace(catalog, "empty_ns", if_not_exists=True)
+    drop_namespace(catalog, "empty_ns")
+    assert not namespace_exists(catalog, "empty_ns")
+    with pytest.raises(CatalogError, match="does not exist"):
+        drop_namespace(catalog, "empty_ns")
+    drop_namespace(catalog, "empty_ns", if_exists=True)
+
+
+def test_namespace_folds_with_implicit_and_refuses_nonempty(catalog):
+    # implicit: a table creates its namespace without CREATE NAMESPACE
+    catalog.create_table(TableIdentifier.parse("imp.t1"), SCHEMA)
+    assert namespace_exists(catalog, "imp")
+    assert "imp" in list_namespaces(catalog)
+    # CREATE over an implicit namespace refuses like an explicit one
+    with pytest.raises(CatalogError, match="already exists"):
+        create_namespace(catalog, "imp")
+    # DROP refuses while the table lives
+    with pytest.raises(CatalogError, match="not empty"):
+        drop_namespace(catalog, "imp")
+    # explicit + table: still refuses until the table goes
+    create_namespace(catalog, "exp")
+    catalog.create_table(TableIdentifier.parse("exp.t1"), SCHEMA)
+    with pytest.raises(CatalogError, match="not empty"):
+        drop_namespace(catalog, "exp")
+    catalog.drop_table(TableIdentifier.parse("exp.t1"))
+    drop_namespace(catalog, "exp")
+    assert not namespace_exists(catalog, "exp")
+
+
+def test_namespace_sql_surface(catalog, spark):
+    execute_dml(spark, catalog, "CREATE NAMESPACE sales")
+    execute_dml(spark, catalog, "CREATE NAMESPACE IF NOT EXISTS sales")
+    with pytest.raises(CatalogError, match="already exists"):
+        execute_dml(spark, catalog, "CREATE SCHEMA sales")
+    rows = execute_dml(spark, catalog, "SHOW NAMESPACES").collect()
+    assert ("sales",) in [tuple(r) for r in rows]
+    execute_dml(spark, catalog, "DROP NAMESPACE sales")
+    rows = execute_dml(spark, catalog, "SHOW NAMESPACES").collect()
+    assert ("sales",) not in [tuple(r) for r in rows]
+    execute_dml(spark, catalog, "DROP SCHEMA IF EXISTS sales")
+    with pytest.raises(CatalogError, match="does not exist"):
+        execute_dml(spark, catalog, "DROP NAMESPACE sales")
+    # refusal while a view lives in it
+    execute_dml(spark, catalog, "CREATE NAMESPACE viewsns")
+    spark.createDataFrame([(1,)], "x long").createOrReplaceTempView("ns_src")
+    execute_dml(
+        spark, catalog, "CREATE VIEW viewsns.v AS SELECT x FROM ns_src"
+    )
+    with pytest.raises(CatalogError, match="not empty"):
+        execute_dml(spark, catalog, "DROP NAMESPACE viewsns")
+    execute_dml(spark, catalog, "DROP VIEW viewsns.v")
+    execute_dml(spark, catalog, "DROP NAMESPACE viewsns")
