@@ -96,6 +96,74 @@ def merge_upsert(
     return table.new_transaction().overwrite_dataframe(merged).commit()
 
 
+def _merge_candidate_files(
+    spark: SparkSession, table: Table, source: DataFrame, on: list[str]
+) -> list[str] | None:
+    """Dynamic file pruning for the MOR MERGE target scan (r14): files
+    whose stats bounds on the FIRST merge key can intersect the source's
+    key range. The common 100 TB merge is a small delta into a huge keyed
+    table — the full-outer join only needs target rows that can MATCH, so
+    files provably outside the source's [min, max] are skipped (their
+    rows cannot match, and a source row whose key lives in such a file is
+    impossible — the file's bounds would contain it). Superset-safe:
+    statless files, truncated bounds, and comparison type mismatches all
+    keep the file.
+
+    Returns None when pruning is unavailable or useless: the source has
+    NULL keys (the merge join is null-safe, bounds cannot scope NULLs) or
+    no file prunes. Costs one (min, max, counts) aggregate over the
+    source — cheap next to the join it narrows, and exactly the pass
+    engines' dynamic-file-pruning spends."""
+    import bisect as _bisect
+
+    key = on[0]
+    if key not in source.columns:
+        return None
+    agg = source.agg(
+        F.min(key).alias("lo"), F.max(key).alias("hi"),
+        F.count(F.lit(1)).alias("n"), F.count(key).alias("nk"),
+    ).first()
+    if agg["n"] == 0 or agg["n"] != agg["nk"] or agg["lo"] is None:
+        return None
+    lo, hi = agg["lo"], agg["hi"]
+    # a SMALL delta (the common merge) upgrades the interval to the exact
+    # sorted key set: a file whose [lo, hi] contains NO source key prunes
+    # even inside the global span ({3, 7, 500} skips the middle of the
+    # table; one bounded collect, bisect per file on the driver)
+    keys = None
+    if agg["n"] <= 10_000:
+        try:
+            keys = sorted(
+                r[0] for r in source.select(key).distinct().collect()
+            )
+        except TypeError:
+            keys = None  # mixed/unorderable key values: interval only
+
+    def _hits(b) -> bool:
+        if b is None or b[0] is None:
+            return True
+        if b[1] is None:
+            return not (b[0] > hi)  # truncated upper: lower side only
+        if b[1] < lo or b[0] > hi:
+            return False
+        if keys is None:
+            return True
+        i = _bisect.bisect_left(keys, b[0])
+        return i < len(keys) and keys[i] <= b[1]
+
+    rels = table.metadata.current_data_files()
+    out = []
+    for rel in rels:
+        try:
+            if _hits(table.file_bounds(rel, key)):
+                out.append(rel)
+        except TypeError:
+            out.append(rel)  # incomparable bound: possibly-matching
+    if len(out) == len(rels):
+        return None  # nothing pruned: keep the simple unpruned path
+    return out
+
+
 def merge_into(
     spark: SparkSession,
     table: Table,
@@ -107,6 +175,7 @@ def merge_into(
     preserve_lineage: bool = False,
     strategy: str = "cow",
     pointer_swap=None,
+    dynamic_file_pruning: bool = True,
 ) -> Table:
     """Full multi-clause MERGE INTO (ANSI SQL:2003 / Iceberg's MERGE): the
     general reconcile-write, of which ``merge_upsert`` is the two-clause
@@ -211,11 +280,24 @@ def merge_into(
     # MOR needs the scan's file/position identity for the row delta's
     # delete side; with_scan_identity captures it INSIDE each read cohort,
     # so the MOR merge also works on rename-cohort / mixed-lineage tables
-    # (where _metadata would not resolve through the union)
+    # (where _metadata would not resolve through the union).
+    # Dynamic file pruning (r14): ONLY for a MOR merge with no by-source
+    # clauses — unscanned rows stay untouched, which is exactly what a
+    # non-matching row gets; a WHEN NOT MATCHED BY SOURCE clause acts on
+    # non-matching rows, so it needs them all, and a CoW overwrite must
+    # read every row back regardless.
+    merge_subset = None
+    if (
+        dynamic_file_pruning
+        and strategy == "mor"
+        and not when_not_matched_by_source
+    ):
+        merge_subset = _merge_candidate_files(spark, table, source, on)
     current = table.to_df(
         spark,
         with_row_lineage=preserve_lineage,
         with_scan_identity=(strategy == "mor"),
+        file_subset=merge_subset,
     )
 
     tgt = current.withColumn("__t", F.lit(True))

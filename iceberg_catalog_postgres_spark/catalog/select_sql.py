@@ -17,14 +17,21 @@ plus Iceberg's read extensions:
 - **metadata tables** — ``ns.t$partitions``, ``ns.t$refs``,
   ``ns.t$files``, ``ns.t$snapshots`` (Iceberg's ``table$suffix`` form),
   served from the metadata folds in ``maintenance``.
-- **metadata pruning** — for a single-table SELECT, top-level WHERE
-  conjuncts on partition-spec SOURCE columns (identity, bucket, truncate,
-  temporal transforms) are routed into the composed manifest planner
-  (``Table.planned_files_composed`` via ``to_df``'s transform kwargs), so
-  the SQL path plans O(matching files), not the full file list. Pruning
-  is SUPERSET-safe by construction: the WHERE text still runs in Spark,
-  pruning only narrows which files are scanned — a conjunct the extractor
-  does not understand is simply not used for pruning.
+- **metadata pruning** — top-level WHERE predicates on partition-spec
+  SOURCE columns (identity, bucket, truncate, temporal transforms) route
+  into the composed manifest planner (``Table.planned_files_composed``
+  via ``to_df``'s transform kwargs / ``file_subset``), so the SQL path
+  plans O(matching files), not the full file list. r14: OR splits FIRST
+  at every nesting level (SQL precedence — the r13 AND-first extractor
+  lost rows on ``day = 5 AND b = 1 OR b = 2``); disjunctive WHEREs plan
+  as the superset-safe UNION of per-branch walks (DNF, capped); joins of
+  catalog tables prune EACH ref from its own QUALIFIED conjuncts; the
+  UPDATE/DELETE write paths reuse the extractor via
+  ``prune_subset_for_where``. Pruning is SUPERSET-safe by construction:
+  the WHERE text still runs in Spark, pruning only narrows which files
+  are scanned — a predicate the extractor does not understand is simply
+  not used for pruning, and a disjunct without a partition constraint
+  disables pruning for its ref entirely.
 
 This module is a RESOLVER, not an engine: it tokenizes the statement with
 ``merge_sql``'s lexer, rewrites every catalog table reference (in any
@@ -435,7 +442,8 @@ def _where_body(tokens: list[str]) -> list[str] | None:
 
 
 def _extract_body(
-    body: list[str], ref: dict, sources: set, depth: int = 0
+    body: list[str], ref: dict, sources: set, depth: int = 0,
+    require_qual: bool = False,
 ) -> list[tuple[dict, dict, dict]] | None:
     """A predicate token span -> DNF prune branches (each a ``(points,
     ranges, in_lists)`` triple whose planned file sets UNION superset-
@@ -454,7 +462,7 @@ def _extract_body(
     if len(or_parts) > 1:
         branches: list[tuple[dict, dict, dict]] = []
         for part in or_parts:
-            sub = _extract_body(part, ref, sources, depth + 1)
+            sub = _extract_body(part, ref, sources, depth + 1, require_qual)
             if sub is None or any(_is_unconstrained(t) for t in sub):
                 return None  # one unconstrained disjunct covers all files
             branches.extend(sub)
@@ -477,7 +485,10 @@ def _extract_body(
 
     def col_of(side: list[str]) -> str | None:
         if len(side) == 1 and _is_word(side[0]):
-            return _strip_ident(side[0])
+            # multi-table statements take QUALIFIED conjuncts only — an
+            # unqualified name cannot be attributed to a ref without the
+            # other relations' schemas (r14, multi-ref pruning)
+            return None if require_qual else _strip_ident(side[0])
         if (
             len(side) == 3
             and side[1] == "."
@@ -505,7 +516,7 @@ def _extract_body(
             # a parenthesized (possibly disjunctive) conjunct — recurse;
             # ``(day = 5 OR day = 6) AND x = 1`` distributes below. An
             # unconstrained sub-predicate is just an ignored conjunct.
-            sub = _extract_body(piece, ref, sources, depth + 1)
+            sub = _extract_body(piece, ref, sources, depth + 1, require_qual)
             if sub and not any(_is_unconstrained(t) for t in sub):
                 sub_sets.append(sub)
             continue
@@ -571,7 +582,7 @@ def _extract_body(
 
 
 def _extract_prune_branches(
-    tokens: list[str], ref: dict
+    tokens: list[str], ref: dict, require_qual: bool = False
 ) -> list[tuple[dict, dict, dict]]:
     """Top-level WHERE -> DNF prune branches on the table's partition
     SOURCE columns ([] = plan everything). One branch = a pure-conjunct
@@ -592,7 +603,7 @@ def _extract_prune_branches(
     body = _where_body(tokens)
     if body is None:
         return []
-    out = _extract_body(body, ref, sources)
+    out = _extract_body(body, ref, sources, require_qual=require_qual)
     if not out or any(_is_unconstrained(t) for t in out):
         return []
     return out
@@ -818,10 +829,18 @@ def _resolve_and_prune(sql: str, catalog) -> tuple[list[str], list[dict]]:
     data_refs = [
         r for r in refs if r["suffix"] is None and r["table"] is not None
     ]
-    if len(data_refs) == 1:
-        ref = data_refs[0]
+    # r14: EVERY data ref prunes from its own WHERE conjuncts. With more
+    # than one relation, only QUALIFIED conjuncts (``t.day = 5``) are
+    # attributed — an unqualified name cannot be assigned to a ref
+    # without the other relations' schemas, and a statement Spark accepts
+    # has unambiguous qualifiers. Star joins (``FROM fact f JOIN dim d
+    # ... WHERE f.day = 5 AND d.r = 1``) prune both sides.
+    multi = len(data_refs) > 1
+    for ref in data_refs:
         try:
-            branches = _extract_prune_branches(rewritten, ref)
+            branches = _extract_prune_branches(
+                rewritten, ref, require_qual=multi
+            )
         except (ValueError, KeyError):
             branches = []  # best-effort, never load-bearing
         points, ranges, ins = (

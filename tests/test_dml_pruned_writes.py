@@ -186,6 +186,116 @@ def test_update_cow_pruned_rewrites_only_candidate_files(catalog, spark):
         assert rows[k] == ("hit" if k % 5 in (1, 3) else f"n{k}")
 
 
+def test_merge_mor_dynamic_file_pruning(catalog, spark, monkeypatch):
+    """r14: a MOR MERGE with no by-source clauses restricts its target
+    scan to files whose key bounds intersect the source's key range —
+    the small-delta-into-huge-table shape. Spied at Table.to_df; results
+    must equal the unpruned merge."""
+    from iceberg_catalog_postgres_spark.catalog import maintenance as m
+    from iceberg_catalog_postgres_spark.catalog.table import Table
+
+    df = spark.createDataFrame(
+        [(i, f"n{i}") for i in range(100)], "k long, name string"
+    )
+    t = catalog.create_table(TableIdentifier.parse("d.dfp"), df.schema)
+    # range partitioning gives each file a contiguous, stats-covered k span
+    t = t.new_transaction().append_dataframe(
+        df.repartitionByRange(5, "k")
+    ).commit()
+    src = spark.createDataFrame(
+        [(3, "u3"), (7, "u7")], "k long, name string"
+    )
+    seen = {}
+    orig = Table.to_df
+
+    def spy(self, spark_, **kw):
+        seen["file_subset"] = kw.get("file_subset")
+        return orig(self, spark_, **kw)
+
+    monkeypatch.setattr(Table, "to_df", spy)
+    t = m.merge_into(
+        spark, t, src, on=["k"],
+        when_matched=[{"action": "update", "set": {"name": "s.name"}}],
+        when_not_matched=[{"action": "insert"}],
+        strategy="mor",
+    )
+    monkeypatch.undo()
+    # keys {3, 7}: only the range file holding low keys intersects [3, 7]
+    assert seen["file_subset"] is not None
+    assert 0 < len(seen["file_subset"]) < 5
+    rows = {r.k: r.name for r in t.to_df(spark).collect()}
+    assert len(rows) == 100
+    assert rows[3] == "u3" and rows[7] == "u7"
+    assert rows[50] == "n50"  # untouched row in a pruned-away file
+
+    # scattered keys: the INTERVAL [3, 500] covers every file, but the
+    # small-delta key-set upgrade still skips files holding none of
+    # {3, 7, 500} (the middle of the table)
+    src_sc = spark.createDataFrame(
+        [(3, "v3"), (7, "v7"), (500, "v500")], "k long, name string"
+    )
+    seen.clear()
+    monkeypatch.setattr(Table, "to_df", spy)
+    t = m.merge_into(
+        spark, t, src_sc, on=["k"],
+        when_matched=[{"action": "update", "set": {"name": "s.name"}}],
+        when_not_matched=[{"action": "insert"}],
+        strategy="mor",
+    )
+    monkeypatch.undo()
+    assert seen["file_subset"] is not None
+    assert 0 < len(seen["file_subset"]) < 5
+    rows = {r.k: r.name for r in t.to_df(spark).collect()}
+    assert len(rows) == 101
+    assert rows[3] == "v3" and rows[7] == "v7" and rows[500] == "v500"
+    assert rows[50] == "n50"
+
+    # all-new keys: the planner misses EVERY file -> empty target scan,
+    # pure-insert merge (the cheapest possible shape)
+    src_new = spark.createDataFrame([(600, "new")], "k long, name string")
+    seen.clear()
+    monkeypatch.setattr(Table, "to_df", spy)
+    t = m.merge_into(
+        spark, t, src_new, on=["k"],
+        when_matched=[{"action": "update", "set": {"name": "s.name"}}],
+        when_not_matched=[{"action": "insert"}],
+        strategy="mor",
+    )
+    monkeypatch.undo()
+    assert seen["file_subset"] == []
+    rows = {r.k: r.name for r in t.to_df(spark).collect()}
+    assert len(rows) == 102 and rows[600] == "new" and rows[3] == "v3"
+
+    # by-source clauses need every target row: pruning must stay off
+    src2 = spark.createDataFrame([(3, "x3")], "k long, name string")
+    seen.clear()
+    monkeypatch.setattr(Table, "to_df", spy)
+    t = m.merge_into(
+        spark, t, src2, on=["k"],
+        when_matched=[{"action": "update", "set": {"name": "s.name"}}],
+        when_not_matched_by_source=[
+            {"action": "update", "set": {"name": "concat(t.name, '.')"}},
+        ],
+        strategy="mor",
+    )
+    monkeypatch.undo()
+    assert seen["file_subset"] is None
+    rows = {r.k: r.name for r in t.to_df(spark).collect()}
+    assert rows[3] == "x3" and rows[50] == "n50."
+
+    # NULL source keys join null-safe: bounds cannot scope them — no prune
+    src3 = spark.createDataFrame([(None, "nn")], "k long, name string")
+    seen.clear()
+    monkeypatch.setattr(Table, "to_df", spy)
+    m.merge_into(
+        spark, t, src3, on=["k"],
+        when_matched=[{"action": "update", "set": {"name": "s.name"}}],
+        strategy="mor",
+    )
+    monkeypatch.undo()
+    assert seen["file_subset"] is None
+
+
 def test_update_cow_lineage_stays_full_overwrite(catalog, spark):
     """The lineage-preserving CoW UPDATE keeps the table-wide overwrite
     (rewritten files need their _row_id map rebuilt) — exactness first."""

@@ -450,6 +450,61 @@ def test_prune_or_branches_union_planned_files(catalog, spark):
     assert "files planned: 2" in lines[1] and "or branches: 2" in lines[2]
 
 
+def test_prune_multi_ref_join_prunes_each_side(catalog, spark):
+    """r14: a join of catalog tables prunes EACH ref from its own
+    QUALIFIED WHERE conjuncts (star-join shape); unqualified names never
+    attribute in multi-ref statements (ambiguity-safe)."""
+    from iceberg_catalog_postgres_spark.catalog.select_sql import (
+        _resolve_and_prune,
+    )
+
+    _seed(catalog, spark, "s.f", partition_by=["r"], n=30, mod=3)
+    _seed(catalog, spark, "s.d", partition_by=["r"], n=30, mod=3)
+    sql = (
+        "SELECT count(*) AS n FROM s.f f JOIN s.d d ON f.k = d.k "
+        "WHERE f.r = 1 AND d.r = 1"
+    )
+    _, refs = _resolve_and_prune(sql, catalog)
+    by_alias = {r["alias"]: r for r in refs}
+    assert by_alias["f"]["_prune_points"] == {"r": 1}
+    assert by_alias["d"]["_prune_points"] == {"r": 1}
+    assert select_sql(spark, catalog, sql).first().n == 10
+    # unqualified conjunct: attributed to NEITHER ref (requires quals)
+    _, refs = _resolve_and_prune(
+        "SELECT f.k FROM s.f f JOIN s.d d ON f.k = d.k WHERE r = 1",
+        catalog,
+    )
+    assert all(r["_prune_points"] == {} for r in refs)
+    # disjunctive per-side predicate prunes that side as DNF branches
+    sql = (
+        "SELECT count(*) AS n FROM s.f f JOIN s.d d ON f.k = d.k "
+        "WHERE (f.r = 0 OR f.r = 2) AND d.r = 0"
+    )
+    _, refs = _resolve_and_prune(sql, catalog)
+    by_alias = {r["alias"]: r for r in refs}
+    assert len(by_alias["f"]["_prune_subset"]) == 2
+    assert by_alias["d"]["_prune_points"] == {"r": 0}
+    assert select_sql(spark, catalog, sql).first().n == 10  # r=0 keys
+    # outer-join edge: pruning the nullable side must not change results
+    sql_outer = (
+        "SELECT count(*) AS n FROM s.f f LEFT JOIN s.d d ON f.k = d.k "
+        "AND d.k < 5 WHERE d.r = 1"
+    )
+    n = select_sql(spark, catalog, sql_outer).first().n
+    # matches: k<5 and k%3==1 -> {1, 4}
+    assert n == 2
+    # a mixed-table OR disables pruning on both (either side may match)
+    sql_mix = (
+        "SELECT count(*) AS n FROM s.f f JOIN s.d d ON f.k = d.k "
+        "WHERE f.r = 1 OR d.r = 2"
+    )
+    _, refs = _resolve_and_prune(sql_mix, catalog)
+    assert all(
+        r["_prune_points"] == {} and "_prune_subset" not in r for r in refs
+    )
+    assert select_sql(spark, catalog, sql_mix).first().n == 20
+
+
 def test_sql_statements_compose_on_catalog_refs(catalog, spark):
     """r13 coherence: SELECT bodies inside INSERT / CTAS / MERGE USING
     resolve catalog table refs (and time travel) through the same SELECT

@@ -149,6 +149,121 @@ def test_fuzz_where_pruning_matches_unpruned_evaluation(fuzz_table, spark):
     assert not failures, failures
 
 
+# --- join fuzz: multi-ref pruning attribution (r14) -----------------------
+
+F_ROWS = [(k, k % 6, k % 4) for k in range(72)]   # k, fday (part), fb
+D_ROWS = [(k, k % 5, f"m{k % 3}") for k in range(60)]  # k, dr (part), dn
+
+_J_COLS = {"fday": "f", "fb": "f", "dr": "d", "k": None}
+
+
+def _j_leaf(rng: random.Random):
+    kind = rng.randrange(6)
+    if kind < 3:
+        col = rng.choice(["fday", "fb", "dr"])
+        op = rng.choice(["=", "<", "<=", ">", ">=", "<>"])
+        lit = rng.choice(range(-1, 8))
+        qual = (
+            f"{_J_COLS[col]}." if rng.random() < 0.6 else ""
+        )  # qualified or (uniquely named) bare
+        return (f"{qual}{col} {op} {lit}",
+                lambda fr, dr_, c=col, o=op, v=lit: _cmp(
+                    (fr if _J_COLS[c] == "f" else dr_)[c], o, v))
+    if kind == 3:
+        col = rng.choice(["fday", "dr"])
+        lo, hi = rng.choice(range(0, 7)), rng.choice(range(0, 7))
+        return (f"{_J_COLS[col]}.{col} BETWEEN {lo} AND {hi}",
+                lambda fr, dr_, c=col, a=lo, z=hi: a <= (
+                    fr if _J_COLS[c] == "f" else dr_)[c] <= z)
+    if kind == 4:
+        col = rng.choice(["fday", "dr"])
+        vals = rng.sample(range(0, 7), rng.randrange(1, 4))
+        return (f"{col} IN ({', '.join(map(str, vals))})",
+                lambda fr, dr_, c=col, vs=tuple(vals): (
+                    fr if _J_COLS[c] == "f" else dr_)[c] in vs)
+    name = rng.choice(["m0", "m2", "zz"])
+    return (f"d.dn = '{name}'", lambda fr, dr_, v=name: dr_["dn"] == v)
+
+
+def _j_tree(rng: random.Random, depth: int):
+    if depth <= 0 or rng.random() < 0.4:
+        sql, fn = _j_leaf(rng)
+        return sql, fn, 3
+    kind = rng.randrange(5)
+    if kind == 0:
+        s, f, _ = _j_tree(rng, depth - 1)
+        return f"NOT ( {s} )", (lambda a, b, f=f: not f(a, b)), 3
+    if kind == 1:
+        s, f, _ = _j_tree(rng, depth - 1)
+        return f"( {s} )", f, 3
+    op_and = kind in (2, 3)
+    ls, lf, lp = _j_tree(rng, depth - 1)
+    rs, rf, rp = _j_tree(rng, depth - 1)
+    if op_and:
+        if lp < 2:
+            ls = f"( {ls} )"
+        if rp < 2:
+            rs = f"( {rs} )"
+        return (f"{ls} AND {rs}",
+                (lambda a, b, x=lf, y=rf: x(a, b) and y(a, b)), 2)
+    return (f"{ls} OR {rs}",
+            (lambda a, b, x=lf, y=rf: x(a, b) or y(a, b)), 1)
+
+
+@pytest.fixture(scope="module")
+def join_tables(tmp_path_factory, spark):
+    cat = PostgresCatalog.connect(
+        "ssqljfuzz", None, str(tmp_path_factory.mktemp("whj"))
+    )
+    cat.initialize()
+    fdf = spark.createDataFrame(F_ROWS, "k long, fday long, fb long")
+    t = cat.create_table(
+        TableIdentifier.parse("fz.f"), fdf.schema, partition_by=["fday"]
+    )
+    t.new_transaction().append_dataframe(fdf.repartition("fday")).commit()
+    ddf = spark.createDataFrame(D_ROWS, "k long, dr long, dn string")
+    t = cat.create_table(
+        TableIdentifier.parse("fz.d"), ddf.schema, partition_by=["dr"]
+    )
+    t.new_transaction().append_dataframe(ddf.repartition("dr")).commit()
+    yield cat
+    cat.backend.close()
+
+
+def test_fuzz_join_where_pruning_matches_unpruned_evaluation(
+    join_tables, spark
+):
+    """Multi-ref attribution property (r14): random WHERE trees over a
+    two-catalog-table inner join — per-ref qualified-conjunct pruning
+    must never change the result set."""
+    rng = random.Random(SEED + 7)
+    fkeys = [dict(zip(("k", "fday", "fb"), r)) for r in F_ROWS]
+    dkeys = {r[0]: dict(zip(("k", "dr", "dn"), r)) for r in D_ROWS}
+    joined = [(fr, dkeys[fr["k"]]) for fr in fkeys if fr["k"] in dkeys]
+    failures = []
+    for case in range(80):
+        sql_pred, fn, _ = _j_tree(rng, rng.randrange(1, 4))
+        expect = sorted(fr["k"] for fr, dr_ in joined if fn(fr, dr_))
+        stmt = (
+            "SELECT f.k FROM fz.f f JOIN fz.d d ON f.k = d.k "
+            f"WHERE {sql_pred}"
+        )
+        try:
+            got = sorted(
+                r.k for r in select_sql(spark, join_tables, stmt).collect()
+            )
+        except Exception as exc:
+            failures.append((case, sql_pred, f"raised {exc!r}"))
+            continue
+        if got != expect:
+            failures.append(
+                (case, sql_pred, f"{len(got)} != {len(expect)} rows")
+            )
+        if len(failures) >= 5:
+            break
+    assert not failures, failures
+
+
 def test_fuzz_plan_info_never_raises_and_never_over_prunes(fuzz_table, spark):
     """Companion property: select_plan_info mirrors execution — for every
     generated predicate the planned file count is consistent (0 <= planned

@@ -142,6 +142,11 @@ SHOWCASE = [
     "chunk_sliding_window",
     "sample_temperature_mixture",
     "catalog_sql_transaction_script",
+    # r14: the SQL-read bench headline (DNF-pruned scan + join through the
+    # string front-end) and the planner-pruned write paths' evidence
+    "catalog_sql_select_read",
+    "catalog_sql_dml_pruned_write",
+    "catalog_sql_delete_files_debt",
 ]
 
 
