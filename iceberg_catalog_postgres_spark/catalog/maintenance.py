@@ -96,6 +96,11 @@ def merge_upsert(
     return table.new_transaction().overwrite_dataframe(merged).commit()
 
 
+#: below this target file count, MERGE dynamic file pruning is skipped —
+#: its driver-blocking source passes cost more than the scan they save
+_DFP_MIN_FILES = 8
+
+
 def _merge_candidate_files(
     spark: SparkSession, table: Table, source: DataFrame, on: list[str]
 ) -> list[str] | None:
@@ -118,6 +123,13 @@ def _merge_candidate_files(
 
     key = on[0]
     if key not in source.columns:
+        return None
+    rels = table.metadata.current_data_files()
+    if len(rels) < _DFP_MIN_FILES:
+        # the pruning pass costs one or two driver-blocking source
+        # actions; on a target this small the full scan is cheaper than
+        # the planning (measured: +0.7s on a 4-file bench table for zero
+        # skips). At warehouse scale (10^4+ files) DFP always runs.
         return None
     agg = source.agg(
         F.min(key).alias("lo"), F.max(key).alias("hi"),
@@ -151,7 +163,6 @@ def _merge_candidate_files(
         i = _bisect.bisect_left(keys, b[0])
         return i < len(keys) and keys[i] <= b[1]
 
-    rels = table.metadata.current_data_files()
     out = []
     for rel in rels:
         try:
@@ -287,11 +298,20 @@ def merge_into(
     # non-matching rows, so it needs them all, and a CoW overwrite must
     # read every row back regardless.
     merge_subset = None
+    dfp_persisted = False
     if (
         dynamic_file_pruning
         and strategy == "mor"
         and not when_not_matched_by_source
     ):
+        # persist the source across the DFP passes AND the merge join:
+        # the key aggregate / key-set collect must see the SAME rows the
+        # join will (a non-deterministic source lineage re-evaluated
+        # differently would break the superset guarantee), and the cache
+        # makes the extra passes read-cheap instead of re-running the
+        # source plan
+        source = source.persist()
+        dfp_persisted = True
         merge_subset = _merge_candidate_files(spark, table, source, on)
     current = table.to_df(
         spark,
@@ -461,6 +481,8 @@ def merge_into(
         )
     finally:
         j.unpersist()
+        if dfp_persisted:
+            source.unpersist()
 
 
 def compact_table(

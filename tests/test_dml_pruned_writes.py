@@ -198,9 +198,10 @@ def test_merge_mor_dynamic_file_pruning(catalog, spark, monkeypatch):
         [(i, f"n{i}") for i in range(100)], "k long, name string"
     )
     t = catalog.create_table(TableIdentifier.parse("d.dfp"), df.schema)
-    # range partitioning gives each file a contiguous, stats-covered k span
+    # range partitioning gives each file a contiguous, stats-covered k
+    # span; 10 files clears the _DFP_MIN_FILES gate
     t = t.new_transaction().append_dataframe(
-        df.repartitionByRange(5, "k")
+        df.repartitionByRange(10, "k")
     ).commit()
     src = spark.createDataFrame(
         [(3, "u3"), (7, "u7")], "k long, name string"
@@ -222,7 +223,7 @@ def test_merge_mor_dynamic_file_pruning(catalog, spark, monkeypatch):
     monkeypatch.undo()
     # keys {3, 7}: only the range file holding low keys intersects [3, 7]
     assert seen["file_subset"] is not None
-    assert 0 < len(seen["file_subset"]) < 5
+    assert 0 < len(seen["file_subset"]) < 10
     rows = {r.k: r.name for r in t.to_df(spark).collect()}
     assert len(rows) == 100
     assert rows[3] == "u3" and rows[7] == "u7"
@@ -244,7 +245,7 @@ def test_merge_mor_dynamic_file_pruning(catalog, spark, monkeypatch):
     )
     monkeypatch.undo()
     assert seen["file_subset"] is not None
-    assert 0 < len(seen["file_subset"]) < 5
+    assert 0 < len(seen["file_subset"]) < 10
     rows = {r.k: r.name for r in t.to_df(spark).collect()}
     assert len(rows) == 101
     assert rows[3] == "v3" and rows[7] == "v7" and rows[500] == "v500"
