@@ -1972,6 +1972,7 @@ def catalog_sql_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             AS BIGINT)),
       ('nonpart', 5, 5,
        CAST((SELECT count(*) FROM nation WHERE n_name <> '') AS BIGINT)),
+      ('orbranches', 5, 2, CAST(2 AS BIGINT)),
       ('ordnf', 5, 2,
        CAST((SELECT count(*) FROM nation
              WHERE n_regionkey = 0 OR n_regionkey = 4) AS BIGINT)),
@@ -2043,6 +2044,23 @@ def catalog_sql_select_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
                 select_sql(spark, cat, sql).count(),
             )
         )
+        if case_name == "ordnf":
+            # per-branch planner decision AS DATA (r14): branch count in
+            # files_planned, summed per-branch planned files in n_rows —
+            # the DNF union is 2 files from 2 one-file branches
+            t_dnf = cat.load_table(TableIdentifier.parse("maint.nation_ident"))
+            per_branch = [
+                len(
+                    t_dnf.planned_files_composed(
+                        points={k: v for k, v in b["points"].items()}
+                    )
+                )
+                for b in info["or_branches"]
+            ]
+            rows.append(
+                ("orbranches", info["n_files_total"],
+                 len(info["or_branches"]), sum(per_branch))
+            )
     return spark.createDataFrame(
         rows, "case_name string, files_total int, files_planned int, n_rows long"
     ).orderBy("case_name")
@@ -2229,6 +2247,72 @@ def catalog_sql_dml_pruned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         )],
         "files_rewritten long, files_kept long, carried_identical boolean, "
         "n_after_delete long, n_lowered long, sum_final long",
+    )
+
+
+@register(
+    "catalog_sql_insert_overwrite_partition",
+    oracle="""
+    SELECT CAST(4 AS BIGINT) AS files_carried,
+           CAST((SELECT count(*) FROM nation) AS BIGINT) AS n_total,
+           CAST((SELECT count(*) FROM nation
+                 WHERE n_regionkey = 2) AS BIGINT) AS n_restated,
+           CAST((SELECT sum(n_nationkey) FROM nation
+                 WHERE n_regionkey = 2) AS BIGINT) + 1000 *
+           CAST((SELECT count(*) FROM nation
+                 WHERE n_regionkey = 2) AS BIGINT) AS sum_restated_keys,
+           CAST((SELECT count(*) FROM nation
+                 WHERE n_regionkey <> 2) AS BIGINT) AS n_untouched
+    """,
+    tags=("catalog", "sql", "insert", "overwrite", "partition"),
+)
+def catalog_sql_insert_overwrite_partition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``INSERT OVERWRITE ... PARTITION (col = lit)`` through SQL (r14):
+    the daily-restatement statement — replace exactly ONE identity
+    partition with the select's rows (keys shifted by +1000 so the
+    oracle can tell restated rows from originals), every other
+    partition's files carried over byte-identical (``files_carried``
+    checks rel-path intersection). Runs on the dynamic-partition-
+    overwrite machinery under a constant-column batch; the relational
+    answer is recomputed by the oracle."""
+    from iceberg_catalog_postgres_spark.catalog.merge_sql import execute_dml
+
+    cat = _fresh_catalog("catalog_sql_ins_ow_part")
+    src = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    ident = TableIdentifier.parse("maint.nation_iow")
+    t = cat.create_table(ident, src.schema, partition_by=["n_regionkey"])
+    t = t.new_transaction().append_dataframe(src.coalesce(1)).commit()
+    before = set(t.metadata.current_data_files())
+    src.filter(F.col("n_regionkey") == 2).select(
+        (F.col("n_nationkey") + 1000).alias("n_nationkey"), "n_name"
+    ).createOrReplaceTempView("iow_restated")
+    execute_dml(
+        spark, cat,
+        "INSERT OVERWRITE maint.nation_iow PARTITION (n_regionkey = 2) "
+        "SELECT n_nationkey, n_name FROM iow_restated",
+    )
+    t = cat.load_table(ident)
+    carried = len(before & set(t.metadata.current_data_files()))
+    agg = execute_dml(
+        spark, cat,
+        "SELECT count(*) AS n_total, "
+        "sum(CASE WHEN n_regionkey = 2 THEN 1 ELSE 0 END) AS n_restated, "
+        "sum(CASE WHEN n_regionkey = 2 THEN n_nationkey ELSE 0 END) "
+        "  AS sum_restated, "
+        "sum(CASE WHEN n_regionkey <> 2 THEN 1 ELSE 0 END) AS n_untouched "
+        "FROM maint.nation_iow",
+    ).first()
+    return spark.createDataFrame(
+        [(
+            carried, int(agg.n_total), int(agg.n_restated),
+            int(agg.sum_restated), int(agg.n_untouched),
+        )],
+        "files_carried long, n_total long, n_restated long, "
+        "sum_restated_keys long, n_untouched long",
     )
 
 
@@ -4388,7 +4472,9 @@ def catalog_day_transform_pruning(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-def overwrite_partitions(spark: SparkSession, table: Table, df: DataFrame) -> Table:
+def overwrite_partitions(
+    spark: SparkSession, table: Table, df: DataFrame, pointer_swap=None
+) -> Table:
     """DYNAMIC partition overwrite (Iceberg's ``INSERT OVERWRITE`` /
     ``overwritePartitions``): replace ONLY the partitions present in the
     incoming batch; every other partition's files are carried over
@@ -4502,6 +4588,11 @@ def overwrite_partitions(spark: SparkSession, table: Table, df: DataFrame) -> Ta
         new_metadata.location, "metadata", f"dpo-{_uuid.uuid4().hex}.metadata.json"
     )
     store.put(new_location, new_metadata.to_json().encode())
+    if pointer_swap is not None:
+        # multi-table commit seam: (identifier, new, prev) -> Table|None
+        return pointer_swap(
+            table.identifier, new_location, table.metadata_location()
+        )
     return table.catalog.update_table(
         table.identifier, new_location, table.metadata_location()
     )

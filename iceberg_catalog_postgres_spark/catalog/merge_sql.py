@@ -680,8 +680,9 @@ def execute_dml(spark, catalog, sql: str, **kwargs):
 
 
 def parse_insert(sql: str) -> dict:
-    """``INSERT INTO|OVERWRITE <ident> [(cols)] VALUES (...)[, ...] |
-    SELECT ...`` -> ``{"target", "overwrite", "columns": [..]|None,
+    """``INSERT INTO|OVERWRITE <ident> [PARTITION (col = lit, ...)]
+    [(cols)] VALUES (...)[, ...] | SELECT ...`` -> ``{"target",
+    "overwrite", "partition": {col: lit}|None, "columns": [..]|None,
     "source": ("values"|"select", sql text)}``."""
     cur = _Cursor(_tokenize(sql.strip().rstrip(";")))
     cur.expect_kw("INSERT")
@@ -693,6 +694,33 @@ def parse_insert(sql: str) -> dict:
     else:
         raise ValueError(f"INSERT parse error: expected INTO/OVERWRITE, got {mode!r}")
     target = cur.dotted_name()
+    partition = None
+    if (
+        cur.peek() is not None
+        and not cur.peek().startswith(("'", "`"))
+        and cur.peek().upper() == "PARTITION"
+    ):
+        # Spark's static-partition clause: every entry must be col = lit
+        # (a dynamic entry is spelled by OMITTING the clause entirely)
+        from iceberg_catalog_postgres_spark.catalog.select_sql import (
+            _parse_literal,
+        )
+
+        cur.next()
+        partition = {}
+        for piece in _split_top(cur.balanced_parens(), ","):
+            if not piece:
+                continue
+            if len(piece) < 3 or piece[1] != "=":
+                raise ValueError(
+                    "INSERT PARTITION entries must be col = literal; "
+                    "omit the clause for dynamic partition overwrite"
+                )
+            partition[_strip_ident(piece[0])] = _parse_literal(
+                _Cursor(piece[2:])
+            )
+        if not partition:
+            raise ValueError("INSERT PARTITION clause is empty")
     by_name = False
     if (
         cur.peek() is not None
@@ -720,6 +748,7 @@ def parse_insert(sql: str) -> dict:
         return {
             "target": target,
             "overwrite": overwrite,
+            "partition": partition,
             "columns": columns,
             "by_name": False,
             "source": ("values", _render(rest, {})),
@@ -732,6 +761,7 @@ def parse_insert(sql: str) -> dict:
     return {
         "target": target,
         "overwrite": overwrite,
+        "partition": partition,
         "columns": columns,
         "by_name": by_name,
         "source": ("select", _render(rest, {})),
@@ -843,6 +873,13 @@ def insert_sql(spark, catalog, sql: str, n_files: int | None = None,
         raise ValueError("INSERT OVERWRITE on a branch: branch commits are append-only")
     cols = [f.name for f in table.schema.fields]
     types = {f.name: f.dataType for f in table.schema.fields}
+    part = p.get("partition") or {}
+    if part:
+        unknown = [c for c in part if c not in types]
+        if unknown:
+            raise ValueError(
+                f"INSERT PARTITION names unknown column(s): {unknown}"
+            )
     kind, text = p["source"]
     from iceberg_catalog_postgres_spark.catalog.select_sql import select_sql
 
@@ -858,7 +895,9 @@ def insert_sql(spark, catalog, sql: str, n_files: int | None = None,
             )
         listed = list(df.columns)
     else:
-        listed = p["columns"] or cols
+        # with a static PARTITION clause the query supplies the REMAINING
+        # columns (Spark's rule); otherwise every table column
+        listed = p["columns"] or [c for c in cols if c not in part]
         unknown = [c for c in listed if c not in types]
         if unknown:
             raise ValueError(f"INSERT lists unknown column(s): {unknown}")
@@ -876,15 +915,67 @@ def insert_sql(spark, catalog, sql: str, n_files: int | None = None,
                     f"{len(listed)} targets"
                 )
             df = df.toDF(*listed)
+    if part:
+        dup = [c for c in part if c in listed]
+        if dup:
+            raise ValueError(
+                f"INSERT PARTITION column(s) also provided by the query: {dup}"
+            )
     out = [
-        (F.col(c) if c in listed else F.lit(None)).cast(types[c]).alias(c)
+        (
+            F.lit(part[c]) if c in part
+            else F.col(c) if c in listed
+            else F.lit(None)
+        ).cast(types[c]).alias(c)
         for c in cols
     ]
-    tx = table.new_transaction(branch=branch)
     if p["overwrite"]:
-        return tx.overwrite_dataframe(df.select(*out)).commit(
-            pointer_swap=pointer_swap
+        from iceberg_catalog_postgres_spark.catalog.maintenance import (
+            overwrite_partitions,
         )
+        from iceberg_catalog_postgres_spark.catalog.table import (
+            parse_partition_field,
+        )
+
+        if part:
+            # static partition overwrite (r14): the named partition is
+            # replaced by the select's rows (partition columns become
+            # constants). Correct-by-construction rule: the clause must
+            # name EXACTLY the identity partition sources of the spec —
+            # a partial key under a multi-entry spec would replace only
+            # the tuples present in the batch (dynamic semantics), not
+            # the whole named slice, and a transform entry has no single
+            # literal. Explicit > silently wrong.
+            idents = {
+                parse_partition_field(e)[2]
+                for e in table.metadata.partition_spec
+                if parse_partition_field(e)[0] == "identity"
+            }
+            if set(part) != idents or len(table.metadata.partition_spec) != len(idents):
+                raise ValueError(
+                    "INSERT OVERWRITE PARTITION must name exactly the "
+                    f"identity partition source(s) {sorted(idents)} of an "
+                    "all-identity spec; use dynamic partition overwrite "
+                    "(no PARTITION clause, "
+                    "spark.sql.sources.partitionOverwriteMode=dynamic) "
+                    "for transform or partial-key specs"
+                )
+            return overwrite_partitions(
+                spark, table, df.select(*out), pointer_swap=pointer_swap
+            )
+        mode = str(
+            spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        ).lower()
+        if mode == "dynamic" and table.metadata.partition_spec:
+            # Spark's dynamic mode: replace ONLY the partitions the
+            # incoming rows touch (the daily-restatement shape)
+            return overwrite_partitions(
+                spark, table, df.select(*out), pointer_swap=pointer_swap
+            )
+        return table.new_transaction(branch=branch).overwrite_dataframe(
+            df.select(*out)
+        ).commit(pointer_swap=pointer_swap)
+    tx = table.new_transaction(branch=branch)
     return tx.append_dataframe(df.select(*out), n_files=n_files).commit(
         pointer_swap=pointer_swap
     )

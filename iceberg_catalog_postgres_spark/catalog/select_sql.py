@@ -935,19 +935,61 @@ def select_plan_info(spark, catalog, sql: str) -> dict:
     return {"n_files_total": total, "n_files_planned": planned, **info}
 
 
+def _explain_dml(spark, catalog, body: str, kw: str, mode: str):
+    """``EXPLAIN DELETE|UPDATE`` (r14): the WRITE-side planning decision —
+    files total vs files the planner-pruned matching scan would open —
+    plus the physical plan of that scan, WITHOUT committing anything.
+    The question a 100 TB user asks before running a DELETE is exactly
+    "will this prune"; running it to find out is the wrong feedback
+    loop."""
+    from iceberg_catalog_postgres_spark.catalog.merge_sql import (
+        parse_delete,
+        parse_update,
+    )
+
+    p = parse_delete(body) if kw == "DELETE" else parse_update(body)
+    ident = TableIdentifier.parse(p["target"])
+    table = catalog.load_table(ident)
+    total = len(table.metadata.current_data_files())
+    subset = (
+        prune_subset_for_where(table, ident, p["where"])
+        if p["where"] is not None
+        else None
+    )
+    planned = total if subset is None else len(subset)
+    lines = [
+        "== metadata planning ==",
+        f"statement: {kw}   files total: {total}   files planned: {planned}",
+        f"where: {p['where']!r}   pruned: {subset is not None}",
+    ]
+    from pyspark.sql import functions as _F
+
+    cond = _F.expr(p["where"]) if p["where"] is not None else _F.lit(True)
+    scan = table.to_df(spark, file_subset=subset).filter(cond)
+    plan = scan._sc._jvm.PythonSQLUtils.explainString(
+        scan._jdf.queryExecution(), mode
+    )
+    lines.append("== matching-scan physical plan (not executed) ==")
+    lines += plan.rstrip("\n").split("\n")
+    return spark.createDataFrame([(l,) for l in lines], "plan_line string")
+
+
 def explain_sql(spark, catalog, sql: str):
-    """``EXPLAIN [FORMATTED|EXTENDED] <select>``: the statement's physical
-    plan as a DataFrame of lines, prefixed (for single-table selects) by
-    a metadata-planning summary — what the manifest planner decided
-    BEFORE Spark sees a file list, which ``.explain`` alone can never
-    show. The evidence surface for "is my WHERE actually pruning":
+    """``EXPLAIN [FORMATTED|EXTENDED] <select | delete | update>``: the
+    statement's physical plan as a DataFrame of lines, prefixed (for
+    single-table selects and all DML) by a metadata-planning summary —
+    what the manifest planner decided BEFORE Spark sees a file list,
+    which ``.explain`` alone can never show. The evidence surface for
+    "is my WHERE actually pruning":
 
         == metadata planning ==
         files total: 31   files planned: 2
         points: {'b': 2}   ranges: {'k': (10, 19)}
         == physical plan ==
         ...
-    """
+
+    ``EXPLAIN DELETE/UPDATE`` reports the write path's pruned matching
+    scan without committing (r14)."""
     toks = sql.strip().split(None, 2)
     if not toks or toks[0].upper() != "EXPLAIN":
         raise ValueError("explain_sql expects an EXPLAIN statement")
@@ -958,6 +1000,9 @@ def explain_sql(spark, catalog, sql: str):
         mode = head[0].lower()
         body = head[1] if len(head) > 1 else ""
     lines: list[str] = []
+    kw = (body.split(None, 1) or [""])[0].upper()
+    if kw in ("DELETE", "UPDATE"):
+        return _explain_dml(spark, catalog, body, kw, mode)
     rewritten, refs = _resolve_and_prune(body, catalog)
     data_refs = [
         r for r in refs if r["suffix"] is None and r["table"] is not None

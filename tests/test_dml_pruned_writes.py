@@ -297,6 +297,114 @@ def test_merge_mor_dynamic_file_pruning(catalog, spark, monkeypatch):
     assert seen["file_subset"] is None
 
 
+def test_insert_overwrite_static_partition(catalog, spark):
+    """r14: INSERT OVERWRITE ... PARTITION (col = lit) replaces exactly
+    the named identity partition; every other partition's files carry
+    over byte-identical (the dynamic-overwrite machinery under a
+    constant-column batch)."""
+    t = _seed(catalog, spark, "d.so")  # r = k % 5, partitioned by r
+    before = set(t.metadata.current_data_files())
+    spark.createDataFrame(
+        [(1000, "res0"), (1001, "res1")], "k long, name string"
+    ).createOrReplaceTempView("so_src")
+    execute_dml(
+        spark, catalog,
+        "INSERT OVERWRITE d.so PARTITION (r = 1) "
+        "SELECT k, name FROM so_src",
+    )
+    t = catalog.load_table(TableIdentifier.parse("d.so"))
+    after = set(t.metadata.current_data_files())
+    assert len(before & after) == 4  # 4 untouched partitions carried
+    rows = sorted(
+        (r.k, r.name, r.r) for r in t.to_df(spark).collect()
+    )
+    expect = sorted(
+        [(i, f"n{i}", i % 5) for i in range(60) if i % 5 != 1]
+        + [(1000, "res0", 1), (1001, "res1", 1)]
+    )
+    assert rows == expect
+    # INSERT INTO ... PARTITION appends with the constant column
+    execute_dml(
+        spark, catalog,
+        "INSERT INTO d.so PARTITION (r = 9) VALUES (2000, 'nine')",
+    )
+    t = catalog.load_table(TableIdentifier.parse("d.so"))
+    got = t.to_df(spark).filter(F.col("r") == 9).collect()
+    assert [(g.k, g.name) for g in got] == [(2000, "nine")]
+    # refusals: partition column also in the column list; unknown column
+    with pytest.raises(ValueError, match="also provided"):
+        execute_dml(
+            spark, catalog,
+            "INSERT OVERWRITE d.so PARTITION (r = 1) (k, name, r) "
+            "SELECT k, name, 5 FROM so_src",
+        )
+    with pytest.raises(ValueError, match="unknown column"):
+        execute_dml(
+            spark, catalog,
+            "INSERT OVERWRITE d.so PARTITION (bogus = 1) "
+            "SELECT k, name FROM so_src",
+        )
+
+
+def test_insert_overwrite_dynamic_mode_conf(catalog, spark):
+    """Spark's partitionOverwriteMode=dynamic: INSERT OVERWRITE replaces
+    ONLY the partitions present in the incoming rows."""
+    t = _seed(catalog, spark, "d.dy")
+    before = set(t.metadata.current_data_files())
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        execute_dml(
+            spark, catalog,
+            "INSERT OVERWRITE d.dy VALUES (3000, 'dyn', 2), (3001, 'dyn2', 4)",
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    t = catalog.load_table(TableIdentifier.parse("d.dy"))
+    after = set(t.metadata.current_data_files())
+    assert len(before & after) == 3  # r in {2, 4} replaced, 3 carried
+    rows = sorted((r.k, r.r) for r in t.to_df(spark).collect())
+    expect = sorted(
+        [(i, i % 5) for i in range(60) if i % 5 not in (2, 4)]
+        + [(3000, 2), (3001, 4)]
+    )
+    assert rows == expect
+    # static mode (default): the same statement is a FULL overwrite
+    t2 = _seed(catalog, spark, "d.st")
+    execute_dml(
+        spark, catalog, "INSERT OVERWRITE d.st VALUES (1, 'only', 0)"
+    )
+    t2 = catalog.load_table(TableIdentifier.parse("d.st"))
+    assert t2.to_df(spark).count() == 1
+
+
+def test_explain_dml_reports_planning_without_committing(catalog, spark):
+    """EXPLAIN DELETE/UPDATE (r14): planning decision + matching-scan
+    plan as rows; the table must be untouched afterwards."""
+    t = _seed(catalog, spark, "d.x")
+    before = t.metadata.current_snapshot_id
+    lines = [
+        r.plan_line
+        for r in execute_dml(
+            spark, catalog, "EXPLAIN DELETE FROM d.x WHERE r = 1 OR r = 3"
+        ).collect()
+    ]
+    assert lines[0] == "== metadata planning =="
+    assert "files total: 5" in lines[1] and "files planned: 2" in lines[1]
+    assert "pruned: True" in lines[2]
+    assert any("physical plan" in l for l in lines)
+    lines = [
+        r.plan_line
+        for r in execute_dml(
+            spark, catalog,
+            "EXPLAIN UPDATE d.x SET name = 'z' WHERE name = 'n7'",
+        ).collect()
+    ]
+    assert "files planned: 5" in lines[1] and "pruned: False" in lines[2]
+    t = catalog.load_table(TableIdentifier.parse("d.x"))
+    assert t.metadata.current_snapshot_id == before  # nothing committed
+    assert t.to_df(spark).count() == 60
+
+
 def test_update_cow_lineage_stays_full_overwrite(catalog, spark):
     """The lineage-preserving CoW UPDATE keeps the table-wide overwrite
     (rewritten files need their _row_id map rebuilt) — exactness first."""

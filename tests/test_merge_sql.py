@@ -331,8 +331,8 @@ from iceberg_catalog_postgres_spark.catalog.merge_sql import (  # noqa: E402
 def test_parse_insert_and_ctas():
     p = parse_insert("INSERT INTO db.t (k, name) VALUES (1, 'a'), (2, 'b')")
     assert p == {
-        "target": "db.t", "overwrite": False, "columns": ["k", "name"],
-        "by_name": False,
+        "target": "db.t", "overwrite": False, "partition": None,
+        "columns": ["k", "name"], "by_name": False,
         "source": ("values", "( 1 , 'a' ) , ( 2 , 'b' )"),
     }
     p = parse_insert("INSERT OVERWRITE db.t SELECT * FROM v WHERE k > 1")

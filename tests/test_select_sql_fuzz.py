@@ -264,6 +264,57 @@ def test_fuzz_join_where_pruning_matches_unpruned_evaluation(
     assert not failures, failures
 
 
+def test_fuzz_delete_mor_pruned_writes_match_evaluation(tmp_path, spark):
+    """WRITE-path pruning property (r14): random WHERE trees executed as
+    ``DELETE FROM`` (MOR, planner-pruned scan via prune_subset_for_where)
+    must leave exactly the rows a direct evaluation keeps — a wrong
+    subset here is silent data corruption, the worst failure class in
+    the repo. Each case deletes then rolls the table back to the seed
+    snapshot (metadata-only, O(1) per case)."""
+    from iceberg_catalog_postgres_spark.catalog.merge_sql import execute_dml
+
+    cat = PostgresCatalog.connect("ssqldfuzz", None, str(tmp_path / "wh"))
+    cat.initialize()
+    try:
+        df = spark.createDataFrame(ROWS, "k long, day long, b long, name string")
+        t = cat.create_table(
+            TableIdentifier.parse("fz.w"), df.schema,
+            partition_by=["day", "truncate(4, b)"],
+        )
+        t = t.new_transaction().append_dataframe(df.repartition("day")).commit()
+        seed_snap = t.metadata.current_snapshot_id
+        rng = random.Random(SEED + 99)
+        keys = [dict(zip(("k", "day", "b", "name"), r)) for r in ROWS]
+        failures = []
+        for case in range(25):
+            sql_pred, fn, _p = _tree(rng, rng.randrange(1, 4))
+            strategy = rng.choice(["mor", "cow"])
+            expect = sorted(r["k"] for r in keys if not fn(r))
+            try:
+                execute_dml(
+                    spark, cat, f"DELETE FROM fz.w WHERE {sql_pred}",
+                    strategy=strategy,
+                )
+                t = cat.load_table(TableIdentifier.parse("fz.w"))
+                got = sorted(r.k for r in t.to_df(spark).collect())
+            except Exception as exc:
+                failures.append((case, strategy, sql_pred, f"raised {exc!r}"))
+                t = cat.load_table(TableIdentifier.parse("fz.w"))
+                t = t.rollback_to(seed_snap)
+                continue
+            if got != expect:
+                failures.append(
+                    (case, strategy, sql_pred,
+                     f"{len(got)} survivors != {len(expect)} expected")
+                )
+            t = t.rollback_to(seed_snap)
+            if len(failures) >= 4:
+                break
+        assert not failures, failures
+    finally:
+        cat.backend.close()
+
+
 def test_fuzz_plan_info_never_raises_and_never_over_prunes(fuzz_table, spark):
     """Companion property: select_plan_info mirrors execution — for every
     generated predicate the planned file count is consistent (0 <= planned
