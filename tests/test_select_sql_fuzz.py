@@ -315,6 +315,57 @@ def test_fuzz_delete_mor_pruned_writes_match_evaluation(tmp_path, spark):
         cat.backend.close()
 
 
+def test_fuzz_update_mor_pruned_writes_match_evaluation(tmp_path, spark):
+    """UPDATE twin of the DELETE property: random WHERE trees executed as
+    ``UPDATE ... SET name = 'HIT'`` (MOR row delta over the planner-pruned
+    matching scan) must mark exactly the rows a direct evaluation marks —
+    and must never lose an unmatched row."""
+    from iceberg_catalog_postgres_spark.catalog.merge_sql import execute_dml
+
+    cat = PostgresCatalog.connect("ssqlufuzz", None, str(tmp_path / "wh"))
+    cat.initialize()
+    try:
+        df = spark.createDataFrame(ROWS, "k long, day long, b long, name string")
+        t = cat.create_table(
+            TableIdentifier.parse("fz.u"), df.schema,
+            partition_by=["day", "truncate(4, b)"],
+        )
+        t = t.new_transaction().append_dataframe(df.repartition("day")).commit()
+        seed_snap = t.metadata.current_snapshot_id
+        rng = random.Random(SEED + 303)
+        keys = [dict(zip(("k", "day", "b", "name"), r)) for r in ROWS]
+        failures = []
+        for case in range(20):
+            sql_pred, fn, _p = _tree(rng, rng.randrange(1, 4))
+            expect = sorted(r["k"] for r in keys if fn(r))
+            try:
+                execute_dml(
+                    spark, cat,
+                    f"UPDATE fz.u SET name = 'HIT' WHERE {sql_pred}",
+                )
+                t = cat.load_table(TableIdentifier.parse("fz.u"))
+                rows = t.to_df(spark).collect()
+                got = sorted(r.k for r in rows if r.name == "HIT")
+                n_rows = len(rows)
+            except Exception as exc:
+                failures.append((case, sql_pred, f"raised {exc!r}"))
+                t = cat.load_table(TableIdentifier.parse("fz.u"))
+                t = t.rollback_to(seed_snap)
+                continue
+            if got != expect or n_rows != len(ROWS):
+                failures.append(
+                    (case, sql_pred,
+                     f"{len(got)} hit != {len(expect)} expected "
+                     f"(rows {n_rows}/{len(ROWS)})")
+                )
+            t = t.rollback_to(seed_snap)
+            if len(failures) >= 4:
+                break
+        assert not failures, failures
+    finally:
+        cat.backend.close()
+
+
 def test_fuzz_plan_info_never_raises_and_never_over_prunes(fuzz_table, spark):
     """Companion property: select_plan_info mirrors execution — for every
     generated predicate the planned file count is consistent (0 <= planned
