@@ -1007,11 +1007,14 @@ def explain_sql(spark, catalog, sql: str):
     data_refs = [
         r for r in refs if r["suffix"] is None and r["table"] is not None
     ]
-    if len(data_refs) == 1:
+    if data_refs:
+        lines.append("== metadata planning ==")
+    for ref in data_refs:
         # report THE plan the execution below uses — same ref dicts, so
-        # the composed walk / IN subset is computed exactly once
+        # the composed walk / IN subset is computed exactly once. One
+        # block per catalog ref (r14 — joins prune each side, so each
+        # side's decision is evidence)
         try:
-            ref = data_refs[0]
             points = ref.get("_prune_points") or {}
             ranges = ref.get("_prune_ranges") or {}
             ins = ref.get("_prune_in") or {}
@@ -1043,9 +1046,13 @@ def explain_sql(spark, catalog, sql: str):
                 detail = (
                     f"points: {points}   ranges: {ranges}   in_lists: {ins}"
                 )
+            label = (
+                f"{ref['ident']}"
+                + (f" (alias {ref['alias']})" if ref["alias"] else "")
+            )
             lines += [
-                "== metadata planning ==",
-                f"files total: {total}   files planned: {planned}",
+                f"ref: {label}   files total: {total}   "
+                f"files planned: {planned}",
                 detail,
             ]
         except (ValueError, KeyError):

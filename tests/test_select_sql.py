@@ -637,15 +637,21 @@ def test_explain_sql_shows_metadata_planning(catalog, spark):
     assert "files planned: 1" in lines[1] and "files total: 3" in lines[1]
     assert "points: {'r': 1}" in lines[2]
     assert "== physical plan ==" in lines
-    # multi-table statements skip the planning block but still explain
+    # multi-table statements emit ONE planning block PER catalog ref
+    # (r14 — joins prune each side, so each side's decision is evidence)
     lines = [
         r.plan_line
         for r in execute_dml(
             spark, catalog,
-            "EXPLAIN SELECT * FROM s.ex a JOIN s.ex b ON a.k = b.k",
+            "EXPLAIN SELECT * FROM s.ex a JOIN s.ex b ON a.k = b.k "
+            "WHERE a.r = 1",
         ).collect()
     ]
-    assert lines[0] == "== physical plan =="
+    assert lines[0] == "== metadata planning =="
+    ref_lines = [l for l in lines if l.startswith("ref: s.ex")]
+    assert len(ref_lines) == 2
+    assert any("files planned: 1" in l and "(alias a)" in l for l in ref_lines)
+    assert any("files planned: 3" in l and "(alias b)" in l for l in ref_lines)
 
 
 def test_in_list_pruning_unions_planned_files(catalog, spark):
