@@ -346,6 +346,28 @@ def test_insert_overwrite_static_partition(catalog, spark):
         )
 
 
+def test_insert_overwrite_partition_in_atomic_script(catalog, spark):
+    """The static partition overwrite composes with BEGIN...COMMIT: its
+    pointer swap joins the script's single multi-table CAS batch, so the
+    restatement and its audit-log append land atomically."""
+    t = _seed(catalog, spark, "d.sc", n=9, mod=3)
+    log_df = spark.createDataFrame([(0, "seed")], "k long, op string")
+    tl = catalog.create_table(TableIdentifier.parse("d.sclog"), log_df.schema)
+    tl.new_transaction().append_dataframe(log_df).commit()
+    execute_dml(
+        spark, catalog,
+        "BEGIN; "
+        "INSERT OVERWRITE d.sc PARTITION (r = 1) VALUES (100, 'restated'); "
+        "INSERT INTO d.sclog VALUES (1, 'restate-r1'); "
+        "COMMIT",
+    )
+    t = catalog.load_table(TableIdentifier.parse("d.sc"))
+    rows = sorted((r.k, r.r) for r in t.to_df(spark).collect())
+    assert rows == [(0, 0), (2, 2), (3, 0), (5, 2), (6, 0), (8, 2), (100, 1)]
+    tl = catalog.load_table(TableIdentifier.parse("d.sclog"))
+    assert tl.to_df(spark).count() == 2
+
+
 def test_insert_overwrite_dynamic_mode_conf(catalog, spark):
     """Spark's partitionOverwriteMode=dynamic: INSERT OVERWRITE replaces
     ONLY the partitions present in the incoming rows."""
