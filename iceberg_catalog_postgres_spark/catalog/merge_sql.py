@@ -960,8 +960,13 @@ def insert_sql(spark, catalog, sql: str, n_files: int | None = None,
                     "spark.sql.sources.partitionOverwriteMode=dynamic) "
                     "for transform or partial-key specs"
                 )
+            # replace_partitions: the NAMED slice is truncated even when
+            # the source query yields zero rows (r15 ADVICE — static
+            # overwrite semantics; the dynamic path below replaces only
+            # batch-present partitions by design)
             return overwrite_partitions(
-                spark, table, df.select(*out), pointer_swap=pointer_swap
+                spark, table, df.select(*out), pointer_swap=pointer_swap,
+                replace_partitions=[dict(part)],
             )
         mode = str(
             spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")

@@ -124,23 +124,44 @@ def drop_namespace(catalog, namespace: str, if_exists: bool = False) -> None:
     """Unregister a namespace. REFUSES while any table or view lives in
     it (there is no CASCADE — dropping data through a namespace drop is
     the irreversibility class the CALL named-argument rule exists for).
-    IF EXISTS swallows only the missing-namespace case."""
+    IF EXISTS swallows only the missing-namespace case.
+
+    Race-safe (r15 ADVICE): the emptiness check rides INSIDE the DELETE
+    as NOT EXISTS guards, so a table/view registered between a separate
+    check and the delete can never orphan its namespace row — the
+    database evaluates check+delete as one statement. The pre-checks
+    below survive only to attribute the error message."""
     _ensure_namespaces_table(catalog)
     if catalog.list_tables(namespace):
         raise CatalogError(f"Namespace {namespace} is not empty: tables exist.")
-    from iceberg_catalog_postgres_spark.catalog.views import list_views
+    from iceberg_catalog_postgres_spark.catalog.views import (
+        VIEWS_TABLE_NAME,
+        list_views,
+    )
 
     if list_views(catalog, namespace):
         raise CatalogError(f"Namespace {namespace} is not empty: views exist.")
     _, count = catalog.backend.execute(
         catalog.backend.sql(
             f"DELETE FROM {NAMESPACES_TABLE_NAME} WHERE "
-            f"{CATALOG_NAME_COLUMN} = ? AND {TABLE_NAMESPACE_COLUMN} = ?"
+            f"{CATALOG_NAME_COLUMN} = ? AND {TABLE_NAMESPACE_COLUMN} = ? "
+            f"AND NOT EXISTS (SELECT 1 FROM {CATALOG_TABLE_NAME} WHERE "
+            f"{CATALOG_NAME_COLUMN} = ? AND {TABLE_NAMESPACE_COLUMN} = ?) "
+            f"AND NOT EXISTS (SELECT 1 FROM {VIEWS_TABLE_NAME} WHERE "
+            f"{CATALOG_NAME_COLUMN} = ? AND {TABLE_NAMESPACE_COLUMN} = ?)"
         ),
-        (catalog.name, namespace),
+        (catalog.name, namespace) * 3,
     )
-    if count == 0 and not if_exists:
-        raise CatalogError(f"Namespace {namespace} does not exist.")
+    if count == 0:
+        # guarded delete fired nothing: either the row never existed, or
+        # an object landed in the namespace concurrently — re-read to
+        # attribute (the row is still present in the concurrent case)
+        if namespace_exists(catalog, namespace):
+            raise CatalogError(
+                f"Namespace {namespace} is not empty: objects exist."
+            )
+        if not if_exists:
+            raise CatalogError(f"Namespace {namespace} does not exist.")
 
 
 def create_namespace_sql(spark, catalog, sql: str):

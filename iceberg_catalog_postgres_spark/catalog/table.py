@@ -167,6 +167,14 @@ def parse_partition_field(entry: str) -> tuple[str, int | None, str]:
     return "identity", None, entry
 
 
+def _in_bounds(iv: int, a: int | None, b: int | None) -> bool:
+    """Transformed-value containment for a possibly HALF-OPEN interval —
+    ``None`` on either side means unbounded (r15: ``WHERE ts >= X``, the
+    most common event-log predicate, prunes through the same monotone
+    compare; pre-r15 a lone bound planned ALL files)."""
+    return (a is None or a <= iv) and (b is None or iv <= b)
+
+
 def build_partition_entry(kind: str, param: int | None, column: str) -> str:
     """Canonical spec entry string for (kind, param, column) — the inverse
     of ``parse_partition_field``."""
@@ -1741,7 +1749,10 @@ class Table:
         ``ranges``: {source col: (lo, hi)} — applied through every MONOTONE
         entry over that column (year/month/day/hour, integer truncate,
         integer identity); bucket and string-truncate entries are skipped
-        for ranges (non-monotone / lexicographic — superset-safe).
+        for ranges (non-monotone / lexicographic — superset-safe). Either
+        side may be None for a HALF-OPEN interval (r15 — ``ts >= X``
+        prunes from the lower bound alone; a monotone transform preserves
+        order, so T(lo) bounds the transformed values exactly).
         ``points``: {source col: value | [values]} — applied through EVERY
         entry over that column via the driver-side transform (bucket
         murmur3 included), exactly ``planned_files_transformed``'s
@@ -1786,13 +1797,21 @@ class Table:
             if src in ranges and kind != "bucket" and not (
                 kind == "truncate" and src_types.get(src) == "string"
             ):
+                # either side may be None — a half-open interval (r15:
+                # ``ts >= X`` prunes via the monotone lower bound alone)
                 lo, hi = ranges[src]
-                lo_t = transform_value(entry, lo, src_type=src_types.get(src))
-                hi_t = transform_value(entry, hi, src_type=src_types.get(src))
                 try:
-                    bounds[entry] = (int(lo_t), int(hi_t))
+                    a = None if lo is None else int(
+                        transform_value(entry, lo, src_type=src_types.get(src))
+                    )
+                    b = None if hi is None else int(
+                        transform_value(entry, hi, src_type=src_types.get(src))
+                    )
                 except (TypeError, ValueError):
                     continue  # non-integer transformed bounds: drop entry
+                if a is None and b is None:
+                    continue
+                bounds[entry] = (a, b)
         if not bounds and not eq_vals:
             return [store.resolve(f) for f in snap.data_files]
         spells = {
@@ -1814,7 +1833,7 @@ class Table:
                     iv = int(v)
                 except (TypeError, ValueError):
                     continue
-                if not (a <= iv <= b):
+                if not _in_bounds(iv, a, b):
                     return False
             return True
 
@@ -1859,7 +1878,7 @@ class Table:
                                 vals = None
                                 break
                         if vals is not None and all(
-                            not (a <= iv <= b) for iv in vals
+                            not _in_bounds(iv, a, b) for iv in vals
                         ):
                             skip = True
                             break
@@ -1905,15 +1924,21 @@ class Table:
                 kind == "truncate" and src_types.get(src) == "string"
             ):
                 continue  # non-monotone (bucket) / lexicographic (str truncate)
-            lo_t = transform_value(entry, lo, src_type=src_types.get(src))
-            hi_t = transform_value(entry, hi, src_type=src_types.get(src))
             try:
-                bounds[entry] = (int(lo_t), int(hi_t))
+                a = None if lo is None else int(
+                    transform_value(entry, lo, src_type=src_types.get(src))
+                )
+                b = None if hi is None else int(
+                    transform_value(entry, hi, src_type=src_types.get(src))
+                )
             except (TypeError, ValueError):
                 # e.g. identity over a string source: transformed bounds are
                 # not integers — drop the entry (superset-safe fallback),
                 # matching the point planner's tolerance of this spec shape
                 continue
+            if a is None and b is None:
+                continue  # unbounded both sides: nothing to prune on
+            bounds[entry] = (a, b)
         if not bounds:
             return [store.resolve(f) for f in snap.data_files]
         spells = {e: self.partition_entry_spellings(e) for e in bounds}
@@ -1929,7 +1954,7 @@ class Table:
                     iv = int(v)
                 except (TypeError, ValueError):
                     continue
-                if not (a <= iv <= b):
+                if not _in_bounds(iv, a, b):
                     return False
             return True
 
@@ -1963,7 +1988,7 @@ class Table:
                                 vals = None
                                 break
                         if vals is not None and all(
-                            not (a <= iv <= b) for iv in vals
+                            not _in_bounds(iv, a, b) for iv in vals
                         ):
                             skip = True
                             break

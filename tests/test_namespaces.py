@@ -99,3 +99,23 @@ def test_namespace_sql_surface(catalog, spark):
         execute_dml(spark, catalog, "DROP NAMESPACE viewsns")
     execute_dml(spark, catalog, "DROP VIEW viewsns.v")
     execute_dml(spark, catalog, "DROP NAMESPACE viewsns")
+
+
+def test_drop_namespace_guarded_against_concurrent_create(catalog, monkeypatch):
+    """r15 ADVICE: the emptiness check rides INSIDE the DELETE — a table
+    registered after the driver-side checks but before the delete keeps
+    the namespace row. Simulated by blinding the pre-checks."""
+    create_namespace(catalog, "racy")
+    catalog.create_table(TableIdentifier.parse("racy.t1"), SCHEMA)
+    # blind the driver-side pre-checks: the guarded DELETE must still refuse
+    monkeypatch.setattr(catalog, "list_tables", lambda ns: [])
+    import iceberg_catalog_postgres_spark.catalog.views as _views
+
+    monkeypatch.setattr(_views, "list_views", lambda cat, ns: [])
+    with pytest.raises(CatalogError, match="not empty"):
+        drop_namespace(catalog, "racy")
+    monkeypatch.undo()
+    assert namespace_exists(catalog, "racy")  # row survived the race
+    catalog.drop_table(TableIdentifier.parse("racy.t1"))
+    drop_namespace(catalog, "racy")
+    assert not namespace_exists(catalog, "racy")

@@ -331,9 +331,23 @@ def test_prune_composed_range_and_point(catalog, spark):
 
 def test_prune_open_range_and_flipped_literal(catalog, spark):
     _seed(catalog, spark, "s.o", partition_by=["truncate(10, k)"])
-    # one-sided range: never pruned (superset-safe), still correct
+    # one-sided range PRUNES as a half-open interval (r15; pre-r15 a lone
+    # bound planned all files)
     info = select_plan_info(spark, catalog, "SELECT * FROM s.o WHERE k >= 20")
-    assert info["ranges"] == {} and info["n_files_planned"] == info["n_files_total"]
+    assert info["ranges"] == {"k": (20, None)}
+    assert info["n_files_planned"] == 1 < info["n_files_total"] == 3
+    rows = select_sql(
+        spark, catalog, "SELECT k FROM s.o WHERE k >= 20 ORDER BY k"
+    ).collect()
+    assert [x.k for x in rows] == list(range(20, 30))
+    # upper-only, strict compare (closed transformed bound: superset-safe)
+    info = select_plan_info(spark, catalog, "SELECT * FROM s.o WHERE k < 10")
+    assert info["ranges"] == {"k": (None, 10)}
+    assert info["n_files_planned"] <= 2  # file {0..9} plus the boundary file
+    rows = select_sql(
+        spark, catalog, "SELECT k FROM s.o WHERE k < 10 ORDER BY k"
+    ).collect()
+    assert [x.k for x in rows] == list(range(10))
     # both bounds via flipped literals: 5 <= k AND 9 >= k
     info = select_plan_info(
         spark, catalog, "SELECT * FROM s.o WHERE 5 <= k AND 9 >= k"
@@ -681,3 +695,135 @@ def test_in_list_pruning_unions_planned_files(catalog, spark):
         spark, catalog, "SELECT k FROM s.inl WHERE r NOT IN (1, 3)"
     )
     assert info["in_lists"] == {} and info["n_files_planned"] == 5
+
+
+# ---------------------------------------------------------------------------
+# join-driven dynamic partition pruning (r15, VERDICT r14 missing #2)
+# ---------------------------------------------------------------------------
+
+
+def _seed_star(catalog, spark):
+    fact = spark.createDataFrame(
+        [(i, i % 10, f"v{i}") for i in range(100)],
+        "k long, fk long, payload string",
+    )
+    t = catalog.create_table(
+        TableIdentifier.parse("s.fact"), fact.schema, partition_by=["fk"]
+    )
+    t.new_transaction().append_dataframe(fact.coalesce(1)).commit()
+    dim = spark.createDataFrame(
+        [(i, "ASIA" if i in (2, 5) else f"R{i % 3}") for i in range(10)],
+        "id long, region string",
+    )
+    t = catalog.create_table(TableIdentifier.parse("s.dim"), dim.schema)
+    t.new_transaction().append_dataframe(dim.coalesce(1)).commit()
+
+
+def test_star_join_dpp_prunes_fact_scan(catalog, spark, monkeypatch):
+    """A dim filter narrows the FACT scan through the composed planner:
+    the filtered dim's distinct join keys route as a point set, so the
+    fact plans 2 of 10 files — and the result is exact."""
+    from iceberg_catalog_postgres_spark.catalog.table import Table
+
+    _seed_star(catalog, spark)
+    stmt = (
+        "SELECT f.k, d.region FROM s.fact f JOIN s.dim d ON f.fk = d.id "
+        "WHERE d.region = 'ASIA'"
+    )
+    seen = {}
+    orig = Table.to_df
+
+    def spy(self, spark_, **kw):
+        if self.identifier.name == "fact":
+            seen["file_subset"] = kw.get("file_subset")
+        return orig(self, spark_, **kw)
+
+    monkeypatch.setattr(Table, "to_df", spy)
+    rows = sorted((r.k, r.region) for r in
+                  select_sql(spark, catalog, stmt).collect())
+    monkeypatch.undo()
+    assert seen["file_subset"] is not None and len(seen["file_subset"]) == 2
+    assert rows == sorted(
+        (i, "ASIA") for i in range(100) if i % 10 in (2, 5)
+    )
+    # the decision is EXPLAIN evidence
+    from iceberg_catalog_postgres_spark.catalog.select_sql import explain_sql
+
+    lines = [r.plan_line for r in
+             explain_sql(spark, catalog, "EXPLAIN " + stmt).collect()]
+    dpp = [l for l in lines if "dynamic partition pruning" in l]
+    assert dpp and "2 files" in dpp[0]
+
+
+def test_star_join_dpp_empty_dim_and_composition(catalog, spark, monkeypatch):
+    """An empty filtered dim plans ZERO fact files (inner join: nothing
+    can match); a fact-side literal conjunct composes by intersection."""
+    from iceberg_catalog_postgres_spark.catalog.table import Table
+
+    _seed_star(catalog, spark)
+    seen = {}
+    orig = Table.to_df
+
+    def spy(self, spark_, **kw):
+        if self.identifier.name == "fact":
+            seen["file_subset"] = kw.get("file_subset")
+        return orig(self, spark_, **kw)
+
+    monkeypatch.setattr(Table, "to_df", spy)
+    rows = select_sql(
+        spark, catalog,
+        "SELECT f.k FROM s.fact f JOIN s.dim d ON f.fk = d.id "
+        "WHERE d.region = 'NOWHERE'",
+    ).collect()
+    assert rows == [] and seen["file_subset"] == []
+    # composition: fact literal (fk = 2) ∩ dim keys {2, 5} = file {fk=2}
+    seen.clear()
+    rows = sorted(r.k for r in select_sql(
+        spark, catalog,
+        "SELECT f.k FROM s.fact f JOIN s.dim d ON f.fk = d.id "
+        "WHERE d.region = 'ASIA' AND f.fk = 2",
+    ).collect())
+    monkeypatch.undo()
+    assert len(seen["file_subset"]) == 1
+    assert rows == [i for i in range(100) if i % 10 == 2]
+
+
+def test_star_join_dpp_stays_off_when_unsound(catalog, spark, monkeypatch):
+    """DPP must NOT fire for outer joins (unmatched fact rows survive),
+    disjunctive WHEREs, or unfiltered dims — and results stay exact."""
+    from iceberg_catalog_postgres_spark.catalog.table import Table
+
+    _seed_star(catalog, spark)
+    seen = {}
+    orig = Table.to_df
+
+    def spy(self, spark_, **kw):
+        if self.identifier.name == "fact":
+            seen["file_subset"] = kw.get("file_subset")
+        return orig(self, spark_, **kw)
+
+    monkeypatch.setattr(Table, "to_df", spy)
+    # LEFT JOIN: every fact row must survive
+    rows = select_sql(
+        spark, catalog,
+        "SELECT f.k FROM s.fact f LEFT JOIN s.dim d "
+        "ON f.fk = d.id AND d.region = 'ASIA'",
+    ).collect()
+    assert seen.get("file_subset") is None and len(rows) == 100
+    # disjunctive WHERE referencing both sides
+    seen.clear()
+    rows = sorted(r.k for r in select_sql(
+        spark, catalog,
+        "SELECT f.k FROM s.fact f JOIN s.dim d ON f.fk = d.id "
+        "WHERE d.region = 'ASIA' OR f.fk = 7",
+    ).collect())
+    assert seen.get("file_subset") is None
+    assert rows == [i for i in range(100) if i % 10 in (2, 5, 7)]
+    # unfiltered dim: key set is the whole domain — pass skipped
+    seen.clear()
+    rows = select_sql(
+        spark, catalog,
+        "SELECT f.k FROM s.fact f JOIN s.dim d ON f.fk = d.id",
+    ).collect()
+    monkeypatch.undo()
+    assert seen.get("file_subset") is None and len(rows) == 100

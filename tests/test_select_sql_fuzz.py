@@ -377,3 +377,142 @@ def test_fuzz_plan_info_never_raises_and_never_over_prunes(fuzz_table, spark):
             spark, fuzz_table, f"SELECT k FROM fz.t WHERE {sql_pred}"
         )
         assert 0 <= info["n_files_planned"] <= info["n_files_total"]
+
+
+def test_one_sided_bounds_actually_prune(fuzz_table, spark):
+    """r15 (VERDICT r14 #1): the fuzz grammar has always generated lone
+    >=/< comparisons; assert the planner now PRUNES them rather than
+    planning all files — on both the identity entry and the truncate
+    entry — and that a one-sided case through the full SQL path still
+    returns exactly the matching rows."""
+    total = None
+    for sql_pred, lo_files in (
+        ("day >= 5", True),      # identity partition: 2 of 7 day values
+        ("day < 2", True),
+        ("b >= 8", True),        # truncate(4, b): buckets {8, 12} of 4
+        ("name >= 'n3'", False), # non-partition col: never prunes
+    ):
+        info = select_plan_info(
+            spark, fuzz_table, f"SELECT k FROM fz.t WHERE {sql_pred}"
+        )
+        total = info["n_files_total"]
+        if lo_files:
+            assert 0 < info["n_files_planned"] < total, (sql_pred, info)
+        else:
+            assert info["n_files_planned"] == total, (sql_pred, info)
+    keys = [dict(zip(("k", "day", "b", "name"), r)) for r in ROWS]
+    got = sorted(
+        r.k for r in select_sql(
+            spark, fuzz_table, "SELECT k FROM fz.t WHERE day >= 5"
+        ).collect()
+    )
+    assert got == sorted(r["k"] for r in keys if r["day"] >= 5)
+
+
+# --- star-join DPP fuzz (r15): join key IS the fact partition column ------
+
+F2_ROWS = [(k, k % 9, k % 4) for k in range(108)]  # k, jk (part), fb
+D2_ROWS = [(k, k % 3, f"m{k % 3}") for k in range(9)]  # k (join), dr (part), dn
+
+
+def _s_leaf(rng: random.Random):
+    kind = rng.randrange(6)
+    if kind < 3:
+        col, side = rng.choice(
+            [("jk", "f"), ("fb", "f"), ("dr", "d")]
+        )
+        op = rng.choice(["=", "<", "<=", ">", ">=", "<>"])
+        lit = rng.choice(range(-1, 10))
+        return (f"{side}.{col} {op} {lit}",
+                lambda fr, dr_, s=side, c=col, o=op, v=lit: _cmp(
+                    (fr if s == "f" else dr_)[c], o, v))
+    if kind == 3:
+        name = rng.choice(["m0", "m2", "zz"])
+        return (f"d.dn = '{name}'",
+                lambda fr, dr_, v=name: dr_["dn"] == v)
+    if kind == 4:
+        vals = rng.sample(range(0, 9), rng.randrange(1, 4))
+        return (f"f.jk IN ({', '.join(map(str, vals))})",
+                lambda fr, dr_, vs=tuple(vals): fr["jk"] in vs)
+    lo, hi = rng.choice(range(0, 6)), rng.choice(range(0, 6))
+    return (f"d.dr BETWEEN {lo} AND {hi}",
+            lambda fr, dr_, a=lo, z=hi: a <= dr_["dr"] <= z)
+
+
+def _s_tree(rng: random.Random, depth: int):
+    if depth <= 0 or rng.random() < 0.4:
+        sql, fn = _s_leaf(rng)
+        return sql, fn, 3
+    kind = rng.randrange(5)
+    if kind == 0:
+        s, f, _ = _s_tree(rng, depth - 1)
+        return f"NOT ( {s} )", (lambda a, b, f=f: not f(a, b)), 3
+    if kind == 1:
+        s, f, _ = _s_tree(rng, depth - 1)
+        return f"( {s} )", f, 3
+    op_and = kind in (2, 3)
+    ls, lf, lp = _s_tree(rng, depth - 1)
+    rs, rf, rp = _s_tree(rng, depth - 1)
+    if op_and:
+        if lp < 2:
+            ls = f"( {ls} )"
+        if rp < 2:
+            rs = f"( {rs} )"
+        return (f"{ls} AND {rs}",
+                (lambda a, b, x=lf, y=rf: x(a, b) and y(a, b)), 2)
+    return (f"{ls} OR {rs}",
+            (lambda a, b, x=lf, y=rf: x(a, b) or y(a, b)), 1)
+
+
+@pytest.fixture(scope="module")
+def star_tables(tmp_path_factory, spark):
+    cat = PostgresCatalog.connect(
+        "ssqlsfuzz", None, str(tmp_path_factory.mktemp("whs"))
+    )
+    cat.initialize()
+    fdf = spark.createDataFrame(F2_ROWS, "k long, jk long, fb long")
+    t = cat.create_table(
+        TableIdentifier.parse("fz.f2"), fdf.schema, partition_by=["jk"]
+    )
+    t.new_transaction().append_dataframe(fdf.repartition("jk")).commit()
+    ddf = spark.createDataFrame(D2_ROWS, "k long, dr long, dn string")
+    t = cat.create_table(
+        TableIdentifier.parse("fz.d2"), ddf.schema, partition_by=["dr"]
+    )
+    t.new_transaction().append_dataframe(ddf.repartition("dr")).commit()
+    yield cat
+    cat.backend.close()
+
+
+def test_fuzz_star_join_dpp_matches_unpruned_evaluation(star_tables, spark):
+    """r15 adversarial DPP property: random WHERE trees over an inner
+    join whose key IS the fact's identity partition column — the
+    join-driven prune (dim keys -> fact point-set walk) fires on the
+    conjunctive cases and must NEVER change the result set; disjunctive /
+    unfiltered cases leave it off and must also stay exact."""
+    rng = random.Random(SEED + 15)
+    fkeys = [dict(zip(("k", "jk", "fb"), r)) for r in F2_ROWS]
+    dkeys = {r[0]: dict(zip(("k", "dr", "dn"), r)) for r in D2_ROWS}
+    joined = [(fr, dkeys[fr["jk"]]) for fr in fkeys if fr["jk"] in dkeys]
+    failures = []
+    for case in range(60):
+        sql_pred, fn, _ = _s_tree(rng, rng.randrange(1, 4))
+        expect = sorted(fr["k"] for fr, dr_ in joined if fn(fr, dr_))
+        stmt = (
+            "SELECT f.k FROM fz.f2 f JOIN fz.d2 d ON f.jk = d.k "
+            f"WHERE {sql_pred}"
+        )
+        try:
+            got = sorted(
+                r.k for r in select_sql(spark, star_tables, stmt).collect()
+            )
+        except Exception as exc:
+            failures.append((case, sql_pred, f"raised {exc!r}"))
+            continue
+        if got != expect:
+            failures.append(
+                (case, sql_pred, f"{len(got)} != {len(expect)} rows")
+            )
+        if len(failures) >= 5:
+            break
+    assert not failures, failures
