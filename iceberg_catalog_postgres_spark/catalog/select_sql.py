@@ -61,7 +61,7 @@ __all__ = ["select_sql", "select_plan_info", "parse_select_refs", "explain_sql"]
 _META_SUFFIXES = (
     "partitions", "refs", "files", "snapshots", "history", "manifests",
     "entries", "delete_files", "all_data_files", "all_manifests",
-    "metadata_log_entries",
+    "metadata_log_entries", "position_deletes",
 )
 
 #: clause keywords that may directly follow a relation ref — a bare word
@@ -761,6 +761,7 @@ def _ref_df(spark, ref: dict, seen: frozenset = frozenset()):
             "files": _m.files_df,
             "entries": _m.entries_df,
             "delete_files": _m.delete_files_df,
+            "position_deletes": _m.position_deletes_df,
         }
         if ref["snapshot_id"] or ref["as_of_ms"] or ref["ref"]:
             # per-snapshot metadata tables ($files/$entries/$delete_files)
@@ -770,7 +771,8 @@ def _ref_df(spark, ref: dict, seen: frozenset = frozenset()):
             if ref["suffix"] not in travelable:
                 raise ValueError(
                     "time travel on a metadata table is supported for "
-                    "$files, $entries and $delete_files only"
+                    "$files, $entries, $delete_files and "
+                    "$position_deletes — per-snapshot files only"
                 )
             sid = _resolved_snapshot_id(ref)
             if sid is None:
@@ -792,6 +794,7 @@ def _ref_df(spark, ref: dict, seen: frozenset = frozenset()):
             "manifests": _m.manifests_df,
             "entries": _m.entries_df,
             "delete_files": _m.delete_files_df,
+            "position_deletes": _m.position_deletes_df,
             "all_data_files": _m.all_data_files_df,
             "all_manifests": _m.all_manifests_df,
             "metadata_log_entries": _m.metadata_log_entries_df,
@@ -1014,7 +1017,7 @@ def _join_dpp(spark, rewritten: list[str], refs: list[dict]) -> None:
     data_refs = [
         r for r in refs if r["suffix"] is None and r["table"] is not None
     ]
-    if len(data_refs) < 2:
+    if not data_refs:
         return
     ups = {_upper(t) for t in rewritten if _upper(t) is not None}
     if ups & _DPP_BLOCKERS:
@@ -1027,6 +1030,50 @@ def _join_dpp(spark, rewritten: list[str], refs: list[dict]) -> None:
         if not a or a in by_alias:
             return
         by_alias[a] = r
+    # non-catalog relations (temp views, Spark tables) can serve as the
+    # DIM side too (r15): scan the top-level FROM/JOIN list for their
+    # names + aliases. The fact side must always be a catalog ref (only
+    # catalog tables have a manifest planner to route keys through).
+    ext_alias: dict[str, str] = {}
+    i = 0
+    depth = 0
+    while i < len(rewritten):
+        tok = rewritten[i]
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        if depth == 0 and _upper(tok) in ("FROM", "JOIN") and i + 1 < len(
+            rewritten
+        ):
+            j = i + 1
+            if _is_word(rewritten[j]):
+                name_parts = [_strip_ident(rewritten[j])]
+                j += 1
+                while j + 1 < len(rewritten) and rewritten[j] == ".":
+                    name_parts.append(_strip_ident(rewritten[j + 1]))
+                    j += 2
+                alias = name_parts[-1]
+                if j < len(rewritten) and _upper(rewritten[j]) == "AS":
+                    j += 1
+                    alias = _strip_ident(rewritten[j]) if j < len(rewritten) else alias
+                    j += 1
+                elif j < len(rewritten) and _is_word(rewritten[j]) and _upper(
+                    rewritten[j]
+                ) not in _NOT_ALIAS:
+                    alias = _strip_ident(rewritten[j])
+                    j += 1
+                al = alias.lower()
+                name = ".".join(name_parts)
+                if al not in by_alias and not name.startswith("__icps_select_"):
+                    if al in ext_alias:
+                        return  # duplicate alias: attribution unsound
+                    ext_alias[al] = name
+                i = j
+                continue
+        i += 1
+    if len(by_alias) + len(ext_alias) < 2:
+        return  # a join needs two relations (catalog fact + any dim)
     body = _where_body(rewritten) or []
     if body and len(_split_top_or(body)) > 1:
         return  # disjunctive WHERE: conjunct attribution unsound
@@ -1034,7 +1081,7 @@ def _join_dpp(spark, rewritten: list[str], refs: list[dict]) -> None:
     conjuncts += _on_conjuncts(rewritten)
     # equi-join pairs (alias.col = alias.col) and per-alias dim filters
     pairs: list[tuple[tuple[str, str], tuple[str, str]]] = []
-    filters: dict[str, list[str]] = {a: [] for a in by_alias}
+    filters: dict[str, list[str]] = {a: [] for a in (*by_alias, *ext_alias)}
     for piece in conjuncts:
         toks = _strip_outer_parens(piece)
         if (
@@ -1045,10 +1092,11 @@ def _join_dpp(spark, rewritten: list[str], refs: list[dict]) -> None:
         ):
             a1, c1 = _strip_ident(toks[0]).lower(), _strip_ident(toks[2])
             a2, c2 = _strip_ident(toks[4]).lower(), _strip_ident(toks[6])
-            if a1 in by_alias and a2 in by_alias and a1 != a2:
+            known = set(by_alias) | set(ext_alias)
+            if a1 in known and a2 in known and a1 != a2:
                 pairs.append(((a1, c1), (a2, c2)))
                 continue
-        for a in by_alias:
+        for a in filters:
             rendered = _dim_conjunct(piece, a)
             if rendered is not None:
                 filters[a].append(rendered)
@@ -1062,7 +1110,10 @@ def _join_dpp(spark, rewritten: list[str], refs: list[dict]) -> None:
     for (a1, c1), (a2, c2) in list(pairs):
         pairs.append(((a2, c2), (a1, c1)))  # try both directions
     for (fa, fc), (da, dc) in pairs:
-        fact, dim = by_alias[fa], by_alias[da]
+        if fa not in by_alias:
+            continue  # the fact side must be a catalog ref
+        fact = by_alias[fa]
+        dim = by_alias.get(da)  # None: external relation (temp view)
         if fact.get("_dpp") is not None:
             continue  # one DPP pass per fact ref
         sources = {
@@ -1072,9 +1123,12 @@ def _join_dpp(spark, rewritten: list[str], refs: list[dict]) -> None:
         if fc not in sources:
             continue
         dim_constrained = bool(
-            filters[da] or dim.get("_prune_points")
-            or dim.get("_prune_ranges") or dim.get("_prune_in")
-            or "_prune_subset" in dim
+            filters[da] or (
+                dim is not None and (
+                    dim.get("_prune_points") or dim.get("_prune_ranges")
+                    or dim.get("_prune_in") or "_prune_subset" in dim
+                )
+            )
         )
         if not dim_constrained:
             continue  # unfiltered dim: the key set is the whole domain
@@ -1086,7 +1140,10 @@ def _join_dpp(spark, rewritten: list[str], refs: list[dict]) -> None:
         if len(fact["table"].data_files(**snap_kw)) < _DPP_MIN_FACT_FILES:
             continue
         try:
-            ddf = _ref_df(spark, dim)
+            ddf = (
+                _ref_df(spark, dim) if dim is not None
+                else spark.table(ext_alias[da])
+            )
             if dc not in ddf.columns:
                 continue
             if dict(ddf.dtypes).get(dc) in ("float", "double"):

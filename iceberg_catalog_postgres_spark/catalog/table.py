@@ -167,6 +167,11 @@ def parse_partition_field(entry: str) -> tuple[str, int | None, str]:
     return "identity", None, entry
 
 
+#: pseudo file_path a MERGE folds into its DV positions frame to detect a
+#: cardinality violation in the SAME action that encodes the vectors (r15)
+MERGE_CARDINALITY_SENTINEL = "__merge_cardinality_violation__"
+
+
 def _in_bounds(iv: int, a: int | None, b: int | None) -> bool:
     """Transformed-value containment for a possibly HALF-OPEN interval —
     ``None`` on either side means unbounded (r15: ``WHERE ts >= X``, the
@@ -3830,6 +3835,10 @@ class Transaction:
             )
 
             fp = str(pdf["file_path"].iloc[0])
+            if fp == MERGE_CARDINALITY_SENTINEL:
+                # guard row folded into this pass by merge_into (r15):
+                # surface it to the driver-side loop below, which raises
+                return _pd.DataFrame({"rel": [fp], "vec": [b""], "card": [0]})
             p = fp[5:] if fp.startswith("file:") else fp
             rel = _pp.relpath(p, root) if _os.path.isabs(p) else p
             pos = _np.unique(pdf["row_index"].to_numpy(dtype="uint64"))
@@ -3842,6 +3851,12 @@ class Transaction:
             .applyInPandas(_encode, schema="rel string, vec binary, card long")
             .collect()
         )
+        if any(r["rel"] == MERGE_CARDINALITY_SENTINEL for r in encoded):
+            raise ValueError(
+                "merge_into: multiple source rows match the same target row "
+                "— aggregate the source to one row per key first (MERGE "
+                "cardinality violation)"
+            )
         for row in encoded:
             self._staged_dv_positions[row["rel"]] = self._merge_staged_vec(
                 self._staged_dv_positions.get(row["rel"]),
@@ -3906,12 +3921,18 @@ class Transaction:
             raise ValueError(
                 f"positions must be (file_path, row_index), got {positions.columns}"
             )
+        # r15 (VERDICT r14 #3): stage the DVs FIRST — the positions frame
+        # may carry the MERGE cardinality sentinel, and a violation must
+        # abort before any parquet is written (same reason as the column
+        # check above). This also makes the DV collect the action that
+        # builds the merge-join cache, replacing the dedicated guard scan.
+        self._stage_dv_positions(positions)
         self.append_dataframe(df, n_files=n_files)
         if lineage_materialized:
             self._lineage_first_row_ids = {f: None for f in self._staged_files}
             self._summary_extra["lineage-materialized"] = "true"
         self._operation = "rowdelta"
-        return self._stage_dv_positions(positions)
+        return self
 
     # -- commit -----------------------------------------------------------
 

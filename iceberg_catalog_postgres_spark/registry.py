@@ -317,6 +317,7 @@ def load_all() -> dict[str, QuerySpec]:
     import iceberg_catalog_postgres_spark.llm.pq  # noqa: F401
     import iceberg_catalog_postgres_spark.llm.ann_scale  # noqa: F401
     import iceberg_catalog_postgres_spark.llm.ann_residual  # noqa: F401
+    import iceberg_catalog_postgres_spark.llm.semdedup  # noqa: F401
     import iceberg_catalog_postgres_spark.llm.clusters  # noqa: F401
     import iceberg_catalog_postgres_spark.llm.sq8  # noqa: F401
     import iceberg_catalog_postgres_spark.llm.bq  # noqa: F401

@@ -40,6 +40,17 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # r15: let AQE re-plan CACHED frames too (default false). The MOR
+        # merge persists its full-outer join; without this, the cache
+        # materializes at the full pre-AQE shuffle width (32 tasks of
+        # near-empty partitions at bench scale — measured ~25% of the
+        # merge-commit phase in pure task scheduling). Nothing in the repo
+        # depends on a cached plan's output partitioning (positions come
+        # from parquet _metadata, ids are checked for uniqueness only).
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         # INT96 (the default) writes NO parquet column statistics for
         # timestamps — it would make every ts column unprunable forever.

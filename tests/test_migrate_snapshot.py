@@ -1,0 +1,84 @@
+"""CALL system.migrate / system.snapshot (r15, VERDICT r14 missing #5):
+whole-table migration — CTAS-style registration composing add_files.
+snapshot borrows files (gc.enabled=false gates file-deleting
+maintenance); migrate takes ownership."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from iceberg_catalog_postgres_spark.catalog.catalog import (
+    PostgresCatalog,
+    TableIdentifier,
+)
+from iceberg_catalog_postgres_spark.catalog.merge_sql import execute_dml
+
+
+@pytest.fixture
+def catalog(tmp_path):
+    cat = PostgresCatalog.connect("mig", None, str(tmp_path / "wh"))
+    cat.initialize()
+    yield cat
+    cat.backend.close()
+
+
+def _write_src(catalog, spark, rel_dir, n=20):
+    df = spark.createDataFrame(
+        [(i, f"n{i}", i % 4) for i in range(n)], "k long, name string, r long"
+    )
+    path = catalog.object_store().resolve(rel_dir)
+    df.coalesce(2).write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_snapshot_registers_borrowed_files(catalog, spark):
+    src = _write_src(catalog, spark, "external/src")
+    rep = execute_dml(
+        spark, catalog,
+        "CALL system.snapshot('mg.snap', source_dir => 'external/src')",
+    ).first()
+    assert rep.procedure == "snapshot" and rep.added_records_count == 20
+    t = catalog.load_table(TableIdentifier.parse("mg.snap"))
+    assert t.metadata.properties["gc.enabled"] == "false"
+    assert sorted(r.k for r in t.to_df(spark).collect()) == list(range(20))
+    # file-deleting maintenance refuses on borrowed files
+    from iceberg_catalog_postgres_spark.catalog import maintenance as m
+
+    with pytest.raises(ValueError, match="gc.enabled"):
+        m.remove_orphan_files(t, older_than_s=0.0)
+    with pytest.raises(ValueError, match="gc.enabled"):
+        m.vacuum(t)
+    with pytest.raises(ValueError, match="gc.enabled"):
+        execute_dml(spark, catalog, "CALL system.vacuum('mg.snap')")
+    # the borrowed files are untouched and the source stays readable
+    assert len([f for f in os.listdir(src) if f.endswith(".parquet")]) == 2
+    assert spark.read.parquet(src).count() == 20
+    # re-snapshot over an existing table refuses
+    with pytest.raises(ValueError, match="already exists"):
+        execute_dml(
+            spark, catalog,
+            "CALL system.snapshot('mg.snap', source_dir => 'external/src')",
+        )
+
+
+def test_migrate_takes_ownership(catalog, spark):
+    _write_src(catalog, spark, "external/src2", n=12)
+    rep = execute_dml(
+        spark, catalog,
+        "CALL system.migrate('mg.mig', source_dir => 'external/src2')",
+    ).first()
+    assert rep.procedure == "migrate"
+    assert rep.added_files_count == 2 and rep.added_records_count == 12
+    t = catalog.load_table(TableIdentifier.parse("mg.mig"))
+    assert t.metadata.properties["migrated-from"] == "external/src2"
+    assert "gc.enabled" not in t.metadata.properties
+    # owned: maintenance works, and the table keeps committing normally
+    df = spark.createDataFrame([(99, "x", 0)], "k long, name string, r long")
+    t = t.new_transaction().append_dataframe(df).commit()
+    assert t.to_df(spark).count() == 13
+    from iceberg_catalog_postgres_spark.catalog import maintenance as m
+
+    m.remove_orphan_files(t, older_than_s=0.0)  # no refusal
+    assert t.to_df(spark).count() == 13

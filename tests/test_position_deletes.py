@@ -1,0 +1,101 @@
+"""$position_deletes metadata table (r15, VERDICT r14 missing #5): the
+per-row content behind $delete_files — positional parquet and v3 DV
+sources fold uniformly; positions join back to the exact deleted rows;
+time travel pins the artifact form of the snapshot."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_catalog_postgres_spark.catalog.catalog import (
+    PostgresCatalog,
+    TableIdentifier,
+)
+from iceberg_catalog_postgres_spark.catalog.merge_sql import execute_dml
+
+
+@pytest.fixture
+def catalog(tmp_path):
+    cat = PostgresCatalog.connect("posdel", None, str(tmp_path / "wh"))
+    cat.initialize()
+    yield cat
+    cat.backend.close()
+
+
+def _seed(catalog, spark):
+    df = spark.createDataFrame(
+        [(i, f"n{i}", i % 3) for i in range(30)], "k long, name string, r long"
+    )
+    t = catalog.create_table(
+        TableIdentifier.parse("pd.t"), df.schema, partition_by=["r"]
+    )
+    return t.new_transaction().append_dataframe(df.coalesce(1)).commit()
+
+
+def test_position_deletes_parquet_dv_and_joinback(catalog, spark):
+    t = _seed(catalog, spark)
+    sid0 = t.metadata.current_snapshot().snapshot_id
+    pos = (
+        t.to_df(spark, with_scan_identity=True)
+        .filter(F.col("k").isin(7, 8, 20))
+        .select(F.col("__mfile").alias("file_path"),
+                F.col("__mpos").alias("row_index"))
+        .coalesce(1)
+    )
+    t = t.new_transaction().delete_positions_dataframe(pos).commit()
+    sid1 = t.metadata.current_snapshot().snapshot_id
+
+    rows = execute_dml(
+        spark, catalog, "SELECT * FROM pd.t$position_deletes"
+    ).collect()
+    assert len(rows) == 3
+    assert {r.source_type for r in rows} == {"position-deletes"}
+    parquet_set = {(r.file_path, r.pos) for r in rows}
+
+    # join back: positions identify EXACTLY the deleted keys (read the
+    # pre-delete snapshot with scan identity and match file+pos)
+    base = t.to_df(spark, snapshot_id=sid0, with_scan_identity=True)
+    store = catalog.object_store()
+    root = store.resolve("").rstrip("/")
+    norm = F.regexp_replace(F.col("__mfile"), "^file:", "")
+    base = base.withColumn(
+        "__rel",
+        F.when(norm.startswith(root + "/"),
+               norm.substr(F.lit(len(root) + 2), F.length(norm))).otherwise(norm),
+    )
+    pd_df = execute_dml(spark, catalog, "SELECT * FROM pd.t$position_deletes")
+    joined = base.join(
+        pd_df,
+        (base["__rel"] == pd_df["file_path"]) & (base["__mpos"] == pd_df["pos"]),
+    )
+    assert sorted(r.k for r in joined.collect()) == [7, 8, 20]
+
+    # convert to DVs: same positions, source flips, travel pins the past
+    execute_dml(
+        spark, catalog,
+        "CALL system.rewrite_position_deletes_to_dvs('pd.t')",
+    )
+    rows = execute_dml(
+        spark, catalog, "SELECT * FROM pd.t$position_deletes"
+    ).collect()
+    assert len(rows) == 3
+    assert {r.source_type for r in rows} == {"deletion-vector"}
+    assert {(r.file_path, r.pos) for r in rows} == parquet_set
+    assert all(r.delete_file.endswith(".puffin") or "puffin" in r.delete_file
+               for r in rows)
+    # travel to the parquet-form snapshot
+    rows = execute_dml(
+        spark, catalog,
+        f"SELECT source_type, count(*) AS n FROM pd.t$position_deletes "
+        f"FOR VERSION AS OF {sid1} GROUP BY source_type",
+    ).collect()
+    assert [(r.source_type, r.n) for r in rows] == [("position-deletes", 3)]
+    # pre-delete snapshot: empty
+    assert execute_dml(
+        spark, catalog,
+        f"SELECT * FROM pd.t$position_deletes FOR VERSION AS OF {sid0}",
+    ).count() == 0
+    # and the read is exact through both forms
+    got = sorted(r.k for r in t.to_df(spark).collect())
+    assert got == [i for i in range(30) if i not in (7, 8, 20)]

@@ -827,3 +827,33 @@ def test_star_join_dpp_stays_off_when_unsound(catalog, spark, monkeypatch):
     ).collect()
     monkeypatch.undo()
     assert seen.get("file_subset") is None and len(rows) == 100
+
+
+def test_star_join_dpp_with_temp_view_dim(catalog, spark, monkeypatch):
+    """r15: the dim side may be a NON-catalog relation (temp view) — the
+    fact is still a catalog ref, so its scan prunes from the filtered
+    view's join keys."""
+    from iceberg_catalog_postgres_spark.catalog.table import Table
+
+    _seed_star(catalog, spark)
+    spark.createDataFrame(
+        [(i, "ASIA" if i in (3, 4) else "X") for i in range(10)],
+        "id long, region string",
+    ).createOrReplaceTempView("dpp_dim_tv")
+    seen = {}
+    orig = Table.to_df
+
+    def spy(self, spark_, **kw):
+        if self.identifier.name == "fact":
+            seen["file_subset"] = kw.get("file_subset")
+        return orig(self, spark_, **kw)
+
+    monkeypatch.setattr(Table, "to_df", spy)
+    rows = sorted(r.k for r in select_sql(
+        spark, catalog,
+        "SELECT f.k FROM s.fact f JOIN dpp_dim_tv d ON f.fk = d.id "
+        "WHERE d.region = 'ASIA'",
+    ).collect())
+    monkeypatch.undo()
+    assert seen["file_subset"] is not None and len(seen["file_subset"]) == 2
+    assert rows == [i for i in range(100) if i % 10 in (3, 4)]
