@@ -2088,7 +2088,20 @@ def catalog_sql_select(spark: SparkSession, sf_dir: str) -> DataFrame:
        CAST((SELECT count(*) FROM nation WHERE n_regionkey = 2) AS BIGINT)),
       ('range', 4, 2,
        CAST((SELECT count(*) FROM nation
-             WHERE n_nationkey BETWEEN 3 AND 9) AS BIGINT))
+             WHERE n_nationkey BETWEEN 3 AND 9) AS BIGINT)),
+      ('zonehalf', 4, 1,
+       CAST((SELECT count(*) FROM nation WHERE n_nationkey >= 18)
+            AS BIGINT)),
+      ('zoneint', 4, 1,
+       CAST((SELECT count(*) FROM nation
+             WHERE n_nationkey BETWEEN 6 AND 11) AS BIGINT)),
+      ('zonemap', 4,
+       CAST((SELECT count(*) FROM (
+          SELECT n_nationkey // 8 AS b FROM nation GROUP BY 1
+          HAVING min(n_name) <= 'NATION_12'
+             AND max(n_name) >= 'NATION_12')) AS INT),
+       CAST((SELECT count(*) FROM nation WHERE n_name = 'NATION_12')
+            AS BIGINT))
     ) t(case_name, files_total, files_planned, n_rows) ORDER BY case_name
     """,
     tags=("catalog", "sql", "select", "pruning", "metadata-planning"),
@@ -2123,6 +2136,21 @@ def catalog_sql_select_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         t = cat.create_table(TableIdentifier.parse(name), src.schema,
                              partition_by=spec)
         t.new_transaction().append_dataframe(src.coalesce(1)).commit()
+    # r15 zone-map fixture: an UNPARTITIONED table whose four files hold
+    # DISJOINT n_nationkey ranges (one append per range — deterministic,
+    # unlike repartitionByRange's sampled boundaries); stats-bounds
+    # pruning is the only planner that can narrow it
+    t = cat.create_table(
+        TableIdentifier.parse("maint.nation_zone"), src.schema
+    )
+    for lo, hi in ((0, 5), (6, 11), (12, 17), (18, 24)):
+        t = (
+            t.new_transaction()
+            .append_dataframe(
+                src.filter(F.col("n_nationkey").between(lo, hi)).coalesce(1)
+            )
+            .commit()
+        )
     cases = [
         # r15: HALF-OPEN ranges prune (a lone >=/< bound — the dominant
         # event-log predicate; pre-r15 these planned ALL files)
@@ -2142,6 +2170,16 @@ def catalog_sql_select_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("point", "SELECT * FROM maint.nation_ident WHERE n_regionkey = 2"),
         ("range",
          "SELECT * FROM maint.nation_trunc WHERE n_nationkey BETWEEN 3 AND 9"),
+        # r15 zone-map (manifest-bounds) pruning on NON-partition columns:
+        # int half-open + closed range on the unpartitioned ranged table,
+        # string equality through per-file [min, max] on the trunc table
+        ("zonehalf",
+         "SELECT * FROM maint.nation_zone WHERE n_nationkey >= 18"),
+        ("zoneint",
+         "SELECT * FROM maint.nation_zone "
+         "WHERE n_nationkey BETWEEN 6 AND 11"),
+        ("zonemap",
+         "SELECT * FROM maint.nation_trunc WHERE n_name = 'NATION_12'"),
     ]
     rows = []
     for case_name, sql in cases:

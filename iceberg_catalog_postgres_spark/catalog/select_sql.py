@@ -27,11 +27,16 @@ plus Iceberg's read extensions:
   as the superset-safe UNION of per-branch walks (DNF, capped); joins of
   catalog tables prune EACH ref from its own QUALIFIED conjuncts; the
   UPDATE/DELETE write paths reuse the extractor via
-  ``prune_subset_for_where``. Pruning is SUPERSET-safe by construction:
-  the WHERE text still runs in Spark, pruning only narrows which files
-  are scanned — a predicate the extractor does not understand is simply
-  not used for pruning, and a disjunct without a partition constraint
-  disables pruning for its ref entirely.
+  ``prune_subset_for_where``. r15: HALF-OPEN ranges prune (a lone
+  ``>=``/``<`` bound — ``WHERE ts >= X`` plans only the matching files),
+  and star joins get DYNAMIC PARTITION PRUNING (``_join_dpp``: a
+  filtered dim's distinct join keys — dim may be a catalog table OR a
+  temp view — route through the fact's composed planner as a bounded
+  point set). Pruning is SUPERSET-safe by construction: the WHERE text
+  still runs in Spark, pruning only narrows which files are scanned — a
+  predicate the extractor does not understand is simply not used for
+  pruning, and a disjunct without a partition constraint disables
+  pruning for its ref entirely.
 
 This module is a RESOLVER, not an engine: it tokenizes the statement with
 ``merge_sql``'s lexer, rewrites every catalog table reference (in any
@@ -584,23 +589,68 @@ def _extract_body(
     return branches
 
 
+#: schema types whose manifest [min, max] bounds the SQL planner trusts
+#: for stats (zone-map) pruning — bounds for these decode to directly
+#: comparable Python values (metadata.decode_bound)
+_STATS_PRUNABLE_TYPES = {
+    "tinyint", "smallint", "int", "bigint", "float", "double",
+    "string", "date", "timestamp", "timestamp_ntz",
+}
+
+
+def _partition_sources(ref: dict) -> set:
+    from iceberg_catalog_postgres_spark.catalog.table import parse_partition_field
+
+    return {
+        parse_partition_field(e)[2] for e in ref["table"].metadata.partition_spec
+    }
+
+
+def _stats_sources(ref: dict) -> dict[str, str]:
+    """Non-partition columns whose per-file bounds can prune -> type."""
+    part = _partition_sources(ref)
+    return {
+        f.name: f.dataType.simpleString()
+        for f in ref["table"].schema.fields
+        if f.name not in part
+        and f.dataType.simpleString() in _STATS_PRUNABLE_TYPES
+    }
+
+
+def _coerce_stats_lit(stype: str, v):
+    """SQL literal -> the Python value family ``decode_bound`` yields for
+    this column type, so bound compares are well-typed. Raises on a
+    mismatch (caller skips that constraint — superset-safe)."""
+    if stype in ("tinyint", "smallint", "int", "bigint"):
+        return int(v)
+    if stype in ("float", "double"):
+        return float(v)
+    if stype == "date":
+        return _dt.date.fromisoformat(str(v))
+    if stype.startswith("timestamp"):
+        return _dt.datetime.fromisoformat(str(v))
+    if stype == "string":
+        if not isinstance(v, str):
+            raise ValueError(f"non-string literal on string column: {v!r}")
+        return v
+    raise ValueError(f"no stats coercion for type {stype!r}")
+
+
 def _extract_prune_branches(
     tokens: list[str], ref: dict, require_qual: bool = False
 ) -> list[tuple[dict, dict, dict]]:
     """Top-level WHERE -> DNF prune branches on the table's partition
-    SOURCE columns ([] = plan everything). One branch = a pure-conjunct
-    WHERE routed to a single composed planner walk; N branches = a
-    disjunctive WHERE whose per-branch file sets union superset-safely
-    (``_branch_union_subset``). Only shapes the planner understands are
-    taken (``col = lit``, both-bounds ranges, ``col BETWEEN a AND b``,
-    ``col IN (lit, ...)``, and parenthesized OR combinations thereof);
-    an opaque conjunct is ignored — pruning narrows, Spark's WHERE still
-    decides row membership."""
-    from iceberg_catalog_postgres_spark.catalog.table import parse_partition_field
-
-    sources = {
-        parse_partition_field(e)[2] for e in ref["table"].metadata.partition_spec
-    }
+    SOURCE columns AND its stats-prunable (zone-map) columns ([] = plan
+    everything). One branch = a pure-conjunct WHERE routed to a single
+    composed planner walk intersected with per-column manifest-bounds
+    walks (r15); N branches = a disjunctive WHERE whose per-branch file
+    sets union superset-safely (``_branch_union_subset``). Only shapes
+    the planner understands are taken (``col = lit``, ranges incl.
+    half-open, ``col BETWEEN a AND b``, ``col IN (lit, ...)``, and
+    parenthesized OR combinations thereof); an opaque conjunct is
+    ignored — pruning narrows, Spark's WHERE still decides row
+    membership."""
+    sources = _partition_sources(ref) | set(_stats_sources(ref))
     if not sources:
         return []
     body = _where_body(tokens)
@@ -624,28 +674,94 @@ def _extract_prune_conjuncts(
     return {}, {}, {}
 
 
+def _branch_files(ref: dict, triple, sid) -> set:
+    """One DNF branch's planned-file SET: the composed partition walk
+    INTERSECTED with one manifest-bounds (zone-map) walk per constrained
+    stats column (r15 — ``WHERE id = 12345`` on a non-partitioned keyed
+    table plans only the files whose [min, max] can hold it). Every walk
+    is superset-safe on its own, so the intersection is a superset of the
+    branch's matching files. Pure metadata: ``footer_fallback=False``
+    keeps statless files without I/O; a literal the column type cannot
+    coerce simply skips that constraint."""
+    points, ranges, ins = triple
+    table = ref["table"]
+    part = _partition_sources(ref)
+    stypes = _stats_sources(ref)
+    snap_kw = {"snapshot_id": sid}
+    p_pts = {c: v for c, v in points.items() if c in part}
+    p_pts.update({c: list(v) for c, v in ins.items() if c in part})
+    p_rng = {c: v for c, v in ranges.items() if c in part}
+    out = set(
+        table.planned_files_composed(
+            ranges=p_rng or None, points=p_pts or None, **snap_kw
+        )
+    )
+
+    def _walk(col, lo, hi):
+        return set(
+            table.planned_files(col, lo, hi, footer_fallback=False, **snap_kw)
+        )
+
+    for c, v in points.items():
+        if c in stypes:
+            try:
+                lv = _coerce_stats_lit(stypes[c], v)
+                out &= _walk(c, lv, lv)
+            except (TypeError, ValueError):
+                pass
+    for c, (lo, hi) in ranges.items():
+        if c in stypes:
+            try:
+                out &= _walk(
+                    c,
+                    None if lo is None else _coerce_stats_lit(stypes[c], lo),
+                    None if hi is None else _coerce_stats_lit(stypes[c], hi),
+                )
+            except (TypeError, ValueError):
+                pass
+    for c, vs in ins.items():
+        if c in stypes and vs:
+            try:
+                cvs = [_coerce_stats_lit(stypes[c], v) for v in vs]
+                if len(cvs) <= 8:
+                    s: set = set()
+                    for v in cvs:
+                        s |= _walk(c, v, v)
+                else:  # wide IN: one interval walk instead of N
+                    s = _walk(c, min(cvs), max(cvs))
+                out &= s
+            except (TypeError, ValueError):
+                pass
+    return out
+
+
 def _branch_union_subset(ref: dict, branches) -> list[str]:
     """The planned-file UNION across DNF branches — one composed manifest
-    walk per branch at the ref's resolved snapshot, capped by
-    ``_MAX_OR_BRANCHES`` upstream. Superset-safe: every branch's set is a
-    superset of its disjunct's matching files, so the union is a superset
-    of the WHERE's. Empty list for a dead time-travel read (no snapshot
-    at the timestamp — zero files, zero walks)."""
+    walk (∩ stats-bounds walks, r15) per branch at the ref's resolved
+    snapshot, capped by ``_MAX_OR_BRANCHES`` upstream. Superset-safe:
+    every branch's set is a superset of its disjunct's matching files, so
+    the union is a superset of the WHERE's. Empty list for a dead
+    time-travel read (no snapshot at the timestamp — zero files, zero
+    walks)."""
     if ref["as_of_ms"] is not None and (
         ref["table"].metadata.snapshot_as_of(ref["as_of_ms"]) is None
     ):
         return []
     sid = _resolved_snapshot_id(ref)
     out: set[str] = set()
-    for points, ranges, ins in branches:
-        pts = dict(points)
-        pts.update({c: list(v) for c, v in ins.items()})
-        out.update(
-            ref["table"].planned_files_composed(
-                ranges=ranges or None, points=pts or None, snapshot_id=sid
-            )
-        )
+    for triple in branches:
+        out.update(_branch_files(ref, triple, sid))
     return sorted(out)
+
+
+def _branches_touch_stats(ref: dict, branches) -> bool:
+    """True when any branch constrains a NON-partition (stats) column —
+    those prune only through ``_branch_files``'s file_subset path, never
+    through ``to_df``'s transform kwargs."""
+    stats = set(_stats_sources(ref))
+    return any(
+        (set(p) | set(r) | set(i)) & stats for p, r, i in branches
+    )
 
 
 def prune_subset_for_where(table, ident, where_text: str) -> list[str] | None:
@@ -855,10 +971,13 @@ def _resolve_and_prune(sql: str, catalog) -> tuple[list[str], list[dict]]:
         ref["_prune_points"] = points
         ref["_prune_ranges"] = ranges
         ref["_prune_in"] = ins
-        if len(branches) > 1:
-            # disjunctive WHERE: union the per-branch planned sets into
-            # one file_subset (r14 — after the r13 OR-precedence defect,
-            # OR predicates now prune instead of silently mis-pruning)
+        if len(branches) > 1 or (
+            branches and _branches_touch_stats(ref, branches)
+        ):
+            # disjunctive WHERE (r14) or stats-column constraints (r15):
+            # union the per-branch planned sets into one file_subset —
+            # zone-map pruning has no transform-kwargs path, only a
+            # file list
             ref["_prune_branches"] = branches
             try:
                 ref["_prune_subset"] = _branch_union_subset(ref, branches)
@@ -1236,7 +1355,11 @@ def select_plan_info(spark, catalog, sql: str) -> dict:
         return {"n_files_total": 0, "n_files_planned": 0, **info}
     snap_kw = {"snapshot_id": sid} if sid is not None else {}
     total = len(table.data_files(**snap_kw))
-    if len(branches) > 1:
+    if len(branches) > 1 or (
+        branches and _branches_touch_stats(ref, branches)
+    ):
+        # disjunctive (r14) or zone-map-constrained (r15): mirror the
+        # execution path's file_subset exactly
         planned = len(_branch_union_subset(ref, branches))
         return {"n_files_total": total, "n_files_planned": planned, **info}
     subset = _in_list_subset(ref, points, ranges, ins)

@@ -790,6 +790,18 @@ def collect_file_stats(path: str) -> dict:
                 continue
             if name in agg and agg[name] is None:
                 continue
+            if (
+                getattr(st, "is_min_value_exact", True) is False
+                or getattr(st, "is_max_value_exact", True) is False
+            ):
+                # foreign writer truncated the footer stats (parquet-mr
+                # marks them inexact): a truncated UPPER bound understates
+                # and would let bounds pruning drop matching files — poison
+                # the column's bounds instead (r15; our own writes are
+                # exact, and string bounds re-truncate Iceberg-style with
+                # the incremented upper below)
+                agg[name] = None
+                continue
             lo, hi = st.min, st.max
             if name in agg and agg[name] is not None:
                 prev_lo, prev_hi = agg[name]
@@ -1267,7 +1279,8 @@ class Table:
         return _file_range_stats(self.catalog.object_store().resolve(rel_path), phys)
 
     def planned_files(
-        self, column: str, lo, hi, snapshot_id: int | None = None, require_stats: bool = False
+        self, column: str, lo, hi, snapshot_id: int | None = None,
+        require_stats: bool = False, footer_fallback: bool = True,
     ) -> list[str]:
         """Metadata-driven scan planning: the snapshot's data files whose
         manifest [min, max] for ``column`` intersects [lo, hi] (files without
@@ -1278,7 +1291,10 @@ class Table:
         zero file opens, no listing. Files committed before stats existed
         (or via raw ``append_files``) fall back to one footer read each;
         ``require_stats=True`` turns that fallback into an error so tests
-        can certify the pure-metadata path."""
+        can certify the pure-metadata path; ``footer_fallback=False`` KEEPS
+        statless files without opening them (pure-metadata superset — the
+        SQL planner's mode, where planning must never do O(files) I/O).
+        Either bound may be None for a HALF-OPEN interval (r15)."""
         snap = (
             self.metadata.snapshot_by_id(snapshot_id)
             if snapshot_id is not None
@@ -1306,7 +1322,9 @@ class Table:
                 if cb is not None and cb["n"] == nd:
                     c_lo = decode_bound(cb["lo"])
                     c_hi = None if cb["hi"] is None else decode_bound(cb["hi"])
-                    if (c_hi is not None and c_hi < lo) or c_lo > hi:
+                    if (
+                        lo is not None and c_hi is not None and c_hi < lo
+                    ) or (hi is not None and c_lo is not None and c_lo > hi):
                         continue  # whole chunk disjoint — never fetched
                 doc = load_chunk(store, c["path"])
                 for e in doc["entries"]:
@@ -1317,7 +1335,9 @@ class Table:
                     if b is not None:
                         f_lo = decode_bound(b[0])
                         f_hi = None if b[1] is None else decode_bound(b[1])
-                        if (f_hi is not None and f_hi < lo) or f_lo > hi:
+                        if (
+                            lo is not None and f_hi is not None and f_hi < lo
+                        ) or (hi is not None and f_lo is not None and f_lo > hi):
                             continue
                         out.append(store.resolve(rel))
                         continue
@@ -1325,8 +1345,14 @@ class Table:
                         raise ValueError(
                             f"no manifest bounds for column {column!r} on {rel}"
                         )
+                    if not footer_fallback:
+                        out.append(store.resolve(rel))  # statless: keep, no I/O
+                        continue
                     stats = _file_range_stats(store.resolve(rel), column)
-                    if stats is None or not (stats[1] < lo or stats[0] > hi):
+                    if stats is None or not (
+                        (lo is not None and stats[1] < lo)
+                        or (hi is not None and stats[0] > hi)
+                    ):
                         out.append(store.resolve(rel))
             return out
         out = []
@@ -1340,14 +1366,22 @@ class Table:
             if b is not None:
                 f_lo = decode_bound(b[0])
                 f_hi = None if b[1] is None else decode_bound(b[1])
-                if (f_hi is not None and f_hi < lo) or f_lo > hi:
+                if (
+                    lo is not None and f_hi is not None and f_hi < lo
+                ) or (hi is not None and f_lo is not None and f_lo > hi):
                     continue  # provably disjoint, pruned from metadata alone
                 out.append(store.resolve(rel))
                 continue
             if require_stats:
                 raise ValueError(f"no manifest bounds for column {column!r} on {rel}")
+            if not footer_fallback:
+                out.append(store.resolve(rel))  # statless: keep, no I/O
+                continue
             stats = _file_range_stats(store.resolve(rel), phys)
-            if stats is None or not (stats[1] < lo or stats[0] > hi):
+            if stats is None or not (
+                (lo is not None and stats[1] < lo)
+                or (hi is not None and stats[0] > hi)
+            ):
                 out.append(store.resolve(rel))
         return out
 

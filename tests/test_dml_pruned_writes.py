@@ -50,9 +50,15 @@ def test_prune_subset_for_where_matches_planner(catalog, spark):
     # conjunct with a non-partition piece still prunes on the partition
     subset = prune_subset_for_where(t, ident, "r = 1 AND name <> ''")
     assert subset is not None and len(subset) == 1
-    # unconstrained disjunct -> None (scan everything)
-    assert prune_subset_for_where(t, ident, "r = 1 OR name = 'n7'") is None
-    assert prune_subset_for_where(t, ident, "name = 'n7'") is None
+    # r15: a non-partition disjunct/conjunct prunes via string zone-map
+    # bounds instead of poisoning (still a superset of matching files)
+    sub = prune_subset_for_where(t, ident, "r = 1 OR name = 'n7'")
+    assert sub is not None and 2 <= len(sub) < 5
+    sub = prune_subset_for_where(t, ident, "name = 'n7'")
+    assert sub is not None and 0 < len(sub) < 5
+    # an expression the extractor cannot take -> None (scan everything)
+    assert prune_subset_for_where(t, ident, "upper(name) = 'N7'") is None
+    assert prune_subset_for_where(t, ident, "r = 1 OR name <> 'n7'") is None
 
 
 def test_delete_mor_sql_passes_planner_subset(catalog, spark, monkeypatch):
@@ -530,11 +536,21 @@ def test_explain_dml_reports_planning_without_committing(catalog, spark):
     assert "files total: 5" in lines[1] and "files planned: 2" in lines[1]
     assert "pruned: True" in lines[2]
     assert any("physical plan" in l for l in lines)
+    # r15: a non-partition equality prunes through string zone-map bounds
     lines = [
         r.plan_line
         for r in execute_dml(
             spark, catalog,
             "EXPLAIN UPDATE d.x SET name = 'z' WHERE name = 'n7'",
+        ).collect()
+    ]
+    assert "files planned: 3" in lines[1] and "pruned: True" in lines[2]
+    # an expression the extractor cannot take stays unpruned
+    lines = [
+        r.plan_line
+        for r in execute_dml(
+            spark, catalog,
+            "EXPLAIN UPDATE d.x SET name = 'z' WHERE upper(name) = 'N7'",
         ).collect()
     ]
     assert "files planned: 5" in lines[1] and "pruned: False" in lines[2]

@@ -361,10 +361,23 @@ def test_prune_open_range_and_flipped_literal(catalog, spark):
 
 def test_prune_never_fires_on_set_ops_or_non_partition_cols(catalog, spark):
     _seed(catalog, spark, "s.u", partition_by=["r"])
+    # r15: non-partition columns now prune through manifest BOUNDS
+    # (zone-map) — k = 0 is below the other files' k-minimums and 'n0'
+    # is below their name-minimums: one file planned
     info = select_plan_info(
-        spark, catalog, "SELECT * FROM s.u WHERE name = 'n1' AND k = 4"
+        spark, catalog, "SELECT * FROM s.u WHERE name = 'n0' AND k = 0"
     )
-    assert info["points"] == {} and info["n_files_planned"] == info["n_files_total"]
+    assert info["points"] == {"name": "n0", "k": 0}
+    assert info["n_files_planned"] == 1 < info["n_files_total"] == 3
+    rows = select_sql(
+        spark, catalog, "SELECT k, name FROM s.u WHERE name = 'n0' AND k = 0"
+    ).collect()
+    assert [(x.k, x.name) for x in rows] == [(0, "n0")]
+    # an expression the extractor cannot take still plans everything
+    info = select_plan_info(
+        spark, catalog, "SELECT * FROM s.u WHERE name <> 'n1'"
+    )
+    assert info["n_files_planned"] == info["n_files_total"]
     # a top-level set op has two WHEREs — pruning must stay off even though
     # only one side names the catalog table
     spark.createDataFrame([(1,)], "r long").createOrReplaceTempView("one_row_ssql")
@@ -396,13 +409,19 @@ def test_prune_or_precedence_never_loses_rows(catalog, spark):
     """VERDICT r13 #1 regression: AND binds tighter than OR, so in
     ``WHERE r = 1 AND k = 4 OR k = 5`` the ``k = 5`` rows match REGARDLESS
     of r — the r13 extractor pruned on ``r = 1`` and silently lost them.
-    Both precedence variants must plan ALL files and return exact rows."""
+    Both precedence variants must keep every possibly-matching file (the
+    k-bounds of this table's files all overlap, so r15's zone-map walk
+    cannot narrow either branch) and return exact rows."""
     _seed(catalog, spark, "s.prec", partition_by=["r"])  # k%3 == r, 30 rows
     # variant 1: conjunct-first (the judge's end-to-end repro shape)
     sql = "SELECT k FROM s.prec WHERE r = 1 AND k = 4 OR k = 5"
     info = select_plan_info(spark, catalog, sql)
     assert info["n_files_planned"] == info["n_files_total"] == 3
-    assert info["points"] == {} and "or_branches" not in info
+    # r15: k is a stats column, so the branches carry it (still exact)
+    assert info["points"] == {}
+    assert [b["points"] for b in info["or_branches"]] == [
+        {"r": 1, "k": 4}, {"k": 5},
+    ]
     rows = select_sql(spark, catalog, sql + " ORDER BY k").collect()
     assert [x.k for x in rows] == [4, 5]  # k=5 has r=2: lost pre-fix
     # variant 2: disjunct-first
@@ -442,11 +461,13 @@ def test_prune_or_branches_union_planned_files(catalog, spark):
     assert (info["n_files_total"], info["n_files_planned"]) == (5, 2)
     rows = select_sql(spark, catalog, sql + " ORDER BY k").collect()
     assert [x.k for x in rows] == [6, 13, 18]
-    # one unconstrained disjunct poisons pruning (superset-safety)
+    # r15: a disjunct on a NON-partition column is no longer unconstrained
+    # — its branch prunes through string zone-map bounds (union stays a
+    # superset: 4 of 5 files, rows exact)
     info = select_plan_info(
         spark, catalog, "SELECT k FROM s.dnf WHERE r = 1 OR name = 'n7'"
     )
-    assert info["n_files_planned"] == info["n_files_total"] == 5
+    assert info["n_files_planned"] == 4 < info["n_files_total"] == 5
     rows = select_sql(
         spark, catalog,
         "SELECT k FROM s.dnf WHERE r = 1 OR name = 'n7' ORDER BY k",
@@ -454,6 +475,11 @@ def test_prune_or_branches_union_planned_files(catalog, spark):
     assert [x.k for x in rows] == sorted(
         i for i in range(50) if i % 5 == 1 or i == 7
     )
+    # a disjunct the extractor cannot take (<>) still poisons pruning
+    info = select_plan_info(
+        spark, catalog, "SELECT k FROM s.dnf WHERE r = 1 OR name <> 'n7'"
+    )
+    assert info["n_files_planned"] == info["n_files_total"] == 5
     # EXPLAIN surfaces the branch decision
     lines = [
         r.plan_line

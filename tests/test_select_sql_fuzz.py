@@ -386,20 +386,17 @@ def test_one_sided_bounds_actually_prune(fuzz_table, spark):
     entry — and that a one-sided case through the full SQL path still
     returns exactly the matching rows."""
     total = None
-    for sql_pred, lo_files in (
-        ("day >= 5", True),      # identity partition: 2 of 7 day values
-        ("day < 2", True),
-        ("b >= 8", True),        # truncate(4, b): buckets {8, 12} of 4
-        ("name >= 'n3'", False), # non-partition col: never prunes
+    for sql_pred in (
+        "day >= 5",      # identity partition: 2 of 7 day values
+        "day < 2",
+        "b >= 8",        # truncate(4, b): buckets {8, 12} of 4
+        "name >= 'n3'",  # r15: non-partition col prunes via string bounds
     ):
         info = select_plan_info(
             spark, fuzz_table, f"SELECT k FROM fz.t WHERE {sql_pred}"
         )
         total = info["n_files_total"]
-        if lo_files:
-            assert 0 < info["n_files_planned"] < total, (sql_pred, info)
-        else:
-            assert info["n_files_planned"] == total, (sql_pred, info)
+        assert 0 < info["n_files_planned"] < total, (sql_pred, info)
     keys = [dict(zip(("k", "day", "b", "name"), r)) for r in ROWS]
     got = sorted(
         r.k for r in select_sql(
@@ -516,3 +513,66 @@ def test_fuzz_star_join_dpp_matches_unpruned_evaluation(star_tables, spark):
         if len(failures) >= 5:
             break
     assert not failures, failures
+
+
+# --- zone-map fuzz (r15): UNPARTITIONED table, stats-bounds pruning only ---
+
+
+@pytest.fixture(scope="module")
+def zone_table(tmp_path_factory, spark):
+    """Four appends with disjoint k-ranges -> four files whose only
+    pruning device is the per-file [min, max] bounds."""
+    cat = PostgresCatalog.connect(
+        "ssqlzfuzz", None, str(tmp_path_factory.mktemp("whz"))
+    )
+    cat.initialize()
+    df = spark.createDataFrame(ROWS, "k long, day long, b long, name string")
+    t = cat.create_table(TableIdentifier.parse("fz.z"), df.schema)
+    for lo, hi in ((0, 29), (30, 59), (60, 89), (90, 119)):
+        t = (
+            t.new_transaction()
+            .append_dataframe(
+                df.filter((df.k >= lo) & (df.k <= hi)).coalesce(1)
+            )
+            .commit()
+        )
+    yield cat
+    cat.backend.close()
+
+
+def test_fuzz_zone_map_pruning_matches_unpruned_evaluation(zone_table, spark):
+    """r15 adversarial zone-map property: the SAME random predicate trees
+    as the partitioned fuzz, over an UNPARTITIONED table where every
+    pruning decision comes from stats bounds — results must match direct
+    evaluation exactly, and at least one case must actually prune."""
+    from iceberg_catalog_postgres_spark.catalog.select_sql import (
+        select_plan_info,
+        select_sql,
+    )
+
+    rng = random.Random(SEED + 31)
+    keys = [dict(zip(("k", "day", "b", "name"), r)) for r in ROWS]
+    failures = []
+    pruned_once = False
+    for case in range(120):
+        sql_pred, fn, _p = _tree(rng, rng.randrange(1, 5))
+        expect = sorted(r["k"] for r in keys if fn(r))
+        stmt = f"SELECT k FROM fz.z WHERE {sql_pred}"
+        try:
+            got = sorted(
+                r.k for r in select_sql(spark, zone_table, stmt).collect()
+            )
+            info = select_plan_info(spark, zone_table, stmt)
+            if info["n_files_planned"] < info["n_files_total"]:
+                pruned_once = True
+        except Exception as exc:
+            failures.append((case, sql_pred, f"raised {exc!r}"))
+            continue
+        if got != expect:
+            failures.append(
+                (case, sql_pred, f"{len(got)} rows != {len(expect)} expected")
+            )
+        if len(failures) >= 5:
+            break
+    assert not failures, failures
+    assert pruned_once, "no fuzz case exercised zone-map pruning"
