@@ -2076,6 +2076,8 @@ def catalog_sql_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             AS BIGINT)),
       ('nonpart', 5, 5,
        CAST((SELECT count(*) FROM nation WHERE n_name <> '') AS BIGINT)),
+      ('nullis', 2, 1, CAST((SELECT count(*) FROM nation) AS BIGINT)),
+      ('nullnot', 2, 1, CAST((SELECT count(*) FROM nation) AS BIGINT)),
       ('orbranches', 5, 2, CAST(2 AS BIGINT)),
       ('ordnf', 5, 2,
        CAST((SELECT count(*) FROM nation
@@ -2114,14 +2116,20 @@ def catalog_sql_select_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     next to the query's row count. Four decision cases: an identity
     point (5 partitions -> 1 file), an IN-list (set-valued points, ONE
     composed walk, 5 -> 2), a range through ``truncate(8, k)``
-    (4 files -> 2), a non-partition predicate (no pruning — planner
-    must stay superset-safe, full file list), a disjunctive WHERE whose
-    branches union their planned sets (r14: ``r = 0 OR r = 4`` -> 2
-    files), and an OR-precedence case (r14, VERDICT r13 #1 regression:
-    ``r = 2 AND name <> '' OR key = 7`` must plan ALL files — AND binds
-    tighter, so the ``key = 7`` rows match regardless of r). File counts
-    are deterministic: nation is 25 rows at every SF and each table is
-    written from one input partition, so files == partition tuples."""
+    (4 files -> 2), a non-partition opaque predicate (no pruning —
+    planner must stay superset-safe, full file list), a disjunctive
+    WHERE whose branches union their planned sets (r14: ``r = 0 OR
+    r = 4`` -> 2 files), an OR-precedence case (r14, VERDICT r13 #1
+    regression: ``r = 2 AND name <> '' OR key = 7`` must plan ALL files
+    — AND binds tighter, so the ``key = 7`` rows match regardless of r),
+    r15 zone-map cases (half-open + closed int ranges and string
+    equality pruning through per-file manifest [min, max] bounds on
+    NON-partition columns — ``nation_zone`` is unpartitioned with four
+    disjoint-range files, the only planner that can narrow it is stats
+    bounds), and r15 nullness cases (``IS [NOT] NULL`` pruning from
+    manifest null counts on an all-null-file + full-file pair). File
+    counts are deterministic: nation is 25 rows at every SF and every
+    file is written from one input partition."""
     from iceberg_catalog_postgres_spark.catalog.select_sql import (
         select_plan_info,
         select_sql,
@@ -2151,6 +2159,19 @@ def catalog_sql_select_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .commit()
         )
+    # r15 nullness fixture: one all-null-name file + one fully-named file
+    # — IS [NOT] NULL each prune exactly one via manifest null counts
+    t = cat.create_table(
+        TableIdentifier.parse("maint.nation_null"), src.schema
+    )
+    t = (
+        t.new_transaction()
+        .append_dataframe(
+            src.withColumn("n_name", F.lit(None).cast("string")).coalesce(1)
+        )
+        .commit()
+    )
+    t.new_transaction().append_dataframe(src.coalesce(1)).commit()
     cases = [
         # r15: HALF-OPEN ranges prune (a lone >=/< bound — the dominant
         # event-log predicate; pre-r15 these planned ALL files)
@@ -2161,6 +2182,11 @@ def catalog_sql_select_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("inlist",
          "SELECT * FROM maint.nation_ident WHERE n_regionkey IN (0, 4)"),
         ("nonpart", "SELECT * FROM maint.nation_ident WHERE n_name <> ''"),
+        # r15 nullness pruning from manifest null counts
+        ("nullis",
+         "SELECT * FROM maint.nation_null WHERE n_name IS NULL"),
+        ("nullnot",
+         "SELECT * FROM maint.nation_null WHERE n_name IS NOT NULL"),
         ("ordnf",
          "SELECT * FROM maint.nation_ident "
          "WHERE n_regionkey = 0 OR n_regionkey = 4"),

@@ -126,7 +126,8 @@ def _split_top(tokens: list[str], sep: str) -> list[list[str]]:
             depth -= 1
         elif kw == "CASE":
             case_depth += 1
-        elif kw == "END":
+        elif kw == "END" and case_depth > 0:
+            # clamp for columns literally named `end` (r15)
             case_depth -= 1
         if depth == 0 and case_depth == 0 and (
             tok == sep or (_kw(sep) and kw == _kw(sep))
@@ -194,7 +195,7 @@ class _Cursor:
                 depth -= 1
             elif kw == "CASE":
                 case_depth += 1
-            elif kw == "END":
+            elif kw == "END" and case_depth > 0:
                 case_depth -= 1
             out.append(tok)
             self.i += 1

@@ -370,7 +370,9 @@ def _split_top_or(tokens: list[str]) -> list[list[str]]:
             depth -= 1
         elif up == "CASE":
             case_depth += 1
-        elif up == "END":
+        elif up == "END" and case_depth > 0:
+            # clamp: a column literally named `end` must not drive the
+            # depth negative and silently disable splitting (r15)
             case_depth -= 1
         if depth == 0 and case_depth == 0 and up == "OR":
             out.append(cur)
@@ -526,6 +528,21 @@ def _extract_body(
                 sub_sets.append(sub)
             continue
         ups = [(_upper(t) or t) for t in piece]
+        if len(ups) >= 3 and ups[-1] == "NULL" and "IS" in ups:
+            # col IS [NOT] NULL (r15): rides as a NullnessConstraint point
+            # — planned_files_nullness prunes from manifest null counts
+            from iceberg_catalog_postgres_spark.catalog.table import (
+                NullnessConstraint,
+            )
+
+            isi = ups.index("IS")
+            tailing = [u for u in ups[isi + 1 :] if u != "NULL"]
+            col = col_of(piece[:isi])
+            if col in sources and tailing in ([], ["NOT"]):
+                points.setdefault(
+                    col, NullnessConstraint(want_null=not tailing)
+                )
+            continue
         if "IN" in ups and "NOT" not in ups:
             ini = ups.index("IN")
             col = col_of(piece[:ini])
@@ -572,15 +589,29 @@ def _extract_body(
                         else:
                             b[0] = lit
                 break
+    from iceberg_catalog_postgres_spark.catalog.table import (
+        NullnessConstraint as _NC,
+    )
+
+    def _valued(c: str) -> bool:
+        # a VALUE point subsumes ranges/IN on the same column; a nullness
+        # mark does not (the value constraint is the tighter prune) — a
+        # marked column keeps its range/IN and drops the mark instead
+        return c in points and not isinstance(points[c], _NC)
+
     # a lone bound is kept as a HALF-OPEN range (r15 — ``ts >= X``, the
     # most common event-log predicate, prunes from one bound; pre-r15 the
     # both-bounds requirement here dropped it and planned ALL files)
     ranges = {
         c: (lo, hi) for c, (lo, hi) in bounds.items()
-        if (lo is not None or hi is not None) and c not in points
+        if (lo is not None or hi is not None) and not _valued(c)
     }
     # an equality on the same column subsumes its IN-list
-    in_lists = {c: v for c, v in in_lists.items() if c not in points}
+    in_lists = {c: v for c, v in in_lists.items() if not _valued(c)}
+    points = {
+        c: v for c, v in points.items()
+        if not (isinstance(v, _NC) and (c in ranges or c in in_lists))
+    }
     branches = [(points, ranges, in_lists)]
     for sub in sub_sets:
         if len(branches) * len(sub) > _MAX_OR_BRANCHES:
@@ -662,18 +693,6 @@ def _extract_prune_branches(
     return out
 
 
-def _extract_prune_conjuncts(
-    tokens: list[str], ref: dict
-) -> tuple[dict, dict, dict]:
-    """Compat shim: the single-branch triple for a pure-conjunct WHERE;
-    empty triple for a disjunctive WHERE (those prune through
-    ``_extract_prune_branches`` + ``_branch_union_subset`` instead)."""
-    branches = _extract_prune_branches(tokens, ref)
-    if len(branches) == 1:
-        return branches[0]
-    return {}, {}, {}
-
-
 def _branch_files(ref: dict, triple, sid) -> set:
     """One DNF branch's planned-file SET: the composed partition walk
     INTERSECTED with one manifest-bounds (zone-map) walk per constrained
@@ -683,12 +702,19 @@ def _branch_files(ref: dict, triple, sid) -> set:
     branch's matching files. Pure metadata: ``footer_fallback=False``
     keeps statless files without I/O; a literal the column type cannot
     coerce simply skips that constraint."""
+    from iceberg_catalog_postgres_spark.catalog.table import (
+        NullnessConstraint as _NC,
+    )
+
     points, ranges, ins = triple
     table = ref["table"]
     part = _partition_sources(ref)
     stypes = _stats_sources(ref)
     snap_kw = {"snapshot_id": sid}
-    p_pts = {c: v for c, v in points.items() if c in part}
+    p_pts = {
+        c: v for c, v in points.items()
+        if c in part and not isinstance(v, _NC)
+    }
     p_pts.update({c: list(v) for c, v in ins.items() if c in part})
     p_rng = {c: v for c, v in ranges.items() if c in part}
     out = set(
@@ -703,7 +729,15 @@ def _branch_files(ref: dict, triple, sid) -> set:
         )
 
     for c, v in points.items():
-        if c in stypes:
+        if isinstance(v, _NC):
+            # IS [NOT] NULL: manifest null-count pruning, any column kind
+            try:
+                out &= set(
+                    table.planned_files_nullness(c, v.want_null, **snap_kw)
+                )
+            except (TypeError, ValueError):
+                pass
+        elif c in stypes:
             try:
                 lv = _coerce_stats_lit(stypes[c], v)
                 out &= _walk(c, lv, lv)
@@ -755,12 +789,19 @@ def _branch_union_subset(ref: dict, branches) -> list[str]:
 
 
 def _branches_touch_stats(ref: dict, branches) -> bool:
-    """True when any branch constrains a NON-partition (stats) column —
-    those prune only through ``_branch_files``'s file_subset path, never
-    through ``to_df``'s transform kwargs."""
+    """True when any branch constrains a NON-partition (stats) column or
+    carries a nullness mark — those prune only through
+    ``_branch_files``'s file_subset path, never through ``to_df``'s
+    transform kwargs."""
+    from iceberg_catalog_postgres_spark.catalog.table import (
+        NullnessConstraint as _NC,
+    )
+
     stats = set(_stats_sources(ref))
     return any(
-        (set(p) | set(r) | set(i)) & stats for p, r, i in branches
+        ((set(p) | set(r) | set(i)) & stats)
+        or any(isinstance(v, _NC) for v in p.values())
+        for p, r, i in branches
     )
 
 
@@ -1289,7 +1330,16 @@ def _join_dpp(spark, rewritten: list[str], refs: list[dict]) -> None:
             if fact.get("_prune_subset") is not None:
                 base = set(fact["_prune_subset"])
             else:
-                pts = fact.get("_prune_points") or {}
+                from iceberg_catalog_postgres_spark.catalog.table import (
+                    NullnessConstraint as _NC,
+                )
+
+                # nullness marks only narrow; dropping them here keeps the
+                # composed walk well-typed (superset-safe)
+                pts = {
+                    c: v for c, v in (fact.get("_prune_points") or {}).items()
+                    if not isinstance(v, _NC)
+                }
                 rng = fact.get("_prune_ranges") or {}
                 ins = fact.get("_prune_in") or {}
                 subset = _in_list_subset(fact, pts, rng, ins)

@@ -172,6 +172,30 @@ def parse_partition_field(entry: str) -> tuple[str, int | None, str]:
 MERGE_CARDINALITY_SENTINEL = "__merge_cardinality_violation__"
 
 
+class NullnessConstraint:
+    """Planner point-value marker for ``col IS [NOT] NULL`` (r15): rides
+    inside the SQL extractor's ``points`` dict so the DNF machinery needs
+    no fourth field; the value-based planners skip it (superset-safe) and
+    ``_branch_files`` routes it to ``planned_files_nullness``."""
+
+    __slots__ = ("want_null",)
+
+    def __init__(self, want_null: bool):
+        self.want_null = want_null
+
+    def __repr__(self) -> str:  # EXPLAIN / plan-info rendering
+        return "IS NULL" if self.want_null else "IS NOT NULL"
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, NullnessConstraint)
+            and other.want_null == self.want_null
+        )
+
+    def __hash__(self):
+        return hash(("__icps_nullness__", self.want_null))
+
+
 def _in_bounds(iv: int, a: int | None, b: int | None) -> bool:
     """Transformed-value containment for a possibly HALF-OPEN interval —
     ``None`` on either side means unbounded (r15: ``WHERE ts >= X``, the
@@ -1756,7 +1780,9 @@ class Table:
         tuple_filters = {}
         for entry in spec:
             col = parse_partition_field(entry)[2]
-            if col in filters:
+            if col in filters and not isinstance(
+                filters[col], NullnessConstraint
+            ):
                 tuple_filters[entry] = transform_value(
                     entry, filters[col], bucket_hash=bucket_hash,
                     src_type=src_types.get(col),
@@ -1824,6 +1850,8 @@ class Table:
             kind, _param, src = parse_partition_field(entry)
             if src in points:
                 pv = points[src]
+                if isinstance(pv, NullnessConstraint):
+                    continue  # handled by planned_files_nullness (r15)
                 allowed = set()
                 for v in (pv if isinstance(pv, (list, tuple, set)) else [pv]):
                     t = transform_value(

@@ -883,3 +883,94 @@ def test_star_join_dpp_with_temp_view_dim(catalog, spark, monkeypatch):
     monkeypatch.undo()
     assert seen["file_subset"] is not None and len(seen["file_subset"]) == 2
     assert rows == [i for i in range(100) if i % 10 in (3, 4)]
+
+
+def test_prune_is_null_and_is_not_null(catalog, spark):
+    """r15: IS [NOT] NULL prunes from manifest null counts — an all-null
+    file provably matches no IS NOT NULL row and vice versa; composes
+    with zone-map bounds and DNF branches."""
+    df1 = spark.createDataFrame(
+        [(i, None) for i in range(10)], "k long, name string"
+    )
+    df2 = spark.createDataFrame(
+        [(i, f"n{i}") for i in range(10, 20)], "k long, name string"
+    )
+    t = catalog.create_table(TableIdentifier.parse("s.nl"), df1.schema)
+    t = t.new_transaction().append_dataframe(df1.coalesce(1)).commit()
+    t.new_transaction().append_dataframe(df2.coalesce(1)).commit()
+    for pred, exp_planned, exp_rows in (
+        ("name IS NULL", 1, list(range(10))),
+        ("name IS NOT NULL", 1, list(range(10, 20))),
+        # composes with a half-open zone-map bound in the same conjunct
+        ("name IS NOT NULL AND k >= 15", 1, list(range(15, 20))),
+        # and with DNF branches
+        ("name IS NULL OR k = 12", 2, list(range(10)) + [12]),
+        # an opaque expression never prunes
+        ("upper(name) IS NULL", 2, list(range(10))),
+    ):
+        info = select_plan_info(
+            spark, catalog, f"SELECT k FROM s.nl WHERE {pred}"
+        )
+        assert info["n_files_planned"] == exp_planned, (pred, info)
+        rows = sorted(
+            r.k for r in select_sql(
+                spark, catalog, f"SELECT k FROM s.nl WHERE {pred}"
+            ).collect()
+        )
+        assert rows == exp_rows, pred
+
+
+def test_prune_column_named_end_still_prunes(catalog, spark):
+    """r15 (VERDICT r14 minor #1): a column literally named ``end`` used
+    to drive the splitters' CASE depth negative, silently disabling
+    OR/AND splitting (lost pruning, never lost rows). The depth clamps
+    at zero now, so pruning fires."""
+    df = spark.createDataFrame(
+        [(i, i % 3, i * 10) for i in range(30)], "k long, r long, `end` long"
+    )
+    t = catalog.create_table(
+        TableIdentifier.parse("s.ke"), df.schema, partition_by=["r"]
+    )
+    t.new_transaction().append_dataframe(df.coalesce(1)).commit()
+    sql = "SELECT k FROM s.ke WHERE r = 0 OR r = 1"
+    info = select_plan_info(spark, catalog, sql)
+    assert info["n_files_planned"] == 2 < info["n_files_total"] == 3
+    # and with the `end` column IN the predicate (AND + OR splitting)
+    sql = "SELECT k FROM s.ke WHERE `end` >= 100 AND r = 1 OR r = 2"
+    info = select_plan_info(spark, catalog, sql)
+    assert info["n_files_planned"] == 2 < info["n_files_total"]
+    rows = sorted(r_.k for r_ in select_sql(spark, catalog, sql).collect())
+    assert rows == sorted(
+        i for i in range(30) if (i * 10 >= 100 and i % 3 == 1) or i % 3 == 2
+    )
+
+
+def test_prune_timestamp_zone_map_half_open(catalog, spark):
+    """r15: `WHERE ts >= X` — the canonical event-log predicate — prunes
+    on an UNPARTITIONED table through per-file timestamp bounds (naive-
+    UTC micros in the manifest; literals coerce via fromisoformat)."""
+    import datetime as dt
+
+    rows1 = [(i, dt.datetime(2024, 1, 1 + i // 4, i % 4)) for i in range(8)]
+    rows2 = [
+        (i, dt.datetime(2024, 6, 1 + (i - 8) // 4, i % 4))
+        for i in range(8, 16)
+    ]
+    df1 = spark.createDataFrame(rows1, "k long, ts timestamp")
+    df2 = spark.createDataFrame(rows2, "k long, ts timestamp")
+    t = catalog.create_table(TableIdentifier.parse("s.ts"), df1.schema)
+    t = t.new_transaction().append_dataframe(df1.coalesce(1)).commit()
+    t.new_transaction().append_dataframe(df2.coalesce(1)).commit()
+    for pred, exp_planned, exp_n in (
+        ("ts >= '2024-06-01'", 1, 8),
+        ("ts < TIMESTAMP '2024-02-01 00:00:00'", 1, 8),
+        ("ts BETWEEN '2024-01-01' AND '2024-01-02 23:00:00'", 1, 8),
+    ):
+        info = select_plan_info(
+            spark, catalog, f"SELECT k FROM s.ts WHERE {pred}"
+        )
+        assert info["n_files_planned"] == exp_planned, (pred, info)
+        n = select_sql(
+            spark, catalog, f"SELECT k FROM s.ts WHERE {pred}"
+        ).count()
+        assert n == exp_n, pred
