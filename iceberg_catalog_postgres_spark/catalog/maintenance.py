@@ -111,6 +111,38 @@ _NONDET_PLAN_MARKS = (
 )
 
 
+def sql_where_filter(spark: SparkSession, table: Table, df: DataFrame,
+                     where_text: str) -> DataFrame:
+    """Filter ``df`` with a WHERE that may contain SUBQUERIES (r15):
+    ``Dataset.filter`` parses expressions only, so ``DELETE ... WHERE id
+    IN (SELECT ...)`` — the tombstone pattern — needs a full statement.
+    The frame registers as a temp view, the text routes through
+    ``select_sql`` (catalog refs INSIDE the subquery resolve like any
+    SELECT), and the view drops immediately (spark.sql analyzes eagerly,
+    inlining it)."""
+    import uuid as _uuid
+
+    from iceberg_catalog_postgres_spark.catalog.select_sql import select_sql
+
+    view = f"__icps_where_{_uuid.uuid4().hex[:12]}"
+    df.createOrReplaceTempView(view)
+    try:
+        return select_sql(
+            spark, table.catalog,
+            f"SELECT * FROM `{view}` WHERE {where_text}",
+        )
+    finally:
+        spark.catalog.dropTempView(view)
+
+
+def _apply_condition(df: DataFrame, condition) -> DataFrame:
+    """``condition`` is a Column/SQL-expression string (the normal path)
+    or a CALLABLE df -> filtered df (the subquery path, r15)."""
+    return condition(df) if callable(condition) and not hasattr(
+        condition, "_jc"
+    ) else df.filter(condition)
+
+
 def _require_gc_enabled(table: Table, op: str) -> None:
     """File-DELETING maintenance refuses on ``gc.enabled = false`` tables
     (r15): ``CALL system.snapshot`` registers BORROWED files in place —
@@ -1075,7 +1107,17 @@ def update_where(
     unknown = [c for c in set if c not in types]
     if unknown:
         raise ValueError(f"update_where: unknown column(s) {unknown}")
-    cond = F.expr(condition) if isinstance(condition, str) else condition
+    if callable(condition) and not hasattr(condition, "_jc"):
+        # subquery WHERE (r15): only the MOR path can take a prebuilt
+        # matched frame — CoW's CASE projection needs a per-row Column
+        if strategy != "mor":
+            raise ValueError(
+                "UPDATE with a subquery WHERE requires strategy='mor' "
+                "(the CoW CASE projection cannot embed a subquery)"
+            )
+        cond = None
+    else:
+        cond = F.expr(condition) if isinstance(condition, str) else condition
 
     if strategy == "cow":
         out = [
@@ -1139,7 +1181,7 @@ def update_where(
         spark, with_row_lineage=preserve_lineage, with_scan_identity=True,
         file_subset=file_subset,
     )
-    matched = current.filter(cond).persist()
+    matched = _apply_condition(current, condition).persist()
     try:
         if matched.isEmpty():
             return table  # nothing matched: provably a no-op, skip the commit
@@ -1199,14 +1241,16 @@ def delete_where_mor(
     files = [store.resolve(f) for f in rels]
     if not files:
         return table
-    positions = (
-        spark.read.schema(table.schema)
-        .parquet(*files)
-        .filter(condition)
-        .select(
-            F.col("_metadata.file_path").alias("file_path"),
-            F.col("_metadata.row_index").alias("row_index"),
-        )
+    scan = spark.read.schema(table.schema).parquet(*files).select(
+        "*",
+        F.col("_metadata.file_path").alias("__mfile"),
+        F.col("_metadata.row_index").alias("__mpos"),
+    )
+    # condition may be a callable (r15 — subquery WHEREs route through
+    # sql_where_filter, which needs a full statement, not an expression)
+    positions = _apply_condition(scan, condition).select(
+        F.col("__mfile").alias("file_path"),
+        F.col("__mpos").alias("row_index"),
     )
     tx = table.new_transaction()
     if as_dv:
@@ -2550,6 +2594,71 @@ def catalog_sql_position_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "phase string, n_pos long, n_data_files long, n_artifacts long, "
         "sum_deleted_keys long",
     ).orderBy("phase")
+
+
+@register(
+    "catalog_sql_dml_subquery",
+    oracle="""
+    WITH tomb AS (
+      SELECT n_nationkey AS k FROM nation WHERE n_nationkey % 7 = 0
+    ),
+    final AS (
+      SELECT n_nationkey,
+             CASE WHEN n_nationkey IN (SELECT k + 1 FROM tomb)
+                  THEN 'X' ELSE n_name END AS n_name
+      FROM nation
+      WHERE n_nationkey NOT IN (SELECT k FROM tomb)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(n_nationkey) AS BIGINT) AS sum_key,
+           CAST(sum(CASE WHEN n_name = 'X' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_updated
+    FROM final
+    """,
+    tags=("catalog", "sql", "dml", "subquery", "mor"),
+)
+def catalog_sql_dml_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subquery-predicate DML (r15): ``DELETE FROM t WHERE id IN
+    (SELECT ...)`` — the tombstone pattern every retention/GDPR pipeline
+    runs — and the matching ``UPDATE``. ``Dataset.filter`` parses
+    expressions only, so these WHEREs route through ``select_sql`` as
+    full statements (``sql_where_filter``); the tombstone table is a
+    CATALOG table, so the subquery exercises ref resolution inside the
+    predicate too. Both writes are MOR row deltas (O(matched rows));
+    the final state is recomputed relationally by the oracle."""
+    from iceberg_catalog_postgres_spark.catalog.merge_sql import execute_dml
+
+    cat = _fresh_catalog("catalog_sql_dml_subquery")
+    src = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    t = cat.create_table(
+        TableIdentifier.parse("maint.nation_sq"), src.schema,
+        partition_by=["n_regionkey"],
+    )
+    t.new_transaction().append_dataframe(src.coalesce(1)).commit()
+    execute_dml(
+        spark, cat,
+        "CREATE TABLE maint.tomb AS "
+        "SELECT n_nationkey AS k FROM maint.nation_sq "
+        "WHERE n_nationkey % 7 = 0",
+    )
+    execute_dml(
+        spark, cat,
+        "DELETE FROM maint.nation_sq "
+        "WHERE n_nationkey IN (SELECT k FROM maint.tomb)",
+    )
+    execute_dml(
+        spark, cat,
+        "UPDATE maint.nation_sq SET n_name = 'X' "
+        "WHERE n_nationkey IN (SELECT k + 1 FROM maint.tomb)",
+    )
+    return execute_dml(
+        spark, cat,
+        "SELECT count(*) AS n_rows, sum(n_nationkey) AS sum_key, "
+        "sum(CASE WHEN n_name = 'X' THEN 1 ELSE 0 END) AS n_updated "
+        "FROM maint.nation_sq",
+    )
 
 
 @register(

@@ -554,6 +554,20 @@ def update_sql(
     p = parse_update(sql)
     ident = TableIdentifier.parse(p["target"])
     table = catalog.load_table(ident)
+    if p["where"] is not None and _where_has_subquery(p["where"]):
+        # r15: UPDATE ... WHERE id IN (SELECT ...) — MOR only (the CoW
+        # CASE projection cannot embed a subquery; update_where raises
+        # a guided refusal for cow)
+        from iceberg_catalog_postgres_spark.catalog.maintenance import (
+            sql_where_filter,
+        )
+
+        return update_where(
+            spark, table,
+            lambda df, w=p["where"]: sql_where_filter(spark, table, df, w),
+            p["set"], strategy=strategy,
+            preserve_lineage=preserve_lineage, pointer_swap=pointer_swap,
+        )
     # r14: route the WHERE through the same DNF extractor the SELECT path
     # uses, so the matching scan plans O(candidate files) — None = no
     # extractable partition constraint, scan everything (superset-safe)
@@ -594,6 +608,34 @@ def delete_sql(spark, catalog, sql: str, strategy: str = "mor",
     p = parse_delete(sql)
     ident = TableIdentifier.parse(p["target"])
     table = catalog.load_table(ident)
+    if strategy not in ("cow", "mor"):
+        raise ValueError(f"strategy must be cow|mor, got {strategy!r}")
+    if p["where"] is not None and _where_has_subquery(p["where"]):
+        # r15: DELETE ... WHERE id IN (SELECT ...) — the tombstone
+        # pattern. Dataset.filter parses EXPRESSIONS only, so the WHERE
+        # routes through select_sql as a full statement (catalog refs
+        # inside the subquery resolve too).
+        from iceberg_catalog_postgres_spark.catalog.maintenance import (
+            sql_where_filter,
+        )
+
+        if strategy == "cow":
+            # keep rows where the predicate IS NOT TRUE (NULL keeps —
+            # DELETE removes only provably-matching rows)
+            kept = sql_where_filter(
+                spark, table, table.to_df(spark),
+                f"( {p['where']} ) IS NOT TRUE",
+            )
+            return (
+                table.new_transaction()
+                .overwrite_dataframe(kept)
+                .commit(pointer_swap=pointer_swap)
+            )
+        return delete_where_mor(
+            spark, table,
+            lambda df, w=p["where"]: sql_where_filter(spark, table, df, w),
+            as_dv=as_dv, pointer_swap=pointer_swap,
+        )
     cond = F.expr(p["where"]) if p["where"] is not None else F.lit(True)
     # r14: the WHERE's partition constraints reach the write path — MOR
     # scans only the planner's candidate files; CoW rewrites only them
@@ -607,11 +649,19 @@ def delete_sql(spark, catalog, sql: str, strategy: str = "mor",
         return delete_where_cow_predicate(
             spark, table, cond, pointer_swap=pointer_swap, file_subset=subset
         )
-    if strategy != "mor":
-        raise ValueError(f"strategy must be cow|mor, got {strategy!r}")
     return delete_where_mor(
         spark, table, cond, as_dv=as_dv, pointer_swap=pointer_swap,
         file_subset=subset,
+    )
+
+
+def _where_has_subquery(where_text: str) -> bool:
+    """True when a WHERE contains a subquery token (SELECT inside the
+    predicate) — those cannot parse as a Dataset filter expression."""
+    return any(
+        not t.startswith(("'", "`")) and t.upper() == "SELECT"
+        for t in _tokenize(where_text)
+        if t and (t[0].isalpha() or t[0] == "_")
     )
 
 

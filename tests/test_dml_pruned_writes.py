@@ -573,3 +573,53 @@ def test_update_cow_lineage_stays_full_overwrite(catalog, spark):
     assert len(rows) == 60
     for k in range(60):
         assert rows[k] == ("hit" if k % 5 == 1 else f"n{k}")
+
+
+def test_delete_update_with_subquery_where(catalog, spark):
+    """r15: DML WHEREs may contain SUBQUERIES (the tombstone pattern) —
+    Dataset.filter cannot parse them, so the WHERE routes through
+    select_sql as a full statement; catalog tables INSIDE the subquery
+    resolve too."""
+    t = _seed(catalog, spark, "d.sq")  # 60 rows, r = k % 5
+    # tombstones as a CATALOG table (subquery ref resolution)
+    tomb = spark.createDataFrame([(3,), (7,), (11,)], "k long")
+    tt = catalog.create_table(TableIdentifier.parse("d.tomb"), tomb.schema)
+    tt.new_transaction().append_dataframe(tomb).commit()
+    execute_dml(
+        spark, catalog,
+        "DELETE FROM d.sq WHERE k IN (SELECT k FROM d.tomb)",
+    )
+    t = catalog.load_table(TableIdentifier.parse("d.sq"))
+    got = sorted(r.k for r in t.to_df(spark).collect())
+    assert got == [i for i in range(60) if i not in (3, 7, 11)]
+    # UPDATE with an IN-subquery (MOR row delta)
+    execute_dml(
+        spark, catalog,
+        "UPDATE d.sq SET name = 'hit' "
+        "WHERE k IN (SELECT k + 1 FROM d.tomb)",
+    )
+    t = catalog.load_table(TableIdentifier.parse("d.sq"))
+    hits = sorted(r.k for r in t.to_df(spark).filter("name = 'hit'").collect())
+    assert hits == [4, 8, 12]
+    # CoW delete with a subquery: overwrite keeps pred-IS-NOT-TRUE rows
+    execute_dml(
+        spark, catalog,
+        "DELETE FROM d.sq WHERE k IN (SELECT max(k) FROM d.sq)",
+        strategy="cow",
+    )
+    t = catalog.load_table(TableIdentifier.parse("d.sq"))
+    got = sorted(r.k for r in t.to_df(spark).collect())
+    assert got == [i for i in range(59) if i not in (3, 7, 11)]
+    # CoW UPDATE with a subquery refuses with guidance
+    with pytest.raises(ValueError, match="strategy='mor'"):
+        execute_dml(
+            spark, catalog,
+            "UPDATE d.sq SET name = 'x' WHERE k IN (SELECT k FROM d.tomb)",
+            strategy="cow",
+        )
+    # a quoted 'select' in a string literal is NOT a subquery
+    execute_dml(
+        spark, catalog, "DELETE FROM d.sq WHERE name = 'select'"
+    )
+    t = catalog.load_table(TableIdentifier.parse("d.sq"))
+    assert t.to_df(spark).count() == 56  # nothing matched, nothing lost
