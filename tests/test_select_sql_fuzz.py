@@ -526,7 +526,13 @@ def zone_table(tmp_path_factory, spark):
         "ssqlzfuzz", None, str(tmp_path_factory.mktemp("whz"))
     )
     cat.initialize()
-    df = spark.createDataFrame(ROWS, "k long, day long, b long, name string")
+    # `maybe` is NULL for every third key, all-NULL in no file and
+    # no-NULL in no file — nullness pruning must stay superset-safe on
+    # PARTIALLY-null files (it can never prune them)
+    df = spark.createDataFrame(
+        [(*r, None if r[0] % 3 == 0 else r[0]) for r in ROWS],
+        "k long, day long, b long, name string, maybe long",
+    )
     t = cat.create_table(TableIdentifier.parse("fz.z"), df.schema)
     for lo, hi in ((0, 29), (30, 59), (60, 89), (90, 119)):
         t = (
@@ -551,11 +557,24 @@ def test_fuzz_zone_map_pruning_matches_unpruned_evaluation(zone_table, spark):
     )
 
     rng = random.Random(SEED + 31)
-    keys = [dict(zip(("k", "day", "b", "name"), r)) for r in ROWS]
+    keys = [
+        dict(zip(("k", "day", "b", "name", "maybe"),
+                 (*r, None if r[0] % 3 == 0 else r[0])))
+        for r in ROWS
+    ]
     failures = []
     pruned_once = False
     for case in range(120):
         sql_pred, fn, _p = _tree(rng, rng.randrange(1, 5))
+        # r15: a third of the cases compose with IS [NOT] NULL on the
+        # partially-null column — nullness pruning rides the same DNF
+        mode = rng.randrange(6)
+        if mode == 0:
+            sql_pred = f"( {sql_pred} ) AND maybe IS NULL"
+            fn = (lambda r, f=fn: f(r) and r["maybe"] is None)
+        elif mode == 1:
+            sql_pred = f"( {sql_pred} ) OR maybe IS NOT NULL"
+            fn = (lambda r, f=fn: f(r) or r["maybe"] is not None)
         expect = sorted(r["k"] for r in keys if fn(r))
         stmt = f"SELECT k FROM fz.z WHERE {sql_pred}"
         try:
