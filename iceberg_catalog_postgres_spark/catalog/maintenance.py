@@ -8982,6 +8982,126 @@ def all_data_files_df(spark: SparkSession, table: Table) -> DataFrame:
     )
 
 
+def all_delete_files_df(spark: SparkSession, table: Table) -> DataFrame:
+    """The ``all_delete_files`` metadata table (Iceberg's
+    ``table$all_delete_files``; r15 — completes the ``all_*`` family):
+    every delete ARTIFACT referenced by ANY snapshot still in the
+    metadata — equality parquet (content=2), positional parquet and v3
+    deletion vectors (content=1) — one row per distinct artifact with
+    the FIRST snapshot that referenced it and ``is_live`` (referenced by
+    the current snapshot). The vacuum-debugging twin of
+    ``all_data_files``: what delete debt exists across retained history,
+    and which of it still gates reads. Pure metadata, zero file I/O
+    (cardinalities come from the DV entries; parquet artifact record
+    counts would cost a footer each and are NULL here — ``$delete_files``
+    reports them for the LIVE snapshot)."""
+    from pyspark.sql.types import (
+        BooleanType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField as _SF,
+        StructType as _ST,
+    )
+
+    md = table.metadata
+    cur = md.current_snapshot()
+    live: set[str] = set()
+    if cur is not None:
+        live |= set(cur.delete_files or [])
+        live |= set(cur.position_delete_files or [])
+        live |= {
+            str(e["puffin"]) for e in (cur.deletion_vectors or {}).values()
+        }
+    seen: dict[tuple, tuple] = {}
+    for s in sorted(md.snapshots, key=lambda s: (s.sequence_number, s.snapshot_id)):
+        seqs = s.file_seqs or {}
+        for rel in s.delete_files or []:
+            seen.setdefault(
+                ("equality-deletes", rel, None),
+                (2, "equality-deletes", rel, int(s.snapshot_id),
+                 int(seqs.get(rel, 0)), None, None, rel in live),
+            )
+        for rel in s.position_delete_files or []:
+            seen.setdefault(
+                ("position-deletes", rel, None),
+                (1, "position-deletes", rel, int(s.snapshot_id),
+                 int(seqs.get(rel, 0)), None, None, rel in live),
+            )
+        for data_rel, ent in sorted((s.deletion_vectors or {}).items()):
+            puf = str(ent["puffin"])
+            seen.setdefault(
+                ("deletion-vector", puf, data_rel),
+                (1, "deletion-vector", puf, int(s.snapshot_id),
+                 int(seqs.get(data_rel, 0)), int(ent["cardinality"]),
+                 data_rel, puf in live),
+            )
+    schema = _ST(
+        [
+            _SF("content", IntegerType(), False),
+            _SF("type", StringType(), False),
+            _SF("file_path", StringType(), False),
+            _SF("first_snapshot_id", LongType(), False),
+            _SF("sequence_number", LongType(), False),
+            _SF("cardinality", LongType(), True),
+            _SF("referenced_data_file", StringType(), True),
+            _SF("is_live", BooleanType(), False),
+        ]
+    )
+    return spark.createDataFrame(
+        [seen[k] for k in sorted(seen)], schema
+    )
+
+
+def all_entries_df(spark: SparkSession, table: Table) -> DataFrame:
+    """The ``all_entries`` metadata table (Iceberg's ``table$all_entries``;
+    r15): ``entries_df``'s view across EVERY snapshot still in the
+    metadata — one row per (snapshot, file) pairing with the entry's
+    STATUS relative to that snapshot: 1 (ADDED — the file's first
+    snapshot), 0 (EXISTING — carried over). Deleted entries are implied
+    by absence (this engine's snapshots list live files, not tombstone
+    rows; documented deviation). The full audit answer to "which commit
+    added which file". Pure metadata, O(snapshots x files) driver rows —
+    bounded by retained history, the same order as one ``$history`` walk
+    per snapshot."""
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField as _SF,
+        StructType as _ST,
+    )
+
+    md = table.metadata
+    first: dict[str, int] = {}
+    rows = []
+    for s in sorted(md.snapshots, key=lambda s: (s.sequence_number, s.snapshot_id)):
+        seqs = s.file_seqs or {}
+        for kind, rels in (
+            ("data", s.data_files),
+            ("eq-delete", s.delete_files or []),
+            ("pos-delete", s.position_delete_files or []),
+        ):
+            for rel in rels:
+                status = 1 if rel not in first else 0
+                first.setdefault(rel, int(s.snapshot_id))
+                rows.append(
+                    (int(s.snapshot_id), int(s.sequence_number), status,
+                     kind, rel, int(seqs.get(rel, 0)))
+                )
+    schema = _ST(
+        [
+            _SF("snapshot_id", LongType(), False),
+            _SF("snapshot_sequence_number", LongType(), False),
+            _SF("status", IntegerType(), False),
+            _SF("kind", StringType(), False),
+            _SF("file_path", StringType(), False),
+            _SF("sequence_number", LongType(), False),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
 def all_manifests_df(spark: SparkSession, table: Table) -> DataFrame:
     """The ``all_manifests`` metadata table (Iceberg's
     ``table$all_manifests``): ``manifests_df`` across EVERY snapshot

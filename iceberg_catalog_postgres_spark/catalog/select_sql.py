@@ -66,7 +66,8 @@ __all__ = ["select_sql", "select_plan_info", "parse_select_refs", "explain_sql"]
 _META_SUFFIXES = (
     "partitions", "refs", "files", "snapshots", "history", "manifests",
     "entries", "delete_files", "all_data_files", "all_manifests",
-    "metadata_log_entries", "position_deletes",
+    "metadata_log_entries", "position_deletes", "all_delete_files",
+    "all_entries",
 )
 
 #: clause keywords that may directly follow a relation ref — a bare word
@@ -953,6 +954,8 @@ def _ref_df(spark, ref: dict, seen: frozenset = frozenset()):
             "delete_files": _m.delete_files_df,
             "position_deletes": _m.position_deletes_df,
             "all_data_files": _m.all_data_files_df,
+            "all_delete_files": _m.all_delete_files_df,
+            "all_entries": _m.all_entries_df,
             "all_manifests": _m.all_manifests_df,
             "metadata_log_entries": _m.metadata_log_entries_df,
         }[ref["suffix"]]

@@ -99,3 +99,58 @@ def test_position_deletes_parquet_dv_and_joinback(catalog, spark):
     # and the read is exact through both forms
     got = sorted(r.k for r in t.to_df(spark).collect())
     assert got == [i for i in range(30) if i not in (7, 8, 20)]
+
+
+def test_all_delete_files_and_all_entries(catalog, spark):
+    """r15: the remaining `all_*` family — delete artifacts and file
+    entries across EVERY retained snapshot, with first-snapshot
+    attribution and liveness."""
+    t = _seed(catalog, spark)  # 30 rows / 3 files (r partition)
+    s1 = t.metadata.current_snapshot().snapshot_id
+    # eq-delete then convert to DVs: two artifact generations
+    t = (
+        t.new_transaction()
+        .delete_keys_dataframe(
+            spark.createDataFrame([(7,), (8,)], "k long").coalesce(1)
+        )
+        .commit()
+    )
+    s2 = t.metadata.current_snapshot().snapshot_id
+    execute_dml(
+        spark, catalog,
+        "CALL system.rewrite_equality_deletes('pd.t', to_dv => true)",
+    )
+    t = catalog.load_table(TableIdentifier.parse("pd.t"))
+    rows = execute_dml(
+        spark, catalog, "SELECT * FROM pd.t$all_delete_files"
+    ).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.type, []).append(r)
+    # the eq parquet is retained history (not live); the DVs are live
+    assert len(by_type["equality-deletes"]) == 1
+    assert by_type["equality-deletes"][0].is_live is False
+    assert by_type["equality-deletes"][0].first_snapshot_id == s2
+    dvs = by_type["deletion-vector"]
+    assert dvs and all(r.is_live for r in dvs)
+    assert sum(r.cardinality for r in dvs) == 2
+    assert all(r.referenced_data_file for r in dvs)
+    # all_entries: ADDED rows at s1 = the 3 original files; every later
+    # snapshot carries them as EXISTING (status 0)
+    ent = execute_dml(
+        spark, catalog, "SELECT * FROM pd.t$all_entries"
+    ).collect()
+    added_s1 = [
+        e for e in ent if e.snapshot_id == s1 and e.status == 1
+        and e.kind == "data"
+    ]
+    assert len(added_s1) == 3
+    carried = [
+        e for e in ent if e.snapshot_id != s1 and e.kind == "data"
+        and e.status == 0
+    ]
+    assert len(carried) >= 6  # 3 files x (>=2 later snapshots)
+    assert {e.kind for e in ent} >= {"data", "eq-delete"}
+    # unknown-suffix refusal still lists the grown family
+    with pytest.raises(ValueError, match="all_entries"):
+        execute_dml(spark, catalog, "SELECT * FROM pd.t$bogus")
