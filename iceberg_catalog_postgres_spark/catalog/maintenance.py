@@ -4956,14 +4956,23 @@ def catalog_day_transform_pruning(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-def _part_canon(v):
+def _part_canon(v, numeric: bool = True):
     """Canonical spelling for a partition-tuple value compare: recorded
     tuples hold hive-path STRINGS ("5"), clause literals are parsed
     Python values (5) — normalize both sides so `PARTITION (day = 5)`
-    matches a file recorded under day=5 regardless of spelling."""
+    matches a file recorded under day=5 regardless of spelling.
+
+    ``numeric=False`` compares VERBATIM (r16 ADVICE): a string-typed
+    partition source must not collapse distinct values that merely parse
+    to the same number ('09' vs '9', '0123' vs '123', '1_0' -> int 10 via
+    Python underscore parsing, Unicode digits) — numeric canonicalization
+    there made overwrite_partitions treat an untouched sibling partition
+    as replaced and silently drop its files."""
     if v is None:
         return None
     s = str(v)
+    if not numeric:
+        return s
     try:
         return str(int(s))
     except ValueError:
@@ -4972,6 +4981,25 @@ def _part_canon(v):
         return repr(float(s))
     except ValueError:
         return s
+
+
+def _part_canon_numeric_keys(table: Table) -> dict[str, bool]:
+    """Spec entry -> whether its recorded values may be numeric-
+    canonicalized. False exactly when the transform passes source STRING
+    bytes through (identity / truncate on a string column); bucket always
+    yields ints and temporal transforms yield numeric/date spellings."""
+    from iceberg_catalog_postgres_spark.catalog.table import (
+        parse_partition_field,
+    )
+
+    types = {f.name: f.dataType.simpleString() for f in table.schema.fields}
+    out = {}
+    for e in table.metadata.partition_spec:
+        kind, _, col = parse_partition_field(e)
+        out[e] = not (
+            kind in ("identity", "truncate") and types.get(col) == "string"
+        )
+    return out
 
 
 def overwrite_partitions(
@@ -5045,8 +5073,15 @@ def overwrite_partitions(
     staged_parts = dict(tx._staged_partitions)
     staged_stats = dict(tx._staged_stats)
 
+    numeric_ok = _part_canon_numeric_keys(table)
+
     def _canon_tuple(t: dict) -> tuple:
-        return tuple(sorted((k, _part_canon(v)) for k, v in t.items()))
+        return tuple(
+            sorted(
+                (k, _part_canon(v, numeric=numeric_ok.get(k, True)))
+                for k, v in t.items()
+            )
+        )
 
     touched = {_canon_tuple(t) for t in staged_parts.values()}
     if replace_partitions:
@@ -6901,6 +6936,12 @@ def expire_snapshots(
     """
     import os as _os
     import time as _time
+
+    # expiry physically deletes files referenced only by expired
+    # snapshots — on a CALL system.snapshot table those files are
+    # BORROWED from the source (r16 ADVICE; Iceberg's ExpireSnapshots
+    # refuses when gc.enabled=false for exactly this reason)
+    _require_gc_enabled(table, "expire_snapshots")
 
     md = table.metadata
     now = now_ms if now_ms is not None else int(_time.time() * 1000)

@@ -623,9 +623,16 @@ def _extract_body(
 
 #: schema types whose manifest [min, max] bounds the SQL planner trusts
 #: for stats (zone-map) pruning — bounds for these decode to directly
-#: comparable Python values (metadata.decode_bound)
+#: comparable Python values (metadata.decode_bound). float/double are
+#: deliberately ABSENT (r16): parquet-footer bounds exclude NaN while
+#: Spark orders NaN greater than every value (and NaN = NaN matches), so
+#: a file holding NaN rows with a non-NaN max below the predicate bound
+#: would be pruned and its matching rows silently dropped — the same
+#: subset feeds DELETE/UPDATE via prune_subset_for_where. The manifests
+#: carry no NaN counts to prove a file NaN-free, so float bounds are
+#: never trusted, mirroring _join_dpp's and MERGE DFP's float skip.
 _STATS_PRUNABLE_TYPES = {
-    "tinyint", "smallint", "int", "bigint", "float", "double",
+    "tinyint", "smallint", "int", "bigint",
     "string", "date", "timestamp", "timestamp_ntz",
 }
 
@@ -655,8 +662,8 @@ def _coerce_stats_lit(stype: str, v):
     mismatch (caller skips that constraint — superset-safe)."""
     if stype in ("tinyint", "smallint", "int", "bigint"):
         return int(v)
-    if stype in ("float", "double"):
-        return float(v)
+    # float/double never reach here: excluded from _STATS_PRUNABLE_TYPES
+    # (NaN lives outside footer [min, max] — see the set's comment)
     if stype == "date":
         return _dt.date.fromisoformat(str(v))
     if stype.startswith("timestamp"):
@@ -1313,6 +1320,19 @@ def _join_dpp(spark, rewritten: list[str], refs: list[dict]) -> None:
                 continue  # NaN joins as a match: bounds/sets cannot scope it
             for flt in filters[da]:
                 ddf = ddf.filter(flt)
+            if dim is None:
+                # external (temp-view) dim: the DPP key collect is a
+                # SEPARATE job from the one the real query runs — a
+                # non-deterministic dim plan (rand()/uuid()-derived keys)
+                # would let the two evaluations disagree and over-prune
+                # the fact scan (r16 ADVICE; catalog-ref dims read pinned
+                # files, so only this path needs the guard)
+                from iceberg_catalog_postgres_spark.catalog.maintenance import (
+                    _plan_is_nondeterministic,
+                )
+
+                if _plan_is_nondeterministic(ddf):
+                    continue
             rows = ddf.select(dc).distinct().limit(_DPP_MAX_KEYS + 1).collect()
         except Exception:
             continue  # best-effort, never load-bearing

@@ -623,3 +623,47 @@ def test_delete_update_with_subquery_where(catalog, spark):
     )
     t = catalog.load_table(TableIdentifier.parse("d.sq"))
     assert t.to_df(spark).count() == 56  # nothing matched, nothing lost
+
+
+def test_overwrite_string_partition_no_numeric_collision(catalog, spark):
+    """r16 ADVICE: distinct STRING partition values that parse to the
+    same number ('09' vs '9', '0123' vs '123', '1_0' -> int 10 via
+    Python underscore parsing) must NOT collide in the dynamic-overwrite
+    touched-set — pre-r16 the numeric canonicalization treated the
+    untouched sibling as replaced and silently dropped its files."""
+    from iceberg_catalog_postgres_spark.catalog import maintenance as m
+
+    df = spark.createDataFrame(
+        [(1, "09"), (2, "9"), (3, "0123"), (4, "123"), (5, "1_0")],
+        "k long, p string",
+    )
+    t = catalog.create_table(
+        TableIdentifier.parse("d.strp"), df.schema, partition_by=["p"]
+    )
+    t = t.new_transaction().append_dataframe(df.repartition("p")).commit()
+    assert len(t.metadata.current_data_files()) == 5
+    # restate ONLY p='9'
+    t = m.overwrite_partitions(
+        spark, t, spark.createDataFrame([(20, "9")], "k long, p string")
+    )
+    rows = sorted((r.k, r.p) for r in t.to_df(spark).collect())
+    assert rows == [(1, "09"), (3, "0123"), (4, "123"), (5, "1_0"), (20, "9")]
+    # restate ONLY p='123' — '0123' must survive
+    t = m.overwrite_partitions(
+        spark, t, spark.createDataFrame([(40, "123")], "k long, p string")
+    )
+    rows = sorted((r.k, r.p) for r in t.to_df(spark).collect())
+    assert rows == [(1, "09"), (3, "0123"), (5, "1_0"), (20, "9"), (40, "123")]
+    # NUMERIC partitions keep spelling-insensitive matching: a static
+    # clause naming day = 5 still truncates a file recorded under "5"
+    dfn = spark.createDataFrame([(1, 5), (2, 6)], "k long, day long")
+    tn = catalog.create_table(
+        TableIdentifier.parse("d.nump"), dfn.schema, partition_by=["day"]
+    )
+    tn = tn.new_transaction().append_dataframe(dfn.repartition("day")).commit()
+    tn = m.overwrite_partitions(
+        spark, tn,
+        spark.createDataFrame([], "k long, day long"),
+        replace_partitions=[{"day": 5}],
+    )
+    assert sorted((r.k, r.day) for r in tn.to_df(spark).collect()) == [(2, 6)]

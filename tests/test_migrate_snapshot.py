@@ -52,6 +52,15 @@ def test_snapshot_registers_borrowed_files(catalog, spark):
         m.vacuum(t)
     with pytest.raises(ValueError, match="gc.enabled"):
         execute_dml(spark, catalog, "CALL system.vacuum('mg.snap')")
+    # expire_snapshots physically deletes files referenced only by
+    # expired snapshots — after a rewrite those include the BORROWED
+    # source files, so it must refuse too (r16 ADVICE: pre-r16 a
+    # compact + expire on a snapshot table deleted the source's files)
+    t = m.compact_table(spark, t)
+    with pytest.raises(ValueError, match="gc.enabled"):
+        m.expire_snapshots(t, keep_last=1)
+    assert len([f for f in os.listdir(src) if f.endswith(".parquet")]) == 2
+    assert spark.read.parquet(src).count() == 20
     # the borrowed files are untouched and the source stays readable
     assert len([f for f in os.listdir(src) if f.endswith(".parquet")]) == 2
     assert spark.read.parquet(src).count() == 20

@@ -885,6 +885,42 @@ def test_star_join_dpp_with_temp_view_dim(catalog, spark, monkeypatch):
     assert rows == [i for i in range(100) if i % 10 in (3, 4)]
 
 
+def test_star_join_dpp_skips_nondeterministic_temp_view_dim(
+    catalog, spark, monkeypatch
+):
+    """r16 ADVICE: the DPP key collect runs in a SEPARATE job from the
+    real query — a temp-view dim whose keys derive from rand()/uuid()
+    could yield a different key set in each, over-pruning the fact scan.
+    Such dims must skip DPP (catalog-ref dims read pinned files and are
+    exempt); the query still runs and stays exact."""
+    from iceberg_catalog_postgres_spark.catalog.table import Table
+
+    _seed_star(catalog, spark)
+    # keys are deterministic IN VALUE but the plan contains rand() — the
+    # guard must key off the plan, not observed luck
+    spark.range(10).selectExpr(
+        "CAST(id + FLOOR(rand() * 0.0) AS long) AS id",
+        "CASE WHEN id IN (3, 4) THEN 'ASIA' ELSE 'X' END AS region",
+    ).createOrReplaceTempView("dpp_dim_nd")
+    seen = {}
+    orig = Table.to_df
+
+    def spy(self, spark_, **kw):
+        if self.identifier.name == "fact":
+            seen["file_subset"] = kw.get("file_subset")
+        return orig(self, spark_, **kw)
+
+    monkeypatch.setattr(Table, "to_df", spy)
+    rows = sorted(r.k for r in select_sql(
+        spark, catalog,
+        "SELECT f.k FROM s.fact f JOIN dpp_dim_nd d ON f.fk = d.id "
+        "WHERE d.region = 'ASIA'",
+    ).collect())
+    monkeypatch.undo()
+    assert seen.get("file_subset") is None  # DPP declined, full scan
+    assert rows == [i for i in range(100) if i % 10 in (3, 4)]
+
+
 def test_prune_is_null_and_is_not_null(catalog, spark):
     """r15: IS [NOT] NULL prunes from manifest null counts — an all-null
     file provably matches no IS NOT NULL row and vice versa; composes

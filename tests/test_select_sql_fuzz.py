@@ -528,10 +528,21 @@ def zone_table(tmp_path_factory, spark):
     cat.initialize()
     # `maybe` is NULL for every third key, all-NULL in no file and
     # no-NULL in no file — nullness pruning must stay superset-safe on
-    # PARTIALLY-null files (it can never prune them)
+    # PARTIALLY-null files (it can never prune them). `x` is a double
+    # holding NaN for some keys in EVERY file (r16 ADVICE): parquet
+    # footer [min, max] excludes NaN while Spark orders NaN above every
+    # value, so any planner that trusts float bounds silently drops the
+    # NaN rows — float columns must never zone-map-prune.
     df = spark.createDataFrame(
-        [(*r, None if r[0] % 3 == 0 else r[0]) for r in ROWS],
-        "k long, day long, b long, name string, maybe long",
+        [
+            (
+                *r,
+                None if r[0] % 3 == 0 else r[0],
+                float("nan") if r[0] % 9 == 7 else float(r[0]),
+            )
+            for r in ROWS
+        ],
+        "k long, day long, b long, name string, maybe long, x double",
     )
     t = cat.create_table(TableIdentifier.parse("fz.z"), df.schema)
     for lo, hi in ((0, 29), (30, 59), (60, 89), (90, 119)):
@@ -595,3 +606,89 @@ def test_fuzz_zone_map_pruning_matches_unpruned_evaluation(zone_table, spark):
             break
     assert not failures, failures
     assert pruned_once, "no fuzz case exercised zone-map pruning"
+
+
+def _nan_cmp(x: float, op: str, v: float) -> bool:
+    """Spark's float ordering: NaN is GREATER than every value and equal
+    to itself (literals here are never NaN)."""
+    import math
+
+    if math.isnan(x):
+        return op in (">", ">=", "<>")
+    return _cmp(x, op, v)
+
+
+def test_zone_map_never_prunes_float_nan(zone_table, spark):
+    """Targeted r16-ADVICE repro: every file's footer max for `x` is
+    ≤ 119.0, yet the NaN rows in each file satisfy ``x > 1000``. A
+    planner trusting float bounds prunes all four files and returns 0
+    rows; the fix excludes float/double from zone-map pruning entirely."""
+    nan_keys = sorted(k for k in range(120) if k % 9 == 7)
+    got = sorted(
+        r.k
+        for r in select_sql(
+            spark, zone_table, "SELECT k FROM fz.z WHERE x > 1000"
+        ).collect()
+    )
+    assert got == nan_keys
+    info = select_plan_info(
+        spark, zone_table, "SELECT k FROM fz.z WHERE x > 1000"
+    )
+    # float bounds are untrusted: the predicate prunes NOTHING
+    assert info["n_files_planned"] == info["n_files_total"]
+    # equality on a float column must not route through bounds either
+    got_eq = sorted(
+        r.k
+        for r in select_sql(
+            spark, zone_table, "SELECT k FROM fz.z WHERE x = 8.0"
+        ).collect()
+    )
+    assert got_eq == [8]
+
+
+def test_fuzz_zone_map_float_predicates_never_drop_rows(zone_table, spark):
+    """Float-column fuzz (r16 ADVICE: the r15 suite had no float column):
+    random comparisons/BETWEENs over `x` — with NaNs present in every
+    file — composed with the integer tree, checked against a Python
+    oracle using Spark's NaN ordering."""
+    rng = random.Random(SEED + 47)
+    keys = [
+        {
+            "k": k, "day": k % 7, "b": k % 13, "name": f"n{k % 5}",
+            "maybe": None if k % 3 == 0 else k,
+            "x": float("nan") if k % 9 == 7 else float(k),
+        }
+        for k in range(120)
+    ]
+    failures = []
+    for case in range(60):
+        op = rng.choice(["=", "<", "<=", ">", ">=", "<>"])
+        lit = rng.choice([-1.5, 0.0, 7.0, 59.5, 118.0, 1000.0])
+        f_sql = f"x {op} {lit}"
+        f_fn = lambda r, o=op, v=lit: _nan_cmp(r["x"], o, v)
+        if rng.random() < 0.5:  # compose with a random integer tree
+            s, fn, p = _tree(rng, rng.randrange(1, 3))
+            if rng.random() < 0.5:
+                sql_pred = f"{f_sql} AND ( {s} )"
+                pred = lambda r, a=f_fn, b=fn: a(r) and b(r)
+            else:
+                sql_pred = f"{f_sql} OR ( {s} )"
+                pred = lambda r, a=f_fn, b=fn: a(r) or b(r)
+        else:
+            sql_pred, pred = f_sql, f_fn
+        expect = sorted(r["k"] for r in keys if pred(r))
+        stmt = f"SELECT k FROM fz.z WHERE {sql_pred}"
+        try:
+            got = sorted(
+                r.k for r in select_sql(spark, zone_table, stmt).collect()
+            )
+        except Exception as exc:
+            failures.append((case, sql_pred, f"raised {exc!r}"))
+            continue
+        if got != expect:
+            failures.append(
+                (case, sql_pred, f"{len(got)} rows != {len(expect)} expected")
+            )
+        if len(failures) >= 5:
+            break
+    assert not failures, failures
