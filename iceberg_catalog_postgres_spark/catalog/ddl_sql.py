@@ -36,6 +36,8 @@ CALL grammar (Iceberg's named-argument procedure syntax)::
 
     CALL system.expire_snapshots('ns.t', keep_last => 2)
     CALL system.rewrite_small_files('ns.t' [, target_rows => 1000])
+    CALL system.rewrite_manifests('ns.t' [, max_chunks => 8]
+                                  [, target_entries => 2000])
     CALL system.rewrite_position_deletes_to_dvs('ns.t')
     CALL system.compact_table('ns.t', target_partitions => 1)
     CALL system.remove_orphan_files('ns.t', older_than_s => 86400)
@@ -736,6 +738,9 @@ def analyze_sql(spark, catalog, sql: str):
 _PROCEDURES: dict[str, set] = {
     "expire_snapshots": {"keep_last", "older_than_ms"},
     "rewrite_small_files": {"target_rows", "small_threshold"},
+    # Iceberg's manifest-compaction procedure (r16): consolidate the
+    # delta-chunk chain into clustered bounded chunks; metadata only
+    "rewrite_manifests": {"max_chunks", "target_entries"},
     "rewrite_position_deletes_to_dvs": set(),
     "rewrite_equality_deletes": {"to_dv"},
     "compact_table": {"target_partitions", "preserve_lineage"},
@@ -871,6 +876,22 @@ def call_sql(spark, catalog, sql: str):
         report = {"rewritten_data_files_count": n_small,
                   "kept_data_files_count": n_kept,
                   "added_data_files_count": n_new}
+    elif proc == "rewrite_manifests":
+        chunks_before = len(snap0.manifests) if snap0 and snap0.manifests else 0
+        t2 = _m.rewrite_manifests(
+            table,
+            max_chunks=int(a.get("max_chunks", 8)),
+            target_entries=(
+                int(a["target_entries"]) if "target_entries" in a else None
+            ),
+        )
+        s2 = t2.metadata.current_snapshot()
+        report = {
+            "manifest_chunks_before": chunks_before,
+            "manifest_chunks_after": (
+                len(s2.manifests) if s2 and s2.manifests else 0
+            ),
+        }
     elif proc == "rewrite_position_deletes_to_dvs":
         pos_before = len(snap0.position_delete_files) if snap0 else 0
         t2 = _m.rewrite_position_deletes_to_dvs(spark, table)

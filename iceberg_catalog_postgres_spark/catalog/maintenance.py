@@ -7780,34 +7780,63 @@ def catalog_vacuum_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def rewrite_manifests(table: Table, max_chunks: int = 8) -> Table:
-    """Manifest compaction: a long append chain accumulates one delta chunk
-    per commit (O(commits) chunks to read at plan time); when the current
-    snapshot references more than ``max_chunks``, consolidate them into one
-    content-addressed chunk and commit the slimmed metadata through the same
-    CAS. Data files, snapshot ids, and history are untouched — older
-    snapshots keep referencing the old chunks until expiry GCs them.
+def rewrite_manifests(
+    table: Table, max_chunks: int = 8, target_entries: int | None = None
+) -> Table:
+    """Manifest compaction (Iceberg's ``rewrite_manifests`` procedure): a
+    long append chain accumulates one delta chunk per commit (O(commits)
+    chunks to read at plan time); when the current snapshot references
+    more chunks than the ideal clustered layout needs (and more than
+    ``max_chunks``), consolidate them into CLUSTERED bounded chunks —
+    partition/bounds-sorted, ~``target_entries`` each (r16; default
+    ``MANIFEST_CHUNK_TARGET``) — and commit the slimmed metadata through
+    the same CAS. Clustering is the point at 10^7 files: one mega-chunk's
+    summary covers everything and is always fetched, while per-partition
+    chunks give the two-level prune O(matching chunks). Data files,
+    snapshot ids, and history are untouched — older snapshots keep
+    referencing the old chunks until expiry GCs them.
 
-    Scale: planning cost returns to O(1) object-store reads per scan; the
-    rewrite itself is O(current file count) metadata-only — no data moves.
+    Scale: planning cost returns to O(matching chunks) object-store reads
+    per scan; the rewrite itself is O(current file count) metadata-only —
+    no data moves.
     """
     import posixpath as _pp
     import uuid as _uuid
     from dataclasses import replace as _replace
 
     from iceberg_catalog_postgres_spark.catalog.metadata import (
+        MANIFEST_CHUNK_TARGET,
         Snapshot,
         TableMetadata,
         make_chunk,
         snapshot_entries,
+        split_entries,
     )
 
     md = table.metadata
     snap = md.current_snapshot()
-    if snap is None or not snap.manifests or len(snap.manifests) <= max_chunks:
+    if snap is None or not snap.manifests:
+        return table
+    target = MANIFEST_CHUNK_TARGET if target_entries is None else max(1, target_entries)
+    entries = snapshot_entries(snap)
+    ideal = max(1, -(-len(entries) // target))
+    # rewrite on FRAGMENTATION (more chunks than the clustered layout
+    # needs) or on MEGA-CHUNKS (any chunk > 2x target — one huge chunk's
+    # summary covers everything and is always fetched) or on legacy
+    # summaryless refs (normalized once). The balanced split emits
+    # chunks <= target, so the rewritten layout itself never re-triggers.
+    fragmented = len(snap.manifests) > max(max_chunks, ideal)
+    refs = snap.chunk_refs()  # None = some legacy summaryless ref
+    oversized = refs is None or any(
+        sum(c["summary"]["counts"].values()) > 2 * target for c in refs
+    )
+    if not fragmented and not oversized:
         return table
     store = table.catalog.object_store()
-    consolidated = make_chunk(store, md.location, snapshot_entries(snap))
+    consolidated = [
+        make_chunk(store, md.location, part)
+        for part in split_entries(entries, target)
+    ]
     new_snap = Snapshot(
         snapshot_id=snap.snapshot_id,
         timestamp_ms=snap.timestamp_ms,
@@ -7818,7 +7847,7 @@ def rewrite_manifests(table: Table, max_chunks: int = 8) -> Table:
         position_delete_files=snap.position_delete_files,
         sequence_number=snap.sequence_number,
         file_seqs=snap.file_seqs,
-        manifests=[consolidated],
+        manifests=consolidated,
         file_partitions=snap.file_partitions,
         file_stats=snap.file_stats,
         deletion_vectors=dict(snap.deletion_vectors),
@@ -9420,3 +9449,98 @@ def catalog_merge_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.to_df(spark).select(
         "n_nationkey", "n_name", "n_regionkey"
     ).orderBy("n_nationkey")
+
+
+@register(
+    "catalog_float_nan_zone_map",
+    oracle="""
+    WITH src AS (
+      SELECT l_orderkey,
+             CASE WHEN l_orderkey % 97 = 0 AND l_linenumber % 2 = 1
+                  THEN 'NaN'::DOUBLE ELSE l_extendedprice END AS price
+      FROM lineitem
+    )
+    SELECT * FROM (VALUES
+      ('mid_between', 4, 2,
+       CAST((SELECT count(*) FROM src
+             WHERE price BETWEEN 20000 AND 39999) AS BIGINT)),
+      ('nan_above_all', 4, 1,
+       CAST((SELECT count(*) FROM src WHERE price > 1000000000) AS BIGINT)),
+      ('range_high', 4, 2,
+       CAST((SELECT count(*) FROM src WHERE price >= 40000) AS BIGINT))
+    ) t(case_name, files_total, files_planned, n_rows) ORDER BY case_name
+    """,
+    tags=("catalog", "sql", "select", "pruning", "zone-map", "float",
+          "nan", "metadata-planning"),
+)
+def catalog_float_nan_zone_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Float zone-map pruning under Iceberg ``nan_value_counts`` (r16):
+    parquet footer [min, max] EXCLUDES NaN while Spark and DuckDB both
+    order NaN above every value, so a planner that trusts raw float
+    bounds silently drops NaN rows (the r15 ADVICE wrong-answer class).
+    Since r16 every commit records per-file NaN counts for float/double
+    columns (manifest spec field 110) and ``Table.planned_files`` prunes
+    a float-bounded file ONLY when its count proves it NaN-free.
+
+    Fixture: lineitem prices in four files — three NaN-free files
+    holding disjoint price bands and one file (the ``l_orderkey % 97``
+    cohort) where odd line numbers carry NaN. Cases return the
+    planner's decisions AS DATA: ``nan_above_all`` (price > 1e9) prunes
+    the three proven-NaN-free files and plans ONLY the NaN file — the
+    bug shape: 0 files planned pre-r16-fix, all 4 without nan counts;
+    ``range_high`` / ``mid_between`` keep band pruning for the NaN-free
+    files (band file + NaN file = 2 of 4) while BETWEEN correctly
+    excludes NaN rows (NaN <= hi is false in both engines).
+
+    Scale: the common 100 TB float columns (prices, measurements) are
+    NaN-free and keep full zone-map pruning; the counts cost one
+    columnar read-back per file at WRITE time (on a cluster the write
+    tasks report them, exactly Iceberg's Spark writer), never at read."""
+    from iceberg_catalog_postgres_spark.catalog.select_sql import (
+        select_plan_info,
+        select_sql,
+    )
+
+    cat = _fresh_catalog("catalog_float_nan_zone_map")
+    src = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    nan_cohort = F.col("l_orderkey") % 97 == 0
+    priced = src.withColumn(
+        "price",
+        F.when(
+            nan_cohort & (F.col("l_linenumber") % 2 == 1),
+            F.lit(float("nan")),
+        ).otherwise(F.col("l_extendedprice")),
+    ).select("l_orderkey", "price")
+    t = cat.create_table(
+        TableIdentifier.parse("maint.li_price"), priced.schema
+    )
+    clean = priced.filter(~nan_cohort)
+    for band in (
+        clean.filter(F.col("price") < 20000),
+        clean.filter((F.col("price") >= 20000) & (F.col("price") < 40000)),
+        clean.filter(F.col("price") >= 40000),
+        priced.filter(nan_cohort),
+    ):
+        t = t.new_transaction().append_dataframe(band.coalesce(1)).commit()
+
+    cases = [
+        ("mid_between",
+         "SELECT l_orderkey FROM maint.li_price "
+         "WHERE price BETWEEN 20000 AND 39999"),
+        ("nan_above_all",
+         "SELECT l_orderkey FROM maint.li_price WHERE price > 1000000000"),
+        ("range_high",
+         "SELECT l_orderkey FROM maint.li_price WHERE price >= 40000"),
+    ]
+    rows = []
+    for case_name, stmt in cases:
+        info = select_plan_info(spark, cat, stmt)
+        n = select_sql(spark, cat, stmt).count()
+        rows.append(
+            (case_name, info["n_files_total"], info["n_files_planned"], n)
+        )
+    return spark.createDataFrame(
+        rows, "case_name string, files_total int, files_planned int, n_rows long"
+    ).orderBy("case_name")

@@ -251,13 +251,15 @@ def chunk_summary(entries: list[dict]) -> dict:
         for col, b in (st.get("bounds") or {}).items():
             lo = decode_bound(b[0])
             hi = None if b[1] is None else decode_bound(b[1])
+            nan_free = ((st.get("nan_counts") or {}).get(col) == 0)
             cur = bounds.get(col)
             if cur is None:
-                bounds[col] = [lo, hi, 1]
+                bounds[col] = [lo, hi, 1, 1 if nan_free else 0]
             else:
                 cur[0] = min(cur[0], lo)
                 cur[1] = None if (cur[1] is None or hi is None) else max(cur[1], hi)
                 cur[2] += 1
+                cur[3] += 1 if nan_free else 0
         for col, v in (e.get("partition") or {}).items():
             part_vals.setdefault(col, set()).add(v)
             part_counts[col] = part_counts.get(col, 0) + 1
@@ -265,11 +267,15 @@ def chunk_summary(entries: list[dict]) -> dict:
         "counts": counts,
         "records": {k: (records[k] if rec_ok[k] else None) for k in counts},
         "bytes": {k: (nbytes[k] if bytes_ok[k] else None) for k in counts},
+        # "nan0": how many covered entries PROVE NaN-freeness for the
+        # column (r16) — a float-bound chunk skip requires nan0 == the
+        # data count; pre-r16 chunks lack the key and never float-skip
         "bounds": {
             col: {
                 "lo": encode_bound(b[0]),
                 "hi": None if b[1] is None else encode_bound(b[1]),
                 "n": b[2],
+                **({"nan0": b[3]} if isinstance(b[0], float) or isinstance(b[1], float) else {}),
             }
             for col, b in bounds.items()
         },
@@ -283,6 +289,49 @@ def chunk_summary(entries: list[dict]) -> dict:
         },
         "nullness": nullness,
     }
+
+
+#: target data entries per manifest chunk for full rewrites and
+#: consolidation (r16): bounded chunks keep each summary TIGHT, so the
+#: two-level prune skips whole chunks — one 10^7-entry chunk has a
+#: summary covering everything (always intersects, always fetched),
+#: exactly what rewrite_manifests exists to avoid.
+MANIFEST_CHUNK_TARGET = 2000
+
+
+def cluster_entries(entries: list[dict]) -> list[dict]:
+    """Order entries so same-partition / adjacent-range files land in the
+    SAME chunk (r16 — Iceberg rewrite_manifests' spec-clustering): sort by
+    canonical partition tuple, then by the lexicographically-first bounded
+    column's lower bound, then path. Clustered chunks give each summary a
+    narrow partition-value set and bound range — the two-level prune then
+    fetches O(matching chunks) instead of all of them. Falls back to
+    path order if bound types are mixed across entries (never raises)."""
+
+    def _key(e):
+        part = e.get("partition") or {}
+        pkey = tuple(
+            sorted((k, "" if v is None else str(v)) for k, v in part.items())
+        )
+        b = ((e.get("stats") or {}).get("bounds")) or {}
+        if b:
+            col = sorted(b)[0]
+            return (pkey, col, decode_bound(b[col][0]), e["path"])
+        return (pkey, "", None, e["path"])
+
+    try:
+        return sorted(entries, key=_key)
+    except TypeError:  # cross-entry bound-type mismatch: cluster by path
+        return sorted(entries, key=lambda e: e["path"])
+
+
+def split_entries(entries: list[dict], target: int | None = None) -> list[list[dict]]:
+    """Cluster then slice into ``ceil(n / target)`` balanced chunks."""
+    target = MANIFEST_CHUNK_TARGET if target is None else max(1, target)
+    ordered = cluster_entries(entries)
+    n_chunks = max(1, -(-len(ordered) // target))
+    size = -(-len(ordered) // n_chunks)
+    return [ordered[i : i + size] for i in range(0, len(ordered), size)]
 
 
 def make_chunk(store, table_location: str, entries: list[dict]) -> dict:
@@ -345,10 +394,26 @@ def plan_manifests(
         and prev_snapshot.manifests
     )
     if additive:
-        chunk = make_chunk(store, table_location, staged_entries)
-        snapshot.manifests = [*prev_snapshot.manifests, chunk]
+        # delta chunks are usually small; a bulk load bigger than the
+        # chunk target still splits so no single commit can produce an
+        # unprunable mega-chunk (r16)
+        deltas = (
+            [staged_entries]
+            if len(staged_entries) <= MANIFEST_CHUNK_TARGET
+            else split_entries(staged_entries)
+        )
+        snapshot.manifests = [
+            *prev_snapshot.manifests,
+            *(make_chunk(store, table_location, d) for d in deltas),
+        ]
     else:
-        snapshot.manifests = [make_chunk(store, table_location, snapshot_entries(snapshot))]
+        # full rewrite: CLUSTERED bounded chunks (r16) — one chunk per
+        # ~MANIFEST_CHUNK_TARGET entries, partition/bounds-sorted so each
+        # summary stays selective at 10^7 files
+        snapshot.manifests = [
+            make_chunk(store, table_location, part)
+            for part in split_entries(snapshot_entries(snapshot))
+        ]
 
 
 def new_snapshot_id(existing: set[int] | None = None) -> int:

@@ -623,16 +623,16 @@ def _extract_body(
 
 #: schema types whose manifest [min, max] bounds the SQL planner trusts
 #: for stats (zone-map) pruning — bounds for these decode to directly
-#: comparable Python values (metadata.decode_bound). float/double are
-#: deliberately ABSENT (r16): parquet-footer bounds exclude NaN while
-#: Spark orders NaN greater than every value (and NaN = NaN matches), so
-#: a file holding NaN rows with a non-NaN max below the predicate bound
-#: would be pruned and its matching rows silently dropped — the same
-#: subset feeds DELETE/UPDATE via prune_subset_for_where. The manifests
-#: carry no NaN counts to prove a file NaN-free, so float bounds are
-#: never trusted, mirroring _join_dpp's and MERGE DFP's float skip.
+#: comparable Python values (metadata.decode_bound). float/double ride
+#: on the manifest ``nan_value_counts`` written since r16: parquet
+#: footer bounds exclude NaN while Spark orders NaN greater than every
+#: value (and NaN = NaN matches), so ``Table.planned_files`` only prunes
+#: a float-bounded file when its nan count proves it NaN-free — files
+#: with NaNs (or with no recorded count: legacy commits, foreign
+#: writers) are always kept. The same proof gates the chunk-summary
+#: skip ("nan0") and the footer fallback refuses floats outright.
 _STATS_PRUNABLE_TYPES = {
-    "tinyint", "smallint", "int", "bigint",
+    "tinyint", "smallint", "int", "bigint", "float", "double",
     "string", "date", "timestamp", "timestamp_ntz",
 }
 
@@ -662,8 +662,8 @@ def _coerce_stats_lit(stype: str, v):
     mismatch (caller skips that constraint — superset-safe)."""
     if stype in ("tinyint", "smallint", "int", "bigint"):
         return int(v)
-    # float/double never reach here: excluded from _STATS_PRUNABLE_TYPES
-    # (NaN lives outside footer [min, max] — see the set's comment)
+    if stype in ("float", "double"):
+        return float(v)  # NaN safety lives in Table.planned_files (r16)
     if stype == "date":
         return _dt.date.fromisoformat(str(v))
     if stype.startswith("timestamp"):

@@ -780,17 +780,45 @@ def collect_file_stats(path: str) -> dict:
     O(files written this commit), paid at write time, never at read time).
 
     Returns ``{"record_count": n, "bounds": {col: [lo, hi]},
-    "null_counts": {col: n}}`` — the Iceberg manifest model:
-    ``record_count`` plus ``lower_bounds``/``upper_bounds`` plus
-    ``null_value_counts`` per top-level primitive column (nested/binary
-    columns and columns with any statless row group are omitted; readers
-    fall back to the footer for those). An all-NULL column has min/max
-    absent in the footer but a valid null count, so it appears in
-    ``null_counts`` without a ``bounds`` entry — exactly what IS NOT NULL
-    pruning needs."""
+    "null_counts": {col: n}, "nan_counts": {col: n}}`` — the Iceberg
+    manifest model: ``record_count`` plus ``lower_bounds``/
+    ``upper_bounds`` plus ``null_value_counts`` plus (float/double
+    columns only) ``nan_value_counts`` per top-level primitive column
+    (nested/binary columns and columns with any statless row group are
+    omitted; readers fall back to the footer for those). An all-NULL
+    column has min/max absent in the footer but a valid null count, so it
+    appears in ``null_counts`` without a ``bounds`` entry — exactly what
+    IS NOT NULL pruning needs.
+
+    ``nan_value_counts`` (r16, Iceberg manifest spec field 110): parquet
+    footer min/max EXCLUDES NaN while Spark orders NaN above every value,
+    so float bounds are only trustworthy for pruning when the file is
+    provably NaN-free. Footers carry no NaN statistic, so the float
+    columns are read back ONCE here — at write time, page-cache warm,
+    one columnar batch per file, O(float-column bytes written this
+    commit), never at read time. On a real cluster the write tasks would
+    report these counts with the task result exactly as Iceberg's Spark
+    writer does; this read-back is the single-process analogue."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    md = pq.ParquetFile(path).metadata
+    pf = pq.ParquetFile(path)
+    md = pf.metadata
+    nan_counts: dict = {}
+    try:
+        fcols = [
+            f.name
+            for f in pf.schema_arrow
+            if pa.types.is_float32(f.type) or pa.types.is_float64(f.type)
+        ]
+        if fcols:
+            tbl = pf.read(columns=fcols)
+            for name in fcols:
+                s = pc.sum(pc.is_nan(tbl[name]))  # null-skipping
+                nan_counts[name] = 0 if s.as_py() is None else int(s.as_py())
+    except Exception:
+        nan_counts = {}  # unknown => float bounds stay untrusted (safe)
     agg: dict = {}
     nulls: dict = {}
     for rg in range(md.num_row_groups):
@@ -852,6 +880,7 @@ def collect_file_stats(path: str) -> dict:
         "file_size_bytes": _os.path.getsize(path),
         "bounds": bounds,
         "null_counts": {k: v for k, v in nulls.items() if v is not None},
+        **({"nan_counts": nan_counts} if nan_counts else {}),
     }
 
 
@@ -862,7 +891,12 @@ def _file_range_stats(path: str, column: str) -> tuple | None:
     must be treated as possibly-matching). Since round 5 this is the
     FALLBACK for statless legacy files; freshly-committed files answer from
     manifest stats with zero opens (``PLANNING_FOOTER_READS`` counts the
-    fallback hits so tests can pin the zero)."""
+    fallback hits so tests can pin the zero).
+
+    Float/double columns return None unconditionally (r16): parquet
+    footer min/max excludes NaN, the footer carries no NaN count to
+    prove the file NaN-free, and Spark orders NaN above every value — a
+    footer-derived float bound could prune a file whose NaN rows match."""
     import pyarrow.parquet as pq
 
     global PLANNING_FOOTER_READS
@@ -874,6 +908,8 @@ def _file_range_stats(path: str, column: str) -> tuple | None:
         for ci in range(row_group.num_columns):
             col = row_group.column(ci)
             if col.path_in_schema == column:
+                if col.physical_type in ("FLOAT", "DOUBLE"):
+                    return None  # NaN-unsafe: footer can't prove NaN-free
                 st = col.statistics
                 if st is None or not st.has_min_max:
                     return None
@@ -1302,6 +1338,18 @@ class Table:
             return decode_bound(b[0]), (None if b[1] is None else decode_bound(b[1]))
         return _file_range_stats(self.catalog.object_store().resolve(rel_path), phys)
 
+    @staticmethod
+    def _bounds_prune_ok(st: dict | None, column: str, f_lo, f_hi) -> bool:
+        """May this file's [min, max] for ``column`` be TRUSTED for range
+        pruning? Always for non-float bounds. Float/double bounds exclude
+        NaN (parquet spec) while Spark orders NaN above every value, so
+        they prune only when the manifest's ``nan_value_counts`` proves
+        the file NaN-free (r16); a missing count (legacy file, foreign
+        writer) keeps the file — superset-safe."""
+        if not (isinstance(f_lo, float) or isinstance(f_hi, float)):
+            return True
+        return ((st or {}).get("nan_counts") or {}).get(column) == 0
+
     def planned_files(
         self, column: str, lo, hi, snapshot_id: int | None = None,
         require_stats: bool = False, footer_fallback: bool = True,
@@ -1346,9 +1394,18 @@ class Table:
                 if cb is not None and cb["n"] == nd:
                     c_lo = decode_bound(cb["lo"])
                     c_hi = None if cb["hi"] is None else decode_bound(cb["hi"])
-                    if (
-                        lo is not None and c_hi is not None and c_hi < lo
-                    ) or (hi is not None and c_lo is not None and c_lo > hi):
+                    # float summary bounds skip the chunk only when the
+                    # summary proves EVERY covered entry NaN-free (r16);
+                    # pre-r16 summaries lack "nan0" and fall through to
+                    # the per-entry nan_counts guard below
+                    float_ok = (
+                        not (isinstance(c_lo, float) or isinstance(c_hi, float))
+                        or cb.get("nan0") == nd
+                    )
+                    if float_ok and (
+                        (lo is not None and c_hi is not None and c_hi < lo)
+                        or (hi is not None and c_lo is not None and c_lo > hi)
+                    ):
                         continue  # whole chunk disjoint — never fetched
                 doc = load_chunk(store, c["path"])
                 for e in doc["entries"]:
@@ -1359,9 +1416,12 @@ class Table:
                     if b is not None:
                         f_lo = decode_bound(b[0])
                         f_hi = None if b[1] is None else decode_bound(b[1])
-                        if (
-                            lo is not None and f_hi is not None and f_hi < lo
-                        ) or (hi is not None and f_lo is not None and f_lo > hi):
+                        if self._bounds_prune_ok(
+                            e.get("stats"), column, f_lo, f_hi
+                        ) and (
+                            (lo is not None and f_hi is not None and f_hi < lo)
+                            or (hi is not None and f_lo is not None and f_lo > hi)
+                        ):
                             continue
                         out.append(store.resolve(rel))
                         continue
@@ -1390,9 +1450,12 @@ class Table:
             if b is not None:
                 f_lo = decode_bound(b[0])
                 f_hi = None if b[1] is None else decode_bound(b[1])
-                if (
-                    lo is not None and f_hi is not None and f_hi < lo
-                ) or (hi is not None and f_lo is not None and f_lo > hi):
+                if self._bounds_prune_ok(
+                    snap.file_stats.get(rel), phys, f_lo, f_hi
+                ) and (
+                    (lo is not None and f_hi is not None and f_hi < lo)
+                    or (hi is not None and f_lo is not None and f_lo > hi)
+                ):
                     continue  # provably disjoint, pruned from metadata alone
                 out.append(store.resolve(rel))
                 continue

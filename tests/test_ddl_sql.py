@@ -260,3 +260,46 @@ def test_review_r13_call_refuses_unknown_argument(catalog, spark):
         parse_call(
             "CALL system.expire_snapshots('d.t', keep_last_snapshots => 10)"
         )
+
+
+def test_call_rewrite_manifests(catalog, spark, monkeypatch):
+    """r16: Iceberg's manifest-compaction procedure through SQL — a
+    delta-chunk chain consolidates into clustered bounded chunks; the
+    report returns before/after counts; a second call is a stable
+    no-op; reads unchanged."""
+    from iceberg_catalog_postgres_spark.catalog import metadata as md_mod
+
+    monkeypatch.setattr(md_mod, "MANIFEST_THRESHOLD", 2)
+    df_schema = "k long, v string"
+    t = catalog.create_table(
+        TableIdentifier.parse("d.rm"),
+        spark.createDataFrame([], df_schema).schema,
+    )
+    for i in range(7):
+        t = t.new_transaction().append_dataframe(
+            spark.createDataFrame([(i, f"x{i}")], df_schema).coalesce(1)
+        ).commit()
+    assert len(t.metadata.current_snapshot().manifests) > 3
+    rep = call_sql(
+        spark, catalog,
+        "CALL system.rewrite_manifests('d.rm', max_chunks => 3)",
+    ).first()
+    assert rep.manifest_chunks_before > 3 and rep.manifest_chunks_after == 1
+    rep2 = call_sql(
+        spark, catalog,
+        "CALL system.rewrite_manifests('d.rm', max_chunks => 3)",
+    ).first()
+    assert (rep2.manifest_chunks_before, rep2.manifest_chunks_after) == (1, 1)
+    rows = execute_dml(spark, catalog, "SELECT k FROM d.rm ORDER BY k").collect()
+    assert [r.k for r in rows] == list(range(7))
+    # target_entries forces a bounded multi-chunk layout
+    rep3 = call_sql(
+        spark, catalog,
+        "CALL system.rewrite_manifests('d.rm', max_chunks => 1, "
+        "target_entries => 3)",
+    ).first()
+    # 7 entries / target 3 -> 3 chunks (balanced), each <= 3 entries
+    assert rep3.manifest_chunks_after == 3
+    t2 = catalog.load_table(TableIdentifier.parse("d.rm"))
+    refs = t2.metadata.current_snapshot().chunk_refs()
+    assert all(sum(c["summary"]["counts"].values()) <= 3 for c in refs)

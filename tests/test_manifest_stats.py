@@ -728,3 +728,52 @@ def test_file_size_bytes_in_stats_and_summaries(catalog, spark, monkeypatch):
     truth = sum(_os.path.getsize(store.resolve(f)) for f in snap.data_files)
     assert got == truth > 0
     assert all("file_size_bytes" in snap.file_stats[f] for f in snap.data_files)
+
+
+def test_collect_file_stats_nan_counts(tmp_path):
+    """r16: float/double columns carry Iceberg ``nan_value_counts`` —
+    parquet footers exclude NaN from min/max AND provide no NaN
+    statistic, so the counts come from a one-time columnar read-back at
+    write time. Non-float columns never appear; NULLs don't count.
+    Written via pyarrow directly — pandas' from_pandas coerces NaN to
+    NULL, which would test nothing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "i": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "f": pa.array([1.5, float("nan"), None, 4.0], type=pa.float64()),
+            "g": pa.array([0.0, 1.0, 2.0, 3.0], type=pa.float64()),
+        }
+    )
+    p = str(tmp_path / "nan.parquet")
+    pq.write_table(tbl, p)
+    st = collect_file_stats(p)
+    assert st["nan_counts"] == {"f": 1, "g": 0}
+    assert "i" not in st["nan_counts"]
+    # the NaN-free column keeps trustworthy bounds; footer min/max for
+    # the NaN-bearing one excludes the NaN (parquet spec) — which is
+    # exactly why the planner demands nan_counts == 0 before pruning
+    assert decode_bound(st["bounds"]["g"][0]) == 0.0
+    assert decode_bound(st["bounds"]["g"][1]) == 3.0
+    import json
+
+    json.dumps(st)
+
+
+def test_float_bounds_prune_only_with_nan_free_proof(tmp_path):
+    """Unit check of the r16 trust rule: Table._bounds_prune_ok says a
+    float-bounded file may prune only when nan_counts proves it NaN-free;
+    a missing count (legacy commit, foreign writer) or any NaN keeps it.
+    Integer bounds are always trusted."""
+    from iceberg_catalog_postgres_spark.catalog.table import Table
+
+    ok = Table._bounds_prune_ok
+    assert ok({"nan_counts": {"x": 0}}, "x", 1.0, 2.0) is True
+    assert ok({"nan_counts": {"x": 3}}, "x", 1.0, 2.0) is False
+    assert ok({}, "x", 1.0, 2.0) is False              # unknown => keep
+    assert ok(None, "x", 1.0, 2.0) is False
+    assert ok({"nan_counts": {"y": 0}}, "x", 1.0, 2.0) is False
+    assert ok({}, "k", 1, 2) is True                   # int: always
+    assert ok(None, "s", "a", "b") is True             # string: always

@@ -164,3 +164,55 @@ def test_dnf_24_branch_walk_budget(big_table):
     days25 = days + [dt.date(2024, 1, 1) + dt.timedelta(days=73)]
     where25 = " OR ".join(f"ts = '{d} 00:00:00'" for d in days25)
     assert prune_subset_for_where(t, t.identifier, where25) is None
+
+
+def test_rewrite_manifests_clusters_mega_chunk(big_table):
+    """r16: consolidation emits CLUSTERED bounded chunks, not one mega
+    chunk. A single 20k-entry chunk's summary covers everything — every
+    plan fetches (and scans) it; after rewrite_manifests the layout is
+    ~target-sized partition-sorted chunks and a one-day point walk
+    fetches O(1) of them with an identical planned set."""
+    import datetime as dt
+    from dataclasses import replace as _dc
+
+    import iceberg_catalog_postgres_spark.catalog.metadata as md_mod
+    from iceberg_catalog_postgres_spark.catalog.maintenance import (
+        rewrite_manifests,
+    )
+
+    t = big_table
+    cat = t.catalog
+    store = cat.object_store()
+    snap = t.metadata.current_snapshot()
+    probe = dt.datetime(2024, 1, 11, 12, 0)  # day 10
+    want = set(t.planned_files_transformed({"ts": probe}))
+    assert len(want) == FILES_PER
+
+    # collapse the index to ONE mega chunk (the pre-r16 full-rewrite and
+    # consolidation shape)
+    entries = md_mod.snapshot_entries(snap)
+    snap.manifests = [md_mod.make_chunk(store, t.metadata.location, entries)]
+    md = _dc(t.metadata)
+    loc = t.metadata.location + "/metadata/mega.metadata.json"
+    store.put(loc, md.to_json().encode())
+    cat.update_table(t.identifier, loc, t.metadata_location())
+    t = cat.load_table(t.identifier)
+    assert len(t.metadata.current_snapshot().manifests) == 1
+
+    # fragmented? no — one chunk. Oversized? yes: 20k entries >> 2x400
+    t = rewrite_manifests(t, max_chunks=8, target_entries=400)
+    refs = t.metadata.current_snapshot().chunk_refs()
+    assert refs is not None and len(refs) == 25  # ceil(10000/400)
+    # every chunk bounded and summarized
+    assert all(
+        sum(c["summary"]["counts"].values()) <= 400 for c in refs
+    )
+    # clustered: the one-day walk fetches O(1) chunks of the 25
+    before = md_mod.MANIFEST_CHUNK_READS
+    got = set(t.planned_files_transformed({"ts": probe}))
+    fetched = md_mod.MANIFEST_CHUNK_READS - before
+    assert got == want
+    assert fetched <= 2, f"day-point walk fetched {fetched} of 25 chunks"
+    # stable: the clustered layout is a no-op for another pass
+    t2 = rewrite_manifests(t, max_chunks=8, target_entries=400)
+    assert t2.metadata_location() == t.metadata_location()

@@ -621,8 +621,10 @@ def _nan_cmp(x: float, op: str, v: float) -> bool:
 def test_zone_map_never_prunes_float_nan(zone_table, spark):
     """Targeted r16-ADVICE repro: every file's footer max for `x` is
     ≤ 119.0, yet the NaN rows in each file satisfy ``x > 1000``. A
-    planner trusting float bounds prunes all four files and returns 0
-    rows; the fix excludes float/double from zone-map pruning entirely."""
+    planner trusting raw float bounds prunes all four files and returns
+    0 rows; since r16 float bounds prune ONLY files whose manifest
+    ``nan_value_counts`` proves them NaN-free — every file here holds
+    NaNs, so nothing prunes and the NaN rows survive."""
     nan_keys = sorted(k for k in range(120) if k % 9 == 7)
     got = sorted(
         r.k
@@ -692,3 +694,53 @@ def test_fuzz_zone_map_float_predicates_never_drop_rows(zone_table, spark):
         if len(failures) >= 5:
             break
     assert not failures, failures
+
+
+def test_zone_map_prunes_nan_free_float_files(tmp_path_factory, spark):
+    """The other half of the r16 NaN rule: a float column whose files
+    carry ``nan_value_counts == 0`` DOES zone-map-prune — the common
+    NaN-free case (prices, measurements) keeps its bounds pruning. A
+    file holding NaNs mixed in stays planned even when its non-NaN
+    bounds are disjoint from the predicate."""
+    cat = PostgresCatalog.connect(
+        "ssqlznan", None, str(tmp_path_factory.mktemp("whn"))
+    )
+    cat.initialize()
+    df_schema = "k long, x double"
+    t = cat.create_table(TableIdentifier.parse("fz.nf"), spark.createDataFrame([], df_schema).schema)
+    # three NaN-free files with disjoint x ranges + one NaN-bearing file
+    batches = [
+        [(k, float(k)) for k in range(0, 10)],        # x in [0, 9]
+        [(k, float(k)) for k in range(10, 20)],       # x in [10, 19]
+        [(k, float(k)) for k in range(20, 30)],       # x in [20, 29]
+        [(30, 3.0), (31, float("nan"))],              # max 3.0 BUT has NaN
+    ]
+    for rows in batches:
+        t = (
+            t.new_transaction()
+            .append_dataframe(spark.createDataFrame(rows, df_schema).coalesce(1))
+            .commit()
+        )
+    from iceberg_catalog_postgres_spark.catalog.select_sql import (
+        select_plan_info,
+        select_sql,
+    )
+
+    stmt = "SELECT k FROM fz.nf WHERE x >= 15"
+    got = sorted(r.k for r in select_sql(spark, cat, stmt).collect())
+    # NaN > 15 in Spark's ordering: k=31 matches from the NaN file
+    assert got == list(range(15, 30)) + [31]
+    info = select_plan_info(spark, cat, stmt)
+    # files [0,9] pruned via proven-NaN-free bounds; the NaN file is
+    # KEPT despite max 3.0 < 15; files [10,19] and [20,29] intersect
+    assert info["n_files_total"] == 4 and info["n_files_planned"] == 3
+    # equality prunes to one NaN-free file plus the NaN file
+    info_eq = select_plan_info(
+        spark, cat, "SELECT k FROM fz.nf WHERE x = 25.0"
+    )
+    assert info_eq["n_files_planned"] == 2
+    got_eq = [r.k for r in select_sql(
+        spark, cat, "SELECT k FROM fz.nf WHERE x = 25.0"
+    ).collect()]
+    assert got_eq == [25]
+    cat.backend.close()
