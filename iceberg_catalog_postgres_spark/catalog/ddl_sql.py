@@ -44,6 +44,9 @@ CALL grammar (Iceberg's named-argument procedure syntax)::
     CALL system.vacuum('ns.t', keep_last_snapshots => 2, ...)
     CALL system.add_files('ns.t', source_dir => 'dir')
     CALL system.rollback_to_snapshot('ns.t', snapshot_id => <id>)
+    CALL system.rollback_to_timestamp('ns.t', timestamp_ms => <ms>
+                                      | timestamp => '<iso>')
+    CALL system.set_current_snapshot('ns.t', snapshot_id => <id>)
     CALL system.cherrypick_snapshot('ns.t', snapshot_id => <id>)
     CALL system.publish_branch|fast_forward('ns.t', branch => 'b'
                                             [, drop_branch => true])
@@ -761,6 +764,12 @@ _PROCEDURES: dict[str, set] = {
         "view_name", "start_snapshot_id", "end_snapshot_id",
     },
     "rollback_to_snapshot": {"snapshot_id"},
+    # r16: the remaining Iceberg snapshot-management procedures —
+    # rollback_to_timestamp resolves the snapshot current AS OF the
+    # timestamp; set_current_snapshot points head at ANY retained
+    # snapshot (rollback_* require an ancestor, Iceberg's distinction)
+    "rollback_to_timestamp": {"timestamp_ms", "timestamp"},
+    "set_current_snapshot": {"snapshot_id"},
     "cherrypick_snapshot": {"snapshot_id"},
     "publish_branch": {"branch", "drop_branch"},
     "fast_forward": {"branch", "drop_branch"},  # Iceberg's name; same engine
@@ -953,8 +962,41 @@ def call_sql(spark, catalog, sql: str):
             "n_changes": cdc.count(),
             "start_snapshot_id": start,
         }
-    elif proc == "rollback_to_snapshot":
-        t2 = table.rollback_to(int(a["snapshot_id"]))
+    elif proc in ("rollback_to_snapshot", "rollback_to_timestamp",
+                  "set_current_snapshot"):
+        if proc == "rollback_to_timestamp":
+            ts = a.get("timestamp_ms")
+            if ts is None:
+                import datetime as _dt
+
+                ts = int(
+                    _dt.datetime.fromisoformat(str(a["timestamp"]))
+                    .timestamp() * 1000
+                )
+            snap_at = table.metadata.snapshot_as_of(int(ts))
+            if snap_at is None:
+                raise ValueError(
+                    f"rollback_to_timestamp: no snapshot at or before {ts}"
+                )
+            target_id = snap_at.snapshot_id
+        else:
+            target_id = int(a["snapshot_id"])
+        if proc != "set_current_snapshot":
+            # Iceberg's rule: rollback_* target must be an ancestor of
+            # the CURRENT snapshot (ancestry ~ commit order here);
+            # pointing head at an abandoned/forward snapshot is
+            # set_current_snapshot's job
+            cur_s = table.metadata.current_snapshot()
+            by_id = {s.snapshot_id: s for s in table.metadata.snapshots}
+            tgt = by_id.get(target_id)
+            if cur_s is not None and tgt is not None and (
+                tgt.sequence_number > cur_s.sequence_number
+            ):
+                raise ValueError(
+                    f"{proc}: snapshot {target_id} is not an ancestor of "
+                    "the current snapshot — use set_current_snapshot"
+                )
+        t2 = table.rollback_to(target_id)
         report = {
             "previous_snapshot_id": table.metadata.current_snapshot_id,
             "current_snapshot_id": t2.metadata.current_snapshot_id,

@@ -303,3 +303,53 @@ def test_call_rewrite_manifests(catalog, spark, monkeypatch):
     t2 = catalog.load_table(TableIdentifier.parse("d.rm"))
     refs = t2.metadata.current_snapshot().chunk_refs()
     assert all(sum(c["summary"]["counts"].values()) <= 3 for c in refs)
+
+
+def test_call_rollback_timestamp_and_set_current_snapshot(catalog, spark):
+    """r16: the remaining Iceberg snapshot-management procedures.
+    rollback_to_timestamp resolves the snapshot current AS OF the given
+    time; rollback_* refuse non-ancestor targets (Iceberg's rule) while
+    set_current_snapshot points head anywhere retained — including
+    forward again, restoring a rolled-past commit."""
+    df_schema = "k long, v string"
+    t = catalog.create_table(
+        TableIdentifier.parse("d.rb"),
+        spark.createDataFrame([], df_schema).schema,
+    )
+    snaps = []
+    for i in range(3):
+        t = t.new_transaction().append_dataframe(
+            spark.createDataFrame([(i, f"x{i}")], df_schema).coalesce(1)
+        ).commit()
+        snaps.append(t.metadata.current_snapshot())
+    mid_ts = snaps[1].timestamp_ms
+    rep = call_sql(
+        spark, catalog,
+        f"CALL system.rollback_to_timestamp('d.rb', timestamp_ms => {mid_ts})",
+    ).first()
+    assert rep.current_snapshot_id == snaps[1].snapshot_id
+    rows = execute_dml(spark, catalog, "SELECT k FROM d.rb ORDER BY k").collect()
+    assert [r.k for r in rows] == [0, 1]
+    # rolling FORWARD via rollback_* refuses — not an ancestor
+    with pytest.raises(ValueError, match="set_current_snapshot"):
+        call_sql(
+            spark, catalog,
+            f"CALL system.rollback_to_snapshot('d.rb', "
+            f"snapshot_id => {snaps[2].snapshot_id})",
+        )
+    # set_current_snapshot restores the abandoned head
+    rep = call_sql(
+        spark, catalog,
+        f"CALL system.set_current_snapshot('d.rb', "
+        f"snapshot_id => {snaps[2].snapshot_id})",
+    ).first()
+    assert rep.current_snapshot_id == snaps[2].snapshot_id
+    rows = execute_dml(spark, catalog, "SELECT k FROM d.rb ORDER BY k").collect()
+    assert [r.k for r in rows] == [0, 1, 2]
+    # a timestamp BEFORE every snapshot refuses cleanly
+    with pytest.raises(ValueError, match="no snapshot"):
+        call_sql(
+            spark, catalog,
+            f"CALL system.rollback_to_timestamp('d.rb', "
+            f"timestamp_ms => {snaps[0].timestamp_ms - 10_000})",
+        )

@@ -744,3 +744,68 @@ def test_zone_map_prunes_nan_free_float_files(tmp_path_factory, spark):
     ).collect()]
     assert got_eq == [25]
     cat.backend.close()
+
+
+def test_fuzz_delete_float_nan_zone_map_never_loses_rows(tmp_path, spark):
+    """Write-path twin of the float NaN rule (r16 ADVICE: the SELECT
+    subset feeds DELETE via prune_subset_for_where): random float
+    predicates executed as DELETE on an UNPARTITIONED table whose every
+    file holds NaNs — a planner trusting float bounds would skip the
+    NaN rows' files and leave matching rows undeleted. Survivors must
+    equal direct evaluation under Spark's NaN ordering."""
+    from iceberg_catalog_postgres_spark.catalog.merge_sql import execute_dml
+
+    cat = PostgresCatalog.connect("ssqlnfuzz", None, str(tmp_path / "wh"))
+    cat.initialize()
+    try:
+        rows_x = [
+            (k, float("nan") if k % 9 == 7 else float(k)) for k in range(120)
+        ]
+        df = spark.createDataFrame(rows_x, "k long, x double")
+        t = cat.create_table(TableIdentifier.parse("fz.dx"), df.schema)
+        for lo, hi in ((0, 29), (30, 59), (60, 89), (90, 119)):
+            t = (
+                t.new_transaction()
+                .append_dataframe(
+                    df.filter((df.k >= lo) & (df.k <= hi)).coalesce(1)
+                )
+                .commit()
+            )
+        seed_snap = t.metadata.current_snapshot_id
+        rng = random.Random(SEED + 61)
+        failures = []
+        for case in range(15):
+            op = rng.choice(["=", "<", "<=", ">", ">=", "<>"])
+            lit = rng.choice([-1.5, 7.0, 59.5, 118.0, 1000.0])
+            strategy = rng.choice(["mor", "cow"])
+            expect = sorted(
+                k for k, x in rows_x if not _nan_cmp(x, op, lit)
+            )
+            try:
+                execute_dml(
+                    spark, cat, f"DELETE FROM fz.dx WHERE x {op} {lit}",
+                    strategy=strategy,
+                )
+                t = cat.load_table(TableIdentifier.parse("fz.dx"))
+                got = sorted(r.k for r in t.to_df(spark).collect())
+            except Exception as exc:
+                failures.append((case, strategy, op, lit, f"raised {exc!r}"))
+                t = cat.load_table(TableIdentifier.parse("fz.dx"))
+                t = t.rollback_to(seed_snap)
+                continue
+            if got != expect:
+                failures.append(
+                    (case, strategy, f"x {op} {lit}",
+                     f"{len(got)} survivors != {len(expect)} expected")
+                )
+            t = t.rollback_to(seed_snap)
+            if len(failures) >= 4:
+                break
+        assert not failures, failures
+        # the bug shape, explicitly: every NaN row must die
+        execute_dml(spark, cat, "DELETE FROM fz.dx WHERE x > 1000")
+        t = cat.load_table(TableIdentifier.parse("fz.dx"))
+        got = sorted(r.k for r in t.to_df(spark).collect())
+        assert got == [k for k in range(120) if k % 9 != 7]
+    finally:
+        cat.backend.close()
