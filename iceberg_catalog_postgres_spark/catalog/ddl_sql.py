@@ -18,6 +18,8 @@ Supported ALTER grammar (case-insensitive keywords)::
     ALTER TABLE ns.t DROP COLUMN <c>
     ALTER TABLE ns.t ADD PARTITION FIELD <col | transform(args)>
     ALTER TABLE ns.t DROP PARTITION FIELD <col | transform(args)>
+    ALTER TABLE ns.t WRITE ORDERED BY (c1 [ASC] [NULLS FIRST], ...)
+    ALTER TABLE ns.t WRITE UNORDERED
     ALTER TABLE ns.t SET TBLPROPERTIES ('k' = 'v', ...)
     ALTER TABLE ns.t UNSET TBLPROPERTIES [IF EXISTS] ('k', ...)
     ALTER TABLE ns.t CREATE [OR REPLACE] BRANCH|TAG [IF NOT EXISTS] <name>
@@ -90,13 +92,17 @@ def _sql_type(tokens: list[str]):
     """A SQL type name (one or two words, optional ``(n[,m])`` suffix we
     accept and ignore for varchar/char) -> Spark DataType."""
     from pyspark.sql.types import (
+        BinaryType,
         BooleanType,
+        ByteType,
         DateType,
         DoubleType,
         FloatType,
         IntegerType,
         LongType,
+        ShortType,
         StringType,
+        TimestampNTZType,
         TimestampType,
     )
 
@@ -119,6 +125,12 @@ def _sql_type(tokens: list[str]):
         "BOOLEAN": BooleanType(),
         "DATE": DateType(),
         "TIMESTAMP": TimestampType(),
+        "TIMESTAMP_NTZ": TimestampNTZType(),
+        "SMALLINT": ShortType(),
+        "SHORT": ShortType(),
+        "TINYINT": ByteType(),
+        "BYTE": ByteType(),
+        "BINARY": BinaryType(),
     }
     t = mapping.get(name)
     if t is None:
@@ -319,6 +331,34 @@ def parse_alter(sql: str) -> dict:
                 "entry": _partition_entry(cur),
             }
         raise ValueError(f"ALTER ADD: expected COLUMN(S)/PARTITION, got {what!r}")
+    if verb == "WRITE":
+        # Iceberg's write-order DDL (r16): ALTER TABLE t WRITE ORDERED BY
+        # (c1 [ASC] [NULLS FIRST], ...) | WRITE UNORDERED
+        what = _upper(cur.next())
+        if what == "UNORDERED":
+            return {"op": "write_order", "target": target, "columns": None}
+        if what != "ORDERED" or _upper(cur.next()) != "BY":
+            raise ValueError(
+                "ALTER WRITE: expected ORDERED BY (...) or UNORDERED"
+            )
+        cols = []
+        for piece in _split_top(cur.balanced_parens(), ","):
+            pc = _Cursor(piece)
+            name = _strip_ident(pc.next())
+            while pc.peek() is not None:
+                mod = _upper(pc.next())
+                if mod == "ASC" or (
+                    mod == "NULLS" and _upper(pc.next()) == "FIRST"
+                ):
+                    continue
+                raise ValueError(
+                    "ALTER WRITE ORDERED BY: only ASC NULLS FIRST orders "
+                    f"are supported, got {mod!r} on {name!r}"
+                )
+            cols.append(name)
+        if not cols:
+            raise ValueError("ALTER WRITE ORDERED BY: empty column list")
+        return {"op": "write_order", "target": target, "columns": cols}
     if verb == "RENAME":
         if _upper(cur.next()) != "COLUMN":
             raise ValueError("ALTER parse error: expected RENAME COLUMN")
@@ -399,6 +439,10 @@ def alter_sql(spark, catalog, sql: str):
     fields = list(table.schema.fields)
     names = {f.name for f in fields}
     op = p["op"]
+    if op == "write_order":
+        # declared DEFAULT write order: future appends without an explicit
+        # sort_by/zorder range-distribute on it (metadata-only here)
+        return table.replace_sort_order(p["columns"])
     if op == "set_properties":
         return table.update_properties(set_props=p["props"])
     if op == "unset_properties":

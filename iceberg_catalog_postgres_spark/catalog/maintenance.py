@@ -9544,3 +9544,73 @@ def catalog_float_nan_zone_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "case_name string, files_total int, files_planned int, n_rows long"
     ).orderBy("case_name")
+
+
+@register(
+    "catalog_sql_write_ordered",
+    oracle="""
+    SELECT CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_rows,
+           true AS files_disjoint,
+           true AS point_plans_one_file,
+           true AS unordered_resets
+    """,
+    tags=("catalog", "sql", "ddl", "sort-order", "write-distribution",
+          "pruning"),
+)
+def catalog_sql_write_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg's write-order DDL end-to-end through SQL (r16): ``ALTER
+    TABLE ... WRITE ORDERED BY (o_orderkey)`` declares the table's
+    default write order (metadata-only; registered in the document's
+    ``sort-orders``), then a PLAIN ``INSERT INTO ... SELECT`` — no
+    explicit sort — range-distributes on the declared columns: every
+    file covers a disjoint o_orderkey slice (asserted from manifest
+    bounds), and a point predicate plans exactly ONE file from metadata
+    alone. ``WRITE UNORDERED`` restores order 0.
+
+    Scale: this is how a 100 TB table keeps zone-map pruning effective
+    without every writer remembering to pass sort_by — the declared
+    order follows the table, not the job; the range distribution costs
+    one shuffle the write was usually paying anyway."""
+    from iceberg_catalog_postgres_spark.catalog.merge_sql import execute_dml
+    from iceberg_catalog_postgres_spark.catalog.metadata import decode_bound
+
+    cat = _fresh_catalog("catalog_sql_write_ordered")
+    src = load(spark, sf_dir, "orders")
+    src.createOrReplaceTempView("wo_src")
+    cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in src.schema.fields)
+    execute_dml(spark, cat, f"CREATE TABLE wo.orders ({cols})")
+    execute_dml(spark, cat, "ALTER TABLE wo.orders WRITE ORDERED BY (o_orderkey)")
+    execute_dml(
+        spark, cat,
+        f"INSERT INTO wo.orders SELECT {', '.join(f.name for f in src.schema.fields)} "
+        "FROM wo_src",
+    )
+    t = cat.load_table(TableIdentifier.parse("wo.orders"))
+    snap = t.metadata.current_snapshot()
+    ivs = sorted(
+        (decode_bound(snap.file_stats[f]["bounds"]["o_orderkey"][0]),
+         decode_bound(snap.file_stats[f]["bounds"]["o_orderkey"][1]))
+        for f in snap.data_files
+    )
+    files_disjoint = len(ivs) >= 2 and all(
+        a[1] < b[0] for a, b in zip(ivs, ivs[1:])
+    )
+    probe = ivs[len(ivs) // 2][0]  # a key provably inside one slice
+    point_plans_one = (
+        len(t.planned_files("o_orderkey", probe, probe, require_stats=True)) == 1
+    )
+    t = execute_dml(spark, cat, "ALTER TABLE wo.orders WRITE UNORDERED")
+    unordered_resets = (
+        t.metadata.default_sort_order_id == 0
+        and t.metadata.default_sort_columns() == []
+    )
+    return spark.createDataFrame(
+        [(
+            t.to_df(spark).count(),
+            files_disjoint,
+            point_plans_one,
+            unordered_resets,
+        )],
+        "n_rows long, files_disjoint boolean, point_plans_one_file boolean, "
+        "unordered_resets boolean",
+    )

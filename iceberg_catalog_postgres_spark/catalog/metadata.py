@@ -1085,6 +1085,30 @@ class TableMetadata:
             default_sort_order_id=order_id,
         )
 
+    def default_sort_columns(self) -> list[str]:
+        """Source column NAMES of the default sort order, resolved through
+        the CURRENT schema (fields are id-based, so this survives renames).
+        Empty for the unsorted order 0, or when any field is non-identity
+        or its source column no longer exists (drop) — callers then skip
+        applying the order (r16, ``ALTER TABLE ... WRITE ORDERED BY``)."""
+        order = next(
+            (o for o in self.sort_orders
+             if o["order-id"] == self.default_sort_order_id),
+            None,
+        )
+        if not order or not order["fields"]:
+            return []
+        names = {int(f["id"]): f["name"] for f in self.schema.get("fields", [])}
+        cols = []
+        for f in order["fields"]:
+            if f.get("transform") != "identity":
+                return []
+            name = names.get(int(f["source-id"]))
+            if name is None:
+                return []
+            cols.append(name)
+        return cols
+
     @staticmethod
     def from_json(text: str, store=None) -> "TableMetadata":
         d = json.loads(text)

@@ -2295,6 +2295,25 @@ class Table:
 
         return self._commit_metadata_edit(edit, "properties")
 
+    def replace_sort_order(self, columns: list[str] | None) -> "Table":
+        """Iceberg's replaceSortOrder / ``ALTER TABLE ... WRITE ORDERED
+        BY`` (r16): declare the table's DEFAULT write order — every
+        subsequent ``append_dataframe`` without an explicit ``sort_by`` /
+        ``zorder_by`` range-distributes on these columns, so files cover
+        disjoint key slices and manifest bounds stay maximally selective.
+        Metadata-only CAS commit; existing data is untouched (Iceberg
+        semantics — the order applies to FUTURE writes; compact/rewrite
+        to re-cluster history). ``None``/empty restores the unsorted
+        order 0."""
+        from dataclasses import replace as _dc_replace
+
+        def edit(md):
+            if not columns:
+                return _dc_replace(md, default_sort_order_id=0)
+            return md.with_sort_order(list(columns))
+
+        return self._commit_metadata_edit(edit, "sort-order")
+
     def rollback_to(self, snapshot_id: int) -> "Table":
         """Iceberg's rollback_to_snapshot: point ``current_snapshot_id``
         back to an earlier RETAINED snapshot via a metadata-only CAS commit.
@@ -3657,6 +3676,13 @@ class Transaction:
             )
         if sort_by and zorder_by:
             raise ValueError("pass either sort_by or zorder_by, not both")
+        if not sort_by and not zorder_by:
+            # the table's declared DEFAULT write order (r16, ``ALTER TABLE
+            # ... WRITE ORDERED BY``) applies when the caller didn't pick a
+            # distribution; skipped if a projection dropped an order column
+            default_order = self.table.metadata.default_sort_columns()
+            if default_order and all(c in df.columns for c in default_order):
+                sort_by = default_order
         if sort_by:
             # declare the order in the metadata document (spec sort-orders)
             self._sort_by = list(sort_by)

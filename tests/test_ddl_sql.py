@@ -353,3 +353,55 @@ def test_call_rollback_timestamp_and_set_current_snapshot(catalog, spark):
             f"CALL system.rollback_to_timestamp('d.rb', "
             f"timestamp_ms => {snaps[0].timestamp_ms - 10_000})",
         )
+
+
+def test_alter_write_ordered_by(catalog, spark):
+    """r16: Iceberg's write-order DDL. Declaring WRITE ORDERED BY makes
+    every later plain append range-distribute on the columns — files
+    cover disjoint key slices, so manifest-bounds planning goes from
+    all-files to one file; WRITE UNORDERED restores plain writes. The
+    order is registered in the metadata document's sort-orders."""
+    import json
+
+    df_schema = "k long, v string"
+    t = catalog.create_table(
+        TableIdentifier.parse("d.wo"),
+        spark.createDataFrame([], df_schema).schema,
+    )
+    t = execute_dml(spark, catalog, "ALTER TABLE d.wo WRITE ORDERED BY (k)")
+    doc = json.loads(
+        catalog.object_store().get(t.metadata_location()).decode()
+    )
+    assert doc["default-sort-order-id"] == 1
+    assert doc["sort-orders"][1]["fields"][0]["transform"] == "identity"
+    # a PLAIN append (no sort_by) now range-distributes on k
+    rows = [(k, f"v{k}") for k in range(400)]
+    import random as _r
+
+    _r.Random(7).shuffle(rows)
+    df = spark.createDataFrame(rows, df_schema).repartition(8)
+    t = t.new_transaction().append_dataframe(df, n_files=4).commit()
+    snap = t.metadata.current_snapshot()
+    files = snap.data_files
+    assert len(files) >= 3
+    from iceberg_catalog_postgres_spark.catalog.metadata import decode_bound
+
+    ivs = sorted(
+        (decode_bound(snap.file_stats[f]["bounds"]["k"][0]),
+         decode_bound(snap.file_stats[f]["bounds"]["k"][1]))
+        for f in files
+    )
+    assert all(a[1] < b[0] for a, b in zip(ivs, ivs[1:])), ivs  # disjoint
+    # bounds planning: a point k plans exactly one file
+    assert len(t.planned_files("k", 7, 7, require_stats=True)) == 1
+    rows_back = sorted(r.k for r in t.to_df(spark).collect())
+    assert rows_back == list(range(400))
+    # UNORDERED restores plain writes and resets the default order
+    t = execute_dml(spark, catalog, "ALTER TABLE d.wo WRITE UNORDERED")
+    assert t.metadata.default_sort_order_id == 0
+    assert t.metadata.default_sort_columns() == []
+    # DESC refuses with guidance
+    with pytest.raises(ValueError, match="ASC NULLS FIRST"):
+        execute_dml(
+            spark, catalog, "ALTER TABLE d.wo WRITE ORDERED BY (k DESC)"
+        )
