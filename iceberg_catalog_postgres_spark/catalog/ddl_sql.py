@@ -57,7 +57,7 @@ CALL grammar (Iceberg's named-argument procedure syntax)::
 
 Plus ``ANALYZE TABLE ns.t COMPUTE STATISTICS [FOR [ALL] COLUMNS (...)]``
 (stats backfill / NDV sketches), ``TRUNCATE TABLE`` (metadata-only empty
-snapshot), ``SHOW TABLES|VIEWS|NAMESPACES|TBLPROPERTIES``, and
+snapshot), ``SHOW TABLES|VIEWS|NAMESPACES|TBLPROPERTIES|CREATE TABLE``, and
 ``DESCRIBE [TABLE|VIEW]``.
 
 ``alter_sql`` returns the committed Table (like the DML family);
@@ -617,6 +617,45 @@ def show_tables_sql(spark, catalog, sql: str):
             props = {key: props[key]}
         rows = sorted((k, str(v)) for k, v in props.items())
         return spark.createDataFrame(rows or [], "key string, value string")
+    if what == "CREATE":
+        # SHOW CREATE TABLE ns.t (r16): RECONSTRUCTIBLE DDL — one row per
+        # statement; feeding the statements back through execute_dml
+        # yields an equivalent table (columns + partition spec + write
+        # order + user properties), which is also what the round-trip
+        # pytest does
+        from iceberg_catalog_postgres_spark.catalog.table import Table
+
+        if _upper(cur.next()) != "TABLE":
+            raise ValueError("SHOW CREATE: expected TABLE")
+        table = catalog.load_table(TableIdentifier.parse(cur.dotted_name()))
+        full = f"{table.identifier.namespace_str}.{table.identifier.name}"
+        cols = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in table.schema.fields
+        )
+        stmt = f"CREATE TABLE {full} ({cols})"
+        if table.metadata.partition_spec:
+            stmt += " PARTITIONED BY (" + ", ".join(
+                table.metadata.partition_spec
+            ) + ")"
+        stmts = [stmt]
+        order = table.metadata.default_sort_columns()
+        if order:
+            stmts.append(
+                f"ALTER TABLE {full} WRITE ORDERED BY ({', '.join(order)})"
+            )
+        user_props = {
+            k: v for k, v in sorted(table.metadata.properties.items())
+            if isinstance(v, (str, int, float, bool))
+            and k not in Table.ENGINE_PROPERTY_KEYS
+        }
+        if user_props:
+            kv = ", ".join(f"'{k}' = '{v}'" for k, v in user_props.items())
+            stmts.append(f"ALTER TABLE {full} SET TBLPROPERTIES ({kv})")
+        return spark.createDataFrame(
+            [(i, s) for i, s in enumerate(stmts)],
+            "stmt_order int, statement string",
+        )
     if what == "VIEWS":
         from iceberg_catalog_postgres_spark.catalog.views import show_views_sql
 
@@ -635,7 +674,7 @@ def show_tables_sql(spark, catalog, sql: str):
         )
     if what != "TABLES":
         raise ValueError(
-            f"SHOW: expected TABLES/VIEWS/NAMESPACES/TBLPROPERTIES, got {what!r}"
+            f"SHOW: expected TABLES/VIEWS/NAMESPACES/TBLPROPERTIES/CREATE, got {what!r}"
         )
     if _upper(cur.next()) != "IN":
         raise ValueError("SHOW TABLES requires IN <namespace>")

@@ -853,9 +853,22 @@ def parse_create_table(sql: str) -> dict:
         cur.next()
         cur.expect_kw("BY")
         # entries may be identity columns or transforms like bucket(8, k) —
-        # keep each comma-separated entry as rendered text
-        entries = _split_top(cur.balanced_parens(), ",")
-        partition_by = [_render(e, {}) for e in entries]
+        # canonicalize each to the spec's entry spelling (r16: plain
+        # _render space-joins tokens into "day ( ts )", which the spec
+        # parser's transform regex never matches — transforms in SQL
+        # PARTITIONED BY silently failed table creation)
+        partition_by = []
+        for e in _split_top(cur.balanced_parens(), ","):
+            pc = _Cursor(e)
+            head = _strip_ident(pc.next())
+            if pc.peek() == "(":
+                args = [
+                    _render(piece, {})
+                    for piece in _split_top(pc.balanced_parens(), ",")
+                ]
+                partition_by.append(f"{head.lower()}({', '.join(args)})")
+            else:
+                partition_by.append(head)
     if cur.peek() is None:
         # column-DDL form: create an EMPTY table with the declared schema
         if columns is None:

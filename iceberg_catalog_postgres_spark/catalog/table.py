@@ -2261,6 +2261,10 @@ class Table:
         "column-defaults",
         "partition-entry-renames",
         "write.bucket-hash",
+        # the manifest-format marker is stamped by the metadata writer
+        # itself (r16: without this entry SHOW CREATE TABLE / SHOW
+        # TBLPROPERTIES leaked it as a user property)
+        "format.manifest-implementation",
     )
 
     def update_properties(

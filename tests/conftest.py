@@ -21,7 +21,11 @@ def spark():
 
 
 PG_BIN = "/usr/lib/postgresql/15/bin"
-PG_DIR = "/tmp/spark_graft_pg_test"
+# per-process dir: two concurrent pytest sessions each boot their own
+# server — a shared path let the second session's rmtree delete the
+# first's running socket/datadir (r16: every [postgres] error in a
+# concurrent run was this, not a product defect)
+PG_DIR = f"/tmp/spark_graft_pg_test_{os.getpid()}"
 PG_PORT = 5499
 
 

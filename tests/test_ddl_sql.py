@@ -405,3 +405,42 @@ def test_alter_write_ordered_by(catalog, spark):
         execute_dml(
             spark, catalog, "ALTER TABLE d.wo WRITE ORDERED BY (k DESC)"
         )
+
+
+def test_show_create_table_round_trips(catalog, spark):
+    """r16: SHOW CREATE TABLE emits reconstructible DDL — executing the
+    emitted statements against a fresh namespace yields a table with the
+    same columns, partition spec, write order, and user properties."""
+    from iceberg_catalog_postgres_spark.catalog.ddl_sql import (
+        show_tables_sql,
+    )
+
+    execute_dml(
+        spark, catalog,
+        "CREATE TABLE d.sc (k BIGINT, name STRING, ts TIMESTAMP_NTZ, "
+        "r INT) PARTITIONED BY (r, day(ts))",
+    )
+    execute_dml(spark, catalog, "ALTER TABLE d.sc WRITE ORDERED BY (k)")
+    execute_dml(
+        spark, catalog,
+        "ALTER TABLE d.sc SET TBLPROPERTIES ('owner' = 'pipeline')",
+    )
+    stmts = [
+        r.statement
+        for r in show_tables_sql(
+            spark, catalog, "SHOW CREATE TABLE d.sc"
+        ).orderBy("stmt_order").collect()
+    ]
+    assert stmts[0].startswith("CREATE TABLE d.sc (")
+    assert "PARTITIONED BY (r, day(ts))" in stmts[0]
+    assert any("WRITE ORDERED BY (k)" in s for s in stmts[1:])
+    assert any("'owner' = 'pipeline'" in s for s in stmts[1:])
+    # round trip into a sibling table name
+    for s in stmts:
+        execute_dml(spark, catalog, s.replace("d.sc", "d.sc2"))
+    t1 = catalog.load_table(TableIdentifier.parse("d.sc"))
+    t2 = catalog.load_table(TableIdentifier.parse("d.sc2"))
+    assert t2.schema == t1.schema
+    assert t2.metadata.partition_spec == t1.metadata.partition_spec
+    assert t2.metadata.default_sort_columns() == ["k"]
+    assert t2.metadata.properties.get("owner") == "pipeline"

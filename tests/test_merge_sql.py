@@ -341,7 +341,9 @@ def test_parse_insert_and_ctas():
     p = parse_create_table(
         "CREATE TABLE db.c PARTITIONED BY (r, bucket(4, k)) AS SELECT k, r FROM v"
     )
-    assert p["partition_by"] == ["r", "bucket ( 4 , k )"]
+    # r16: entries canonicalize to the spec spelling (space-joined
+    # "day ( ts )" never matched the transform regex and failed creation)
+    assert p["partition_by"] == ["r", "bucket(4, k)"]
     assert p["select"] == "SELECT k , r FROM v"
     with pytest.raises(ValueError, match="VALUES or SELECT"):
         parse_insert("INSERT INTO db.t SET k = 1")
