@@ -929,8 +929,29 @@ def call_sql(spark, catalog, sql: str):
             raise ValueError(f"{proc}: table {ident} already exists")
         src_dir = str(a["source_dir"])
         store = catalog.object_store()
-        schema = spark.read.parquet(store.resolve(src_dir)).schema
-        t = catalog.create_table(ident, schema)
+        # hive-partitioned tree (r16): discover the key=value keys and
+        # create the table PARTITIONED BY them, so add_files records the
+        # per-file tuples and the migrated table prunes like a native one.
+        # recursiveFileLookup takes the FILE schema — the partition
+        # columns must be physically carried (add_files enforces it).
+        import glob as _glob
+        import os as _os
+
+        abs_dir = store.resolve(src_dir)
+        hive_keys: list[str] = []
+        for f in _glob.glob(
+            _os.path.join(abs_dir, "**", "*.parquet"), recursive=True
+        ):
+            segs = _os.path.relpath(f, abs_dir).split(_os.sep)[:-1]
+            if segs and all("=" in s for s in segs):
+                hive_keys = [s.partition("=")[0] for s in segs]
+            break  # one probe file fixes the layout; add_files re-validates
+        schema = (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(abs_dir)
+            .schema
+        )
+        t = catalog.create_table(ident, schema, partition_by=hive_keys or None)
         props = (
             {"gc.enabled": "false", "snapshot-source": src_dir}
             if proc == "snapshot"

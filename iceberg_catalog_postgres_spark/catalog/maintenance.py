@@ -662,6 +662,19 @@ def add_files(spark: SparkSession, table: Table, source_dir: str) -> tuple[Table
     write records), then a single CAS commit pointing at the files in
     place.
 
+    HIVE-PARTITIONED trees register with their layout (r16): files under
+    ``key=value/`` segments get per-file partition tuples derived from
+    their paths, so a migrated day-partitioned directory keeps
+    metadata-only pruning exactly like a native write. Requirements:
+    every discovered key must be an IDENTITY entry of the table's
+    partition spec (and every identity spec entry must appear in the
+    paths), and the files must PHYSICALLY CARRY the partition columns
+    (this engine reads data files directly — a path-only hive column
+    would read back NULL); where the footer recorded bounds for a
+    partition column, the file's [min, max] must equal the path value —
+    a directory that lies about its contents refuses instead of
+    silently mis-pruning forever.
+
     Guards: the directory must contain parquet files, their unified
     schema must match the table's declared columns by name AND type
     (nullability ignored — parquet can only narrow it), and files already
@@ -670,25 +683,70 @@ def add_files(spark: SparkSession, table: Table, source_dir: str) -> tuple[Table
 
     Returns (table, n_files_added, n_records_added)."""
     import glob as _glob
+    import urllib.parse as _up
 
     from iceberg_catalog_postgres_spark.catalog.table import (
         collect_file_stats_many,
+        parse_partition_field,
     )
+    from iceberg_catalog_postgres_spark.catalog.metadata import decode_bound
 
     store = table.catalog.object_store()
     abs_dir = store.resolve(source_dir)
-    paths = sorted(_glob.glob(os.path.join(abs_dir, "*.parquet")))
+    paths = sorted(
+        _glob.glob(os.path.join(abs_dir, "**", "*.parquet"), recursive=True)
+    )
     if not paths:
         raise ValueError(f"add_files: no parquet files under {source_dir!r}")
     root = store.root
     rels = []
+    tuples: dict[str, dict] = {}
     for p in paths:
         if not os.path.abspath(p).startswith(root + os.sep):
             raise ValueError(
                 f"add_files: {p!r} is outside the warehouse — copy or mount "
                 f"it under the warehouse root first"
             )
-        rels.append(os.path.relpath(p, root).replace(os.sep, "/"))
+        rel = os.path.relpath(p, root).replace(os.sep, "/")
+        rels.append(rel)
+        tup = {}
+        for seg in os.path.relpath(p, abs_dir).split(os.sep)[:-1]:
+            k, eq, v = seg.partition("=")
+            if not eq:
+                raise ValueError(
+                    f"add_files: non-hive subdirectory {seg!r} under "
+                    f"{source_dir!r} — only key=value partition layouts "
+                    "register recursively"
+                )
+            val = _up.unquote(v)
+            tup[k] = None if val == "__HIVE_DEFAULT_PARTITION__" else val
+        if tup:
+            tuples[rel] = tup
+    if tuples:
+        key_sets = {tuple(sorted(t)) for t in tuples.values()}
+        if len(key_sets) > 1 or len(tuples) != len(rels):
+            raise ValueError(
+                "add_files: inconsistent hive layout — every file must sit "
+                f"under the same key=value keys, got {sorted(key_sets)}"
+            )
+        spec_ident = {
+            col: entry
+            for entry in table.metadata.partition_spec
+            for kind, _p_, col in [parse_partition_field(entry)]
+            if kind == "identity"
+        }
+        keys = set(next(iter(key_sets)))
+        if keys != set(spec_ident):
+            raise ValueError(
+                f"add_files: hive keys {sorted(keys)} must equal the "
+                f"table's identity partition entries {sorted(spec_ident)} — "
+                "create the table PARTITIONED BY the discovered keys"
+            )
+        # tuples key by SPEC ENTRY (identity: the column name)
+        tuples = {
+            rel: {spec_ident[k]: v for k, v in t.items()}
+            for rel, t in tuples.items()
+        }
     snap = table.metadata.current_snapshot()
     existing = set(snap.data_files) if snap else set()
     dups = [r for r in rels if r in existing]
@@ -696,7 +754,12 @@ def add_files(spark: SparkSession, table: Table, source_dir: str) -> tuple[Table
         raise ValueError(
             f"add_files: already registered in the current snapshot: {dups[:3]}"
         )
-    incoming = spark.read.parquet(*paths).schema
+    # recursiveFileLookup: take the FILE schema only — hive partition
+    # discovery would synthesize path-derived columns and then collide
+    # with the physically-carried ones this engine requires
+    incoming = (
+        spark.read.option("recursiveFileLookup", "true").parquet(*paths).schema
+    )
     declared = {f.name: f.dataType for f in table.schema.fields}
     got = {f.name: f.dataType for f in incoming.fields}
     if got != declared:
@@ -705,9 +768,37 @@ def add_files(spark: SparkSession, table: Table, source_dir: str) -> tuple[Table
             f" with types {[str(v) for _, v in sorted(declared.items())]}, "
             f"files carry {sorted(got)} with "
             f"{[str(v) for _, v in sorted(got.items())]}"
+            + (
+                " (hive-layout files must PHYSICALLY carry their partition "
+                "columns — this engine reads data files directly)"
+                if tuples else ""
+            )
         )
     stats = collect_file_stats_many(dict(zip(rels, paths)))
-    t2 = table.new_transaction().append_files(rels, stats=stats).commit()
+    # integrity: a file's recorded bounds for a partition column must
+    # equal its path value — refuse a directory that lies about its
+    # layout rather than mis-prune every future query (bounds-less
+    # columns skip the check; registration stays superset-safe)
+    for rel, tup in tuples.items():
+        b_all = (stats.get(rel) or {}).get("bounds") or {}
+        for entry, v in tup.items():
+            col = parse_partition_field(entry)[2]
+            b = b_all.get(col)
+            if b is None or v is None:
+                continue
+            lo = decode_bound(b[0])
+            hi = None if b[1] is None else decode_bound(b[1])
+            if hi is None or str(lo) != str(hi) or str(lo) != str(v):
+                raise ValueError(
+                    f"add_files: {rel} sits under {entry}={v!r} but its "
+                    f"footer bounds for {col!r} are [{lo}, {hi}] — the "
+                    "hive layout does not match the file contents"
+                )
+    t2 = (
+        table.new_transaction()
+        .append_files(rels, stats=stats, partitions=tuples or None)
+        .commit()
+    )
     n_records = sum(int(s.get("record_count", 0)) for s in stats.values())
     return t2, len(rels), n_records
 

@@ -91,3 +91,57 @@ def test_migrate_takes_ownership(catalog, spark):
 
     m.remove_orphan_files(t, older_than_s=0.0)  # no refusal
     assert t.to_df(spark).count() == 13
+
+
+def test_migrate_hive_partitioned_tree(catalog, spark):
+    """r16: a hive-layout directory (key=value segments, columns carried
+    in the files) migrates WITH its partition layout — the created table
+    is PARTITIONED BY the discovered keys, per-file tuples come from the
+    paths, and a day query prunes from metadata alone like a native
+    write. A tree whose file contents contradict its layout refuses."""
+    store = catalog.object_store()
+    base = store.resolve("external/hive")
+    for d in range(4):
+        df = spark.createDataFrame(
+            [(d * 10 + i, f"n{i}", d) for i in range(5)],
+            "k long, name string, day long",
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(f"{base}/day={d}")
+    # drop Spark's _SUCCESS markers; keep pure k=v/part.parquet layout
+    import glob as g
+    import os as o
+
+    for extra in g.glob(f"{base}/day=*/_SUCCESS"):
+        o.remove(extra)
+    rep = execute_dml(
+        spark, catalog,
+        "CALL system.migrate('mg.hive', source_dir => 'external/hive')",
+    ).first()
+    assert rep.added_files_count == 4 and rep.added_records_count == 20
+    t = catalog.load_table(TableIdentifier.parse("mg.hive"))
+    assert t.metadata.partition_spec == ["day"]
+    # metadata-only pruning on the migrated layout
+    planned = t.planned_files_partition({"day": "2"})
+    assert len(planned) == 1
+    from iceberg_catalog_postgres_spark.catalog.select_sql import (
+        select_plan_info,
+        select_sql,
+    )
+
+    stmt = "SELECT k FROM mg.hive WHERE day = 2"
+    info = select_plan_info(spark, catalog, stmt)
+    assert (info["n_files_planned"], info["n_files_total"]) == (1, 4)
+    got = sorted(r.k for r in select_sql(spark, catalog, stmt).collect())
+    assert got == [20, 21, 22, 23, 24]
+    # a lying layout refuses: file under day=9 whose rows say day = 1
+    liar = store.resolve("external/liar")
+    spark.createDataFrame(
+        [(1, "x", 1)], "k long, name string, day long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{liar}/day=9")
+    for extra in g.glob(f"{liar}/day=*/_SUCCESS"):
+        o.remove(extra)
+    with pytest.raises(ValueError, match="does not match the file contents"):
+        execute_dml(
+            spark, catalog,
+            "CALL system.migrate('mg.liar', source_dir => 'external/liar')",
+        )
