@@ -837,3 +837,95 @@ def dedup_cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_leaking_pairs",
         "n_train_test_leaks",
     )
+
+
+@register(
+    "curation_line_dedup_boilerplate",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 3 = 0
+                     THEN chr(10) || 'subscribe to our newsletter'
+                     ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                     THEN chr(10) || 'all rights reserved'
+                     ELSE '' END AS t
+      FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, unnest(string_split(t, chr(10))) AS line FROM docs
+    ),
+    freq AS (SELECT line, count(*) AS n FROM lines GROUP BY line),
+    perdoc AS (
+      SELECT l.doc_id,
+             count(*) FILTER (WHERE f.n < 10)  AS n_kept,
+             count(*) FILTER (WHERE f.n >= 10) AS n_dropped,
+             COALESCE(sum(length(l.line)) FILTER (WHERE f.n < 10), 0)
+               AS kept_chars
+      FROM lines l JOIN freq f ON l.line = f.line
+      GROUP BY l.doc_id
+    )
+    SELECT doc_id, CAST(n_kept AS BIGINT) AS n_kept,
+           CAST(n_dropped AS BIGINT) AS n_dropped,
+           CAST(kept_chars AS BIGINT) AS kept_chars
+    FROM perdoc ORDER BY doc_id
+    """,
+    tags=("llm", "curation", "dedup", "line-dedup", "boilerplate"),
+)
+def curation_line_dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level exact LINE dedup (C4 / RefinedWeb boilerplate
+    removal): a line that recurs across >= K documents is boilerplate
+    (cookie banners, "subscribe to our newsletter", copyright footers)
+    and is dropped from EVERY document; rare lines stay. The fixture
+    text carries no newlines, so two deterministic boilerplate lines are
+    appended to the doc_id % 3 and % 5 cohorts — the op then drops
+    exactly those and keeps each document's unique body line.
+
+    Plan shape at 100 TB: split + posexplode is map-side; ONE groupBy
+    over lines builds the frequency table; the boilerplate set (lines
+    with freq >= K) is TINY by construction — the whole point of the
+    threshold — so it broadcasts and the removal is a broadcast
+    LEFT ANTI join against the exploded lines, never a shuffle of the
+    corpus against itself. Reported per doc as (kept, dropped,
+    kept-char-sum) so the oracle certifies values, not just counts."""
+    k = 10
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("\nsubscribe to our newsletter"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0, F.lit("\nall rights reserved")
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    lines = docs.select(
+        "doc_id", F.explode(F.split(F.col("t"), "\n")).alias("line")
+    )
+    boiler = (
+        lines.groupBy("line")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= k)
+        .select("line")
+    )
+    flagged = lines.join(
+        F.broadcast(boiler).withColumn("__hot", F.lit(True)),
+        "line",
+        "left",
+    )
+    keep = F.col("__hot").isNull()
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.sum(keep.cast("long")).alias("n_kept"),
+            F.sum((~keep).cast("long")).alias("n_dropped"),
+            F.coalesce(
+                F.sum(F.when(keep, F.length("line"))), F.lit(0)
+            ).alias("kept_chars"),
+        )
+        .orderBy("doc_id")
+    )
