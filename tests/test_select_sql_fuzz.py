@@ -809,3 +809,64 @@ def test_fuzz_delete_float_nan_zone_map_never_loses_rows(tmp_path, spark):
         assert got == [k for k in range(120) if k % 9 != 7]
     finally:
         cat.backend.close()
+
+
+def test_fuzz_update_float_nan_zone_map_marks_exactly(tmp_path, spark):
+    """UPDATE twin of the NaN DELETE property: float predicates executed
+    as ``UPDATE ... SET name = 'HIT'`` must mark exactly the rows
+    Spark's NaN ordering selects — a bounds-trusting planner would skip
+    the NaN files and leave their matching rows unmarked."""
+    from iceberg_catalog_postgres_spark.catalog.merge_sql import execute_dml
+
+    cat = PostgresCatalog.connect("ssqlnufuzz", None, str(tmp_path / "wh"))
+    cat.initialize()
+    try:
+        rows_x = [
+            (k, f"n{k}", float("nan") if k % 9 == 7 else float(k))
+            for k in range(120)
+        ]
+        df = spark.createDataFrame(rows_x, "k long, name string, x double")
+        t = cat.create_table(TableIdentifier.parse("fz.ux"), df.schema)
+        for lo, hi in ((0, 59), (60, 119)):
+            t = (
+                t.new_transaction()
+                .append_dataframe(
+                    df.filter((df.k >= lo) & (df.k <= hi)).coalesce(1)
+                )
+                .commit()
+            )
+        seed_snap = t.metadata.current_snapshot_id
+        rng = random.Random(SEED + 71)
+        failures = []
+        for case in range(10):
+            op = rng.choice(["=", "<", "<=", ">", ">=", "<>"])
+            lit = rng.choice([-1.5, 7.0, 59.5, 118.0, 1000.0])
+            expect = sorted(
+                k for k, _n, x in rows_x if _nan_cmp(x, op, lit)
+            )
+            try:
+                execute_dml(
+                    spark, cat,
+                    f"UPDATE fz.ux SET name = 'HIT' WHERE x {op} {lit}",
+                )
+                t = cat.load_table(TableIdentifier.parse("fz.ux"))
+                got = sorted(
+                    r.k for r in t.to_df(spark).filter("name = 'HIT'").collect()
+                )
+                n_rows = t.to_df(spark).count()
+            except Exception as exc:
+                failures.append((case, op, lit, f"raised {exc!r}"))
+                t = cat.load_table(TableIdentifier.parse("fz.ux"))
+                t = t.rollback_to(seed_snap)
+                continue
+            if got != expect or n_rows != 120:
+                failures.append(
+                    (case, f"x {op} {lit}",
+                     f"{len(got)} marked != {len(expect)}; n={n_rows}")
+                )
+            t = t.rollback_to(seed_snap)
+            if len(failures) >= 4:
+                break
+        assert not failures, failures
+    finally:
+        cat.backend.close()
