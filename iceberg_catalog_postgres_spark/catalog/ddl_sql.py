@@ -109,6 +109,16 @@ def _sql_type(tokens: list[str]):
     words = [(_upper(t) or t) for t in tokens if t not in ("(", ")", ",")
              and not t.isdigit()]
     name = " ".join(words)
+    if name in ("DECIMAL", "NUMERIC", "DEC"):
+        # precision/scale live in the digit tokens the generic path drops
+        from pyspark.sql.types import DecimalType
+
+        digits = [int(t) for t in tokens if t.isdigit()]
+        if len(digits) == 2:
+            return DecimalType(digits[0], digits[1])
+        if len(digits) == 1:
+            return DecimalType(digits[0], 0)
+        return DecimalType(10, 0)  # SQL default precision
     mapping = {
         "INT": IntegerType(),
         "INTEGER": IntegerType(),
@@ -622,7 +632,9 @@ def show_tables_sql(spark, catalog, sql: str):
         # statement; feeding the statements back through execute_dml
         # yields an equivalent table (columns + partition spec + write
         # order + user properties), which is also what the round-trip
-        # pytest does
+        # pytest does. Caveat: nested column types (array/struct/map,
+        # API-created) render but the DDL parser cannot re-create them —
+        # the emitted statement is still the correct Spark SQL spelling
         from iceberg_catalog_postgres_spark.catalog.table import Table
 
         if _upper(cur.next()) != "TABLE":
@@ -650,7 +662,12 @@ def show_tables_sql(spark, catalog, sql: str):
             and k not in Table.ENGINE_PROPERTY_KEYS
         }
         if user_props:
-            kv = ", ".join(f"'{k}' = '{v}'" for k, v in user_props.items())
+            def _q(x):  # SQL single-quote escaping: it's -> it''s
+                return str(x).replace("'", "''")
+
+            kv = ", ".join(
+                f"'{_q(k)}' = '{_q(v)}'" for k, v in user_props.items()
+            )
             stmts.append(f"ALTER TABLE {full} SET TBLPROPERTIES ({kv})")
         return spark.createDataFrame(
             [(i, s) for i, s in enumerate(stmts)],
@@ -939,13 +956,18 @@ def call_sql(spark, catalog, sql: str):
 
         abs_dir = store.resolve(src_dir)
         hive_keys: list[str] = []
-        for f in _glob.glob(
-            _os.path.join(abs_dir, "**", "*.parquet"), recursive=True
-        ):
-            segs = _os.path.relpath(f, abs_dir).split(_os.sep)[:-1]
+        # lazy probe: iglob stops at the FIRST file — a 10^5-file tree is
+        # not materialized twice (add_files does the real walk once)
+        probe = next(
+            _glob.iglob(
+                _os.path.join(abs_dir, "**", "*.parquet"), recursive=True
+            ),
+            None,
+        )
+        if probe is not None:
+            segs = _os.path.relpath(probe, abs_dir).split(_os.sep)[:-1]
             if segs and all("=" in s for s in segs):
                 hive_keys = [s.partition("=")[0] for s in segs]
-            break  # one probe file fixes the layout; add_files re-validates
         schema = (
             spark.read.option("recursiveFileLookup", "true")
             .parquet(abs_dir)
@@ -1071,18 +1093,35 @@ def call_sql(spark, catalog, sql: str):
         if proc == "rollback_to_timestamp":
             ts = a.get("timestamp_ms")
             if ts is None:
-                import datetime as _dt
+                # same UTC rule as FOR SYSTEM_TIME AS OF (r16 review:
+                # naive-ISO-as-local made the procedure restore a
+                # DIFFERENT instant than the travel read previewed)
+                from iceberg_catalog_postgres_spark.catalog.select_sql import (
+                    _ts_literal_to_ms,
+                )
 
-                ts = int(
-                    _dt.datetime.fromisoformat(str(a["timestamp"]))
-                    .timestamp() * 1000
+                ts = _ts_literal_to_ms(str(a["timestamp"]))
+            # resolve among ANCESTORS of the current snapshot only (r16
+            # review: snapshot_as_of over ALL retained snapshots picks a
+            # rolled-past head after any prior rollback, which the
+            # ancestor guard below then rejects — making the procedure
+            # unusable exactly when rollbacks are in play)
+            cur_s = table.metadata.current_snapshot()
+            cands = [
+                s for s in table.metadata.snapshots
+                if s.timestamp_ms <= int(ts) and (
+                    cur_s is None
+                    or s.sequence_number <= cur_s.sequence_number
                 )
-            snap_at = table.metadata.snapshot_as_of(int(ts))
-            if snap_at is None:
+            ]
+            if not cands:
                 raise ValueError(
-                    f"rollback_to_timestamp: no snapshot at or before {ts}"
+                    f"rollback_to_timestamp: no ancestor snapshot at or "
+                    f"before {ts}"
                 )
-            target_id = snap_at.snapshot_id
+            target_id = max(
+                cands, key=lambda s: (s.timestamp_ms, s.sequence_number)
+            ).snapshot_id
         else:
             target_id = int(a["snapshot_id"])
         if proc != "set_current_snapshot":

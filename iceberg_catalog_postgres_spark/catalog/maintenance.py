@@ -701,7 +701,15 @@ def add_files(spark: SparkSession, table: Table, source_dir: str) -> tuple[Table
     root = store.root
     rels = []
     tuples: dict[str, dict] = {}
+    n_flat = 0
+    paths_kept = []
     for p in paths:
+        segs = os.path.relpath(p, abs_dir).split(os.sep)[:-1]
+        if segs and not all("=" in s for s in segs):
+            # nested but NOT hive-layout: ignored, exactly the pre-r16
+            # top-level-only behavior (an `archive/` subtree next to the
+            # data must not break an existing ingestion pipeline)
+            continue
         if not os.path.abspath(p).startswith(root + os.sep):
             raise ValueError(
                 f"add_files: {p!r} is outside the warehouse — copy or mount "
@@ -709,25 +717,29 @@ def add_files(spark: SparkSession, table: Table, source_dir: str) -> tuple[Table
             )
         rel = os.path.relpath(p, root).replace(os.sep, "/")
         rels.append(rel)
+        paths_kept.append(p)
+        if not segs:
+            n_flat += 1
+            continue
         tup = {}
-        for seg in os.path.relpath(p, abs_dir).split(os.sep)[:-1]:
-            k, eq, v = seg.partition("=")
-            if not eq:
-                raise ValueError(
-                    f"add_files: non-hive subdirectory {seg!r} under "
-                    f"{source_dir!r} — only key=value partition layouts "
-                    "register recursively"
-                )
+        for seg in segs:
+            k, _eq, v = seg.partition("=")
             val = _up.unquote(v)
             tup[k] = None if val == "__HIVE_DEFAULT_PARTITION__" else val
-        if tup:
-            tuples[rel] = tup
+        tuples[rel] = tup
+    paths = paths_kept
+    if not rels:
+        raise ValueError(
+            f"add_files: no registrable parquet files under {source_dir!r} "
+            "(top-level or key=value hive layout)"
+        )
     if tuples:
         key_sets = {tuple(sorted(t)) for t in tuples.values()}
-        if len(key_sets) > 1 or len(tuples) != len(rels):
+        if len(key_sets) > 1 or n_flat:
             raise ValueError(
                 "add_files: inconsistent hive layout — every file must sit "
                 f"under the same key=value keys, got {sorted(key_sets)}"
+                + (f" plus {n_flat} top-level file(s)" if n_flat else "")
             )
         spec_ident = {
             col: entry

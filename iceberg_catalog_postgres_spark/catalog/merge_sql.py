@@ -869,6 +869,11 @@ def parse_create_table(sql: str) -> dict:
                 partition_by.append(f"{head.lower()}({', '.join(args)})")
             else:
                 partition_by.append(head)
+            if pc.peek() is not None:
+                raise ValueError(
+                    "PARTITIONED BY: unexpected trailing tokens "
+                    f"{' '.join(pc.toks[pc.i:])!r} after {head!r}"
+                )
     if cur.peek() is None:
         # column-DDL form: create an EMPTY table with the declared schema
         if columns is None:

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import re
 import posixpath
 import time
 import uuid
@@ -94,10 +95,21 @@ _PRIMITIVES: dict[str, DataType] = {
 _TO_ICEBERG = {type(v): k for k, v in reversed(_PRIMITIVES.items())}
 
 
+#: Iceberg's parameterized decimal primitive: ``decimal(P, S)`` (r16 —
+#: prices/amounts are decimals in every warehouse schema; without this
+#: the mapping refused the type entirely)
+_DECIMAL_RE = re.compile(r"^decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)$")
+
+
 def iceberg_type_to_spark(t) -> DataType:
     if isinstance(t, str):
         if t in _PRIMITIVES:
             return _PRIMITIVES[t]
+        m = _DECIMAL_RE.match(t)
+        if m:
+            from pyspark.sql.types import DecimalType
+
+            return DecimalType(int(m.group(1)), int(m.group(2)))
         raise ValueError(f"unsupported iceberg type: {t}")
     if isinstance(t, dict) and t.get("type") == "list":
         return ArrayType(iceberg_type_to_spark(t["element"]), t.get("element-required", False) is False)
@@ -109,6 +121,10 @@ def iceberg_type_to_spark(t) -> DataType:
 def spark_type_to_iceberg(t: DataType):
     if type(t) in _TO_ICEBERG:
         return _TO_ICEBERG[type(t)]
+    from pyspark.sql.types import DecimalType
+
+    if isinstance(t, DecimalType):
+        return f"decimal({t.precision}, {t.scale})"
     if isinstance(t, ArrayType):
         return {"type": "list", "element": spark_type_to_iceberg(t.elementType)}
     if isinstance(t, StructType):

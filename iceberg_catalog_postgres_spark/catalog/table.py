@@ -854,7 +854,14 @@ def collect_file_stats(path: str) -> dict:
                 # the incremented upper below)
                 agg[name] = None
                 continue
-            lo, hi = st.min, st.max
+            try:
+                lo, hi = st.min, st.max
+            except Exception:
+                # pyarrow cannot decode stats for some physical types
+                # (fixed-len-byte-array decimals, r16): no bound, readers
+                # fall back superset-safely
+                agg[name] = None
+                continue
             if name in agg and agg[name] is not None:
                 prev_lo, prev_hi = agg[name]
                 lo, hi = min(prev_lo, lo), max(prev_hi, hi)

@@ -42,6 +42,25 @@ def pg_url():
 
     if not os.path.exists(f"{PG_BIN}/initdb") or not shutil.which("runuser"):
         pytest.skip("no PostgreSQL server binaries in this environment")
+    # sweep stale per-pid dirs from sessions killed before teardown: stop
+    # their orphaned servers and reclaim /tmp (only dirs whose owning pid
+    # is dead — a LIVE concurrent session's dir is untouched)
+    import glob as _glob
+
+    for stale in _glob.glob("/tmp/spark_graft_pg_test_*"):
+        try:
+            pid = int(stale.rsplit("_", 1)[-1])
+            os.kill(pid, 0)
+        except ValueError:
+            continue
+        except ProcessLookupError:
+            _run(
+                ["runuser", "-u", "postgres", "--", f"{PG_BIN}/pg_ctl",
+                 "-D", f"{stale}/data", "-m", "immediate", "stop"]
+            )
+            shutil.rmtree(stale, ignore_errors=True)
+        except PermissionError:
+            continue  # pid exists under another user: leave it alone
     shutil.rmtree(PG_DIR, ignore_errors=True)
     os.makedirs(PG_DIR, exist_ok=True)
     shutil.chown(PG_DIR, "postgres", "postgres")

@@ -347,7 +347,7 @@ def test_call_rollback_timestamp_and_set_current_snapshot(catalog, spark):
     rows = execute_dml(spark, catalog, "SELECT k FROM d.rb ORDER BY k").collect()
     assert [r.k for r in rows] == [0, 1, 2]
     # a timestamp BEFORE every snapshot refuses cleanly
-    with pytest.raises(ValueError, match="no snapshot"):
+    with pytest.raises(ValueError, match="no ancestor snapshot"):
         call_sql(
             spark, catalog,
             f"CALL system.rollback_to_timestamp('d.rb', "
@@ -444,3 +444,114 @@ def test_show_create_table_round_trips(catalog, spark):
     assert t2.metadata.partition_spec == t1.metadata.partition_spec
     assert t2.metadata.default_sort_columns() == ["k"]
     assert t2.metadata.properties.get("owner") == "pipeline"
+
+
+def test_r16_review_fixes_ddl(catalog, spark):
+    """Round-16 self-review regressions: (1) rollback_to_timestamp
+    resolves among ANCESTORS (a prior rollback must not make it pick the
+    abandoned head and refuse); (2) naive ISO timestamps read as UTC —
+    the same rule as FOR SYSTEM_TIME AS OF; (3) PARTITIONED BY refuses
+    trailing tokens instead of silently dropping them; (4) SHOW CREATE
+    escapes quotes in property values and DECIMAL columns round-trip."""
+    import datetime as dt
+
+    from iceberg_catalog_postgres_spark.catalog.ddl_sql import (
+        show_tables_sql,
+    )
+
+    df_schema = "k long, v string"
+    t = catalog.create_table(
+        TableIdentifier.parse("d.rr"),
+        spark.createDataFrame([], df_schema).schema,
+    )
+    snaps = []
+    for i in range(3):
+        t = t.new_transaction().append_dataframe(
+            spark.createDataFrame([(i, "x")], df_schema).coalesce(1)
+        ).commit()
+        snaps.append(t.metadata.current_snapshot())
+    # roll back to s0, then rollback_to_timestamp(now): the latest
+    # ANCESTOR is s0 itself — pre-fix snapshot_as_of picked abandoned s2
+    # and the ancestor guard made the procedure unusable
+    call_sql(
+        spark, catalog,
+        f"CALL system.rollback_to_snapshot('d.rr', "
+        f"snapshot_id => {snaps[0].snapshot_id})",
+    )
+    rep = call_sql(
+        spark, catalog,
+        f"CALL system.rollback_to_timestamp('d.rr', "
+        f"timestamp_ms => {snaps[2].timestamp_ms + 1000})",
+    ).first()
+    assert rep.current_snapshot_id == snaps[0].snapshot_id
+    # naive ISO string == UTC: resolve s0 by its own UTC wall-clock
+    iso = dt.datetime.fromtimestamp(
+        snaps[0].timestamp_ms / 1000.0, dt.timezone.utc
+    ).replace(tzinfo=None).isoformat()
+    rep = call_sql(
+        spark, catalog,
+        f"CALL system.rollback_to_timestamp('d.rr', timestamp => '{iso}')",
+    ).first()
+    assert rep.current_snapshot_id == snaps[0].snapshot_id
+    # (3) trailing tokens refuse loudly
+    with pytest.raises(ValueError, match="trailing tokens"):
+        execute_dml(
+            spark, catalog,
+            "CREATE TABLE d.bad (k BIGINT, r INT) PARTITIONED BY (r ASC)",
+        )
+    # (4) quote escaping + DECIMAL round-trip
+    execute_dml(
+        spark, catalog,
+        "CREATE TABLE d.qq (k BIGINT, p DECIMAL(10, 2))",
+    )
+    execute_dml(
+        spark, catalog,
+        "ALTER TABLE d.qq SET TBLPROPERTIES ('comment' = 'it''s big')",
+    )
+    # decimals WRITE and read back (pyarrow cannot decode fixed-len
+    # decimal footer stats — the stats collector must poison the bound,
+    # not crash the commit)
+    execute_dml(spark, catalog, "INSERT INTO d.qq VALUES (1, 12.34)")
+    got = execute_dml(spark, catalog, "SELECT k, p FROM d.qq").collect()
+    assert [(r.k, str(r.p)) for r in got] == [(1, "12.34")]
+    t = catalog.load_table(TableIdentifier.parse("d.qq"))
+    assert t.metadata.properties["comment"] == "it's big"
+    assert t.schema["p"].dataType.simpleString() == "decimal(10,2)"
+    stmts = [
+        r.statement
+        for r in show_tables_sql(spark, catalog, "SHOW CREATE TABLE d.qq")
+        .orderBy("stmt_order").collect()
+    ]
+    assert "p decimal(10,2)" in stmts[0]
+    assert any("'it''s big'" in s for s in stmts[1:])
+    for s in stmts:
+        execute_dml(spark, catalog, s.replace("d.qq", "d.qq2"))
+    t2 = catalog.load_table(TableIdentifier.parse("d.qq2"))
+    assert t2.schema == t.schema
+    assert t2.metadata.properties["comment"] == "it's big"
+
+
+def test_add_files_skips_non_hive_subtrees(catalog, spark):
+    """r16 review fix: a non-hive subdirectory (an `archive/` tree next
+    to the data) is IGNORED like the pre-r16 top-level glob, not a hard
+    error; mixing flat and hive files still refuses."""
+    from iceberg_catalog_postgres_spark.catalog import maintenance as m
+
+    store = catalog.object_store()
+    base = store.resolve("ext/mixed")
+    spark.createDataFrame([(1, "a")], "k long, v string").coalesce(1) \
+        .write.mode("overwrite").parquet(base)
+    spark.createDataFrame([(9, "z")], "k long, v string").coalesce(1) \
+        .write.mode("overwrite").parquet(f"{base}/archive/old")
+    import glob as g
+    import os as o
+
+    for extra in g.glob(f"{base}/**/_SUCCESS", recursive=True):
+        o.remove(extra)
+    t = catalog.create_table(
+        TableIdentifier.parse("d.mx"),
+        spark.createDataFrame([], "k long, v string").schema,
+    )
+    t2, n_files, n_records = m.add_files(spark, t, "ext/mixed")
+    assert (n_files, n_records) == (1, 1)  # archive/ ignored
+    assert [r.k for r in t2.to_df(spark).collect()] == [1]
