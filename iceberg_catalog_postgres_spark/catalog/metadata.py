@@ -50,8 +50,8 @@ def encode_bound(v):
     """JSON-safe encoding of a column bound value (Iceberg manifests store
     lower/upper bounds as typed binary; JSON metadata stores them with a type
     tag instead). Returns None for types we don't carry bounds for (binary,
-    decimal, nested) — the column then simply has no manifest bound and scan
-    planning falls back to the footer for it."""
+    nested) — the column then simply has no manifest bound and scan
+    planning falls back to the footer for it. Decimal encodes since r16."""
     import datetime as _dt
 
     if isinstance(v, (bool, int, float, str)):
@@ -66,6 +66,12 @@ def encode_bound(v):
         return {"$t": "ts", "v": v.isoformat()}
     if isinstance(v, _dt.date):
         return {"$t": "date", "v": v.isoformat()}
+    import decimal as _decimal
+
+    if isinstance(v, _decimal.Decimal):
+        # r16: decimal bounds (Iceberg stores the unscaled int + scale;
+        # the canonical string round-trips exactly)
+        return {"$t": "dec", "v": str(v)}
     return None
 
 
@@ -77,6 +83,10 @@ def decode_bound(v):
             return _dt.datetime.fromisoformat(v["v"])
         if v.get("$t") == "date":
             return _dt.date.fromisoformat(v["v"])
+        if v.get("$t") == "dec":
+            import decimal as _decimal
+
+            return _decimal.Decimal(v["v"])
     return v
 
 _PRIMITIVES: dict[str, DataType] = {

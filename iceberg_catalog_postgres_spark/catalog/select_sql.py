@@ -652,7 +652,11 @@ def _stats_sources(ref: dict) -> dict[str, str]:
         f.name: f.dataType.simpleString()
         for f in ref["table"].schema.fields
         if f.name not in part
-        and f.dataType.simpleString() in _STATS_PRUNABLE_TYPES
+        and (
+            f.dataType.simpleString() in _STATS_PRUNABLE_TYPES
+            # decimal(P, S) bounds encode since r16 (no NaN to guard)
+            or f.dataType.simpleString().startswith("decimal(")
+        )
     }
 
 
@@ -664,6 +668,10 @@ def _coerce_stats_lit(stype: str, v):
         return int(v)
     if stype in ("float", "double"):
         return float(v)  # NaN safety lives in Table.planned_files (r16)
+    if stype.startswith("decimal("):
+        import decimal as _decimal
+
+        return _decimal.Decimal(str(v))
     if stype == "date":
         return _dt.date.fromisoformat(str(v))
     if stype.startswith("timestamp"):

@@ -773,6 +773,40 @@ def collect_file_stats_many(paths_by_rel: dict[str, str]) -> dict[str, dict]:
         return {rel: f.result() for rel, f in futs.items()}
 
 
+def _decode_decimal_stat(st) -> tuple | None:
+    """(min, max) as ``decimal.Decimal`` from a parquet column-chunk
+    Statistics whose logical type is DECIMAL (r16). Parquet stores the
+    UNSCALED integer — big-endian two's-complement bytes for
+    FIXED_LEN_BYTE_ARRAY/BYTE_ARRAY physical, a plain int for
+    INT32/INT64 — exactly what Iceberg readers decode. None when the
+    stats are not decimal or the raw values are absent."""
+    import decimal as _decimal
+
+    import json as _json
+
+    lt = getattr(st, "logical_type", None)
+    if lt is None or getattr(lt, "type", None) != "DECIMAL":
+        return None
+    # ParquetLogicalType exposes precision/scale only through to_json()
+    try:
+        scale = int(_json.loads(lt.to_json()).get("scale", 0))
+    except Exception:
+        return None
+    raw_lo, raw_hi = getattr(st, "min_raw", None), getattr(st, "max_raw", None)
+    if raw_lo is None or raw_hi is None:
+        return None
+
+    def _one(raw):
+        unscaled = (
+            int.from_bytes(raw, "big", signed=True)
+            if isinstance(raw, bytes)
+            else int(raw)
+        )
+        return _decimal.Decimal(unscaled).scaleb(-scale)
+
+    return _one(raw_lo), _one(raw_hi)
+
+
 def collect_file_stats(path: str) -> dict:
     """Per-file statistics for a manifest entry, read ONCE from the footer
     the writer just produced (page-cache warm; on a real cluster the write
@@ -854,14 +888,25 @@ def collect_file_stats(path: str) -> dict:
                 # the incremented upper below)
                 agg[name] = None
                 continue
-            try:
-                lo, hi = st.min, st.max
-            except Exception:
-                # pyarrow cannot decode stats for some physical types
-                # (fixed-len-byte-array decimals, r16): no bound, readers
-                # fall back superset-safely
-                agg[name] = None
-                continue
+            if getattr(getattr(st, "logical_type", None), "type", None) == "DECIMAL":
+                # DECIMAL stats decode from the RAW unscaled values
+                # unconditionally (r16): pyarrow's typed accessor either
+                # raises or yields the unscaled int depending on the
+                # physical type — never the scaled value an Iceberg
+                # reader needs
+                dec = _decode_decimal_stat(st)
+                if dec is None:
+                    agg[name] = None
+                    continue
+                lo, hi = dec
+            else:
+                try:
+                    lo, hi = st.min, st.max
+                except Exception:
+                    # undecodable stats for some other physical type: no
+                    # bound, readers fall back superset-safely
+                    agg[name] = None
+                    continue
             if name in agg and agg[name] is not None:
                 prev_lo, prev_hi = agg[name]
                 lo, hi = min(prev_lo, lo), max(prev_hi, hi)
@@ -920,8 +965,20 @@ def _file_range_stats(path: str, column: str) -> tuple | None:
                 st = col.statistics
                 if st is None or not st.has_min_max:
                     return None
-                lo = st.min if lo is None else min(lo, st.min)
-                hi = st.max if hi is None else max(hi, st.max)
+                if getattr(
+                    getattr(st, "logical_type", None), "type", None
+                ) == "DECIMAL":
+                    dec = _decode_decimal_stat(st)  # r16: decimal raws
+                    if dec is None:
+                        return None
+                    c_lo, c_hi = dec
+                else:
+                    try:
+                        c_lo, c_hi = st.min, st.max
+                    except Exception:
+                        return None
+                lo = c_lo if lo is None else min(lo, c_lo)
+                hi = c_hi if hi is None else max(hi, c_hi)
     if lo is None:
         return None
     import datetime as _dt

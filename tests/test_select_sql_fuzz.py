@@ -870,3 +870,61 @@ def test_fuzz_update_float_nan_zone_map_marks_exactly(tmp_path, spark):
         assert not failures, failures
     finally:
         cat.backend.close()
+
+
+def test_zone_map_prunes_decimal_bounds(tmp_path_factory, spark):
+    """r16: decimal(P, S) columns carry manifest bounds (raw unscaled
+    parquet stats decoded Iceberg-style — pyarrow's typed accessor
+    refuses them) and zone-map-prune like any other comparable type;
+    no NaN exists for decimals, so no NaN-freeness proof is needed."""
+    cat = PostgresCatalog.connect(
+        "ssqldec", None, str(tmp_path_factory.mktemp("whd"))
+    )
+    cat.initialize()
+    df_schema = "k long, price decimal(12,2)"
+    t = cat.create_table(
+        TableIdentifier.parse("fz.dc"),
+        spark.createDataFrame([], df_schema).schema,
+    )
+    import decimal as D
+
+    batches = [
+        [(k, D.Decimal(k) + D.Decimal("0.25")) for k in rng]
+        for rng in (range(0, 10), range(100, 110), range(200, 210))
+    ]
+    for rows in batches:
+        t = (
+            t.new_transaction()
+            .append_dataframe(spark.createDataFrame(rows, df_schema).coalesce(1))
+            .commit()
+        )
+    # manifest bounds recorded as Decimal (no footer reads at plan time)
+    import iceberg_catalog_postgres_spark.catalog.table as tm
+
+    before = tm.PLANNING_FOOTER_READS
+    planned = t.planned_files(
+        "price", D.Decimal("100.00"), D.Decimal("150.00"),
+        require_stats=True,
+    )
+    assert len(planned) == 1
+    assert tm.PLANNING_FOOTER_READS == before
+    from iceberg_catalog_postgres_spark.catalog.select_sql import (
+        select_plan_info,
+        select_sql,
+    )
+
+    stmt = "SELECT k FROM fz.dc WHERE price BETWEEN 100 AND 150"
+    info = select_plan_info(spark, cat, stmt)
+    assert (info["n_files_planned"], info["n_files_total"]) == (1, 3)
+    got = sorted(r.k for r in select_sql(spark, cat, stmt).collect())
+    assert got == list(range(100, 110))
+    # half-open + equality routes too
+    info2 = select_plan_info(
+        spark, cat, "SELECT k FROM fz.dc WHERE price >= 200"
+    )
+    assert info2["n_files_planned"] == 1
+    got_eq = [r.k for r in select_sql(
+        spark, cat, "SELECT k FROM fz.dc WHERE price = 205.25"
+    ).collect()]
+    assert got_eq == [205]
+    cat.backend.close()
