@@ -9717,3 +9717,79 @@ def catalog_sql_write_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows long, files_disjoint boolean, point_plans_one_file boolean, "
         "unordered_resets boolean",
     )
+
+
+@register(
+    "catalog_sql_decimal_pruning",
+    oracle="""
+    WITH src AS (
+      SELECT l_orderkey, CAST(l_orderkey AS DECIMAL(14, 2)) AS amount
+      FROM lineitem
+    ),
+    bands AS (
+      -- integer division: the same band edges the Spark side computes
+      SELECT max(l_orderkey) // 3 AS b1, 2 * max(l_orderkey) // 3 AS b2
+      FROM src
+    )
+    SELECT * FROM (VALUES
+      ('dec_between', 3, 1,
+       CAST((SELECT count(*) FROM src, bands
+             WHERE amount >= b1 + 0.01 AND amount < b2 + 0.01)
+            AS BIGINT)),
+      ('dec_halfopen', 3, 1,
+       CAST((SELECT count(*) FROM src, bands
+             WHERE amount >= b2 + 0.01) AS BIGINT))
+    ) t(case_name, files_total, files_planned, n_rows) ORDER BY case_name
+    """,
+    tags=("catalog", "sql", "select", "pruning", "zone-map", "decimal",
+          "metadata-planning"),
+)
+def catalog_sql_decimal_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decimal zone-map pruning through the SQL path (r16): amounts are
+    DECIMAL(14, 2) in every real warehouse schema; since r16 their
+    manifest bounds decode from the RAW unscaled parquet stats (pyarrow's
+    typed accessor refuses them) and prune like any other comparable
+    type. Three files hold disjoint amount bands (integer-derived
+    decimals — exact in Spark AND DuckDB, no float-rounding flap); a
+    closed range and a half-open range each plan exactly ONE file, with
+    counts as data. No NaN exists for decimals, so no NaN-freeness proof
+    gates the prune (the float/double rule)."""
+    from iceberg_catalog_postgres_spark.catalog.select_sql import (
+        select_plan_info,
+        select_sql,
+    )
+
+    cat = _fresh_catalog("catalog_sql_decimal_pruning")
+    src = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_orderkey").cast("decimal(14,2)").alias("amount"),
+    )
+    hi = src.agg(F.max("l_orderkey")).first()[0]
+    b1, b2 = hi // 3, 2 * hi // 3
+    t = cat.create_table(TableIdentifier.parse("maint.li_dec"), src.schema)
+    for band in (
+        src.filter(F.col("l_orderkey") <= b1),
+        src.filter((F.col("l_orderkey") > b1) & (F.col("l_orderkey") <= b2)),
+        src.filter(F.col("l_orderkey") > b2),
+    ):
+        t = t.new_transaction().append_dataframe(band.coalesce(1)).commit()
+
+    # PLAIN literals — the planner's extractor takes literals, not CAST
+    # expressions, and both engines parse "NN.01" to the exact decimal
+    cases = [
+        ("dec_between",
+         f"SELECT l_orderkey FROM maint.li_dec "
+         f"WHERE amount >= {b1}.01 AND amount < {b2}.01"),
+        ("dec_halfopen",
+         f"SELECT l_orderkey FROM maint.li_dec WHERE amount >= {b2}.01"),
+    ]
+    rows = []
+    for case_name, stmt in cases:
+        info = select_plan_info(spark, cat, stmt)
+        n = select_sql(spark, cat, stmt).count()
+        rows.append(
+            (case_name, info["n_files_total"], info["n_files_planned"], n)
+        )
+    return spark.createDataFrame(
+        rows, "case_name string, files_total int, files_planned int, n_rows long"
+    ).orderBy("case_name")
