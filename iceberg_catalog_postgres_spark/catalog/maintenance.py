@@ -9793,3 +9793,35 @@ def catalog_sql_decimal_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "case_name string, files_total int, files_planned int, n_rows long"
     ).orderBy("case_name")
+
+
+def all_files_df(spark: SparkSession, table: Table) -> DataFrame:
+    """The ``all_files`` metadata table (Iceberg's ``table$all_files``,
+    r16 — the last cell of the ``all_*`` family): every data AND delete
+    artifact referenced by ANY retained snapshot, as one relation —
+    ``content`` 0 = data, 1 = position deletes / deletion vectors,
+    2 = equality deletes (Iceberg's content ids). A pure unionByName of
+    the two certified folds with a unified schema; the question it
+    answers is "everything vacuum would have to reason about, in one
+    scan". Pure metadata, zero file I/O."""
+    data = (
+        all_data_files_df(spark, table)
+        .withColumn("content", F.lit(0))
+        .withColumn("type", F.lit("data"))
+        .withColumn("cardinality", F.lit(None).cast("long"))
+        .withColumn("referenced_data_file", F.lit(None).cast("string"))
+        .drop("partition")
+    )
+    deletes = all_delete_files_df(spark, table).withColumn(
+        "record_count", F.lit(None).cast("long")
+    )
+    cols = [
+        "content", "type", "file_path", "first_snapshot_id",
+        "sequence_number", "record_count", "cardinality",
+        "referenced_data_file", "is_live",
+    ]
+    return (
+        data.select(*cols)
+        .unionByName(deletes.select(*cols))
+        .orderBy("content", "file_path")
+    )

@@ -67,7 +67,7 @@ _META_SUFFIXES = (
     "partitions", "refs", "files", "snapshots", "history", "manifests",
     "entries", "delete_files", "all_data_files", "all_manifests",
     "metadata_log_entries", "position_deletes", "all_delete_files",
-    "all_entries",
+    "all_entries", "all_files",
 )
 
 #: clause keywords that may directly follow a relation ref — a bare word
@@ -970,6 +970,7 @@ def _ref_df(spark, ref: dict, seen: frozenset = frozenset()):
             "position_deletes": _m.position_deletes_df,
             "all_data_files": _m.all_data_files_df,
             "all_delete_files": _m.all_delete_files_df,
+            "all_files": _m.all_files_df,
             "all_entries": _m.all_entries_df,
             "all_manifests": _m.all_manifests_df,
             "metadata_log_entries": _m.metadata_log_entries_df,

@@ -23,12 +23,12 @@ def catalog(tmp_path):
     cat.backend.close()
 
 
-def _seed(catalog, spark):
+def _seed(catalog, spark, name="pd.t"):
     df = spark.createDataFrame(
         [(i, f"n{i}", i % 3) for i in range(30)], "k long, name string, r long"
     )
     t = catalog.create_table(
-        TableIdentifier.parse("pd.t"), df.schema, partition_by=["r"]
+        TableIdentifier.parse(name), df.schema, partition_by=["r"]
     )
     return t.new_transaction().append_dataframe(df.coalesce(1)).commit()
 
@@ -154,3 +154,46 @@ def test_all_delete_files_and_all_entries(catalog, spark):
     # unknown-suffix refusal still lists the grown family
     with pytest.raises(ValueError, match="all_entries"):
         execute_dml(spark, catalog, "SELECT * FROM pd.t$bogus")
+
+
+def test_all_files_unifies_data_and_deletes(catalog, spark):
+    """r16: $all_files = the all_* family as ONE relation with Iceberg's
+    content ids (0 data, 1 positional/DV, 2 equality) — exactly the
+    union of $all_data_files and $all_delete_files, consistent with
+    both on count, liveness, and per-content attribution."""
+    t = _seed(catalog, spark, name="pd.af")
+    t = (
+        t.new_transaction()
+        .delete_keys_dataframe(
+            spark.createDataFrame([(3,), (4,)], "k long").coalesce(1)
+        )
+        .commit()
+    )
+    execute_dml(
+        spark, catalog,
+        "CALL system.rewrite_equality_deletes('pd.af', to_dv => true)",
+    )
+    rows = execute_dml(
+        spark, catalog, "SELECT * FROM pd.af$all_files"
+    ).collect()
+    n_data = execute_dml(
+        spark, catalog, "SELECT count(*) AS n FROM pd.af$all_data_files"
+    ).first().n
+    n_del = execute_dml(
+        spark, catalog, "SELECT count(*) AS n FROM pd.af$all_delete_files"
+    ).first().n
+    assert len(rows) == n_data + n_del > 0
+    by_content = {}
+    for r in rows:
+        by_content.setdefault(r.content, 0)
+        by_content[r.content] += 1
+    assert by_content.get(0) == n_data
+    assert sum(v for c, v in by_content.items() if c != 0) == n_del
+    assert {0, 2} <= set(by_content)  # data + the eq-delete generation
+    assert any(r.type == "deletion-vector" for r in rows)  # converted
+    # joins against the data side work in one statement
+    joined = execute_dml(
+        spark, catalog,
+        "SELECT count(*) AS n FROM pd.af$all_files WHERE is_live",
+    ).first().n
+    assert 0 < joined <= len(rows)
