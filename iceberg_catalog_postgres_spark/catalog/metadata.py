@@ -355,6 +355,8 @@ def split_entries(entries: list[dict], target: int | None = None) -> list[list[d
     """Cluster then slice into ``ceil(n / target)`` balanced chunks."""
     target = MANIFEST_CHUNK_TARGET if target is None else max(1, target)
     ordered = cluster_entries(entries)
+    if not ordered:
+        return [[]]
     n_chunks = max(1, -(-len(ordered) // target))
     size = -(-len(ordered) // n_chunks)
     return [ordered[i : i + size] for i in range(0, len(ordered), size)]
