@@ -58,7 +58,7 @@ CALL grammar (Iceberg's named-argument procedure syntax)::
 Plus ``ANALYZE TABLE ns.t COMPUTE STATISTICS [FOR [ALL] COLUMNS (...)]``
 (stats backfill / NDV sketches), ``TRUNCATE TABLE`` (metadata-only empty
 snapshot), ``SHOW TABLES|VIEWS|NAMESPACES|TBLPROPERTIES|CREATE TABLE``, and
-``DESCRIBE [TABLE|VIEW]``.
+``DESCRIBE [TABLE|VIEW] [EXTENDED]``.
 
 ``alter_sql`` returns the committed Table (like the DML family);
 ``call_sql`` returns a ONE-ROW report DataFrame (like Iceberg's CALL
@@ -705,10 +705,14 @@ def show_tables_sql(spark, catalog, sql: str):
 
 
 def describe_sql(spark, catalog, sql: str):
-    """``DESCRIBE [TABLE] ns.t`` -> a DataFrame of (col_name, data_type,
-    nullable, field_id, partition_entry) — the schema with its Iceberg
-    field ids plus one row per partition-spec entry (Spark's DESCRIBE
-    shape, typed instead of the string-block form)."""
+    """``DESCRIBE [TABLE] [EXTENDED] ns.t`` -> a DataFrame of (col_name,
+    data_type, nullable, field_id, partition_entry) — the schema with its
+    Iceberg field ids plus one row per partition-spec entry (Spark's
+    DESCRIBE shape, typed instead of the string-block form). EXTENDED
+    (r16) appends ``#``-prefixed detail rows in col_name/data_type:
+    location, current snapshot id + count, format version, declared
+    write order, and user properties — Spark's Detailed Table
+    Information section, machine-readable."""
     from iceberg_catalog_postgres_spark.catalog.metadata import FIELD_ID_KEY
 
     cur = _Cursor(_tokenize(sql.strip().rstrip(";")))
@@ -722,6 +726,10 @@ def describe_sql(spark, catalog, sql: str):
         return describe_view_sql(spark, catalog, sql)
     if _upper(cur.peek()) == "TABLE":
         cur.next()
+    extended = False
+    if _upper(cur.peek()) == "EXTENDED":
+        cur.next()
+        extended = True
     table = catalog.load_table(TableIdentifier.parse(cur.dotted_name()))
     rows = [
         (
@@ -736,6 +744,26 @@ def describe_sql(spark, catalog, sql: str):
     ]
     for entry in table.metadata.partition_spec:
         rows.append((None, None, None, None, entry))
+    if extended:
+        from iceberg_catalog_postgres_spark.catalog.table import Table
+
+        md = table.metadata
+        snap = md.current_snapshot()
+        detail = [
+            ("# location", md.location),
+            ("# format-version", str(md.format_version)),
+            ("# current-snapshot-id",
+             str(md.current_snapshot_id) if snap else None),
+            ("# current-data-files",
+             str(len(snap.data_files)) if snap else "0"),
+            ("# write-order", ", ".join(md.default_sort_columns()) or None),
+        ]
+        for k, v in sorted(md.properties.items()):
+            if isinstance(v, (str, int, float, bool)) and (
+                k not in Table.ENGINE_PROPERTY_KEYS
+            ):
+                detail.append((f"# property {k}", str(v)))
+        rows += [(k, v, None, None, None) for k, v in detail]
     return spark.createDataFrame(
         rows,
         "col_name string, data_type string, nullable boolean, "

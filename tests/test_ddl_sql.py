@@ -555,3 +555,57 @@ def test_add_files_skips_non_hive_subtrees(catalog, spark):
     t2, n_files, n_records = m.add_files(spark, t, "ext/mixed")
     assert (n_files, n_records) == (1, 1)  # archive/ ignored
     assert [r.k for r in t2.to_df(spark).collect()] == [1]
+
+
+def test_describe_extended_and_streaming_write_order(catalog, spark, tmp_path):
+    """r16: DESCRIBE EXTENDED appends machine-readable detail rows
+    (location, snapshot, declared write order, user properties); and the
+    declared write order composes with the STREAMING sink — every
+    micro-batch append range-distributes without the stream author
+    passing sort_by, so per-batch files carry disjoint key slices."""
+    from iceberg_catalog_postgres_spark.catalog.ddl_sql import describe_sql
+
+    execute_dml(
+        spark, catalog, "CREATE TABLE d.dx (k BIGINT, v STRING)"
+    )
+    execute_dml(spark, catalog, "ALTER TABLE d.dx WRITE ORDERED BY (k)")
+    execute_dml(
+        spark, catalog,
+        "ALTER TABLE d.dx SET TBLPROPERTIES ('owner' = 'pipeline')",
+    )
+    execute_dml(spark, catalog, "INSERT INTO d.dx VALUES (1, 'a')")
+    rows = {r.col_name: r.data_type for r in describe_sql(
+        spark, catalog, "DESCRIBE EXTENDED d.dx"
+    ).collect() if r.col_name}
+    assert rows["# write-order"] == "k"
+    assert rows["# property owner"] == "pipeline"
+    assert rows["# current-data-files"] == "1"
+    assert rows["# format-version"] and rows["# location"]
+    assert "k" in rows  # schema rows still present
+    # plain DESCRIBE stays unchanged (no detail rows)
+    plain = [r.col_name for r in describe_sql(
+        spark, catalog, "DESCRIBE d.dx"
+    ).collect() if r.col_name and r.col_name.startswith("#")]
+    assert plain == []
+    # streaming sink inherits the order: one micro-batch of shuffled keys
+    # lands as range-distributed files with disjoint bounds
+    import random as _r
+
+    from iceberg_catalog_postgres_spark.catalog.metadata import decode_bound
+
+    t = catalog.load_table(TableIdentifier.parse("d.dx"))
+    ks = list(range(100, 400))
+    _r.Random(3).shuffle(ks)
+    batch = spark.createDataFrame(
+        [(k, f"v{k}") for k in ks], "k long, v string"
+    ).repartition(6)
+    t = t.new_transaction().append_dataframe(batch, n_files=3).commit()
+    snap = t.metadata.current_snapshot()
+    new_files = [f for f in snap.data_files if snap.file_seqs[f] == snap.sequence_number]
+    ivs = sorted(
+        (decode_bound(snap.file_stats[f]["bounds"]["k"][0]),
+         decode_bound(snap.file_stats[f]["bounds"]["k"][1]))
+        for f in new_files
+    )
+    assert len(ivs) >= 2
+    assert all(a[1] < b[0] for a, b in zip(ivs, ivs[1:])), ivs
