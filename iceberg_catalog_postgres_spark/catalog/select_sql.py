@@ -733,11 +733,23 @@ def _branch_files(ref: dict, triple, sid) -> set:
     }
     p_pts.update({c: list(v) for c, v in ins.items() if c in part})
     p_rng = {c: v for c, v in ranges.items() if c in part}
-    out = set(
-        table.planned_files_composed(
-            ranges=p_rng or None, points=p_pts or None, **snap_kw
+    # LAZY seed (r17): every walk below returns a superset-safe subset of
+    # the snapshot's files, so the intersection can start from the FIRST
+    # constrained walk — seeding from an unconstrained composed plan
+    # fetched EVERY manifest chunk (a full index scan per branch) whenever
+    # the branch constrained only stats columns, which at 10^6 entries is
+    # the whole planning cost (tests/test_planner_budget.py pins this)
+    out: set | None = None
+    if p_pts or p_rng:
+        out = set(
+            table.planned_files_composed(
+                ranges=p_rng or None, points=p_pts or None, **snap_kw
+            )
         )
-    )
+
+    def _inter(s: set):
+        nonlocal out
+        out = s if out is None else (out & s)
 
     def _walk(col, lo, hi):
         return set(
@@ -748,25 +760,25 @@ def _branch_files(ref: dict, triple, sid) -> set:
         if isinstance(v, _NC):
             # IS [NOT] NULL: manifest null-count pruning, any column kind
             try:
-                out &= set(
+                _inter(set(
                     table.planned_files_nullness(c, v.want_null, **snap_kw)
-                )
+                ))
             except (TypeError, ValueError):
                 pass
         elif c in stypes:
             try:
                 lv = _coerce_stats_lit(stypes[c], v)
-                out &= _walk(c, lv, lv)
+                _inter(_walk(c, lv, lv))
             except (TypeError, ValueError):
                 pass
     for c, (lo, hi) in ranges.items():
         if c in stypes:
             try:
-                out &= _walk(
+                _inter(_walk(
                     c,
                     None if lo is None else _coerce_stats_lit(stypes[c], lo),
                     None if hi is None else _coerce_stats_lit(stypes[c], hi),
-                )
+                ))
             except (TypeError, ValueError):
                 pass
     for c, vs in ins.items():
@@ -779,9 +791,13 @@ def _branch_files(ref: dict, triple, sid) -> set:
                         s |= _walk(c, v, v)
                 else:  # wide IN: one interval walk instead of N
                     s = _walk(c, min(cvs), max(cvs))
-                out &= s
+                _inter(s)
             except (TypeError, ValueError):
                 pass
+    if out is None:
+        # every constraint was skipped (uncoercible literals): the branch
+        # prunes nothing — superset-safe full plan, as before
+        out = set(table.planned_files_composed(**snap_kw))
     return out
 
 
