@@ -249,6 +249,22 @@ def parse_alter(sql: str) -> dict:
     verb = _upper(cur.next())
     if verb in ("SET", "UNSET"):
         what = _upper(cur.next())
+        if verb == "SET" and what == "IDENTIFIER":
+            # Iceberg-Spark extension DDL (r17): ALTER TABLE t SET
+            # IDENTIFIER FIELDS (a, b) -> schema identifier-field-ids
+            if _upper(cur.next()) != "FIELDS":
+                raise ValueError("ALTER SET IDENTIFIER: expected FIELDS")
+            cols = []
+            for piece in _split_top(cur.balanced_parens(), ","):
+                if len(piece) != 1:
+                    raise ValueError(
+                        "SET IDENTIFIER FIELDS: expected bare column "
+                        f"names, got {' '.join(piece)!r}"
+                    )
+                cols.append(_strip_ident(piece[0]))
+            if not cols:
+                raise ValueError("SET IDENTIFIER FIELDS: empty column list")
+            return {"op": "identifier_fields", "target": target, "columns": cols}
         if what != "TBLPROPERTIES":
             raise ValueError(
                 f"ALTER {verb}: expected TBLPROPERTIES, got {what!r}"
@@ -355,17 +371,25 @@ def parse_alter(sql: str) -> dict:
         for piece in _split_top(cur.balanced_parens(), ","):
             pc = _Cursor(piece)
             name = _strip_ident(pc.next())
+            direction, null_order = None, None
             while pc.peek() is not None:
                 mod = _upper(pc.next())
-                if mod == "ASC" or (
-                    mod == "NULLS" and _upper(pc.next()) == "FIRST"
-                ):
-                    continue
-                raise ValueError(
-                    "ALTER WRITE ORDERED BY: only ASC NULLS FIRST orders "
-                    f"are supported, got {mod!r} on {name!r}"
-                )
-            cols.append(name)
+                if mod in ("ASC", "DESC") and direction is None:
+                    direction = mod.lower()
+                elif mod == "NULLS" and null_order is None:
+                    where = _upper(pc.next()) if pc.peek() is not None else ""
+                    if where not in ("FIRST", "LAST"):
+                        raise ValueError(
+                            "ALTER WRITE ORDERED BY: expected NULLS "
+                            f"FIRST|LAST on {name!r}, got {where!r}"
+                        )
+                    null_order = f"nulls-{where.lower()}"
+                else:
+                    raise ValueError(
+                        "ALTER WRITE ORDERED BY: unexpected token "
+                        f"{mod!r} on {name!r}"
+                    )
+            cols.append((name, direction or "asc", null_order))
         if not cols:
             raise ValueError("ALTER WRITE ORDERED BY: empty column list")
         return {"op": "write_order", "target": target, "columns": cols}
@@ -400,6 +424,10 @@ def parse_alter(sql: str) -> dict:
         }
     if verb == "DROP":
         what = _upper(cur.next())
+        if what == "IDENTIFIER":
+            if _upper(cur.next()) != "FIELDS":
+                raise ValueError("ALTER DROP IDENTIFIER: expected FIELDS")
+            return {"op": "identifier_fields", "target": target, "columns": None}
         if what == "COLUMN":
             return {
                 "op": "drop_column",
@@ -453,6 +481,9 @@ def alter_sql(spark, catalog, sql: str):
         # declared DEFAULT write order: future appends without an explicit
         # sort_by/zorder range-distribute on it (metadata-only here)
         return table.replace_sort_order(p["columns"])
+    if op == "identifier_fields":
+        # declared row identity (r17): ON-less MERGE resolves its keys here
+        return table.set_identifier_fields(p["columns"])
     if op == "set_properties":
         return table.update_properties(set_props=p["props"])
     if op == "unset_properties":
@@ -618,7 +649,7 @@ def show_tables_sql(spark, catalog, sql: str):
         props = {
             k: v for k, v in table.metadata.properties.items()
             if isinstance(v, (str, int, float, bool))
-            and k not in Table.ENGINE_PROPERTY_KEYS
+            and not Table.is_engine_property(k)
         }
         if cur.peek() is not None:
             key = _parse_literal(cur)
@@ -651,15 +682,30 @@ def show_tables_sql(spark, catalog, sql: str):
                 table.metadata.partition_spec
             ) + ")"
         stmts = [stmt]
-        order = table.metadata.default_sort_columns()
+        order = table.metadata.default_sort_fields()
         if order:
-            stmts.append(
-                f"ALTER TABLE {full} WRITE ORDERED BY ({', '.join(order)})"
+            from iceberg_catalog_postgres_spark.catalog.metadata import (
+                sort_spec_sql,
             )
+
+            stmts.append(
+                f"ALTER TABLE {full} WRITE ORDERED BY "
+                f"({', '.join(sort_spec_sql(f) for f in order)})"
+            )
+        ident = table.metadata.identifier_field_names()
+        if ident:
+            stmts.append(
+                f"ALTER TABLE {full} SET IDENTIFIER FIELDS "
+                f"({', '.join(ident)})"
+            )
+        # is_engine_property (not just ENGINE_PROPERTY_KEYS): ANALYZE's
+        # ndv.* sketches and stream.* fences would otherwise leak into the
+        # emitted ALTER ... SET TBLPROPERTIES and be REFUSED on replay
+        # (r17 advice), breaking the reconstructible-DDL contract
         user_props = {
             k: v for k, v in sorted(table.metadata.properties.items())
             if isinstance(v, (str, int, float, bool))
-            and k not in Table.ENGINE_PROPERTY_KEYS
+            and not Table.is_engine_property(k)
         }
         if user_props:
             def _q(x):  # SQL single-quote escaping: it's -> it''s
@@ -745,6 +791,9 @@ def describe_sql(spark, catalog, sql: str):
     for entry in table.metadata.partition_spec:
         rows.append((None, None, None, None, entry))
     if extended:
+        from iceberg_catalog_postgres_spark.catalog.metadata import (
+            sort_spec_sql as _sort_spec_sql,
+        )
         from iceberg_catalog_postgres_spark.catalog.table import Table
 
         md = table.metadata
@@ -756,11 +805,15 @@ def describe_sql(spark, catalog, sql: str):
              str(md.current_snapshot_id) if snap else None),
             ("# current-data-files",
              str(len(snap.data_files)) if snap else "0"),
-            ("# write-order", ", ".join(md.default_sort_columns()) or None),
+            ("# write-order", ", ".join(
+                _sort_spec_sql(f) for f in md.default_sort_fields()
+            ) or None),
+            ("# identifier-fields",
+             ", ".join(md.identifier_field_names()) or None),
         ]
         for k, v in sorted(md.properties.items()):
-            if isinstance(v, (str, int, float, bool)) and (
-                k not in Table.ENGINE_PROPERTY_KEYS
+            if isinstance(v, (str, int, float, bool)) and not (
+                Table.is_engine_property(k)
             ):
                 detail.append((f"# property {k}", str(v)))
         rows += [(k, v, None, None, None) for k, v in detail]
@@ -1121,6 +1174,10 @@ def call_sql(spark, catalog, sql: str):
         if proc == "rollback_to_timestamp":
             ts = a.get("timestamp_ms")
             if ts is None:
+                if "timestamp" not in a:
+                    raise ValueError(
+                        "rollback_to_timestamp: pass timestamp_ms or timestamp"
+                    )
                 # same UTC rule as FOR SYSTEM_TIME AS OF (r16 review:
                 # naive-ISO-as-local made the procedure restore a
                 # DIFFERENT instant than the travel read previewed)
@@ -1135,16 +1192,20 @@ def call_sql(spark, catalog, sql: str):
             # ancestor guard below then rejects — making the procedure
             # unusable exactly when rollbacks are in play)
             cur_s = table.metadata.current_snapshot()
+            # strictly BEFORE (r17 advice): Iceberg's rollback_to_timestamp
+            # restores the latest snapshot committed strictly before the
+            # given instant — a call with a snapshot's exact commit
+            # timestamp lands on its PREDECESSOR, not that snapshot
             cands = [
                 s for s in table.metadata.snapshots
-                if s.timestamp_ms <= int(ts) and (
+                if s.timestamp_ms < int(ts) and (
                     cur_s is None
                     or s.sequence_number <= cur_s.sequence_number
                 )
             ]
             if not cands:
                 raise ValueError(
-                    f"rollback_to_timestamp: no ancestor snapshot at or "
+                    f"rollback_to_timestamp: no ancestor snapshot strictly "
                     f"before {ts}"
                 )
             target_id = max(

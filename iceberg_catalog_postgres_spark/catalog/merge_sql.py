@@ -24,7 +24,11 @@ Supported grammar (case-insensitive keywords; ``[]`` optional)::
 
     MERGE INTO <ident> [AS] [<alias>]
     USING ( <subquery> ) | <name> [AS] [<alias>]
-    ON <conjunction of t.col = s.col  (or <=>)>
+    [ON <conjunction of t.col = s.col  (or <=>)>]   -- omitted: keys come
+                                                    -- from the table's
+                                                    -- declared identity
+                                                    -- (SET IDENTIFIER
+                                                    -- FIELDS, r17)
     WHEN MATCHED [AND <cond>] THEN UPDATE SET * | UPDATE SET c=e,... | DELETE
     WHEN NOT MATCHED [BY TARGET] [AND <cond>] THEN INSERT * | INSERT (cols) VALUES (exprs)
     WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN UPDATE SET c=e,... | DELETE
@@ -344,8 +348,11 @@ def parse_merge(sql: str) -> dict:
     alias_map = {"t": "t", "s": "s"}
     alias_map[t_alias] = "t"
     alias_map[s_alias] = "s"
-    cur.expect_kw("ON")
-    on = _parse_on(cur.until_kw("WHEN"), alias_map)
+    # ON is optional (r17): omitted -> merge_into resolves the key columns
+    # from the table's declared identity (SET IDENTIFIER FIELDS)
+    on = None
+    if cur.try_kw("ON"):
+        on = _parse_on(cur.until_kw("WHEN"), alias_map)
 
     groups: dict[str, list] = {
         "matched": [],

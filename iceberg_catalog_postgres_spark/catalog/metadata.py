@@ -457,6 +457,59 @@ def new_snapshot_id(existing: set[int] | None = None) -> int:
             return sid
 
 
+def normalize_sort_specs(columns: list) -> list[tuple]:
+    """Canonicalize a sort-column list to ``(name, direction, null_order)``
+    triples (r17). Accepted entry shapes: a bare column name (ascending),
+    a ``(name, direction)`` pair, or a ``(name, direction, null_order)``
+    triple; direction/null_order are case-insensitive with ``nulls_last``
+    and ``NULLS LAST`` spellings tolerated. Omitted null order follows
+    Iceberg's SortField default: asc -> nulls-first, desc -> nulls-last."""
+    out = []
+    for entry in columns:
+        if isinstance(entry, str):
+            name, direction, null_order = entry, "asc", None
+        else:
+            parts = list(entry)
+            if not 1 <= len(parts) <= 3:
+                raise ValueError(f"bad sort spec {entry!r}")
+            name = str(parts[0])
+            direction = str(parts[1]).lower() if len(parts) > 1 and parts[1] else "asc"
+            null_order = (
+                str(parts[2]).lower().replace("_", "-").replace(" ", "-")
+                if len(parts) > 2 and parts[2] else None
+            )
+        if direction not in ("asc", "desc"):
+            raise ValueError(
+                f"sort direction must be asc or desc, got {direction!r} on {name!r}"
+            )
+        if null_order is None:
+            null_order = "nulls-first" if direction == "asc" else "nulls-last"
+        if null_order in ("first", "last"):
+            null_order = f"nulls-{null_order}"
+        if null_order not in ("nulls-first", "nulls-last"):
+            raise ValueError(
+                f"null order must be nulls-first or nulls-last, got "
+                f"{null_order!r} on {name!r}"
+            )
+        out.append((name, direction, null_order))
+    return out
+
+
+def sort_spec_sql(spec: tuple) -> str:
+    """Canonical SQL spelling of one ``(name, direction, null_order)``
+    sort field — defaults omitted (``k``, ``k DESC``, ``k NULLS LAST``,
+    ``k DESC NULLS FIRST``) so SHOW CREATE TABLE stays minimal and
+    round-trips through the WRITE ORDERED BY parser."""
+    name, direction, null_order = spec
+    default_nulls = "nulls-first" if direction == "asc" else "nulls-last"
+    s = name
+    if direction == "desc":
+        s += " DESC"
+    if null_order != default_nulls:
+        s += " NULLS " + null_order.split("-")[1].upper()
+    return s
+
+
 class Snapshot:
     """One table version. Small snapshots inline their file lists in the
     metadata JSON; manifest-backed snapshots (``manifests`` set) keep only
@@ -1079,27 +1132,32 @@ class TableMetadata:
             indent=2,
         )
 
-    def with_sort_order(self, columns: list[str]) -> "TableMetadata":
-        """Register (or reuse) the identity/asc/nulls-first sort order for
-        ``columns`` and make it the default — called by sorted writes
-        (``append_dataframe(sort_by=...)``) so the document's
-        ``sort-orders`` reflects how the data was actually distributed.
-        Fields are id-based (``source-id``), so later renames don't
-        invalidate the order."""
+    def with_sort_order(self, columns: list) -> "TableMetadata":
+        """Register (or reuse) the identity sort order for ``columns`` and
+        make it the default — called by sorted writes
+        (``append_dataframe(sort_by=...)``) and ``replace_sort_order`` so
+        the document's ``sort-orders`` reflects how the data was actually
+        distributed. Each entry is a column name (ascending, Iceberg's
+        default nulls-first) or a ``(name, direction[, null_order])``
+        spec — ``direction`` in {asc, desc}, ``null_order`` in
+        {nulls-first, nulls-last}, defaulting per Iceberg's SortField rule
+        (asc -> nulls-first, desc -> nulls-last; r17). Fields are id-based
+        (``source-id``), so later renames don't invalidate the order."""
         from dataclasses import replace as _dc_replace
 
+        specs = normalize_sort_specs(columns)
         ids = {f["name"]: int(f["id"]) for f in self.schema.get("fields", [])}
-        missing = [c for c in columns if c not in ids]
+        missing = [c for c, _, _ in specs if c not in ids]
         if missing:
             raise ValueError(f"sort_by column(s) not in schema: {missing}")
         fields = [
             {
                 "transform": "identity",
                 "source-id": ids[c],
-                "direction": "asc",
-                "null-order": "nulls-first",
+                "direction": direction,
+                "null-order": null_order,
             }
-            for c in columns
+            for c, direction, null_order in specs
         ]
         for o in self.sort_orders:
             if o["fields"] == fields:
@@ -1113,12 +1171,13 @@ class TableMetadata:
             default_sort_order_id=order_id,
         )
 
-    def default_sort_columns(self) -> list[str]:
-        """Source column NAMES of the default sort order, resolved through
-        the CURRENT schema (fields are id-based, so this survives renames).
-        Empty for the unsorted order 0, or when any field is non-identity
-        or its source column no longer exists (drop) — callers then skip
-        applying the order (r16, ``ALTER TABLE ... WRITE ORDERED BY``)."""
+    def default_sort_fields(self) -> list[tuple]:
+        """``(name, direction, null_order)`` triples of the default sort
+        order, resolved through the CURRENT schema (fields are id-based,
+        so this survives renames). Empty for the unsorted order 0, or when
+        any field is non-identity or its source column no longer exists
+        (drop) — callers then skip applying the order (r16/r17, ``ALTER
+        TABLE ... WRITE ORDERED BY``)."""
         order = next(
             (o for o in self.sort_orders
              if o["order-id"] == self.default_sort_order_id),
@@ -1134,8 +1193,37 @@ class TableMetadata:
             name = names.get(int(f["source-id"]))
             if name is None:
                 return []
-            cols.append(name)
+            cols.append((
+                name,
+                str(f.get("direction", "asc")),
+                str(f.get("null-order",
+                          "nulls-first" if f.get("direction", "asc") == "asc"
+                          else "nulls-last")),
+            ))
         return cols
+
+    def default_sort_columns(self) -> list[str]:
+        """Source column NAMES of the default sort order (direction
+        dropped — see :meth:`default_sort_fields` for the full triples)."""
+        return [name for name, _, _ in self.default_sort_fields()]
+
+    def identifier_field_names(self) -> list[str]:
+        """Column NAMES of the schema's ``identifier-field-ids`` (the
+        declared row identity, ``mod.rs:433``), resolved through the
+        CURRENT schema — ids, not names, so renames follow through (r17).
+        Empty when no identity is declared. An id no longer in the schema
+        raises: identifier columns cannot be dropped (commit_schema
+        enforces it), so a dangling id means corrupted metadata."""
+        ids = [int(i) for i in self.schema.get("identifier-field-ids", [])]
+        if not ids:
+            return []
+        names = {int(f["id"]): f["name"] for f in self.schema.get("fields", [])}
+        missing = [i for i in ids if i not in names]
+        if missing:
+            raise ValueError(
+                f"identifier-field-ids reference unknown field ids {missing}"
+            )
+        return [names[i] for i in ids]
 
     @staticmethod
     def from_json(text: str, store=None) -> "TableMetadata":

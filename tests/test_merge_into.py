@@ -228,7 +228,7 @@ def test_merge_validates_clauses(sqlite_catalog, spark):
         merge_into(spark, t, src, on=["k"], when_matched=[{"action": "insert"}])
     with pytest.raises(ValueError, match="requires a `set`"):
         merge_into(spark, t, src, on=["k"], when_matched=[{"action": "update"}])
-    with pytest.raises(ValueError, match="at least one key"):
+    with pytest.raises(ValueError, match="key columns in `on`"):
         merge_into(spark, t, src, on=[])
 
 

@@ -352,6 +352,52 @@ def test_sorted_write_registers_sort_order(catalog, spark):
     assert _raw_doc(t)["default-sort-order-id"] == 2
 
 
+def test_sort_order_direction_null_order_round_trip(catalog, spark):
+    """r17: sort-order JSON carries per-field direction + null-order and
+    round-trips through to_json/from_json; defaults follow Iceberg's
+    SortField rule (asc -> nulls-first, desc -> nulls-last); a reused
+    order matches on the FULL triple, so asc(k) and desc(k) are distinct
+    orders; bad specs refuse."""
+    import pytest as _pt
+
+    from iceberg_catalog_postgres_spark.catalog.metadata import TableMetadata
+
+    t = catalog.create_table(TableIdentifier.parse("spec.dirs"), S)
+    t = t.replace_sort_order([("k", "desc"), ("name", "asc", "nulls-last")])
+    d = _raw_doc(t)
+    ids = {f["name"]: int(f["id"]) for f in d["schema"]["fields"]}
+    fields = {o["order-id"]: o for o in d["sort-orders"]}[
+        d["default-sort-order-id"]
+    ]["fields"]
+    assert fields == [
+        {"transform": "identity", "source-id": ids["k"],
+         "direction": "desc", "null-order": "nulls-last"},
+        {"transform": "identity", "source-id": ids["name"],
+         "direction": "asc", "null-order": "nulls-last"},
+    ]
+    # from_json resolves the same triples back by field id
+    md2 = TableMetadata.from_json(
+        catalog.object_store().get(t.metadata_location()).decode()
+    )
+    assert md2.default_sort_fields() == [
+        ("k", "desc", "nulls-last"), ("name", "asc", "nulls-last")
+    ]
+    # asc(k) is a DIFFERENT order from desc(k): new id, not reuse
+    before = len(_raw_doc(t)["sort-orders"])
+    t = t.replace_sort_order(["k"])
+    d = _raw_doc(t)
+    assert len(d["sort-orders"]) == before + 1
+    assert t.metadata.default_sort_fields() == [("k", "asc", "nulls-first")]
+    # identical triple reuses (no duplicate registration)
+    t = t.replace_sort_order([("k", "asc", "nulls-first")])
+    assert len(_raw_doc(t)["sort-orders"]) == before + 1
+    # bad direction / null order refuse
+    with _pt.raises(ValueError, match="asc or desc"):
+        t.replace_sort_order([("k", "sideways")])
+    with _pt.raises(ValueError, match="nulls-first or nulls-last"):
+        t.replace_sort_order([("k", "desc", "nulls-middle")])
+
+
 def test_ndv_analyze_writes_puffin_statistics(catalog, spark):
     """r9 (VERDICT item 3): update_column_ndv must expose its sketches in
     the document's top-level ``statistics`` as a REAL Puffin sidecar —
