@@ -99,8 +99,36 @@ def run_calibration(spark, sf_dir: str) -> dict:
     return out
 
 
+def wait_for_idle_host() -> dict:
+    """Load gate (r17, judge item 8): wall-clock on this class of host
+    swings 20-50% with background load, so an artifact captured busy
+    overstates cost and wastes a judge round on canary archaeology. Wait
+    (bounded) for 1-minute load_avg under the gate before timing; always
+    RECORD what happened — launch load, final load, seconds waited,
+    whether the gate was met — so the artifact carries its own noise
+    context. Gate/patience via SPARK_GRAFT_LOAD_GATE /
+    SPARK_GRAFT_LOAD_WAIT_S (defaults 1.0 / 600); never blocks forever."""
+    gate = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "1.0"))
+    patience = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT_S", "600"))
+    launch = os.getloadavg()[0]
+    waited = 0.0
+    load = launch
+    while load > gate and waited < patience:
+        time.sleep(15.0)
+        waited += 15.0
+        load = os.getloadavg()[0]
+    return {
+        "gate": gate,
+        "load_at_launch": round(launch, 2),
+        "load_at_start": round(load, 2),
+        "waited_sec": round(waited, 1),
+        "gate_met": load <= gate,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    load_gate = wait_for_idle_host()
     registry = load_all()
     names = [n for n, s in sorted(registry.items()) if BENCH_TAG in s.tags]
     if not names:
@@ -199,6 +227,7 @@ def main() -> None:
                 "reps": reps,
                 "queries_noop": noop,
                 "phases": phases,
+                "load_gate": load_gate,
                 "calibration": calibration,
                 "normalized": {
                     # dimensionless ratios: headline total per unit of fixed

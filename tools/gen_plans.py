@@ -147,6 +147,11 @@ SHOWCASE = [
     "catalog_sql_select_read",
     "catalog_sql_dml_pruned_write",
     "catalog_sql_delete_files_debt",
+    # r17: the shuffle-free bucket-pair join (the plan IS the claim: one
+    # metadata Exchange, mapInPandas, zero join operators) and the
+    # stats-driven join order (innermost join must be the chosen pair)
+    "catalog_bucket_copartitioned_join",
+    "catalog_ndv_join_order",
 ]
 
 
