@@ -119,16 +119,46 @@ def _render(tokens: list[str], alias_map: dict[str, str]) -> str:
     return " ".join(parts)
 
 
+_CASE_IDENT_FOLLOWERS = {
+    "=", "<", ">", "<=", ">=", "<>", "!=", "<=>", ")", ",", ".",
+}
+_CASE_IDENT_FOLLOWER_KWS = {
+    "IN", "IS", "BETWEEN", "NOT", "AND", "OR", "THEN", "ELSE", "END",
+}
+
+
+def case_is_keyword(tokens: list[str], i: int) -> bool:
+    """Is ``tokens[i]`` (spelled CASE) the CASE *keyword* or a column
+    literally named ``case`` (r17 — the tokenizer-level fix for the r14
+    finding where such a column inflated the CASE depth and silently
+    disabled OR splitting, degrading pruning)? Context decides: a
+    qualified ``t.case`` or a ``case`` followed by a comparison operator
+    / IN / IS / BETWEEN / a boolean connective / a clause terminator is
+    the identifier; the keyword is always followed by an operand or WHEN
+    (and never ends the expression). Ambiguity is resolved toward the
+    KEYWORD — over-counting depth only widens a prune, never a result."""
+    if i > 0 and tokens[i - 1] == ".":
+        return False  # qualified name: t.case
+    if i + 1 >= len(tokens):
+        return False  # expression ends here: CASE needs an operand/WHEN
+    nxt = tokens[i + 1]
+    if nxt in _CASE_IDENT_FOLLOWERS:
+        return False
+    if (nxt or "").upper() in _CASE_IDENT_FOLLOWER_KWS:
+        return False
+    return True
+
+
 def _split_top(tokens: list[str], sep: str) -> list[list[str]]:
     """Split on a top-level separator token (paren- and CASE-aware)."""
     out, cur, depth, case_depth = [], [], 0, 0
-    for tok in tokens:
+    for i, tok in enumerate(tokens):
         kw = _kw(tok)
         if tok == "(":
             depth += 1
         elif tok == ")":
             depth -= 1
-        elif kw == "CASE":
+        elif kw == "CASE" and case_is_keyword(tokens, i):
             case_depth += 1
         elif kw == "END" and case_depth > 0:
             # clamp for columns literally named `end` (r15)
@@ -197,7 +227,7 @@ class _Cursor:
                 depth += 1
             elif tok == ")":
                 depth -= 1
-            elif kw == "CASE":
+            elif kw == "CASE" and case_is_keyword(self.toks, self.i):
                 case_depth += 1
             elif kw == "END" and case_depth > 0:
                 case_depth -= 1

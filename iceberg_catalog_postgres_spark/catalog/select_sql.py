@@ -360,16 +360,22 @@ def _split_top_or(tokens: list[str]) -> list[list[str]]:
     Local rather than via ``merge_sql._split_top``: adding OR to that
     module's keyword set would make ``or`` an illegal alias in every other
     statement parser."""
+    from iceberg_catalog_postgres_spark.catalog.merge_sql import (
+        case_is_keyword,
+    )
+
     out: list[list[str]] = []
     cur: list[str] = []
     depth = case_depth = 0
-    for tok in tokens:
+    for i, tok in enumerate(tokens):
         up = _upper(tok)
         if tok == "(":
             depth += 1
         elif tok == ")":
             depth -= 1
-        elif up == "CASE":
+        elif up == "CASE" and case_is_keyword(tokens, i):
+            # context disambiguation (r17): a column literally named
+            # `case` must not inflate the depth and disable splitting
             case_depth += 1
         elif up == "END" and case_depth > 0:
             # clamp: a column literally named `end` must not drive the

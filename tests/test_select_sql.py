@@ -981,6 +981,44 @@ def test_prune_column_named_end_still_prunes(catalog, spark):
     )
 
 
+def test_prune_column_named_case_still_prunes(catalog, spark):
+    """r17 (the r14 carried finding's other half, tokenizer-level fix):
+    a column literally named ``case`` used to inflate the splitters'
+    CASE depth, treating every later OR as CASE-internal — OR splitting
+    silently off, pruning lost (never rows). `case_is_keyword` now
+    disambiguates by context (followed by = / IN / AND / ... or
+    qualified = identifier), so pruning fires; a REAL CASE expression
+    in the same WHERE still tracks depth and doesn't mis-split."""
+    df = spark.createDataFrame(
+        [(i, i % 3, i * 10) for i in range(30)], "k long, r long, `case` long"
+    )
+    t = catalog.create_table(
+        TableIdentifier.parse("s.kc"), df.schema, partition_by=["r"]
+    )
+    t.new_transaction().append_dataframe(df.coalesce(1)).commit()
+    sql = "SELECT k FROM s.kc WHERE `case` >= 100 AND r = 1 OR r = 2"
+    info = select_plan_info(spark, catalog, sql)
+    assert info["n_files_planned"] == 2 < info["n_files_total"] == 3
+    rows = sorted(r_.k for r_ in select_sql(spark, catalog, sql).collect())
+    assert rows == sorted(
+        i for i in range(30) if (i * 10 >= 100 and i % 3 == 1) or i % 3 == 2
+    )
+    # a genuine CASE expression still tracks depth: the OR inside it must
+    # NOT split; the outer OR must — values stay exact, prune still fires
+    sql = (
+        "SELECT k FROM s.kc WHERE "
+        "(CASE WHEN `case` >= 100 OR k < 2 THEN 1 ELSE 0 END) = 1 "
+        "AND r = 1 OR r = 2"
+    )
+    info = select_plan_info(spark, catalog, sql)
+    assert info["n_files_planned"] == 2 < info["n_files_total"]
+    rows = sorted(r_.k for r_ in select_sql(spark, catalog, sql).collect())
+    assert rows == sorted(
+        i for i in range(30)
+        if ((i * 10 >= 100 or i < 2) and i % 3 == 1) or i % 3 == 2
+    )
+
+
 def test_prune_timestamp_zone_map_half_open(catalog, spark):
     """r15: `WHERE ts >= X` — the canonical event-log predicate — prunes
     on an UNPARTITIONED table through per-file timestamp bounds (naive-
