@@ -460,7 +460,22 @@ def merge_into(
         lambda a, b: a & b,
         [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in on],
     )
-    j = tgt.join(src, join_cond, "full_outer")
+    # Join type by what the clauses actually consume (r17, guide §3.1):
+    # target-only rows are needed by WHEN NOT MATCHED BY SOURCE clauses and
+    # by the CoW rewrite (which re-writes every kept row); a MOR row delta
+    # without by-source clauses touches only matched + source-only rows, so
+    # a RIGHT OUTER join is sufficient — the cached join output (and every
+    # pass over it: cardinality guard, DV encode, appended rows) then
+    # materializes O(|source|) rows instead of O(|table|). At 100 TB this
+    # is the difference between caching the merge delta and caching the
+    # table. The join's shuffle itself is unchanged (same key, same
+    # exchanges); only the retained row set shrinks.
+    join_type = (
+        "right_outer"
+        if strategy == "mor" and not when_not_matched_by_source
+        else "full_outer"
+    )
+    j = tgt.join(src, join_cond, join_type)
 
     is_m = F.col("__t").isNotNull() & F.col("__s").isNotNull()
     is_t = F.col("__t").isNotNull() & F.col("__s").isNull()
