@@ -17,6 +17,20 @@ from pyspark.sql import functions as F
 from iceberg_catalog_postgres_spark.catalog.catalog import PostgresCatalog, TableIdentifier
 from iceberg_catalog_postgres_spark.registry import load, register
 
+
+def _prenorm(c):
+    """L2 norm of an array column/expression, folded left-to-right in
+    float64 — the same element order the per-pair fold used, so computing
+    it once per ROW (before a pair join) is bit-identical to folding it
+    per PAIR (r17 optimization)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.sqrt(
+        F.aggregate(F.transform(col, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+
+
+_prenorm_expr = _prenorm
+
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
@@ -460,8 +474,9 @@ def catalog_ann_ivf_partitioned_probe(spark: SparkSession, sf_dir: str) -> DataF
     q = qd.select(
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("qe"),
+        _prenorm("e").alias("qn"),
         F.explode(F.slice(F.array_sort(dist_structs), 1, _NPROBE)).alias("p"),
-    ).select("query_id", "qe", F.col("p.cluster").alias("probe_cluster"))
+    ).select("query_id", "qe", "qn", F.col("p.cluster").alias("probe_cluster"))
 
     # the probed clusters (<= k distinct values — bounded driver pull, like
     # the centroids themselves)
@@ -482,11 +497,14 @@ def catalog_ann_ivf_partitioned_probe(spark: SparkSession, sf_dir: str) -> DataF
     assert planned == {store.resolve(r) for r in rels}, "partition plan mismatch"
     assert _tm.PLANNING_FOOTER_READS == before, "partition planning opened a footer"
     corpus = t.to_df(spark, file_subset=rels).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ne"), "cluster"
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("e").alias("ne"),
+        "cluster",
+        _prenorm("e").alias("nn"),
     )
 
-    norm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))  # noqa: E731
-    cos = F.round(_dot(F.col("qe"), F.col("ne")) / (norm(F.col("qe")) * norm(F.col("ne"))), 6)
+    # per-row norms precomputed before the pair join (r17) -- bit-identical
+    cos = F.round(_dot(F.col("qe"), F.col("ne")) / (F.col("qn") * F.col("nn")), 6)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
         F.broadcast(q)
@@ -802,19 +820,21 @@ def catalog_ann_dv_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert len(t.metadata.current_deletion_vectors()) >= 1
 
     corpus = t.to_df(spark).select(
-        F.col("vec_id").alias("neighbor_id"), _vec("embedding").alias("ne")
+        F.col("vec_id").alias("neighbor_id"),
+        _vec("embedding").alias("ne"),
+        _prenorm_expr(_vec("embedding")).alias("nn"),
     )
     q = (
         load(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < 10)
-        .select(F.col("vec_id").alias("query_id"), _vec("embedding").alias("qe"))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            _vec("embedding").alias("qe"),
+            _prenorm_expr(_vec("embedding")).alias("qn"),
+        )
     )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
-    )
-    cos = F.round(
-        _dot(F.col("qe"), F.col("ne")) / (norm(F.col("qe")) * norm(F.col("ne"))), 6
-    )
+    # per-row norms precomputed before the pair join (r17) -- bit-identical
+    cos = F.round(_dot(F.col("qe"), F.col("ne")) / (F.col("qn") * F.col("nn")), 6)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )

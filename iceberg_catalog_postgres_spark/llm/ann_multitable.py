@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from iceberg_catalog_postgres_spark.llm.similarity import N_QUERIES, TOP_K, _dot, _vec
+from iceberg_catalog_postgres_spark.llm.similarity import N_QUERIES, TOP_K, _dot, _norm, _vec
 from iceberg_catalog_postgres_spark.registry import load_parallel, register
 
 N_TABLES = 4
@@ -91,10 +91,10 @@ def sim_ann_multitable_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand = c if cand is None else cand.unionByName(c)
     cand = cand.distinct()
 
-    qe = sig.select(F.col("vec_id").alias("qid"), F.col("e").alias("qe"))
-    ne = sig.select(F.col("vec_id").alias("nid"), F.col("e").alias("ne"))
-    norm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))  # noqa: E731
-    cos = F.round(_dot(F.col("qe"), F.col("ne")) / (norm(F.col("qe")) * norm(F.col("ne"))), 6)
+    qe = sig.select(F.col("vec_id").alias("qid"), F.col("e").alias("qe"), _norm("e").alias("qn"))
+    ne = sig.select(F.col("vec_id").alias("nid"), F.col("e").alias("ne"), _norm("e").alias("nn"))
+    # per-row norms precomputed before the pair join (r17) -- bit-identical
+    cos = F.round(_dot(F.col("qe"), F.col("ne")) / (F.col("qn") * F.col("nn")), 6)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
         cand.join(qe, cand.query_id == qe.qid)
@@ -187,15 +187,17 @@ def sim_ann_combined_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in range(N_TABLES):
         sig = sig.withColumn(f"b{t}", _bucket_col_p(F.col("e"), t, N_PLANES))
 
-    norm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))  # noqa: E731
-    cos = F.round(_dot(F.col("qe"), F.col("ne")) / (norm(F.col("qe")) * norm(F.col("ne"))), 6)
+    # per-row norms precomputed before the pair joins (r17) -- bit-identical
+    cos = F.round(_dot(F.col("qe"), F.col("ne")) / (F.col("qn") * F.col("nn")), 6)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
 
     # brute-force ground truth (queries broadcast; corpus scanned once)
     q_e = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), _norm("e").alias("qn")
     )
-    corpus_e = e.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ne"))
+    corpus_e = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ne"), _norm("e").alias("nn")
+    )
     brute = (
         F.broadcast(q_e)
         .join(corpus_e, F.col("query_id") != F.col("neighbor_id"))
@@ -224,8 +226,8 @@ def sim_ann_combined_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand = c if cand is None else cand.unionByName(c)
     cand = cand.distinct()
 
-    qe = e.select(F.col("vec_id").alias("qid"), F.col("e").alias("qe"))
-    ne = e.select(F.col("vec_id").alias("nid"), F.col("e").alias("ne"))
+    qe = e.select(F.col("vec_id").alias("qid"), F.col("e").alias("qe"), _norm("e").alias("qn"))
+    ne = e.select(F.col("vec_id").alias("nid"), F.col("e").alias("ne"), _norm("e").alias("nn"))
     approx = (
         cand.join(qe, cand.query_id == qe.qid)
         .join(ne, cand.neighbor_id == ne.nid)

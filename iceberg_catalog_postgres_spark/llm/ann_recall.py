@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from iceberg_catalog_postgres_spark.llm.similarity import N_QUERIES, TOP_K, _dot, _vec
+from iceberg_catalog_postgres_spark.llm.similarity import N_QUERIES, TOP_K, _dot, _norm, _vec
 from iceberg_catalog_postgres_spark.registry import load_parallel, register
 
 _BRUTE_SQL = f"""
@@ -79,25 +79,34 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))  # noqa: E731
 
     def topk(corpus_with_bucket: bool) -> DataFrame:
+        # per-row norms precomputed before the pair join (r17) -- bit-identical
         if corpus_with_bucket:
             sig = e.withColumn("bucket", _bucket_col(F.col("e"), 0, 4))
             q = sig.filter(F.col("vec_id") < N_QUERIES).select(
-                F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("bucket").alias("qb")
+                F.col("vec_id").alias("query_id"),
+                F.col("e").alias("qe"),
+                F.col("bucket").alias("qb"),
+                _norm("e").alias("qn"),
             )
             corpus = sig.select(
-                F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ne"), F.col("bucket").alias("nb")
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("e").alias("ne"),
+                F.col("bucket").alias("nb"),
+                _norm("e").alias("nn"),
             )
             joined = q.join(
                 corpus, (F.col("qb") == F.col("nb")) & (F.col("query_id") != F.col("neighbor_id"))
             )
         else:
             q = e.filter(F.col("vec_id") < N_QUERIES).select(
-                F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+                F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), _norm("e").alias("qn")
             )
-            corpus = e.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ne"))
+            corpus = e.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ne"), _norm("e").alias("nn")
+            )
             joined = F.broadcast(q).join(corpus, F.col("query_id") != F.col("neighbor_id"))
 
-        cos = F.round(_dot(F.col("qe"), F.col("ne")) / (norm(F.col("qe")) * norm(F.col("ne"))), 6)
+        cos = F.round(_dot(F.col("qe"), F.col("ne")) / (F.col("qn") * F.col("nn")), 6)
         w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
         return (
             joined.select("query_id", "neighbor_id", cos.alias("cosine"))
@@ -174,14 +183,20 @@ def embed_truncate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))  # noqa: E731
 
     def brute_topk(prefix_dim: int | None) -> DataFrame:
+        # slice (a per-row op) and the norm of the slice are both computed
+        # BEFORE the pair join (r17) -- bit-identical, one fold per pair
+        sl = (lambda c: F.slice(c, 1, prefix_dim)) if prefix_dim is not None else (lambda c: c)
         q = e.filter(F.col("vec_id") < N_QUERIES).select(
-            F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+            F.col("vec_id").alias("query_id"),
+            sl(F.col("e")).alias("qe"),
+            norm(sl(F.col("e"))).alias("qn"),
         )
-        corpus = e.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ne"))
-        qe, ne = F.col("qe"), F.col("ne")
-        if prefix_dim is not None:
-            qe, ne = F.slice(qe, 1, prefix_dim), F.slice(ne, 1, prefix_dim)
-        cos = F.round(_dot(qe, ne) / (norm(qe) * norm(ne)), 6)
+        corpus = e.select(
+            F.col("vec_id").alias("neighbor_id"),
+            sl(F.col("e")).alias("ne"),
+            norm(sl(F.col("e"))).alias("nn"),
+        )
+        cos = F.round(_dot(F.col("qe"), F.col("ne")) / (F.col("qn") * F.col("nn")), 6)
         w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
         return (
             F.broadcast(q)
@@ -281,20 +296,28 @@ def sim_ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_parallel(spark, sf_dir, "embeddings").select("vec_id", _vec("embedding").alias("e"))
     sig = e.withColumn("bucket", _bucket_col(F.col("e"), 0, 4))
-    norm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))  # noqa: E731
-    corpus = sig.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ne"), F.col("bucket").alias("nb"))
+    # per-row norms precomputed before the pair joins (r17) -- bit-identical
+    corpus = sig.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("e").alias("ne"),
+        F.col("bucket").alias("nb"),
+        _norm("e").alias("nn"),
+    )
 
     def topk(mode: str) -> DataFrame:
         if mode == "brute":
             q = e.filter(F.col("vec_id") < N_QUERIES).select(
-                F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+                F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), _norm("e").alias("qn")
             )
             joined = F.broadcast(q).join(
                 corpus.drop("nb"), F.col("query_id") != F.col("neighbor_id")
             )
         elif mode == "single":
             q = sig.filter(F.col("vec_id") < N_QUERIES).select(
-                F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("bucket").alias("pb")
+                F.col("vec_id").alias("query_id"),
+                F.col("e").alias("qe"),
+                F.col("bucket").alias("pb"),
+                _norm("e").alias("qn"),
             )
             joined = q.join(
                 corpus, (F.col("pb") == F.col("nb")) & (F.col("query_id") != F.col("neighbor_id"))
@@ -303,6 +326,7 @@ def sim_ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             q = sig.filter(F.col("vec_id") < N_QUERIES).select(
                 F.col("vec_id").alias("query_id"),
                 F.col("e").alias("qe"),
+                _norm("e").alias("qn"),
                 F.explode(
                     F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in _PROBE_MASKS])
                 ).alias("pb"),
@@ -310,7 +334,7 @@ def sim_ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             joined = q.join(
                 corpus, (F.col("pb") == F.col("nb")) & (F.col("query_id") != F.col("neighbor_id"))
             )
-        cos = F.round(_dot(F.col("qe"), F.col("ne")) / (norm(F.col("qe")) * norm(F.col("ne"))), 6)
+        cos = F.round(_dot(F.col("qe"), F.col("ne")) / (F.col("qn") * F.col("nn")), 6)
         w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
         return (
             joined.select("query_id", "neighbor_id", cos.alias("cosine"))

@@ -53,13 +53,24 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     sig = e.withColumn("bucket", _bucket_col(F.col("e"), 7, N_PLANES))
-    a = sig.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), F.col("bucket").alias("ba"))
-    b = sig.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"), F.col("bucket").alias("bb"))
-    dot = F.aggregate(F.zip_with(F.col("ea"), F.col("eb"), lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
     norm = lambda c: F.sqrt(  # noqa: E731
         F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
     )
-    cos = dot / (norm(F.col("ea")) * norm(F.col("eb")))
+    # per-row norms precomputed before the pair join (r17) — bit-identical
+    a = sig.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("e").alias("ea"),
+        F.col("bucket").alias("ba"),
+        norm(F.col("e")).alias("na"),
+    )
+    b = sig.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("e").alias("eb"),
+        F.col("bucket").alias("bb"),
+        norm(F.col("e")).alias("nb_"),
+    )
+    dot = F.aggregate(F.zip_with(F.col("ea"), F.col("eb"), lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+    cos = dot / (F.col("na") * F.col("nb_"))
     return (
         a.join(b, (F.col("ba") == F.col("bb")) & (F.col("vec_a") < F.col("vec_b")))
         .filter(cos > THRESHOLD)

@@ -27,6 +27,15 @@ def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 
+def _norm(col: str):
+    """L2 norm of an array column — fold squares left-to-right in float64,
+    the same element order as ``_dot``, so precomputing it per row is
+    bit-identical to folding it per pair."""
+    return F.sqrt(
+        F.aggregate(F.transform(F.col(col), lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+
+
 _DOT_SQL = "list_sum(list_transform(range(1, 65), i -> qa.e[i] * db.e[i]))"
 _NORM_SQL = "sqrt(list_sum(list_transform({v}.e, x -> x * x)))"
 
@@ -66,12 +75,19 @@ def sim_cosine_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     path.
     """
     e = load(spark, sf_dir, "embeddings").select("vec_id", _vec("embedding").alias("e"))
+    # Norms are per-ROW quantities: compute them once per vector BEFORE the
+    # pair join instead of re-folding the 64-element array twice per PAIR
+    # (r17, guide §2.3/§1.2 — same expression over the same input, so the
+    # doubles, and therefore the rounded cosines, are bit-identical; the
+    # per-pair work drops from 3 array folds to 1). At |Q| queries this
+    # saves 2|Q| array folds per corpus row.
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), _norm("e").alias("qn")
     )
-    corpus = e.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ne"))
-    norm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))  # noqa: E731
-    cos = F.round(_dot(F.col("qe"), F.col("ne")) / (norm(F.col("qe")) * norm(F.col("ne"))), 6)
+    corpus = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ne"), _norm("e").alias("nn")
+    )
+    cos = F.round(_dot(F.col("qe"), F.col("ne")) / (F.col("qn") * F.col("nn")), 6)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
         F.broadcast(q)
@@ -124,11 +140,19 @@ def sim_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sig = e.withColumn("bucket", _bucket_col(F.col("e"), 0, 4))
     q = sig.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("bucket").alias("qb")
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("bucket").alias("qb"),
+        _norm("e").alias("qn"),
     )
-    corpus = sig.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ne"), F.col("bucket").alias("nb"))
-    norm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))  # noqa: E731
-    cos = F.round(_dot(F.col("qe"), F.col("ne")) / (norm(F.col("qe")) * norm(F.col("ne"))), 6)
+    corpus = sig.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("e").alias("ne"),
+        F.col("bucket").alias("nb"),
+        _norm("e").alias("nn"),
+    )
+    # per-row norms precomputed before the pair join (r17) — bit-identical
+    cos = F.round(_dot(F.col("qe"), F.col("ne")) / (F.col("qn") * F.col("nn")), 6)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
         q.join(corpus, (F.col("qb") == F.col("nb")) & (F.col("query_id") != F.col("neighbor_id")))
@@ -188,13 +212,19 @@ def sim_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = sig.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("qe"),
+        _norm("e").alias("qn"),
         F.explode(
             F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in _PROBE_MASKS])
         ).alias("pb"),
     )
-    corpus = sig.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ne"), F.col("bucket").alias("nb"))
-    norm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))  # noqa: E731
-    cos = F.round(_dot(F.col("qe"), F.col("ne")) / (norm(F.col("qe")) * norm(F.col("ne"))), 6)
+    corpus = sig.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("e").alias("ne"),
+        F.col("bucket").alias("nb"),
+        _norm("e").alias("nn"),
+    )
+    # per-row norms precomputed before the pair join (r17) — bit-identical
+    cos = F.round(_dot(F.col("qe"), F.col("ne")) / (F.col("qn") * F.col("nn")), 6)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
         q.join(corpus, (F.col("pb") == F.col("nb")) & (F.col("query_id") != F.col("neighbor_id")))
@@ -245,13 +275,21 @@ def sim_label_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = load_parallel(spark, sf_dir, "embeddings").select("vec_id", "label", _vec("embedding").alias("e"))
     sig = v.withColumn("bucket", _bucket_col(F.col("e"), _LABEL_LSH_TABLE, _LABEL_LSH_PLANES))
     a = sig.select(
-        F.col("vec_id").alias("va"), F.col("label"), F.col("e").alias("ea"), F.col("bucket").alias("ba")
+        F.col("vec_id").alias("va"),
+        F.col("label"),
+        F.col("e").alias("ea"),
+        F.col("bucket").alias("ba"),
+        _norm("e").alias("na"),
     )
     b = sig.select(
-        F.col("vec_id").alias("vb"), F.col("label").alias("lb"), F.col("e").alias("eb"), F.col("bucket").alias("bb")
+        F.col("vec_id").alias("vb"),
+        F.col("label").alias("lb"),
+        F.col("e").alias("eb"),
+        F.col("bucket").alias("bb"),
+        _norm("e").alias("nb_"),
     )
-    norm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a_, x: a_ + x))  # noqa: E731
-    cos = _dot(F.col("ea"), F.col("eb")) / (norm(F.col("ea")) * norm(F.col("eb")))
+    # per-row norms precomputed before the pair join (r17) — bit-identical
+    cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb_"))
     return (
         a.join(
             b,
@@ -455,7 +493,10 @@ def sim_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = load(spark, sf_dir, "embeddings").select("vec_id", _vec("embedding").alias("e"))
     cents = _ivf_final_centroids(v)
     assigned = _ivf_assign(v, cents).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ne"), "cluster"
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("e").alias("ne"),
+        "cluster",
+        _norm("e").alias("nn"),
     )
 
     qd = _ivf_assign(v.filter(F.col("vec_id") < N_QUERIES), cents)
@@ -471,11 +512,12 @@ def sim_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = qd.select(
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("qe"),
+        _norm("e").alias("qn"),
         F.explode(F.slice(F.array_sort(dist_structs), 1, _NPROBE)).alias("p"),
-    ).select("query_id", "qe", F.col("p.cluster").alias("probe_cluster"))
+    ).select("query_id", "qe", "qn", F.col("p.cluster").alias("probe_cluster"))
 
-    norm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))  # noqa: E731
-    cos = F.round(_dot(F.col("qe"), F.col("ne")) / (norm(F.col("qe")) * norm(F.col("ne"))), 6)
+    # per-row norms precomputed before the pair join (r17) — bit-identical
+    cos = F.round(_dot(F.col("qe"), F.col("ne")) / (F.col("qn") * F.col("nn")), 6)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
         F.broadcast(q)
