@@ -273,17 +273,39 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = bucket_candidate_pairs(bands, MAX_BUCKET)
 
     shset = base.select("doc_id", F.col("shingles").alias("s"))
-    jac = (
-        F.size(F.array_intersect(F.col("sa.s"), F.col("sb.s"))).cast("double")
-        / F.size(F.array_union(F.col("sa.s"), F.col("sb.s")))
+    # Exact-Jaccard verify in ONE corpus pass (r17; was two): the old shape
+    # broadcast-joined shset once per pair SIDE, so the corpus was scanned
+    # (and shingled) twice more. Unpivot each candidate pair into two
+    # (pair, role, doc) rows, broadcast THAT against a single shset stream,
+    # and reassemble the two shingle sets with a groupBy over O(candidates)
+    # rows — the only shuffle ships candidate docs' shingle arrays, never
+    # the corpus. first(when(role...), ignorenulls) is deterministic: each
+    # (pair, role) matches exactly one corpus row.
+    cand_long = cand.select(
+        "doc_a",
+        "doc_b",
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_a").alias("d"), F.lit("a").alias("role")),
+                F.struct(F.col("doc_b").alias("d"), F.lit("b").alias("role")),
+            )
+        ).alias("m"),
+    ).select("doc_a", "doc_b", F.col("m.d").alias("d"), F.col("m.role").alias("role"))
+    pairs = (
+        F.broadcast(cand_long)
+        .join(shset, F.col("d") == F.col("doc_id"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.first(F.when(F.col("role") == "a", F.col("s")), ignorenulls=True).alias("sa_s"),
+            F.first(F.when(F.col("role") == "b", F.col("s")), ignorenulls=True).alias("sb_s"),
+        )
     )
-    # cand is tiny relative to the corpus: broadcast it so the verify joins
-    # stream shset once with no shuffle.
+    jac = (
+        F.size(F.array_intersect(F.col("sa_s"), F.col("sb_s"))).cast("double")
+        / F.size(F.array_union(F.col("sa_s"), F.col("sb_s")))
+    )
     return (
-        F.broadcast(cand)
-        .join(shset.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
-        .join(shset.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
-        .filter(jac >= JACCARD_THRESHOLD)
+        pairs.filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
 

@@ -53,13 +53,27 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     return deco
 
 
+#: (sf_dir, table) -> StructType, inferred ONCE per process. Schema
+#: inference is a driver-blocking footer-read job (~70-100 ms per
+#: spark.read.parquet call measured at r17); the fixtures' schemas are
+#: immutable, and a real engine reads schemas from catalog METADATA (this
+#: repo's own catalog stores them in the table document) rather than
+#: re-inferring per query — at 100 TB inference means listing + sampling
+#: files. Metadata only: no rows, statistics, or results are memoized;
+#: every query still computes from the parquet inputs.
+_SCHEMA_CACHE: dict = {}
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Scan one fixture table.
 
     Parquet scan is the base of every plan: Catalyst pushes filters and prunes
     columns into this scan (visible as PushedFilters / ReadSchema in
     ``.explain``), so at 100 TB only the referenced columns and matching
-    row-groups are read.
+    row-groups are read. The declared schema comes from a per-process cache
+    (first use infers from the footer, like a catalog populating its
+    metadata once at table creation) so repeated reads skip the
+    driver-blocking inference job — the metastore-read shape.
 
     ``events.ts`` is TIMESTAMP(NANOS) in the footer. Depending on the Spark
     build this arrives either as a nanosecond epoch long (older readers with
@@ -75,10 +89,17 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         # runtime-settable. nanosAsLong is required or the TIMESTAMP(NANOS)
         # footer fails to read; UTC pins the rendering of the converted
         # (timezone-aware) ts column so window/date_format output is
-        # deterministic regardless of host timezone.
+        # deterministic regardless of host timezone. Set BEFORE the first
+        # (schema-inferring) read — the cached schema depends on it.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    path = f"{sf_dir}/{table}.parquet"
+    schema = _SCHEMA_CACHE.get((sf_dir, table))
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[(sf_dir, table)] = df.schema
+    else:
+        df = spark.read.schema(schema).parquet(path)
     if table == "events":
         df = normalize_events_ts(df)
     return df
