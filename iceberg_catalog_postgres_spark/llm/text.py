@@ -342,7 +342,13 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     between this shape and per-stage .count() calls is two extra full
     corpus scans per run. Only (hash, lang) shuffles; text never moves.
     """
-    d = load_parallel(spark, sf_dir, "documents")
+    # plain load (r17; was load_parallel): the per-row work here is one
+    # split + md5 — too cheap to amortize a full-corpus repartition
+    # shuffle, which interleaved A/B measured as a pure loss (best-of-4
+    # 0.83-1.10 s with the 32-way repartition vs 0.50-0.59 s without,
+    # identical output). At 100 TB scan parallelism comes from row-group
+    # splits for free; the repartition was never the scale path.
+    d = load(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     n_words = F.size(toks)
     frac_distinct = F.size(F.array_distinct(toks)).cast("double") / n_words
