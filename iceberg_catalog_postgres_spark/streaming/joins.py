@@ -121,7 +121,7 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark passes ts + 10 minutes. This is THE canonical stateful
     streaming join.
     """
-    from iceberg_catalog_postgres_spark.streaming.windows import _read_event_stream
+    from iceberg_catalog_postgres_spark.streaming.windows import _read_event_stream, stream_state_width
 
     s = _read_event_stream(spark, sf_dir)
     err = (
@@ -146,14 +146,15 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     name = f"sink_{uuid.uuid4().hex[:12]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+    with stream_state_width(spark, f"{sf_dir}/events.parquet"):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
     return (
         spark.table(name)
         .groupBy("user_id")
@@ -209,7 +210,7 @@ def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
     unmatched emissions. Without the interval bound this join cannot run
     at 100 TB; with it, state is O(events in the 40-minute window).
     """
-    from iceberg_catalog_postgres_spark.streaming.windows import _read_event_stream
+    from iceberg_catalog_postgres_spark.streaming.windows import _read_event_stream, stream_state_width
 
     # The outer join's global watermark is the MIN over both inputs'
     # watermarks, so the certified horizon keys on the earlier of the two
@@ -246,14 +247,15 @@ def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
     name = f"sink_{uuid.uuid4().hex[:12]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+    with stream_state_width(spark, f"{sf_dir}/events.parquet"):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
     return (
         spark.table(name)
         .filter(F.col("ets_ms") < F.lit(cutoff_ms))
@@ -318,7 +320,7 @@ def stream_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
     BOTH sides, plus tombstone passes for the two unmatched categories —
     O(events in the eviction window), never O(stream).
     """
-    from iceberg_catalog_postgres_spark.streaming.windows import _read_event_stream
+    from iceberg_catalog_postgres_spark.streaming.windows import _read_event_stream, stream_state_width
 
     ev = load(spark, sf_dir, "events")
     mx = (
@@ -352,14 +354,15 @@ def stream_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
     name = f"sink_{uuid.uuid4().hex[:12]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+    with stream_state_width(spark, f"{sf_dir}/events.parquet"):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
     anchor_ok = F.when(
         F.col("ets_ms").isNotNull(), F.col("ets_ms") < F.lit(cutoff_ms)
     ).otherwise(F.col("pts_ms") < F.lit(cutoff_ms))

@@ -20,6 +20,7 @@ unboundedly at 100 TB/day.
 from __future__ import annotations
 
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -163,11 +164,62 @@ def _read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver-created sessions may lack these (see registry.load)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    from iceberg_catalog_postgres_spark.registry import normalize_events_ts
+    from iceberg_catalog_postgres_spark.registry import (
+        _SCHEMA_CACHE,
+        load,
+        normalize_events_ts,
+    )
 
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # raw footer schema from the per-process cache (r17): readStream needs
+    # the pre-normalization schema, which load() caches on first use
+    schema = _SCHEMA_CACHE.get((sf_dir, "events"))
+    if schema is None:
+        load(spark, sf_dir, "events")
+        schema = _SCHEMA_CACHE[(sf_dir, "events")]
     raw = spark.readStream.schema(schema).parquet(_stream_source_dir(sf_dir))
     return normalize_events_ts(raw)
+
+
+def _input_bytes(*paths: str) -> int:
+    import os
+
+    total = 0
+    for p in paths:
+        if os.path.isdir(p):
+            for root, _dirs, files in os.walk(p, followlinks=True):
+                total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        elif os.path.exists(p):
+            total += os.path.getsize(p)
+    return total
+
+
+@contextmanager
+def stream_state_width(spark: SparkSession, *paths: str):
+    """Scale-adaptive shuffle width for STATEFUL STREAMING queries (r17,
+    guide §2): a stateful operator creates one state store per shuffle
+    partition and checkpoints each per micro-batch, and — unlike batch
+    exchanges — streaming plans cannot be AQE-coalesced, so the session's
+    initial ``spark.sql.shuffle.partitions`` is frozen into the query's
+    state layout at first start. Size it to the INPUT instead: ~32 MiB of
+    source per state partition, floor 1, capped at the session parallelism
+    (a 100 TB source saturates the cap, i.e. this never *reduces* width at
+    scale — it only stops tiny inputs from paying hundreds of state-store
+    checkpoints per micro-batch). Measured at sf0.01:
+    stream_stream_interval_join 10-19 s at width 32 vs 3.4 s sized.
+    Override via SPARK_GRAFT_STREAM_STATE_MB. Restores the session conf on
+    exit, so downstream batch plans (AQE-coalesced anyway) are untouched.
+    """
+    import os
+
+    per_part = int(os.environ.get("SPARK_GRAFT_STREAM_STATE_MB", "32")) << 20
+    cap = spark.sparkContext.defaultParallelism
+    width = max(1, min(cap, _input_bytes(*paths) // per_part + 1))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(width))
+    try:
+        yield width
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def _run_stream(spark: SparkSession, sf_dir: str, build) -> DataFrame:
@@ -176,14 +228,15 @@ def _run_stream(spark: SparkSession, sf_dir: str, build) -> DataFrame:
     (process-everything-then-stop), return the sink table."""
     out = build(_read_event_stream(spark, sf_dir))
     name = f"sink_{uuid.uuid4().hex[:12]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete" if out.isStreaming and _has_agg(out) else "append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+    with stream_state_width(spark, f"{sf_dir}/events.parquet"):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete" if out.isStreaming and _has_agg(out) else "append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
     return spark.table(name)
 
 
@@ -348,14 +401,15 @@ def stream_stateful_user_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     def run(spark_, sf_dir_):
         out = build(_read_event_stream(spark_, sf_dir_))
         name = f"sink_{uuid.uuid4().hex[:12]}"
-        q = (
-            out.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(120)
+        with stream_state_width(spark_, f"{sf_dir_}/events.parquet"):
+            q = (
+                out.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
         # Final state per user = the LAST update emitted. n_events is a
         # monotone per-key counter (each emission follows >=1 new row), so
         # the struct-max picks the latest row and takes total_value FROM that
@@ -459,14 +513,15 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = build(_read_event_stream(spark, sf_dir))
     name = f"sink_{uuid.uuid4().hex[:12]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+    with stream_state_width(spark, f"{sf_dir}/events.parquet"):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
     # n_events is a monotone per-key counter, so struct-max selects each
     # user's LAST emission and takes the totals from that same row (an
     # independent max(total_value) would break on negative event values).
