@@ -22,6 +22,7 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 from iceberg_catalog_postgres_spark.registry import load, register
+from iceberg_catalog_postgres_spark.streaming.windows import stream_state_width
 
 import os as _os_mod
 
@@ -571,16 +572,17 @@ def catalog_stream_source_tail_parallel(spark: SparkSession, sf_dir: str) -> Dat
         .load()
     )
     name = f"tailp_{_uuid.uuid4().hex[:12]}"
-    q = (
-        stream.groupBy(F.col("_snapshot_seq").alias("snapshot_seq"))
-        .agg(F.count(F.lit(1)).alias("n_rows"))
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+    with stream_state_width(spark, wh):
+        q = (
+            stream.groupBy(F.col("_snapshot_seq").alias("snapshot_seq"))
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
     return spark.table(name).orderBy("snapshot_seq")
 
 
@@ -2076,22 +2078,23 @@ def catalog_stream_changelog_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
     )
     name = f"cdc_{_uuid.uuid4().hex[:12]}"
-    q = (
-        stream.groupBy(
-            F.col("_snapshot_seq").alias("snapshot_seq"),
-            F.col("_change_type").alias("change_type"),
+    with stream_state_width(spark, wh):
+        q = (
+            stream.groupBy(
+                F.col("_snapshot_seq").alias("snapshot_seq"),
+                F.col("_change_type").alias("change_type"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("n_nationkey").alias("sum_key"),
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
         )
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum("n_nationkey").alias("sum_key"),
-        )
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+        q.awaitTermination(120)
     return spark.table(name).orderBy("snapshot_seq", "change_type")
 
 
@@ -2152,16 +2155,17 @@ def catalog_stream_source_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
     )
     name = f"tail_{_uuid.uuid4().hex[:12]}"
-    q = (
-        stream.groupBy(F.col("_snapshot_seq").alias("snapshot_seq"))
-        .agg(F.count(F.lit(1)).alias("n_rows"))
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+    with stream_state_width(spark, wh):
+        q = (
+            stream.groupBy(F.col("_snapshot_seq").alias("snapshot_seq"))
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
     return spark.table(name).orderBy("snapshot_seq")
 
 
@@ -2399,22 +2403,23 @@ def catalog_stream_changelog_cdc_parallel(spark: SparkSession, sf_dir: str) -> D
         .load()
     )
     name = f"cdcp_{_uuid.uuid4().hex[:12]}"
-    q = (
-        stream.groupBy(
-            F.col("_snapshot_seq").alias("snapshot_seq"),
-            F.col("_change_type").alias("change_type"),
+    with stream_state_width(spark, wh):
+        q = (
+            stream.groupBy(
+                F.col("_snapshot_seq").alias("snapshot_seq"),
+                F.col("_change_type").alias("change_type"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("n_nationkey").alias("sum_key"),
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
         )
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum("n_nationkey").alias("sum_key"),
-        )
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+        q.awaitTermination(120)
     return spark.table(name).orderBy("snapshot_seq", "change_type")
 
 
@@ -2501,20 +2506,21 @@ def catalog_stream_changelog_update_pairs(spark: SparkSession, sf_dir: str) -> D
         .load()
     )
     name = f"cdcm_{_uuid.uuid4().hex[:12]}"
-    q = (
-        stream.groupBy(
-            F.col("_snapshot_seq").alias("snapshot_seq"),
-            F.col("_change_type").alias("change_type"),
+    with stream_state_width(spark, wh):
+        q = (
+            stream.groupBy(
+                F.col("_snapshot_seq").alias("snapshot_seq"),
+                F.col("_change_type").alias("change_type"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("n_nationkey").alias("sum_key"),
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
         )
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum("n_nationkey").alias("sum_key"),
-        )
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+        q.awaitTermination(120)
     return spark.table(name).orderBy("snapshot_seq", "change_type")
