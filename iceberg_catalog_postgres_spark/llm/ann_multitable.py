@@ -74,7 +74,7 @@ def sim_ann_multitable_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sig = e
     for t in range(N_TABLES):
-        sig = sig.withColumn(f"b{t}", _bucket_col_p(F.col("e"), t, N_PLANES))
+        sig = sig.withColumn(f"b{t}", _bucket_col_p("e", t, N_PLANES))
 
     q = sig.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), *[F.col(f"b{t}").alias(f"qb{t}") for t in range(N_TABLES)]
@@ -185,7 +185,7 @@ def sim_ann_combined_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_parallel(spark, sf_dir, "embeddings").select("vec_id", _vec("embedding").alias("e"))
     sig = e
     for t in range(N_TABLES):
-        sig = sig.withColumn(f"b{t}", _bucket_col_p(F.col("e"), t, N_PLANES))
+        sig = sig.withColumn(f"b{t}", _bucket_col_p("e", t, N_PLANES))
 
     # per-row norms precomputed before the pair joins (r17) -- bit-identical
     cos = F.round(_dot(F.col("qe"), F.col("ne")) / (F.col("qn") * F.col("nn")), 6)

@@ -81,7 +81,7 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     def topk(corpus_with_bucket: bool) -> DataFrame:
         # per-row norms precomputed before the pair join (r17) -- bit-identical
         if corpus_with_bucket:
-            sig = e.withColumn("bucket", _bucket_col(F.col("e"), 0, 4))
+            sig = e.withColumn("bucket", _bucket_col("e", 0, 4))
             q = sig.filter(F.col("vec_id") < N_QUERIES).select(
                 F.col("vec_id").alias("query_id"),
                 F.col("e").alias("qe"),
@@ -295,7 +295,7 @@ def sim_ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_catalog_postgres_spark.llm.similarity import _PROBE_MASKS
 
     e = load_parallel(spark, sf_dir, "embeddings").select("vec_id", _vec("embedding").alias("e"))
-    sig = e.withColumn("bucket", _bucket_col(F.col("e"), 0, 4))
+    sig = e.withColumn("bucket", _bucket_col("e", 0, 4))
     # per-row norms precomputed before the pair joins (r17) -- bit-identical
     corpus = sig.select(
         F.col("vec_id").alias("neighbor_id"),

@@ -454,8 +454,16 @@ def sim_ann_scale_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = base.select(
         "vec_id", F.transform("e", lambda x: x.cast("double")).alias("e")
     )
-    rows = []
-    for scale_x, n_planes, k in _CONFIGS:
+
+    def _one_scale(cfg):
+        # NOTE (r17): running the two arms from a thread pool was measured
+        # ~20% faster but OOMs the driver-contract session (vanilla 1g
+        # heap) when the full ANN family runs back-to-back — two arms of
+        # concurrent codegen + localCheckpoint blocks exceed the headroom.
+        # Arms therefore run sequentially; the in-arm codebook builds
+        # still overlap (guide §2.6) inside _build_books.
+        scale_x, n_planes, k = cfg
+        rows = []
         v = base if scale_x == 1 else _doubled(base)
         # Iterative-algorithm lineage cuts (the k-means/codebook builds and
         # six downstream rankings would otherwise each re-embed the whole
@@ -473,7 +481,7 @@ def sim_ann_scale_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         brute_l2 = ckpt(_topk(_all_pairs(v), _l2, desc=False))
 
         # LSH: same-bucket candidates, cosine re-rank
-        sig = v.withColumn("bucket", bucket_col(F.col("e"), 0, n_planes))
+        sig = v.withColumn("bucket", bucket_col("e", 0, n_planes))
         q = sig.filter(F.col("vec_id") < N_QUERIES).select(
             F.col("vec_id").alias("query_id"), F.col("e").alias("qe"),
             F.col("bucket").alias("qb"),
@@ -530,6 +538,9 @@ def sim_ann_scale_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows.append(_summary("ivfpq", scale_x, corpus_n, brute_l2,
                              ckpt(pq_top), cand).first())
+        return rows
+
+    rows = [r for cfg in _CONFIGS for r in _one_scale(cfg)]
 
     res = spark.createDataFrame(
         rows,

@@ -31,18 +31,27 @@ def plane(table: int, j: int) -> tuple[int, ...]:
     )
 
 
-def bucket_col(e_col, table: int, n_planes: int):
-    """Spark Column: bucket id in [0, 2^n_planes) for vector column e_col."""
+def bucket_col(e_sql, table: int, n_planes: int):
+    """Spark Column: bucket id in [0, 2^n_planes) for the vector column
+    named/expressed by ``e_sql`` (a SQL string, e.g. "e"). Built as ONE
+    parsed SQL expression (r17): the per-plane lambda-Column form paid ~3
+    py4j lambda round trips per plane just to construct the plan; expr()
+    parses the same aggregate/zip_with functions JVM-side in one call.
+    Evaluation — fold order, doubles, sign test — is identical. A Column
+    argument (the pre-r17 signature) is rejected loudly."""
     from pyspark.sql import functions as F
 
-    total = F.lit(0)
+    if not isinstance(e_sql, str):
+        raise TypeError("bucket_col takes the vector column as a SQL string, e.g. 'e'")
+    terms = []
     for j in range(n_planes):
-        lit_plane = F.array(*[F.lit(float(x)) for x in plane(table, j)])
-        proj = F.aggregate(
-            F.zip_with(e_col, lit_plane, lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x
+        arr = ",".join(repr(float(x)) + "D" for x in plane(table, j))
+        proj = (
+            f"aggregate(zip_with({e_sql}, array({arr}), (a, b) -> a * b), "
+            f"0.0D, (s, x) -> s + x)"
         )
-        total = total + F.when(proj > 0, F.lit(2**j)).otherwise(F.lit(0))
-    return total
+        terms.append(f"(CASE WHEN {proj} > 0.0D THEN {2 ** j} ELSE 0 END)")
+    return F.expr("(" + " + ".join(terms) + ")")
 
 
 def bucket_sql(e_expr: str, table: int, n_planes: int) -> str:

@@ -52,7 +52,7 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("e")
     )
 
-    sig = e.withColumn("bucket", _bucket_col(F.col("e"), 7, N_PLANES))
+    sig = e.withColumn("bucket", _bucket_col("e", 7, N_PLANES))
     norm = lambda c: F.sqrt(  # noqa: E731
         F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
     )

@@ -42,31 +42,46 @@ def _sub_slice(m: int):
     return F.slice(F.col("e"), m * SUB_DIM + 1, SUB_DIM)
 
 
-def _sq_dist_cols(cents: list[list[float]], src=None):
-    """Per-centroid squared-distance columns over the subvector ``s``."""
-    if src is None:
-        src = F.col("s")
+def _sub_slice_sql(m: int) -> str:
+    return f"slice(e, {m * SUB_DIM + 1}, {SUB_DIM})"
+
+
+def _dist_literal_sql(src_sql: str, ce: list[float]) -> str:
+    """Squared distance of ``src_sql`` to a literal centroid as ONE SQL
+    expression string (r17): the lambda-Column form cost ~25 ms of py4j
+    round trips PER aggregate/zip_with lambda, so a 16-centroid distance
+    block took seconds of driver time just to CONSTRUCT. expr() parses the
+    same functions JVM-side in one call (~40x faster measured) and
+    evaluates identically — same fold order, same doubles (repr() emits
+    the shortest round-tripping literal; Spark parses it to the same
+    bits)."""
+    arr = ",".join(repr(float(x)) + "D" for x in ce)
+    return (
+        f"aggregate(zip_with({src_sql}, array({arr}), "
+        f"(a, b) -> (a - b) * (a - b)), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _sq_dist_cols(cents: list[list[float]], src: str | None = None):
+    """Per-centroid squared-distance columns over the subvector ``s``
+    (``src``: optional SQL expression replacing the default column)."""
+    src_sql = "s" if src is None else src
     return [
-        F.aggregate(
-            F.zip_with(
-                src,
-                F.array(*[F.lit(float(x)) for x in ce]),
-                lambda a, b: (a - b) * (a - b),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ).alias(f"d{ci}")
+        F.expr(_dist_literal_sql(src_sql, ce)).alias(f"d{ci}")
         for ci, ce in enumerate(cents)
     ]
 
 
 def _assign_code(sub: DataFrame, cents: list[list[float]]) -> DataFrame:
-    """(vec_id, s) -> (vec_id, code): argmin over the codebook, first-min
-    tie-break = lowest code (mirrors the oracle's dist asc, code asc)."""
+    """(vec_id, s) -> (vec_id, s, code): argmin over the codebook, first-min
+    tie-break = lowest code (mirrors the oracle's dist asc, code asc).
+    ``s`` rides along (r17): the assignment is a pure map-side projection,
+    so keeping the subvector costs nothing and spares the Lloyd update its
+    former per-iteration join back to ``sub``."""
     with_d = sub.select("vec_id", "s", *_sq_dist_cols(cents))
     arr = F.array(*[F.col(f"d{ci}") for ci in range(len(cents))])
     return with_d.select(
-        "vec_id", (F.array_position(arr, F.array_min(arr)) - 1).alias("code")
+        "vec_id", "s", (F.array_position(arr, F.array_min(arr)) - 1).alias("code")
     )
 
 
@@ -82,7 +97,7 @@ def _codebook(sub: DataFrame) -> list[list[float]]:
         )
     ]
     for _ in range(2):
-        assigned = _assign_code(sub, cents).join(sub, "vec_id")
+        assigned = _assign_code(sub, cents)
         rows = (
             assigned.groupBy("code")
             .agg(
@@ -223,10 +238,19 @@ def _load_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _build_books(e: DataFrame) -> list[list[list[float]]]:
-    """Per-subspace codebooks; driver holds M*K*SUB_DIM doubles."""
-    return [
-        _codebook(e.select("vec_id", _sub_slice(m).alias("s"))) for m in range(M_SUB)
-    ]
+    """Per-subspace codebooks; driver holds M*K*SUB_DIM doubles.
+
+    The M_SUB Lloyd's builds are INDEPENDENT, so they run from a driver
+    thread pool (r17, guide §2.6 — overlap independent jobs): each build is
+    a short chain of small collects whose tail leaves the cluster idle;
+    concurrent submission back-fills it. Results are unchanged — each
+    codebook's iteration chain is untouched and pool.map preserves subspace
+    order."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    subs = [e.select("vec_id", _sub_slice(m).alias("s")) for m in range(M_SUB)]
+    with ThreadPoolExecutor(max_workers=M_SUB) as pool:
+        return list(pool.map(_codebook, subs))
 
 
 def _encode(e: DataFrame, books) -> DataFrame:
@@ -234,7 +258,7 @@ def _encode(e: DataFrame, books) -> DataFrame:
     tie-break = lowest code, mirroring the oracle)."""
     enc = e
     for m in range(M_SUB):
-        darr = F.array(*[x for x in _sq_dist_cols(books[m], src=_sub_slice(m))])
+        darr = F.array(*[x for x in _sq_dist_cols(books[m], src=_sub_slice_sql(m))])
         enc = enc.withColumn(f"code{m}", F.array_position(darr, F.array_min(darr)) - 1)
     return enc.select("vec_id", *[f"code{m}" for m in range(M_SUB)])
 

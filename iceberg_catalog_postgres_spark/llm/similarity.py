@@ -138,7 +138,7 @@ def sim_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_parallel(spark, sf_dir, "embeddings").select("vec_id", _vec("embedding").alias("e"))
 
-    sig = e.withColumn("bucket", _bucket_col(F.col("e"), 0, 4))
+    sig = e.withColumn("bucket", _bucket_col("e", 0, 4))
     q = sig.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("qe"),
@@ -208,7 +208,7 @@ def sim_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps the Spark plan shuffle-keyed (a theta-join would be BNLJ).
     """
     e = load(spark, sf_dir, "embeddings").select("vec_id", _vec("embedding").alias("e"))
-    sig = e.withColumn("bucket", _bucket_col(F.col("e"), 0, 4))
+    sig = e.withColumn("bucket", _bucket_col("e", 0, 4))
     q = sig.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("qe"),
@@ -273,7 +273,7 @@ def sim_label_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly, so the nested blocking itself is what gets certified.
     """
     v = load_parallel(spark, sf_dir, "embeddings").select("vec_id", "label", _vec("embedding").alias("e"))
-    sig = v.withColumn("bucket", _bucket_col(F.col("e"), _LABEL_LSH_TABLE, _LABEL_LSH_PLANES))
+    sig = v.withColumn("bucket", _bucket_col("e", _LABEL_LSH_TABLE, _LABEL_LSH_PLANES))
     a = sig.select(
         F.col("vec_id").alias("va"),
         F.col("label"),
@@ -357,12 +357,17 @@ _IVF_ORACLE = f"""
 def _ivf_assign(df: DataFrame, cents: list) -> DataFrame:
     """Map-side cluster assignment: per-centroid squared distances as
     literal-array folds (d0..d{k-1} columns) + argmin. No shuffle; the
-    centroids travel inside the plan as constants (k*dim doubles)."""
+    centroids travel inside the plan as constants (k*dim doubles). Built
+    as SQL expression strings (r17): the lambda-Column form paid ~3 py4j
+    lambda round trips per centroid to CONSTRUCT the plan — seconds of
+    driver time per assignment at k=16 — while expr() parses the same
+    functions JVM-side in one call; evaluation (fold order, doubles) is
+    identical."""
     dist_cols = [
-        F.aggregate(
-            F.zip_with(F.col("e"), F.array(*[F.lit(float(x)) for x in ce]), lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        F.expr(
+            "aggregate(zip_with(e, array("
+            + ",".join(repr(float(x)) + "D" for x in ce)
+            + "), (a, b) -> (a - b) * (a - b)), 0.0D, (acc, x) -> acc + x)"
         ).alias(f"d{ci}")
         for ci, (_, ce) in enumerate(cents)
     ]
