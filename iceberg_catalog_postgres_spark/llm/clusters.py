@@ -43,21 +43,29 @@ def connected_components(edges: DataFrame, max_iters: int = 10) -> DataFrame:
             .groupBy(F.col("src").alias("doc_id"))
             .agg(F.min("component").alias("nbr_min"))
         )
-        new_labels = (
+        # ONE materialization per round (r17): the changed flag rides the
+        # label-update projection into the eager checkpoint, so the
+        # convergence check is a scan of the checkpointed blocks — before,
+        # the round ran the update pipeline twice (once under a
+        # new-vs-old join for the changed count, once for the checkpoint).
+        cand = (
             labels.join(neighbor_min, "doc_id", "left_outer")
             .select(
                 "doc_id",
-                F.least(F.col("component"), F.coalesce("nbr_min", F.col("component"))).alias("component"),
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("__new"),
+                "component",
             )
+            .select(
+                "doc_id",
+                F.col("__new").alias("component"),
+                (F.col("__new") != F.col("component")).alias("__chg"),
+            )
+            .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels.localCheckpoint(eager=True)
+        changed = cand.where(F.col("__chg")).limit(1).count()
+        labels = cand.drop("__chg")
         if changed == 0:
             break
     return labels
