@@ -361,22 +361,39 @@ def _scale_oracle() -> str:
 # ---------------------------------------------------------------------------
 
 def _cos(qe, ne):
-    dot = F.aggregate(F.zip_with(qe, ne, lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x)
-    nrm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
+    """Cosine of two vector Columns as ONE parsed SQL expression (r17):
+    the lambda-Column form paid ~9 py4j lambda round trips per build —
+    this metric is built 8x per evaluation query. Same fold order, same
+    doubles. Column args must be plain references (they are: qe/ne)."""
+    qs, ns = _ref_sql(qe), _ref_sql(ne)
+    dot = (
+        f"aggregate(zip_with({qs}, {ns}, (a, b) -> a * b), 0.0D, "
+        f"(s, x) -> s + x)"
     )
-    return F.round(dot / (nrm(qe) * nrm(ne)), 6)
+    nrm = (
+        lambda c: f"sqrt(aggregate(transform({c}, x -> x * x), 0.0D, "
+        f"(s, x) -> s + x))"
+    )
+    return F.expr(f"round({dot} / ({nrm(qs)} * {nrm(ns)}), 6)")
 
 
 def _l2(qe, ne):
-    return F.round(
-        F.aggregate(
-            F.zip_with(qe, ne, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda s, x: s + x,
-        ),
-        6,
+    qs, ns = _ref_sql(qe), _ref_sql(ne)
+    return F.expr(
+        f"round(aggregate(zip_with({qs}, {ns}, (a, b) -> (a - b) * (a - b)), "
+        f"0.0D, (s, x) -> s + x), 6)"
     )
+
+
+def _ref_sql(c) -> str:
+    """SQL text of a plain column reference Column."""
+    if isinstance(c, str):
+        return c
+    jc = c._jc
+    try:
+        return jc.node().sql()
+    except Exception:
+        return jc.expr().sql()
 
 
 def _topk(pairs: DataFrame, metric, desc: bool) -> DataFrame:
