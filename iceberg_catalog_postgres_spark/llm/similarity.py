@@ -23,16 +23,49 @@ def _vec(col: str):
     return F.transform(F.col(col), lambda x: x.cast("double"))
 
 
+def _col_ref_sql(c):
+    """SQL text of a plain column reference (or pass a string through);
+    None when the Column cannot be rendered."""
+    if isinstance(c, str):
+        return c
+    try:
+        jc = c._jc
+        try:
+            return jc.node().sql()
+        except Exception:
+            return jc.expr().sql()
+    except Exception:
+        return None
+
+
 def _dot(a, b):
+    """Dot product folded left-to-right in float64. Built as ONE parsed SQL
+    expression when both args render as SQL (r17 — the lambda-Column form
+    paid ~3 py4j lambda round trips per build); falls back to the
+    lambda-Column form otherwise. Identical evaluation either way."""
+    sa, sb = _col_ref_sql(a), _col_ref_sql(b)
+    if sa is not None and sb is not None:
+        return F.expr(
+            f"aggregate(zip_with({sa}, {sb}, (x, y) -> x * y), 0.0D, "
+            f"(acc, x) -> acc + x)"
+        )
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 
-def _norm(col: str):
+def _norm(col):
     """L2 norm of an array column — fold squares left-to-right in float64,
     the same element order as ``_dot``, so precomputing it per row is
-    bit-identical to folding it per pair."""
+    bit-identical to folding it per pair. Parsed-SQL build (r17) with the
+    same fallback as ``_dot``."""
+    src = _col_ref_sql(F.col(col) if isinstance(col, str) else col)
+    if src is not None:
+        return F.expr(
+            f"sqrt(aggregate(transform({src}, x -> x * x), 0.0D, "
+            f"(a, x) -> a + x))"
+        )
+    c = F.col(col) if isinstance(col, str) else col
     return F.sqrt(
-        F.aggregate(F.transform(F.col(col), lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
     )
 
 
