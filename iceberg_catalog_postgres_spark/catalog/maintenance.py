@@ -354,8 +354,6 @@ def merge_into(
     the MOR path makes that largely unnecessary — the clause algebra is
     identical either way.
     """
-    from functools import reduce as _reduce
-
     if strategy not in ("cow", "mor"):
         raise ValueError(f"strategy must be cow|mor, got {strategy!r}")
     if not on:
@@ -410,6 +408,13 @@ def merge_into(
         dynamic_file_pruning
         and strategy == "mor"
         and not when_not_matched_by_source
+        # r18 (guide §5): the persist below exists ONLY so the DFP key
+        # aggregate and the merge join see the same source rows; when the
+        # target is too small for DFP to run at all (its own
+        # _DFP_MIN_FILES early-out), persisting buys nothing and costs a
+        # cache-materialization stage in the merge join. Check the file
+        # count first; at warehouse scale (>= _DFP_MIN_FILES) unchanged.
+        and len(table.metadata.current_data_files()) >= _DFP_MIN_FILES
     ):
         # persist the source across the DFP passes AND the merge join:
         # the key aggregate / key-set collect must see the SAME rows the
@@ -439,7 +444,6 @@ def merge_into(
         tgt = tgt.withColumnRenamed("__mfile", "__tf").withColumnRenamed(
             "__mpos", "__tp"
         )
-    tgt = tgt.alias("t")
     # Cardinality guard, folded into the merge join itself (r12; the old
     # guard was its own job — a source groupBy + a left-semi against a
     # SECOND scan of the target): count source rows per key with a window
@@ -448,18 +452,28 @@ def merge_into(
     # rows match this target row" — checked below on the cached join
     # output, so the guard costs one cache scan, not a target re-scan.
     # NULL-SAFE for free: the window partitioner groups NULL keys the way
-    # the eqNullSafe join matches them.
+    # the null-safe join matches them.
     from pyspark.sql import Window as _W
 
+    # r18 (guide §2.4 — two operations keyed the same way share one
+    # exchange): the join key is ONE struct column over the `on` tuple,
+    # pre-projected on both sides, compared with plain `==`. Struct
+    # equality is null-safe per field and matches NaN=NaN — exactly the
+    # eqNullSafe chain this replaces (verified: NULL=NULL true, NaN=NaN
+    # true, NULL!=0) — and because the guard window below partitions by
+    # the SAME column, its exchange satisfies the join's required
+    # distribution: the source is shuffled ONCE, not once for the window
+    # and again for the join. At 100 TB that is a full source shuffle
+    # saved per merge.
+    _jkey = F.struct(*[F.col(k) for k in on])
+    tgt = tgt.withColumn("__jkey", _jkey).alias("t")
     src = (
-        source.withColumn("__scnt", F.count(F.lit(1)).over(_W.partitionBy(*on)))
+        source.withColumn("__jkey", _jkey)
+        .withColumn("__scnt", F.count(F.lit(1)).over(_W.partitionBy("__jkey")))
         .withColumn("__s", F.lit(True))
         .alias("s")
     )
-    join_cond = _reduce(
-        lambda a, b: a & b,
-        [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in on],
-    )
+    join_cond = F.col("t.__jkey") == F.col("s.__jkey")
     # Join type by what the clauses actually consume (r17, guide §3.1):
     # target-only rows are needed by WHEN NOT MATCHED BY SOURCE clauses and
     # by the CoW rewrite (which re-writes every kept row); a MOR row delta
