@@ -18,16 +18,13 @@ from iceberg_catalog_postgres_spark.catalog.catalog import PostgresCatalog, Tabl
 from iceberg_catalog_postgres_spark.registry import load, register
 
 
-def _prenorm(c):
-    """L2 norm of an array column/expression, folded left-to-right in
-    float64 — the same element order the per-pair fold used, so computing
-    it once per ROW (before a pair join) is bit-identical to folding it
-    per PAIR (r17 optimization)."""
-    col = F.col(c) if isinstance(c, str) else c
-    return F.sqrt(
-        F.aggregate(F.transform(col, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
-    )
-
+# L2 norm of an array column/expression, folded left-to-right in float64 —
+# the same element order the per-pair fold used, so computing it once per
+# ROW (before a pair join) is bit-identical to folding it per PAIR (r17).
+# r18 (ADVICE): reuse similarity._norm, which builds the fold as ONE parsed
+# SQL expression (no per-build py4j lambda round trips) with a lambda-Column
+# fallback, instead of a duplicate that always paid the lambda build.
+from iceberg_catalog_postgres_spark.llm.similarity import _norm as _prenorm
 
 _prenorm_expr = _prenorm
 

@@ -514,14 +514,19 @@ def murmur3_32_binary_sql(b_sql: str) -> str:
 
 
 def _col_sql(c) -> str:
-    """Render a simple Column (attribute ref / encode / cast) as SQL text.
-    Spark 4 exposes the Catalyst node as ``node()``; older builds as
-    ``expr()``."""
-    jc = c._jc
-    try:
-        return jc.node().sql()
-    except Exception:
-        return jc.expr().sql()
+    """Render a simple Column (attribute ref / encode / cast) as SQL text
+    via the shared helper (r18); REJECTS explicitly (instead of failing
+    deep inside F.expr) when the Column cannot be rendered — the murmur3
+    SQL builders below have no lambda-Column fallback."""
+    from iceberg_catalog_postgres_spark.exprs import col_ref_sql
+
+    src = col_ref_sql(c)
+    if src is None:
+        raise ValueError(
+            f"cannot render Column as SQL text for the murmur3 bucket hash: {c}; "
+            "pass a plain column reference or a SQL expression string"
+        )
+    return src
 
 
 def murmur3_32_utf8_col(c):

@@ -76,7 +76,6 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``sim_ann_lsh_bucketed``.
     """
     e = load_parallel(spark, sf_dir, "embeddings").select("vec_id", _vec("embedding").alias("e"))
-    norm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))  # noqa: E731
 
     def topk(corpus_with_bucket: bool) -> DataFrame:
         # per-row norms precomputed before the pair join (r17) -- bit-identical
@@ -180,7 +179,9 @@ def embed_truncate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     column-pruned scan when dims are stored as split prefix columns).
     """
     e = load_parallel(spark, sf_dir, "embeddings").select("vec_id", _vec("embedding").alias("e"))
-    norm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))  # noqa: E731
+    # _norm builds the fold as one parsed SQL expression (r18; shared
+    # helper renders slice(e, 1, D) as SQL text, lambda fallback otherwise)
+    norm = _norm
 
     def brute_topk(prefix_dim: int | None) -> DataFrame:
         # slice (a per-row op) and the norm of the slice are both computed

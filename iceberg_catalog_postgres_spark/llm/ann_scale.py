@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from iceberg_catalog_postgres_spark.exprs import col_ref_sql as _ref_sql
 from iceberg_catalog_postgres_spark.llm.lsh_planes import bucket_col, bucket_sql
 from iceberg_catalog_postgres_spark.llm.pq import (
     M_SUB,
@@ -364,8 +365,13 @@ def _cos(qe, ne):
     """Cosine of two vector Columns as ONE parsed SQL expression (r17):
     the lambda-Column form paid ~9 py4j lambda round trips per build —
     this metric is built 8x per evaluation query. Same fold order, same
-    doubles. Column args must be plain references (they are: qe/ne)."""
+    doubles. Falls back to the (identical-result) lambda-Column build when
+    a Column does not render as SQL text (r18, shared helper)."""
     qs, ns = _ref_sql(qe), _ref_sql(ne)
+    if qs is None or ns is None:
+        from iceberg_catalog_postgres_spark.llm.similarity import _dot, _norm
+
+        return F.round(_dot(qe, ne) / (_norm(qe) * _norm(ne)), 6)
     dot = (
         f"aggregate(zip_with({qs}, {ns}, (a, b) -> a * b), 0.0D, "
         f"(s, x) -> s + x)"
@@ -379,21 +385,21 @@ def _cos(qe, ne):
 
 def _l2(qe, ne):
     qs, ns = _ref_sql(qe), _ref_sql(ne)
+    if qs is None or ns is None:
+        return F.round(
+            F.aggregate(
+                F.zip_with(qe, ne, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            ),
+            6,
+        )
     return F.expr(
         f"round(aggregate(zip_with({qs}, {ns}, (a, b) -> (a - b) * (a - b)), "
         f"0.0D, (s, x) -> s + x), 6)"
     )
 
 
-def _ref_sql(c) -> str:
-    """SQL text of a plain column reference Column."""
-    if isinstance(c, str):
-        return c
-    jc = c._jc
-    try:
-        return jc.node().sql()
-    except Exception:
-        return jc.expr().sql()
 
 
 def _topk(pairs: DataFrame, metric, desc: bool) -> DataFrame:

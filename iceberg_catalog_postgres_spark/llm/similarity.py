@@ -23,19 +23,7 @@ def _vec(col: str):
     return F.transform(F.col(col), lambda x: x.cast("double"))
 
 
-def _col_ref_sql(c):
-    """SQL text of a plain column reference (or pass a string through);
-    None when the Column cannot be rendered."""
-    if isinstance(c, str):
-        return c
-    try:
-        jc = c._jc
-        try:
-            return jc.node().sql()
-        except Exception:
-            return jc.expr().sql()
-    except Exception:
-        return None
+from iceberg_catalog_postgres_spark.exprs import col_ref_sql as _col_ref_sql
 
 
 def _dot(a, b):

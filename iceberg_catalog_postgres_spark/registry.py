@@ -10,6 +10,7 @@ Every implemented operator from SURVEY.md §2 registers here with
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -94,15 +95,43 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = f"{sf_dir}/{table}.parquet"
-    schema = _SCHEMA_CACHE.get((sf_dir, table))
+    key = _schema_key(sf_dir, table)
+    schema = _SCHEMA_CACHE.get(key)
     if schema is None:
         df = spark.read.parquet(path)
-        _SCHEMA_CACHE[(sf_dir, table)] = df.schema
+        _SCHEMA_CACHE[key] = df.schema
     else:
         df = spark.read.schema(schema).parquet(path)
     if table == "events":
         df = normalize_events_ts(df)
     return df
+
+
+def _schema_key(sf_dir: str, table: str) -> tuple:
+    """Schema-cache key (r18, ADVICE r17): realpath collapses alias paths
+    (relative vs absolute vs symlinked sf_dirs) to one entry, and the
+    file's (mtime, size) invalidates the entry if a fixture is rewritten
+    in-process (e.g. a test regenerating a parquet with a new schema) —
+    exactly how a catalog bumps its metadata version on commit. One
+    os.stat per load (~microseconds) vs ~70-100 ms re-inference."""
+    real = os.path.realpath(f"{os.path.realpath(sf_dir)}/{table}.parquet")
+    try:
+        st = os.stat(real)
+        return (real, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (real, None, None)  # missing path: let Spark raise on read
+
+
+def raw_table_schema(spark: SparkSession, sf_dir: str, table: str):
+    """The fixture table's RAW footer schema (pre-normalization), from the
+    per-process cache — populated via load() on first use. Streaming
+    sources need this shape: readStream requires an explicit schema."""
+    key = _schema_key(sf_dir, table)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        load(spark, sf_dir, table)
+        schema = _SCHEMA_CACHE[key]
+    return schema
 
 
 def normalize_events_ts(df: DataFrame) -> DataFrame:

@@ -19,6 +19,7 @@ unboundedly at 100 TB/day.
 
 from __future__ import annotations
 
+import threading
 import uuid
 from contextlib import contextmanager
 
@@ -26,6 +27,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from iceberg_catalog_postgres_spark.registry import load, register
+
+#: serializes the stream_state_width conf swap/restore (r18, ADVICE r17)
+_STATE_WIDTH_LOCK = threading.RLock()
 
 
 @register(
@@ -165,17 +169,13 @@ def _read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     from iceberg_catalog_postgres_spark.registry import (
-        _SCHEMA_CACHE,
-        load,
         normalize_events_ts,
+        raw_table_schema,
     )
 
     # raw footer schema from the per-process cache (r17): readStream needs
     # the pre-normalization schema, which load() caches on first use
-    schema = _SCHEMA_CACHE.get((sf_dir, "events"))
-    if schema is None:
-        load(spark, sf_dir, "events")
-        schema = _SCHEMA_CACHE[(sf_dir, "events")]
+    schema = raw_table_schema(spark, sf_dir, "events")
     raw = spark.readStream.schema(schema).parquet(_stream_source_dir(sf_dir))
     return normalize_events_ts(raw)
 
@@ -184,9 +184,15 @@ def _input_bytes(*paths: str) -> int:
     import os
 
     total = 0
+    seen: set = set()  # visited dir inodes — a symlink cycle must not loop
     for p in paths:
         if os.path.isdir(p):
-            for root, _dirs, files in os.walk(p, followlinks=True):
+            for root, dirs, files in os.walk(p, followlinks=True):
+                st = os.stat(root)
+                if (st.st_dev, st.st_ino) in seen:
+                    dirs[:] = []  # already walked through another link
+                    continue
+                seen.add((st.st_dev, st.st_ino))
                 total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
         elif os.path.exists(p):
             total += os.path.getsize(p)
@@ -215,11 +221,16 @@ def stream_state_width(spark: SparkSession, *paths: str):
     cap = spark.sparkContext.defaultParallelism
     width = max(1, min(cap, _input_bytes(*paths) // per_part + 1))
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(width))
-    try:
-        yield width
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    # r18 (ADVICE r17): the swap mutates SESSION-global conf; the repo also
+    # runs driver thread pools (pq._build_books), so serialize swap/restore
+    # under a lock — without it a concurrent query could plan at width 1 or
+    # the restores could interleave out of order and leak the narrow width.
+    with _STATE_WIDTH_LOCK:
+        spark.conf.set("spark.sql.shuffle.partitions", str(width))
+        try:
+            yield width
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def _run_stream(spark: SparkSession, sf_dir: str, build) -> DataFrame:
