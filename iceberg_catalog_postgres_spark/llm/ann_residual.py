@@ -42,6 +42,7 @@ from iceberg_catalog_postgres_spark.llm.pq import (
     _codebook,
     _load_vectors,
     _recall_vs_brute,
+    _sq_dist_cols,
 )
 from iceberg_catalog_postgres_spark.llm.similarity import (
     N_QUERIES,
@@ -155,16 +156,18 @@ def _ivfadc_oracle() -> str:
     return ",\n    ".join(parts)
 
 
-def _centroid_expr(cents):
-    """cluster -> centroid literal array, as a when-chain (k branches of
-    dim literals — plan constants, no shuffle)."""
-    expr = F.array(*[F.lit(float(x)) for x in cents[0][1]])
-    for ci in range(1, len(cents)):
-        expr = F.when(
-            F.col("cluster") == ci,
-            F.array(*[F.lit(float(x)) for x in cents[ci][1]]),
-        ).otherwise(expr)
-    return expr
+def _centroid_sql(cents) -> str:
+    """cluster -> centroid literal array, as ONE SQL expression string
+    (r18): the old when-chain built k x dim F.lit Columns — ~512 py4j
+    calls of pure driver time per plan build. element_at over a literal
+    array-of-arrays selects the same centroid for the same cluster id
+    (ids are dense 0..k-1 by construction); repr() literals parse to the
+    same doubles."""
+    arrays = ",".join(
+        "array(" + ",".join(repr(float(x)) + "D" for x in ce) + ")"
+        for _, ce in cents
+    )
+    return f"element_at(array({arrays}), CAST(cluster + 1 AS INT))"
 
 
 @register(
@@ -189,27 +192,27 @@ def sim_ann_ivfadc_residual_recall(spark: SparkSession, sf_dir: str) -> DataFram
     res = assigned.select(
         "vec_id",
         "cluster",
-        F.zip_with("e", _centroid_expr(cents), lambda a, b: a - b).alias("r"),
+        F.expr(f"zip_with(e, {_centroid_sql(cents)}, (a, b) -> a - b)").alias("r"),
     )
-    books = [
-        _codebook(res.select("vec_id", F.slice("r", m * SUB_DIM + 1, SUB_DIM).alias("s")))
+    # The M_SUB residual codebooks are independent Lloyd's builds — run
+    # them from a driver thread pool exactly like pq._build_books (r18;
+    # this was the one sequential codebook loop left after r17): wall time
+    # drops from the SUM of 4 x 3 blocking collects to ~the longest chain.
+    from concurrent.futures import ThreadPoolExecutor
+
+    subs = [
+        res.select("vec_id", F.slice("r", m * SUB_DIM + 1, SUB_DIM).alias("s"))
         for m in range(M_SUB)
     ]
+    with ThreadPoolExecutor(max_workers=M_SUB) as pool:
+        books = list(pool.map(_codebook, subs))
     codes = res.select("vec_id", "cluster", "r")
     for m in range(M_SUB):
+        # per-centroid squared distances as parsed SQL strings (r18 —
+        # the lambda-Column form paid ~3 py4j lambda round trips per
+        # centroid at plan-BUILD time; same fold order, same doubles)
         darr = F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        F.slice("r", m * SUB_DIM + 1, SUB_DIM),
-                        F.array(*[F.lit(float(x)) for x in books[m][ci]]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                for ci in range(len(books[m]))
-            ]
+            *_sq_dist_cols(books[m], src=f"slice(r, {m * SUB_DIM + 1}, {SUB_DIM})")
         )
         codes = codes.withColumn(f"code{m}", F.array_position(darr, F.array_min(darr)) - 1)
     codes = codes.select("vec_id", "cluster", *[f"code{m}" for m in range(M_SUB)])

@@ -76,21 +76,26 @@ def window_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_acctbal", "s_nationkey"
     )
-    n, bal_lo, bal_hi = s.agg(
-        F.count("*"), F.min("s_acctbal"), F.max("s_acctbal")
-    ).first()
-    if not n:
-        # empty input: min/max are None — emit the declared empty frame
-        # instead of float(None) blowing up (same latent ADVICE r5 class)
-        return s.sparkSession.createDataFrame(
-            [], "s_suppkey long, rnk int, drnk int, quartile int"
-        )
+    # Global stats ride the plan as a broadcast 1-row aggregate instead of
+    # an eager .first() (r18, VERDICT r17 item 8): one driver-blocking job
+    # fewer per invocation; the scalars (row count, balance range) become
+    # columns of a crossJoined stats row. Arithmetic is unchanged — all in
+    # fp64 — so buckets and the ntile distribution are identical; an empty
+    # input now just flows zero rows (the old Python float(None) hazard
+    # cannot occur because nothing leaves the plan).
     nb = 32
-    width = (float(bal_hi) - float(bal_lo)) / nb or 1.0
-    b = s.withColumn(
+    stats = s.agg(
+        F.count("*").alias("__n"),
+        F.min("s_acctbal").cast("double").alias("__lo"),
+        F.max("s_acctbal").cast("double").alias("__hi"),
+    )
+    b = s.crossJoin(F.broadcast(stats))
+    width = (F.col("__hi") - F.col("__lo")) / nb
+    width = F.when(width == 0.0, F.lit(1.0)).otherwise(width)
+    b = b.withColumn(
         "bkt",
         F.least(
-            F.floor((F.col("s_acctbal") - float(bal_lo)) / width), F.lit(nb - 1)
+            F.floor((F.col("s_acctbal") - F.col("__lo")) / width), F.lit(nb - 1)
         ).cast("long"),
     )
     w_local = Window.partitionBy("bkt").orderBy(
@@ -100,6 +105,7 @@ def window_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey",
         "s_nationkey",
         "bkt",
+        "__n",
         F.rank().over(w_local).alias("rnk_local"),
         F.row_number().over(w_local).alias("rn_local"),
     )
@@ -124,9 +130,12 @@ def window_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rn = F.col("off_n") + F.col("rn_local")
     k = 4
-    q, r = int(n) // k, int(n) % k
+    # ntile arithmetic on the stats COLUMNS (same fp64 ops the Python
+    # scalars performed: col / int was already double division + truncate)
+    q = F.floor(F.col("__n") / k).cast("long")
+    r = (F.col("__n") % k).cast("long")
     quartile = F.when(rn <= r * (q + 1), ((rn - 1) / (q + 1)).cast("long")).otherwise(
-        r + ((rn - r * (q + 1) - 1) / max(q, 1)).cast("long")
+        r + ((rn - r * (q + 1) - 1) / F.greatest(q, F.lit(1))).cast("long")
     ) + 1
     return (
         local.join(F.broadcast(offsets), "bkt")

@@ -14,7 +14,7 @@ def test_residual_distance_identity(spark):
     """||q - x|| == ||(q - c) - (x - c)|| for vectors in the same probed
     cluster — the identity the whole residual design rests on, checked on
     real fixture vectors and their actual coarse centroids."""
-    from iceberg_catalog_postgres_spark.llm.ann_residual import _centroid_expr
+    from iceberg_catalog_postgres_spark.llm.ann_residual import _centroid_sql
     from iceberg_catalog_postgres_spark.llm.pq import _load_vectors
     from iceberg_catalog_postgres_spark.llm.similarity import (
         _ivf_assign,
@@ -26,7 +26,7 @@ def test_residual_distance_identity(spark):
     a = _ivf_assign(e, cents).select("vec_id", "e", "cluster")
     res = a.select(
         "vec_id", "cluster",
-        F.zip_with("e", _centroid_expr(cents), lambda x, c: x - c).alias("r"),
+        F.zip_with("e", F.expr(_centroid_sql(cents)), lambda x, c: x - c).alias("r"),
     )
     full = a.join(
         res.select(F.col("vec_id").alias("rid"), "r"), F.col("vec_id") == F.col("rid")
