@@ -479,12 +479,19 @@ def sim_ann_scale_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _one_scale(cfg):
-        # NOTE (r17): running the two arms from a thread pool was measured
+        # NOTE (r17): running the two ARMS from a thread pool was measured
         # ~20% faster but OOMs the driver-contract session (vanilla 1g
         # heap) when the full ANN family runs back-to-back — two arms of
         # concurrent codegen + localCheckpoint blocks exceed the headroom.
-        # Arms therefore run sequentially; the in-arm codebook builds
-        # still overlap (guide §2.6) inside _build_books.
+        # Arms therefore run sequentially. WITHIN an arm (r18, VERDICT r17
+        # item 4) the three independent build chains — the LSH summary,
+        # the IVF Lloyd's loop, the PQ codebook build — overlap on a
+        # 3-worker pool: each is a chain of small blocking collects that
+        # previously serialized the driver. The concurrent plan state is a
+        # strict subset of what one arm already holds (the books pool ran
+        # 4-wide inside _build_books before this change), so the 1g-heap
+        # OOM mode of arm-level overlap does not apply; pinned by the
+        # back-to-back same-session stress in test_ann_scale.
         scale_x, n_planes, k = cfg
         rows = []
         v = base if scale_x == 1 else _doubled(base)
@@ -496,7 +503,9 @@ def sim_ann_scale_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         # once per scale, and each 50-row top-k / candidate frame below is
         # lazily checkpointed so summary plans join materialized leaves
         # instead of re-expanding every quantizer pipeline.
-        v = v.localCheckpoint(eager=True)
+        # count() materializes the LAZY checkpoint as a side effect — one
+        # job where eager-checkpoint-then-count was two (r18).
+        v = v.localCheckpoint(eager=False)
         corpus_n = v.count()
         ckpt = lambda df: df.localCheckpoint(eager=False)  # noqa: E731
 
@@ -514,12 +523,21 @@ def sim_ann_scale_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("e").alias("ne"), F.col("bucket").alias("nb")),
             (F.col("qb") == F.col("nb")) & (F.col("query_id") != F.col("neighbor_id")),
         )
-        rows.append(_summary("lsh", scale_x, corpus_n, brute_cos,
-                             ckpt(_topk(lsh_cand, _cos, desc=True)),
-                             ckpt(lsh_cand.select("query_id", "neighbor_id"))).first())
+        lsh_summary = _summary("lsh", scale_x, corpus_n, brute_cos,
+                               ckpt(_topk(lsh_cand, _cos, desc=True)),
+                               ckpt(lsh_cand.select("query_id", "neighbor_id")))
+        from concurrent.futures import ThreadPoolExecutor
 
-        # IVF: probe nprobe nearest centroids, cosine re-rank
-        cents = _ivf_final_centroids(v, k=k)
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            fut_lsh = pool.submit(lsh_summary.first)
+            fut_cents = pool.submit(_ivf_final_centroids, v, k)
+            fut_books = pool.submit(_build_books, v)
+            cents = fut_cents.result()
+            # the LSH pass also materializes the shared brute_cos
+            # checkpoint; wait for it before the IVF summary reads it so
+            # the lazy checkpoint is computed exactly once
+            rows.append(fut_lsh.result())
+            books = fut_books.result()
         assigned = _ivf_assign(v, cents).select(
             F.col("vec_id").alias("neighbor_id"), "cluster"
         )
@@ -543,22 +561,30 @@ def sim_ann_scale_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         ne_df = v.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ne"))
         cand_pairs = cand.join(F.broadcast(qe_df), "query_id").join(ne_df, "neighbor_id")
-        rows.append(_summary("ivf", scale_x, corpus_n, brute_cos,
-                             ckpt(_topk(cand_pairs, _cos, desc=True)), cand).first())
+        ivf_summary = _summary("ivf", scale_x, corpus_n, brute_cos,
+                               ckpt(_topk(cand_pairs, _cos, desc=True)), cand)
 
         # IVFPQ: same candidates ranked by ADC estimate, judged vs exact L2
-        books = _build_books(v)
-        codes = _encode(v, books)
-        est = _adc_est(spark, v, books, codes)
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("est").asc(), F.col("neighbor_id").asc()
-        )
-        pq_top = (
-            cand.join(est, ["query_id", "neighbor_id"])
-            .withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= TOP_K)
-            .select("query_id", "neighbor_id")
-        )
+        # (books built concurrently with the LSH/IVF chains above). The
+        # IVF summary action overlaps the PQ encode collect: the encode
+        # touches only the materialized corpus, while the summary
+        # materializes the cand checkpoint — disjoint state, and the main
+        # thread only BUILDS the PQ plans (no action) until the summary
+        # returns.
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut_ivf = pool.submit(ivf_summary.first)
+            codes = _encode(v, books)
+            est = _adc_est(spark, v, books, codes)
+            w = Window.partitionBy("query_id").orderBy(
+                F.col("est").asc(), F.col("neighbor_id").asc()
+            )
+            pq_top = (
+                cand.join(est, ["query_id", "neighbor_id"])
+                .withColumn("rk", F.row_number().over(w))
+                .filter(F.col("rk") <= TOP_K)
+                .select("query_id", "neighbor_id")
+            )
+            rows.append(fut_ivf.result())
         rows.append(_summary("ivfpq", scale_x, corpus_n, brute_l2,
                              ckpt(pq_top), cand).first())
         return rows
