@@ -5889,10 +5889,10 @@ def catalog_table_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(3):  # streaming dribble: three 2-row files
         table = (
             table.new_transaction()
-            .append_dataframe(
-                spark.createDataFrame(
-                    [(100 + 2 * i, f"X{i}", 0), (101 + 2 * i, f"Y{i}", 0)], src.schema
-                ).coalesce(1)
+            .append_rows(
+                spark,
+                [(100 + 2 * i, f"X{i}", 0), (101 + 2 * i, f"Y{i}", 0)],
+                src.schema,
             )
             .commit()
         )
@@ -7826,8 +7826,13 @@ def catalog_metadata_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = cat.create_table(ident, src.schema)
     table = table.new_transaction().append_dataframe(src.coalesce(1)).commit()
     for i in range(5):
-        extra = spark.createDataFrame([(500 + i, f"N{i}", 0)], src.schema).coalesce(1)
-        table = table.new_transaction().append_dataframe(extra).commit()
+        # literal fixture rows: driver-local append (r18) — the metadata
+        # accumulation being certified is per-COMMIT, not per-write-job
+        table = (
+            table.new_transaction()
+            .append_rows(spark, [(500 + i, f"N{i}", 0)], src.schema)
+            .commit()
+        )
 
     store = cat.object_store()
     meta_dir = store.resolve(posixpath.join(table.metadata.location, "metadata"))

@@ -654,12 +654,11 @@ def catalog_conflict_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = cat.create_table(ident, src.schema)
     table = table.new_transaction().append_dataframe(src.coalesce(1)).commit()
 
-    # 1. racing appends from the same base handle
+    # 1. racing appends from the same base handle (driver-local literal
+    # rows, r18 — the CAS retry being certified happens at commit)
     base = cat.load_table(ident)
-    row_a = spark.createDataFrame([(900, "A")], src.schema).coalesce(1)
-    row_b = spark.createDataFrame([(901, "B")], src.schema).coalesce(1)
-    base.new_transaction().append_dataframe(row_a).commit()
-    base.new_transaction().append_dataframe(row_b).commit()  # stale handle: retries
+    base.new_transaction().append_rows(spark, [(900, "A")], src.schema).commit()
+    base.new_transaction().append_rows(spark, [(901, "B")], src.schema).commit()  # stale handle: retries
     appends_commute = cat.load_table(ident).record_count() == src.count() + 2
 
     # 2. overwrite staged from a stale base must be rejected...
@@ -667,8 +666,8 @@ def catalog_conflict_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     tx = stale.new_transaction().overwrite_dataframe(
         stale.to_df(spark).filter(F.col("n_nationkey") < 10).coalesce(1)
     )
-    cat.load_table(ident).new_transaction().append_dataframe(
-        spark.createDataFrame([(902, "C")], src.schema).coalesce(1)
+    cat.load_table(ident).new_transaction().append_rows(
+        spark, [(902, "C")], src.schema
     ).commit()
     stale_overwrite_rejected = False
     try:

@@ -3994,40 +3994,49 @@ class Transaction:
             # domain's high bits are constant zero), so each dimension is
             # min-max normalized onto the curve's full bit range first —
             # the same per-column range scaling Delta/Iceberg z-order does.
-            mins_maxs = df.agg(
-                *[m for c in zorder_by for m in (_F.min(c), _F.max(c))]
-            ).first()
-            # An empty frame or all-NULL column has no range to normalize:
-            # treat it as a degenerate [0,0] domain ( _scaled then emits the
-            # constant 0, i.e. that dimension drops out of the curve and the
-            # write degrades to a sort on the others / plain write)
-            # instead of float(None) blowing up (ADVICE r5).
-            ranges = [
-                (
-                    0.0 if mins_maxs[2 * i] is None else float(mins_maxs[2 * i]),
-                    0.0 if mins_maxs[2 * i + 1] is None else float(mins_maxs[2 * i + 1]),
-                )
-                for i in range(len(zorder_by))
-            ]
+            # The per-column min/max ride the WRITE plan as a broadcast
+            # 1-row aggregate instead of an eager .first() (r18, VERDICT
+            # r17 item 8): one driver-blocking pre-scan fewer per z-order
+            # write; same fp64 arithmetic, so the curve keys — and the
+            # written clustering — are unchanged. An empty frame or
+            # all-NULL / constant column has no range to normalize: its
+            # dimension emits the constant 0 (coalesce + the hi<=lo guard
+            # below), i.e. it drops out of the curve, exactly the old
+            # driver-side degenerate-domain rule (ADVICE r5).
+            stats = df.agg(
+                *[
+                    m
+                    for i, c in enumerate(zorder_by)
+                    for m in (
+                        _F.coalesce(_F.min(c).cast("double"), _F.lit(0.0)).alias(
+                            f"__zlo{i}"
+                        ),
+                        _F.coalesce(_F.max(c).cast("double"), _F.lit(0.0)).alias(
+                            f"__zhi{i}"
+                        ),
+                    )
+                ]
+            )
             bits = min(11, 63 // len(zorder_by))
             top = (1 << bits) - 1
 
-            def _scaled(col, lo, hi):
-                if hi <= lo:
-                    return _F.lit(0).cast("long")
-                return _F.round(
-                    (_F.col(col).cast("double") - lo) / (hi - lo) * top
-                ).cast("long")
+            def _scaled(col, i):
+                lo, hi = _F.col(f"__zlo{i}"), _F.col(f"__zhi{i}")
+                return _F.when(hi <= lo, _F.lit(0).cast("long")).otherwise(
+                    _F.round(
+                        (_F.col(col).cast("double") - lo) / (hi - lo) * top
+                    ).cast("long")
+                )
 
             zcol = _z_value_n(
-                [_scaled(c, lo, hi) for c, (lo, hi) in zip(zorder_by, ranges)],
-                bits,
+                [_scaled(c, i) for i, c in enumerate(zorder_by)], bits
             )
             df = (
-                df.withColumn("__z", zcol)
+                df.crossJoin(_F.broadcast(stats))
+                .withColumn("__z", zcol)
                 .repartitionByRange(width, _F.col("__z"))
                 .sortWithinPartitions("__z")
-                .drop("__z")
+                .drop("__z", *[f"__z{s}{i}" for i in range(len(zorder_by)) for s in ("lo", "hi")])
             )
         if sort_by:
             width = n_files or df.sparkSession.sparkContext.defaultParallelism
@@ -4121,6 +4130,86 @@ class Transaction:
                 self._staged_partitions.pop(r, None)
         self._staged_stats.update(stats)
         return self.append_files(new_files)
+
+    def append_rows(self, spark: SparkSession, rows: list, schema) -> "Transaction":
+        """Append a handful of DRIVER-LOCAL literal rows without a Spark
+        write job (r18, VERDICT r17 item 6). Profiling the lifecycle
+        certification rows showed their floor is NOT commit machinery
+        (CAS + manifest + stats ≈ 0.08 s per commit) but the one-task
+        ``df.write.parquet`` job each tiny fixture append launches
+        (~97% of the five-append wall). The rows already live on the
+        driver, so the file is written directly with the same parquet
+        library the stats reader uses — one footer, one file, zero jobs —
+        and staged through the IDENTICAL stats/commit path as
+        ``append_dataframe`` (``collect_file_stats`` reads the fresh
+        footer; the CAS, manifest chunks, and snapshot summaries that the
+        lifecycle rows certify are untouched).
+
+        Gated to exact physical-type matches with Spark's writer (int32 /
+        int64 / float32 / float64 / string / boolean / date32); any other
+        schema — and any partitioned table or declared write order, whose
+        write-side layout rules live in ``append_dataframe`` — falls back
+        to the distributed write. Real data appends (anything that is a
+        Spark plan over files) always take ``append_dataframe``; at scale
+        this path only ever sees O(1) fixture/repair rows."""
+        from pyspark.sql.types import (
+            BooleanType,
+            DateType,
+            DoubleType,
+            FloatType,
+            IntegerType,
+            LongType,
+            StringType,
+        )
+
+        _PA_TYPES = {
+            LongType: "int64",
+            IntegerType: "int32",
+            DoubleType: "float64",
+            FloatType: "float32",
+            StringType: "string",
+            BooleanType: "bool_",
+            DateType: "date32",
+        }
+        md = self.table.metadata
+        if (
+            md.partition_spec
+            or md.default_sort_fields()
+            or any(type(f.dataType) not in _PA_TYPES for f in schema.fields)
+        ):
+            return self.append_dataframe(
+                spark.createDataFrame(rows, schema).coalesce(1)
+            )
+        import os as _os
+
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        store = self.table.catalog.object_store()
+        rel_dir = posixpath.join(md.location, "data", f"part-{uuid.uuid4().hex}")
+        abs_dir = store.resolve(rel_dir)
+        _os.makedirs(abs_dir, exist_ok=True)
+        pa_schema = _pa.schema(
+            [
+                (f.name, getattr(_pa, _PA_TYPES[type(f.dataType)])())
+                for f in schema.fields
+            ]
+        )
+        cols = list(zip(*rows)) if rows else [[] for _ in schema.fields]
+        table_pa = _pa.Table.from_arrays(
+            [_pa.array(list(c), type=t) for c, t in zip(cols, pa_schema.types)],
+            schema=pa_schema,
+        )
+        if table_pa.num_rows == 0:
+            return self  # empty append: nothing to stage (same as the
+            # empty-part-file drop in append_dataframe)
+        fname = f"part-00000-{uuid.uuid4().hex}.snappy.parquet"
+        _pq.write_table(table_pa, _os.path.join(abs_dir, fname), compression="snappy")
+        rel = posixpath.join(rel_dir, fname)
+        self._staged_stats.update(
+            collect_file_stats_many({rel: _os.path.join(abs_dir, fname)})
+        )
+        return self.append_files([rel])
 
     def overwrite_dataframe(
         self,
