@@ -1,6 +1,7 @@
-"""Capture .explain('formatted') for queries into plans/r17/<query>_<suffix>.txt.
+"""Capture .explain('formatted') for queries into plans/<round>/<query>_<suffix>.txt.
 
 Run: python tools/capture_plans.py <suffix> [query ...]   (default: bench set)
+Round dir via SPARK_GRAFT_PLANS_ROUND (default r18).
 """
 from __future__ import annotations
 
@@ -13,7 +14,11 @@ from iceberg_catalog_postgres_spark.plans.audit import explain_formatted
 from iceberg_catalog_postgres_spark.registry import load_all
 from iceberg_catalog_postgres_spark.session import get_spark
 
-OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r17")
+OUT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r18"),
+)
 
 
 def main() -> None:
