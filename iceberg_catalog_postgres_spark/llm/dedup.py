@@ -62,13 +62,20 @@ def _corpus_bytes(sf_dir: str) -> int:
         return 1 << 60  # unknown size: assume big — the at-scale shape
 
 
-def bucket_candidate_pairs(bands: DataFrame, max_bucket: int = MAX_BUCKET) -> DataFrame:
-    """(doc_id, band, key) -> distinct candidate (doc_a, doc_b) pairs from
+def bucket_candidate_pairs(
+    bands: DataFrame, max_bucket: int = MAX_BUCKET, distinct: bool = True
+) -> DataFrame:
+    """(doc_id, band, key) -> candidate (doc_a, doc_b) pairs from
     same-bucket co-occurrence, skipping buckets larger than ``max_bucket``.
 
     Pairs are emitted with a higher-order expression over the collected
     bucket (no self-join), so each bucket expands in one task; the cap
-    bounds that task at max_bucket^2/2 pairs."""
+    bounds that task at max_bucket^2/2 pairs.
+
+    ``distinct=False`` (r18) skips the pair-dedup shuffle and may emit the
+    same pair once per agreeing band — for consumers whose own aggregation
+    already collapses duplicates (the one-pass Jaccard verify groups by
+    the pair), the extra exchange was pure cost."""
     ids = F.sort_array(F.collect_set("doc_id"))
     n = F.size(F.col("ids"))
     pair_expr = F.flatten(
@@ -83,14 +90,14 @@ def bucket_candidate_pairs(bands: DataFrame, max_bucket: int = MAX_BUCKET) -> Da
             ),
         )
     )
-    return (
+    out = (
         bands.groupBy("band", "key")
         .agg(ids.alias("ids"))
         .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
         .select(F.explode(pair_expr).alias("p"))
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def oversized_buckets(bands: DataFrame, max_bucket: int = MAX_BUCKET) -> DataFrame:
@@ -297,7 +304,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucket_candidate_pairs). Buckets above MAX_BUCKET are skipped — the
     # boilerplate guard that keeps a viral band key from going quadratic
     # inside one task.
-    cand = bucket_candidate_pairs(bands, MAX_BUCKET)
+    onepass = _corpus_bytes(sf_dir) >= _ONEPASS_MIN_BYTES
+    # one-pass verify: its own groupBy(doc_a, doc_b) collapses the pairs
+    # that multiple bands emitted, so the dedup shuffle inside
+    # bucket_candidate_pairs is redundant there (r18) — one exchange fewer
+    # on the pair stream. The two-join shape emits one OUTPUT row per
+    # input pair, so it keeps the distinct.
+    cand = bucket_candidate_pairs(bands, MAX_BUCKET, distinct=not onepass)
 
     shset = base.select("doc_id", F.col("shingles").alias("s"))
     # Exact-Jaccard verify, shape chosen by CORPUS SIZE (r18; VERDICT r17
@@ -315,7 +328,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     #   the groupBy's fixed overhead (r18 interleaved A/B: sf0.01 noop
     #   0.75 s vs 0.87 s for one-pass; at sf0.1 one-pass wins 2.38 vs
     #   2.46) — the cost-based switch an engine's optimizer would make.
-    if _corpus_bytes(sf_dir) >= _ONEPASS_MIN_BYTES:
+    if onepass:
         # first(when(role...), ignorenulls) is deterministic: each
         # (pair, role) matches exactly one corpus row.
         cand_long = cand.select(

@@ -12,6 +12,28 @@ from iceberg_catalog_postgres_spark.session import get_spark
 SF_SMOKE = os.environ.get("SPARK_GRAFT_SMOKE_DIR", "/root/testdata/sf0.001")
 SF_ORACLE = os.environ.get("SPARK_GRAFT_ORACLE_DIR", "/root/testdata/sf0.01")
 
+# Suite tiers (r18, VERDICT r17 item 2): the full suite grew past the
+# external driver's verify window (42 min measured; the r17 driver run was
+# cut off unfinished at ~72%), so long-running stress/fuzz depth and the
+# in-suite duplicate of the driver's own 344-query oracle gate move to an
+# opt-in SOAK tier. Default tier = every behavior still covered, at lower
+# fuzz depth and with a representative oracle-parity slice; SPARK_GRAFT_SOAK=1
+# restores the full sweep (use it for release-style local validation).
+SOAK = os.environ.get("SPARK_GRAFT_SOAK", "") == "1"
+soak_only = pytest.mark.skipif(
+    not SOAK,
+    reason="soak tier — set SPARK_GRAFT_SOAK=1 (long-running stress, or "
+    "redundant with the driver's own full oracle gate; the default tier "
+    "must finish inside the driver's verify window)",
+)
+
+
+def fuzz_cases(full: int, fast: int) -> int:
+    """Iteration count for a deterministic fuzz loop: the SOAK tier runs
+    the full count, the default tier a prefix of the SAME seeded stream
+    (every case that runs is identical across tiers)."""
+    return full if SOAK else fast
+
 
 @pytest.fixture(scope="session")
 def spark():

@@ -7,6 +7,8 @@ import datetime as dt
 import json
 import struct
 
+from tests.conftest import soak_only
+
 import pytest
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -240,6 +242,7 @@ def test_export_import_round_trip(catalog, spark):
     assert 0 < len(pb) < len(t2.metadata.current_data_files())
 
 
+@soak_only
 def test_import_from_a_different_warehouse(catalog, spark, tmp_path):
     """A genuinely foreign consumer: a SECOND catalog with its own
     warehouse imports the exported tree and reads the source's data files
@@ -398,6 +401,7 @@ def test_rename_export_onramp_rewrites_only_stale_cohort(catalog, spark, tmp_pat
         other.backend.close()
 
 
+@soak_only
 def test_spec_evolution_export_onramp_retuples_only_old_cohort(
     catalog, spark, tmp_path
 ):
@@ -477,6 +481,7 @@ def test_spec_evolution_export_onramp_retuples_only_old_cohort(
         other.backend.close()
 
 
+@soak_only
 def test_partitioned_eq_deletes_export_global_spec(catalog, spark, tmp_path):
     """ADVICE r8 (medium): on a PARTITIONED table, pending equality deletes
     must NOT export with null partition tuples under the partitioned spec

@@ -16,6 +16,8 @@ from __future__ import annotations
 import threading
 
 import pytest
+
+from tests.conftest import soak_only
 from pyspark.sql.types import StringType, StructField, StructType
 
 from iceberg_catalog_postgres_spark.catalog.catalog import (
@@ -616,6 +618,7 @@ def test_snapshot_ids_collision_free_and_in_range(catalog, spark):
     assert seqs == [1, 2, 3, 4, 5]
 
 
+@soak_only
 def test_manifest_spill_reuse_reads_and_gc(catalog, spark, monkeypatch):
     """Manifest-list indirection: above the threshold, snapshots spill file
     lists to content-addressed manifest chunks; additive commits reuse the

@@ -14,6 +14,8 @@ import os
 import random
 
 import pytest
+
+from tests.conftest import soak_only
 from pyspark.sql import functions as F
 
 from iceberg_catalog_postgres_spark.catalog.catalog import (
@@ -49,7 +51,14 @@ _EXTRA_SEEDS = [
 ]
 
 
-@pytest.mark.parametrize("seed", [1000, 1003, 1004, 1008, *_EXTRA_SEEDS])
+@pytest.mark.parametrize(
+    "seed",
+    [
+        1000,
+        # soak tier: the remaining seeds replay the same sequence family
+        *[pytest.param(s, marks=soak_only) for s in (1003, 1004, 1008, *_EXTRA_SEEDS)],
+    ],
+)
 def test_dv_lineage_soak_sequence(soak_catalog, spark, seed):
     from iceberg_catalog_postgres_spark.catalog.maintenance import (
         compact_table,

@@ -23,6 +23,8 @@ rename/recycle bugs were fixed from.
 from __future__ import annotations
 
 import pytest
+
+from tests.conftest import fuzz_cases
 from hypothesis import HealthCheck, Phase, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -178,7 +180,8 @@ _COUNTER = [0]
 
 
 @settings(
-    max_examples=12,
+    # derandomized: default tier replays a prefix of the same example stream
+    max_examples=fuzz_cases(12, 5),
     deadline=None,
     derandomize=True,
     suppress_health_check=list(HealthCheck),
@@ -442,7 +445,7 @@ _RT_COUNTER = [0]
 
 
 @settings(
-    max_examples=10,
+    max_examples=fuzz_cases(10, 4),
     deadline=None,
     derandomize=True,
     suppress_health_check=list(HealthCheck),

@@ -6,6 +6,8 @@ decision-table test."""
 
 from __future__ import annotations
 
+from tests.conftest import soak_only
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -404,6 +406,7 @@ def test_row_delta_rejects_mixing(sqlite_catalog, spark):
         tx.row_delta(df, pos)
 
 
+@soak_only
 def test_chained_mor_merges_batch_changelog(sqlite_catalog, spark):
     """Two consecutive MOR merges: the SECOND rowdelta's parent carries
     pending deletion vectors — the batch changelog reconstructs both

@@ -1,17 +1,40 @@
 """Mirror of the driver's correctness gate: every registered query with an
 oracle must hash-match DuckDB at sf0.01; oracle-less queries must at least run
-and return a stable schema."""
+and return a stable schema.
+
+Tiering (r18): the external driver runs this EXACT gate itself over every
+declared query right after the suite, so the in-suite mirror's default tier
+keeps a representative slice — every bench-tagged query plus a stable 1-in-8
+of the rest (~9 min of the 42-min suite was this duplication). The full
+344-query sweep runs under SPARK_GRAFT_SOAK=1."""
 
 from __future__ import annotations
+
+import zlib
 
 import pytest
 
 from iceberg_catalog_postgres_spark.oracle import compare, duckdb_connection
 from iceberg_catalog_postgres_spark.registry import load_all
+from tests.conftest import SOAK, soak_only
 
 REGISTRY = load_all()
 WITH_ORACLE = sorted(n for n, s in REGISTRY.items() if s.oracle)
 ROWS_ONLY = sorted(n for n, s in REGISTRY.items() if not s.oracle)
+
+
+def _default_tier(name: str) -> bool:
+    # stable, seed-free slice: crc32 keeps the same 1-in-8 across runs, so
+    # a regression in a sliced-out query is caught by the driver gate and
+    # by SOAK runs, never silently rotated away
+    return "bench" in REGISTRY[name].tags or zlib.crc32(name.encode()) % 8 == 0
+
+
+def _tiered(names):
+    return [
+        n if (SOAK or _default_tier(n)) else pytest.param(n, marks=soak_only)
+        for n in names
+    ]
 
 
 @pytest.fixture(scope="module")
@@ -21,7 +44,7 @@ def duck(sf_oracle):
     con.close()
 
 
-@pytest.mark.parametrize("name", WITH_ORACLE)
+@pytest.mark.parametrize("name", _tiered(WITH_ORACLE))
 def test_oracle_parity(spark, sf_oracle, duck, name):
     spec = REGISTRY[name]
     spark_pdf = spec.fn(spark, sf_oracle).toPandas()
@@ -30,7 +53,7 @@ def test_oracle_parity(spark, sf_oracle, duck, name):
     assert res.ok, f"{name}: {res.detail} (rows {res.spark_rows}/{res.oracle_rows})"
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY)
+@pytest.mark.parametrize("name", _tiered(ROWS_ONLY))
 def test_rows_only(spark, sf_oracle, name):
     spec = REGISTRY[name]
     df = spec.fn(spark, sf_oracle)

@@ -29,7 +29,10 @@ from iceberg_catalog_postgres_spark.catalog.select_sql import (
     select_sql,
 )
 
-N_CASES = 220
+from tests.conftest import fuzz_cases
+
+# default tier runs a PREFIX of the same seeded case stream (see conftest)
+N_CASES = fuzz_cases(220, 64)
 SEED = 1402
 
 #: row model: k unique, day = k % 7 (identity partition),
@@ -241,7 +244,7 @@ def test_fuzz_join_where_pruning_matches_unpruned_evaluation(
     dkeys = {r[0]: dict(zip(("k", "dr", "dn"), r)) for r in D_ROWS}
     joined = [(fr, dkeys[fr["k"]]) for fr in fkeys if fr["k"] in dkeys]
     failures = []
-    for case in range(80):
+    for case in range(fuzz_cases(80, 24)):
         sql_pred, fn, _ = _j_tree(rng, rng.randrange(1, 4))
         expect = sorted(fr["k"] for fr, dr_ in joined if fn(fr, dr_))
         stmt = (
@@ -286,7 +289,7 @@ def test_fuzz_delete_mor_pruned_writes_match_evaluation(tmp_path, spark):
         rng = random.Random(SEED + 99)
         keys = [dict(zip(("k", "day", "b", "name"), r)) for r in ROWS]
         failures = []
-        for case in range(25):
+        for case in range(fuzz_cases(25, 10)):
             sql_pred, fn, _p = _tree(rng, rng.randrange(1, 4))
             strategy = rng.choice(["mor", "cow"])
             expect = sorted(r["k"] for r in keys if not fn(r))
@@ -335,7 +338,7 @@ def test_fuzz_update_mor_pruned_writes_match_evaluation(tmp_path, spark):
         rng = random.Random(SEED + 303)
         keys = [dict(zip(("k", "day", "b", "name"), r)) for r in ROWS]
         failures = []
-        for case in range(20):
+        for case in range(fuzz_cases(20, 8)):
             sql_pred, fn, _p = _tree(rng, rng.randrange(1, 4))
             expect = sorted(r["k"] for r in keys if fn(r))
             try:
@@ -492,7 +495,7 @@ def test_fuzz_star_join_dpp_matches_unpruned_evaluation(star_tables, spark):
     dkeys = {r[0]: dict(zip(("k", "dr", "dn"), r)) for r in D2_ROWS}
     joined = [(fr, dkeys[fr["jk"]]) for fr in fkeys if fr["jk"] in dkeys]
     failures = []
-    for case in range(60):
+    for case in range(fuzz_cases(60, 20)):
         sql_pred, fn, _ = _s_tree(rng, rng.randrange(1, 4))
         expect = sorted(fr["k"] for fr, dr_ in joined if fn(fr, dr_))
         stmt = (
@@ -575,7 +578,7 @@ def test_fuzz_zone_map_pruning_matches_unpruned_evaluation(zone_table, spark):
     ]
     failures = []
     pruned_once = False
-    for case in range(120):
+    for case in range(fuzz_cases(120, 40)):
         sql_pred, fn, _p = _tree(rng, rng.randrange(1, 5))
         # r15: a third of the cases compose with IS [NOT] NULL on the
         # partially-null column — nullness pruning rides the same DNF
@@ -663,7 +666,7 @@ def test_fuzz_zone_map_float_predicates_never_drop_rows(zone_table, spark):
         for k in range(120)
     ]
     failures = []
-    for case in range(60):
+    for case in range(fuzz_cases(60, 20)):
         op = rng.choice(["=", "<", "<=", ">", ">=", "<>"])
         lit = rng.choice([-1.5, 0.0, 7.0, 59.5, 118.0, 1000.0])
         f_sql = f"x {op} {lit}"
@@ -774,7 +777,7 @@ def test_fuzz_delete_float_nan_zone_map_never_loses_rows(tmp_path, spark):
         seed_snap = t.metadata.current_snapshot_id
         rng = random.Random(SEED + 61)
         failures = []
-        for case in range(15):
+        for case in range(fuzz_cases(15, 6)):
             op = rng.choice(["=", "<", "<=", ">", ">=", "<>"])
             lit = rng.choice([-1.5, 7.0, 59.5, 118.0, 1000.0])
             strategy = rng.choice(["mor", "cow"])
@@ -838,7 +841,7 @@ def test_fuzz_update_float_nan_zone_map_marks_exactly(tmp_path, spark):
         seed_snap = t.metadata.current_snapshot_id
         rng = random.Random(SEED + 71)
         failures = []
-        for case in range(10):
+        for case in range(fuzz_cases(10, 5)):
             op = rng.choice(["=", "<", "<=", ">", ">=", "<>"])
             lit = rng.choice([-1.5, 7.0, 59.5, 118.0, 1000.0])
             expect = sorted(

@@ -5,6 +5,8 @@ contract."""
 
 from __future__ import annotations
 
+from tests.conftest import soak_only
+
 from iceberg_catalog_postgres_spark.registry import load_all
 
 REGISTRY = load_all()
@@ -281,6 +283,7 @@ def test_stream_source_refuses_schema_drift(spark, tmp_path):
     assert end["n_snapshots"] == 1 and list(rows) == [(1, "x", 1)]
 
 
+@soak_only
 def test_parallel_cdc_partition_planning_scales(spark, tmp_path):
     """r9 scale check: over a 30-commit chain (mixed appends/deletes), the
     parallel CDC reader's partitions(start,end) plans exactly one unit
