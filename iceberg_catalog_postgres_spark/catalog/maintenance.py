@@ -2199,11 +2199,11 @@ def catalog_sql_alter_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, cat,
         "ALTER TABLE maint.nation_ddl ALTER COLUMN n_nationkey TYPE BIGINT",
     )
-    extra = spark.createDataFrame(
+    table.new_transaction().append_rows(
+        spark,
         [(100, "newland", "tagged")],
         "n_nationkey long, nation_name string, region_label string",
-    )
-    table.new_transaction().append_dataframe(extra.coalesce(1)).commit()
+    ).commit()
     return execute_dml(
         spark, cat,
         "SELECT n_nationkey, nation_name, region_label "
@@ -7882,17 +7882,19 @@ def catalog_cherry_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = table.new_transaction().append_dataframe(src.coalesce(1)).commit()
 
     # branch commit: 2 fix rows staged on "fix" (main does not move)
-    branch_rows = spark.createDataFrame(
-        [(900, "FIX-A"), (901, "FIX-B")], src.schema
-    ).coalesce(1)
-    table = table.new_transaction(branch="fix").append_dataframe(branch_rows).commit()
+    table = (
+        table.new_transaction(branch="fix")
+        .append_rows(spark, [(900, "FIX-A"), (901, "FIX-B")], src.schema)
+        .commit()
+    )
     fix_snap = table.metadata.refs["fix"]["snapshot-id"]
 
     # main moves on: 3 more rows — the branch can no longer fast-forward
-    main_rows = spark.createDataFrame(
-        [(800, "M-A"), (801, "M-B"), (802, "M-C")], src.schema
-    ).coalesce(1)
-    table = table.new_transaction().append_dataframe(main_rows).commit()
+    table = (
+        table.new_transaction()
+        .append_rows(spark, [(800, "M-A"), (801, "M-B"), (802, "M-C")], src.schema)
+        .commit()
+    )
 
     files_before = set(table.metadata.snapshot_by_id(fix_snap).data_files)
     table = table.new_transaction().cherry_pick(fix_snap).commit()

@@ -536,10 +536,11 @@ def catalog_time_travel_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
     # "as of snap1's timestamp" is unambiguous
     while int(_time.time() * 1000) <= snap1.timestamp_ms:
         _time.sleep(0.002)
-    extra = spark.createDataFrame(
-        [(900, "X"), (901, "Y"), (902, "Z")], src.schema
-    ).coalesce(1)
-    table = table.new_transaction().append_dataframe(extra).commit()
+    table = (
+        table.new_transaction()
+        .append_rows(spark, [(900, "X"), (901, "Y"), (902, "Z")], src.schema)
+        .commit()
+    )
 
     n_before_any = table.to_df(spark, as_of_ms=snap1.timestamp_ms - 1).count()
     s1 = table.metadata.snapshot_as_of(snap1.timestamp_ms)
@@ -601,8 +602,9 @@ def catalog_cross_register(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_via_a = table_a.record_count()
 
     # A commits again; B re-registers the new pointer to follow
-    extra = spark.createDataFrame([(990, "NEW")], src.schema).coalesce(1)
-    table_a = table_a.new_transaction().append_dataframe(extra).commit()
+    table_a = (
+        table_a.new_transaction().append_rows(spark, [(990, "NEW")], src.schema).commit()
+    )
     cat_b.drop_table(ident_b)
     table_b2 = cat_b.register_table(ident_b, table_a.metadata_location())
     b_sees = table_b2.record_count() == n_via_a + 1

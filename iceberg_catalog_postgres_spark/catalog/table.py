@@ -4160,8 +4160,11 @@ class Transaction:
             IntegerType,
             LongType,
             StringType,
+            StructType,
         )
 
+        if isinstance(schema, str):
+            schema = StructType.fromDDL(schema)
         _PA_TYPES = {
             LongType: "int64",
             IntegerType: "int32",
